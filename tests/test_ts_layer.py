@@ -1,0 +1,240 @@
+"""L2 TS demux tests over synthetic streams (model: reference test_readts,
+AmatsukazeTestImpl.hpp + TestBase fixtures)."""
+
+import numpy as np
+import pytest
+
+from amatsukaze_tpu.ts import TsSplitter
+from amatsukaze_tpu.ts.packet import TS_PACKET_LENGTH, PacketBatch, TsPacketParser
+from amatsukaze_tpu.ts.pes import PESPacket, read_timestamp, write_timestamp
+from amatsukaze_tpu.types import AudioChannels, PictureType, VideoStreamFormat
+
+import ts_gen
+
+
+class CollectingParser(TsPacketParser):
+    def __init__(self):
+        super().__init__()
+        self.batches = []
+
+    def on_ts_packets(self, batch):
+        self.batches.append(bytes(batch.data))
+
+    @property
+    def count(self):
+        return sum(len(b) for b in self.batches) // TS_PACKET_LENGTH
+
+
+class TestPacketParser:
+    def test_aligned_stream(self):
+        ts = ts_gen.build_simple_ts(num_frames=10)
+        p = CollectingParser()
+        p.input_ts(ts)
+        p.flush()
+        assert p.count == len(ts) // TS_PACKET_LENGTH
+
+    def test_garbage_prefix(self):
+        ts = ts_gen.build_simple_ts(num_frames=10)
+        p = CollectingParser()
+        p.input_ts(b"\x00\x12garbage!" * 10 + ts)
+        p.flush()
+        assert p.count == len(ts) // TS_PACKET_LENGTH
+
+    def test_mid_stream_corruption(self):
+        ts = ts_gen.build_simple_ts(num_frames=10)
+        n = len(ts) // TS_PACKET_LENGTH
+        cut = (n // 2) * TS_PACKET_LENGTH
+        # drop half a packet in the middle: the parser must resync and lose
+        # only the corrupted packet
+        broken = ts[:cut] + ts[cut + 100 :]
+        p = CollectingParser()
+        p.input_ts(broken)
+        p.flush()
+        assert n - 2 <= p.count < n
+
+    def test_chunked_feed(self):
+        ts = ts_gen.build_simple_ts(num_frames=10)
+        p = CollectingParser()
+        for i in range(0, len(ts), 1000):
+            p.input_ts(ts[i : i + 1000])
+        p.flush()
+        assert p.count == len(ts) // TS_PACKET_LENGTH
+
+    def test_batch_pids(self):
+        ts = ts_gen.build_simple_ts(num_frames=5)
+        batch = PacketBatch(memoryview(ts))
+        pids = set(np.unique(batch.pids))
+        assert ts_gen.VIDEO_PID in pids
+        assert ts_gen.AUDIO_PID in pids
+        assert 0x0000 in pids
+        assert ts_gen.PMT_PID in pids
+
+
+class TestPesTimestamp:
+    def test_roundtrip(self):
+        for ts in [0, 1, 90_000, (1 << 33) - 1, 123456789]:
+            assert read_timestamp(write_timestamp(ts)) == ts
+
+    def test_pes_parse(self):
+        pes = ts_gen.make_pes(0xE0, b"payload", pts=123456, dts=123000)
+        pkt = PESPacket(bytearray(pes))
+        assert pkt.parse() and pkt.check()
+        assert pkt.pts == 123456
+        assert pkt.dts == 123000
+        assert bytes(pkt.payload()) == b"payload"
+
+    def test_pes_rewrite(self):
+        pes = ts_gen.make_pes(0xE0, b"x" * 10, pts=500, dts=400)
+        pkt = PESPacket(bytearray(pes))
+        pkt.parse()
+        pkt.change_timestamp(900_000, 899_000)
+        pkt2 = PESPacket(bytes(pkt.data))
+        assert pkt2.parse()
+        assert (pkt2.pts, pkt2.dts) == (900_000, 899_000)
+
+
+class EventSplitter(TsSplitter):
+    def __init__(self, ctx, **kw):
+        super().__init__(ctx, **kw)
+        self.video_frames = []
+        self.audio_frames = {}  # idx -> list
+        self.video_formats = []
+        self.audio_formats = {}
+        self.times = []
+
+    def on_video_pes_packet(self, clock, frames, packet):
+        assert clock != -1
+        self.video_frames.extend(frames)
+
+    def on_video_format_changed(self, fmt):
+        self.video_formats.append(fmt)
+
+    def on_audio_pes_packet(self, audio_idx, clock, frames, packet):
+        self.audio_frames.setdefault(audio_idx, []).extend(frames)
+
+    def on_audio_format_changed(self, audio_idx, fmt):
+        self.audio_formats.setdefault(audio_idx, []).append(fmt)
+
+    def on_time(self, clock, jst):
+        self.times.append((clock, jst))
+
+
+@pytest.fixture
+def simple_ts():
+    return ts_gen.build_simple_ts(num_frames=60)
+
+
+class TestSplitter:
+    def run_splitter(self, ctx, ts, chunk=4 * 1024, **kw):
+        sp = EventSplitter(ctx, **kw)
+        for i in range(0, len(ts), chunk):
+            sp.input_ts_data(ts[i : i + chunk])
+        sp.flush()
+        return sp
+
+    def test_video_frames(self, ctx, simple_ts):
+        sp = self.run_splitter(ctx, simple_ts)
+        # the final unbounded video PES needs the next PUSI to be emitted, so
+        # the last frame is dropped at EOF (same as the reference)
+        assert len(sp.video_frames) in (59, 60)
+        f0 = sp.video_frames[0]
+        assert f0.format.width == 1440
+        assert f0.format.height == 1080
+        assert (f0.format.sar_width, f0.format.sar_height) == (4, 3)
+        assert f0.format.frame_rate_num == 30000
+        assert f0.format.frame_rate_denom == 1001
+        assert f0.format.format == VideoStreamFormat.MPEG2
+        assert f0.is_gop_start
+        assert f0.pic == PictureType.TFF
+
+        # PTS increments exactly one frame duration
+        frame_dur = 90_000 * 1001 // 30000
+        pts = [f.pts for f in sp.video_frames]
+        assert all(b - a == frame_dur for a, b in zip(pts, pts[1:]))
+
+    def test_gop_structure(self, ctx, simple_ts):
+        sp = self.run_splitter(ctx, simple_ts)
+        gops = [i for i, f in enumerate(sp.video_frames) if f.is_gop_start]
+        assert gops[:4] == [0, 15, 30, 45]
+
+    def test_rff_pattern(self, ctx):
+        ts = ts_gen.build_simple_ts(num_frames=30, pic_pattern="TFF_RFF,BFF,TFF,BFF_RFF")
+        sp = self.run_splitter(ctx, ts)
+        pics = [f.pic for f in sp.video_frames[:4]]
+        assert pics == [
+            PictureType.TFF_RFF,
+            PictureType.BFF,
+            PictureType.TFF,
+            PictureType.BFF_RFF,
+        ]
+
+    def test_audio_frames(self, ctx, simple_ts):
+        sp = self.run_splitter(ctx, simple_ts)
+        frames = sp.audio_frames[0]
+        assert len(frames) > 50
+        assert frames[0].format.sample_rate == 48000
+        assert frames[0].format.channels == AudioChannels.STEREO
+        assert frames[0].num_samples == 1024
+        # PTS spacing ~ 1024 samples @48kHz = 1920 ticks
+        pts = [f.pts for f in frames]
+        deltas = {b - a for a, b in zip(pts, pts[1:])}
+        assert deltas == {1920}
+
+    def test_multi_audio(self, ctx):
+        ts = ts_gen.build_simple_ts(num_frames=30, num_audio=2)
+        sp = self.run_splitter(ctx, ts)
+        assert set(sp.audio_frames.keys()) == {0, 1}
+        assert len(sp.audio_parsers) == 2
+
+    def test_format_change_callback_once(self, ctx, simple_ts):
+        sp = self.run_splitter(ctx, simple_ts)
+        assert len(sp.video_formats) == 1
+        assert len(sp.audio_formats[0]) == 1
+
+    def test_no_scramble(self, ctx, simple_ts):
+        sp = self.run_splitter(ctx, simple_ts)
+        assert sp.num_scramble_packets == 0
+        assert sp.num_total_packets > 0
+
+    def test_service_selection(self, ctx, simple_ts):
+        sp = self.run_splitter(ctx, simple_ts)
+        assert sp.get_actual_service_id() == ts_gen.SERVICE_ID
+
+    def test_preferred_service_missing_falls_back(self, ctx, simple_ts):
+        sp = EventSplitter(ctx)
+        sp.set_service_id(0x9999)
+        for i in range(0, len(simple_ts), 4096):
+            sp.input_ts_data(simple_ts[i : i + 4096])
+        sp.flush()
+        assert sp.get_actual_service_id() == ts_gen.SERVICE_ID
+
+    def test_single_shot_feed(self, ctx, simple_ts):
+        # whole file in one call must behave like chunked feed
+        sp1 = self.run_splitter(ctx, simple_ts, chunk=len(simple_ts))
+        sp2 = self.run_splitter(ctx, simple_ts, chunk=1000)
+        assert [f.pts for f in sp1.video_frames] == [f.pts for f in sp2.video_frames]
+        assert [f.pts for f in sp1.audio_frames[0]] == [
+            f.pts for f in sp2.audio_frames[0]
+        ]
+
+    def test_continuity_error_drops_frame(self, ctx):
+        # remove one mid-stream video packet: CC break clears the PES buffer.
+        # use big frames so video PES packets span multiple TS packets
+        big_ts = ts_gen.build_simple_ts(num_frames=60, slice_bytes=600)
+        n = len(big_ts) // TS_PACKET_LENGTH
+        arr = [big_ts[i * 188 : (i + 1) * 188] for i in range(n)]
+        # find a video packet somewhere in the middle that is not PUSI
+        import ts_gen as g
+
+        def pid_of(p):
+            return ((p[1] & 0x1F) << 8) | p[2]
+
+        victim = next(
+            i for i, p in enumerate(arr)
+            if i > n // 2 and pid_of(p) == g.VIDEO_PID and not (p[1] & 0x40)
+        )
+        broken = b"".join(arr[:victim] + arr[victim + 1 :])
+        sp = self.run_splitter(ctx, broken)
+        full = self.run_splitter(ctx, big_ts)
+        assert len(sp.video_frames) < len(full.video_frames)
+        assert len(sp.video_frames) >= len(full.video_frames) - 3

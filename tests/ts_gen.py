@@ -1,0 +1,342 @@
+"""Synthetic MPEG2-TS generator for tests.
+
+Builds bit-correct PAT/PMT/TDT sections, MPEG2/H.264-style elementary
+streams (headers only + filler), ADTS audio, PES packetization, PCR
+insertion, and 188-byte TS packetization with continuity counters.
+This replaces the reference's TestParam.ini real-broadcast fixtures
+(AmatsukazeUnitTest.cpp:66-86) with deterministic in-repo streams.
+"""
+
+from __future__ import annotations
+
+from amatsukaze_tpu.utils.bits import BitWriter
+from amatsukaze_tpu.utils.crc import crc32_mpeg2
+from amatsukaze_tpu.ts.pes import write_timestamp
+
+TS_LEN = 188
+
+
+# ---------------------------------------------------------------------------
+# PSI
+# ---------------------------------------------------------------------------
+
+def make_section(table_id: int, id_ext: int, payload: bytes, version: int = 0) -> bytes:
+    """Syntax-section with CRC."""
+    body = bytearray()
+    body += id_ext.to_bytes(2, "big")
+    body.append(0xC0 | ((version & 0x1F) << 1) | 1)  # current
+    body += b"\x00\x00"  # section_number, last_section_number
+    body += payload
+    length = len(body) + 4  # + CRC
+    head = bytes([table_id, 0xB0 | (length >> 8), length & 0xFF])
+    sec = head + bytes(body)
+    crc = crc32_mpeg2(sec)
+    return sec + crc.to_bytes(4, "big")
+
+
+def make_pat(tsid: int, programs: list[tuple[int, int]]) -> bytes:
+    payload = bytearray()
+    for num, pid in programs:
+        payload += num.to_bytes(2, "big")
+        payload += (0xE000 | pid).to_bytes(2, "big")
+    return make_section(0x00, tsid, bytes(payload))
+
+
+def make_pmt(program: int, pcr_pid: int, streams: list[tuple[int, int, bytes]]) -> bytes:
+    """streams: (stream_type, pid, es_descriptors)"""
+    payload = bytearray()
+    payload += (0xE000 | pcr_pid).to_bytes(2, "big")
+    payload += (0xF000 | 0).to_bytes(2, "big")  # program_info_length = 0
+    for stype, pid, desc in streams:
+        payload.append(stype)
+        payload += (0xE000 | pid).to_bytes(2, "big")
+        payload += (0xF000 | len(desc)).to_bytes(2, "big")
+        payload += desc
+    return make_section(0x02, program, bytes(payload))
+
+
+def component_tag_descriptor(tag: int) -> bytes:
+    return bytes([0x52, 0x01, tag])
+
+
+def make_tdt(jst_raw40: int) -> bytes:
+    body = jst_raw40.to_bytes(5, "big")
+    length = len(body)
+    return bytes([0x70, 0x70 | (length >> 8), length & 0xFF]) + body
+
+
+# ---------------------------------------------------------------------------
+# MPEG2 video ES
+# ---------------------------------------------------------------------------
+
+def mpeg2_sequence_header(width=1440, height=1080, aspect=3, frame_rate_code=4,
+                          progressive_sequence=0) -> bytes:
+    w = BitWriter()
+    w.write(0x000001B3, 32)
+    w.write(width & 0xFFF, 12)
+    w.write(height & 0xFFF, 12)
+    w.write(aspect, 4)  # 3 = 16:9
+    w.write(frame_rate_code, 4)  # 4 = 29.97
+    w.write(50000, 18)  # bit_rate_value
+    w.write(1, 1)  # marker
+    w.write(112, 10)  # vbv
+    w.write(0, 1)  # constrained
+    w.write(0, 1)  # no intra matrix
+    w.write(0, 1)  # no non-intra matrix
+    w.byte_align()
+    # sequence extension
+    w.write(0x000001B5, 32)
+    w.write(0x1, 4)
+    w.write(0x48, 8)  # profile/level: main/high
+    w.write(progressive_sequence, 1)
+    w.write(1, 2)  # chroma 4:2:0
+    w.write(0, 2)  # h size ext
+    w.write(0, 2)  # v size ext
+    w.write(0, 12)  # bitrate ext
+    w.write(1, 1)  # marker
+    w.write(0, 8)  # vbv ext
+    w.write(0, 1)  # low delay
+    w.write(0, 2)  # frame rate ext n
+    w.write(0, 5)  # frame rate ext d
+    w.byte_align()
+    return w.getvalue()
+
+
+def mpeg2_picture(coding_type=1, picture_structure=3, tff=1, rff=0,
+                  progressive_frame=0, temporal_reference=0,
+                  slice_bytes=32) -> bytes:
+    w = BitWriter()
+    w.write(0x00000100, 32)
+    w.write(temporal_reference, 10)
+    w.write(coding_type, 3)  # 1=I 2=P 3=B
+    w.write(0xFFFF, 16)  # vbv_delay
+    if coding_type in (2, 3):
+        w.write(0, 4)
+    if coding_type == 3:
+        w.write(0, 4)
+    w.write(0, 1)  # no extra info
+    w.byte_align()
+    # picture coding extension
+    w.write(0x000001B5, 32)
+    w.write(0x8, 4)
+    w.write(0xFFFF, 16)  # f_code
+    w.write(0, 2)  # intra_dc_precision
+    w.write(picture_structure, 2)
+    w.write(tff, 1)
+    w.write(0, 1)  # frame_pred_frame_dct
+    w.write(0, 1)  # concealment mv
+    w.write(0, 1)  # q_scale_type
+    w.write(0, 1)  # intra_vlc
+    w.write(0, 1)  # alternate_scan
+    w.write(rff, 1)
+    w.write(0, 1)  # chroma_420_type
+    w.write(progressive_frame, 1)
+    w.write(0, 1)  # composite display
+    w.byte_align()
+    # a fake slice so there's some coded payload
+    w.write(0x00000101, 32)
+    w.write_bytes(b"\xA5" * slice_bytes)
+    w.byte_align()
+    return w.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# ADTS audio ES
+# ---------------------------------------------------------------------------
+
+def adts_frame(payload_len=200, sampling_frequency_index=3, channel_config=2,
+               profile=1) -> bytes:
+    frame_length = 7 + payload_len
+    w = BitWriter()
+    w.write(0xFFF, 12)
+    w.write(1, 1)  # ID = MPEG2
+    w.write(0, 2)  # layer
+    w.write(1, 1)  # protection_absent
+    w.write(profile, 2)
+    w.write(sampling_frequency_index, 4)
+    w.write(0, 1)
+    w.write(channel_config, 3)
+    w.write(0, 1)
+    w.write(0, 1)
+    w.write(0, 1)
+    w.write(0, 1)
+    w.write(frame_length, 13)
+    w.write(0x7FF, 11)
+    w.write(0, 2)  # 1 raw data block
+    w.write_bytes(bytes((i * 7) & 0xFF for i in range(payload_len)))
+    return w.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# PES + TS packetization
+# ---------------------------------------------------------------------------
+
+def make_pes(stream_id: int, payload: bytes, pts: int | None = None,
+             dts: int | None = None, unbounded: bool = False) -> bytes:
+    header_data = b""
+    flags = 0
+    if pts is not None:
+        if dts is not None:
+            flags = 0xC0
+            header_data = write_timestamp(pts, 0x3) + write_timestamp(dts, 0x1)
+        else:
+            flags = 0x80
+            header_data = write_timestamp(pts, 0x2)
+    body = bytes([0x80, flags, len(header_data)]) + header_data + payload
+    plen = 0 if unbounded else len(body)
+    return b"\x00\x00\x01" + bytes([stream_id]) + plen.to_bytes(2, "big") + body
+
+
+class TsPacketizer:
+    """Packetize byte streams into TS packets with CC and optional PCR/AF."""
+
+    def __init__(self):
+        self.cc: dict[int, int] = {}
+        self.packets = bytearray()
+
+    def _next_cc(self, pid: int) -> int:
+        v = self.cc.get(pid, 0)
+        self.cc[pid] = (v + 1) & 0xF
+        return v
+
+    def add_section(self, pid: int, section: bytes) -> None:
+        data = b"\x00" + section  # pointer_field
+        first = True
+        while data:
+            chunk = data[:184]
+            data = data[184:]
+            self._emit(pid, chunk, pusi=first, pad_with_ff=True)
+            first = False
+
+    def add_pes(self, pid: int, pes: bytes, pcr: int | None = None) -> None:
+        first = True
+        while pes:
+            avail = 184 - (8 if (first and pcr is not None) else 0)
+            chunk = pes[:avail]
+            pes = pes[avail:]
+            self._emit(pid, chunk, pusi=first,
+                       pcr=pcr if first else None)
+            first = False
+
+    def add_pcr_only(self, pid: int, pcr: int) -> None:
+        hdr = bytes([0x47, (pid >> 8) & 0x1F, pid & 0xFF, 0x20 | self.cc.get(pid, 0)])
+        af = bytearray([183, 0x10])  # af_length, PCR_flag
+        base, ext = divmod(pcr, 300)
+        raw = (base << 15) | (0x3F << 9) | ext
+        af += raw.to_bytes(6, "big")
+        af += b"\xFF" * (184 - len(af))
+        self.packets += hdr + af
+
+    def _emit(self, pid: int, chunk: bytes, pusi: bool, pcr: int | None = None,
+              pad_with_ff: bool = False) -> None:
+        cc = self._next_cc(pid)
+        need_af = pcr is not None or len(chunk) < 184
+        afc = 0x30 if need_af else 0x10
+        hdr = bytes([
+            0x47,
+            (0x40 if pusi else 0) | ((pid >> 8) & 0x1F),
+            pid & 0xFF,
+            afc | cc,
+        ])
+        if need_af:
+            af = bytearray()
+            if pcr is not None:
+                af.append(0x10)  # PCR flag
+                base, ext = divmod(pcr, 300)
+                raw = (base << 15) | (0x3F << 9) | ext
+                af += raw.to_bytes(6, "big")
+            else:
+                af.append(0x00)
+            pad = 184 - len(chunk) - len(af) - 1
+            if pad < 0:
+                raise ValueError("chunk too big")
+            af += b"\xFF" * pad
+            body = bytes([len(af)]) + bytes(af) + chunk
+        else:
+            body = chunk
+        assert len(body) == 184
+        self.packets += hdr + body
+
+    def getvalue(self) -> bytes:
+        return bytes(self.packets)
+
+
+# ---------------------------------------------------------------------------
+# full stream builder
+# ---------------------------------------------------------------------------
+
+VIDEO_PID = 0x0111
+AUDIO_PID = 0x0112
+AUDIO2_PID = 0x0113
+PMT_PID = 0x01F0
+SERVICE_ID = 0x5C38
+TSID = 0x7FE0
+
+
+def build_simple_ts(
+    num_frames: int = 60,
+    fps_num: int = 30000,
+    fps_den: int = 1001,
+    pic_pattern: str = "TFF",  # or "TFF_RFF,BFF_RFF,..." cycled per frame
+    num_audio: int = 1,
+    audio_sfi: int = 3,  # 48 kHz
+    first_pts: int = 90_000,
+    gop_len: int = 15,
+    service_id: int = SERVICE_ID,
+    psi_interval: int = 20,
+    slice_bytes: int = 32,
+) -> bytes:
+    """A single-program TS with MPEG2 video + N ADTS audio streams."""
+    tz = TsPacketizer()
+    pat = make_pat(TSID, [(service_id, PMT_PID)])
+    streams = [(0x02, VIDEO_PID, b"")]
+    for i in range(num_audio):
+        streams.append((0x0F, AUDIO_PID + i, b""))
+    pmt = make_pmt(service_id, VIDEO_PID, streams)
+
+    pats = pic_pattern.split(",")
+    frame_dur = 90_000 * fps_den // fps_num
+    audio_dur_num = 90_000 * 1024
+    audio_sr = {3: 48000, 4: 44100, 5: 32000}[audio_sfi]
+
+    # PCR leads PTS by ~0.4 s so captions/PES sanity checks hold
+    pcr_offset = first_pts * 300 - int(0.4 * 27_000_000)
+
+    audio_next = [0] * num_audio  # next audio frame index per stream
+
+    for f in range(num_frames):
+        if f % psi_interval == 0:
+            tz.add_section(0x0000, pat)
+            tz.add_section(PMT_PID, pmt)
+        pts = first_pts + f * frame_dur
+        dts = pts - frame_dur  # fake but monotone
+        pcr = pcr_offset + f * frame_dur * 300
+
+        name = pats[f % len(pats)]
+        ps, tff, rff = {
+            "FRAME": (3, 1, 0), "TFF": (3, 1, 0), "BFF": (3, 0, 0),
+            "TFF_RFF": (3, 1, 1), "BFF_RFF": (3, 0, 1),
+        }[name]
+        prog_frame = 1 if name == "FRAME" else 0
+        es = bytearray()
+        if f % gop_len == 0:
+            es += mpeg2_sequence_header(frame_rate_code=4)
+        coding = 1 if f % gop_len == 0 else (2 if f % 3 == 0 else 3)
+        es += mpeg2_picture(coding_type=coding, picture_structure=ps, tff=tff,
+                            rff=rff, progressive_frame=prog_frame,
+                            temporal_reference=f % gop_len,
+                            slice_bytes=slice_bytes)
+        pes = make_pes(0xE0, bytes(es), pts=pts, dts=dts, unbounded=True)
+        tz.add_pes(VIDEO_PID, pes, pcr=pcr)
+
+        # emit audio to keep pace with video time
+        for a in range(num_audio):
+            while audio_next[a] * audio_dur_num // audio_sr <= f * frame_dur:
+                apts = first_pts + audio_next[a] * audio_dur_num // audio_sr
+                af = adts_frame(sampling_frequency_index=audio_sfi)
+                tz.add_pes(AUDIO_PID + a, make_pes(0xC0, af, pts=apts))
+                audio_next[a] += 1
+
+    # final flush helper: one trailing PCR + PAT so last PES can be flushed
+    tz.add_pcr_only(VIDEO_PID, pcr_offset + num_frames * frame_dur * 300)
+    return tz.getvalue()
