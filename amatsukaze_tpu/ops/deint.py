@@ -1,0 +1,215 @@
+"""Deinterlace / telecine-detection device kernels (KFM-class capability).
+
+The reference delegates these stages to the external KFM/AvsCUDA AviSynth
+plugins driven by generated scripts (SURVEY.md section 5; reference
+Server/Misc.cs:1300-1343 builds `KFMDeint(mode=...)` chains). This module
+provides the TPU-native equivalents as batched JAX ops:
+
+- field split / weave / bob (KFMDeint's basic paths)
+- vectorized yadif-class spatial-temporal interpolation (Yadif option,
+  reference EncodeServerData.cs:106-109 lists Yadif as a deinterlacer choice)
+- per-frame field-match costs + combing metrics, aggregated per 5-frame
+  cycle for 3:2 pulldown pattern matching (KFM pass-1/2 semantics)
+
+Pattern decisions (which pulldown phase, 24p vs 30p vs 60p per cycle) are
+host-side logic in models/kfm.py; this module only produces the batched
+metrics, keeping data-dependent control flow out of XLA.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# field handling
+# ---------------------------------------------------------------------------
+
+
+def field_split(frames: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """[B, H, W] -> (top fields [B, H/2, W], bottom fields [B, H/2, W])."""
+    return frames[..., 0::2, :], frames[..., 1::2, :]
+
+
+def weave(top: jnp.ndarray, bottom: jnp.ndarray) -> jnp.ndarray:
+    """Interleave two fields back into a frame."""
+    b, h2, w = top.shape
+    out = jnp.stack([top, bottom], axis=-2)  # [B, H/2, 2, W]
+    return out.reshape(b, h2 * 2, w)
+
+
+@jax.jit
+def bob_field(field: jnp.ndarray, parity_top: bool | jnp.ndarray) -> jnp.ndarray:
+    """Linear bob: upsample one field [B, H/2, W] to a frame [B, H, W].
+
+    parity_top=True places the field on even lines, interpolating odd lines.
+    """
+    b, h2, w = field.shape
+    up = jnp.repeat(field, 2, axis=-2)  # nearest first
+    # interpolated lines = average of the neighbouring field lines
+    nxt = jnp.concatenate([field[:, 1:], field[:, -1:]], axis=1)
+    prv = jnp.concatenate([field[:, :1], field[:, :-1]], axis=1)
+    interp_below = (field + nxt) * 0.5  # line below each field line
+    interp_above = (field + prv) * 0.5
+    even = jnp.stack([field, interp_below], axis=2).reshape(b, h2 * 2, w)
+    odd = jnp.stack([interp_above, field], axis=2).reshape(b, h2 * 2, w)
+    return jnp.where(jnp.asarray(parity_top), even, odd)
+
+
+# ---------------------------------------------------------------------------
+# yadif-class spatial-temporal interpolation
+# ---------------------------------------------------------------------------
+
+
+def _spatial_pred(cur: jnp.ndarray) -> jnp.ndarray:
+    """Edge-directed spatial prediction for missing lines.
+
+    cur: [B, H/2+2, W] field lines around the missing line (padded);
+    uses lines above (a) and below (c). Tries 3 directions, picks the one
+    with the lowest absolute difference (yadif's spatial check).
+    """
+    a = cur[:, :-1]  # line above the missing line
+    c = cur[:, 1:]  # line below
+
+    def shift(x, d):
+        if d == 0:
+            return x
+        if d > 0:
+            return jnp.concatenate([x[..., d:], jnp.repeat(x[..., -1:], d, -1)], -1)
+        return jnp.concatenate([jnp.repeat(x[..., :1], -d, -1), x[..., :d]], -1)
+
+    best_pred = (a + c) * 0.5
+    best_score = jnp.abs(a - c)
+    for d in (1, 2):
+        for sgn in (1, -1):
+            pa = shift(a, sgn * d)
+            pc = shift(c, -sgn * d)
+            score = jnp.abs(pa - pc)
+            pred = (pa + pc) * 0.5
+            better = score < best_score
+            best_pred = jnp.where(better, pred, best_pred)
+            best_score = jnp.where(better, score, best_score)
+    return best_pred
+
+
+@partial(jax.jit, static_argnames=("parity_top",))
+def yadif_deinterlace(
+    prev: jnp.ndarray, cur: jnp.ndarray, nxt: jnp.ndarray, parity_top: bool
+) -> jnp.ndarray:
+    """Yadif-class deinterlace of the middle frame.
+
+    prev/cur/nxt: [B, H, W] full frames; keeps the `parity_top` field of
+    `cur` and reconstructs the other field with an edge-directed spatial
+    prediction clamped by the temporal neighbourhood.
+    """
+    keep, recon_ref = (
+        (cur[:, 0::2], cur[:, 1::2]) if parity_top else (cur[:, 1::2], cur[:, 0::2])
+    )
+    # temporal candidates at the missing lines
+    tp = prev[:, 1::2] if parity_top else prev[:, 0::2]
+    tn = nxt[:, 1::2] if parity_top else nxt[:, 0::2]
+    temporal = (tp + tn) * 0.5
+
+    # spatial prediction from the kept field
+    pad = jnp.pad(keep, ((0, 0), (1, 1), (0, 0)), mode="edge")
+    spatial = _spatial_pred(pad)
+    spatial = spatial[:, : keep.shape[1]]
+
+    # temporal clamp (yadif's diff logic, simplified to symmetric clamp)
+    diff = jnp.abs(tp - tn) * 0.5
+    lo = temporal - diff
+    hi = temporal + diff
+    recon = jnp.clip(spatial, lo, hi)
+
+    return weave(keep, recon) if parity_top else weave(recon, keep)
+
+
+# ---------------------------------------------------------------------------
+# telecine metrics (KFM pass-1 analog)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def combing_metric(frames: jnp.ndarray) -> jnp.ndarray:
+    """Per-frame combing score: energy of (line - avg(neighbours)) that
+    alternates between fields. High = interlaced/combed content. [B]"""
+    a = frames[:, :-2:, :]
+    b = frames[:, 1:-1, :]
+    c = frames[:, 2:, :]
+    comb = (a - b) * (c - b)  # >0 where b differs from both neighbours same way
+    return jnp.mean(jnp.maximum(comb, 0.0), axis=(-2, -1))
+
+
+@jax.jit
+def field_match_costs(frames: jnp.ndarray) -> jnp.ndarray:
+    """Field-pairing costs for telecine pattern matching.
+
+    frames: [B, H, W] (consecutive frames, B >= 2)
+    Returns [B, 3] costs:
+      [:, 0] = comb(t(n) with b(n))     - current frame as-is
+      [:, 1] = comb(t(n) with b(n-1))   - top matches previous bottom
+      [:, 2] = comb(b(n) with t(n-1))   - bottom matches previous top
+    First frame's costs [1], [2] duplicate cost [0].
+    """
+    top, bot = field_split(frames)
+    prev_top = jnp.concatenate([top[:1], top[:-1]], axis=0)
+    prev_bot = jnp.concatenate([bot[:1], bot[:-1]], axis=0)
+
+    def comb_cost(t, b):
+        # interleave then measure combing energy
+        frame = weave(t, b)
+        return combing_metric(frame)
+
+    c_cur = comb_cost(top, bot)
+    c_tp = comb_cost(top, prev_bot)
+    c_bt = comb_cost(prev_top, bot)
+    return jnp.stack([c_cur, c_tp, c_bt], axis=-1)
+
+
+@jax.jit
+def frame_diff_metric(frames: jnp.ndarray) -> jnp.ndarray:
+    """Mean abs diff to the previous frame per frame [B] (first = 0)."""
+    d = jnp.mean(jnp.abs(frames[1:] - frames[:-1]), axis=(-2, -1))
+    return jnp.concatenate([jnp.zeros((1,), d.dtype), d])
+
+
+# 3:2 pulldown: each 5-frame cycle carries 4 film frames; for each of the 5
+# possible phases, which frames of the cycle must field-match with their
+# predecessor (1) vs stand alone (0). Derived from the standard soft-telecine
+# field sequence TFF: [A A][A B][B C][C C][D D] -> frame 2 mixes fields.
+_PULLDOWN_MERGE = jnp.array(
+    [
+        [0, 0, 1, 1, 0],
+        [0, 0, 0, 1, 1],
+        [1, 0, 0, 0, 1],
+        [1, 1, 0, 0, 0],
+        [0, 1, 1, 0, 0],
+    ],
+    jnp.float32,
+)
+
+
+@jax.jit
+def telecine_pattern_costs(costs: jnp.ndarray) -> jnp.ndarray:
+    """Aggregate field-match costs per 5-frame cycle into pattern costs.
+
+    costs: [N, 3] from field_match_costs (N multiple of 5)
+    Returns [N/5, 7]: cost of each of 5 pulldown phases, then
+      [:, 5] = 30p/weave cost (all frames as-is)
+      [:, 6] = 60p indicator (min over everything; motion energy)
+    """
+    n = costs.shape[0] // 5
+    c = costs[: n * 5].reshape(n, 5, 3)
+    as_is = c[:, :, 0]
+    merged = jnp.minimum(c[:, :, 1], c[:, :, 2])
+    # phase cost: merged frames use the merge cost, others the as-is cost
+    phase_costs = jnp.einsum(
+        "nf,pf->np", merged, _PULLDOWN_MERGE
+    ) + jnp.einsum("nf,pf->np", as_is, 1.0 - _PULLDOWN_MERGE)
+    cost_30p = jnp.sum(as_is, axis=1)
+    cost_60p = jnp.sum(jnp.minimum(as_is, merged), axis=1)
+    return jnp.concatenate(
+        [phase_costs, cost_30p[:, None], cost_60p[:, None]], axis=1
+    )

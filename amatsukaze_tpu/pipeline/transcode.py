@@ -1,0 +1,451 @@
+"""End-to-end transcode orchestration.
+
+Parity: transcodeMain (Amatsukaze/TranscodeManager.hpp:455-830) +
+EncoderArgumentGenerator (:345-405) + MakeBitrateZones (:407-442):
+
+  split -> scramble check -> DRCS check -> reform -> NicoJK -> per-video-file
+  CM/logo analysis -> applyCMZones/genAudio -> captions/chapters per output
+  file -> per-output-file filter+encode (y4m over the encoder's stdin via a
+  bounded pump) -> mux -> JSON report (same field names as the reference's).
+
+The decode stage is pluggable (`decoder_factory`): the reference hardwires
+FFmpeg; here any callable yielding (Y, U, V) numpy planes works - an FFmpeg
+subprocess in production, a synthetic source in tests. The compute core runs
+on device via models/ops; encoders/muxers stay subprocesses.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..models.chapter import ChapterMaker, JlsElement, format_jls
+from ..models.cm_analyze import CMAnalyzer, EncoderZone
+from ..models.lgd import load_lgd
+from ..models.logo import LogoFrameMatcher
+from ..models.vfr import BitrateZone, adjust_vfr_bitrate, make_vfr_bitrate_zones
+from ..reform.stream_reform import MPEG_CLOCK_HZ, StreamReformInfo
+from ..types import CMType, EncodeFileKey, VideoStreamFormat
+from ..utils.context import ErrorCounter, FormatError, NoDrcsMapError
+from ..utils.perf import Stopwatch
+from .settings import Encoder, Settings, make_encoder_args
+from .splitter import AMTSplitter
+
+try:  # device compute is optional at import time (CLI --help etc.)
+    from ..ops import cm as cm_ops
+except Exception:  # pragma: no cover
+    cm_ops = None
+
+
+@dataclass
+class OutFileResult:
+    path: str = ""
+    src_bitrate: float = 0.0
+    target_bitrate: float = float("nan")
+    file_size: int = 0
+    subs: list = field(default_factory=list)
+
+
+def source_bitrate_kbps(reform: StreamReformInfo, video_index: int) -> float:
+    size, duration = reform.get_src_video_info(video_index)
+    if duration <= 0:
+        return 0.0
+    return (size * 8 / 1000) / (duration / MPEG_CLOCK_HZ)
+
+
+def make_bitrate_zones(time_codes, cmzones, settings: Settings, fps_num, fps_den):
+    """(ref MakeBitrateZones :407-442)."""
+    encoder_supports_vfr = settings.conf.encoder in (
+        Encoder.QSVENC, Encoder.NVENC, Encoder.VCEENC,
+    )
+    if not time_codes or encoder_supports_vfr:
+        return [
+            BitrateZone(z.start_frame, z.end_frame, settings.conf.bitrate_cm)
+            for z in cmzones
+        ]
+    zone_available = settings.conf.encoder in (Encoder.X264, Encoder.X265)
+    if zone_available:
+        return make_vfr_bitrate_zones(
+            time_codes, cmzones, settings.conf.bitrate_cm,
+            fps_num, fps_den, settings.conf.x265_time_factor, 0.05,
+        )
+    return []
+
+
+class TranscodePipeline:
+    """One `--mode ts` transcode (ref transcodeMain)."""
+
+    def __init__(self, ctx, settings: Settings, decoder_factory=None,
+                 audio_decoder_factory=None, caption_decoder=None,
+                 phase_scheduler=None, encoder_runner=None, muxer_runner=None):
+        self.ctx = ctx
+        self.settings = settings
+        self.decoder_factory = decoder_factory
+        self.audio_decoder_factory = audio_decoder_factory
+        self.caption_decoder = caption_decoder
+        self.phase = phase_scheduler or _NullPhases()
+        self.encoder_runner = encoder_runner or _default_encoder_runner
+        self.muxer_runner = muxer_runner
+        self.logos = []
+        for p in settings.conf.logo_path:
+            try:
+                self.logos.append((p, load_lgd(p)))
+            except (OSError, ValueError):
+                self.ctx.warn("cannot read logo: %s", p)
+
+    # ------------------------------------------------------------------ main
+    def run(self) -> dict:
+        ctx, st = self.ctx, self.settings
+        is_no_encode = st.conf.mode == "cm"
+        sw = Stopwatch()
+        sw.start()
+
+        self.phase.wait("TSAnalyze")
+        splitter = AMTSplitter(
+            ctx, st, audio_decoder_factory=self.audio_decoder_factory,
+            caption_decoder=self.caption_decoder,
+        )
+        reform = splitter.split()
+        self._reform = reform  # decoders may need the format info
+        ctx.info("TS analysis done: %.2f s", sw.getandreset())
+        service_id = splitter.get_actual_service_id()
+        num_total = splitter.num_total_packets
+        num_scramble = splitter.num_scramble_packets
+        total_int_video_size = splitter.total_int_video_size
+        src_file_size = splitter.src_file_size
+
+        if st.conf.dump_stream_info:
+            reform.serialize(st.stream_info_path())
+
+        # scramble check (ref :502-508)
+        if num_total > 0:
+            ratio = num_scramble / num_total
+            if ratio > 0.01:
+                ctx.error("%.2f%% of packets are scrambled", ratio * 100)
+                if ratio > 0.3:
+                    raise FormatError("too many scrambled packets")
+
+        if not is_no_encode and not st.conf.ignore_no_drcs_map:
+            if ctx.error_count(ErrorCounter.NO_DRCS_MAP) > 0:
+                raise NoDrcsMapError("unmapped DRCS characters found")
+
+        reform.prepare(st.conf.split_sub, st.conf.audio_encoder.value != "none")
+
+        # per-video-file CM/logo analysis (ref :559-595)
+        self.phase.wait("CMAnalyze")
+        sw.start()
+        num_video_files = reform.num_video_file
+        cm_results = []
+        for v in range(num_video_files):
+            cm_results.append(self._analyze_video_file(reform, v))
+        ctx.info("CM analysis done: %.2f s", sw.getandreset())
+
+        for v, cma in enumerate(cm_results):
+            zones = [(z.start_frame, z.end_frame) for z in cma.cmzones]
+            reform.apply_cm_zones(v, zones, cma.divs)
+
+        adiff = reform.gen_audio(st.cmtypes)
+
+        keys = reform.get_out_file_keys()
+        out_results = {k.key(): OutFileResult() for k in keys}
+
+        # chapters (ref :627-645)
+        if st.conf.chapter and not is_no_encode:
+            for v, cma in enumerate(cm_results):
+                elements = self._jls_elements(reform, v, cma)
+                maker = ChapterMaker(cma.trims, elements)
+                for key in keys:
+                    if key.video != v:
+                        continue
+                    file = reform.get_encode_file(key)
+                    fmt = reform.get_format(key).video_format
+                    chapters = maker.file_chapters(
+                        file.video_frames, fmt.frame_rate
+                    )
+                    if chapters:
+                        with open(st.tmp_chapter_path(key), "w") as f:
+                            f.write(
+                                ChapterMaker.format_chapters(
+                                    chapters, fmt.frame_rate_num, fmt.frame_rate_denom
+                                )
+                            )
+
+        if is_no_encode:
+            return self._report(reform, keys, out_results, cm_results,
+                                src_file_size, total_int_video_size, 0, adiff,
+                                nico_ok=False)
+
+        # filter + encode per output file (ref :683-753)
+        sw.start()
+        for i, key in enumerate(keys):
+            self.phase.wait("Filter")
+            self._encode_one(reform, key, cm_results[key.video],
+                             out_results[key.key()], i, len(keys))
+        ctx.info("encode done: %.2f s", sw.getandreset())
+
+        # mux (ref :755-770)
+        self.phase.wait("Mux")
+        total_out_size = 0
+        for key in keys:
+            res = out_results[key.key()]
+            file = reform.get_encode_file(key)
+            out_path = st.out_file_path(file.out_key, file.key_max)
+            res.path = out_path
+            if self.muxer_runner is not None:
+                self.muxer_runner(self, reform, key, res)
+            elif os.path.exists(st.enc_video_file_path(key)):
+                os.replace(st.enc_video_file_path(key), out_path)
+            if os.path.exists(out_path):
+                res.file_size = os.path.getsize(out_path)
+            total_out_size += res.file_size
+
+        return self._report(reform, keys, out_results, cm_results,
+                            src_file_size, total_int_video_size,
+                            total_out_size, adiff, nico_ok=False)
+
+    # ------------------------------------------------------------- CM analysis
+    def _analyze_video_file(self, reform: StreamReformInfo, v: int):
+        st = self.settings
+        frames_meta = reform.get_filter_source_frames(v)
+        num_frames = len(frames_meta)
+        fmt = reform.formats[reform.format_start_index[v]].video_format
+        fps = fmt.frame_rate if fmt.frame_rate_num else 29.97
+
+        analyzer = CMAnalyzer(self.ctx, num_frames, fps,
+                              loose_logo_detection=st.conf.loose_logo_detection)
+
+        if st.conf.trim_avs_path:
+            with open(st.conf.trim_avs_path) as f:
+                analyzer.input_trim_avs(f.readline())
+            return analyzer.result
+
+        logo_spans = None
+        logo_ratio = 0.0
+        logo_path = ""
+        scene_changes: list[int] = []
+        silence: list[tuple[int, int]] = []
+
+        if self.decoder_factory is not None and num_frames > 0:
+            frames = self._decode_luma(v, num_frames)
+            if cm_ops is not None and len(frames):
+                import jax.numpy as jnp
+
+                arr = jnp.asarray(np.stack(frames).astype(np.float32))
+                scores = cm_ops.scene_change_scores(arr)
+                corr = cm_ops.histogram_correlation(arr)
+                scene_changes = cm_ops.detect_scene_changes(scores, corr)
+                with open(st.tmp_chapter_exe_out_path(v), "w") as f:
+                    from ..models.cm_analyze import format_scene_changes_text
+
+                    f.write(format_scene_changes_text(scene_changes, []))
+
+            if self.logos and len(frames):
+                matcher = LogoFrameMatcher(self.ctx, [lg for _, lg in self.logos])
+                matcher.scan_frames(iter(frames), fmt.width, fmt.height, fps)
+                best = matcher.select_logo()
+                matcher.write_result(st.tmp_logo_frame_path(v))
+                ivs = matcher.intervals()
+                logo_spans = [(iv.s_best, iv.e_best + 1) for iv in ivs]
+                logo_ratio = matcher.logo_ratio
+                logo_path = self.logos[best][0]
+
+            silence = self._detect_silence(reform, v, fps)
+
+        result = analyzer.analyze(logo_spans, logo_ratio, logo_path,
+                                  scene_changes, silence)
+        # persist the trim AVS + div files (reference file contract)
+        from ..models.cm_analyze import format_trim_avs
+
+        with open(st.tmp_trim_avs_path(v), "w") as f:
+            f.write(format_trim_avs(result.trims) + "\n")
+        with open(st.tmp_div_path(v), "w") as f:
+            f.write("\n".join(str(d) for d in result.divs[:-1]) + "\n")
+
+        pid_changes = reform.get_pid_changed_list(v)
+        if any(r > 0 for r in st.conf.pmt_cut_side_rate):
+            analyzer.apply_pmt_cut(st.conf.pmt_cut_side_rate, pid_changes)
+        return analyzer.result
+
+    def _decode_luma(self, v: int, num_frames: int) -> list:
+        out = []
+        for planes in self.decoder_factory(self, v):
+            out.append(planes[0])
+            if len(out) >= num_frames:
+                break
+        return out
+
+    def _detect_silence(self, reform, v, fps) -> list[tuple[int, int]]:
+        st = self.settings
+        wave_path = st.wave_file_path()
+        if cm_ops is None or not os.path.exists(wave_path):
+            return []
+        wave_frames = reform.get_filter_source_audio_frames(v)
+        if not wave_frames:
+            return []
+        import jax.numpy as jnp
+
+        with open(wave_path, "rb") as f:
+            chunks = []
+            for wf in wave_frames:
+                if wf.wave_offset < 0 or wf.wave_length <= 0:
+                    continue
+                f.seek(wf.wave_offset)
+                chunks.append(f.read(wf.wave_length))
+        if not chunks:
+            return []
+        pcm = np.frombuffer(b"".join(chunks), np.int16).astype(np.float32) / 32768.0
+        sr = 48000 * 2  # stereo interleaved
+        window = sr // 100
+        usable = len(pcm) // window * window
+        if usable == 0:
+            return []
+        rms = cm_ops.audio_rms_windows(jnp.asarray(pcm[:usable]), window)
+        spans = cm_ops.detect_silence(rms, threshold=0.01, min_windows=30)
+        # window units (10 ms) -> frame units
+        to_frames = fps / 100.0
+        return [(int(s * to_frames), int(e * to_frames)) for s, e in spans]
+
+    def _jls_elements(self, reform, v, cma) -> list[JlsElement]:
+        frames = reform.get_filter_source_frames(v)
+        n = len(frames)
+        fmt = reform.formats[reform.format_start_index[v]].video_format
+        fps = fmt.frame_rate if fmt.frame_rate_num else 29.97
+        bounds = sorted(set([0, n] + cma.trims + cma.divs))
+        elements = []
+        for a, b in zip(bounds, bounds[1:]):
+            if b > a:
+                elements.append(JlsElement(a, b, int(round((b - a) / fps))))
+        with open(self.settings.tmp_jls_path(v), "w") as f:
+            f.write(format_jls(elements))
+        return elements
+
+    # ------------------------------------------------------------------ encode
+    def _encode_one(self, reform, key: EncodeFileKey, cma, res: OutFileResult,
+                    index: int, total: int) -> None:
+        ctx, st = self.ctx, self.settings
+        file = reform.get_encode_file(key)
+        fmt = reform.get_format(key).video_format
+        num_frames = len(file.video_frames)
+        if num_frames == 0:
+            return
+
+        src_bitrate = source_bitrate_kbps(reform, key.video)
+        res.src_bitrate = src_bitrate
+        if st.conf.auto_bitrate:
+            target = st.conf.bitrate.target_bitrate(
+                reform.get_video_stream_format(), src_bitrate
+            )
+            if key.cm == CMType.CM:
+                target *= st.conf.bitrate_cm
+            res.target_bitrate = target
+
+        ctx.info("[encode start] %d/%d %s (%d frames)",
+                 index + 1, total, key.cm.name, num_frames)
+        self.phase.wait("Encode")
+
+        zones = [
+            EncoderZone(z.start_frame, z.end_frame) for z in cma.cmzones
+        ] if key.cm == CMType.BOTH else []
+        bitrate_zones = make_bitrate_zones(
+            [], zones, st, fmt.frame_rate_num, fmt.frame_rate_denom
+        )
+
+        args = make_encoder_args(
+            st.conf.encoder, st.conf.encoder_path,
+            self._encoder_options(res, bitrate_zones, num_frames),
+            fmt, st.enc_video_file_path(key),
+        )
+        self.encoder_runner(self, reform, key, args)
+
+    def _encoder_options(self, res: OutFileResult, zones, num_frames) -> str:
+        opts = self.settings.conf.encoder_options
+        if not math.isnan(res.target_bitrate):
+            opts += f" --bitrate {int(res.target_bitrate)}"
+        for i, z in enumerate(zones or []):
+            sep = "--zones " if i == 0 else "/"
+            opts += f"{sep}{z.start_frame},{z.end_frame - 1},b={z.bitrate:.3g}"
+        return opts.strip()
+
+    # ------------------------------------------------------------------ report
+    def _report(self, reform, keys, out_results, cm_results, src_file_size,
+                int_video_size, total_out_size, adiff, nico_ok) -> dict:
+        st = self.settings
+        in_dur, out_dur = reform.get_in_out_duration()
+        report = {
+            "srcpath": st.conf.src_file_path,
+            "outfiles": [],
+            "logofiles": [c.logopath for c in cm_results],
+            "srcfilesize": src_file_size,
+            "intvideofilesize": int_video_size,
+            "outfilesize": total_out_size,
+            "srcduration": round(in_dur / MPEG_CLOCK_HZ, 3),
+            "outduration": round(out_dur / MPEG_CLOCK_HZ, 3),
+            "audiodiff": adiff.to_json(),
+            "error": self.ctx.error_json(),
+            "cmanalyze": bool(st.conf.chapter),
+            "nicojk": nico_ok,
+            "trimavs": bool(st.conf.trim_avs_path),
+        }
+        for key in keys:
+            file = reform.get_encode_file(key)
+            res = out_results[key.key()]
+            report["outfiles"].append({
+                "path": st.out_file_path(file.out_key, file.key_max),
+                "srcbitrate": int(res.src_bitrate),
+                "outbitrate": -1 if math.isnan(res.target_bitrate)
+                else int(res.target_bitrate),
+                "outfilesize": res.file_size,
+                "subs": res.subs,
+            })
+        if st.conf.out_info_json_path:
+            with open(st.conf.out_info_json_path, "w") as f:
+                json.dump(report, f, ensure_ascii=False)
+        return report
+
+
+class _NullPhases:
+    def wait(self, phase: str) -> None:
+        pass
+
+
+def _default_encoder_runner(pipeline: TranscodePipeline, reform,
+                            key: EncodeFileKey, encoder_args: str) -> None:
+    """Drive the external encoder: decode -> device filter -> y4m -> stdin.
+
+    Uses the bounded DataPumpThread so filtering overlaps encoder input
+    (ref AMTFilterVideoEncoder::encode, Encoder.hpp:166-264).
+    """
+    from ..io.process import DataPumpThread, SubProcess
+    from ..io.y4m import Y4MFormat, Y4MWriter
+
+    st = pipeline.settings
+    file = reform.get_encode_file(key)
+    fmt = reform.get_format(key).video_format
+    if pipeline.decoder_factory is None:
+        raise RuntimeError("no decoder available for encode stage")
+
+    proc = SubProcess(encoder_args)
+    y4m_fmt = Y4MFormat(
+        width=fmt.width, height=fmt.height,
+        fps_num=fmt.frame_rate_num, fps_den=fmt.frame_rate_denom,
+        interlaced=not fmt.progressive,
+        sar_num=fmt.sar_width, sar_den=fmt.sar_height,
+    )
+    writer = Y4MWriter(proc.stdin, y4m_fmt)
+    pump = DataPumpThread(lambda planes: writer.write_frame(*planes),
+                          max_items=max(4, st.conf.num_encode_buffer_frames))
+    wanted = set(file.video_frames)
+    for i, planes in enumerate(pipeline.decoder_factory(pipeline, key.video)):
+        if i in wanted:
+            pump.put(planes)
+    pump.join()
+    rc = proc.join()
+    if rc != 0:
+        raise RuntimeError(
+            f"encoder failed ({rc}): " + "\n".join(proc.last_lines)
+        )

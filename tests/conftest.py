@@ -7,11 +7,22 @@ multi-chip path via __graft_entry__.dryrun_multichip).
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax initializes its backends.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# Persistent XLA compile cache: kernel tests are compile-bound on this
+# single-core host; caching makes re-runs ~instant.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/amatsukaze_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+# A site-installed accelerator plugin may force its own platform via
+# jax.config at interpreter start (overriding the env var); force CPU back.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

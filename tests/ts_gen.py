@@ -275,6 +275,8 @@ TSID = 0x7FE0
 
 def build_simple_ts(
     num_frames: int = 60,
+    width: int = 1440,
+    height: int = 1080,
     fps_num: int = 30000,
     fps_den: int = 1001,
     pic_pattern: str = "TFF",  # or "TFF_RFF,BFF_RFF,..." cycled per frame
@@ -320,7 +322,8 @@ def build_simple_ts(
         prog_frame = 1 if name == "FRAME" else 0
         es = bytearray()
         if f % gop_len == 0:
-            es += mpeg2_sequence_header(frame_rate_code=4)
+            es += mpeg2_sequence_header(width=width, height=height,
+                                        frame_rate_code=4)
         coding = 1 if f % gop_len == 0 else (2 if f % 3 == 0 else 3)
         es += mpeg2_picture(coding_type=coding, picture_structure=ps, tff=tff,
                             rff=rff, progressive_frame=prog_frame,
