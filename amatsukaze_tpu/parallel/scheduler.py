@@ -93,6 +93,15 @@ class ResourceManager:
         self._signal.set()
         self._signal = asyncio.Event()
 
+    @staticmethod
+    def _remove_by_identity(lst: list, obj) -> None:
+        # list.remove() compares dicts by value; equal waiters must not
+        # remove each other's entries
+        for i, w in enumerate(lst):
+            if w is obj:
+                del lst[i]
+                return
+
     # -- public --------------------------------------------------------------
     def resource_cost(self, req: ReqResource) -> int:
         g = self._most_capable_gpu()
@@ -131,15 +140,14 @@ class ResourceManager:
         try:
             while True:
                 if waiting["cost"] <= 0 and waiting["cost"] <= self._waiting[0]["cost"]:
-                    self._waiting.remove(waiting)
+                    self._remove_by_identity(self._waiting, waiting)
                     res = self.force_get_resource(req, req_encoder_index)
                     self._signal_all()
                     return res
                 sig = self._signal
                 await sig.wait()
         except asyncio.CancelledError:
-            if waiting in self._waiting:
-                self._waiting.remove(waiting)
+            self._remove_by_identity(self._waiting, waiting)
             self._signal_all()
             raise
 

@@ -4,8 +4,8 @@ Parity: AMTSplitter (Amatsukaze/TranscodeManager.hpp:28-343): consumes the TS
 via TsSplitter, writes per-video-file intermediates, appends coded audio to
 `audio.dat` and decoded PCM to `audio.wav`, and collects the frame/event/
 caption/time lists that StreamReformInfo::prepare consumes. Intermediate
-video is written as a raw elementary stream (`i{n}.es`); the reference wraps
-it in MPEG2-PS for its decoder stack, which is unnecessary for ours.
+video is wrapped in MPEG2-PS (`i{n}.mpg`) by io.ps_writer, matching the
+reference's intermediate format (readable by standard demuxers).
 """
 
 from __future__ import annotations
@@ -20,6 +20,7 @@ from ..reform.stream_reform import (
     StreamEventType,
     StreamReformInfo,
 )
+from ..io.ps_writer import PsStreamWriter
 from ..ts.splitter import TsSplitter
 from ..types import AUDIO_CHANNEL_NAMES, VideoFormat
 
@@ -41,6 +42,9 @@ class AMTSplitter(TsSplitter):
         self._audio_file = open(settings.audio_file_path(), "wb")
         self._wave_file = open(settings.wave_file_path(), "wb")
         self._video_file = None
+        self._ps_writer = PsStreamWriter(ctx, self._on_ps_data)
+        self._video_stream_type = -1
+        self._audio_stream_type = -1
         self._cur_video_format = VideoFormat()
         self.video_file_count = 0
         self._int_video_size = 0
@@ -98,6 +102,12 @@ class AMTSplitter(TsSplitter):
         self.ctx.info("[video frame statistics] %s", dict(counts))
 
     # -- TsSplitter callbacks ---------------------------------------------------
+    def _on_ps_data(self, data: bytes) -> None:
+        if self._video_file is not None:
+            self._video_file.write(data)
+            self._int_video_size += len(data)
+            self.total_int_video_size += len(data)
+
     def on_video_pes_packet(self, clock, frames, packet) -> None:
         for frame in frames:
             info = FileVideoFrameInfo(
@@ -107,11 +117,7 @@ class AMTSplitter(TsSplitter):
                 file_offset=self._int_video_size,
             )
             self.video_frame_list.append(info)
-        if self._video_file is not None:
-            payload = bytes(packet.payload())
-            self._video_file.write(payload)
-            self._int_video_size += len(payload)
-            self.total_int_video_size += len(payload)
+        self._ps_writer.out_video_pes_packet(clock, frames, packet)
 
     def on_video_format_changed(self, fmt: VideoFormat) -> None:
         dar = fmt.get_dar()
@@ -131,6 +137,8 @@ class AMTSplitter(TsSplitter):
             )
             self.video_file_count += 1
             self._int_video_size = 0
+            self._ps_writer.out_header(self._video_stream_type,
+                                       self._audio_stream_type)
         self._cur_video_format = fmt
         self.stream_event_list.append(
             StreamEvent(StreamEventType.VIDEO_FORMAT_CHANGED,
@@ -155,6 +163,8 @@ class AMTSplitter(TsSplitter):
                 self._wave_file.write(frame.decoded_data)
                 self._wave_file_size += len(frame.decoded_data)
             self.audio_frame_list.append(info)
+        if self.video_file_count > 0:
+            self._ps_writer.out_audio_pes_packet(audio_idx, clock, frames, packet)
 
     def on_audio_format_changed(self, audio_idx, fmt) -> None:
         self.ctx.info(
@@ -172,6 +182,8 @@ class AMTSplitter(TsSplitter):
 
     def on_pid_table_changed(self, video, audio, caption) -> None:
         super().on_pid_table_changed(video, audio, caption)
+        self._video_stream_type = video.stype
+        self._audio_stream_type = audio[0].stype if audio else -1
         self.stream_event_list.append(
             StreamEvent(StreamEventType.PID_TABLE_CHANGED,
                         frame_idx=len(self.video_frame_list),

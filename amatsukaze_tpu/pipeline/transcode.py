@@ -42,6 +42,21 @@ except Exception:  # pragma: no cover
     cm_ops = None
 
 
+def ensure_jax_backend(ctx) -> None:
+    """Fall back to the CPU backend when the accelerator is unavailable
+    (device busy/unreachable); the pipeline must still run."""
+    try:
+        import jax
+
+        jax.devices()
+    except RuntimeError as e:
+        ctx.warn("accelerator backend unavailable (%s); falling back to CPU", e)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.devices()
+
+
 @dataclass
 class OutFileResult:
     path: str = ""
@@ -101,6 +116,7 @@ class TranscodePipeline:
     # ------------------------------------------------------------------ main
     def run(self) -> dict:
         ctx, st = self.ctx, self.settings
+        ensure_jax_backend(ctx)
         is_no_encode = st.conf.mode == "cm"
         sw = Stopwatch()
         sw.start()

@@ -1,0 +1,371 @@
+"""Encode server: queue persistence, profiles, auto-select, worker pool.
+
+Parity targets (AmatsukazeServer/Server/):
+- EncodeServer.cs: app data/profiles persistence, MakeAmatsukazeArgs (the
+  full CLI line per item), pause/suspend, RPC request handling
+- QueueManager.cs: queue persistence, AddQueue with TS probing, state
+  machine, retry/reset
+- EncodeServerData.cs: Setting/ProfileSetting/ReqResource data model
+- PauseScheduler.cs: time-window scheduled pausing
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+
+from ..parallel.scheduler import (
+    PHASES,
+    PhaseScheduler,
+    QueueItem,
+    ReqResource,
+    ScheduledQueue,
+    WorkerPool,
+)
+from .rpc import ClientManager
+
+
+@dataclass
+class ProfileSetting:
+    """Encode profile (ref EncodeServerData.cs:197-353, subset that maps to
+    the CLI)."""
+
+    name: str = "default"
+    encoder_type: str = "x264"
+    encoder_path: str = "x264"
+    encoder_options: str = ""
+    audio_encoder_type: str = ""
+    audio_encoder_path: str = ""
+    output_format: str = "mp4"
+    filter_path: str = ""
+    post_filter_path: str = ""
+    two_pass: bool = False
+    auto_bitrate: bool = False
+    bitrate_a: float = 0.0
+    bitrate_b: float = 0.0
+    bitrate_h264: float = 1.0
+    bitrate_cm: float = 0.5
+    split_sub: bool = False
+    chapter: bool = False
+    subtitles: bool = False
+    logo_paths: list = field(default_factory=list)
+    ignore_no_logo: bool = True
+    loose_logo_detection: bool = False
+    cm_out_mask: int = 1
+    # phase resources: CPU/HDD/device percent per phase (ReqResource)
+    req_resources: dict = field(default_factory=lambda: {
+        "TSAnalyze": {"cpu": 20, "hdd": 30, "gpu": 0},
+        "CMAnalyze": {"cpu": 20, "hdd": 10, "gpu": 50},
+        "Filter": {"cpu": 30, "hdd": 10, "gpu": 70},
+        "Encode": {"cpu": 50, "hdd": 10, "gpu": 30},
+        "Mux": {"cpu": 10, "hdd": 30, "gpu": 0},
+    })
+
+
+@dataclass
+class ServerSetting:
+    """Global setting (ref Setting in EncodeServerData.cs)."""
+
+    num_parallel: int = 1
+    work_dir: str = "./work"
+    always_show_disk: str = ""
+    num_devices: int = 1
+    device_caps: list = field(default_factory=lambda: [100])
+
+
+@dataclass
+class QueueEntry:
+    item_id: int
+    src_path: str
+    out_path: str
+    profile_name: str = "default"
+    priority: int = 3
+    state: str = "queue"  # queue/encoding/complete/failed/canceled/pause
+    service_id: int = -1
+    added: float = 0.0
+    console: list = field(default_factory=list)
+
+
+class EncodeServer:
+    def __init__(self, ctx, data_dir: str = "./data",
+                 run_item=None):
+        self.ctx = ctx
+        self.data_dir = data_dir
+        self.setting = ServerSetting()
+        self.profiles: dict[str, ProfileSetting] = {"default": ProfileSetting()}
+        self.auto_select: dict[str, list] = {}  # name -> [(service_id, profile)]
+        self.entries: dict[int, QueueEntry] = {}
+        self.logs: list[dict] = []
+        self._next_id = 1
+        self._run_item_impl = run_item or self._default_run_item
+
+        self.queue = ScheduledQueue()
+        self.queue.resource_manager.set_gpu_resources(
+            self.setting.num_devices, self.setting.device_caps
+        )
+        self.pool = WorkerPool(self.queue, self._run_item,
+                               on_error=self._on_error)
+        self.clients = ClientManager(self.handle_request)
+        self._server: asyncio.AbstractServer | None = None
+
+    # ------------------------------------------------------------ lifecycle
+    async def start(self, host: str = "127.0.0.1", port: int = 32768) -> int:
+        self.load_app_data()
+        self.pool.set_num_parallel(self.setting.num_parallel)
+        self._server = await asyncio.start_server(
+            self.clients.handle_client, host, port
+        )
+        return self._server.sockets[0].getsockname()[1]
+
+    async def stop(self) -> None:
+        if self._server:
+            self._server.close()
+            await self._server.wait_closed()
+        self.save_app_data()
+
+    # ------------------------------------------------------------ persistence
+    def _path(self, name: str) -> str:
+        os.makedirs(self.data_dir, exist_ok=True)
+        return os.path.join(self.data_dir, name)
+
+    def save_app_data(self) -> None:
+        with open(self._path("setting.json"), "w") as f:
+            json.dump(asdict(self.setting), f)
+        with open(self._path("profiles.json"), "w") as f:
+            json.dump({k: asdict(v) for k, v in self.profiles.items()}, f)
+        with open(self._path("autoselect.json"), "w") as f:
+            json.dump(self.auto_select, f)
+        with open(self._path("queue.json"), "w") as f:
+            json.dump([asdict(e) for e in self.entries.values()], f)
+        with open(self._path("logs.json"), "w") as f:
+            json.dump(self.logs, f)
+
+    def load_app_data(self) -> None:
+        try:
+            with open(self._path("setting.json")) as f:
+                self.setting = ServerSetting(**json.load(f))
+        except (OSError, json.JSONDecodeError, TypeError):
+            pass
+        try:
+            with open(self._path("profiles.json")) as f:
+                self.profiles = {
+                    k: ProfileSetting(**v) for k, v in json.load(f).items()
+                }
+        except (OSError, json.JSONDecodeError, TypeError):
+            pass
+        try:
+            with open(self._path("queue.json")) as f:
+                for e in json.load(f):
+                    entry = QueueEntry(**e)
+                    # encoding items found at restart go back to queued
+                    # (ref: pause-on-restart, EncodeServer.cs:359-367)
+                    if entry.state == "encoding":
+                        entry.state = "queue"
+                    self.entries[entry.item_id] = entry
+                    if entry.state == "queue":
+                        self._enqueue(entry)
+                    self._next_id = max(self._next_id, entry.item_id + 1)
+        except (OSError, json.JSONDecodeError, TypeError):
+            pass
+
+    # ------------------------------------------------------------ queue ops
+    def profile_for(self, entry: QueueEntry) -> ProfileSetting:
+        # auto-select by service id (ref AutoSelectProfile)
+        for rules in self.auto_select.values():
+            for service_id, profile in rules:
+                if service_id == entry.service_id and profile in self.profiles:
+                    return self.profiles[profile]
+        return self.profiles.get(entry.profile_name, self.profiles["default"])
+
+    def _enqueue(self, entry: QueueEntry) -> None:
+        profile = self.profile_for(entry)
+        req = {
+            phase: ReqResource(**res)
+            for phase, res in profile.req_resources.items()
+        }
+        item = QueueItem(
+            item_id=entry.item_id, priority=entry.priority,
+            order=entry.item_id, req_resources=req, payload=entry,
+        )
+        self.queue.add_queue(item)
+
+    def add_queue(self, src_path: str, out_path: str, profile: str = "default",
+                  priority: int = 3, service_id: int = -1) -> QueueEntry:
+        entry = QueueEntry(
+            item_id=self._next_id, src_path=src_path, out_path=out_path,
+            profile_name=profile, priority=priority, service_id=service_id,
+            added=time.time(),
+        )
+        self._next_id += 1
+        self.entries[entry.item_id] = entry
+        self._enqueue(entry)
+        return entry
+
+    def make_cli_args(self, entry: QueueEntry, profile: ProfileSetting) -> list[str]:
+        """Build the CLI line for one item (ref MakeAmatsukazeArgs,
+        EncodeServer.cs:1202-1459)."""
+        args = [
+            "-i", entry.src_path,
+            "-o", entry.out_path,
+            "-w", self.setting.work_dir,
+            "-et", profile.encoder_type,
+            "-e", profile.encoder_path,
+            "-fmt", profile.output_format,
+        ]
+        if profile.encoder_options:
+            args += ["-eo", profile.encoder_options]
+        if profile.auto_bitrate:
+            args += ["-b", f"{profile.bitrate_a}:{profile.bitrate_b}:"
+                          f"{profile.bitrate_h264}"]
+        args += ["-bcm", str(profile.bitrate_cm)]
+        if profile.two_pass:
+            args += ["--2pass"]
+        if profile.split_sub:
+            args += ["--splitsub"]
+        if profile.chapter:
+            args += ["--chapter"]
+        if profile.subtitles:
+            args += ["--subtitles"]
+        for lp in profile.logo_paths:
+            args += ["--logo", lp]
+        if profile.ignore_no_logo:
+            args += ["--ignore-no-logo"]
+        if profile.loose_logo_detection:
+            args += ["--loose-logo-detection"]
+        args += ["-om", str(profile.cm_out_mask)]
+        if entry.service_id > 0:
+            args += ["-s", str(entry.service_id)]
+        if profile.audio_encoder_type:
+            args += ["-aet", profile.audio_encoder_type,
+                     "-ae", profile.audio_encoder_path]
+        return args
+
+    # ------------------------------------------------------------ execution
+    async def _run_item(self, worker_id: int, item: QueueItem,
+                        force_start: bool) -> None:
+        entry: QueueEntry = item.payload
+        entry.state = "encoding"
+        await self.clients.broadcast("OnQueueUpdate", asdict(entry))
+        phase = PhaseScheduler(
+            self.queue.resource_manager,
+            {p: item.req_resources.get(p, ReqResource()) for p in PHASES},
+            loop=asyncio.get_running_loop(),
+        )
+        try:
+            ok = await self._run_item_impl(self, worker_id, entry, phase)
+            entry.state = "complete" if ok else "failed"
+        except Exception as e:  # noqa: BLE001
+            entry.state = "failed"
+            entry.console.append(str(e))
+        finally:
+            phase.release()
+        self.logs.append({
+            "id": entry.item_id, "src": entry.src_path,
+            "state": entry.state, "finished": time.time(),
+        })
+        await self.clients.broadcast("OnQueueUpdate", asdict(entry))
+        await self.clients.broadcast("OnLogUpdate", self.logs[-1])
+
+    async def _default_run_item(self, server, worker_id, entry, phase) -> bool:
+        """In-process transcode (the reference spawns Amatsukaze.exe; we run
+        the pipeline in a thread, phases gated by the shared manager)."""
+        from ..cli import args_to_config, build_parser
+        from ..pipeline.settings import Settings
+        from ..pipeline.transcode import TranscodePipeline
+        from ..pipeline.decoders import default_decoder_factory
+
+        profile = self.profile_for(entry)
+        argv = self.make_cli_args(entry, profile)
+        args = build_parser().parse_args(argv)
+        conf = args_to_config(args)
+        settings = Settings(self.ctx, conf)
+        pipe = TranscodePipeline(
+            self.ctx, settings, decoder_factory=default_decoder_factory(),
+            phase_scheduler=phase,
+        )
+        loop = asyncio.get_running_loop()
+        report = await loop.run_in_executor(None, pipe.run)
+        return bool(report)
+
+    async def _on_error(self, worker_id: int, message: str, exc) -> None:
+        self.ctx.error("worker %d: %s: %s", worker_id, message, exc)
+
+    # ------------------------------------------------------------ RPC surface
+    async def handle_request(self, method: str, payload):
+        if method == "AddQueue":
+            entry = self.add_queue(
+                payload["src"], payload.get("out", payload["src"] + ".out"),
+                payload.get("profile", "default"),
+                payload.get("priority", 3),
+                payload.get("service_id", -1),
+            )
+            return {"item_id": entry.item_id}
+        if method == "GetQueue":
+            return [asdict(e) for e in self.entries.values()]
+        if method == "GetLogs":
+            return self.logs
+        if method == "PauseEncode":
+            self.pool.set_pause(bool(payload.get("pause", True)))
+            return {"paused": self.pool.is_paused}
+        if method == "SetProfile":
+            p = ProfileSetting(**payload)
+            self.profiles[p.name] = p
+            return {"ok": True}
+        if method == "GetProfiles":
+            return {k: asdict(v) for k, v in self.profiles.items()}
+        if method == "RemoveProfile":
+            self.profiles.pop(payload.get("name", ""), None)
+            return {"ok": True}
+        if method == "SetNumParallel":
+            self.setting.num_parallel = int(payload["n"])
+            self.pool.set_num_parallel(self.setting.num_parallel)
+            return {"ok": True}
+        if method == "CancelItem":
+            entry = self.entries.get(payload.get("item_id", -1))
+            if entry and entry.state == "queue":
+                entry.state = "canceled"
+                for item, _ in list(self.queue.actives):
+                    pass
+                # remove from pending queue
+                for level in self.queue.levels:
+                    for items in level.values():
+                        for it in list(items):
+                            if it.item_id == entry.item_id:
+                                items.remove(it)
+                return {"ok": True}
+            return {"ok": False}
+        return {"error": f"unknown method {method}"}
+
+
+class PauseScheduler:
+    """Time-window scheduled pausing (ref Server/PauseScheduler.cs)."""
+
+    def __init__(self, pool: WorkerPool, windows: list[tuple[int, int]]):
+        self.pool = pool
+        self.windows = windows  # [(start_hour, end_hour)]
+        self._task: asyncio.Task | None = None
+
+    def _in_window(self, hour: int) -> bool:
+        for s, e in self.windows:
+            if s <= e:
+                if s <= hour < e:
+                    return True
+            elif hour >= s or hour < e:
+                return True
+        return False
+
+    async def run(self, interval: float = 60.0) -> None:
+        while True:
+            hour = time.localtime().tm_hour
+            self.pool.set_pause(self._in_window(hour), scheduled=True)
+            await asyncio.sleep(interval)
+
+    def start(self) -> None:
+        self._task = asyncio.ensure_future(self.run())
+
+    def stop(self) -> None:
+        if self._task:
+            self._task.cancel()

@@ -1,5 +1,6 @@
 """Benchmark: filtered 1080i frames/sec/chip through the flagship device
-pipeline (logo evaluate + erase, yadif deinterlace, telecine metrics).
+pipeline (fused Pallas logo evaluation, logo erase, yadif deinterlace,
+telecine metrics).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: 2000 filtered 1080i fps/chip (BASELINE.json north star).
@@ -18,11 +19,15 @@ def main() -> None:
     import jax.numpy as jnp
     from amatsukaze_tpu.ops import logo as logo_ops
     from amatsukaze_tpu.ops import deint as deint_ops
-    from __graft_entry__ import _make_logo_params
+    from amatsukaze_tpu.ops.logo_pallas import (
+        delogo_full_frame,
+        evaluate_logo_pallas,
+        pad_logo_planes,
+    )
 
     H, W = 1080, 1440  # 1080i broadcast frame
     LOGO_H, LOGO_W = 96, 256  # realistic logo window
-    BATCH = 32
+    BATCH = 64
 
     # logo window params at realistic size
     yy, xx = np.mgrid[0:LOGO_H, 0:LOGO_W]
@@ -35,18 +40,19 @@ def main() -> None:
 
     ref = LogoEvalRef(a, b, maskratio=0.1)
     params = LogoEvalParams.from_ref(ref)
+    a_full, b_full = pad_logo_planes(a, b, H, W, 0, 0)
+    a_full = jnp.asarray(a_full)
+    b_full = jnp.asarray(b_full)
 
     @jax.jit
     def pipeline(frames, fades):
         window = frames[:, :LOGO_H, :LOGO_W]
         deint = logo_ops.batched_deint_y(window)
-        scores = logo_ops.batched_evaluate_logo(
+        scores = evaluate_logo_pallas(
             params, deint, jnp.float32(255.0), jnp.asarray([0.0, 1.0])
         )
-        erased = logo_ops.batched_delogo(
-            window, params.a_y, params.b_y, jnp.float32(255.0), fades
-        )
-        frames = frames.at[:, :LOGO_H, :LOGO_W].set(erased)
+        # full-frame identity-padded erase: no window update-slice copy
+        frames = delogo_full_frame(frames, a_full, b_full, jnp.float32(255.0), fades)
         prev = jnp.concatenate([frames[:1], frames[:-1]], axis=0)
         nxt = jnp.concatenate([frames[1:], frames[-1:]], axis=0)
         out = deint_ops.yadif_deinterlace(prev, frames, nxt, True)
@@ -55,18 +61,24 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.integers(16, 236, (BATCH, H, W)).astype(np.float32))
-    fades = jnp.ones(BATCH, jnp.float32)
+    # distinct fades per batch so no layer can cache identical executions
+    fade_sets = [jnp.full((BATCH,), 0.5 + 0.01 * i, jnp.float32) for i in range(64)]
 
     # warmup / compile
-    out = pipeline(frames, fades)
+    out = pipeline(frames, fade_sets[0])
     jax.block_until_ready(out)
 
-    # timed runs
-    iters = 10
+    # timed: enqueue batches asynchronously (the production pipeline streams
+    # batches through a bounded pump), keeping only a small in-flight window
+    # (a real consumer drains results; hoarding them would exhaust HBM)
+    from collections import deque
+
+    iters = 50
+    window = deque(maxlen=3)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = pipeline(frames, fades)
-    jax.block_until_ready(out)
+    for i in range(iters):
+        window.append(pipeline(frames, fade_sets[i % len(fade_sets)]))
+    jax.block_until_ready(list(window))
     dt = time.perf_counter() - t0
 
     fps = BATCH * iters / dt

@@ -1,0 +1,214 @@
+"""Caption decode/format, PS writer, y4m/wave, encoder options, process pump."""
+
+import io as std_io
+
+import numpy as np
+import pytest
+
+import ts_gen
+from amatsukaze_tpu.captions.arib import AribDecoder, decode_arib_string
+from amatsukaze_tpu.captions.b24 import drcs_md5
+from amatsukaze_tpu.captions.formatters import CaptionASSFormatter, CaptionSRTFormatter
+from amatsukaze_tpu.captions.b24 import CaptionFormat, CaptionLine
+from amatsukaze_tpu.reform.stream_reform import OutCaptionLine
+from amatsukaze_tpu.io.ps_writer import PsStreamVerifier
+from amatsukaze_tpu.io.y4m import Y4MFormat, Y4MReader, Y4MWriter
+from amatsukaze_tpu.io.wave import WaveWriter, parse_wave_header
+from amatsukaze_tpu.io.process import DataPumpThread
+from amatsukaze_tpu.pipeline.encoder_options import (
+    EncoderDeint,
+    parse_encoder_option,
+    split_options,
+)
+from amatsukaze_tpu.pipeline.settings import Encoder
+
+
+def jis(s: str) -> bytes:
+    """Encode a kanji/kana string as ARIB GL 2-byte codes (JIS X0208)."""
+    e = s.encode("euc_jp")
+    return bytes(b - 0x80 for b in e)
+
+
+class TestAribDecode:
+    def test_ascii_via_alnum(self):
+        # LS1 -> G1 (alnum) then plain bytes
+        data = bytes([0x0E]) + b"Hello 123"
+        assert decode_arib_string(data) == "Hello 123"
+
+    def test_kanji_default_g0(self):
+        assert decode_arib_string(jis("日本語")) == "日本語"
+
+    def test_hiragana_gr(self):
+        # GR defaults to G2 = hiragana
+        data = bytes([0xA1 + 1])  # row char 2 -> 'あ'
+        assert decode_arib_string(data) == "あ"
+
+    def test_mixed_with_newline(self):
+        data = jis("字幕") + bytes([0x0D]) + jis("テスト")
+        assert decode_arib_string(data) == "字幕\nテスト"
+
+    def test_designation_escape(self):
+        # designate G0 <- alnum via ESC 0x28 0x4A, then ASCII in GL
+        data = bytes([0x1B, 0x28, 0x4A]) + b"ABC"
+        assert decode_arib_string(data) == "ABC"
+
+    def test_c1_color_codes_skipped(self):
+        data = bytes([0x87]) + jis("赤")  # WHF-family colour then text
+        assert decode_arib_string(data) == "赤"
+
+    def test_gaiji(self):
+        # additional symbols: row 93 cell 90 = music note
+        d = AribDecoder()
+        data = bytes([0x1B, 0x24, 0x3B])  # designate G0 <- additional symbols
+        data += bytes([93 + 0x20, 90 + 0x20])
+        assert d.decode(data) == "♪"
+
+
+class TestDrcsMd5:
+    def test_stable(self):
+        pattern = bytes([0b10101010, 0b01010101] * 8)
+        h1 = drcs_md5(4, 4, 2, pattern)
+        h2 = drcs_md5(4, 4, 2, pattern)
+        assert h1 == h2 and len(h1) == 32
+
+    def test_depth_binarise(self):
+        # 2-bit gradation >= 2 counts as on
+        pat_low = bytes([0b01010101] * 4)  # all level 1
+        pat_high = bytes([0b10101010] * 4)  # all level 2
+        assert drcs_md5(4, 4, 4, pat_low) != drcs_md5(4, 4, 4, pat_high)
+
+
+def out_line(text, start, end, pos_y=0.0):
+    line = CaptionLine(text=text, plane_w=960, plane_h=540, pos_y=pos_y,
+                       formats=[CaptionFormat(pos=0)])
+    return OutCaptionLine(start=start, end=end, line=line)
+
+
+class TestFormatters:
+    def test_ass(self, ctx):
+        lines = [out_line("こんにちは", 0.0, 90000.0),
+                 out_line("second", 90000.0, 180000.0)]
+        text = CaptionASSFormatter(ctx).generate(lines)
+        assert "[Script Info]" in text
+        assert "PlayResX: 960" in text
+        assert "Style: Default,Yu Gothic,46," in text
+        assert "Dialogue: 0,0:00:00.00,0:00:01.00,Default" in text
+        assert "こんにちは" in text
+
+    def test_srt(self, ctx):
+        lines = [out_line("line one", 0.0, 90000.0),
+                 out_line("line two", 90000.0, 270000.0)]
+        text = CaptionSRTFormatter(ctx).generate(lines)
+        assert "1\n00:00:00,000 --> 00:00:01,000" in text
+        assert "2\n00:00:01,000 --> 00:00:03,000" in text
+        assert "line one" in text
+
+
+class TestPsWriter:
+    def test_splitter_output_verifies(self, ctx, tmp_path):
+        """The intermediate i0.mpg produced by AMTSplitter must be a valid PS."""
+        from amatsukaze_tpu.pipeline.settings import Config, Settings
+        from amatsukaze_tpu.pipeline.splitter import AMTSplitter
+
+        src = tmp_path / "src.ts"
+        src.write_bytes(ts_gen.build_simple_ts(num_frames=30, width=96, height=64))
+        conf = Config()
+        conf.src_file_path = str(src)
+        conf.work_dir = str(tmp_path)
+        conf.no_remove_tmp = True
+        st = Settings(ctx, conf)
+        sp = AMTSplitter(ctx, st)
+        reform = sp.split()
+        data = open(st.int_video_file_path(0), "rb").read()
+        assert len(data) > 0
+        v = PsStreamVerifier(ctx)
+        assert v.verify(data)
+        assert v.n_psm >= 1
+        assert v.n_video >= 29
+        assert v.n_audio > 0
+
+
+class TestY4M:
+    def test_roundtrip(self):
+        fmt = Y4MFormat(width=32, height=16, fps_num=30000, fps_den=1001,
+                        interlaced=True, sar_num=4, sar_den=3)
+        buf = std_io.BytesIO()
+        w = Y4MWriter(buf, fmt)
+        rng = np.random.default_rng(0)
+        frames = [
+            (rng.integers(0, 255, (16, 32), dtype=np.uint8),
+             rng.integers(0, 255, (8, 16), dtype=np.uint8),
+             rng.integers(0, 255, (8, 16), dtype=np.uint8))
+            for _ in range(3)
+        ]
+        for f in frames:
+            w.write_frame(*f)
+        buf.seek(0)
+        r = Y4MReader(buf)
+        assert r.fmt.width == 32 and r.fmt.interlaced and r.fmt.tff
+        got = list(r.frames())
+        assert len(got) == 3
+        for (y, u, v), (y2, u2, v2) in zip(frames, got):
+            np.testing.assert_array_equal(y, y2)
+            np.testing.assert_array_equal(u, u2)
+            np.testing.assert_array_equal(v, v2)
+
+
+class TestWave:
+    def test_header_parse(self):
+        buf = std_io.BytesIO()
+        w = WaveWriter(buf, 2, 48000, data_size=1000)
+        w.write(b"\x00" * 1000)
+        ch, sr, bits, off, size = parse_wave_header(buf.getvalue())
+        assert (ch, sr, bits, size) == (2, 48000, 16, 1000)
+
+
+class TestEncoderOptions:
+    def test_x264_fixed(self):
+        info = parse_encoder_option(Encoder.X264, "--preset slow")
+        assert info.format.name == "H264"
+        assert info.deint == EncoderDeint.NONE
+
+    def test_split_options_quotes(self):
+        assert split_options('--vpp-afs "preset=24fps" -c hevc') == [
+            "--vpp-afs", "preset=24fps", "-c", "hevc"]
+
+    def test_qsv_deint(self):
+        info = parse_encoder_option(Encoder.QSVENC, "--vpp-deinterlace bob")
+        assert info.deint == EncoderDeint.D60P
+
+    def test_afs_timecode(self):
+        info = parse_encoder_option(
+            Encoder.NVENC, "--vpp-afs 24fps=true,drop=true,timecode=true")
+        assert info.deint == EncoderDeint.VFR and info.afs_timecode
+
+    def test_afs_inconsistent_raises(self):
+        with pytest.raises(ValueError):
+            parse_encoder_option(Encoder.NVENC, "--vpp-afs 24fps=true,drop=false")
+
+    def test_select_every_and_codec(self):
+        info = parse_encoder_option(
+            Encoder.NVENC, "--vpp-select-every 2 -c hevc")
+        assert info.select_every == 2
+        assert info.format.name == "H265"
+
+
+class TestDataPump:
+    def test_pump_order_and_stats(self):
+        seen = []
+        pump = DataPumpThread(seen.append, max_items=4)
+        for i in range(100):
+            pump.put(i)
+        pump.join()
+        assert seen == list(range(100))
+        assert pump.consumer_wait >= 0
+
+    def test_consumer_error_surfaces(self):
+        def bad(item):
+            raise ValueError("boom")
+
+        pump = DataPumpThread(bad, max_items=2)
+        with pytest.raises(RuntimeError):
+            for i in range(50):
+                pump.put(i)
+            pump.join()

@@ -1,0 +1,296 @@
+"""Scheduler + server tests (model: the reference's live resource-protocol
+loop test, AmatsukazeTestImpl.hpp:694-716, adapted to asyncio)."""
+
+import asyncio
+
+import pytest
+
+from amatsukaze_tpu.parallel.scheduler import (
+    PHASES,
+    PhaseScheduler,
+    QueueItem,
+    ReqResource,
+    ResourceManager,
+    ScheduledQueue,
+    WorkerPool,
+)
+
+
+def run(coro):
+    return asyncio.run(coro)
+
+
+class TestResourceManager:
+    def test_basic_acquire_release(self):
+        async def main():
+            rm = ResourceManager()
+            res = await rm.get_resource(ReqResource(50, 10, 0))
+            assert rm.cur_cpu == 50
+            rm.release_resource(res)
+            assert rm.cur_cpu == 0
+
+        run(main())
+
+    def test_cost_max_over_budget(self):
+        rm = ResourceManager()
+        rm.set_gpu_resources(2, [100, 100])
+        rm.force_get_resource(ReqResource(80, 0, 0))
+        assert rm.resource_cost(ReqResource(30, 0, 0)) == 10
+        assert rm.resource_cost(ReqResource(10, 0, 0)) == -10
+
+    def test_most_capable_gpu(self):
+        rm = ResourceManager()
+        rm.set_gpu_resources(2, [100, 100])
+        r1 = rm.force_get_resource(ReqResource(0, 0, 60))
+        r2 = rm.force_get_resource(ReqResource(0, 0, 60))
+        assert {r1.gpu_index, r2.gpu_index} == {0, 1}
+
+    def test_waiters_block_until_release(self):
+        async def main():
+            rm = ResourceManager()
+            first = await rm.get_resource(ReqResource(80, 0, 0))
+            acquired = []
+
+            async def waiter():
+                res = await rm.get_resource(ReqResource(80, 0, 0))
+                acquired.append(res)
+
+            task = asyncio.ensure_future(waiter())
+            await asyncio.sleep(0.01)
+            assert not acquired
+            rm.release_resource(first)
+            await asyncio.wait_for(task, 1.0)
+            assert acquired
+
+        run(main())
+
+    def test_encoder_index_allocation(self):
+        rm = ResourceManager()
+        r1 = rm.force_get_resource(ReqResource(), req_encoder_index=True)
+        r2 = rm.force_get_resource(ReqResource(), req_encoder_index=True)
+        assert (r1.encoder_index, r2.encoder_index) == (0, 1)
+        rm.release_resource(r1)
+        r3 = rm.force_get_resource(ReqResource(), req_encoder_index=True)
+        assert r3.encoder_index == 0  # freed index is reused
+
+
+class TestScheduledQueue:
+    def make_item(self, i, priority=3, gpu=0):
+        return QueueItem(item_id=i, priority=priority, order=i,
+                         req_resources={"Encode": ReqResource(10, 10, gpu)})
+
+    def test_priority_order(self):
+        q = ScheduledQueue(enable_resource_scheduling=False)
+        q.add_queue(self.make_item(1, priority=1))
+        q.add_queue(self.make_item(2, priority=5))
+        q.add_queue(self.make_item(3, priority=3))
+        assert q.pop_item().item_id == 2
+        assert q.pop_item().item_id == 3
+        assert q.pop_item().item_id == 1
+        assert q.pop_item() is None
+
+    def test_resource_scheduling_prefers_free(self):
+        q = ScheduledQueue()
+        q.resource_manager.set_gpu_resources(1, [100])
+        # occupy the device
+        q.resource_manager.force_get_resource(ReqResource(0, 0, 90))
+        q.add_queue(self.make_item(1, priority=3, gpu=50))  # over budget
+        q.add_queue(self.make_item(2, priority=3, gpu=0))  # fits
+        assert q.pop_item().item_id == 2
+
+    def test_priority5_always_first_section(self):
+        q = ScheduledQueue()
+        q.resource_manager.force_get_resource(ReqResource(0, 0, 90))
+        q.add_queue(self.make_item(1, priority=5, gpu=50))  # over budget but P5
+        q.add_queue(self.make_item(2, priority=3, gpu=0))
+        assert q.pop_item().item_id == 1
+
+    def test_release(self):
+        q = ScheduledQueue()
+        q.add_queue(self.make_item(1))
+        item = q.pop_item()
+        q.release_item(item)
+        assert not q.actives
+
+
+class TestWorkerPool:
+    def test_parallel_execution(self):
+        async def main():
+            done = []
+            q = ScheduledQueue(enable_resource_scheduling=False)
+
+            async def run_item(wid, item, force):
+                await asyncio.sleep(0.01)
+                done.append(item.item_id)
+
+            pool = WorkerPool(q, run_item)
+            pool.set_num_parallel(2)
+            for i in range(6):
+                q.add_queue(QueueItem(item_id=i, priority=3, order=i,
+                                      req_resources={}))
+            for _ in range(100):
+                await asyncio.sleep(0.01)
+                if len(done) == 6:
+                    break
+            assert sorted(done) == list(range(6))
+
+        run(main())
+
+    def test_pause_stops_scheduling(self):
+        async def main():
+            done = []
+            q = ScheduledQueue(enable_resource_scheduling=False)
+
+            async def run_item(wid, item, force):
+                done.append(item.item_id)
+
+            pool = WorkerPool(q, run_item)
+            pool.set_num_parallel(1)
+            pool.set_pause(True)
+            q.add_queue(QueueItem(item_id=1, priority=3, order=0, req_resources={}))
+            await asyncio.sleep(0.05)
+            assert not done
+            pool.set_pause(False)
+            await asyncio.sleep(0.05)
+            assert done == [1]
+
+        run(main())
+
+    def test_force_start_bypasses_pause(self):
+        async def main():
+            done = []
+            q = ScheduledQueue(enable_resource_scheduling=False)
+
+            async def run_item(wid, item, force):
+                done.append((item.item_id, force))
+
+            pool = WorkerPool(q, run_item)
+            pool.set_num_parallel(1)
+            pool.set_pause(True)
+            item = QueueItem(item_id=9, priority=3, order=0, req_resources={})
+            pool.force_start(item)
+            await asyncio.sleep(0.05)
+            assert done == [(9, True)]
+
+        run(main())
+
+
+class TestPhaseScheduler:
+    def test_phase_protocol_loop(self):
+        """The reference tests the 5-phase protocol with a 10000x live loop
+        (ResourceTest); here a few hundred async cycles across 3 jobs."""
+
+        async def main():
+            rm = ResourceManager()
+            reqs = {
+                "TSAnalyze": ReqResource(30, 40, 0),
+                "CMAnalyze": ReqResource(30, 10, 40),
+                "Filter": ReqResource(30, 10, 60),
+                "Encode": ReqResource(60, 10, 30),
+                "Mux": ReqResource(10, 40, 0),
+            }
+
+            async def job():
+                ps = PhaseScheduler(rm, reqs, loop=asyncio.get_running_loop())
+                for _ in range(30):
+                    for phase in PHASES:
+                        await ps.wait_async(phase)
+                        await asyncio.sleep(0)
+                ps.release()
+
+            await asyncio.wait_for(
+                asyncio.gather(job(), job(), job()), timeout=30.0
+            )
+            assert rm.cur_cpu == 0 and rm.cur_hdd == 0
+            assert all(g == 0 for g in rm.cur_gpu)
+
+        run(main())
+
+
+class TestEncodeServer:
+    def test_rpc_round_trip(self, ctx, tmp_path):
+        async def main():
+            from amatsukaze_tpu.server.server import EncodeServer
+            from amatsukaze_tpu.server.rpc import RpcClient
+
+            async def fake_run(server, wid, entry, phase):
+                await phase.wait_async("TSAnalyze")
+                await phase.wait_async("Encode")
+                return True
+
+            server = EncodeServer(ctx, data_dir=str(tmp_path / "data"),
+                                  run_item=fake_run)
+            port = await server.start(port=0)
+            client = await RpcClient.connect("127.0.0.1", port)
+
+            r = await client.call("AddQueue", {"src": "a.ts", "out": "a"})
+            assert r["item_id"] == 1
+            r = await client.call("GetQueue")
+            assert len(r) == 1
+
+            # wait for the fake encode to finish
+            for _ in range(100):
+                await asyncio.sleep(0.02)
+                q = await client.call("GetQueue")
+                if q[0]["state"] == "complete":
+                    break
+            assert q[0]["state"] == "complete"
+
+            r = await client.call("GetLogs")
+            assert len(r) == 1 and r[0]["state"] == "complete"
+
+            r = await client.call("SetProfile", {"name": "anime",
+                                                 "encoder_type": "x265"})
+            r = await client.call("GetProfiles")
+            assert "anime" in r
+
+            client.close()
+            await server.stop()
+
+        run(main())
+
+    def test_queue_persistence(self, ctx, tmp_path):
+        async def main():
+            from amatsukaze_tpu.server.server import EncodeServer
+
+            async def never_run(server, wid, entry, phase):
+                await asyncio.sleep(100)
+                return True
+
+            s1 = EncodeServer(ctx, data_dir=str(tmp_path / "d"),
+                              run_item=never_run)
+            s1.setting.num_parallel = 0  # don't start anything
+            port = await s1.start(port=0)
+            s1.add_queue("x.ts", "x")
+            await s1.stop()
+
+            s2 = EncodeServer(ctx, data_dir=str(tmp_path / "d"),
+                              run_item=never_run)
+            s2.setting.num_parallel = 0
+            await s2.start(port=0)
+            assert len(s2.entries) == 1
+            assert list(s2.entries.values())[0].src_path == "x.ts"
+            await s2.stop()
+
+        run(main())
+
+    def test_make_cli_args(self, ctx, tmp_path):
+        from amatsukaze_tpu.server.server import (
+            EncodeServer, ProfileSetting, QueueEntry,
+        )
+
+        server = EncodeServer(ctx, data_dir=str(tmp_path / "d"))
+        profile = ProfileSetting(name="p", encoder_type="x265", chapter=True,
+                                 logo_paths=["l.lgd"], cm_out_mask=6,
+                                 auto_bitrate=True, bitrate_a=0.2,
+                                 bitrate_b=300, bitrate_h264=1.2)
+        entry = QueueEntry(item_id=1, src_path="in.ts", out_path="out",
+                           service_id=100)
+        args = server.make_cli_args(entry, profile)
+        from amatsukaze_tpu.cli import args_to_config, build_parser
+
+        conf = args_to_config(build_parser().parse_args(args))
+        assert conf.encoder.value == "x265"
+        assert conf.chapter and conf.logo_path == ["l.lgd"]
+        assert conf.cm_out_mask == 6 and conf.service_id == 100
+        assert conf.auto_bitrate and conf.bitrate.a == 0.2
