@@ -1,0 +1,217 @@
+"""Per-output-file filter source: multi-pass analysis + device filter chain.
+
+Parity: AMTFilterSource (Amatsukaze/FilteredSource.hpp:136-635). The
+reference builds an AviSynth script (AMTSource + logo erase + Trim + the
+user's KFM/QTGMC chain) and loops passes while the script sets AMT_PRE_PROC;
+here the filter graph is a declarative device pipeline:
+
+  pass 1 (analysis): batched telecine metrics (ops.deint) over the whole
+          sequence -> per-cycle pattern costs           [KFM pass 1]
+  pass 2 (decision): KFMDecider -> cycle modes + VFR plan (models.kfm)
+                                                        [KFM pass 2]
+  pass 3 (output):   per-batch frame synthesis (weave / pulldown repair /
+          bob via ops.deint) + logo erase + optional post chain
+          (ops.denoise)                                 [KFM pass 3]
+
+It also produces the duration/timecode files for AMTDecimate-compatible
+tooling, converts CM zones into output-frame encoder zones (MakeZones
+:546-616) and derives the encoder input format (MakeOutFormat :618-634).
+"""
+
+from __future__ import annotations
+
+import bisect
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..types import VideoFormat
+from .cm_analyze import EncoderZone
+from .kfm import CycleMode, KFMDecider, VFRPlan, build_vfr_plan, plan_is_cfr
+from .vfr import infer_vfr_timing_fps
+
+
+@dataclass
+class FilterOutput:
+    out_format: VideoFormat = None
+    num_out_frames: int = 0
+    time_codes: list = field(default_factory=list)  # ms, empty = CFR
+    vfr_timing_fps: int = 60
+    durations: list = field(default_factory=list)
+    out_zones: list = field(default_factory=list)
+
+
+class FilterGraph:
+    """Deinterlace mode selection mirroring the reference's GUI choices
+    (EncodeServerData.cs:106-119): none / yadif / KFM VFR."""
+
+    MODE_NONE = "none"
+    MODE_YADIF = "yadif"
+    MODE_KFM_VFR = "kfm_vfr"
+
+    def __init__(self, ctx, mode: str = "none", batch: int = 32,
+                 post_chain=None):
+        self.ctx = ctx
+        self.mode = mode
+        self.batch = batch
+        self.post_chain = post_chain  # callable [B,H,W]->[B,H,W] or None
+        self.decisions = None
+        self.vfr_plan: VFRPlan | None = None
+
+    # -- pass 1 + 2: analysis over the full sequence ---------------------------
+    def analyze(self, frame_iter, num_frames: int) -> None:
+        """Stream the sequence once, collecting per-cycle pattern costs
+        (the KFM pass-1/2 analog). Only used in KFM VFR mode."""
+        if self.mode != self.MODE_KFM_VFR:
+            return
+        import jax.numpy as jnp
+
+        from ..ops import deint as deint_ops
+
+        costs = []
+        carry = None  # last frame of the previous batch for cross-batch match
+        for chunk in _batched(frame_iter, self.batch):
+            arr = np.stack(chunk).astype(np.float32)
+            if carry is not None:
+                arr_in = np.concatenate([carry[None], arr])
+                c = np.asarray(deint_ops.field_match_costs(jnp.asarray(arr_in)))[1:]
+            else:
+                c = np.asarray(deint_ops.field_match_costs(jnp.asarray(arr)))
+            costs.append(c)
+            carry = arr[-1]
+        if not costs:
+            return
+        all_costs = np.concatenate(costs)[:num_frames]
+        ncycles = len(all_costs) // 5
+        if ncycles == 0:
+            self.mode = self.MODE_NONE
+            return
+        import jax.numpy as jnp
+
+        pattern = np.asarray(
+            deint_ops.telecine_pattern_costs(jnp.asarray(all_costs[: ncycles * 5]))
+        )
+        self.decisions = KFMDecider().decide(pattern)
+        self.vfr_plan = build_vfr_plan(self.decisions, num_frames)
+
+    # -- pass 3: output synthesis --------------------------------------------
+    def output_spec(self, num_src_frames: int, in_fmt: VideoFormat) -> FilterOutput:
+        out = FilterOutput(out_format=_copy_fmt(in_fmt))
+        if self.mode == self.MODE_KFM_VFR and self.vfr_plan is not None:
+            plan = self.vfr_plan
+            out.durations = plan.durations
+            out.num_out_frames = len(plan.durations)
+            if plan_is_cfr(self.decisions):
+                # pure 24p/30p/60p: emit CFR with the adjusted rate
+                mode = self.decisions[0].mode if self.decisions else CycleMode.VIDEO_30
+                mul = {CycleMode.FILM: (4, 5), CycleMode.VIDEO_30: (1, 1),
+                       CycleMode.VIDEO_60: (2, 1)}[mode]
+                out.out_format.mul_div_fps(mul[0], mul[1])
+            else:
+                out.time_codes = plan.timecodes_ms
+                out.vfr_timing_fps = infer_vfr_timing_fps(plan.timecodes_ms)
+                out.out_format.mul_div_fps(2, 1)  # 120/1001-based timebase
+            out.out_format.progressive = True
+        elif self.mode == self.MODE_YADIF:
+            out.num_out_frames = num_src_frames
+            out.out_format.progressive = True
+        else:
+            out.num_out_frames = num_src_frames
+        return out
+
+    def run_pass3(self, frames: np.ndarray, prev_frame, next_frame):
+        """Filter one batch [B, H, W] -> output frames for that batch.
+
+        prev/next_frame provide the temporal halo (None at sequence ends).
+        For KFM VFR, the caller maps output indices via vfr_plan.
+        """
+        import jax.numpy as jnp
+
+        from ..ops import deint as deint_ops
+
+        if self.mode == self.MODE_YADIF:
+            arr = jnp.asarray(frames)
+            prev = jnp.concatenate(
+                [jnp.asarray(prev_frame if prev_frame is not None else frames[:1])
+                 .reshape(1, *frames.shape[1:]), arr[:-1]]
+            )
+            nxt = jnp.concatenate(
+                [arr[1:],
+                 jnp.asarray(next_frame if next_frame is not None else frames[-1:])
+                 .reshape(1, *frames.shape[1:])]
+            )
+            out = deint_ops.yadif_deinterlace(prev, arr, nxt, True)
+        else:
+            out = jnp.asarray(frames)
+        if self.post_chain is not None:
+            out = self.post_chain(out)
+        return np.asarray(out)
+
+
+def _batched(it, n):
+    chunk = []
+    for x in it:
+        chunk.append(x)
+        if len(chunk) >= n:
+            yield chunk
+            chunk = []
+    if chunk:
+        yield chunk
+
+
+def _copy_fmt(fmt: VideoFormat) -> VideoFormat:
+    import copy
+
+    return copy.deepcopy(fmt)
+
+
+# ---------------------------------------------------------------------------
+# zone/format conversion (MakeZones / MakeOutFormat)
+# ---------------------------------------------------------------------------
+
+def make_out_zones(
+    zones: list[EncoderZone],
+    out_frames: list[int],
+    num_out_frames: int,
+    time_codes: list[float],
+    in_fps_num: int,
+    in_fps_den: int,
+) -> list[EncoderZone]:
+    """Convert CM zones (filter-input frame numbers) to encoder zones in the
+    output clip (ref MakeZones :546-616): map through the per-file frame
+    list, drop zones <= 30 frames, then remap through VFR timecodes or scale
+    by the frame-count ratio."""
+    out: list[EncoderZone] = []
+    n_src = len(out_frames)
+    for z in zones:
+        s = bisect.bisect_left(out_frames, z.start_frame)
+        e = bisect.bisect_left(out_frames, z.end_frame)
+        if e - s > 30:
+            out.append(EncoderZone(s, e))
+    if time_codes:
+        tick = in_fps_den / in_fps_num
+        for z in out:
+            z.start_frame = bisect.bisect_left(time_codes, z.start_frame * tick * 1000)
+            z.end_frame = bisect.bisect_left(time_codes, z.end_frame * tick * 1000)
+    elif n_src != num_out_frames and n_src > 0:
+        scale = num_out_frames / n_src
+        for z in out:
+            z.start_frame = max(0, min(num_out_frames, round(z.start_frame * scale)))
+            z.end_frame = max(0, min(num_out_frames, round(z.end_frame * scale)))
+    return out
+
+
+def make_out_format(in_fmt: VideoFormat, out_width: int, out_height: int,
+                    out_fps_num: int, out_fps_den: int,
+                    progressive: bool) -> VideoFormat:
+    """Encoder-input format from the filtered clip (ref MakeOutFormat
+    :618-634): resized output resets SAR to 1:1."""
+    out = _copy_fmt(in_fmt)
+    if out.width != out_width or out.height != out_height:
+        out.width = out_width
+        out.height = out_height
+        out.sar_width = out.sar_height = 1
+    out.frame_rate_num = out_fps_num
+    out.frame_rate_denom = out_fps_den
+    out.progressive = progressive
+    return out

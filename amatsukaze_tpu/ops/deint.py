@@ -71,15 +71,11 @@ def bob_field(field: jnp.ndarray, parity_top: bool | jnp.ndarray) -> jnp.ndarray
 # ---------------------------------------------------------------------------
 
 
-def _spatial_pred(cur: jnp.ndarray) -> jnp.ndarray:
-    """Edge-directed spatial prediction for missing lines.
-
-    cur: [B, H/2+2, W] field lines around the missing line (padded);
-    uses lines above (a) and below (c). Tries 3 directions, picks the one
-    with the lowest absolute difference (yadif's spatial check).
-    """
-    a = cur[:, :-1]  # line above the missing line
-    c = cur[:, 1:]  # line below
+def _spatial_pred(above: jnp.ndarray, below: jnp.ndarray) -> jnp.ndarray:
+    """Edge-directed spatial prediction for missing lines from the kept
+    field's line above (a) and line below (c). Tries 5 directions, picks
+    the one with the lowest absolute difference (yadif's spatial check)."""
+    a, c = above, below
 
     def shift(x, d):
         if d == 0:
@@ -121,10 +117,17 @@ def yadif_deinterlace(
     tn = nxt_b if parity_top else nxt_t
     temporal = (tp + tn) * 0.5
 
-    # spatial prediction from the kept field
-    pad = jnp.pad(keep, ((0, 0), (1, 1), (0, 0)), mode="edge")
-    spatial = _spatial_pred(pad)
-    spatial = spatial[:, : keep.shape[1]]
+    # spatial prediction: the missing bottom line 2k+1 sits between kept
+    # top lines k (above) and k+1 (below); edge-replicate at the bottom.
+    # (for parity_top=False, the missing top line 2k sits between kept
+    # bottom lines k-1 and k; edge-replicate at the top.)
+    if parity_top:
+        above = keep
+        below = jnp.concatenate([keep[:, 1:], keep[:, -1:]], axis=1)
+    else:
+        above = jnp.concatenate([keep[:, :1], keep[:, :-1]], axis=1)
+        below = keep
+    spatial = _spatial_pred(above, below)
 
     # temporal clamp (yadif's diff logic, simplified to symmetric clamp)
     diff = jnp.abs(tp - tn) * 0.5

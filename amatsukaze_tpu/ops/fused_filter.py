@@ -1,0 +1,309 @@
+"""Fused filter kernel: logo erase + yadif deinterlace + field-match costs
+in a single pass over the frame batch (Pallas TPU).
+
+This is the hot path of the whole framework (the BASELINE north star's
+">= 2000 filtered 1080i fps/chip"). The unfused jnp chain makes ~7 full-frame
+HBM round trips per batch; this kernel reads each (uint8) frame once into
+VMEM row-tiles with a 2-row halo, computes everything on the VPU, and writes
+the filtered uint8 frames once:
+
+  HBM traffic/frame: ~1.5 MB read + ~1.5 MB write (uint8)  vs  ~25+ MB f32.
+
+Semantics match ops.logo.batched_delogo (clamp(floor(fade*(a*x+b*maxv)
++(1-fade)x+0.5))), ops.deint.yadif_deinterlace and
+ops.deint.field_match_costs; tests compare against those jnp references.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Frame rows of halo above/below each tile. Semantically 2 rows (1 field row)
+# suffice, but HBM memref slices must be aligned to the (8,128) tiling, so the
+# halo DMAs are 8 rows tall; the extra rows are masked / fixed up in-kernel.
+HALO = 8
+FHALO = HALO // 2  # field rows of halo
+
+
+def _delogo(x, a, b, maxv, fade):
+    bg = a * x + b * maxv
+    tmp = fade * bg + (1.0 - fade) * x
+    return jnp.clip(jnp.floor(tmp + 0.5), 0.0, maxv)
+
+
+def _fields(x):
+    """[H, W] -> (top [H/2, W], bottom [H/2, W]) via free reshape."""
+    h, w = x.shape
+    v = x.reshape(h // 2, 2, w)
+    return v[:, 0, :], v[:, 1, :]
+
+
+def _weave(t, b):
+    h2, w = t.shape
+    return jnp.stack([t, b], axis=1).reshape(h2 * 2, w)
+
+
+def _shift_w(x, d):
+    """Horizontal shift with edge replication."""
+    if d == 0:
+        return x
+    if d > 0:
+        return jnp.concatenate([x[:, d:], jnp.repeat(x[:, -1:], d, axis=1)], axis=1)
+    return jnp.concatenate([jnp.repeat(x[:, :1], -d, axis=1), x[:, :d]], axis=1)
+
+
+def pad_width_for_fused(frames_u8, a_full, b_full, width_padded: int):
+    """Edge-replicate-pad inputs to a 128-aligned width.
+
+    Edge replication (not zeros) keeps yadif's column edge handling
+    bit-identical to the unpadded jnp chain: shifted taps beyond the last
+    logical column read the replicated edge value, exactly what
+    ops.deint's edge-replicating column shifts produce.
+    """
+    pad = width_padded - frames_u8.shape[-1]
+    if pad == 0:
+        return frames_u8, a_full, b_full
+    f = jnp.pad(frames_u8, ((0, 0), (0, 0), (0, pad)), mode="edge")
+    a = jnp.pad(a_full, ((0, 0), (0, pad)), mode="edge")
+    b = jnp.pad(b_full, ((0, 0), (0, pad)), mode="edge")
+    return f, a, b
+
+
+def make_fused_filter(height: int, width: int, tile_rows: int = 72,
+                      logical_width: int | None = None):
+    """Build the fused filter for fixed frame geometry.
+
+    `width` is the stored (lane) width and must be 128-aligned — raw HBM
+    memref slices in Mosaic require last-dim alignment to the (8,128)
+    tiling. For broadcast sizes like 1440, store frames at the padded
+    width (see pad_width_for_fused) and pass the true frame width as
+    `logical_width`; padded columns are masked out of the field-match
+    costs and the padded output columns are edge junk to be sliced off.
+
+    `tile_rows` must keep the live set under the ~16MB VMEM scoped limit;
+    past it the Mosaic compiler first refuses (tile 216) and, just under
+    it, spills catastrophically (tile 120 ran 200x slower than tile 72 on
+    v5e at width 1536). 72 is the measured sweet spot for 1080-row frames:
+    full HBM-bandwidth throughput (~0.14 ms per 32-frame batch).
+
+    Returns fn(frames_u8 [B, H, W] uint8, a_full [H, W] f32, b_full [H, W]
+    f32, fades [B] f32, maxv) -> (filtered [B, H, W] uint8, costs [B, 3] f32
+    matching ops.deint.field_match_costs at the logical width).
+    """
+    assert height % tile_rows == 0 and tile_rows % 2 == 0 and tile_rows % 8 == 0
+    assert width % 128 == 0, "stored width must be 128-aligned (use pad_width_for_fused)"
+    lw = logical_width if logical_width is not None else width
+    assert 0 < lw <= width
+    nj = height // tile_rows
+    srows = tile_rows + 2 * HALO
+    ht = tile_rows // 2  # output field rows per tile
+
+    def kernel(fades_ref, frames_ref, a_ref, b_ref, maxv_ref,
+               out_ref, costs_ref,
+               slab_s, a_s, b_s, sems):
+        # grid is (nj, B): j outer so the f32 logo planes for a row tile
+        # are DMA'd once per tile and stay resident across the whole batch
+        j = pl.program_id(0)
+        i = pl.program_id(1)
+        nb = pl.num_programs(1)
+        maxv = maxv_ref[0]
+
+        row0 = j * tile_rows
+        # clamped halo source rows; the tile core always lands at scratch
+        # offset HALO so every value slice below is STATIC (Mosaic does not
+        # lower dynamic_slice on values). For interior tiles the halo rows
+        # adjacent to the core are the true neighbour rows; at frame edges
+        # the clamped copies land off-position and those rows are masked
+        # (comb sums) or fixed up (yadif bottom edge) instead.
+        # every operand is a multiple of HALO=8, but Mosaic cannot prove it
+        # through max/min — assert it so the HBM memref slices lower
+        top_src = pl.multiple_of(jnp.maximum(row0 - HALO, 0), HALO)
+        bot_src = pl.multiple_of(
+            jnp.minimum(row0 + tile_rows, height - HALO), HALO
+        )
+
+        ip = jnp.maximum(i - 1, 0)
+        inx = jnp.minimum(i + 1, nb - 1)
+
+        def load3(src_ref, dst, sem0, batch_slice=None):
+            at = ((lambda sl: src_ref.at[batch_slice, sl])
+                  if batch_slice is not None else (lambda sl: src_ref.at[sl]))
+            dat = ((lambda sl: dst.at[:, sl]) if batch_slice is not None
+                   else (lambda sl: dst.at[sl]))
+            return [
+                pltpu.make_async_copy(
+                    at(pl.ds(top_src, HALO)), dat(pl.ds(0, HALO)),
+                    sems.at[sem0],
+                ),
+                pltpu.make_async_copy(
+                    at(pl.ds(row0, tile_rows)), dat(pl.ds(HALO, tile_rows)),
+                    sems.at[sem0 + 1],
+                ),
+                pltpu.make_async_copy(
+                    at(pl.ds(bot_src, HALO)),
+                    dat(pl.ds(HALO + tile_rows, HALO)), sems.at[sem0 + 2],
+                ),
+            ]
+
+        # logo planes depend only on j: DMA once per row tile, reuse for
+        # every frame in the batch (the scratch persists across grid steps)
+        @pl.when(i == 0)
+        def _():
+            plane_copies = load3(a_ref, a_s, 3) + load3(b_ref, b_s, 6)
+            for c in plane_copies:
+                c.start()
+            for c in plane_copies:
+                c.wait()
+
+        # the 3 consecutive frames (prev/cur/next) arrive as ONE slab DMA
+        # per row chunk; batch edges are handled by value selects below
+        base = jnp.clip(i - 1, 0, nb - 3)
+        copies = load3(frames_ref, slab_s, 0, batch_slice=pl.ds(base, 3))
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+
+        s0, s1, s2 = slab_s[0], slab_s[1], slab_s[2]
+        is_first = i == 0
+        is_last = i == nb - 1
+        # slab holds frames [base, base+3); map prev/cur/next with
+        # batch-edge clamping (selects on u8 tiles are cheap)
+        cur8 = jnp.where(is_first, s0, jnp.where(is_last, s2, s1))
+        prv8 = jnp.where(is_last, s1, s0)
+        nxt8 = jnp.where(is_first, s1, s2)
+
+        a = a_s[:]
+        b = b_s[:]
+        fade_c = fades_ref[i]
+        fade_p = fades_ref[ip]
+        fade_n = fades_ref[inx]
+
+        # Mosaic lacks a direct u8->f32 cast; widen via int32
+        cur = _delogo(cur8.astype(jnp.int32).astype(jnp.float32),
+                      a, b, maxv, fade_c)
+        prv = _delogo(prv8.astype(jnp.int32).astype(jnp.float32),
+                      a, b, maxv, fade_p)
+        nxt = _delogo(nxt8.astype(jnp.int32).astype(jnp.float32),
+                      a, b, maxv, fade_n)
+
+        # fields over the halo-extended tile: scratch field rows
+        # FHALO..FHALO+ht are the tile's field rows, the rest halo
+        ct, cb = _fields(cur)
+        pt, pb = _fields(prv)
+        nt, nb_ = _fields(nxt)
+
+        frow0 = row0 // 2
+        gy_core = jax.lax.broadcasted_iota(jnp.int32, (ht, 1), 0) + frow0
+
+        # --- yadif: keep top field, reconstruct bottom ---------------------
+        keep = ct[FHALO : FHALO + ht]
+        below = ct[FHALO + 1 : FHALO + 1 + ht]  # next kept line
+        # bottom frame edge: the clamped halo is off-position there, so
+        # replicate the last kept line explicitly (matches the jnp chain)
+        below = jnp.where(gy_core == height // 2 - 1, keep, below)
+        best_pred = (keep + below) * 0.5
+        best_score = jnp.abs(keep - below)
+        for d in (1, 2):
+            for sgn in (1, -1):
+                pa = _shift_w(keep, sgn * d)
+                pc = _shift_w(below, -sgn * d)
+                score = jnp.abs(pa - pc)
+                pred = (pa + pc) * 0.5
+                better = score < best_score
+                best_pred = jnp.where(better, pred, best_pred)
+                best_score = jnp.where(better, score, best_score)
+        tp_ = pb[FHALO : FHALO + ht]
+        tn_ = nb_[FHALO : FHALO + ht]
+        temporal = (tp_ + tn_) * 0.5
+        diff = jnp.abs(tp_ - tn_) * 0.5
+        recon = jnp.clip(best_pred, temporal - diff, temporal + diff)
+        filtered = _weave(keep, recon)
+        out_ref[:] = (
+            jnp.clip(jnp.floor(filtered + 0.5), 0.0, maxv)
+            .astype(jnp.int32)
+            .astype(jnp.uint8)
+        )
+
+        # --- field-match combing partial sums -------------------------------
+        # global formulas (ops.deint.combing_metric_fields):
+        #   odd  y in [0, H/2-1): relu((t[y]-b[y]) * (t[y+1]-b[y]))
+        #   even y in [1, H/2):   relu((b[y-1]-t[y]) * (b[y]-t[y]))
+        # Computed over the FULL field-scratch shape (zero-offset layout:
+        # Mosaic refuses float reductions over offset-layout slices) with a
+        # row-validity mask; scratch field row k = global field row
+        # frow0 - FHALO + k, the tile core being k in [FHALO, FHALO + ht).
+
+        def shift_up(x):
+            return jnp.concatenate([x[1:], x[-1:]], axis=0)
+
+        def shift_down(x):
+            return jnp.concatenate([x[:1], x[:-1]], axis=0)
+
+        srows2 = srows // 2
+        gy = jax.lax.broadcasted_iota(jnp.int32, (srows2, 1), 0) + (frow0 - FHALO)
+        core = (gy >= frow0) & (gy < frow0 + ht)
+        col_ok = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, width), 1) < lw
+        ).astype(jnp.float32)
+        odd_valid = (core & (gy < height // 2 - 1)).astype(jnp.float32) * col_ok
+        even_valid = (core & (gy >= 1)).astype(jnp.float32) * col_ok
+
+        def fam_sums(t_y, b_y):
+            t_y1 = shift_up(t_y)
+            b_ym1 = shift_down(b_y)
+            odd = jnp.maximum((t_y - b_y) * (t_y1 - b_y), 0.0) * odd_valid
+            even = jnp.maximum((b_ym1 - t_y) * (b_y - t_y), 0.0) * even_valid
+            return jnp.sum(odd) + jnp.sum(even)
+
+        c_cur = fam_sums(ct, cb)  # weave(t, b)
+        c_tp = fam_sums(ct, pb)  # weave(t, prev_b)
+        c_bt = fam_sums(pt, cb)  # weave(prev_t, b)
+
+        # each (j, i) step writes its own partial-costs block; the tiny
+        # reduction over j happens in XLA after the kernel
+        costs_ref[:, :] = jnp.concatenate([
+            c_cur.reshape(1, 1), c_tp.reshape(1, 1), c_bt.reshape(1, 1),
+            jnp.zeros((1, 125), jnp.float32),
+        ], axis=1)
+
+    @partial(jax.jit, static_argnames=("interpret",))
+    def fused(frames_u8, a_full, b_full, fades, maxv, interpret=False):
+        bsz = frames_u8.shape[0]
+        assert bsz >= 3, "fused filter needs batches of at least 3 frames"
+        out, costs = pl.pallas_call(
+            kernel,
+            grid=(nj, bsz),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # fades
+                pl.BlockSpec(memory_space=pl.ANY),  # frames (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),  # a_full
+                pl.BlockSpec(memory_space=pl.ANY),  # b_full
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # maxv
+            ],
+            out_specs=(
+                pl.BlockSpec((None, tile_rows, width), lambda j, i: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, None, 1, 128), lambda j, i: (j, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((bsz, height, width), jnp.uint8),
+                jax.ShapeDtypeStruct((nj, bsz, 1, 128), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((3, srows, width), jnp.uint8),
+                pltpu.VMEM((srows, width), jnp.float32),
+                pltpu.VMEM((srows, width), jnp.float32),
+                pltpu.SemaphoreType.DMA((9,)),
+            ],
+            interpret=interpret,
+        )(fades, frames_u8, a_full, b_full, jnp.reshape(maxv, (1,)))
+        return out, costs[:, :, 0, :3].sum(axis=0) / ((height - 2) * lw)
+
+    return fused

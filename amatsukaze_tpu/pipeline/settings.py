@@ -234,6 +234,14 @@ class Settings:
     def tmp_chapter_path(self, key: EncodeFileKey) -> str:
         return self._t(f"chapter{self._key(key)}.txt")
 
+    def tmp_nicojk_ass_path(self, key: EncodeFileKey, jktype: int) -> str:
+        return self._t(f"nicojk{self._key(key)}-{NICOJK_TYPES[jktype]}.ass")
+
+    def vfr_tmp_file_path(self, key: EncodeFileKey) -> str:
+        """Intermediate mux output before timelineeditor applies timecodes
+        (ref getVfrTmpFilePath)."""
+        return self._t(f"t{self._key(key)}.mp4")
+
     def m2ts_meta_path(self, key: EncodeFileKey) -> str:
         return self._t(f"t{self._key(key)}.meta")
 

@@ -105,7 +105,7 @@ class TranscodePipeline:
         self.caption_decoder = caption_decoder
         self.phase = phase_scheduler or _NullPhases()
         self.encoder_runner = encoder_runner or _default_encoder_runner
-        self.muxer_runner = muxer_runner
+        self.muxer_runner = muxer_runner or _default_muxer_runner
         self.logos = []
         for p in settings.conf.logo_path:
             try:
@@ -465,3 +465,34 @@ def _default_encoder_runner(pipeline: TranscodePipeline, reform,
         raise RuntimeError(
             f"encoder failed ({rc}): " + "\n".join(proc.last_lines)
         )
+
+
+def _default_muxer_runner(pipeline: TranscodePipeline, reform,
+                          key: EncodeFileKey, res: OutFileResult) -> None:
+    """Run the external muxer when one is configured; without a muxer
+    binary the bare encoded video stream becomes the output file
+    (ref AMTMuxder::mux, Muxer.hpp:40-225)."""
+    import shutil as _shutil
+
+    from ..io.muxer import Muxer
+    from .encoder_options import parse_encoder_option
+
+    st = pipeline.settings
+    file = reform.get_encode_file(key)
+    out_path = st.out_file_path(file.out_key, file.key_max)
+    if not _shutil.which(st.conf.muxer_path):
+        if os.path.exists(st.enc_video_file_path(key)):
+            os.replace(st.enc_video_file_path(key), out_path)
+        return
+    eo_info = parse_encoder_option(st.conf.encoder, st.conf.encoder_options)
+    timecode = st.enc_timecode_path(key)
+    mux = Muxer(pipeline.ctx, st, reform,
+                aac_decoder_factory=pipeline.audio_decoder_factory)
+    result = mux.mux(
+        key, eo_info, nico_ok=bool(getattr(pipeline, "_nico_ok", False)),
+        vfmt=reform.get_format(key).video_format,
+        vfr_timing_fps=getattr(pipeline, "_vfr_timing_fps", 30),
+        timecode_path=timecode if os.path.exists(timecode) else "",
+    )
+    res.subs = result.out_subs
+    res.file_size = result.file_size

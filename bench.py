@@ -1,6 +1,7 @@
 """Benchmark: filtered 1080i frames/sec/chip through the flagship device
-pipeline (fused Pallas logo evaluation, logo erase, yadif deinterlace,
-telecine metrics).
+pipeline — Pallas logo evaluation on the logo window plus the fused
+single-pass uint8 kernel (logo erase + yadif deinterlace + field-match
+telecine metrics) from ops.fused_filter.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: 2000 filtered 1080i fps/chip (BASELINE.json north star).
@@ -18,14 +19,19 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
     from amatsukaze_tpu.ops import logo as logo_ops
-    from amatsukaze_tpu.ops import deint as deint_ops
+    from amatsukaze_tpu.ops.fused_filter import (
+        make_fused_filter,
+        pad_width_for_fused,
+    )
+    from amatsukaze_tpu.ops.logo import LogoEvalParams
     from amatsukaze_tpu.ops.logo_pallas import (
-        delogo_full_frame,
         evaluate_logo_pallas,
         pad_logo_planes,
     )
+    from amatsukaze_tpu.ops.logo_ref import LogoEvalRef
 
     H, W = 1080, 1440  # 1080i broadcast frame
+    WP = 1536  # 128-aligned stored width (production keeps this stride)
     LOGO_H, LOGO_W = 96, 256  # realistic logo window
     BATCH = 64
 
@@ -35,37 +41,40 @@ def main() -> None:
     alpha = (np.clip(1.2 - r, 0, 1) * 0.35).astype(np.float32)
     a = (1.0 / (1.0 - alpha)).astype(np.float32)
     b = (-alpha * 200.0 / (1.0 - alpha) / 255.0).astype(np.float32)
-    from amatsukaze_tpu.ops.logo_ref import LogoEvalRef
-    from amatsukaze_tpu.ops.logo import LogoEvalParams
 
     ref = LogoEvalRef(a, b, maskratio=0.1)
     params = LogoEvalParams.from_ref(ref)
     a_full, b_full = pad_logo_planes(a, b, H, W, 0, 0)
-    a_full = jnp.asarray(a_full)
-    b_full = jnp.asarray(b_full)
+
+    fused = make_fused_filter(H, WP, logical_width=W)
 
     @jax.jit
-    def pipeline(frames, fades):
-        window = frames[:, :LOGO_H, :LOGO_W]
+    def pipeline(frames_u8, a_p, b_p, fades):
+        # logo presence evaluation on the logo window (feeds fade decisions)
+        window = frames_u8[:, :LOGO_H, :LOGO_W].astype(jnp.float32)
         deint = logo_ops.batched_deint_y(window)
         scores = evaluate_logo_pallas(
             params, deint, jnp.float32(255.0), jnp.asarray([0.0, 1.0])
         )
-        # full-frame identity-padded erase: no window update-slice copy
-        frames = delogo_full_frame(frames, a_full, b_full, jnp.float32(255.0), fades)
-        prev = jnp.concatenate([frames[:1], frames[:-1]], axis=0)
-        nxt = jnp.concatenate([frames[1:], frames[-1:]], axis=0)
-        out = deint_ops.yadif_deinterlace(prev, frames, nxt, True)
-        costs = deint_ops.field_match_costs(frames)
+        # fused single-pass uint8 kernel: erase + yadif + field-match costs
+        out, costs = fused(frames_u8, a_p, b_p, fades, jnp.float32(255.0))
         return out, scores, costs
 
     rng = np.random.default_rng(0)
-    frames = jnp.asarray(rng.integers(16, 236, (BATCH, H, W)).astype(np.float32))
-    # distinct fades per batch so no layer can cache identical executions
+    frames = rng.integers(16, 236, (BATCH, H, W), dtype=np.uint8)
+    fp, ap, bp = pad_width_for_fused(
+        jnp.asarray(frames), jnp.asarray(a_full), jnp.asarray(b_full), WP
+    )
+    # distinct inputs/fades so no layer can cache identical executions
+    inputs = [fp] + [
+        jax.device_put(jnp.asarray(
+            rng.integers(16, 236, (BATCH, H, WP), dtype=np.uint8)))
+        for _ in range(3)
+    ]
     fade_sets = [jnp.full((BATCH,), 0.5 + 0.01 * i, jnp.float32) for i in range(64)]
 
     # warmup / compile
-    out = pipeline(frames, fade_sets[0])
+    out = pipeline(inputs[0], ap, bp, fade_sets[0])
     jax.block_until_ready(out)
 
     # timed: enqueue batches asynchronously (the production pipeline streams
@@ -77,7 +86,8 @@ def main() -> None:
     window = deque(maxlen=3)
     t0 = time.perf_counter()
     for i in range(iters):
-        window.append(pipeline(frames, fade_sets[i % len(fade_sets)]))
+        window.append(pipeline(inputs[i % len(inputs)], ap, bp,
+                               fade_sets[i % len(fade_sets)]))
     jax.block_until_ready(list(window))
     dt = time.perf_counter() - t0
 

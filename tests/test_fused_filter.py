@@ -1,0 +1,79 @@
+"""Fused Pallas filter kernel vs the jnp reference chain (interpret mode)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from amatsukaze_tpu.ops import deint as deint_ops
+from amatsukaze_tpu.ops.fused_filter import make_fused_filter, pad_width_for_fused
+from amatsukaze_tpu.ops.logo import batched_delogo
+from amatsukaze_tpu.ops.logo_pallas import pad_logo_planes
+
+B, H, W = 4, 32, 128
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, (B, H, W), dtype=np.uint8)
+    yy, xx = np.mgrid[0:8, 0:16]
+    alpha = (np.clip(1.0 - np.hypot((yy - 4) / 4, (xx - 8) / 8), 0, 1) * 0.3
+             ).astype(np.float32)
+    a = (1.0 / (1.0 - alpha)).astype(np.float32)
+    b = (-alpha * 200.0 / (1.0 - alpha) / 255.0).astype(np.float32)
+    a_full, b_full = pad_logo_planes(a, b, H, W, 4, 2)
+    fades = rng.uniform(0, 1, B).astype(np.float32)
+    return frames, a_full, b_full, fades
+
+
+def reference_chain(frames, a_full, b_full, fades):
+    f = jnp.asarray(frames.astype(np.float32))
+    erased = batched_delogo(f, jnp.asarray(a_full), jnp.asarray(b_full),
+                            jnp.float32(255.0), jnp.asarray(fades))
+    prev = jnp.concatenate([erased[:1], erased[:-1]], axis=0)
+    nxt = jnp.concatenate([erased[1:], erased[-1:]], axis=0)
+    out = deint_ops.yadif_deinterlace(prev, erased, nxt, True)
+    out_u8 = np.asarray(jnp.clip(jnp.floor(out + 0.5), 0, 255)).astype(np.uint8)
+    costs = np.asarray(deint_ops.field_match_costs(erased))
+    return out_u8, costs
+
+
+class TestFusedFilter:
+    def test_matches_reference(self, setup):
+        frames, a_full, b_full, fades = setup
+        fused = make_fused_filter(H, W, tile_rows=16)
+        out, costs = fused(jnp.asarray(frames), jnp.asarray(a_full),
+                           jnp.asarray(b_full), jnp.asarray(fades),
+                           jnp.float32(255.0), interpret=True)
+        ref_out, ref_costs = reference_chain(frames, a_full, b_full, fades)
+        np.testing.assert_array_equal(np.asarray(out), ref_out)
+        np.testing.assert_allclose(np.asarray(costs), ref_costs, rtol=1e-5,
+                                   atol=1e-4)
+
+    def test_single_tile(self, setup):
+        frames, a_full, b_full, fades = setup
+        fused = make_fused_filter(H, W, tile_rows=H)
+        out, costs = fused(jnp.asarray(frames), jnp.asarray(a_full),
+                           jnp.asarray(b_full), jnp.asarray(fades),
+                           jnp.float32(255.0), interpret=True)
+        ref_out, ref_costs = reference_chain(frames, a_full, b_full, fades)
+        np.testing.assert_array_equal(np.asarray(out), ref_out)
+        np.testing.assert_allclose(np.asarray(costs), ref_costs, rtol=1e-5,
+                                   atol=1e-4)
+
+    def test_padded_width(self, setup):
+        """Non-128-aligned frame width via edge padding (the 1440 case)."""
+        frames, a_full, b_full, fades = setup
+        lw = W - 24
+        frames = frames[:, :, :lw]
+        a_full = a_full[:, :lw]
+        b_full = b_full[:, :lw]
+        fp, ap, bp = pad_width_for_fused(
+            jnp.asarray(frames), jnp.asarray(a_full), jnp.asarray(b_full), W)
+        fused = make_fused_filter(H, W, tile_rows=16, logical_width=lw)
+        out, costs = fused(fp, ap, bp, jnp.asarray(fades),
+                           jnp.float32(255.0), interpret=True)
+        ref_out, ref_costs = reference_chain(frames, a_full, b_full, fades)
+        np.testing.assert_array_equal(np.asarray(out)[:, :, :lw], ref_out)
+        np.testing.assert_allclose(np.asarray(costs), ref_costs, rtol=1e-5,
+                                   atol=1e-4)
