@@ -89,6 +89,9 @@ def build_parser() -> argparse.ArgumentParser:
                    dest="encode_buffer")
     p.add_argument("--device-batch", type=int, default=32,
                    help="frames per device batch (TPU)")
+    p.add_argument("--filter-mode", default="none",
+                   choices=["none", "yadif", "kfm_vfr"],
+                   help="device filter graph (replaces the AVS filter script)")
     p.add_argument("--print-prefix", action="store_true")
     return p
 
@@ -148,6 +151,7 @@ def args_to_config(args) -> Config:
     conf.dump_stream_info = args.dump
     conf.num_encode_buffer_frames = args.encode_buffer
     conf.device_batch_frames = args.device_batch
+    conf.filter_mode = args.filter_mode
     conf.print_prefix = args.print_prefix
 
     if args.serviceid is not None:

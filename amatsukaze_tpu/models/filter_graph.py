@@ -82,14 +82,20 @@ class FilterGraph:
         if not costs:
             return
         all_costs = np.concatenate(costs)[:num_frames]
-        ncycles = len(all_costs) // 5
-        if ncycles == 0:
+        if len(all_costs) < 5:
             self.mode = self.MODE_NONE
             return
+        # pad the trailing partial cycle with its last row so every source
+        # frame gets a cycle decision (dropping the tail would desync audio)
+        pad = (-len(all_costs)) % 5
+        if pad:
+            all_costs = np.concatenate(
+                [all_costs, np.repeat(all_costs[-1:], pad, axis=0)]
+            )
         import jax.numpy as jnp
 
         pattern = np.asarray(
-            deint_ops.telecine_pattern_costs(jnp.asarray(all_costs[: ncycles * 5]))
+            deint_ops.telecine_pattern_costs(jnp.asarray(all_costs))
         )
         self.decisions = KFMDecider().decide(pattern)
         self.vfr_plan = build_vfr_plan(self.decisions, num_frames)
@@ -101,7 +107,7 @@ class FilterGraph:
             plan = self.vfr_plan
             out.durations = plan.durations
             out.num_out_frames = len(plan.durations)
-            if plan_is_cfr(self.decisions):
+            if plan_is_cfr(self.decisions) and len(set(plan.durations)) <= 1:
                 # pure 24p/30p/60p: emit CFR with the adjusted rate
                 mode = self.decisions[0].mode if self.decisions else CycleMode.VIDEO_30
                 mul = {CycleMode.FILM: (4, 5), CycleMode.VIDEO_30: (1, 1),
@@ -117,6 +123,42 @@ class FilterGraph:
             out.out_format.progressive = True
         else:
             out.num_out_frames = num_src_frames
+        return out
+
+    def run_kfm_batch(self, frames: np.ndarray, prev_frame,
+                      start_index: int) -> np.ndarray:
+        """Synthesize the VFR output frames whose source index falls in
+        [start_index, start_index + len(frames)) (the KFM pass-3 analog).
+
+        frames: [B, H, W] source frames (one plane); prev_frame: the source
+        frame before `start_index` (None at the sequence head), needed for
+        MERGE_PREV pulldown repair.
+        """
+        import jax.numpy as jnp
+
+        assert self.vfr_plan is not None
+        end_index = start_index + len(frames)
+        entries = [(src, op) for src, op in self.vfr_plan.source_frames
+                   if start_index <= src < end_index]
+        if not entries:
+            return frames[:0]
+        arr = jnp.asarray(frames.astype(np.float32))
+        prev = jnp.concatenate([
+            jnp.asarray((prev_frame if prev_frame is not None
+                         else frames[0]).astype(np.float32))[None],
+            arr[:-1],
+        ])
+        ops_used = {op for _, op in entries}
+        variants = {VFRPlan.WEAVE: frames.astype(np.float32)}
+        if VFRPlan.MERGE_PREV in ops_used:
+            variants[VFRPlan.MERGE_PREV] = np.asarray(merge_prev_weave(arr, prev))
+        if VFRPlan.BOB_T in ops_used:
+            variants[VFRPlan.BOB_T] = np.asarray(bob_field(arr, top=True))
+        if VFRPlan.BOB_B in ops_used:
+            variants[VFRPlan.BOB_B] = np.asarray(bob_field(arr, top=False))
+        out = np.stack([variants[op][src - start_index] for src, op in entries])
+        if self.post_chain is not None:
+            out = np.asarray(self.post_chain(jnp.asarray(out)))
         return out
 
     def run_pass3(self, frames: np.ndarray, prev_frame, next_frame):
@@ -146,6 +188,37 @@ class FilterGraph:
         if self.post_chain is not None:
             out = self.post_chain(out)
         return np.asarray(out)
+
+
+def merge_prev_weave(frames, prev):
+    """Weave each frame's top field with the PREVIOUS frame's bottom field
+    (3:2 pulldown repair for the split telecined frame)."""
+    import jax.numpy as jnp
+
+    b, h, w = frames.shape
+    t = frames.reshape(b, h // 2, 2, w)[:, :, 0, :]
+    pb = prev.reshape(b, h // 2, 2, w)[:, :, 1, :]
+    return jnp.stack([t, pb], axis=2).reshape(b, h, w)
+
+
+def bob_field(frames, top: bool):
+    """Line-double one field to full height: kept lines pass through, the
+    missing lines are the average of the adjacent kept lines (edge
+    replicated)."""
+    import jax.numpy as jnp
+
+    b, h, w = frames.shape
+    f2 = frames.reshape(b, h // 2, 2, w)
+    fld = f2[:, :, 0, :] if top else f2[:, :, 1, :]
+    if top:
+        # missing (odd) line k sits between kept k and k+1
+        nxt = jnp.concatenate([fld[:, 1:], fld[:, -1:]], axis=1)
+        interp = (fld + nxt) * 0.5
+        return jnp.stack([fld, interp], axis=2).reshape(b, h, w)
+    # missing (even) line k sits between kept k-1 and k
+    prv = jnp.concatenate([fld[:, :1], fld[:, :-1]], axis=1)
+    interp = (prv + fld) * 0.5
+    return jnp.stack([interp, fld], axis=2).reshape(b, h, w)
 
 
 def _batched(it, n):

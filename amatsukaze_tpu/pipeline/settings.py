@@ -122,6 +122,9 @@ class Config:
     max_frames: int = 0
     # device settings (TPU-era replacement for DecoderSetting GPU choices)
     device_batch_frames: int = 32
+    # declarative filter graph mode (TPU-era replacement for the AVS filter
+    # script; mirrors the GUI deinterlacer choices EncodeServerData.cs:106-119)
+    filter_mode: str = "none"  # none | yadif | kfm_vfr
     # debug
     dump_stream_info: bool = False
     no_remove_tmp: bool = False

@@ -97,9 +97,12 @@ class TranscodePipeline:
 
     def __init__(self, ctx, settings: Settings, decoder_factory=None,
                  audio_decoder_factory=None, caption_decoder=None,
-                 phase_scheduler=None, encoder_runner=None, muxer_runner=None):
+                 phase_scheduler=None, encoder_runner=None, muxer_runner=None,
+                 nicojk_fetchers=None):
         self.ctx = ctx
         self.settings = settings
+        self.nicojk_fetchers = nicojk_fetchers or []
+        self._nico_ok = False
         self.decoder_factory = decoder_factory
         self.audio_decoder_factory = audio_decoder_factory
         self.caption_decoder = caption_decoder
@@ -152,6 +155,32 @@ class TranscodePipeline:
 
         reform.prepare(st.conf.split_sub, st.conf.audio_encoder.value != "none")
 
+        # NicoJK comment acquisition (ref :521-538)
+        nicojk = None
+        self._nico_ok = False
+        if not is_no_encode and st.conf.nicojk_mask:
+            from ..captions.nicojk import NicoJK, parse_ch_sid
+
+            ch_map = {}
+            if st.conf.nico_conv_ch_sid_path and os.path.exists(
+                    st.conf.nico_conv_ch_sid_path):
+                with open(st.conf.nico_conv_ch_sid_path,
+                          encoding="utf-8") as f:
+                    ch_map = parse_ch_sid(f.read())
+            nicojk = NicoJK(ctx, ch_map, fetchers=self.nicojk_fetchers,
+                            mask=st.conf.nicojk_mask)
+            ctx.info("[fetching NicoJK comments]")
+            src_duration, _ = reform.get_in_out_duration()
+            self._nico_ok = nicojk.make_ass(
+                service_id, reform.first_frame_time,
+                int(src_duration / MPEG_CLOCK_HZ))
+            if self._nico_ok:
+                reform.set_nicojk_list(nicojk.get_dialogues())
+            elif nicojk.failed and not st.conf.ignore_nicojk_error:
+                raise RuntimeError("NicoJK comment acquisition failed")
+            elif not nicojk.failed:
+                ctx.info("no matching NicoJK channel")
+
         # per-video-file CM/logo analysis (ref :559-595)
         self.phase.wait("CMAnalyze")
         sw.start()
@@ -195,6 +224,37 @@ class TranscodePipeline:
             return self._report(reform, keys, out_results, cm_results,
                                 src_file_size, total_int_video_size, 0, adiff,
                                 nico_ok=False)
+
+        # caption files per output (ref :635-660)
+        from ..captions.formatters import (
+            CaptionASSFormatter,
+            CaptionSRTFormatter,
+        )
+        from ..captions.nicojk import NicoJKFormatter
+
+        ctx.info("[writing caption files]")
+        for key in keys:
+            file = reform.get_encode_file(key)
+            for lang, lines in enumerate(file.caption_list):
+                ass = CaptionASSFormatter(ctx).generate(lines)
+                srt = CaptionSRTFormatter(ctx).generate(lines)
+                with open(st.tmp_ass_path(key, lang), "w",
+                          encoding="utf-8") as f:
+                    f.write(ass)
+                if srt:
+                    # an empty SRT (e.g. all-small captions) would fail the
+                    # mux step, so skip the file entirely
+                    with open(st.tmp_srt_path(key, lang), "w",
+                              encoding="utf-8") as f:
+                        f.write(srt)
+            if self._nico_ok:
+                for jktype in st.nicojk_types:
+                    text = NicoJKFormatter().generate(
+                        nicojk.headers.get(jktype, []),
+                        file.nicojk_list[jktype])
+                    with open(st.tmp_nicojk_ass_path(key, jktype), "w",
+                              encoding="utf-8") as f:
+                        f.write(text)
 
         # filter + encode per output file (ref :683-753)
         sw.start()
@@ -364,19 +424,59 @@ class TranscodePipeline:
                  index + 1, total, key.cm.name, num_frames)
         self.phase.wait("Encode")
 
+        # filter graph: analysis passes + output spec (ref AMTFilterSource,
+        # FilteredSource.hpp:136-635 — the AVS multi-pass loop becomes a
+        # declarative device pipeline)
+        from ..models.filter_graph import FilterGraph, make_out_zones
+
+        fg = FilterGraph(self.ctx, mode=st.conf.filter_mode,
+                         batch=st.conf.device_batch_frames)
+        if fg.mode == FilterGraph.MODE_KFM_VFR:
+            if self.decoder_factory is None:
+                raise RuntimeError("no decoder available for filter analysis")
+            wanted = set(file.video_frames)
+            fg.analyze(
+                (planes[0].astype(np.float32)
+                 for i, planes in enumerate(
+                     self.decoder_factory(self, key.video)) if i in wanted),
+                num_frames,
+            )
+        spec = fg.output_spec(num_frames, fmt)
+        out_fmt = spec.out_format
+        if spec.time_codes:
+            with open(st.enc_timecode_path(key), "w") as f:
+                f.write("# timecode format v2\n")
+                # one start time per output frame (the plan also carries the
+                # trailing end time for duration bookkeeping)
+                f.writelines(f"{tc:.6f}\n"
+                             for tc in spec.time_codes[:spec.num_out_frames])
+        self._vfr_timing_fps = spec.vfr_timing_fps if spec.time_codes else 30
+        self._active_filter = fg
+        self._active_spec = spec
+
         zones = [
             EncoderZone(z.start_frame, z.end_frame) for z in cma.cmzones
         ] if key.cm == CMType.BOTH else []
+        if fg.mode != FilterGraph.MODE_NONE:
+            zones = make_out_zones(
+                zones, file.video_frames, spec.num_out_frames,
+                spec.time_codes, fmt.frame_rate_num, fmt.frame_rate_denom,
+            )
         bitrate_zones = make_bitrate_zones(
-            [], zones, st, fmt.frame_rate_num, fmt.frame_rate_denom
+            spec.time_codes, zones, st,
+            fmt.frame_rate_num, fmt.frame_rate_denom,
         )
 
         args = make_encoder_args(
             st.conf.encoder, st.conf.encoder_path,
             self._encoder_options(res, bitrate_zones, num_frames),
-            fmt, st.enc_video_file_path(key),
+            out_fmt, st.enc_video_file_path(key),
         )
-        self.encoder_runner(self, reform, key, args)
+        try:
+            self.encoder_runner(self, reform, key, args)
+        finally:
+            self._active_filter = None
+            self._active_spec = None
 
     def _encoder_options(self, res: OutFileResult, zones, num_frames) -> str:
         opts = self.settings.conf.encoder_options
@@ -445,26 +545,84 @@ def _default_encoder_runner(pipeline: TranscodePipeline, reform,
     if pipeline.decoder_factory is None:
         raise RuntimeError("no decoder available for encode stage")
 
+    fg = getattr(pipeline, "_active_filter", None)
+    spec = getattr(pipeline, "_active_spec", None)
+    out_fmt = spec.out_format if spec is not None else fmt
+
     proc = SubProcess(encoder_args)
     y4m_fmt = Y4MFormat(
-        width=fmt.width, height=fmt.height,
-        fps_num=fmt.frame_rate_num, fps_den=fmt.frame_rate_denom,
-        interlaced=not fmt.progressive,
-        sar_num=fmt.sar_width, sar_den=fmt.sar_height,
+        width=out_fmt.width, height=out_fmt.height,
+        fps_num=out_fmt.frame_rate_num, fps_den=out_fmt.frame_rate_denom,
+        interlaced=not out_fmt.progressive,
+        sar_num=out_fmt.sar_width, sar_den=out_fmt.sar_height,
     )
     writer = Y4MWriter(proc.stdin, y4m_fmt)
     pump = DataPumpThread(lambda planes: writer.write_frame(*planes),
                           max_items=max(4, st.conf.num_encode_buffer_frames))
     wanted = set(file.video_frames)
-    for i, planes in enumerate(pipeline.decoder_factory(pipeline, key.video)):
-        if i in wanted:
+    frames_iter = (planes for i, planes in enumerate(
+        pipeline.decoder_factory(pipeline, key.video)) if i in wanted)
+    if fg is None or fg.mode == "none":
+        for planes in frames_iter:
             pump.put(planes)
+    else:
+        _pump_filtered(fg, frames_iter, pump,
+                       max(3, st.conf.device_batch_frames))
     pump.join()
     rc = proc.join()
     if rc != 0:
         raise RuntimeError(
             f"encoder failed ({rc}): " + "\n".join(proc.last_lines)
         )
+
+
+def _to_u8(plane: np.ndarray) -> np.ndarray:
+    return np.clip(np.floor(plane + 0.5), 0, 255).astype(np.uint8)
+
+
+def _pump_filtered(fg, frames_iter, pump, batch: int) -> None:
+    """Batch the selected source frames through the filter graph, per plane
+    (Y/U/V run the same op at their own resolutions), and feed the pump."""
+    from ..models.filter_graph import FilterGraph
+
+    buf: list = []
+    prev_planes = None  # last source frame of the previous batch
+    start = 0
+
+    def flush(chunk, next_planes):
+        nonlocal prev_planes, start
+        if not chunk:
+            return
+        outs = []
+        for p in range(3):
+            arr = np.stack([f[p] for f in chunk]).astype(np.float32)
+            if fg.mode == FilterGraph.MODE_KFM_VFR:
+                res = fg.run_kfm_batch(
+                    arr,
+                    None if prev_planes is None
+                    else prev_planes[p].astype(np.float32),
+                    start,
+                )
+            else:
+                res = fg.run_pass3(
+                    arr,
+                    None if prev_planes is None
+                    else prev_planes[p].astype(np.float32),
+                    None if next_planes is None
+                    else next_planes[p].astype(np.float32),
+                )
+            outs.append(res)
+        for k in range(len(outs[0])):
+            pump.put(tuple(_to_u8(outs[p][k]) for p in range(3)))
+        prev_planes = chunk[-1]
+        start += len(chunk)
+
+    for planes in frames_iter:
+        buf.append(planes)
+        if len(buf) > batch:  # keep one lookahead frame for yadif's halo
+            flush(buf[:batch], buf[batch])
+            buf = buf[batch:]
+    flush(buf, None)
 
 
 def _default_muxer_runner(pipeline: TranscodePipeline, reform,

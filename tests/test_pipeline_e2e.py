@@ -14,6 +14,7 @@ import ts_gen
 from amatsukaze_tpu.pipeline.decoders import NullDecoderFactory
 from amatsukaze_tpu.pipeline.settings import Config, Settings, TempDirectory
 from amatsukaze_tpu.pipeline.transcode import TranscodePipeline
+from amatsukaze_tpu.types import EncodeFileKey
 from amatsukaze_tpu.utils.context import AMTContext
 
 W, H = 96, 64
@@ -167,3 +168,142 @@ class TestCLI:
         from amatsukaze_tpu.cli import main
 
         assert main([]) == 1
+
+
+SAMPLE_NICOJK_ASS = """[Script Info]
+ScriptType: v4.00+
+
+[V4+ Styles]
+Format: Name, Fontname, Fontsize, PrimaryColour, SecondaryColour, OutlineColour, BackColour, Bold, Italic, Underline, StrikeOut, ScaleX, ScaleY, Spacing, Angle, BorderStyle, Outline, Shadow, Alignment, MarginL, MarginR, MarginV, Encoding
+Style: white,MS PGothic,28,&H00ffffff,&H00ffffff,&H00000000,&H00000000,-1,0,0,0,200,200,0,0.00,1,0,4,7,20,20,40,1
+
+[Events]
+Format: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text
+Dialogue: 0,0:00:00.50,0:00:02.00,white,,0000,0000,0000,,nico comment
+"""
+
+
+class TestNicoJKWiring:
+    def test_nicojk_files_written_and_muxed(self, env):
+        ctx, conf, tmp = env
+        conf.nicojk_mask = 0b0011  # 720S + 720T
+        # fake muxer binary so the Muxer stage (not the replace fallback) runs
+        mux_bin = tmp / "fake_muxer"
+        mux_bin.write_text(
+            "#!/bin/bash\nout=\"\"\nprev=\"\"\n"
+            "for a in \"$@\"; do [ \"$prev\" = \"-o\" ] && out=\"$a\"; "
+            "prev=\"$a\"; done\necho MUXED > \"$out\"\n")
+        mux_bin.chmod(mux_bin.stat().st_mode | stat.S_IEXEC)
+        conf.muxer_path = str(mux_bin)
+        settings = Settings(ctx, conf)
+        pipe = TranscodePipeline(
+            ctx, settings, decoder_factory=NullDecoderFactory(),
+            nicojk_fetchers=[lambda sid, st_, dur: SAMPLE_NICOJK_ASS])
+        report = pipe.run()
+        assert pipe._nico_ok
+        key = EncodeFileKey()
+        # S + T variants written with output-relative times
+        s_path = settings.tmp_nicojk_ass_path(key, 0)
+        t_path = settings.tmp_nicojk_ass_path(key, 1)
+        assert os.path.exists(s_path) and os.path.exists(t_path)
+        assert "Dialogue:" in open(s_path).read()
+        assert "&H70" in open(t_path).read()
+        # MP4 => NicoJK ASS copied beside the output
+        out = report["outfiles"][0]
+        assert any(s.endswith("-nicojk720S.ass") for s in out["subs"])
+        assert any(s.endswith("-nicojk720T.ass") for s in out["subs"])
+
+    def test_nicojk_failure_raises(self, env):
+        ctx, conf, tmp = env
+        conf.nicojk_mask = 1
+
+        def bad(sid, st_, dur):
+            raise RuntimeError("down")
+
+        settings = Settings(ctx, conf)
+        pipe = TranscodePipeline(ctx, settings,
+                                 decoder_factory=NullDecoderFactory(),
+                                 nicojk_fetchers=[bad])
+        with pytest.raises(RuntimeError, match="NicoJK"):
+            pipe.run()
+
+    def test_nicojk_failure_ignored(self, env):
+        ctx, conf, tmp = env
+        conf.nicojk_mask = 1
+        conf.ignore_nicojk_error = True
+        settings = Settings(ctx, conf)
+        pipe = TranscodePipeline(
+            ctx, settings, decoder_factory=NullDecoderFactory(),
+            nicojk_fetchers=[lambda *a: (_ for _ in ()).throw(RuntimeError())])
+        report = pipe.run()
+        assert not pipe._nico_ok
+        assert len(report["outfiles"]) == 1
+
+
+class TelecineDecoderFactory:
+    """Yields 3:2-pulldown telecined YUV frames (for KFM pipeline tests)."""
+
+    def __init__(self, h=H, w=W):
+        self.h, self.w = h, w
+
+    def __call__(self, pipeline, video_index):
+        reform = pipeline._reform
+        n = len(reform.get_filter_source_frames(video_index))
+        h, w = self.h, self.w
+        yy, xx = np.mgrid[0:h, 0:w]
+        film = [np.clip(
+            128 + 80 * np.sin((xx + 8 * i) / 7.0) * np.cos(yy / 9.0), 0, 255
+        ).astype(np.float32) for i in range((n * 4) // 5 + 4)]
+        u = np.full((h // 2, w // 2), 128, np.uint8)
+        count = 0
+        i = 0
+        while count < n:
+            a, b, c, d = film[i:i + 4]
+
+            def wv(top, bot):
+                f = np.empty((h, w), np.float32)
+                f[0::2] = top[0::2]
+                f[1::2] = bot[1::2]
+                return f.astype(np.uint8)
+
+            for f in (wv(a, a), wv(a, b), wv(b, c), wv(c, c), wv(d, d)):
+                if count < n:
+                    yield f, u, u
+                    count += 1
+            i += 4
+
+
+class TestFilteredEncode:
+    def test_yadif_mode(self, env):
+        ctx, conf, tmp = env
+        conf.filter_mode = "yadif"
+        settings = Settings(ctx, conf)
+        pipe = TranscodePipeline(ctx, settings,
+                                 decoder_factory=NullDecoderFactory())
+        report = pipe.run()
+        data = open(report["outfiles"][0]["path"], "rb").read()
+        assert data.count(b"FRAME\n") == 89  # yadif: same frame count
+        assert b"Ip" in data[:64]  # progressive y4m header
+
+    def test_kfm_vfr_film(self, env):
+        ctx, conf, tmp = env
+        conf.filter_mode = "kfm_vfr"
+        settings = Settings(ctx, conf)
+        pipe = TranscodePipeline(ctx, settings,
+                                 decoder_factory=TelecineDecoderFactory())
+        report = pipe.run()
+        data = open(report["outfiles"][0]["path"], "rb").read()
+        # 89 telecined frames = 17 full film cycles (17*4 out frames at
+        # 5 units) + a 4-frame partial tail emitted as 30p (4 units each):
+        # mixed durations -> VFR with timecodes on the 120/1001 clock
+        n_frames = data.count(b"FRAME\n")
+        assert n_frames == 17 * 4 + 4
+        assert b"F60000:1001" in data[:64]  # 2x timebase for VFR timing
+        tc_path = settings.enc_timecode_path(EncodeFileKey())
+        assert os.path.exists(tc_path)
+        lines = open(tc_path).read().splitlines()
+        assert lines[0] == "# timecode format v2"
+        assert len(lines) - 1 == n_frames
+        # film frames are 5/120s apart, the 30p tail 4/120s
+        t0, t1 = float(lines[1]), float(lines[2])
+        assert abs((t1 - t0) - 5 * 1001 / 120) < 0.01
