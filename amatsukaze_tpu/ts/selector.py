@@ -149,6 +149,30 @@ class TsPacketSelector:
             pids.add(self._video_es.pid)
         return pids
 
+    def native_routing(self):
+        """Routing tables for the native demux engine: (pes, pause, raw)
+        where pes maps pid -> ("video",) | ("audio", idx) | ("caption",).
+        Pause pids are the control packets that can change routing (PAT,
+        the selected PMT, and — during a deferred video-PID swap — the
+        pending video pid, whose first packet triggers the table swap)."""
+        pes: dict[int, tuple] = {}
+        for pid in self._cur.pids():
+            h = self._cur.get(pid)
+            if isinstance(h, _VideoProxy):
+                pes[pid] = ("video",)
+            elif isinstance(h, _AudioProxy):
+                pes[pid] = ("audio", h.idx)
+            elif isinstance(h, _CaptionProxy):
+                pes[pid] = ("caption",)
+        pause = {PID_PAT}
+        if self._pmt_pid != -1:
+            pause.add(self._pmt_pid)
+        if self._waiting_new_video and self._video_es.pid != -1:
+            pause.add(self._video_es.pid)
+            pes.pop(self._video_es.pid, None)
+        raw = {PID_TDT}
+        return pes, pause, raw
+
     def input_ts_packet(self, clock: int, packet: TsPacket) -> None:
         self._current_clock = clock
         if self._waiting_new_video and packet.pid == self._video_es.pid:

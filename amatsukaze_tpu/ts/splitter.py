@@ -14,6 +14,8 @@ only PIDs with live handlers are touched by the Python loop.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..types import AudioFormat, VideoFormat, VideoStreamFormat
@@ -88,6 +90,32 @@ class TsSystemClock:
     def current_bitrate(self) -> float:
         (c0, i0), (c1, i1) = self.pcr_info
         return (i1 - i0) * TS_PACKET_LENGTH * 8 / (c1 - c0) * 27_000_000
+
+    # -- native-engine event feed (amatsukaze_tpu/ts/native.py) ----------------
+    def apply_af_event(self, index: int, flags: int, pcr: int) -> None:
+        """Mirror of input_ts_packet for a pcr-pid adaptation-field event
+        delivered by the native engine: flags bit0 = discontinuity,
+        bit1 = has_pcr; `index` is the packet's global index."""
+        if flags & 1:
+            self.num_pcr_received = 0
+        if self.pcr_info[1][1] < index:
+            self.pcr_info[0], self.pcr_info[1] = (
+                self.pcr_info[1],
+                self.pcr_info[0],
+            )
+            if flags & 2:
+                self.pcr_info[1][0] = pcr
+                self.pcr_info[1][1] = index
+                self.num_pcr_received += 1
+        self.num_total_packets = index + 1
+
+    def clock_at(self, index: int) -> int:
+        """Clock of the packet at a global index with the current anchors
+        (identical to get_clock(0) right after that packet was counted)."""
+        if not self.pcr_received():
+            return -1
+        (c0, i0), (c1, i1) = self.pcr_info
+        return _cdiv_trunc((c1 - c0) * (index - i1), (i1 - i0)) + c1
 
 
 class VideoFrameParser(PesParser):
@@ -233,6 +261,14 @@ class TsSplitter(TsPacketSelectorHandler):
         self.audio_parsers: list[AudioFrameParser] = []
         self.caption_parser = CaptionPesParser(ctx, self, caption_decoder)
 
+        # native steady-state engine (activated after INIT_FINISHED)
+        self._engine = None
+        self._engine_pes: dict[int, tuple] = {}
+        self._engine_modes: dict[int, int] = {}
+        self._engine_counts = (0, 0)  # (selected_total, selected_scramble)
+        self._suppress_stream = False
+        self._want_engine = os.environ.get("AMATSUKAZE_NO_NATIVE", "") == ""
+
     # -- public -----------------------------------------------------------------
     def reset(self) -> None:
         self.init_phase = PMT_WAITING
@@ -248,10 +284,171 @@ class TsSplitter(TsPacketSelectorHandler):
         return self.selected_service_id
 
     def input_ts_data(self, data: bytes) -> None:
-        self.packet_parser.input_ts(data)
+        if self._engine is None and self._want_engine \
+                and self.init_phase == INIT_FINISHED:
+            self._activate_engine()
+        if self._engine is not None:
+            self._native_input(data)
+        else:
+            self.packet_parser.input_ts(data)
 
     def flush(self) -> None:
-        self.packet_parser.flush()
+        if self._engine is not None:
+            self._native_flush()
+        else:
+            self.packet_parser.flush()
+
+    # -- native steady-state engine ------------------------------------------------
+    #
+    # Once INIT_FINISHED, the per-packet loop (sync scan, PID routing, PES
+    # assembly) moves into native/tsdemux.cpp; Python handles the ordered
+    # event stream: PSI control packets (pause), PCR clock anchors, and
+    # fully-assembled PES units going straight to the frame parsers.
+
+    def _activate_engine(self) -> None:
+        try:
+            from .native import NativeTsEngine
+        except Exception:  # pragma: no cover
+            self._want_engine = False
+            return
+        try:
+            eng = NativeTsEngine()
+        except RuntimeError:
+            self._want_engine = False
+            return
+        self._engine = eng
+        # continue global packet numbering + inherit the scan tail/state
+        eng.set_packet_count(self.system_clock.num_total_packets)
+        eng.set_sync_ok(self.packet_parser._sync_ok)
+        tail = bytes(self.packet_parser._buf)
+        self.packet_parser._buf.clear()
+        self._engine_counts = (0, 0)
+        self._program_engine(seed_from_python=True)
+        if tail:
+            self._native_input(tail)
+
+    def _program_engine(self, seed_from_python: bool = False) -> None:
+        eng = self._engine
+        pes, pause, raw = self.selector.native_routing()
+        if not self.enable_video:
+            pes = {p: k for p, k in pes.items() if k[0] != "video"}
+        if not self.enable_audio:
+            pes = {p: k for p, k in pes.items() if k[0] != "audio"}
+        if not self.enable_caption:
+            pes = {p: k for p, k in pes.items() if k[0] != "caption"}
+        modes = {p: 1 for p in pes}
+        modes.update({p: 3 for p in pause})
+        modes.update({p: 2 for p in raw if p not in modes})
+        for pid in set(self._engine_modes) - set(modes):
+            eng.set_pid_mode(pid, 0)
+        for pid, mode in modes.items():
+            if self._engine_modes.get(pid) != mode:
+                eng.set_pid_mode(pid, mode)
+                if mode == 1:
+                    if seed_from_python:
+                        parser = self._parser_for(pes[pid])
+                        if parser is not None:
+                            eng.seed_pes(pid, parser._cc, bytes(parser._buf))
+                            parser._buf.clear()
+                    else:
+                        eng.seed_pes(pid, 0, b"")
+        self._engine_modes = modes
+        self._engine_pes = pes
+        eng.set_pcr_pid(self.system_clock.pcr_pid)
+
+    def _parser_for(self, kind: tuple):
+        if kind[0] == "video":
+            return self.video_parser
+        if kind[0] == "audio":
+            return (self.audio_parsers[kind[1]]
+                    if kind[1] < len(self.audio_parsers) else None)
+        return self.caption_parser
+
+    def _native_input(self, data: bytes) -> None:
+        eng = self._engine
+        done = eng.input(data)
+        while True:
+            self._drain_engine_events()
+            if done:
+                break
+            done = self._native_resume()
+
+    def _native_flush(self) -> None:
+        eng = self._engine
+        done = eng.flush()
+        while not done:
+            self._drain_engine_events()
+            done = self._native_resume()
+            if done:
+                done = eng.flush()
+        # note: pending unbounded-length PES units are NOT flushed — the
+        # pure-Python path (like the reference) only emits a unit when the
+        # next payload_unit_start arrives, so the trailing unit is dropped
+        self._drain_engine_events()
+
+    def _native_resume(self) -> bool:
+        """After a pause event was handled, consume the control packet:
+        skip it if its pid is still pause-mode (Python processed the PSI),
+        otherwise route it under the new modes (video-PID swap)."""
+        eng = self._engine
+        # the pause event is always the last drained event; modes were
+        # reprogrammed in _drain_engine_events
+        if self._paused_pid is not None \
+                and self._engine_modes.get(self._paused_pid, 0) != 3:
+            eng.resume_packet()
+        else:
+            eng.skip_packet()
+        self._paused_pid = None
+        return eng.input()
+
+    _paused_pid = None
+
+    def _drain_engine_events(self) -> None:
+        eng = self._engine
+        clk = self.system_clock
+        meta, payload = eng.take_events()
+        for t, pid, off, ln, idx, extra in meta:
+            t = int(t)
+            pid = int(pid)
+            idx = int(idx)
+            if t == 2:  # PCR / adaptation-field anchor update
+                clk.apply_af_event(idx, int(ln), int(extra))
+            elif t == 0:  # assembled + validated PES unit
+                kind = self._engine_pes.get(pid)
+                if kind is None:
+                    continue
+                pes = PESPacket(bytearray(payload[off:off + ln]))
+                if not pes.parse():
+                    continue
+                clock = clk.clock_at(idx)
+                parser = self._parser_for(kind)
+                if parser is not None:
+                    parser.on_pes_packet(clock, pes)
+            elif t == 1:  # raw PSI packet (TDT/TOT)
+                pkt = TsPacket(payload[off:off + ln])
+                if pkt.parse() and pkt.check():
+                    self.selector.input_ts_packet(clk.clock_at(idx), pkt)
+            elif t == 3:  # paused at a control packet (PAT/PMT/pending video)
+                pkt = TsPacket(payload[off:off + ln])
+                if pkt.parse() and pkt.check():
+                    # the packet is not yet counted: index = current count
+                    if pid == clk.pcr_pid:
+                        clk.num_total_packets = idx
+                        clk.input_ts_packet(pkt)
+                        clk.num_total_packets = idx  # engine re-counts on skip
+                    clock = clk.clock_at(idx)
+                    self._suppress_stream = True
+                    try:
+                        self.selector.input_ts_packet(clock, pkt)
+                    finally:
+                        self._suppress_stream = False
+                self._program_engine()
+                self._paused_pid = pid
+        # fold the engine's selected-stream counters into ours
+        st, ss = eng.counter(3), eng.counter(4)
+        self.num_total_packets += st - self._engine_counts[0]
+        self.num_scramble_packets += ss - self._engine_counts[1]
+        self._engine_counts = (st, ss)
 
     # -- batch routing ------------------------------------------------------------
     #
@@ -428,15 +625,21 @@ class TsSplitter(TsPacketSelectorHandler):
         return True
 
     def on_video_packet(self, clock: int, packet: TsPacket) -> None:
+        if self._suppress_stream:
+            return  # the native engine will route this packet itself
         if self.enable_video and self._check_scramble(packet):
             self.video_parser.on_ts_packet(clock, packet)
 
     def on_audio_packet(self, clock: int, packet: TsPacket, audio_idx: int) -> None:
+        if self._suppress_stream:
+            return
         if self.enable_audio and self._check_scramble(packet):
             if audio_idx < len(self.audio_parsers):
                 self.audio_parsers[audio_idx].on_ts_packet(clock, packet)
 
     def on_caption_packet(self, clock: int, packet: TsPacket) -> None:
+        if self._suppress_stream:
+            return
         if self.enable_caption and self._check_scramble(packet):
             self.caption_parser.on_ts_packet(clock, packet)
 
