@@ -87,6 +87,8 @@ class QueueEntry:
     service_id: int = -1
     added: float = 0.0
     console: list = field(default_factory=list)
+    tags: list = field(default_factory=list)
+    out_files: list = field(default_factory=list)
 
 
 class EncodeServer:
@@ -123,6 +125,10 @@ class EncodeServer:
     async def stop(self) -> None:
         if self._server:
             self._server.close()
+            # wait_closed() (3.12+) waits for client handler tasks too, so
+            # drop live connections or a connected client blocks shutdown
+            for w in list(self.clients.clients):
+                w.close()
             await self._server.wait_closed()
         self.save_app_data()
 
@@ -337,6 +343,27 @@ class EncodeServer:
                                 items.remove(it)
                 return {"ok": True}
             return {"ok": False}
+        # ScriptCommand RPCs (ref ServerInterface.cs:111-115 ids 300+,
+        # used by pre/post user scripts via tools/script_command.py)
+        if method == "AddTag":
+            entry = self.entries.get(payload.get("item_id", -1))
+            if entry is None:
+                return {"ok": False}
+            tag = payload.get("tag", "")
+            if tag and tag not in entry.tags:
+                entry.tags.append(tag)
+            return {"ok": True, "tags": entry.tags}
+        if method == "SetPriority":
+            entry = self.entries.get(payload.get("item_id", -1))
+            if entry is None or entry.state != "queue":
+                return {"ok": False}
+            entry.priority = int(payload.get("priority", entry.priority))
+            return {"ok": True}
+        if method == "GetOutFiles":
+            entry = self.entries.get(payload.get("item_id", -1))
+            if entry is None:
+                return {"ok": False}
+            return {"ok": True, "out_files": entry.out_files}
         return {"error": f"unknown method {method}"}
 
 
