@@ -65,6 +65,49 @@ def make_tdt(jst_raw40: int) -> bytes:
     return bytes([0x70, 0x70 | (length >> 8), length & 0xFF]) + body
 
 
+def arib_ascii(s: str) -> bytes:
+    """ASCII text with G0 designated to the alphanumeric set."""
+    return b"\x1b\x28\x4a" + s.encode("ascii")
+
+
+def make_sdt(tsid: int, services: list[tuple[int, str]]) -> bytes:
+    """SDT actual (0x42): (service_id, name) with a service descriptor."""
+    payload = bytearray()
+    payload += (0xFFFF).to_bytes(2, "big")  # original network id
+    payload.append(0xFF)  # reserved
+    for sid, name in services:
+        nm = arib_ascii(name)
+        desc = bytes([0x48, 3 + len(nm), 0x01, 0, len(nm)]) + nm
+        payload += sid.to_bytes(2, "big")
+        payload.append(0xFC)
+        payload += (0x8000 | len(desc)).to_bytes(2, "big")
+        payload += desc
+    return make_section(0x42, tsid, bytes(payload))
+
+
+def make_eit_present(service_id: int, event_name: str, text: str,
+                     genre: tuple[int, int], start_raw40: int = 0,
+                     duration_bcd: int = 0x013000) -> bytes:
+    """EIT present/following (0x4E) section 0 with short-event + content
+    descriptors."""
+    nm = arib_ascii(event_name)
+    tx = arib_ascii(text)
+    short = bytes([0x4D, 5 + len(nm) + len(tx)]) + b"jpn" \
+        + bytes([len(nm)]) + nm + bytes([len(tx)]) + tx
+    content = bytes([0x54, 2, (genre[0] << 4) | genre[1], 0xFF])
+    descs = short + content
+    payload = bytearray()
+    payload += (0xFFFF).to_bytes(2, "big")  # tsid
+    payload += (0xFFFF).to_bytes(2, "big")  # original network id
+    payload += b"\x00\x4e"  # segment_last_section_number, last_table_id
+    payload += (1).to_bytes(2, "big")  # event_id
+    payload += start_raw40.to_bytes(5, "big")
+    payload += duration_bcd.to_bytes(3, "big")
+    payload += (0x1000 | len(descs)).to_bytes(2, "big")  # running + length
+    payload += descs
+    return make_section(0x4E, service_id, bytes(payload))
+
+
 # ---------------------------------------------------------------------------
 # MPEG2 video ES
 # ---------------------------------------------------------------------------
@@ -287,6 +330,10 @@ def build_simple_ts(
     service_id: int = SERVICE_ID,
     psi_interval: int = 20,
     slice_bytes: int = 32,
+    si: bool = False,  # include SDT/EIT/TDT service info
+    service_name: str = "TEST TV",
+    event_name: str = "Test Program",
+    jst_raw40: int = 0xC07A123456,
 ) -> bytes:
     """A single-program TS with MPEG2 video + N ADTS audio streams."""
     tz = TsPacketizer()
@@ -295,6 +342,10 @@ def build_simple_ts(
     for i in range(num_audio):
         streams.append((0x0F, AUDIO_PID + i, b""))
     pmt = make_pmt(service_id, VIDEO_PID, streams)
+    sdt = make_sdt(TSID, [(service_id, service_name)]) if si else None
+    eit = make_eit_present(service_id, event_name, "synthetic event",
+                           (0x7, 0x0), jst_raw40) if si else None
+    tdt = make_tdt(jst_raw40) if si else None
 
     pats = pic_pattern.split(",")
     frame_dur = 90_000 * fps_den // fps_num
@@ -310,6 +361,10 @@ def build_simple_ts(
         if f % psi_interval == 0:
             tz.add_section(0x0000, pat)
             tz.add_section(PMT_PID, pmt)
+            if si:
+                tz.add_section(0x0011, sdt)
+                tz.add_section(0x0012, eit)
+                tz.add_section(0x0014, tdt)
         pts = first_pts + f * frame_dur
         dts = pts - frame_dur  # fake but monotone
         pcr = pcr_offset + f * frame_dur * 300
