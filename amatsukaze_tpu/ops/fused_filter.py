@@ -1,16 +1,17 @@
-"""Fused filter kernel: logo erase + yadif deinterlace + field-match costs
-in a single pass over the frame batch (Pallas TPU).
+"""Fused filter: logo erase + yadif deinterlace + field-match costs over
+uint8 frame batches (XLA elementwise pass + one Pallas TPU kernel).
 
 This is the hot path of the whole framework (the BASELINE north star's
-">= 2000 filtered 1080i fps/chip"). The unfused jnp chain makes ~7 full-frame
-HBM round trips per batch; this kernel reads each (uint8) frame once into
-VMEM row-tiles with a 2-row halo, computes everything on the VPU, and writes
-the filtered uint8 frames once:
+">= 2000 filtered 1080i fps/chip"). Structure:
 
-  HBM traffic/frame: ~1.5 MB read + ~1.5 MB write (uint8)  vs  ~25+ MB f32.
+  pass 1 (XLA): logo erase. Its output clamp(floor(...)+0.5) is exactly
+      integer-valued, so it round-trips through uint8 losslessly — erase
+      runs ONCE per frame instead of three times (as prev/cur/next) and
+      the deinterlace kernel needs no logo planes at all.
+  pass 2 (Pallas): yadif + field-match combing costs in one VPU pass over
+      double-buffered 3-frame row-tile slabs.
 
-Semantics match ops.logo.batched_delogo (clamp(floor(fade*(a*x+b*maxv)
-+(1-fade)x+0.5))), ops.deint.yadif_deinterlace and
+Semantics match ops.logo.batched_delogo, ops.deint.yadif_deinterlace and
 ops.deint.field_match_costs; tests compare against those jnp references.
 """
 
@@ -74,7 +75,7 @@ def pad_width_for_fused(frames_u8, a_full, b_full, width_padded: int):
     return f, a, b
 
 
-def make_fused_filter(height: int, width: int, tile_rows: int = 72,
+def make_fused_filter(height: int, width: int, tile_rows: int = 120,
                       logical_width: int | None = None):
     """Build the fused filter for fixed frame geometry.
 
@@ -85,11 +86,10 @@ def make_fused_filter(height: int, width: int, tile_rows: int = 72,
     `logical_width`; padded columns are masked out of the field-match
     costs and the padded output columns are edge junk to be sliced off.
 
-    `tile_rows` must keep the live set under the ~16MB VMEM scoped limit;
-    past it the Mosaic compiler first refuses (tile 216) and, just under
-    it, spills catastrophically (tile 120 ran 200x slower than tile 72 on
-    v5e at width 1536). 72 is the measured sweet spot for 1080-row frames:
-    full HBM-bandwidth throughput (~0.14 ms per 32-frame batch).
+    `tile_rows` must keep the live set under the ~16MB VMEM scoped limit
+    (the Mosaic compiler refuses past it, e.g. tile 216 at width 1536 with
+    erase fused in). 120 measured fastest for 1080-row frames on v5e:
+    ~6.1 ms per 64-frame batch (~10.4k fps/chip), VPU-issue-bound.
 
     Returns fn(frames_u8 [B, H, W] uint8, a_full [H, W] f32, b_full [H, W]
     f32, fades [B] f32, maxv) -> (filtered [B, H, W] uint8, costs [B, 3] f32
@@ -103,73 +103,84 @@ def make_fused_filter(height: int, width: int, tile_rows: int = 72,
     srows = tile_rows + 2 * HALO
     ht = tile_rows // 2  # output field rows per tile
 
-    def kernel(fades_ref, frames_ref, a_ref, b_ref, maxv_ref,
-               out_ref, costs_ref,
-               slab_s, a_s, b_s, sems):
-        # grid is (nj, B): j outer so the f32 logo planes for a row tile
-        # are DMA'd once per tile and stay resident across the whole batch
+    def kernel(frames_ref, maxv_ref, out_ref, costs_ref, slab_s, sems):
+        # grid is (nj, B): j outer, frames inner
         j = pl.program_id(0)
         i = pl.program_id(1)
         nb = pl.num_programs(1)
         maxv = maxv_ref[0]
 
-        row0 = j * tile_rows
-        # clamped halo source rows; the tile core always lands at scratch
-        # offset HALO so every value slice below is STATIC (Mosaic does not
-        # lower dynamic_slice on values). For interior tiles the halo rows
-        # adjacent to the core are the true neighbour rows; at frame edges
-        # the clamped copies land off-position and those rows are masked
-        # (comb sums) or fixed up (yadif bottom edge) instead.
-        # every operand is a multiple of HALO=8, but Mosaic cannot prove it
-        # through max/min — assert it so the HBM memref slices lower
-        top_src = pl.multiple_of(jnp.maximum(row0 - HALO, 0), HALO)
-        bot_src = pl.multiple_of(
-            jnp.minimum(row0 + tile_rows, height - HALO), HALO
-        )
+        def row_srcs(jj):
+            # clamped halo source rows; the tile core always lands at scratch
+            # offset HALO so every value slice below is STATIC (Mosaic does
+            # not lower dynamic_slice on values). For interior tiles the halo
+            # rows adjacent to the core are the true neighbour rows; at frame
+            # edges the clamped copies land off-position and those rows are
+            # masked (comb sums) or fixed up (yadif bottom edge) instead.
+            # every operand is a multiple of HALO=8, but Mosaic cannot prove
+            # it through max/min — assert it so the HBM memref slices lower
+            row0_ = jj * tile_rows
+            top = pl.multiple_of(jnp.maximum(row0_ - HALO, 0), HALO)
+            bot = pl.multiple_of(
+                jnp.minimum(row0_ + tile_rows, height - HALO), HALO
+            )
+            return row0_, top, bot
 
-        ip = jnp.maximum(i - 1, 0)
-        inx = jnp.minimum(i + 1, nb - 1)
+        row0, top_src, bot_src = row_srcs(j)
 
-        def load3(src_ref, dst, sem0, batch_slice=None):
+        def load3(src_ref, dst, sem3, srcs, batch_slice=None):
+            row0_, top, bot = srcs
             at = ((lambda sl: src_ref.at[batch_slice, sl])
                   if batch_slice is not None else (lambda sl: src_ref.at[sl]))
             dat = ((lambda sl: dst.at[:, sl]) if batch_slice is not None
                    else (lambda sl: dst.at[sl]))
             return [
                 pltpu.make_async_copy(
-                    at(pl.ds(top_src, HALO)), dat(pl.ds(0, HALO)),
-                    sems.at[sem0],
+                    at(pl.ds(top, HALO)), dat(pl.ds(0, HALO)),
+                    sem3.at[0],
                 ),
                 pltpu.make_async_copy(
-                    at(pl.ds(row0, tile_rows)), dat(pl.ds(HALO, tile_rows)),
-                    sems.at[sem0 + 1],
+                    at(pl.ds(row0_, tile_rows)), dat(pl.ds(HALO, tile_rows)),
+                    sem3.at[1],
                 ),
                 pltpu.make_async_copy(
-                    at(pl.ds(bot_src, HALO)),
-                    dat(pl.ds(HALO + tile_rows, HALO)), sems.at[sem0 + 2],
+                    at(pl.ds(bot, HALO)),
+                    dat(pl.ds(HALO + tile_rows, HALO)), sem3.at[2],
                 ),
             ]
 
-        # logo planes depend only on j: DMA once per row tile, reuse for
-        # every frame in the batch (the scratch persists across grid steps)
-        @pl.when(i == 0)
-        def _():
-            plane_copies = load3(a_ref, a_s, 3) + load3(b_ref, b_s, 6)
-            for c in plane_copies:
+        def start_slab(jj, ii, slot):
+            """Kick the 3-frame slab DMA for step (jj, ii) into `slot`."""
+            base = jnp.clip(ii - 1, 0, nb - 3)
+            for c in load3(frames_ref, slab_s.at[slot], sems.at[slot],
+                           row_srcs(jj), batch_slice=pl.ds(base, 3)):
                 c.start()
-            for c in plane_copies:
+
+        def wait_slab(slot):
+            base = jnp.clip(i - 1, 0, nb - 3)
+            for c in load3(frames_ref, slab_s.at[slot], sems.at[slot],
+                           (row0, top_src, bot_src),
+                           batch_slice=pl.ds(base, 3)):
                 c.wait()
 
-        # the 3 consecutive frames (prev/cur/next) arrive as ONE slab DMA
-        # per row chunk; batch edges are handled by value selects below
-        base = jnp.clip(i - 1, 0, nb - 3)
-        copies = load3(frames_ref, slab_s, 0, batch_slice=pl.ds(base, 3))
-        for c in copies:
-            c.start()
-        for c in copies:
-            c.wait()
+        # double-buffered slab prefetch: this step's slab was started by the
+        # previous step; kick next step's DMA before computing so the copy
+        # overlaps the VPU work (the serial wait cost ~25x at tile 72)
+        step = j * nb + i
+        slot = jax.lax.rem(step, 2)
+        @pl.when(step == 0)
+        def _():
+            start_slab(j, i, 0)
 
-        s0, s1, s2 = slab_s[0], slab_s[1], slab_s[2]
+        @pl.when(step + 1 < nj * nb)
+        def _():
+            j2 = jnp.where(i == nb - 1, j + 1, j)
+            i2 = jnp.where(i == nb - 1, 0, i + 1)
+            start_slab(j2, i2, 1 - slot)
+
+        wait_slab(slot)
+
+        s0, s1, s2 = slab_s[slot, 0], slab_s[slot, 1], slab_s[slot, 2]
         is_first = i == 0
         is_last = i == nb - 1
         # slab holds frames [base, base+3); map prev/cur/next with
@@ -178,19 +189,11 @@ def make_fused_filter(height: int, width: int, tile_rows: int = 72,
         prv8 = jnp.where(is_last, s1, s0)
         nxt8 = jnp.where(is_first, s1, s2)
 
-        a = a_s[:]
-        b = b_s[:]
-        fade_c = fades_ref[i]
-        fade_p = fades_ref[ip]
-        fade_n = fades_ref[inx]
-
-        # Mosaic lacks a direct u8->f32 cast; widen via int32
-        cur = _delogo(cur8.astype(jnp.int32).astype(jnp.float32),
-                      a, b, maxv, fade_c)
-        prv = _delogo(prv8.astype(jnp.int32).astype(jnp.float32),
-                      a, b, maxv, fade_p)
-        nxt = _delogo(nxt8.astype(jnp.int32).astype(jnp.float32),
-                      a, b, maxv, fade_n)
+        # frames arrive already logo-erased (pass 1); Mosaic lacks a direct
+        # u8->f32 cast, widen via int32
+        cur = cur8.astype(jnp.int32).astype(jnp.float32)
+        prv = prv8.astype(jnp.int32).astype(jnp.float32)
+        nxt = nxt8.astype(jnp.int32).astype(jnp.float32)
 
         # fields over the halo-extended tile: scratch field rows
         # FHALO..FHALO+ht are the tile's field rows, the rest halo
@@ -276,14 +279,19 @@ def make_fused_filter(height: int, width: int, tile_rows: int = 72,
     def fused(frames_u8, a_full, b_full, fades, maxv, interpret=False):
         bsz = frames_u8.shape[0]
         assert bsz >= 3, "fused filter needs batches of at least 3 frames"
+        # pass 1: logo erase, once per frame (exactly integer-valued, so the
+        # uint8 round trip is lossless)
+        x = frames_u8.astype(jnp.float32)
+        fade = fades[:, None, None]
+        bg = a_full * x + b_full * maxv
+        erased = jnp.clip(jnp.floor(fade * bg + (1.0 - fade) * x + 0.5),
+                          0.0, maxv).astype(jnp.uint8)
+        # pass 2: yadif + field-match costs
         out, costs = pl.pallas_call(
             kernel,
             grid=(nj, bsz),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # fades
-                pl.BlockSpec(memory_space=pl.ANY),  # frames (HBM)
-                pl.BlockSpec(memory_space=pl.ANY),  # a_full
-                pl.BlockSpec(memory_space=pl.ANY),  # b_full
+                pl.BlockSpec(memory_space=pl.ANY),  # erased frames (HBM)
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # maxv
             ],
             out_specs=(
@@ -297,13 +305,11 @@ def make_fused_filter(height: int, width: int, tile_rows: int = 72,
                 jax.ShapeDtypeStruct((nj, bsz, 1, 128), jnp.float32),
             ),
             scratch_shapes=[
-                pltpu.VMEM((3, srows, width), jnp.uint8),
-                pltpu.VMEM((srows, width), jnp.float32),
-                pltpu.VMEM((srows, width), jnp.float32),
-                pltpu.SemaphoreType.DMA((9,)),
+                pltpu.VMEM((2, 3, srows, width), jnp.uint8),  # double buffer
+                pltpu.SemaphoreType.DMA((2, 3)),
             ],
             interpret=interpret,
-        )(fades, frames_u8, a_full, b_full, jnp.reshape(maxv, (1,)))
+        )(erased, jnp.reshape(maxv, (1,)))
         return out, costs[:, :, 0, :3].sum(axis=0) / ((height - 2) * lw)
 
     return fused

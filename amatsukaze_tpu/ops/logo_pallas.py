@@ -26,7 +26,7 @@ CLEN = 32
 
 
 def _eval_kernel(src_ref, fades_ref, a_ref, b_ref, kernels_ref, scale_ref,
-                 scale2_ref, mask_ref, maxv_ref, out_ref, work_ref):
+                 scale2_ref, mask_ref, maxv_ref, out_ref):
     """Grid: (B, F). One program evaluates one (frame, fade) pair.
 
     src_ref     : [H, W]        frame window (deinterlaced Y)
@@ -35,8 +35,7 @@ def _eval_kernel(src_ref, fades_ref, a_ref, b_ref, kernels_ref, scale_ref,
     kernels_ref : [KLEN, H, W]  per-pixel zero-mean 5x5 kernels (tap-major)
     scale(2)_ref: [CLEN, H, W]  per-background scales (bucket-major)
     mask_ref    : [H, W]
-    out_ref     : [1, 1]        raw correlation score
-    work_ref    : [H+4, W+4] VMEM scratch (zero-padded window)
+    out_ref     : [8, 128]      raw correlation score (broadcast tile)
     """
     f = pl.program_id(1)
     fade = fades_ref[f]
@@ -47,15 +46,27 @@ def _eval_kernel(src_ref, fades_ref, a_ref, b_ref, kernels_ref, scale_ref,
     bg = a_ref[:] * src + b_ref[:] * maxv
     work = fade * bg + (1.0 - fade) * src
 
-    work_ref[:] = jnp.zeros_like(work_ref)
-    work_ref[2 : h + 2, 2 : w + 2] = work
+    def shift_zero(x, sy, sx):
+        """x shifted by (sy, sx) with zero fill (the zero-padded-window
+        taps), built from value-level concats — no scratch halo writes."""
+        zh = jnp.zeros((abs(sy), w), jnp.float32)
+        if sy > 0:
+            x = jnp.concatenate([x[sy:], zh], axis=0)
+        elif sy < 0:
+            x = jnp.concatenate([zh, x[:sy]], axis=0)
+        zw = jnp.zeros((h, abs(sx)), jnp.float32)
+        if sx > 0:
+            x = jnp.concatenate([x[:, sx:], zw], axis=1)
+        elif sx < 0:
+            x = jnp.concatenate([zw, x[:, :sx]], axis=1)
+        return x
 
     # 5x5 box average + per-pixel-kernel correlation over 25 shifted taps
     avg = jnp.zeros((h, w), jnp.float32)
     corr = jnp.zeros((h, w), jnp.float32)
     for i in range(KLEN):
         dy, dx = divmod(i, KSIZE)
-        tap = work_ref[dy : dy + h, dx : dx + w]
+        tap = shift_zero(work, dy - 2, dx - 2)
         avg += tap
         corr += kernels_ref[i] * tap
     avg = avg * (1.0 / KLEN)
@@ -77,7 +88,10 @@ def _eval_kernel(src_ref, fades_ref, a_ref, b_ref, kernels_ref, scale_ref,
         s2 = jnp.where(sel, scale2_ref[c], s2)
 
     normalized = jnp.clip(corr * s1, -1.0, 1.0)
-    out_ref[:, :] = jnp.sum(normalized * s2 * mask_ref[:]).reshape(1, 1)
+    total = jnp.sum(normalized * s2 * mask_ref[:])
+    # a full (8,128) output tile: sub-tile (1,1) blocks left the device in a
+    # degraded state that slowed every later kernel ~30x (observed on v5e)
+    out_ref[:, :] = jnp.full((8, 128), total, jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -105,10 +119,9 @@ def evaluate_logo_pallas(params, src, maxv, fades, interpret: bool = False):
             pl.BlockSpec(memory_space=pltpu.VMEM),  # mask
             pl.BlockSpec(memory_space=pltpu.SMEM),  # maxv
         ],
-        out_specs=pl.BlockSpec((None, None, 1, 1), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((None, None, 8, 128), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, f, 1, 1), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((h + 4, w + 4), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((b, f, 8, 128), jnp.float32),
         interpret=interpret,
     )(
         src, fades, params.a_y, params.b_y, kernels_tm, scale_bm, scale2_bm,

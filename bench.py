@@ -1,7 +1,13 @@
 """Benchmark: filtered 1080i frames/sec/chip through the flagship device
-pipeline — Pallas logo evaluation on the logo window plus the fused
-single-pass uint8 kernel (logo erase + yadif deinterlace + field-match
-telecine metrics) from ops.fused_filter.
+pipeline — logo evaluation (Pallas), logo erase (XLA pass), and the fused
+yadif + field-match kernel (Pallas) from ops.fused_filter.
+
+Methodology: N pipeline iterations are chained DEVICE-SIDE inside one
+lax.fori_loop and reduced to a checksum, so one dispatch + one host fetch
+covers N batches; throughput comes from the (N_hi - N_lo) slope, which
+cancels dispatch/fetch latency. Async-enqueue timing through the device
+tunnel was unreliable: dropping result buffers let the runtime cancel
+queued work, inflating fps by >50x.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: 2000 filtered 1080i fps/chip (BASELINE.json north star).
@@ -11,6 +17,7 @@ from __future__ import annotations
 
 import json
 import time
+from functools import partial
 
 import numpy as np
 
@@ -48,50 +55,52 @@ def main() -> None:
 
     fused = make_fused_filter(H, WP, logical_width=W)
 
-    @jax.jit
-    def pipeline(frames_u8, a_p, b_p, fades):
-        # logo presence evaluation on the logo window (feeds fade decisions)
+    def one_batch(p, frames_u8, a_p, b_p, fades):
+        # logo presence evaluation on the logo window (feeds fade decisions).
+        # params must be ARGUMENTS: closing over them lets XLA constant-fold
+        # the tables into multi-MB HLO literals (degrades the device runtime)
         window = frames_u8[:, :LOGO_H, :LOGO_W].astype(jnp.float32)
         deint = logo_ops.batched_deint_y(window)
         scores = evaluate_logo_pallas(
-            params, deint, jnp.float32(255.0), jnp.asarray([0.0, 1.0])
+            p, deint, jnp.float32(255.0), jnp.asarray([0.0, 1.0])
         )
-        # fused single-pass uint8 kernel: erase + yadif + field-match costs
+        # erase (XLA pass) + fused yadif/field-match kernel
         out, costs = fused(frames_u8, a_p, b_p, fades, jnp.float32(255.0))
-        return out, scores, costs
+        return (jnp.sum(costs) + jnp.sum(scores)
+                + out[0, 0, 0].astype(jnp.float32)
+                + out[-1, -1, -1].astype(jnp.float32))
+
+    @partial(jax.jit, static_argnames=("iters",))
+    def chained(p, stacked, a_p, b_p, fades, iters):
+        def body(i, acc):
+            f = jax.lax.dynamic_index_in_dim(stacked, i % 4, 0, keepdims=False)
+            fd = fades + 0.001 * i.astype(jnp.float32)  # nothing hoistable
+            return acc + one_batch(p, f, a_p, b_p, fd)
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
     rng = np.random.default_rng(0)
     frames = rng.integers(16, 236, (BATCH, H, W), dtype=np.uint8)
     fp, ap, bp = pad_width_for_fused(
         jnp.asarray(frames), jnp.asarray(a_full), jnp.asarray(b_full), WP
     )
-    # distinct inputs/fades so no layer can cache identical executions
-    inputs = [fp] + [
-        jax.device_put(jnp.asarray(
-            rng.integers(16, 236, (BATCH, H, WP), dtype=np.uint8)))
+    stacked = jnp.stack([fp] + [
+        jnp.asarray(rng.integers(16, 236, (BATCH, H, WP), dtype=np.uint8))
         for _ in range(3)
-    ]
-    fade_sets = [jnp.full((BATCH,), 0.5 + 0.01 * i, jnp.float32) for i in range(64)]
+    ])
+    fades = jnp.full((BATCH,), 0.5, jnp.float32)
 
-    # warmup / compile
-    out = pipeline(inputs[0], ap, bp, fade_sets[0])
-    jax.block_until_ready(out)
+    times = {}
+    for iters in (1, 41):
+        float(chained(params, stacked, ap, bp, fades, iters))  # compile+warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(chained(params, stacked, ap, bp, fades, iters))
+            best = min(best, time.perf_counter() - t0)
+        times[iters] = best
 
-    # timed: enqueue batches asynchronously (the production pipeline streams
-    # batches through a bounded pump), keeping only a small in-flight window
-    # (a real consumer drains results; hoarding them would exhaust HBM)
-    from collections import deque
-
-    iters = 50
-    window = deque(maxlen=3)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        window.append(pipeline(inputs[i % len(inputs)], ap, bp,
-                               fade_sets[i % len(fade_sets)]))
-    jax.block_until_ready(list(window))
-    dt = time.perf_counter() - t0
-
-    fps = BATCH * iters / dt
+    per_batch = (times[41] - times[1]) / 40
+    fps = BATCH / per_batch
     baseline = 2000.0
     print(json.dumps({
         "metric": "filtered_1080i_fps_per_chip",
