@@ -104,6 +104,12 @@ class TranscodePipeline:
         self.nicojk_fetchers = nicojk_fetchers or []
         self._nico_ok = False
         self.decoder_factory = decoder_factory
+        if audio_decoder_factory is None:
+            # the in-build AAC-LC decoder (replaces libfaad): feeds the
+            # CM-analysis wave stream and dual-mono element splitting
+            from ..audio.aac import AacLcDecoder
+
+            audio_decoder_factory = AacLcDecoder
         self.audio_decoder_factory = audio_decoder_factory
         self.caption_decoder = caption_decoder
         self.phase = phase_scheduler or _NullPhases()
