@@ -189,6 +189,17 @@ def main(argv=None) -> int:
                 ctx, settings, decoder_factory=default_decoder_factory()
             )
             pipe.run()
+        elif args.mode == "g":
+            from .pipeline.simple import SimpleTranscode
+
+            decoder = None
+            import shutil as _sh
+
+            if _sh.which("ffmpeg"):
+                from .pipeline.decoders import ffmpeg_generic_decoder
+
+                decoder = ffmpeg_generic_decoder
+            SimpleTranscode(ctx, settings, decoder=decoder).run()
         elif args.mode == "probe_subtitles":
             from .pipeline.probe import probe_subtitles
 

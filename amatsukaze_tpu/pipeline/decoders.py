@@ -76,3 +76,59 @@ class NullDecoderFactory:
         v = np.full((h // 2, w // 2), 128, np.uint8)
         for i in range(n):
             yield y, u, v
+
+
+def ffmpeg_generic_decoder(src_path: str):
+    """Generic-mode decoder: probe + decode any container via ffmpeg
+    (ref AMTSimpleVideoEncoder's FFmpeg input, Encoder.hpp:266-476).
+
+    Returns (VideoFormat, frame iterator of (Y, U, V), audio track files).
+    """
+    import json as _json
+    import subprocess
+    import tempfile
+
+    from ..types import VideoFormat
+
+    probe = subprocess.run(
+        ["ffprobe", "-v", "error", "-print_format", "json", "-show_streams",
+         src_path],
+        capture_output=True, text=True, check=True,
+    )
+    streams = _json.loads(probe.stdout)["streams"]
+    vstreams = [s for s in streams if s["codec_type"] == "video"]
+    astreams = [s for s in streams if s["codec_type"] == "audio"]
+    if not vstreams:
+        raise RuntimeError("no video stream")
+    vs = vstreams[0]
+    num, den = (int(x) for x in vs["r_frame_rate"].split("/"))
+    fmt = VideoFormat(width=int(vs["width"]), height=int(vs["height"]),
+                      frame_rate_num=num, frame_rate_denom=den,
+                      progressive=vs.get("field_order", "progressive")
+                      == "progressive", fixed_frame_rate=True)
+    w, h = fmt.width, fmt.height
+
+    def frames():
+        cmd = ["ffmpeg", "-v", "error", "-i", src_path, "-map", "0:v:0",
+               "-f", "rawvideo", "-pix_fmt", "yuv420p", "-"]
+        proc = subprocess.Popen(cmd, stdout=subprocess.PIPE)
+        fsize = w * h * 3 // 2
+        while True:
+            buf = proc.stdout.read(fsize)
+            if len(buf) < fsize:
+                break
+            arr = np.frombuffer(buf, np.uint8)
+            y = arr[: w * h].reshape(h, w)
+            u = arr[w * h: w * h + w * h // 4].reshape(h // 2, w // 2)
+            v = arr[w * h + w * h // 4:].reshape(h // 2, w // 2)
+            yield y, u, v
+        proc.wait()
+
+    audio_files = []
+    for i, _ in enumerate(astreams):
+        path = tempfile.mktemp(suffix=f".a{i}.aac")
+        subprocess.run(["ffmpeg", "-v", "error", "-y", "-i", src_path,
+                        "-map", f"0:a:{i}", "-c", "copy", "-f", "adts", path],
+                       check=True)
+        audio_files.append(path)
+    return fmt, frames(), audio_files

@@ -50,6 +50,7 @@ class ProfileSetting:
     bitrate_cm: float = 0.5
     split_sub: bool = False
     chapter: bool = False
+    rename_format: str = ""  # SCRename-style output naming (server/rename.py)
     subtitles: bool = False
     logo_paths: list = field(default_factory=list)
     ignore_no_logo: bool = True
@@ -89,6 +90,9 @@ class QueueEntry:
     console: list = field(default_factory=list)
     tags: list = field(default_factory=list)
     out_files: list = field(default_factory=list)
+    event_name: str = ""
+    service_name: str = ""
+    ts_time: str = ""  # ISO datetime when probed (JSON-safe)
 
 
 class EncodeServer:
@@ -205,10 +209,51 @@ class EncodeServer:
             profile_name=profile, priority=priority, service_id=service_id,
             added=time.time(),
         )
+        self._probe_item(entry)
+        prof = self.profiles.get(profile)
+        if prof is not None and prof.rename_format:
+            from .rename import rename_output
+
+            name = rename_output(entry, prof.rename_format)
+            if name:
+                entry.out_path = os.path.join(
+                    os.path.dirname(entry.out_path), name)
         self._next_id += 1
         self.entries[entry.item_id] = entry
         self._enqueue(entry)
         return entry
+
+    def _probe_item(self, entry: QueueEntry) -> None:
+        """Fill program info from the source TS (ref QueueManager.AddQueue's
+        TsInfo probing, QueueManager.cs:273-545). Best effort."""
+        entry.event_name = ""
+        entry.service_name = ""
+        entry.ts_time = ""
+        if not os.path.exists(entry.src_path):
+            return
+        try:
+            from ..ts.info import TsInfo
+
+            info = TsInfo(self.ctx)
+            info.read_file(entry.src_path)
+            prog = (info.get_program(entry.service_id)
+                    if entry.service_id > 0 else
+                    (info.programs[0] if info.programs else None))
+            if prog is None:
+                return
+            if entry.service_id <= 0:
+                entry.service_id = prog.service_id
+            entry.service_name = info.service_names.get(prog.service_id, "")
+            ev = info.events.get(prog.service_id)
+            if ev:
+                entry.event_name = ev.name
+            if info.time is not None:
+                dt = info.time.to_datetime()
+                if dt is not None:
+                    entry.ts_time = dt.isoformat()
+        except Exception as e:  # noqa: BLE001 — probing is best-effort
+            self.ctx.warn("TsInfo probe failed for %s: %s",
+                          entry.src_path, e)
 
     def make_cli_args(self, entry: QueueEntry, profile: ProfileSetting) -> list[str]:
         """Build the CLI line for one item (ref MakeAmatsukazeArgs,

@@ -101,6 +101,16 @@ class JSTTime:
         s = ((bcd >> 4) & 0xF) * 10 + (bcd & 0xF)
         return h, m, s
 
+    def to_datetime(self):
+        import datetime
+
+        y, mo, d = self.get_day()
+        h, mi, se = self.get_time()
+        try:
+            return datetime.datetime(y, mo, d, h, mi, se)
+        except ValueError:
+            return None
+
     @staticmethod
     def mjd_to_ymd(mjd16: int) -> tuple[int, int, int]:
         # pre-2000 wrap handling matches the reference (:788)

@@ -307,3 +307,39 @@ class TestFilteredEncode:
         # film frames are 5/120s apart, the 30p tail 4/120s
         t0, t1 = float(lines[1]), float(lines[2])
         assert abs((t1 - t0) - 5 * 1001 / 120) < 0.01
+
+
+class TestSimpleMode:
+    def test_generic_transcode(self, env):
+        ctx, conf, tmp = env
+        from amatsukaze_tpu.pipeline.simple import SimpleTranscode
+        from amatsukaze_tpu.types import VideoFormat
+
+        src = tmp / "in.avi"
+        src.write_bytes(b"fake container bytes")
+        conf.src_file_path = str(src)
+        settings = Settings(ctx, conf)
+
+        def decoder(path):
+            fmt = VideoFormat(width=64, height=48, frame_rate_num=30000,
+                              frame_rate_denom=1001, progressive=True,
+                              fixed_frame_rate=True)
+            y = np.full((48, 64), 99, np.uint8)
+            u = np.full((24, 32), 128, np.uint8)
+            aud = tmp / "track0.aac"
+            aud.write_bytes(b"\xff\xf1AAC")
+            return fmt, iter([(y, u, u)] * 12), [str(aud)]
+
+        def muxer_runner(cmd, show):
+            out = settings.out_file_path(EncodeFileKey(), EncodeFileKey())
+            with open(out, "wb") as f:
+                f.write(b"m" * 9)
+            return 0
+
+        report = SimpleTranscode(ctx, settings, decoder=decoder,
+                                 muxer_runner=muxer_runner).run()
+        assert report["outfilesize"] == 9
+        data = open(settings.enc_video_file_path(EncodeFileKey()), "rb").read()
+        assert data.count(b"FRAME\n") == 12
+        assert os.path.getsize(
+            settings.int_audio_file_path(EncodeFileKey(), 0)) == 5

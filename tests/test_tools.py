@@ -212,3 +212,53 @@ class TestScriptCommandRPC:
             await server.stop()
 
         run(main())
+
+
+class TestRename:
+    def test_escape_filename(self):
+        from amatsukaze_tpu.server.rename import escape_filename
+        assert escape_filename('a/b:c*d?"<>|') == "a／b：c＊d？”＜＞｜"
+
+    def test_format_tokens(self):
+        import datetime
+        from amatsukaze_tpu.server.rename import format_output_name
+        out = format_output_name(
+            "$time$_$title$ ($service$)",
+            event_name="ニュース7", service_name="NHK総合",
+            time=datetime.datetime(2026, 8, 16, 19, 0))
+        assert out == "202608161900_ニュース7 (NHK総合)"
+
+    def test_rename_output_no_info(self):
+        from amatsukaze_tpu.server.rename import rename_output
+
+        class Item:
+            src_path = "/rec/a.ts"
+            event_name = ""
+            service_name = ""
+            ts_time = None
+
+        assert rename_output(Item(), "$title$") is None
+
+    def test_server_applies_rename(self, ctx, tmp_path):
+        import ts_gen
+        from amatsukaze_tpu.server.server import EncodeServer, ProfileSetting
+
+        src = tmp_path / "rec.ts"
+        src.write_bytes(ts_gen.build_simple_ts(num_frames=60, si=True,
+                                               service_name="TEST TV",
+                                               event_name="My Show"))
+
+        async def main():
+            async def fake_run(server, wid, entry, phase):
+                return True
+
+            server = EncodeServer(ctx, data_dir=str(tmp_path / "d"),
+                                  run_item=fake_run)
+            server.profiles["default"] = ProfileSetting(
+                rename_format="$title$ [$service$]")
+            entry = server.add_queue(str(src), str(tmp_path / "out" / "rec"))
+            assert entry.event_name == "My Show"
+            assert entry.service_name == "TEST TV"
+            assert entry.out_path.endswith("My Show [TEST TV]")
+
+        run(main())
