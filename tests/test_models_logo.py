@@ -193,3 +193,72 @@ class TestMatcher:
         assert len(lines) == 2
         assert " S 0 ALL " in lines[0]
         assert " E 0 ALL " in lines[1]
+
+
+class TestLogoRender:
+    def _make_lgd(self, tmp_path):
+        LW, LH = 16, 8
+        header = LogoHeader(LW, LH, 1, 1, 1440, 1080, 100, 60, "renderme", 7)
+        logo = LogoData.create(header)
+        # a visible logo: brightens the middle region
+        logo.a_y[:] = 1.0
+        logo.b_y[:] = 0.0
+        logo.a_y[2:6, 4:12] = 0.8
+        logo.b_y[2:6, 4:12] = -0.1
+        logo.a_u[:] = 1.0
+        logo.a_v[:] = 1.0
+        path = str(tmp_path / "r.lgd")
+        save_lgd(path, logo)
+        return path
+
+    def test_render_and_rename(self, tmp_path):
+        from amatsukaze_tpu.models.logo_render import GUILogoFile
+
+        path = self._make_lgd(tmp_path)
+        g = GUILogoFile(path)
+        assert (g.width, g.height) == (16, 8)
+        assert g.name == "renderme"
+        rgb = g.render(bg=128)
+        assert rgb.shape == (8, 16, 3)
+        # the logo region differs from the flat background
+        assert rgb[3, 8, 0] != rgb[0, 0, 0]
+        g.set_name("renamed")
+        g.save()
+        assert GUILogoFile(path).name == "renamed"
+
+    def test_compose_inverts_erase(self):
+        import numpy as np
+
+        from amatsukaze_tpu.models.logo_render import compose_logo_plane
+
+        rng = np.random.default_rng(0)
+        a = rng.uniform(0.7, 1.0, (4, 4)).astype(np.float32)
+        b = rng.uniform(-0.2, 0.2, (4, 4)).astype(np.float32)
+        bg = 128.0
+        observed = compose_logo_plane(a, b, bg)
+        # erasing the rendered logo recovers the background
+        clean = a * observed + b * 255.0
+        np.testing.assert_allclose(clean, bg, atol=1e-3)
+
+    def test_frame_extractor(self, tmp_path):
+        import numpy as np
+
+        from amatsukaze_tpu.models.logo_render import MediaFrameExtractor
+        from amatsukaze_tpu.types import VideoFormat
+
+        def decoder(path):
+            fmt = VideoFormat(width=16, height=8)
+
+            def frames():
+                for i in range(30):
+                    y = np.full((8, 16), 16 + i * 5, np.uint8)
+                    u = np.full((4, 8), 128, np.uint8)
+                    yield y, u, u
+
+            return fmt, frames(), []
+
+        ex = MediaFrameExtractor("x", decoder)
+        f0 = ex.get_frame(0.0, approx_total=30)
+        f1 = ex.get_frame(0.5, approx_total=30)
+        assert f0.shape == (8, 16, 3)
+        assert f1[0, 0, 0] > f0[0, 0, 0]  # later frame is brighter

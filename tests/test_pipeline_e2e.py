@@ -343,3 +343,38 @@ class TestSimpleMode:
         assert data.count(b"FRAME\n") == 12
         assert os.path.getsize(
             settings.int_audio_file_path(EncodeFileKey(), 0)) == 5
+
+
+class TestCachedFrameSource:
+    def _source(self, n=40):
+        from amatsukaze_tpu.pipeline.frame_source import CachedFrameSource
+
+        def open_stream():
+            return iter([(i, i * 2, i * 3) for i in range(n)])
+
+        return CachedFrameSource(open_stream, cache_frames=8)
+
+    def test_sequential(self):
+        src = self._source()
+        for i in range(20):
+            assert src.get_frame(i)[0] == i
+        assert src.num_restarts == 1
+        assert src.num_decoded == 20
+
+    def test_small_lookback_hits_cache(self):
+        src = self._source()
+        src.get_frame(10)
+        n = src.num_decoded
+        assert src.get_frame(7)[0] == 7  # within the 8-frame cache
+        assert src.num_decoded == n
+
+    def test_far_backward_restarts(self):
+        src = self._source()
+        src.get_frame(30)
+        assert src.get_frame(2)[0] == 2
+        assert src.num_restarts == 2
+
+    def test_past_eof_substitutes_last(self):
+        src = self._source(n=5)
+        src.get_frame(4)
+        assert src.get_frame(100)[0] == 4  # newest cached frame
