@@ -82,7 +82,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="head:tail CM-recognition rate budget")
     p.add_argument("-j", "--json", default="", dest="json_path")
     p.add_argument("--mode", default="ts",
-                   choices=["ts", "cm", "drcs", "probe_subtitles", "probe_audio"])
+                   choices=["ts", "cm", "g", "drcs", "probe_subtitles", "probe_audio"])
     p.add_argument("--max-frames", type=int, default=9000)
     p.add_argument("--dump", action="store_true")
     p.add_argument("--eb", "--encode-buffer", type=int, default=16,
@@ -92,6 +92,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--filter-mode", default="none",
                    choices=["none", "yadif", "kfm_vfr"],
                    help="device filter graph (replaces the AVS filter script)")
+    p.add_argument("--post-filter", default="",
+                   help="post chain tokens: nr,deband,edge")
     p.add_argument("--print-prefix", action="store_true")
     return p
 
@@ -152,6 +154,7 @@ def args_to_config(args) -> Config:
     conf.num_encode_buffer_frames = args.encode_buffer
     conf.device_batch_frames = args.device_batch
     conf.filter_mode = args.filter_mode
+    conf.post_filter = args.post_filter
     conf.print_prefix = args.print_prefix
 
     if args.serviceid is not None:

@@ -190,6 +190,35 @@ class FilterGraph:
         return np.asarray(out)
 
 
+def build_post_chain(spec: str):
+    """Post-filter chain from comma-separated tokens {nr, deband, edge}
+    (the reference's KTemporalNR/KDeband/KEdgeLevel toggles,
+    Server/Misc.cs:1403-1441). Runs in the 14-bit domain and returns the
+    8-bit-domain frames; None when no tokens."""
+    tokens = {t.strip() for t in (spec or "").split(",") if t.strip()}
+    if not tokens:
+        return None
+    unknown = tokens - {"nr", "deband", "edge"}
+    if unknown:
+        raise ValueError(f"unknown post-filter tokens: {sorted(unknown)}")
+
+    def chain(frames):
+        import jax.numpy as jnp
+
+        from ..ops import denoise
+
+        x = denoise.to_14bit(jnp.asarray(frames))
+        if "nr" in tokens:
+            x = denoise.temporal_nr(x)
+        if "deband" in tokens:
+            x = denoise.deband(x, jnp.uint32(0))
+        if "edge" in tokens:
+            x = denoise.edge_level(x)
+        return x * (1.0 / 64.0)  # back to the 8-bit domain
+
+    return chain
+
+
 def merge_prev_weave(frames, prev):
     """Weave each frame's top field with the PREVIOUS frame's bottom field
     (3:2 pulldown repair for the split telecined frame)."""

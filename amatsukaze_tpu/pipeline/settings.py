@@ -125,6 +125,9 @@ class Config:
     # declarative filter graph mode (TPU-era replacement for the AVS filter
     # script; mirrors the GUI deinterlacer choices EncodeServerData.cs:106-119)
     filter_mode: str = "none"  # none | yadif | kfm_vfr
+    # post chain tokens: comma-separated from {nr, deband, edge}
+    # (the reference's KTemporalNR/KDeband/KEdgeLevel GUI toggles)
+    post_filter: str = ""
     # debug
     dump_stream_info: bool = False
     no_remove_tmp: bool = False
@@ -301,9 +304,14 @@ def make_encoder_args(
     outpath: str,
     timecodepath: str = "",
     vfr_timing_fps: int = 0,
+    pass_index: int = -1,
+    stats_path: str = "",
 ) -> str:
-    """Per-encoder colorspace/interlace/y4m flags (ref makeEncoderArgs :132-216)."""
+    """Per-encoder colorspace/interlace/y4m flags (ref makeEncoderArgs :132-216).
+    pass_index 1/2 + stats_path drive two-pass rate control (x264/x265)."""
     parts = [f'"{binpath}"']
+    if pass_index > 0 and encoder in (Encoder.X264, Encoder.X265):
+        parts.append(f'--pass {pass_index} --stats "{stats_path}"')
     if encoder != Encoder.SVTAV1:
         if fmt.color_primaries != 2 and fmt.color_primaries in _COLOR_PRIM:
             parts.append(f"--colorprim {_COLOR_PRIM[fmt.color_primaries]}")

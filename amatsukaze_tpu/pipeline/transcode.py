@@ -435,8 +435,11 @@ class TranscodePipeline:
         # declarative device pipeline)
         from ..models.filter_graph import FilterGraph, make_out_zones
 
+        from ..models.filter_graph import build_post_chain
+
         fg = FilterGraph(self.ctx, mode=st.conf.filter_mode,
-                         batch=st.conf.device_batch_frames)
+                         batch=st.conf.device_batch_frames,
+                         post_chain=build_post_chain(st.conf.post_filter))
         if fg.mode == FilterGraph.MODE_KFM_VFR:
             if self.decoder_factory is None:
                 raise RuntimeError("no decoder available for filter analysis")
@@ -473,13 +476,19 @@ class TranscodePipeline:
             fmt.frame_rate_num, fmt.frame_rate_denom,
         )
 
-        args = make_encoder_args(
-            st.conf.encoder, st.conf.encoder_path,
-            self._encoder_options(res, bitrate_zones, num_frames),
-            out_fmt, st.enc_video_file_path(key),
-        )
+        passes = [1, 2] if st.conf.two_pass else [-1]
         try:
-            self.encoder_runner(self, reform, key, args)
+            for pass_index in passes:
+                args = make_encoder_args(
+                    st.conf.encoder, st.conf.encoder_path,
+                    self._encoder_options(res, bitrate_zones, num_frames),
+                    out_fmt, st.enc_video_file_path(key),
+                    pass_index=pass_index,
+                    stats_path=st.enc_stats_path(key),
+                )
+                if len(passes) > 1:
+                    ctx.info("[encode pass %d/%d]", pass_index, len(passes))
+                self.encoder_runner(self, reform, key, args)
         finally:
             self._active_filter = None
             self._active_spec = None
@@ -568,7 +577,7 @@ def _default_encoder_runner(pipeline: TranscodePipeline, reform,
     wanted = set(file.video_frames)
     frames_iter = (planes for i, planes in enumerate(
         pipeline.decoder_factory(pipeline, key.video)) if i in wanted)
-    if fg is None or fg.mode == "none":
+    if fg is None or (fg.mode == "none" and fg.post_chain is None):
         for planes in frames_iter:
             pump.put(planes)
     else:

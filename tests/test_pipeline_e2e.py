@@ -378,3 +378,39 @@ class TestCachedFrameSource:
         src = self._source(n=5)
         src.get_frame(4)
         assert src.get_frame(100)[0] == 4  # newest cached frame
+
+
+class TestTwoPassAndPostFilter:
+    def test_two_pass_runs_encoder_twice(self, env):
+        ctx, conf, tmp = env
+        conf.two_pass = True
+        settings = Settings(ctx, conf)
+        calls = []
+
+        def runner(pipeline, reform, key, args):
+            calls.append(args)
+
+        pipe = TranscodePipeline(ctx, settings,
+                                 decoder_factory=NullDecoderFactory(),
+                                 encoder_runner=runner)
+        pipe.run()
+        assert len(calls) == 2
+        assert "--pass 1" in calls[0] and "--pass 2" in calls[1]
+        assert "--stats" in calls[0]
+
+    def test_post_filter_chain(self, env):
+        ctx, conf, tmp = env
+        conf.post_filter = "deband,edge"
+        settings = Settings(ctx, conf)
+        pipe = TranscodePipeline(ctx, settings,
+                                 decoder_factory=NullDecoderFactory())
+        report = pipe.run()
+        data = open(report["outfiles"][0]["path"], "rb").read()
+        assert data.count(b"FRAME\n") == 89  # frame count preserved
+
+    def test_bad_post_filter_token(self):
+        from amatsukaze_tpu.models.filter_graph import build_post_chain
+
+        with pytest.raises(ValueError, match="unknown post-filter"):
+            build_post_chain("deband,bogus")
+        assert build_post_chain("") is None
