@@ -331,11 +331,15 @@ class LogoFrameMatcher:
         self.best_logo = -1
         self.logo_ratio = 0.0
 
-    def scan_frames(self, frames_iter, width, height, fps, batch=32):
+    def scan_frames(self, frames_iter, width, height, fps, batch=32,
+                    fade_steps: int = 2):
         """frames_iter yields full Y planes (uint8). Evaluates every frame
-        against every valid logo at fades 0 and 1."""
+        against every valid logo at `fade_steps` fade levels spanning [0, 1]
+        (2 = the matcher's on/off pair; 11 = the reference's AMTAnalyzeLogo
+        sweep used to derive per-frame erase fades)."""
         self.fps = int(round(fps))
-        fades = jnp.asarray([0.0, 1.0], jnp.float32)
+        self.fade_steps = fade_steps
+        fades = jnp.asarray(np.linspace(0.0, 1.0, fade_steps), jnp.float32)
         results = []
         pend = []
 
@@ -343,12 +347,12 @@ class LogoFrameMatcher:
             if not pend:
                 return
             batch_np = np.stack(pend)
-            out = np.empty((len(pend), len(self.logos), 2), np.float32)
+            out = np.empty((len(pend), len(self.logos), fade_steps), np.float32)
             for li, (lg, params) in enumerate(zip(self.logos, self.params)):
                 h = lg.header
                 if h.imgw != width or h.imgh != height:
-                    out[:, li, 0] = 0.0
-                    out[:, li, 1] = -1.0
+                    out[:, li, :] = 0.0
+                    out[:, li, -1] = -1.0
                     continue
                 window = batch_np[:, h.imgy : h.imgy + h.h, h.imgx : h.imgx + h.w]
                 deint = ops.batched_deint_y(jnp.asarray(window.astype(np.float32)))
@@ -366,7 +370,7 @@ class LogoFrameMatcher:
         self.eval_results = (
             np.concatenate(results)
             if results
-            else np.empty((0, len(self.logos), 2), np.float32)
+            else np.empty((0, len(self.logos), fade_steps), np.float32)
         )
         self.num_frames = len(self.eval_results)
 
@@ -375,9 +379,9 @@ class LogoFrameMatcher:
         if num_candidates < 0:
             num_candidates = len(self.logos)
         r = self.eval_results[:, :num_candidates]
-        detected = (r[:, :, 0] > THRESH) & (np.abs(r[:, :, 1]) < THRESH)
+        detected = (r[:, :, 0] > THRESH) & (np.abs(r[:, :, -1]) < THRESH)
         num = detected.sum(axis=0)
-        cost = np.where(detected, np.abs(r[:, :, 1]), 0.0).sum(axis=0)
+        cost = np.where(detected, np.abs(r[:, :, -1]), 0.0).sum(axis=0)
         with np.errstate(divide="ignore", invalid="ignore"):
             score = np.where(
                 num == 0, np.inf, (cost / num) * (self.num_frames / num)
@@ -404,7 +408,7 @@ class LogoFrameMatcher:
         n = self.num_frames
 
         r = self.eval_results[:, logo_index]
-        raw = np.maximum(0.0, r[:, 0]) + np.minimum(0.0, r[:, 1])
+        raw = np.maximum(0.0, r[:, 0]) + np.minimum(0.0, r[:, -1])
         padded = np.concatenate(
             [np.full(half_win, raw[0] if n else 0.0), raw,
              np.full(win - half_win, raw[-1] if n else 0.0)]
@@ -483,6 +487,26 @@ class LogoFrameMatcher:
             if e_end_ <= it - 1:
                 break
         return out
+
+    def fade_curve(self, logo_index: int = -1, window: int = 4) -> np.ndarray:
+        """Per-frame erase fade in [0, 1]: the fade step whose erase residual
+        is smallest, box-smoothed over +-window frames (the reference's
+        CalcFade2, LogoScan.hpp:1263-1341, on the AMTAnalyzeLogo fade sweep).
+        Needs scan_frames(fade_steps > 2) for meaningful intermediate fades."""
+        if logo_index < 0:
+            if self.best_logo < 0:
+                self.select_logo()
+            logo_index = self.best_logo
+        r = self.eval_results[:, logo_index]  # [N, F]
+        nf = r.shape[1]
+        if len(r) == 0:
+            return np.zeros(0, np.float32)
+        fade = np.argmin(np.abs(r), axis=1).astype(np.float32) / max(nf - 1, 1)
+        if window > 0 and len(fade) > 1:
+            kernel = np.ones(2 * window + 1) / (2 * window + 1)
+            fade = np.convolve(np.pad(fade, window, mode="edge"), kernel,
+                               mode="valid")
+        return np.clip(fade.astype(np.float32), 0.0, 1.0)
 
     def write_result(self, path: str, logo_index: int = -1) -> None:
         """logoframe file format consumed by join_logo_scp."""

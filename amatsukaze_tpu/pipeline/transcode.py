@@ -121,6 +121,13 @@ class TranscodePipeline:
                 self.logos.append((p, load_lgd(p)))
             except (OSError, ValueError):
                 self.ctx.warn("cannot read logo: %s", p)
+        self.erase_logos = []  # unconditional fade-1 erasure (--erase-logo)
+        for p in settings.conf.erase_logo_path:
+            try:
+                self.erase_logos.append(load_lgd(p))
+            except (OSError, ValueError):
+                self.ctx.warn("cannot read erase-logo: %s", p)
+        self._fade_curves: dict[int, tuple] = {}  # video idx -> (LogoData, fades)
 
     # ------------------------------------------------------------------ main
     def run(self) -> dict:
@@ -328,13 +335,20 @@ class TranscodePipeline:
 
             if self.logos and len(frames):
                 matcher = LogoFrameMatcher(self.ctx, [lg for _, lg in self.logos])
-                matcher.scan_frames(iter(frames), fmt.width, fmt.height, fps)
+                # the 11-step fade sweep feeds both matching and the
+                # per-frame erase fades (ref AMTAnalyzeLogo's NUM_FADE)
+                fade_steps = 2 if st.conf.no_delogo else 11
+                matcher.scan_frames(iter(frames), fmt.width, fmt.height, fps,
+                                    fade_steps=fade_steps)
                 best = matcher.select_logo()
                 matcher.write_result(st.tmp_logo_frame_path(v))
                 ivs = matcher.intervals()
                 logo_spans = [(iv.s_best, iv.e_best + 1) for iv in ivs]
                 logo_ratio = matcher.logo_ratio
                 logo_path = self.logos[best][0]
+                if not st.conf.no_delogo:
+                    self._fade_curves[v] = (self.logos[best][1],
+                                            matcher.fade_curve())
 
             silence = self._detect_silence(reform, v, fps)
 
@@ -436,6 +450,14 @@ class TranscodePipeline:
         from ..models.filter_graph import FilterGraph, make_out_zones
 
         from ..models.filter_graph import build_post_chain
+        from ..models.logo_erase import LogoEraser
+
+        entries = []
+        if key.video in self._fade_curves:
+            entries.append(self._fade_curves[key.video])
+        entries.extend((lg, None) for lg in self.erase_logos)
+        eraser = LogoEraser(self.ctx, entries, fmt.width, fmt.height)
+        self._active_eraser = eraser if eraser else None
 
         fg = FilterGraph(self.ctx, mode=st.conf.filter_mode,
                          batch=st.conf.device_batch_frames,
@@ -444,10 +466,13 @@ class TranscodePipeline:
             if self.decoder_factory is None:
                 raise RuntimeError("no decoder available for filter analysis")
             wanted = set(file.video_frames)
+            src = self.decoder_factory(self, key.video)
+            if self._active_eraser is not None:
+                src = self._active_eraser.erase_iter(
+                    src, st.conf.device_batch_frames)
             fg.analyze(
                 (planes[0].astype(np.float32)
-                 for i, planes in enumerate(
-                     self.decoder_factory(self, key.video)) if i in wanted),
+                 for i, planes in enumerate(src) if i in wanted),
                 num_frames,
             )
         spec = fg.output_spec(num_frames, fmt)
@@ -492,6 +517,7 @@ class TranscodePipeline:
         finally:
             self._active_filter = None
             self._active_spec = None
+            self._active_eraser = None
 
     def _encoder_options(self, res: OutFileResult, zones, num_frames) -> str:
         opts = self.settings.conf.encoder_options
@@ -575,8 +601,11 @@ def _default_encoder_runner(pipeline: TranscodePipeline, reform,
     pump = DataPumpThread(lambda planes: writer.write_frame(*planes),
                           max_items=max(4, st.conf.num_encode_buffer_frames))
     wanted = set(file.video_frames)
-    frames_iter = (planes for i, planes in enumerate(
-        pipeline.decoder_factory(pipeline, key.video)) if i in wanted)
+    src = pipeline.decoder_factory(pipeline, key.video)
+    eraser = getattr(pipeline, "_active_eraser", None)
+    if eraser is not None:
+        src = eraser.erase_iter(src, max(3, st.conf.device_batch_frames))
+    frames_iter = (planes for i, planes in enumerate(src) if i in wanted)
     if fg is None or (fg.mode == "none" and fg.post_chain is None):
         for planes in frames_iter:
             pump.put(planes)

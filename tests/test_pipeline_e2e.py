@@ -414,3 +414,83 @@ class TestTwoPassAndPostFilter:
         with pytest.raises(ValueError, match="unknown post-filter"):
             build_post_chain("deband,bogus")
         assert build_post_chain("") is None
+
+
+class TestDelogoWiring:
+    """The encode path must actually erase the matched logo (AMTEraseLogo
+    parity) — per-frame fades from the 11-step sweep."""
+
+    LW, LH, RX, RY = 24, 16, 8, 8
+
+    def _logo(self, tmp):
+        from amatsukaze_tpu.models.lgd import LogoData, LogoHeader, save_lgd
+
+        yy, xx = np.mgrid[0:self.LH, 0:self.LW]
+        r = np.hypot((yy - self.LH / 2) / (self.LH / 2),
+                     (xx - self.LW / 2) / (self.LW / 2))
+        alpha = (np.clip(1.1 - r, 0, 1) * 0.5).astype(np.float32)
+        a = (1.0 / (1.0 - alpha)).astype(np.float32)
+        b = (-alpha * 200.0 / (1.0 - alpha) / 255.0).astype(np.float32)
+        header = LogoHeader(self.LW, self.LH, 1, 1, W, H, self.RX, self.RY,
+                            "e2e", 1)
+        logo = LogoData.create(header)
+        logo.a_y = a
+        logo.b_y = b
+        logo.a_u[:] = 1.0
+        logo.a_v[:] = 1.0
+        path = str(tmp / "e2e.lgd")
+        save_lgd(path, logo)
+        return path, alpha
+
+    def _decoder(self, alpha):
+        rng = np.random.default_rng(7)
+
+        class D:
+            def __call__(selfd, pipeline, video_index):
+                reform = pipeline._reform
+                n = len(reform.get_filter_source_frames(video_index))
+                for i in range(n):
+                    y = np.full((H, W), 128.0, np.float32)
+                    win = y[self.RY:self.RY + self.LH, self.RX:self.RX + self.LW]
+                    y[self.RY:self.RY + self.LH, self.RX:self.RX + self.LW] = \
+                        (1 - alpha) * win + alpha * 200.0
+                    y += rng.normal(0, 0.7, y.shape)
+                    u = (122 + 4 * rng.random((H // 2, W // 2))).astype(np.uint8)
+                    yield (np.clip(y, 0, 255).astype(np.uint8), u, u)
+
+        return D()
+
+    def test_logo_erased_in_output(self, env):
+        ctx, conf, tmp = env
+        path, alpha = self._logo(tmp)
+        conf.logo_path = [path]
+        settings = Settings(ctx, conf)
+        pipe = TranscodePipeline(ctx, settings,
+                                 decoder_factory=self._decoder(alpha))
+        report = pipe.run()
+        assert report["logofiles"] == [path]
+        # parse the fake-encoded y4m: first frame's logo-center pixel must be
+        # back near the 128 background (input had ~164 there)
+        data = open(report["outfiles"][0]["path"], "rb").read()
+        off = data.index(b"FRAME\n") + 6
+        y0 = np.frombuffer(data[off:off + W * H], np.uint8).reshape(H, W)
+        center = y0[self.RY + self.LH // 2, self.RX + self.LW // 2]
+        assert abs(int(center) - 128) <= 6, f"logo not erased: {center}"
+        # fade curve was computed and applied
+        assert 0 in pipe._fade_curves
+        fades = pipe._fade_curves[0][1]
+        assert fades.mean() > 0.7  # logo always on
+
+    def test_erase_logo_fade1(self, env):
+        ctx, conf, tmp = env
+        path, alpha = self._logo(tmp)
+        conf.erase_logo_path = [path]  # unconditional erasure, no matching
+        settings = Settings(ctx, conf)
+        pipe = TranscodePipeline(ctx, settings,
+                                 decoder_factory=self._decoder(alpha))
+        report = pipe.run()
+        data = open(report["outfiles"][0]["path"], "rb").read()
+        off = data.index(b"FRAME\n") + 6
+        y0 = np.frombuffer(data[off:off + W * H], np.uint8).reshape(H, W)
+        center = y0[self.RY + self.LH // 2, self.RX + self.LW // 2]
+        assert abs(int(center) - 128) <= 6
