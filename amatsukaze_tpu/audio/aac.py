@@ -74,11 +74,14 @@ SIGNED_BOOKS = {1, 2, 5, 6}
 
 
 def _huff(r: BitReader, table, maxlen) -> tuple:
-    acc = 0
-    for length in range(1, maxlen + 1):
-        acc = (acc << 1) | r.read(1)
-        v = table.get((length, acc))
+    # one wide peek, then walk integer prefixes (no per-bit reads)
+    avail = min(maxlen, len(r.data) * 8 - r.pos)
+    word = r.peek(avail)
+    get = table.get
+    for length in range(1, avail + 1):
+        v = get((length, word >> (avail - length)))
         if v is not None:
+            r.pos += length
             return v
     raise ValueError("invalid huffman code")
 
@@ -119,7 +122,8 @@ class _Transforms:
             n0 = (n / 2 + 1) / 2
             mat = (2.0 / n) * np.cos(
                 2.0 * np.pi / n * np.outer(t + n0, k + 0.5))
-            self.imdct[n] = mat
+            # float32 halves the matmul cost; plenty for int16 PCM output
+            self.imdct[n] = mat.astype(np.float32)
         self.win = {
             (n_long, 0): _sine_window(n_long),
             (n_long, 1): _kbd_window(n_long, 4.0),
@@ -314,17 +318,22 @@ class AacLcDecoder(AacDecoder):
                 vals = []
                 table = _BOOKS[cb]
                 maxlen = _MAXLEN[cb]
-                step = 4 if cb in QUAD_BOOKS else 2
+                signed = cb in SIGNED_BOOKS
                 while len(vals) < total:
                     tup = list(_huff(r, table, maxlen))
-                    if cb not in SIGNED_BOOKS:
-                        for idx, v in enumerate(tup):
-                            if v:
-                                if r.read(1):
-                                    tup[idx] = -v
+                    if not signed:
+                        nz = sum(1 for v in tup if v)
+                        if nz:
+                            bits = r.read(nz)
+                            k = nz
+                            for idx, v in enumerate(tup):
+                                if v:
+                                    k -= 1
+                                    if (bits >> k) & 1:
+                                        tup[idx] = -v
                     if cb == ESC_HCB:
                         for idx, v in enumerate(tup):
-                            if abs(v) == 16:
+                            if v == 16 or v == -16:
                                 n = 4
                                 while r.read(1):
                                     n += 1
@@ -361,7 +370,7 @@ class AacLcDecoder(AacDecoder):
         ics = ch.ics
         nw = ics.num_windows
         size = self.n_long // 2 if nw == 1 else self.n_long // 16
-        spec = np.zeros((nw, size), np.float64)
+        spec = np.zeros((nw, size), np.float32)
         win0 = 0
         for g in range(ics.num_window_groups):
             glen = ics.group_lens[g]

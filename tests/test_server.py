@@ -294,3 +294,49 @@ class TestEncodeServer:
         assert conf.chapter and conf.logo_path == ["l.lgd"]
         assert conf.cm_out_mask == 6 and conf.service_id == 100
         assert conf.auto_bitrate and conf.bitrate.a == 0.2
+
+
+class TestOrderedParallel:
+    def test_round_robin_order(self):
+        from amatsukaze_tpu.parallel.ordered import ordered_parallel
+
+        out = list(ordered_parallel([iter("abc"), iter("xyz")]))
+        assert out == [(0, "a"), (1, "x"), (0, "b"), (1, "y"),
+                       (0, "c"), (1, "z")]
+
+    def test_uneven_lengths(self):
+        from amatsukaze_tpu.parallel.ordered import ordered_parallel
+
+        out = list(ordered_parallel([iter([1, 2, 3, 4]), iter([10])]))
+        assert out == [(0, 1), (1, 10), (0, 2), (0, 3), (0, 4)]
+
+    def test_producer_error_propagates(self):
+        from amatsukaze_tpu.parallel.ordered import ordered_parallel
+
+        def bad():
+            yield 1
+            raise RuntimeError("boom")
+
+        import pytest as _pytest
+        gen = ordered_parallel([bad(), iter([7, 8])])
+        with _pytest.raises(RuntimeError, match="boom"):
+            list(gen)
+
+    def test_slow_producer_overlap(self):
+        import time
+        from amatsukaze_tpu.parallel.ordered import ordered_parallel
+
+        def slow(tag, delay):
+            def gen():
+                for i in range(4):
+                    time.sleep(delay)
+                    yield f"{tag}{i}"
+            return gen()
+
+        t0 = time.time()
+        out = list(ordered_parallel([slow("a", 0.02), slow("b", 0.02)]))
+        dt = time.time() - t0
+        assert [x for _, x in out] == ["a0", "b0", "a1", "b1", "a2", "b2",
+                                       "a3", "b3"]
+        # producers ran concurrently: well under the serial 0.16 s
+        assert dt < 0.14
