@@ -92,7 +92,8 @@ class QueueEntry:
     out_files: list = field(default_factory=list)
     event_name: str = ""
     service_name: str = ""
-    ts_time: str = ""  # ISO datetime when probed (JSON-safe)
+    ts_time: str = ""  # ISO datetime when probed
+    genres: list = field(default_factory=list)  # [level1, level2] pairs (JSON-safe)
 
 
 class EncodeServer:
@@ -183,11 +184,34 @@ class EncodeServer:
 
     # ------------------------------------------------------------ queue ops
     def profile_for(self, entry: QueueEntry) -> ProfileSetting:
-        # auto-select by service id (ref AutoSelectProfile)
+        """Auto-select by service id and/or ARIB genre (ref
+        AutoSelectProfile conditions, EncodeServerData.cs + EncodeServer's
+        SelectProfile). Rules are dicts {service_id?, genre?: [l1, l2?],
+        profile}; legacy (service_id, profile) pairs still work."""
         for rules in self.auto_select.values():
-            for service_id, profile in rules:
-                if service_id == entry.service_id and profile in self.profiles:
-                    return self.profiles[profile]
+            for rule in rules:
+                if isinstance(rule, (tuple, list)) and len(rule) == 2 \
+                        and not isinstance(rule[0], str):
+                    service_id, profile = rule
+                    rule = {"service_id": service_id, "profile": profile}
+                profile = rule.get("profile")
+                if profile not in self.profiles:
+                    continue
+                sid = rule.get("service_id")
+                if sid is not None and sid != entry.service_id:
+                    continue
+                genre = rule.get("genre")
+                if genre is not None:
+                    want = list(genre)
+                    hit = any(
+                        g[0] == want[0] and (len(want) < 2 or g[1] == want[1])
+                        for g in entry.genres
+                    )
+                    if not hit:
+                        continue
+                if sid is None and genre is None:
+                    continue  # an empty rule must not match everything
+                return self.profiles[profile]
         return self.profiles.get(entry.profile_name, self.profiles["default"])
 
     def _enqueue(self, entry: QueueEntry) -> None:
@@ -247,6 +271,7 @@ class EncodeServer:
             ev = info.events.get(prog.service_id)
             if ev:
                 entry.event_name = ev.name
+                entry.genres = [list(g) for g in ev.genres]
             if info.time is not None:
                 dt = info.time.to_datetime()
                 if dt is not None:

@@ -340,3 +340,51 @@ class TestOrderedParallel:
                                        "a3", "b3"]
         # producers ran concurrently: well under the serial 0.16 s
         assert dt < 0.14
+
+
+class TestAutoSelect:
+    def _server(self, ctx, tmp_path):
+        from amatsukaze_tpu.server.server import EncodeServer, ProfileSetting
+
+        async def fake_run(server, wid, entry, phase):
+            return True
+
+        s = EncodeServer(ctx, data_dir=str(tmp_path / "d"), run_item=fake_run)
+        s.profiles["anime"] = ProfileSetting(name="anime")
+        s.profiles["news"] = ProfileSetting(name="news")
+        return s
+
+    def test_genre_rule(self, ctx, tmp_path):
+        from amatsukaze_tpu.server.server import QueueEntry
+
+        s = self._server(ctx, tmp_path)
+        s.auto_select["default"] = [
+            {"genre": [0x7], "profile": "anime"},
+            {"genre": [0x0, 0x0], "profile": "news"},
+        ]
+        e = QueueEntry(1, "a.ts", "out", genres=[[7, 0]])
+        assert s.profile_for(e).name == "anime"
+        e2 = QueueEntry(2, "b.ts", "out", genres=[[0, 0]])
+        assert s.profile_for(e2).name == "news"
+        e3 = QueueEntry(3, "c.ts", "out", genres=[[0, 5]])
+        assert s.profile_for(e3).name == "default"  # sub-genre mismatch
+
+    def test_service_and_genre_combined(self, ctx, tmp_path):
+        from amatsukaze_tpu.server.server import QueueEntry
+
+        s = self._server(ctx, tmp_path)
+        s.auto_select["x"] = [
+            {"service_id": 1024, "genre": [0x7], "profile": "anime"},
+        ]
+        hit = QueueEntry(1, "a.ts", "o", service_id=1024, genres=[[7, 2]])
+        miss = QueueEntry(2, "b.ts", "o", service_id=99, genres=[[7, 2]])
+        assert s.profile_for(hit).name == "anime"
+        assert s.profile_for(miss).name == "default"
+
+    def test_legacy_pair_rule(self, ctx, tmp_path):
+        from amatsukaze_tpu.server.server import QueueEntry
+
+        s = self._server(ctx, tmp_path)
+        s.auto_select["x"] = [(1032, "news")]
+        e = QueueEntry(1, "a.ts", "o", service_id=1032)
+        assert s.profile_for(e).name == "news"
