@@ -97,8 +97,10 @@ class FilterGraph:
         pattern = np.asarray(
             deint_ops.telecine_pattern_costs(jnp.asarray(all_costs))
         )
+        self.frame_costs = all_costs
         self.decisions = KFMDecider().decide(pattern)
-        self.vfr_plan = build_vfr_plan(self.decisions, num_frames)
+        self.vfr_plan = build_vfr_plan(self.decisions, num_frames,
+                                       frame_costs=all_costs)
 
     # -- pass 3: output synthesis --------------------------------------------
     def output_spec(self, num_src_frames: int, in_fmt: VideoFormat) -> FilterOutput:

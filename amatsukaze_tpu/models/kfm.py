@@ -128,11 +128,30 @@ class VFRPlan:
 
 
 def build_vfr_plan(decisions: list[CycleDecision], num_frames: int,
-                   fps_num: int = 120000, fps_denom: int = 1001) -> VFRPlan:
+                   fps_num: int = 120000, fps_denom: int = 1001,
+                   frame_costs=None, ucf_thresh: float = 5.0) -> VFRPlan:
     """Expand cycle decisions into output frames + durations on the 120Hz
-    clock: FILM frame = 5 units, 30p frame = 4, 60p half-frame = 2."""
+    clock: FILM frame = 5 units, 30p frame = 4, 60p half-frame = 2.
+
+    frame_costs ([N, 3] from ops.deint.field_match_costs) enables the UCF
+    analog (KFM's dirty-field replacement): a FILM output frame whose chosen
+    weave still combs far above the sequence median gets bobbed instead of
+    woven — same duration, cleaner field pair (broadcast edits that break
+    the pulldown phase mid-cycle)."""
     durations: list[int] = []
     source: list[tuple[int, int]] = []
+    ucf_base = None
+    if frame_costs is not None and len(frame_costs):
+        costs = np.asarray(frame_costs)
+        ucf_base = float(np.median(costs[:, 0])) + 1e-6
+
+    def film_op(f: int, merged: bool) -> int:
+        op = VFRPlan.MERGE_PREV if merged else VFRPlan.WEAVE
+        if ucf_base is not None and f < len(frame_costs):
+            cost = float(frame_costs[f][1 if merged else 0])
+            if cost > ucf_thresh * ucf_base:
+                return VFRPlan.BOB_T  # dirty field: replace, keep duration
+        return op
     for ci, d in enumerate(decisions):
         base = ci * 5
         remaining = min(5, num_frames - base)
@@ -150,8 +169,7 @@ def build_vfr_plan(decisions: list[CycleDecision], num_frames: int,
             for f in range(5):
                 if f == skip:
                     continue
-                op = VFRPlan.MERGE_PREV if merge[f] else VFRPlan.WEAVE
-                source.append((base + f, op))
+                source.append((base + f, film_op(base + f, bool(merge[f]))))
                 durations.append(5)
         elif d.mode == CycleMode.VIDEO_60:
             for f in range(remaining):

@@ -87,3 +87,31 @@ class TestVFRPlan:
         d = [CycleDecision(CycleMode.FILM, 0)]
         plan = build_vfr_plan(d, 3)  # only 3 frames: falls back to 30p-style
         assert sum(plan.durations) == 12
+
+
+class TestUCF:
+    def test_dirty_frame_replaced_with_bob(self):
+        """A FILM frame whose weave still combs badly (broken pulldown at a
+        broadcast edit) is bobbed instead (KFM's UCF dirty-field analog)."""
+        from amatsukaze_tpu.models.kfm import (
+            CycleDecision, CycleMode, VFRPlan, build_vfr_plan)
+
+        decisions = [CycleDecision(CycleMode.FILM, 0) for _ in range(4)]
+        n = 20
+        costs = np.full((n, 3), 1.0, np.float32)
+        costs[7] = [50.0, 50.0, 50.0]  # frame 7: dirty whatever the pairing
+        plan = build_vfr_plan(decisions, n, frame_costs=costs)
+        ops = dict(plan.source_frames)
+        assert ops[7] == VFRPlan.BOB_T
+        # clean frames keep their weave/merge ops
+        assert ops[0] == VFRPlan.WEAVE
+        # durations unchanged (replacement, not a rate change)
+        assert set(plan.durations) == {5}
+
+    def test_no_costs_means_no_ucf(self):
+        from amatsukaze_tpu.models.kfm import (
+            CycleDecision, CycleMode, VFRPlan, build_vfr_plan)
+
+        decisions = [CycleDecision(CycleMode.FILM, 0) for _ in range(2)]
+        plan = build_vfr_plan(decisions, 10)
+        assert all(op != VFRPlan.BOB_T for _, op in plan.source_frames)
