@@ -163,6 +163,50 @@ class FilterGraph:
             out = np.asarray(self.post_chain(jnp.asarray(out)))
         return out
 
+    # cache of geometry-specialised fused kernels (TPU production path)
+    _fused_cache: dict = {}
+
+    def _fused_yadif(self, frames: np.ndarray, prev_frame, next_frame):
+        """Run yadif through the fused Pallas kernel (ops.fused_filter) when
+        on TPU and the plane geometry allows; None = fall back to jnp.
+
+        Bit-exact with the jnp chain: the batch is extended with the
+        cross-batch halo frames so edge frames see their true temporal
+        neighbours, and the kernel's own batch-edge clamping reproduces the
+        jnp path's sequence-edge replication."""
+        import jax
+
+        try:
+            if jax.devices()[0].platform != "tpu":
+                return None
+        except Exception:  # noqa: BLE001
+            return None
+        b, h, w = frames.shape
+        tile = next((t for t in (120, 72, 40, 24, 16, 8)
+                     if h % t == 0 and t % 8 == 0), None)
+        if tile is None or b + 2 < 3:
+            return None
+        import jax.numpy as jnp
+
+        from ..ops.fused_filter import make_fused_filter, pad_width_for_fused
+
+        wp = -(-w // 128) * 128
+        key = (h, wp, tile, w)
+        fused = self._fused_cache.get(key)
+        if fused is None:
+            fused = make_fused_filter(h, wp, tile_rows=tile, logical_width=w)
+            self._fused_cache[key] = fused
+        first = (prev_frame if prev_frame is not None else frames[0])
+        last = (next_frame if next_frame is not None else frames[-1])
+        ext = np.concatenate([first[None], frames, last[None]])
+        u8 = np.clip(np.rint(ext), 0, 255).astype(np.uint8)
+        ones = jnp.ones((h, w), jnp.float32)
+        zeros = jnp.zeros((h, w), jnp.float32)
+        fp, ap, bp = pad_width_for_fused(jnp.asarray(u8), ones, zeros, wp)
+        fades = jnp.zeros((len(ext),), jnp.float32)  # erase already applied
+        out, _costs = fused(fp, ap, bp, fades, jnp.float32(255.0))
+        return np.asarray(out[1:-1, :, :w]).astype(np.float32)
+
     def run_pass3(self, frames: np.ndarray, prev_frame, next_frame):
         """Filter one batch [B, H, W] -> output frames for that batch.
 
@@ -174,6 +218,12 @@ class FilterGraph:
         from ..ops import deint as deint_ops
 
         if self.mode == self.MODE_YADIF:
+            fused_out = self._fused_yadif(frames, prev_frame, next_frame)
+            if fused_out is not None:
+                if self.post_chain is not None:
+                    fused_out = np.asarray(
+                        self.post_chain(jnp.asarray(fused_out)))
+                return fused_out
             arr = jnp.asarray(frames)
             prev = jnp.concatenate(
                 [jnp.asarray(prev_frame if prev_frame is not None else frames[:1])
