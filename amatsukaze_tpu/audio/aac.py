@@ -73,12 +73,38 @@ QUAD_BOOKS = {1, 2, 3, 4}
 SIGNED_BOOKS = {1, 2, 5, 6}
 
 
+_LUT8: dict[int, list] = {}
+
+
+def _make_lut8(table) -> list:
+    """First-level 8-bit LUT: lut[word8] = (vals, length) for codes with
+    length <= 8 (the overwhelmingly common case), None otherwise."""
+    lut = [None] * 256
+    for (length, code), vals in table.items():
+        if length <= 8:
+            base = code << (8 - length)
+            for pad in range(1 << (8 - length)):
+                lut[base | pad] = (vals, length)
+    return lut
+
+
 def _huff(r: BitReader, table, maxlen) -> tuple:
-    # one wide peek, then walk integer prefixes (no per-bit reads)
+    lut = _LUT8.get(id(table))
+    if lut is None:
+        lut = _LUT8[id(table)] = _make_lut8(table)
     avail = min(maxlen, len(r.data) * 8 - r.pos)
     word = r.peek(avail)
+    if avail >= 8:
+        hit = lut[word >> (avail - 8)]
+        if hit is not None:
+            vals, length = hit
+            r.pos += length
+            return vals
+        start = 9
+    else:
+        start = 1
     get = table.get
-    for length in range(1, avail + 1):
+    for length in range(start, avail + 1):
         v = get((length, word >> (avail - length)))
         if v is not None:
             r.pos += length
@@ -109,21 +135,52 @@ def _kbd_window(n: int, alpha: float) -> np.ndarray:
     return np.concatenate([left, left[::-1]])
 
 
+def imdct_matrix(n: int) -> np.ndarray:
+    """Direct O(N^2) IMDCT (definition; kept for validation)."""
+    k = np.arange(n // 2)
+    t = np.arange(n)
+    n0 = (n / 2 + 1) / 2
+    return (2.0 / n) * np.cos(2.0 * np.pi / n * np.outer(t + n0, k + 0.5))
+
+
 class _Transforms:
-    """IMDCT matrices + windows for one frame size (built lazily)."""
+    """FFT-based IMDCT + windows for one frame size (built lazily).
+
+    The IMDCT reduces to a DCT-IV (x[n] = (2/N) D[n + M/2] with the
+    even/odd symmetry extensions) computed via a 2M-point FFT with pre/post
+    twiddles — machine-precision equal to the direct matrix."""
 
     _cache: dict[int, "_Transforms"] = {}
 
     def __init__(self, n_long: int = 2048):
-        self.imdct = {}
+        self._tw = {}
         for n in (n_long, n_long // 8):
-            k = np.arange(n // 2)
-            t = np.arange(n)
-            n0 = (n / 2 + 1) / 2
-            mat = (2.0 / n) * np.cos(
-                2.0 * np.pi / n * np.outer(t + n0, k + 0.5))
-            # float32 halves the matmul cost; plenty for int16 PCM output
-            self.imdct[n] = mat.astype(np.float32)
+            m = n // 2
+            pre = np.exp(-1j * np.pi * np.arange(m) / (2 * m))
+            post = np.exp(-1j * np.pi * (2 * np.arange(m) + 1) / (4 * m))
+            idx = np.arange(n) + m // 2
+            sel_b = (idx >= m) & (idx < 2 * m)
+            sel_c = idx >= 2 * m
+            gather = idx.copy()
+            gather[sel_b] = 2 * m - 1 - idx[sel_b]
+            gather[sel_c] = idx[sel_c] - 2 * m
+            sign = np.ones(n)
+            sign[sel_b | sel_c] = -1.0
+            self._tw[n] = (pre, post, gather, sign * (2.0 / n))
+        self.win = {
+            (n_long, 0): _sine_window(n_long),
+            (n_long, 1): _kbd_window(n_long, 4.0),
+            (n_long // 8, 0): _sine_window(n_long // 8),
+            (n_long // 8, 1): _kbd_window(n_long // 8, 6.0),
+        }
+
+    def imdct(self, spec: np.ndarray, n: int) -> np.ndarray:
+        pre, post, gather, scale = self._tw[n]
+        m = n // 2
+        buf = np.zeros(2 * m, np.complex128)
+        buf[:m] = spec * pre
+        d = np.real(post * np.fft.fft(buf)[:m])
+        return d[gather] * scale
         self.win = {
             (n_long, 0): _sine_window(n_long),
             (n_long, 1): _kbd_window(n_long, 4.0),
@@ -497,7 +554,7 @@ class AacLcDecoder(AacDecoder):
             buf = np.zeros(nl + ns)
             offset = (half - ns) // 2  # 448 for 2048
             for w in range(8):
-                x = self.tr.imdct[ns] @ ch.spec[w]
+                x = self.tr.imdct(ch.spec[w], ns)
                 wl = w_short(prev_shape if w == 0 else shape)
                 wr = w_short(shape)
                 x = x * np.concatenate([wl[:ns // 2], wr[ns // 2:]])
@@ -505,7 +562,7 @@ class AacLcDecoder(AacDecoder):
             first = buf[:half] + overlap
             new_overlap = buf[half:half + half]
         else:
-            x = self.tr.imdct[nl] @ ch.spec[0]
+            x = self.tr.imdct(ch.spec[0], nl)
             if seq == ONLY_LONG:
                 wl = w_long(prev_shape)
                 wr = w_long(shape)
