@@ -501,11 +501,12 @@ class AacLcDecoder(AacDecoder):
                 lpc = np.zeros(order + 1)
                 lpc[0] = 1.0
                 for m in range(1, order + 1):
-                    b = lpc[:m + 1].copy()
+                    b = np.zeros(m + 1)
+                    b[:m] = lpc[:m]
                     for i in range(1, m):
                         b[i] += refl[m - 1] * lpc[m - i]
                     b[m] = refl[m - 1]
-                    lpc = b
+                    lpc[:m + 1] = b
                 start = ics.swb_offset[min(bottom, min(tns_max, ics.max_sfb))]
                 end = ics.swb_offset[min(top, min(tns_max, ics.max_sfb))]
                 size = end - start

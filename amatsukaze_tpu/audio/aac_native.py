@@ -1,0 +1,120 @@
+"""ctypes binding for the native AAC-LC decoder (native/aacdec.cpp).
+
+The native decoder mirrors :class:`amatsukaze_tpu.audio.aac.AacLcDecoder`
+(the golden oracle) and replaces the reference's libfaad hot loop
+(reference: Amatsukaze/AdtsParser.hpp:174-327). Use :func:`make_decoder`
+to get the fastest available implementation; callers always have the
+pure-Python decoder as fallback when no compiler is present.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+from ..ts.adts import AacDecodeResult, AacDecoder
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_NAME = "libamatsukaze_native.so"
+
+MAX_CH = 24
+MAX_ELEMS = 24
+
+_lock = threading.Lock()
+_lib = None
+_load_attempted = False
+
+
+def _load():
+    global _lib, _load_attempted
+    with _lock:
+        if _lib is not None or _load_attempted:
+            return _lib
+        _load_attempted = True
+        path = os.path.join(_NATIVE_DIR, _LIB_NAME)
+        makefile = os.path.join(_NATIVE_DIR, "Makefile")
+        if os.path.exists(makefile):
+            try:  # no-op when up to date; builds aac_tables.inc + .so
+                subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
+                               capture_output=True, timeout=180)
+            except (OSError, subprocess.SubprocessError):
+                pass
+        if not os.path.exists(path):
+            return None
+        try:
+            lib = ctypes.CDLL(path)
+            lib.AacDec_Create.restype = ctypes.c_void_p
+            lib.AacDec_Destroy.argtypes = [ctypes.c_void_p]
+            lib.AacDec_Reset.argtypes = [ctypes.c_void_p]
+            lib.AacDec_Decode.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.AacDec_Decode.restype = ctypes.c_int
+        except (OSError, AttributeError):
+            return None
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+class NativeAacDecoder(AacDecoder):
+    """AAC-LC decoder backed by the C++ engine; decode() mirrors
+    AacLcDecoder.decode bit ranges / PCM (within float rounding)."""
+
+    def __init__(self):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native AAC decoder unavailable")
+        self._lib = lib
+        self._h = lib.AacDec_Create()
+        self._pcm = (ctypes.c_int16 * (1024 * MAX_CH))()
+        self._sr = ctypes.c_int()
+        self._etypes = (ctypes.c_int * MAX_ELEMS)()
+        self._ebits = (ctypes.c_int64 * (2 * MAX_ELEMS))()
+        self._ne = ctypes.c_int()
+
+    def __del__(self):
+        try:
+            if getattr(self, "_h", None):
+                self._lib.AacDec_Destroy(self._h)
+                self._h = None
+        except (AttributeError, TypeError):
+            pass
+
+    def reset(self) -> None:
+        self._lib.AacDec_Reset(self._h)
+
+    def decode(self, frame: bytes) -> AacDecodeResult | None:
+        frame = bytes(frame)
+        nch = self._lib.AacDec_Decode(
+            self._h, frame, len(frame), self._pcm, ctypes.byref(self._sr),
+            self._etypes, self._ebits, ctypes.byref(self._ne))
+        if nch <= 0:
+            return None
+        ne = self._ne.value
+        pcm = ctypes.string_at(self._pcm, 1024 * nch * 2)
+        return AacDecodeResult(
+            pcm=pcm,
+            num_channels=nch,
+            sample_rate=self._sr.value,
+            elements=[self._etypes[i] for i in range(ne)],
+            element_bits=[(self._ebits[2 * i], self._ebits[2 * i + 1])
+                          for i in range(ne)],
+        )
+
+
+def make_decoder() -> AacDecoder:
+    """Fastest available AAC decoder: native C++ when buildable, else the
+    pure-Python oracle."""
+    if native_available():
+        return NativeAacDecoder()
+    from .aac import AacLcDecoder
+    return AacLcDecoder()

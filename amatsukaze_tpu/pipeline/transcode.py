@@ -106,10 +106,12 @@ class TranscodePipeline:
         self.decoder_factory = decoder_factory
         if audio_decoder_factory is None:
             # the in-build AAC-LC decoder (replaces libfaad): feeds the
-            # CM-analysis wave stream and dual-mono element splitting
-            from ..audio.aac import AacLcDecoder
+            # CM-analysis wave stream and dual-mono element splitting.
+            # Native C++ engine when a compiler is available, else the
+            # pure-Python oracle.
+            from ..audio.aac_native import make_decoder
 
-            audio_decoder_factory = AacLcDecoder
+            audio_decoder_factory = make_decoder
         self.audio_decoder_factory = audio_decoder_factory
         self.caption_decoder = caption_decoder
         self.phase = phase_scheduler or _NullPhases()

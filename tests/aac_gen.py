@@ -78,22 +78,38 @@ def write_ics_info(w: BitWriter, window_sequence: int, window_shape: int,
 def write_ics(w: BitWriter, band_values: dict, global_gain: int,
               sr_index: int, codebook: int, max_sfb: int,
               window_sequence: int, window_shape: int,
-              include_ics_info: bool) -> None:
+              include_ics_info: bool, pulse: dict | None = None,
+              tns: dict | None = None,
+              intensity: dict | None = None) -> None:
+    """One individual_channel_stream.
+
+    pulse: {"start_sfb", "offsets": [..], "amps": [..]} (long windows only)
+    tns: {"coef_res": per-window list, "filt": per-window list of
+         {"length", "order", "direction", "compress", "coef": [raw]}}
+    intensity: {sfb: (is_pos, invert)} -> codebook 15 (14 when invert);
+         carries no spectral data (second CPE channel only)
+    """
     short = window_sequence == EIGHT_SHORT
     swb = T.SWB_OFFSETS[(128 if short else 1024, SAMPLE_RATES[sr_index])]
     nwin = 8 if short else 1  # one group of 8 short windows
+    intensity = intensity or {}
     w.write(global_gain, 8)
     if include_ics_info:
         write_ics_info(w, window_sequence, window_shape, max_sfb)
-    # section_data: runs of zero/codebook sections
+    # section_data: runs of equal-codebook sections
+    def cb_of(sfb):
+        if sfb in band_values:
+            return codebook
+        if sfb in intensity:
+            return 14 if intensity[sfb][1] else 15
+        return 0
     sect_bits = 3 if short else 5
     esc = (1 << sect_bits) - 1
     sfb = 0
     while sfb < max_sfb:
-        cb = codebook if sfb in band_values else 0
+        cb = cb_of(sfb)
         run = 1
-        while sfb + run < max_sfb and \
-                ((sfb + run) in band_values) == (sfb in band_values):
+        while sfb + run < max_sfb and cb_of(sfb + run) == cb:
             run += 1
         w.write(cb, 4)
         rem = run
@@ -102,11 +118,46 @@ def write_ics(w: BitWriter, band_values: dict, global_gain: int,
             rem -= esc
         w.write(rem, sect_bits)
         sfb += run
-    # scale_factor_data: delta 0 for each coded band (sf = global_gain)
-    for sfb in sorted(band_values):
-        write_sf_delta(w, 0)
-    w.write(0, 1)  # pulse_data_present
-    w.write(0, 1)  # tns_data_present
+    # scale_factor_data: delta 0 for each coded band (sf = global_gain);
+    # intensity positions are a separate delta chain starting at 0
+    is_pos = 0
+    for sfb in range(max_sfb):
+        if sfb in band_values:
+            write_sf_delta(w, 0)
+        elif sfb in intensity:
+            write_sf_delta(w, intensity[sfb][0] - is_pos)
+            is_pos = intensity[sfb][0]
+    if pulse is not None:
+        w.write(1, 1)
+        w.write(len(pulse["offsets"]) - 1, 2)
+        w.write(pulse["start_sfb"], 6)
+        for off, amp in zip(pulse["offsets"], pulse["amps"]):
+            w.write(off, 5)
+            w.write(amp, 4)
+    else:
+        w.write(0, 1)  # pulse_data_present
+    if tns is not None:
+        w.write(1, 1)
+        n_filt_bits = 1 if short else 2
+        len_bits = 4 if short else 6
+        order_bits = 3 if short else 5
+        for win in range(nwin):
+            filts = tns["filt"][win] if win < len(tns["filt"]) else []
+            w.write(len(filts), n_filt_bits)
+            if filts:
+                coef_res = tns["coef_res"][win]
+                w.write(coef_res, 1)
+                for f in filts:
+                    w.write(f["length"], len_bits)
+                    w.write(f["order"], order_bits)
+                    if f["order"]:
+                        w.write(f["direction"], 1)
+                        w.write(f["compress"], 1)
+                        coef_bits = coef_res + 3 - f["compress"]
+                        for c in f["coef"]:
+                            w.write(c, coef_bits)
+    else:
+        w.write(0, 1)  # tns_data_present
     w.write(0, 1)  # gain_control_data_present
     # spectral_data
     step = 4 if codebook in QUAD_BOOKS else 2
@@ -121,7 +172,8 @@ def write_ics(w: BitWriter, band_values: dict, global_gain: int,
 def make_sce(w: BitWriter, band_values: dict, global_gain: int = 100,
              sr_index: int = 3, codebook: int = 11, max_sfb: int = 40,
              window_shape: int = 0,
-             window_sequence: int = ONLY_LONG) -> None:
+             window_sequence: int = ONLY_LONG, pulse: dict | None = None,
+             tns: dict | None = None) -> None:
     """One SCE. band_values: {sfb: [coeff values]} coded with `codebook`;
     all other bands zero. For EIGHT_SHORT, one group of 8 windows and
     band width x8 values per band."""
@@ -130,14 +182,17 @@ def make_sce(w: BitWriter, band_values: dict, global_gain: int = 100,
     w.write(ID_SCE, 3)
     w.write(0, 4)  # element_instance_tag
     write_ics(w, band_values, global_gain, sr_index, codebook, max_sfb,
-              window_sequence, window_shape, include_ics_info=True)
+              window_sequence, window_shape, include_ics_info=True,
+              pulse=pulse, tns=tns)
 
 
 def make_cpe(w: BitWriter, bands_l: dict, bands_r: dict,
              global_gain: int = 100, sr_index: int = 3, codebook: int = 11,
              max_sfb: int = 40, ms_mask: int = 0,
-             ms_used: list | None = None) -> None:
-    """One CPE with common_window=1 and optional M/S."""
+             ms_used: list | None = None,
+             intensity: dict | None = None) -> None:
+    """One CPE with common_window=1, optional M/S, and optional intensity
+    bands on the right channel ({sfb: (is_pos, invert)})."""
     w.write(ID_CPE, 3)
     w.write(0, 4)
     w.write(1, 1)  # common_window
@@ -149,7 +204,7 @@ def make_cpe(w: BitWriter, bands_l: dict, bands_r: dict,
     write_ics(w, bands_l, global_gain, sr_index, codebook, max_sfb,
               ONLY_LONG, 0, include_ics_info=False)
     write_ics(w, bands_r, global_gain, sr_index, codebook, max_sfb,
-              ONLY_LONG, 0, include_ics_info=False)
+              ONLY_LONG, 0, include_ics_info=False, intensity=intensity)
 
 
 def make_adts_frame(payload_writer_fn, sr_index: int = 3,

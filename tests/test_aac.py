@@ -272,3 +272,153 @@ class TestWindowSequences:
         assert amp > 50
         jumps = np.abs(np.diff(pcm[1024:4096]))
         assert jumps.max() < amp  # a seam glitch would exceed the amplitude
+
+
+class TestPulse:
+    def test_pulse_equals_direct_coding(self):
+        # pulse adds amp to the QUANTIZED value: coding q with pulse amp a
+        # must decode identically to coding q+a directly
+        swb = T.SWB_OFFSETS[(1024, 48000)]
+        sfb = 10
+        width = swb[sfb + 1] - swb[sfb]
+        vals = [3] * width
+        k_in_band = 2
+        amp = 5
+
+        def with_pulse(w):
+            aac_gen.make_sce(
+                w, {sfb: vals}, global_gain=160, codebook=11,
+                pulse={"start_sfb": sfb, "offsets": [k_in_band],
+                       "amps": [amp]})
+
+        direct = list(vals)
+        direct[k_in_band] = vals[k_in_band] + amp
+
+        def without(w):
+            aac_gen.make_sce(w, {sfb: direct}, global_gain=160, codebook=11)
+
+        a = decode_frames([aac_gen.make_adts_frame(with_pulse)])[0]
+        b = decode_frames([aac_gen.make_adts_frame(without)])[0]
+        assert a.pcm == b.pcm
+
+    def test_negative_base_moves_away_from_zero(self):
+        # pulse amps subtract from negative quantized values
+        swb = T.SWB_OFFSETS[(1024, 48000)]
+        sfb = 10
+        width = swb[sfb + 1] - swb[sfb]
+        vals = [0] * width
+        vals[0] = -3
+
+        def with_pulse(w):
+            aac_gen.make_sce(
+                w, {sfb: vals}, global_gain=160, codebook=11,
+                pulse={"start_sfb": sfb, "offsets": [0], "amps": [4]})
+
+        direct = list(vals)
+        direct[0] = -7
+
+        def without(w):
+            aac_gen.make_sce(w, {sfb: direct}, global_gain=160, codebook=11)
+
+        a = decode_frames([aac_gen.make_adts_frame(with_pulse)])[0]
+        b = decode_frames([aac_gen.make_adts_frame(without)])[0]
+        assert a.pcm == b.pcm
+
+
+class TestIntensity:
+    @pytest.mark.parametrize("invert", [False, True])
+    def test_intensity_scales_left_channel(self, invert):
+        # right channel = left * (+/-)2^(-is_pos/4); the filterbank is
+        # linear, so the PCM obeys the same relation on the first frame
+        swb = T.SWB_OFFSETS[(1024, 48000)]
+        bands_l = {}
+        for sfb in range(8, 12):
+            bands_l[sfb] = [20] * (swb[sfb + 1] - swb[sfb])
+        is_pos = 4  # scale 1/2
+
+        def payload(w):
+            aac_gen.make_cpe(
+                w, bands_l, {}, global_gain=160, max_sfb=20,
+                intensity={sfb: (is_pos, invert) for sfb in range(8, 12)})
+
+        res = decode_frames(
+            [aac_gen.make_adts_frame(payload, channel_config=2)])[0]
+        a = pcm_array(res).astype(np.float64)
+        scale = 2.0 ** (-is_pos / 4.0) * (-1.0 if invert else 1.0)
+        assert np.abs(a[:, 0]).max() > 100
+        assert np.allclose(a[:, 1], a[:, 0] * scale, atol=1.0)
+
+
+class TestTns:
+    def test_tns_matches_definitional_recursion(self):
+        # decode a TNS frame and a TNS-free twin; the PCM difference must
+        # equal the definitional IMDCT (O(N^2) matrix) of the spectrum
+        # delta produced by the TNS all-pole recursion computed here
+        from amatsukaze_tpu.audio.aac import imdct_matrix, _sine_window
+
+        swb = T.SWB_OFFSETS[(1024, 48000)]
+        max_sfb = 20
+        rng = np.random.default_rng(7)
+        bands = {}
+        for sfb in range(max_sfb):
+            width = swb[sfb + 1] - swb[sfb]
+            bands[sfb] = [int(v) for v in rng.integers(-8, 9, size=width)]
+        gg = 155
+        order = 2
+        coef_raw = [1, 6]  # coef_res=1, compress=0 -> 4-bit raw codes
+        # TNS regions count DOWN from num_swb: length must span all 49
+        # long bands at 48 kHz so the filter reaches sfb 0..max_sfb
+        tns = {"coef_res": [1],
+               "filt": [[{"length": 49, "order": order,
+                          "direction": 0, "compress": 0,
+                          "coef": coef_raw}]]}
+
+        fr_tns = aac_gen.make_adts_frame(
+            lambda w: aac_gen.make_sce(w, bands, gg, max_sfb=max_sfb,
+                                       tns=tns))
+        fr_plain = aac_gen.make_adts_frame(
+            lambda w: aac_gen.make_sce(w, bands, gg, max_sfb=max_sfb))
+        a = decode_frames([fr_tns])[0]
+        b = decode_frames([fr_plain])[0]
+        pa = pcm_array(a)[:, 0].astype(np.float64)
+        pb = pcm_array(b)[:, 0].astype(np.float64)
+
+        # reconstruct the spectrum and the TNS recursion from first
+        # principles (ISO 14496-3 4.6.9)
+        spec = np.zeros(1024)
+        gain = 2.0 ** (0.25 * (gg - 100))
+        for sfb, vals in bands.items():
+            arr = np.asarray(vals, np.float64)
+            spec[swb[sfb]:swb[sfb + 1]] = (
+                np.sign(arr) * np.abs(arr) ** (4.0 / 3.0) * gain)
+        coef_bits = 1 + 3
+        rng_ = 1 << (coef_bits - 1)
+        iqfac = (rng_ - 0.5) / (np.pi / 2.0)
+        iqfac_m = (rng_ + 0.5) / (np.pi / 2.0)
+        refl = []
+        for c in coef_raw:
+            if c >= rng_:
+                c -= 1 << coef_bits
+            refl.append(np.sin(c / (iqfac if c >= 0 else iqfac_m)))
+        lpc = np.array([1.0])
+        for m in range(1, order + 1):
+            nxt = np.zeros(m + 1)
+            nxt[:m] = lpc
+            for i in range(1, m):
+                nxt[i] += refl[m - 1] * lpc[m - i]
+            nxt[m] = refl[m - 1]
+            lpc = nxt
+        start, end = 0, swb[max_sfb]
+        filt = spec.copy()
+        for i in range(start, end):
+            acc = filt[i]
+            for j in range(1, order + 1):
+                if i - j >= start:
+                    acc -= lpc[j] * filt[i - j]
+            filt[i] = acc
+
+        imdct = imdct_matrix(2048)
+        win = _sine_window(2048)
+        expected_delta = ((imdct @ (filt - spec)) * win)[:1024]
+        assert np.abs(pa - pb).max() > 10  # the filter did something
+        assert np.allclose(pa - pb, expected_delta, atol=1.5)
