@@ -182,19 +182,29 @@ class FilterGraph:
         except Exception:  # noqa: BLE001
             return None
         b, h, w = frames.shape
-        tile = next((t for t in (120, 72, 40, 24, 16, 8)
-                     if h % t == 0 and t % 8 == 0), None)
-        if tile is None or b + 2 < 3:
+        if h % 2 or b + 2 < 3:
             return None
+        # stored height hp must be tile- (and so 8-) aligned; pick the tile
+        # minimising DMA+compute cost (each tile loads tile+2*HALO rows),
+        # padding 540-row chroma planes etc. with edge rows the kernel
+        # masks via logical_height
+        best = None
+        for t in (120, 72, 40, 24, 16, 8):
+            hp_t = -(-h // t) * t
+            cost = (hp_t // t) * (t + 16) + hp_t
+            if best is None or cost < best[0]:
+                best = (cost, t, hp_t)
+        _, tile, hp = best
         import jax.numpy as jnp
 
         from ..ops.fused_filter import make_fused_filter, pad_width_for_fused
 
         wp = -(-w // 128) * 128
-        key = (h, wp, tile, w)
+        key = (hp, wp, tile, w, h)
         fused = self._fused_cache.get(key)
         if fused is None:
-            fused = make_fused_filter(h, wp, tile_rows=tile, logical_width=w)
+            fused = make_fused_filter(hp, wp, tile_rows=tile,
+                                      logical_width=w, logical_height=h)
             self._fused_cache[key] = fused
         first = (prev_frame if prev_frame is not None else frames[0])
         last = (next_frame if next_frame is not None else frames[-1])
@@ -202,10 +212,10 @@ class FilterGraph:
         u8 = np.clip(np.rint(ext), 0, 255).astype(np.uint8)
         ones = jnp.ones((h, w), jnp.float32)
         zeros = jnp.zeros((h, w), jnp.float32)
-        fp, ap, bp = pad_width_for_fused(jnp.asarray(u8), ones, zeros, wp)
+        fp, ap, bp = pad_width_for_fused(jnp.asarray(u8), ones, zeros, wp, hp)
         fades = jnp.zeros((len(ext),), jnp.float32)  # erase already applied
         out, _costs = fused(fp, ap, bp, fades, jnp.float32(255.0))
-        return np.asarray(out[1:-1, :, :w]).astype(np.float32)
+        return np.asarray(out[1:-1, :h, :w]).astype(np.float32)
 
     def run_pass3(self, frames: np.ndarray, prev_frame, next_frame):
         """Filter one batch [B, H, W] -> output frames for that batch.

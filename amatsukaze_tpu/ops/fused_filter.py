@@ -58,25 +58,31 @@ def _shift_w(x, d):
     return jnp.concatenate([jnp.repeat(x[:, :1], -d, axis=1), x[:, :d]], axis=1)
 
 
-def pad_width_for_fused(frames_u8, a_full, b_full, width_padded: int):
-    """Edge-replicate-pad inputs to a 128-aligned width.
+def pad_width_for_fused(frames_u8, a_full, b_full, width_padded: int,
+                        height_padded: int | None = None):
+    """Edge-replicate-pad inputs to a 128-aligned width (and optionally an
+    8-/tile-aligned height, for chroma-plane geometries like 540 rows).
 
     Edge replication (not zeros) keeps yadif's column edge handling
     bit-identical to the unpadded jnp chain: shifted taps beyond the last
     logical column read the replicated edge value, exactly what
-    ops.deint's edge-replicating column shifts produce.
+    ops.deint's edge-replicating column shifts produce. Padded rows are
+    junk (the kernel's logical_height fixup keeps the last logical row
+    exact); callers slice the output back to the logical height.
     """
     pad = width_padded - frames_u8.shape[-1]
-    if pad == 0:
+    vpad = 0 if height_padded is None else height_padded - frames_u8.shape[-2]
+    if pad == 0 and vpad == 0:
         return frames_u8, a_full, b_full
-    f = jnp.pad(frames_u8, ((0, 0), (0, 0), (0, pad)), mode="edge")
-    a = jnp.pad(a_full, ((0, 0), (0, pad)), mode="edge")
-    b = jnp.pad(b_full, ((0, 0), (0, pad)), mode="edge")
+    f = jnp.pad(frames_u8, ((0, 0), (0, vpad), (0, pad)), mode="edge")
+    a = jnp.pad(a_full, ((0, vpad), (0, pad)), mode="edge")
+    b = jnp.pad(b_full, ((0, vpad), (0, pad)), mode="edge")
     return f, a, b
 
 
 def make_fused_filter(height: int, width: int, tile_rows: int = 120,
-                      logical_width: int | None = None):
+                      logical_width: int | None = None,
+                      logical_height: int | None = None):
     """Build the fused filter for fixed frame geometry.
 
     `width` is the stored (lane) width and must be 128-aligned — raw HBM
@@ -91,14 +97,22 @@ def make_fused_filter(height: int, width: int, tile_rows: int = 120,
     erase fused in). 120 measured fastest for 1080-row frames on v5e:
     ~6.1 ms per 64-frame batch (~10.4k fps/chip), VPU-issue-bound.
 
+    `logical_height` supports plane heights that are not 8-/tile-aligned
+    (e.g. 540-row 4:2:0 chroma of 1080i): store the frames padded to an
+    aligned `height` (pad_width_for_fused) and pass the true height here;
+    the yadif bottom-edge rule and the field-match cost masks apply at the
+    logical boundary and the padded output rows are junk to be sliced off.
+
     Returns fn(frames_u8 [B, H, W] uint8, a_full [H, W] f32, b_full [H, W]
     f32, fades [B] f32, maxv) -> (filtered [B, H, W] uint8, costs [B, 3] f32
-    matching ops.deint.field_match_costs at the logical width).
+    matching ops.deint.field_match_costs at the logical geometry).
     """
     assert height % tile_rows == 0 and tile_rows % 2 == 0 and tile_rows % 8 == 0
     assert width % 128 == 0, "stored width must be 128-aligned (use pad_width_for_fused)"
     lw = logical_width if logical_width is not None else width
     assert 0 < lw <= width
+    lh = logical_height if logical_height is not None else height
+    assert 0 < lh <= height and lh % 2 == 0
     nj = height // tile_rows
     srows = tile_rows + 2 * HALO
     ht = tile_rows // 2  # output field rows per tile
@@ -207,9 +221,10 @@ def make_fused_filter(height: int, width: int, tile_rows: int = 120,
         # --- yadif: keep top field, reconstruct bottom ---------------------
         keep = ct[FHALO : FHALO + ht]
         below = ct[FHALO + 1 : FHALO + 1 + ht]  # next kept line
-        # bottom frame edge: the clamped halo is off-position there, so
-        # replicate the last kept line explicitly (matches the jnp chain)
-        below = jnp.where(gy_core == height // 2 - 1, keep, below)
+        # bottom frame edge (LOGICAL height: rows past it are padding): the
+        # clamped halo / padded rows are off-position there, so replicate
+        # the last kept line explicitly (matches the jnp chain)
+        below = jnp.where(gy_core == lh // 2 - 1, keep, below)
         best_pred = (keep + below) * 0.5
         best_score = jnp.abs(keep - below)
         for d in (1, 2):
@@ -254,8 +269,9 @@ def make_fused_filter(height: int, width: int, tile_rows: int = 120,
         col_ok = (
             jax.lax.broadcasted_iota(jnp.int32, (1, width), 1) < lw
         ).astype(jnp.float32)
-        odd_valid = (core & (gy < height // 2 - 1)).astype(jnp.float32) * col_ok
-        even_valid = (core & (gy >= 1)).astype(jnp.float32) * col_ok
+        odd_valid = (core & (gy < lh // 2 - 1)).astype(jnp.float32) * col_ok
+        even_valid = ((core & (gy >= 1)) & (gy < lh // 2)).astype(
+            jnp.float32) * col_ok
 
         def fam_sums(t_y, b_y):
             t_y1 = shift_up(t_y)
@@ -310,6 +326,6 @@ def make_fused_filter(height: int, width: int, tile_rows: int = 120,
             ],
             interpret=interpret,
         )(erased, jnp.reshape(maxv, (1,)))
-        return out, costs[:, :, 0, :3].sum(axis=0) / ((height - 2) * lw)
+        return out, costs[:, :, 0, :3].sum(axis=0) / ((lh - 2) * lw)
 
     return fused

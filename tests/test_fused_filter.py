@@ -77,3 +77,40 @@ class TestFusedFilter:
         np.testing.assert_array_equal(np.asarray(out)[:, :, :lw], ref_out)
         np.testing.assert_allclose(np.asarray(costs), ref_costs, rtol=1e-5,
                                    atol=1e-4)
+
+    def test_padded_height(self, setup):
+        """Non-8-aligned plane height via edge padding (the 540-row 4:2:0
+        chroma case, scaled down: logical 20 rows stored as 32)."""
+        frames, a_full, b_full, fades = setup
+        lh = 20
+        frames = frames[:, :lh, :]
+        a_full = a_full[:lh, :]
+        b_full = b_full[:lh, :]
+        fp, ap, bp = pad_width_for_fused(
+            jnp.asarray(frames), jnp.asarray(a_full), jnp.asarray(b_full),
+            W, H)
+        fused = make_fused_filter(H, W, tile_rows=16, logical_height=lh)
+        out, costs = fused(fp, ap, bp, jnp.asarray(fades),
+                           jnp.float32(255.0), interpret=True)
+        ref_out, ref_costs = reference_chain(frames, a_full, b_full, fades)
+        np.testing.assert_array_equal(np.asarray(out)[:, :lh, :], ref_out)
+        np.testing.assert_allclose(np.asarray(costs), ref_costs, rtol=1e-5,
+                                   atol=1e-4)
+
+    def test_padded_height_and_width(self, setup):
+        frames, a_full, b_full, fades = setup
+        lh, lw = 26, 100
+        frames = frames[:, :lh, :lw]
+        a_full = a_full[:lh, :lw]
+        b_full = b_full[:lh, :lw]
+        fp, ap, bp = pad_width_for_fused(
+            jnp.asarray(frames), jnp.asarray(a_full), jnp.asarray(b_full),
+            W, H)
+        fused = make_fused_filter(H, W, tile_rows=16, logical_width=lw,
+                                  logical_height=lh)
+        out, costs = fused(fp, ap, bp, jnp.asarray(fades),
+                           jnp.float32(255.0), interpret=True)
+        ref_out, ref_costs = reference_chain(frames, a_full, b_full, fades)
+        np.testing.assert_array_equal(np.asarray(out)[:, :lh, :lw], ref_out)
+        np.testing.assert_allclose(np.asarray(costs), ref_costs, rtol=1e-5,
+                                   atol=1e-4)
