@@ -50,13 +50,29 @@ class FilterGraph:
     MODE_KFM_VFR = "kfm_vfr"
 
     def __init__(self, ctx, mode: str = "none", batch: int = 32,
-                 post_chain=None):
+                 post_chain=None, qp_source=None):
         self.ctx = ctx
         self.mode = mode
         self.batch = batch
         self.post_chain = post_chain  # callable [B,H,W]->[B,H,W] or None
+        # ts.qp_extract.QpMapSource in the output-frame selection order
+        # (feeds the deblock post filter, like the reference's qp-table
+        # frame props from the patched decoder)
+        self.qp_source = qp_source
         self.decisions = None
         self.vfr_plan: VFRPlan | None = None
+
+    def _apply_post(self, out_j, src_indices, plane_h: int):
+        """Run the post chain; slices per-output-frame QP maps when the
+        chain wants them (deblock) and a source is attached."""
+        if getattr(self.post_chain, "wants_qp", False) \
+                and self.qp_source is not None:
+            qp = self.qp_source.maps_for(src_indices)
+            if qp is not None:
+                mbh = qp.shape[1]
+                scale = 2 if plane_h > mbh * 12 else 1  # luma vs 4:2:0 chroma
+                return self.post_chain(out_j, qp=qp, qp_block_scale=scale)
+        return self.post_chain(out_j)
 
     # -- pass 1 + 2: analysis over the full sequence ---------------------------
     def analyze(self, frame_iter, num_frames: int) -> None:
@@ -160,7 +176,9 @@ class FilterGraph:
             variants[VFRPlan.BOB_B] = np.asarray(bob_field(arr, top=False))
         out = np.stack([variants[op][src - start_index] for src, op in entries])
         if self.post_chain is not None:
-            out = np.asarray(self.post_chain(jnp.asarray(out)))
+            out = np.asarray(self._apply_post(
+                jnp.asarray(out), [src for src, _ in entries],
+                frames.shape[1]))
         return out
 
     # cache of geometry-specialised fused kernels (TPU production path)
@@ -217,22 +235,26 @@ class FilterGraph:
         out, _costs = fused(fp, ap, bp, fades, jnp.float32(255.0))
         return np.asarray(out[1:-1, :h, :w]).astype(np.float32)
 
-    def run_pass3(self, frames: np.ndarray, prev_frame, next_frame):
+    def run_pass3(self, frames: np.ndarray, prev_frame, next_frame,
+                  start_index: int = 0):
         """Filter one batch [B, H, W] -> output frames for that batch.
 
-        prev/next_frame provide the temporal halo (None at sequence ends).
-        For KFM VFR, the caller maps output indices via vfr_plan.
+        prev/next_frame provide the temporal halo (None at sequence ends);
+        start_index is the batch's first source-frame index (QP-map
+        alignment). For KFM VFR, the caller maps output indices via
+        vfr_plan.
         """
         import jax.numpy as jnp
 
         from ..ops import deint as deint_ops
 
+        idx = range(start_index, start_index + len(frames))
         if self.mode == self.MODE_YADIF:
             fused_out = self._fused_yadif(frames, prev_frame, next_frame)
             if fused_out is not None:
                 if self.post_chain is not None:
-                    fused_out = np.asarray(
-                        self.post_chain(jnp.asarray(fused_out)))
+                    fused_out = np.asarray(self._apply_post(
+                        jnp.asarray(fused_out), idx, frames.shape[1]))
                 return fused_out
             arr = jnp.asarray(frames)
             prev = jnp.concatenate(
@@ -248,28 +270,44 @@ class FilterGraph:
         else:
             out = jnp.asarray(frames)
         if self.post_chain is not None:
-            out = self.post_chain(out)
+            out = self._apply_post(out, idx, frames.shape[1])
         return np.asarray(out)
 
 
 def build_post_chain(spec: str):
-    """Post-filter chain from comma-separated tokens {nr, deband, edge}
-    (the reference's KTemporalNR/KDeband/KEdgeLevel toggles,
-    Server/Misc.cs:1403-1441). Runs in the 14-bit domain and returns the
-    8-bit-domain frames; None when no tokens."""
+    """Post-filter chain from comma-separated tokens {deblock, nr, deband,
+    edge} (the reference's KDeblock/KTemporalNR/KDeband/KEdgeLevel toggles,
+    Server/Misc.cs:1403-1441). deblock runs first in the 8-bit domain with
+    the per-MB QP maps extracted from the source ES (ts/qp_extract), like
+    the reference's KDeblock consuming the decoder's qp-table frame props;
+    the rest runs in the 14-bit domain. Returns the 8-bit-domain frames;
+    None when no tokens."""
     tokens = {t.strip() for t in (spec or "").split(",") if t.strip()}
     if not tokens:
         return None
-    unknown = tokens - {"nr", "deband", "edge"}
+    unknown = tokens - {"deblock", "nr", "deband", "edge"}
     if unknown:
         raise ValueError(f"unknown post-filter tokens: {sorted(unknown)}")
 
-    def chain(frames):
+    def chain(frames, qp=None, qp_block_scale=2):
         import jax.numpy as jnp
 
         from ..ops import denoise
 
-        x = denoise.to_14bit(jnp.asarray(frames))
+        x = jnp.asarray(frames)
+        if "deblock" in tokens and qp is not None:
+            b, h, w = x.shape
+            hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
+            if (hp, wp) != (h, w):
+                xp = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w)),
+                             mode="edge")
+                xp = denoise.deblock_qp(xp, jnp.asarray(qp),
+                                        qp_block_scale=qp_block_scale)
+                x = xp[:, :h, :w]
+            else:
+                x = denoise.deblock_qp(x, jnp.asarray(qp),
+                                       qp_block_scale=qp_block_scale)
+        x = denoise.to_14bit(x)
         if "nr" in tokens:
             x = denoise.temporal_nr(x)
         if "deband" in tokens:
@@ -278,6 +316,7 @@ def build_post_chain(spec: str):
             x = denoise.edge_level(x)
         return x * (1.0 / 64.0)  # back to the 8-bit domain
 
+    chain.wants_qp = "deblock" in tokens
     return chain
 
 

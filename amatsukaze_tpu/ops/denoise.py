@@ -38,11 +38,12 @@ def _dct8_matrix(dtype=jnp.float32) -> jnp.ndarray:
 _DCT8 = _dct8_matrix()
 
 
-@partial(jax.jit, static_argnames=("strength",))
+@partial(jax.jit, static_argnames=("strength", "qp_block_scale"))
 def deblock_qp(
     frames: jnp.ndarray,  # [B, H, W] (H, W multiples of 8)
     qp_map: jnp.ndarray,  # [B, H/16, W/16] per-macroblock quantiser scale
     strength: float = 1.0,
+    qp_block_scale: int = 2,
 ) -> jnp.ndarray:
     """Soft-threshold 8x8 DCT coefficients by the quantisation step.
 
@@ -50,6 +51,10 @@ def deblock_qp(
     coefficients below ~qp*strength are shrunk toward zero (the deblocking
     model described in README.md:424-430). Runs on the MXU: the 8x8 DCT is
     two dense 8x8 matmuls per block, batched over all blocks.
+
+    qp_block_scale: 8-pixel blocks covered per qp_map cell along each axis
+    (2 for luma - one 16x16 MB spans 2x2 blocks; 1 for 4:2:0 chroma, where
+    one MB covers a single 8x8 chroma block).
     """
     b, h, w = frames.shape
     hb, wb = h // 8, w // 8
@@ -58,8 +63,9 @@ def deblock_qp(
     coef = jnp.einsum(
         "ij,bhwjk,lk->bhwil", _DCT8, blocks, _DCT8, preferred_element_type=jnp.float32
     )
-    # per-block threshold from the covering macroblock's QP (16x16 -> 8x8)
-    qp8 = jnp.repeat(jnp.repeat(qp_map, 2, axis=1), 2, axis=2)[:, :hb, :wb]
+    # per-block threshold from the covering macroblock's QP
+    s = qp_block_scale
+    qp8 = jnp.repeat(jnp.repeat(qp_map, s, axis=1), s, axis=2)[:, :hb, :wb]
     thresh = qp8[..., None, None] * strength
     keep_dc = jnp.zeros((8, 8), bool).at[0, 0].set(True)
     mag = jnp.abs(coef)

@@ -464,6 +464,23 @@ class TranscodePipeline:
         fg = FilterGraph(self.ctx, mode=st.conf.filter_mode,
                          batch=st.conf.device_batch_frames,
                          post_chain=build_post_chain(st.conf.post_filter))
+        if fg.post_chain is not None and getattr(fg.post_chain, "wants_qp",
+                                                 False):
+            # per-MB QP maps from the intermediate ES for the deblock post
+            # filter (the reference reads them from a patched decoder's
+            # frame props, AMTSource.hpp:371-404; here: ts/qp_extract)
+            try:
+                from ..ts.qp_extract import QpMapSource
+
+                qsrc = QpMapSource.from_file(
+                    st.int_video_file_path(key.video))
+                if len(qsrc):
+                    fg.qp_source = qsrc.select(sorted(set(file.video_frames)))
+                else:
+                    ctx.warn("deblock: no QP maps extracted (non-MPEG2 "
+                             "source?); deblock will be skipped")
+            except OSError as e:
+                ctx.warn("deblock: QP extraction failed: %s", e)
         if fg.mode == FilterGraph.MODE_KFM_VFR:
             if self.decoder_factory is None:
                 raise RuntimeError("no decoder available for filter analysis")
@@ -656,6 +673,7 @@ def _pump_filtered(fg, frames_iter, pump, batch: int) -> None:
                     else prev_planes[p].astype(np.float32),
                     None if next_planes is None
                     else next_planes[p].astype(np.float32),
+                    start_index=start,
                 )
             outs.append(res)
         for k in range(len(outs[0])):

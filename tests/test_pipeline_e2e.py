@@ -494,3 +494,44 @@ class TestDelogoWiring:
         y0 = np.frombuffer(data[off:off + W * H], np.uint8).reshape(H, W)
         center = y0[self.RY + self.LH // 2, self.RX + self.LW // 2]
         assert abs(int(center) - 128) <= 6
+
+
+class TestDeblockQp:
+    def test_deblock_post_filter_uses_qp_maps(self, tmp_path):
+        """Full pipeline with real MPEG2 slice layers: QP maps are
+        extracted from the intermediate PS and drive the deblock post
+        filter (the reference's KDeblock + patched-decoder qp tables)."""
+        import ts_gen
+        from amatsukaze_tpu.ts.qp_extract import QpMapSource
+
+        src = tmp_path / "src.ts"
+        src.write_bytes(ts_gen.build_simple_ts(
+            num_frames=30, width=W, height=H, real_slices=True,
+            row_qs=[8, 16, 24, 30]))
+        enc = tmp_path / "fake_x264"
+        enc.write_text(FAKE_ENCODER)
+        enc.chmod(enc.stat().st_mode | stat.S_IEXEC)
+
+        conf = Config()
+        conf.src_file_path = str(src)
+        conf.out_video_path = str(tmp_path / "out")
+        conf.out_info_json_path = str(tmp_path / "result.json")
+        conf.work_dir = str(tmp_path)
+        conf.encoder_path = str(enc)
+        conf.post_filter = "deblock"
+        conf.no_remove_tmp = True
+        ctx = AMTContext(level="error")
+        pipe = TranscodePipeline(ctx, Settings(ctx, conf),
+                                 decoder_factory=NullDecoderFactory())
+        report = pipe.run()
+        assert len(report["outfiles"]) == 1
+        data = open(report["outfiles"][0]["path"], "rb").read()
+        assert data.count(b"FRAME\n") == 29
+
+        # the intermediate really yields per-MB maps in display order
+        qsrc = QpMapSource.from_file(
+            pipe.settings.int_video_file_path(0))
+        assert len(qsrc) >= 29
+        m = qsrc.maps(0, 1)
+        assert m.shape[1:] == ((H + 15) // 16, (W + 15) // 16)
+        assert sorted(set(int(v) for v in m[0][:, 0])) == [8, 16, 24, 30]

@@ -147,7 +147,7 @@ def mpeg2_sequence_header(width=1440, height=1080, aspect=3, frame_rate_code=4,
 
 def mpeg2_picture(coding_type=1, picture_structure=3, tff=1, rff=0,
                   progressive_frame=0, temporal_reference=0,
-                  slice_bytes=32) -> bytes:
+                  slice_bytes=32, real_slices=None) -> bytes:
     w = BitWriter()
     w.write(0x00000100, 32)
     w.write(temporal_reference, 10)
@@ -176,10 +176,36 @@ def mpeg2_picture(coding_type=1, picture_structure=3, tff=1, rff=0,
     w.write(progressive_frame, 1)
     w.write(0, 1)  # composite display
     w.byte_align()
-    # a fake slice so there's some coded payload
-    w.write(0x00000101, 32)
-    w.write_bytes(b"\xA5" * slice_bytes)
-    w.byte_align()
+    if real_slices is not None:
+        # genuine minimal slice/macroblock layer (mpeg2_gen) so the QP
+        # extractor sees parseable per-MB data; real_slices = (width,
+        # height, row_qs)
+        import mpeg2_gen as _G
+        from amatsukaze_tpu.ts import mpeg2_tables as _M
+
+        gw, gh, row_qs = real_slices
+        mb_w = (gw + 15) // 16
+        mb_h = (gh + 15) // 16
+        for row in range(mb_h):
+            _G.begin_slice(w, row, row_qs[row % len(row_qs)])
+            for _ in range(mb_w):
+                if coding_type == 1:
+                    _G.write_macroblock(w, 1, 1, _M.MB_INTRA,
+                                        frame_pred_frame_dct=False,
+                                        dc_diffs=[1, 0, -1, 2, 0, 0])
+                else:
+                    flags = _M.MB_PATTERN | (
+                        0 if coding_type == 2 else _M.MB_MOTION_B)
+                    _G.write_macroblock(w, coding_type, 1, flags,
+                                        frame_pred_frame_dct=False,
+                                        mv=(0, 1), cbp=32,
+                                        blocks={0: [(0, 2), (1, -1)]})
+        w.byte_align(fill=0)
+    else:
+        # a fake slice so there's some coded payload
+        w.write(0x00000101, 32)
+        w.write_bytes(b"\xA5" * slice_bytes)
+        w.byte_align()
     return w.getvalue()
 
 
@@ -330,6 +356,8 @@ def build_simple_ts(
     service_id: int = SERVICE_ID,
     psi_interval: int = 20,
     slice_bytes: int = 32,
+    real_slices: bool = False,  # genuine MB layer (QP-extractable)
+    row_qs=None,
     si: bool = False,  # include SDT/EIT/TDT service info
     service_name: str = "TEST TV",
     event_name: str = "Test Program",
@@ -383,7 +411,10 @@ def build_simple_ts(
         es += mpeg2_picture(coding_type=coding, picture_structure=ps, tff=tff,
                             rff=rff, progressive_frame=prog_frame,
                             temporal_reference=f % gop_len,
-                            slice_bytes=slice_bytes)
+                            slice_bytes=slice_bytes,
+                            real_slices=(width, height,
+                                         row_qs or [8, 12, 20, 30])
+                            if real_slices else None)
         pes = make_pes(0xE0, bytes(es), pts=pts, dts=dts, unbounded=True)
         tz.add_pes(VIDEO_PID, pes, pcr=pcr)
 
