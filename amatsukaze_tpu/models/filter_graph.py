@@ -221,8 +221,12 @@ class FilterGraph:
         key = (hp, wp, tile, w, h)
         fused = self._fused_cache.get(key)
         if fused is None:
+            # yadif-only kernel: the deinterlace path never reads the
+            # field-match costs, and their partial sums are a large share
+            # of the VPU work
             fused = make_fused_filter(hp, wp, tile_rows=tile,
-                                      logical_width=w, logical_height=h)
+                                      logical_width=w, logical_height=h,
+                                      with_costs=False)
             self._fused_cache[key] = fused
         first = (prev_frame if prev_frame is not None else frames[0])
         last = (next_frame if next_frame is not None else frames[-1])
@@ -230,9 +234,9 @@ class FilterGraph:
         u8 = np.clip(np.rint(ext), 0, 255).astype(np.uint8)
         ones = jnp.ones((h, w), jnp.float32)
         zeros = jnp.zeros((h, w), jnp.float32)
-        fp, ap, bp = pad_width_for_fused(jnp.asarray(u8), ones, zeros, wp, hp)
-        fades = jnp.zeros((len(ext),), jnp.float32)  # erase already applied
-        out, _costs = fused(fp, ap, bp, fades, jnp.float32(255.0))
+        fp, _, _ = pad_width_for_fused(jnp.asarray(u8), ones, zeros, wp, hp)
+        # logo erase already ran upstream (LogoEraser): skip pass 1 entirely
+        out, _costs = fused.yadif_costs(fp, jnp.float32(255.0))
         return np.asarray(out[1:-1, :h, :w]).astype(np.float32)
 
     def run_pass3(self, frames: np.ndarray, prev_frame, next_frame,

@@ -82,7 +82,8 @@ def pad_width_for_fused(frames_u8, a_full, b_full, width_padded: int,
 
 def make_fused_filter(height: int, width: int, tile_rows: int = 120,
                       logical_width: int | None = None,
-                      logical_height: int | None = None):
+                      logical_height: int | None = None,
+                      with_costs: bool = True):
     """Build the fused filter for fixed frame geometry.
 
     `width` is the stored (lane) width and must be 128-aligned — raw HBM
@@ -106,6 +107,10 @@ def make_fused_filter(height: int, width: int, tile_rows: int = 120,
     Returns fn(frames_u8 [B, H, W] uint8, a_full [H, W] f32, b_full [H, W]
     f32, fades [B] f32, maxv) -> (filtered [B, H, W] uint8, costs [B, 3] f32
     matching ops.deint.field_match_costs at the logical geometry).
+
+    with_costs=False builds a yadif-only kernel (costs returned as None):
+    the field-match partial sums are a large share of the VPU work and the
+    pure deinterlace path never reads them.
     """
     assert height % tile_rows == 0 and tile_rows % 2 == 0 and tile_rows % 8 == 0
     assert width % 128 == 0, "stored width must be 128-aligned (use pad_width_for_fused)"
@@ -117,7 +122,12 @@ def make_fused_filter(height: int, width: int, tile_rows: int = 120,
     srows = tile_rows + 2 * HALO
     ht = tile_rows // 2  # output field rows per tile
 
-    def kernel(frames_ref, maxv_ref, out_ref, costs_ref, slab_s, sems):
+    def kernel(frames_ref, maxv_ref, out_ref, *rest):
+        if with_costs:
+            costs_ref, slab_s, sems = rest
+        else:
+            costs_ref = None
+            slab_s, sems = rest
         # grid is (nj, B): j outer, frames inner
         j = pl.program_id(0)
         i = pl.program_id(1)
@@ -241,12 +251,18 @@ def make_fused_filter(height: int, width: int, tile_rows: int = 120,
         temporal = (tp_ + tn_) * 0.5
         diff = jnp.abs(tp_ - tn_) * 0.5
         recon = jnp.clip(best_pred, temporal - diff, temporal + diff)
+        # note: weaving in f32 then one clip/floor/cast of the full tile
+        # measured FASTER than a u8 kept-field passthrough + u8 weave
+        # (uint8 interleave lowers poorly in Mosaic): 9969 vs 8988 fps
         filtered = _weave(keep, recon)
         out_ref[:] = (
             jnp.clip(jnp.floor(filtered + 0.5), 0.0, maxv)
             .astype(jnp.int32)
             .astype(jnp.uint8)
         )
+
+        if not with_costs:
+            return
 
         # --- field-match combing partial sums -------------------------------
         # global formulas (ops.deint.combing_metric_fields):
@@ -292,9 +308,44 @@ def make_fused_filter(height: int, width: int, tile_rows: int = 120,
         ], axis=1)
 
     @partial(jax.jit, static_argnames=("interpret",))
-    def fused(frames_u8, a_full, b_full, fades, maxv, interpret=False):
-        bsz = frames_u8.shape[0]
+    def yadif_costs(erased, maxv, interpret=False):
+        """Pass 2 alone: yadif + field-match costs over already-erased
+        uint8 frames (production erases upstream, or not at all)."""
+        bsz = erased.shape[0]
         assert bsz >= 3, "fused filter needs batches of at least 3 frames"
+        out_specs = [
+            pl.BlockSpec((None, tile_rows, width), lambda j, i: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [jax.ShapeDtypeStruct((bsz, height, width), jnp.uint8)]
+        if with_costs:
+            out_specs.append(
+                pl.BlockSpec((None, None, 1, 128), lambda j, i: (j, i, 0, 0),
+                             memory_space=pltpu.VMEM))
+            out_shape.append(
+                jax.ShapeDtypeStruct((nj, bsz, 1, 128), jnp.float32))
+        res = pl.pallas_call(
+            kernel,
+            grid=(nj, bsz),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # erased frames (HBM)
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # maxv
+            ],
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
+            scratch_shapes=[
+                pltpu.VMEM((2, 3, srows, width), jnp.uint8),  # double buffer
+                pltpu.SemaphoreType.DMA((2, 3)),
+            ],
+            interpret=interpret,
+        )(erased, jnp.reshape(maxv, (1,)))
+        if not with_costs:
+            return res[0], None
+        out, costs = res
+        return out, costs[:, :, 0, :3].sum(axis=0) / ((lh - 2) * lw)
+
+    @partial(jax.jit, static_argnames=("interpret",))
+    def fused(frames_u8, a_full, b_full, fades, maxv, interpret=False):
         # pass 1: logo erase, once per frame (exactly integer-valued, so the
         # uint8 round trip is lossless)
         x = frames_u8.astype(jnp.float32)
@@ -303,29 +354,7 @@ def make_fused_filter(height: int, width: int, tile_rows: int = 120,
         erased = jnp.clip(jnp.floor(fade * bg + (1.0 - fade) * x + 0.5),
                           0.0, maxv).astype(jnp.uint8)
         # pass 2: yadif + field-match costs
-        out, costs = pl.pallas_call(
-            kernel,
-            grid=(nj, bsz),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),  # erased frames (HBM)
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # maxv
-            ],
-            out_specs=(
-                pl.BlockSpec((None, tile_rows, width), lambda j, i: (i, j, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((None, None, 1, 128), lambda j, i: (j, i, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ),
-            out_shape=(
-                jax.ShapeDtypeStruct((bsz, height, width), jnp.uint8),
-                jax.ShapeDtypeStruct((nj, bsz, 1, 128), jnp.float32),
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((2, 3, srows, width), jnp.uint8),  # double buffer
-                pltpu.SemaphoreType.DMA((2, 3)),
-            ],
-            interpret=interpret,
-        )(erased, jnp.reshape(maxv, (1,)))
-        return out, costs[:, :, 0, :3].sum(axis=0) / ((lh - 2) * lw)
+        return yadif_costs(erased, maxv, interpret=interpret)
 
+    fused.yadif_costs = yadif_costs
     return fused

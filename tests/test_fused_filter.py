@@ -114,3 +114,20 @@ class TestFusedFilter:
         np.testing.assert_array_equal(np.asarray(out)[:, :lh, :lw], ref_out)
         np.testing.assert_allclose(np.asarray(costs), ref_costs, rtol=1e-5,
                                    atol=1e-4)
+
+    def test_yadif_only_variant(self, setup):
+        """with_costs=False: same filtered output, costs None."""
+        frames, a_full, b_full, fades = setup
+        fused = make_fused_filter(H, W, tile_rows=16, with_costs=False)
+        # erase pass outside (identical math), then the yadif-only kernel
+        import jax.numpy as jnp
+        x = jnp.asarray(frames).astype(jnp.float32)
+        fade = jnp.asarray(fades)[:, None, None]
+        bg = jnp.asarray(a_full) * x + jnp.asarray(b_full) * 255.0
+        erased = jnp.clip(jnp.floor(fade*bg + (1.0-fade)*x + 0.5),
+                          0, 255).astype(jnp.uint8)
+        out, costs = fused.yadif_costs(erased, jnp.float32(255.0),
+                                       interpret=True)
+        assert costs is None
+        ref_out, _ = reference_chain(frames, a_full, b_full, fades)
+        np.testing.assert_array_equal(np.asarray(out), ref_out)
