@@ -120,15 +120,23 @@ def deband(
     threshold: float = 96.0,
     range_: int = 15,
     sample: int = 2,
+    frame_offset=0,  # global index of frames[0] (shard/batch invariance)
 ) -> jnp.ndarray:
     """Blur flat gradients by averaging with randomly-offset nearby pixels.
 
     Samples symmetric +-(dy, dx) pairs (as the AviUtl filter does): on a
     linear gradient the pair average equals the centre value, so banding is
     smoothed without biasing or adding variance. A pair contributes only
-    when both members are within the threshold."""
+    when both members are within the threshold.
+
+    Randomness is derived per GLOBAL frame index (fold_in(seed, offset+i)),
+    so the result is independent of batch boundaries and mesh sharding:
+    a shard processing frames [k, k+b) with frame_offset=k produces bit-
+    identical output to the single-device full-sequence call."""
     b, h, w = frames.shape
-    key = jax.random.PRNGKey(seed)
+    base = jax.random.PRNGKey(seed)
+    fidx = jnp.arange(b) + frame_offset
+    keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(fidx)
     acc = frames
     cnt = jnp.ones_like(frames)
     pad = range_
@@ -137,9 +145,12 @@ def deband(
     xx0 = jnp.arange(w)[None, None, :]
     bb = jnp.arange(b)[:, None, None]
     for s in range(sample):
-        key, k1, k2 = jax.random.split(key, 3)
-        dy = jax.random.randint(k1, (b, h, w), -range_, range_ + 1)
-        dx = jax.random.randint(k2, (b, h, w), -range_, range_ + 1)
+        split = jax.vmap(lambda k: jax.random.split(k, 3))(keys)  # [b, 3, 2]
+        keys, k1, k2 = split[:, 0], split[:, 1], split[:, 2]
+        rnd = jax.vmap(
+            lambda k: jax.random.randint(k, (h, w), -range_, range_ + 1))
+        dy = rnd(k1)
+        dx = rnd(k2)
         n1 = padded[bb, yy0 + dy + pad, xx0 + dx + pad]
         n2 = padded[bb, yy0 - dy + pad, xx0 - dx + pad]
         ok = (jnp.abs(n1 - frames) < threshold) & (jnp.abs(n2 - frames) < threshold)

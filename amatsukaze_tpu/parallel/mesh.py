@@ -113,7 +113,10 @@ def sharded_hbd_chain(mesh: Mesh, axis: str = "data"):
         prev_edge, next_edge = _halo_exchange(x, axis)
         padded = jnp.concatenate([prev_edge, x, next_edge], axis=0)
         x = dn_ops.temporal_nr(padded, radius=1)[1:-1]
-        x = dn_ops.deband(x, seed[0])
+        # deband keys off the GLOBAL frame index so the sharded result is
+        # bit-identical to the single-device call
+        offset = jax.lax.axis_index(axis) * x.shape[0]
+        x = dn_ops.deband(x, seed[0], frame_offset=offset)
         return dn_ops.to_10bit(x)
 
     smapped = shard_map(
