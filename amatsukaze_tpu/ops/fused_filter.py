@@ -214,7 +214,9 @@ def make_fused_filter(height: int, width: int, tile_rows: int = 120,
         nxt8 = jnp.where(is_first, s1, s2)
 
         # frames arrive already logo-erased (pass 1); Mosaic lacks a direct
-        # u8->f32 cast, widen via int32
+        # u8->f32 cast, widen via int32. Widening whole slabs then field-
+        # splitting in f32 measured faster than u8 field-split + per-field
+        # widening (u8 deinterleave lowers poorly): 5.96 vs 8.73 ms/batch
         cur = cur8.astype(jnp.int32).astype(jnp.float32)
         prv = prv8.astype(jnp.int32).astype(jnp.float32)
         nxt = nxt8.astype(jnp.int32).astype(jnp.float32)
