@@ -23,23 +23,61 @@ def scene_change_scores(frames: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([jnp.zeros((1,), d.dtype), d])
 
 
+def _binned_hist(frames: jnp.ndarray, bins: int) -> jnp.ndarray:
+    """Normalised per-frame luma histograms [B, bins] without the one-hot
+    memory blowup (B*H*W*bins temp): one masked reduction per bin, which
+    XLA fuses into a few passes over the frames."""
+    idx = jnp.clip((frames / (256.0 / bins)).astype(jnp.int32), 0, bins - 1)
+    hist = jnp.stack(
+        [jnp.sum((idx == k).astype(jnp.float32), axis=(-2, -1))
+         for k in range(bins)], axis=-1)
+    return hist / jnp.maximum(jnp.sum(hist, axis=-1, keepdims=True), 1.0)
+
+
 @jax.jit
 def histogram_correlation(frames: jnp.ndarray, bins: int = 32) -> jnp.ndarray:
     """Luma-histogram correlation with the previous frame [B] (first = 1).
 
-    Robust to motion; low correlation = cut. Uses a soft-binned histogram so
-    the whole thing stays one fused XLA op."""
-    b = frames.shape[0]
-    # hard binning via one-hot (frames assumed 0..255)
-    idx = jnp.clip((frames / (256.0 / bins)).astype(jnp.int32), 0, bins - 1)
-    onehot = jax.nn.one_hot(idx, bins, dtype=jnp.float32)
-    hist = jnp.sum(onehot, axis=(1, 2))  # [B, bins]
-    hist = hist / jnp.maximum(jnp.sum(hist, axis=-1, keepdims=True), 1.0)
+    Robust to motion; low correlation = cut. For full sequences use the
+    streaming pair scene_metrics_batch + histogram_correlation_from_hists
+    (this whole-array form is for bounded batches/tests)."""
+    hist = _binned_hist(frames, bins)
     prev = jnp.concatenate([hist[:1], hist[:-1]], axis=0)
     num = jnp.sum(hist * prev, axis=-1)
     den = jnp.sqrt(jnp.sum(hist * hist, -1) * jnp.sum(prev * prev, -1))
     corr = num / jnp.maximum(den, 1e-12)
     return corr.at[0].set(1.0)
+
+
+@jax.jit
+def scene_metrics_batch(frames: jnp.ndarray, prev_frame: jnp.ndarray):
+    """Streaming per-batch scene metrics with a cross-batch carry.
+
+    frames: [B, H, W] luma (uint8 preferred - the host->device transfer is
+    4x smaller and the widening happens on device); prev_frame: [H, W]
+    (the previous batch's last frame; pass frames[0] for the first batch
+    so its score is 0). Returns (diff scores [B], normalised histograms
+    [B, 32]). Host code assembles the full sequence
+    (histogram_correlation_from_hists)."""
+    frames = frames.astype(jnp.float32)
+    prev = jnp.concatenate([prev_frame.astype(jnp.float32)[None],
+                            frames[:-1]])
+    d = jnp.mean(jnp.abs(frames - prev), axis=(-2, -1))
+    return d, _binned_hist(frames, 32)
+
+
+def histogram_correlation_from_hists(hists) -> "np.ndarray":
+    """Host-side correlation over per-frame histograms [N, bins]."""
+    import numpy as np
+
+    h = np.asarray(hists, np.float32)
+    prev = np.concatenate([h[:1], h[:-1]])
+    num = (h * prev).sum(-1)
+    den = np.sqrt((h * h).sum(-1) * (prev * prev).sum(-1))
+    corr = num / np.maximum(den, 1e-12)
+    if len(corr):
+        corr[0] = 1.0
+    return corr
 
 
 from functools import partial
@@ -87,3 +125,24 @@ def detect_scene_changes(
     s = np.asarray(scores)
     c = np.asarray(hist_corr)
     return [int(i) for i in np.flatnonzero((s > diff_threshold) & (c < corr_threshold))]
+
+
+def scene_metrics_batch_host(frames_u8, prev_frame_u8, bins: int = 32):
+    """Host (numpy) twin of scene_metrics_batch, for environments where
+    shipping full frames to the accelerator is slower than computing on
+    the CPU (e.g. remote/tunneled devices). Decision-identical: same diff
+    scores (f32 tolerance) and exact histograms."""
+    import numpy as np
+
+    arr = np.stack(frames_u8)
+    prev = np.concatenate([np.asarray(prev_frame_u8)[None], arr[:-1]])
+    d = np.mean(np.abs(arr.astype(np.int16) - prev.astype(np.int16)),
+                axis=(-2, -1), dtype=np.float32)
+    scale = bins / 256.0
+    hists = np.empty((len(arr), bins), np.float32)
+    for i, f in enumerate(arr):
+        idx = np.clip((f.astype(np.float32) * scale).astype(np.int32),
+                      0, bins - 1)
+        h = np.bincount(idx.ravel(), minlength=bins).astype(np.float32)
+        hists[i] = h / max(h.sum(), 1.0)
+    return d, hists

@@ -322,26 +322,86 @@ class TranscodePipeline:
         silence: list[tuple[int, int]] = []
 
         if self.decoder_factory is not None and num_frames > 0:
-            frames = self._decode_luma(v, num_frames)
-            if cm_ops is not None and len(frames):
-                import jax.numpy as jnp
+            # ONE streaming pass over the decoded luma: scene metrics are
+            # computed per device batch with a cross-batch carry and the
+            # frames flow on to the logo matcher - nothing holds the whole
+            # sequence in host RAM or HBM (a 30-min recording is ~80 GB of
+            # luma; the old whole-sequence jit OOMed past ~1 minute)
+            import jax.numpy as jnp
 
-                arr = jnp.asarray(np.stack(frames).astype(np.float32))
-                scores = cm_ops.scene_change_scores(arr)
-                corr = cm_ops.histogram_correlation(arr)
+            batch = max(8, st.conf.device_batch_frames)
+            scene_scores: list[np.ndarray] = []
+            scene_hists: list[np.ndarray] = []
+            state = {"prev": None, "count": 0}
+
+            def scene_batch(pend):
+                if cm_ops is None:
+                    return
+                if state.get("host_metrics"):
+                    d, h = cm_ops.scene_metrics_batch_host(
+                        pend, state["prev"] if state["prev"] is not None
+                        else pend[0])
+                else:
+                    # ship uint8; the op widens on device (4x less xfer)
+                    t0 = time.time()
+                    arr = jnp.asarray(np.stack(pend))
+                    prev = (arr[0] if state["prev"] is None
+                            else jnp.asarray(state["prev"]))
+                    dj, hj = cm_ops.scene_metrics_batch(arr, prev)
+                    d = np.asarray(dj)
+                    h = np.asarray(hj)
+                    # adaptive backend: on tunneled/remote devices the
+                    # frame upload dwarfs the compute - fall back to the
+                    # decision-identical numpy twin (>0.5 ms/frame
+                    # round-trip is ~50x a local PCIe transfer)
+                    if (state["prev"] is not None  # skip the compile call
+                            and time.time() - t0 > 0.0005 * len(pend)):
+                        state["host_metrics"] = True
+                        self.ctx.info(
+                            "[scene metrics] device round-trip slow "
+                            "(remote device?); switching to the host twin")
+                scene_scores.append(d)
+                scene_hists.append(h)
+                state["prev"] = pend[-1]
+
+            def luma_stream():
+                pend = []
+                for planes in self.decoder_factory(self, v):
+                    pend.append(planes[0])
+                    state["count"] += 1
+                    if len(pend) >= batch:
+                        scene_batch(pend)
+                        yield from pend
+                        pend = []
+                    if state["count"] >= num_frames:
+                        break
+                if pend:
+                    scene_batch(pend)
+                    yield from pend
+
+            stream = luma_stream()
+            if self.logos:
+                matcher = LogoFrameMatcher(self.ctx, [lg for _, lg in self.logos])
+                # the 11-step fade sweep feeds both matching and the
+                # per-frame erase fades (ref AMTAnalyzeLogo's NUM_FADE)
+                fade_steps = 2 if st.conf.no_delogo else 11
+                matcher.scan_frames(stream, fmt.width, fmt.height, fps,
+                                    fade_steps=fade_steps)
+            else:
+                for _ in stream:
+                    pass
+
+            if cm_ops is not None and scene_scores:
+                scores = np.concatenate(scene_scores)
+                corr = cm_ops.histogram_correlation_from_hists(
+                    np.concatenate(scene_hists))
                 scene_changes = cm_ops.detect_scene_changes(scores, corr)
                 with open(st.tmp_chapter_exe_out_path(v), "w") as f:
                     from ..models.cm_analyze import format_scene_changes_text
 
                     f.write(format_scene_changes_text(scene_changes, []))
 
-            if self.logos and len(frames):
-                matcher = LogoFrameMatcher(self.ctx, [lg for _, lg in self.logos])
-                # the 11-step fade sweep feeds both matching and the
-                # per-frame erase fades (ref AMTAnalyzeLogo's NUM_FADE)
-                fade_steps = 2 if st.conf.no_delogo else 11
-                matcher.scan_frames(iter(frames), fmt.width, fmt.height, fps,
-                                    fade_steps=fade_steps)
+            if self.logos and state["count"]:
                 best = matcher.select_logo()
                 matcher.write_result(st.tmp_logo_frame_path(v))
                 ivs = matcher.intervals()
@@ -368,14 +428,6 @@ class TranscodePipeline:
         if any(r > 0 for r in st.conf.pmt_cut_side_rate):
             analyzer.apply_pmt_cut(st.conf.pmt_cut_side_rate, pid_changes)
         return analyzer.result
-
-    def _decode_luma(self, v: int, num_frames: int) -> list:
-        out = []
-        for planes in self.decoder_factory(self, v):
-            out.append(planes[0])
-            if len(out) >= num_frames:
-                break
-        return out
 
     def _detect_silence(self, reform, v, fps) -> list[tuple[int, int]]:
         st = self.settings
