@@ -44,7 +44,17 @@ except Exception:  # pragma: no cover
 
 def ensure_jax_backend(ctx) -> None:
     """Fall back to the CPU backend when the accelerator is unavailable
-    (device busy/unreachable); the pipeline must still run."""
+    (device busy/unreachable); the pipeline must still run.
+
+    Also enables a persistent XLA compile cache: the server spawns one
+    process per queue item (reference architecture, TranscodeWorker.cs),
+    so without it every encode pays the 20-40 s first-compile cost of
+    each kernel geometry again."""
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "amatsukaze_tpu", "jax"))
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     try:
         import jax
 
@@ -527,6 +537,12 @@ class TranscodePipeline:
                 qsrc = QpMapSource.from_file(
                     st.int_video_file_path(key.video))
                 if len(qsrc):
+                    total = qsrc.slices_ok + qsrc.slices_fallback
+                    if qsrc.slices_fallback:
+                        ctx.warn(
+                            "deblock: %d/%d slices used the slice-QP "
+                            "fallback (VLC desync)", qsrc.slices_fallback,
+                            total)
                     fg.qp_source = qsrc.select(sorted(set(file.video_frames)))
                 else:
                     ctx.warn("deblock: no QP maps extracted (non-MPEG2 "

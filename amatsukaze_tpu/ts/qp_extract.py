@@ -378,6 +378,10 @@ class QpMapSource:
         if held is not None:
             display.append(held)
         self.results = display
+        # aggregate parse health (a high fallback share on intra slices
+        # would indicate a DCT-table defect; see mpeg2_tables notes)
+        self.slices_ok = sum(r.slices_ok for r in display)
+        self.slices_fallback = sum(r.slices_fallback for r in display)
 
     def __len__(self) -> int:
         return len(self.results)
