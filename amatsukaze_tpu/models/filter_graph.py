@@ -87,12 +87,19 @@ class FilterGraph:
         costs = []
         carry = None  # last frame of the previous batch for cross-batch match
         for chunk in _batched(frame_iter, self.batch):
-            arr = np.stack(chunk).astype(np.float32)
+            # ship at source dtype (uint8 = 4x less transfer), widen on
+            # device; frames here are integer-valued decoder output
+            arr = np.stack(chunk)
+            if arr.dtype != np.uint8 and np.issubdtype(arr.dtype,
+                                                       np.floating):
+                arr = np.clip(np.rint(arr), 0, 255).astype(np.uint8)
             if carry is not None:
                 arr_in = np.concatenate([carry[None], arr])
-                c = np.asarray(deint_ops.field_match_costs(jnp.asarray(arr_in)))[1:]
+                c = np.asarray(deint_ops.field_match_costs(
+                    jnp.asarray(arr_in).astype(jnp.float32)))[1:]
             else:
-                c = np.asarray(deint_ops.field_match_costs(jnp.asarray(arr)))
+                c = np.asarray(deint_ops.field_match_costs(
+                    jnp.asarray(arr).astype(jnp.float32)))
             costs.append(c)
             carry = arr[-1]
         if not costs:
@@ -159,11 +166,12 @@ class FilterGraph:
         entries = [(src, op) for src, op in self.vfr_plan.source_frames
                    if start_index <= src < end_index]
         if not entries:
-            return frames[:0]
-        arr = jnp.asarray(frames.astype(np.float32))
+            return frames[:0].astype(np.float32)
+        # transfer at source dtype, widen on device (4x less for uint8)
+        arr = jnp.asarray(frames).astype(jnp.float32)
         prev = jnp.concatenate([
-            jnp.asarray((prev_frame if prev_frame is not None
-                         else frames[0]).astype(np.float32))[None],
+            jnp.asarray(prev_frame if prev_frame is not None
+                        else frames[0]).astype(jnp.float32)[None],
             arr[:-1],
         ])
         ops_used = {op for _, op in entries}
@@ -231,7 +239,8 @@ class FilterGraph:
         first = (prev_frame if prev_frame is not None else frames[0])
         last = (next_frame if next_frame is not None else frames[-1])
         ext = np.concatenate([first[None], frames, last[None]])
-        u8 = np.clip(np.rint(ext), 0, 255).astype(np.uint8)
+        u8 = (ext if ext.dtype == np.uint8
+              else np.clip(np.rint(ext), 0, 255).astype(np.uint8))
         ones = jnp.ones((h, w), jnp.float32)
         zeros = jnp.zeros((h, w), jnp.float32)
         fp, _, _ = pad_width_for_fused(jnp.asarray(u8), ones, zeros, wp, hp)
@@ -260,19 +269,22 @@ class FilterGraph:
                     fused_out = np.asarray(self._apply_post(
                         jnp.asarray(fused_out), idx, frames.shape[1]))
                 return fused_out
-            arr = jnp.asarray(frames)
+            arr = jnp.asarray(frames).astype(jnp.float32)
             prev = jnp.concatenate(
-                [jnp.asarray(prev_frame if prev_frame is not None else frames[:1])
-                 .reshape(1, *frames.shape[1:]), arr[:-1]]
+                [jnp.asarray(prev_frame if prev_frame is not None
+                             else frames[:1])
+                 .astype(jnp.float32).reshape(1, *frames.shape[1:]),
+                 arr[:-1]]
             )
             nxt = jnp.concatenate(
                 [arr[1:],
-                 jnp.asarray(next_frame if next_frame is not None else frames[-1:])
-                 .reshape(1, *frames.shape[1:])]
+                 jnp.asarray(next_frame if next_frame is not None
+                             else frames[-1:])
+                 .astype(jnp.float32).reshape(1, *frames.shape[1:])]
             )
             out = deint_ops.yadif_deinterlace(prev, arr, nxt, True)
         else:
-            out = jnp.asarray(frames)
+            out = jnp.asarray(frames).astype(jnp.float32)
         if self.post_chain is not None:
             out = self._apply_post(out, idx, frames.shape[1])
         return np.asarray(out)

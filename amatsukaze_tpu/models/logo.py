@@ -355,7 +355,9 @@ class LogoFrameMatcher:
                     out[:, li, -1] = -1.0
                     continue
                 window = batch_np[:, h.imgy : h.imgy + h.h, h.imgx : h.imgx + h.w]
-                deint = ops.batched_deint_y(jnp.asarray(window.astype(np.float32)))
+                # transfer at source dtype, widen on device
+                deint = ops.batched_deint_y(
+                    jnp.asarray(window).astype(jnp.float32))
                 out[:, li] = np.asarray(
                     ops.batched_evaluate_logo(params, deint, jnp.float32(255.0), fades)
                 )

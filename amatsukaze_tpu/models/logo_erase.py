@@ -60,9 +60,18 @@ class LogoEraser:
         from ..ops.logo_pallas import delogo_full_frame
 
         b = len(ys)
-        y = jnp.asarray(np.asarray(ys, np.float32))
-        u = jnp.asarray(np.asarray(us, np.float32))
-        v = jnp.asarray(np.asarray(vs, np.float32))
+
+        def up(planes):
+            # transfer at the source dtype (uint8 is 4x less PCIe/tunnel
+            # traffic) and widen on device
+            arr = np.asarray(planes)
+            if arr.dtype != np.uint8:
+                return jnp.asarray(arr.astype(np.float32))
+            return jnp.asarray(arr).astype(jnp.float32)
+
+        y = up(ys)
+        u = up(us)
+        v = up(vs)
         for planes, fades in zip(self.planes, self.fades):
             if fades is None:
                 fd = jnp.ones((b,), jnp.float32)
@@ -74,9 +83,10 @@ class LogoEraser:
             y = delogo_full_frame(y, *planes["y"], jnp.float32(255.0), fd)
             u = delogo_full_frame(u, *planes["u"], jnp.float32(255.0), fd)
             v = delogo_full_frame(v, *planes["v"], jnp.float32(255.0), fd)
-        return (np.asarray(y).astype(np.uint8),
-                np.asarray(u).astype(np.uint8),
-                np.asarray(v).astype(np.uint8))
+        # erase output is integer-valued: cast on device, download uint8
+        return (np.asarray(y.astype(jnp.uint8)),
+                np.asarray(u.astype(jnp.uint8)),
+                np.asarray(v.astype(jnp.uint8)))
 
     def erase_iter(self, frames_iter, batch: int = 32):
         """Wrap a (Y, U, V) frame iterator with batched erasure."""

@@ -726,21 +726,20 @@ def _pump_filtered(fg, frames_iter, pump, batch: int) -> None:
             return
         outs = []
         for p in range(3):
-            arr = np.stack([f[p] for f in chunk]).astype(np.float32)
+            # keep the decoder's uint8 through to the filter graph: every
+            # device transfer ships 4x less and widens on device
+            arr = np.stack([f[p] for f in chunk])
             if fg.mode == FilterGraph.MODE_KFM_VFR:
                 res = fg.run_kfm_batch(
                     arr,
-                    None if prev_planes is None
-                    else prev_planes[p].astype(np.float32),
+                    None if prev_planes is None else prev_planes[p],
                     start,
                 )
             else:
                 res = fg.run_pass3(
                     arr,
-                    None if prev_planes is None
-                    else prev_planes[p].astype(np.float32),
-                    None if next_planes is None
-                    else next_planes[p].astype(np.float32),
+                    None if prev_planes is None else prev_planes[p],
+                    None if next_planes is None else next_planes[p],
                     start_index=start,
                 )
             outs.append(res)
