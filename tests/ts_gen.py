@@ -162,7 +162,15 @@ def mpeg2_picture(coding_type=1, picture_structure=3, tff=1, rff=0,
     # picture coding extension
     w.write(0x000001B5, 32)
     w.write(0x8, 4)
-    w.write(0xFFFF, 16)  # f_code
+    if real_slices is not None and coding_type in (2, 3):
+        # real slices code motion residuals for f_code=4 (mpeg2_gen's
+        # write_mv default); 15 = "no vector of this kind"
+        fwd = 4
+        bwd = 4 if coding_type == 3 else 15
+        for fc in (fwd, fwd, bwd, bwd):
+            w.write(fc, 4)
+    else:
+        w.write(0xFFFF, 16)  # f_code: all unused (intra)
     w.write(0, 2)  # intra_dc_precision
     w.write(picture_structure, 2)
     w.write(tff, 1)
