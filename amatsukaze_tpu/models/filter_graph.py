@@ -246,7 +246,9 @@ class FilterGraph:
         fp, _, _ = pad_width_for_fused(jnp.asarray(u8), ones, zeros, wp, hp)
         # logo erase already ran upstream (LogoEraser): skip pass 1 entirely
         out, _costs = fused.yadif_costs(fp, jnp.float32(255.0))
-        return np.asarray(out[1:-1, :h, :w]).astype(np.float32)
+        # return the DEVICE array (still uint8): run_pass3 applies the post
+        # chain on device, avoiding a download + re-upload of every frame
+        return out[1:-1, :h, :w]
 
     def run_pass3(self, frames: np.ndarray, prev_frame, next_frame,
                   start_index: int = 0):
@@ -266,9 +268,9 @@ class FilterGraph:
             fused_out = self._fused_yadif(frames, prev_frame, next_frame)
             if fused_out is not None:
                 if self.post_chain is not None:
-                    fused_out = np.asarray(self._apply_post(
-                        jnp.asarray(fused_out), idx, frames.shape[1]))
-                return fused_out
+                    fused_out = self._apply_post(
+                        fused_out.astype(jnp.float32), idx, frames.shape[1])
+                return np.asarray(fused_out).astype(np.float32)
             arr = jnp.asarray(frames).astype(jnp.float32)
             prev = jnp.concatenate(
                 [jnp.asarray(prev_frame if prev_frame is not None
