@@ -175,19 +175,26 @@ class FilterGraph:
             arr[:-1],
         ])
         ops_used = {op for _, op in entries}
-        variants = {VFRPlan.WEAVE: frames.astype(np.float32)}
+        # all variants stay on device; the output gather and the post
+        # chain run there too, so frames cross the host link exactly twice
+        # (uint8 up, final float down)
+        variants = {VFRPlan.WEAVE: arr}
         if VFRPlan.MERGE_PREV in ops_used:
-            variants[VFRPlan.MERGE_PREV] = np.asarray(merge_prev_weave(arr, prev))
+            variants[VFRPlan.MERGE_PREV] = merge_prev_weave(arr, prev)
         if VFRPlan.BOB_T in ops_used:
-            variants[VFRPlan.BOB_T] = np.asarray(bob_field(arr, top=True))
+            variants[VFRPlan.BOB_T] = bob_field(arr, top=True)
         if VFRPlan.BOB_B in ops_used:
-            variants[VFRPlan.BOB_B] = np.asarray(bob_field(arr, top=False))
-        out = np.stack([variants[op][src - start_index] for src, op in entries])
+            variants[VFRPlan.BOB_B] = bob_field(arr, top=False)
+        src_idx = jnp.asarray([src - start_index for src, _ in entries])
+        op_arr = np.asarray([op for _, op in entries])
+        out = variants[VFRPlan.WEAVE][src_idx]
+        for op in ops_used - {VFRPlan.WEAVE}:
+            m = jnp.asarray(op_arr == op)[:, None, None]
+            out = jnp.where(m, variants[op][src_idx], out)
         if self.post_chain is not None:
-            out = np.asarray(self._apply_post(
-                jnp.asarray(out), [src for src, _ in entries],
-                frames.shape[1]))
-        return out
+            out = self._apply_post(out, [src for src, _ in entries],
+                                   frames.shape[1])
+        return np.asarray(out)
 
     # cache of geometry-specialised fused kernels (TPU production path)
     _fused_cache: dict = {}
