@@ -10,14 +10,10 @@ pure-Python decoder as fallback when no compiler is present.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 import threading
 
 from ..ts.adts import AacDecodeResult, AacDecoder
-
-_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
-_LIB_NAME = "libamatsukaze_native.so"
+from ..ts.native import load_native
 
 MAX_CH = 24
 MAX_ELEMS = 24
@@ -28,23 +24,17 @@ _load_attempted = False
 
 
 def _load():
+    """Attach the AAC prototypes to the shared native library
+    (ts.native.load_native builds/loads libamatsukaze_native.so once)."""
     global _lib, _load_attempted
     with _lock:
         if _lib is not None or _load_attempted:
             return _lib
         _load_attempted = True
-        path = os.path.join(_NATIVE_DIR, _LIB_NAME)
-        makefile = os.path.join(_NATIVE_DIR, "Makefile")
-        if os.path.exists(makefile):
-            try:  # no-op when up to date; builds aac_tables.inc + .so
-                subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
-                               capture_output=True, timeout=180)
-            except (OSError, subprocess.SubprocessError):
-                pass
-        if not os.path.exists(path):
+        lib = load_native()
+        if lib is None:
             return None
         try:
-            lib = ctypes.CDLL(path)
             lib.AacDec_Create.restype = ctypes.c_void_p
             lib.AacDec_Destroy.argtypes = [ctypes.c_void_p]
             lib.AacDec_Reset.argtypes = [ctypes.c_void_p]
@@ -55,7 +45,7 @@ def _load():
                 ctypes.POINTER(ctypes.c_int),
             ]
             lib.AacDec_Decode.restype = ctypes.c_int
-        except (OSError, AttributeError):
+        except AttributeError:  # stale .so without the AAC entry points
             return None
         _lib = lib
         return _lib

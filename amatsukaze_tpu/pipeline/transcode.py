@@ -49,15 +49,21 @@ def ensure_jax_backend(ctx) -> None:
     Also enables a persistent XLA compile cache: the server spawns one
     process per queue item (reference architecture, TranscodeWorker.cs),
     so without it every encode pays the 20-40 s first-compile cost of
-    each kernel geometry again."""
-    os.environ.setdefault(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache",
-                     "amatsukaze_tpu", "jax"))
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    each kernel geometry again. jax is typically already imported by the
+    time this runs (module-level imports), so the env var would be
+    ignored - set it through jax.config."""
     try:
         import jax
 
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.environ.get(
+                    "JAX_COMPILATION_CACHE_DIR",
+                    os.path.join(os.path.expanduser("~"), ".cache",
+                                 "amatsukaze_tpu", "jax")))
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.devices()
     except RuntimeError as e:
         ctx.warn("accelerator backend unavailable (%s); falling back to CPU", e)
@@ -537,12 +543,12 @@ class TranscodePipeline:
                 qsrc = QpMapSource.from_file(
                     st.int_video_file_path(key.video))
                 if len(qsrc):
-                    total = qsrc.slices_ok + qsrc.slices_fallback
-                    if qsrc.slices_fallback:
+                    n_slices = qsrc.slices_ok + qsrc.slices_fallback
+                    if qsrc.slices_fallback and qsrc.full_parse:
                         ctx.warn(
                             "deblock: %d/%d slices used the slice-QP "
                             "fallback (VLC desync)", qsrc.slices_fallback,
-                            total)
+                            n_slices)
                     fg.qp_source = qsrc.select(sorted(set(file.video_frames)))
                 else:
                     ctx.warn("deblock: no QP maps extracted (non-MPEG2 "
@@ -558,8 +564,7 @@ class TranscodePipeline:
                 src = self._active_eraser.erase_iter(
                     src, st.conf.device_batch_frames)
             fg.analyze(
-                (planes[0].astype(np.float32)
-                 for i, planes in enumerate(src) if i in wanted),
+                (planes[0] for i, planes in enumerate(src) if i in wanted),
                 num_frames,
             )
         spec = fg.output_spec(num_frames, fmt)

@@ -40,7 +40,7 @@ def _build() -> str | None:
         return None
     try:
         subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
-                       capture_output=True, timeout=120)
+                       capture_output=True, timeout=180)
     except (OSError, subprocess.SubprocessError):
         return None
     path = os.path.join(_NATIVE_DIR, _LIB_NAME)
@@ -48,16 +48,17 @@ def _build() -> str | None:
 
 
 def load_native():
-    """Return the loaded CDLL, building it if needed; None when unavailable."""
+    """Return the loaded CDLL (shared by the TS demux, AAC decoder and QP
+    extractor bindings), building/refreshing it if possible; None when
+    unavailable. `make` is invoked even when the .so exists so a stale
+    library built from older sources is refreshed (no-op when current)."""
     global _lib, _load_attempted
     with _lock:
         if _lib is not None or _load_attempted:
             return _lib
         _load_attempted = True
-        path = os.path.join(_NATIVE_DIR, _LIB_NAME)
+        path = _build() or os.path.join(_NATIVE_DIR, _LIB_NAME)
         if not os.path.exists(path):
-            path = _build()
-        if not path:
             return None
         try:
             lib = ctypes.CDLL(path)

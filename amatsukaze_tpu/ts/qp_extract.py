@@ -17,14 +17,11 @@ QP maps feed ops.denoise.deblock_qp ([B, H/16, W/16] quantiser scales).
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 import threading
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
-_LIB_NAME = "libamatsukaze_native.so"
+from .native import load_native
 
 _lock = threading.Lock()
 _lib = None
@@ -38,23 +35,16 @@ NONLINEAR_QSCALE = [
 
 
 def _load():
+    """Attach the QP-extractor prototypes to the shared native library."""
     global _lib, _load_attempted
     with _lock:
         if _lib is not None or _load_attempted:
             return _lib
         _load_attempted = True
-        path = os.path.join(_NATIVE_DIR, _LIB_NAME)
-        makefile = os.path.join(_NATIVE_DIR, "Makefile")
-        if os.path.exists(makefile):
-            try:
-                subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
-                               capture_output=True, timeout=180)
-            except (OSError, subprocess.SubprocessError):
-                pass
-        if not os.path.exists(path):
+        lib = load_native()
+        if lib is None:
             return None
         try:
-            lib = ctypes.CDLL(path)
             lib.Mpeg2Qp_Create.restype = ctypes.c_void_p
             lib.Mpeg2Qp_Destroy.argtypes = [ctypes.c_void_p]
             lib.Mpeg2Qp_Parse.argtypes = [
@@ -63,7 +53,7 @@ def _load():
                 ctypes.POINTER(ctypes.c_int), ctypes.c_int,
             ]
             lib.Mpeg2Qp_Parse.restype = ctypes.c_int
-        except (OSError, AttributeError):
+        except AttributeError:  # stale .so without the QP entry points
             return None
         _lib = lib
         return _lib
@@ -88,7 +78,7 @@ class QpResult:
         self.slices_fallback = slices_fallback
 
 
-_MAX_MBS = 16384  # up to 4k-class frames
+_MAX_MBS = 36864  # up to 4096x2304 (256x144 macroblocks)
 
 
 class NativeQpExtractor:
@@ -343,6 +333,9 @@ class QpMapSource:
 
     def _build(self, chunks) -> None:
         ex = make_extractor()
+        # slice-level extractor reports everything as fallback by design;
+        # parse-health stats are only meaningful for the full-MB parser
+        self.full_parse = isinstance(ex, NativeQpExtractor)
         coded = []  # frame-level results in coded order
         pending_field = None
         for chunk in chunks:
@@ -353,17 +346,21 @@ class QpMapSource:
                 if pending_field is None:
                     pending_field = res
                     continue
-                # weave the two field maps row-interleaved
+                # weave the two field maps row-interleaved; a mismatched
+                # pair still gets expanded to frame height so every map in
+                # `results` has the same geometry (deblock_qp batches them)
                 a, b = pending_field, res
+                qp = np.repeat(a.qp, 2, axis=0)
                 if a.qp.shape == b.qp.shape:
-                    qp = np.repeat(a.qp, 2, axis=0)
                     qp[1::2] = b.qp
-                    a.qp = qp
+                a.qp = qp
                 coded.append(a)
                 pending_field = None
             else:
                 coded.append(res)
         if pending_field is not None:
+            # trailing unpaired field: expand to frame height
+            pending_field.qp = np.repeat(pending_field.qp, 2, axis=0)
             coded.append(pending_field)
         # decode order -> display order
         display = []
@@ -393,6 +390,9 @@ class QpMapSource:
         n = len(self.results)
         out.results = [self.results[min(i, n - 1)] for i in indices] \
             if n else []
+        out.full_parse = getattr(self, "full_parse", True)
+        out.slices_ok = self.slices_ok
+        out.slices_fallback = self.slices_fallback
         return out
 
     def maps(self, start: int, count: int) -> np.ndarray | None:
