@@ -85,6 +85,7 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["ts", "cm", "g", "drcs", "probe_subtitles", "probe_audio"])
     p.add_argument("--max-frames", type=int, default=9000)
     p.add_argument("--dump", action="store_true")
+    p.add_argument("--dump-filter", action="store_true")
     p.add_argument("--eb", "--encode-buffer", type=int, default=16,
                    dest="encode_buffer")
     p.add_argument("--device-batch", type=int, default=32,
@@ -151,6 +152,7 @@ def args_to_config(args) -> Config:
     conf.bitrate_cm = args.bitrate_cm
     conf.max_frames = args.max_frames
     conf.dump_stream_info = args.dump
+    conf.dump_filter = args.dump_filter
     conf.num_encode_buffer_frames = args.encode_buffer
     conf.device_batch_frames = args.device_batch
     conf.filter_mode = args.filter_mode

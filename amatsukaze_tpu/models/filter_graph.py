@@ -74,6 +74,34 @@ class FilterGraph:
                 return self.post_chain(out_j, qp=qp, qp_block_scale=scale)
         return self.post_chain(out_j)
 
+    def debug_dump(self, num_frames: int) -> dict:
+        """JSON-able description of the configured graph and its analysis
+        decisions (the reference's --dump-filter AviSynth graph analog)."""
+        out = {
+            "mode": self.mode,
+            "batch": self.batch,
+            "num_source_frames": num_frames,
+            "post_chain": bool(self.post_chain),
+            "post_chain_wants_qp": bool(
+                getattr(self.post_chain, "wants_qp", False)),
+            "qp_source_frames": (len(self.qp_source.results)
+                                 if self.qp_source is not None else 0),
+        }
+        if self.decisions is not None:
+            modes = [int(d.mode) for d in self.decisions]
+            out["kfm_cycles"] = len(modes)
+            out["kfm_mode_histogram"] = {
+                str(m): modes.count(m) for m in sorted(set(modes))}
+            out["kfm_decisions"] = [
+                {"mode": int(d.mode), "phase": int(d.phase)}
+                for d in self.decisions[:2000]]
+        if self.vfr_plan is not None:
+            out["vfr_out_frames"] = len(self.vfr_plan.durations)
+            out["vfr_duration_histogram"] = {
+                str(d): self.vfr_plan.durations.count(d)
+                for d in sorted(set(self.vfr_plan.durations))}
+        return out
+
     # -- pass 1 + 2: analysis over the full sequence ---------------------------
     def analyze(self, frame_iter, num_frames: int) -> None:
         """Stream the sequence once, collecting per-cycle pattern costs

@@ -130,6 +130,8 @@ class Config:
     post_filter: str = ""
     # debug
     dump_stream_info: bool = False
+    dump_filter: bool = False  # write filter-graph debug JSON per output
+                               # (ref --dump-filter, FilteredSource.hpp:273)
     no_remove_tmp: bool = False
     print_prefix: bool = False
 
@@ -236,6 +238,9 @@ class Settings:
 
     def tmp_div_path(self, vindex: int) -> str:
         return self._t(f"div{vindex}.txt")
+
+    def tmp_filter_dump_path(self, key: EncodeFileKey) -> str:
+        return self._t(f"filter{self._key(key)}.json")
 
     def tmp_chapter_path(self, key: EncodeFileKey) -> str:
         return self._t(f"chapter{self._key(key)}.txt")

@@ -568,6 +568,11 @@ class TranscodePipeline:
                 num_frames,
             )
         spec = fg.output_spec(num_frames, fmt)
+        if st.conf.dump_filter:
+            # filter-graph debug dump (the reference's --dump-filter /
+            # DumpFilterGraph analog, FilteredSource.hpp:273-279)
+            with open(st.tmp_filter_dump_path(key), "w") as f:
+                json.dump(fg.debug_dump(num_frames), f, indent=1)
         out_fmt = spec.out_format
         if spec.time_codes:
             with open(st.enc_timecode_path(key), "w") as f:
