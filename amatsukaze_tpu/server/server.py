@@ -75,6 +75,9 @@ class ServerSetting:
     always_show_disk: str = ""
     num_devices: int = 1
     device_caps: list = field(default_factory=lambda: [100])
+    max_retries: int = 1  # auto-requeue failed items (ref TranscodeWorker)
+    finish_action: str = ""  # command run when the queue drains
+                             # (ref FinishActionRunner suspend/shutdown)
 
 
 @dataclass
@@ -94,6 +97,10 @@ class QueueEntry:
     service_name: str = ""
     ts_time: str = ""  # ISO datetime when probed
     genres: list = field(default_factory=list)  # [level1, level2] pairs (JSON-safe)
+    retry_count: int = 0
+
+
+CONSOLE_MAX_LINES = 400  # rolling console capture (ref RollingTextLines)
 
 
 class EncodeServer:
@@ -120,6 +127,7 @@ class EncodeServer:
 
     # ------------------------------------------------------------ lifecycle
     async def start(self, host: str = "127.0.0.1", port: int = 32768) -> int:
+        self._acquire_instance_lock()
         self.load_app_data()
         self.pool.set_num_parallel(self.setting.num_parallel)
         self._server = await asyncio.start_server(
@@ -136,6 +144,69 @@ class EncodeServer:
                 w.close()
             await self._server.wait_closed()
         self.save_app_data()
+        self._release_instance_lock()
+
+    def _acquire_instance_lock(self) -> None:
+        """One server per data dir (ref ServerCLI.cs:20 global mutex)."""
+        import fcntl
+
+        os.makedirs(self.data_dir, exist_ok=True)
+        self._lock_file = open(self._path("server.lock"), "w")
+        try:
+            fcntl.flock(self._lock_file, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            self._lock_file.close()
+            self._lock_file = None
+            raise RuntimeError(
+                f"another server instance already runs on {self.data_dir}")
+        self._lock_file.write(str(os.getpid()))
+        self._lock_file.flush()
+
+    def _release_instance_lock(self) -> None:
+        lf = getattr(self, "_lock_file", None)
+        if lf is not None:
+            lf.close()
+            self._lock_file = None
+
+    def disk_space(self) -> list[dict]:
+        """Free/total bytes for every directory the queue touches (ref
+        EncodeServer disk-space tracking for the GUI meters)."""
+        import shutil as _shutil
+
+        paths = {self.setting.work_dir or "."}
+        if self.setting.always_show_disk:
+            paths.add(self.setting.always_show_disk)
+        for e in self.entries.values():
+            paths.add(os.path.dirname(e.out_path) or ".")
+        out = []
+        for p in sorted(paths):
+            try:
+                u = _shutil.disk_usage(p)
+            except OSError:
+                continue
+            out.append({"path": p, "total": u.total, "free": u.free})
+        return out
+
+    def _queue_drained(self) -> bool:
+        # entry states, not queue.actives: the worker pool releases the
+        # finishing item only after _run_item returns, and its state is
+        # already terminal by the time the drain check runs
+        return not any(e.state in ("queue", "encoding")
+                       for e in self.entries.values())
+
+    async def _maybe_finish_action(self) -> None:
+        """Run the configured command once when the queue drains (ref
+        FinishActionRunner: suspend/shutdown after the last item)."""
+        if not self.setting.finish_action or not self._queue_drained():
+            return
+        cmd = self.setting.finish_action
+        self.setting.finish_action = ""  # fire once
+        await self.clients.broadcast("OnFinishAction", {"command": cmd})
+        try:
+            proc = await asyncio.create_subprocess_shell(cmd)
+            await proc.wait()
+        except OSError as e:
+            self.ctx.error("finish action failed: %s", e)
 
     # ------------------------------------------------------------ persistence
     def _path(self, name: str) -> str:
@@ -335,15 +406,31 @@ class EncodeServer:
             entry.state = "complete" if ok else "failed"
         except Exception as e:  # noqa: BLE001
             entry.state = "failed"
-            entry.console.append(str(e))
+            self.append_console(entry, str(e))
         finally:
             phase.release()
+        if (entry.state == "failed"
+                and entry.retry_count < self.setting.max_retries):
+            # auto-retry (ref TranscodeWorker retry logic)
+            entry.retry_count += 1
+            entry.state = "queue"
+            self.append_console(
+                entry, f"retrying ({entry.retry_count}/"
+                       f"{self.setting.max_retries})")
+            self._enqueue(entry)
         self.logs.append({
             "id": entry.item_id, "src": entry.src_path,
-            "state": entry.state, "finished": time.time(),
+            "state": entry.state, "retries": entry.retry_count,
+            "finished": time.time(),
         })
         await self.clients.broadcast("OnQueueUpdate", asdict(entry))
         await self.clients.broadcast("OnLogUpdate", self.logs[-1])
+        await self._maybe_finish_action()
+
+    def append_console(self, entry: QueueEntry, line: str) -> None:
+        entry.console.append(line)
+        if len(entry.console) > CONSOLE_MAX_LINES:
+            del entry.console[:len(entry.console) - CONSOLE_MAX_LINES]
 
     async def _default_run_item(self, server, worker_id, entry, phase) -> bool:
         """In-process transcode (the reference spawns Amatsukaze.exe; we run
@@ -434,6 +521,23 @@ class EncodeServer:
             if entry is None:
                 return {"ok": False}
             return {"ok": True, "out_files": entry.out_files}
+        if method == "RetryItem":
+            entry = self.entries.get(payload.get("item_id", -1))
+            if entry is None or entry.state not in ("failed", "canceled"):
+                return {"ok": False}
+            entry.state = "queue"
+            self._enqueue(entry)
+            return {"ok": True}
+        if method == "GetDiskSpace":
+            return self.disk_space()
+        if method == "GetConsole":
+            entry = self.entries.get(payload.get("item_id", -1))
+            if entry is None:
+                return {"ok": False}
+            return {"ok": True, "console": entry.console}
+        if method == "SetFinishAction":
+            self.setting.finish_action = str(payload.get("command", ""))
+            return {"ok": True}
         return {"error": f"unknown method {method}"}
 
 

@@ -388,3 +388,126 @@ class TestAutoSelect:
         s.auto_select["x"] = [(1032, "news")]
         e = QueueEntry(1, "a.ts", "o", service_id=1032)
         assert s.profile_for(e).name == "news"
+
+
+class TestServerOps:
+    """Retry / disk space / finish action / instance lock / rolling console
+    (ref TranscodeWorker retry, EncodeServer disk tracking,
+    FinishActionRunner, ServerCLI single-instance mutex,
+    RollingTextLines)."""
+
+    def test_auto_retry_then_success(self, ctx, tmp_path):
+        async def main():
+            from amatsukaze_tpu.server.server import EncodeServer
+            from amatsukaze_tpu.server.rpc import RpcClient
+
+            attempts = []
+
+            async def flaky(server, wid, entry, phase):
+                attempts.append(entry.item_id)
+                return len(attempts) >= 2  # first run fails, retry succeeds
+
+            server = EncodeServer(ctx, data_dir=str(tmp_path / "d"),
+                                  run_item=flaky)
+            server.setting.max_retries = 2
+            port = await server.start(port=0)
+            client = await RpcClient.connect("127.0.0.1", port)
+            await client.call("AddQueue", {"src": "a.ts", "out": "a"})
+            for _ in range(200):
+                await asyncio.sleep(0.02)
+                q = await client.call("GetQueue")
+                if q[0]["state"] == "complete":
+                    break
+            assert q[0]["state"] == "complete"
+            assert q[0]["retry_count"] == 1
+            assert len(attempts) == 2
+            client.close()
+            await server.stop()
+
+        run(main())
+
+    def test_retry_rpc_and_disk_space(self, ctx, tmp_path):
+        async def main():
+            from amatsukaze_tpu.server.server import EncodeServer
+            from amatsukaze_tpu.server.rpc import RpcClient
+
+            async def fail(server, wid, entry, phase):
+                return False
+
+            server = EncodeServer(ctx, data_dir=str(tmp_path / "d"),
+                                  run_item=fail)
+            server.setting.max_retries = 0
+            server.setting.work_dir = str(tmp_path)
+            port = await server.start(port=0)
+            client = await RpcClient.connect("127.0.0.1", port)
+            await client.call("AddQueue",
+                              {"src": "a.ts", "out": str(tmp_path / "o")})
+            for _ in range(200):
+                await asyncio.sleep(0.02)
+                q = await client.call("GetQueue")
+                if q[0]["state"] == "failed":
+                    break
+            assert q[0]["state"] == "failed"
+            r = await client.call("RetryItem", {"item_id": 1})
+            assert r["ok"]
+            disks = await client.call("GetDiskSpace")
+            assert disks and all("free" in d and d["total"] > 0
+                                 for d in disks)
+            client.close()
+            await server.stop()
+
+        run(main())
+
+    def test_finish_action_runs_on_drain(self, ctx, tmp_path):
+        async def main():
+            from amatsukaze_tpu.server.server import EncodeServer
+            from amatsukaze_tpu.server.rpc import RpcClient
+
+            async def ok_run(server, wid, entry, phase):
+                return True
+
+            marker = tmp_path / "finished.marker"
+            server = EncodeServer(ctx, data_dir=str(tmp_path / "d"),
+                                  run_item=ok_run)
+            port = await server.start(port=0)
+            client = await RpcClient.connect("127.0.0.1", port)
+            await client.call("SetFinishAction",
+                              {"command": f"touch {marker}"})
+            await client.call("AddQueue", {"src": "a.ts", "out": "a"})
+            for _ in range(200):
+                await asyncio.sleep(0.02)
+                if marker.exists():
+                    break
+            assert marker.exists()
+            client.close()
+            await server.stop()
+
+        run(main())
+
+    def test_single_instance_lock(self, ctx, tmp_path):
+        async def main():
+            from amatsukaze_tpu.server.server import EncodeServer
+
+            a = EncodeServer(ctx, data_dir=str(tmp_path / "d"))
+            await a.start(port=0)
+            b = EncodeServer(ctx, data_dir=str(tmp_path / "d"))
+            with pytest.raises(RuntimeError, match="already runs"):
+                await b.start(port=0)
+            await a.stop()
+            # released: a third instance can start now
+            c = EncodeServer(ctx, data_dir=str(tmp_path / "d"))
+            await c.start(port=0)
+            await c.stop()
+
+        run(main())
+
+    def test_console_rolling_cap(self, ctx, tmp_path):
+        from amatsukaze_tpu.server.server import (
+            CONSOLE_MAX_LINES, EncodeServer, QueueEntry)
+
+        server = EncodeServer(ctx, data_dir=str(tmp_path / "d"))
+        e = QueueEntry(item_id=1, src_path="a", out_path="b")
+        for i in range(CONSOLE_MAX_LINES + 50):
+            server.append_console(e, f"line {i}")
+        assert len(e.console) == CONSOLE_MAX_LINES
+        assert e.console[0] == "line 50"
