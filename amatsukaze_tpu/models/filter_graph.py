@@ -59,8 +59,21 @@ class FilterGraph:
         # (feeds the deblock post filter, like the reference's qp-table
         # frame props from the patched decoder)
         self.qp_source = qp_source
+        # when the consumer rounds the output to uint8 anyway (the y4m
+        # pump), rounding on device and downloading uint8 is identical
+        # math at 4x less host-link traffic
+        self.quantize_output = False
         self.decisions = None
         self.vfr_plan: VFRPlan | None = None
+
+    def _download(self, out_dev):
+        import jax.numpy as jnp
+
+        if self.quantize_output:
+            q = jnp.clip(jnp.floor(out_dev.astype(jnp.float32) + 0.5),
+                         0, 255).astype(jnp.uint8)
+            return np.asarray(q)
+        return np.asarray(out_dev)
 
     def _apply_post(self, out_j, src_indices, plane_h: int):
         """Run the post chain; slices per-output-frame QP maps when the
@@ -222,7 +235,7 @@ class FilterGraph:
         if self.post_chain is not None:
             out = self._apply_post(out, [src for src, _ in entries],
                                    frames.shape[1])
-        return np.asarray(out)
+        return self._download(out)
 
     # cache of geometry-specialised fused kernels (TPU production path)
     _fused_cache: dict = {}
@@ -305,7 +318,10 @@ class FilterGraph:
                 if self.post_chain is not None:
                     fused_out = self._apply_post(
                         fused_out.astype(jnp.float32), idx, frames.shape[1])
-                return np.asarray(fused_out).astype(np.float32)
+                    return self._download(fused_out)
+                # kernel output is already uint8
+                return (np.asarray(fused_out) if self.quantize_output
+                        else np.asarray(fused_out).astype(np.float32))
             arr = jnp.asarray(frames).astype(jnp.float32)
             prev = jnp.concatenate(
                 [jnp.asarray(prev_frame if prev_frame is not None
@@ -324,7 +340,7 @@ class FilterGraph:
             out = jnp.asarray(frames).astype(jnp.float32)
         if self.post_chain is not None:
             out = self._apply_post(out, idx, frames.shape[1])
-        return np.asarray(out)
+        return self._download(out)
 
 
 def build_post_chain(spec: str):

@@ -532,6 +532,9 @@ class TranscodePipeline:
         fg = FilterGraph(self.ctx, mode=st.conf.filter_mode,
                          batch=st.conf.device_batch_frames,
                          post_chain=build_post_chain(st.conf.post_filter))
+        # the encode pump rounds to uint8 anyway: round on device instead
+        # and download 4x less
+        fg.quantize_output = True
         if fg.post_chain is not None and getattr(fg.post_chain, "wants_qp",
                                                  False):
             # per-MB QP maps from the intermediate ES for the deblock post
@@ -718,6 +721,8 @@ def _default_encoder_runner(pipeline: TranscodePipeline, reform,
 
 
 def _to_u8(plane: np.ndarray) -> np.ndarray:
+    if plane.dtype == np.uint8:  # already rounded (on device)
+        return plane
     return np.clip(np.floor(plane + 0.5), 0, 255).astype(np.uint8)
 
 
