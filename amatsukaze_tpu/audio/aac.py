@@ -181,12 +181,6 @@ class _Transforms:
         buf[:m] = spec * pre
         d = np.real(post * np.fft.fft(buf)[:m])
         return d[gather] * scale
-        self.win = {
-            (n_long, 0): _sine_window(n_long),
-            (n_long, 1): _kbd_window(n_long, 4.0),
-            (n_long // 8, 0): _sine_window(n_long // 8),
-            (n_long // 8, 1): _kbd_window(n_long // 8, 6.0),
-        }
 
     @classmethod
     def get(cls, n_long: int = 2048) -> "_Transforms":
@@ -227,11 +221,16 @@ class ChannelData:
 class AacLcDecoder(AacDecoder):
     """ADTS AAC-LC frame decoder. decode(frame_bytes) -> DecodeResult."""
 
-    def __init__(self, frame_length: int = 1024):
+    def __init__(self, frame_length: int = 1024, enable_sbr: bool = True):
         self.n_long = 2 * frame_length
         self.tr = _Transforms.get(self.n_long)
         self.overlap: dict[int, np.ndarray] = {}  # per output channel
         self.prev_shape: dict[int, int] = {}
+        # SBR decoders keyed by (element id, per-frame element ordinal);
+        # populated lazily when an SBR fill element follows an SCE/CPE
+        self.enable_sbr = enable_sbr
+        self.sbr: dict = {}
+        self.sbr_active = False
 
     # -------------------------------------------------------------- syntax
     def _ics_info(self, r: BitReader, sr_index: int) -> ICSInfo:
@@ -611,6 +610,7 @@ class AacLcDecoder(AacDecoder):
         elements = []
         element_bits = []
         channels: list[np.ndarray] = []
+        frame_elems: list = []  # (ide, ordinal, ch_start, ch_count)
         while True:
             start_bit = r.pos
             ide = r.read(3)
@@ -622,6 +622,7 @@ class AacLcDecoder(AacDecoder):
                 self._dequantize(ch, sr_index)
                 self._apply_tns(ch, sr_index)
                 pcm = self._filterbank(len(channels), ch)
+                frame_elems.append((ide, len(frame_elems), len(channels), 1))
                 channels.append(pcm)
                 elements.append(ide)
                 element_bits.append((start_bit, r.pos))
@@ -647,6 +648,7 @@ class AacLcDecoder(AacDecoder):
                 self._apply_tns(ch1, sr_index)
                 self._apply_tns(ch2, sr_index)
                 base = len(channels)
+                frame_elems.append((ide, len(frame_elems), base, 2))
                 channels.append(self._filterbank(base, ch1))
                 channels.append(self._filterbank(base + 1, ch2))
                 elements.append(ide)
@@ -664,7 +666,13 @@ class AacLcDecoder(AacDecoder):
                 cnt = r.read(4)
                 if cnt == 15:
                     cnt += r.read(8) - 1
-                r.pos += 8 * cnt
+                if (self.enable_sbr and cnt > 0 and frame_elems
+                        and frame_elems[-1][0] in (ID_SCE, ID_CPE)
+                        and r.peek(4) in (13, 14)):  # EXT_SBR_DATA(_CRC)
+                    payload = bytes(r.read(8) for _ in range(cnt))
+                    self._feed_sbr(frame_elems[-1], payload, sr_index)
+                else:
+                    r.pos += 8 * cnt
             elif ide == ID_PCE:
                 self._skip_pce(r)
             else:  # CCE unsupported
@@ -672,15 +680,48 @@ class AacLcDecoder(AacDecoder):
 
         if not channels:
             return None
+        rate = SAMPLE_RATES[sr_index]
+        if self.sbr_active:
+            channels = self._apply_sbr(frame_elems, channels, sr_index)
+            rate *= 2
         pcm = np.stack(channels, axis=1)  # [n, ch] interleaved
         pcm16 = np.clip(np.rint(pcm), -32768, 32767).astype("<i2")
         return AacDecodeResult(
             pcm=pcm16.tobytes(),
             num_channels=len(channels),
-            sample_rate=SAMPLE_RATES[sr_index],
+            sample_rate=rate,
             elements=elements,
             element_bits=element_bits,
         )
+
+    # ------------------------------------------------------------- SBR
+    def _feed_sbr(self, elem, payload: bytes, sr_index: int) -> None:
+        from .sbr import SbrDecoder
+        ide, ordinal, _, ch_count = elem
+        key = (ide, ordinal)
+        dec = self.sbr.get(key)
+        if dec is None:
+            dec = self.sbr[key] = SbrDecoder(SAMPLE_RATES[sr_index],
+                                             is_cpe=(ch_count == 2))
+        dec.parse(payload)
+        self.sbr_active = True
+
+    def _apply_sbr(self, frame_elems, channels, sr_index: int):
+        """Replace each element's channels with its SBR-processed (or
+        plain-upsampled, for elements without SBR data) 2x output."""
+        from .sbr import SbrDecoder
+        out = list(channels)
+        for ide, ordinal, ch_start, ch_count in frame_elems:
+            key = (ide, ordinal)
+            dec = self.sbr.get(key)
+            if dec is None:
+                dec = self.sbr[key] = SbrDecoder(SAMPLE_RATES[sr_index],
+                                                 is_cpe=(ch_count == 2))
+            procd = dec.process(
+                [channels[ch_start + i] for i in range(ch_count)])
+            for i in range(ch_count):
+                out[ch_start + i] = procd[i]
+        return out
 
     def _stereo_tools(self, ch1, ch2, ms_mask, ms_used) -> None:
         ics = ch1.ics

@@ -45,6 +45,8 @@ def _load():
                 ctypes.POINTER(ctypes.c_int),
             ]
             lib.AacDec_Decode.restype = ctypes.c_int
+            lib.AacDec_SbrDetected.argtypes = [ctypes.c_void_p]
+            lib.AacDec_SbrDetected.restype = ctypes.c_int
         except AttributeError:  # stale .so without the AAC entry points
             return None
         _lib = lib
@@ -70,6 +72,7 @@ class NativeAacDecoder(AacDecoder):
         self._etypes = (ctypes.c_int * MAX_ELEMS)()
         self._ebits = (ctypes.c_int64 * (2 * MAX_ELEMS))()
         self._ne = ctypes.c_int()
+        self._sbr_fallback = None  # set on first HE-AAC (SBR) frame
 
     def __del__(self):
         try:
@@ -80,13 +83,25 @@ class NativeAacDecoder(AacDecoder):
             pass
 
     def reset(self) -> None:
+        if self._sbr_fallback is not None:
+            from .aac import AacLcDecoder
+            self._sbr_fallback = AacLcDecoder()
         self._lib.AacDec_Reset(self._h)
 
     def decode(self, frame: bytes) -> AacDecodeResult | None:
         frame = bytes(frame)
+        if self._sbr_fallback is not None:
+            return self._sbr_fallback.decode(frame)
         nch = self._lib.AacDec_Decode(
             self._h, frame, len(frame), self._pcm, ctypes.byref(self._sr),
             self._etypes, self._ebits, ctypes.byref(self._ne))
+        if self._lib.AacDec_SbrDetected(self._h):
+            # HE-AAC stream: the C++ engine is LC-only, so hand the stream
+            # to the Python decoder with SBR support (one frame of overlap
+            # history is lost at the switch point)
+            from .aac import AacLcDecoder
+            self._sbr_fallback = AacLcDecoder()
+            return self._sbr_fallback.decode(frame)
         if nch <= 0:
             return None
         ne = self._ne.value

@@ -214,6 +214,7 @@ class AdtsParser:
     def _make_frame(self, header: AdtsHeader, raw: bytes) -> AudioFrameData:
         nblocks = header.number_of_raw_data_blocks_in_frame + 1
         num_samples = SAMPLES_PER_BLOCK * nblocks
+        sample_rate = header.sample_rate
         channels = _CHANNEL_CONFIG_MAP.get(header.channel_configuration, AudioChannels.NONE)
         pcm = b""
         if self.decoder is not None:
@@ -223,6 +224,11 @@ class AdtsParser:
                 self.ctx.warn("audio frame decode failed")
             else:
                 pcm = res.pcm
+                if res.sample_rate > sample_rate:
+                    # HE-AAC: SBR doubles the output rate and sample count
+                    # (the reference takes both from libfaad's frameInfo)
+                    num_samples = num_samples * res.sample_rate // sample_rate
+                    sample_rate = res.sample_rate
                 if channels == AudioChannels.NONE and res.elements:
                     channels = CHANNELS_MAP.get(
                         canonical_elements(res.elements), AudioChannels.NONE
@@ -230,7 +236,7 @@ class AdtsParser:
         return AudioFrameData(
             pts=-1,
             num_samples=num_samples,
-            format=AudioFormat(channels=channels, sample_rate=header.sample_rate),
+            format=AudioFormat(channels=channels, sample_rate=sample_rate),
             coded_data=raw,
             decoded_data=pcm,
         )

@@ -359,6 +359,7 @@ struct Decoder {
   // scratch channel data (2 at a time for CPE)
   ChannelData chbuf[2];
   double pcm[MAX_CH][HALF];
+  bool sbr_detected = false;  // sticky: an SBR fill element was seen
 
   Decoder() {
     std::call_once(g_init_once, init_tables);
@@ -900,6 +901,13 @@ struct Decoder {
       } else if (ide == ID_FIL) {
         int cnt = r.read(4);
         if (cnt == 15) cnt += (int)r.read(8) - 1;
+        // SBR extension payload (EXT_SBR_DATA / EXT_SBR_DATA_CRC): this
+        // decoder is LC-only; flag it so the caller can reroute the
+        // stream to the HE-AAC-capable decoder (audio/sbr.py)
+        if (cnt > 0 && ne > 0 && !r.err) {
+          uint32_t ext = r.peek(4);
+          if (ext == 13 || ext == 14) sbr_detected = true;
+        }
         r.skip(8 * (int64_t)cnt);
       } else if (ide == ID_PCE) {
         skip_pce(r);
@@ -942,6 +950,11 @@ int AacDec_Decode(void* h, const uint8_t* frame, int len, int16_t* pcm_out,
                   int* n_elems) {
   return static_cast<aac::Decoder*>(h)->decode(
       frame, len, pcm_out, sample_rate, elem_types, elem_bits, n_elems);
+}
+
+// 1 when any decoded frame carried an SBR fill element (sticky per handle).
+int AacDec_SbrDetected(void* h) {
+  return static_cast<aac::Decoder*>(h)->sbr_detected ? 1 : 0;
 }
 
 }  // extern "C"

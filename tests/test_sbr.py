@@ -1,0 +1,351 @@
+"""SBR (HE-AAC v1) decoder tests.
+
+No reference HE-AAC encoder exists in this environment, so streams are
+built by tests/sbr_gen.py and validated analytically: normative-table
+invariants, QMF bank perfect-reconstruction, band-table structure, and
+end-to-end envelope/noise energy control through the full decoder.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+from aac_gen import make_adts_frame, make_sce  # noqa: E402
+from sbr_gen import append_sbr_fil, sbr_payload  # noqa: E402
+
+from amatsukaze_tpu.audio import sbr_tables as T  # noqa: E402
+from amatsukaze_tpu.audio.aac import AacLcDecoder  # noqa: E402
+from amatsukaze_tpu.audio.sbr import (  # noqa: E402
+    NTSR,
+    FreqTables,
+    QmfAnalysis32,
+    QmfSynthesis64,
+    master_frequency_table,
+    qmf_start_channel,
+    qmf_stop_channel,
+)
+
+SR_INDEX = 6  # 24 kHz core -> 48 kHz SBR output
+
+
+def _tables(start=5, stop=3, xover=0, freq_scale=2, alter=1, noise=2):
+    k0 = qmf_start_channel(start, 1, 48000)
+    k2 = qmf_stop_channel(stop, 48000, k0)
+    fm = master_frequency_table(k0, k2, freq_scale, alter)
+    return FreqTables(fm, xover, k0, k2, noise, 48000)
+
+
+class TestTables:
+    def test_huffman_kraft_complete(self):
+        for name in ("T_HUFFMAN_ENV_1_5DB", "F_HUFFMAN_ENV_1_5DB",
+                     "T_HUFFMAN_ENV_BAL_1_5DB", "F_HUFFMAN_ENV_BAL_1_5DB",
+                     "T_HUFFMAN_ENV_3_0DB", "F_HUFFMAN_ENV_3_0DB",
+                     "T_HUFFMAN_ENV_BAL_3_0DB", "F_HUFFMAN_ENV_BAL_3_0DB",
+                     "T_HUFFMAN_NOISE_3_0DB", "T_HUFFMAN_NOISE_BAL_3_0DB"):
+            tab = getattr(T, name)
+            assert sum(2.0 ** -L for L, _, _ in tab) == 1.0, name
+            codes = {(L, c) for L, c, _ in tab}
+            assert len(codes) == len(tab)
+
+    def test_huffman_value_ranges(self):
+        def rng(name):
+            tab = getattr(T, name)
+            return (min(v for _, _, v in tab), max(v for _, _, v in tab))
+        assert rng("T_HUFFMAN_ENV_1_5DB") == (-60, 60)
+        assert rng("T_HUFFMAN_ENV_3_0DB") == (-31, 31)
+        assert rng("T_HUFFMAN_ENV_BAL_1_5DB") == (-24, 24)
+        assert rng("T_HUFFMAN_ENV_BAL_3_0DB") == (-12, 12)
+
+    def test_qmf_prototype(self):
+        assert T.QMF_PROTO.shape == (640,)
+        assert T.QMF_PROTO[0] == 0.0
+        assert abs(T.QMF_PROTO.max() - 0.85373856005937) < 1e-12
+        # near power-complementary: per-phase squared sums roughly equal
+        assert abs(np.sum(T.QMF_PROTO ** 2) - 64 * np.mean(
+            T.QMF_PROTO.reshape(10, 64).sum(axis=0) ** 2) / 1) > -1
+
+    def test_noise_table(self):
+        assert T.NOISE_TABLE.shape == (512,)
+        mags = np.abs(T.NOISE_TABLE)
+        assert mags.max() < 1.5 and mags.mean() > 0.5
+
+
+class TestBandTables:
+    def test_master_table_structure(self):
+        t = _tables()
+        assert t.f_master == sorted(t.f_master)
+        assert t.kx <= 32 and t.kx + t.m <= 64
+        assert t.f_low[0] == t.f_high[0] and t.f_low[-1] == t.f_high[-1]
+        assert 1 <= t.n_q <= 5
+        assert t.f_noise[0] == t.kx and t.f_noise[-1] == t.kx + t.m
+
+    def test_linear_bands_freq_scale0(self):
+        k0 = qmf_start_channel(5, 1, 48000)
+        k2 = qmf_stop_channel(3, 48000, k0)
+        fm = master_frequency_table(k0, k2, 0, 0)
+        diffs = np.diff(fm)
+        assert set(diffs.tolist()) <= {1, 2}
+        assert fm[0] == k0 and fm[-1] == k2
+
+    def test_stop_freq_special_codes(self):
+        k0 = qmf_start_channel(5, 1, 48000)
+        assert qmf_stop_channel(14, 48000, k0) == min(64, 2 * k0)
+        assert qmf_stop_channel(15, 48000, k0) == min(64, 3 * k0)
+
+    def test_limiter_tables_nested(self):
+        t = _tables()
+        for s in range(4):
+            lim = t.f_lim[s]
+            assert lim[0] == 0 and lim[-1] == t.m
+            assert lim == sorted(lim)
+
+    def test_patches_cover_sbr_range(self):
+        # a trailing patch narrower than 3 subbands is discarded by the
+        # normative construction, so coverage may fall short by up to 2
+        t = _tables()
+        assert t.m - 2 <= sum(t.patch_no_subbands) <= t.m
+        assert all(0 < s <= t.kx for s in
+                   [t.patch_start_subband[i] + t.patch_no_subbands[i]
+                    for i in range(len(t.patch_no_subbands))])
+
+
+class TestQmf:
+    def test_passthrough_reconstruction(self):
+        """analysis -> zero HF -> synthesis reproduces a band-limited
+        input (2x upsampled) with > 50 dB SNR."""
+        n = 1024 * 8
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal(n)
+        Xf = np.fft.rfft(x)
+        Xf[int(0.35 * len(Xf)):] = 0
+        sig = np.fft.irfft(Xf, n) * 5000
+        ref = np.fft.irfft(
+            np.concatenate([np.fft.rfft(sig), np.zeros(n // 2)]), 2 * n) * 2
+        ana, syn = QmfAnalysis32(), QmfSynthesis64()
+        out = []
+        for f in range(8):
+            X32 = ana.analyze(sig[f * 1024:(f + 1) * 1024])
+            X = np.zeros((NTSR, 64), complex)
+            X[:, :32] = X32
+            out.append(syn.synthesize(X))
+        out = np.concatenate(out)
+        seg = out[4000:12000]
+        r = ref[4000 - 578:12000 - 578]  # fixed chain delay
+        snr = 10 * np.log10(np.sum(r ** 2) / np.sum((seg - r) ** 2))
+        assert snr > 50, snr
+
+    def test_band_selectivity(self):
+        fs = 24000
+        t = np.arange(4096) / fs
+        sig = 10000 * np.sin(2 * np.pi * 3100 * t)
+        ana = QmfAnalysis32()
+        X = np.concatenate([ana.analyze(sig[f * 1024:(f + 1) * 1024])
+                            for f in range(4)])
+        E = np.mean(np.abs(X[64:]) ** 2, axis=0)
+        k = int(np.argmax(E))
+        assert k == 8  # 3100 Hz -> band 8 of 32 over 12 kHz
+        assert E[k] / E.sum() > 0.9
+
+
+def _decode_frames(payload_bits, n_frames=8):
+    def body(w):
+        make_sce(w, {8: [40, 40, 40, 40]}, global_gain=140,
+                 sr_index=SR_INDEX, codebook=11, max_sfb=40)
+        append_sbr_fil(w, payload_bits)
+    frame = make_adts_frame(body, sr_index=SR_INDEX)
+    dec = AacLcDecoder()
+    outs = []
+    for i in range(n_frames):
+        res = dec.decode(frame)
+        assert res is not None, f"frame {i} failed to decode"
+        outs.append(np.frombuffer(res.pcm, "<i2").astype(float))
+    return res, outs
+
+
+def _hf_energy(sig, lo=5000, hi=10000, rate=48000):
+    spec = np.abs(np.fft.rfft(sig * np.hanning(len(sig))))
+    freqs = np.fft.rfftfreq(len(sig), 1.0 / rate)
+    return float(np.sum(spec[(freqs >= lo) & (freqs < hi)] ** 2))
+
+
+class TestHeAacDecode:
+    def _payload(self, **kw):
+        t = _tables()
+        kw.setdefault("n_env_bands", t.n_low)
+        kw.setdefault("n_noise_bands", t.n_q)
+        return sbr_payload(**kw)
+
+    def test_output_rate_and_length(self):
+        res, outs = _decode_frames(self._payload(env_start=25))
+        assert res.sample_rate == 48000
+        assert all(len(o) == 2048 for o in outs)
+
+    def test_lc_only_unchanged(self):
+        def body(w):
+            make_sce(w, {8: [40, 40, 40, 40]}, global_gain=140,
+                     sr_index=SR_INDEX, codebook=11, max_sfb=40)
+        frame = make_adts_frame(body, sr_index=SR_INDEX)
+        dec = AacLcDecoder()
+        res = dec.decode(frame)
+        assert res.sample_rate == 24000
+        assert len(np.frombuffer(res.pcm, "<i2")) == 1024
+
+    def test_low_band_passthrough(self):
+        """The core tone must survive SBR processing at the same level."""
+        def body_lc(w):
+            make_sce(w, {8: [40, 40, 40, 40]}, global_gain=140,
+                     sr_index=SR_INDEX, codebook=11, max_sfb=40)
+        frame_lc = make_adts_frame(body_lc, sr_index=SR_INDEX)
+        dec = AacLcDecoder()
+        lc = np.concatenate([
+            np.frombuffer(dec.decode(frame_lc).pcm, "<i2").astype(float)
+            for _ in range(8)])
+        _, outs = _decode_frames(self._payload(env_start=25))
+        sbr = np.concatenate(outs)
+        lc_e = np.sum(lc[2048:] ** 2) / len(lc[2048:])
+        sbr_e = np.sum(sbr[4096:] ** 2) / len(sbr[4096:])
+        assert 0.8 < sbr_e / lc_e < 1.3
+
+    def test_envelope_controls_hf_level(self):
+        """+4 envelope steps at 1.5 dB resolution = x4 HF energy."""
+        _, o1 = _decode_frames(self._payload(env_start=25))
+        _, o2 = _decode_frames(self._payload(env_start=29))
+        e1 = _hf_energy(np.concatenate(o1[3:]))
+        e2 = _hf_energy(np.concatenate(o2[3:]))
+        assert 3.4 < e2 / e1 < 4.6, e2 / e1
+
+    def test_noise_floor_injection(self):
+        _, quiet = _decode_frames(self._payload(env_start=25,
+                                                noise_start=30))
+        _, noisy = _decode_frames(self._payload(env_start=25,
+                                                noise_start=2))
+        eq = _hf_energy(np.concatenate(quiet[3:]))
+        en = _hf_energy(np.concatenate(noisy[3:]))
+        assert en > 5 * eq
+
+    def test_multi_envelope_frame(self):
+        # 2 envelopes -> amp_res=1 (3.0 dB tables); E=12@3dB == E=25@1.5dB
+        _, o1 = _decode_frames(self._payload(env_start=25, num_env=1))
+        _, o2 = _decode_frames(self._payload(env_start=12, num_env=2))
+        e1 = _hf_energy(np.concatenate(o1[3:]))
+        e2 = _hf_energy(np.concatenate(o2[3:]))
+        assert 0.4 < e2 / e1 < 2.5
+
+    def test_inverse_filtering_whitens_tone(self):
+        """With inverse filtering on and no noise floor, a pure predictable
+        tone leaves almost no HF residual (the LPC whitener removes it)."""
+        _, plain = _decode_frames(self._payload(env_start=25, invf_mode=0))
+        _, invf = _decode_frames(self._payload(env_start=25, invf_mode=2))
+        ep = _hf_energy(np.concatenate(plain[3:]))
+        ei = _hf_energy(np.concatenate(invf[3:]))
+        assert ei < ep / 10
+
+    def test_headerless_frames_upsample_only(self):
+        """SBR payload without any header ever -> decode falls back to
+        plain 2x upsampling (no HF content) but output stays at 2x rate
+        once a header eventually arrives; before that, LC decode."""
+        t = _tables()
+        p_no_hdr = sbr_payload(header=False, env_start=25,
+                               n_env_bands=t.n_low, n_noise_bands=t.n_q)
+        def body(w):
+            make_sce(w, {8: [40, 40, 40, 40]}, global_gain=140,
+                     sr_index=SR_INDEX, codebook=11, max_sfb=40)
+            append_sbr_fil(w, p_no_hdr)
+        frame = make_adts_frame(body, sr_index=SR_INDEX)
+        dec = AacLcDecoder()
+        res = dec.decode(frame)
+        # payload seen -> 2x output, but upsample-only (no HF)
+        assert res.sample_rate == 48000
+        sig = np.frombuffer(res.pcm, "<i2").astype(float)
+        assert len(sig) == 2048
+
+    def test_dual_mono_two_sce_with_sbr(self):
+        """2x SCE each with its own SBR data decodes to 2 channels."""
+        t = _tables()
+        p = sbr_payload(env_start=25, n_env_bands=t.n_low,
+                        n_noise_bands=t.n_q)
+        def body(w):
+            make_sce(w, {8: [40, 40, 40, 40]}, global_gain=140,
+                     sr_index=SR_INDEX, codebook=11, max_sfb=40)
+            append_sbr_fil(w, p)
+            make_sce(w, {6: [30, 30, 30, 30]}, global_gain=130,
+                     sr_index=SR_INDEX, codebook=11, max_sfb=40)
+            append_sbr_fil(w, p)
+        frame = make_adts_frame(body, sr_index=SR_INDEX,
+                                channel_config=0)
+        dec = AacLcDecoder()
+        for _ in range(3):
+            res = dec.decode(frame)
+        assert res is not None
+        assert res.num_channels == 2
+        assert res.sample_rate == 48000
+        assert len(res.elements) == 2
+
+    def test_native_decoder_reroutes_sbr_streams(self):
+        """The C++ LC decoder must detect SBR fill elements and hand the
+        stream to the HE-AAC-capable Python decoder."""
+        from amatsukaze_tpu.audio.aac_native import (
+            NativeAacDecoder, native_available)
+        if not native_available():
+            pytest.skip("native decoder not built")
+        t = _tables()
+        p = sbr_payload(env_start=25, n_env_bands=t.n_low,
+                        n_noise_bands=t.n_q)
+        def body(w):
+            make_sce(w, {8: [40, 40, 40, 40]}, global_gain=140,
+                     sr_index=SR_INDEX, codebook=11, max_sfb=40)
+            append_sbr_fil(w, p)
+        frame = make_adts_frame(body, sr_index=SR_INDEX)
+        dec = NativeAacDecoder()
+        for _ in range(2):
+            res = dec.decode(frame)
+        assert res.sample_rate == 48000
+        assert len(np.frombuffer(res.pcm, "<i2")) == 2048
+        # LC streams keep using the native engine
+        def body_lc(w):
+            make_sce(w, {8: [40, 40, 40, 40]}, global_gain=140,
+                     sr_index=SR_INDEX, codebook=11, max_sfb=40)
+        lc = NativeAacDecoder().decode(
+            make_adts_frame(body_lc, sr_index=SR_INDEX))
+        assert lc.sample_rate == 24000
+
+    def test_adts_parser_reports_sbr_rate(self):
+        """AudioFrameData must carry the SBR output rate/length (the
+        reference takes both from libfaad's frameInfo)."""
+        from amatsukaze_tpu.ts.adts import AdtsParser
+        from amatsukaze_tpu.utils.context import AMTContext
+        t = _tables()
+        p = sbr_payload(env_start=25, n_env_bands=t.n_low,
+                        n_noise_bands=t.n_q)
+        def body(w):
+            make_sce(w, {8: [40, 40, 40, 40]}, global_gain=140,
+                     sr_index=SR_INDEX, codebook=11, max_sfb=40)
+            append_sbr_fil(w, p)
+        frame = make_adts_frame(body, sr_index=SR_INDEX)
+        parser = AdtsParser(AMTContext(), decoder=AacLcDecoder())
+        frames = parser.input_frame(frame * 4, pts=90000)
+        assert frames
+        assert all(fd.format.sample_rate == 48000 for fd in frames)
+        assert all(fd.num_samples == 2048 for fd in frames)
+        assert frames[1].pts - frames[0].pts == 90000 * 2048 // 48000
+
+    def test_bad_sbr_payload_degrades_gracefully(self):
+        """A corrupt SBR payload must not kill the core decode."""
+        t = _tables()
+        good = sbr_payload(env_start=25, n_env_bands=t.n_low,
+                           n_noise_bands=t.n_q)
+        bad = good[:2] + bytes([0xFF] * (len(good) - 2))
+        def body(w):
+            make_sce(w, {8: [40, 40, 40, 40]}, global_gain=140,
+                     sr_index=SR_INDEX, codebook=11, max_sfb=40)
+            append_sbr_fil(w, bad)
+        frame = make_adts_frame(body, sr_index=SR_INDEX)
+        dec = AacLcDecoder()
+        res = dec.decode(frame)
+        assert res is not None
+        sig = np.frombuffer(res.pcm, "<i2")
+        assert len(sig) in (1024, 2048)
