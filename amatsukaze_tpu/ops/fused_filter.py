@@ -291,16 +291,22 @@ def make_fused_filter(height: int, width: int, tile_rows: int = 120,
         even_valid = ((core & (gy >= 1)) & (gy < lh // 2)).astype(
             jnp.float32) * col_ok
 
-        def fam_sums(t_y, b_y):
-            t_y1 = shift_up(t_y)
-            b_ym1 = shift_down(b_y)
+        # shifted fields are shared across the three sums (ct1 feeds c_cur
+        # and c_tp, cbm1 feeds c_cur and c_bt); odd+even merge into one
+        # tensor so each sum costs a single reduction tree
+        ct1 = shift_up(ct)
+        pt1 = shift_up(pt)
+        cbm1 = shift_down(cb)
+        pbm1 = shift_down(pb)
+
+        def fam_sums(t_y, b_y, t_y1, b_ym1):
             odd = jnp.maximum((t_y - b_y) * (t_y1 - b_y), 0.0) * odd_valid
             even = jnp.maximum((b_ym1 - t_y) * (b_y - t_y), 0.0) * even_valid
-            return jnp.sum(odd) + jnp.sum(even)
+            return jnp.sum(odd + even)
 
-        c_cur = fam_sums(ct, cb)  # weave(t, b)
-        c_tp = fam_sums(ct, pb)  # weave(t, prev_b)
-        c_bt = fam_sums(pt, cb)  # weave(prev_t, b)
+        c_cur = fam_sums(ct, cb, ct1, cbm1)  # weave(t, b)
+        c_tp = fam_sums(ct, pb, ct1, pbm1)  # weave(t, prev_b)
+        c_bt = fam_sums(pt, cb, pt1, cbm1)  # weave(prev_t, b)
 
         # each (j, i) step writes its own partial-costs block; the tiny
         # reduction over j happens in XLA after the kernel
