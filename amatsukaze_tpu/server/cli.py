@@ -1,0 +1,57 @@
+"""Headless encode-server host (ref AmatsukazeServerCLI/ServerCLI.cs:8-50).
+
+Runs the EncodeServer's TCP RPC endpoint plus the browser client
+(``server/web.py``) until interrupted:
+
+    python -m amatsukaze_tpu.server.cli --data ./data --port 32768 --web-port 8080
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+
+from ..utils.context import AMTContext
+from .server import EncodeServer
+from .web import WebServer
+
+
+async def serve(args) -> None:
+    ctx = AMTContext()
+    server = EncodeServer(ctx, data_dir=args.data)
+    port = await server.start(host=args.host, port=args.port)
+    print(f"RPC listening on {args.host}:{port}")
+    web = None
+    if args.web_port >= 0:
+        web = WebServer(server)
+        wport = await web.start(host=args.host, port=args.web_port)
+        print(f"Web client on http://{args.host}:{wport}/")
+    try:
+        while True:
+            await asyncio.sleep(60)
+            server.save_app_data()
+    except asyncio.CancelledError:
+        pass
+    finally:
+        if web is not None:
+            await web.stop()
+        await server.stop()
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="amatsukaze-server")
+    p.add_argument("--data", default="./data", help="app data directory")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=32768, help="RPC port")
+    p.add_argument("--web-port", type=int, default=8080,
+                   help="web client port (-1 disables)")
+    args = p.parse_args(argv)
+    try:
+        asyncio.run(serve(args))
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

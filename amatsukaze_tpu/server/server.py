@@ -124,6 +124,8 @@ class EncodeServer:
                                on_error=self._on_error)
         self.clients = ClientManager(self.handle_request)
         self._server: asyncio.AbstractServer | None = None
+        self._drcs: object | None = None  # lazy DRCSManager
+        self._logo_scan: dict = {"state": "idle", "progress": "", "out": ""}
 
     # ------------------------------------------------------------ lifecycle
     async def start(self, host: str = "127.0.0.1", port: int = 32768) -> int:
@@ -538,7 +540,144 @@ class EncodeServer:
         if method == "SetFinishAction":
             self.setting.finish_action = str(payload.get("command", ""))
             return {"ok": True}
+        # ---- GUI-backing RPCs (the reference exposes these to the WPF
+        # client via ServerInterface.cs; the web client uses them) --------
+        if method == "GetSetting":
+            return asdict(self.setting)
+        if method == "SetSetting":
+            cur = asdict(self.setting)
+            cur.update({k: v for k, v in payload.items() if k in cur})
+            self.setting = ServerSetting(**cur)
+            self.pool.set_num_parallel(self.setting.num_parallel)
+            self.queue.resource_manager.set_gpu_resources(
+                self.setting.num_devices, self.setting.device_caps)
+            return {"ok": True}
+        if method == "GetAutoSelect":
+            return self.auto_select
+        if method == "SetAutoSelect":
+            self.auto_select = dict(payload)
+            return {"ok": True}
+        if method == "GetState":
+            states: dict[str, int] = {}
+            for e in self.entries.values():
+                states[e.state] = states.get(e.state, 0) + 1
+            return {
+                "paused": self.pool.is_paused,
+                "num_parallel": self.setting.num_parallel,
+                "states": states,
+                "logo_scan": dict(self._logo_scan),
+            }
+        if method == "GetDrcsImages":
+            mgr = self._drcs_manager()
+            return [{"md5": i.md5, "map": i.map_str,
+                     "has_image": bool(i.bmp_path),
+                     "sources": [list(s) for s in i.sources]}
+                    for i in mgr.update()]
+        if method == "AddDrcsMapping":
+            mgr = self._drcs_manager()
+            md5 = str(payload.get("md5", ""))
+            text = str(payload.get("text", ""))
+            if len(md5) != 32 or not text:
+                return {"ok": False}
+            mgr.add_mapping(md5, text)
+            return {"ok": True}
+        if method == "GetLogoFiles":
+            return self._logo_files()
+        if method == "RenameLogo":
+            from ..models.logo_render import GUILogoFile
+            path = os.path.join(self.logo_dir(),
+                                os.path.basename(str(payload.get("file", ""))))
+            if not os.path.exists(path):
+                return {"ok": False}
+            lf = GUILogoFile(path)
+            lf.set_name(str(payload.get("name", "")))
+            lf.save()
+            return {"ok": True}
+        if method == "ScanLogo":
+            return await self._start_logo_scan(payload)
         return {"error": f"unknown method {method}"}
+
+    # ------------------------------------------------------- GUI helpers
+    def logo_dir(self) -> str:
+        d = os.path.join(self.data_dir, "logo")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def drcs_dir(self) -> str:
+        return os.path.join(self.data_dir, "drcs")
+
+    def _drcs_manager(self):
+        if self._drcs is None:
+            from .drcs import DRCSManager
+            self._drcs = DRCSManager(self.ctx, self.drcs_dir())
+        return self._drcs
+
+    def _logo_files(self) -> list[dict]:
+        from ..models.logo_render import GUILogoFile
+        out = []
+        for name in sorted(os.listdir(self.logo_dir())):
+            if not name.endswith(".lgd"):
+                continue
+            try:
+                lf = GUILogoFile(os.path.join(self.logo_dir(), name))
+                out.append({"file": name, "name": lf.name,
+                            "width": lf.width, "height": lf.height})
+            except (OSError, ValueError):
+                continue
+        return out
+
+    def _default_logo_frames(self, src: str):
+        """(frame_iter, imgw, imgh) for a logo scan; frames are (Y, U, V)
+        planes. Uses the subprocess ffmpeg decoder (absent in minimal
+        environments — tests inject a synthetic factory via
+        `logo_frame_source`)."""
+        from ..pipeline.decoders import ffmpeg_generic_decoder
+
+        fmt, frames, _audio = ffmpeg_generic_decoder(src)
+        return frames, fmt.width, fmt.height
+
+    async def _start_logo_scan(self, payload) -> dict:
+        """Logo-generation wizard backend (ref the ScanLogo DLL export +
+        LogoAnalyzeModel.cs:288). Runs in a worker thread; progress is
+        polled through GetState's `logo_scan`."""
+        if self._logo_scan["state"] == "running":
+            return {"ok": False, "error": "scan already running"}
+        src = str(payload.get("src", ""))
+        if not os.path.exists(src):
+            return {"ok": False, "error": "source not found"}
+        service_id = int(payload.get("service_id", -1))
+        rect = payload.get("rect")  # [x, y, w, h] logo region
+        if not rect or len(rect) != 4:
+            return {"ok": False, "error": "rect [x,y,w,h] required"}
+        name = str(payload.get("name", os.path.basename(src)))
+        out_name = os.path.basename(str(payload.get("out", name + ".lgd")))
+        out_path = os.path.join(self.logo_dir(), out_name)
+        thy = int(payload.get("thy", 12))
+
+        self._logo_scan = {"state": "running", "progress": "starting",
+                           "out": out_path}
+
+        def work():
+            from ..models.logo import LogoAnalyzer, ScanRegion
+            try:
+                frame_source = getattr(self, "logo_frame_source",
+                                       self._default_logo_frames)
+                frame_iter, imgw, imgh = frame_source(src)
+                analyzer = LogoAnalyzer(
+                    self.ctx, ScanRegion(*rect), thy=thy,
+                    progress_cb=lambda *a: not self._logo_scan.update(
+                        progress=" ".join(str(x) for x in a)),
+                )
+                analyzer.scan(frame_iter, imgw, imgh, name=name,
+                              service_id=service_id)
+                analyzer.save(out_path)
+                self._logo_scan.update(state="done", progress="complete")
+            except Exception as e:  # noqa: BLE001 — reported to the client
+                self._logo_scan.update(state="failed", progress=str(e))
+
+        loop = asyncio.get_running_loop()
+        loop.run_in_executor(None, work)
+        return {"ok": True, "out": out_path}
 
 
 class PauseScheduler:

@@ -2,6 +2,7 @@
 loop test, AmatsukazeTestImpl.hpp:694-716, adapted to asyncio)."""
 
 import asyncio
+import os
 
 import pytest
 
@@ -511,3 +512,189 @@ class TestServerOps:
             server.append_console(e, f"line {i}")
         assert len(e.console) == CONSOLE_MAX_LINES
         assert e.console[0] == "line 50"
+
+
+class TestWebServer:
+    """Browser-client host (server/web.py + webui.html + server/cli.py) —
+    the reference's GUI layer analog (AmatsukazeGUI WPF, SURVEY.md L7)."""
+
+    async def _start(self, ctx, tmp_path):
+        from amatsukaze_tpu.server.server import EncodeServer
+        from amatsukaze_tpu.server.web import WebServer
+
+        server = EncodeServer(ctx, data_dir=str(tmp_path / "data"))
+        await server.start(port=0)
+        web = WebServer(server)
+        port = await web.start(port=0)
+        return server, web, port
+
+    def _get(self, port, path):
+        import urllib.request
+
+        return urllib.request.urlopen(
+            f"http://127.0.0.1:{port}{path}", timeout=5).read()
+
+    def _api(self, port, method, payload=None):
+        import json
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/{method}",
+            data=json.dumps(payload or {}).encode(),
+            headers={"Content-Type": "application/json"})
+        return json.loads(urllib.request.urlopen(req, timeout=5).read())
+
+    def test_html_and_api(self, ctx, tmp_path):
+        async def main():
+            server, web, port = await self._start(ctx, tmp_path)
+            loop = asyncio.get_running_loop()
+            html = await loop.run_in_executor(None, self._get, port, "/")
+            assert b"Amatsukaze TPU Server" in html
+            st = await loop.run_in_executor(
+                None, self._api, port, "GetState")
+            assert st["paused"] is False
+            await loop.run_in_executor(
+                None, self._api, port, "SetSetting", {"num_parallel": 2})
+            st = await loop.run_in_executor(
+                None, self._api, port, "GetState")
+            assert st["num_parallel"] == 2
+            # unknown paths 404
+            import urllib.error
+            with pytest.raises(urllib.error.HTTPError):
+                await loop.run_in_executor(None, self._get, port, "/nope")
+            await web.stop()
+            await server.stop()
+
+        run(main())
+
+    def test_logo_png_render(self, ctx, tmp_path):
+        async def main():
+            import struct
+            import zlib
+
+            import numpy as np
+
+            from amatsukaze_tpu.models.lgd import (
+                LogoData, LogoHeader, save_lgd)
+
+            server, web, port = await self._start(ctx, tmp_path)
+            h = LogoHeader(w=32, h=16, imgw=1440, imgh=1080,
+                           name="Logo X", service_id=7)
+            d = LogoData.create(h)
+            save_lgd(os.path.join(server.logo_dir(), "x.lgd"), d)
+            loop = asyncio.get_running_loop()
+            files = await loop.run_in_executor(
+                None, self._api, port, "GetLogoFiles")
+            assert files == [{"file": "x.lgd", "name": "Logo X",
+                              "width": 32, "height": 16}]
+            png = await loop.run_in_executor(
+                None, self._get, port, "/logo/x.lgd.png")
+            assert png[:8] == b"\x89PNG\r\n\x1a\n"
+            w, hh = struct.unpack(">II", png[16:24])
+            assert (w, hh) == (32, 16)
+            # IDAT decompresses to h*(1+3w) filtered bytes
+            idat, i = b"", 8
+            while i < len(png):
+                ln, tag = struct.unpack(">I4s", png[i:i + 8])
+                if tag == b"IDAT":
+                    idat += png[i + 8:i + 8 + ln]
+                i += 12 + ln
+            assert len(zlib.decompress(idat)) == hh * (1 + 3 * w)
+            # rename through the API
+            await loop.run_in_executor(
+                None, self._api, port, "RenameLogo",
+                {"file": "x.lgd", "name": "Renamed"})
+            files = await loop.run_in_executor(
+                None, self._api, port, "GetLogoFiles")
+            assert files[0]["name"] == "Renamed"
+            await web.stop()
+            await server.stop()
+
+        run(main())
+
+    def test_drcs_flow(self, ctx, tmp_path):
+        async def main():
+            server, web, port = await self._start(ctx, tmp_path)
+            md5 = "ab" * 16
+            os.makedirs(server.drcs_dir(), exist_ok=True)
+            with open(os.path.join(server.drcs_dir(), md5 + ".bmp"),
+                      "wb") as f:
+                f.write(b"BMfake")
+            loop = asyncio.get_running_loop()
+            imgs = await loop.run_in_executor(
+                None, self._api, port, "GetDrcsImages")
+            assert imgs[0]["md5"] == md5 and imgs[0]["map"] is None
+            r = await loop.run_in_executor(
+                None, self._api, port, "AddDrcsMapping",
+                {"md5": md5, "text": "外"})
+            assert r["ok"]
+            imgs = await loop.run_in_executor(
+                None, self._api, port, "GetDrcsImages")
+            assert imgs[0]["map"] == "外"
+            bmp = await loop.run_in_executor(
+                None, self._get, port, f"/drcs/{md5}.bmp")
+            assert bmp == b"BMfake"
+            await web.stop()
+            await server.stop()
+
+        run(main())
+
+    def test_logo_scan_background(self, ctx, tmp_path):
+        async def main():
+            import numpy as np
+
+            server, web, port = await self._start(ctx, tmp_path)
+            src = tmp_path / "src.ts"
+            src.write_bytes(b"\x47" * 188)
+
+            W, H = 96, 64
+            LW, LH = 24, 16
+            rng = np.random.default_rng(0)
+            yy, xx = np.mgrid[0:LH, 0:LW]
+            alpha = np.clip(
+                1.1 - np.hypot((yy - LH / 2) / (LH / 2),
+                               (xx - LW / 2) / (LW / 2)), 0, 1) * 0.35
+
+            def synth_frames(path):
+                def it():
+                    for i in range(200):
+                        bg = float(rng.uniform(30, 140))
+                        y = np.full((H, W), bg, np.float32)
+                        win = y[8:8 + LH, 8:8 + LW]
+                        y[8:8 + LH, 8:8 + LW] = \
+                            (1 - alpha) * win + alpha * 200.0
+                        y += rng.normal(0, 0.7, y.shape)
+                        u = (122.0 + 8 * rng.random()
+                             + 2 * rng.random((H // 2, W // 2)))
+                        v = (122.0 + 8 * rng.random()
+                             + 2 * rng.random((H // 2, W // 2)))
+                        yield (np.clip(y, 0, 255).astype(np.uint8),
+                               u.astype(np.uint8), v.astype(np.uint8))
+                return it(), W, H
+
+            server.logo_frame_source = synth_frames
+            loop = asyncio.get_running_loop()
+            r = await loop.run_in_executor(
+                None, self._api, port, "ScanLogo",
+                {"src": str(src), "rect": [8, 8, 24, 16],
+                 "name": "scanned", "service_id": 5})
+            assert r["ok"], r
+            for _ in range(300):
+                await asyncio.sleep(0.05)
+                st = await loop.run_in_executor(
+                    None, self._api, port, "GetState")
+                if st["logo_scan"]["state"] in ("done", "failed"):
+                    break
+            assert st["logo_scan"]["state"] == "done", st["logo_scan"]
+            files = await loop.run_in_executor(
+                None, self._api, port, "GetLogoFiles")
+            assert any(f["name"] == "scanned" for f in files)
+            # bad request paths
+            r = await loop.run_in_executor(
+                None, self._api, port, "ScanLogo",
+                {"src": "/nonexistent", "rect": [0, 0, 8, 8]})
+            assert not r["ok"]
+            await web.stop()
+            await server.stop()
+
+        run(main())
