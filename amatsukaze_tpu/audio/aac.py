@@ -708,19 +708,18 @@ class AacLcDecoder(AacDecoder):
 
     def _apply_sbr(self, frame_elems, channels, sr_index: int):
         """Replace each element's channels with its SBR-processed (or
-        plain-upsampled, for elements without SBR data) 2x output."""
+        plain-upsampled, for elements without SBR data) 2x output. An SCE
+        with parametric stereo yields two channels from one."""
         from .sbr import SbrDecoder
-        out = list(channels)
+        out = []
         for ide, ordinal, ch_start, ch_count in frame_elems:
             key = (ide, ordinal)
             dec = self.sbr.get(key)
             if dec is None:
                 dec = self.sbr[key] = SbrDecoder(SAMPLE_RATES[sr_index],
                                                  is_cpe=(ch_count == 2))
-            procd = dec.process(
-                [channels[ch_start + i] for i in range(ch_count)])
-            for i in range(ch_count):
-                out[ch_start + i] = procd[i]
+            out.extend(dec.process(
+                [channels[ch_start + i] for i in range(ch_count)]))
         return out
 
     def _stereo_tools(self, ch1, ch2, ms_mask, ms_used) -> None:

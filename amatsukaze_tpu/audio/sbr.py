@@ -490,6 +490,9 @@ class SbrDecoder:
         self.kx_prev = 32
         self.m_prev = 0
         self.frame_error = True  # no data yet -> upsample only
+        self.ps = None  # PsDecoder once a PS extension is seen (SCE only)
+        self.ps_used = False
+        self._qmfs_right: QmfSynthesis64 | None = None
 
     # ------------------------------------------------------------- parsing
     def parse(self, payload: bytes) -> None:
@@ -622,9 +625,19 @@ class SbrDecoder:
             cnt += r.read(8)
         nr_bits = 8 * cnt
         while nr_bits > 7:
-            r.read(2)  # bs_extension_id (PS unsupported -> skipped)
-            r.read(6)
-            nr_bits -= 8
+            start = r.pos
+            ext_id = r.read(2)
+            if ext_id == 2 and not self.is_cpe:  # EXTENSION_ID_PS
+                from .ps import PsDecoder
+
+                if self.ps is None:
+                    self.ps = PsDecoder()
+                self.ps.parse(r)
+                if self.ps.header_read:
+                    self.ps_used = True
+            else:
+                r.read(6)
+            nr_bits -= r.pos - start
         if nr_bits > 0:
             r.read(nr_bits)
 
@@ -922,7 +935,8 @@ class SbrDecoder:
     # ----------------------------------------------------------- process
     def process(self, channels: list[np.ndarray]) -> list[np.ndarray]:
         """Run one frame. channels: per-channel 1024 float samples (int16
-        scale). Returns per-channel 2048 samples at 2x rate."""
+        scale). Returns per-channel 2048 samples at 2x rate (two channels
+        from one when parametric stereo is active)."""
         out = []
         dont_process = self.frame_error or self.header_count == 0
         for ch, pcm in enumerate(channels):
@@ -948,7 +962,21 @@ class SbrDecoder:
                     else:
                         kx_b, m_b = self.tables.kx, self.tables.m
                     X[sl, :kx_b + m_b] = st.xsbr[sl + T_HFADJ, :kx_b + m_b]
-            out.append(st.qmfs.synthesize(X))
+            if self.ps_used and not self.is_cpe:
+                # parametric stereo: 6 lookahead slots of the lowest 5
+                # bands feed the hybrid filter delay (ref
+                # sbrDecodeSingleFramePS)
+                X38 = np.zeros((NTSR + 6, 64), complex)
+                X38[:NTSR] = X
+                X38[NTSR:, :5] = st.xsbr[T_HFADJ + NTSR:T_HFADJ + NTSR + 6,
+                                         :5]
+                x_left, x_right = self.ps.decode(X38)
+                if self._qmfs_right is None:
+                    self._qmfs_right = QmfSynthesis64()
+                out.append(st.qmfs.synthesize(x_left))
+                out.append(self._qmfs_right.synthesize(x_right))
+            else:
+                out.append(st.qmfs.synthesize(X))
         # save prev data
         if not dont_process:
             t = self.tables

@@ -233,6 +233,10 @@ class AdtsParser:
                     channels = CHANNELS_MAP.get(
                         canonical_elements(res.elements), AudioChannels.NONE
                     )
+                if (res.num_channels == 2
+                        and channels == AudioChannels.MONO):
+                    # parametric stereo: one SCE decodes to two channels
+                    channels = AudioChannels.STEREO
         return AudioFrameData(
             pts=-1,
             num_samples=num_samples,

@@ -93,3 +93,102 @@ def append_sbr_fil(w: BitWriter, payload: bytes) -> None:
         w.write(cnt, 4)
     for b in payload:
         w.write(b, 8)
+
+
+# ---------------------------------------------------------------------------
+# Parametric stereo (HE-AAC v2) payloads
+# ---------------------------------------------------------------------------
+
+from amatsukaze_tpu.audio import ps_tables as PT  # noqa: E402
+
+_PS_ENC = {}
+for _name in ("F_HUFF_IID_DEF", "F_HUFF_ICC", "F_HUFF_IPD", "F_HUFF_OPD"):
+    _PS_ENC[_name] = {v: (L, code) for L, code, v in getattr(PT, _name)}
+
+
+def _ps_huff(w: BitWriter, table: str, value: int) -> None:
+    L, code = _PS_ENC[table][value]
+    w.write(code, L)
+
+
+def write_ps_data(w: BitWriter, *, iid_index: int = 0, icc_index: int = 0,
+                  iid_mode: int = 0, icc_mode: int = 0,
+                  header: bool = True) -> None:
+    """One ps_data() block: single FIXFIX-style envelope, freq-coded flat
+    IID/ICC at the given index."""
+    nr_iid = [10, 20, 34, 10, 20, 34][iid_mode]
+    nr_icc = [10, 20, 34, 10, 20, 34][icc_mode]
+    w.write(1 if header else 0, 1)
+    if header:
+        w.write(1, 1)  # enable_iid
+        w.write(iid_mode, 3)
+        w.write(1, 1)  # enable_icc
+        w.write(icc_mode, 3)
+        w.write(0, 1)  # enable_ext
+    w.write(0, 1)  # frame_class FIX
+    w.write(1, 2)  # num_env code -> 1 envelope
+    # iid envelope: dt=0, first value = iid_index, rest deltas 0
+    w.write(0, 1)
+    _ps_huff(w, "F_HUFF_IID_DEF", iid_index)
+    for _ in range(nr_iid - 1):
+        _ps_huff(w, "F_HUFF_IID_DEF", 0)
+    # icc envelope
+    w.write(0, 1)
+    _ps_huff(w, "F_HUFF_ICC", icc_index)
+    for _ in range(nr_icc - 1):
+        _ps_huff(w, "F_HUFF_ICC", 0)
+
+
+def sbr_ps_payload(*, env_start: int = 25, noise_start: int = 30,
+                   n_env_bands: int, n_noise_bands: int,
+                   iid_index: int = 0, icc_index: int = 0,
+                   ps_header: bool = True) -> bytes:
+    """SCE SBR payload with a parametric-stereo extension block."""
+    pw = BitWriter()
+    write_ps_data(pw, iid_index=iid_index, icc_index=icc_index,
+                  header=ps_header)
+    pw.byte_align(fill=0)
+    ps_bytes = pw.getvalue()
+
+    w = BitWriter()
+    w.write(13, 4)  # EXT_SBR_DATA
+    w.write(1, 1)   # header flag
+    w.write(1, 1)   # amp_res
+    w.write(5, 4)   # start_freq
+    w.write(3, 4)   # stop_freq
+    w.write(0, 3)   # xover
+    w.write(0, 2)
+    w.write(1, 1)   # extra1
+    w.write(0, 1)   # extra2
+    w.write(2, 2)   # freq_scale
+    w.write(1, 1)   # alter_scale
+    w.write(2, 2)   # noise_bands
+    # sbr_single_channel_element
+    w.write(0, 1)   # data_extra
+    w.write(0, 2)   # FIXFIX
+    w.write(0, 2)   # 1 env
+    w.write(0, 1)   # freq res low
+    w.write(0, 1)   # df_env
+    w.write(0, 1)   # df_noise
+    for _ in range(n_noise_bands):
+        w.write(0, 2)  # invf NONE
+    w.write(env_start, 7)  # amp_res forced 0 for 1-env FIXFIX
+    for _ in range(n_env_bands - 1):
+        _write_huff(w, "F_HUFFMAN_ENV_1_5DB", 0)
+    w.write(noise_start, 5)
+    for _ in range(n_noise_bands - 1):
+        _write_huff(w, "F_HUFFMAN_ENV_3_0DB", 0)
+    w.write(0, 1)   # add_harmonic_flag
+    w.write(1, 1)   # extended data present
+    ext_bits = 2 + len(ps_bytes) * 8
+    cnt = (ext_bits + 7) // 8
+    if cnt >= 15:
+        w.write(15, 4)
+        w.write(cnt - 15, 8)
+    else:
+        w.write(cnt, 4)
+    w.write(2, 2)   # EXTENSION_ID_PS
+    for b in ps_bytes:
+        w.write(b, 8)
+    w.byte_align(fill=0)
+    return w.getvalue()
