@@ -216,7 +216,13 @@ def master_frequency_table(k0: int, k2: int, freq_scale: int,
     vk1 = [k1]
     for d in v_dk1:
         vk1.append(vk1[-1] + d)
-    return vk0 + vk1[1:]
+    out = vk0 + vk1[1:]
+    # degenerate headers (e.g. tiny second regions) can push a negative
+    # band width through the boundary adjustment above; the reference
+    # decoder lets the non-monotone table through, we reject the header
+    if any(b <= a for a, b in zip(out, out[1:])):
+        return None
+    return out
 
 
 class FreqTables:

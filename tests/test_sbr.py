@@ -456,3 +456,38 @@ class TestParametricStereo:
             ref = X[:NTSR, b]
             err = np.abs(recon[6:] - ref[6:]).max() / np.abs(ref).max()
             assert err < 1e-10, (b, err)
+
+
+class TestBandTableSweep:
+    def test_all_rates_and_headers_structurally_sound(self):
+        """Every accepted header across all SBR rates must yield monotone
+        master tables, full-span noise/limiter tables, and in-range
+        patches; degenerate headers are rejected, never corrupt."""
+        ok = 0
+        for rate in (16000, 22050, 24000, 32000, 44100, 48000, 96000):
+            for start in (0, 5, 10, 15):
+                for stop in (0, 3, 7, 13, 14, 15):
+                    for fs in range(4):
+                        k0 = qmf_start_channel(start, 1, rate)
+                        k2 = qmf_stop_channel(stop, rate, k0)
+                        if k2 <= k0:
+                            continue
+                        fm = master_frequency_table(k0, k2, fs, 1)
+                        if fm is None:
+                            continue
+                        assert fm == sorted(set(fm)), (rate, start, stop, fs)
+                        for xover in (0, 2, 4):
+                            for nb in range(3):
+                                try:
+                                    t = FreqTables(fm, xover, k0, k2, nb,
+                                                   rate)
+                                except ValueError:
+                                    continue
+                                assert t.f_noise[0] == t.kx
+                                assert t.f_noise[-1] == t.kx + t.m
+                                assert sum(t.patch_no_subbands) <= t.m
+                                for s in range(4):
+                                    assert t.f_lim[s][0] == 0
+                                    assert t.f_lim[s][-1] == t.m
+                                ok += 1
+        assert ok > 500, ok
