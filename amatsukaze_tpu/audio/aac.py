@@ -695,7 +695,7 @@ class AacLcDecoder(AacDecoder):
         )
 
     # ------------------------------------------------------------- SBR
-    def _feed_sbr(self, elem, payload: bytes, sr_index: int) -> None:
+    def _get_sbr(self, elem, sr_index: int):
         from .sbr import SbrDecoder
         ide, ordinal, _, ch_count = elem
         key = (ide, ordinal)
@@ -703,21 +703,20 @@ class AacLcDecoder(AacDecoder):
         if dec is None:
             dec = self.sbr[key] = SbrDecoder(SAMPLE_RATES[sr_index],
                                              is_cpe=(ch_count == 2))
-        dec.parse(payload)
+        return dec
+
+    def _feed_sbr(self, elem, payload: bytes, sr_index: int) -> None:
+        self._get_sbr(elem, sr_index).parse(payload)
         self.sbr_active = True
 
     def _apply_sbr(self, frame_elems, channels, sr_index: int):
         """Replace each element's channels with its SBR-processed (or
         plain-upsampled, for elements without SBR data) 2x output. An SCE
         with parametric stereo yields two channels from one."""
-        from .sbr import SbrDecoder
         out = []
-        for ide, ordinal, ch_start, ch_count in frame_elems:
-            key = (ide, ordinal)
-            dec = self.sbr.get(key)
-            if dec is None:
-                dec = self.sbr[key] = SbrDecoder(SAMPLE_RATES[sr_index],
-                                                 is_cpe=(ch_count == 2))
+        for elem in frame_elems:
+            _, _, ch_start, ch_count = elem
+            dec = self._get_sbr(elem, sr_index)
             out.extend(dec.process(
                 [channels[ch_start + i] for i in range(ch_count)]))
         return out

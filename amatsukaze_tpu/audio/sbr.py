@@ -745,6 +745,12 @@ class SbrDecoder:
                 border -= rel
                 i -= 1
                 t_e[i] = RATE * border
+        # a VARVAR grid can pass every relative-border check yet yield
+        # crossing borders (lead+rel0 overrunning trail-rel1); the
+        # envelope walk assumes monotone t_E, so reject the frame here
+        # (caught as frame_error -> upsample-only)
+        if any(b < a for a, b in zip(t_e[:f.L_E], t_e[1:f.L_E + 1])):
+            raise ValueError("non-monotone envelope borders")
         f.t_E = t_e
 
     def _middle_border(self, ch: int) -> int:
@@ -1153,7 +1159,8 @@ class SbrDecoder:
         current_t_noise_band = 0
         for env in range(f.L_E):
             delta = 0 if (env == f.l_A or env == st.prev_env_is_short) else 1
-            if f.t_E[env + 1] > f.t_Q[current_t_noise_band + 1]:
+            if (current_t_noise_band + 1 < f.L_Q
+                    and f.t_E[env + 1] > f.t_Q[current_t_noise_band + 1]):
                 current_t_noise_band += 1
             res = t.f_res[f.f[env]]
             current_f_noise_band = 0

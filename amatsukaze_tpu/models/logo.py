@@ -241,6 +241,8 @@ class LogoAnalyzer:
                 acc.add_frames(np.stack(pend_y), np.stack(pend_u),
                                np.stack(pend_v), pend_bg)
                 pend_y, pend_u, pend_v, pend_bg = [], [], [], []
+                if self.progress_cb("scan", len(self.frames_y), n + 1) is False:
+                    break
         if pend_y:
             acc.add_frames(np.stack(pend_y), np.stack(pend_u),
                            np.stack(pend_v), pend_bg)
@@ -250,6 +252,8 @@ class LogoAnalyzer:
 
     # -- passes 2-3 -----------------------------------------------------------
     def _remake(self, header, final: bool) -> None:
+        self.progress_cb("refine-final" if final else "refine",
+                         len(self.frames_y), len(self.frames_y))
         # deinterlace the current logo estimate + build the eval mask
         deint_a = np.asarray(ops.batched_deint_logo(jnp.asarray(self.logodata.a_y)))
         deint_b = np.asarray(ops.batched_deint_logo(jnp.asarray(self.logodata.b_y)))

@@ -658,8 +658,9 @@ class EncodeServer:
                            "out": out_path}
 
         def work():
-            from ..models.logo import LogoAnalyzer, ScanRegion
             try:
+                from ..models.logo import LogoAnalyzer, ScanRegion
+
                 frame_source = getattr(self, "logo_frame_source",
                                        self._default_logo_frames)
                 frame_iter, imgw, imgh = frame_source(src)

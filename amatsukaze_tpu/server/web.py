@@ -76,14 +76,23 @@ class WebServer:
                     h = await reader.readline()
                     if h in (b"\r\n", b"\n", b""):
                         break
-                    k, _, v = h.decode().partition(":")
+                    k, _, v = h.decode(errors="replace").partition(":")
                     headers[k.strip().lower()] = v.strip()
-                body = b""
-                n = int(headers.get("content-length", 0) or 0)
-                if n:
-                    body = await reader.readexactly(n)
-                status, ctype, payload = await self._route(
-                    method, target, body)
+                try:
+                    n = int(headers.get("content-length", 0) or 0)
+                    body = await reader.readexactly(n) if n > 0 else b""
+                except (ValueError, OverflowError):
+                    status, ctype, payload = ("400 Bad Request",
+                                              "text/plain", b"bad request")
+                else:
+                    try:
+                        status, ctype, payload = await self._route(
+                            method, target, body)
+                    except Exception as e:  # noqa: BLE001 — a handler bug
+                        # must produce a response, not kill the connection
+                        status = "500 Internal Server Error"
+                        ctype = "text/plain"
+                        payload = str(e).encode()
                 writer.write(
                     f"HTTP/1.1 {status}\r\n"
                     f"Content-Type: {ctype}\r\n"

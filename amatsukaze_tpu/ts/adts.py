@@ -149,6 +149,7 @@ class AdtsParser:
         self._bytes_consumed = 0
         self._last_pts = -1
         self._sync_ok = False
+        self._last_decoded_format = None
 
     def reset(self) -> None:
         pass
@@ -222,6 +223,14 @@ class AdtsParser:
             if res is None:
                 self.ctx.incr(ErrorCounter.DECODE_AUDIO)
                 self.ctx.warn("audio frame decode failed")
+                # keep the stream's decoded format stable across a corrupt
+                # frame: with SBR/PS active the header says core-rate mono
+                # while the stream is 2x-rate (and possibly stereo), and a
+                # header-derived fallback would fire a spurious
+                # format-change on every damaged frame
+                cached = self._last_decoded_format
+                if cached is not None and cached[0] == header.sample_rate:
+                    _, sample_rate, num_samples, channels = cached
             else:
                 pcm = res.pcm
                 if res.sample_rate > sample_rate:
@@ -237,6 +246,8 @@ class AdtsParser:
                         and channels == AudioChannels.MONO):
                     # parametric stereo: one SCE decodes to two channels
                     channels = AudioChannels.STEREO
+                self._last_decoded_format = (
+                    header.sample_rate, sample_rate, num_samples, channels)
         return AudioFrameData(
             pts=-1,
             num_samples=num_samples,
