@@ -91,7 +91,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--device-batch", type=int, default=32,
                    help="frames per device batch (TPU)")
     p.add_argument("--filter-mode", default="none",
-                   choices=["none", "yadif", "kfm_vfr"],
+                   choices=["none", "yadif", "qtgmc", "kfm_vfr"],
                    help="device filter graph (replaces the AVS filter script)")
     p.add_argument("--post-filter", default="",
                    help="post chain tokens: nr,deband,edge")

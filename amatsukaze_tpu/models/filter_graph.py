@@ -47,6 +47,7 @@ class FilterGraph:
 
     MODE_NONE = "none"
     MODE_YADIF = "yadif"
+    MODE_QTGMC = "qtgmc"  # motion-adaptive double-rate (60p) bob
     MODE_KFM_VFR = "kfm_vfr"
 
     def __init__(self, ctx, mode: str = "none", batch: int = 32,
@@ -186,6 +187,11 @@ class FilterGraph:
             out.out_format.progressive = True
         elif self.mode == self.MODE_YADIF:
             out.num_out_frames = num_src_frames
+            out.out_format.progressive = True
+        elif self.mode == self.MODE_QTGMC:
+            # double-rate: every field becomes a progressive frame
+            out.num_out_frames = 2 * num_src_frames
+            out.out_format.mul_div_fps(2, 1)
             out.out_format.progressive = True
         else:
             out.num_out_frames = num_src_frames
@@ -336,6 +342,22 @@ class FilterGraph:
                  .astype(jnp.float32).reshape(1, *frames.shape[1:])]
             )
             out = deint_ops.yadif_deinterlace(prev, arr, nxt, True)
+        elif self.mode == self.MODE_QTGMC:
+            arr = jnp.asarray(frames).astype(jnp.float32)
+            prev = jnp.concatenate(
+                [jnp.asarray(prev_frame if prev_frame is not None
+                             else frames[:1])
+                 .astype(jnp.float32).reshape(1, *frames.shape[1:]),
+                 arr[:-1]]
+            )
+            nxt = jnp.concatenate(
+                [arr[1:],
+                 jnp.asarray(next_frame if next_frame is not None
+                             else frames[-1:])
+                 .astype(jnp.float32).reshape(1, *frames.shape[1:])]
+            )
+            out = deint_ops.motion_adaptive_bob(prev, arr, nxt, True)
+            idx = [i for i in idx for _ in range(2)]  # QP map per field pair
         else:
             out = jnp.asarray(frames).astype(jnp.float32)
         if self.post_chain is not None:

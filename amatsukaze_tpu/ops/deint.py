@@ -139,6 +139,76 @@ def yadif_deinterlace(
 
 
 # ---------------------------------------------------------------------------
+# QTGMC-class motion-adaptive double-rate deinterlace
+# ---------------------------------------------------------------------------
+
+
+def _shift_cols(x: jnp.ndarray, d: int) -> jnp.ndarray:
+    if d == 0:
+        return x
+    if d > 0:
+        return jnp.concatenate([x[..., d:], jnp.repeat(x[..., -1:], d, -1)],
+                               -1)
+    return jnp.concatenate([jnp.repeat(x[..., :1], -d, -1), x[..., :d]], -1)
+
+
+def _dilate3x3(m: jnp.ndarray) -> jnp.ndarray:
+    """3x3 max filter (motion-mask dilation; edge-replicating)."""
+    mh = jnp.maximum(m, jnp.maximum(_shift_cols(m, 1), _shift_cols(m, -1)))
+    up = jnp.concatenate([mh[:, :1], mh[:, :-1]], axis=1)
+    dn = jnp.concatenate([mh[:, 1:], mh[:, -1:]], axis=1)
+    return jnp.maximum(mh, jnp.maximum(up, dn))
+
+
+@partial(jax.jit, static_argnames=("tff",))
+def motion_adaptive_bob(
+    prev: jnp.ndarray, cur: jnp.ndarray, nxt: jnp.ndarray, tff: bool = True,
+    thresh_low: float = 4.0, thresh_high: float = 12.0,
+) -> jnp.ndarray:
+    """QTGMC-class motion-adaptive double-rate deinterlace: [B, H, W]
+    interlaced frames -> [2B, H, W] progressive frames at 2x rate.
+
+    The reference's GUI "QTGMC" choice maps to KFMDeint(mode=1) 60p output
+    via the external CUDA plugin (Misc.cs:1300-1324, README.md:415); this
+    is the TPU-native analog. Per output field: static areas weave the
+    temporally-bracketing opposite field (full vertical detail, no bob
+    flicker), moving areas use yadif-class edge-directed interpolation,
+    with a soft blend over a dilated per-pixel motion measure taken from
+    the same-parity bracketing fields.
+    """
+    cur_t, cur_b = field_split(cur)
+    prev_t, prev_b = field_split(prev)
+    nxt_t, nxt_b = field_split(nxt)
+
+    def recon(keep, weave_cand, motion, parity_top):
+        if parity_top:
+            above = keep
+            below = jnp.concatenate([keep[:, 1:], keep[:, -1:]], axis=1)
+        else:
+            above = jnp.concatenate([keep[:, :1], keep[:, :-1]], axis=1)
+            below = keep
+        spatial = _spatial_pred(above, below)
+        m = _dilate3x3(motion)
+        w = jnp.clip((thresh_high - m) / (thresh_high - thresh_low),
+                     0.0, 1.0)
+        return w * weave_cand + (1.0 - w) * spatial
+
+    if tff:
+        # field order: top (time k), bottom (time k + 0.5)
+        first = weave(cur_t, recon(cur_t, cur_b,
+                                   jnp.abs(prev_b - cur_b), True))
+        second = weave(recon(cur_b, (cur_t + nxt_t) * 0.5,
+                             jnp.abs(cur_t - nxt_t), False), cur_b)
+    else:
+        first = weave(recon(cur_b, cur_t, jnp.abs(prev_t - cur_t), False),
+                      cur_b)
+        second = weave(cur_t, recon(cur_t, (cur_b + nxt_b) * 0.5,
+                                    jnp.abs(cur_b - nxt_b), True))
+    b, h, w_ = cur.shape
+    return jnp.stack([first, second], axis=1).reshape(2 * b, h, w_)
+
+
+# ---------------------------------------------------------------------------
 # telecine metrics (KFM pass-1 analog)
 # ---------------------------------------------------------------------------
 

@@ -40,6 +40,8 @@ class ProfileSetting:
     audio_encoder_type: str = ""
     audio_encoder_path: str = ""
     output_format: str = "mp4"
+    filter_mode: str = "none"  # none/yadif/qtgmc/kfm_vfr (FilterSetting's
+                               # deinterlacer enum, EncodeServerData.cs:106)
     filter_path: str = ""
     post_filter_path: str = ""
     two_pass: bool = False
@@ -364,6 +366,8 @@ class EncodeServer:
             "-e", profile.encoder_path,
             "-fmt", profile.output_format,
         ]
+        if profile.filter_mode and profile.filter_mode != "none":
+            args += ["--filter-mode", profile.filter_mode]
         if profile.encoder_options:
             args += ["-eo", profile.encoder_options]
         if profile.auto_bitrate:

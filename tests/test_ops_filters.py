@@ -176,3 +176,82 @@ class TestPostFilters:
         assert x14.max() <= 16320
         x10 = np.asarray(dn_ops.to_10bit(jnp.asarray(x14)))
         np.testing.assert_array_equal(x10, np.floor(x14 / 16 + 0.5).clip(0, 1023))
+
+
+class TestMotionAdaptiveBob:
+    """QTGMC-class double-rate deinterlace (ops.deint.motion_adaptive_bob)."""
+
+    def test_static_content_weaves_exactly(self):
+        """With no motion, both output phases must reproduce the full
+        interlaced frame exactly (weave path, full vertical detail)."""
+        from amatsukaze_tpu.ops import deint as deint_ops
+
+        rng = np.random.default_rng(0)
+        frame = rng.integers(0, 256, (32, 64)).astype(np.float32)
+        seq = jnp.asarray(np.stack([frame] * 4))
+        out = np.asarray(deint_ops.motion_adaptive_bob(seq, seq, seq, True))
+        assert out.shape == (8, 32, 64)
+        for k in range(8):
+            np.testing.assert_array_equal(out[k], frame)
+
+    def test_double_rate_field_order(self):
+        """out[2k] keeps frame k's top field, out[2k+1] its bottom field
+        (TFF temporal order)."""
+        from amatsukaze_tpu.ops import deint as deint_ops
+
+        b, h, w = 3, 16, 32
+        frames = np.zeros((b, h, w), np.float32)
+        for k in range(b):
+            frames[k, 0::2] = 100 + k  # top field value
+            frames[k, 1::2] = 200 + k  # bottom field value
+        seq = jnp.asarray(frames)
+        prev = jnp.concatenate([seq[:1], seq[:-1]])
+        nxt = jnp.concatenate([seq[1:], seq[-1:]])
+        out = np.asarray(deint_ops.motion_adaptive_bob(prev, seq, nxt, True))
+        for k in range(b):
+            np.testing.assert_array_equal(out[2 * k][0::2], frames[k][0::2])
+            np.testing.assert_array_equal(
+                out[2 * k + 1][1::2], frames[k][1::2])
+
+    def test_moving_content_avoids_combing(self):
+        """A moving vertical edge must not comb: the interpolated path wins
+        where motion is detected."""
+        from amatsukaze_tpu.ops import deint as deint_ops
+
+        b, h, w = 6, 32, 64
+        frames = np.zeros((b, h, w), np.float32)
+        for k in range(b):
+            # interlaced capture of an edge moving 4 px/field: the two
+            # fields of each frame see it at different positions
+            frames[k, 0::2, :8 * k + 8] = 255.0
+            frames[k, 1::2, :8 * k + 12] = 255.0
+        seq = jnp.asarray(frames)
+        prev = jnp.concatenate([seq[:1], seq[:-1]])
+        nxt = jnp.concatenate([seq[1:], seq[-1:]])
+        out = np.asarray(deint_ops.motion_adaptive_bob(prev, seq, nxt, True))
+        comb_src = float(np.mean(np.asarray(
+            deint_ops.combing_metric(seq[2:4]))))
+        comb_out = float(np.mean(np.asarray(
+            deint_ops.combing_metric(jnp.asarray(out[4:8])))))
+        assert comb_out < comb_src / 10, (comb_out, comb_src)
+
+    def test_filter_graph_qtgmc_mode(self):
+        """FilterGraph mode 'qtgmc': doubled output frames + 2x fps."""
+        from amatsukaze_tpu.models.filter_graph import FilterGraph
+        from amatsukaze_tpu.types import VideoFormat
+        from amatsukaze_tpu.utils.context import AMTContext
+
+        fg = FilterGraph(AMTContext(), mode=FilterGraph.MODE_QTGMC)
+        fmt = VideoFormat(width=64, height=32, frame_rate_num=30000,
+                          frame_rate_denom=1001, progressive=False,
+                          fixed_frame_rate=True)
+        spec = fg.output_spec(10, fmt)
+        assert spec.num_out_frames == 20
+        assert spec.out_format.frame_rate_num * fmt.frame_rate_denom \
+            == 2 * fmt.frame_rate_num * spec.out_format.frame_rate_denom
+        assert spec.out_format.progressive
+
+        rng = np.random.default_rng(1)
+        frames = rng.integers(0, 256, (5, 32, 64)).astype(np.uint8)
+        out = fg.run_pass3(frames, None, None, start_index=0)
+        assert out.shape == (10, 32, 64)

@@ -285,6 +285,19 @@ class TestFilteredEncode:
         assert data.count(b"FRAME\n") == 89  # yadif: same frame count
         assert b"Ip" in data[:64]  # progressive y4m header
 
+    def test_qtgmc_mode(self, env):
+        ctx, conf, tmp = env
+        conf.filter_mode = "qtgmc"
+        settings = Settings(ctx, conf)
+        pipe = TranscodePipeline(ctx, settings,
+                                 decoder_factory=NullDecoderFactory())
+        report = pipe.run()
+        data = open(report["outfiles"][0]["path"], "rb").read()
+        # double-rate: every field becomes a progressive output frame
+        assert data.count(b"FRAME\n") == 2 * 89
+        assert b"Ip" in data[:64]
+        assert b"F60000:1001" in data[:64]  # 2x the 30000/1001 source rate
+
     def test_kfm_vfr_film(self, env):
         ctx, conf, tmp = env
         conf.filter_mode = "kfm_vfr"
