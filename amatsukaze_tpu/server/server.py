@@ -80,6 +80,9 @@ class ServerSetting:
     max_retries: int = 1  # auto-requeue failed items (ref TranscodeWorker)
     finish_action: str = ""  # command run when the queue drains
                              # (ref FinishActionRunner suspend/shutdown)
+    move_after_encode: bool = False  # move sources to succeeded/failed
+                                     # dirs with EDCB companions (ref
+                                     # TranscodeWorker + ServerSupport)
 
 
 @dataclass
@@ -424,6 +427,9 @@ class EncodeServer:
                 entry, f"retrying ({entry.retry_count}/"
                        f"{self.setting.max_retries})")
             self._enqueue(entry)
+        if (entry.state in ("complete", "failed")
+                and self.setting.move_after_encode):
+            self._move_source(entry)
         self.logs.append({
             "id": entry.item_id, "src": entry.src_path,
             "state": entry.state, "retries": entry.retry_count,
@@ -432,6 +438,33 @@ class EncodeServer:
         await self.clients.broadcast("OnQueueUpdate", asdict(entry))
         await self.clients.broadcast("OnLogUpdate", self.logs[-1])
         await self._maybe_finish_action()
+
+    # EDCB writes companion files beside the recording; they travel with it
+    # (ref ServerSupport's EDCB file moves, TranscodeWorker succeeded/failed
+    # folders)
+    EDCB_COMPANIONS = (".err", ".program.txt")
+
+    def _move_source(self, entry: QueueEntry) -> None:
+        """Move the finished source (+ companions) into a succeeded/ or
+        failed/ subfolder of its directory."""
+        sub = "succeeded" if entry.state == "complete" else "failed"
+        src = entry.src_path
+        if not os.path.exists(src):
+            return
+        dst_dir = os.path.join(os.path.dirname(src) or ".", sub)
+        try:
+            os.makedirs(dst_dir, exist_ok=True)
+            moved = os.path.join(dst_dir, os.path.basename(src))
+            os.replace(src, moved)
+            for suffix in self.EDCB_COMPANIONS:
+                comp = src + suffix
+                if os.path.exists(comp):
+                    os.replace(comp, os.path.join(
+                        dst_dir, os.path.basename(comp)))
+            entry.src_path = moved
+            self.append_console(entry, f"moved source to {sub}/")
+        except OSError as e:
+            self.append_console(entry, f"source move failed: {e}")
 
     def append_console(self, entry: QueueEntry, line: str) -> None:
         entry.console.append(line)

@@ -698,3 +698,47 @@ class TestWebServer:
             await server.stop()
 
         run(main())
+
+
+class TestMoveAfterEncode:
+    """Source move to succeeded/failed dirs with EDCB companions (ref
+    TranscodeWorker + ServerSupport EDCB file moves)."""
+
+    def test_moves_on_completion_and_failure(self, ctx, tmp_path):
+        async def main():
+            from amatsukaze_tpu.server.server import EncodeServer
+
+            results = {"a.ts": True, "b.ts": False}
+
+            async def fake_run(server, wid, entry, phase):
+                return results[os.path.basename(entry.src_path)]
+
+            server = EncodeServer(ctx, data_dir=str(tmp_path / "data"),
+                                  run_item=fake_run)
+            server.setting.move_after_encode = True
+            server.setting.max_retries = 0
+            await server.start(port=0)
+            srcdir = tmp_path / "rec"
+            srcdir.mkdir()
+            for name in ("a.ts", "b.ts"):
+                (srcdir / name).write_bytes(b"\x47" * 188)
+                (srcdir / (name + ".err")).write_text("0 drops")
+                (srcdir / (name + ".program.txt")).write_text("program")
+            ea = server.add_queue(str(srcdir / "a.ts"), str(tmp_path / "a.mp4"))
+            eb = server.add_queue(str(srcdir / "b.ts"), str(tmp_path / "b.mp4"))
+            for _ in range(200):
+                await asyncio.sleep(0.02)
+                if all(e.state in ("complete", "failed")
+                       for e in (ea, eb)):
+                    break
+            await asyncio.sleep(0.05)
+            assert (srcdir / "succeeded" / "a.ts").exists()
+            assert (srcdir / "succeeded" / "a.ts.err").exists()
+            assert (srcdir / "succeeded" / "a.ts.program.txt").exists()
+            assert (srcdir / "failed" / "b.ts").exists()
+            assert (srcdir / "failed" / "b.ts.err").exists()
+            assert not (srcdir / "a.ts").exists()
+            assert ea.src_path.endswith("succeeded/a.ts")
+            await server.stop()
+
+        run(main())
