@@ -262,3 +262,35 @@ class TestRename:
             assert entry.out_path.endswith("My Show [TEST TV]")
 
         run(main())
+
+
+class TestWakeOnLan:
+    def test_magic_packet_format(self):
+        from amatsukaze_tpu.tools.add_task import wol_magic_packet
+
+        pkt = wol_magic_packet("01:23:45:67:89:ab")
+        assert len(pkt) == 102
+        assert pkt[:6] == b"\xff" * 6
+        mac = bytes([0x01, 0x23, 0x45, 0x67, 0x89, 0xAB])
+        for i in range(16):
+            assert pkt[6 + 6 * i:12 + 6 * i] == mac
+        # dash separators accepted too
+        assert wol_magic_packet("01-23-45-67-89-AB") == pkt
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            wol_magic_packet("not-a-mac")
+
+    def test_send_wol_local(self):
+        """Send a magic packet to a local UDP socket and verify receipt."""
+        import socket
+
+        from amatsukaze_tpu.tools.add_task import send_wol, wol_magic_packet
+
+        rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        rx.bind(("127.0.0.1", 0))
+        rx.settimeout(2.0)
+        port = rx.getsockname()[1]
+        send_wol("de:ad:be:ef:00:01", broadcast="127.0.0.1", port=port)
+        data, _ = rx.recvfrom(256)
+        rx.close()
+        assert data == wol_magic_packet("de:ad:be:ef:00:01")
