@@ -27,7 +27,7 @@ def main() -> None:
     import jax.numpy as jnp
     from amatsukaze_tpu.ops import logo as logo_ops
     from amatsukaze_tpu.ops.fused_filter import (
-        make_fused_filter,
+        make_fused_filter_field,
         pad_width_for_fused,
     )
     from amatsukaze_tpu.ops.logo import LogoEvalParams
@@ -53,7 +53,10 @@ def main() -> None:
     params = LogoEvalParams.from_ref(ref)
     a_full, b_full = pad_logo_planes(a, b, H, W, 0, 0)
 
-    fused = make_fused_filter(H, WP, logical_width=W)
+    # field-plane-layout kernel: XLA splits frames into field planes
+    # outside the kernel (near-bandwidth transpose) instead of paying
+    # ~20% of kernel time on in-kernel sublane shuffles
+    fused_yc = make_fused_filter_field(H, WP, logical_width=W)
 
     aw = jnp.asarray(a)
     bw = jnp.asarray(b)
@@ -76,7 +79,7 @@ def main() -> None:
                                       + 0.5), 0.0, 255.0).astype(jnp.uint8)
         erased = jax.lax.dynamic_update_slice(frames_u8, erased_w, (0, 0, 0))
         # fused yadif/field-match kernel
-        out, costs = fused.yadif_costs(erased, jnp.float32(255.0))
+        out, costs = fused_yc(erased, jnp.float32(255.0))
         return (jnp.sum(costs) + jnp.sum(scores)
                 + out[0, 0, 0].astype(jnp.float32)
                 + out[-1, -1, -1].astype(jnp.float32))

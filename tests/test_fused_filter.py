@@ -131,3 +131,63 @@ class TestFusedFilter:
         assert costs is None
         ref_out, _ = reference_chain(frames, a_full, b_full, fades)
         np.testing.assert_array_equal(np.asarray(out), ref_out)
+
+
+class TestFieldLayoutKernel:
+    """Field-plane-layout variant (make_fused_filter_field): bit-exact
+    against the frame-layout kernel / jnp chain."""
+
+    def _check(self, h, w, wp, lw=None, lh=None, ftile=16, b=6):
+        import jax.numpy as jnp
+
+        from amatsukaze_tpu.ops.fused_filter import (
+            make_fused_filter_field, pad_width_for_fused)
+
+        lw = lw or w
+        lh = lh or h
+        rng = np.random.default_rng(42)
+        frames = rng.integers(0, 256, (b, h, lw), dtype=np.uint8)
+        a = np.ones((h, lw), np.float32)
+        z = np.zeros((h, lw), np.float32)
+        fp, _, _ = pad_width_for_fused(jnp.asarray(frames), jnp.asarray(a),
+                                       jnp.asarray(z), wp, h)
+        v2 = make_fused_filter_field(h, wp, field_tile_rows=ftile,
+                                     logical_width=lw, logical_height=lh)
+        out, costs = v2(fp, jnp.float32(255.0), interpret=True)
+        ref_out, ref_costs = reference_chain(
+            frames[:, :lh].astype(np.float32),
+            a[:lh], z[:lh], np.zeros(b, np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(out)[:, :lh, :lw], ref_out)
+        np.testing.assert_allclose(np.asarray(costs), ref_costs,
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_aligned_geometry(self):
+        self._check(64, 128, 128)
+
+    def test_logical_width(self):
+        self._check(64, 96, 128, lw=96)
+
+    def test_logical_height_odd_field_tiles(self):
+        # 40 rows -> 20 field rows, padded to ftile 24
+        self._check(48, 128, 128, lh=40, ftile=24)
+
+    def test_yadif_only_variant(self):
+        import jax.numpy as jnp
+
+        from amatsukaze_tpu.ops.fused_filter import (
+            make_fused_filter_field, pad_width_for_fused)
+
+        rng = np.random.default_rng(7)
+        frames = rng.integers(0, 256, (5, 32, 128), dtype=np.uint8)
+        fp, _, _ = pad_width_for_fused(
+            jnp.asarray(frames), jnp.ones((32, 128), np.float32),
+            jnp.zeros((32, 128), np.float32), 128)
+        v2 = make_fused_filter_field(32, 128, field_tile_rows=16,
+                                     with_costs=False)
+        out, costs = v2(fp, jnp.float32(255.0), interpret=True)
+        assert costs is None
+        ref_out, _ = reference_chain(
+            frames.astype(np.float32), np.ones((32, 128), np.float32),
+            np.zeros((32, 128), np.float32), np.zeros(5, np.float32))
+        np.testing.assert_array_equal(np.asarray(out), ref_out)
