@@ -372,7 +372,8 @@ def make_fused_filter_field(height: int, width: int,
                             field_tile_rows: int | None = None,
                             logical_width: int | None = None,
                             logical_height: int | None = None,
-                            with_costs: bool = True):
+                            with_costs: bool = True,
+                            costs_only: bool = False):
     """Field-plane-layout variant of the fused yadif + field-match kernel.
 
     The frame-layout kernel (make_fused_filter) spends ~20% of its time on
@@ -389,6 +390,7 @@ def make_fused_filter_field(height: int, width: int,
     to make_fused_filter / the jnp chain.
     """
     assert width % 128 == 0
+    assert not (costs_only and not with_costs)
     lw = logical_width if logical_width is not None else width
     lh = logical_height if logical_height is not None else height
     assert 0 < lw <= width and 0 < lh <= height and lh % 2 == 0
@@ -484,40 +486,48 @@ def make_fused_filter_field(height: int, width: int,
             return jnp.where(is_first, s1, s2)
 
         ct8 = pick(0, "cur")
+        cb8 = pick(1, "cur")
         ct = ct8.astype(jnp.int32).astype(jnp.float32)
-        cb = pick(1, "cur").astype(jnp.int32).astype(jnp.float32)
+        cb = cb8.astype(jnp.int32).astype(jnp.float32)
         pt = pick(0, "prv").astype(jnp.int32).astype(jnp.float32)
         pb = pick(1, "prv").astype(jnp.int32).astype(jnp.float32)
-        nb_ = pick(1, "nxt").astype(jnp.int32).astype(jnp.float32)
 
         gy_core = jax.lax.broadcasted_iota(jnp.int32, (ftr, 1), 0) + frow0
 
-        # --- yadif: keep top field (u8 passthrough), reconstruct bottom --
-        keep = ct[HALO:HALO + ftr]
-        below = ct[HALO + 1:HALO + 1 + ftr]
-        below = jnp.where(gy_core == lh // 2 - 1, keep, below)
-        best_pred = (keep + below) * 0.5
-        best_score = jnp.abs(keep - below)
-        for d in (1, 2):
-            for sgn in (1, -1):
-                pa = _shift_w(keep, sgn * d)
-                pc = _shift_w(below, -sgn * d)
-                score = jnp.abs(pa - pc)
-                pred = (pa + pc) * 0.5
-                better = score < best_score
-                best_pred = jnp.where(better, pred, best_pred)
-                best_score = jnp.where(better, score, best_score)
-        tp_ = pb[HALO:HALO + ftr]
-        tn_ = nb_[HALO:HALO + ftr]
-        temporal = (tp_ + tn_) * 0.5
-        diff = jnp.abs(tp_ - tn_) * 0.5
-        recon = jnp.clip(best_pred, temporal - diff, temporal + diff)
-        out_ref[0] = ct8[HALO:HALO + ftr]  # kept field: exact passthrough
-        out_ref[1] = (
-            jnp.clip(jnp.floor(recon + 0.5), 0.0, maxv)
-            .astype(jnp.int32)
-            .astype(jnp.uint8)
-        )
+        if costs_only:
+            # analysis pass: the deinterlaced output is never read, so the
+            # source fields pass through and only the sums are computed
+            out_ref[0] = ct8[HALO:HALO + ftr]
+            out_ref[1] = cb8[HALO:HALO + ftr]
+        else:
+            nb_ = pick(1, "nxt").astype(jnp.int32).astype(jnp.float32)
+            # --- yadif: keep top field (u8 passthrough), reconstruct
+            # bottom ----------------------------------------------------
+            keep = ct[HALO:HALO + ftr]
+            below = ct[HALO + 1:HALO + 1 + ftr]
+            below = jnp.where(gy_core == lh // 2 - 1, keep, below)
+            best_pred = (keep + below) * 0.5
+            best_score = jnp.abs(keep - below)
+            for d in (1, 2):
+                for sgn in (1, -1):
+                    pa = _shift_w(keep, sgn * d)
+                    pc = _shift_w(below, -sgn * d)
+                    score = jnp.abs(pa - pc)
+                    pred = (pa + pc) * 0.5
+                    better = score < best_score
+                    best_pred = jnp.where(better, pred, best_pred)
+                    best_score = jnp.where(better, score, best_score)
+            tp_ = pb[HALO:HALO + ftr]
+            tn_ = nb_[HALO:HALO + ftr]
+            temporal = (tp_ + tn_) * 0.5
+            diff = jnp.abs(tp_ - tn_) * 0.5
+            recon = jnp.clip(best_pred, temporal - diff, temporal + diff)
+            out_ref[0] = ct8[HALO:HALO + ftr]  # kept field: passthrough
+            out_ref[1] = (
+                jnp.clip(jnp.floor(recon + 0.5), 0.0, maxv)
+                .astype(jnp.int32)
+                .astype(jnp.uint8)
+            )
 
         if not with_costs:
             return
