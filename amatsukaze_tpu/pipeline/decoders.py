@@ -4,7 +4,10 @@ The reference decodes intermediates with its own FFmpeg integration
 (Amatsukaze/ReaderWriterFFmpeg.hpp, AMTSource.hpp). Here decode is a factory
 `(pipeline, video_index) -> iterator[(Y, U, V)]`:
 
-- FfmpegDecoder: shells out to an `ffmpeg` binary when one exists (production)
+- FfmpegDecoder: shells out to an `ffmpeg` binary when one exists
+- Mpeg2Decoder: the in-build ISO 13818-2 decoder (amatsukaze_tpu.video),
+  native C++ engine with a pure-Python fallback — makes MPEG2 broadcast
+  sources fully standalone (no external decoder binary)
 - NullDecoder: synthesises grey frames with the reform-derived format (lets
   the full pipeline run end-to-end in environments without a decoder)
 """
@@ -18,9 +21,47 @@ import numpy as np
 
 
 def default_decoder_factory():
+    """Auto decoder: ffmpeg when a binary exists (any codec), else the
+    in-build MPEG2 decoder (the dominant broadcast TS case)."""
+    return auto_decoder_factory
+
+
+def auto_decoder_factory(pipeline, video_index: int):
+    from ..types import VideoStreamFormat
+
     if shutil.which("ffmpeg"):
-        return ffmpeg_decoder_factory
-    return None
+        return ffmpeg_decoder_factory(pipeline, video_index)
+    fmt = pipeline_format(pipeline, video_index)
+    if fmt.format in (VideoStreamFormat.MPEG2, VideoStreamFormat.UNKNOWN):
+        return mpeg2_decoder_factory(pipeline, video_index)
+    raise RuntimeError(
+        f"no decoder available for {fmt.format.name} video "
+        "(no ffmpeg binary; the in-build decoder handles MPEG2)")
+
+
+def mpeg2_decoder_factory(pipeline, video_index: int):
+    """Decode the PS intermediate with the in-build MPEG-2 decoder."""
+    path = pipeline.settings.int_video_file_path(video_index)
+    return decode_mpeg2_ps_file(path)
+
+
+def decode_mpeg2_ps_file(path: str, is_ps: bool = True):
+    """Stream (Y, U, V) frames from an MPEG2 PS/ES file using the native
+    engine (pure-Python oracle as fallback)."""
+    from ..ts.qp_extract import iter_picture_chunks_file
+    from ..video import Mpeg2RefDecoder
+
+    try:
+        from ..video.native import NativeMpeg2Decoder
+
+        dec = NativeMpeg2Decoder()
+    except RuntimeError:
+        dec = Mpeg2RefDecoder()
+    for chunk in iter_picture_chunks_file(path, is_ps=is_ps):
+        for fr in dec.decode_picture(chunk):
+            yield fr.y, fr.u, fr.v
+    for fr in dec.flush():
+        yield fr.y, fr.u, fr.v
 
 
 def ffmpeg_decoder_factory(pipeline, video_index: int):

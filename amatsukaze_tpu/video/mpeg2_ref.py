@@ -736,6 +736,8 @@ class _SliceState:
             else:
                 for _ in range(inc - 1):
                     mb_x += 1
+                    if mb_x >= self.mbw:
+                        raise Mpeg2Error("skip run past row end")
                     self._skipped_mb(mb_row, mb_x)
                 mb_x += 1
             if mb_x >= self.mbw:

@@ -1,0 +1,117 @@
+"""ctypes binding for the native MPEG-2 video decoder
+(native/mpeg2dec.cpp) — the production decode path; the pure-Python
+oracle (:mod:`.mpeg2_ref`) is the always-available fallback and the
+differential-test reference.
+
+Usage mirrors the oracle's picture-chunk interface:
+
+    dec = NativeMpeg2Decoder()          # raises if the library is absent
+    frames = dec.decode_picture(chunk)  # list[DecodedFrame]
+    frames += dec.flush()
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from ..ts.native import load_native
+from .mpeg2_ref import DecodedFrame
+
+_sigs_done = False
+
+
+def _bind(lib) -> None:
+    global _sigs_done
+    if _sigs_done:
+        return
+    lib.M2V_Create.restype = ctypes.c_void_p
+    lib.M2V_Destroy.argtypes = [ctypes.c_void_p]
+    lib.M2V_DecodePicture.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                      ctypes.c_longlong]
+    lib.M2V_DecodePicture.restype = ctypes.c_int
+    lib.M2V_Flush.argtypes = [ctypes.c_void_p]
+    lib.M2V_Flush.restype = ctypes.c_int
+    lib.M2V_NextInfo.argtypes = [ctypes.c_void_p,
+                                 ctypes.POINTER(ctypes.c_int)]
+    lib.M2V_NextInfo.restype = ctypes.c_int
+    lib.M2V_PopFrame.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                 ctypes.c_void_p, ctypes.c_void_p]
+    lib.M2V_PopFrame.restype = ctypes.c_int
+    lib.M2V_Errors.argtypes = [ctypes.c_void_p]
+    lib.M2V_Errors.restype = ctypes.c_longlong
+    _sigs_done = True
+
+
+def native_available() -> bool:
+    lib = load_native()
+    return lib is not None and hasattr(lib, "M2V_Create")
+
+
+class NativeMpeg2Decoder:
+    """Streaming MPEG-2 picture decoder backed by the C++ engine."""
+
+    def __init__(self):
+        lib = load_native()
+        if lib is None or not hasattr(lib, "M2V_Create"):
+            raise RuntimeError("native MPEG-2 decoder unavailable")
+        _bind(lib)
+        self._lib = lib
+        self._h = lib.M2V_Create()
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.M2V_Destroy(h)
+            self._h = None
+
+    @property
+    def errors(self) -> int:
+        return int(self._lib.M2V_Errors(self._h))
+
+    def _drain(self) -> list[DecodedFrame]:
+        out = []
+        info = (ctypes.c_int * 8)()
+        while self._lib.M2V_NextInfo(self._h, info):
+            w, h = info[0], info[1]
+            cw, ch = (w + 1) // 2, (h + 1) // 2
+            y = np.empty((h, w), np.uint8)
+            u = np.empty((ch, cw), np.uint8)
+            v = np.empty((ch, cw), np.uint8)
+            ok = self._lib.M2V_PopFrame(
+                self._h, y.ctypes.data_as(ctypes.c_void_p),
+                u.ctypes.data_as(ctypes.c_void_p),
+                v.ctypes.data_as(ctypes.c_void_p))
+            if not ok:
+                break
+            out.append(DecodedFrame(
+                y=y, u=u, v=v,
+                coding_type=info[2],
+                temporal_reference=info[3],
+                progressive_frame=bool(info[4]),
+                top_field_first=bool(info[5]),
+                repeat_first_field=bool(info[6]),
+            ))
+        return out
+
+    def decode_picture(self, chunk: bytes) -> list[DecodedFrame]:
+        b = bytes(chunk)
+        self._lib.M2V_DecodePicture(self._h, b, len(b))
+        return self._drain()
+
+    def flush(self) -> list[DecodedFrame]:
+        self._lib.M2V_Flush(self._h)
+        return self._drain()
+
+
+def decode_es_native(es: bytes) -> list[DecodedFrame]:
+    """Decode a whole elementary stream with the native engine."""
+    from ..ts.qp_extract import iter_picture_chunks
+
+    dec = NativeMpeg2Decoder()
+    out = []
+    for chunk in iter_picture_chunks(es):
+        out.extend(dec.decode_picture(chunk))
+    out.extend(dec.flush())
+    return out

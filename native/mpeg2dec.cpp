@@ -1,0 +1,1152 @@
+// Full MPEG-2 video decoder (ISO/IEC 13818-2 MP, 4:2:0) — the native
+// twin of the Python oracle amatsukaze_tpu/video/mpeg2_ref.py.
+//
+// Every arithmetic step mirrors the oracle exactly (shared generated
+// tables incl. the defined fixed-point IDCT matrix; identical dequant /
+// saturation / mismatch control / prediction clamping), so the
+// differential fuzz suite holds the two engines byte-equal on decoded
+// frames. The reference project decodes via FFmpeg (reference
+// Amatsukaze/AMTSource.hpp:97-152); this is the standalone equivalent.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <memory>
+#include <mutex>
+#include <vector>
+
+#include "mpeg2_tables.inc"
+
+namespace m2dec {
+
+static const uint8_t NONLINEAR_QSCALE[32] = {
+    0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 12, 14, 16, 18, 20, 22,
+    24, 28, 32, 36, 40, 44, 48, 52, 56, 64, 72, 80, 88, 96, 104, 112};
+
+constexpr int MBT_QUANT = 0x10;
+constexpr int MBT_MOTION_F = 0x08;
+constexpr int MBT_MOTION_B = 0x04;
+constexpr int MBT_PATTERN = 0x02;
+constexpr int MBT_INTRA = 0x01;
+
+// ---------------------------------------------------------------------------
+// Bit reader mirroring utils/bits.py semantics: reads past the end are
+// errors (no zero padding), flagged via err.
+// ---------------------------------------------------------------------------
+
+struct BitReader {
+  const uint8_t* data = nullptr;
+  int64_t pos = 0, end = 0;  // bit offsets
+  bool err = false;
+
+  int64_t left() const { return end - pos; }
+
+  uint32_t peek_raw(int n) const {  // caller guarantees n <= left()
+    uint64_t v = 0;
+    int64_t byte = pos >> 3;
+    int64_t nbytes = (end + 7) >> 3;
+    for (int i = 0; i < 8; i++) {
+      v <<= 8;
+      if (byte + i < nbytes) v |= data[byte + i];
+    }
+    int shift = 64 - (int)(pos & 7) - n;
+    return (uint32_t)((v >> shift) &
+                      ((n >= 32) ? 0xFFFFFFFFu : ((1u << n) - 1)));
+  }
+  uint32_t peek(int n) {
+    if (n == 0) return 0;
+    if (pos + n > end) { err = true; return 0; }
+    return peek_raw(n);
+  }
+  uint32_t read(int n) {
+    uint32_t v = peek(n);
+    if (!err) pos += n;
+    return v;
+  }
+  void skip(int n) {
+    if (pos + n > end) { err = true; pos = end; return; }
+    pos += n;
+  }
+};
+
+struct Vlc {
+  int maxlen = 0;
+  std::vector<uint32_t> lut;  // (len << 20) | (idx+1); 0 = invalid
+  const VlcEntry* entries = nullptr;
+
+  void build(const VlcEntry* e, int n) {
+    entries = e;
+    maxlen = 0;
+    for (int i = 0; i < n; i++) maxlen = std::max(maxlen, (int)e[i].len);
+    lut.assign((size_t)1 << maxlen, 0);
+    for (int i = 0; i < n; i++) {
+      uint32_t base = e[i].code << (maxlen - e[i].len);
+      uint32_t span = 1u << (maxlen - e[i].len);
+      for (uint32_t p = 0; p < span; p++)
+        lut[base | p] = ((uint32_t)e[i].len << 20) | (uint32_t)(i + 1);
+    }
+  }
+  int decode(BitReader& r) const {  // mirrors mpeg2_ref._Vlc.decode
+    int avail = (int)std::min<int64_t>(maxlen, r.left());
+    if (avail <= 0) { r.err = true; return -1; }
+    uint32_t word = r.peek_raw(avail) << (maxlen - avail);
+    uint32_t hit = lut[word];
+    if (!hit || (int)(hit >> 20) > avail) { r.err = true; return -1; }
+    r.pos += (int)(hit >> 20);
+    return (int)(hit & 0xFFFFF) - 1;
+  }
+};
+
+static Vlc g_addr, g_mbt[4], g_cbp, g_mc, g_dmv, g_dcl, g_dcc, g_b14,
+    g_b15;
+static std::once_flag g_once;
+
+static void init_tables() {
+  g_addr.build(B1_ADDR_INC, B1_ADDR_INC_N);
+  g_mbt[1].build(B2_MB_TYPE_I, B2_MB_TYPE_I_N);
+  g_mbt[2].build(B3_MB_TYPE_P, B3_MB_TYPE_P_N);
+  g_mbt[3].build(B4_MB_TYPE_B, B4_MB_TYPE_B_N);
+  g_cbp.build(B9_CBP, B9_CBP_N);
+  g_mc.build(B10_MOTION_CODE, B10_MOTION_CODE_N);
+  g_dmv.build(B11_DMVECTOR, B11_DMVECTOR_N);
+  g_dcl.build(B12_DC_LUMA, B12_DC_LUMA_N);
+  g_dcc.build(B13_DC_CHROMA, B13_DC_CHROMA_N);
+  g_b14.build(B14_DCT, B14_DCT_N);
+  g_b15.build(B15_DCT, B15_DCT_N);
+}
+
+// ---------------------------------------------------------------------------
+// Fixed-point IDCT — identical matrix + shifts as the oracle idct8x8().
+// ---------------------------------------------------------------------------
+
+static void idct8x8(const int32_t f[64], int32_t out[64]) {
+  int64_t t[64];
+  for (int i = 0; i < 8; i++)        // t = (F @ A + 1024) >> 11
+    for (int m = 0; m < 8; m++) {
+      int64_t acc = 0;
+      for (int u = 0; u < 8; u++)
+        acc += (int64_t)f[i * 8 + u] * IDCT_A[u * 8 + m];
+      t[i * 8 + m] = (acc + 1024) >> 11;
+    }
+  for (int m = 0; m < 8; m++)        // out = (A^T @ t + 65536) >> 17
+    for (int n = 0; n < 8; n++) {
+      int64_t acc = 0;
+      for (int u = 0; u < 8; u++)
+        acc += (int64_t)IDCT_A[u * 8 + m] * t[u * 8 + n];
+      out[m * 8 + n] = (int32_t)((acc + 65536) >> 17);
+    }
+}
+
+static inline int div2_trunc(int v) {       // toward zero
+  return v < 0 ? -((-v) >> 1) : v >> 1;
+}
+static inline int dp_half(int v) { return (v + (v > 0 ? 1 : 0)) >> 1; }
+static inline int trunc_div32(int64_t n) {  // "/" 7.4.2.3: toward zero
+  return (int)(n < 0 ? -((-n) / 32) : n / 32);
+}
+static inline uint8_t clip255(int v) {
+  return (uint8_t)(v < 0 ? 0 : v > 255 ? 255 : v);
+}
+
+// ---------------------------------------------------------------------------
+// Stream state
+// ---------------------------------------------------------------------------
+
+struct Seq {
+  int width = 0, height = 0;
+  int chroma_format = 1;
+  bool progressive = false;
+  int32_t intra_q[64];
+  int32_t non_intra_q[64];
+  bool valid = false;
+  Seq() {
+    for (int i = 0; i < 64; i++) intra_q[i] = DEFAULT_INTRA_Q[i];
+    for (int i = 0; i < 64; i++) non_intra_q[i] = 16;
+  }
+};
+
+struct Pic {
+  int coding_type = 0;
+  int temporal_reference = 0;
+  int f_code[2][2] = {{15, 15}, {15, 15}};
+  int intra_dc_precision = 0;
+  int structure = 3;
+  bool top_field_first = false;
+  bool frame_pred_frame_dct = true;
+  bool concealment = false;
+  bool q_scale_type = false;
+  bool intra_vlc_format = false;
+  bool alternate_scan = false;
+  bool repeat_first_field = false;
+  bool progressive_frame = false;
+};
+
+struct FrameBuf {
+  int mbw = 0, mbh = 0;  // frame-sized, in 16x16 units
+  std::vector<uint8_t> y, u, v;
+  // output metadata (captured from the frame / first-field picture)
+  int coding_type = 0, temporal_reference = 0;
+  bool progressive_frame = false, top_field_first = false,
+       repeat_first_field = false;
+
+  FrameBuf(int w, int h) : mbw(w), mbh(h) {
+    y.assign((size_t)mbh * 16 * mbw * 16, 0);
+    u.assign((size_t)mbh * 8 * mbw * 8, 0);
+    v.assign((size_t)mbh * 8 * mbw * 8, 0);
+  }
+  int yw() const { return mbw * 16; }
+  int yh() const { return mbh * 16; }
+  int cw() const { return mbw * 8; }
+  int ch() const { return mbh * 8; }
+};
+
+// A "view" of one plane, optionally a single field (stride doubling).
+struct PlaneView {
+  uint8_t* p = nullptr;
+  int h = 0, w = 0;      // logical rows/cols
+  int stride = 0;        // elements between logical rows
+  uint8_t at(int r, int c) const { return p[(int64_t)r * stride + c]; }
+  uint8_t* row(int r) const { return p + (int64_t)r * stride; }
+};
+
+static PlaneView full_view(std::vector<uint8_t>& v, int h, int w) {
+  return PlaneView{v.data(), h, w, w};
+}
+static PlaneView field_view(std::vector<uint8_t>& v, int h, int w,
+                            int parity) {
+  return PlaneView{v.data() + (int64_t)parity * w, h / 2, w, 2 * w};
+}
+
+// Half-sample bilinear fetch mirroring mpeg2_ref._fetch (incl. the
+// clamp-into-picture policy for non-conformant vectors).
+static void fetch(const PlaneView& pv, int sy, int sx, int h, int w,
+                  int32_t* out /* h*w */) {
+  int fy = sy & 1, fx = sx & 1;
+  int iy = sy >> 1, ix = sx >> 1;
+  int maxy = pv.h - h - fy; if (maxy < 0) maxy = 0;
+  int maxx = pv.w - w - fx; if (maxx < 0) maxx = 0;
+  iy = std::min(std::max(iy, 0), maxy);
+  ix = std::min(std::max(ix, 0), maxx);
+  // the clamp can still leave a tail outside for degenerate tiny planes;
+  // guard reads (oracle relies on numpy slicing semantics there only for
+  // non-conformant input, where any in-picture content is acceptable)
+  auto px = [&](int r, int c) -> int {
+    r = std::min(r, pv.h - 1); c = std::min(c, pv.w - 1);
+    return pv.at(r, c);
+  };
+  for (int r = 0; r < h; r++)
+    for (int c = 0; c < w; c++) {
+      int v;
+      if (fy && fx)
+        v = (px(iy + r, ix + c) + px(iy + r, ix + c + 1) +
+             px(iy + r + 1, ix + c) + px(iy + r + 1, ix + c + 1) + 2) >> 2;
+      else if (fy)
+        v = (px(iy + r, ix + c) + px(iy + r + 1, ix + c) + 1) >> 1;
+      else if (fx)
+        v = (px(iy + r, ix + c) + px(iy + r, ix + c + 1) + 1) >> 1;
+      else
+        v = px(iy + r, ix + c);
+      out[r * w + c] = v;
+    }
+}
+
+struct Pred {  // one macroblock prediction (4:2:0)
+  int32_t y[256];
+  int32_t u[64];
+  int32_t v[64];
+  void zero() {
+    std::memset(y, 0, sizeof y);
+    std::memset(u, 0, sizeof u);
+    std::memset(v, 0, sizeof v);
+  }
+};
+
+static void avg_into(Pred& a, const Pred& b) {
+  for (int i = 0; i < 256; i++) a.y[i] = (a.y[i] + b.y[i] + 1) >> 1;
+  for (int i = 0; i < 64; i++) a.u[i] = (a.u[i] + b.u[i] + 1) >> 1;
+  for (int i = 0; i < 64; i++) a.v[i] = (a.v[i] + b.v[i] + 1) >> 1;
+}
+
+// ---------------------------------------------------------------------------
+// Decoder
+// ---------------------------------------------------------------------------
+
+struct OutFrame {
+  int width = 0, height = 0;
+  std::vector<uint8_t> y, u, v;
+  int coding_type = 0, temporal_reference = 0;
+  int progressive_frame = 0, top_field_first = 0, repeat_first_field = 0;
+};
+
+struct Decoder {
+  Seq seq;
+  Pic pic;
+  std::shared_ptr<FrameBuf> ref_old, ref_new, pending, cur;
+  int cur_first_parity = 0;
+  bool in_second_field = false;
+  bool have_i = false;
+  int64_t errors = 0;
+  std::deque<std::unique_ptr<OutFrame>> outq;
+
+  Decoder() { std::call_once(g_once, init_tables); }
+
+  // ---- per-slice / per-picture decode state ----
+  struct SliceState {
+    int mbw = 0, mbh = 0;
+    int cur_parity = -1;  // -1 for frame pictures
+    bool frame_pic = true;
+    const uint8_t* scan = SCAN_ZIGZAG;
+    int dc_mult = 8, dc_reset = 128;
+    int pmv[2][2][2] = {};
+    int dc_pred[3] = {};
+    int qs = 2;
+    int prev_flags = 0;
+  };
+
+  int qscale(uint32_t code, BitReader& r) {
+    if (code < 1 || code > 31) { r.err = true; return 2; }
+    return pic.q_scale_type ? NONLINEAR_QSCALE[code] : (int)code * 2;
+  }
+
+  // ---- headers (mirroring mpeg2_ref) ----
+  void sequence_header(BitReader& r) {
+    seq.width = r.read(12);
+    seq.height = r.read(12);
+    r.skip(4 + 4 + 18 + 1 + 10 + 1);
+    if (r.read(1)) load_matrix(r, seq.intra_q);
+    else for (int i = 0; i < 64; i++) seq.intra_q[i] = DEFAULT_INTRA_Q[i];
+    if (r.read(1)) load_matrix(r, seq.non_intra_q);
+    else for (int i = 0; i < 64; i++) seq.non_intra_q[i] = 16;
+    seq.valid = true;
+  }
+
+  void load_matrix(BitReader& r, int32_t* m) {
+    for (int i = 0; i < 64; i++) m[SCAN_ZIGZAG[i]] = r.read(8);
+  }
+
+  void extension(BitReader& r) {
+    int ext = r.read(4);
+    if (ext == 1) {
+      r.skip(8);
+      seq.progressive = r.read(1);
+      seq.chroma_format = r.read(2);
+      seq.width |= r.read(2) << 12;
+      seq.height |= r.read(2) << 12;
+      r.skip(12 + 1 + 8 + 1 + 2 + 5);
+    } else if (ext == 8) {
+      Pic& p = pic;
+      p.f_code[0][0] = r.read(4);
+      p.f_code[0][1] = r.read(4);
+      p.f_code[1][0] = r.read(4);
+      p.f_code[1][1] = r.read(4);
+      p.intra_dc_precision = r.read(2);
+      p.structure = r.read(2);
+      p.top_field_first = r.read(1);
+      p.frame_pred_frame_dct = r.read(1);
+      p.concealment = r.read(1);
+      p.q_scale_type = r.read(1);
+      p.intra_vlc_format = r.read(1);
+      p.alternate_scan = r.read(1);
+      p.repeat_first_field = r.read(1);
+      r.skip(1);
+      p.progressive_frame = r.read(1);
+    } else if (ext == 3) {
+      if (r.read(1)) load_matrix(r, seq.intra_q);
+      if (r.read(1)) load_matrix(r, seq.non_intra_q);
+      if (r.read(1)) { int32_t t[64]; load_matrix(r, t); }
+      if (r.read(1)) { int32_t t[64]; load_matrix(r, t); }
+    }
+  }
+
+  void picture_header(BitReader& r) {
+    Pic p;
+    p.temporal_reference = r.read(10);
+    p.coding_type = r.read(3);
+    r.skip(16);
+    if (p.coding_type == 2 || p.coding_type == 3) r.skip(1 + 3);
+    if (p.coding_type == 3) r.skip(1 + 3);
+    pic = p;
+  }
+
+  // ---- motion vectors (mirrors _SliceState._mv / _mv_delta) ----
+  int mv_delta(BitReader& r, int fcode) {
+    int e = g_mc.decode(r);
+    if (e < 0) return 0;
+    int mag = B10_MOTION_CODE[e].v0;
+    if (mag == 0) return 0;
+    int sign = r.read(1);
+    int r_size = fcode - 1;
+    int residual = r_size ? (int)r.read(r_size) : 0;
+    int delta = ((mag - 1) << r_size) + residual + 1;
+    return sign ? -delta : delta;
+  }
+
+  struct Mv { int x = 0, y = 0, dmx = 0, dmy = 0; };
+
+  Mv mv(BitReader& r, SliceState& st, int rr, int s, bool vertical_field,
+        bool dmv) {
+    Mv out;
+    int v[2] = {0, 0};
+    for (int t = 0; t < 2; t++) {
+      int fcode = pic.f_code[s][t];
+      if (fcode == 15) { r.err = true; return out; }
+      int delta = mv_delta(r, fcode);
+      int pred = st.pmv[rr][s][t];
+      if (t == 1 && vertical_field && st.frame_pic)
+        pred = div2_trunc(pred);
+      int f = 1 << (fcode - 1);
+      int val = pred + delta;
+      int rng = 32 * f;
+      if (val < -16 * f) val += rng;
+      else if (val > 16 * f - 1) val -= rng;
+      st.pmv[rr][s][t] = (t == 1 && vertical_field && st.frame_pic)
+                             ? 2 * val : val;
+      v[t] = val;
+      if (dmv) {
+        int e = g_dmv.decode(r);
+        int dv = e < 0 ? 0 : B11_DMVECTOR[e].v0;
+        if (t == 0) out.dmx = dv; else out.dmy = dv;
+      }
+    }
+    out.x = v[0];
+    out.y = v[1];
+    return out;
+  }
+
+  // ---- block decode (mirrors _SliceState._block) ----
+  // Returns false on desync (r.err set).
+  bool block(BitReader& r, SliceState& st, bool intra, int cc,
+             int32_t coeffs[64]) {
+    std::memset(coeffs, 0, 64 * sizeof(int32_t));
+    const int32_t* w_intra = seq.intra_q;
+    const int32_t* w_non = seq.non_intra_q;
+    int qs = st.qs;
+    int n = 0;
+    bool first;
+    if (intra) {
+      const Vlc& dct = cc == 0 ? g_dcl : g_dcc;
+      const VlcEntry* dents = cc == 0 ? B12_DC_LUMA : B13_DC_CHROMA;
+      int e = dct.decode(r);
+      if (e < 0) return false;
+      int size = dents[e].v0;
+      int diff = 0;
+      if (size) {
+        uint32_t bits = r.read(size);
+        diff = bits >= (1u << (size - 1)) ? (int)bits
+                                          : (int)bits - (1 << size) + 1;
+      }
+      st.dc_pred[cc] += diff;
+      coeffs[0] = st.dc_pred[cc] * st.dc_mult;
+      n = 1;
+      first = false;
+    } else {
+      first = true;
+    }
+    const Vlc& table = (intra && pic.intra_vlc_format) ? g_b15 : g_b14;
+    const VlcEntry* ents = (intra && pic.intra_vlc_format) ? B15_DCT
+                                                           : B14_DCT;
+    while (true) {
+      int run, level;
+      if (first && r.peek(1) == 1) {
+        if (r.err) return false;
+        r.skip(1);
+        int sign = r.read(1);
+        run = 0;
+        level = sign ? -1 : 1;
+        first = false;
+      } else {
+        if (r.err) return false;
+        first = false;
+        if (r.left() >= DCT_ESCAPE_LEN &&
+            r.peek_raw(DCT_ESCAPE_LEN) == DCT_ESCAPE_CODE) {
+          r.skip(DCT_ESCAPE_LEN);
+          run = r.read(6);
+          int lv = r.read(12);
+          if (lv == 0 || lv == 2048) { r.err = true; return false; }
+          level = lv >= 2048 ? lv - 4096 : lv;
+        } else {
+          int e = table.decode(r);
+          if (e < 0) return false;
+          if (ents[e].v0 < 0) break;  // EOB
+          run = ents[e].v0;
+          int mag = ents[e].v1;
+          int sign = r.read(1);
+          level = sign ? -mag : mag;
+        }
+      }
+      if (r.err) return false;
+      n += run;
+      if (n > 63) { r.err = true; return false; }
+      int pos = st.scan[n];
+      n += 1;
+      if (intra) {
+        if (pos != 0)
+          coeffs[pos] = trunc_div32(2LL * level * w_intra[pos] * qs);
+        else
+          coeffs[pos] = level;
+      } else {
+        int k = level == 0 ? 0 : (level > 0 ? 1 : -1);
+        coeffs[pos] = trunc_div32((2LL * level + k) * w_non[pos] * qs);
+      }
+    }
+    // saturation + mismatch control (whole block, incl. DC)
+    int64_t sum = 0;
+    for (int i = 0; i < 64; i++) {
+      if (coeffs[i] < -2048) coeffs[i] = -2048;
+      else if (coeffs[i] > 2047) coeffs[i] = 2047;
+      sum += coeffs[i];
+    }
+    if ((sum & 1) == 0) coeffs[63] ^= 1;
+    return true;
+  }
+
+  // ---- reference selection (mirrors _ref_frame / _ref_field) ----
+  FrameBuf* ref_frame(int s) {
+    if (pic.coding_type == 2) return ref_new.get();
+    if (s == 0) return ref_old ? ref_old.get() : ref_new.get();
+    return ref_new.get();
+  }
+
+  void ref_field(int s, int parity, PlaneView out[3]) {
+    FrameBuf* frame = ref_frame(s);
+    if (pic.coding_type == 2 && s == 0 && in_second_field &&
+        parity == cur_first_parity)
+      frame = cur.get();
+    if (!frame) frame = cur.get();
+    out[0] = field_view(frame->y, frame->yh(), frame->yw(), parity);
+    out[1] = field_view(frame->u, frame->ch(), frame->cw(), parity);
+    out[2] = field_view(frame->v, frame->ch(), frame->cw(), parity);
+  }
+
+  void frame_views(FrameBuf* f, PlaneView out[3]) {
+    out[0] = full_view(f->y, f->yh(), f->yw());
+    out[1] = full_view(f->u, f->ch(), f->cw());
+    out[2] = full_view(f->v, f->ch(), f->cw());
+  }
+
+  void field_views(FrameBuf* f, int parity, PlaneView out[3]) {
+    out[0] = field_view(f->y, f->yh(), f->yw(), parity);
+    out[1] = field_view(f->u, f->ch(), f->cw(), parity);
+    out[2] = field_view(f->v, f->ch(), f->cw(), parity);
+  }
+
+  // frame-based 16x16 prediction (mirrors _frame_pred)
+  void frame_pred(FrameBuf* frame, int mby, int mbx, int mvx, int mvy,
+                  Pred& p) {
+    PlaneView pv[3];
+    frame_views(frame, pv);
+    fetch(pv[0], mby * 32 + mvy, mbx * 32 + mvx, 16, 16, p.y);
+    int cx = div2_trunc(mvx), cy = div2_trunc(mvy);
+    fetch(pv[1], mby * 16 + cy, mbx * 16 + cx, 8, 8, p.u);
+    fetch(pv[2], mby * 16 + cy, mbx * 16 + cx, 8, 8, p.v);
+  }
+
+  // field prediction of h luma rows into tmp buffers (mirrors
+  // _field_pred_views); caller places rows.
+  void field_pred(const PlaneView pv[3], int fy_mb, int mbx, int mvx,
+                  int mvy, int h, int y_off, int32_t* ty, int32_t* tu,
+                  int32_t* tv) {
+    fetch(pv[0], (fy_mb + y_off) * 2 + mvy, mbx * 32 + mvx, h, 16, ty);
+    int cx = div2_trunc(mvx), cy = div2_trunc(mvy);
+    fetch(pv[1], (fy_mb + y_off) + cy, mbx * 16 + cx, h / 2, 8, tu);
+    fetch(pv[2], (fy_mb + y_off) + cy, mbx * 16 + cx, h / 2, 8, tv);
+  }
+
+  // Place an h-row field prediction into a Pred at interleave step/offset.
+  static void place_field(Pred& p, int dest_par, int step, const int32_t* ty,
+                          const int32_t* tu, const int32_t* tv, int h) {
+    for (int r = 0; r < h; r++)
+      std::memcpy(p.y + (dest_par + r * step) * 16, ty + r * 16,
+                  16 * sizeof(int32_t));
+    for (int r = 0; r < h / 2; r++) {
+      std::memcpy(p.u + (dest_par + r * step) * 8, tu + r * 8,
+                  8 * sizeof(int32_t));
+      std::memcpy(p.v + (dest_par + r * step) * 8, tv + r * 8,
+                  8 * sizeof(int32_t));
+    }
+  }
+
+  // ---- store (mirrors _store_mb) ----
+  void store_mb(SliceState& st, int mb_row, int mb_x, const Pred& mb) {
+    bool frame_pic = st.frame_pic;
+    PlaneView ty, tu, tv;
+    if (frame_pic) {
+      ty = full_view(cur->y, cur->yh(), cur->yw());
+      tu = full_view(cur->u, cur->ch(), cur->cw());
+      tv = full_view(cur->v, cur->ch(), cur->cw());
+    } else {
+      ty = field_view(cur->y, cur->yh(), cur->yw(), st.cur_parity);
+      tu = field_view(cur->u, cur->ch(), cur->cw(), st.cur_parity);
+      tv = field_view(cur->v, cur->ch(), cur->cw(), st.cur_parity);
+    }
+    for (int r = 0; r < 16; r++) {
+      uint8_t* dst = ty.row(mb_row * 16 + r) + mb_x * 16;
+      for (int c = 0; c < 16; c++) dst[c] = clip255(mb.y[r * 16 + c]);
+    }
+    for (int r = 0; r < 8; r++) {
+      uint8_t* du = tu.row(mb_row * 8 + r) + mb_x * 8;
+      uint8_t* dv = tv.row(mb_row * 8 + r) + mb_x * 8;
+      for (int c = 0; c < 8; c++) {
+        du[c] = clip255(mb.u[r * 8 + c]);
+        dv[c] = clip255(mb.v[r * 8 + c]);
+      }
+    }
+  }
+
+  // ---- skipped macroblocks (mirrors _skipped_mb) ----
+  bool skipped_mb(SliceState& st, int mb_row, int mb_x) {
+    for (int i = 0; i < 3; i++) st.dc_pred[i] = st.dc_reset;
+    if (pic.coding_type == 1) return false;  // error
+    int flags;
+    int mvs[2][2] = {{0, 0}, {0, 0}};
+    if (pic.coding_type == 2) {
+      std::memset(st.pmv, 0, sizeof st.pmv);
+      flags = MBT_MOTION_F;
+    } else {
+      flags = st.prev_flags & (MBT_MOTION_F | MBT_MOTION_B);
+      if (flags == 0) flags = MBT_MOTION_F;
+      for (int s = 0; s < 2; s++) {
+        mvs[s][0] = st.pmv[0][s][0];
+        mvs[s][1] = st.pmv[0][s][1];
+      }
+    }
+    Pred acc;
+    int npred = 0;
+    for (int s = 0; s < 2; s++) {
+      if (!(flags & (s == 0 ? MBT_MOTION_F : MBT_MOTION_B))) continue;
+      int mvx = mvs[s][0], mvy = mvs[s][1];
+      Pred p;
+      if (st.frame_pic) {
+        FrameBuf* frame = ref_frame(s);
+        if (!frame) continue;
+        frame_pred(frame, mb_row, mb_x, mvx, mvy, p);
+      } else {
+        PlaneView pv[3];
+        ref_field(s, st.cur_parity, pv);
+        int32_t ty[256], tu[64], tv[64];
+        field_pred(pv, mb_row * 16, mb_x, mvx, mvy, 16, 0, ty, tu, tv);
+        std::memcpy(p.y, ty, sizeof ty);
+        std::memcpy(p.u, tu, sizeof tu);
+        std::memcpy(p.v, tv, sizeof tv);
+      }
+      if (npred == 0) acc = p; else avg_into(acc, p);
+      npred++;
+    }
+    if (npred == 0) return true;
+    store_mb(st, mb_row, mb_x, acc);
+    st.prev_flags = flags;
+    return true;
+  }
+
+  // ---- one decoded motion direction (mirrors _motion + its closures) ----
+  // Returns false on bitstream error.
+  bool motion(BitReader& r, SliceState& st, int s, int motion_type,
+              int mb_row, int mb_x, Pred& out) {
+    if (st.frame_pic) {
+      if (motion_type == 2) {  // frame-based
+        Mv m = mv(r, st, 0, s, false, false);
+        if (r.err) return false;
+        std::memcpy(st.pmv[1][s], st.pmv[0][s], sizeof st.pmv[1][s]);
+        FrameBuf* frame = ref_frame(s);
+        if (!frame) return false;
+        frame_pred(frame, mb_row, mb_x, m.x, m.y, out);
+        return true;
+      }
+      if (motion_type == 1) {  // field-based in frame picture
+        out.zero();
+        for (int rr = 0; rr < 2; rr++) {
+          int fs = r.read(1);
+          Mv m = mv(r, st, rr, s, true, false);
+          if (r.err) return false;
+          FrameBuf* frame = ref_frame(s);
+          if (!frame) return false;
+          PlaneView pv[3];
+          field_views(frame, fs, pv);
+          int32_t ty[128], tu[32], tv[32];
+          field_pred(pv, mb_row * 8, mb_x, m.x, m.y, 8, 0, ty, tu, tv);
+          place_field(out, rr, 2, ty, tu, tv, 8);
+        }
+        return true;
+      }
+      if (motion_type == 3) {  // dual prime, frame picture
+        Mv m = mv(r, st, 0, s, true, true);
+        if (r.err) return false;
+        std::memcpy(st.pmv[1][s], st.pmv[0][s], sizeof st.pmv[1][s]);
+        FrameBuf* frame = ref_frame(s);
+        if (!frame) return false;
+        bool tff = pic.top_field_first;
+        out.zero();
+        for (int dest_par = 0; dest_par < 2; dest_par++) {
+          PlaneView same[3], opp[3];
+          field_views(frame, dest_par, same);
+          field_views(frame, 1 - dest_par, opp);
+          int32_t ay[128], au[32], av[32], by[128], bu[32], bv[32];
+          field_pred(same, mb_row * 8, mb_x, m.x, m.y, 8, 0, ay, au, av);
+          int mfac, corr;
+          if (dest_par == 0) { mfac = tff ? 1 : 3; corr = -1; }
+          else { mfac = tff ? 3 : 1; corr = 1; }
+          int ox = dp_half(m.x * mfac) + m.dmx;
+          int oy = dp_half(m.y * mfac) + m.dmy + corr;
+          field_pred(opp, mb_row * 8, mb_x, ox, oy, 8, 0, by, bu, bv);
+          for (int i = 0; i < 128; i++) ay[i] = (ay[i] + by[i] + 1) >> 1;
+          for (int i = 0; i < 32; i++) {
+            au[i] = (au[i] + bu[i] + 1) >> 1;
+            av[i] = (av[i] + bv[i] + 1) >> 1;
+          }
+          place_field(out, dest_par, 2, ay, au, av, 8);
+        }
+        return true;
+      }
+      r.err = true;
+      return false;
+    }
+    // ---- field pictures ----
+    int cur_par = st.cur_parity;
+    if (motion_type == 1) {  // field-based
+      int fs = r.read(1);
+      Mv m = mv(r, st, 0, s, false, false);
+      if (r.err) return false;
+      std::memcpy(st.pmv[1][s], st.pmv[0][s], sizeof st.pmv[1][s]);
+      PlaneView pv[3];
+      ref_field(s, fs, pv);
+      int32_t ty[256], tu[64], tv[64];
+      field_pred(pv, mb_row * 16, mb_x, m.x, m.y, 16, 0, ty, tu, tv);
+      std::memcpy(out.y, ty, sizeof ty);
+      std::memcpy(out.u, tu, sizeof tu);
+      std::memcpy(out.v, tv, sizeof tv);
+      return true;
+    }
+    if (motion_type == 2) {  // 16x8
+      out.zero();
+      for (int half = 0; half < 2; half++) {
+        int fs = r.read(1);
+        Mv m = mv(r, st, half, s, false, false);
+        if (r.err) return false;
+        PlaneView pv[3];
+        ref_field(s, fs, pv);
+        int32_t ty[128], tu[32], tv[32];
+        field_pred(pv, mb_row * 16, mb_x, m.x, m.y, 8, half * 8, ty, tu,
+                   tv);
+        for (int rr = 0; rr < 8; rr++)
+          std::memcpy(out.y + (half * 8 + rr) * 16, ty + rr * 16,
+                      16 * sizeof(int32_t));
+        for (int rr = 0; rr < 4; rr++) {
+          std::memcpy(out.u + (half * 4 + rr) * 8, tu + rr * 8,
+                      8 * sizeof(int32_t));
+          std::memcpy(out.v + (half * 4 + rr) * 8, tv + rr * 8,
+                      8 * sizeof(int32_t));
+        }
+      }
+      return true;
+    }
+    if (motion_type == 3) {  // dual prime, field picture
+      Mv m = mv(r, st, 0, s, false, true);
+      if (r.err) return false;
+      std::memcpy(st.pmv[1][s], st.pmv[0][s], sizeof st.pmv[1][s]);
+      PlaneView same[3], opp[3];
+      ref_field(s, cur_par, same);
+      ref_field(s, 1 - cur_par, opp);
+      int32_t ay[256], au[64], av[64], by[256], bu[64], bv[64];
+      field_pred(same, mb_row * 16, mb_x, m.x, m.y, 16, 0, ay, au, av);
+      int ox = dp_half(m.x) + m.dmx;
+      int oy = dp_half(m.y) + m.dmy + (cur_par == 1 ? 1 : -1);
+      field_pred(opp, mb_row * 16, mb_x, ox, oy, 16, 0, by, bu, bv);
+      for (int i = 0; i < 256; i++) out.y[i] = (ay[i] + by[i] + 1) >> 1;
+      for (int i = 0; i < 64; i++) {
+        out.u[i] = (au[i] + bu[i] + 1) >> 1;
+        out.v[i] = (av[i] + bv[i] + 1) >> 1;
+      }
+      return true;
+    }
+    r.err = true;
+    return false;
+  }
+
+  // ---- macroblock (mirrors _macroblock) ----
+  bool macroblock(BitReader& r, SliceState& st, int mb_row, int mb_x) {
+    int e = g_mbt[pic.coding_type].decode(r);
+    if (e < 0) return false;
+    const VlcEntry* mbt_ents = pic.coding_type == 1 ? B2_MB_TYPE_I
+                               : pic.coding_type == 2 ? B3_MB_TYPE_P
+                                                      : B4_MB_TYPE_B;
+    int flags = mbt_ents[e].v0;
+    bool intra = flags & MBT_INTRA;
+    bool motion_f = flags & MBT_MOTION_F;
+    bool motion_b = flags & MBT_MOTION_B;
+    bool pattern = flags & MBT_PATTERN;
+
+    int motion_type = 2;
+    if (motion_f || motion_b) {
+      if (st.frame_pic)
+        motion_type = pic.frame_pred_frame_dct ? 2 : (int)r.read(2);
+      else
+        motion_type = r.read(2);
+    } else if (intra && pic.concealment) {
+      motion_type = st.frame_pic ? 2 : 1;
+    }
+
+    int dct_type = 0;
+    if (st.frame_pic && !pic.frame_pred_frame_dct && (intra || pattern))
+      dct_type = r.read(1);
+    if (flags & MBT_QUANT) st.qs = qscale(r.read(5), r);
+    if (r.err) return false;
+
+    Pred acc;
+    int npred = 0;
+    if (intra) {
+      if (pic.concealment) {
+        if (!st.frame_pic) r.skip(1);
+        mv(r, st, 0, 0, false, false);
+        std::memcpy(st.pmv[1][0], st.pmv[0][0], sizeof st.pmv[1][0]);
+        r.skip(1);  // marker
+        if (r.err) return false;
+      } else {
+        std::memset(st.pmv, 0, sizeof st.pmv);
+      }
+    } else {
+      for (int i = 0; i < 3; i++) st.dc_pred[i] = st.dc_reset;
+      for (int s = 0; s < 2; s++) {
+        bool has = s == 0 ? motion_f : motion_b;
+        if (!has) continue;
+        Pred p;
+        if (!motion(r, st, s, motion_type, mb_row, mb_x, p)) return false;
+        if (npred == 0) acc = p; else avg_into(acc, p);
+        npred++;
+      }
+      if (pic.coding_type == 2 && !motion_f && !intra) {
+        // pattern-only P macroblock: zero vector + PMV reset
+        std::memset(st.pmv, 0, sizeof st.pmv);
+        Pred p;
+        if (st.frame_pic) {
+          FrameBuf* frame = ref_frame(0);
+          if (!frame) return false;
+          frame_pred(frame, mb_row, mb_x, 0, 0, p);
+        } else {
+          PlaneView pv[3];
+          ref_field(0, st.cur_parity, pv);
+          int32_t ty[256], tu[64], tv[64];
+          field_pred(pv, mb_row * 16, mb_x, 0, 0, 16, 0, ty, tu, tv);
+          std::memcpy(p.y, ty, sizeof ty);
+          std::memcpy(p.u, tu, sizeof tu);
+          std::memcpy(p.v, tv, sizeof tv);
+        }
+        if (npred == 0) acc = p; else avg_into(acc, p);
+        npred++;
+      }
+    }
+
+    int cbp = 0;
+    if (pattern) {
+      int ce = g_cbp.decode(r);
+      if (ce < 0) return false;
+      cbp = B9_CBP[ce].v0;
+      if (seq.chroma_format == 2) cbp = (cbp << 2) | r.read(2);
+      else if (seq.chroma_format == 3) cbp = (cbp << 6) | r.read(6);
+    } else if (intra) {
+      cbp = 0x3F;
+    }
+
+    Pred mb;
+    if (intra || npred == 0) mb.zero();
+    else mb = acc;
+
+    for (int b = 0; b < 6; b++) {
+      if (!((cbp >> (5 - b)) & 1)) continue;
+      int cc = b < 4 ? 0 : b - 3;
+      int32_t coeffs[64], res[64];
+      if (!block(r, st, intra, cc, coeffs)) return false;
+      idct8x8(coeffs, res);
+      if (b < 4) {
+        if (dct_type) {  // field DCT interleave
+          int base_row = b / 2, cs = (b & 1) * 8;
+          for (int rr = 0; rr < 8; rr++) {
+            int32_t* dst = mb.y + (base_row + rr * 2) * 16 + cs;
+            const int32_t* sr = res + rr * 8;
+            if (intra) for (int c = 0; c < 8; c++) dst[c] = sr[c];
+            else for (int c = 0; c < 8; c++) dst[c] += sr[c];
+          }
+        } else {
+          int rs = (b / 2) * 8, cs = (b & 1) * 8;
+          for (int rr = 0; rr < 8; rr++) {
+            int32_t* dst = mb.y + (rs + rr) * 16 + cs;
+            const int32_t* sr = res + rr * 8;
+            if (intra) for (int c = 0; c < 8; c++) dst[c] = sr[c];
+            else for (int c = 0; c < 8; c++) dst[c] += sr[c];
+          }
+        }
+      } else {
+        int32_t* dst = b == 4 ? mb.u : mb.v;
+        if (intra) std::memcpy(dst, res, sizeof res);
+        else for (int i = 0; i < 64; i++) dst[i] += res[i];
+      }
+    }
+
+    if (!intra && !pattern)
+      for (int i = 0; i < 3; i++) st.dc_pred[i] = st.dc_reset;
+    st.prev_flags = intra ? 0 : flags;
+    store_mb(st, mb_row, mb_x, mb);
+    return true;
+  }
+
+  // ---- slice (mirrors decode_slice) ----
+  void decode_slice(BitReader& r, SliceState& st, int vertical_pos) {
+    int mb_row = vertical_pos - 1;
+    if (seq.height > 2800) mb_row = ((int)r.read(3) << 7) + vertical_pos - 1;
+    if (mb_row >= st.mbh) { errors++; return; }
+    st.qs = qscale(r.read(5), r);
+    if (r.peek(1) == 1 && !r.err) {
+      r.skip(1 + 1 + 7);
+      while (!r.err && r.peek(1) == 1) r.skip(9);
+    }
+    r.skip(1);  // extra_bit_slice
+    if (r.err) { errors++; return; }
+
+    std::memset(st.pmv, 0, sizeof st.pmv);
+    for (int i = 0; i < 3; i++) st.dc_pred[i] = st.dc_reset;
+    st.prev_flags = 0;
+    int mb_x = -1;
+    bool first_in_slice = true;
+
+    while (true) {
+      int64_t left = r.left();
+      if (left <= 0) break;
+      int probe = (int)std::min<int64_t>(23, left);
+      if (r.peek_raw(probe) == 0) break;
+      int inc = 0;
+      while (r.left() >= ADDR_INC_ESCAPE_LEN &&
+             r.peek_raw(ADDR_INC_ESCAPE_LEN) == ADDR_INC_ESCAPE_CODE) {
+        r.skip(ADDR_INC_ESCAPE_LEN);
+        inc += 33;
+      }
+      int e = g_addr.decode(r);
+      if (e < 0) { errors++; return; }
+      inc += B1_ADDR_INC[e].v0;
+      if (first_in_slice) {
+        mb_x += inc;
+        first_in_slice = false;
+      } else {
+        for (int i = 0; i < inc - 1; i++) {
+          mb_x += 1;
+          if (mb_x >= st.mbw) { errors++; return; }
+          if (!skipped_mb(st, mb_row, mb_x)) { errors++; return; }
+        }
+        mb_x += 1;
+      }
+      if (mb_x >= st.mbw) { errors++; return; }
+      if (!macroblock(r, st, mb_row, mb_x)) { errors++; return; }
+    }
+  }
+
+  // ---- picture-level machinery (mirrors decode_picture/_decode_slices) ---
+
+  void mb_dims(int& mbw, int& mbh) {
+    mbw = (seq.width + 15) / 16;
+    int h = pic.structure == 3 ? seq.height : (seq.height + 1) / 2;
+    mbh = (h + 15) / 16;
+  }
+
+  void emit(std::shared_ptr<FrameBuf> buf) {
+    auto f = std::make_unique<OutFrame>();
+    int h = seq.height, w = seq.width;
+    int ch = (h + 1) / 2, cw = (w + 1) / 2;
+    f->width = w;
+    f->height = h;
+    f->y.resize((size_t)h * w);
+    f->u.resize((size_t)ch * cw);
+    f->v.resize((size_t)ch * cw);
+    for (int r = 0; r < h; r++)
+      std::memcpy(f->y.data() + (size_t)r * w,
+                  buf->y.data() + (size_t)r * buf->yw(), w);
+    for (int r = 0; r < ch; r++) {
+      std::memcpy(f->u.data() + (size_t)r * cw,
+                  buf->u.data() + (size_t)r * buf->cw(), cw);
+      std::memcpy(f->v.data() + (size_t)r * cw,
+                  buf->v.data() + (size_t)r * buf->cw(), cw);
+    }
+    f->coding_type = buf->coding_type;
+    f->temporal_reference = buf->temporal_reference;
+    f->progressive_frame = buf->progressive_frame;
+    f->top_field_first = buf->top_field_first;
+    f->repeat_first_field = buf->repeat_first_field;
+    outq.push_back(std::move(f));
+  }
+
+  // returns true when a full frame completed
+  bool decode_slices(const uint8_t* data,
+                     const std::vector<std::pair<int, std::pair<int64_t,
+                         int64_t>>>& slices) {
+    bool frame_pic = pic.structure == 3;
+    int mbw, mbh;
+    mb_dims(mbw, mbh);
+
+    if (frame_pic || !in_second_field) {
+      cur = std::make_shared<FrameBuf>(mbw, frame_pic ? mbh : 2 * mbh);
+      cur->coding_type = pic.coding_type;
+      cur->temporal_reference = pic.temporal_reference;
+      cur->progressive_frame = pic.progressive_frame;
+      cur->top_field_first = frame_pic ? pic.top_field_first
+                                       : (pic.structure == 1);
+      cur->repeat_first_field = pic.repeat_first_field;
+      if (!frame_pic) cur_first_parity = pic.structure == 1 ? 0 : 1;
+    }
+
+    SliceState st;
+    st.mbw = mbw;
+    st.mbh = mbh;
+    st.frame_pic = frame_pic;
+    st.cur_parity = frame_pic ? -1 : (pic.structure == 1 ? 0 : 1);
+    st.scan = pic.alternate_scan ? SCAN_ALTERNATE : SCAN_ZIGZAG;
+    st.dc_mult = 8 >> pic.intra_dc_precision;
+    st.dc_reset = 1 << (pic.intra_dc_precision + 7);
+    st.qs = 2;
+
+    for (auto& s : slices) {
+      BitReader r{data, s.second.first, s.second.second, false};
+      decode_slice(r, st, s.first);
+    }
+
+    if (frame_pic) {
+      in_second_field = false;
+      return true;
+    }
+    if (in_second_field) {
+      in_second_field = false;
+      return true;
+    }
+    in_second_field = true;
+    return false;
+  }
+
+  // Feed one coded picture chunk (ES bytes incl. leading headers);
+  // appends 0+ display-order frames to outq.
+  void decode_picture(const uint8_t* data, int64_t len) {
+    bool saw_picture = false;
+    std::vector<std::pair<int, std::pair<int64_t, int64_t>>> slices;
+    int64_t i = 0;
+    while (i + 4 <= len) {
+      if (!(data[i] == 0 && data[i + 1] == 0 && data[i + 2] == 1)) {
+        i++;
+        continue;
+      }
+      int code = data[i + 3];
+      int64_t payload = i + 4;
+      int64_t j = payload;
+      while (j + 3 <= len &&
+             !(data[j] == 0 && data[j + 1] == 0 && data[j + 2] == 1))
+        j++;
+      int64_t unit_end = (j + 3 <= len) ? j : len;
+      BitReader r{data, payload * 8, unit_end * 8, false};
+      if (code == 0xB3) {
+        sequence_header(r);
+        if (r.err) errors++;
+      } else if (code == 0xB5) {
+        extension(r);
+        if (r.err) errors++;
+      } else if (code == 0x00) {
+        if (saw_picture) break;
+        picture_header(r);
+        if (r.err) errors++;
+        saw_picture = true;
+      } else if (code >= 0x01 && code <= 0xAF) {
+        if (saw_picture)
+          slices.push_back({code, {payload * 8, unit_end * 8}});
+      }
+      i = unit_end;
+    }
+    if (!saw_picture || !seq.valid) return;
+    if (seq.chroma_format != 1) { errors++; return; }  // 4:2:0 only
+    int ct = pic.coding_type;
+    if (ct < 1 || ct > 3) { errors++; return; }
+    if (!in_second_field) {
+      if (!have_i && ct != 1) return;
+      if ((ct == 2 || ct == 3) && !ref_new) return;
+    }
+
+    bool frame_done = decode_slices(data, slices);
+    if (ct == 1) have_i = true;
+    if (!frame_done) return;
+
+    std::shared_ptr<FrameBuf> fin = cur;
+    cur.reset();
+    if (ct == 3) {
+      emit(fin);
+    } else {
+      if (pending) emit(pending);
+      pending = fin;
+      ref_old = ref_new;
+      ref_new = fin;
+    }
+  }
+
+  void flush() {
+    if (pending) {
+      emit(pending);
+      pending.reset();
+    }
+  }
+};
+
+struct Handle {
+  Decoder dec;
+};
+
+}  // namespace m2dec
+
+// ---------------------------------------------------------------------------
+// C API
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void* M2V_Create() { return new m2dec::Handle(); }
+void M2V_Destroy(void* h) { delete static_cast<m2dec::Handle*>(h); }
+
+// Feed one coded picture chunk; returns frames now queued for output.
+int M2V_DecodePicture(void* hp, const uint8_t* data, long long len) {
+  auto& d = static_cast<m2dec::Handle*>(hp)->dec;
+  d.decode_picture(data, len);
+  return (int)d.outq.size();
+}
+
+int M2V_Flush(void* hp) {
+  auto& d = static_cast<m2dec::Handle*>(hp)->dec;
+  d.flush();
+  return (int)d.outq.size();
+}
+
+// info[8] = {width, height, coding_type, temporal_reference,
+//            progressive_frame, top_field_first, repeat_first_field,
+//            errors_so_far}; returns 1 when a frame is queued, else 0.
+int M2V_NextInfo(void* hp, int* info) {
+  auto& d = static_cast<m2dec::Handle*>(hp)->dec;
+  if (d.outq.empty()) return 0;
+  auto& f = *d.outq.front();
+  info[0] = f.width;
+  info[1] = f.height;
+  info[2] = f.coding_type;
+  info[3] = f.temporal_reference;
+  info[4] = f.progressive_frame;
+  info[5] = f.top_field_first;
+  info[6] = f.repeat_first_field;
+  info[7] = (int)d.errors;
+  return 1;
+}
+
+// Pop the front frame into caller buffers (y: h*w, u/v: ceil(h/2)*ceil(w/2)).
+int M2V_PopFrame(void* hp, uint8_t* y, uint8_t* u, uint8_t* v) {
+  auto& d = static_cast<m2dec::Handle*>(hp)->dec;
+  if (d.outq.empty()) return 0;
+  auto f = std::move(d.outq.front());
+  d.outq.pop_front();
+  std::memcpy(y, f->y.data(), f->y.size());
+  std::memcpy(u, f->u.data(), f->u.size());
+  std::memcpy(v, f->v.data(), f->v.size());
+  return 1;
+}
+
+long long M2V_Errors(void* hp) {
+  return static_cast<m2dec::Handle*>(hp)->dec.errors;
+}
+
+}  // extern "C"

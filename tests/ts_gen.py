@@ -370,8 +370,16 @@ def build_simple_ts(
     service_name: str = "TEST TV",
     event_name: str = "Test Program",
     jst_raw40: int = 0xC07A123456,
+    video_es_frames: list | None = None,  # real coded pictures (coded order)
 ) -> bytes:
-    """A single-program TS with MPEG2 video + N ADTS audio streams."""
+    """A single-program TS with MPEG2 video + N ADTS audio streams.
+
+    With `video_es_frames` (per-picture ES chunks, e.g. from
+    mpeg2_enc.Mpeg2TestEncoder split by iter_picture_chunks), the given
+    REAL video replaces the synthetic picture generator — the stream then
+    decodes to actual pixels with the in-build MPEG2 decoder."""
+    if video_es_frames is not None:
+        num_frames = len(video_es_frames)
     tz = TsPacketizer()
     pat = make_pat(TSID, [(service_id, PMT_PID)])
     streams = [(0x02, VIDEO_PID, b"")]
@@ -411,18 +419,22 @@ def build_simple_ts(
             "TFF_RFF": (3, 1, 1), "BFF_RFF": (3, 0, 1),
         }[name]
         prog_frame = 1 if name == "FRAME" else 0
-        es = bytearray()
-        if f % gop_len == 0:
-            es += mpeg2_sequence_header(width=width, height=height,
-                                        frame_rate_code=4)
-        coding = 1 if f % gop_len == 0 else (2 if f % 3 == 0 else 3)
-        es += mpeg2_picture(coding_type=coding, picture_structure=ps, tff=tff,
-                            rff=rff, progressive_frame=prog_frame,
-                            temporal_reference=f % gop_len,
-                            slice_bytes=slice_bytes,
-                            real_slices=(width, height,
-                                         row_qs or [8, 12, 20, 30])
-                            if real_slices else None)
+        if video_es_frames is not None:
+            es = bytearray(video_es_frames[f])
+        else:
+            es = bytearray()
+            if f % gop_len == 0:
+                es += mpeg2_sequence_header(width=width, height=height,
+                                            frame_rate_code=4)
+            coding = 1 if f % gop_len == 0 else (2 if f % 3 == 0 else 3)
+            es += mpeg2_picture(coding_type=coding, picture_structure=ps,
+                                tff=tff,
+                                rff=rff, progressive_frame=prog_frame,
+                                temporal_reference=f % gop_len,
+                                slice_bytes=slice_bytes,
+                                real_slices=(width, height,
+                                             row_qs or [8, 12, 20, 30])
+                                if real_slices else None)
         pes = make_pes(0xE0, bytes(es), pts=pts, dts=dts, unbounded=True)
         tz.add_pes(VIDEO_PID, pes, pcr=pcr)
 
