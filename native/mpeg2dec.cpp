@@ -43,12 +43,18 @@ struct BitReader {
   int64_t left() const { return end - pos; }
 
   uint32_t peek_raw(int n) const {  // caller guarantees n <= left()
-    uint64_t v = 0;
     int64_t byte = pos >> 3;
     int64_t nbytes = (end + 7) >> 3;
-    for (int i = 0; i < 8; i++) {
-      v <<= 8;
-      if (byte + i < nbytes) v |= data[byte + i];
+    uint64_t v;
+    if (byte + 8 <= nbytes) {  // one unaligned load + bswap (hot path)
+      std::memcpy(&v, data + byte, 8);
+      v = __builtin_bswap64(v);
+    } else {
+      v = 0;
+      for (int i = 0; i < 8; i++) {
+        v <<= 8;
+        if (byte + i < nbytes) v |= data[byte + i];
+      }
     }
     int shift = 64 - (int)(pos & 7) - n;
     return (uint32_t)((v >> shift) &
@@ -71,8 +77,10 @@ struct BitReader {
 };
 
 struct Vlc {
+  static constexpr int PRIM = 10;  // cache-resident primary LUT width
   int maxlen = 0;
-  std::vector<uint32_t> lut;  // (len << 20) | (idx+1); 0 = invalid
+  std::vector<uint32_t> lut;   // full-length: (len << 20) | (idx+1)
+  std::vector<uint32_t> plut;  // primary (codes with len <= PRIM)
   const VlcEntry* entries = nullptr;
 
   void build(const VlcEntry* e, int n) {
@@ -86,8 +94,25 @@ struct Vlc {
       for (uint32_t p = 0; p < span; p++)
         lut[base | p] = ((uint32_t)e[i].len << 20) | (uint32_t)(i + 1);
     }
+    int pb = std::min(maxlen, PRIM);
+    plut.assign((size_t)1 << pb, 0);
+    for (int i = 0; i < n; i++) {
+      if ((int)e[i].len > pb) continue;
+      uint32_t base = e[i].code << (pb - e[i].len);
+      uint32_t span = 1u << (pb - e[i].len);
+      for (uint32_t p = 0; p < span; p++)
+        plut[base | p] = ((uint32_t)e[i].len << 20) | (uint32_t)(i + 1);
+    }
   }
   int decode(BitReader& r) const {  // mirrors mpeg2_ref._Vlc.decode
+    int pb = std::min(maxlen, PRIM);
+    if (r.left() >= pb) {  // hot path: short codes, tiny table
+      uint32_t hit = plut[r.peek_raw(pb)];
+      if (hit) {
+        r.pos += (int)(hit >> 20);
+        return (int)(hit & 0xFFFFF) - 1;
+      }
+    }
     int avail = (int)std::min<int64_t>(maxlen, r.left());
     if (avail <= 0) { r.err = true; return -1; }
     uint32_t word = r.peek_raw(avail) << (maxlen - avail);
@@ -120,22 +145,38 @@ static void init_tables() {
 // Fixed-point IDCT — identical matrix + shifts as the oracle idct8x8().
 // ---------------------------------------------------------------------------
 
-static void idct8x8(const int32_t f[64], int32_t out[64]) {
-  int64_t t[64];
-  for (int i = 0; i < 8; i++)        // t = (F @ A + 1024) >> 11
-    for (int m = 0; m < 8; m++) {
-      int64_t acc = 0;
-      for (int u = 0; u < 8; u++)
-        acc += (int64_t)f[i * 8 + u] * IDCT_A[u * 8 + m];
-      t[i * 8 + m] = (acc + 1024) >> 11;
+// rowmask bit i set => coefficient row i of f may be nonzero. Zero rows
+// produce exactly-zero t rows ((0+1024)>>11 == 0), so skipping them is
+// arithmetic-identical to the oracle's dense evaluation.
+static void idct8x8(const int32_t f[64], int32_t out[64],
+                    unsigned rowmask = 0xFF) {
+  int32_t t[64];
+  int rows[8];
+  int nrows = 0;
+  for (int i = 0; i < 8; i++) {
+    if (!(rowmask & (1u << i))) continue;
+    rows[nrows++] = i;
+    const int32_t* fr = f + i * 8;
+    int32_t* tr = t + i * 8;
+    for (int m = 0; m < 8; m++) {  // t = (F @ A + 1024) >> 11, fits i32
+      int32_t acc = 1024;
+      for (int u = 0; u < 8; u++) acc += fr[u] * IDCT_A[u * 8 + m];
+      tr[m] = acc >> 11;
     }
-  for (int m = 0; m < 8; m++)        // out = (A^T @ t + 65536) >> 17
-    for (int n = 0; n < 8; n++) {
-      int64_t acc = 0;
-      for (int u = 0; u < 8; u++)
-        acc += (int64_t)IDCT_A[u * 8 + m] * t[u * 8 + n];
-      out[m * 8 + n] = (int32_t)((acc + 65536) >> 17);
+  }
+  // out = (A^T @ t + 65536) >> 17 over the live t rows only
+  for (int m = 0; m < 8; m++) {
+    int32_t* om = out + m * 8;
+    int64_t acc[8];
+    for (int n = 0; n < 8; n++) acc[n] = 65536;
+    for (int k = 0; k < nrows; k++) {
+      int u = rows[k];
+      int64_t a = IDCT_A[u * 8 + m];
+      const int32_t* tr = t + u * 8;
+      for (int n = 0; n < 8; n++) acc[n] += a * tr[n];
     }
+    for (int n = 0; n < 8; n++) om[n] = (int32_t)(acc[n] >> 17);
+  }
 }
 
 static inline int div2_trunc(int v) {       // toward zero
@@ -143,7 +184,7 @@ static inline int div2_trunc(int v) {       // toward zero
 }
 static inline int dp_half(int v) { return (v + (v > 0 ? 1 : 0)) >> 1; }
 static inline int trunc_div32(int64_t n) {  // "/" 7.4.2.3: toward zero
-  return (int)(n < 0 ? -((-n) / 32) : n / 32);
+  return (int)(n < 0 ? -((-n) >> 5) : n >> 5);
 }
 static inline uint8_t clip255(int v) {
   return (uint8_t)(v < 0 ? 0 : v > 255 ? 255 : v);
@@ -228,9 +269,36 @@ static void fetch(const PlaneView& pv, int sy, int sx, int h, int w,
   int maxx = pv.w - w - fx; if (maxx < 0) maxx = 0;
   iy = std::min(std::max(iy, 0), maxy);
   ix = std::min(std::max(ix, 0), maxx);
-  // the clamp can still leave a tail outside for degenerate tiny planes;
-  // guard reads (oracle relies on numpy slicing semantics there only for
-  // non-conformant input, where any in-picture content is acceptable)
+  if (iy + h + fy <= pv.h && ix + w + fx <= pv.w) {
+    // fast path (every conformant fetch): direct row pointers, no
+    // per-pixel clamping — the compiler vectorizes these loops
+    const uint8_t* r0 = pv.p + (int64_t)iy * pv.stride + ix;
+    if (!fy && !fx) {
+      for (int r = 0; r < h; r++, r0 += pv.stride)
+        for (int c = 0; c < w; c++) out[r * w + c] = r0[c];
+    } else if (fy && fx) {
+      for (int r = 0; r < h; r++, r0 += pv.stride) {
+        const uint8_t* r1 = r0 + pv.stride;
+        for (int c = 0; c < w; c++)
+          out[r * w + c] =
+              (r0[c] + r0[c + 1] + r1[c] + r1[c + 1] + 2) >> 2;
+      }
+    } else if (fy) {
+      for (int r = 0; r < h; r++, r0 += pv.stride) {
+        const uint8_t* r1 = r0 + pv.stride;
+        for (int c = 0; c < w; c++)
+          out[r * w + c] = (r0[c] + r1[c] + 1) >> 1;
+      }
+    } else {
+      for (int r = 0; r < h; r++, r0 += pv.stride)
+        for (int c = 0; c < w; c++)
+          out[r * w + c] = (r0[c] + r0[c + 1] + 1) >> 1;
+    }
+    return;
+  }
+  // degenerate tiny planes only; guard reads (oracle relies on numpy
+  // slicing semantics there only for non-conformant input, where any
+  // in-picture content is acceptable)
   auto px = [&](int r, int c) -> int {
     r = std::min(r, pv.h - 1); c = std::min(c, pv.w - 1);
     return pv.at(r, c);
@@ -415,10 +483,12 @@ struct Decoder {
   }
 
   // ---- block decode (mirrors _SliceState._block) ----
-  // Returns false on desync (r.err set).
+  // Returns false on desync (r.err set). rowmask accumulates which
+  // coefficient rows may be nonzero (superset), for the sparse IDCT.
   bool block(BitReader& r, SliceState& st, bool intra, int cc,
-             int32_t coeffs[64]) {
+             int32_t coeffs[64], unsigned& rowmask) {
     std::memset(coeffs, 0, 64 * sizeof(int32_t));
+    rowmask = 0;
     const int32_t* w_intra = seq.intra_q;
     const int32_t* w_non = seq.non_intra_q;
     int qs = st.qs;
@@ -438,6 +508,7 @@ struct Decoder {
       }
       st.dc_pred[cc] += diff;
       coeffs[0] = st.dc_pred[cc] * st.dc_mult;
+      rowmask |= 1;
       n = 1;
       first = false;
     } else {
@@ -480,6 +551,7 @@ struct Decoder {
       if (n > 63) { r.err = true; return false; }
       int pos = st.scan[n];
       n += 1;
+      rowmask |= 1u << (pos >> 3);
       if (intra) {
         if (pos != 0)
           coeffs[pos] = trunc_div32(2LL * level * w_intra[pos] * qs);
@@ -490,14 +562,21 @@ struct Decoder {
         coeffs[pos] = trunc_div32((2LL * level + k) * w_non[pos] * qs);
       }
     }
-    // saturation + mismatch control (whole block, incl. DC)
+    // saturation + mismatch control (whole block, incl. DC) — zero rows
+    // clip to zero and add nothing, so only live rows need touching
     int64_t sum = 0;
-    for (int i = 0; i < 64; i++) {
-      if (coeffs[i] < -2048) coeffs[i] = -2048;
-      else if (coeffs[i] > 2047) coeffs[i] = 2047;
-      sum += coeffs[i];
+    for (unsigned m = rowmask; m; m &= m - 1) {
+      int32_t* cr = coeffs + 8 * __builtin_ctz(m);
+      for (int i = 0; i < 8; i++) {
+        if (cr[i] < -2048) cr[i] = -2048;
+        else if (cr[i] > 2047) cr[i] = 2047;
+        sum += cr[i];
+      }
     }
-    if ((sum & 1) == 0) coeffs[63] ^= 1;
+    if ((sum & 1) == 0) {
+      coeffs[63] ^= 1;
+      rowmask |= 0x80;
+    }
     return true;
   }
 
@@ -611,12 +690,12 @@ struct Decoder {
         mvs[s][1] = st.pmv[0][s][1];
       }
     }
-    Pred acc;
+    Pred acc, tmp;
     int npred = 0;
     for (int s = 0; s < 2; s++) {
       if (!(flags & (s == 0 ? MBT_MOTION_F : MBT_MOTION_B))) continue;
       int mvx = mvs[s][0], mvy = mvs[s][1];
-      Pred p;
+      Pred& p = npred == 0 ? acc : tmp;
       if (st.frame_pic) {
         FrameBuf* frame = ref_frame(s);
         if (!frame) continue;
@@ -624,13 +703,9 @@ struct Decoder {
       } else {
         PlaneView pv[3];
         ref_field(s, st.cur_parity, pv);
-        int32_t ty[256], tu[64], tv[64];
-        field_pred(pv, mb_row * 16, mb_x, mvx, mvy, 16, 0, ty, tu, tv);
-        std::memcpy(p.y, ty, sizeof ty);
-        std::memcpy(p.u, tu, sizeof tu);
-        std::memcpy(p.v, tv, sizeof tv);
+        field_pred(pv, mb_row * 16, mb_x, mvx, mvy, 16, 0, p.y, p.u, p.v);
       }
-      if (npred == 0) acc = p; else avg_into(acc, p);
+      if (npred > 0) avg_into(acc, tmp);
       npred++;
     }
     if (npred == 0) return true;
@@ -710,11 +785,8 @@ struct Decoder {
       std::memcpy(st.pmv[1][s], st.pmv[0][s], sizeof st.pmv[1][s]);
       PlaneView pv[3];
       ref_field(s, fs, pv);
-      int32_t ty[256], tu[64], tv[64];
-      field_pred(pv, mb_row * 16, mb_x, m.x, m.y, 16, 0, ty, tu, tv);
-      std::memcpy(out.y, ty, sizeof ty);
-      std::memcpy(out.u, tu, sizeof tu);
-      std::memcpy(out.v, tv, sizeof tv);
+      field_pred(pv, mb_row * 16, mb_x, m.x, m.y, 16, 0, out.y, out.u,
+                 out.v);
       return true;
     }
     if (motion_type == 2) {  // 16x8
@@ -792,7 +864,7 @@ struct Decoder {
     if (flags & MBT_QUANT) st.qs = qscale(r.read(5), r);
     if (r.err) return false;
 
-    Pred acc;
+    Pred acc, tmp;
     int npred = 0;
     if (intra) {
       if (pic.concealment) {
@@ -809,15 +881,15 @@ struct Decoder {
       for (int s = 0; s < 2; s++) {
         bool has = s == 0 ? motion_f : motion_b;
         if (!has) continue;
-        Pred p;
+        Pred& p = npred == 0 ? acc : tmp;
         if (!motion(r, st, s, motion_type, mb_row, mb_x, p)) return false;
-        if (npred == 0) acc = p; else avg_into(acc, p);
+        if (npred > 0) avg_into(acc, tmp);
         npred++;
       }
       if (pic.coding_type == 2 && !motion_f && !intra) {
         // pattern-only P macroblock: zero vector + PMV reset
         std::memset(st.pmv, 0, sizeof st.pmv);
-        Pred p;
+        Pred& p = npred == 0 ? acc : tmp;
         if (st.frame_pic) {
           FrameBuf* frame = ref_frame(0);
           if (!frame) return false;
@@ -825,13 +897,9 @@ struct Decoder {
         } else {
           PlaneView pv[3];
           ref_field(0, st.cur_parity, pv);
-          int32_t ty[256], tu[64], tv[64];
-          field_pred(pv, mb_row * 16, mb_x, 0, 0, 16, 0, ty, tu, tv);
-          std::memcpy(p.y, ty, sizeof ty);
-          std::memcpy(p.u, tu, sizeof tu);
-          std::memcpy(p.v, tv, sizeof tv);
+          field_pred(pv, mb_row * 16, mb_x, 0, 0, 16, 0, p.y, p.u, p.v);
         }
-        if (npred == 0) acc = p; else avg_into(acc, p);
+        if (npred > 0) avg_into(acc, tmp);
         npred++;
       }
     }
@@ -847,16 +915,16 @@ struct Decoder {
       cbp = 0x3F;
     }
 
-    Pred mb;
+    Pred& mb = acc;
     if (intra || npred == 0) mb.zero();
-    else mb = acc;
 
     for (int b = 0; b < 6; b++) {
       if (!((cbp >> (5 - b)) & 1)) continue;
       int cc = b < 4 ? 0 : b - 3;
       int32_t coeffs[64], res[64];
-      if (!block(r, st, intra, cc, coeffs)) return false;
-      idct8x8(coeffs, res);
+      unsigned rowmask;
+      if (!block(r, st, intra, cc, coeffs, rowmask)) return false;
+      idct8x8(coeffs, res, rowmask);
       if (b < 4) {
         if (dct_type) {  // field DCT interleave
           int base_row = b / 2, cs = (b & 1) * 8;
