@@ -45,10 +45,13 @@ class TestTables:
         assert M.is_prefix_free(getattr(M, name), extra)
 
     def test_dct_kraft_exact(self):
-        # both DCT tables leave exactly the 2**-12 start-code-emulation
-        # region unassigned (spec property)
-        for t in (M.B14_DCT, M.B15_DCT):
-            assert M.kraft_sum(t, (M.DCT_ESCAPE,)) == 1.0 - 2.0 ** -12
+        # B.14 leaves exactly the 2**-12 start-code-emulation region
+        # unassigned; B.15 leaves 9 * 2**-12 (both values verified
+        # empirically against FFmpeg by exhaustive code probing — every
+        # pattern outside the codebooks decodes as an error)
+        assert M.kraft_sum(M.B14_DCT, (M.DCT_ESCAPE,)) == 1.0 - 2.0 ** -12
+        assert M.kraft_sum(M.B15_DCT, (M.DCT_ESCAPE,)) == \
+            1.0 - 9.0 * 2.0 ** -12
 
     def test_complete_tables(self):
         for t in (M.B11_DMVECTOR, M.B12_DC_LUMA, M.B13_DC_CHROMA):
