@@ -34,15 +34,58 @@ def auto_decoder_factory(pipeline, video_index: int):
     fmt = pipeline_format(pipeline, video_index)
     if fmt.format in (VideoStreamFormat.MPEG2, VideoStreamFormat.UNKNOWN):
         return mpeg2_decoder_factory(pipeline, video_index)
+    if cv2_available():  # H.264/H.265: OpenCV's bundled FFmpeg
+        return cv2_decoder_factory(pipeline, video_index)
     raise RuntimeError(
         f"no decoder available for {fmt.format.name} video "
-        "(no ffmpeg binary; the in-build decoder handles MPEG2)")
+        "(no ffmpeg binary or cv2; the in-build decoder handles MPEG2)")
 
 
 def mpeg2_decoder_factory(pipeline, video_index: int):
     """Decode the PS intermediate with the in-build MPEG-2 decoder."""
     path = pipeline.settings.int_video_file_path(video_index)
     return decode_mpeg2_ps_file(path)
+
+
+def cv2_available() -> bool:
+    try:
+        import cv2  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def cv2_decoder_factory(pipeline, video_index: int):
+    """Decode the intermediate with OpenCV's bundled FFmpeg (in-process;
+    no external binary). Used for codecs the in-build decoder doesn't
+    cover (H.264/H.265 TS sources)."""
+    path = pipeline.settings.int_video_file_path(video_index)
+    return decode_file_cv2(path)
+
+
+def decode_file_cv2(path: str):
+    """(Y, U, V) frames via cv2.VideoCapture. cv2 only exposes BGR
+    output for coded video, so planes go through one BGR round-trip
+    (lossless luma is NOT guaranteed — ±2 conversion noise)."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise RuntimeError(f"cv2 cannot open {path}")
+    try:
+        while True:
+            ok, bgr = cap.read()
+            if not ok:
+                break
+            h, w = bgr.shape[:2]
+            i420 = cv2.cvtColor(bgr, cv2.COLOR_BGR2YUV_I420)
+            y = i420[:h]
+            u = i420[h:h + h // 4].reshape(h // 2, w // 2)
+            v = i420[h + h // 4:].reshape(h // 2, w // 2)
+            yield y, u, v
+    finally:
+        cap.release()
 
 
 def decode_mpeg2_ps_file(path: str, is_ps: bool = True):

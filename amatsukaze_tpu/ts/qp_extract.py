@@ -237,9 +237,39 @@ def iter_picture_chunks(es: bytes):
         yield es[begin:end]
 
 
+def _pes_payload_start(data: bytes, i: int, end: int) -> int:
+    """Offset of the PES payload for a packet whose header starts at
+    i (the 00 00 01 sid position). Handles both header flavours:
+    MPEG-2 PES ('10' marker in the flags byte) and MPEG-1 PES
+    (stuffing FFs, optional STD, PTS/DTS markers)."""
+    p = i + 6
+    if p >= end:
+        return end
+    if (data[p] >> 6) == 0b10:  # MPEG-2: flags + header_data_length
+        if i + 9 > end:
+            return end
+        return min(i + 9 + data[i + 8], end)
+    # MPEG-1 (ISO 11172-1 2.4.3.3)
+    while p < end and data[p] == 0xFF:  # stuffing
+        p += 1
+    if p < end and (data[p] >> 6) == 0b01:  # STD buffer fields
+        p += 2
+    if p >= end:
+        return end
+    top = data[p] >> 4
+    if top == 0b0010:  # PTS only
+        p += 5
+    elif top == 0b0011:  # PTS + DTS
+        p += 10
+    else:  # '0000 1111' no timestamps
+        p += 1
+    return min(p, end)
+
+
 def extract_ps_video_es(data: bytes, return_consumed: bool = False):
-    """Pull the video elementary stream out of an MPEG2-PS byte stream
-    (the i{n}.mpg intermediate written by io.ps_writer).
+    """Pull the video elementary stream out of an MPEG program/system
+    stream (the i{n}.mpg intermediate written by io.ps_writer, but also
+    MPEG-1 system streams such as FFmpeg's 'mpeg' muxer output).
 
     With return_consumed, returns (es_bytes, consumed_offset): bytes past
     consumed_offset belong to an incomplete trailing packet and must be
@@ -254,12 +284,22 @@ def extract_ps_video_es(data: bytes, return_consumed: bool = False):
             consumed = i
             continue
         code = data[i + 3]
-        if code == 0xBA:  # pack header (MPEG2: 14 bytes + stuffing)
-            if i + 14 > n:
+        if code == 0xBA:  # pack header
+            if i + 5 > n:
                 break
-            stuffing = data[i + 13] & 7
-            i += 14 + stuffing
+            if (data[i + 4] >> 6) == 0b01:  # MPEG-2: 14 bytes + stuffing
+                if i + 14 > n:
+                    break
+                stuffing = data[i + 13] & 7
+                i += 14 + stuffing
+            else:  # MPEG-1 ('0010' marker): fixed 12 bytes
+                if i + 12 > n:
+                    break
+                i += 12
             consumed = min(i, n)
+        elif code == 0xB9:  # program end
+            i += 4
+            consumed = i
         elif code in (0xBB, 0xBC) or 0xBD <= code <= 0xFF:
             if i + 6 > n:
                 break
@@ -268,12 +308,8 @@ def extract_ps_video_es(data: bytes, return_consumed: bool = False):
             if end > n:
                 break  # incomplete trailing packet
             if 0xE0 <= code <= 0xEF:  # video PES
-                # skip the MPEG2 PES header: flags + header length
-                if i + 9 <= n:
-                    hlen = data[i + 8]
-                    payload = i + 9 + hlen
-                    if payload <= end:
-                        out += data[payload:end]
+                payload = _pes_payload_start(data, i, end)
+                out += data[payload:end]
             i = end
             consumed = i
         else:

@@ -110,3 +110,81 @@ class TestAgainstFFmpeg:
             while gop.endswith("B"):
                 gop = gop[:-1] + "P"
             _compare(cfg, gop, tmp_path, seed=trial, tol=4)
+
+
+def _bgr_from_planes(y, u, v):
+    import numpy as np
+    u2 = np.repeat(np.repeat(u, 2, 0), 2, 1).astype(np.float32) - 128
+    v2 = np.repeat(np.repeat(v, 2, 0), 2, 1).astype(np.float32) - 128
+    yf = y.astype(np.float32)
+    return np.clip(np.stack(
+        [yf + 1.772 * u2, yf - 0.344 * u2 - 0.714 * v2,
+         yf + 1.402 * v2], -1), 0, 255).astype(np.uint8)
+
+
+class TestFFmpegEncodedStreams:
+    """The strongest direction: decode streams FFMPEG ENCODED (its own
+    motion search, skipped MBs, rate-control mquant, open GOPs) with
+    the in-build decoder and compare against FFmpeg's own decode."""
+
+    @pytest.fixture
+    def ffmpeg_ps(self, tmp_path):
+        from mpeg2_enc import synth_frames
+
+        W, H = 160, 128
+        frames = synth_frames(W, H, 20, seed=9, motion=(5, 2))
+        p = str(tmp_path / "ff.mpg")
+        wr = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"MPEG"), 30,
+                             (W, H))
+        assert wr.isOpened()
+        for f in frames:
+            wr.write(_bgr_from_planes(f.y, f.u, f.v))
+        wr.release()
+        return p
+
+    def test_inbuild_decode_matches_ffmpeg(self, ffmpeg_ps):
+        from amatsukaze_tpu.pipeline.decoders import decode_mpeg2_ps_file
+
+        cap = cv2.VideoCapture(ffmpeg_ps)
+        cap.set(cv2.CAP_PROP_CONVERT_RGB, 0)
+        ff = []
+        while True:
+            ok, y = cap.read()
+            if not ok:
+                break
+            ff.append(np.asarray(y))
+        cap.release()
+        ours = list(decode_mpeg2_ps_file(ffmpeg_ps))
+        assert len(ours) == len(ff) == 20
+        for i, ((y, u, v), fy) in enumerate(zip(ours, ff)):
+            d = np.abs(y.astype(int) - fy.astype(int)).max()
+            assert d <= 3, f"frame {i}: luma diff {d}"
+
+    def test_oracle_matches_native_on_ffmpeg_stream(self, ffmpeg_ps):
+        from amatsukaze_tpu.ts.qp_extract import iter_picture_chunks_file
+        from amatsukaze_tpu.video import Mpeg2RefDecoder
+        from amatsukaze_tpu.video.native import (NativeMpeg2Decoder,
+                                                 native_available)
+
+        if not native_available():
+            pytest.skip("no native library")
+        ref, nat = Mpeg2RefDecoder(), NativeMpeg2Decoder()
+        ra, na = [], []
+        for ch in iter_picture_chunks_file(ffmpeg_ps):
+            ra.extend(ref.decode_picture(ch))
+            na.extend(nat.decode_picture(ch))
+        ra.extend(ref.flush())
+        na.extend(nat.flush())
+        assert len(ra) == len(na) == 20
+        for a, b in zip(ra, na):
+            for pl in "yuv":
+                assert np.array_equal(getattr(a, pl), getattr(b, pl))
+
+    def test_cv2_decoder_factory_plumbing(self, ffmpeg_ps):
+        from amatsukaze_tpu.pipeline.decoders import decode_file_cv2
+
+        frames = list(decode_file_cv2(ffmpeg_ps))
+        assert len(frames) == 20
+        y, u, v = frames[0]
+        assert y.shape == (128, 160)
+        assert u.shape == v.shape == (64, 80)
