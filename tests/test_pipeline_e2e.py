@@ -596,3 +596,63 @@ class TestRealVideoDecode:
         for i, y in enumerate(got):
             expect = enc.recon[i].y[:H, :W]
             assert np.array_equal(y, expect), f"frame {i} pixels differ"
+
+
+class TestRealVideoKfm:
+    """Full production path on REAL coded video: 3:2 hard-telecined
+    content -> MPEG2 encode (tests/mpeg2_enc) -> TS mux -> in-build
+    decode -> KFM pattern analysis -> VFR plan + timecodes."""
+
+    def test_kfm_vfr_detects_film_from_decoded_stream(self, env):
+        import mpeg2_enc as E
+        from amatsukaze_tpu.pipeline.decoders import default_decoder_factory
+        from amatsukaze_tpu.ts.qp_extract import iter_picture_chunks
+
+        ctx, conf, tmp = env
+        n = 45
+        yy, xx = np.mgrid[0:H, 0:W]
+        film = [np.clip(
+            128 + 80 * np.sin((xx + 8 * i) / 7.0) * np.cos(yy / 9.0),
+            0, 255).astype(np.float32) for i in range((n * 4) // 5 + 4)]
+        uc = np.full((H // 2, W // 2), 128, np.uint8)
+        frames = []
+        i = 0
+        while len(frames) < n:
+            a, b, c, d = film[i:i + 4]
+
+            def wv(top, bot):
+                f = np.empty((H, W), np.float32)
+                f[0::2] = top[0::2]
+                f[1::2] = bot[1::2]
+                return f.astype(np.uint8)
+
+            for f in (wv(a, a), wv(a, b), wv(b, c), wv(c, c), wv(d, d)):
+                if len(frames) < n:
+                    frames.append(E.Plane3(f, uc, uc))
+            i += 4
+
+        enc = E.Mpeg2TestEncoder(
+            E.EncConfig(W, H, qs=2, progressive=False, search=2))
+        es = enc.encode(frames, "I" + "P" * (n - 1))
+        chunks = list(iter_picture_chunks(es))
+        src = tmp / "src.ts"
+        src.write_bytes(ts_gen.build_simple_ts(
+            width=W, height=H, video_es_frames=chunks))
+        conf.src_file_path = str(src)
+        conf.filter_mode = "kfm_vfr"
+        settings = Settings(ctx, conf)
+        pipe = TranscodePipeline(ctx, settings,
+                                 decoder_factory=default_decoder_factory())
+        report = pipe.run()
+        data = open(report["outfiles"][0]["path"], "rb").read()
+        # 44 usable frames (one lost at EOF) = 8 full film cycles
+        # (8*4 out frames) + 4-frame partial tail emitted as 30p
+        n_frames = data.count(b"FRAME\n")
+        assert n_frames == 8 * 4 + 4
+        tc_path = settings.enc_timecode_path(EncodeFileKey())
+        lines = open(tc_path).read().splitlines()
+        assert lines[0] == "# timecode format v2"
+        assert len(lines) - 1 == n_frames
+        # film cadence: 5/120s spacing on the 120/1001 clock
+        t0, t1 = float(lines[1]), float(lines[2])
+        assert abs((t1 - t0) - 5 * 1001 / 120) < 0.01
