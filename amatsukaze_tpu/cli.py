@@ -33,7 +33,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("-i", "--input", required=False, help="input TS path")
     p.add_argument("-o", "--output", default="", help="output path (no extension)")
-    p.add_argument("-s", "--serviceid", default=None,
+    p.add_argument("-s", "--serviceid", "--serivceid", default=None,
                    help="service id to process (decimal or 0xHEX)")
     p.add_argument("-w", "--work", default="./", help="temp dir [./]")
     p.add_argument("-et", "--encoder-type", default="x264",
@@ -96,6 +96,34 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--post-filter", default="",
                    help="post chain tokens: nr,deband,edge")
     p.add_argument("--print-prefix", action="store_true")
+    # ---- reference-compat flags ----
+    p.add_argument("--mpeg2decoder", default="default",
+                   help="MPEG2 decode backend: default|native|ffmpeg|cv2 "
+                        "(QSV/CUVID accepted, mapped to default)")
+    p.add_argument("--h264decoder", default="default",
+                   help="H264 decode backend: default|ffmpeg|cv2 "
+                        "(QSV/CUVID accepted, mapped to default)")
+    p.add_argument("--affinity", default="",
+                   help="accepted for compat; device assignment is "
+                        "handled by the scheduler")
+    p.add_argument("--chapter-exe", default="", dest="chapter_exe",
+                   help="accepted for compat (scene/silence analysis is "
+                        "in-build)")
+    p.add_argument("--chapter-exe-options", default="",
+                   dest="chapter_exe_options")
+    p.add_argument("--jls", default="", dest="jls_path",
+                   help="accepted for compat (JLS rule engine is in-build)")
+    p.add_argument("--nicoass", default="", dest="nicoass",
+                   help="accepted for compat (NicoJK fetchers are "
+                        "pluggable)")
+    p.add_argument("--systemavsplugin", default="",
+                   help="accepted for compat (no AviSynth runtime; the "
+                        "declarative filter graph replaces it)")
+    p.add_argument("--resource-manager", default="",
+                   help="accepted for compat (resource phases are "
+                        "scheduled in-process)")
+    p.add_argument("--args", action="store_true", dest="show_args",
+                   help="print the parsed arguments")
     return p
 
 
@@ -159,6 +187,20 @@ def args_to_config(args) -> Config:
     conf.post_filter = args.post_filter
     conf.print_prefix = args.print_prefix
 
+    def _decoder_choice(v: str) -> str:
+        # QSV/CUVID are CUDA-host hardware paths in the reference
+        # (AmatsukazeCLI.hpp:332-345); map them to the auto default
+        return "default" if v in ("QSV", "CUVID") else v
+
+    conf.mpeg2_decoder = _decoder_choice(args.mpeg2decoder)
+    conf.h264_decoder = _decoder_choice(args.h264decoder)
+    conf.affinity = args.affinity
+    conf.chapter_exe_path = args.chapter_exe
+    conf.chapter_exe_options = args.chapter_exe_options
+    conf.jls_path = args.jls_path
+    if args.nicoass:
+        conf.nico_conv_ass_path = args.nicoass
+
     if args.serviceid is not None:
         s = args.serviceid
         conf.service_id = int(s, 16) if s.lower().startswith("0x") else int(s)
@@ -176,6 +218,9 @@ from .pipeline.transcode import ensure_jax_backend  # noqa: E402
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.show_args:
+        for k, v in sorted(vars(args).items()):
+            print(f"  {k} = {v!r}")
     if not args.input:
         build_parser().print_help()
         return 1

@@ -29,10 +29,21 @@ def default_decoder_factory():
 def auto_decoder_factory(pipeline, video_index: int):
     from ..types import VideoStreamFormat
 
+    fmt = pipeline_format(pipeline, video_index)
+    is_mpeg2 = fmt.format in (VideoStreamFormat.MPEG2,
+                              VideoStreamFormat.UNKNOWN)
+    conf = pipeline.settings.conf
+    choice = conf.mpeg2_decoder if is_mpeg2 else conf.h264_decoder
+    if choice == "native" and is_mpeg2:
+        return mpeg2_decoder_factory(pipeline, video_index)
+    if choice == "ffmpeg":
+        return ffmpeg_decoder_factory(pipeline, video_index)
+    if choice == "cv2":
+        return cv2_decoder_factory(pipeline, video_index)
+    # default: ffmpeg binary > in-build MPEG2 > cv2
     if shutil.which("ffmpeg"):
         return ffmpeg_decoder_factory(pipeline, video_index)
-    fmt = pipeline_format(pipeline, video_index)
-    if fmt.format in (VideoStreamFormat.MPEG2, VideoStreamFormat.UNKNOWN):
+    if is_mpeg2:
         return mpeg2_decoder_factory(pipeline, video_index)
     if cv2_available():  # H.264/H.265: OpenCV's bundled FFmpeg
         return cv2_decoder_factory(pipeline, video_index)

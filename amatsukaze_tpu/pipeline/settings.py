@@ -128,6 +128,17 @@ class Config:
     # post chain tokens: comma-separated from {nr, deband, edge}
     # (the reference's KTemporalNR/KDeband/KEdgeLevel GUI toggles)
     post_filter: str = ""
+    # decoder backend selection (ref --mpeg2decoder/--h264decoder,
+    # DECODER_TYPE in TranscodeSetting.hpp; QSV/CUVID map to "default"
+    # here — hardware decode backends are CUDA-host concepts)
+    mpeg2_decoder: str = "default"  # default | native | ffmpeg | cv2
+    h264_decoder: str = "default"   # default | ffmpeg | cv2
+    # accepted-for-compat external tool paths (in-build engines replace
+    # chapter_exe / join_logo_scp / NicoConvASS; kept so reference
+    # command lines keep working)
+    chapter_exe_path: str = ""
+    jls_path: str = ""
+    affinity: str = ""
     # debug
     dump_stream_info: bool = False
     dump_filter: bool = False  # write filter-graph debug JSON per output

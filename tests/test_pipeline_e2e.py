@@ -656,3 +656,42 @@ class TestRealVideoKfm:
         # film cadence: 5/120s spacing on the 120/1001 clock
         t0, t1 = float(lines[1]), float(lines[2])
         assert abs((t1 - t0) - 5 * 1001 / 120) < 0.01
+
+
+class TestReferenceCliCompat:
+    """Reference-style command lines must parse (drop-in compat,
+    ref AmatsukazeCLI.hpp:171-555 flag set), incl. the '--serivceid'
+    spelling the reference actually uses."""
+
+    def test_reference_flags_accepted(self):
+        from amatsukaze_tpu.cli import args_to_config, build_parser
+
+        args = build_parser().parse_args([
+            "-i", "in.ts", "-o", "out", "--serivceid", "0x400",
+            "--mpeg2decoder", "CUVID", "--h264decoder", "QSV",
+            "--affinity", "0:1",
+            "--chapter-exe", "chapter_exe.exe",
+            "--chapter-exe-options=-m 3",
+            "--jls", "join_logo_scp.exe",
+            "--nicoass", "NicoConvASS.exe",
+            "--systemavsplugin", "plugins",
+            "--resource-manager", "3:4", "--args"])
+        conf = args_to_config(args)
+        assert conf.service_id == 0x400
+        # hardware decoder names map to the auto default backend
+        assert conf.mpeg2_decoder == "default"
+        assert conf.h264_decoder == "default"
+        assert conf.chapter_exe_path == "chapter_exe.exe"
+        assert conf.jls_path == "join_logo_scp.exe"
+        assert conf.chapter_exe_options == "-m 3"
+        assert conf.nico_conv_ass_path == "NicoConvASS.exe"
+
+    def test_decoder_backend_selection(self):
+        from amatsukaze_tpu.cli import args_to_config, build_parser
+
+        args = build_parser().parse_args(
+            ["-i", "x.ts", "--mpeg2decoder", "native",
+             "--h264decoder", "cv2"])
+        conf = args_to_config(args)
+        assert conf.mpeg2_decoder == "native"
+        assert conf.h264_decoder == "cv2"
