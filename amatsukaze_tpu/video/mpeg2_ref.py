@@ -1,4 +1,4 @@
-"""Pure-Python MPEG-2 video decoder (ISO/IEC 13818-2 main profile, 4:2:0).
+"""Pure-Python MPEG-2 video decoder (ISO/IEC 13818-2, 4:2:0 and 4:2:2).
 
 This is the *oracle*: every arithmetic step is defined here in exactly
 reproducible integer terms, and the native C++ engine
@@ -224,10 +224,11 @@ class DecodedFrame:
 class _FrameBuf:
     """Reconstruction target: mb-aligned planes + output metadata."""
 
-    def __init__(self, mbw: int, mbh: int):
+    def __init__(self, mbw: int, mbh: int, chroma_format: int = 1):
+        ch = 8 if chroma_format == 1 else 16  # 4:2:2 keeps full height
         self.y = np.zeros((mbh * 16, mbw * 16), np.uint8)
-        self.u = np.zeros((mbh * 8, mbw * 8), np.uint8)
-        self.v = np.zeros((mbh * 8, mbw * 8), np.uint8)
+        self.u = np.zeros((mbh * ch, mbw * 8), np.uint8)
+        self.v = np.zeros((mbh * ch, mbw * 8), np.uint8)
         self.meta = {}
 
     def field(self, plane: str, parity: int) -> np.ndarray:
@@ -282,8 +283,8 @@ class Mpeg2RefDecoder:
                 self.errors += 1
         if not saw_picture or not self.seq.valid:
             return out
-        if self.seq.chroma_format != 1:
-            raise Mpeg2Error("only 4:2:0 is supported")
+        if self.seq.chroma_format not in (1, 2):
+            raise Mpeg2Error("only 4:2:0 / 4:2:2 are supported")
         ct = self.pic.coding_type
         if not self._in_second_field:
             # Drop lead-in pictures that lack what they predict from; a
@@ -401,7 +402,8 @@ class Mpeg2RefDecoder:
         if frame_pic or not self._in_second_field:
             # A field picture's buffer holds the full FRAME (both fields
             # interleaved), i.e. twice the field-picture MB height.
-            self._cur = _FrameBuf(mbw, mbh if frame_pic else 2 * mbh)
+            self._cur = _FrameBuf(mbw, mbh if frame_pic else 2 * mbh,
+                                  self.seq.chroma_format)
             self._cur.meta = dict(
                 coding_type=p.coding_type,
                 temporal_reference=p.temporal_reference,
@@ -461,10 +463,11 @@ class Mpeg2RefDecoder:
 
 def _emit(buf: _FrameBuf, seq: _Seq) -> DecodedFrame:
     h, w = seq.height, seq.width
+    ch = (h + 1) // 2 if seq.chroma_format == 1 else h
     return DecodedFrame(
         y=buf.y[:h, :w].copy(),
-        u=buf.u[:(h + 1) // 2, :(w + 1) // 2].copy(),
-        v=buf.v[:(h + 1) // 2, :(w + 1) // 2].copy(),
+        u=buf.u[:ch, :(w + 1) // 2].copy(),
+        v=buf.v[:ch, :(w + 1) // 2].copy(),
         **buf.meta,
     )
 
@@ -514,6 +517,10 @@ class _SliceState:
         self.scan = ALTERNATE_SCAN if p.alternate_scan else ZIGZAG_SCAN
         self.dc_mult = 8 >> p.intra_dc_precision
         self.dc_reset = 1 << (p.intra_dc_precision + 7)
+        # chroma geometry: 4:2:0 halves both dims; 4:2:2 keeps height
+        self.cf = dec.seq.chroma_format
+        self.c_rows = 8 if self.cf == 1 else 16   # chroma rows per MB
+        self.block_count = 6 if self.cf == 1 else 8
         # per-slice state
         self.pmv = np.zeros((2, 2, 2), np.int64)
         self.dc_pred = [self.dc_reset] * 3
@@ -649,6 +656,11 @@ class _SliceState:
 
     # ---- prediction -----------------------------------------------------------
 
+    def _zero_mb(self) -> dict:
+        return {"y": np.zeros((16, 16), np.int32),
+                "u": np.zeros((self.c_rows, 8), np.int32),
+                "v": np.zeros((self.c_rows, 8), np.int32)}
+
     def _pred_mb(self, preds) -> dict:
         """Average 1-2 directional predictions into one (y,u,v) dict."""
         if len(preds) == 1:
@@ -679,9 +691,11 @@ class _SliceState:
                     mvx: int, mvy: int) -> dict:
         """Frame-based 16x16 prediction from a reference frame."""
         y = self._fetch(frame.y, mby * 32 + mvy, mbx * 32 + mvx, 16, 16)
-        cx, cy = _div2_trunc(mvx), _div2_trunc(mvy)
-        u = self._fetch(frame.u, mby * 16 + cy, mbx * 16 + cx, 8, 8)
-        v = self._fetch(frame.v, mby * 16 + cy, mbx * 16 + cx, 8, 8)
+        cx = _div2_trunc(mvx)
+        cy = _div2_trunc(mvy) if self.cf == 1 else mvy  # 4:2:2: full v
+        cr = self.c_rows
+        u = self._fetch(frame.u, mby * 2 * cr + cy, mbx * 16 + cx, cr, 8)
+        v = self._fetch(frame.v, mby * 2 * cr + cy, mbx * 16 + cx, cr, 8)
         return {"y": y, "u": u, "v": v}
 
     def _field_pred_views(self, views, fy_mb: int, mbx: int, mvx: int,
@@ -691,11 +705,15 @@ class _SliceState:
         yv, uv, vv = views
         y = self._fetch(yv, (fy_mb + y_off) * 2 + mvy, mbx * 32 + mvx,
                         h, 16)
-        cx, cy = _div2_trunc(mvx), _div2_trunc(mvy)
-        u = self._fetch(uv, (fy_mb + y_off) + cy, mbx * 16 + cx,
-                        h // 2, 8)
-        v = self._fetch(vv, (fy_mb + y_off) + cy, mbx * 16 + cx,
-                        h // 2, 8)
+        cx = _div2_trunc(mvx)
+        if self.cf == 1:
+            cy, ch_rows = _div2_trunc(mvy), h // 2
+            cpos = (fy_mb + y_off) + cy
+        else:  # 4:2:2: chroma fields have luma's vertical resolution
+            cy, ch_rows = mvy, h
+            cpos = (fy_mb + y_off) * 2 + cy
+        u = self._fetch(uv, cpos, mbx * 16 + cx, ch_rows, 8)
+        v = self._fetch(vv, cpos, mbx * 16 + cx, ch_rows, 8)
         return {"y": y, "u": u, "v": v}
 
     # ---- slice ---------------------------------------------------------------
@@ -849,7 +867,7 @@ class _SliceState:
             elif seq.chroma_format == 3:
                 cbp = (cbp << 6) | r.read(6)
         elif intra:
-            cbp = 0x3F
+            cbp = (1 << self.block_count) - 1
 
         # The _motion() calls above closed over (mb_row, mb_x) via these:
         # predictions were built during _motion with stored dest; rebuild
@@ -857,36 +875,34 @@ class _SliceState:
         preds = [pr(mb_row, mb_x) if callable(pr) else pr for pr in preds]
 
         mb = self._pred_mb(preds) if preds else None
-        if intra:
-            mb = {"y": np.zeros((16, 16), np.int32),
-                  "u": np.zeros((8, 8), np.int32),
-                  "v": np.zeros((8, 8), np.int32)}
-        elif mb is None:
-            mb = {"y": np.zeros((16, 16), np.int32),
-                  "u": np.zeros((8, 8), np.int32),
-                  "v": np.zeros((8, 8), np.int32)}
+        if intra or mb is None:
+            mb = self._zero_mb()
 
         # blocks
-        for b in range(6):
-            if not ((cbp >> (5 - b)) & 1):
+        nblocks = self.block_count
+        for b in range(nblocks):
+            if not ((cbp >> (nblocks - 1 - b)) & 1):
                 continue
-            cc = 0 if b < 4 else b - 3
+            cc = 0 if b < 4 else 1 + (b & 1)
             coeffs = self._block(r, intra, cc)
             res = idct8x8(coeffs.reshape(8, 8)).astype(np.int32)
             if b < 4:
                 if dct_type:  # field DCT interleave
                     rows = slice(b // 2, 16, 2)
-                    cols = slice((b & 1) * 8, (b & 1) * 8 + 8)
-                    tgt = mb["y"][rows, cols]
-                    mb["y"][rows, cols] = tgt + res if not intra else res
                 else:
                     rows = slice((b // 2) * 8, (b // 2) * 8 + 8)
-                    cols = slice((b & 1) * 8, (b & 1) * 8 + 8)
-                    tgt = mb["y"][rows, cols]
-                    mb["y"][rows, cols] = tgt + res if not intra else res
+                cols = slice((b & 1) * 8, (b & 1) * 8 + 8)
+                tgt = mb["y"][rows, cols]
+                mb["y"][rows, cols] = tgt + res if not intra else res
             else:
-                k = "u" if b == 4 else "v"
-                mb[k] = mb[k] + res if not intra else res
+                key = "u" if (b & 1) == 0 else "v"
+                k2 = (b - 4) // 2   # 4:2:2: second chroma block pair
+                if dct_type and self.cf == 2:
+                    rows = slice(k2, 16, 2)   # field-organised chroma
+                else:
+                    rows = slice(k2 * 8, k2 * 8 + 8)
+                tgt = mb[key][rows]
+                mb[key][rows] = tgt + res if not intra else res
 
         if not intra and not pattern:
             self.reset_dc()
@@ -932,9 +948,7 @@ class _SliceState:
                         blk = self._field_pred_views(
                             views, mb_row * 8, mb_x, mvx, mvy, 8)
                         if out is None:
-                            out = {"y": np.zeros((16, 16), np.int32),
-                                   "u": np.zeros((8, 8), np.int32),
-                                   "v": np.zeros((8, 8), np.int32)}
+                            out = self._zero_mb()
                         out["y"][dest_par::2] = blk["y"]
                         out["u"][dest_par::2] = blk["u"]
                         out["v"][dest_par::2] = blk["v"]
@@ -946,9 +960,7 @@ class _SliceState:
 
                 def pred(mb_row, mb_x, mvx=mvx, mvy=mvy, dmx=dmx, dmy=dmy):
                     frame = dec._ref_frame(s)
-                    out = {"y": np.zeros((16, 16), np.int32),
-                           "u": np.zeros((8, 8), np.int32),
-                           "v": np.zeros((8, 8), np.int32)}
+                    out = self._zero_mb()
                     tff = p.top_field_first
                     for dest_par in (0, 1):
                         same = (frame.field("y", dest_par),
@@ -996,17 +1008,16 @@ class _SliceState:
                 parts.append((fs, mvx, mvy))
 
             def pred(mb_row, mb_x, parts=parts):
-                out = {"y": np.zeros((16, 16), np.int32),
-                       "u": np.zeros((8, 8), np.int32),
-                       "v": np.zeros((8, 8), np.int32)}
+                out = self._zero_mb()
+                hc = self.c_rows // 2
                 for half, (fs, mvx, mvy) in enumerate(parts):
                     views = dec._ref_field(s, fs, cur_par)
                     blk = self._field_pred_views(
                         views, mb_row * 16, mb_x, mvx, mvy, 8,
                         y_off=half * 8)
                     out["y"][half * 8:half * 8 + 8] = blk["y"]
-                    out["u"][half * 4:half * 4 + 4] = blk["u"]
-                    out["v"][half * 4:half * 4 + 4] = blk["v"]
+                    out["u"][half * hc:half * hc + hc] = blk["u"]
+                    out["v"][half * hc:half * hc + hc] = blk["v"]
                 return out
             return pred
         if motion_type == 3:  # dual prime (field picture)
@@ -1042,9 +1053,10 @@ class _SliceState:
             ty = dec._cur.field("y", self.cur_parity)
             tu = dec._cur.field("u", self.cur_parity)
             tv = dec._cur.field("v", self.cur_parity)
+        cr = self.c_rows
         ty[mb_row * 16:mb_row * 16 + 16, mb_x * 16:mb_x * 16 + 16] = y
-        tu[mb_row * 8:mb_row * 8 + 8, mb_x * 8:mb_x * 8 + 8] = u
-        tv[mb_row * 8:mb_row * 8 + 8, mb_x * 8:mb_x * 8 + 8] = v
+        tu[mb_row * cr:mb_row * cr + cr, mb_x * 8:mb_x * 8 + 8] = u
+        tv[mb_row * cr:mb_row * cr + cr, mb_x * 8:mb_x * 8 + 8] = v
 
 
 # ---------------------------------------------------------------------------

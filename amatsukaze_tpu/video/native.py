@@ -72,10 +72,10 @@ class NativeMpeg2Decoder:
 
     def _drain(self) -> list[DecodedFrame]:
         out = []
-        info = (ctypes.c_int * 8)()
+        info = (ctypes.c_int * 10)()
         while self._lib.M2V_NextInfo(self._h, info):
             w, h = info[0], info[1]
-            cw, ch = (w + 1) // 2, (h + 1) // 2
+            ch, cw = info[8], info[9]  # 4:2:2 keeps full chroma height
             y = np.empty((h, w), np.uint8)
             u = np.empty((ch, cw), np.uint8)
             v = np.empty((ch, cw), np.uint8)

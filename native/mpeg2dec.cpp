@@ -1,4 +1,4 @@
-// Full MPEG-2 video decoder (ISO/IEC 13818-2 MP, 4:2:0) — the native
+// Full MPEG-2 video decoder (ISO/IEC 13818-2, 4:2:0 / 4:2:2) — the native
 // twin of the Python oracle amatsukaze_tpu/video/mpeg2_ref.py.
 //
 // Every arithmetic step mirrors the oracle exactly (shared generated
@@ -225,21 +225,23 @@ struct Pic {
 
 struct FrameBuf {
   int mbw = 0, mbh = 0;  // frame-sized, in 16x16 units
+  int crows = 8;         // chroma rows per MB (8 = 4:2:0, 16 = 4:2:2)
   std::vector<uint8_t> y, u, v;
   // output metadata (captured from the frame / first-field picture)
   int coding_type = 0, temporal_reference = 0;
   bool progressive_frame = false, top_field_first = false,
        repeat_first_field = false;
 
-  FrameBuf(int w, int h) : mbw(w), mbh(h) {
+  FrameBuf(int w, int h, int chroma_format) : mbw(w), mbh(h) {
+    crows = chroma_format == 1 ? 8 : 16;
     y.assign((size_t)mbh * 16 * mbw * 16, 0);
-    u.assign((size_t)mbh * 8 * mbw * 8, 0);
-    v.assign((size_t)mbh * 8 * mbw * 8, 0);
+    u.assign((size_t)mbh * crows * mbw * 8, 0);
+    v.assign((size_t)mbh * crows * mbw * 8, 0);
   }
   int yw() const { return mbw * 16; }
   int yh() const { return mbh * 16; }
   int cw() const { return mbw * 8; }
-  int ch() const { return mbh * 8; }
+  int ch() const { return mbh * crows; }
 };
 
 // A "view" of one plane, optionally a single field (stride doubling).
@@ -319,10 +321,10 @@ static void fetch(const PlaneView& pv, int sy, int sx, int h, int w,
     }
 }
 
-struct Pred {  // one macroblock prediction (4:2:0)
+struct Pred {  // one macroblock prediction (chroma sized for 4:2:2)
   int32_t y[256];
-  int32_t u[64];
-  int32_t v[64];
+  int32_t u[128];
+  int32_t v[128];
   void zero() {
     std::memset(y, 0, sizeof y);
     std::memset(u, 0, sizeof u);
@@ -330,10 +332,10 @@ struct Pred {  // one macroblock prediction (4:2:0)
   }
 };
 
-static void avg_into(Pred& a, const Pred& b) {
+static void avg_into(Pred& a, const Pred& b, int clen) {
   for (int i = 0; i < 256; i++) a.y[i] = (a.y[i] + b.y[i] + 1) >> 1;
-  for (int i = 0; i < 64; i++) a.u[i] = (a.u[i] + b.u[i] + 1) >> 1;
-  for (int i = 0; i < 64; i++) a.v[i] = (a.v[i] + b.v[i] + 1) >> 1;
+  for (int i = 0; i < clen; i++) a.u[i] = (a.u[i] + b.u[i] + 1) >> 1;
+  for (int i = 0; i < clen; i++) a.v[i] = (a.v[i] + b.v[i] + 1) >> 1;
 }
 
 // ---------------------------------------------------------------------------
@@ -370,6 +372,10 @@ struct Decoder {
     int dc_pred[3] = {};
     int qs = 2;
     int prev_flags = 0;
+    int cf = 1;          // chroma format (1 = 4:2:0, 2 = 4:2:2)
+    int c_rows = 8;      // chroma rows per MB
+    int c_len = 64;      // chroma samples per MB plane
+    int nblocks = 6;
   };
 
   int qscale(uint32_t code, BitReader& r) {
@@ -616,9 +622,12 @@ struct Decoder {
     PlaneView pv[3];
     frame_views(frame, pv);
     fetch(pv[0], mby * 32 + mvy, mbx * 32 + mvx, 16, 16, p.y);
-    int cx = div2_trunc(mvx), cy = div2_trunc(mvy);
-    fetch(pv[1], mby * 16 + cy, mbx * 16 + cx, 8, 8, p.u);
-    fetch(pv[2], mby * 16 + cy, mbx * 16 + cx, 8, 8, p.v);
+    int cf = seq.chroma_format;
+    int cr = cf == 1 ? 8 : 16;
+    int cx = div2_trunc(mvx);
+    int cy = cf == 1 ? div2_trunc(mvy) : mvy;  // 4:2:2: full vertical
+    fetch(pv[1], mby * 2 * cr + cy, mbx * 16 + cx, cr, 8, p.u);
+    fetch(pv[2], mby * 2 * cr + cy, mbx * 16 + cx, cr, 8, p.v);
   }
 
   // field prediction of h luma rows into tmp buffers (mirrors
@@ -627,18 +636,25 @@ struct Decoder {
                   int mvy, int h, int y_off, int32_t* ty, int32_t* tu,
                   int32_t* tv) {
     fetch(pv[0], (fy_mb + y_off) * 2 + mvy, mbx * 32 + mvx, h, 16, ty);
-    int cx = div2_trunc(mvx), cy = div2_trunc(mvy);
-    fetch(pv[1], (fy_mb + y_off) + cy, mbx * 16 + cx, h / 2, 8, tu);
-    fetch(pv[2], (fy_mb + y_off) + cy, mbx * 16 + cx, h / 2, 8, tv);
+    int cx = div2_trunc(mvx);
+    if (seq.chroma_format == 1) {
+      int cy = div2_trunc(mvy);
+      fetch(pv[1], (fy_mb + y_off) + cy, mbx * 16 + cx, h / 2, 8, tu);
+      fetch(pv[2], (fy_mb + y_off) + cy, mbx * 16 + cx, h / 2, 8, tv);
+    } else {  // 4:2:2: chroma fields have luma's vertical resolution
+      fetch(pv[1], (fy_mb + y_off) * 2 + mvy, mbx * 16 + cx, h, 8, tu);
+      fetch(pv[2], (fy_mb + y_off) * 2 + mvy, mbx * 16 + cx, h, 8, tv);
+    }
   }
 
   // Place an h-row field prediction into a Pred at interleave step/offset.
   static void place_field(Pred& p, int dest_par, int step, const int32_t* ty,
-                          const int32_t* tu, const int32_t* tv, int h) {
+                          const int32_t* tu, const int32_t* tv, int h,
+                          int hc) {
     for (int r = 0; r < h; r++)
       std::memcpy(p.y + (dest_par + r * step) * 16, ty + r * 16,
                   16 * sizeof(int32_t));
-    for (int r = 0; r < h / 2; r++) {
+    for (int r = 0; r < hc; r++) {
       std::memcpy(p.u + (dest_par + r * step) * 8, tu + r * 8,
                   8 * sizeof(int32_t));
       std::memcpy(p.v + (dest_par + r * step) * 8, tv + r * 8,
@@ -663,9 +679,10 @@ struct Decoder {
       uint8_t* dst = ty.row(mb_row * 16 + r) + mb_x * 16;
       for (int c = 0; c < 16; c++) dst[c] = clip255(mb.y[r * 16 + c]);
     }
-    for (int r = 0; r < 8; r++) {
-      uint8_t* du = tu.row(mb_row * 8 + r) + mb_x * 8;
-      uint8_t* dv = tv.row(mb_row * 8 + r) + mb_x * 8;
+    int cr = st.c_rows;
+    for (int r = 0; r < cr; r++) {
+      uint8_t* du = tu.row(mb_row * cr + r) + mb_x * 8;
+      uint8_t* dv = tv.row(mb_row * cr + r) + mb_x * 8;
       for (int c = 0; c < 8; c++) {
         du[c] = clip255(mb.u[r * 8 + c]);
         dv[c] = clip255(mb.v[r * 8 + c]);
@@ -705,7 +722,7 @@ struct Decoder {
         ref_field(s, st.cur_parity, pv);
         field_pred(pv, mb_row * 16, mb_x, mvx, mvy, 16, 0, p.y, p.u, p.v);
       }
-      if (npred > 0) avg_into(acc, tmp);
+      if (npred > 0) avg_into(acc, tmp, st.c_len);
       npred++;
     }
     if (npred == 0) return true;
@@ -738,9 +755,9 @@ struct Decoder {
           if (!frame) return false;
           PlaneView pv[3];
           field_views(frame, fs, pv);
-          int32_t ty[128], tu[32], tv[32];
+          int32_t ty[128], tu[64], tv[64];
           field_pred(pv, mb_row * 8, mb_x, m.x, m.y, 8, 0, ty, tu, tv);
-          place_field(out, rr, 2, ty, tu, tv, 8);
+          place_field(out, rr, 2, ty, tu, tv, 8, st.c_rows / 2);
         }
         return true;
       }
@@ -756,7 +773,7 @@ struct Decoder {
           PlaneView same[3], opp[3];
           field_views(frame, dest_par, same);
           field_views(frame, 1 - dest_par, opp);
-          int32_t ay[128], au[32], av[32], by[128], bu[32], bv[32];
+          int32_t ay[128], au[64], av[64], by[128], bu[64], bv[64];
           field_pred(same, mb_row * 8, mb_x, m.x, m.y, 8, 0, ay, au, av);
           int mfac, corr;
           if (dest_par == 0) { mfac = tff ? 1 : 3; corr = -1; }
@@ -764,12 +781,13 @@ struct Decoder {
           int ox = dp_half(m.x * mfac) + m.dmx;
           int oy = dp_half(m.y * mfac) + m.dmy + corr;
           field_pred(opp, mb_row * 8, mb_x, ox, oy, 8, 0, by, bu, bv);
+          int hc = st.c_rows / 2;
           for (int i = 0; i < 128; i++) ay[i] = (ay[i] + by[i] + 1) >> 1;
-          for (int i = 0; i < 32; i++) {
+          for (int i = 0; i < hc * 8; i++) {
             au[i] = (au[i] + bu[i] + 1) >> 1;
             av[i] = (av[i] + bv[i] + 1) >> 1;
           }
-          place_field(out, dest_par, 2, ay, au, av, 8);
+          place_field(out, dest_par, 2, ay, au, av, 8, hc);
         }
         return true;
       }
@@ -797,16 +815,17 @@ struct Decoder {
         if (r.err) return false;
         PlaneView pv[3];
         ref_field(s, fs, pv);
-        int32_t ty[128], tu[32], tv[32];
+        int32_t ty[128], tu[64], tv[64];
         field_pred(pv, mb_row * 16, mb_x, m.x, m.y, 8, half * 8, ty, tu,
                    tv);
+        int hc = st.c_rows / 2;
         for (int rr = 0; rr < 8; rr++)
           std::memcpy(out.y + (half * 8 + rr) * 16, ty + rr * 16,
                       16 * sizeof(int32_t));
-        for (int rr = 0; rr < 4; rr++) {
-          std::memcpy(out.u + (half * 4 + rr) * 8, tu + rr * 8,
+        for (int rr = 0; rr < hc; rr++) {
+          std::memcpy(out.u + (half * hc + rr) * 8, tu + rr * 8,
                       8 * sizeof(int32_t));
-          std::memcpy(out.v + (half * 4 + rr) * 8, tv + rr * 8,
+          std::memcpy(out.v + (half * hc + rr) * 8, tv + rr * 8,
                       8 * sizeof(int32_t));
         }
       }
@@ -819,13 +838,13 @@ struct Decoder {
       PlaneView same[3], opp[3];
       ref_field(s, cur_par, same);
       ref_field(s, 1 - cur_par, opp);
-      int32_t ay[256], au[64], av[64], by[256], bu[64], bv[64];
+      int32_t ay[256], au[128], av[128], by[256], bu[128], bv[128];
       field_pred(same, mb_row * 16, mb_x, m.x, m.y, 16, 0, ay, au, av);
       int ox = dp_half(m.x) + m.dmx;
       int oy = dp_half(m.y) + m.dmy + (cur_par == 1 ? 1 : -1);
       field_pred(opp, mb_row * 16, mb_x, ox, oy, 16, 0, by, bu, bv);
       for (int i = 0; i < 256; i++) out.y[i] = (ay[i] + by[i] + 1) >> 1;
-      for (int i = 0; i < 64; i++) {
+      for (int i = 0; i < st.c_len; i++) {
         out.u[i] = (au[i] + bu[i] + 1) >> 1;
         out.v[i] = (av[i] + bv[i] + 1) >> 1;
       }
@@ -883,7 +902,7 @@ struct Decoder {
         if (!has) continue;
         Pred& p = npred == 0 ? acc : tmp;
         if (!motion(r, st, s, motion_type, mb_row, mb_x, p)) return false;
-        if (npred > 0) avg_into(acc, tmp);
+        if (npred > 0) avg_into(acc, tmp, st.c_len);
         npred++;
       }
       if (pic.coding_type == 2 && !motion_f && !intra) {
@@ -899,7 +918,7 @@ struct Decoder {
           ref_field(0, st.cur_parity, pv);
           field_pred(pv, mb_row * 16, mb_x, 0, 0, 16, 0, p.y, p.u, p.v);
         }
-        if (npred > 0) avg_into(acc, tmp);
+        if (npred > 0) avg_into(acc, tmp, st.c_len);
         npred++;
       }
     }
@@ -912,15 +931,15 @@ struct Decoder {
       if (seq.chroma_format == 2) cbp = (cbp << 2) | r.read(2);
       else if (seq.chroma_format == 3) cbp = (cbp << 6) | r.read(6);
     } else if (intra) {
-      cbp = 0x3F;
+      cbp = (1 << st.nblocks) - 1;
     }
 
     Pred& mb = acc;
     if (intra || npred == 0) mb.zero();
 
-    for (int b = 0; b < 6; b++) {
-      if (!((cbp >> (5 - b)) & 1)) continue;
-      int cc = b < 4 ? 0 : b - 3;
+    for (int b = 0; b < st.nblocks; b++) {
+      if (!((cbp >> (st.nblocks - 1 - b)) & 1)) continue;
+      int cc = b < 4 ? 0 : 1 + (b & 1);
       int32_t coeffs[64], res[64];
       unsigned rowmask;
       if (!block(r, st, intra, cc, coeffs, rowmask)) return false;
@@ -944,9 +963,20 @@ struct Decoder {
           }
         }
       } else {
-        int32_t* dst = b == 4 ? mb.u : mb.v;
-        if (intra) std::memcpy(dst, res, sizeof res);
-        else for (int i = 0; i < 64; i++) dst[i] += res[i];
+        int32_t* base = (b & 1) == 0 ? mb.u : mb.v;
+        int k2 = (b - 4) / 2;
+        if (dct_type && st.cf == 2) {  // 4:2:2 chroma is field-organised
+          for (int rr = 0; rr < 8; rr++) {
+            int32_t* dst = base + (k2 + rr * 2) * 8;
+            const int32_t* sr = res + rr * 8;
+            if (intra) for (int c = 0; c < 8; c++) dst[c] = sr[c];
+            else for (int c = 0; c < 8; c++) dst[c] += sr[c];
+          }
+        } else {
+          int32_t* dst = base + k2 * 64;
+          if (intra) std::memcpy(dst, res, 64 * sizeof(int32_t));
+          else for (int i = 0; i < 64; i++) dst[i] += res[i];
+        }
       }
     }
 
@@ -1017,7 +1047,8 @@ struct Decoder {
   void emit(std::shared_ptr<FrameBuf> buf) {
     auto f = std::make_unique<OutFrame>();
     int h = seq.height, w = seq.width;
-    int ch = (h + 1) / 2, cw = (w + 1) / 2;
+    int ch = seq.chroma_format == 1 ? (h + 1) / 2 : h;
+    int cw = (w + 1) / 2;
     f->width = w;
     f->height = h;
     f->y.resize((size_t)h * w);
@@ -1049,7 +1080,8 @@ struct Decoder {
     mb_dims(mbw, mbh);
 
     if (frame_pic || !in_second_field) {
-      cur = std::make_shared<FrameBuf>(mbw, frame_pic ? mbh : 2 * mbh);
+      cur = std::make_shared<FrameBuf>(mbw, frame_pic ? mbh : 2 * mbh,
+                                       seq.chroma_format);
       cur->coding_type = pic.coding_type;
       cur->temporal_reference = pic.temporal_reference;
       cur->progressive_frame = pic.progressive_frame;
@@ -1065,6 +1097,10 @@ struct Decoder {
     st.frame_pic = frame_pic;
     st.cur_parity = frame_pic ? -1 : (pic.structure == 1 ? 0 : 1);
     st.scan = pic.alternate_scan ? SCAN_ALTERNATE : SCAN_ZIGZAG;
+    st.cf = seq.chroma_format;
+    st.c_rows = st.cf == 1 ? 8 : 16;
+    st.c_len = st.c_rows * 8;
+    st.nblocks = st.cf == 1 ? 6 : 8;
     st.dc_mult = 8 >> pic.intra_dc_precision;
     st.dc_reset = 1 << (pic.intra_dc_precision + 7);
     st.qs = 2;
@@ -1123,7 +1159,10 @@ struct Decoder {
       i = unit_end;
     }
     if (!saw_picture || !seq.valid) return;
-    if (seq.chroma_format != 1) { errors++; return; }  // 4:2:0 only
+    if (seq.chroma_format != 1 && seq.chroma_format != 2) {
+      errors++;
+      return;  // 4:2:0 / 4:2:2 only
+    }
     int ct = pic.coding_type;
     if (ct < 1 || ct > 3) { errors++; return; }
     if (!in_second_field) {
@@ -1183,9 +1222,10 @@ int M2V_Flush(void* hp) {
   return (int)d.outq.size();
 }
 
-// info[8] = {width, height, coding_type, temporal_reference,
-//            progressive_frame, top_field_first, repeat_first_field,
-//            errors_so_far}; returns 1 when a frame is queued, else 0.
+// info[10] = {width, height, coding_type, temporal_reference,
+//             progressive_frame, top_field_first, repeat_first_field,
+//             errors_so_far, chroma_width, chroma_height};
+// returns 1 when a frame is queued, else 0.
 int M2V_NextInfo(void* hp, int* info) {
   auto& d = static_cast<m2dec::Handle*>(hp)->dec;
   if (d.outq.empty()) return 0;
@@ -1198,6 +1238,8 @@ int M2V_NextInfo(void* hp, int* info) {
   info[5] = f.top_field_first;
   info[6] = f.repeat_first_field;
   info[7] = (int)d.errors;
+  info[8] = f.u.empty() ? 0 : (int)(f.u.size() / ((f.width + 1) / 2));
+  info[9] = (f.width + 1) / 2;
   return 1;
 }
 

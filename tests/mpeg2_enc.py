@@ -152,23 +152,30 @@ class Plane3:
                       self.v[parity::2])
 
 
-def predict_frame(ref: Plane3, mby: int, mbx: int, mv: tuple) -> Plane3:
+def predict_frame(ref: Plane3, mby: int, mbx: int, mv: tuple,
+                  cf: int = 1) -> Plane3:
     mvx, mvy = mv
     y = sample_block(ref.y, mby * 32 + mvy, mbx * 32 + mvx, 16, 16)
-    cx, cy = _chroma_mv(mvx), _chroma_mv(mvy)
-    u = sample_block(ref.u, mby * 16 + cy, mbx * 16 + cx, 8, 8)
-    v = sample_block(ref.v, mby * 16 + cy, mbx * 16 + cx, 8, 8)
+    cx = _chroma_mv(mvx)
+    cy = _chroma_mv(mvy) if cf == 1 else mvy  # 4:2:2: full vertical
+    cr = 8 if cf == 1 else 16
+    u = sample_block(ref.u, mby * 2 * cr + cy, mbx * 16 + cx, cr, 8)
+    v = sample_block(ref.v, mby * 2 * cr + cy, mbx * 16 + cx, cr, 8)
     return Plane3(y, u, v)
 
 
 def predict_field(ref_fld: Plane3, dst_row: int, mbx: int, mv: tuple,
-                  h: int) -> Plane3:
+                  h: int, cf: int = 1) -> Plane3:
     """h luma rows from one field, destination field row dst_row."""
     mvx, mvy = mv
     y = sample_block(ref_fld.y, dst_row * 2 + mvy, mbx * 32 + mvx, h, 16)
-    cx, cy = _chroma_mv(mvx), _chroma_mv(mvy)
-    u = sample_block(ref_fld.u, dst_row + cy, mbx * 16 + cx, h // 2, 8)
-    v = sample_block(ref_fld.v, dst_row + cy, mbx * 16 + cx, h // 2, 8)
+    cx = _chroma_mv(mvx)
+    if cf == 1:
+        cy, ch, cpos = _chroma_mv(mvy), h // 2, dst_row + _chroma_mv(mvy)
+    else:
+        cy, ch, cpos = mvy, h, dst_row * 2 + mvy
+    u = sample_block(ref_fld.u, cpos, mbx * 16 + cx, ch, 8)
+    v = sample_block(ref_fld.v, cpos, mbx * 16 + cx, ch, 8)
     return Plane3(y, u, v)
 
 
@@ -256,6 +263,7 @@ class EncConfig:
     progressive: bool = True
     intra_q: tuple = DEFAULT_INTRA_MATRIX
     non_intra_q: tuple = DEFAULT_NON_INTRA_MATRIX
+    chroma_format: int = 1  # 1 = 4:2:0, 2 = 4:2:2
     custom_matrices: bool = False     # emit matrices in sequence header
     # motion search window (integer pel); small keeps tests fast
     search: int = 3
@@ -273,6 +281,8 @@ class Mpeg2TestEncoder:
         self.cfg = cfg
         self.mbw = (cfg.width + 15) // 16
         self.mbh = (cfg.height + 15) // 16
+        self.c_rows = 8 if cfg.chroma_format == 1 else 16
+        self.n_blocks = 6 if cfg.chroma_format == 1 else 8
         self.w_intra = np.array(cfg.intra_q, np.int64)
         self.w_non = np.array(cfg.non_intra_q, np.int64)
         self.dc_mult = 8 >> cfg.intra_dc_precision
@@ -336,9 +346,10 @@ class Mpeg2TestEncoder:
         H, W = self.mbh * 16, self.mbw * 16
         y = np.pad(frame.y, ((0, H - frame.y.shape[0]),
                              (0, W - frame.y.shape[1])), mode="edge")
-        u = np.pad(frame.u, ((0, H // 2 - frame.u.shape[0]),
+        CH = H // 2 if self.cfg.chroma_format == 1 else H
+        u = np.pad(frame.u, ((0, CH - frame.u.shape[0]),
                              (0, W // 2 - frame.u.shape[1])), mode="edge")
-        v = np.pad(frame.v, ((0, H // 2 - frame.v.shape[0]),
+        v = np.pad(frame.v, ((0, CH - frame.v.shape[0]),
                              (0, W // 2 - frame.v.shape[1])), mode="edge")
         return Plane3(y, u, v)
 
@@ -412,7 +423,7 @@ class Mpeg2TestEncoder:
         w.write(1, 4)
         w.write(0x48, 8)
         w.write(1 if cfg.progressive else 0, 1)
-        w.write(1, 2)  # 4:2:0
+        w.write(cfg.chroma_format, 2)
         w.write((cfg.width >> 12) & 3, 2)
         w.write((cfg.height >> 12) & 3, 2)
         w.write(0, 12)
@@ -481,6 +492,9 @@ class Mpeg2TestEncoder:
         rec = Plane3(np.zeros_like(pad.y), np.zeros_like(pad.u),
                      np.zeros_like(pad.v))
         motion_mode = opts.get("motion", "frame")
+        if cfg.chroma_format != 1:
+            assert motion_mode == "frame", \
+                "4:2:2 tests use frame motion only"
         qs = cfg.qs
         for row in range(self.mbh):
             G.begin_slice(w, row, qs, cfg.q_scale_type)
@@ -507,11 +521,12 @@ class Mpeg2TestEncoder:
         if not cfg.frame_pred_frame_dct:
             w.write(1 if dct_field else 0, 1)  # dct_type
         y0, x0 = row * 16, col * 16
+        cr = self.c_rows
         src_y = pad.y[y0:y0 + 16, x0:x0 + 16].astype(np.int32)
-        src_u = pad.u[row * 8:row * 8 + 8, col * 8:col * 8 + 8].astype(
-            np.int32)
-        src_v = pad.v[row * 8:row * 8 + 8, col * 8:col * 8 + 8].astype(
-            np.int32)
+        src_u = pad.u[row * cr:row * cr + cr,
+                      col * 8:col * 8 + 8].astype(np.int32)
+        src_v = pad.v[row * cr:row * cr + cr,
+                      col * 8:col * 8 + 8].astype(np.int32)
         out_y = np.zeros((16, 16), np.int32)
         for b in range(4):
             cs = (b & 1) * 8
@@ -521,13 +536,25 @@ class Mpeg2TestEncoder:
                 sl = (slice((b // 2) * 8, (b // 2) * 8 + 8),
                       slice(cs, cs + 8))
             out_y[sl] = self._code_intra_block(w, src_y[sl], 0, dc_pred, qs)
-        out_u = self._code_intra_block(w, src_u, 1, dc_pred, qs)
-        out_v = self._code_intra_block(w, src_v, 2, dc_pred, qs)
+        out_u = np.zeros((cr, 8), np.int32)
+        out_v = np.zeros((cr, 8), np.int32)
+        # chroma block order: Cb, Cr (then Cb1, Cr1 in 4:2:2)
+        for b in range(4, self.n_blocks):
+            comp, k2 = (1, (b - 4) // 2) if (b & 1) == 0 else \
+                (2, (b - 4) // 2)
+            src_c = src_u if comp == 1 else src_v
+            dst = out_u if comp == 1 else out_v
+            if dct_field and cr == 16:  # 4:2:2 chroma is field-organised
+                sl = slice(k2, 16, 2)
+            else:
+                sl = slice(k2 * 8, k2 * 8 + 8)
+            dst[sl] = self._code_intra_block(w, src_c[sl], comp, dc_pred,
+                                             qs)
         rec.y[y0:y0 + 16, x0:x0 + 16] = np.clip(out_y, 0, 255)
-        rec.u[row * 8:row * 8 + 8, col * 8:col * 8 + 8] = np.clip(out_u, 0,
-                                                                  255)
-        rec.v[row * 8:row * 8 + 8, col * 8:col * 8 + 8] = np.clip(out_v, 0,
-                                                                  255)
+        rec.u[row * cr:row * cr + cr, col * 8:col * 8 + 8] = \
+            np.clip(out_u, 0, 255)
+        rec.v[row * cr:row * cr + cr, col * 8:col * 8 + 8] = \
+            np.clip(out_v, 0, 255)
 
     # -- motion search helpers ----------------------------------------------
 
@@ -635,29 +662,34 @@ class Mpeg2TestEncoder:
                     pass
             if not done:
                 mv = self._search_frame(ref, pad, row, col)
-                preds.append(predict_frame(ref, row, col, mv))
+                preds.append(predict_frame(ref, row, col, mv,
+                                           cf=cfg.chroma_format))
                 mvs[s] = ("frame", mv)
 
         pred = preds[0] if len(preds) == 1 else avg(*preds)
 
         # residual
+        cr = self.c_rows
+        nb = self.n_blocks
         res_y = pad.y[y0:y0 + 16, x0:x0 + 16].astype(np.int32) - pred.y
-        res_u = pad.u[row * 8:row * 8 + 8,
+        res_u = pad.u[row * cr:row * cr + cr,
                       col * 8:col * 8 + 8].astype(np.int32) - pred.u
-        res_v = pad.v[row * 8:row * 8 + 8,
+        res_v = pad.v[row * cr:row * cr + cr,
                       col * 8:col * 8 + 8].astype(np.int32) - pred.v
 
         blocks, recs = {}, {}
         cbp = 0
-        for b in range(6):
+        for b in range(nb):
             if b < 4:
                 rs, cs = (b // 2) * 8, (b & 1) * 8
                 res = res_y[rs:rs + 8, cs:cs + 8]
             else:
-                res = res_u if b == 4 else res_v
+                k2 = (b - 4) // 2
+                src_c = res_u if (b & 1) == 0 else res_v
+                res = src_c[k2 * 8:k2 * 8 + 8]
             runs, rblk = self._code_non_intra_block(None, res, qs)
             if runs:
-                cbp |= 1 << (5 - b)
+                cbp |= 1 << (nb - 1 - b)
                 blocks[b] = runs
             recs[b] = rblk
 
@@ -698,8 +730,12 @@ class Mpeg2TestEncoder:
                                dmv=dmv)
                 mv_coder.dup(s)
         if cbp:
-            G._bits(w, G._CBP[cbp])
-            for b in range(6):
+            if nb == 6:
+                G._bits(w, G._CBP[cbp])
+            else:  # 4:2:2: base 6 bits via B.9 + 2 extension bits
+                G._bits(w, G._CBP[cbp >> 2])
+                w.write(cbp & 3, 2)
+            for b in range(nb):
                 if blocks.get(b):
                     G.write_block(w, False, cfg.intra_vlc_format,
                                   ac=blocks[b])
@@ -711,14 +747,17 @@ class Mpeg2TestEncoder:
         for b in range(4):
             rs, cs = (b // 2) * 8, (b & 1) * 8
             out_y[rs:rs + 8, cs:cs + 8] += recs[b]
-        out_u = pred.u + recs[4]
-        out_v = pred.v + recs[5]
+        out_u = pred.u.copy()
+        out_v = pred.v.copy()
+        for b in range(4, nb):
+            k2 = (b - 4) // 2
+            dst = out_u if (b & 1) == 0 else out_v
+            dst[k2 * 8:k2 * 8 + 8] += recs[b]
         rec.y[y0:y0 + 16, x0:x0 + 16] = np.clip(out_y, 0, 255)
-        rec.u[row * 8:row * 8 + 8, col * 8:col * 8 + 8] = \
+        rec.u[row * cr:row * cr + cr, col * 8:col * 8 + 8] = \
             np.clip(out_u, 0, 255)
-        rec.v[row * 8:row * 8 + 8, col * 8:col * 8 + 8] = \
+        rec.v[row * cr:row * cr + cr, col * 8:col * 8 + 8] = \
             np.clip(out_v, 0, 255)
-        return True, None
 
     def _dp_predict_frame(self, ref: Plane3, row, col, fmv, dmv) -> Plane3:
         """Dual-prime prediction, frame picture (7.6.3.6), independent."""
@@ -749,6 +788,7 @@ class Mpeg2TestEncoder:
         """Encode one frame as two field pictures ('tb' or 'bt')."""
         cfg = self.cfg
         assert cfg.height % 32 == 0, "field pictures need height % 32 == 0"
+        assert cfg.chroma_format == 1, "field-picture tests are 4:2:0"
         rec = Plane3(np.zeros_like(pad.y), np.zeros_like(pad.u),
                      np.zeros_like(pad.v))
         parities = (0, 1) if structure == "tb" else (1, 0)
@@ -960,7 +1000,8 @@ class Mpeg2TestEncoder:
 
 
 def synth_frames(width: int, height: int, n: int, seed: int = 0,
-                 motion: tuple = (3, 1)) -> list[Plane3]:
+                 motion: tuple = (3, 1),
+                 chroma_format: int = 1) -> list[Plane3]:
     """Smooth textured frames with global motion + noise: enough detail
     to exercise AC coding, enough coherence for motion search to find
     real vectors."""
@@ -973,13 +1014,14 @@ def synth_frames(width: int, height: int, n: int, seed: int = 0,
     base_u = 128 + 40 * np.sin(xx * 0.03 + 1) + rng.normal(0, 2, base.shape)
     base_v = 128 + 40 * np.cos(yy * 0.04 + 2) + rng.normal(0, 2, base.shape)
     out = []
+    cstep = 2 if chroma_format == 1 else 1
     for i in range(n):
         ox, oy = 8 * n // 2 + motion[0] * i, 8 * n // 2 + motion[1] * i
         y = np.clip(base[oy:oy + height, ox:ox + width], 0, 255
                     ).astype(np.uint8)
-        u = np.clip(base_u[oy:oy + height:2, ox:ox + width:2], 0, 255
+        u = np.clip(base_u[oy:oy + height:cstep, ox:ox + width:2], 0, 255
                     ).astype(np.uint8)
-        v = np.clip(base_v[oy:oy + height:2, ox:ox + width:2], 0, 255
+        v = np.clip(base_v[oy:oy + height:cstep, ox:ox + width:2], 0, 255
                     ).astype(np.uint8)
         out.append(Plane3(y, u, v))
     return out

@@ -188,3 +188,54 @@ class TestFFmpegEncodedStreams:
         y, u, v = frames[0]
         assert y.shape == (128, 160)
         assert u.shape == v.shape == (64, 80)
+
+
+class TestChroma422AgainstFFmpeg:
+    def test_luma_exact(self, tmp_path):
+        frames = synth_frames(64, 48, 4, chroma_format=2)
+        cfg = EncConfig(64, 48, qs=4, chroma_format=2, progressive=True)
+        enc = Mpeg2TestEncoder(cfg)
+        es = enc.encode(frames, "IPPP")
+        ours = decode_es(es)
+        ff = _ffmpeg_lumas(es, tmp_path)
+        assert len(ff) == len(ours) == 4
+        for a, b in zip(ours, ff):
+            assert np.abs(a.y.astype(int) - b.astype(int)).max() <= 3
+
+    def test_chroma_via_bgr_parity(self, tmp_path):
+        """Chroma placement check: the BGR round-trip error vs FFmpeg
+        must match the 4:2:0 level (a block/interleave mistake would be
+        tens of levels, not conversion noise)."""
+        def metric(cf):
+            frames = synth_frames(64, 48, 3, chroma_format=cf)
+            cfg = EncConfig(64, 48, qs=4, chroma_format=cf,
+                            progressive=True)
+            enc = Mpeg2TestEncoder(cfg)
+            es = enc.encode(frames, "IPP")
+            p = str(tmp_path / f"c{cf}.m2v")
+            open(p, "wb").write(es)
+            ours = decode_es(es)
+            cap = cv2.VideoCapture(p)
+            ff = []
+            while True:
+                ok, bgr = cap.read()
+                if not ok:
+                    break
+                ff.append(bgr.astype(np.float32))
+            cap.release()
+            tot = []
+            for a, b in zip(ours, ff):
+                ry = 2 if cf == 1 else 1
+                u2 = np.repeat(np.repeat(
+                    a.u.astype(np.float32) - 128, ry, 0), 2, 1)
+                v2 = np.repeat(np.repeat(
+                    a.v.astype(np.float32) - 128, ry, 0), 2, 1)
+                yf = a.y.astype(np.float32)
+                mine = np.clip(np.stack(
+                    [yf + 1.772 * u2, yf - 0.344 * u2 - 0.714 * v2,
+                     yf + 1.402 * v2], -1), 0, 255)
+                tot.append(float(np.abs(mine - b).mean()))
+            return np.mean(tot)
+
+        m420, m422 = metric(1), metric(2)
+        assert abs(m422 - m420) < 2.0, (m420, m422)

@@ -320,3 +320,50 @@ class TestRobustness:
         out = decode_es(es)
         assert len(out) == 4
         _assert_exact(cfg, enc, out)
+
+
+class TestChroma422:
+    def test_intra_exact(self):
+        cfg = EncConfig(64, 48, qs=4, chroma_format=2)
+        frames = synth_frames(64, 48, 2, chroma_format=2)
+        _, enc, out, _ = _roundtrip(cfg, "II", frames=frames)
+        _assert_exact_cf(cfg, enc, out)
+        assert out[0].u.shape == (48, 32)
+
+    def test_ipb_exact(self):
+        cfg = EncConfig(64, 48, qs=4, chroma_format=2)
+        frames = synth_frames(64, 48, 5, chroma_format=2)
+        _, enc, out, _ = _roundtrip(cfg, "IPBPP", frames=frames)
+        _assert_exact_cf(cfg, enc, out)
+
+    def test_syntax_variants(self):
+        for kw in ({"intra_vlc_format": True}, {"q_scale_type": True},
+                   {"intra_dc_precision": 2},
+                   {"frame_pred_frame_dct": False}):
+            cfg = EncConfig(64, 48, qs=4, chroma_format=2,
+                            progressive=False, **kw)
+            frames = synth_frames(64, 48, 3, chroma_format=2)
+            _, enc, out, _ = _roundtrip(cfg, "IPP", frames=frames)
+            _assert_exact_cf(cfg, enc, out)
+
+    def test_field_dct_intra(self):
+        # 4:2:2 chroma is field-organised under dct_type=1 (6.1.3)
+        cfg = EncConfig(64, 48, qs=4, chroma_format=2, progressive=False,
+                        frame_pred_frame_dct=False,
+                        picture_opts={i: {"dct": "field"}
+                                      for i in range(2)})
+        frames = synth_frames(64, 48, 2, chroma_format=2)
+        _, enc, out, _ = _roundtrip(cfg, "II", frames=frames)
+        _assert_exact_cf(cfg, enc, out)
+
+
+def _assert_exact_cf(cfg, enc, out):
+    h, w = cfg.height, cfg.width
+    ch = h // 2 if cfg.chroma_format == 1 else h
+    for i, fr in enumerate(out):
+        rec = enc.recon[i]
+        for name, dp, ep in (("y", fr.y, rec.y[:h, :w]),
+                             ("u", fr.u, rec.u[:ch, :w // 2]),
+                             ("v", fr.v, rec.v[:ch, :w // 2])):
+            diff = np.abs(dp.astype(int) - ep.astype(int))
+            assert diff.max() == 0, (i, name, int(diff.max()))

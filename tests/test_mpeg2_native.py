@@ -158,3 +158,11 @@ def test_native_speed_sanity():
         decode_es_native(es)
     t_native = (time.perf_counter() - t0) / 5
     assert t_native < t_oracle, (t_native, t_oracle)
+
+
+@pytest.mark.parametrize("gop", ["IPP", "IPBP"])
+def test_differential_422(gop):
+    frames = synth_frames(64, 48, len(gop), chroma_format=2)
+    cfg = EncConfig(64, 48, qs=4, chroma_format=2, progressive=True)
+    es = Mpeg2TestEncoder(cfg).encode(frames, gop)
+    _assert_equal(decode_es(es), decode_es_native(es))
