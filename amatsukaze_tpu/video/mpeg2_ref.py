@@ -181,6 +181,7 @@ class _Seq:
     width: int = 0
     height: int = 0
     chroma_format: int = 1
+    mpeg1: bool = True  # no sequence extension seen yet (11172-2 mode)
     progressive: bool = False
     intra_q: np.ndarray = field(
         default_factory=lambda: np.array(DEFAULT_INTRA_MATRIX, np.int64))
@@ -286,6 +287,9 @@ class Mpeg2RefDecoder:
         if self.seq.chroma_format not in (1, 2):
             raise Mpeg2Error("only 4:2:0 / 4:2:2 are supported")
         ct = self.pic.coding_type
+        if ct not in (1, 2, 3):  # D pictures (MPEG-1) unsupported
+            self.errors += 1
+            return out
         if not self._in_second_field:
             # Drop lead-in pictures that lack what they predict from; a
             # second field always continues its in-progress frame (its
@@ -336,11 +340,13 @@ class Mpeg2RefDecoder:
             s.non_intra_q = _load_matrix(r)
         else:
             s.non_intra_q = np.array(DEFAULT_NON_INTRA_MATRIX, np.int64)
+        s.mpeg1 = True  # MPEG-2 iff a sequence extension follows
         s.valid = True
 
     def _extension(self, r: BitReader) -> None:
         ext = r.read(4)
         if ext == 1:  # sequence extension
+            self.seq.mpeg1 = False
             r.skip(8)
             self.seq.progressive = bool(r.read(1))
             self.seq.chroma_format = r.read(2)
@@ -377,10 +383,26 @@ class Mpeg2RefDecoder:
         p.temporal_reference = r.read(10)
         p.coding_type = r.read(3)
         r.skip(16)
-        if p.coding_type in (2, 3):
-            r.skip(1 + 3)
+        fp = [False, False]
+        if p.coding_type in (2, 3, 4):
+            fp[0] = bool(r.read(1))
+            fc = r.read(3)
+            p.f_code = ((fc, fc), p.f_code[1])
         if p.coding_type == 3:
-            r.skip(1 + 3)
+            fp[1] = bool(r.read(1))
+            fc = r.read(3)
+            p.f_code = (p.f_code[0], (fc, fc))
+        p.full_pel = tuple(fp)
+        if self.seq.mpeg1:
+            # 11172-2 fixed coding context (no picture coding extension)
+            p.structure = 3
+            p.frame_pred_frame_dct = True
+            p.intra_dc_precision = 0
+            p.q_scale_type = False
+            p.intra_vlc_format = False
+            p.alternate_scan = False
+            p.progressive_frame = True
+            p.top_field_first = False
         self.pic = p
 
     # ---- picture/slice machinery --------------------------------------------
@@ -592,6 +614,7 @@ class _SliceState:
         (saturated, mismatch-controlled). cc: 0 luma, 1 Cb, 2 Cr."""
         p = self.dec.pic
         seq = self.dec.seq
+        mpeg1 = seq.mpeg1
         coeffs = np.zeros(64, np.int64)
         w_intra = seq.intra_q
         w_non = seq.non_intra_q
@@ -623,10 +646,23 @@ class _SliceState:
                         r.peek(_ESC_LEN) == _ESC_CODE:
                     r.skip(_ESC_LEN)
                     run = r.read(6)
-                    lv = r.read(12)
-                    if lv == 0 or lv == 2048:
-                        raise Mpeg2Error("forbidden escape level")
-                    level = lv - 4096 if lv >= 2048 else lv
+                    if mpeg1:
+                        # 11172-2 escape: 8-bit level, double byte for
+                        # |level| in 128..255
+                        b0 = r.read(8)
+                        if b0 == 0:
+                            level = r.read(8)
+                        elif b0 == 128:
+                            level = r.read(8) - 256
+                        else:
+                            level = b0 - 256 if b0 > 128 else b0
+                        if level == 0:
+                            raise Mpeg2Error("forbidden escape level")
+                    else:
+                        lv = r.read(12)
+                        if lv == 0 or lv == 2048:
+                            raise Mpeg2Error("forbidden escape level")
+                        level = lv - 4096 if lv >= 2048 else lv
                 else:
                     run, mag = table.decode(r)
                     if run == T.EOB_RUN:
@@ -649,8 +685,14 @@ class _SliceState:
                 k = 0 if level == 0 else (1 if level > 0 else -1)
                 num = (2 * level + k) * int(w_non[pos]) * qs
                 coeffs[pos] = -((-num) // 32) if num < 0 else num // 32
+            if mpeg1 and pos != 0:
+                # 11172-2 2.4.4: per-coefficient oddification replaces
+                # MPEG-2's per-block mismatch control (DC exempt)
+                c = int(coeffs[pos])
+                if c and (c & 1) == 0:
+                    coeffs[pos] = c - 1 if c > 0 else c + 1
         np.clip(coeffs, -2048, 2047, out=coeffs)
-        if int(coeffs.sum()) & 1 == 0:
+        if not mpeg1 and int(coeffs.sum()) & 1 == 0:
             coeffs[63] ^= 1
         return coeffs
 
@@ -736,12 +778,19 @@ class _SliceState:
         self.reset_pmv()
         self.reset_dc()
         self.prev_flags = 0
-        mb_x = -1
+        mpeg1 = dec.seq.mpeg1
+        # MPEG-1 slices may cross macroblock rows; MPEG-2 slices are
+        # confined to the row named by the start code.
+        addr = mb_row * self.mbw - 1
+        bound = self.mbw * self.mbh if mpeg1 else (mb_row + 1) * self.mbw
         first_in_slice = True
 
         while True:
             if r.bits_left() <= 0 or r.peek(min(23, r.bits_left())) == 0:
                 break
+            while mpeg1 and r.bits_left() >= 11 and \
+                    r.peek(11) == 0b00000001111:
+                r.skip(11)  # macroblock_stuffing (11172-2 only)
             inc = 0
             while r.bits_left() >= _ADDR_ESC_LEN and \
                     r.peek(_ADDR_ESC_LEN) == _ADDR_ESC_CODE:
@@ -749,18 +798,18 @@ class _SliceState:
                 inc += 33
             inc += _VLC_ADDR.decode(r)
             if first_in_slice:
-                mb_x += inc
+                addr += inc
                 first_in_slice = False
             else:
                 for _ in range(inc - 1):
-                    mb_x += 1
-                    if mb_x >= self.mbw:
-                        raise Mpeg2Error("skip run past row end")
-                    self._skipped_mb(mb_row, mb_x)
-                mb_x += 1
-            if mb_x >= self.mbw:
-                raise Mpeg2Error("mb_x past row end")
-            self._macroblock(r, mb_row, mb_x)
+                    addr += 1
+                    if addr >= bound:
+                        raise Mpeg2Error("skip run past slice end")
+                    self._skipped_mb(addr // self.mbw, addr % self.mbw)
+                addr += 1
+            if addr >= bound:
+                raise Mpeg2Error("mb address past slice end")
+            self._macroblock(r, addr // self.mbw, addr % self.mbw)
 
     # ---- macroblock ------------------------------------------------------------
 
@@ -781,7 +830,11 @@ class _SliceState:
             flags = self.prev_flags & (T.MB_MOTION_F | T.MB_MOTION_B)
             if flags == 0:
                 flags = T.MB_MOTION_F
-            mvs = {(0, s): (int(self.pmv[0][s][0]), int(self.pmv[0][s][1]))
+            fpel = dec.seq.mpeg1
+            mvs = {(0, s): (int(self.pmv[0][s][0])
+                            * (2 if fpel and p.full_pel[s] else 1),
+                            int(self.pmv[0][s][1])
+                            * (2 if fpel and p.full_pel[s] else 1))
                    for s in (0, 1)}
         for s in (0, 1):
             if not (flags & (T.MB_MOTION_F if s == 0 else T.MB_MOTION_B)):
@@ -926,6 +979,8 @@ class _SliceState:
             if motion_type == 2:  # frame-based
                 mvx, mvy, _ = self._mv(r, 0, s, False, False)
                 self.pmv[1][s] = self.pmv[0][s]
+                if dec.seq.mpeg1 and p.full_pel[s]:
+                    mvx, mvy = mvx * 2, mvy * 2  # PMV keeps coded scale
 
                 def pred(mb_row, mb_x, mvx=mvx, mvy=mvy):
                     frame = dec._ref_frame(s)

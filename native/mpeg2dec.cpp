@@ -197,6 +197,7 @@ static inline uint8_t clip255(int v) {
 struct Seq {
   int width = 0, height = 0;
   int chroma_format = 1;
+  bool mpeg1 = true;  // until a sequence extension arrives (11172-2)
   bool progressive = false;
   int32_t intra_q[64];
   int32_t non_intra_q[64];
@@ -210,6 +211,7 @@ struct Seq {
 struct Pic {
   int coding_type = 0;
   int temporal_reference = 0;
+  bool full_pel[2] = {false, false};  // MPEG-1 only
   int f_code[2][2] = {{15, 15}, {15, 15}};
   int intra_dc_precision = 0;
   int structure = 3;
@@ -392,6 +394,7 @@ struct Decoder {
     else for (int i = 0; i < 64; i++) seq.intra_q[i] = DEFAULT_INTRA_Q[i];
     if (r.read(1)) load_matrix(r, seq.non_intra_q);
     else for (int i = 0; i < 64; i++) seq.non_intra_q[i] = 16;
+    seq.mpeg1 = true;  // MPEG-2 iff a sequence extension follows
     seq.valid = true;
   }
 
@@ -402,6 +405,7 @@ struct Decoder {
   void extension(BitReader& r) {
     int ext = r.read(4);
     if (ext == 1) {
+      seq.mpeg1 = false;
       r.skip(8);
       seq.progressive = r.read(1);
       seq.chroma_format = r.read(2);
@@ -438,8 +442,26 @@ struct Decoder {
     p.temporal_reference = r.read(10);
     p.coding_type = r.read(3);
     r.skip(16);
-    if (p.coding_type == 2 || p.coding_type == 3) r.skip(1 + 3);
-    if (p.coding_type == 3) r.skip(1 + 3);
+    if (p.coding_type >= 2 && p.coding_type <= 4) {
+      p.full_pel[0] = r.read(1);
+      int fc = r.read(3);
+      p.f_code[0][0] = p.f_code[0][1] = fc;  // MPEG-2 ext overwrites
+    }
+    if (p.coding_type == 3) {
+      p.full_pel[1] = r.read(1);
+      int fc = r.read(3);
+      p.f_code[1][0] = p.f_code[1][1] = fc;
+    }
+    if (seq.mpeg1) {  // 11172-2 fixed coding context
+      p.structure = 3;
+      p.frame_pred_frame_dct = true;
+      p.intra_dc_precision = 0;
+      p.q_scale_type = false;
+      p.intra_vlc_format = false;
+      p.alternate_scan = false;
+      p.progressive_frame = true;
+      p.top_field_first = false;
+    }
     pic = p;
   }
 
@@ -539,9 +561,17 @@ struct Decoder {
             r.peek_raw(DCT_ESCAPE_LEN) == DCT_ESCAPE_CODE) {
           r.skip(DCT_ESCAPE_LEN);
           run = r.read(6);
-          int lv = r.read(12);
-          if (lv == 0 || lv == 2048) { r.err = true; return false; }
-          level = lv >= 2048 ? lv - 4096 : lv;
+          if (seq.mpeg1) {  // 11172-2: 8-bit level, double byte ext.
+            int b0 = r.read(8);
+            if (b0 == 0) level = r.read(8);
+            else if (b0 == 128) level = (int)r.read(8) - 256;
+            else level = b0 > 128 ? b0 - 256 : b0;
+            if (level == 0) { r.err = true; return false; }
+          } else {
+            int lv = r.read(12);
+            if (lv == 0 || lv == 2048) { r.err = true; return false; }
+            level = lv >= 2048 ? lv - 4096 : lv;
+          }
         } else {
           int e = table.decode(r);
           if (e < 0) return false;
@@ -567,6 +597,11 @@ struct Decoder {
         int k = level == 0 ? 0 : (level > 0 ? 1 : -1);
         coeffs[pos] = trunc_div32((2LL * level + k) * w_non[pos] * qs);
       }
+      if (seq.mpeg1 && pos != 0) {
+        // 11172-2: per-coefficient oddification (DC exempt)
+        int32_t c = coeffs[pos];
+        if (c && (c & 1) == 0) coeffs[pos] = c > 0 ? c - 1 : c + 1;
+      }
     }
     // saturation + mismatch control (whole block, incl. DC) — zero rows
     // clip to zero and add nothing, so only live rows need touching
@@ -579,7 +614,7 @@ struct Decoder {
         sum += cr[i];
       }
     }
-    if ((sum & 1) == 0) {
+    if (!seq.mpeg1 && (sum & 1) == 0) {  // MPEG-1 oddifies instead
       coeffs[63] ^= 1;
       rowmask |= 0x80;
     }
@@ -703,8 +738,9 @@ struct Decoder {
       flags = st.prev_flags & (MBT_MOTION_F | MBT_MOTION_B);
       if (flags == 0) flags = MBT_MOTION_F;
       for (int s = 0; s < 2; s++) {
-        mvs[s][0] = st.pmv[0][s][0];
-        mvs[s][1] = st.pmv[0][s][1];
+        int sc = (seq.mpeg1 && pic.full_pel[s]) ? 2 : 1;
+        mvs[s][0] = st.pmv[0][s][0] * sc;
+        mvs[s][1] = st.pmv[0][s][1] * sc;
       }
     }
     Pred acc, tmp;
@@ -742,6 +778,10 @@ struct Decoder {
         std::memcpy(st.pmv[1][s], st.pmv[0][s], sizeof st.pmv[1][s]);
         FrameBuf* frame = ref_frame(s);
         if (!frame) return false;
+        if (seq.mpeg1 && pic.full_pel[s]) {  // PMV keeps coded scale
+          m.x *= 2;
+          m.y *= 2;
+        }
         frame_pred(frame, mb_row, mb_x, m.x, m.y, out);
         return true;
       }
@@ -1003,7 +1043,11 @@ struct Decoder {
     std::memset(st.pmv, 0, sizeof st.pmv);
     for (int i = 0; i < 3; i++) st.dc_pred[i] = st.dc_reset;
     st.prev_flags = 0;
-    int mb_x = -1;
+    bool mpeg1 = seq.mpeg1;
+    // MPEG-1 slices may cross macroblock rows; MPEG-2 slices are
+    // confined to the row named by the start code.
+    int addr = mb_row * st.mbw - 1;
+    int bound = mpeg1 ? st.mbw * st.mbh : (mb_row + 1) * st.mbw;
     bool first_in_slice = true;
 
     while (true) {
@@ -1011,6 +1055,9 @@ struct Decoder {
       if (left <= 0) break;
       int probe = (int)std::min<int64_t>(23, left);
       if (r.peek_raw(probe) == 0) break;
+      while (mpeg1 && r.left() >= 11 && r.peek_raw(11) == 0x00F) {
+        r.skip(11);  // macroblock_stuffing (11172-2 only)
+      }
       int inc = 0;
       while (r.left() >= ADDR_INC_ESCAPE_LEN &&
              r.peek_raw(ADDR_INC_ESCAPE_LEN) == ADDR_INC_ESCAPE_CODE) {
@@ -1021,18 +1068,24 @@ struct Decoder {
       if (e < 0) { errors++; return; }
       inc += B1_ADDR_INC[e].v0;
       if (first_in_slice) {
-        mb_x += inc;
+        addr += inc;
         first_in_slice = false;
       } else {
         for (int i = 0; i < inc - 1; i++) {
-          mb_x += 1;
-          if (mb_x >= st.mbw) { errors++; return; }
-          if (!skipped_mb(st, mb_row, mb_x)) { errors++; return; }
+          addr += 1;
+          if (addr >= bound) { errors++; return; }
+          if (!skipped_mb(st, addr / st.mbw, addr % st.mbw)) {
+            errors++;
+            return;
+          }
         }
-        mb_x += 1;
+        addr += 1;
       }
-      if (mb_x >= st.mbw) { errors++; return; }
-      if (!macroblock(r, st, mb_row, mb_x)) { errors++; return; }
+      if (addr >= bound) { errors++; return; }
+      if (!macroblock(r, st, addr / st.mbw, addr % st.mbw)) {
+        errors++;
+        return;
+      }
     }
   }
 

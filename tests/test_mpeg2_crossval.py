@@ -239,3 +239,87 @@ class TestChroma422AgainstFFmpeg:
 
         m420, m422 = metric(1), metric(2)
         assert abs(m422 - m420) < 2.0, (m420, m422)
+
+
+class TestMpeg1:
+    """MPEG-1 (ISO 11172-2) decode: FFmpeg-encoded streams through the
+    in-build decoders. Exercises the MPEG-1 branches: no sequence
+    extension, 8/16-bit escape levels, per-coefficient oddification,
+    cross-row slices, macroblock stuffing. (full_pel vectors and D
+    pictures are implemented per spec but FFmpeg's encoder never emits
+    them; D pictures are rejected with an error count.)"""
+
+    @pytest.fixture
+    def mpeg1_ps(self, tmp_path):
+        from mpeg2_enc import synth_frames
+
+        W, H = 160, 128
+        frames = synth_frames(W, H, 16, seed=4, motion=(4, 1))
+        p = str(tmp_path / "m1.mpg")
+        wr = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"PIM1"), 25,
+                             (W, H))
+        assert wr.isOpened()
+        for f in frames:
+            u2 = np.repeat(np.repeat(f.u, 2, 0), 2, 1).astype(
+                np.float32) - 128
+            v2 = np.repeat(np.repeat(f.v, 2, 0), 2, 1).astype(
+                np.float32) - 128
+            yf = f.y.astype(np.float32)
+            wr.write(np.clip(np.stack(
+                [yf + 1.772 * u2, yf - 0.344 * u2 - 0.714 * v2,
+                 yf + 1.402 * v2], -1), 0, 255).astype(np.uint8))
+        wr.release()
+        return p
+
+    def test_decode_matches_ffmpeg(self, mpeg1_ps):
+        from amatsukaze_tpu.pipeline.decoders import decode_mpeg2_ps_file
+
+        cap = cv2.VideoCapture(mpeg1_ps)
+        cap.set(cv2.CAP_PROP_CONVERT_RGB, 0)
+        ff = []
+        while True:
+            ok, y = cap.read()
+            if not ok:
+                break
+            ff.append(np.asarray(y).copy())
+        cap.release()
+        ours = list(decode_mpeg2_ps_file(mpeg1_ps))
+        assert len(ours) == len(ff) == 16
+        for i, ((y, u, v), fy) in enumerate(zip(ours, ff)):
+            d = np.abs(y.astype(int) - fy.astype(int)).max()
+            assert d <= 3, f"frame {i}: luma diff {d}"
+
+    def test_oracle_matches_native(self, mpeg1_ps):
+        from amatsukaze_tpu.ts.qp_extract import iter_picture_chunks_file
+        from amatsukaze_tpu.video import Mpeg2RefDecoder
+        from amatsukaze_tpu.video.native import (NativeMpeg2Decoder,
+                                                 native_available)
+
+        if not native_available():
+            pytest.skip("no native library")
+        ref, nat = Mpeg2RefDecoder(), NativeMpeg2Decoder()
+        ra, na = [], []
+        for ch in iter_picture_chunks_file(mpeg1_ps):
+            ra.extend(ref.decode_picture(ch))
+            na.extend(nat.decode_picture(ch))
+        ra.extend(ref.flush())
+        na.extend(nat.flush())
+        assert len(ra) == len(na) == 16
+        for a, b in zip(ra, na):
+            for pl in "yuv":
+                assert np.array_equal(getattr(a, pl), getattr(b, pl))
+
+    def test_corrupted_no_crash(self, mpeg1_ps):
+        from amatsukaze_tpu.ts.qp_extract import extract_ps_video_es
+        from amatsukaze_tpu.video import decode_es
+        from amatsukaze_tpu.video.native import decode_es_native
+
+        es = bytearray(extract_ps_video_es(open(mpeg1_ps, "rb").read()))
+        rng = np.random.default_rng(1)
+        for _ in range(10):
+            bad = bytearray(es)
+            for _ in range(5):
+                bad[int(rng.integers(16, len(bad)))] = \
+                    int(rng.integers(0, 256))
+            decode_es(bytes(bad))
+            decode_es_native(bytes(bad))
