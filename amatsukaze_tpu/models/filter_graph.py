@@ -289,8 +289,16 @@ class FilterGraph:
         cross-batch halo frames so edge frames see their true temporal
         neighbours, and the kernel's own batch-edge clamping reproduces the
         jnp path's sequence-edge replication."""
+        import os
+
         import jax
 
+        if os.environ.get("AMATSUKAZE_NO_FUSED"):
+            # escape hatch: Mosaic kernel compiles are not covered by
+            # the persistent XLA cache, and on remote/tunneled devices a
+            # per-process recompile can cost minutes; the unfused jnp
+            # chain is bit-identical and caches across processes
+            return None
         try:
             if jax.devices()[0].platform != "tpu":
                 return None

@@ -350,8 +350,13 @@ class LogoFrameMatcher:
         def flush():
             if not pend:
                 return
-            batch_np = np.stack(pend)
-            out = np.empty((len(pend), len(self.logos), fade_steps), np.float32)
+            from ..utils.batching import pad_tail
+
+            # pad the tail to the steady batch shape: the eval kernels
+            # then compile for exactly one shape per logo size
+            batch_np, n_real = pad_tail(pend, batch)
+            out = np.empty((n_real, len(self.logos), fade_steps),
+                           np.float32)
             for li, (lg, params) in enumerate(zip(self.logos, self.params)):
                 h = lg.header
                 if h.imgw != width or h.imgh != height:
@@ -364,7 +369,7 @@ class LogoFrameMatcher:
                     jnp.asarray(window).astype(jnp.float32))
                 out[:, li] = np.asarray(
                     ops.batched_evaluate_logo(params, deint, jnp.float32(255.0), fades)
-                )
+                )[:n_real]
             results.append(out)
             pend.clear()
 

@@ -89,7 +89,11 @@ class LogoEraser:
                 np.asarray(v.astype(jnp.uint8)))
 
     def erase_iter(self, frames_iter, batch: int = 32):
-        """Wrap a (Y, U, V) frame iterator with batched erasure."""
+        """Wrap a (Y, U, V) frame iterator with batched erasure. Tail
+        batches are padded to the steady shape (repeat-last) so the
+        device op compiles exactly once; padded outputs are dropped."""
+        from ..utils.batching import pad_tail
+
         buf = []
         start = 0
 
@@ -97,10 +101,14 @@ class LogoEraser:
             nonlocal start
             if not buf:
                 return []
+            n = len(buf)
             ys, us, vs = zip(*buf)
-            ey, eu, ev = self.erase_batch(ys, us, vs, start)
-            start += len(buf)
-            out = list(zip(ey, eu, ev))
+            py, _ = pad_tail(list(ys), batch)
+            pu, _ = pad_tail(list(us), batch)
+            pv, _ = pad_tail(list(vs), batch)
+            ey, eu, ev = self.erase_batch(py, pu, pv, start)
+            start += n
+            out = list(zip(ey[:n], eu[:n], ev[:n]))
             buf.clear()
             return out
 

@@ -358,14 +358,19 @@ class TranscodePipeline:
                         pend, state["prev"] if state["prev"] is not None
                         else pend[0])
                 else:
-                    # ship uint8; the op widens on device (4x less xfer)
+                    # ship uint8; the op widens on device (4x less xfer).
+                    # Tail batches are padded to the steady shape: a
+                    # second shape would cost a whole extra XLA compile.
+                    from ..utils.batching import pad_tail
+
                     t0 = time.time()
-                    arr = jnp.asarray(np.stack(pend))
+                    padded, n_real = pad_tail(pend, batch)
+                    arr = jnp.asarray(padded)
                     prev = (arr[0] if state["prev"] is None
                             else jnp.asarray(state["prev"]))
                     dj, hj = cm_ops.scene_metrics_batch(arr, prev)
-                    d = np.asarray(dj)
-                    h = np.asarray(hj)
+                    d = np.asarray(dj)[:n_real]
+                    h = np.asarray(hj)[:n_real]
                     # adaptive backend: on tunneled/remote devices the
                     # frame upload dwarfs the compute - fall back to the
                     # decision-identical numpy twin (>0.5 ms/frame
@@ -739,26 +744,38 @@ def _pump_filtered(fg, frames_iter, pump, batch: int) -> None:
         nonlocal prev_planes, start
         if not chunk:
             return
+        from ..utils.batching import pad_tail
+
         outs = []
+        n_out = None
         for p in range(3):
             # keep the decoder's uint8 through to the filter graph: every
             # device transfer ships 4x less and widens on device
-            arr = np.stack([f[p] for f in chunk])
             if fg.mode == FilterGraph.MODE_KFM_VFR:
+                # VFR synthesis emits a data-dependent frame count, so
+                # the tail cannot be pad-and-sliced
+                arr = np.stack([f[p] for f in chunk])
                 res = fg.run_kfm_batch(
                     arr,
                     None if prev_planes is None else prev_planes[p],
                     start,
                 )
+                n_out = len(res)
             else:
+                # pad the tail to the steady batch shape (one compile);
+                # stencil filters are local along the frame axis, so
+                # repeated trailing frames cannot change kept outputs
+                arr, n_real = pad_tail([f[p] for f in chunk], batch)
                 res = fg.run_pass3(
                     arr,
                     None if prev_planes is None else prev_planes[p],
                     None if next_planes is None else next_planes[p],
                     start_index=start,
                 )
+                factor = len(res) // len(arr)
+                n_out = n_real * factor if factor else len(res)
             outs.append(res)
-        for k in range(len(outs[0])):
+        for k in range(n_out):
             pump.put(tuple(_to_u8(outs[p][k]) for p in range(3)))
         prev_planes = chunk[-1]
         start += len(chunk)
