@@ -121,3 +121,52 @@ def run_command_sequence(ctx, commands: list[tuple[str, bool]]) -> None:
         if rc != 0:
             tail = "\n".join(proc.last_lines)
             raise RuntimeError(f"command failed ({rc}): {cmd}\n{tail}")
+
+
+def prefetch_iter(source_iter, depth: int = 2):
+    """Run `source_iter` in a background thread with a bounded queue:
+    the consumer (device filtering / encoder feed) overlaps with the
+    producer (host video decode) instead of serialising.
+
+    Parity: the reference overlaps decode with filtering via FFmpeg's
+    decoder threads + AviSynth Prefetch (SURVEY 2.4); here one bounded
+    prefetch thread plays that role for the in-build decoder.
+
+    Exceptions in the producer re-raise at the consumer; closing the
+    generator stops the producer promptly.
+    """
+    q: queue.Queue = queue.Queue(maxsize=max(1, depth))
+    stop = threading.Event()
+    _END = object()
+
+    def worker():
+        try:
+            for item in source_iter:
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+            q.put(_END)
+        except BaseException as e:  # noqa: BLE001 - forwarded to consumer
+            try:
+                q.put(e, timeout=5)
+            except queue.Full:
+                pass
+
+    t = threading.Thread(target=worker, daemon=True,
+                         name="decode-prefetch")
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()

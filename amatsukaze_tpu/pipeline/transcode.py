@@ -386,8 +386,12 @@ class TranscodePipeline:
                 state["prev"] = pend[-1]
 
             def luma_stream():
+                from ..io.process import prefetch_iter
+
                 pend = []
-                for planes in self.decoder_factory(self, v):
+                for planes in prefetch_iter(
+                        self.decoder_factory(self, v),
+                        depth=max(8, st.conf.device_batch_frames)):
                     pend.append(planes[0])
                     state["count"] += 1
                     if len(pend) >= batch:
@@ -566,8 +570,11 @@ class TranscodePipeline:
         if fg.mode == FilterGraph.MODE_KFM_VFR:
             if self.decoder_factory is None:
                 raise RuntimeError("no decoder available for filter analysis")
+            from ..io.process import prefetch_iter
+
             wanted = set(file.video_frames)
-            src = self.decoder_factory(self, key.video)
+            src = prefetch_iter(self.decoder_factory(self, key.video),
+                                depth=max(8, st.conf.device_batch_frames))
             if self._active_eraser is not None:
                 src = self._active_eraser.erase_iter(
                     src, st.conf.device_batch_frames)
@@ -705,8 +712,11 @@ def _default_encoder_runner(pipeline: TranscodePipeline, reform,
     writer = Y4MWriter(proc.stdin, y4m_fmt)
     pump = DataPumpThread(lambda planes: writer.write_frame(*planes),
                           max_items=max(4, st.conf.num_encode_buffer_frames))
+    from ..io.process import prefetch_iter
+
     wanted = set(file.video_frames)
-    src = pipeline.decoder_factory(pipeline, key.video)
+    src = prefetch_iter(pipeline.decoder_factory(pipeline, key.video),
+                        depth=max(8, st.conf.num_encode_buffer_frames))
     eraser = getattr(pipeline, "_active_eraser", None)
     if eraser is not None:
         src = eraser.erase_iter(src, max(3, st.conf.device_batch_frames))
