@@ -242,13 +242,16 @@ def main(argv=None) -> int:
         elif args.mode == "g":
             from .pipeline.simple import SimpleTranscode
 
-            decoder = None
             import shutil as _sh
 
             if _sh.which("ffmpeg"):
                 from .pipeline.decoders import ffmpeg_generic_decoder
 
                 decoder = ffmpeg_generic_decoder
+            else:  # standalone: in-build demux + MPEG decode
+                from .pipeline.decoders import inbuild_generic_decoder
+
+                decoder = inbuild_generic_decoder
             SimpleTranscode(ctx, settings, decoder=decoder).run()
         elif args.mode == "probe_subtitles":
             from .pipeline.probe import probe_subtitles

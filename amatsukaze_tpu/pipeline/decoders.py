@@ -227,3 +227,153 @@ def ffmpeg_generic_decoder(src_path: str):
                        check=True)
         audio_files.append(path)
     return fmt, frames(), audio_files
+
+
+def iter_ts_video_es(path: str, read_chunk: int = 4 << 20):
+    """Stream the first video program's elementary stream out of a TS
+    file: PAT -> PMT -> video PID -> PES payload concatenation. A light
+    standalone demux for decode-only consumers (logo scan wizard,
+    generic mode) — the full pipeline keeps using AMTSplitter."""
+    from ..ts.packet import TsPacketParser
+    from ..ts.pes import PesParser
+    from ..ts.psi import PAT, PMT, PsiParser
+
+    state = {"pmt_pid": -1, "video_pid": -1, "stype": 0}
+    chunks: list[bytes] = []
+
+    class _Pat(PsiParser):
+        def on_psi_section(self, clock, section):
+            pat = PAT(section)
+            if pat.parse() and pat.elems:
+                for prog, pid in pat.elems:
+                    if prog != 0:
+                        state["pmt_pid"] = pid
+                        break
+
+    class _Pmt(PsiParser):
+        def on_psi_section(self, clock, section):
+            pmt = PMT(section)
+            if pmt.check() and pmt.parse():
+                for el in pmt.elems:
+                    if el.stream_type in (0x01, 0x02):  # MPEG-1/2 video
+                        state["video_pid"] = el.elementary_pid
+                        state["stype"] = el.stream_type
+                        return
+
+    class _Pes(PesParser):
+        def on_pes_packet(self, clock, pkt):
+            chunks.append(bytes(pkt.data[pkt.payload_offset:]))
+
+    pat, pmt, pes = _Pat(), _Pmt(), _Pes()
+
+    class _Parser(TsPacketParser):
+        def on_ts_packets(self, batch):
+            for pkt in batch:
+                if not pkt.parse():
+                    continue
+                pid = pkt.pid
+                if pid == 0:
+                    pat.on_ts_packet(-1, pkt)
+                elif pid == state["pmt_pid"]:
+                    pmt.on_ts_packet(-1, pkt)
+                elif pid == state["video_pid"] and pid >= 0:
+                    pes.on_ts_packet(-1, pkt)
+
+    parser = _Parser()
+    with open(path, "rb") as f:
+        while True:
+            data = f.read(read_chunk)
+            if not data:
+                break
+            parser.input_ts(data)
+            if chunks:
+                yield from chunks
+                chunks.clear()
+    parser.flush()
+    pes.flush()
+    yield from chunks
+
+
+def decode_ts_video_file(path: str):
+    """(Y, U, V) frames straight from a broadcast TS file using the
+    in-build demux + MPEG-1/2 decoder (no external binary)."""
+    from ..ts.qp_extract import iter_picture_chunks
+    from ..video import Mpeg2RefDecoder
+
+    try:
+        from ..video.native import NativeMpeg2Decoder
+
+        dec = NativeMpeg2Decoder()
+    except RuntimeError:
+        dec = Mpeg2RefDecoder()
+    buf = b""
+    for es in iter_ts_video_es(path):
+        buf += es
+        pics = list(iter_picture_chunks(buf))
+        if len(pics) > 1:
+            tail_start = len(buf) - len(pics[-1])
+            for chunk in pics[:-1]:
+                for fr in dec.decode_picture(chunk):
+                    yield fr.y, fr.u, fr.v
+            buf = buf[tail_start:]
+    for chunk in iter_picture_chunks(buf):
+        for fr in dec.decode_picture(chunk):
+            yield fr.y, fr.u, fr.v
+    for fr in dec.flush():
+        yield fr.y, fr.u, fr.v
+
+
+def inbuild_generic_decoder(src_path: str):
+    """Standalone analog of ffmpeg_generic_decoder for MPEG TS/PS/ES
+    sources: (VideoFormat, frame iterator, audio files=[]). Used when no
+    ffmpeg binary exists (logo scan wizard, simple mode)."""
+    with open(src_path, "rb") as f:
+        head = f.read(4 << 20)
+
+    if _looks_like_ts(head):
+        first = b""
+        for chunk in iter_ts_video_es(src_path):
+            first += chunk
+            if len(first) > (1 << 20):
+                break
+        fmt = _sniff_mpeg_format(first)
+
+        def frames():
+            yield from decode_ts_video_file(src_path)
+    else:
+        from ..ts.qp_extract import extract_ps_video_es
+
+        es_head = extract_ps_video_es(head) or head
+        fmt = _sniff_mpeg_format(es_head)
+
+        def frames():
+            yield from decode_mpeg2_ps_file(
+                src_path, is_ps=b"\x00\x00\x01\xba" in head[:4096])
+    return fmt, frames(), []
+
+
+def _looks_like_ts(head: bytes) -> bool:
+    n = 0
+    for off in range(0, min(len(head), 188 * 8), 188):
+        if head[off:off + 1] == b"\x47":
+            n += 1
+    return n >= 6
+
+
+def _sniff_mpeg_format(es: bytes):
+    """VideoFormat from the first sequence header in an MPEG-1/2 ES."""
+    from ..types import VideoFormat, VideoStreamFormat
+
+    i = es.find(b"\x00\x00\x01\xb3")
+    if i < 0 or i + 8 > len(es):
+        return VideoFormat(width=0, height=0)
+    w = (es[i + 4] << 4) | (es[i + 5] >> 4)
+    h = ((es[i + 5] & 0xF) << 8) | es[i + 6]
+    frc = es[i + 7] & 0xF
+    rates = {1: (24000, 1001), 2: (24, 1), 3: (25, 1), 4: (30000, 1001),
+             5: (30, 1), 6: (50, 1), 7: (60000, 1001), 8: (60, 1)}
+    num, den = rates.get(frc, (30000, 1001))
+    return VideoFormat(
+        format=VideoStreamFormat.MPEG2,
+        width=w, height=h, frame_rate_num=num, frame_rate_denom=den,
+        progressive=False, fixed_frame_rate=True)

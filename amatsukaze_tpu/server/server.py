@@ -665,12 +665,19 @@ class EncodeServer:
 
     def _default_logo_frames(self, src: str):
         """(frame_iter, imgw, imgh) for a logo scan; frames are (Y, U, V)
-        planes. Uses the subprocess ffmpeg decoder (absent in minimal
-        environments — tests inject a synthetic factory via
-        `logo_frame_source`)."""
-        from ..pipeline.decoders import ffmpeg_generic_decoder
+        planes. ffmpeg when a binary exists (any codec), else the
+        in-build demux + MPEG decoder — the wizard is standalone for
+        broadcast TS."""
+        import shutil as _sh
 
-        fmt, frames, _audio = ffmpeg_generic_decoder(src)
+        if _sh.which("ffmpeg"):
+            from ..pipeline.decoders import ffmpeg_generic_decoder
+
+            fmt, frames, _audio = ffmpeg_generic_decoder(src)
+        else:
+            from ..pipeline.decoders import inbuild_generic_decoder
+
+            fmt, frames, _audio = inbuild_generic_decoder(src)
         return frames, fmt.width, fmt.height
 
     async def _start_logo_scan(self, payload) -> dict:

@@ -695,3 +695,48 @@ class TestReferenceCliCompat:
         conf = args_to_config(args)
         assert conf.mpeg2_decoder == "native"
         assert conf.h264_decoder == "cv2"
+
+
+class TestStandaloneLogoScan:
+    """Logo-generation wizard fully standalone: logo burned into real
+    frames -> MPEG2 encode -> TS mux -> in-build demux+decode
+    (decoders.inbuild_generic_decoder, the ScanLogo default when no
+    ffmpeg binary exists) -> 3-pass LogoAnalyzer -> recovered A/B close
+    to the truth."""
+
+    def test_scan_from_encoded_ts(self, tmp_path):
+        import mpeg2_enc as E
+        from test_models_logo import frame_with_logo, synth_logo_ab
+        from amatsukaze_tpu.models.logo import LogoAnalyzer, ScanRegion
+        from amatsukaze_tpu.pipeline.decoders import inbuild_generic_decoder
+        from amatsukaze_tpu.ts.qp_extract import iter_picture_chunks
+        from amatsukaze_tpu.utils.context import AMTContext
+
+        a_true, b_true, alpha = synth_logo_ab()
+        rng = np.random.default_rng(0)
+        n = 180
+        frames = []
+        for i in range(n):
+            bg = float(rng.uniform(30, 140))
+            y, u, v = frame_with_logo(bg, alpha, on=rng.random() < 0.8)
+            frames.append(E.Plane3(np.clip(y, 0, 255).astype(np.uint8),
+                                   np.clip(u, 0, 255).astype(np.uint8),
+                                   np.clip(v, 0, 255).astype(np.uint8)))
+        enc = E.Mpeg2TestEncoder(
+            E.EncConfig(96, 64, qs=2, progressive=False, search=0))
+        es = enc.encode(frames, "I" * n)  # intra-only: fast + high quality
+        chunks = list(iter_picture_chunks(es))
+        src = tmp_path / "logo.ts"
+        src.write_bytes(ts_gen.build_simple_ts(
+            width=96, height=64, video_es_frames=chunks))
+
+        fmt, frame_iter, _ = inbuild_generic_decoder(str(src))
+        assert (fmt.width, fmt.height) == (96, 64)
+        ctx = AMTContext(level="error")
+        an = LogoAnalyzer(ctx, ScanRegion(8, 8, 24, 16), thy=12, batch=64)
+        logo = an.scan(frame_iter, fmt.width, fmt.height,
+                       name="scanned", service_id=7)
+        assert logo is not None
+        core = alpha > 0.15
+        np.testing.assert_allclose(logo.a_y[core], a_true[core], atol=0.1)
+        np.testing.assert_allclose(logo.b_y[core], b_true[core], atol=0.06)

@@ -315,7 +315,11 @@ class TsPacketizer:
             pid & 0xFF,
             afc | cc,
         ])
-        if need_af:
+        if need_af and pcr is None and len(chunk) == 183:
+            # a 183-byte payload fits only with the 1-byte AF
+            # (adaptation_field_length == 0, ISO 13818-1 2.4.3.5)
+            body = bytes([0]) + chunk
+        elif need_af:
             af = bytearray()
             if pcr is not None:
                 af.append(0x10)  # PCR flag
