@@ -740,3 +740,42 @@ class TestStandaloneLogoScan:
         core = alpha > 0.15
         np.testing.assert_allclose(logo.a_y[core], a_true[core], atol=0.1)
         np.testing.assert_allclose(logo.b_y[core], b_true[core], atol=0.06)
+
+
+class TestSimpleModeInbuild:
+    def test_generic_mode_with_inbuild_decoder(self, env):
+        """--mode g on an MPEG-PS file through the standalone decoder
+        (no ffmpeg binary): real decoded pixels reach the encoder."""
+        import mpeg2_enc as E
+        from amatsukaze_tpu.pipeline.decoders import inbuild_generic_decoder
+        from amatsukaze_tpu.pipeline.simple import SimpleTranscode
+
+        ctx, conf, tmp = env
+        # raw ES file is enough (sniffed as non-TS)
+        frames = E.synth_frames(96, 64, 8)
+        enc = E.Mpeg2TestEncoder(E.EncConfig(96, 64, qs=4,
+                                             progressive=True))
+        es = enc.encode(frames, "IPPPPPPP")
+        src = tmp / "in.m2v"
+        src.write_bytes(es)
+        conf.src_file_path = str(src)
+        settings = Settings(ctx, conf)
+
+        def muxer_runner(cmd, show):
+            out = settings.out_file_path(EncodeFileKey(), EncodeFileKey())
+            with open(out, "wb") as f:
+                f.write(b"ok")
+            return 0
+
+        st = SimpleTranscode(ctx, settings,
+                             decoder=inbuild_generic_decoder,
+                             muxer_runner=muxer_runner)
+        st.run()
+        from amatsukaze_tpu.types import EncodeFileKey as _K
+        data = open(settings.enc_video_file_path(_K()), "rb").read()
+        assert data.startswith(b"YUV4MPEG2")
+        assert data.count(b"FRAME\n") == 8
+        # first decoded luma byte-exact against the encoder recon
+        i = data.index(b"FRAME\n") + 6
+        y0 = np.frombuffer(data[i:i + 96 * 64], np.uint8).reshape(64, 96)
+        assert np.array_equal(y0, enc.recon[0].y[:64, :96])
