@@ -98,10 +98,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--print-prefix", action="store_true")
     # ---- reference-compat flags ----
     p.add_argument("--mpeg2decoder", default="default",
-                   help="MPEG2 decode backend: default|native|ffmpeg|cv2 "
-                        "(QSV/CUVID accepted, mapped to default)")
+                   help="MPEG2 decode backend: default|native|ffmpeg|"
+                        "avlib|cv2 (QSV/CUVID accepted, mapped to "
+                        "default)")
     p.add_argument("--h264decoder", default="default",
-                   help="H264 decode backend: default|ffmpeg|cv2 "
+                   help="H264 decode backend: default|ffmpeg|avlib|cv2 "
                         "(QSV/CUVID accepted, mapped to default)")
     p.add_argument("--affinity", default="",
                    help="accepted for compat; device assignment is "

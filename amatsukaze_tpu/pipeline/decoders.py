@@ -38,18 +38,38 @@ def auto_decoder_factory(pipeline, video_index: int):
         return mpeg2_decoder_factory(pipeline, video_index)
     if choice == "ffmpeg":
         return ffmpeg_decoder_factory(pipeline, video_index)
+    if choice == "avlib":
+        return avlib_decoder_factory(pipeline, video_index)
     if choice == "cv2":
         return cv2_decoder_factory(pipeline, video_index)
-    # default: ffmpeg binary > in-build MPEG2 > cv2
+    # default: ffmpeg binary > in-build MPEG2 > in-process libav > cv2
     if shutil.which("ffmpeg"):
         return ffmpeg_decoder_factory(pipeline, video_index)
     if is_mpeg2:
         return mpeg2_decoder_factory(pipeline, video_index)
-    if cv2_available():  # H.264/H.265: OpenCV's bundled FFmpeg
+    if avlib_available():  # H.264/H.265: system libavcodec in-process
+        return avlib_decoder_factory(pipeline, video_index)
+    if cv2_available():  # last resort: OpenCV's bundled FFmpeg (BGR trip)
         return cv2_decoder_factory(pipeline, video_index)
     raise RuntimeError(
         f"no decoder available for {fmt.format.name} video "
-        "(no ffmpeg binary or cv2; the in-build decoder handles MPEG2)")
+        "(no ffmpeg binary, libav bridge, or cv2; the in-build decoder "
+        "handles MPEG2)")
+
+
+def avlib_available() -> bool:
+    from ..video.avdec import avdec_available
+
+    return avdec_available()
+
+
+def avlib_decoder_factory(pipeline, video_index: int):
+    """Decode the intermediate with the in-process FFmpeg bridge
+    (native/avdec.cpp): exact YUV planes, any libavcodec codec."""
+    from ..video.avdec import decode_file_av
+
+    path = pipeline.settings.int_video_file_path(video_index)
+    return decode_file_av(path)
 
 
 def mpeg2_decoder_factory(pipeline, video_index: int):

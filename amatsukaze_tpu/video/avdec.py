@@ -1,0 +1,156 @@
+"""ctypes binding for the optional FFmpeg bridge (native/avdec.cpp,
+libamatsukaze_av.so) — in-process demux + decode of any libavcodec
+codec (H.264/HEVC/MPEG-1/2) straight to YUV planes, plus a raw AAC
+ADTS decoder used by the audio differential tests.
+
+This is the native analog of the reference's ReaderWriterFFmpeg
+(reference Amatsukaze/ReaderWriterFFmpeg.hpp:73-483). The library only
+exists where the system FFmpeg development packages do; every consumer
+treats it as optional (`avdec_available()`), with the in-build MPEG
+decoder and cv2 as fallbacks.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_NAME = "libamatsukaze_av.so"
+
+_lock = threading.Lock()
+_lib = None
+_load_attempted = False
+
+
+def _load():
+    global _lib, _load_attempted
+    with _lock:
+        if _lib is not None or _load_attempted:
+            return _lib
+        _load_attempted = True
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
+                           capture_output=True, timeout=300)
+        except (OSError, subprocess.SubprocessError):
+            pass
+        path = os.path.join(_NATIVE_DIR, _LIB_NAME)
+        if not os.path.exists(path):
+            return None
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            return None
+        lib.AvDec_Open.restype = ctypes.c_void_p
+        lib.AvDec_Open.argtypes = [ctypes.c_char_p]
+        lib.AvDec_Info.argtypes = [ctypes.c_void_p,
+                                   ctypes.POINTER(ctypes.c_int)]
+        lib.AvDec_NextFrame.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int)]
+        lib.AvDec_NextFrame.restype = ctypes.c_int
+        lib.AvDec_Close.argtypes = [ctypes.c_void_p]
+        lib.AvAac_Open.restype = ctypes.c_void_p
+        lib.AvAac_Decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int)]
+        lib.AvAac_Decode.restype = ctypes.c_int
+        lib.AvAac_Close.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def avdec_available() -> bool:
+    return _load() is not None
+
+
+class AvVideoDecoder:
+    """Decode any container/codec FFmpeg knows to (Y, U, V) planes."""
+
+    def __init__(self, path: str):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("FFmpeg bridge unavailable")
+        self._lib = lib
+        self._h = lib.AvDec_Open(path.encode())
+        if not self._h:
+            raise RuntimeError(f"cannot open {path}")
+        info = (ctypes.c_int * 12)()
+        lib.AvDec_Info(self._h, info)
+        self.width = info[0]
+        self.height = info[1]
+        self.fps_num = info[2]
+        self.fps_den = info[3]
+        self.interlaced = bool(info[4])
+        self.codec_id = info[5]
+        self.chroma_class = info[6]  # 1 = 4:2:0, 2 = 4:2:2
+        self.sar = (info[7], info[8])
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.AvDec_Close(h)
+            self._h = None
+
+    def frames(self):
+        """Yield (y, u, v[, finfo]) uint8 planes in display order."""
+        w, h = self.width, self.height
+        ch = h if self.chroma_class == 2 else h // 2
+        cw = w // 2
+        finfo = (ctypes.c_int * 4)()
+        while True:
+            y = np.empty((h, w), np.uint8)
+            u = np.empty((ch, cw), np.uint8)
+            v = np.empty((ch, cw), np.uint8)
+            r = self._lib.AvDec_NextFrame(
+                self._h, y.ctypes.data_as(ctypes.c_void_p),
+                u.ctypes.data_as(ctypes.c_void_p),
+                v.ctypes.data_as(ctypes.c_void_p), finfo)
+            if r <= 0:
+                return
+            yield y, u, v
+
+
+def decode_file_av(path: str):
+    """(Y, U, V) frame iterator via the FFmpeg bridge."""
+    dec = AvVideoDecoder(path)
+    yield from dec.frames()
+
+
+class AvAacDecoder:
+    """FFmpeg's AAC decoder over raw ADTS frames (float PCM out)."""
+
+    def __init__(self):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("FFmpeg bridge unavailable")
+        self._lib = lib
+        self._h = lib.AvAac_Open()
+        if not self._h:
+            raise RuntimeError("no AAC decoder in libavcodec")
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.AvAac_Close(h)
+            self._h = None
+
+    def decode(self, adts_frame: bytes):
+        """-> (interleaved float32 [n, channels], sample_rate) or None
+        while the decoder is still buffering."""
+        buf = (ctypes.c_float * 16384)()
+        info = (ctypes.c_int * 4)()
+        n = self._lib.AvAac_Decode(self._h, adts_frame, len(adts_frame),
+                                   buf, 16384, info)
+        if n < 0:
+            raise RuntimeError(f"AAC decode failed ({n})")
+        if n == 0:
+            return None
+        chans, rate = info[0], info[1]
+        pcm = np.ctypeslib.as_array(buf)[:n].copy().reshape(-1, chans)
+        return pcm, rate

@@ -1,0 +1,283 @@
+// In-process FFmpeg integration — the native analog of the reference's
+// ReaderWriterFFmpeg.hpp (reference Amatsukaze/ReaderWriterFFmpeg.hpp:
+// 73-483): demux + decode of any libavcodec codec (H.264/HEVC/MPEG-1/2)
+// straight to YUV planes, plus a raw AAC ADTS frame decoder used to
+// cross-validate the in-build audio stack.
+//
+// Built as a SEPARATE shared library (libamatsukaze_av.so) linking the
+// system FFmpeg; the core library keeps zero external dependencies and
+// all consumers treat this one as optional.
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+#include <libswscale/swscale.h>
+}
+
+#include <cstdint>
+#include <cstring>
+#include <new>
+
+namespace {
+
+struct VDec {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* dec = nullptr;
+  SwsContext* sws = nullptr;
+  AVPacket* pkt = nullptr;
+  AVFrame* frame = nullptr;
+  AVFrame* out = nullptr;  // converted frame when sws is needed
+  int stream_index = -1;
+  int out_w = 0, out_h = 0;
+  AVPixelFormat out_fmt = AV_PIX_FMT_YUV420P;
+  bool eof_sent = false;
+};
+
+bool pick_out_fmt(AVPixelFormat in, AVPixelFormat* out) {
+  switch (in) {
+    case AV_PIX_FMT_YUV420P:
+    case AV_PIX_FMT_YUVJ420P:
+    case AV_PIX_FMT_NV12:
+      *out = AV_PIX_FMT_YUV420P;
+      return in == AV_PIX_FMT_YUV420P;
+    case AV_PIX_FMT_YUV422P:
+    case AV_PIX_FMT_YUVJ422P:
+      *out = AV_PIX_FMT_YUV422P;
+      return in == AV_PIX_FMT_YUV422P;
+    default:
+      *out = AV_PIX_FMT_YUV420P;
+      return false;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* AvDec_Open(const char* path) {
+  auto* d = new (std::nothrow) VDec();
+  if (!d) return nullptr;
+  if (avformat_open_input(&d->fmt, path, nullptr, nullptr) < 0) {
+    delete d;
+    return nullptr;
+  }
+  if (avformat_find_stream_info(d->fmt, nullptr) < 0) {
+    avformat_close_input(&d->fmt);
+    delete d;
+    return nullptr;
+  }
+  const AVCodec* codec = nullptr;
+  d->stream_index =
+      av_find_best_stream(d->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, &codec, 0);
+  if (d->stream_index < 0 || !codec) {
+    avformat_close_input(&d->fmt);
+    delete d;
+    return nullptr;
+  }
+  AVStream* st = d->fmt->streams[d->stream_index];
+  d->dec = avcodec_alloc_context3(codec);
+  avcodec_parameters_to_context(d->dec, st->codecpar);
+  d->dec->thread_count = 0;  // auto
+  if (avcodec_open2(d->dec, codec, nullptr) < 0) {
+    avcodec_free_context(&d->dec);
+    avformat_close_input(&d->fmt);
+    delete d;
+    return nullptr;
+  }
+  d->pkt = av_packet_alloc();
+  d->frame = av_frame_alloc();
+  d->out = av_frame_alloc();
+  return d;
+}
+
+// info[12] = {width, height, fps_num, fps_den, interlaced_guess,
+//             codec_id, chroma_class (1=420, 2=422), sar_num, sar_den,
+//             0, 0, 0}
+int AvDec_Info(void* hp, int* info) {
+  auto* d = static_cast<VDec*>(hp);
+  AVStream* st = d->fmt->streams[d->stream_index];
+  AVRational fr = av_guess_frame_rate(d->fmt, st, nullptr);
+  AVPixelFormat outf;
+  pick_out_fmt((AVPixelFormat)st->codecpar->format, &outf);
+  info[0] = st->codecpar->width;
+  info[1] = st->codecpar->height;
+  info[2] = fr.num ? fr.num : 30000;
+  info[3] = fr.den ? fr.den : 1001;
+  info[4] = st->codecpar->field_order != AV_FIELD_PROGRESSIVE &&
+            st->codecpar->field_order != AV_FIELD_UNKNOWN;
+  info[5] = (int)st->codecpar->codec_id;
+  info[6] = outf == AV_PIX_FMT_YUV422P ? 2 : 1;
+  info[7] = st->codecpar->sample_aspect_ratio.num;
+  info[8] = st->codecpar->sample_aspect_ratio.den;
+  info[9] = info[10] = info[11] = 0;
+  return 0;
+}
+
+// Decode the next frame into caller planes (sized per AvDec_Info:
+// y = w*h; u,v = (w/2)*(h/chroma_div) with chroma_div 2 for 420, 1 for
+// 422). finfo[4] = {pict_type, top_field_first, repeat_first_field,
+// interlaced_frame}. Returns 1 on frame, 0 at EOF, <0 on error.
+int AvDec_NextFrame(void* hp, uint8_t* y, uint8_t* u, uint8_t* v,
+                    int* finfo) {
+  auto* d = static_cast<VDec*>(hp);
+  while (true) {
+    int r = avcodec_receive_frame(d->dec, d->frame);
+    if (r == 0) break;
+    if (r == AVERROR_EOF) return 0;
+    if (r != AVERROR(EAGAIN)) return -1;
+    // need more input
+    if (d->eof_sent) return 0;
+    r = av_read_frame(d->fmt, d->pkt);
+    if (r < 0) {
+      avcodec_send_packet(d->dec, nullptr);
+      d->eof_sent = true;
+      continue;
+    }
+    if (d->pkt->stream_index == d->stream_index)
+      avcodec_send_packet(d->dec, d->pkt);
+    av_packet_unref(d->pkt);
+  }
+
+  AVFrame* f = d->frame;
+  AVPixelFormat outf;
+  bool direct = pick_out_fmt((AVPixelFormat)f->format, &outf);
+  int w = f->width, h = f->height;
+  int ch = outf == AV_PIX_FMT_YUV422P ? h : h / 2;
+  int cw = w / 2;
+  const uint8_t* sy;
+  const uint8_t* su;
+  const uint8_t* sv;
+  int ly, lu, lv;
+  if (direct) {
+    sy = f->data[0]; su = f->data[1]; sv = f->data[2];
+    ly = f->linesize[0]; lu = f->linesize[1]; lv = f->linesize[2];
+  } else {
+    if (!d->sws || d->out_w != w || d->out_h != h || d->out_fmt != outf) {
+      if (d->sws) sws_freeContext(d->sws);
+      d->sws = sws_getContext(w, h, (AVPixelFormat)f->format, w, h, outf,
+                              SWS_POINT, nullptr, nullptr, nullptr);
+      d->out_w = w; d->out_h = h; d->out_fmt = outf;
+      av_frame_unref(d->out);
+      d->out->format = outf;
+      d->out->width = w;
+      d->out->height = h;
+      av_frame_get_buffer(d->out, 32);
+    }
+    if (!d->sws) return -2;
+    sws_scale(d->sws, f->data, f->linesize, 0, h, d->out->data,
+              d->out->linesize);
+    sy = d->out->data[0]; su = d->out->data[1]; sv = d->out->data[2];
+    ly = d->out->linesize[0]; lu = d->out->linesize[1];
+    lv = d->out->linesize[2];
+  }
+  for (int r = 0; r < h; r++) std::memcpy(y + (int64_t)r * w, sy + (int64_t)r * ly, w);
+  for (int r = 0; r < ch; r++) {
+    std::memcpy(u + (int64_t)r * cw, su + (int64_t)r * lu, cw);
+    std::memcpy(v + (int64_t)r * cw, sv + (int64_t)r * lv, cw);
+  }
+  if (finfo) {
+    finfo[0] = (int)f->pict_type;
+#if LIBAVUTIL_VERSION_MAJOR >= 58
+    finfo[1] = (f->flags & AV_FRAME_FLAG_TOP_FIELD_FIRST) ? 1 : 0;
+    finfo[3] = (f->flags & AV_FRAME_FLAG_INTERLACED) ? 1 : 0;
+#else
+    finfo[1] = f->top_field_first;
+    finfo[3] = f->interlaced_frame;
+#endif
+    finfo[2] = f->repeat_pict;
+  }
+  av_frame_unref(d->frame);
+  return 1;
+}
+
+void AvDec_Close(void* hp) {
+  auto* d = static_cast<VDec*>(hp);
+  if (d->sws) sws_freeContext(d->sws);
+  av_frame_free(&d->frame);
+  av_frame_free(&d->out);
+  av_packet_free(&d->pkt);
+  avcodec_free_context(&d->dec);
+  avformat_close_input(&d->fmt);
+  delete d;
+}
+
+// ---------------------------------------------------------------------------
+// Raw AAC (ADTS) frame decoder — for differential tests of the in-build
+// audio stack (reference decodes via libfaad, AdtsParser.hpp:174-207).
+// ---------------------------------------------------------------------------
+
+struct ADec {
+  AVCodecContext* dec = nullptr;
+  AVPacket* pkt = nullptr;
+  AVFrame* frame = nullptr;
+};
+
+void* AvAac_Open() {
+  const AVCodec* codec = avcodec_find_decoder(AV_CODEC_ID_AAC);
+  if (!codec) return nullptr;
+  auto* d = new (std::nothrow) ADec();
+  d->dec = avcodec_alloc_context3(codec);
+  if (avcodec_open2(d->dec, codec, nullptr) < 0) {
+    avcodec_free_context(&d->dec);
+    delete d;
+    return nullptr;
+  }
+  d->pkt = av_packet_alloc();
+  d->frame = av_frame_alloc();
+  return d;
+}
+
+// Decode one ADTS frame; writes up to max_samples interleaved float32
+// samples. info[4] = {channels, sample_rate, samples_per_channel, 0}.
+// Returns sample count written (total, all channels), 0 if the decoder
+// buffered without output, <0 on error.
+int AvAac_Decode(void* hp, const uint8_t* data, int len, float* out,
+                 int max_samples, int* info) {
+  auto* d = static_cast<ADec*>(hp);
+  av_packet_unref(d->pkt);
+  if (av_new_packet(d->pkt, len) < 0) return -1;
+  std::memcpy(d->pkt->data, data, len);
+  int r = avcodec_send_packet(d->dec, d->pkt);
+  av_packet_unref(d->pkt);
+  if (r < 0 && r != AVERROR(EAGAIN)) return -2;
+  r = avcodec_receive_frame(d->dec, d->frame);
+  if (r == AVERROR(EAGAIN)) return 0;
+  if (r < 0) return -3;
+  AVFrame* f = d->frame;
+#if LIBAVUTIL_VERSION_MAJOR >= 57
+  int chans = f->ch_layout.nb_channels;
+#else
+  int chans = f->channels;
+#endif
+  int n = f->nb_samples;
+  if (chans * n > max_samples) { av_frame_unref(f); return -4; }
+  if (f->format == AV_SAMPLE_FMT_FLTP) {
+    for (int c = 0; c < chans; c++) {
+      const float* src = (const float*)f->data[c];
+      for (int i = 0; i < n; i++) out[i * chans + c] = src[i];
+    }
+  } else if (f->format == AV_SAMPLE_FMT_FLT) {
+    std::memcpy(out, f->data[0], sizeof(float) * chans * n);
+  } else {
+    av_frame_unref(f);
+    return -5;
+  }
+  info[0] = chans;
+  info[1] = f->sample_rate;
+  info[2] = n;
+  info[3] = 0;
+  av_frame_unref(f);
+  return chans * n;
+}
+
+void AvAac_Close(void* hp) {
+  auto* d = static_cast<ADec*>(hp);
+  av_frame_free(&d->frame);
+  av_packet_free(&d->pkt);
+  avcodec_free_context(&d->dec);
+  delete d;
+}
+
+}  // extern "C"

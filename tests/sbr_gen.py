@@ -190,5 +190,9 @@ def sbr_ps_payload(*, env_start: int = 25, noise_start: int = 30,
     w.write(2, 2)   # EXTENSION_ID_PS
     for b in ps_bytes:
         w.write(b, 8)
+    # bs_fill_bits: the extension region spans exactly cnt bytes — a
+    # conforming decoder consumes all 8*cnt bits, so the region itself
+    # must be padded (FFmpeg reads stray ids from under-filled regions)
+    w.write(0, cnt * 8 - ext_bits)
     w.byte_align(fill=0)
     return w.getvalue()

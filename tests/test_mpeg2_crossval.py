@@ -323,3 +323,122 @@ class TestMpeg1:
                     int(rng.integers(0, 256))
             decode_es(bytes(bad))
             decode_es_native(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# FFmpeg-bridge cross-validation (native/avdec.cpp): full-plane compare
+# including the interlaced paths cv2's raw mode could not reach.
+# ---------------------------------------------------------------------------
+
+def _avdec():
+    from amatsukaze_tpu.video.avdec import avdec_available
+
+    if not avdec_available():
+        pytest.skip("FFmpeg bridge unavailable")
+
+
+def _compare_full(cfg: EncConfig, gop: str, tmp_path, seed=2, tol=3):
+    from amatsukaze_tpu.video.avdec import AvVideoDecoder
+
+    frames = synth_frames(cfg.width, cfg.height, len(gop), seed=seed,
+                          chroma_format=cfg.chroma_format)
+    enc = Mpeg2TestEncoder(cfg)
+    es = enc.encode(frames, gop)
+    p = str(tmp_path / "t.m2v")
+    open(p, "wb").write(es)
+    ours = decode_es(es)
+    ff = list(AvVideoDecoder(p).frames())
+    assert len(ff) == len(ours) == len(gop)
+    for i, ((y, u, v), o) in enumerate(zip(ff, ours)):
+        for pl, a, b in (("y", y, o.y), ("u", u, o.u), ("v", v, o.v)):
+            d = np.abs(a.astype(int) - b.astype(int)).max()
+            assert d <= tol, f"frame {i} {pl}: diff {d}"
+
+
+class TestInterlacedAgainstFFmpeg:
+    """Every interlaced decode path, all three planes, vs libavcodec."""
+
+    def test_interlaced_frame_pictures(self, tmp_path):
+        _avdec()
+        _compare_full(EncConfig(64, 64, qs=4, progressive=False), "IPP",
+                      tmp_path)
+
+    def test_field_pictures_tb(self, tmp_path):
+        _avdec()
+        _compare_full(EncConfig(64, 64, qs=4, progressive=False,
+                                picture_opts={i: {"structure": "tb"}
+                                              for i in range(3)}),
+                      "IPP", tmp_path)
+
+    def test_field_pictures_bt(self, tmp_path):
+        _avdec()
+        _compare_full(EncConfig(64, 64, qs=4, progressive=False,
+                                picture_opts={i: {"structure": "bt"}
+                                              for i in range(2)}),
+                      "IP", tmp_path)
+
+    def test_second_field_refs_first(self, tmp_path):
+        _avdec()
+        _compare_full(EncConfig(64, 64, qs=4, progressive=False,
+                                picture_opts={0: {"structure": "tb"},
+                                              1: {"structure": "tb",
+                                                  "second_field_fs_par": 0}}),
+                      "IP", tmp_path)
+
+    def test_field_in_frame_motion(self, tmp_path):
+        _avdec()
+        _compare_full(EncConfig(64, 64, qs=4, progressive=False,
+                                frame_pred_frame_dct=False,
+                                picture_opts={i: {"motion": "field"}
+                                              for i in range(3)}),
+                      "IPP", tmp_path)
+
+    def test_dual_prime_frame(self, tmp_path):
+        _avdec()
+        _compare_full(EncConfig(64, 64, qs=4, progressive=False,
+                                frame_pred_frame_dct=False,
+                                picture_opts={i: {"motion": "dp",
+                                                  "dmv": (1, -1)}
+                                              for i in range(1, 3)}),
+                      "IPP", tmp_path)
+
+    def test_dual_prime_field(self, tmp_path):
+        _avdec()
+        _compare_full(EncConfig(64, 64, qs=4, progressive=False,
+                                picture_opts={0: {"structure": "tb"},
+                                              1: {"structure": "tb",
+                                                  "motion": "dp",
+                                                  "dmv": (0, 1)}}),
+                      "IP", tmp_path)
+
+    def test_16x8_motion(self, tmp_path):
+        _avdec()
+        _compare_full(EncConfig(64, 64, qs=4, progressive=False,
+                                picture_opts={0: {"structure": "tb"},
+                                              1: {"structure": "tb",
+                                                  "motion": "16x8",
+                                                  "mv16x8": (3, -2)}}),
+                      "IP", tmp_path)
+
+    def test_alternate_scan(self, tmp_path):
+        _avdec()
+        _compare_full(EncConfig(64, 64, qs=4, alternate_scan=True,
+                                progressive=False), "IPP", tmp_path)
+
+    def test_field_dct(self, tmp_path):
+        _avdec()
+        _compare_full(EncConfig(64, 64, qs=4, progressive=False,
+                                frame_pred_frame_dct=False,
+                                picture_opts={i: {"dct": "field"}
+                                              for i in range(2)}),
+                      "II", tmp_path)
+
+    def test_422_chroma_full(self, tmp_path):
+        _avdec()
+        _compare_full(EncConfig(64, 48, qs=4, chroma_format=2,
+                                progressive=True), "IPP", tmp_path)
+
+    def test_ibbp_all_planes(self, tmp_path):
+        _avdec()
+        _compare_full(EncConfig(64, 48, qs=4, progressive=True),
+                      "IBBPBBP", tmp_path)
