@@ -154,3 +154,79 @@ class AvAacDecoder:
         chans, rate = info[0], info[1]
         pcm = np.ctypeslib.as_array(buf)[:n].copy().reshape(-1, chans)
         return pcm, rate
+
+
+class AvH264Encoder:
+    """libx264 via the bridge: (Y, U, V) 4:2:0 planes in, Annex B out.
+    Backs H.264 test-stream generation and the in-build encoder
+    fallback."""
+
+    def __init__(self, width: int, height: int, fps_num: int = 30000,
+                 fps_den: int = 1001, crf: int = 20,
+                 preset: str = "veryfast", interlaced: bool = False,
+                 bframes: int = 2, x264_params: str = ""):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("FFmpeg bridge unavailable")
+        if not hasattr(lib, "AvEnc_OpenH264"):
+            raise RuntimeError("bridge lacks encode support")
+        lib.AvEnc_OpenH264.restype = ctypes.c_void_p
+        lib.AvEnc_OpenH264.argtypes = [ctypes.c_int] * 5 + [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_char_p]
+        lib.AvEnc_Encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int)]
+        lib.AvEnc_Encode.restype = ctypes.c_int
+        lib.AvEnc_Close.argtypes = [ctypes.c_void_p]
+        self._lib = lib
+        self._h = lib.AvEnc_OpenH264(width, height, fps_num, fps_den,
+                                     crf, preset.encode(),
+                                     1 if interlaced else 0, bframes,
+                                     x264_params.encode())
+        if not self._h:
+            raise RuntimeError("libx264 encoder unavailable")
+        self.width, self.height = width, height
+        self._buf = np.empty(width * height * 4 + (1 << 16), np.uint8)
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.AvEnc_Close(h)
+            self._h = None
+
+    def _collect(self, y, u, v) -> list[bytes]:
+        sizes = (ctypes.c_int * 64)()
+        npk = ctypes.c_int(0)
+        n = self._lib.AvEnc_Encode(
+            self._h,
+            None if y is None else y.ctypes.data_as(ctypes.c_void_p),
+            None if y is None else u.ctypes.data_as(ctypes.c_void_p),
+            None if y is None else v.ctypes.data_as(ctypes.c_void_p),
+            self._buf.ctypes.data_as(ctypes.c_void_p), self._buf.size,
+            sizes, 64, ctypes.byref(npk))
+        if n < 0:
+            raise RuntimeError(f"encode failed ({n})")
+        out, off = [], 0
+        for k in range(npk.value):
+            out.append(bytes(self._buf[off:off + sizes[k]]))
+            off += sizes[k]
+        return out
+
+    def encode(self, y: np.ndarray, u: np.ndarray, v: np.ndarray
+               ) -> list[bytes]:
+        """-> list of complete access units (coded order; may be empty
+        while the encoder buffers)."""
+        y = np.ascontiguousarray(y, np.uint8)
+        u = np.ascontiguousarray(u, np.uint8)
+        v = np.ascontiguousarray(v, np.uint8)
+        return self._collect(y, u, v)
+
+    def flush(self) -> list[bytes]:
+        out = []
+        while True:
+            chunk = self._collect(None, None, None)
+            if not chunk:
+                return out
+            out.extend(chunk)

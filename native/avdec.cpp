@@ -281,3 +281,109 @@ void AvAac_Close(void* hp) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// H.264 encode via libx264 (through libavcodec) — generates real H.264
+// streams for parser/pipeline tests and backs the in-build encoder
+// fallback when no external x264 binary exists.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+struct VEnc {
+  AVCodecContext* enc = nullptr;
+  AVFrame* frame = nullptr;
+  AVPacket* pkt = nullptr;
+  int64_t pts = 0;
+};
+
+void* AvEnc_OpenH264(int w, int h, int fps_num, int fps_den, int crf,
+                     const char* preset, int interlaced, int bframes,
+                     const char* x264_params) {
+  const AVCodec* codec = avcodec_find_encoder_by_name("libx264");
+  if (!codec) return nullptr;
+  auto* e = new (std::nothrow) VEnc();
+  e->enc = avcodec_alloc_context3(codec);
+  e->enc->width = w;
+  e->enc->height = h;
+  e->enc->time_base = {fps_den, fps_num};
+  e->enc->framerate = {fps_num, fps_den};
+  e->enc->pix_fmt = AV_PIX_FMT_YUV420P;
+  e->enc->gop_size = 30;
+  e->enc->max_b_frames = bframes;
+  if (interlaced)
+    e->enc->flags |= AV_CODEC_FLAG_INTERLACED_DCT |
+                     AV_CODEC_FLAG_INTERLACED_ME;
+  char crfs[16];
+  snprintf(crfs, sizeof crfs, "%d", crf);
+  av_opt_set(e->enc->priv_data, "crf", crfs, 0);
+  av_opt_set(e->enc->priv_data, "preset",
+             preset && *preset ? preset : "veryfast", 0);
+  if (x264_params && *x264_params)
+    av_opt_set(e->enc->priv_data, "x264-params", x264_params, 0);
+  if (avcodec_open2(e->enc, codec, nullptr) < 0) {
+    avcodec_free_context(&e->enc);
+    delete e;
+    return nullptr;
+  }
+  e->frame = av_frame_alloc();
+  e->frame->format = AV_PIX_FMT_YUV420P;
+  e->frame->width = w;
+  e->frame->height = h;
+  av_frame_get_buffer(e->frame, 32);
+  e->pkt = av_packet_alloc();
+  return e;
+}
+
+// Feed one frame (y/u/v planes, 4:2:0) or NULL planes to flush.
+// Annex B bytes land in out; per-access-unit packet sizes are written
+// to pkt_sizes (up to max_pkts; *n_pkts = count). Returns total bytes,
+// 0 if buffered, <0 on error.
+int AvEnc_Encode(void* hp, const uint8_t* y, const uint8_t* u,
+                 const uint8_t* v, uint8_t* out, int out_cap,
+                 int* pkt_sizes, int max_pkts, int* n_pkts) {
+  auto* e = static_cast<VEnc*>(hp);
+  int r;
+  if (y) {
+    av_frame_make_writable(e->frame);
+    int w = e->enc->width, h = e->enc->height;
+    for (int row = 0; row < h; row++)
+      std::memcpy(e->frame->data[0] + (int64_t)row * e->frame->linesize[0],
+                  y + (int64_t)row * w, w);
+    for (int row = 0; row < h / 2; row++) {
+      std::memcpy(e->frame->data[1] + (int64_t)row * e->frame->linesize[1],
+                  u + (int64_t)row * (w / 2), w / 2);
+      std::memcpy(e->frame->data[2] + (int64_t)row * e->frame->linesize[2],
+                  v + (int64_t)row * (w / 2), w / 2);
+    }
+    e->frame->pts = e->pts++;
+    r = avcodec_send_frame(e->enc, e->frame);
+  } else {
+    r = avcodec_send_frame(e->enc, nullptr);
+  }
+  if (r < 0 && r != AVERROR_EOF) return -1;
+  int total = 0;
+  if (n_pkts) *n_pkts = 0;
+  while (true) {
+    r = avcodec_receive_packet(e->enc, e->pkt);
+    if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) break;
+    if (r < 0) return -2;
+    if (total + e->pkt->size > out_cap) { av_packet_unref(e->pkt); return -3; }
+    std::memcpy(out + total, e->pkt->data, e->pkt->size);
+    total += e->pkt->size;
+    if (pkt_sizes && n_pkts && *n_pkts < max_pkts)
+      pkt_sizes[(*n_pkts)++] = e->pkt->size;
+    av_packet_unref(e->pkt);
+  }
+  return total;
+}
+
+void AvEnc_Close(void* hp) {
+  auto* e = static_cast<VEnc*>(hp);
+  av_frame_free(&e->frame);
+  av_packet_free(&e->pkt);
+  avcodec_free_context(&e->enc);
+  delete e;
+}
+
+}  // extern "C"

@@ -375,6 +375,7 @@ def build_simple_ts(
     event_name: str = "Test Program",
     jst_raw40: int = 0xC07A123456,
     video_es_frames: list | None = None,  # real coded pictures (coded order)
+    video_stream_type: int = 0x02,  # 0x02 MPEG2, 0x1B H.264
 ) -> bytes:
     """A single-program TS with MPEG2 video + N ADTS audio streams.
 
@@ -386,7 +387,7 @@ def build_simple_ts(
         num_frames = len(video_es_frames)
     tz = TsPacketizer()
     pat = make_pat(TSID, [(service_id, PMT_PID)])
-    streams = [(0x02, VIDEO_PID, b"")]
+    streams = [(video_stream_type, VIDEO_PID, b"")]
     for i in range(num_audio):
         streams.append((0x0F, AUDIO_PID + i, b""))
     pmt = make_pmt(service_id, VIDEO_PID, streams)
