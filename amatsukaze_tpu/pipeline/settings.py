@@ -312,6 +312,35 @@ _COLOR_MATRIX = {0: "GBR", 1: "bt709", 4: "fcc", 5: "bt470bg", 6: "smpte170m",
                  7: "smpte240m", 8: "YCgCo", 9: "bt2020nc", 10: "bt2020c"}
 
 
+def resolve_encoder_command(args: str, encoder: Encoder) -> str:
+    """Swap a missing x264 binary for the in-build libx264 shim
+    (tools/x264_shim over the FFmpeg bridge) so transcodes emit real
+    H.264 with no external encoder installed. Non-x264 encoders and
+    existing binaries pass through unchanged."""
+    import shlex
+    import shutil as _sh
+    import sys as _sys
+
+    try:
+        head = shlex.split(args)[0]
+    except (ValueError, IndexError):
+        return args
+    if _sh.which(head) or os.path.exists(head):
+        return args
+    if encoder != Encoder.X264:
+        return args
+    try:
+        from ..video.avdec import avdec_available
+
+        if not avdec_available():
+            return args
+    except Exception:  # noqa: BLE001
+        return args
+    rest = args[len(args.split(None, 1)[0]):] if " " in args else ""
+    return (f'"{_sys.executable}" -m amatsukaze_tpu.tools.x264_shim'
+            f"{rest}")
+
+
 def make_encoder_args(
     encoder: Encoder,
     binpath: str,

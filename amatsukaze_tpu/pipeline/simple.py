@@ -44,6 +44,9 @@ class SimpleTranscode:
             fmt, st.enc_video_file_path(key),
         )
         ctx.info("%s", args)
+        from .settings import resolve_encoder_command
+
+        args = resolve_encoder_command(args, st.conf.encoder)
         proc = SubProcess(args)
         writer = Y4MWriter(proc.stdin, Y4MFormat(
             width=fmt.width, height=fmt.height,

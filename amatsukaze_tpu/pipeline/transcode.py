@@ -702,6 +702,9 @@ def _default_encoder_runner(pipeline: TranscodePipeline, reform,
     spec = getattr(pipeline, "_active_spec", None)
     out_fmt = spec.out_format if spec is not None else fmt
 
+    from .settings import resolve_encoder_command
+
+    encoder_args = resolve_encoder_command(encoder_args, st.conf.encoder)
     proc = SubProcess(encoder_args)
     y4m_fmt = Y4MFormat(
         width=out_fmt.width, height=out_fmt.height,

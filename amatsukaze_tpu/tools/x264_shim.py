@@ -1,0 +1,92 @@
+"""In-build x264-compatible encoder: y4m on stdin -> H.264 Annex B.
+
+Accepts the argument shape the pipeline generates for a real x264
+binary (pipeline/settings.make_encoder_args) and encodes through the
+in-process libx264 bridge (native/avdec.cpp), so a full transcode
+produces REAL H.264 output in environments with no encoder binaries.
+Unknown x264 options are accepted and ignored (geometry/fps/interlace
+come from the y4m header; --crf/--preset/--bitrate are honoured).
+
+Run as `python -m amatsukaze_tpu.tools.x264_shim <x264-style args>`.
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def parse_args(argv: list[str]) -> dict:
+    opts = {"out": "", "crf": 21, "preset": "veryfast", "tff": False,
+            "bitrate": 0}
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+
+        def val():
+            nonlocal i
+            i += 1
+            return argv[i] if i < len(argv) else ""
+
+        if a == "-o":
+            opts["out"] = val()
+        elif a == "--crf":
+            opts["crf"] = int(round(float(val())))
+        elif a == "--preset":
+            opts["preset"] = val()
+        elif a == "--bitrate":
+            opts["bitrate"] = int(val())
+        elif a == "--tff" or a == "--bff":
+            opts["tff"] = True
+        elif a in ("--pass", "--stats", "--colorprim", "--transfer",
+                   "--colormatrix", "--demuxer", "--vbv-bufsize",
+                   "--vbv-maxrate", "--zones", "--tcfile-in",
+                   "--timebase", "--qp", "--level", "--profile",
+                   "--keyint", "--min-keyint", "--output-depth"):
+            val()  # option with an argument: accepted, ignored
+        # bare flags (e.g. --stitchable, '-') are accepted and ignored
+        i += 1
+    return opts
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    opts = parse_args(argv)
+    if not opts["out"]:
+        print("x264_shim: no -o output path", file=sys.stderr)
+        return 1
+    from ..io.y4m import Y4MReader
+    from ..video.avdec import AvH264Encoder, avdec_available
+
+    if not avdec_available():
+        print("x264_shim: FFmpeg bridge unavailable", file=sys.stderr)
+        return 2
+    reader = Y4MReader(sys.stdin.buffer)
+    fmt = reader.fmt
+    extra = "force-cfr=1"
+    if opts["bitrate"]:
+        extra += f":bitrate={opts['bitrate']}"
+    enc = AvH264Encoder(
+        fmt.width, fmt.height, fps_num=fmt.fps_num, fps_den=fmt.fps_den,
+        crf=opts["crf"], preset=opts["preset"],
+        interlaced=fmt.interlaced, x264_params=extra)
+    import numpy as np
+
+    shift = max(fmt.bits - 8, 0)
+    n = 0
+    with open(opts["out"], "wb") as out:
+        for y, u, v in reader.frames():
+            if shift:  # high-bit-depth y4m from the post chain
+                y = (y >> shift).astype(np.uint8)
+                u = (u >> shift).astype(np.uint8)
+                v = (v >> shift).astype(np.uint8)
+            for pkt in enc.encode(y, u, v):
+                out.write(pkt)
+            n += 1
+        for pkt in enc.flush():
+            out.write(pkt)
+    print(f"x264_shim: encoded {n} frames", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
