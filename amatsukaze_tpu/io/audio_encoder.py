@@ -21,10 +21,13 @@ def encode_audio(ctx, settings, reform, key, audio_index: int) -> str:
     fmt = reform.get_format(key).audio_format[audio_index]
     nch = NUM_AUDIO_CHANNELS.get(fmt.channels, 2)
 
+    from ..pipeline.settings import resolve_audio_encoder_command
+
     args = make_audio_encoder_args(
         conf.audio_encoder, conf.audio_encoder_path,
         conf.audio_encoder_options, conf.audio_bitrate_kbps, out_path,
     )
+    args = resolve_audio_encoder_command(args)
     ctx.info("%s", args)
     proc = SubProcess(args)
     wave_frames = reform.get_wave_input(frame_indices)

@@ -396,6 +396,31 @@ def make_encoder_args(
     return " ".join(parts)
 
 
+def resolve_audio_encoder_command(args: str) -> str:
+    """Swap a missing external AAC encoder for the in-build libavcodec
+    shim (tools/aac_shim); existing binaries pass through unchanged."""
+    import shlex
+    import shutil as _sh
+    import sys as _sys
+
+    try:
+        head = shlex.split(args)[0]
+    except (ValueError, IndexError):
+        return args
+    if _sh.which(head) or os.path.exists(head):
+        return args
+    try:
+        from ..video.avdec import avdec_available
+
+        if not avdec_available():
+            return args
+    except Exception:  # noqa: BLE001
+        return args
+    rest = args[len(args.split(None, 1)[0]):] if " " in args else ""
+    return (f'"{_sys.executable}" -m amatsukaze_tpu.tools.aac_shim'
+            f"{rest}")
+
+
 def make_audio_encoder_args(encoder: AudioEncoder, binpath: str, options: str,
                             kbps: int, outpath: str) -> str:
     """(ref makeAudioEncoderArgs :225-261)."""

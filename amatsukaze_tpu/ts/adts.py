@@ -46,8 +46,9 @@ class AdtsHeader:
         try:
             if r.read(12) != 0xFFF:
                 return False
-            if r.read(1) != 1:  # ID (MPEG-2)
-                return False
+            # ID bit: 1 = MPEG-2 style (broadcast), 0 = MPEG-4 — both
+            # carry identical AAC payloads; libfaad/FFmpeg accept either
+            self.mpeg2_id = r.read(1)
             if r.read(2) != 0:  # layer
                 return False
             self.protection_absent = r.read(1)

@@ -230,3 +230,97 @@ class AvH264Encoder:
             if not chunk:
                 return out
             out.extend(chunk)
+
+
+class AvAacEncoder:
+    """libavcodec's AAC-LC encoder: interleaved s16 PCM in, raw AAC
+    frames out (caller adds ADTS headers)."""
+
+    _SFI = {96000: 0, 88200: 1, 64000: 2, 48000: 3, 44100: 4, 32000: 5,
+            24000: 6, 22050: 7, 16000: 8, 12000: 9, 11025: 10, 8000: 11}
+
+    def __init__(self, sample_rate: int, channels: int,
+                 bitrate: int = 192000):
+        lib = _load()
+        if lib is None or not hasattr(lib, "AvAacEnc_Open"):
+            raise RuntimeError("FFmpeg bridge unavailable")
+        lib.AvAacEnc_Open.restype = ctypes.c_void_p
+        lib.AvAacEnc_Open.argtypes = [ctypes.c_int] * 3
+        lib.AvAacEnc_FrameSize.argtypes = [ctypes.c_void_p]
+        lib.AvAacEnc_FrameSize.restype = ctypes.c_int
+        lib.AvAacEnc_Encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
+        lib.AvAacEnc_Encode.restype = ctypes.c_int
+        lib.AvAacEnc_Close.argtypes = [ctypes.c_void_p]
+        self._lib = lib
+        self._h = lib.AvAacEnc_Open(sample_rate, channels, bitrate)
+        if not self._h:
+            raise RuntimeError("no AAC encoder in libavcodec")
+        self.sample_rate = sample_rate
+        self.channels = channels
+        self.frame_size = lib.AvAacEnc_FrameSize(self._h)
+        self._buf = np.empty(1 << 16, np.uint8)
+        self._pend = np.empty((0, channels), np.int16)
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.AvAacEnc_Close(h)
+            self._h = None
+
+    def _adts(self, raw: bytes) -> bytes:
+        ln = len(raw) + 7
+        sfi = self._SFI[self.sample_rate]
+        hdr = bytearray(7)
+        hdr[0] = 0xFF
+        hdr[1] = 0xF1  # MPEG-4, no CRC
+        hdr[2] = (1 << 6) | (sfi << 2) | (self.channels >> 2)
+        hdr[3] = ((self.channels & 3) << 6) | ((ln >> 11) & 3)
+        hdr[4] = (ln >> 3) & 0xFF
+        hdr[5] = ((ln & 7) << 5) | 0x1F
+        hdr[6] = 0xFC
+        return bytes(hdr) + raw
+
+    def _emit(self, pcm, n) -> bytes:
+        sizes = (ctypes.c_int * 16)()
+        npk = ctypes.c_int(0)
+        total = self._lib.AvAacEnc_Encode(
+            self._h,
+            None if pcm is None else pcm.ctypes.data_as(ctypes.c_void_p),
+            n, self._buf.ctypes.data_as(ctypes.c_void_p), self._buf.size,
+            sizes, 16, ctypes.byref(npk))
+        if total < 0:
+            raise RuntimeError(f"AAC encode failed ({total})")
+        out, off = b"", 0
+        for k in range(npk.value):
+            out += self._adts(bytes(self._buf[off:off + sizes[k]]))
+            off += sizes[k]
+        return out
+
+    def encode(self, pcm: np.ndarray) -> bytes:
+        """pcm: [n, channels] int16; returns ADTS bytes (buffered)."""
+        self._pend = np.concatenate(
+            [self._pend, pcm.reshape(-1, self.channels)])
+        out = b""
+        while len(self._pend) >= self.frame_size:
+            chunk = np.ascontiguousarray(self._pend[:self.frame_size])
+            self._pend = self._pend[self.frame_size:]
+            out += self._emit(chunk, self.frame_size)
+        return out
+
+    def flush(self) -> bytes:
+        out = b""
+        if len(self._pend):
+            pad = np.zeros((self.frame_size - len(self._pend),
+                            self.channels), np.int16)
+            chunk = np.ascontiguousarray(
+                np.concatenate([self._pend, pad]))
+            self._pend = self._pend[:0]
+            out += self._emit(chunk, self.frame_size)
+        while True:
+            chunk = self._emit(None, 0)
+            if not chunk:
+                return out
+            out += chunk

@@ -817,7 +817,7 @@ struct Decoder {
     // ADTS header (mirrors AdtsHeader.parse in ts/adts.py)
     BitReader hr{frame, 0, (int64_t)len * 8, false};
     if (hr.read(12) != 0xFFF) return 0;
-    if (hr.read(1) != 1) return 0;   // ID (MPEG-2)
+    hr.read(1);  // ID: MPEG-2 (broadcast) or MPEG-4 — both accepted
     if (hr.read(2) != 0) return 0;   // layer
     int protection_absent = hr.read(1);
     hr.read(2);                      // profile

@@ -387,3 +387,109 @@ void AvEnc_Close(void* hp) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// AAC-LC encode (libavcodec 'aac') — backs the in-build audio encoder
+// fallback (the reference pipes WAV to external neroAac/qaac/fdkaac).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+struct AEnc {
+  AVCodecContext* enc = nullptr;
+  AVFrame* frame = nullptr;
+  AVPacket* pkt = nullptr;
+  int64_t pts = 0;
+};
+
+void* AvAacEnc_Open(int sample_rate, int channels, int bitrate) {
+  const AVCodec* codec = avcodec_find_encoder(AV_CODEC_ID_AAC);
+  if (!codec) return nullptr;
+  auto* e = new (std::nothrow) AEnc();
+  e->enc = avcodec_alloc_context3(codec);
+  e->enc->sample_rate = sample_rate;
+  e->enc->sample_fmt = AV_SAMPLE_FMT_FLTP;
+  e->enc->bit_rate = bitrate > 0 ? bitrate : 192000;
+#if LIBAVUTIL_VERSION_MAJOR >= 57
+  av_channel_layout_default(&e->enc->ch_layout, channels);
+#else
+  e->enc->channels = channels;
+  e->enc->channel_layout = av_get_default_channel_layout(channels);
+#endif
+  e->enc->time_base = {1, sample_rate};
+  if (avcodec_open2(e->enc, codec, nullptr) < 0) {
+    avcodec_free_context(&e->enc);
+    delete e;
+    return nullptr;
+  }
+  e->frame = av_frame_alloc();
+  e->frame->format = AV_SAMPLE_FMT_FLTP;
+  e->frame->nb_samples = e->enc->frame_size;
+#if LIBAVUTIL_VERSION_MAJOR >= 57
+  av_channel_layout_copy(&e->frame->ch_layout, &e->enc->ch_layout);
+#else
+  e->frame->channels = channels;
+  e->frame->channel_layout = e->enc->channel_layout;
+#endif
+  av_frame_get_buffer(e->frame, 0);
+  e->pkt = av_packet_alloc();
+  return e;
+}
+
+int AvAacEnc_FrameSize(void* hp) {
+  return static_cast<AEnc*>(hp)->enc->frame_size;
+}
+
+// Feed exactly frame_size interleaved s16 samples per channel (or
+// nsamples=0 to flush). Raw AAC packets (no ADTS header) are written to
+// out with sizes in pkt_sizes. Returns total bytes, <0 on error.
+int AvAacEnc_Encode(void* hp, const int16_t* pcm, int nsamples,
+                    uint8_t* out, int out_cap, int* pkt_sizes,
+                    int max_pkts, int* n_pkts) {
+  auto* e = static_cast<AEnc*>(hp);
+  int r;
+  if (nsamples > 0) {
+    av_frame_make_writable(e->frame);
+#if LIBAVUTIL_VERSION_MAJOR >= 57
+    int chans = e->enc->ch_layout.nb_channels;
+#else
+    int chans = e->enc->channels;
+#endif
+    if (nsamples != e->enc->frame_size) return -10;
+    for (int c = 0; c < chans; c++) {
+      float* dst = (float*)e->frame->data[c];
+      for (int i = 0; i < nsamples; i++)
+        dst[i] = pcm[i * chans + c] / 32768.0f;
+    }
+    e->frame->pts = e->pts;
+    e->pts += nsamples;
+    r = avcodec_send_frame(e->enc, e->frame);
+  } else {
+    r = avcodec_send_frame(e->enc, nullptr);
+  }
+  if (r < 0 && r != AVERROR_EOF) return -1;
+  int total = 0;
+  if (n_pkts) *n_pkts = 0;
+  while (true) {
+    r = avcodec_receive_packet(e->enc, e->pkt);
+    if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) break;
+    if (r < 0) return -2;
+    if (total + e->pkt->size > out_cap) { av_packet_unref(e->pkt); return -3; }
+    std::memcpy(out + total, e->pkt->data, e->pkt->size);
+    total += e->pkt->size;
+    if (pkt_sizes && n_pkts && *n_pkts < max_pkts)
+      pkt_sizes[(*n_pkts)++] = e->pkt->size;
+    av_packet_unref(e->pkt);
+  }
+  return total;
+}
+
+void AvAacEnc_Close(void* hp) {
+  auto* e = static_cast<AEnc*>(hp);
+  av_frame_free(&e->frame);
+  av_packet_free(&e->pkt);
+  avcodec_free_context(&e->enc);
+  delete e;
+}
+
+}  // extern "C"
