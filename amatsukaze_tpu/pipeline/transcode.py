@@ -815,8 +815,39 @@ def _default_muxer_runner(pipeline: TranscodePipeline, reform,
     file = reform.get_encode_file(key)
     out_path = st.out_file_path(file.out_key, file.key_max)
     if not _shutil.which(st.conf.muxer_path):
-        if os.path.exists(st.enc_video_file_path(key)):
-            os.replace(st.enc_video_file_path(key), out_path)
+        enc_video = st.enc_video_file_path(key)
+        if not os.path.exists(enc_video):
+            return
+        # in-build remux (libavformat): real mp4/mkv with audio + VFR
+        # timestamps; bare-stream move only as the last resort
+        try:
+            from ..video.avdec import avdec_available, remux_files
+
+            if not avdec_available():
+                raise RuntimeError("no bridge")
+            audios = []
+            for i in range(len(file.audio_frames)):
+                p = st.int_audio_file_path(key, i)
+                if os.path.exists(p):
+                    audios.append(p)
+            tc_path = st.enc_timecode_path(key)
+            timecodes = None
+            if os.path.exists(tc_path):
+                with open(tc_path) as f:
+                    timecodes = [float(line) for line in f
+                                 if not line.startswith("#")]
+            spec = getattr(pipeline, "_active_spec", None)
+            fmt = (spec.out_format if spec is not None
+                   else reform.get_format(key).video_format)
+            remux_files(enc_video, audios, out_path,
+                        fmt.frame_rate_num or 30000,
+                        fmt.frame_rate_denom or 1001, timecodes)
+            res.file_size = os.path.getsize(out_path)
+            pipeline.ctx.info("[mux] in-build remux -> %s", out_path)
+        except Exception as e:  # noqa: BLE001 - fall back to bare stream
+            pipeline.ctx.warn("in-build remux unavailable (%s); writing "
+                              "the bare stream", e)
+            os.replace(enc_video, out_path)
         return
     eo_info = parse_encoder_option(st.conf.encoder, st.conf.encoder_options)
     timecode = st.enc_timecode_path(key)

@@ -324,3 +324,30 @@ class AvAacEncoder:
             if not chunk:
                 return out
             out += chunk
+
+
+def remux_files(video_path: str, audio_paths: list[str], out_path: str,
+                fps_num: int, fps_den: int,
+                timecodes_ms: list[float] | None = None) -> None:
+    """Remux a raw H.264/HEVC stream + ADTS audio tracks into a real
+    container (mp4/mkv chosen by out_path extension) via libavformat.
+    VFR timestamps come from timecodes_ms (timecode-v2 values)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "AvMux_Remux"):
+        raise RuntimeError("FFmpeg bridge unavailable")
+    lib.AvMux_Remux.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int]
+    lib.AvMux_Remux.restype = ctypes.c_int
+    aud = (ctypes.c_char_p * max(1, len(audio_paths)))(
+        *[p.encode() for p in audio_paths])
+    if timecodes_ms:
+        tc = (ctypes.c_double * len(timecodes_ms))(*timecodes_ms)
+        ntc = len(timecodes_ms)
+    else:
+        tc, ntc = None, 0
+    r = lib.AvMux_Remux(video_path.encode(), aud, len(audio_paths),
+                        out_path.encode(), fps_num, fps_den, tc, ntc)
+    if r != 0:
+        raise RuntimeError(f"remux failed ({r})")

@@ -493,3 +493,114 @@ void AvAacEnc_Close(void* hp) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Remux raw H.264/HEVC + ADTS AAC into a real container (mp4/mkv by
+// extension) — the in-build fallback for the external muxer chain
+// (L-SMASH muxer/timelineeditor/mp4box, reference Muxer.hpp:28-245).
+// Video timestamps come from explicit per-frame times when given (VFR
+// timecodes) or the fixed frame rate.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int AvMux_Remux(const char* video_path, const char** audio_paths,
+                int n_audio, const char* out_path, int fps_num,
+                int fps_den, const double* timecodes_ms,
+                int n_timecodes) {
+  int err = -1;
+  AVFormatContext* out = nullptr;
+  AVFormatContext* vin = nullptr;
+  AVFormatContext** ains = nullptr;
+  AVPacket* pkt = av_packet_alloc();
+  int64_t vcount = 0;
+  int64_t* acounts = nullptr;
+
+  if (avformat_alloc_output_context2(&out, nullptr, nullptr, out_path) < 0)
+    goto done;
+  if (avformat_open_input(&vin, video_path, nullptr, nullptr) < 0)
+    goto done;
+  if (avformat_find_stream_info(vin, nullptr) < 0) goto done;
+  {
+    AVStream* vs = avformat_new_stream(out, nullptr);
+    avcodec_parameters_copy(vs->codecpar, vin->streams[0]->codecpar);
+    vs->codecpar->codec_tag = 0;
+    vs->time_base = {fps_den, fps_num};
+  }
+  ains = (AVFormatContext**)av_mallocz(sizeof(void*) *
+                                       (n_audio > 0 ? n_audio : 1));
+  acounts = (int64_t*)av_mallocz(sizeof(int64_t) *
+                                 (n_audio > 0 ? n_audio : 1));
+  for (int i = 0; i < n_audio; i++) {
+    if (avformat_open_input(&ains[i], audio_paths[i], nullptr, nullptr) < 0)
+      goto done;
+    if (avformat_find_stream_info(ains[i], nullptr) < 0) goto done;
+    AVStream* as = avformat_new_stream(out, nullptr);
+    avcodec_parameters_copy(as->codecpar, ains[i]->streams[0]->codecpar);
+    as->codecpar->codec_tag = 0;
+    as->time_base = {1, ains[i]->streams[0]->codecpar->sample_rate};
+  }
+  if (!(out->oformat->flags & AVFMT_NOFILE) &&
+      avio_open(&out->pb, out_path, AVIO_FLAG_WRITE) < 0)
+    goto done;
+  if (avformat_write_header(out, nullptr) < 0) goto done;
+
+  // video packets: coded order == display order (shim encodes with no
+  // B-frames); stamp from timecodes or CFR
+  while (av_read_frame(vin, pkt) >= 0) {
+    if (pkt->stream_index != 0) { av_packet_unref(pkt); continue; }
+    AVStream* os = out->streams[0];
+    int64_t ts;
+    if (timecodes_ms && vcount < n_timecodes) {
+      ts = av_rescale_q((int64_t)(timecodes_ms[vcount] * 1000.0),
+                        {1, 1000000}, os->time_base);
+    } else {
+      ts = av_rescale_q(vcount, {fps_den, fps_num}, os->time_base);
+    }
+    pkt->pts = pkt->dts = ts;
+    if (timecodes_ms && vcount + 1 < n_timecodes) {
+      int64_t nxt = av_rescale_q(
+          (int64_t)(timecodes_ms[vcount + 1] * 1000.0), {1, 1000000},
+          os->time_base);
+      pkt->duration = nxt - ts;
+    } else {
+      pkt->duration = av_rescale_q(1, {fps_den, fps_num}, os->time_base);
+    }
+    pkt->stream_index = 0;
+    vcount++;
+    if (av_interleaved_write_frame(out, pkt) < 0) goto done;
+  }
+  for (int i = 0; i < n_audio; i++) {
+    int sr = ains[i]->streams[0]->codecpar->sample_rate;
+    int fs = ains[i]->streams[0]->codecpar->frame_size;
+    if (fs <= 0) fs = 1024;
+    while (av_read_frame(ains[i], pkt) >= 0) {
+      if (pkt->stream_index != 0) { av_packet_unref(pkt); continue; }
+      AVStream* os = out->streams[1 + i];
+      pkt->pts = pkt->dts = av_rescale_q(acounts[i] * fs, {1, sr},
+                                         os->time_base);
+      pkt->duration = av_rescale_q(fs, {1, sr}, os->time_base);
+      pkt->stream_index = 1 + i;
+      acounts[i]++;
+      if (av_interleaved_write_frame(out, pkt) < 0) goto done;
+    }
+  }
+  if (av_write_trailer(out) < 0) goto done;
+  err = 0;
+
+done:
+  av_packet_free(&pkt);
+  if (vin) avformat_close_input(&vin);
+  for (int i = 0; ains && i < n_audio; i++)
+    if (ains[i]) avformat_close_input(&ains[i]);
+  av_free(ains);
+  av_free(acounts);
+  if (out) {
+    if (!(out->oformat->flags & AVFMT_NOFILE) && out->pb)
+      avio_closep(&out->pb);
+    avformat_free_context(out);
+  }
+  return err;
+}
+
+}  // extern "C"
