@@ -825,11 +825,12 @@ def _default_muxer_runner(pipeline: TranscodePipeline, reform,
 
             if not avdec_available():
                 raise RuntimeError("no bridge")
-            audios = []
-            for i in range(len(file.audio_frames)):
-                p = st.int_audio_file_path(key, i)
-                if os.path.exists(p):
-                    audios.append(p)
+            # produce the per-output audio tracks (incl. dual-mono
+            # split) exactly like the external-muxer path would
+            mux = Muxer(pipeline.ctx, st, reform,
+                        aac_decoder_factory=pipeline.audio_decoder_factory)
+            audios = [p for p in mux._write_audio_files(key)
+                      if os.path.exists(p)]
             tc_path = st.enc_timecode_path(key)
             timecodes = None
             if os.path.exists(tc_path):

@@ -532,9 +532,15 @@ int AvMux_Remux(const char* video_path, const char** audio_paths,
   acounts = (int64_t*)av_mallocz(sizeof(int64_t) *
                                  (n_audio > 0 ? n_audio : 1));
   for (int i = 0; i < n_audio; i++) {
+    // an unparseable audio track is skipped, not fatal
     if (avformat_open_input(&ains[i], audio_paths[i], nullptr, nullptr) < 0)
-      goto done;
-    if (avformat_find_stream_info(ains[i], nullptr) < 0) goto done;
+      continue;
+    if (avformat_find_stream_info(ains[i], nullptr) < 0 ||
+        ains[i]->streams[0]->codecpar->sample_rate <= 0) {
+      avformat_close_input(&ains[i]);
+      ains[i] = nullptr;
+      continue;
+    }
     AVStream* as = avformat_new_stream(out, nullptr);
     avcodec_parameters_copy(as->codecpar, ains[i]->streams[0]->codecpar);
     as->codecpar->codec_tag = 0;
@@ -570,17 +576,19 @@ int AvMux_Remux(const char* video_path, const char** audio_paths,
     vcount++;
     if (av_interleaved_write_frame(out, pkt) < 0) goto done;
   }
-  for (int i = 0; i < n_audio; i++) {
+  for (int i = 0, oidx = 0; i < n_audio; i++) {
+    if (!ains[i]) continue;
+    oidx++;
     int sr = ains[i]->streams[0]->codecpar->sample_rate;
     int fs = ains[i]->streams[0]->codecpar->frame_size;
     if (fs <= 0) fs = 1024;
     while (av_read_frame(ains[i], pkt) >= 0) {
       if (pkt->stream_index != 0) { av_packet_unref(pkt); continue; }
-      AVStream* os = out->streams[1 + i];
+      AVStream* os = out->streams[oidx];
       pkt->pts = pkt->dts = av_rescale_q(acounts[i] * fs, {1, sr},
                                          os->time_base);
       pkt->duration = av_rescale_q(fs, {1, sr}, os->time_base);
-      pkt->stream_index = 1 + i;
+      pkt->stream_index = oidx;
       acounts[i]++;
       if (av_interleaved_write_frame(out, pkt) < 0) goto done;
     }
