@@ -327,7 +327,9 @@ def resolve_encoder_command(args: str, encoder: Encoder) -> str:
         return args
     if _sh.which(head) or os.path.exists(head):
         return args
-    if encoder != Encoder.X264:
+    codec = {Encoder.X264: "libx264", Encoder.X265: "libx265",
+             Encoder.SVTAV1: "libsvtav1"}.get(encoder)
+    if codec is None:
         return args
     try:
         from ..video.avdec import avdec_available
@@ -337,8 +339,8 @@ def resolve_encoder_command(args: str, encoder: Encoder) -> str:
     except Exception:  # noqa: BLE001
         return args
     rest = args[len(args.split(None, 1)[0]):] if " " in args else ""
-    return (f'"{_sys.executable}" -m amatsukaze_tpu.tools.x264_shim'
-            f"{rest}")
+    return (f'"{_sys.executable}" -m amatsukaze_tpu.tools.x264_shim '
+            f"--shim-codec {codec}{rest}")
 
 
 def make_encoder_args(

@@ -17,7 +17,7 @@ import sys
 
 def parse_args(argv: list[str]) -> dict:
     opts = {"out": "", "crf": 21, "preset": "veryfast", "tff": False,
-            "bitrate": 0}
+            "bitrate": 0, "codec": "libx264"}
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -27,8 +27,12 @@ def parse_args(argv: list[str]) -> dict:
             i += 1
             return argv[i] if i < len(argv) else ""
 
-        if a == "-o":
+        if a in ("-o", "-b") and opts["codec"] == "libsvtav1":
             opts["out"] = val()
+        elif a == "-o":
+            opts["out"] = val()
+        elif a == "--shim-codec":
+            opts["codec"] = val()
         elif a == "--crf":
             opts["crf"] = int(round(float(val())))
         elif a == "--preset":
@@ -55,20 +59,26 @@ def main(argv=None) -> int:
         print("x264_shim: no -o output path", file=sys.stderr)
         return 1
     from ..io.y4m import Y4MReader
-    from ..video.avdec import AvH264Encoder, avdec_available
+    from ..video.avdec import AvVideoEncoder, avdec_available
 
     if not avdec_available():
         print("x264_shim: FFmpeg bridge unavailable", file=sys.stderr)
         return 2
     reader = Y4MReader(sys.stdin.buffer)
     fmt = reader.fmt
-    extra = "force-cfr=1"
-    if opts["bitrate"]:
-        extra += f":bitrate={opts['bitrate']}"
-    enc = AvH264Encoder(
+    extra = ""
+    preset = opts["preset"]
+    if opts["codec"] == "libx264":
+        extra = "force-cfr=1"
+        if opts["bitrate"]:
+            extra += f":bitrate={opts['bitrate']}"
+    elif opts["codec"] == "libsvtav1":
+        preset = "8"  # SVT presets are numeric
+    enc = AvVideoEncoder(
         fmt.width, fmt.height, fps_num=fmt.fps_num, fps_den=fmt.fps_den,
-        crf=opts["crf"], preset=opts["preset"],
-        interlaced=fmt.interlaced, x264_params=extra)
+        crf=opts["crf"], preset=preset,
+        interlaced=fmt.interlaced, x264_params=extra,
+        codec=opts["codec"])
     import numpy as np
 
     shift = max(fmt.bits - 8, 0)

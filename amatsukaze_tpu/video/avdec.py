@@ -156,22 +156,23 @@ class AvAacDecoder:
         return pcm, rate
 
 
-class AvH264Encoder:
-    """libx264 via the bridge: (Y, U, V) 4:2:0 planes in, Annex B out.
-    Backs H.264 test-stream generation and the in-build encoder
-    fallback."""
+class AvVideoEncoder:
+    """A libavcodec video encoder (libx264 / libx265 / libsvtav1) via
+    the bridge: (Y, U, V) 4:2:0 planes in, raw bitstream out. Backs
+    test-stream generation and the in-build encoder fallback."""
 
     def __init__(self, width: int, height: int, fps_num: int = 30000,
                  fps_den: int = 1001, crf: int = 20,
                  preset: str = "veryfast", interlaced: bool = False,
-                 bframes: int = 2, x264_params: str = ""):
+                 bframes: int = 2, x264_params: str = "",
+                 codec: str = "libx264"):
         lib = _load()
         if lib is None:
             raise RuntimeError("FFmpeg bridge unavailable")
-        if not hasattr(lib, "AvEnc_OpenH264"):
+        if not hasattr(lib, "AvEnc_Open2"):
             raise RuntimeError("bridge lacks encode support")
-        lib.AvEnc_OpenH264.restype = ctypes.c_void_p
-        lib.AvEnc_OpenH264.argtypes = [ctypes.c_int] * 5 + [
+        lib.AvEnc_Open2.restype = ctypes.c_void_p
+        lib.AvEnc_Open2.argtypes = [ctypes.c_char_p] + [ctypes.c_int] * 5 + [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_char_p]
         lib.AvEnc_Encode.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -181,12 +182,13 @@ class AvH264Encoder:
         lib.AvEnc_Encode.restype = ctypes.c_int
         lib.AvEnc_Close.argtypes = [ctypes.c_void_p]
         self._lib = lib
-        self._h = lib.AvEnc_OpenH264(width, height, fps_num, fps_den,
-                                     crf, preset.encode(),
-                                     1 if interlaced else 0, bframes,
-                                     x264_params.encode())
+        self._h = lib.AvEnc_Open2(codec.encode(), width, height,
+                                  fps_num, fps_den,
+                                  crf, preset.encode(),
+                                  1 if interlaced else 0, bframes,
+                                  x264_params.encode())
         if not self._h:
-            raise RuntimeError("libx264 encoder unavailable")
+            raise RuntimeError(f"{codec} encoder unavailable")
         self.width, self.height = width, height
         self._buf = np.empty(width * height * 4 + (1 << 16), np.uint8)
 
@@ -351,3 +353,7 @@ def remux_files(video_path: str, audio_paths: list[str], out_path: str,
                         out_path.encode(), fps_num, fps_den, tc, ntc)
     if r != 0:
         raise RuntimeError(f"remux failed ({r})")
+
+
+# Backwards-compatible name (H.264 remains the default codec)
+AvH264Encoder = AvVideoEncoder

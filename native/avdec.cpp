@@ -297,10 +297,10 @@ struct VEnc {
   int64_t pts = 0;
 };
 
-void* AvEnc_OpenH264(int w, int h, int fps_num, int fps_den, int crf,
-                     const char* preset, int interlaced, int bframes,
-                     const char* x264_params) {
-  const AVCodec* codec = avcodec_find_encoder_by_name("libx264");
+void* AvEnc_Open2(const char* codec_name, int w, int h, int fps_num,
+                  int fps_den, int crf, const char* preset,
+                  int interlaced, int bframes, const char* params) {
+  const AVCodec* codec = avcodec_find_encoder_by_name(codec_name);
   if (!codec) return nullptr;
   auto* e = new (std::nothrow) VEnc();
   e->enc = avcodec_alloc_context3(codec);
@@ -317,10 +317,13 @@ void* AvEnc_OpenH264(int w, int h, int fps_num, int fps_den, int crf,
   char crfs[16];
   snprintf(crfs, sizeof crfs, "%d", crf);
   av_opt_set(e->enc->priv_data, "crf", crfs, 0);
-  av_opt_set(e->enc->priv_data, "preset",
-             preset && *preset ? preset : "veryfast", 0);
-  if (x264_params && *x264_params)
-    av_opt_set(e->enc->priv_data, "x264-params", x264_params, 0);
+  if (preset && *preset)
+    av_opt_set(e->enc->priv_data, "preset", preset, 0);
+  if (params && *params) {
+    // per-encoder extra parameter blobs (ignored when unsupported)
+    av_opt_set(e->enc->priv_data, "x264-params", params, 0);
+    av_opt_set(e->enc->priv_data, "x265-params", params, 0);
+  }
   if (avcodec_open2(e->enc, codec, nullptr) < 0) {
     avcodec_free_context(&e->enc);
     delete e;

@@ -160,3 +160,46 @@ class TestInbuildEncoder:
                            frames[i].y.astype(float)) ** 2)
             worst = min(worst, 10 * math.log10(255 ** 2 / max(mse, 1e-9)))
         assert worst > 30, worst
+
+
+class TestEncoderFamily:
+    """The in-build encoder fallback covers all three software encoders
+    the reference supports (x264 / x265 / SVT-AV1)."""
+
+    @pytest.mark.parametrize("codec,preset", [
+        ("libx264", "veryfast"), ("libx265", "ultrafast"),
+        ("libsvtav1", "12")])
+    def test_encode_decode_round_trip(self, codec, preset):
+        _bridge_or_skip()
+        from amatsukaze_tpu.video.avdec import (AvVideoDecoder,
+                                                AvVideoEncoder)
+
+        frames = E.synth_frames(96, 64, 6)
+        try:
+            enc = AvVideoEncoder(96, 64, crf=25, preset=preset,
+                                 bframes=0, codec=codec)
+        except RuntimeError:
+            pytest.skip(f"{codec} not present in libavcodec")
+        es = b""
+        for f in frames:
+            es += b"".join(enc.encode(f.y, f.u, f.v))
+        es += b"".join(enc.flush())
+        assert len(es) > 500
+        ext = {"libx264": "264", "libx265": "265",
+               "libsvtav1": "obu"}[codec]
+        p = f"/tmp/_fam.{ext}"
+        open(p, "wb").write(es)
+        got = list(AvVideoDecoder(p).frames())
+        assert len(got) == 6
+
+    def test_resolver_maps_codecs(self):
+        from amatsukaze_tpu.pipeline.settings import (
+            Encoder, resolve_encoder_command)
+
+        cmd = resolve_encoder_command(
+            '"x265" --crf 20 -o "out.265" --demuxer y4m -', Encoder.X265)
+        if "x264_shim" in cmd:
+            assert "--shim-codec libx265" in cmd
+        cmd = resolve_encoder_command(
+            '"definitely_missing_binary" -o "o" -', Encoder.QSVENC)
+        assert cmd.startswith('"definitely_missing_binary"')  # no shim
