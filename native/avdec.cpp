@@ -323,6 +323,10 @@ void* AvEnc_Open2(const char* codec_name, int w, int h, int fps_num,
     // per-encoder extra parameter blobs (ignored when unsupported)
     av_opt_set(e->enc->priv_data, "x264-params", params, 0);
     av_opt_set(e->enc->priv_data, "x265-params", params, 0);
+    // also try generic "k=v:k=v" options on both layers (e.g. b=4M,
+    // flags for mpeg2video test encodes)
+    av_set_options_string(e->enc, params, "=", ":");
+    av_set_options_string(e->enc->priv_data, params, "=", ":");
   }
   if (avcodec_open2(e->enc, codec, nullptr) < 0) {
     avcodec_free_context(&e->enc);

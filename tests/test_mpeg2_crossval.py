@@ -442,3 +442,33 @@ class TestInterlacedAgainstFFmpeg:
         _avdec()
         _compare_full(EncConfig(64, 48, qs=4, progressive=True),
                       "IBBPBBP", tmp_path)
+
+
+class TestFFmpegEncodedInterlaced:
+    """The strongest interlaced direction: decode INTERLACED streams
+    FFmpeg itself encoded (interlaced DCT/ME, B frames, alternate scan)
+    and compare full-plane against FFmpeg's decode."""
+
+    def test_interlaced_encoder_output(self, tmp_path):
+        _avdec()
+        from amatsukaze_tpu.video.avdec import (AvVideoDecoder,
+                                                AvVideoEncoder)
+
+        frames = synth_frames(160, 128, 16, seed=3, motion=(4, 2))
+        enc = AvVideoEncoder(160, 128, fps_num=30000, fps_den=1001,
+                             crf=0, preset="", interlaced=True,
+                             bframes=2, codec="mpeg2video",
+                             x264_params="alternate_scan=1")
+        es = b""
+        for f in frames:
+            es += b"".join(enc.encode(f.y, f.u, f.v))
+        es += b"".join(enc.flush())
+        p = str(tmp_path / "im2.m2v")
+        open(p, "wb").write(es)
+        ours = decode_es(es)
+        ff = list(AvVideoDecoder(p).frames())
+        assert len(ours) == len(ff) == 16
+        for i, ((y, u, v), o) in enumerate(zip(ff, ours)):
+            for pl, a, b in (("y", y, o.y), ("u", u, o.u), ("v", v, o.v)):
+                d = np.abs(a.astype(int) - b.astype(int)).max()
+                assert d <= 4, (i, pl, int(d))
