@@ -563,8 +563,18 @@ class TranscodePipeline:
                             n_slices)
                     fg.qp_source = qsrc.select(sorted(set(file.video_frames)))
                 else:
-                    ctx.warn("deblock: no QP maps extracted (non-MPEG2 "
-                             "source?); deblock will be skipped")
+                    # non-MPEG2 source: FFmpeg's per-block QP export
+                    # (H.264) through the in-process bridge
+                    from ..ts.qp_extract import qp_map_source_from_avdec
+
+                    qsrc = qp_map_source_from_avdec(
+                        st.int_video_file_path(key.video))
+                    if qsrc is not None and len(qsrc):
+                        fg.qp_source = qsrc.select(
+                            sorted(set(file.video_frames)))
+                    else:
+                        ctx.warn("deblock: no QP maps available for this "
+                                 "codec; deblock will be skipped")
             except OSError as e:
                 ctx.warn("deblock: QP extraction failed: %s", e)
         if fg.mode == FilterGraph.MODE_KFM_VFR:

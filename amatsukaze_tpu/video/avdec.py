@@ -357,3 +357,23 @@ def remux_files(video_path: str, audio_paths: list[str], out_path: str,
 
 # Backwards-compatible name (H.264 remains the default codec)
 AvH264Encoder = AvVideoEncoder
+
+
+def decode_with_qp(path: str):
+    """Yield (y, u, v, qp_blocks) where qp_blocks is an int32 [N, 3]
+    array of (x, y, qp) per coded block (FFmpeg's video-enc-params
+    export; the modern form of the patched av_frame_get_qp_table the
+    reference uses for KDeblock)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("FFmpeg bridge unavailable")
+    lib.AvDec_LastQp.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                 ctypes.c_int]
+    lib.AvDec_LastQp.restype = ctypes.c_int
+    dec = AvVideoDecoder(path)
+    qp_buf = np.empty(3 * 16384, np.int32)
+    for y, u, v in dec.frames():
+        n = lib.AvDec_LastQp(dec._h,
+                             qp_buf.ctypes.data_as(ctypes.c_void_p),
+                             qp_buf.size)
+        yield y, u, v, qp_buf[:3 * n].reshape(-1, 3).copy()

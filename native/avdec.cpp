@@ -13,6 +13,7 @@ extern "C" {
 #include <libavformat/avformat.h>
 #include <libavutil/imgutils.h>
 #include <libavutil/opt.h>
+#include <libavutil/video_enc_params.h>
 #include <libswscale/swscale.h>
 }
 
@@ -23,6 +24,8 @@ extern "C" {
 namespace {
 
 struct VDec {
+  int32_t last_qp[3 * 16384];  // (x, y, qp) per block of the last frame
+  int last_qp_n = 0;
   AVFormatContext* fmt = nullptr;
   AVCodecContext* dec = nullptr;
   SwsContext* sws = nullptr;
@@ -79,7 +82,12 @@ void* AvDec_Open(const char* path) {
   AVStream* st = d->fmt->streams[d->stream_index];
   d->dec = avcodec_alloc_context3(codec);
   avcodec_parameters_to_context(d->dec, st->codecpar);
-  d->dec->thread_count = 0;  // auto
+  // per-block quantiser export (the modern replacement for the patched
+  // av_frame_get_qp_table the reference relies on, AMTSource.hpp:371).
+  // Frame threading suppresses side-data export in some decoders, so
+  // stay single-threaded here.
+  d->dec->thread_count = 1;
+  d->dec->export_side_data |= AV_CODEC_EXPORT_DATA_VIDEO_ENC_PARAMS;
   if (avcodec_open2(d->dec, codec, nullptr) < 0) {
     avcodec_free_context(&d->dec);
     avformat_close_input(&d->fmt);
@@ -177,6 +185,24 @@ int AvDec_NextFrame(void* hp, uint8_t* y, uint8_t* u, uint8_t* v,
     std::memcpy(u + (int64_t)r * cw, su + (int64_t)r * lu, cw);
     std::memcpy(v + (int64_t)r * cw, sv + (int64_t)r * lv, cw);
   }
+  d->last_qp_n = 0;
+  {
+    AVFrameSideData* sd =
+        av_frame_get_side_data(f, AV_FRAME_DATA_VIDEO_ENC_PARAMS);
+    if (sd) {
+      auto* ep = (AVVideoEncParams*)sd->data;
+      unsigned nb = ep->nb_blocks;
+      if (nb > (unsigned)(sizeof d->last_qp / sizeof d->last_qp[0]) / 3)
+        nb = (sizeof d->last_qp / sizeof d->last_qp[0]) / 3;
+      for (unsigned b = 0; b < nb; b++) {
+        AVVideoBlockParams* bp = av_video_enc_params_block(ep, b);
+        d->last_qp[b * 3 + 0] = bp->src_x;
+        d->last_qp[b * 3 + 1] = bp->src_y;
+        d->last_qp[b * 3 + 2] = (int32_t)(ep->qp + bp->delta_qp);
+      }
+      d->last_qp_n = (int)nb;
+    }
+  }
   if (finfo) {
     finfo[0] = (int)f->pict_type;
 #if LIBAVUTIL_VERSION_MAJOR >= 58
@@ -190,6 +216,16 @@ int AvDec_NextFrame(void* hp, uint8_t* y, uint8_t* u, uint8_t* v,
   }
   av_frame_unref(d->frame);
   return 1;
+}
+
+// Per-block QP of the last decoded frame: fills (x, y, qp) triples,
+// returns the block count (0 when the codec exports none).
+int AvDec_LastQp(void* hp, int32_t* out, int cap) {
+  auto* d = static_cast<VDec*>(hp);
+  int n = d->last_qp_n;
+  if (n * 3 > cap) n = cap / 3;
+  std::memcpy(out, d->last_qp, (size_t)n * 3 * sizeof(int32_t));
+  return n;
 }
 
 void AvDec_Close(void* hp) {

@@ -203,3 +203,62 @@ class TestEncoderFamily:
         cmd = resolve_encoder_command(
             '"definitely_missing_binary" -o "o" -', Encoder.QSVENC)
         assert cmd.startswith('"definitely_missing_binary"')  # no shim
+
+
+class TestH264QpMaps:
+    def test_qp_maps_via_export(self, tmp_path):
+        """FFmpeg's per-block QP export feeds the QP-aware deblocker for
+        H.264 sources (the ES-layer extractor only covers MPEG2)."""
+        _bridge_or_skip()
+        from amatsukaze_tpu.ts.qp_extract import qp_map_source_from_avdec
+        from amatsukaze_tpu.video.avdec import AvVideoEncoder
+
+        frames = E.synth_frames(96, 64, 6)
+        enc = AvVideoEncoder(96, 64, crf=25, bframes=0)
+        es = b""
+        for f in frames:
+            es += b"".join(enc.encode(f.y, f.u, f.v))
+        es += b"".join(enc.flush())
+        p = tmp_path / "q.264"
+        p.write_bytes(es)
+        qs = qp_map_source_from_avdec(str(p))
+        assert qs is not None and len(qs) == 6
+        m = qs.maps(0, 6)
+        assert m.shape == (6, 4, 6)
+        assert m.min() > 0 and m.max() < 52  # H.264 QP range
+        sel = qs.select([0, 2, 4])
+        assert len(sel.results) == 3
+
+    def test_deblock_in_h264_pipeline(self, tmp_path):
+        """Full H.264 transcode with the QP deblock post filter on."""
+        _bridge_or_skip()
+        from amatsukaze_tpu.pipeline.decoders import default_decoder_factory
+        from amatsukaze_tpu.pipeline.settings import Config, Settings
+        from amatsukaze_tpu.pipeline.transcode import TranscodePipeline
+        from amatsukaze_tpu.utils.context import AMTContext
+
+        W, H, n = 96, 64, 24
+        frames = E.synth_frames(W, H, n)
+        aus = _encode_h264(frames, W, H)
+        src = tmp_path / "h264.ts"
+        src.write_bytes(ts_gen.build_simple_ts(
+            width=W, height=H, video_es_frames=aus,
+            video_stream_type=0x1B))
+        fake = tmp_path / "fake_x264"
+        fake.write_text(
+            '#!/bin/bash\nout=""\nwhile [ $# -gt 0 ]; do case "$1" in '
+            '-o) out="$2"; shift 2;; *) shift;; esac; done\ncat > "$out"\n')
+        fake.chmod(fake.stat().st_mode | stat.S_IEXEC)
+        conf = Config()
+        conf.src_file_path = str(src)
+        conf.out_video_path = str(tmp_path / "out")
+        conf.out_info_json_path = str(tmp_path / "r.json")
+        conf.work_dir = str(tmp_path)
+        conf.encoder_path = str(fake)
+        conf.post_filter = "deblock"
+        ctx = AMTContext(level="error")
+        pipe = TranscodePipeline(ctx, Settings(ctx, conf),
+                                 decoder_factory=default_decoder_factory())
+        report = pipe.run()
+        data = open(report["outfiles"][0]["path"], "rb").read()
+        assert data.count(b"FRAME\n") >= n - 1
