@@ -249,10 +249,16 @@ def main(argv=None) -> int:
                 from .pipeline.decoders import ffmpeg_generic_decoder
 
                 decoder = ffmpeg_generic_decoder
-            else:  # standalone: in-build demux + MPEG decode
-                from .pipeline.decoders import inbuild_generic_decoder
+            else:
+                from .pipeline.decoders import (avlib_available,
+                                                inbuild_generic_decoder)
 
-                decoder = inbuild_generic_decoder
+                if avlib_available():  # any container/codec, in-process
+                    from .pipeline.decoders import avlib_generic_decoder
+
+                    decoder = avlib_generic_decoder
+                else:  # in-build demux + MPEG decode
+                    decoder = inbuild_generic_decoder
             SimpleTranscode(ctx, settings, decoder=decoder).run()
         elif args.mode == "probe_subtitles":
             from .pipeline.probe import probe_subtitles

@@ -397,3 +397,21 @@ def _sniff_mpeg_format(es: bytes):
         format=VideoStreamFormat.MPEG2,
         width=w, height=h, frame_rate_num=num, frame_rate_denom=den,
         progressive=False, fixed_frame_rate=True)
+
+
+def avlib_generic_decoder(src_path: str):
+    """Generic-mode decoder over the in-process libav bridge: any
+    container/codec FFmpeg can open (the true analog of
+    ffmpeg_generic_decoder, minus audio extraction)."""
+    from ..types import VideoFormat, VideoStreamFormat
+    from ..video.avdec import AvVideoDecoder
+
+    dec = AvVideoDecoder(src_path)
+    fmt = VideoFormat(
+        format=VideoStreamFormat.H264 if dec.codec_id == 27 else
+        VideoStreamFormat.MPEG2,
+        width=dec.width, height=dec.height,
+        frame_rate_num=dec.fps_num, frame_rate_denom=dec.fps_den,
+        sar_width=dec.sar[0] or 1, sar_height=dec.sar[1] or 1,
+        progressive=not dec.interlaced, fixed_frame_rate=True)
+    return fmt, dec.frames(), []
