@@ -472,3 +472,41 @@ class TestFFmpegEncodedInterlaced:
             for pl, a, b in (("y", y, o.y), ("u", u, o.u), ("v", v, o.v)):
                 d = np.abs(a.astype(int) - b.astype(int)).max()
                 assert d <= 4, (i, pl, int(d))
+
+
+class TestIdctDriftBounds:
+    """Long prediction chains accumulate IDCT mismatch between
+    implementations (both conformant: the spec bounds it by mandatory
+    intra refresh). Verify the drift stays small and RESETS exactly at
+    GOP boundaries when decoding FFmpeg-encoded 1080-class video."""
+
+    def test_drift_resets_at_gop(self, tmp_path):
+        _avdec()
+        from amatsukaze_tpu.video.avdec import (AvVideoDecoder,
+                                                AvVideoEncoder)
+
+        W, H, n = 320, 256, 40  # same structure, faster than full HD
+        rng = np.random.default_rng(0)
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        base = 128 + 60 * np.sin(xx * 0.02) * np.cos(yy * 0.015)
+        enc = AvVideoEncoder(W, H, fps_num=30000, fps_den=1001, crf=0,
+                             preset="", interlaced=True, bframes=2,
+                             codec="mpeg2video")
+        es = b""
+        for i in range(n):
+            y = np.clip(base + 20 * np.sin((xx + 5 * i) * 0.05)
+                        + rng.normal(0, 2, (H, W)), 0, 255).astype(np.uint8)
+            u = np.full((H // 2, W // 2), 120, np.uint8)
+            v = np.full((H // 2, W // 2), 135, np.uint8)
+            es += b"".join(enc.encode(y, u, v))
+        es += b"".join(enc.flush())
+        p = str(tmp_path / "drift.m2v")
+        open(p, "wb").write(es)
+        ours = decode_es(es)
+        ff = list(AvVideoDecoder(p).frames())
+        assert len(ours) == len(ff) == n
+        diffs = [int(np.abs(f[0].astype(int) - o.y.astype(int)).max())
+                 for f, o in zip(ff, ours)]
+        assert diffs[0] <= 2          # I frame: IDCT tolerance only
+        assert diffs[30] <= 2         # next GOP start: drift reset
+        assert max(diffs) <= 16       # bounded mid-GOP accumulation
