@@ -152,10 +152,12 @@ def prefetch_iter(source_iter, depth: int = 2):
                     return
             q.put(_END)
         except BaseException as e:  # noqa: BLE001 - forwarded to consumer
-            try:
-                q.put(e, timeout=5)
-            except queue.Full:
-                pass
+            while not stop.is_set():
+                try:
+                    q.put(e, timeout=0.2)
+                    return
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=worker, daemon=True,
                          name="decode-prefetch")

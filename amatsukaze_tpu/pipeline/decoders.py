@@ -317,7 +317,7 @@ def iter_ts_video_es(path: str, read_chunk: int = 4 << 20):
 def decode_ts_video_file(path: str):
     """(Y, U, V) frames straight from a broadcast TS file using the
     in-build demux + MPEG-1/2 decoder (no external binary)."""
-    from ..ts.qp_extract import iter_picture_chunks
+    from ..ts.qp_extract import iter_picture_chunks_stream
     from ..video import Mpeg2RefDecoder
 
     try:
@@ -326,17 +326,7 @@ def decode_ts_video_file(path: str):
         dec = NativeMpeg2Decoder()
     except RuntimeError:
         dec = Mpeg2RefDecoder()
-    buf = b""
-    for es in iter_ts_video_es(path):
-        buf += es
-        pics = list(iter_picture_chunks(buf))
-        if len(pics) > 1:
-            tail_start = len(buf) - len(pics[-1])
-            for chunk in pics[:-1]:
-                for fr in dec.decode_picture(chunk):
-                    yield fr.y, fr.u, fr.v
-            buf = buf[tail_start:]
-    for chunk in iter_picture_chunks(buf):
+    for chunk in iter_picture_chunks_stream(iter_ts_video_es(path)):
         for fr in dec.decode_picture(chunk):
             yield fr.y, fr.u, fr.v
     for fr in dec.flush():

@@ -338,9 +338,9 @@ def resolve_encoder_command(args: str, encoder: Encoder) -> str:
             return args
     except Exception:  # noqa: BLE001
         return args
-    rest = args[len(args.split(None, 1)[0]):] if " " in args else ""
+    rest = shlex.join(shlex.split(args)[1:])
     return (f'"{_sys.executable}" -m amatsukaze_tpu.tools.x264_shim '
-            f"--shim-codec {codec}{rest}")
+            f"--shim-codec {codec} {rest}")
 
 
 def make_encoder_args(
@@ -418,8 +418,8 @@ def resolve_audio_encoder_command(args: str) -> str:
             return args
     except Exception:  # noqa: BLE001
         return args
-    rest = args[len(args.split(None, 1)[0]):] if " " in args else ""
-    return (f'"{_sys.executable}" -m amatsukaze_tpu.tools.aac_shim'
+    rest = shlex.join(shlex.split(args)[1:])
+    return (f'"{_sys.executable}" -m amatsukaze_tpu.tools.aac_shim '
             f"{rest}")
 
 

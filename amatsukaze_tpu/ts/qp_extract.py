@@ -320,35 +320,46 @@ def extract_ps_video_es(data: bytes, return_consumed: bool = False):
     return bytes(out)
 
 
+def iter_picture_chunks_stream(es_iter):
+    """Streaming per-picture chunker over an iterator of ES byte
+    chunks: bounded memory, one picture held at a time. The single
+    home of the tail-retention logic (a picture may continue into the
+    next chunk)."""
+    buf = b""
+    for data in es_iter:
+        buf += data
+        chunks = list(iter_picture_chunks(buf))
+        if len(chunks) > 1:
+            tail_start = len(buf) - len(chunks[-1])
+            yield from chunks[:-1]
+            buf = buf[tail_start:]
+    yield from iter_picture_chunks(buf)
+
+
 def iter_picture_chunks_file(path: str, is_ps: bool = True,
                              read_chunk: int = 8 << 20):
     """Streaming per-picture chunker over an intermediate file (PS or
-    raw ES): bounded memory, one picture held at a time. Shared by the
-    QP-map source and the in-build video decoder."""
-    ps_tail = b""
-    buf = b""
-    with open(path, "rb") as f:
-        while True:
-            data = f.read(read_chunk)
-            if not data:
-                break
-            if is_ps:
-                es, consumed = extract_ps_video_es(
-                    ps_tail + data, return_consumed=True)
-                ps_tail = (ps_tail + data)[consumed:]
-                buf += es
-            else:
-                buf += data
-            # emit all complete pictures, keep the last (it may
-            # continue into the next chunk)
-            chunks = list(iter_picture_chunks(buf))
-            if len(chunks) > 1:
-                tail_start = len(buf) - len(chunks[-1])
-                yield from chunks[:-1]
-                buf = buf[tail_start:]
-    if is_ps and ps_tail:
-        buf += extract_ps_video_es(ps_tail)
-    yield from iter_picture_chunks(buf)
+    raw ES). Shared by the QP-map source and the in-build video
+    decoder."""
+
+    def es_chunks():
+        ps_tail = b""
+        with open(path, "rb") as f:
+            while True:
+                data = f.read(read_chunk)
+                if not data:
+                    break
+                if is_ps:
+                    es, consumed = extract_ps_video_es(
+                        ps_tail + data, return_consumed=True)
+                    ps_tail = (ps_tail + data)[consumed:]
+                    yield es
+                else:
+                    yield data
+        if is_ps and ps_tail:
+            yield extract_ps_video_es(ps_tail)
+
+    yield from iter_picture_chunks_stream(es_chunks())
 
 
 class QpMapSource:

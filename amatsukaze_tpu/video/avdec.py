@@ -371,7 +371,7 @@ def decode_with_qp(path: str):
                                  ctypes.c_int]
     lib.AvDec_LastQp.restype = ctypes.c_int
     dec = AvVideoDecoder(path)
-    qp_buf = np.empty(3 * 16384, np.int32)
+    qp_buf = np.empty(3 * 36864, np.int32)
     for y, u, v in dec.frames():
         n = lib.AvDec_LastQp(dec._h,
                              qp_buf.ctypes.data_as(ctypes.c_void_p),

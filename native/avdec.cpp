@@ -24,7 +24,9 @@ extern "C" {
 namespace {
 
 struct VDec {
-  int32_t last_qp[3 * 16384];  // (x, y, qp) per block of the last frame
+  // (x, y, qp) per block of the last frame; 36864 covers 4096x2304
+  // in 16x16 blocks (matches the QP extractor's _MAX_MBS)
+  int32_t last_qp[3 * 36864];
   int last_qp_n = 0;
   AVFormatContext* fmt = nullptr;
   AVCodecContext* dec = nullptr;
