@@ -16,6 +16,10 @@
 #include <mutex>
 #include <vector>
 
+#ifdef __AVX2__
+#include <immintrin.h>
+#endif
+
 #include "mpeg2_tables.inc"
 
 namespace m2dec {
@@ -104,6 +108,21 @@ struct Vlc {
         plut[base | p] = ((uint32_t)e[i].len << 20) | (uint32_t)(i + 1);
     }
   }
+  // Graft an extra code (the DCT escape) into both LUTs mapped to a
+  // virtual index, so the coefficient loop needs no separate probe.
+  void add_code(uint32_t code, int len, int idx) {
+    uint32_t base = code << (maxlen - len);
+    uint32_t span = 1u << (maxlen - len);
+    for (uint32_t p = 0; p < span; p++)
+      lut[base | p] = ((uint32_t)len << 20) | (uint32_t)(idx + 1);
+    int pb = std::min(maxlen, PRIM);
+    if (len <= pb) {
+      uint32_t pbase = code << (pb - len);
+      uint32_t pspan = 1u << (pb - len);
+      for (uint32_t p = 0; p < pspan; p++)
+        plut[pbase | p] = ((uint32_t)len << 20) | (uint32_t)(idx + 1);
+    }
+  }
   int decode(BitReader& r) const {  // mirrors mpeg2_ref._Vlc.decode
     int pb = std::min(maxlen, PRIM);
     if (r.left() >= pb) {  // hot path: short codes, tiny table
@@ -139,6 +158,8 @@ static void init_tables() {
   g_dcc.build(B13_DC_CHROMA, B13_DC_CHROMA_N);
   g_b14.build(B14_DCT, B14_DCT_N);
   g_b15.build(B15_DCT, B15_DCT_N);
+  g_b14.add_code(DCT_ESCAPE_CODE, DCT_ESCAPE_LEN, B14_DCT_N);
+  g_b15.add_code(DCT_ESCAPE_CODE, DCT_ESCAPE_LEN, B15_DCT_N);
 }
 
 // ---------------------------------------------------------------------------
@@ -150,9 +171,54 @@ static void init_tables() {
 // arithmetic-identical to the oracle's dense evaluation.
 static void idct8x8(const int32_t f[64], int32_t out[64],
                     unsigned rowmask = 0xFF) {
+  // DC-only fast path: A row 0 is the constant 5793, so both passes
+  // collapse to scalars and the output is uniform — arithmetic
+  // identical to the dense evaluation with one live coefficient.
+  if (rowmask == 1 && !(f[1] | f[2] | f[3] | f[4] | f[5] | f[6] | f[7])) {
+    int32_t t0 = (1024 + f[0] * 5793) >> 11;
+    int32_t v = (int32_t)((65536 + (int64_t)5793 * t0) >> 17);
+    for (int i = 0; i < 64; i++) out[i] = v;
+    return;
+  }
   int32_t t[64];
   int rows[8];
   int nrows = 0;
+#ifdef __AVX2__
+  for (int i = 0; i < 8; i++) {
+    if (!(rowmask & (1u << i))) continue;
+    rows[nrows++] = i;
+    const int32_t* fr = f + i * 8;
+    // t_row[m] = (1024 + sum_u fr[u]*A[u][m]) >> 11 — one mullo per u
+    __m256i acc = _mm256_set1_epi32(1024);
+    for (int u = 0; u < 8; u++) {
+      __m256i a = _mm256_loadu_si256((const __m256i*)(IDCT_A + u * 8));
+      acc = _mm256_add_epi32(
+          acc, _mm256_mullo_epi32(_mm256_set1_epi32(fr[u]), a));
+    }
+    _mm256_storeu_si256((__m256i*)(t + i * 8), _mm256_srai_epi32(acc, 11));
+  }
+  // out[m][n] = (65536 + sum_u A[u][m]*t[u][n]) >> 17 in 64-bit lanes
+  // (_mm256_mul_epi32 sign-extends the low 32 bits of each 64-bit lane,
+  // which after cvtepi32_epi64 is exactly the int32 t value)
+  for (int m = 0; m < 8; m++) {
+    __m256i accl = _mm256_set1_epi64x(65536);
+    __m256i acch = accl;
+    for (int k = 0; k < nrows; k++) {
+      int u = rows[k];
+      __m256i a = _mm256_set1_epi64x(IDCT_A[u * 8 + m]);
+      __m256i tv = _mm256_loadu_si256((const __m256i*)(t + u * 8));
+      __m256i tl = _mm256_cvtepi32_epi64(_mm256_castsi256_si128(tv));
+      __m256i th = _mm256_cvtepi32_epi64(_mm256_extracti128_si256(tv, 1));
+      accl = _mm256_add_epi64(accl, _mm256_mul_epi32(tl, a));
+      acch = _mm256_add_epi64(acch, _mm256_mul_epi32(th, a));
+    }
+    alignas(32) int64_t acc[8];
+    _mm256_store_si256((__m256i*)acc, accl);
+    _mm256_store_si256((__m256i*)(acc + 4), acch);
+    int32_t* om = out + m * 8;
+    for (int n = 0; n < 8; n++) om[n] = (int32_t)(acc[n] >> 17);
+  }
+#else
   for (int i = 0; i < 8; i++) {
     if (!(rowmask & (1u << i))) continue;
     rows[nrows++] = i;
@@ -177,6 +243,7 @@ static void idct8x8(const int32_t f[64], int32_t out[64],
     }
     for (int n = 0; n < 8; n++) om[n] = (int32_t)(acc[n] >> 17);
   }
+#endif
 }
 
 static inline int div2_trunc(int v) {       // toward zero
@@ -188,6 +255,30 @@ static inline int trunc_div32(int64_t n) {  // "/" 7.4.2.3: toward zero
 }
 static inline uint8_t clip255(int v) {
   return (uint8_t)(v < 0 ? 0 : v > 255 ? 255 : v);
+}
+
+// 8-pixel residual stores: packs/packus saturation == clip255 exactly
+static inline void set_clip8(uint8_t* dst, const int32_t* sr) {
+#ifdef __AVX2__
+  __m256i s = _mm256_loadu_si256((const __m256i*)sr);
+  __m128i w = _mm_packs_epi32(_mm256_castsi256_si128(s),
+                              _mm256_extracti128_si256(s, 1));
+  _mm_storel_epi64((__m128i*)dst, _mm_packus_epi16(w, w));
+#else
+  for (int c = 0; c < 8; c++) dst[c] = clip255(sr[c]);
+#endif
+}
+static inline void add_clip8(uint8_t* dst, const int32_t* sr) {
+#ifdef __AVX2__
+  __m256i p = _mm256_cvtepu8_epi32(_mm_loadl_epi64((const __m128i*)dst));
+  __m256i s =
+      _mm256_add_epi32(p, _mm256_loadu_si256((const __m256i*)sr));
+  __m128i w = _mm_packs_epi32(_mm256_castsi256_si128(s),
+                              _mm256_extracti128_si256(s, 1));
+  _mm_storel_epi64((__m128i*)dst, _mm_packus_epi16(w, w));
+#else
+  for (int c = 0; c < 8; c++) dst[c] = clip255(dst[c] + sr[c]);
+#endif
 }
 
 // ---------------------------------------------------------------------------
@@ -266,7 +357,7 @@ static PlaneView field_view(std::vector<uint8_t>& v, int h, int w,
 // Half-sample bilinear fetch mirroring mpeg2_ref._fetch (incl. the
 // clamp-into-picture policy for non-conformant vectors).
 static void fetch(const PlaneView& pv, int sy, int sx, int h, int w,
-                  int32_t* out /* h*w */) {
+                  uint8_t* out /* h*w */) {
   int fy = sy & 1, fx = sx & 1;
   int iy = sy >> 1, ix = sx >> 1;
   int maxy = pv.h - h - fy; if (maxy < 0) maxy = 0;
@@ -277,6 +368,62 @@ static void fetch(const PlaneView& pv, int sy, int sx, int h, int w,
     // fast path (every conformant fetch): direct row pointers, no
     // per-pixel clamping — the compiler vectorizes these loops
     const uint8_t* r0 = pv.p + (int64_t)iy * pv.stride + ix;
+#ifdef __AVX2__
+    // Bit-exact SIMD: _mm_avg_epu8 is exactly (a+b+1)>>1 on bytes, and
+    // the quarter-sample case runs in 16-bit lanes (max 4*255+2 fits).
+    if (w == 16) {
+      for (int r = 0; r < h; r++, r0 += pv.stride, out += 16) {
+        __m128i b;
+        if (!fy && !fx) {
+          b = _mm_loadu_si128((const __m128i*)r0);
+        } else if (fy && fx) {
+          const uint8_t* r1 = r0 + pv.stride;
+          __m256i a0 = _mm256_cvtepu8_epi16(_mm_loadu_si128((const __m128i*)r0));
+          __m256i a1 = _mm256_cvtepu8_epi16(_mm_loadu_si128((const __m128i*)(r0 + 1)));
+          __m256i b0 = _mm256_cvtepu8_epi16(_mm_loadu_si128((const __m128i*)r1));
+          __m256i b1 = _mm256_cvtepu8_epi16(_mm_loadu_si128((const __m128i*)(r1 + 1)));
+          __m256i s = _mm256_add_epi16(_mm256_add_epi16(a0, a1),
+                                       _mm256_add_epi16(b0, b1));
+          s = _mm256_srli_epi16(_mm256_add_epi16(s, _mm256_set1_epi16(2)), 2);
+          b = _mm_packus_epi16(_mm256_castsi256_si128(s),
+                               _mm256_extracti128_si256(s, 1));
+        } else if (fy) {
+          b = _mm_avg_epu8(_mm_loadu_si128((const __m128i*)r0),
+                           _mm_loadu_si128((const __m128i*)(r0 + pv.stride)));
+        } else {
+          b = _mm_avg_epu8(_mm_loadu_si128((const __m128i*)r0),
+                           _mm_loadu_si128((const __m128i*)(r0 + 1)));
+        }
+        _mm_storeu_si128((__m128i*)out, b);
+      }
+      return;
+    }
+    if (w == 8) {
+      for (int r = 0; r < h; r++, r0 += pv.stride, out += 8) {
+        __m128i b;
+        if (!fy && !fx) {
+          b = _mm_loadl_epi64((const __m128i*)r0);
+        } else if (fy && fx) {
+          const uint8_t* r1 = r0 + pv.stride;
+          __m128i a0 = _mm_cvtepu8_epi16(_mm_loadl_epi64((const __m128i*)r0));
+          __m128i a1 = _mm_cvtepu8_epi16(_mm_loadl_epi64((const __m128i*)(r0 + 1)));
+          __m128i b0 = _mm_cvtepu8_epi16(_mm_loadl_epi64((const __m128i*)r1));
+          __m128i b1 = _mm_cvtepu8_epi16(_mm_loadl_epi64((const __m128i*)(r1 + 1)));
+          __m128i s = _mm_add_epi16(_mm_add_epi16(a0, a1), _mm_add_epi16(b0, b1));
+          s = _mm_srli_epi16(_mm_add_epi16(s, _mm_set1_epi16(2)), 2);
+          b = _mm_packus_epi16(s, s);
+        } else if (fy) {
+          b = _mm_avg_epu8(_mm_loadl_epi64((const __m128i*)r0),
+                           _mm_loadl_epi64((const __m128i*)(r0 + pv.stride)));
+        } else {
+          b = _mm_avg_epu8(_mm_loadl_epi64((const __m128i*)r0),
+                           _mm_loadl_epi64((const __m128i*)(r0 + 1)));
+        }
+        _mm_storel_epi64((__m128i*)out, b);
+      }
+      return;
+    }
+#endif
     if (!fy && !fx) {
       for (int r = 0; r < h; r++, r0 += pv.stride)
         for (int c = 0; c < w; c++) out[r * w + c] = r0[c];
@@ -324,9 +471,9 @@ static void fetch(const PlaneView& pv, int sy, int sx, int h, int w,
 }
 
 struct Pred {  // one macroblock prediction (chroma sized for 4:2:2)
-  int32_t y[256];
-  int32_t u[128];
-  int32_t v[128];
+  uint8_t y[256];
+  uint8_t u[128];
+  uint8_t v[128];
   void zero() {
     std::memset(y, 0, sizeof y);
     std::memset(u, 0, sizeof u);
@@ -335,9 +482,26 @@ struct Pred {  // one macroblock prediction (chroma sized for 4:2:2)
 };
 
 static void avg_into(Pred& a, const Pred& b, int clen) {
+#ifdef __AVX2__
+  // _mm256_avg_epu8 is exactly (a+b+1)>>1 per byte
+  for (int i = 0; i < 256; i += 32) {
+    __m256i va = _mm256_loadu_si256((const __m256i*)(a.y + i));
+    __m256i vb = _mm256_loadu_si256((const __m256i*)(b.y + i));
+    _mm256_storeu_si256((__m256i*)(a.y + i), _mm256_avg_epu8(va, vb));
+  }
+  for (int i = 0; i < clen; i += 32) {
+    __m256i ua = _mm256_loadu_si256((const __m256i*)(a.u + i));
+    __m256i ub = _mm256_loadu_si256((const __m256i*)(b.u + i));
+    _mm256_storeu_si256((__m256i*)(a.u + i), _mm256_avg_epu8(ua, ub));
+    __m256i va = _mm256_loadu_si256((const __m256i*)(a.v + i));
+    __m256i vb = _mm256_loadu_si256((const __m256i*)(b.v + i));
+    _mm256_storeu_si256((__m256i*)(a.v + i), _mm256_avg_epu8(va, vb));
+  }
+#else
   for (int i = 0; i < 256; i++) a.y[i] = (a.y[i] + b.y[i] + 1) >> 1;
   for (int i = 0; i < clen; i++) a.u[i] = (a.u[i] + b.u[i] + 1) >> 1;
   for (int i = 0; i < clen; i++) a.v[i] = (a.v[i] + b.v[i] + 1) >> 1;
+#endif
 }
 
 // ---------------------------------------------------------------------------
@@ -545,6 +709,7 @@ struct Decoder {
     const Vlc& table = (intra && pic.intra_vlc_format) ? g_b15 : g_b14;
     const VlcEntry* ents = (intra && pic.intra_vlc_format) ? B15_DCT
                                                            : B14_DCT;
+    const int esc = (intra && pic.intra_vlc_format) ? B15_DCT_N : B14_DCT_N;
     while (true) {
       int run, level;
       if (first && r.peek(1) == 1) {
@@ -557,9 +722,9 @@ struct Decoder {
       } else {
         if (r.err) return false;
         first = false;
-        if (r.left() >= DCT_ESCAPE_LEN &&
-            r.peek_raw(DCT_ESCAPE_LEN) == DCT_ESCAPE_CODE) {
-          r.skip(DCT_ESCAPE_LEN);
+        int e = table.decode(r);
+        if (e < 0) return false;
+        if (e == esc) {
           run = r.read(6);
           if (seq.mpeg1) {  // 11172-2: 8-bit level, double byte ext.
             int b0 = r.read(8);
@@ -573,8 +738,6 @@ struct Decoder {
             level = lv >= 2048 ? lv - 4096 : lv;
           }
         } else {
-          int e = table.decode(r);
-          if (e < 0) return false;
           if (ents[e].v0 < 0) break;  // EOB
           run = ents[e].v0;
           int mag = ents[e].v1;
@@ -668,8 +831,8 @@ struct Decoder {
   // field prediction of h luma rows into tmp buffers (mirrors
   // _field_pred_views); caller places rows.
   void field_pred(const PlaneView pv[3], int fy_mb, int mbx, int mvx,
-                  int mvy, int h, int y_off, int32_t* ty, int32_t* tu,
-                  int32_t* tv) {
+                  int mvy, int h, int y_off, uint8_t* ty, uint8_t* tu,
+                  uint8_t* tv) {
     fetch(pv[0], (fy_mb + y_off) * 2 + mvy, mbx * 32 + mvx, h, 16, ty);
     int cx = div2_trunc(mvx);
     if (seq.chroma_format == 1) {
@@ -683,17 +846,17 @@ struct Decoder {
   }
 
   // Place an h-row field prediction into a Pred at interleave step/offset.
-  static void place_field(Pred& p, int dest_par, int step, const int32_t* ty,
-                          const int32_t* tu, const int32_t* tv, int h,
+  static void place_field(Pred& p, int dest_par, int step, const uint8_t* ty,
+                          const uint8_t* tu, const uint8_t* tv, int h,
                           int hc) {
     for (int r = 0; r < h; r++)
       std::memcpy(p.y + (dest_par + r * step) * 16, ty + r * 16,
-                  16 * sizeof(int32_t));
+                  16);
     for (int r = 0; r < hc; r++) {
       std::memcpy(p.u + (dest_par + r * step) * 8, tu + r * 8,
-                  8 * sizeof(int32_t));
+                  8);
       std::memcpy(p.v + (dest_par + r * step) * 8, tv + r * 8,
-                  8 * sizeof(int32_t));
+                  8);
     }
   }
 
@@ -710,18 +873,14 @@ struct Decoder {
       tu = field_view(cur->u, cur->ch(), cur->cw(), st.cur_parity);
       tv = field_view(cur->v, cur->ch(), cur->cw(), st.cur_parity);
     }
-    for (int r = 0; r < 16; r++) {
-      uint8_t* dst = ty.row(mb_row * 16 + r) + mb_x * 16;
-      for (int c = 0; c < 16; c++) dst[c] = clip255(mb.y[r * 16 + c]);
-    }
+    // Pred pixels are already clipped bytes (clipping happens exactly
+    // once per pixel, at residual-add time), so the store is a copy.
+    for (int r = 0; r < 16; r++)
+      std::memcpy(ty.row(mb_row * 16 + r) + mb_x * 16, mb.y + r * 16, 16);
     int cr = st.c_rows;
     for (int r = 0; r < cr; r++) {
-      uint8_t* du = tu.row(mb_row * cr + r) + mb_x * 8;
-      uint8_t* dv = tv.row(mb_row * cr + r) + mb_x * 8;
-      for (int c = 0; c < 8; c++) {
-        du[c] = clip255(mb.u[r * 8 + c]);
-        dv[c] = clip255(mb.v[r * 8 + c]);
-      }
+      std::memcpy(tu.row(mb_row * cr + r) + mb_x * 8, mb.u + r * 8, 8);
+      std::memcpy(tv.row(mb_row * cr + r) + mb_x * 8, mb.v + r * 8, 8);
     }
   }
 
@@ -795,7 +954,7 @@ struct Decoder {
           if (!frame) return false;
           PlaneView pv[3];
           field_views(frame, fs, pv);
-          int32_t ty[128], tu[64], tv[64];
+          uint8_t ty[128], tu[64], tv[64];
           field_pred(pv, mb_row * 8, mb_x, m.x, m.y, 8, 0, ty, tu, tv);
           place_field(out, rr, 2, ty, tu, tv, 8, st.c_rows / 2);
         }
@@ -813,7 +972,7 @@ struct Decoder {
           PlaneView same[3], opp[3];
           field_views(frame, dest_par, same);
           field_views(frame, 1 - dest_par, opp);
-          int32_t ay[128], au[64], av[64], by[128], bu[64], bv[64];
+          uint8_t ay[128], au[64], av[64], by[128], bu[64], bv[64];
           field_pred(same, mb_row * 8, mb_x, m.x, m.y, 8, 0, ay, au, av);
           int mfac, corr;
           if (dest_par == 0) { mfac = tff ? 1 : 3; corr = -1; }
@@ -855,18 +1014,15 @@ struct Decoder {
         if (r.err) return false;
         PlaneView pv[3];
         ref_field(s, fs, pv);
-        int32_t ty[128], tu[64], tv[64];
+        uint8_t ty[128], tu[64], tv[64];
         field_pred(pv, mb_row * 16, mb_x, m.x, m.y, 8, half * 8, ty, tu,
                    tv);
         int hc = st.c_rows / 2;
         for (int rr = 0; rr < 8; rr++)
-          std::memcpy(out.y + (half * 8 + rr) * 16, ty + rr * 16,
-                      16 * sizeof(int32_t));
+          std::memcpy(out.y + (half * 8 + rr) * 16, ty + rr * 16, 16);
         for (int rr = 0; rr < hc; rr++) {
-          std::memcpy(out.u + (half * hc + rr) * 8, tu + rr * 8,
-                      8 * sizeof(int32_t));
-          std::memcpy(out.v + (half * hc + rr) * 8, tv + rr * 8,
-                      8 * sizeof(int32_t));
+          std::memcpy(out.u + (half * hc + rr) * 8, tu + rr * 8, 8);
+          std::memcpy(out.v + (half * hc + rr) * 8, tv + rr * 8, 8);
         }
       }
       return true;
@@ -878,7 +1034,7 @@ struct Decoder {
       PlaneView same[3], opp[3];
       ref_field(s, cur_par, same);
       ref_field(s, 1 - cur_par, opp);
-      int32_t ay[256], au[128], av[128], by[256], bu[128], bv[128];
+      uint8_t ay[256], au[128], av[128], by[256], bu[128], bv[128];
       field_pred(same, mb_row * 16, mb_x, m.x, m.y, 16, 0, ay, au, av);
       int ox = dp_half(m.x) + m.dmx;
       int oy = dp_half(m.y) + m.dmy + (cur_par == 1 ? 1 : -1);
@@ -984,38 +1140,40 @@ struct Decoder {
       unsigned rowmask;
       if (!block(r, st, intra, cc, coeffs, rowmask)) return false;
       idct8x8(coeffs, res, rowmask);
+      // each pixel receives exactly one residual, so clipping here is
+      // identical to the oracle's clip-at-store
       if (b < 4) {
         if (dct_type) {  // field DCT interleave
           int base_row = b / 2, cs = (b & 1) * 8;
           for (int rr = 0; rr < 8; rr++) {
-            int32_t* dst = mb.y + (base_row + rr * 2) * 16 + cs;
+            uint8_t* dst = mb.y + (base_row + rr * 2) * 16 + cs;
             const int32_t* sr = res + rr * 8;
-            if (intra) for (int c = 0; c < 8; c++) dst[c] = sr[c];
-            else for (int c = 0; c < 8; c++) dst[c] += sr[c];
+            if (intra) set_clip8(dst, sr);
+            else add_clip8(dst, sr);
           }
         } else {
           int rs = (b / 2) * 8, cs = (b & 1) * 8;
           for (int rr = 0; rr < 8; rr++) {
-            int32_t* dst = mb.y + (rs + rr) * 16 + cs;
+            uint8_t* dst = mb.y + (rs + rr) * 16 + cs;
             const int32_t* sr = res + rr * 8;
-            if (intra) for (int c = 0; c < 8; c++) dst[c] = sr[c];
-            else for (int c = 0; c < 8; c++) dst[c] += sr[c];
+            if (intra) set_clip8(dst, sr);
+            else add_clip8(dst, sr);
           }
         }
       } else {
-        int32_t* base = (b & 1) == 0 ? mb.u : mb.v;
+        uint8_t* base = (b & 1) == 0 ? mb.u : mb.v;
         int k2 = (b - 4) / 2;
         if (dct_type && st.cf == 2) {  // 4:2:2 chroma is field-organised
           for (int rr = 0; rr < 8; rr++) {
-            int32_t* dst = base + (k2 + rr * 2) * 8;
+            uint8_t* dst = base + (k2 + rr * 2) * 8;
             const int32_t* sr = res + rr * 8;
-            if (intra) for (int c = 0; c < 8; c++) dst[c] = sr[c];
-            else for (int c = 0; c < 8; c++) dst[c] += sr[c];
+            if (intra) set_clip8(dst, sr);
+            else add_clip8(dst, sr);
           }
         } else {
-          int32_t* dst = base + k2 * 64;
-          if (intra) std::memcpy(dst, res, 64 * sizeof(int32_t));
-          else for (int i = 0; i < 64; i++) dst[i] += res[i];
+          uint8_t* dst = base + k2 * 64;
+          if (intra) for (int i = 0; i < 64; i += 8) set_clip8(dst + i, res + i);
+          else for (int i = 0; i < 64; i += 8) add_clip8(dst + i, res + i);
         }
       }
     }
