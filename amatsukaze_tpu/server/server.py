@@ -103,6 +103,8 @@ class QueueEntry:
     ts_time: str = ""  # ISO datetime when probed
     genres: list = field(default_factory=list)  # [level1, level2] pairs (JSON-safe)
     retry_count: int = 0
+    width: int = 0   # coded video size from the TS probe (for the
+    height: int = 0  # video-size auto-select condition)
 
 
 CONSOLE_MAX_LINES = 400  # rolling console capture (ref RollingTextLines)
@@ -261,11 +263,27 @@ class EncodeServer:
             pass
 
     # ------------------------------------------------------------ queue ops
+    @staticmethod
+    def video_size_class(width: int) -> str:
+        """fullhd / hd1440 / sd / oneseg by coded width (ref
+        ServerSupport.GetVideoSize, Misc.cs:916-931)."""
+        if width > 1440:
+            return "fullhd"
+        if width > 720:
+            return "hd1440"
+        if width > 320:
+            return "sd"
+        return "oneseg"
+
     def profile_for(self, entry: QueueEntry) -> ProfileSetting:
-        """Auto-select by service id and/or ARIB genre (ref
-        AutoSelectProfile conditions, EncodeServerData.cs + EncodeServer's
-        SelectProfile). Rules are dicts {service_id?, genre?: [l1, l2?],
-        profile}; legacy (service_id, profile) pairs still work."""
+        """Auto-select by the reference's full condition set: service id,
+        ARIB genre, file-name substring, tag, and coded video size, all
+        ANDed within a rule, first matching rule wins (ref
+        ServerSupport.AutoSelectProfile, Misc.cs:933-977). Rules are dicts
+        {service_id?|service_ids?, genre?: [l1, l2?]|genres?, file_name?,
+        tag?, video_size?, profile, priority?}; legacy
+        (service_id, profile) pairs still work. A matched rule with a
+        "priority" key also overrides the item priority."""
         for rules in self.auto_select.values():
             for rule in rules:
                 if isinstance(rule, (tuple, list)) and len(rule) == 2 \
@@ -275,22 +293,78 @@ class EncodeServer:
                 profile = rule.get("profile")
                 if profile not in self.profiles:
                     continue
+                conds = 0
                 sid = rule.get("service_id")
-                if sid is not None and sid != entry.service_id:
-                    continue
+                sids = rule.get("service_ids")
+                if sid is not None:
+                    sids = [sid] + list(sids or [])
+                if sids is not None:
+                    conds += 1
+                    if entry.service_id not in sids:
+                        continue
                 genre = rule.get("genre")
-                if genre is not None:
-                    want = list(genre)
+                genres = [genre] if genre is not None else rule.get("genres")
+                if genres is not None:
+                    conds += 1
                     hit = any(
                         g[0] == want[0] and (len(want) < 2 or g[1] == want[1])
+                        for want in map(list, genres)
                         for g in entry.genres
                     )
                     if not hit:
                         continue
-                if sid is None and genre is None:
+                fname = rule.get("file_name")
+                if fname is not None:
+                    conds += 1
+                    if fname not in os.path.basename(entry.src_path):
+                        continue
+                tag = rule.get("tag")
+                if tag is not None:
+                    conds += 1
+                    if tag not in entry.tags:
+                        continue
+                vs = rule.get("video_size")
+                if vs is not None:
+                    conds += 1
+                    want_vs = [vs] if isinstance(vs, str) else list(vs)
+                    if self.video_size_class(entry.width) not in want_vs:
+                        continue
+                if conds == 0:
                     continue  # an empty rule must not match everything
+                if "priority" in rule:
+                    entry.priority = int(rule["priority"])
                 return self.profiles[profile]
         return self.profiles.get(entry.profile_name, self.profiles["default"])
+
+    def disk_items(self) -> list:
+        """Free/total space per interesting mount (ref EncodeServer's
+        diskMap, EncodeServer.cs:2314-2360): the work dir, every queued
+        item's output dir, and the always-show path from settings."""
+        import shutil as _sh
+
+        paths = {os.path.abspath(self.setting.work_dir)}
+        for e in self.entries.values():
+            paths.add(os.path.abspath(os.path.dirname(e.out_path) or "."))
+        if self.setting.always_show_disk:
+            paths.add(os.path.abspath(self.setting.always_show_disk))
+        out = []
+        seen_dev = set()
+        for path in sorted(paths):
+            probe = path
+            while probe and not os.path.exists(probe):
+                probe = os.path.dirname(probe)
+            if not probe:
+                continue
+            try:
+                dev = os.stat(probe).st_dev
+                if dev in seen_dev:
+                    continue
+                seen_dev.add(dev)
+                du = _sh.disk_usage(probe)
+            except OSError:
+                continue
+            out.append({"path": path, "capacity": du.total, "free": du.free})
+        return out
 
     def _enqueue(self, entry: QueueEntry) -> None:
         profile = self.profile_for(entry)
@@ -350,6 +424,9 @@ class EncodeServer:
             if ev:
                 entry.event_name = ev.name
                 entry.genres = [list(g) for g in ev.genres]
+            if prog.format_ok:
+                entry.width = prog.video_format.width
+                entry.height = prog.video_format.height
             if info.time is not None:
                 dt = info.time.to_datetime()
                 if dt is not None:
@@ -594,6 +671,8 @@ class EncodeServer:
         if method == "SetAutoSelect":
             self.auto_select = dict(payload)
             return {"ok": True}
+        if method == "GetDiskFree":
+            return self.disk_items()
         if method == "GetState":
             states: dict[str, int] = {}
             for e in self.entries.values():

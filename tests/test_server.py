@@ -390,6 +390,58 @@ class TestAutoSelect:
         e = QueueEntry(1, "a.ts", "o", service_id=1032)
         assert s.profile_for(e).name == "news"
 
+    def test_filename_tag_size_conditions(self, ctx, tmp_path):
+        from amatsukaze_tpu.server.server import QueueEntry
+
+        s = self._server(ctx, tmp_path)
+        s.auto_select["x"] = [
+            {"file_name": "Movie", "profile": "anime"},
+            {"tag": "late-night", "profile": "news"},
+        ]
+        assert s.profile_for(
+            QueueEntry(1, "/rec/My Movie 01.ts", "o")).name == "anime"
+        assert s.profile_for(
+            QueueEntry(2, "/rec/other.ts", "o",
+                       tags=["late-night"])).name == "news"
+        assert s.profile_for(QueueEntry(3, "/rec/other.ts", "o")).name \
+            == "default"
+
+    def test_video_size_condition(self, ctx, tmp_path):
+        from amatsukaze_tpu.server.server import EncodeServer, QueueEntry
+
+        assert EncodeServer.video_size_class(1920) == "fullhd"
+        assert EncodeServer.video_size_class(1440) == "hd1440"
+        assert EncodeServer.video_size_class(720) == "sd"
+        assert EncodeServer.video_size_class(320) == "oneseg"
+        s = self._server(ctx, tmp_path)
+        s.auto_select["x"] = [
+            {"video_size": ["sd", "oneseg"], "profile": "news"},
+            {"video_size": "fullhd", "profile": "anime"},
+        ]
+        assert s.profile_for(
+            QueueEntry(1, "a.ts", "o", width=720, height=480)).name == "news"
+        assert s.profile_for(
+            QueueEntry(2, "b.ts", "o", width=1920, height=1080)).name \
+            == "anime"
+
+    def test_priority_override_and_service_ids(self, ctx, tmp_path):
+        from amatsukaze_tpu.server.server import QueueEntry
+
+        s = self._server(ctx, tmp_path)
+        s.auto_select["x"] = [
+            {"service_ids": [1024, 1032], "profile": "anime", "priority": 5},
+        ]
+        e = QueueEntry(1, "a.ts", "o", service_id=1032, priority=3)
+        assert s.profile_for(e).name == "anime"
+        assert e.priority == 5
+
+    def test_disk_items(self, ctx, tmp_path):
+        s = self._server(ctx, tmp_path)
+        s.setting.work_dir = str(tmp_path)
+        items = s.disk_items()
+        assert items and items[0]["capacity"] > 0
+        assert 0 < items[0]["free"] <= items[0]["capacity"]
+
 
 class TestServerOps:
     """Retry / disk space / finish action / instance lock / rolling console
