@@ -178,8 +178,10 @@ class EncodeServer:
             self._lock_file = None
 
     def disk_space(self) -> list[dict]:
-        """Free/total bytes for every directory the queue touches (ref
-        EncodeServer disk-space tracking for the GUI meters)."""
+        """Free/total bytes for every mount the queue touches (ref
+        EncodeServer's diskMap, EncodeServer.cs:2314-2360). Paths that do
+        not exist yet fall back to their nearest existing parent, and
+        mounts are reported once (deduplicated by device)."""
         import shutil as _shutil
 
         paths = {self.setting.work_dir or "."}
@@ -188,9 +190,20 @@ class EncodeServer:
         for e in self.entries.values():
             paths.add(os.path.dirname(e.out_path) or ".")
         out = []
+        seen_dev = set()
         for p in sorted(paths):
+            probe = os.path.abspath(p)
+            while probe and not os.path.exists(probe):
+                parent = os.path.dirname(probe)
+                if parent == probe:
+                    break
+                probe = parent
             try:
-                u = _shutil.disk_usage(p)
+                dev = os.stat(probe).st_dev
+                if dev in seen_dev:
+                    continue
+                seen_dev.add(dev)
+                u = _shutil.disk_usage(probe)
             except OSError:
                 continue
             out.append({"path": p, "total": u.total, "free": u.free})
@@ -336,35 +349,6 @@ class EncodeServer:
                 return self.profiles[profile]
         return self.profiles.get(entry.profile_name, self.profiles["default"])
 
-    def disk_items(self) -> list:
-        """Free/total space per interesting mount (ref EncodeServer's
-        diskMap, EncodeServer.cs:2314-2360): the work dir, every queued
-        item's output dir, and the always-show path from settings."""
-        import shutil as _sh
-
-        paths = {os.path.abspath(self.setting.work_dir)}
-        for e in self.entries.values():
-            paths.add(os.path.abspath(os.path.dirname(e.out_path) or "."))
-        if self.setting.always_show_disk:
-            paths.add(os.path.abspath(self.setting.always_show_disk))
-        out = []
-        seen_dev = set()
-        for path in sorted(paths):
-            probe = path
-            while probe and not os.path.exists(probe):
-                probe = os.path.dirname(probe)
-            if not probe:
-                continue
-            try:
-                dev = os.stat(probe).st_dev
-                if dev in seen_dev:
-                    continue
-                seen_dev.add(dev)
-                du = _sh.disk_usage(probe)
-            except OSError:
-                continue
-            out.append({"path": path, "capacity": du.total, "free": du.free})
-        return out
 
     def _enqueue(self, entry: QueueEntry) -> None:
         profile = self.profile_for(entry)
@@ -671,8 +655,6 @@ class EncodeServer:
         if method == "SetAutoSelect":
             self.auto_select = dict(payload)
             return {"ok": True}
-        if method == "GetDiskFree":
-            return self.disk_items()
         if method == "GetState":
             states: dict[str, int] = {}
             for e in self.entries.values():

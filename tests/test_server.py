@@ -435,12 +435,19 @@ class TestAutoSelect:
         assert s.profile_for(e).name == "anime"
         assert e.priority == 5
 
-    def test_disk_items(self, ctx, tmp_path):
+    def test_disk_space_dedup_and_missing_paths(self, ctx, tmp_path):
+        from amatsukaze_tpu.server.server import QueueEntry
+
         s = self._server(ctx, tmp_path)
         s.setting.work_dir = str(tmp_path)
-        items = s.disk_items()
-        assert items and items[0]["capacity"] > 0
-        assert 0 < items[0]["free"] <= items[0]["capacity"]
+        # out dir does not exist yet: falls back to the nearest parent,
+        # and same-mount paths are reported once
+        e = QueueEntry(1, "a.ts", str(tmp_path / "not" / "yet" / "o.mp4"))
+        s.entries[1] = e
+        items = s.disk_space()
+        assert len(items) == 1
+        assert items[0]["total"] > 0
+        assert 0 < items[0]["free"] <= items[0]["total"]
 
 
 class TestServerOps:
