@@ -197,26 +197,39 @@ static void idct8x8(const int32_t f[64], int32_t out[64],
     }
     _mm256_storeu_si256((__m256i*)(t + i * 8), _mm256_srai_epi32(acc, 11));
   }
-  // out[m][n] = (65536 + sum_u A[u][m]*t[u][n]) >> 17 in 64-bit lanes
-  // (_mm256_mul_epi32 sign-extends the low 32 bits of each 64-bit lane,
-  // which after cvtepi32_epi64 is exactly the int32 t value)
-  for (int m = 0; m < 8; m++) {
-    __m256i accl = _mm256_set1_epi64x(65536);
-    __m256i acch = accl;
+  // out[m][n] = (65536 + sum_u A[u][m]*t[u][n]) >> 17 in 64-bit lanes.
+  // A's even rows are symmetric in m and odd rows antisymmetric, so
+  // out[m] = E+O and out[7-m] = E-O share both partial sums — half the
+  // 64-bit multiplies. Exact: integer addition is associative and the
+  // int64 accumulators cannot overflow. (_mm256_mul_epi32 sign-extends
+  // the low 32 bits of each 64-bit lane, which after cvtepi32_epi64 is
+  // exactly the int32 t value.)
+  for (int m = 0; m < 4; m++) {
+    __m256i el = _mm256_set1_epi64x(65536), eh = el;
+    __m256i ol = _mm256_setzero_si256(), oh = ol;
     for (int k = 0; k < nrows; k++) {
       int u = rows[k];
       __m256i a = _mm256_set1_epi64x(IDCT_A[u * 8 + m]);
       __m256i tv = _mm256_loadu_si256((const __m256i*)(t + u * 8));
       __m256i tl = _mm256_cvtepi32_epi64(_mm256_castsi256_si128(tv));
       __m256i th = _mm256_cvtepi32_epi64(_mm256_extracti128_si256(tv, 1));
-      accl = _mm256_add_epi64(accl, _mm256_mul_epi32(tl, a));
-      acch = _mm256_add_epi64(acch, _mm256_mul_epi32(th, a));
+      if (u & 1) {
+        ol = _mm256_add_epi64(ol, _mm256_mul_epi32(tl, a));
+        oh = _mm256_add_epi64(oh, _mm256_mul_epi32(th, a));
+      } else {
+        el = _mm256_add_epi64(el, _mm256_mul_epi32(tl, a));
+        eh = _mm256_add_epi64(eh, _mm256_mul_epi32(th, a));
+      }
     }
-    alignas(32) int64_t acc[8];
-    _mm256_store_si256((__m256i*)acc, accl);
-    _mm256_store_si256((__m256i*)(acc + 4), acch);
+    alignas(32) int64_t acc[16];
+    _mm256_store_si256((__m256i*)acc, _mm256_add_epi64(el, ol));
+    _mm256_store_si256((__m256i*)(acc + 4), _mm256_add_epi64(eh, oh));
+    _mm256_store_si256((__m256i*)(acc + 8), _mm256_sub_epi64(el, ol));
+    _mm256_store_si256((__m256i*)(acc + 12), _mm256_sub_epi64(eh, oh));
     int32_t* om = out + m * 8;
+    int32_t* orm = out + (7 - m) * 8;
     for (int n = 0; n < 8; n++) om[n] = (int32_t)(acc[n] >> 17);
+    for (int n = 0; n < 8; n++) orm[n] = (int32_t)(acc[8 + n] >> 17);
   }
 #else
   for (int i = 0; i < 8; i++) {
@@ -542,7 +555,19 @@ struct Decoder {
     int c_rows = 8;      // chroma rows per MB
     int c_len = 64;      // chroma samples per MB plane
     int nblocks = 6;
+    // weight*qscale dequant tables, refreshed whenever qs changes;
+    // products fit int32 (max 2*2048*255*112 < 2^31) so the dequant
+    // arithmetic is unchanged, just pre-multiplied
+    int32_t wq_intra[64];
+    int32_t wq_non[64];
   };
+
+  void refresh_wq(SliceState& st) {
+    for (int i = 0; i < 64; i++) {
+      st.wq_intra[i] = seq.intra_q[i] * st.qs;
+      st.wq_non[i] = seq.non_intra_q[i] * st.qs;
+    }
+  }
 
   int qscale(uint32_t code, BitReader& r) {
     if (code < 1 || code > 31) { r.err = true; return 2; }
@@ -681,9 +706,8 @@ struct Decoder {
              int32_t coeffs[64], unsigned& rowmask) {
     std::memset(coeffs, 0, 64 * sizeof(int32_t));
     rowmask = 0;
-    const int32_t* w_intra = seq.intra_q;
-    const int32_t* w_non = seq.non_intra_q;
-    int qs = st.qs;
+    const int32_t* wq_intra = st.wq_intra;
+    const int32_t* wq_non = st.wq_non;
     int n = 0;
     bool first;
     if (intra) {
@@ -753,12 +777,12 @@ struct Decoder {
       rowmask |= 1u << (pos >> 3);
       if (intra) {
         if (pos != 0)
-          coeffs[pos] = trunc_div32(2LL * level * w_intra[pos] * qs);
+          coeffs[pos] = trunc_div32(2LL * level * wq_intra[pos]);
         else
           coeffs[pos] = level;
       } else {
         int k = level == 0 ? 0 : (level > 0 ? 1 : -1);
-        coeffs[pos] = trunc_div32((2LL * level + k) * w_non[pos] * qs);
+        coeffs[pos] = trunc_div32((2LL * level + k) * wq_non[pos]);
       }
       if (seq.mpeg1 && pos != 0) {
         // 11172-2: per-coefficient oddification (DC exempt)
@@ -1076,7 +1100,7 @@ struct Decoder {
     int dct_type = 0;
     if (st.frame_pic && !pic.frame_pred_frame_dct && (intra || pattern))
       dct_type = r.read(1);
-    if (flags & MBT_QUANT) st.qs = qscale(r.read(5), r);
+    if (flags & MBT_QUANT) { st.qs = qscale(r.read(5), r); refresh_wq(st); }
     if (r.err) return false;
 
     Pred acc, tmp;
@@ -1191,6 +1215,7 @@ struct Decoder {
     if (seq.height > 2800) mb_row = ((int)r.read(3) << 7) + vertical_pos - 1;
     if (mb_row >= st.mbh) { errors++; return; }
     st.qs = qscale(r.read(5), r);
+    refresh_wq(st);
     if (r.peek(1) == 1 && !r.err) {
       r.skip(1 + 1 + 7);
       while (!r.err && r.peek(1) == 1) r.skip(9);
@@ -1315,6 +1340,7 @@ struct Decoder {
     st.dc_mult = 8 >> pic.intra_dc_precision;
     st.dc_reset = 1 << (pic.intra_dc_precision + 7);
     st.qs = 2;
+    refresh_wq(st);
 
     for (auto& s : slices) {
       BitReader r{data, s.second.first, s.second.second, false};
