@@ -385,11 +385,12 @@ static void fetch(const PlaneView& pv, int sy, int sx, int h, int w,
     // Bit-exact SIMD: _mm_avg_epu8 is exactly (a+b+1)>>1 on bytes, and
     // the quarter-sample case runs in 16-bit lanes (max 4*255+2 fits).
     if (w == 16) {
-      for (int r = 0; r < h; r++, r0 += pv.stride, out += 16) {
-        __m128i b;
-        if (!fy && !fx) {
-          b = _mm_loadu_si128((const __m128i*)r0);
-        } else if (fy && fx) {
+      if (!fy && !fx) {
+        for (int r = 0; r < h; r++, r0 += pv.stride, out += 16)
+          _mm_storeu_si128((__m128i*)out,
+                           _mm_loadu_si128((const __m128i*)r0));
+      } else if (fy && fx) {
+        for (int r = 0; r < h; r++, r0 += pv.stride, out += 16) {
           const uint8_t* r1 = r0 + pv.stride;
           __m256i a0 = _mm256_cvtepu8_epi16(_mm_loadu_si128((const __m128i*)r0));
           __m256i a1 = _mm256_cvtepu8_epi16(_mm_loadu_si128((const __m128i*)(r0 + 1)));
@@ -398,25 +399,27 @@ static void fetch(const PlaneView& pv, int sy, int sx, int h, int w,
           __m256i s = _mm256_add_epi16(_mm256_add_epi16(a0, a1),
                                        _mm256_add_epi16(b0, b1));
           s = _mm256_srli_epi16(_mm256_add_epi16(s, _mm256_set1_epi16(2)), 2);
-          b = _mm_packus_epi16(_mm256_castsi256_si128(s),
-                               _mm256_extracti128_si256(s, 1));
-        } else if (fy) {
-          b = _mm_avg_epu8(_mm_loadu_si128((const __m128i*)r0),
-                           _mm_loadu_si128((const __m128i*)(r0 + pv.stride)));
-        } else {
-          b = _mm_avg_epu8(_mm_loadu_si128((const __m128i*)r0),
-                           _mm_loadu_si128((const __m128i*)(r0 + 1)));
+          _mm_storeu_si128(
+              (__m128i*)out,
+              _mm_packus_epi16(_mm256_castsi256_si128(s),
+                               _mm256_extracti128_si256(s, 1)));
         }
-        _mm_storeu_si128((__m128i*)out, b);
+      } else {
+        int step = fy ? pv.stride : 1;
+        for (int r = 0; r < h; r++, r0 += pv.stride, out += 16)
+          _mm_storeu_si128(
+              (__m128i*)out,
+              _mm_avg_epu8(_mm_loadu_si128((const __m128i*)r0),
+                           _mm_loadu_si128((const __m128i*)(r0 + step))));
       }
       return;
     }
     if (w == 8) {
-      for (int r = 0; r < h; r++, r0 += pv.stride, out += 8) {
-        __m128i b;
-        if (!fy && !fx) {
-          b = _mm_loadl_epi64((const __m128i*)r0);
-        } else if (fy && fx) {
+      if (!fy && !fx) {
+        for (int r = 0; r < h; r++, r0 += pv.stride, out += 8)
+          std::memcpy(out, r0, 8);
+      } else if (fy && fx) {
+        for (int r = 0; r < h; r++, r0 += pv.stride, out += 8) {
           const uint8_t* r1 = r0 + pv.stride;
           __m128i a0 = _mm_cvtepu8_epi16(_mm_loadl_epi64((const __m128i*)r0));
           __m128i a1 = _mm_cvtepu8_epi16(_mm_loadl_epi64((const __m128i*)(r0 + 1)));
@@ -424,15 +427,15 @@ static void fetch(const PlaneView& pv, int sy, int sx, int h, int w,
           __m128i b1 = _mm_cvtepu8_epi16(_mm_loadl_epi64((const __m128i*)(r1 + 1)));
           __m128i s = _mm_add_epi16(_mm_add_epi16(a0, a1), _mm_add_epi16(b0, b1));
           s = _mm_srli_epi16(_mm_add_epi16(s, _mm_set1_epi16(2)), 2);
-          b = _mm_packus_epi16(s, s);
-        } else if (fy) {
-          b = _mm_avg_epu8(_mm_loadl_epi64((const __m128i*)r0),
-                           _mm_loadl_epi64((const __m128i*)(r0 + pv.stride)));
-        } else {
-          b = _mm_avg_epu8(_mm_loadl_epi64((const __m128i*)r0),
-                           _mm_loadl_epi64((const __m128i*)(r0 + 1)));
+          _mm_storel_epi64((__m128i*)out, _mm_packus_epi16(s, s));
         }
-        _mm_storel_epi64((__m128i*)out, b);
+      } else {
+        int step = fy ? pv.stride : 1;
+        for (int r = 0; r < h; r++, r0 += pv.stride, out += 8)
+          _mm_storel_epi64(
+              (__m128i*)out,
+              _mm_avg_epu8(_mm_loadl_epi64((const __m128i*)r0),
+                           _mm_loadl_epi64((const __m128i*)(r0 + step))));
       }
       return;
     }
