@@ -74,8 +74,13 @@ def _random_cfg(rng: np.random.Generator) -> tuple[EncConfig, str]:
                     o["dct"] = "field"
                 if o:
                     opts[i] = o
+    # 4:2:2 on a third of frame-motion frame-picture configs (the test
+    # encoder's field-picture and non-frame-motion paths are 4:2:0-only)
+    plain_frame = not field_pics and fpfd
+    cf = 2 if (plain_frame and rng.integers(0, 3) == 0) else 1
     cfg = EncConfig(
         w, h,
+        chroma_format=cf,
         qs=int(rng.choice([2, 4, 8, 16])),
         q_scale_type=bool(rng.integers(0, 2)),
         intra_vlc_format=bool(rng.integers(0, 2)),
@@ -98,12 +103,41 @@ def _random_cfg(rng: np.random.Generator) -> tuple[EncConfig, str]:
 def test_differential_random_streams(seed):
     rng = np.random.default_rng(100 + seed)
     cfg, gop = _random_cfg(rng)
-    frames = synth_frames(cfg.width, cfg.height, len(gop), seed=seed)
+    frames = synth_frames(cfg.width, cfg.height, len(gop), seed=seed,
+                          chroma_format=cfg.chroma_format)
     enc = Mpeg2TestEncoder(cfg)
     es = enc.encode(frames, gop)
     a = decode_es(es)
     b = decode_es_native(es)
     _assert_equal(a, b)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_differential_random_422(seed):
+    """Random scalar coding params with 4:2:2 chroma (frame motion —
+    the test encoder's other modes are 4:2:0-only)."""
+    rng = np.random.default_rng(300 + seed)
+    n = int(rng.integers(2, 6))
+    gop = "I" + "".join(rng.choice(["P", "P", "B"], n - 1))
+    while gop.endswith("B"):
+        gop = gop[:-1] + "P"
+    cfg = EncConfig(
+        64, 48,
+        chroma_format=2,
+        qs=int(rng.choice([2, 4, 8, 16])),
+        q_scale_type=bool(rng.integers(0, 2)),
+        intra_vlc_format=bool(rng.integers(0, 2)),
+        alternate_scan=bool(rng.integers(0, 2)),
+        intra_dc_precision=int(rng.integers(0, 3)),
+        search=2,
+    )
+    if bool(rng.integers(0, 2)):
+        cfg.custom_matrices = True
+        cfg.intra_q = (8,) + tuple(int(v) for v in rng.integers(8, 64, 63))
+        cfg.non_intra_q = tuple(int(v) for v in rng.integers(8, 48, 64))
+    frames = synth_frames(64, 48, len(gop), seed=seed, chroma_format=2)
+    es = Mpeg2TestEncoder(cfg).encode(frames, gop)
+    _assert_equal(decode_es(es), decode_es_native(es))
 
 
 def test_differential_streaming_api():
