@@ -796,6 +796,24 @@ struct Decoder {
     // saturation + mismatch control (whole block, incl. DC) — zero rows
     // clip to zero and add nothing, so only live rows need touching
     int64_t sum = 0;
+#ifdef __AVX2__
+    {
+      // per-row sums fit int32 (|clamped| <= 2048, 8 rows of 8)
+      __m256i vsum = _mm256_setzero_si256();
+      const __m256i lo = _mm256_set1_epi32(-2048);
+      const __m256i hi = _mm256_set1_epi32(2047);
+      for (unsigned m = rowmask; m; m &= m - 1) {
+        int32_t* cr = coeffs + 8 * __builtin_ctz(m);
+        __m256i v = _mm256_loadu_si256((const __m256i*)cr);
+        v = _mm256_min_epi32(_mm256_max_epi32(v, lo), hi);
+        _mm256_storeu_si256((__m256i*)cr, v);
+        vsum = _mm256_add_epi32(vsum, v);
+      }
+      alignas(32) int32_t sv[8];
+      _mm256_store_si256((__m256i*)sv, vsum);
+      for (int i = 0; i < 8; i++) sum += sv[i];
+    }
+#else
     for (unsigned m = rowmask; m; m &= m - 1) {
       int32_t* cr = coeffs + 8 * __builtin_ctz(m);
       for (int i = 0; i < 8; i++) {
@@ -804,6 +822,7 @@ struct Decoder {
         sum += cr[i];
       }
     }
+#endif
     if (!seq.mpeg1 && (sum & 1) == 0) {  // MPEG-1 oddifies instead
       coeffs[63] ^= 1;
       rowmask |= 0x80;
