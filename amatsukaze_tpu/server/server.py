@@ -184,14 +184,17 @@ class EncodeServer:
         mounts are reported once (deduplicated by device)."""
         import shutil as _shutil
 
-        paths = {self.setting.work_dir or "."}
-        if self.setting.always_show_disk:
-            paths.add(self.setting.always_show_disk)
-        for e in self.entries.values():
-            paths.add(os.path.dirname(e.out_path) or ".")
+        # stable labels: configured paths outrank transient queue paths,
+        # so a mount's reported identity does not churn with the queue
+        ranked = [(0, self.setting.always_show_disk)] if \
+            self.setting.always_show_disk else []
+        ranked.append((1, self.setting.work_dir or "."))
+        ranked += sorted(
+            (2, os.path.dirname(e.out_path) or ".")
+            for e in self.entries.values())
         out = []
         seen_dev = set()
-        for p in sorted(paths):
+        for _, p in ranked:
             probe = os.path.abspath(p)
             while probe and not os.path.exists(probe):
                 parent = os.path.dirname(probe)
@@ -288,15 +291,18 @@ class EncodeServer:
             return "sd"
         return "oneseg"
 
-    def profile_for(self, entry: QueueEntry) -> ProfileSetting:
+    def profile_for(self, entry: QueueEntry,
+                    apply_priority: bool = False) -> ProfileSetting:
         """Auto-select by the reference's full condition set: service id,
         ARIB genre, file-name substring, tag, and coded video size, all
         ANDed within a rule, first matching rule wins (ref
         ServerSupport.AutoSelectProfile, Misc.cs:933-977). Rules are dicts
         {service_id?|service_ids?, genre?: [l1, l2?]|genres?, file_name?,
         tag?, video_size?, profile, priority?}; legacy
-        (service_id, profile) pairs still work. A matched rule with a
-        "priority" key also overrides the item priority."""
+        (service_id, profile) pairs still work. A matched rule's
+        "priority" key overrides the item priority only when
+        apply_priority is set (queue-admission time), so later lookups
+        never clobber a user-set priority."""
         for rules in self.auto_select.values():
             for rule in rules:
                 if isinstance(rule, (tuple, list)) and len(rule) == 2 \
@@ -316,8 +322,9 @@ class EncodeServer:
                     if entry.service_id not in sids:
                         continue
                 genre = rule.get("genre")
-                genres = [genre] if genre is not None else rule.get("genres")
-                if genres is not None:
+                genres = ([genre] if genre is not None else []) \
+                    + list(rule.get("genres") or [])
+                if genres:
                     conds += 1
                     hit = any(
                         g[0] == want[0] and (len(want) < 2 or g[1] == want[1])
@@ -339,12 +346,14 @@ class EncodeServer:
                 vs = rule.get("video_size")
                 if vs is not None:
                     conds += 1
+                    if entry.width <= 0:
+                        continue  # unprobed size must not match any rule
                     want_vs = [vs] if isinstance(vs, str) else list(vs)
                     if self.video_size_class(entry.width) not in want_vs:
                         continue
                 if conds == 0:
                     continue  # an empty rule must not match everything
-                if "priority" in rule:
+                if apply_priority and "priority" in rule:
                     entry.priority = int(rule["priority"])
                 return self.profiles[profile]
         return self.profiles.get(entry.profile_name, self.profiles["default"])
@@ -370,6 +379,7 @@ class EncodeServer:
             added=time.time(),
         )
         self._probe_item(entry)
+        self.profile_for(entry, apply_priority=True)
         prof = self.profiles.get(profile)
         if prof is not None and prof.rename_format:
             from .rename import rename_output

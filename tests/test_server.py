@@ -432,8 +432,35 @@ class TestAutoSelect:
             {"service_ids": [1024, 1032], "profile": "anime", "priority": 5},
         ]
         e = QueueEntry(1, "a.ts", "o", service_id=1032, priority=3)
+        # priority applies only at queue admission (apply_priority=True);
+        # later lookups must not clobber a user-set priority
         assert s.profile_for(e).name == "anime"
+        assert e.priority == 3
+        assert s.profile_for(e, apply_priority=True).name == "anime"
         assert e.priority == 5
+        e.priority = 1  # user lowers it; a re-lookup keeps it
+        s.profile_for(e)
+        assert e.priority == 1
+
+    def test_unprobed_size_never_matches_video_size(self, ctx, tmp_path):
+        from amatsukaze_tpu.server.server import QueueEntry
+
+        s = self._server(ctx, tmp_path)
+        s.auto_select["x"] = [{"video_size": "oneseg", "profile": "news"}]
+        e = QueueEntry(1, "a.ts", "o")  # probe failed: width stays 0
+        assert s.profile_for(e).name == "default"
+
+    def test_genre_and_genres_merge(self, ctx, tmp_path):
+        from amatsukaze_tpu.server.server import QueueEntry
+
+        s = self._server(ctx, tmp_path)
+        s.auto_select["x"] = [
+            {"genre": [7], "genres": [[8], [10]], "profile": "anime"},
+        ]
+        assert s.profile_for(
+            QueueEntry(1, "a.ts", "o", genres=[[8, 1]])).name == "anime"
+        assert s.profile_for(
+            QueueEntry(2, "b.ts", "o", genres=[[9, 0]])).name == "default"
 
     def test_disk_space_dedup_and_missing_paths(self, ctx, tmp_path):
         from amatsukaze_tpu.server.server import QueueEntry
