@@ -58,6 +58,7 @@ class ProfileSetting:
     ignore_no_logo: bool = True
     loose_logo_detection: bool = False
     cm_out_mask: int = 1
+    disable_hash_check: bool = False  # skip hash-dir source verification
     # phase resources: CPU/HDD/device percent per phase (ReqResource)
     req_resources: dict = field(default_factory=lambda: {
         "TSAnalyze": {"cpu": 20, "hdd": 30, "gpu": 0},
@@ -105,6 +106,8 @@ class QueueEntry:
     retry_count: int = 0
     width: int = 0   # coded video size from the TS probe (for the
     height: int = 0  # video-size auto-select condition)
+    hash: str = ""   # expected SHA-512 (hex) from the source dir's
+                     # companion .hash list, verified before encoding
 
 
 CONSOLE_MAX_LINES = 400  # rolling console capture (ref RollingTextLines)
@@ -379,6 +382,7 @@ class EncodeServer:
             added=time.time(),
         )
         self._probe_item(entry)
+        self._lookup_source_hash(entry)
         self.profile_for(entry, apply_priority=True)
         prof = self.profiles.get(profile)
         if prof is not None and prof.rename_format:
@@ -390,7 +394,8 @@ class EncodeServer:
                     os.path.dirname(entry.out_path), name)
         self._next_id += 1
         self.entries[entry.item_id] = entry
-        self._enqueue(entry)
+        if entry.state == "queue":  # hash-dir lookup may have failed it
+            self._enqueue(entry)
         return entry
 
     def _probe_item(self, entry: QueueEntry) -> None:
@@ -542,6 +547,57 @@ class EncodeServer:
         if len(entry.console) > CONSOLE_MAX_LINES:
             del entry.console[:len(entry.console) - CONSOLE_MAX_LINES]
 
+    def _lookup_source_hash(self, entry: QueueEntry) -> None:
+        """Sources added from a "hash dir" (a directory with a companion
+        <dir>.hash SHA-512 list, e.g. a NAS filled by AddTask) carry their
+        expected digest so the encode-time copy is verified (ref
+        QueueManager.cs:578-600)."""
+        hash_path = os.path.dirname(os.path.abspath(entry.src_path)) + ".hash"
+        if not os.path.exists(hash_path):
+            return
+        from ..tools.hash_check import read_hash_file
+
+        try:
+            digests = read_hash_file(hash_path)
+        except (OSError, ValueError) as e:
+            self.append_console(entry, f"bad hash file {hash_path}: {e}")
+            entry.state = "failed"
+            return
+        digest = digests.get(os.path.basename(entry.src_path))
+        if digest is None:
+            self.append_console(
+                entry, f"no hash for {os.path.basename(entry.src_path)} "
+                f"in {hash_path}")
+            entry.state = "failed"
+            return
+        entry.hash = digest.hex()
+
+    def _verified_local_source(self, entry: QueueEntry,
+                               profile: ProfileSetting) -> str | None:
+        """Copy a hash-dir source to the local work dir, verifying the
+        SHA-512 during the copy (ref TranscodeWorker.cs:840-861). Returns
+        the local path, or None when verification is off. Raises on
+        digest mismatch."""
+        if not entry.hash or profile.disable_hash_check:
+            return None
+        from ..tools.hash_check import copy_with_hash
+
+        os.makedirs(self.setting.work_dir, exist_ok=True)
+        local = os.path.join(
+            self.setting.work_dir,
+            f"item{entry.item_id}_{os.path.basename(entry.src_path)}")
+        digest = copy_with_hash(entry.src_path, local)
+        if digest.hex() != entry.hash:
+            try:
+                os.remove(local)
+            except OSError:
+                pass
+            raise IOError(
+                f"source hash mismatch for {entry.src_path} "
+                f"(expected {entry.hash[:16]}…, got {digest.hex()[:16]}…)")
+        self.append_console(entry, "hash-verified local copy -> " + local)
+        return local
+
     async def _default_run_item(self, server, worker_id, entry, phase) -> bool:
         """In-process transcode (the reference spawns Amatsukaze.exe; we run
         the pipeline in a thread, phases gated by the shared manager)."""
@@ -551,17 +607,56 @@ class EncodeServer:
         from ..pipeline.decoders import default_decoder_factory
 
         profile = self.profile_for(entry)
-        argv = self.make_cli_args(entry, profile)
-        args = build_parser().parse_args(argv)
-        conf = args_to_config(args)
-        settings = Settings(self.ctx, conf)
-        pipe = TranscodePipeline(
-            self.ctx, settings, decoder_factory=default_decoder_factory(),
-            phase_scheduler=phase,
-        )
         loop = asyncio.get_running_loop()
-        report = await loop.run_in_executor(None, pipe.run)
-        return bool(report)
+        local_src = None
+        orig_src = entry.src_path
+        try:
+            local_src = await loop.run_in_executor(
+                None, self._verified_local_source, entry, profile)
+        except (OSError, IOError) as e:
+            self.append_console(entry, str(e))
+            return False
+        try:
+            if local_src:
+                entry.src_path = local_src
+            argv = self.make_cli_args(entry, profile)
+            args = build_parser().parse_args(argv)
+            conf = args_to_config(args)
+            settings = Settings(self.ctx, conf)
+            pipe = TranscodePipeline(
+                self.ctx, settings, decoder_factory=default_decoder_factory(),
+                phase_scheduler=phase,
+            )
+            report = await loop.run_in_executor(None, pipe.run)
+            if report:
+                entry.out_files = [
+                    of.get("path", "") for of in report.get("outfiles", [])]
+                if entry.hash and not profile.disable_hash_check:
+                    await loop.run_in_executor(
+                        None, self._record_output_hashes, entry)
+            return bool(report)
+        finally:
+            entry.src_path = orig_src
+            if local_src:
+                try:
+                    os.remove(local_src)
+                except OSError:
+                    pass
+
+    def _record_output_hashes(self, entry: QueueEntry) -> None:
+        """Append SHA-512s of the outputs to _encoded.hash beside them
+        (ref TranscodeWorker.cs:1105-1110)."""
+        from ..tools.hash_check import append_hash, file_hash
+
+        for path in entry.out_files:
+            if not path or not os.path.exists(path):
+                continue
+            try:
+                append_hash(
+                    os.path.join(os.path.dirname(path), "_encoded.hash"),
+                    os.path.basename(path), file_hash(path))
+            except OSError as e:
+                self.append_console(entry, f"output hash failed: {e}")
 
     async def _on_error(self, worker_id: int, message: str, exc) -> None:
         self.ctx.error("worker %d: %s: %s", worker_id, message, exc)

@@ -462,6 +462,98 @@ class TestAutoSelect:
         assert s.profile_for(
             QueueEntry(2, "b.ts", "o", genres=[[9, 0]])).name == "default"
 
+    def test_hash_dir_lookup_and_verified_copy(self, ctx, tmp_path):
+        import asyncio, os
+        from amatsukaze_tpu.tools.hash_check import append_hash, file_hash
+
+        s = self._server(ctx, tmp_path)
+        s.setting.work_dir = str(tmp_path / "work")
+        nas = tmp_path / "nas"
+        nas.mkdir()
+        src = nas / "rec.ts"
+        src.write_bytes(b"fake ts payload" * 100)
+        append_hash(str(nas) + ".hash", "rec.ts", file_hash(str(src)))
+        e = s.add_queue(str(src), str(tmp_path / "out.mp4"))
+        assert e.hash == file_hash(str(src)).hex()
+        assert e.state == "queue"
+        # encode-time verified local copy
+        local = s._verified_local_source(e, s.profiles["default"])
+        assert local and os.path.exists(local)
+        assert open(local, "rb").read() == src.read_bytes()
+        os.remove(local)
+        # tampered source -> mismatch raises
+        src.write_bytes(b"tampered!" * 100)
+        try:
+            s._verified_local_source(e, s.profiles["default"])
+            assert False, "expected hash mismatch"
+        except IOError as ex:
+            assert "hash mismatch" in str(ex)
+
+    def test_hash_dir_missing_entry_fails_item(self, ctx, tmp_path):
+        from amatsukaze_tpu.tools.hash_check import append_hash
+
+        s = self._server(ctx, tmp_path)
+        nas = tmp_path / "nas"
+        nas.mkdir()
+        src = nas / "rec.ts"
+        src.write_bytes(b"x" * 100)
+        append_hash(str(nas) + ".hash", "other.ts", b"\x00" * 64)
+        e = s.add_queue(str(src), str(tmp_path / "out.mp4"))
+        assert e.state == "failed"
+        assert any("no hash for" in line for line in e.console)
+
+    def test_no_hash_dir_is_unverified(self, ctx, tmp_path):
+        s = self._server(ctx, tmp_path)
+        src = tmp_path / "rec.ts"
+        src.write_bytes(b"x")
+        e = s.add_queue(str(src), str(tmp_path / "out.mp4"))
+        assert e.hash == "" and e.state in ("queue", "encoding", "complete")
+        assert s._verified_local_source(e, s.profiles["default"]) is None
+
+    def test_default_run_item_hash_flow(self, ctx, tmp_path, monkeypatch):
+        """_default_run_item with a hash-dir source: encodes from a
+        verified local copy, restores src_path, records out_files and
+        appends their SHA-512s to _encoded.hash."""
+        import asyncio, os
+        from amatsukaze_tpu.tools.hash_check import (append_hash, file_hash,
+                                                     read_hash_file)
+
+        s = self._server(ctx, tmp_path)
+        s.setting.work_dir = str(tmp_path / "work")
+        nas = tmp_path / "nas"
+        nas.mkdir()
+        src = nas / "rec.ts"
+        src.write_bytes(b"fake ts" * 64)
+        append_hash(str(nas) + ".hash", "rec.ts", file_hash(str(src)))
+        out_dir = tmp_path / "dest"
+        out_dir.mkdir()
+        e = s.add_queue(str(src), str(out_dir / "out.mp4"))
+
+        seen = {}
+
+        class FakePipeline:
+            def __init__(self, ctx, settings, decoder_factory=None,
+                         phase_scheduler=None):
+                seen["src"] = settings.conf.src_file_path
+                self.settings = settings
+
+            def run(self):
+                out = out_dir / "out.mp4"
+                out.write_bytes(b"mp4!")
+                return {"outfiles": [{"path": str(out)}]}
+
+        import amatsukaze_tpu.pipeline.transcode as T
+        monkeypatch.setattr(T, "TranscodePipeline", FakePipeline)
+        ok = asyncio.run(s._default_run_item(s, 0, e, None))
+        assert ok
+        # encoded from the verified LOCAL copy, not the NAS path
+        assert seen["src"].startswith(s.setting.work_dir)
+        assert not os.path.exists(seen["src"])  # cleaned up after
+        assert e.src_path == str(src)           # restored
+        assert e.out_files == [str(out_dir / "out.mp4")]
+        rec = read_hash_file(str(out_dir / "_encoded.hash"))
+        assert rec["out.mp4"] == file_hash(str(out_dir / "out.mp4"))
+
     def test_disk_space_dedup_and_missing_paths(self, ctx, tmp_path):
         from amatsukaze_tpu.server.server import QueueEntry
 
