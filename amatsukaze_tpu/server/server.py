@@ -59,6 +59,7 @@ class ProfileSetting:
     loose_logo_detection: bool = False
     cm_out_mask: int = 1
     disable_hash_check: bool = False  # skip hash-dir source verification
+    enable_genre_folder: bool = False  # sort outputs into genre subdirs
     # phase resources: CPU/HDD/device percent per phase (ReqResource)
     req_resources: dict = field(default_factory=lambda: {
         "TSAnalyze": {"cpu": 20, "hdd": 30, "gpu": 0},
@@ -385,6 +386,7 @@ class EncodeServer:
         self._lookup_source_hash(entry)
         self.profile_for(entry, apply_priority=True)
         prof = self.profiles.get(profile)
+        renamed = False
         if prof is not None and prof.rename_format:
             from .rename import rename_output
 
@@ -392,6 +394,21 @@ class EncodeServer:
             if name:
                 entry.out_path = os.path.join(
                     os.path.dirname(entry.out_path), name)
+                renamed = True
+        if prof is not None and prof.enable_genre_folder and not renamed:
+            # sort into a main-genre subdir; SCRename-style renaming takes
+            # precedence (ref TranscodeWorker.cs:783-806)
+            from .genre import GenreItem, main_genre_name
+            from .rename import escape_filename
+
+            gname = None
+            if entry.genres:
+                gname = main_genre_name(GenreItem(*entry.genres[0][:2]))
+            folder = escape_filename(gname, True) if gname \
+                else "_ジャンル情報なし"
+            entry.out_path = os.path.join(
+                os.path.dirname(entry.out_path), folder,
+                os.path.basename(entry.out_path))
         self._next_id += 1
         self.entries[entry.item_id] = entry
         if entry.state == "queue":  # hash-dir lookup may have failed it

@@ -554,6 +554,28 @@ class TestAutoSelect:
         rec = read_hash_file(str(out_dir / "_encoded.hash"))
         assert rec["out.mp4"] == file_hash(str(out_dir / "out.mp4"))
 
+    def test_genre_folder_sorting(self, ctx, tmp_path, monkeypatch):
+        from amatsukaze_tpu.server.server import EncodeServer, ProfileSetting
+
+        s = self._server(ctx, tmp_path)
+        s.profiles["default"].enable_genre_folder = True
+        src = tmp_path / "rec.ts"
+        src.write_bytes(b"x")
+        # monkeypatch the probe to supply a genre (no real TS here)
+        def probe(entry):
+            entry.genres = [[7, 0]]  # anime/tokusatsu main genre
+        monkeypatch.setattr(s, "_probe_item", probe)
+        e = s.add_queue(str(src), str(tmp_path / "out" / "rec.mp4"))
+        parts = e.out_path.split(os.sep)
+        assert parts[-2] not in ("out",)  # genre folder inserted
+        assert parts[-1] == "rec.mp4"
+        # no genre info -> the explicit no-genre folder
+        def probe2(entry):
+            entry.genres = []
+        monkeypatch.setattr(s, "_probe_item", probe2)
+        e2 = s.add_queue(str(src), str(tmp_path / "out" / "rec2.mp4"))
+        assert e2.out_path.split(os.sep)[-2] == "_ジャンル情報なし"
+
     def test_disk_space_dedup_and_missing_paths(self, ctx, tmp_path):
         from amatsukaze_tpu.server.server import QueueEntry
 
