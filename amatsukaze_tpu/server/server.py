@@ -497,6 +497,7 @@ class EncodeServer:
                         force_start: bool) -> None:
         entry: QueueEntry = item.payload
         entry.state = "encoding"
+        start = time.time()
         await self.clients.broadcast("OnQueueUpdate", asdict(entry))
         phase = PhaseScheduler(
             self.queue.resource_manager,
@@ -526,6 +527,9 @@ class EncodeServer:
         self.logs.append({
             "id": entry.item_id, "src": entry.src_path,
             "state": entry.state, "retries": entry.retry_count,
+            "profile": entry.profile_name,
+            "out_files": list(entry.out_files),
+            "encode_seconds": round(time.time() - start, 2),
             "finished": time.time(),
         })
         await self.clients.broadcast("OnQueueUpdate", asdict(entry))
