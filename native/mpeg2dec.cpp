@@ -142,8 +142,42 @@ struct Vlc {
   }
 };
 
+// Combined run/level/sign LUT for the DCT coefficient loop: one 11-bit
+// probe decodes code+sign for every short code (the overwhelming
+// majority), plus EOB and the escape prefix. Entry packing:
+// bits 0-4 total length, 5-10 run (62 = EOB, 63 = escape), 11-17
+// level+64. 0 = miss (long code) -> fall back to the exact Vlc path.
+struct RlVlc {
+  static constexpr int BITS = 11;
+  std::vector<uint32_t> lut;
+  void build(const VlcEntry* e, int n) {
+    lut.assign((size_t)1 << BITS, 0);
+    auto put = [&](uint32_t code, int len, uint32_t val) {
+      uint32_t base = code << (BITS - len);
+      uint32_t span = 1u << (BITS - len);
+      for (uint32_t p = 0; p < span; p++) lut[base | p] = val;
+    };
+    for (int i = 0; i < n; i++) {
+      if (e[i].v0 < 0) {  // EOB: no sign bit
+        if ((int)e[i].len <= BITS)
+          put(e[i].code, e[i].len, (uint32_t)e[i].len | (62u << 5));
+        continue;
+      }
+      int len = e[i].len + 1;  // + sign bit
+      if (len > BITS || e[i].v0 > 61 || e[i].v1 > 63) continue;
+      uint32_t run = (uint32_t)e[i].v0;
+      put((e[i].code << 1) | 0, len,
+          (uint32_t)len | (run << 5) | ((uint32_t)(e[i].v1 + 64) << 11));
+      put((e[i].code << 1) | 1, len,
+          (uint32_t)len | (run << 5) | ((uint32_t)(-e[i].v1 + 64) << 11));
+    }
+    put(DCT_ESCAPE_CODE, DCT_ESCAPE_LEN, 6u | (63u << 5));
+  }
+};
+
 static Vlc g_addr, g_mbt[4], g_cbp, g_mc, g_dmv, g_dcl, g_dcc, g_b14,
     g_b15;
+static RlVlc g_rl14, g_rl15;
 static std::once_flag g_once;
 
 static void init_tables() {
@@ -160,6 +194,8 @@ static void init_tables() {
   g_b15.build(B15_DCT, B15_DCT_N);
   g_b14.add_code(DCT_ESCAPE_CODE, DCT_ESCAPE_LEN, B14_DCT_N);
   g_b15.add_code(DCT_ESCAPE_CODE, DCT_ESCAPE_LEN, B15_DCT_N);
+  g_rl14.build(B14_DCT, B14_DCT_N);
+  g_rl15.build(B15_DCT, B15_DCT_N);
 }
 
 // ---------------------------------------------------------------------------
@@ -733,10 +769,11 @@ struct Decoder {
     } else {
       first = true;
     }
-    const Vlc& table = (intra && pic.intra_vlc_format) ? g_b15 : g_b14;
-    const VlcEntry* ents = (intra && pic.intra_vlc_format) ? B15_DCT
-                                                           : B14_DCT;
-    const int esc = (intra && pic.intra_vlc_format) ? B15_DCT_N : B14_DCT_N;
+    const bool b15 = intra && pic.intra_vlc_format;
+    const Vlc& table = b15 ? g_b15 : g_b14;
+    const VlcEntry* ents = b15 ? B15_DCT : B14_DCT;
+    const int esc = b15 ? B15_DCT_N : B14_DCT_N;
+    const uint32_t* rl = (b15 ? g_rl15 : g_rl14).lut.data();
     while (true) {
       int run, level;
       if (first && r.peek(1) == 1) {
@@ -749,9 +786,45 @@ struct Decoder {
       } else {
         if (r.err) return false;
         first = false;
-        int e = table.decode(r);
-        if (e < 0) return false;
-        if (e == esc) {
+        bool is_esc;
+        if (r.left() >= RlVlc::BITS) {
+          uint32_t hit = rl[r.peek_raw(RlVlc::BITS)];
+          if (hit) {
+            uint32_t rn = (hit >> 5) & 63;
+            r.pos += hit & 31;
+            if (rn == 62) break;  // EOB
+            if (rn == 63) {
+              is_esc = true;
+            } else {
+              is_esc = false;
+              run = (int)rn;
+              level = (int)((hit >> 11) & 127) - 64;
+            }
+          } else {  // long code: exact table path
+            int e = table.decode(r);
+            if (e < 0) return false;
+            if (e == esc) { is_esc = true; }
+            else if (ents[e].v0 < 0) break;  // EOB
+            else {
+              is_esc = false;
+              run = ents[e].v0;
+              int mag = ents[e].v1;
+              level = r.read(1) ? -mag : mag;
+            }
+          }
+        } else {  // too few bits for the probe: exact table path
+          int e = table.decode(r);
+          if (e < 0) return false;
+          if (e == esc) { is_esc = true; }
+          else if (ents[e].v0 < 0) break;  // EOB
+          else {
+            is_esc = false;
+            run = ents[e].v0;
+            int mag = ents[e].v1;
+            level = r.read(1) ? -mag : mag;
+          }
+        }
+        if (is_esc) {
           run = r.read(6);
           if (seq.mpeg1) {  // 11172-2: 8-bit level, double byte ext.
             int b0 = r.read(8);
@@ -764,12 +837,6 @@ struct Decoder {
             if (lv == 0 || lv == 2048) { r.err = true; return false; }
             level = lv >= 2048 ? lv - 4096 : lv;
           }
-        } else {
-          if (ents[e].v0 < 0) break;  // EOB
-          run = ents[e].v0;
-          int mag = ents[e].v1;
-          int sign = r.read(1);
-          level = sign ? -mag : mag;
         }
       }
       if (r.err) return false;
