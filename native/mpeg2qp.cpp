@@ -90,8 +90,35 @@ struct Vlc {
   }
 };
 
+// Skip LUT for the coefficient loop: an 11-bit probe yields the total
+// bits to consume (code + sign; the LUT span automatically covers both
+// sign continuations), 255 = EOB, 24 = the fixed-size escape
+// (6+6+12 bits), 0 = miss (long code) -> exact Vlc path.
+struct SkipVlc {
+  static constexpr int BITS = 11;
+  std::vector<uint8_t> lut;
+  void build(const VlcEntry* e, int n) {
+    lut.assign((size_t)1 << BITS, 0);
+    auto put = [&](uint32_t code, int len, uint8_t v) {
+      uint32_t base = code << (BITS - len);
+      uint32_t span = 1u << (BITS - len);
+      for (uint32_t p = 0; p < span; p++) lut[base | p] = v;
+    };
+    for (int i = 0; i < n; i++) {
+      if (e[i].v0 < 0) {  // EOB: no sign bit; flag + true length
+        if ((int)e[i].len <= BITS)
+          put(e[i].code, e[i].len, (uint8_t)(0x80 | e[i].len));
+      } else if ((int)e[i].len + 1 <= BITS) {
+        put(e[i].code, e[i].len, (uint8_t)(e[i].len + 1));
+      }
+    }
+    put(DCT_ESCAPE_CODE, DCT_ESCAPE_LEN, 24);
+  }
+};
+
 static Vlc g_addr_inc, g_mbt_i, g_mbt_p, g_mbt_b, g_cbp, g_mc, g_dmv,
     g_dc_luma, g_dc_chroma, g_b14, g_b15;
+static SkipVlc g_skip14, g_skip15;
 static std::once_flag g_once;
 
 static void init_tables() {
@@ -106,6 +133,8 @@ static void init_tables() {
   g_dc_chroma.build(B13_DC_CHROMA, B13_DC_CHROMA_N);
   g_b14.build(B14_DCT, B14_DCT_N);
   g_b15.build(B15_DCT, B15_DCT_N);
+  g_skip14.build(B14_DCT, B14_DCT_N);
+  g_skip15.build(B15_DCT, B15_DCT_N);
 }
 
 // ---------------------------------------------------------------------------
@@ -263,9 +292,10 @@ struct Decoder {
   // (0 for non-intra), with r.err set on desync
   int block(BitReader& r, bool intra, bool luma) {
     int dc_diff = 0;
-    const Vlc& table = (intra && pic.intra_vlc_format) ? g_b15 : g_b14;
-    const VlcEntry* ents = (intra && pic.intra_vlc_format) ? B15_DCT
-                                                           : B14_DCT;
+    const bool b15 = intra && pic.intra_vlc_format;
+    const Vlc& table = b15 ? g_b15 : g_b14;
+    const VlcEntry* ents = b15 ? B15_DCT : B14_DCT;
+    const uint8_t* skip = (b15 ? g_skip15 : g_skip14).lut.data();
     bool first = true;
     if (intra) {
       const Vlc& dct = luma ? g_dc_luma : g_dc_chroma;
@@ -296,7 +326,20 @@ struct Decoder {
         }
         first = false;
       }
-      // escape check before table lookup (escape is in neither table)
+      // one probe covers code + sign for short codes, EOB, and the
+      // fixed-size escape (6+6+12). Probing requires enough real bits
+      // so the zero-padded tail can't be consumed as a longer code.
+      if (r.end - r.pos >= SkipVlc::BITS) {
+        uint8_t hit = skip[r.peek(SkipVlc::BITS)];
+        if (hit & 0x80) { r.pos += hit & 0x7F; break; }  // EOB
+        if (hit) {
+          r.pos += hit;
+          n++;
+          if (n > 64) { r.err = true; return dc_diff; }
+          continue;
+        }
+      }
+      // long code or near-end: exact path
       if ((int64_t)DCT_ESCAPE_LEN <= r.end - r.pos &&
           r.peek(DCT_ESCAPE_LEN) == DCT_ESCAPE_CODE) {
         r.pos += DCT_ESCAPE_LEN;
