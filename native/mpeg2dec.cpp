@@ -1015,6 +1015,26 @@ struct Decoder {
         mvs[s][1] = st.pmv[0][s][1] * sc;
       }
     }
+    // P-frame skips in frame pictures are exact zero-vector forward
+    // copies with no residual: bytes move ref -> cur directly (the
+    // fetch/clip/store roundtrip is the identity on them)
+    if (pic.coding_type == 2 && st.frame_pic) {
+      FrameBuf* frame = ref_frame(0);
+      if (frame) {
+        for (int r = 0; r < 16; r++) {
+          size_t off = (size_t)(mb_row * 16 + r) * cur->yw() + mb_x * 16;
+          std::memcpy(cur->y.data() + off, frame->y.data() + off, 16);
+        }
+        for (int r = 0; r < st.c_rows; r++) {
+          size_t off = (size_t)(mb_row * st.c_rows + r) * cur->cw()
+                       + mb_x * 8;
+          std::memcpy(cur->u.data() + off, frame->u.data() + off, 8);
+          std::memcpy(cur->v.data() + off, frame->v.data() + off, 8);
+        }
+        st.prev_flags = flags;
+        return true;
+      }
+    }
     Pred acc, tmp;
     int npred = 0;
     for (int s = 0; s < 2; s++) {
