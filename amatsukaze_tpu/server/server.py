@@ -15,7 +15,7 @@ import asyncio
 import json
 import os
 import time
-from dataclasses import asdict, dataclass, field
+from dataclasses import asdict, dataclass, field, fields
 
 from ..parallel.scheduler import (
     PHASES,
@@ -255,22 +255,33 @@ class EncodeServer:
             json.dump(self.logs, f)
 
     def load_app_data(self) -> None:
+        def from_dict(cls, d):
+            # tolerate unknown keys so app data written by a newer
+            # version still loads (the reference migrates versioned XML;
+            # JSON + dataclass defaults make that a field filter)
+            names = {f.name for f in fields(cls)}
+            return cls(**{k: v for k, v in d.items() if k in names})
+
         try:
             with open(self._path("setting.json")) as f:
-                self.setting = ServerSetting(**json.load(f))
+                self.setting = from_dict(ServerSetting, json.load(f))
         except (OSError, json.JSONDecodeError, TypeError):
             pass
         try:
             with open(self._path("profiles.json")) as f:
                 self.profiles = {
-                    k: ProfileSetting(**v) for k, v in json.load(f).items()
+                    k: from_dict(ProfileSetting, v)
+                    for k, v in json.load(f).items()
                 }
         except (OSError, json.JSONDecodeError, TypeError):
             pass
         try:
             with open(self._path("queue.json")) as f:
                 for e in json.load(f):
-                    entry = QueueEntry(**e)
+                    try:
+                        entry = from_dict(QueueEntry, e)
+                    except (TypeError, AttributeError):
+                        continue  # one bad entry must not drop the queue
                     # encoding items found at restart go back to queued
                     # (ref: pause-on-restart, EncodeServer.cs:359-367)
                     if entry.state == "encoding":

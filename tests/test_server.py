@@ -576,6 +576,35 @@ class TestAutoSelect:
         e2 = s.add_queue(str(src), str(tmp_path / "out" / "rec2.mp4"))
         assert e2.out_path.split(os.sep)[-2] == "_ジャンル情報なし"
 
+    def test_app_data_forward_compat(self, ctx, tmp_path):
+        """App data written by a newer version (unknown keys) and one
+        corrupt queue entry load without losing everything."""
+        import json, os
+        from amatsukaze_tpu.server.server import EncodeServer
+
+        d = tmp_path / "data"
+        d.mkdir()
+        (d / "setting.json").write_text(json.dumps(
+            {"num_parallel": 3, "future_knob": True}))
+        (d / "profiles.json").write_text(json.dumps(
+            {"default": {"name": "default", "new_field": 1}}))
+        (d / "queue.json").write_text(json.dumps([
+            {"item_id": 1, "src_path": "a.ts", "out_path": "o",
+             "state": "complete", "unknown": "x"},
+            "garbage-not-a-dict",
+            {"item_id": 2, "src_path": "b.ts", "out_path": "o",
+             "state": "complete"},
+        ]))
+
+        async def fake_run(server, wid, entry, phase):
+            return True
+
+        s = EncodeServer(ctx, data_dir=str(d), run_item=fake_run)
+        s.load_app_data()
+        assert s.setting.num_parallel == 3
+        assert "default" in s.profiles
+        assert set(s.entries) == {1, 2}
+
     def test_disk_space_dedup_and_missing_paths(self, ctx, tmp_path):
         from amatsukaze_tpu.server.server import QueueEntry
 
