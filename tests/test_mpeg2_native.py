@@ -164,6 +164,17 @@ def test_corrupted_streams_no_crash():
         decode_es_native(bytes(bad))  # must not crash
     for cut in (8, len(es) // 3, len(es) - 3):
         decode_es_native(bytes(es[:cut]))
+    # same with the intra-VLC (B15) table + escapes in play, covering
+    # the combined run/level LUT's fallback paths
+    cfg2 = EncConfig(64, 48, qs=2, intra_vlc_format=True,
+                     alternate_scan=True)
+    es2 = bytearray(Mpeg2TestEncoder(cfg2).encode(synth_frames(64, 48, 4),
+                                                  "IPPP"))
+    for trial in range(20):
+        bad = bytearray(es2)
+        for _ in range(int(rng.integers(1, 8))):
+            bad[int(rng.integers(16, len(bad)))] = int(rng.integers(0, 256))
+        decode_es_native(bytes(bad))  # must not crash
 
 
 def test_truncated_mid_slice_matches_oracle_frame_count():
