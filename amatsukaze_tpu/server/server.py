@@ -259,6 +259,8 @@ class EncodeServer:
             # tolerate unknown keys so app data written by a newer
             # version still loads (the reference migrates versioned XML;
             # JSON + dataclass defaults make that a field filter)
+            if not isinstance(d, dict):
+                raise TypeError(f"expected object, got {type(d).__name__}")
             names = {f.name for f in fields(cls)}
             return cls(**{k: v for k, v in d.items() if k in names})
 
@@ -395,10 +397,11 @@ class EncodeServer:
         )
         self._probe_item(entry)
         self._lookup_source_hash(entry)
-        self.profile_for(entry, apply_priority=True)
-        prof = self.profiles.get(profile)
+        # the profile that will actually encode (auto-select may redirect)
+        # also drives output naming/placement
+        prof = self.profile_for(entry, apply_priority=True)
         renamed = False
-        if prof is not None and prof.rename_format:
+        if prof.rename_format:
             from .rename import rename_output
 
             name = rename_output(entry, prof.rename_format)
@@ -406,7 +409,7 @@ class EncodeServer:
                 entry.out_path = os.path.join(
                     os.path.dirname(entry.out_path), name)
                 renamed = True
-        if prof is not None and prof.enable_genre_folder and not renamed:
+        if prof.enable_genre_folder and not renamed:
             # sort into a main-genre subdir; SCRename-style renaming takes
             # precedence (ref TranscodeWorker.cs:783-806)
             from .genre import GenreItem, main_genre_name
@@ -414,7 +417,9 @@ class EncodeServer:
 
             gname = None
             if entry.genres:
-                gname = main_genre_name(GenreItem(*entry.genres[0][:2]))
+                g = list(entry.genres[0]) + [-1]
+                gname = main_genre_name(
+                    GenreItem(level1=g[0], level2=g[1]))
             folder = escape_filename(gname, True) if gname \
                 else "_ジャンル情報なし"
             entry.out_path = os.path.join(
@@ -584,8 +589,14 @@ class EncodeServer:
         <dir>.hash SHA-512 list, e.g. a NAS filled by AddTask) carry their
         expected digest so the encode-time copy is verified (ref
         QueueManager.cs:578-600)."""
-        hash_path = os.path.dirname(os.path.abspath(entry.src_path)) + ".hash"
-        if not os.path.exists(hash_path):
+        src_dir = os.path.dirname(os.path.abspath(entry.src_path))
+        # sibling <dir>.hash is the reference convention
+        # (QueueManager.cs:580); <dir>/hash.txt is what our AddTask writes
+        hash_path = next(
+            (p for p in (src_dir + ".hash",
+                         os.path.join(src_dir, "hash.txt"))
+             if os.path.exists(p)), None)
+        if hash_path is None:
             return
         from ..tools.hash_check import read_hash_file
 
@@ -618,15 +629,19 @@ class EncodeServer:
         local = os.path.join(
             self.setting.work_dir,
             f"item{entry.item_id}_{os.path.basename(entry.src_path)}")
-        digest = copy_with_hash(entry.src_path, local)
-        if digest.hex() != entry.hash:
-            try:
+        try:
+            digest = copy_with_hash(entry.src_path, local)
+            if digest.hex() != entry.hash:
+                raise IOError(
+                    f"source hash mismatch for {entry.src_path} "
+                    f"(expected {entry.hash[:16]}…, got "
+                    f"{digest.hex()[:16]}…)")
+        except BaseException:
+            try:  # no partial-copy debris on mismatch or I/O failure
                 os.remove(local)
             except OSError:
                 pass
-            raise IOError(
-                f"source hash mismatch for {entry.src_path} "
-                f"(expected {entry.hash[:16]}…, got {digest.hex()[:16]}…)")
+            raise
         self.append_console(entry, "hash-verified local copy -> " + local)
         return local
 
@@ -651,6 +666,11 @@ class EncodeServer:
         try:
             if local_src:
                 entry.src_path = local_src
+            # rename/genre-folder placement may point into a not-yet-
+            # existing subdir (the reference calls Directory.CreateDirectory)
+            out_dir = os.path.dirname(entry.out_path)
+            if out_dir:
+                os.makedirs(out_dir, exist_ok=True)
             argv = self.make_cli_args(entry, profile)
             args = build_parser().parse_args(argv)
             conf = args_to_config(args)

@@ -786,43 +786,41 @@ struct Decoder {
       } else {
         if (r.err) return false;
         first = false;
-        bool is_esc;
+        // exact-table fallback (long codes, near-end reads):
+        // 0 = run/level decoded, 1 = escape, 2 = EOB, 3 = error
+        auto exact = [&]() -> int {
+          int e = table.decode(r);
+          if (e < 0) return 3;
+          if (e == esc) return 1;
+          if (ents[e].v0 < 0) return 2;  // EOB
+          run = ents[e].v0;
+          int mag = ents[e].v1;
+          level = r.read(1) ? -mag : mag;
+          return 0;
+        };
+        bool is_esc = false;
         if (r.left() >= RlVlc::BITS) {
           uint32_t hit = rl[r.peek_raw(RlVlc::BITS)];
           if (hit) {
             uint32_t rn = (hit >> 5) & 63;
             r.pos += hit & 31;
             if (rn == 62) break;  // EOB
-            if (rn == 63) {
-              is_esc = true;
-            } else {
-              is_esc = false;
+            if (rn == 63) is_esc = true;
+            else {
               run = (int)rn;
               level = (int)((hit >> 11) & 127) - 64;
             }
-          } else {  // long code: exact table path
-            int e = table.decode(r);
-            if (e < 0) return false;
-            if (e == esc) { is_esc = true; }
-            else if (ents[e].v0 < 0) break;  // EOB
-            else {
-              is_esc = false;
-              run = ents[e].v0;
-              int mag = ents[e].v1;
-              level = r.read(1) ? -mag : mag;
-            }
+          } else {
+            int rc = exact();
+            if (rc == 3) return false;
+            if (rc == 2) break;
+            is_esc = rc == 1;
           }
-        } else {  // too few bits for the probe: exact table path
-          int e = table.decode(r);
-          if (e < 0) return false;
-          if (e == esc) { is_esc = true; }
-          else if (ents[e].v0 < 0) break;  // EOB
-          else {
-            is_esc = false;
-            run = ents[e].v0;
-            int mag = ents[e].v1;
-            level = r.read(1) ? -mag : mag;
-          }
+        } else {
+          int rc = exact();
+          if (rc == 3) return false;
+          if (rc == 2) break;
+          is_esc = rc == 1;
         }
         if (is_esc) {
           run = r.read(6);
@@ -1020,7 +1018,10 @@ struct Decoder {
     // fetch/clip/store roundtrip is the identity on them)
     if (pic.coding_type == 2 && st.frame_pic) {
       FrameBuf* frame = ref_frame(0);
-      if (frame) {
+      // the raw copy needs matching geometry; a mid-stream size/chroma
+      // change (corrupt TS) keeps mismatched refs -> general clamped path
+      if (frame && frame->mbw == cur->mbw && frame->mbh == cur->mbh &&
+          frame->crows == cur->crows) {
         for (int r = 0; r < 16; r++) {
           size_t off = (size_t)(mb_row * 16 + r) * cur->yw() + mb_x * 16;
           std::memcpy(cur->y.data() + off, frame->y.data() + off, 16);

@@ -177,6 +177,18 @@ def test_corrupted_streams_no_crash():
         decode_es_native(bytes(bad))  # must not crash
 
 
+def test_mid_stream_size_change_no_crash():
+    """A (corrupt-TS-style) sequence-size change between GOPs must not
+    crash the native engine: refs from the old size meet skipped MBs of
+    the new size (the P-skip raw-copy fast path must bow out)."""
+    es1 = Mpeg2TestEncoder(EncConfig(48, 32, qs=4)).encode(
+        synth_frames(48, 32, 3), "IPP")
+    es2 = Mpeg2TestEncoder(EncConfig(96, 64, qs=4)).encode(
+        synth_frames(96, 64, 3), "IPP")
+    decode_es_native(bytes(es1) + bytes(es2))
+    decode_es_native(bytes(es2) + bytes(es1))
+
+
 def test_truncated_mid_slice_matches_oracle_frame_count():
     cfg = EncConfig(64, 48, qs=4)
     frames = synth_frames(64, 48, 3)

@@ -489,6 +489,19 @@ class TestAutoSelect:
         except IOError as ex:
             assert "hash mismatch" in str(ex)
 
+    def test_hash_txt_variant_from_addtask(self, ctx, tmp_path):
+        """AddTask writes <nas_dir>/hash.txt — the lookup accepts it."""
+        from amatsukaze_tpu.tools.hash_check import append_hash, file_hash
+
+        s = self._server(ctx, tmp_path)
+        nas = tmp_path / "nas2"
+        nas.mkdir()
+        src = nas / "rec.ts"
+        src.write_bytes(b"payload" * 50)
+        append_hash(str(nas / "hash.txt"), "rec.ts", file_hash(str(src)))
+        e = s.add_queue(str(src), str(tmp_path / "o.mp4"))
+        assert e.hash == file_hash(str(src)).hex()
+
     def test_hash_dir_missing_entry_fails_item(self, ctx, tmp_path):
         from amatsukaze_tpu.tools.hash_check import append_hash
 
@@ -567,7 +580,10 @@ class TestAutoSelect:
         monkeypatch.setattr(s, "_probe_item", probe)
         e = s.add_queue(str(src), str(tmp_path / "out" / "rec.mp4"))
         parts = e.out_path.split(os.sep)
-        assert parts[-2] not in ("out",)  # genre folder inserted
+        # nibble 7 is the anime/tokusatsu main genre — the folder must be
+        # the right genre's name, not just any folder
+        from amatsukaze_tpu.server.genre import ARIB_GENRES
+        assert parts[-2] == ARIB_GENRES[7][0]
         assert parts[-1] == "rec.mp4"
         # no genre info -> the explicit no-genre folder
         def probe2(entry):
