@@ -19,9 +19,29 @@ extern "C" {
 
 #include <cstdint>
 #include <cstring>
+#include <cstdlib>
 #include <new>
 
 namespace {
+
+// Quiet by default: libav would otherwise write per-stream probe
+// warnings straight to stderr (the reference serializes FFmpeg logs
+// through its own logger — AmatsukazeCLI.hpp:557-598). Override with
+// AMATSUKAZE_AV_LOG=info|warning|error|quiet.
+struct AvLogInit {
+  AvLogInit() {
+    const char* lv = std::getenv("AMATSUKAZE_AV_LOG");
+    int level = AV_LOG_ERROR;
+    if (lv) {
+      if (!std::strcmp(lv, "quiet")) level = AV_LOG_QUIET;
+      else if (!std::strcmp(lv, "error")) level = AV_LOG_ERROR;
+      else if (!std::strcmp(lv, "warning")) level = AV_LOG_WARNING;
+      else if (!std::strcmp(lv, "info")) level = AV_LOG_INFO;
+      else if (!std::strcmp(lv, "debug")) level = AV_LOG_DEBUG;
+    }
+    av_log_set_level(level);
+  }
+} g_av_log_init;
 
 struct VDec {
   // (x, y, qp) per block of the last frame; 36864 covers 4096x2304
