@@ -363,24 +363,37 @@ class TranscodePipeline:
                     # second shape would cost a whole extra XLA compile.
                     from ..utils.batching import pad_tail
 
-                    t0 = time.time()
+                    # adaptive backend: on tunneled/remote devices the
+                    # frame upload dwarfs the compute - fall back to the
+                    # decision-identical numpy twin (>0.5 ms/frame
+                    # upload is ~50x a local PCIe transfer). The upload
+                    # is timed by itself (block_until_ready), so the
+                    # first batch decides BEFORE paying the compile +
+                    # per-batch transfer tax for the whole stream.
                     padded, n_real = pad_tail(pend, batch)
+                    t0 = time.time()
                     arr = jnp.asarray(padded)
+                    try:
+                        arr.block_until_ready()
+                    except AttributeError:
+                        pass
+                    if time.time() - t0 > 0.0005 * len(pend):
+                        state["host_metrics"] = True
+                        self.ctx.info(
+                            "[scene metrics] device upload slow "
+                            "(remote device?); switching to the host twin")
+                        d, h = cm_ops.scene_metrics_batch_host(
+                            pend, state["prev"]
+                            if state["prev"] is not None else pend[0])
+                        scene_scores.append(d)
+                        scene_hists.append(h)
+                        state["prev"] = pend[-1]
+                        return
                     prev = (arr[0] if state["prev"] is None
                             else jnp.asarray(state["prev"]))
                     dj, hj = cm_ops.scene_metrics_batch(arr, prev)
                     d = np.asarray(dj)[:n_real]
                     h = np.asarray(hj)[:n_real]
-                    # adaptive backend: on tunneled/remote devices the
-                    # frame upload dwarfs the compute - fall back to the
-                    # decision-identical numpy twin (>0.5 ms/frame
-                    # round-trip is ~50x a local PCIe transfer)
-                    if (state["prev"] is not None  # skip the compile call
-                            and time.time() - t0 > 0.0005 * len(pend)):
-                        state["host_metrics"] = True
-                        self.ctx.info(
-                            "[scene metrics] device round-trip slow "
-                            "(remote device?); switching to the host twin")
                 scene_scores.append(d)
                 scene_hists.append(h)
                 state["prev"] = pend[-1]
