@@ -353,16 +353,8 @@ class TranscodePipeline:
             def scene_batch(pend):
                 if cm_ops is None:
                     return
-                if state.get("host_metrics"):
-                    d, h = cm_ops.scene_metrics_batch_host(
-                        pend, state["prev"] if state["prev"] is not None
-                        else pend[0])
-                else:
-                    # ship uint8; the op widens on device (4x less xfer).
-                    # Tail batches are padded to the steady shape: a
-                    # second shape would cost a whole extra XLA compile.
-                    from ..utils.batching import pad_tail
-
+                arr = None
+                if not state.get("host_metrics"):
                     # adaptive backend: on tunneled/remote devices the
                     # frame upload dwarfs the compute - fall back to the
                     # decision-identical numpy twin (>0.5 ms/frame
@@ -370,6 +362,11 @@ class TranscodePipeline:
                     # is timed by itself (block_until_ready), so the
                     # first batch decides BEFORE paying the compile +
                     # per-batch transfer tax for the whole stream.
+                    # Frames ship as uint8 and widen on device (4x less
+                    # xfer); tails are padded to the steady shape so each
+                    # op compiles exactly once.
+                    from ..utils.batching import pad_tail
+
                     padded, n_real = pad_tail(pend, batch)
                     t0 = time.time()
                     arr = jnp.asarray(padded)
@@ -379,16 +376,15 @@ class TranscodePipeline:
                         pass
                     if time.time() - t0 > 0.0005 * len(pend):
                         state["host_metrics"] = True
+                        arr = None
                         self.ctx.info(
                             "[scene metrics] device upload slow "
                             "(remote device?); switching to the host twin")
-                        d, h = cm_ops.scene_metrics_batch_host(
-                            pend, state["prev"]
-                            if state["prev"] is not None else pend[0])
-                        scene_scores.append(d)
-                        scene_hists.append(h)
-                        state["prev"] = pend[-1]
-                        return
+                if arr is None:
+                    d, h = cm_ops.scene_metrics_batch_host(
+                        pend, state["prev"] if state["prev"] is not None
+                        else pend[0])
+                else:
                     prev = (arr[0] if state["prev"] is None
                             else jnp.asarray(state["prev"]))
                     dj, hj = cm_ops.scene_metrics_batch(arr, prev)
