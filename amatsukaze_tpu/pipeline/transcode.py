@@ -353,43 +353,61 @@ class TranscodePipeline:
             def scene_batch(pend):
                 if cm_ops is None:
                     return
+                if "host_metrics" not in state:
+                    # adaptive backend: on tunneled/remote devices every
+                    # device round trip dwarfs the compute — fall back to
+                    # the decision-identical numpy twin. Two detectors:
+                    # (1) a warmed single-frame upload probe decides
+                    # before any batch is shipped; (2) from the second
+                    # batch on (first one carries the compile), a slow
+                    # full device round switches mid-stream. Operators
+                    # can force either with AMATSUKAZE_SCENE_METRICS.
+                    forced = os.environ.get("AMATSUKAZE_SCENE_METRICS")
+                    if forced in ("host", "device"):
+                        state["host_metrics"] = forced == "host"
+                    else:
+                        jnp.asarray(
+                            np.zeros_like(pend[0])).block_until_ready()
+                        probe = np.zeros_like(pend[0])
+                        t0 = time.time()
+                        jnp.asarray(probe).block_until_ready()
+                        dt = time.time() - t0
+                        state["host_metrics"] = dt > 0.00035
+                        self.ctx.info(
+                            "[scene metrics] upload probe %.2f ms/frame"
+                            " -> %s", dt * 1e3,
+                            "host twin" if state["host_metrics"]
+                            else "device")
                 arr = None
-                if not state.get("host_metrics"):
-                    # adaptive backend: on tunneled/remote devices the
-                    # frame upload dwarfs the compute - fall back to the
-                    # decision-identical numpy twin (>0.5 ms/frame
-                    # upload is ~50x a local PCIe transfer). The upload
-                    # is timed by itself (block_until_ready), so the
-                    # first batch decides BEFORE paying the compile +
-                    # per-batch transfer tax for the whole stream.
-                    # Frames ship as uint8 and widen on device (4x less
+                if not state["host_metrics"]:
+                    # frames ship as uint8 and widen on device (4x less
                     # xfer); tails are padded to the steady shape so each
-                    # op compiles exactly once.
+                    # op compiles exactly once
                     from ..utils.batching import pad_tail
 
                     padded, n_real = pad_tail(pend, batch)
-                    t0 = time.time()
                     arr = jnp.asarray(padded)
-                    try:
-                        arr.block_until_ready()
-                    except AttributeError:
-                        pass
-                    if time.time() - t0 > 0.0005 * len(pend):
-                        state["host_metrics"] = True
-                        arr = None
-                        self.ctx.info(
-                            "[scene metrics] device upload slow "
-                            "(remote device?); switching to the host twin")
                 if arr is None:
                     d, h = cm_ops.scene_metrics_batch_host(
                         pend, state["prev"] if state["prev"] is not None
                         else pend[0])
                 else:
+                    t0 = time.time()
                     prev = (arr[0] if state["prev"] is None
                             else jnp.asarray(state["prev"]))
                     dj, hj = cm_ops.scene_metrics_batch(arr, prev)
                     d = np.asarray(dj)[:n_real]
                     h = np.asarray(hj)[:n_real]
+                    # late rescue: a slow full round AFTER the compile
+                    # batch means the link (not the compiler) is slow
+                    state["dev_batches"] = state.get("dev_batches", 0) + 1
+                    if (state["dev_batches"] > 1
+                            and time.time() - t0 > 0.005 * len(pend)):
+                        state["host_metrics"] = True
+                        self.ctx.info(
+                            "[scene metrics] device round slow "
+                            "(%.0f ms/frame); switching to the host twin",
+                            (time.time() - t0) * 1e3 / len(pend))
                 scene_scores.append(d)
                 scene_hists.append(h)
                 state["prev"] = pend[-1]

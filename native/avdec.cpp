@@ -18,6 +18,7 @@ extern "C" {
 }
 
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <cstdlib>
 #include <new>
@@ -33,11 +34,25 @@ struct AvLogInit {
     const char* lv = std::getenv("AMATSUKAZE_AV_LOG");
     int level = AV_LOG_ERROR;
     if (lv) {
-      if (!std::strcmp(lv, "quiet")) level = AV_LOG_QUIET;
-      else if (!std::strcmp(lv, "error")) level = AV_LOG_ERROR;
-      else if (!std::strcmp(lv, "warning")) level = AV_LOG_WARNING;
-      else if (!std::strcmp(lv, "info")) level = AV_LOG_INFO;
-      else if (!std::strcmp(lv, "debug")) level = AV_LOG_DEBUG;
+      auto eq = [lv](const char* name) {  // case-insensitive
+        const char* a = lv;
+        for (; *a && *name; a++, name++)
+          if ((*a | 32) != (*name | 32)) return false;
+        return !*a && !*name;
+      };
+      if (eq("quiet")) level = AV_LOG_QUIET;
+      else if (eq("panic")) level = AV_LOG_PANIC;
+      else if (eq("fatal")) level = AV_LOG_FATAL;
+      else if (eq("error")) level = AV_LOG_ERROR;
+      else if (eq("warning")) level = AV_LOG_WARNING;
+      else if (eq("info")) level = AV_LOG_INFO;
+      else if (eq("verbose")) level = AV_LOG_VERBOSE;
+      else if (eq("debug")) level = AV_LOG_DEBUG;
+      else if (eq("trace")) level = AV_LOG_TRACE;
+      else
+        std::fprintf(stderr,
+                     "amatsukaze_av: unknown AMATSUKAZE_AV_LOG=%s "
+                     "(using error)\n", lv);
     }
     av_log_set_level(level);
   }
