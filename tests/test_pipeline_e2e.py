@@ -598,6 +598,42 @@ class TestRealVideoDecode:
             assert np.array_equal(y, expect), f"frame {i} pixels differ"
 
 
+class TestCorruptedTsRobustness:
+    """Broadcast captures routinely contain bit errors and signal-drop
+    holes; the full pipeline must finish and produce output anyway."""
+
+    def test_corrupted_ts_still_transcodes(self, env):
+        import mpeg2_enc as E
+        from amatsukaze_tpu.pipeline.decoders import default_decoder_factory
+        from amatsukaze_tpu.ts.qp_extract import iter_picture_chunks
+
+        ctx, conf, tmp = env
+        n = 12
+        cfg = E.EncConfig(W, H, qs=4, progressive=False, search=1)
+        es = E.Mpeg2TestEncoder(cfg).encode(E.synth_frames(W, H, n),
+                                            "I" + "P" * (n - 1))
+        ts = bytearray(ts_gen.build_simple_ts(
+            width=W, height=H,
+            video_es_frames=list(iter_picture_chunks(es))))
+        rng = np.random.default_rng(9)
+        for _ in range(60):  # bit errors
+            ts[int(rng.integers(0, len(ts)))] = int(rng.integers(0, 256))
+        off = int(rng.integers(0, len(ts) - 188 * 8))
+        ts[off:off + 188 * 8] = b"\x00" * (188 * 8)  # signal-drop hole
+        src = tmp / "bad.ts"
+        src.write_bytes(bytes(ts))
+        conf.src_file_path = str(src)
+
+        settings = Settings(ctx, conf)
+        pipe = TranscodePipeline(ctx, settings,
+                                 decoder_factory=default_decoder_factory())
+        report = pipe.run()  # must not raise
+        assert report["outfiles"]
+        data = open(report["outfiles"][0]["path"], "rb").read()
+        assert data.startswith(b"YUV4MPEG2")
+        assert data.count(b"FRAME\n") >= 1
+
+
 class TestRealVideoKfm:
     """Full production path on REAL coded video: 3:2 hard-telecined
     content -> MPEG2 encode (tests/mpeg2_enc) -> TS mux -> in-build
