@@ -150,7 +150,12 @@ def prefetch_iter(source_iter, depth: int = 2):
                         continue
                 if stop.is_set():
                     return
-            q.put(_END)
+            while not stop.is_set():
+                try:
+                    q.put(_END, timeout=0.2)
+                    return
+                except queue.Full:
+                    continue
         except BaseException as e:  # noqa: BLE001 - forwarded to consumer
             while not stop.is_set():
                 try:

@@ -822,8 +822,13 @@ def _pump_filtered(fg, frames_iter, pump, batch: int) -> None:
                     None if next_planes is None else next_planes[p],
                     start_index=start,
                 )
-                factor = len(res) // len(arr)
-                n_out = n_real * factor if factor else len(res)
+                # pad-and-slice only works for 1:N modes; a decimating
+                # mode must fail loudly, not emit padded tail frames
+                assert len(res) % len(arr) == 0 and len(res) >= len(arr), (
+                    f"filter mode {fg.mode} emits {len(res)} outputs for "
+                    f"{len(arr)} inputs; pad-and-slice needs an integer "
+                    f"expansion factor")
+                n_out = n_real * (len(res) // len(arr))
             outs.append(res)
         for k in range(n_out):
             pump.put(tuple(_to_u8(outs[p][k]) for p in range(3)))

@@ -17,6 +17,11 @@ from .web import WebServer
 
 
 async def serve(args) -> None:
+    if args.host not in ("127.0.0.1", "localhost", "::1"):
+        print("WARNING: binding RPC + web UI to a non-loopback host "
+              f"({args.host}). Anyone who can reach these ports can "
+              "manage the encode queue and server settings — only do "
+              "this on a trusted network.")
     ctx = AMTContext()
     server = EncodeServer(ctx, data_dir=args.data)
     port = await server.start(host=args.host, port=args.port)

@@ -27,6 +27,15 @@ from ..parallel.scheduler import (
 )
 from .rpc import ClientManager
 
+# The fixed finish-action set settable over RPC (ref EncodeServerData
+# FinishAction / FinishActionRunner: None/Suspend/Shutdown) and the
+# system commands the names map to when the queue drains.
+FINISH_ACTIONS = {"", "suspend", "shutdown"}
+_FINISH_ACTION_COMMANDS = {
+    "suspend": "systemctl suspend",
+    "shutdown": "shutdown -h now",
+}
+
 
 @dataclass
 class ProfileSetting:
@@ -231,6 +240,9 @@ class EncodeServer:
         cmd = self.setting.finish_action
         self.setting.finish_action = ""  # fire once
         await self.clients.broadcast("OnFinishAction", {"command": cmd})
+        # RPC-settable names map to fixed system commands; a raw shell
+        # command can only come from the locally-edited settings file.
+        cmd = _FINISH_ACTION_COMMANDS.get(cmd, cmd)
         try:
             proc = await asyncio.create_subprocess_shell(cmd)
             await proc.wait()
@@ -793,7 +805,17 @@ class EncodeServer:
                 return {"ok": False}
             return {"ok": True, "console": entry.console}
         if method == "SetFinishAction":
-            self.setting.finish_action = str(payload.get("command", ""))
+            # Over RPC only the reference's fixed action set is accepted
+            # (ref FinishActionRunner: None/Suspend/Shutdown) — an
+            # arbitrary shell command may still be configured via the
+            # locally-persisted settings file, but not by a remote
+            # client, so exposing the port never exposes command exec.
+            cmd = str(payload.get("command", ""))
+            if cmd not in FINISH_ACTIONS:
+                return {"ok": False,
+                        "error": f"finish action must be one of "
+                                 f"{sorted(FINISH_ACTIONS)}"}
+            self.setting.finish_action = cmd
             return {"ok": True}
         # ---- GUI-backing RPCs (the reference exposes these to the WPF
         # client via ServerInterface.cs; the web client uses them) --------
@@ -801,6 +823,11 @@ class EncodeServer:
             return asdict(self.setting)
         if method == "SetSetting":
             cur = asdict(self.setting)
+            # same RPC restriction as SetFinishAction: no remote client
+            # may configure an arbitrary shell command
+            if str(payload.get("finish_action", "")) not in FINISH_ACTIONS:
+                payload = dict(payload)
+                payload.pop("finish_action", None)
             cur.update({k: v for k, v in payload.items() if k in cur})
             self.setting = ServerSetting(**cur)
             self.pool.set_num_parallel(self.setting.num_parallel)

@@ -16,7 +16,10 @@ import sys
 
 
 def parse_args(argv: list[str]) -> dict:
-    opts = {"out": "", "crf": 21, "preset": "veryfast", "tff": False,
+    # field_order: None = take from the y4m header; "tff"/"bff" when
+    # the encoder command line overrides it explicitly (x264 semantics:
+    # --tff/--bff force interlaced encode with that field order).
+    opts = {"out": "", "crf": 21, "preset": "veryfast", "field_order": None,
             "bitrate": 0, "codec": "libx264"}
     i = 0
     while i < len(argv):
@@ -39,8 +42,10 @@ def parse_args(argv: list[str]) -> dict:
             opts["preset"] = val()
         elif a == "--bitrate":
             opts["bitrate"] = int(val())
-        elif a == "--tff" or a == "--bff":
-            opts["tff"] = True
+        elif a == "--tff":
+            opts["field_order"] = "tff"
+        elif a == "--bff":
+            opts["field_order"] = "bff"
         elif a in ("--pass", "--stats", "--colorprim", "--transfer",
                    "--colormatrix", "--demuxer", "--vbv-bufsize",
                    "--vbv-maxrate", "--zones", "--tcfile-in",
@@ -66,10 +71,16 @@ def main(argv=None) -> int:
         return 2
     reader = Y4MReader(sys.stdin.buffer)
     fmt = reader.fmt
+    # Explicit --tff/--bff overrides the y4m header (x264 semantics);
+    # otherwise the header's interlace flag + field order win.
+    interlaced = fmt.interlaced or opts["field_order"] is not None
+    tff = (opts["field_order"] != "bff") if opts["field_order"] else fmt.tff
     extra = ""
     preset = opts["preset"]
     if opts["codec"] == "libx264":
         extra = "force-cfr=1"
+        if interlaced:
+            extra += ":tff=1" if tff else ":bff=1"
         if opts["bitrate"]:
             extra += f":bitrate={opts['bitrate']}"
     elif opts["codec"] == "libsvtav1":
@@ -77,7 +88,7 @@ def main(argv=None) -> int:
     enc = AvVideoEncoder(
         fmt.width, fmt.height, fps_num=fmt.fps_num, fps_den=fmt.fps_den,
         crf=opts["crf"], preset=preset,
-        interlaced=fmt.interlaced, x264_params=extra,
+        interlaced=interlaced, x264_params=extra,
         codec=opts["codec"])
     import numpy as np
 

@@ -717,8 +717,15 @@ class TestServerOps:
                                   run_item=ok_run)
             port = await server.start(port=0)
             client = await RpcClient.connect("127.0.0.1", port)
-            await client.call("SetFinishAction",
-                              {"command": f"touch {marker}"})
+            # arbitrary shell commands are NOT settable over RPC (only
+            # the fixed suspend/shutdown set); the raw command path is
+            # reserved for the locally-edited settings file
+            res = await client.call("SetFinishAction",
+                                    {"command": f"touch {marker}"})
+            assert res["ok"] is False
+            res = await client.call("SetFinishAction", {"command": "suspend"})
+            assert res["ok"] is True
+            server.setting.finish_action = f"touch {marker}"  # local config
             await client.call("AddQueue", {"src": "a.ts", "out": "a"})
             for _ in range(200):
                 await asyncio.sleep(0.02)
