@@ -142,6 +142,22 @@ class JlsDecider:
         silence_spans: list[tuple[int, int]],  # in frames
     ) -> tuple[list[int], list[int]]:
         """Returns (trims, divs)."""
+        blocks, cm_flags = self.analyze_blocks(
+            logo_spans, scene_changes, silence_spans)
+        return self.finish(blocks, cm_flags)
+
+    def analyze_blocks(
+        self,
+        logo_spans: list[tuple[int, int]] | None,
+        scene_changes: list[int],
+        silence_spans: list[tuple[int, int]],
+    ) -> tuple[list[tuple[int, int]], list[bool]]:
+        """The decision core, stopping before trims are derived: returns
+        (blocks, cm_flags) where blocks partition [0, n) between candidate
+        cut points and cm_flags[i] is True when block i is CM. A JL
+        command script (models/jls_script.py) edits these flags before
+        `finish` derives trims/divs — the same structure join_logo_scp's
+        Auto commands manipulate."""
         n = self.num_frames
         fps = self.fps
         o = self.opts
@@ -198,6 +214,19 @@ class JlsDecider:
                 next_cm = i + 1 < len(blocks) and cm_flags[i + 1]
                 if prev_cm and next_cm and is_cm_unit(e - s):
                     cm_flags[i] = True
+        return blocks, cm_flags
+
+    def is_cm_unit(self, nframes: int) -> bool:
+        sec = nframes / self.fps
+        return any(abs(sec - u) <= self.opts.unit_tolerance
+                   for u in self.opts.cm_units)
+
+    def finish(self, blocks: list[tuple[int, int]],
+               cm_flags: list[bool]) -> tuple[list[int], list[int]]:
+        """Derive (trims, divs) from the (possibly script-edited) flags."""
+        n = self.num_frames
+        fps = self.fps
+        o = self.opts
 
         # 4. trims = maximal program runs
         trims: list[int] = []
@@ -245,12 +274,14 @@ class CMAnalyzer:
 
     def __init__(self, ctx, num_frames: int, fps: float,
                  jls_options: JlsOptions | None = None,
-                 loose_logo_detection: bool = False):
+                 loose_logo_detection: bool = False,
+                 jls_script=None):
         self.ctx = ctx
         self.num_frames = num_frames
         self.fps = fps
         self.jls_options = jls_options
         self.loose = loose_logo_detection
+        self.jls_script = jls_script  # models.jls_script.JlsScript | None
         self.result = CMAnalyzeResult()
 
     def logo_threshold(self) -> float:
@@ -277,8 +308,16 @@ class CMAnalyzer:
             logo_spans = None  # no matching logo: decide from cuts alone
             if logo_path:
                 self.ctx.info("no matching logo for this section")
-        decider = JlsDecider(self.num_frames, self.fps, self.jls_options)
-        trims, divs = decider.decide(logo_spans, scene_changes, silence_spans)
+        if self.jls_script is not None:
+            # user rule script drives the decision (ref joinLogoScp with
+            # the profile's JL command file, CMAnalyze.hpp:338-365)
+            trims, divs = self.jls_script.run(
+                self.num_frames, self.fps, logo_spans, scene_changes,
+                silence_spans, base_options=self.jls_options)
+        else:
+            decider = JlsDecider(self.num_frames, self.fps, self.jls_options)
+            trims, divs = decider.decide(
+                logo_spans, scene_changes, silence_spans)
         r.trims = trims
         r.divs = normalize_divs(divs, self.num_frames)
         r.cmzones = make_cm_zones(trims, self.num_frames)

@@ -323,8 +323,18 @@ class TranscodePipeline:
         fmt = reform.formats[reform.format_start_index[v]].video_format
         fps = fmt.frame_rate if fmt.frame_rate_num else 29.97
 
+        jls_script = None
+        if st.conf.jls_cmd_path:
+            # user-supplied join_logo_scp rule script (ref CMAnalyze.hpp
+            # MakeJoinLogoScpArgs -incmd + free-form options)
+            from ..models.jls_script import JlsScript
+
+            jls_script = JlsScript.from_file(st.conf.jls_cmd_path,
+                                             st.conf.jls_options)
+            self.ctx.info("JL command file: %s", st.conf.jls_cmd_path)
         analyzer = CMAnalyzer(self.ctx, num_frames, fps,
-                              loose_logo_detection=st.conf.loose_logo_detection)
+                              loose_logo_detection=st.conf.loose_logo_detection,
+                              jls_script=jls_script)
 
         if st.conf.trim_avs_path:
             with open(st.conf.trim_avs_path) as f:

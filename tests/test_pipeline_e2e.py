@@ -509,6 +509,64 @@ class TestDelogoWiring:
         assert abs(int(center) - 128) <= 6
 
 
+class TestJlsCmdWiring:
+    """--jls-cmd points at a user JL rule script and must actually change
+    the CM decision (ref CMAnalyze.hpp:338-365: join_logo_scp runs with
+    the profile's -incmd command file; round 1 accepted the flag but
+    never opened the file)."""
+
+    def _scene_decoder(self):
+        class D:
+            def __call__(selfd, pipeline, video_index):
+                reform = pipeline._reform
+                n = len(reform.get_filter_source_frames(video_index))
+                rng = np.random.default_rng(3)
+                for i in range(n):
+                    level = (40, 128, 210)[min(i // 30, 2)]
+                    y = np.clip(level + rng.normal(0, 2, (H, W)), 0,
+                                255).astype(np.uint8)
+                    u = np.full((H // 2, W // 2), 128, np.uint8)
+                    yield (y, u, u)
+
+        return D()
+
+    def _run_cm(self, env, jl_text):
+        ctx, conf, tmp = env
+        conf.mode = "cm"
+        if jl_text is not None:
+            jl = tmp / "user_rules.jl"
+            jl.write_text(jl_text)
+            conf.jls_cmd_path = str(jl)
+        settings = Settings(ctx, conf)
+        pipe = TranscodePipeline(ctx, settings,
+                                 decoder_factory=self._scene_decoder())
+        pipe.run()
+        from amatsukaze_tpu.models.cm_analyze import parse_trim_avs
+
+        line = open(settings.tmp_trim_avs_path(0)).readline()
+        return parse_trim_avs(line, 90)
+
+    def test_jls_cmd_changes_trims(self, env, tmp_path):
+        default_trims = self._run_cm(env, None)
+        assert default_trims and default_trims[0] == 0
+        # fresh working dir for the second run
+        ctx, conf, tmp = env
+        conf.work_dir = str(tmp_path / "run2")
+        os.makedirs(conf.work_dir, exist_ok=True)
+        scripted = self._run_cm(env, "AutoEdge S -sec 1\n")
+        assert scripted != default_trims
+        assert scripted == [] or scripted[0] >= 29  # first ~1 s cut
+
+    def test_jls_option_flags_reach_script(self, env, tmp_path):
+        text = ("If CUT_HEAD\n"
+                "  AutoEdge S -sec 1\n"
+                "EndIf\n")
+        ctx, conf, tmp = env
+        conf.jls_options = "-CUT_HEAD"
+        scripted = self._run_cm(env, text)
+        assert scripted == [] or scripted[0] >= 29
+
+
 class TestDeblockQp:
     def test_deblock_post_filter_uses_qp_maps(self, tmp_path):
         """Full pipeline with real MPEG2 slice layers: QP maps are
