@@ -138,6 +138,64 @@ def decode_mpeg2_ps_file(path: str, is_ps: bool = True):
         yield fr.y, fr.u, fr.v
 
 
+def _picture_header(chunk: bytes):
+    """(temporal_reference, coding_type) from a per-picture chunk, or
+    None. ISO 13818-2 6.2.3: 10-bit temporal_reference then 3-bit
+    picture_coding_type right after the 00 00 01 00 start code."""
+    i = chunk.find(b"\x00\x00\x01\x00")
+    if i < 0 or i + 6 > len(chunk):
+        return None
+    b0, b1 = chunk[i + 4], chunk[i + 5]
+    return (b0 << 2) | (b1 >> 6), (b1 >> 3) & 7
+
+
+def mpeg2_ps_seek_opener(path: str, is_ps: bool = True):
+    """Byte-seek opener for CachedFrameSource over an MPEG2 PS/ES
+    intermediate: `opener(key_index, file_offset)` decodes from the
+    keyframe at `file_offset` and yields display-order frames starting
+    at filter index `key_index` (ref AMTSource.hpp:736-773 byte-seek +
+    skip-until-keyframe; the leading B pictures of an open GOP reference
+    the previous GOP and are dropped, matching isFrameReady's
+    keyFramePTS gate at :600-612)."""
+    from ..ts.qp_extract import iter_picture_chunks_file
+    from ..video import Mpeg2RefDecoder
+
+    def opener(key_index: int, file_offset: int):
+        try:
+            from ..video.native import NativeMpeg2Decoder
+
+            dec = NativeMpeg2Decoder()
+        except RuntimeError:
+            dec = Mpeg2RefDecoder()
+        i_seen = False
+        i_temporal = 0
+        skipping_lead_b = False
+        for chunk in iter_picture_chunks_file(path, is_ps=is_ps,
+                                              start_offset=file_offset):
+            hdr = _picture_header(chunk)
+            if hdr is None:
+                continue
+            temporal, ctype = hdr
+            if not i_seen:
+                if ctype != 1:  # wait for the seek target's I picture
+                    continue
+                i_seen = True
+                i_temporal = temporal
+                skipping_lead_b = True
+            elif skipping_lead_b:
+                # open-GOP leading B pictures display before the I and
+                # reference the previous (unavailable) GOP
+                if ctype == 3 and temporal < i_temporal:
+                    continue
+                skipping_lead_b = False
+            for fr in dec.decode_picture(chunk):
+                yield fr.y, fr.u, fr.v
+        for fr in dec.flush():
+            yield fr.y, fr.u, fr.v
+
+    return opener
+
+
 def ffmpeg_decoder_factory(pipeline, video_index: int):
     """Decode the intermediate ES with an external ffmpeg as yuv420p."""
     st = pipeline.settings

@@ -337,14 +337,19 @@ def iter_picture_chunks_stream(es_iter):
 
 
 def iter_picture_chunks_file(path: str, is_ps: bool = True,
-                             read_chunk: int = 8 << 20):
+                             read_chunk: int = 8 << 20,
+                             start_offset: int = 0):
     """Streaming per-picture chunker over an intermediate file (PS or
     raw ES). Shared by the QP-map source and the in-build video
-    decoder."""
+    decoder. `start_offset` byte-seeks before parsing (keyframe random
+    access, ref AMTSource's AVSEEK_FLAG_BYTE seek): the PS/ES scanners
+    resynchronise on the next start code."""
 
     def es_chunks():
         ps_tail = b""
         with open(path, "rb") as f:
+            if start_offset:
+                f.seek(start_offset)
             while True:
                 data = f.read(read_chunk)
                 if not data:

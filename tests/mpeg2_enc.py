@@ -267,6 +267,9 @@ class EncConfig:
     custom_matrices: bool = False     # emit matrices in sequence header
     # motion search window (integer pel); small keeps tests fast
     search: int = 3
+    # re-emit the sequence header before every I picture (broadcast
+    # streams do this per GOP; required for byte-seek random access)
+    seq_every_i: bool = False
     # per-picture overrides, keyed by display index:
     #   'structure': 3 (frame) | 'tb' | 'bt' (field pairs)
     #   'motion': 'frame' | 'field' | 'dp' | '16x8'
@@ -357,7 +360,7 @@ class Mpeg2TestEncoder:
                  prog_frame: bool) -> None:
         cfg = self.cfg
         w = self.w
-        if not self._wrote_seq:
+        if not self._wrote_seq or (ct == 1 and cfg.seq_every_i):
             self._sequence_header()
             self._wrote_seq = True
         G.start_code(w, 0x00)

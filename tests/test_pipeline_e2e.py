@@ -392,6 +392,87 @@ class TestCachedFrameSource:
         src.get_frame(4)
         assert src.get_frame(100)[0] == 4  # newest cached frame
 
+    # ---- keyframe byte-seek (ref AMTSource.hpp:721-780) -----------------
+    def _seek_source(self, n=100, gop=10, fail_keys=(), ctx=None):
+        from amatsukaze_tpu.pipeline.frame_source import CachedFrameSource
+        from amatsukaze_tpu.reform.stream_reform import FilterSourceFrame
+
+        meta = [FilterSourceFrame(key_frame=(i // gop) * gop,
+                                  file_offset=(i // gop) * gop * 1000)
+                for i in range(n)]
+        opened = []
+
+        def open_at(key, off):
+            assert off == key * 1000  # file_offset drives the seek
+            opened.append(key)
+            if key in fail_keys:
+                return iter(())  # corrupt GOP: yields nothing
+            return iter([(i, i * 2, i * 3) for i in range(key, n)])
+
+        def open_stream():
+            return iter([(i, i * 2, i * 3) for i in range(n)])
+
+        src = CachedFrameSource(open_stream, cache_frames=8,
+                                frames_meta=meta, open_at=open_at, ctx=ctx)
+        return src, opened
+
+    def test_backward_seek_is_o_gop(self):
+        src, opened = self._seek_source()
+        src.get_frame(55)
+        n_before = src.num_decoded
+        assert src.get_frame(12)[0] == 12
+        assert opened[-1] == 10  # sought to frame 12's keyframe
+        assert src.num_decoded - n_before == 3  # frames 10..12 only
+        assert src.num_restarts == 0  # never restarted from zero
+
+    def test_forward_jump_uses_seek(self):
+        src, opened = self._seek_source()
+        src.get_frame(2)
+        src.get_frame(75)  # far ahead of seek_distance: byte-seek
+        assert opened[-1] == 70
+
+    def test_seek_distance_grows(self):
+        src, opened = self._seek_source(gop=25)
+        src.get_frame(60)  # key 50, distance grows to 10 -> stays >= 10
+        assert src.seek_distance >= 10
+        src.get_frame(74)  # key 50: 24 ahead of key
+        assert src.seek_distance >= 24
+
+    def test_backoff_retries_earlier_keyframe(self):
+        from amatsukaze_tpu.utils.context import AMTContext
+
+        ctx = AMTContext(level="error")
+        src, opened = self._seek_source(fail_keys={50}, ctx=ctx)
+        assert src.get_frame(55)[0] == 55
+        # first try at key 50 failed; backed off by max(5, gop)=10
+        assert opened == [50, 40]
+
+    def test_failed_frames_capped_at_10pct(self):
+        from amatsukaze_tpu.utils.context import AMTContext, FormatError
+
+        ctx = AMTContext(level="error")
+        src, opened = self._seek_source(n=100, ctx=ctx)
+
+        def eof_open_at(key, off):
+            # decodes a couple of frames then hits EOF
+            return iter([(i, 0, 0) for i in range(key, min(key + 2, 100))])
+
+        src.open_at = eof_open_at
+        with pytest.raises(FormatError):
+            src.get_frame(55)  # only 50-51 decodable: 52..99 failed >10%
+
+    def test_failed_counter_surfaces(self):
+        from amatsukaze_tpu.utils.context import AMTContext, ErrorCounter
+
+        ctx = AMTContext(level="error")
+        src, opened = self._seek_source(n=100, gop=10,
+                                        fail_keys={40, 30, 20}, ctx=ctx)
+        # all three attempts (40, then back-offs 30, 20) fail -> frame
+        # is registered failed and substituted
+        frame = src.get_frame(45)
+        assert ctx.error_count(ErrorCounter.DECODE_PACKET_FAILED) >= 1
+        assert 45 in src.failed
+
 
 class TestTwoPassAndPostFilter:
     def test_two_pass_runs_encoder_twice(self, env):
@@ -654,6 +735,64 @@ class TestRealVideoDecode:
         for i, y in enumerate(got):
             expect = enc.recon[i].y[:H, :W]
             assert np.array_equal(y, expect), f"frame {i} pixels differ"
+
+
+class TestRealSeekDecode:
+    """Byte-seek random access over a real multi-GOP MPEG2 intermediate:
+    mpeg2_ps_seek_opener + CachedFrameSource must serve any frame with
+    O(GOP) work and pixels identical to sequential decode (ref
+    AMTSource.hpp:736-773 keyframe byte-seek)."""
+
+    def test_seek_matches_sequential(self, env):
+        import mpeg2_enc as E
+        from amatsukaze_tpu.pipeline.decoders import (
+            decode_mpeg2_ps_file,
+            default_decoder_factory,
+            mpeg2_ps_seek_opener,
+        )
+        from amatsukaze_tpu.pipeline.frame_source import CachedFrameSource
+        from amatsukaze_tpu.ts.qp_extract import iter_picture_chunks
+
+        ctx, conf, tmp = env
+        n = 24
+        cfg = E.EncConfig(W, H, qs=4, progressive=False, search=1,
+                          seq_every_i=True)
+        frames = E.synth_frames(W, H, n)
+        enc = E.Mpeg2TestEncoder(cfg)
+        es = enc.encode(frames, ("I" + "P" * 7) * 3)  # 3 GOPs of 8
+        src = tmp / "src.ts"
+        src.write_bytes(ts_gen.build_simple_ts(
+            width=W, height=H,
+            video_es_frames=list(iter_picture_chunks(es))))
+        conf.src_file_path = str(src)
+        conf.mode = "cm"  # run demux + reform only
+
+        settings = Settings(ctx, conf)
+        pipe = TranscodePipeline(ctx, settings,
+                                 decoder_factory=default_decoder_factory())
+        pipe.run()
+        reform = pipe._reform
+        meta = reform.get_filter_source_frames(0)
+        assert len(meta) >= 17
+        keys = sorted({m.key_frame for m in meta})
+        assert len(keys) == 3, f"expected 3 GOPs, keys={keys}"
+
+        ps_path = settings.int_video_file_path(0)
+        sequential = list(decode_mpeg2_ps_file(ps_path))
+        fsrc = CachedFrameSource(
+            lambda: decode_mpeg2_ps_file(ps_path), cache_frames=4,
+            frames_meta=meta, open_at=mpeg2_ps_seek_opener(ps_path),
+            ctx=ctx)
+        # random access pattern crossing GOPs both ways
+        for idx in (12, 3, 20, 9, 17, 0):
+            if idx >= len(sequential):
+                continue
+            y, u, v = fsrc.get_frame(idx)
+            assert np.array_equal(y, sequential[idx][0]), f"frame {idx}"
+            assert np.array_equal(u, sequential[idx][1])
+        assert fsrc.num_restarts == 0
+        assert fsrc.num_seeks >= 3
+        assert not fsrc.failed
 
 
 class TestCorruptedTsRobustness:
