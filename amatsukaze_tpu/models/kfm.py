@@ -100,16 +100,49 @@ class KFMDecider:
                     decisions[i] = CycleDecision(
                         decisions[i - 1].mode, decisions[i - 1].phase
                     )
-        # phase smoothing within FILM runs: majority phase wins
-        film_idx = [i for i, d in enumerate(decisions) if d.mode == CycleMode.FILM]
-        if film_idx:
-            vals, counts = np.unique(
-                [decisions[i].phase for i in film_idx], return_counts=True
-            )
-            major = int(vals[counts.argmax()])
-            for i in film_idx:
-                decisions[i] = CycleDecision(CycleMode.FILM, major)
+        # phase smoothing within FILM runs: run-length tracking that
+        # allows genuine mid-file phase changes (broadcast edits shift
+        # the pulldown phase at cut points). A new phase must persist
+        # for >= `hysteresis` cycles to take over; shorter blips are
+        # absorbed into the committed phase. (Round 1 took one global
+        # majority vote, which mis-wove every section after a phase
+        # flip.)
+        i = 0
+        while i < n:
+            if decisions[i].mode != CycleMode.FILM:
+                i += 1
+                continue
+            j = i
+            while j < n and decisions[j].mode == CycleMode.FILM:
+                j += 1
+            self._smooth_phase_run(decisions, i, j)
+            i = j
         return decisions
+
+    def _smooth_phase_run(self, decisions: list[CycleDecision],
+                          begin: int, end: int) -> None:
+        """Commit-and-switch phase tracking over one contiguous FILM run
+        [begin, end)."""
+        if end - begin <= 1:
+            return
+        committed = decisions[begin].phase
+        i = begin
+        while i < end:
+            p = decisions[i].phase
+            if p == committed:
+                i += 1
+                continue
+            # candidate switch: count how long the new phase persists
+            j = i
+            while j < end and decisions[j].phase == p:
+                j += 1
+            if j - i >= self.hysteresis:
+                committed = p  # real phase change (edit point)
+                i = j
+            else:
+                for k in range(i, j):  # measurement blip: absorb
+                    decisions[k] = CycleDecision(CycleMode.FILM, committed)
+                i = j
 
 
 @dataclass

@@ -52,6 +52,38 @@ class TestDecider:
         assert d[0].mode == CycleMode.FILM
         assert d[-1].mode == CycleMode.VIDEO_30
 
+    def test_phase_flip_at_edit_point(self):
+        """A broadcast edit mid-file shifts the pulldown phase; each
+        section must keep ITS phase (a global majority vote would mis-
+        weave the shorter section)."""
+        pc = np.concatenate([film_costs(12, phase=1), film_costs(8, phase=3)])
+        d = KFMDecider().decide(pc)
+        assert all(x.mode == CycleMode.FILM for x in d)
+        assert [x.phase for x in d[:12]] == [1] * 12
+        assert [x.phase for x in d[12:]] == [3] * 8
+
+    def test_phase_blip_absorbed(self):
+        """A single-cycle phase misread inside a stable run is noise."""
+        pc = film_costs(10, phase=2)
+        blip = film_costs(1, phase=4)
+        pc[5] = blip[0]
+        d = KFMDecider().decide(pc)
+        assert [x.phase for x in d] == [2] * 10
+
+    def test_phase_flip_changes_weave_ops(self):
+        """The VFR plan's merge positions must follow the per-section
+        phase: after the flip the MERGE_PREV frames move."""
+        d = ([CycleDecision(CycleMode.FILM, 0)] * 2
+             + [CycleDecision(CycleMode.FILM, 2)] * 2)
+        plan = build_vfr_plan(d, 20)
+        ops = dict(plan.source_frames)
+        # phase 0 merges at cycle frames 2,3 (first kept, second dropped)
+        assert ops[2] == VFRPlan.MERGE_PREV
+        assert 3 not in ops  # the pure-duplicate frame is dropped
+        # phase 2 merges at cycle frames 0,4 -> in cycle 2 (base 10)
+        assert ops[10] == VFRPlan.MERGE_PREV
+        assert 14 not in ops
+
 
 class TestVFRPlan:
     def test_film_plan(self):
