@@ -91,8 +91,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--device-batch", type=int, default=32,
                    help="frames per device batch (TPU)")
     p.add_argument("--filter-mode", default="none",
-                   choices=["none", "yadif", "qtgmc", "kfm_vfr"],
-                   help="device filter graph (replaces the AVS filter script)")
+                   choices=["none", "yadif", "yadif60", "qtgmc", "kfm_vfr",
+                            "kfm_vfr30", "kfm_cfr24", "svp", "autovfr"],
+                   help="device filter graph (replaces the AVS filter "
+                        "script; the reference's deinterlacer x fps matrix)")
+    p.add_argument("--autovfr-parallel", type=int, default=2,
+                   help="AutoVfr analysis sections run in ordered parallel")
     p.add_argument("--post-filter", default="",
                    help="post chain tokens: nr,deband,edge")
     p.add_argument("--print-prefix", action="store_true")
@@ -185,6 +189,7 @@ def args_to_config(args) -> Config:
     conf.num_encode_buffer_frames = args.encode_buffer
     conf.device_batch_frames = args.device_batch
     conf.filter_mode = args.filter_mode
+    conf.autovfr_parallel = args.autovfr_parallel
     conf.post_filter = args.post_filter
     conf.print_prefix = args.print_prefix
 

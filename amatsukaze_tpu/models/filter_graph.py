@@ -42,13 +42,38 @@ class FilterOutput:
 
 
 class FilterGraph:
-    """Deinterlace mode selection mirroring the reference's GUI choices
-    (EncodeServerData.cs:106-119): none / yadif / KFM VFR."""
+    """Deinterlace mode selection mirroring the reference's GUI matrix
+    (EncodeServerData.cs:106-119 DeinterlaceAlgorithm x FilterFPS;
+    Server/Misc.cs:1290-1389 builds the corresponding KFMDeint/Yadif/
+    AutoVfr script chains):
+
+    - none / yadif (CFR30) / yadif60 (CFR60, Yadifmod2 mode=1)
+    - qtgmc: motion-adaptive double-rate 60p bob (KFMDeint mode=1)
+    - kfm_vfr: KFM VFR with 60p fallback (mode=4, thswitch=3)
+    - kfm_vfr30: KFM VFR without the 60p fallback (thswitch=-1)
+    - kfm_cfr24: decimate everything to 24p (KFMDeint mode=2)
+    - svp: 24p reconstruction + MC interpolation to smooth 60p
+      (svp=true in the KFMDeint chain -> SVPflow)
+    - autovfr: section-parallel VFR analysis with Its-style def/timecode
+      file contracts (the AutoVfr.exe flow, Misc.cs:1346-1389)
+    """
 
     MODE_NONE = "none"
     MODE_YADIF = "yadif"
+    MODE_YADIF60 = "yadif60"
     MODE_QTGMC = "qtgmc"  # motion-adaptive double-rate (60p) bob
     MODE_KFM_VFR = "kfm_vfr"
+    MODE_KFM_VFR30 = "kfm_vfr30"
+    MODE_KFM_CFR24 = "kfm_cfr24"
+    MODE_SVP = "svp"
+    MODE_AUTOVFR = "autovfr"
+
+    # modes that run the KFM telecine analysis passes + plan synthesis
+    KFM_FAMILY = frozenset({MODE_KFM_VFR, MODE_KFM_VFR30, MODE_KFM_CFR24,
+                            MODE_SVP, MODE_AUTOVFR})
+    ALL_MODES = (MODE_NONE, MODE_YADIF, MODE_YADIF60, MODE_QTGMC,
+                 MODE_KFM_VFR, MODE_KFM_VFR30, MODE_KFM_CFR24, MODE_SVP,
+                 MODE_AUTOVFR)
 
     def __init__(self, ctx, mode: str = "none", batch: int = 32,
                  post_chain=None, qp_source=None):
@@ -66,6 +91,9 @@ class FilterGraph:
         self.quantize_output = False
         self.decisions = None
         self.vfr_plan: VFRPlan | None = None
+        # SVP interpolation carry: plane -> (last film frame on device,
+        # its source index) so pairs bridge device batches
+        self._svp_carry: dict = {}
 
     def _download(self, out_dev):
         import jax.numpy as jnp
@@ -116,16 +144,50 @@ class FilterGraph:
                 for d in sorted(set(self.vfr_plan.durations))}
         return out
 
-    # -- pass 1 + 2: analysis over the full sequence ---------------------------
-    def analyze(self, frame_iter, num_frames: int) -> None:
-        """Stream the sequence once, collecting per-cycle pattern costs
-        (the KFM pass-1/2 analog). Only used in KFM VFR mode."""
-        if self.mode != self.MODE_KFM_VFR:
-            return
+    def _make_decider(self) -> KFMDecider:
+        decider = KFMDecider()
+        if self.mode == self.MODE_KFM_VFR30:
+            decider.allow_60 = False  # thswitch=-1 (Misc.cs:1320)
+        if self.mode in (self.MODE_KFM_CFR24, self.MODE_SVP):
+            decider.force_film = True  # KFMDeint mode=2 (Misc.cs:1315)
+        return decider
+
+    def _finish_analysis(self, all_costs: np.ndarray,
+                         num_frames: int) -> None:
         import jax.numpy as jnp
 
         from ..ops import deint as deint_ops
 
+        if len(all_costs) < 5:
+            self.mode = self.MODE_NONE
+            return
+        # pad the trailing partial cycle with its last row so every source
+        # frame gets a cycle decision (dropping the tail would desync audio)
+        pad = (-len(all_costs)) % 5
+        if pad:
+            all_costs = np.concatenate(
+                [all_costs, np.repeat(all_costs[-1:], pad, axis=0)]
+            )
+        pattern = np.asarray(
+            deint_ops.telecine_pattern_costs(jnp.asarray(all_costs))
+        )
+        self.frame_costs = all_costs
+        self.decisions = self._make_decider().decide(pattern)
+        plan_frames = num_frames
+        if self.mode in (self.MODE_KFM_CFR24, self.MODE_SVP):
+            # strict CFR output: the trailing partial cycle (<=4 frames,
+            # <0.2 s at the very end of the section) is dropped rather
+            # than emitted at a different rate
+            plan_frames = num_frames - (num_frames % 5)
+        self.vfr_plan = build_vfr_plan(self.decisions, plan_frames,
+                                       frame_costs=all_costs)
+
+    # -- pass 1 + 2: analysis over the full sequence ---------------------------
+    def analyze(self, frame_iter, num_frames: int) -> None:
+        """Stream the sequence once, collecting per-cycle pattern costs
+        (the KFM pass-1/2 analog). Used by every KFM-family mode."""
+        if self.mode not in self.KFM_FAMILY:
+            return
         costs = []
         carry = None  # last frame of the previous batch for cross-batch match
         for chunk in _batched(frame_iter, self.batch):
@@ -142,26 +204,103 @@ class FilterGraph:
             carry = arr[-1]
         if not costs:
             return
-        all_costs = np.concatenate(costs)[:num_frames]
-        if len(all_costs) < 5:
-            self.mode = self.MODE_NONE
-            return
-        # pad the trailing partial cycle with its last row so every source
-        # frame gets a cycle decision (dropping the tail would desync audio)
-        pad = (-len(all_costs)) % 5
-        if pad:
-            all_costs = np.concatenate(
-                [all_costs, np.repeat(all_costs[-1:], pad, axis=0)]
-            )
-        import jax.numpy as jnp
+        self._finish_analysis(np.concatenate(costs)[:num_frames], num_frames)
 
-        pattern = np.asarray(
-            deint_ops.telecine_pattern_costs(jnp.asarray(all_costs))
-        )
-        self.frame_costs = all_costs
-        self.decisions = KFMDecider().decide(pattern)
-        self.vfr_plan = build_vfr_plan(self.decisions, num_frames,
-                                       frame_costs=all_costs)
+    def analyze_autovfr(self, section_opener, num_frames: int,
+                        parallel: int = 2, log_prefix: str | None = None,
+                        sections_log: list | None = None) -> None:
+        """AutoVfr-equivalent sectioned analysis: split the sequence into
+        `parallel` cycle-aligned sections, run their metric passes
+        concurrently in strict order (parallel/ordered.ordered_parallel =
+        the AMTOrderedParallel analog), then decide once over the merged
+        costs (ref Server/Misc.cs:1346-1389: N Auto_Vfr analysis clips
+        under AMTOrderedParallel, logs concatenated, AutoVfr.exe emits an
+        Its .def, Its applies it).
+
+        section_opener(start, end) -> iterator of luma frames for source
+        indices [start, end). Sections request one frame of left halo so
+        cross-section field-match costs equal the single-stream pass
+        (bit-identical decisions regardless of `parallel`).
+
+        With log_prefix, writes `{log_prefix}.autovfr{i}.log` per section
+        and `{log_prefix}.autovfr.def` (Its-style fps ranges) — the
+        reference flow's file contracts."""
+        if self.mode != self.MODE_AUTOVFR:
+            return
+        from ..parallel.ordered import ordered_parallel
+
+        parallel = max(1, min(parallel, max(1, num_frames // 10)))
+        # cycle-aligned contiguous sections
+        per = -(-num_frames // parallel)
+        per += (-per) % 5
+        bounds = []
+        s = 0
+        while s < num_frames:
+            bounds.append((s, min(s + per, num_frames)))
+            s += per
+
+        def producer(sec_start, sec_end):
+            halo = 1 if sec_start > 0 else 0
+            carry = None
+            got = 0
+            it = section_opener(sec_start - halo, sec_end)
+            for chunk in _batched(it, self.batch):
+                arr = np.stack(chunk)
+                if arr.dtype != np.uint8 and np.issubdtype(
+                        arr.dtype, np.floating):
+                    arr = np.clip(np.rint(arr), 0, 255).astype(np.uint8)
+                arr_in = (np.concatenate([carry[None], arr])
+                          if carry is not None else arr)
+                c = self._device_costs(arr_in)
+                if carry is not None:
+                    c = c[1:]
+                elif halo and got == 0:
+                    c = c[1:]  # drop the halo frame's own row
+                carry = arr[-1]
+                got += len(c)
+                yield c
+            # pad a section that came up short (decoder EOF) so the
+            # merged cost list stays index-aligned
+            want = sec_end - sec_start
+            if got < want and got > 0:
+                yield np.repeat(c[-1:], want - got, axis=0)
+
+        per_section: list[list[np.ndarray]] = [[] for _ in bounds]
+        for i, item in ordered_parallel(
+                [producer(s, e) for s, e in bounds]):
+            per_section[i].append(item)
+        if log_prefix:
+            for i, chunks in enumerate(per_section):
+                rows = sum(len(c) for c in chunks)
+                with open(f"{log_prefix}.autovfr{i + 1}.log", "w") as f:
+                    f.write(f"# section {bounds[i][0]}-{bounds[i][1]}\n"
+                            f"frames={rows}\n")
+        all_costs = np.concatenate(
+            [c for chunks in per_section for c in chunks])[:num_frames]
+        if sections_log is not None:
+            sections_log.extend(bounds)
+        self._finish_analysis(all_costs, num_frames)
+        if log_prefix and self.decisions is not None:
+            self._write_its_def(f"{log_prefix}.autovfr.def")
+
+    def _write_its_def(self, path: str) -> None:
+        """Its-style definition file: one `start end fps` frame-range per
+        line over the source clip (the contract AutoVfr.exe's .def plays
+        in the reference flow; consumed there by Its to emit VFR +
+        timecodes, Misc.cs:1386)."""
+        fps_of = {CycleMode.FILM: 24, CycleMode.VIDEO_30: 30,
+                  CycleMode.VIDEO_60: 60}
+        ranges = []
+        for ci, d in enumerate(self.decisions):
+            fps = fps_of[d.mode]
+            if ranges and ranges[-1][2] == fps:
+                ranges[-1][1] = (ci + 1) * 5
+            else:
+                ranges.append([ci * 5, (ci + 1) * 5, fps])
+        with open(path, "w") as f:
+            f.write("# Its-style fps ranges (start end fps)\n")
+            for s, e, fps in ranges:
+                f.write(f"{s} {e} {fps}\n")
 
     def _device_costs(self, arr: np.ndarray) -> np.ndarray:
         """Field-match costs for one uint8 batch [B, H, W] -> [B, 3]. On
@@ -205,7 +344,13 @@ class FilterGraph:
     # -- pass 3: output synthesis --------------------------------------------
     def output_spec(self, num_src_frames: int, in_fmt: VideoFormat) -> FilterOutput:
         out = FilterOutput(out_format=_copy_fmt(in_fmt))
-        if self.mode == self.MODE_KFM_VFR and self.vfr_plan is not None:
+        if self.mode == self.MODE_SVP and self.vfr_plan is not None:
+            # 24p film reconstruction interpolated to smooth CFR 60p
+            n_film = len(self.vfr_plan.durations)
+            out.num_out_frames = (n_film * 5 + 1) // 2
+            out.out_format.mul_div_fps(2, 1)
+            out.out_format.progressive = True
+        elif self.mode in self.KFM_FAMILY and self.vfr_plan is not None:
             plan = self.vfr_plan
             out.durations = plan.durations
             out.num_out_frames = len(plan.durations)
@@ -223,7 +368,7 @@ class FilterGraph:
         elif self.mode == self.MODE_YADIF:
             out.num_out_frames = num_src_frames
             out.out_format.progressive = True
-        elif self.mode == self.MODE_QTGMC:
+        elif self.mode in (self.MODE_QTGMC, self.MODE_YADIF60):
             # double-rate: every field becomes a progressive frame
             out.num_out_frames = 2 * num_src_frames
             out.out_format.mul_div_fps(2, 1)
@@ -233,13 +378,16 @@ class FilterGraph:
         return out
 
     def run_kfm_batch(self, frames: np.ndarray, prev_frame,
-                      start_index: int) -> np.ndarray:
+                      start_index: int, plane: int = 0,
+                      final: bool = False) -> np.ndarray:
         """Synthesize the VFR output frames whose source index falls in
         [start_index, start_index + len(frames)) (the KFM pass-3 analog).
 
         frames: [B, H, W] source frames (one plane); prev_frame: the source
         frame before `start_index` (None at the sequence head), needed for
-        MERGE_PREV pulldown repair.
+        MERGE_PREV pulldown repair. plane identifies the Y/U/V plane for
+        per-plane carries; final marks the last batch of the stream
+        (SVP mode flushes its interpolation tail).
         """
         import jax.numpy as jnp
 
@@ -248,6 +396,9 @@ class FilterGraph:
         entries = [(src, op) for src, op in self.vfr_plan.source_frames
                    if start_index <= src < end_index]
         if not entries:
+            if self.mode == self.MODE_SVP and final:
+                return self._svp_emit(None, [], plane, True,
+                                      frames.shape[1])
             return frames[:0].astype(np.float32)
         # transfer at source dtype, widen on device (4x less for uint8)
         arr = jnp.asarray(frames).astype(jnp.float32)
@@ -273,10 +424,87 @@ class FilterGraph:
         for op in ops_used - {VFRPlan.WEAVE}:
             m = jnp.asarray(op_arr == op)[:, None, None]
             out = jnp.where(m, variants[op][src_idx], out)
+        src_list = [src for src, _ in entries]
+        if self.mode == self.MODE_SVP:
+            out, src_list = self._svp_emit(out, src_list, plane, final,
+                                           frames.shape[1], raw=True)
         if self.post_chain is not None:
-            out = self._apply_post(out, [src for src, _ in entries],
-                                   frames.shape[1])
+            out = self._apply_post(out, src_list, frames.shape[1])
         return self._download(out)
+
+    def _svp_emit(self, film, film_srcs: list[int], plane: int,
+                  final: bool, plane_h: int, raw: bool = False):
+        """MC-interpolate this batch's film frames (plus the per-plane
+        carry) to the 60p grid: output j sits at time 2j/5 film units,
+        between film pair k=(2j)//5 and k+1 (frac in {0,.4,.8,.2,.6}).
+        The last film frame carries to the next batch; `final` freezes it
+        for the tail outputs."""
+        import jax.numpy as jnp
+
+        from ..ops import deint as deint_ops
+
+        carry = self._svp_carry.get(plane)
+        if film is None or len(film_srcs) == 0:
+            if not (final and carry is not None):
+                empty = (jnp.zeros((0, plane_h, 1), jnp.float32)
+                         if film is None else film[:0])
+                return (empty, []) if raw else self._download(empty)
+            seq = carry[0][None]
+            base = carry[1]
+            srcs = [carry[2]]
+        else:
+            # global film index of this batch's first film frame
+            all_srcs = [s for s, _ in self.vfr_plan.source_frames]
+            base = bisect.bisect_left(all_srcs, film_srcs[0])
+            seq = film
+            srcs = list(film_srcs)
+            if carry is not None:
+                seq = jnp.concatenate([carry[0][None], film])
+                base = base - 1
+                srcs = [carry[2]] + srcs
+        n_seq = len(srcs)
+        # pairs (k, k+1) with both ends available; `final` adds the
+        # frozen tail pair (last, last)
+        pair_hi = base + n_seq - 1 if not final else base + n_seq
+        outs = []  # (j, frac, a_local, b_local)
+        for k in range(base, pair_hi):
+            a_local = k - base
+            b_local = min(k - base + 1, n_seq - 1)
+            j0 = -(-5 * k // 2)
+            j1 = -(-5 * (k + 1) // 2)
+            for j in range(j0, j1):
+                frac = 2 * j / 5 - k
+                outs.append((j, round(frac, 1), a_local, b_local))
+        # update the carry before computing (device array + global index)
+        if n_seq:
+            self._svp_carry[plane] = (seq[-1], base + n_seq - 1, srcs[-1])
+        if final:
+            self._svp_carry.pop(plane, None)
+        if not outs:
+            empty = seq[:0]
+            return (empty, []) if raw else self._download(empty)
+        # batch the interpolation per distinct frac (static per compile)
+        results: dict[int, jnp.ndarray] = {}
+        by_frac: dict[float, list[int]] = {}
+        for idx, (j, frac, a, b) in enumerate(outs):
+            by_frac.setdefault(frac, []).append(idx)
+        for frac, idxs in by_frac.items():
+            a_idx = jnp.asarray([outs[i][2] for i in idxs])
+            b_idx = jnp.asarray([outs[i][3] for i in idxs])
+            if frac == 0.0:
+                interp = seq[a_idx]
+            else:
+                interp = deint_ops.mc_frame_interp(seq[a_idx], seq[b_idx],
+                                                   frac)
+            for slot, i in enumerate(idxs):
+                results[i] = interp[slot]
+        ordered = jnp.stack([results[i] for i in range(len(outs))])
+        out_srcs = [srcs[outs[i][2]] for i in range(len(outs))]
+        if raw:
+            return ordered, out_srcs
+        if self.post_chain is not None:
+            ordered = self._apply_post(ordered, out_srcs, plane_h)
+        return self._download(ordered)
 
     # cache of geometry-specialised fused kernels (TPU production path)
     _fused_cache: dict = {}
@@ -385,7 +613,7 @@ class FilterGraph:
                  .astype(jnp.float32).reshape(1, *frames.shape[1:])]
             )
             out = deint_ops.yadif_deinterlace(prev, arr, nxt, True)
-        elif self.mode == self.MODE_QTGMC:
+        elif self.mode in (self.MODE_QTGMC, self.MODE_YADIF60):
             arr = jnp.asarray(frames).astype(jnp.float32)
             prev = jnp.concatenate(
                 [jnp.asarray(prev_frame if prev_frame is not None
@@ -399,7 +627,15 @@ class FilterGraph:
                              else frames[-1:])
                  .astype(jnp.float32).reshape(1, *frames.shape[1:])]
             )
-            out = deint_ops.motion_adaptive_bob(prev, arr, nxt, True)
+            if self.mode == self.MODE_QTGMC:
+                out = deint_ops.motion_adaptive_bob(prev, arr, nxt, True)
+            else:
+                # Yadifmod2 mode=1 double rate (Misc.cs:1337): one yadif
+                # per field, TFF order = top first (t=k) then bottom
+                out_t = deint_ops.yadif_deinterlace(prev, arr, nxt, True)
+                out_b = deint_ops.yadif_deinterlace(prev, arr, nxt, False)
+                b, h, w = frames.shape
+                out = jnp.stack([out_t, out_b], axis=1).reshape(2 * b, h, w)
             idx = [i for i in idx for _ in range(2)]  # QP map per field pair
         else:
             out = jnp.asarray(frames).astype(jnp.float32)

@@ -62,12 +62,26 @@ class KFMDecider:
     """Per-cycle mode decision with hysteresis (thswitch analog)."""
 
     def __init__(self, th_switch: float = 3.0, th_film: float = 0.6,
-                 hysteresis: int = 2):
+                 hysteresis: int = 2, allow_60: bool = True,
+                 th_comb: float = 60.0):
         # th_film: film pattern must beat 30p by this ratio to choose FILM
-        # th_switch: combing must exceed this (x median) to fall back to 60p
+        # th_switch: relative 60p fallback (30p cost vs best pairing)
+        # th_comb: absolute per-frame combing floor — when even the BEST
+        # field pairing combs above this, the content is true interlaced
+        # video and only bobbing helps (KFM's thswitch semantics: the
+        # relative rule alone can't flag content where every pairing is
+        # equally bad)
+        # allow_60=False reproduces the reference's VFR30 fps mode
+        # (thswitch=-1 in the KFMDeint chain, Server/Misc.cs:1320: never
+        # fall back to 60p bob; output is 24/30 only)
+        # force_film reproduces the CFR24 fps mode (KFMDeint mode=2,
+        # Server/Misc.cs:1315: decimate everything to 24p)
         self.th_switch = th_switch
         self.th_film = th_film
         self.hysteresis = hysteresis
+        self.allow_60 = allow_60
+        self.th_comb = th_comb
+        self.force_film = False
 
     def decide(self, pattern_costs: np.ndarray) -> list[CycleDecision]:
         """pattern_costs: [ncycles, 7] from ops.deint.telecine_pattern_costs
@@ -75,8 +89,14 @@ class KFMDecider:
         pc = np.asarray(pattern_costs)
         n = len(pc)
         decisions: list[CycleDecision] = []
-        # global phase vote: telecine phase is stable across a section
         phases = pc[:, :5].argmin(axis=1)
+        if self.force_film:
+            # CFR24: every cycle decimates with its best phase; the
+            # per-run phase smoothing below still applies
+            decisions = [CycleDecision(CycleMode.FILM, int(p))
+                         for p in phases]
+            self._smooth_phase_run(decisions, 0, n)
+            return decisions
         for i in range(n):
             best_phase = int(phases[i])
             film_cost = pc[i, best_phase]
@@ -84,7 +104,10 @@ class KFMDecider:
             cost_60 = pc[i, 6]
             if film_cost < cost_30 * self.th_film:
                 decisions.append(CycleDecision(CycleMode.FILM, best_phase))
-            elif cost_30 <= cost_60 * self.th_switch:
+            elif (self.allow_60 and cost_60 / 5.0 > self.th_comb):
+                # even the best pairing combs: true interlaced video
+                decisions.append(CycleDecision(CycleMode.VIDEO_60))
+            elif not self.allow_60 or cost_30 <= cost_60 * self.th_switch:
                 decisions.append(CycleDecision(CycleMode.VIDEO_30))
             else:
                 decisions.append(CycleDecision(CycleMode.VIDEO_60))
@@ -191,14 +214,19 @@ def build_vfr_plan(decisions: list[CycleDecision], num_frames: int,
         if remaining <= 0:
             break
         if d.mode == CycleMode.FILM and remaining == 5:
-            # 5 coded frames (10 fields) -> 4 film frames of 5 units each.
-            # Of the two field-merged frames in the cycle, the first is
-            # repaired by re-pairing with the previous frame's opposite
-            # field (MERGE_PREV); the second is a pure duplicate and is
-            # dropped (the 2 in 3:2).
+            # 5 coded frames (10 fields) -> 4 film frames of 5 units
+            # each. The pulldown splits one film frame X across two
+            # consecutive mixed video frames: the cyclic-FIRST of the
+            # flagged pair has X only in its bottom field (its
+            # MERGE_PREV repair reproduces the PREVIOUS film frame — a
+            # pure duplicate, dropped: the 2 in 3:2), while the
+            # cyclic-second has X on top and its MERGE_PREV repair
+            # recovers X itself.
             merge = _PULLDOWN_MERGE[d.phase]
             flagged = [f for f in range(5) if merge[f]]
-            skip = flagged[1] if len(flagged) >= 2 else -1
+            skip = -1
+            if len(flagged) >= 2:
+                skip = next(f for f in flagged if not merge[(f - 1) % 5])
             for f in range(5):
                 if f == skip:
                     continue

@@ -239,6 +239,47 @@ def motion_adaptive_bob(
 
 
 # ---------------------------------------------------------------------------
+# motion-compensated frame interpolation (SVP-mode analog)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("frac", "max_shift"))
+def mc_frame_interp(a: jnp.ndarray, b: jnp.ndarray, frac: float,
+                    max_shift: int = 4) -> jnp.ndarray:
+    """Motion-compensated intermediate frame between a (t=0) and b (t=1)
+    at static time fraction `frac`.
+
+    The reference's SVP fps mode (Server/Misc.cs:1319 `svp=true` in the
+    KFMDeint chain) hands 24p film to the SVPflow motion interpolator for
+    smooth 60p. TPU-native analog: per-pixel displacement search over
+    horizontal shifts dd in [-max_shift, max_shift] under the model
+    b(x) = a(x - dd); the winning displacement's candidate cross-fades
+    a(x - frac*dd) with b(x + (1-frac)*dd) (nearest-integer shifts,
+    static because frac is static). Pixels where no displacement matches
+    fall back to the plain cross-fade. Branch-free select chain — fuses
+    into one VPU pass under XLA; frac comes from a small fixed set per
+    cadence so each value compiles once."""
+    blend0 = (1.0 - frac) * a + frac * b
+    best = blend0
+    best_err = jnp.abs(a - b)
+    for d in range(1, max_shift + 1):
+        for sgn in (1, -1):
+            dd = sgn * d
+            # match error in b's coordinate frame, moved to the output
+            # pixel's position (output x samples b at x + (1-frac)*dd)
+            err_b = jnp.abs(_shift_cols(a, -dd) - b)
+            err = _shift_cols(err_b, int(round((1.0 - frac) * dd)))
+            cand = ((1.0 - frac)
+                    * _shift_cols(a, -int(round(frac * dd)))
+                    + frac * _shift_cols(b, int(round((1.0 - frac) * dd))))
+            better = err < best_err
+            best = jnp.where(better, cand, best)
+            best_err = jnp.where(better, err, best_err)
+    # low-confidence pixels (occlusions, non-pan motion) -> cross-fade
+    return jnp.where(best_err > 24.0, blend0, best)
+
+
+# ---------------------------------------------------------------------------
 # telecine metrics (KFM pass-1 analog)
 # ---------------------------------------------------------------------------
 

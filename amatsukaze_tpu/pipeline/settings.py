@@ -123,8 +123,12 @@ class Config:
     # device settings (TPU-era replacement for DecoderSetting GPU choices)
     device_batch_frames: int = 32
     # declarative filter graph mode (TPU-era replacement for the AVS filter
-    # script; mirrors the GUI deinterlacer choices EncodeServerData.cs:106-119)
-    filter_mode: str = "none"  # none | yadif | kfm_vfr
+    # script; mirrors the GUI deinterlacer x fps matrix,
+    # EncodeServerData.cs:106-119): none | yadif | yadif60 | qtgmc |
+    # kfm_vfr | kfm_vfr30 | kfm_cfr24 | svp | autovfr
+    filter_mode: str = "none"
+    # AutoVfr section-parallel analysis width (ref AutoVfrParallel)
+    autovfr_parallel: int = 2
     # post chain tokens: comma-separated from {nr, deband, edge}
     # (the reference's KTemporalNR/KDeband/KEdgeLevel GUI toggles)
     post_filter: str = ""
@@ -249,6 +253,11 @@ class Settings:
 
     def tmp_div_path(self, vindex: int) -> str:
         return self._t(f"div{vindex}.txt")
+
+    def tmp_autovfr_prefix(self, vindex: int) -> str:
+        """Prefix for the AutoVfr flow's log/def files (ref Misc.cs:1369:
+        AMT_TMP + '.autovfr*.log' / '.autovfr.def')."""
+        return self._t(f"v{vindex}")
 
     def tmp_filter_dump_path(self, key: EncodeFileKey) -> str:
         return self._t(f"filter{self._key(key)}.json")

@@ -522,6 +522,57 @@ class TranscodePipeline:
         to_frames = fps / 100.0
         return [(int(s * to_frames), int(e * to_frames)) for s, e in spans]
 
+    def _autovfr_section_opener(self, key, file):
+        """Per-section frame stream for AutoVfr analysis. Sections decode
+        independently (so they parallelise across host threads); when the
+        intermediate is in-build-decodable MPEG2 and the frame mapping is
+        identity, each section byte-seeks to its keyframe instead of
+        decoding from zero (the AMTSource seek path)."""
+        st = self.settings
+        reform = self._reform
+        meta = reform.get_filter_source_frames(key.video)
+        wanted = sorted(set(file.video_frames))
+        identity = wanted == list(range(len(meta)))
+        seek_open = None
+        if identity and meta:
+            try:
+                from ..video.native import NativeMpeg2Decoder  # noqa: F401
+
+                from .decoders import mpeg2_ps_seek_opener
+
+                ps = st.int_video_file_path(key.video)
+                with open(ps, "rb") as f:
+                    head = f.read(4)
+                if head[:3] == b"\x00\x00\x01":  # MPEG PS/ES intermediate
+                    seek_open = mpeg2_ps_seek_opener(ps)
+            except (RuntimeError, OSError):
+                seek_open = None
+
+        def opener(start: int, end: int):
+            start = max(0, start)
+            if seek_open is not None:
+                key_idx = meta[start].key_frame
+                it = seek_open(key_idx, meta[key_idx].file_offset)
+                for i, planes in enumerate(it):
+                    idx = key_idx + i
+                    if idx >= end:
+                        break
+                    if idx >= start:
+                        yield planes[0]
+                return
+            wanted_set = set(wanted)
+            pos = 0
+            for i, planes in enumerate(self.decoder_factory(self, key.video)):
+                if i not in wanted_set:
+                    continue
+                if pos >= end:
+                    break
+                if pos >= start:
+                    yield planes[0]
+                pos += 1
+
+        return opener
+
     def _jls_elements(self, reform, v, cma) -> list[JlsElement]:
         frames = reform.get_filter_source_frames(v)
         n = len(frames)
@@ -614,7 +665,17 @@ class TranscodePipeline:
                                  "codec; deblock will be skipped")
             except OSError as e:
                 ctx.warn("deblock: QP extraction failed: %s", e)
-        if fg.mode == FilterGraph.MODE_KFM_VFR:
+        if fg.mode == FilterGraph.MODE_AUTOVFR:
+            if self.decoder_factory is None:
+                raise RuntimeError("no decoder available for filter analysis")
+            # AutoVfr: ordered-parallel sectioned analysis with the
+            # reference flow's log/def file contracts (Misc.cs:1346-1389)
+            fg.analyze_autovfr(
+                self._autovfr_section_opener(key, file),
+                num_frames,
+                parallel=max(1, st.conf.autovfr_parallel),
+                log_prefix=st.tmp_autovfr_prefix(key.video))
+        elif fg.mode in FilterGraph.KFM_FAMILY:
             if self.decoder_factory is None:
                 raise RuntimeError("no decoder available for filter analysis")
             from ..io.process import prefetch_iter
@@ -811,7 +872,7 @@ def _pump_filtered(fg, frames_iter, pump, batch: int) -> None:
         for p in range(3):
             # keep the decoder's uint8 through to the filter graph: every
             # device transfer ships 4x less and widens on device
-            if fg.mode == FilterGraph.MODE_KFM_VFR:
+            if fg.mode in FilterGraph.KFM_FAMILY:
                 # VFR synthesis emits a data-dependent frame count, so
                 # the tail cannot be pad-and-sliced
                 arr = np.stack([f[p] for f in chunk])
@@ -819,6 +880,8 @@ def _pump_filtered(fg, frames_iter, pump, batch: int) -> None:
                     arr,
                     None if prev_planes is None else prev_planes[p],
                     start,
+                    plane=p,
+                    final=next_planes is None,
                 )
                 n_out = len(res)
             else:

@@ -49,8 +49,10 @@ class ProfileSetting:
     audio_encoder_type: str = ""
     audio_encoder_path: str = ""
     output_format: str = "mp4"
-    filter_mode: str = "none"  # none/yadif/qtgmc/kfm_vfr (FilterSetting's
-                               # deinterlacer enum, EncodeServerData.cs:106)
+    filter_mode: str = "none"  # none/yadif/yadif60/qtgmc/kfm_vfr/kfm_vfr30/
+                               # kfm_cfr24/svp/autovfr (FilterSetting's
+                               # deinterlacer x fps matrix,
+                               # EncodeServerData.cs:106-119)
     filter_path: str = ""
     post_filter_path: str = ""
     two_pass: bool = False

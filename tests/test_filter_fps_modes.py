@@ -1,0 +1,265 @@
+"""Deinterlacer x fps mode matrix tests (ref EncodeServerData.cs:106-119
+FilterFPS = VFR/CFR24/CFR30/CFR60/SVP/VFR30 and the AutoVfr algorithm,
+Server/Misc.cs:1290-1389)."""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from amatsukaze_tpu.models.filter_graph import FilterGraph  # noqa: E402
+from amatsukaze_tpu.models.kfm import CycleMode  # noqa: E402
+from amatsukaze_tpu.types import VideoFormat  # noqa: E402
+from amatsukaze_tpu.utils.context import AMTContext  # noqa: E402
+
+H, W = 64, 96
+
+
+def _fmt():
+    f = VideoFormat()
+    f.width, f.height = W, H
+    f.frame_rate_num, f.frame_rate_denom = 30000, 1001
+    f.progressive = False
+    return f
+
+
+def telecined_frames(n, pan=8):
+    """Hard-telecined 3:2 stream from a panning film source."""
+    yy, xx = np.mgrid[0:H, 0:W]
+    film = [np.clip(
+        128 + 80 * np.sin((xx + pan * i) / 7.0) * np.cos(yy / 9.0),
+        0, 255).astype(np.float32) for i in range((n * 4) // 5 + 4)]
+    frames = []
+    i = 0
+    while len(frames) < n:
+        a, b, c, d = film[i:i + 4]
+
+        def wv(top, bot):
+            f = np.empty((H, W), np.float32)
+            f[0::2] = top[0::2]
+            f[1::2] = bot[1::2]
+            return f.astype(np.uint8)
+
+        for f in (wv(a, a), wv(a, b), wv(b, c), wv(c, c), wv(d, d)):
+            if len(frames) < n:
+                frames.append(f)
+        i += 4
+    return frames
+
+
+def interlaced_video_frames(n, speed=5):
+    """True interlaced video: every field from a different time instant
+    (heavy combing everywhere -> VIDEO_60 territory)."""
+    yy, xx = np.mgrid[0:H, 0:W]
+    out = []
+    for k in range(n):
+        top = np.clip(128 + 90 * np.sin((xx + speed * 2 * k) / 5.0)
+                      * np.cos(yy / 4.0), 0, 255)
+        bot = np.clip(128 + 90 * np.sin((xx + speed * (2 * k + 1)) / 5.0)
+                      * np.cos(yy / 4.0), 0, 255)
+        f = np.empty((H, W), np.float32)
+        f[0::2] = top[0::2]
+        f[1::2] = bot[1::2]
+        out.append(f.astype(np.uint8))
+    return out
+
+
+def analyzed_graph(mode, frames, ctx=None, batch=16):
+    fg = FilterGraph(ctx or AMTContext(level="error"), mode=mode,
+                     batch=batch)
+    fg.analyze(iter(frames), len(frames))
+    return fg
+
+
+class TestVfr30:
+    def test_never_emits_60p(self):
+        frames = telecined_frames(25) + interlaced_video_frames(25)
+        fg = analyzed_graph(FilterGraph.MODE_KFM_VFR30, frames)
+        assert fg.decisions is not None
+        assert all(d.mode != CycleMode.VIDEO_60 for d in fg.decisions)
+        assert 2 not in set(fg.vfr_plan.durations)
+
+    def test_vfr_still_switches_without_60(self):
+        frames = telecined_frames(25) + interlaced_video_frames(25)
+        fg60 = analyzed_graph(FilterGraph.MODE_KFM_VFR, frames)
+        fg30 = analyzed_graph(FilterGraph.MODE_KFM_VFR30, frames)
+        # the plain VFR mode does use 60p on this combed section
+        assert any(d.mode == CycleMode.VIDEO_60 for d in fg60.decisions)
+        # both detect the film section
+        assert any(d.mode == CycleMode.FILM for d in fg30.decisions)
+
+
+class TestCfr24:
+    def test_all_cycles_film(self):
+        frames = telecined_frames(25) + interlaced_video_frames(25)
+        fg = analyzed_graph(FilterGraph.MODE_KFM_CFR24, frames)
+        assert all(d.mode == CycleMode.FILM for d in fg.decisions)
+
+    def test_output_is_cfr_24(self):
+        frames = telecined_frames(50)
+        fg = analyzed_graph(FilterGraph.MODE_KFM_CFR24, frames)
+        spec = fg.output_spec(len(frames), _fmt())
+        assert not spec.time_codes  # CFR
+        assert spec.num_out_frames == 40  # 50 * 4/5
+        assert (spec.out_format.frame_rate_num,
+                spec.out_format.frame_rate_denom) == (24000, 1001)
+
+    def test_synthesis_output_count(self):
+        frames = telecined_frames(50)
+        fg = analyzed_graph(FilterGraph.MODE_KFM_CFR24, frames)
+        out = fg.run_kfm_batch(np.stack(frames), None, 0, plane=0,
+                               final=True)
+        assert len(out) == 40
+
+
+class TestSvp:
+    def test_output_count_and_rate(self):
+        frames = telecined_frames(50)
+        fg = analyzed_graph(FilterGraph.MODE_SVP, frames)
+        spec = fg.output_spec(len(frames), _fmt())
+        # 40 film frames -> ceil(40 * 2.5) = 100 at 60p
+        assert spec.num_out_frames == 100
+        assert (spec.out_format.frame_rate_num,
+                spec.out_format.frame_rate_denom) == (60000, 1001)
+        assert not spec.time_codes
+
+    def test_batch_boundaries_match_single_batch(self):
+        frames = telecined_frames(50)
+        fg1 = analyzed_graph(FilterGraph.MODE_SVP, frames)
+        whole = fg1.run_kfm_batch(np.stack(frames), None, 0, plane=0,
+                                  final=True)
+        fg2 = analyzed_graph(FilterGraph.MODE_SVP, frames)
+        parts = []
+        prev = None
+        for s in range(0, 50, 20):
+            chunk = frames[s:s + 20]
+            parts.append(fg2.run_kfm_batch(
+                np.stack(chunk), prev, s, plane=0,
+                final=(s + 20 >= 50)))
+            prev = chunk[-1]
+        split = np.concatenate([p for p in parts if len(p)])
+        assert len(whole) == len(split) == 100
+        assert np.allclose(whole, split, atol=1e-4)
+
+    def test_interpolation_tracks_pan(self):
+        """On a sharp-textured pure pan the MC interpolator must beat
+        the cross-fade (the point of svp=true over a simple blend)."""
+        try:
+            from scipy.ndimage import gaussian_filter
+        except ImportError:
+            gaussian_filter = lambda a, s: a  # noqa: E731
+        rng = np.random.default_rng(11)
+        pan = 3  # px per film frame, inside mc_frame_interp's search
+        n_film = 20
+        wide = gaussian_filter(
+            rng.uniform(20, 235, (H, W + pan * n_film + 8)), 1.0)
+
+        def film(t):  # film source at continuous film-time t
+            s = pan * t
+            i0 = int(np.floor(s))
+            f = s - i0
+            a = wide[:, i0:i0 + W]
+            b = wide[:, i0 + 1:i0 + 1 + W]
+            return ((1 - f) * a + f * b).astype(np.float32)
+
+        # hard-telecine the 24p film (same cadence as telecined_frames)
+        frames = []
+        i = 0
+        while len(frames) < 25:
+            a, b, c, d = (film(i), film(i + 1), film(i + 2), film(i + 3))
+
+            def wv(top, bot):
+                f = np.empty((H, W), np.float32)
+                f[0::2] = top[0::2]
+                f[1::2] = bot[1::2]
+                return f.astype(np.uint8)
+
+            for f in (wv(a, a), wv(a, b), wv(b, c), wv(c, c), wv(d, d)):
+                if len(frames) < 25:
+                    frames.append(f)
+            i += 4
+        fg = analyzed_graph(FilterGraph.MODE_SVP, frames)
+        assert all(d.mode == CycleMode.FILM for d in fg.decisions)
+        out = np.asarray(fg.run_kfm_batch(np.stack(frames), None, 0,
+                                          plane=0, final=True))
+        assert len(out) == 50  # 20 film frames -> 50 at 60p
+        crop = np.s_[2:-2, 8:-8]
+        # j=1: frac 0.4 between film frames 0 and 1
+        truth = film(0.4)[crop]
+        mc_err = np.mean(np.abs(out[1][crop].astype(np.float64) - truth))
+        blend = 0.6 * film(0.0) + 0.4 * film(1.0)
+        blend_err = np.mean(np.abs(blend[crop] - truth))
+        assert mc_err < blend_err * 0.6, (mc_err, blend_err)
+
+
+class TestYadif60:
+    def test_double_rate(self):
+        from amatsukaze_tpu.ops.deint import yadif_deinterlace
+
+        frames = interlaced_video_frames(8)
+        fg = FilterGraph(AMTContext(level="error"),
+                         mode=FilterGraph.MODE_YADIF60)
+        spec = fg.output_spec(len(frames), _fmt())
+        assert spec.num_out_frames == 16
+        assert (spec.out_format.frame_rate_num,
+                spec.out_format.frame_rate_denom) == (60000, 1001)
+        out = fg.run_pass3(np.stack(frames), None, None)
+        assert len(out) == 16
+        arr = jnp.asarray(np.stack(frames)).astype(jnp.float32)
+        prev = jnp.concatenate([arr[:1], arr[:-1]])
+        nxt = jnp.concatenate([arr[1:], arr[-1:]])
+        want_t = np.asarray(yadif_deinterlace(prev, arr, nxt, True))
+        want_b = np.asarray(yadif_deinterlace(prev, arr, nxt, False))
+        assert np.allclose(out[0::2], want_t, atol=1e-4)
+        assert np.allclose(out[1::2], want_b, atol=1e-4)
+
+
+class TestAutoVfr:
+    def _opener(self, frames):
+        def opener(start, end):
+            return iter(frames[max(0, start):end])
+
+        return opener
+
+    def test_matches_single_stream_analysis(self, tmp_path):
+        frames = telecined_frames(30) + interlaced_video_frames(30)
+        ref = analyzed_graph(FilterGraph.MODE_KFM_VFR, frames)
+        fg = FilterGraph(AMTContext(level="error"),
+                         mode=FilterGraph.MODE_AUTOVFR, batch=16)
+        fg.analyze_autovfr(self._opener(frames), len(frames), parallel=3,
+                           log_prefix=str(tmp_path / "t"))
+        assert [(d.mode, d.phase) for d in fg.decisions] == \
+               [(d.mode, d.phase) for d in ref.decisions]
+
+    def test_parallel_width_does_not_change_decisions(self, tmp_path):
+        frames = telecined_frames(30) + interlaced_video_frames(30)
+        results = []
+        for par in (1, 2, 4):
+            fg = FilterGraph(AMTContext(level="error"),
+                             mode=FilterGraph.MODE_AUTOVFR, batch=16)
+            fg.analyze_autovfr(self._opener(frames), len(frames),
+                               parallel=par)
+            results.append([(d.mode, d.phase) for d in fg.decisions])
+        assert results[0] == results[1] == results[2]
+
+    def test_file_contracts(self, tmp_path):
+        frames = telecined_frames(30) + interlaced_video_frames(30)
+        fg = FilterGraph(AMTContext(level="error"),
+                         mode=FilterGraph.MODE_AUTOVFR, batch=16)
+        fg.analyze_autovfr(self._opener(frames), len(frames), parallel=2,
+                           log_prefix=str(tmp_path / "x"))
+        logs = sorted(p.name for p in tmp_path.iterdir())
+        assert "x.autovfr1.log" in logs
+        assert "x.autovfr2.log" in logs
+        assert "x.autovfr.def" in logs
+        ranges = []
+        for line in (tmp_path / "x.autovfr.def").read_text().splitlines():
+            if line.startswith("#"):
+                continue
+            s, e, fps = line.split()
+            ranges.append((int(s), int(e), int(fps)))
+        # contiguous cycle-aligned coverage with real fps values
+        assert ranges[0][0] == 0
+        assert all(r1[0] == r0[1] for r0, r1 in zip(ranges, ranges[1:]))
+        assert {r[2] for r in ranges} <= {24, 30, 60}
+        assert len(ranges) >= 2  # film section + video section

@@ -77,10 +77,12 @@ class TestDecider:
              + [CycleDecision(CycleMode.FILM, 2)] * 2)
         plan = build_vfr_plan(d, 20)
         ops = dict(plan.source_frames)
-        # phase 0 merges at cycle frames 2,3 (first kept, second dropped)
-        assert ops[2] == VFRPlan.MERGE_PREV
-        assert 3 not in ops  # the pure-duplicate frame is dropped
-        # phase 2 merges at cycle frames 0,4 -> in cycle 2 (base 10)
+        # phase 0 merges at cycle frames 2,3: frame 2 is the duplicate
+        # (dropped), frame 3's repair recovers the split film frame
+        assert ops[3] == VFRPlan.MERGE_PREV
+        assert 2 not in ops
+        # phase 2 merges at cycle frames 4,0 (cyclic pair): 4 dropped,
+        # 0 repaired -> in cycle 2 (base 10)
         assert ops[10] == VFRPlan.MERGE_PREV
         assert 14 not in ops
 
@@ -131,10 +133,10 @@ class TestUCF:
         decisions = [CycleDecision(CycleMode.FILM, 0) for _ in range(4)]
         n = 20
         costs = np.full((n, 3), 1.0, np.float32)
-        costs[7] = [50.0, 50.0, 50.0]  # frame 7: dirty whatever the pairing
+        costs[8] = [50.0, 50.0, 50.0]  # frame 8: dirty whatever the pairing
         plan = build_vfr_plan(decisions, n, frame_costs=costs)
         ops = dict(plan.source_frames)
-        assert ops[7] == VFRPlan.BOB_T
+        assert ops[8] == VFRPlan.BOB_T
         # clean frames keep their weave/merge ops
         assert ops[0] == VFRPlan.WEAVE
         # durations unchanged (replacement, not a rate change)

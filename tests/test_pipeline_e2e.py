@@ -891,6 +891,84 @@ class TestRealVideoKfm:
         assert abs((t1 - t0) - 5 * 1001 / 120) < 0.01
 
 
+class TestFpsModesE2E:
+    """The new fps modes through the FULL pipeline on real coded video
+    (ref FilterFPS matrix, EncodeServerData.cs:118 + Misc.cs:1346-1389)."""
+
+    def _telecined_ts(self, tmp, n=45):
+        import mpeg2_enc as E
+        from amatsukaze_tpu.ts.qp_extract import iter_picture_chunks
+
+        yy, xx = np.mgrid[0:H, 0:W]
+        film = [np.clip(
+            128 + 80 * np.sin((xx + 8 * i) / 7.0) * np.cos(yy / 9.0),
+            0, 255).astype(np.float32) for i in range((n * 4) // 5 + 4)]
+        uc = np.full((H // 2, W // 2), 128, np.uint8)
+        frames = []
+        i = 0
+        while len(frames) < n:
+            a, b, c, d = film[i:i + 4]
+
+            def wv(top, bot):
+                f = np.empty((H, W), np.float32)
+                f[0::2] = top[0::2]
+                f[1::2] = bot[1::2]
+                return f.astype(np.uint8)
+
+            for f in (wv(a, a), wv(a, b), wv(b, c), wv(c, c), wv(d, d)):
+                if len(frames) < n:
+                    frames.append(E.Plane3(f, uc, uc))
+            i += 4
+        enc = E.Mpeg2TestEncoder(
+            E.EncConfig(W, H, qs=2, progressive=False, search=2,
+                        seq_every_i=True))
+        es = enc.encode(frames, ("I" + "P" * 8) * 5)
+        chunks = list(iter_picture_chunks(es))
+        src = tmp / "src.ts"
+        src.write_bytes(ts_gen.build_simple_ts(
+            width=W, height=H, video_es_frames=chunks))
+        return str(src)
+
+    def test_autovfr_e2e(self, env):
+        from amatsukaze_tpu.pipeline.decoders import default_decoder_factory
+
+        ctx, conf, tmp = env
+        conf.src_file_path = self._telecined_ts(tmp)
+        conf.filter_mode = "autovfr"
+        conf.autovfr_parallel = 2
+        settings = Settings(ctx, conf)
+        pipe = TranscodePipeline(ctx, settings,
+                                 decoder_factory=default_decoder_factory())
+        report = pipe.run()
+        data = open(report["outfiles"][0]["path"], "rb").read()
+        # same film cadence as kfm_vfr: 8 full cycles x 4 + 4-frame tail
+        assert data.count(b"FRAME\n") == 8 * 4 + 4
+        # AutoVfr file contracts in the temp dir
+        prefix = settings.tmp_autovfr_prefix(0)
+        assert os.path.exists(prefix + ".autovfr.def")
+        assert os.path.exists(prefix + ".autovfr1.log")
+        lines = [ln for ln in open(prefix + ".autovfr.def")
+                 if not ln.startswith("#")]
+        assert all(int(ln.split()[2]) in (24, 30, 60) for ln in lines)
+
+    def test_svp_e2e(self, env):
+        from amatsukaze_tpu.pipeline.decoders import default_decoder_factory
+
+        ctx, conf, tmp = env
+        conf.src_file_path = self._telecined_ts(tmp)
+        conf.filter_mode = "svp"
+        settings = Settings(ctx, conf)
+        pipe = TranscodePipeline(ctx, settings,
+                                 decoder_factory=default_decoder_factory())
+        report = pipe.run()
+        data = open(report["outfiles"][0]["path"], "rb").read()
+        # 44 usable source frames -> 40 in full cycles -> 32 film frames
+        # -> ceil(32 * 2.5) = 80 at CFR 60p
+        assert data.count(b"FRAME\n") == 80
+        # CFR: no timecode file written
+        assert not os.path.exists(settings.enc_timecode_path(EncodeFileKey()))
+
+
 class TestReferenceCliCompat:
     """Reference-style command lines must parse (drop-in compat,
     ref AmatsukazeCLI.hpp:171-555 flag set), incl. the '--serivceid'
