@@ -476,19 +476,100 @@ class TranscodePipeline:
 
             silence = self._detect_silence(reform, v, fps)
 
-        result = analyzer.analyze(logo_spans, logo_ratio, logo_path,
-                                  scene_changes, silence)
-        # persist the trim AVS + div files (reference file contract)
-        from ..models.cm_analyze import format_trim_avs
+        # configured external tools take precedence over the in-process
+        # engines (ref CMAnalyze.hpp:319-365: chapterExe + joinLogoScp
+        # subprocesses with the reference file contracts)
+        if self._external_tool(st.conf.chapter_exe_path):
+            scene_changes = self._run_chapter_exe(v)
+            analyzer.result.scene_changes = list(scene_changes)
+        if self._external_tool(st.conf.jls_path):
+            result = self._run_join_logo_scp(v, analyzer, scene_changes)
+        else:
+            result = analyzer.analyze(logo_spans, logo_ratio, logo_path,
+                                      scene_changes, silence)
+            # persist the trim AVS + div files (reference file contract)
+            from ..models.cm_analyze import format_trim_avs
 
-        with open(st.tmp_trim_avs_path(v), "w") as f:
-            f.write(format_trim_avs(result.trims) + "\n")
-        with open(st.tmp_div_path(v), "w") as f:
-            f.write("\n".join(str(d) for d in result.divs[:-1]) + "\n")
+            with open(st.tmp_trim_avs_path(v), "w") as f:
+                f.write(format_trim_avs(result.trims) + "\n")
+            with open(st.tmp_div_path(v), "w") as f:
+                f.write("\n".join(str(d) for d in result.divs[:-1]) + "\n")
 
         pid_changes = reform.get_pid_changed_list(v)
         if any(r > 0 for r in st.conf.pmt_cut_side_rate):
             analyzer.apply_pmt_cut(st.conf.pmt_cut_side_rate, pid_changes)
+        return analyzer.result
+
+    @staticmethod
+    def _external_tool(path: str) -> bool:
+        import shutil as _shutil
+
+        return bool(path) and (os.path.isfile(path)
+                               or _shutil.which(path) is not None)
+
+    def _run_chapter_exe(self, v: int) -> list[int]:
+        """Spawn the configured chapter_exe (ref MakeChapterExeArgs +
+        chapterExe, CMAnalyze.hpp:319-337): `-v <video> -o <out>` with
+        stdout captured to the chapter-exe-out file, whose `SCPos:` lines
+        are the scene-change list."""
+        import shlex
+        import subprocess
+
+        from ..models.cm_analyze import parse_scene_changes_text
+        from ..utils.context import FormatError
+
+        st = self.settings
+        cmd = [st.conf.chapter_exe_path,
+               "-v", st.int_video_file_path(v),
+               "-o", st.tmp_chapter_exe_path(v)]
+        cmd += shlex.split(st.conf.chapter_exe_options)
+        self.ctx.info("%s", " ".join(cmd))
+        with open(st.tmp_chapter_exe_out_path(v), "wb") as out:
+            rc = subprocess.call(cmd, stdout=out)
+        if rc != 0:
+            raise FormatError(f"chapter_exe returned error code {rc}")
+        with open(st.tmp_chapter_exe_out_path(v)) as f:
+            return parse_scene_changes_text(f.read())
+
+    def _run_join_logo_scp(self, v: int, analyzer, scene_changes):
+        """Spawn the configured join_logo_scp (ref MakeJoinLogoScpArgs +
+        joinLogoScp, CMAnalyze.hpp:338-365) and read back its trim AVS
+        and div outputs."""
+        import shlex
+        import subprocess
+
+        from ..utils.context import FormatError
+
+        st = self.settings
+        cmd = [st.conf.jls_path]
+        if self.logos and os.path.exists(st.tmp_logo_frame_path(v)):
+            cmd += ["-inlogo", st.tmp_logo_frame_path(v)]
+        if not os.path.exists(st.tmp_chapter_exe_path(v)):
+            # no external chapter_exe ran: hand the in-process scene
+            # changes to jls in the scpos file contract
+            from ..models.cm_analyze import format_scene_changes_text
+
+            with open(st.tmp_chapter_exe_path(v), "w") as f:
+                f.write(format_scene_changes_text(scene_changes, []))
+        cmd += ["-inscp", st.tmp_chapter_exe_path(v),
+                "-incmd", st.conf.jls_cmd_path,
+                "-o", st.tmp_trim_avs_path(v),
+                "-oscp", st.tmp_jls_path(v),
+                "-odiv", st.tmp_div_path(v)]
+        cmd += shlex.split(st.conf.jls_options)
+        self.ctx.info("%s", " ".join(cmd))
+        rc = subprocess.call(cmd)
+        if rc != 0:
+            raise FormatError(f"join_logo_scp returned error code {rc}")
+        with open(st.tmp_trim_avs_path(v)) as f:
+            analyzer.input_trim_avs(f.readline())
+        from ..models.cm_analyze import normalize_divs
+
+        divs = []
+        if os.path.exists(st.tmp_div_path(v)):
+            with open(st.tmp_div_path(v)) as f:
+                divs = [int(s) for s in f.read().split() if s.strip()]
+        analyzer.result.divs = normalize_divs(divs, analyzer.num_frames)
         return analyzer.result
 
     def _detect_silence(self, reform, v, fps) -> list[tuple[int, int]]:

@@ -648,6 +648,98 @@ class TestJlsCmdWiring:
         assert scripted == [] or scripted[0] >= 29
 
 
+class TestExternalCmTools:
+    """Configured chapter_exe / join_logo_scp binaries must be spawned
+    with the reference argument contracts and take precedence over the
+    in-process engines (ref CMAnalyze.hpp:319-365)."""
+
+    FAKE_CHAPTER_EXE = """#!/usr/bin/env python3
+import sys
+args = sys.argv[1:]
+video = args[args.index('-v') + 1]
+out = args[args.index('-o') + 1]
+open(out, 'w').write('chapter candidates for ' + video + '\\n')
+print('fake chapter_exe')
+print('----')
+print('  SCPos: 30')
+print('  SCPos: 60')
+"""
+
+    FAKE_JLS = """#!/usr/bin/env python3
+import sys
+args = sys.argv[1:]
+def val(flag):
+    return args[args.index(flag) + 1] if flag in args else ''
+assert val('-inscp'), 'missing -inscp'
+open(val('-inscp')).read()  # the chapter_exe -o file must exist
+open(val('-o'), 'w').write('Trim(0,29)++Trim(60,88)\\n')
+open(val('-oscp'), 'w').write('0 S 0 0\\n')
+open(val('-odiv'), 'w').write('45\\n')
+"""
+
+    def _tool(self, tmp, name, body):
+        p = tmp / name
+        p.write_text(body)
+        p.chmod(p.stat().st_mode | stat.S_IEXEC)
+        return str(p)
+
+    def test_tools_spawned_and_outputs_consumed(self, env):
+        ctx, conf, tmp = env
+        conf.mode = "cm"
+        conf.chapter_exe_path = self._tool(tmp, "fake_chapter_exe",
+                                           self.FAKE_CHAPTER_EXE)
+        conf.jls_path = self._tool(tmp, "fake_jls", self.FAKE_JLS)
+        settings = Settings(ctx, conf)
+        pipe = TranscodePipeline(ctx, settings,
+                                 decoder_factory=NullDecoderFactory())
+        pipe.run()
+        # chapter_exe's stdout was captured and parsed
+        from amatsukaze_tpu.models.cm_analyze import parse_scene_changes_text
+
+        scpos = parse_scene_changes_text(
+            open(settings.tmp_chapter_exe_out_path(0)).read())
+        assert scpos == [30, 60]
+        # join_logo_scp's trim AVS decided the cuts (NOT the in-process
+        # engine, which would keep the whole 90-frame clip)
+        line = open(settings.tmp_trim_avs_path(0)).readline()
+        from amatsukaze_tpu.models.cm_analyze import parse_trim_avs
+
+        assert parse_trim_avs(line, 90) == [0, 30, 60, 89]
+        assert open(settings.tmp_div_path(0)).read().split() == ["45"]
+        # the -o chapter file fed -inscp
+        assert "chapter candidates" in \
+            open(settings.tmp_chapter_exe_path(0)).read()
+
+    def test_jls_alone_gets_inprocess_scpos(self, env):
+        """Without an external chapter_exe the in-process scene changes
+        must reach jls through the scpos file contract."""
+        ctx, conf, tmp = env
+        conf.mode = "cm"
+        conf.jls_path = self._tool(tmp, "fake_jls", self.FAKE_JLS)
+        settings = Settings(ctx, conf)
+        pipe = TranscodePipeline(ctx, settings,
+                                 decoder_factory=NullDecoderFactory())
+        pipe.run()
+        assert os.path.exists(settings.tmp_chapter_exe_path(0))
+        line = open(settings.tmp_trim_avs_path(0)).readline()
+        from amatsukaze_tpu.models.cm_analyze import parse_trim_avs
+
+        assert parse_trim_avs(line, 90) == [0, 30, 60, 89]
+
+    def test_failing_tool_raises(self, env):
+        ctx, conf, tmp = env
+        conf.mode = "cm"
+        conf.chapter_exe_path = self._tool(
+            tmp, "bad_tool", "#!/bin/sh\nexit 3\n")
+        settings = Settings(ctx, conf)
+        pipe = TranscodePipeline(ctx, settings,
+                                 decoder_factory=NullDecoderFactory())
+        from amatsukaze_tpu.utils.context import FormatError
+
+        with pytest.raises(FormatError, match="chapter_exe"):
+            pipe.run()
+
+
 class TestDeblockQp:
     def test_deblock_post_filter_uses_qp_maps(self, tmp_path):
         """Full pipeline with real MPEG2 slice layers: QP maps are
