@@ -24,17 +24,20 @@ _DIALOGUE_RE = re.compile(
 
 
 def parse_ch_sid(text: str) -> dict[int, tuple[int, str]]:
-    """ch_sid.txt: lines `jknum<TAB>serviceId<TAB>name` (ref getJKNum :111-129)."""
+    """ch_sid.txt: five tab-separated columns per line with the jknum in
+    column 1, the service id in column 3 and the TV name in column 5
+    (ref getJKNum NicoJK.hpp:111-129: regex groups m[1]/m[3]/m[5],
+    strtol base 0 so hex service ids work)."""
     out = {}
     for line in text.splitlines():
         parts = line.split("\t")
-        if len(parts) >= 2 and parts[0].lstrip("jk").isdigit():
+        if len(parts) >= 5:
             try:
-                jknum = int(parts[0].lstrip("jk"))
-                sid = int(parts[1])
+                jknum = int(parts[0].lstrip("jk"), 0)
+                sid = int(parts[2], 0)
             except ValueError:
                 continue
-            out[sid] = (jknum, parts[2] if len(parts) > 2 else "")
+            out[sid] = (jknum, parts[4])
     return out
 
 

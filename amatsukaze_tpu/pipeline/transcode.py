@@ -198,7 +198,15 @@ class TranscodePipeline:
                 with open(st.conf.nico_conv_ch_sid_path,
                           encoding="utf-8") as f:
                     ch_map = parse_ch_sid(f.read())
-            nicojk = NicoJK(ctx, ch_map, fetchers=self.nicojk_fetchers,
+            fetchers = list(self.nicojk_fetchers)
+            if (st.conf.nicojk18 and not fetchers
+                    and st.conf.nico_conv_ch_sid_path):
+                # --nicojk18: the in-build NicoJK18 HTTP client plays the
+                # NicoJK18Client.exe role (ref NicoJK.hpp:131-154)
+                from ..captions.nicojk18 import make_fetcher
+
+                fetchers = [make_fetcher(st.conf.nico_conv_ch_sid_path)]
+            nicojk = NicoJK(ctx, ch_map, fetchers=fetchers,
                             mask=st.conf.nicojk_mask)
             ctx.info("[fetching NicoJK comments]")
             src_duration, _ = reform.get_in_out_duration()

@@ -37,10 +37,14 @@ Dialogue: 0,0:01:00.00,0:01:04.00,white,,0000,0000,0000,,second
 
 class TestNicoJK:
     def test_parse_ch_sid(self):
-        text = "jk1\t1024\tNHK\njk2\t1032\tETV\nbad line\n"
+        # reference column layout (NicoJK.hpp:114): jknum, channel,
+        # service id (strtol base 0), remote key, TV name
+        text = ("jk1\tnhk\t1024\t1\tNHK\n"
+                "jk2\tetv\t0x408\t2\tETV\n"
+                "bad line\n")
         m = parse_ch_sid(text)
         assert m[1024] == (1, "NHK")
-        assert m[1032] == (2, "ETV")
+        assert m[0x408] == (2, "ETV")
 
     def test_parse_ass(self):
         headers, dialogues = parse_ass(SAMPLE_ASS)
