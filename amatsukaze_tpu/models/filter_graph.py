@@ -31,6 +31,22 @@ from .kfm import CycleMode, KFMDecider, VFRPlan, build_vfr_plan, plan_is_cfr
 from .vfr import infer_vfr_timing_fps
 
 
+class DeferredBatch:
+    """A filter-output batch still resident on device (possibly padded):
+    lets the caller overlap this batch's download with the next batch's
+    compute (JAX dispatch is async; np.asarray is the blocking fetch)."""
+
+    def __init__(self, dev, n_valid: int):
+        self.dev = dev
+        self.n = n_valid
+
+    def __len__(self) -> int:
+        return self.n
+
+    def materialize(self) -> np.ndarray:
+        return np.asarray(self.dev)[: self.n]
+
+
 @dataclass
 class FilterOutput:
     out_format: VideoFormat = None
@@ -89,20 +105,27 @@ class FilterGraph:
         # pump), rounding on device and downloading uint8 is identical
         # math at 4x less host-link traffic
         self.quantize_output = False
+        # when True, run_pass3/run_kfm_batch return DeferredBatch objects
+        # (device-resident) instead of np arrays, so the encode pump can
+        # overlap batch k's download with batch k+1's device compute
+        self.defer_download = False
         self.decisions = None
         self.vfr_plan: VFRPlan | None = None
         # SVP interpolation carry: plane -> (last film frame on device,
         # its source index) so pairs bridge device batches
         self._svp_carry: dict = {}
 
-    def _download(self, out_dev):
+    def _download(self, out_dev, n_valid: int | None = None):
         import jax.numpy as jnp
 
+        q = out_dev
         if self.quantize_output:
             q = jnp.clip(jnp.floor(out_dev.astype(jnp.float32) + 0.5),
                          0, 255).astype(jnp.uint8)
-            return np.asarray(q)
-        return np.asarray(out_dev)
+        n = len(out_dev) if n_valid is None else n_valid
+        if self.defer_download:
+            return DeferredBatch(q, n)
+        return np.asarray(q)[:n]
 
     def _apply_post(self, out_j, src_indices, plane_h: int):
         """Run the post chain; slices per-output-frame QP maps when the
@@ -152,12 +175,16 @@ class FilterGraph:
             decider.force_film = True  # KFMDeint mode=2 (Misc.cs:1315)
         return decider
 
-    def _finish_analysis(self, all_costs: np.ndarray,
+    def _finish_analysis(self, all_costs,
                          num_frames: int) -> None:
         import jax.numpy as jnp
 
         from ..ops import deint as deint_ops
 
+        # per-batch results may still be device buffers (the analysis
+        # loop enqueues without blocking; remote/tunneled devices pay
+        # the round-trip cost once, here, instead of per batch)
+        all_costs = np.asarray(all_costs)
         if len(all_costs) < 5:
             self.mode = self.MODE_NONE
             return
@@ -204,7 +231,13 @@ class FilterGraph:
             carry = arr[-1]
         if not costs:
             return
-        self._finish_analysis(np.concatenate(costs)[:num_frames], num_frames)
+        # costs are still device buffers: concatenate ON DEVICE and fetch
+        # once — a tunneled/remote device pays one round trip for the
+        # whole pass instead of one per batch
+        import jax.numpy as jnp
+
+        self._finish_analysis(
+            np.asarray(jnp.concatenate(costs))[:num_frames], num_frames)
 
     def analyze_autovfr(self, section_opener, num_frames: int,
                         parallel: int = 2, log_prefix: str | None = None,
@@ -302,11 +335,14 @@ class FilterGraph:
             for s, e, fps in ranges:
                 f.write(f"{s} {e} {fps}\n")
 
-    def _device_costs(self, arr: np.ndarray) -> np.ndarray:
-        """Field-match costs for one uint8 batch [B, H, W] -> [B, 3]. On
-        TPU the costs-only field-layout Pallas kernel is ~4x the XLA
-        reduction (sums agree to ~1e-5 rtol; decisions compare costs with
-        wide margins, so ties are the only sensitive case)."""
+    def _device_costs(self, arr: np.ndarray):
+        """Field-match costs for one uint8 batch [B, H, W] -> [B, 3],
+        returned as a DEVICE array (callers fetch once at the end of the
+        pass: async dispatch keeps a tunneled device's round-trip cost
+        out of the per-batch loop). On TPU the costs-only field-layout
+        Pallas kernel is ~4x the XLA reduction (sums agree to ~1e-5
+        rtol; decisions compare costs with wide margins, so ties are the
+        only sensitive case)."""
         import jax
         import jax.numpy as jnp
 
@@ -337,9 +373,9 @@ class FilterGraph:
                 jnp.asarray(arr), jnp.ones((h, w), jnp.float32),
                 jnp.zeros((h, w), jnp.float32), wp)
             _, costs = fused(fp, jnp.float32(255.0))
-            return np.asarray(costs)
-        return np.asarray(deint_ops.field_match_costs(
-            jnp.asarray(arr).astype(jnp.float32)))
+            return costs
+        return deint_ops.field_match_costs(
+            jnp.asarray(arr).astype(jnp.float32))
 
     # -- pass 3: output synthesis --------------------------------------------
     def output_spec(self, num_src_frames: int, in_fmt: VideoFormat) -> FilterOutput:
@@ -418,19 +454,28 @@ class FilterGraph:
             variants[VFRPlan.BOB_T] = bob_field(arr, top=True)
         if VFRPlan.BOB_B in ops_used:
             variants[VFRPlan.BOB_B] = bob_field(arr, top=False)
-        src_idx = jnp.asarray([src - start_index for src, _ in entries])
-        op_arr = np.asarray([op for _, op in entries])
+        # quantize the gather length to a multiple of 8 (pad with the
+        # last entry, sliced off after download): otherwise every batch
+        # has its own entry count and XLA compiles one executable per
+        # batch instead of a handful
+        n_entries = len(entries)
+        pad_n = -(-n_entries // 8) * 8 - n_entries
+        padded = entries + [entries[-1]] * pad_n
+        src_idx = jnp.asarray([src - start_index for src, _ in padded])
+        op_arr = np.asarray([op for _, op in padded])
         out = variants[VFRPlan.WEAVE][src_idx]
         for op in ops_used - {VFRPlan.WEAVE}:
             m = jnp.asarray(op_arr == op)[:, None, None]
             out = jnp.where(m, variants[op][src_idx], out)
-        src_list = [src for src, _ in entries]
+        src_list = [src for src, _ in padded]
         if self.mode == self.MODE_SVP:
-            out, src_list = self._svp_emit(out, src_list, plane, final,
-                                           frames.shape[1], raw=True)
+            out, src_list = self._svp_emit(out[:n_entries],
+                                           src_list[:n_entries], plane,
+                                           final, frames.shape[1], raw=True)
+            n_entries = len(src_list)
         if self.post_chain is not None:
             out = self._apply_post(out, src_list, frames.shape[1])
-        return self._download(out)
+        return self._download(out, n_entries)
 
     def _svp_emit(self, film, film_srcs: list[int], plane: int,
                   final: bool, plane_h: int, raw: bool = False):
@@ -597,6 +642,8 @@ class FilterGraph:
                         fused_out.astype(jnp.float32), idx, frames.shape[1])
                     return self._download(fused_out)
                 # kernel output is already uint8
+                if self.defer_download:
+                    return DeferredBatch(fused_out, len(fused_out))
                 return (np.asarray(fused_out) if self.quantize_output
                         else np.asarray(fused_out).astype(np.float32))
             arr = jnp.asarray(frames).astype(jnp.float32)

@@ -146,6 +146,9 @@ class TranscodePipeline:
             except (OSError, ValueError):
                 self.ctx.warn("cannot read erase-logo: %s", p)
         self._fade_curves: dict[int, tuple] = {}  # video idx -> (LogoData, fades)
+        # per-encode-file Total/FilterWait/EncoderWait seconds
+        # (ref Encoder.hpp:238-239)
+        self.encode_stats: dict[int, dict] = {}
 
     # ------------------------------------------------------------------ main
     def run(self) -> dict:
@@ -856,6 +859,10 @@ class TranscodePipeline:
             "cmanalyze": bool(st.conf.chapter),
             "nicojk": nico_ok,
             "trimavs": bool(st.conf.trim_avs_path),
+            # Total/FilterWait/EncoderWait per encode file
+            # (ref Encoder.hpp:238-239 log line)
+            "encodewaits": [self.encode_stats.get(k.key(), {})
+                            for k in keys],
         }
         for key in keys:
             file = reform.get_encode_file(key)
@@ -921,6 +928,7 @@ def _default_encoder_runner(pipeline: TranscodePipeline, reform,
     if eraser is not None:
         src = eraser.erase_iter(src, max(3, st.conf.device_batch_frames))
     frames_iter = (planes for i, planes in enumerate(src) if i in wanted)
+    t_start = time.time()
     if fg is None or (fg.mode == "none" and fg.post_chain is None):
         for planes in frames_iter:
             pump.put(planes)
@@ -933,6 +941,18 @@ def _default_encoder_runner(pipeline: TranscodePipeline, reform,
         raise RuntimeError(
             f"encoder failed ({rc}): " + "\n".join(proc.last_lines)
         )
+    # encode-stage wait breakdown (ref Encoder.hpp:238-239 logs Total /
+    # FilterWait / EncoderWait): consumer_wait = the encoder feed idling
+    # for filtered frames, producer_wait = the filter blocked on a slow
+    # encoder. Stored per encode file for the JSON report and bench.
+    total = time.time() - t_start
+    stats = {"total": round(total, 3),
+             "filter_wait": round(pump.consumer_wait, 3),
+             "encoder_wait": round(pump.producer_wait, 3)}
+    pipeline.encode_stats[key.key()] = stats
+    pipeline.ctx.info(
+        "Total: %.2fs, FilterWait: %.2fs, EncoderWait: %.2fs",
+        total, pump.consumer_wait, pump.producer_wait)
 
 
 def _to_u8(plane: np.ndarray) -> np.ndarray:
@@ -943,15 +963,28 @@ def _to_u8(plane: np.ndarray) -> np.ndarray:
 
 def _pump_filtered(fg, frames_iter, pump, batch: int) -> None:
     """Batch the selected source frames through the filter graph, per plane
-    (Y/U/V run the same op at their own resolutions), and feed the pump."""
+    (Y/U/V run the same op at their own resolutions), and feed the pump.
+
+    Device batches are double-buffered: batch k's download (the blocking
+    np.asarray) happens only after batch k+1's device work has been
+    ENQUEUED, so a remote/tunneled device computes while the host drains
+    the previous batch and feeds the encoder."""
     from ..models.filter_graph import FilterGraph
 
     buf: list = []
     prev_planes = None  # last source frame of the previous batch
     start = 0
+    fg.defer_download = True
+    pending = None  # (outs, n_out) of the not-yet-downloaded batch
+
+    def emit(outs, n_out):
+        mats = [o.materialize() if hasattr(o, "materialize") else o
+                for o in outs]
+        for k in range(n_out):
+            pump.put(tuple(_to_u8(mats[p][k]) for p in range(3)))
 
     def flush(chunk, next_planes):
-        nonlocal prev_planes, start
+        nonlocal prev_planes, start, pending
         if not chunk:
             return
         from ..utils.batching import pad_tail
@@ -992,10 +1025,12 @@ def _pump_filtered(fg, frames_iter, pump, batch: int) -> None:
                     f"expansion factor")
                 n_out = n_real * (len(res) // len(arr))
             outs.append(res)
-        for k in range(n_out):
-            pump.put(tuple(_to_u8(outs[p][k]) for p in range(3)))
         prev_planes = chunk[-1]
         start += len(chunk)
+        # this batch is enqueued on device: now drain the previous one
+        if pending is not None:
+            emit(*pending)
+        pending = (outs, n_out)
 
     for planes in frames_iter:
         buf.append(planes)
@@ -1003,6 +1038,8 @@ def _pump_filtered(fg, frames_iter, pump, batch: int) -> None:
             flush(buf[:batch], buf[batch])
             buf = buf[batch:]
     flush(buf, None)
+    if pending is not None:
+        emit(*pending)
 
 
 def _default_muxer_runner(pipeline: TranscodePipeline, reform,
