@@ -47,6 +47,10 @@ def _load():
             lib.AacDec_Decode.restype = ctypes.c_int
             lib.AacDec_SbrDetected.argtypes = [ctypes.c_void_p]
             lib.AacDec_SbrDetected.restype = ctypes.c_int
+            lib.AacDec_OutSamples.argtypes = [ctypes.c_void_p]
+            lib.AacDec_OutSamples.restype = ctypes.c_int
+            lib.AacDec_NeedsFallback.argtypes = [ctypes.c_void_p]
+            lib.AacDec_NeedsFallback.restype = ctypes.c_int
         except AttributeError:  # stale .so without the AAC entry points
             return None
         _lib = lib
@@ -67,7 +71,7 @@ class NativeAacDecoder(AacDecoder):
             raise RuntimeError("native AAC decoder unavailable")
         self._lib = lib
         self._h = lib.AacDec_Create()
-        self._pcm = (ctypes.c_int16 * (1024 * MAX_CH))()
+        self._pcm = (ctypes.c_int16 * (2048 * MAX_CH))()  # 2048 under SBR
         self._sr = ctypes.c_int()
         self._etypes = (ctypes.c_int * MAX_ELEMS)()
         self._ebits = (ctypes.c_int64 * (2 * MAX_ELEMS))()
@@ -95,17 +99,19 @@ class NativeAacDecoder(AacDecoder):
         nch = self._lib.AacDec_Decode(
             self._h, frame, len(frame), self._pcm, ctypes.byref(self._sr),
             self._etypes, self._ebits, ctypes.byref(self._ne))
-        if self._lib.AacDec_SbrDetected(self._h):
-            # HE-AAC stream: the C++ engine is LC-only, so hand the stream
-            # to the Python decoder with SBR support (one frame of overlap
-            # history is lost at the switch point)
+        if self._lib.AacDec_NeedsFallback(self._h):
+            # HE-AAC v2 (parametric stereo): the C++ engine decodes SBR
+            # in-build (aacsbr.inc) but PS lives in Python (audio/ps.py);
+            # hand the stream over (one frame of history is lost at the
+            # switch point)
             from .aac import AacLcDecoder
             self._sbr_fallback = AacLcDecoder()
             return self._sbr_fallback.decode(frame)
         if nch <= 0:
             return None
         ne = self._ne.value
-        pcm = ctypes.string_at(self._pcm, 1024 * nch * 2)
+        n_samples = self._lib.AacDec_OutSamples(self._h)
+        pcm = ctypes.string_at(self._pcm, n_samples * nch * 2)
         return AacDecodeResult(
             pcm=pcm,
             num_channels=nch,

@@ -189,20 +189,28 @@ def bench_e2e() -> dict:
         f.write(ts_gen.build_simple_ts(width=w, height=h,
                                        video_es_frames=chunks))
 
-    conf = Config()
-    conf.src_file_path = src
-    conf.out_video_path = os.path.join(tmp, "out")
-    conf.out_info_json_path = os.path.join(tmp, "result.json")
-    conf.work_dir = tmp
-    conf.encoder_path = "x264"  # absent binary -> in-build shim
-    conf.filter_mode = "kfm_vfr"
-    ctx = AMTContext(level="error")
-    settings = Settings(ctx, conf)
-    pipe = TranscodePipeline(ctx, settings,
-                             decoder_factory=default_decoder_factory())
-    t0 = time.perf_counter()
-    report = pipe.run()
-    wall = time.perf_counter() - t0
+    def one_run(run_dir):
+        os.makedirs(run_dir, exist_ok=True)
+        conf = Config()
+        conf.src_file_path = src
+        conf.out_video_path = os.path.join(run_dir, "out")
+        conf.out_info_json_path = os.path.join(run_dir, "result.json")
+        conf.work_dir = run_dir
+        conf.encoder_path = "x264"  # absent binary -> in-build shim
+        conf.filter_mode = "kfm_vfr"
+        conf.device_batch_frames = 64
+        ctx = AMTContext(level="error")
+        settings = Settings(ctx, conf)
+        pipe = TranscodePipeline(ctx, settings,
+                                 decoder_factory=default_decoder_factory())
+        t0 = time.perf_counter()
+        report = pipe.run()
+        return time.perf_counter() - t0, report
+
+    # first run pays every XLA compile (they are in-process caches);
+    # the second run is the steady-state production number
+    cold_wall, _ = one_run(os.path.join(tmp, "r1"))
+    wall, report = one_run(os.path.join(tmp, "r2"))
     src_sec = report["srcduration"]
     waits = (report.get("encodewaits") or [{}])[0]
     out = {
@@ -210,6 +218,7 @@ def bench_e2e() -> dict:
         "value": round(src_sec / wall, 3),
         "src_sec": round(src_sec, 2),
         "wall_sec": round(wall, 2),
+        "cold_wall_sec": round(cold_wall, 2),
         "encode_total": waits.get("total"),
         "filter_wait": waits.get("filter_wait"),
         "encoder_wait": waits.get("encoder_wait"),

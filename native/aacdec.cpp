@@ -12,7 +12,9 @@
 // Built into libamatsukaze_native.so next to the TS demux engine;
 // loaded via ctypes (amatsukaze_tpu/audio/aac_native.py).
 
+#include <algorithm>
 #include <cmath>
+#include <complex>
 #include <cstdint>
 #include <cstring>
 #include <mutex>
@@ -91,6 +93,8 @@ struct BitReader {
     pos += n;
   }
 };
+
+#include "aacsbr.inc"
 
 // ---------------------------------------------------------------------------
 // huffman: per-book full-width LUT (entry = (len << 16) | index)
@@ -360,6 +364,17 @@ struct Decoder {
   ChannelData chbuf[2];
   double pcm[MAX_CH][HALF];
   bool sbr_detected = false;  // sticky: an SBR fill element was seen
+  // --- SBR (HE-AAC v1) state: one decoder per audio element ordinal
+  // (mirrors aac.py's self.sbr keyed by (ide, ordinal)) ---
+  sbr::SbrDec* sbr_dec[MAX_ELEMS] = {};
+  int sbr_dec_ide[MAX_ELEMS] = {};
+  bool sbr_active = false;   // sticky: apply SBR to every later frame
+  bool ps_detected = false;  // parametric stereo -> caller falls back
+  uint8_t sbr_payload[MAX_ELEMS][1024];
+  int sbr_payload_len[MAX_ELEMS];
+  int elem_ch_start[MAX_ELEMS], elem_nch[MAX_ELEMS];
+  double sbr_out[MAX_CH][2 * HALF];
+  int out_samples = HALF;  // 2*HALF when SBR ran on the last frame
 
   Decoder() {
     std::call_once(g_init_once, init_tables);
@@ -372,10 +387,21 @@ struct Decoder {
     reset();
   }
 
+  ~Decoder() {
+    for (int i = 0; i < MAX_ELEMS; i++) delete sbr_dec[i];
+  }
+
   void reset() {
     std::memset(overlap, 0, sizeof(overlap));
     std::memset(prev_shape, 0, sizeof(prev_shape));
     std::memset(seen, 0, sizeof(seen));
+    for (int i = 0; i < MAX_ELEMS; i++) {
+      delete sbr_dec[i];
+      sbr_dec[i] = nullptr;
+    }
+    sbr_active = false;
+    ps_detected = false;
+    out_samples = HALF;
   }
 
   // ----------------------------------------------------------- syntax
@@ -833,6 +859,7 @@ struct Decoder {
     BitReader r{frame, (int64_t)hdr_bytes * 8, (int64_t)len * 8, false};
     int nch = 0;
     int ne = 0;
+    std::memset(sbr_payload_len, 0, sizeof(sbr_payload_len));
 
     while (true) {
       int64_t start_bit = r.pos;
@@ -847,6 +874,8 @@ struct Decoder {
         if (!dequantize(ch)) return 0;
         apply_tns(ch, sr_index);
         filterbank(nch, ch, pcm[nch]);
+        elem_ch_start[ne] = nch;
+        elem_nch[ne] = 1;
         nch += 1;
         elem_types[ne] = ide;
         elem_bits[2 * ne] = start_bit;
@@ -886,6 +915,8 @@ struct Decoder {
         apply_tns(ch2, sr_index);
         filterbank(nch, ch1, pcm[nch]);
         filterbank(nch + 1, ch2, pcm[nch + 1]);
+        elem_ch_start[ne] = nch;
+        elem_nch[ne] = 2;
         nch += 2;
         elem_types[ne] = ide;
         elem_bits[2 * ne] = start_bit;
@@ -901,12 +932,21 @@ struct Decoder {
       } else if (ide == ID_FIL) {
         int cnt = r.read(4);
         if (cnt == 15) cnt += (int)r.read(8) - 1;
-        // SBR extension payload (EXT_SBR_DATA / EXT_SBR_DATA_CRC): this
-        // decoder is LC-only; flag it so the caller can reroute the
-        // stream to the HE-AAC-capable decoder (audio/sbr.py)
-        if (cnt > 0 && ne > 0 && !r.err) {
+        // SBR extension payload (EXT_SBR_DATA / EXT_SBR_DATA_CRC) for
+        // the preceding SCE/CPE: capture it for the in-build SBR
+        // decoder (aacsbr.inc; mirrors aac.py _feed_sbr)
+        if (cnt > 0 && ne > 0 && !r.err
+            && (elem_types[ne - 1] == ID_SCE || elem_types[ne - 1] == ID_CPE)
+            && cnt <= (int)sizeof(sbr_payload[0])) {
           uint32_t ext = r.peek(4);
-          if (ext == 13 || ext == 14) sbr_detected = true;
+          if (ext == 13 || ext == 14) {
+            sbr_detected = true;
+            sbr_active = true;
+            for (int i = 0; i < cnt; i++)
+              sbr_payload[ne - 1][i] = (uint8_t)r.read(8);
+            sbr_payload_len[ne - 1] = cnt;
+            continue;
+          }
         }
         r.skip(8 * (int64_t)cnt);
       } else if (ide == ID_PCE) {
@@ -918,6 +958,45 @@ struct Decoder {
     }
 
     if (nch == 0) return 0;
+    if (sbr_active) {
+      // HE-AAC v1: run each element's channels through its SBR decoder
+      // (elements without payload this frame plain-upsample; mirrors
+      // aac.py _apply_sbr)
+      for (int e = 0; e < ne; e++) {
+        bool cpe = elem_types[e] == ID_CPE;
+        if (sbr_dec[e] != nullptr && sbr_dec_ide[e] != elem_types[e]) {
+          delete sbr_dec[e];
+          sbr_dec[e] = nullptr;
+        }
+        if (sbr_dec[e] == nullptr) {
+          sbr_dec[e] = new sbr::SbrDec(SAMPLE_RATE_HZ[sr_index], cpe);
+          sbr_dec_ide[e] = elem_types[e];
+        }
+        if (sbr_payload_len[e] > 0)
+          sbr_dec[e]->parse(sbr_payload[e], sbr_payload_len[e]);
+        if (sbr_dec[e]->ps_detected) ps_detected = true;
+        const double* ins[2];
+        double* outs[2];
+        for (int c = 0; c < elem_nch[e]; c++) {
+          ins[c] = pcm[elem_ch_start[e] + c];
+          outs[c] = sbr_out[elem_ch_start[e] + c];
+        }
+        sbr_dec[e]->process(ins, elem_nch[e], outs);
+      }
+      out_samples = 2 * HALF;
+      for (int i = 0; i < 2 * HALF; i++) {
+        for (int c = 0; c < nch; c++) {
+          double v = std::nearbyint(sbr_out[c][i]);
+          if (v > 32767.0) v = 32767.0;
+          if (v < -32768.0) v = -32768.0;
+          pcm_out[i * nch + c] = (int16_t)v;
+        }
+      }
+      *sample_rate = 2 * SAMPLE_RATE_HZ[sr_index];
+      *n_elems = ne;
+      return nch;
+    }
+    out_samples = HALF;
     for (int i = 0; i < HALF; i++) {
       for (int c = 0; c < nch; c++) {
         double v = std::nearbyint(pcm[c][i]);
@@ -955,6 +1034,18 @@ int AacDec_Decode(void* h, const uint8_t* frame, int len, int16_t* pcm_out,
 // 1 when any decoded frame carried an SBR fill element (sticky per handle).
 int AacDec_SbrDetected(void* h) {
   return static_cast<aac::Decoder*>(h)->sbr_detected ? 1 : 0;
+}
+
+// samples per channel in the last decode (2048 once SBR is active).
+// pcm_out must hold 2048*24 int16 when calling AacDec_Decode.
+int AacDec_OutSamples(void* h) {
+  return static_cast<aac::Decoder*>(h)->out_samples;
+}
+
+// 1 when the stream needs the Python decoder (parametric stereo /
+// HE-AAC v2 — the native engine decodes plain SBR itself).
+int AacDec_NeedsFallback(void* h) {
+  return static_cast<aac::Decoder*>(h)->ps_detected ? 1 : 0;
 }
 
 }  // extern "C"

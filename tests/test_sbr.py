@@ -285,9 +285,10 @@ class TestHeAacDecode:
         assert res.sample_rate == 48000
         assert len(res.elements) == 2
 
-    def test_native_decoder_reroutes_sbr_streams(self):
-        """The C++ LC decoder must detect SBR fill elements and hand the
-        stream to the HE-AAC-capable Python decoder."""
+    def test_native_decoder_handles_sbr_streams(self):
+        """The C++ engine decodes SBR in-build (native/aacsbr.inc): 2x
+        rate/length output straight from the native path (differential
+        coverage in test_sbr_native.py)."""
         from amatsukaze_tpu.audio.aac_native import (
             NativeAacDecoder, native_available)
         if not native_available():
