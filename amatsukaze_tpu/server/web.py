@@ -8,8 +8,12 @@ module is a small asyncio HTTP/1.1 server that
 - maps ``POST /api/<Method>`` (JSON body) onto ``EncodeServer.handle_request``
   — the same RPC surface the TCP protocol uses,
 - renders ``.lgd`` logo files as PNG at ``/logo/<file>.png``
-  (ref LogoGUISupport.hpp's LogoFile render-on-grey), and
-- serves unmapped DRCS bitmaps at ``/drcs/<md5>.bmp`` for the mapping UI.
+  (ref LogoGUISupport.hpp's LogoFile render-on-grey),
+- serves unmapped DRCS bitmaps at ``/drcs/<md5>.bmp`` for the mapping UI,
+- decodes REAL video frames at ``/frame?src=<path>&n=<frame>`` as PNG —
+  the logo-wizard scrub + region picker works over actual decoded
+  pixels (ref LogoGUISupport.hpp:160-275 MediaFile frame picker +
+  LogoAnalyzeModel.cs's region selection).
 
 stdlib only (zlib PNG writer); no external web framework.
 """
@@ -20,6 +24,7 @@ import asyncio
 import json
 import os
 import struct
+import urllib.parse
 import zlib
 
 _HTML_PATH = os.path.join(os.path.dirname(__file__), "webui.html")
@@ -49,6 +54,10 @@ class WebServer:
     def __init__(self, encode_server):
         self.es = encode_server
         self._server: asyncio.AbstractServer | None = None
+        # frame-scrub cache: src path -> (CachedFrameSource, w, h);
+        # one source at a time (the wizard works one recording at a time)
+        self._frame_src: tuple | None = None
+        self._frame_lock = asyncio.Lock()
 
     async def start(self, host: str = "127.0.0.1", port: int = 0) -> int:
         self._server = await asyncio.start_server(self._handle, host, port)
@@ -127,6 +136,14 @@ class WebServer:
                 result = {"error": str(e)}
             return ("200 OK", "application/json",
                     json.dumps(result).encode())
+        if path == "/frame":
+            q = urllib.parse.parse_qs(target.partition("?")[2])
+            src = q.get("src", [""])[0]
+            try:
+                n = int(q.get("n", ["0"])[0])
+            except ValueError:
+                return "400 Bad Request", "text/plain", b"bad n"
+            return await self._frame_png(src, n)
         if path.startswith("/logo/") and path.endswith(".png"):
             return self._logo_png(path[len("/logo/"):-len(".png")])
         if path.startswith("/drcs/") and path.endswith(".bmp"):
@@ -137,6 +154,57 @@ class WebServer:
                     return "200 OK", "image/bmp", f.read()
             return "404 Not Found", "text/plain", b"not found"
         return "404 Not Found", "text/plain", b"not found"
+
+    async def _frame_png(self, src: str, n: int) -> tuple[str, str, bytes]:
+        """Decode frame `n` of `src` and serve it as PNG (the wizard's
+        scrub view). Decoding runs in a worker thread; the frame source
+        is cached so forward scrubbing is incremental."""
+        if not src or not os.path.exists(src):
+            return "404 Not Found", "text/plain", b"source not found"
+        async with self._frame_lock:  # one decoder; serialize scrubs
+            loop = asyncio.get_running_loop()
+            try:
+                rgb = await loop.run_in_executor(
+                    None, self._decode_frame_rgb, src, max(0, n))
+            except Exception as e:  # noqa: BLE001 — surfaced to the client
+                return ("500 Internal Server Error", "text/plain",
+                        str(e).encode())
+        return "200 OK", "image/png", encode_png(rgb)
+
+    def _decode_frame_rgb(self, src: str, n: int):
+        import numpy as np
+
+        from ..pipeline.frame_source import CachedFrameSource
+
+        cached = self._frame_src
+        if cached is None or cached[0] != src:
+            opener = getattr(self.es, "logo_frame_source", None) \
+                or self.es._default_logo_frames
+
+            def open_stream():
+                frames, _w, _h = opener(src)
+                return iter(frames)
+
+            _, w, h = opener(src)
+            cached = (src, CachedFrameSource(open_stream, cache_frames=8),
+                      w, h)
+            self._frame_src = cached
+        _, fsrc, w, h = cached
+        y, u, v = fsrc.get_frame(n)
+        y = np.asarray(y, np.float32)
+        # upsample subsampled chroma planes and convert BT.601 -> RGB
+        u = np.asarray(u, np.float32)
+        v = np.asarray(v, np.float32)
+        for axis in (0, 1):
+            if u.shape[axis] < y.shape[axis]:
+                u = np.repeat(u, 2, axis)
+                v = np.repeat(v, 2, axis)
+        u = u[:y.shape[0], :y.shape[1]] - 128.0
+        v = v[:y.shape[0], :y.shape[1]] - 128.0
+        r = y + 1.402 * v
+        g = y - 0.344136 * u - 0.714136 * v
+        b = y + 1.772 * u
+        return np.clip(np.stack([r, g, b], -1), 0, 255).astype(np.uint8)
 
     def _logo_png(self, name: str) -> tuple[str, str, bytes]:
         from ..models.logo_render import GUILogoFile

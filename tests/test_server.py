@@ -891,6 +891,114 @@ class TestWebServer:
 
         run(main())
 
+    def test_frame_scrub_endpoint(self, ctx, tmp_path):
+        """/frame decodes real frames for the wizard's scrub + region
+        picker (ref LogoGUISupport.hpp:160-275 media frame picker)."""
+        async def main():
+            import numpy as np
+
+            server, web, port = await self._start(ctx, tmp_path)
+            src = tmp_path / "src.ts"
+            src.write_bytes(b"\x47" * 188)
+            W, H = 64, 48
+
+            def synth_frames(path):
+                def it():
+                    for i in range(60):
+                        y = np.full((H, W), min(255, i * 4), np.uint8)
+                        u = np.full((H // 2, W // 2), 128, np.uint8)
+                        yield (y, u, u)
+                return it(), W, H
+
+            server.logo_frame_source = synth_frames
+            loop = asyncio.get_running_loop()
+            from urllib.parse import quote
+
+            png0 = await loop.run_in_executor(
+                None, self._get, port, f"/frame?src={quote(str(src))}&n=0")
+            assert png0.startswith(b"\x89PNG")
+            png10 = await loop.run_in_executor(
+                None, self._get, port, f"/frame?src={quote(str(src))}&n=10")
+            assert png10.startswith(b"\x89PNG")
+            assert png10 != png0  # scrubbing really moves through frames
+            # decode the pixel data back and check the luma level
+            import struct as _struct
+            import zlib as _zlib
+
+            def first_pixel(png):
+                i = png.index(b"IDAT") + 4
+                ln = _struct.unpack(">I", png[i - 8:i - 4])[0]
+                raw = _zlib.decompress(png[i:i + ln])
+                return raw[1:4]  # after the filter byte: R,G,B
+
+            assert first_pixel(png10)[0] > first_pixel(png0)[0]
+            # missing source 404s
+            import urllib.error
+            with pytest.raises(urllib.error.HTTPError):
+                await loop.run_in_executor(
+                    None, self._get, port, "/frame?src=/nope&n=0")
+            await web.stop()
+            await server.stop()
+
+        run(main())
+
+    def test_frame_endpoint_then_scan_flow(self, ctx, tmp_path):
+        """The full wizard flow over HTTP: scrub a frame, pick the logo
+        rect, start the scan, poll to done."""
+        async def main():
+            import numpy as np
+
+            server, web, port = await self._start(ctx, tmp_path)
+            src = tmp_path / "src.ts"
+            src.write_bytes(b"\x47" * 188)
+            W, H = 96, 64
+            LW, LH = 24, 16
+            rng = np.random.default_rng(0)
+            yy, xx = np.mgrid[0:LH, 0:LW]
+            alpha = np.clip(
+                1.1 - np.hypot((yy - LH / 2) / (LH / 2),
+                               (xx - LW / 2) / (LW / 2)), 0, 1) * 0.35
+
+            def synth_frames(path):
+                def it():
+                    for i in range(200):
+                        bg = float(rng.uniform(30, 140))
+                        y = np.full((H, W), bg, np.float32)
+                        win = y[8:8 + LH, 8:8 + LW]
+                        y[8:8 + LH, 8:8 + LW] = \
+                            (1 - alpha) * win + alpha * 200.0
+                        y += rng.normal(0, 0.7, y.shape)
+                        u = np.full((H // 2, W // 2), 128, np.uint8)
+                        yield (np.clip(y, 0, 255).astype(np.uint8), u, u)
+                return it(), W, H
+
+            server.logo_frame_source = synth_frames
+            loop = asyncio.get_running_loop()
+            from urllib.parse import quote
+
+            png = await loop.run_in_executor(
+                None, self._get, port, f"/frame?src={quote(str(src))}&n=3")
+            assert png.startswith(b"\x89PNG")
+            r = await loop.run_in_executor(
+                None, self._api, port, "ScanLogo",
+                {"src": str(src), "rect": [8, 8, LW, LH],
+                 "name": "wizard", "service_id": 7})
+            assert r["ok"], r
+            for _ in range(300):
+                await asyncio.sleep(0.05)
+                st = await loop.run_in_executor(
+                    None, self._api, port, "GetState")
+                if st["logo_scan"]["state"] in ("done", "failed"):
+                    break
+            assert st["logo_scan"]["state"] == "done", st["logo_scan"]
+            files = await loop.run_in_executor(
+                None, self._api, port, "GetLogoFiles")
+            assert any(f["name"] == "wizard" for f in files)
+            await web.stop()
+            await server.stop()
+
+        run(main())
+
     def test_logo_scan_background(self, ctx, tmp_path):
         async def main():
             import numpy as np
