@@ -109,11 +109,27 @@ class FilterGraph:
         # (device-resident) instead of np arrays, so the encode pump can
         # overlap batch k's download with batch k+1's device compute
         self.defer_download = False
+        # None = decide from the link probe on first use: through a
+        # remote/tunneled device every batch round costs seconds, so the
+        # KFM synthesis/costs run on their decision-identical numpy twins
+        # (same pattern as the scene-metrics host twin). Forced by
+        # AMATSUKAZE_FILTER_BACKEND=host|device.
+        self._host_backend: bool | None = None
         self.decisions = None
         self.vfr_plan: VFRPlan | None = None
         # SVP interpolation carry: plane -> (last film frame on device,
         # its source index) so pairs bridge device batches
         self._svp_carry: dict = {}
+
+    def _use_host_twin(self) -> bool:
+        if self._host_backend is None:
+            from ..utils.device import device_link_is_slow
+
+            self._host_backend = device_link_is_slow()
+            if self._host_backend:
+                self.ctx.info("[filter] slow device link: using the host "
+                              "twin for KFM costs/synthesis")
+        return self._host_backend
 
     def _download(self, out_dev, n_valid: int | None = None):
         import jax.numpy as jnp
@@ -231,13 +247,16 @@ class FilterGraph:
             carry = arr[-1]
         if not costs:
             return
-        # costs are still device buffers: concatenate ON DEVICE and fetch
-        # once — a tunneled/remote device pays one round trip for the
-        # whole pass instead of one per batch
-        import jax.numpy as jnp
+        if isinstance(costs[0], np.ndarray):
+            merged = np.concatenate(costs)  # host-twin path
+        else:
+            # costs are still device buffers: concatenate ON DEVICE and
+            # fetch once — a tunneled/remote device pays one round trip
+            # for the whole pass instead of one per batch
+            import jax.numpy as jnp
 
-        self._finish_analysis(
-            np.asarray(jnp.concatenate(costs))[:num_frames], num_frames)
+            merged = np.asarray(jnp.concatenate(costs))
+        self._finish_analysis(merged[:num_frames], num_frames)
 
     def analyze_autovfr(self, section_opener, num_frames: int,
                         parallel: int = 2, log_prefix: str | None = None,
@@ -343,10 +362,12 @@ class FilterGraph:
         Pallas kernel is ~4x the XLA reduction (sums agree to ~1e-5
         rtol; decisions compare costs with wide margins, so ties are the
         only sensitive case)."""
+        from ..ops import deint as deint_ops
+
+        if self._use_host_twin():
+            return deint_ops.field_match_costs_host(arr)
         import jax
         import jax.numpy as jnp
-
-        from ..ops import deint as deint_ops
 
         b, h, w = arr.shape
         use_fused = b >= 3 and h % 2 == 0
@@ -436,6 +457,13 @@ class FilterGraph:
                 return self._svp_emit(None, [], plane, True,
                                       frames.shape[1])
             return frames[:0].astype(np.float32)
+        if (self.mode != self.MODE_SVP and self.post_chain is None
+                and self._use_host_twin()):
+            # slow device link: decision-identical numpy synthesis (the
+            # ops are pure memory moves + one add; a tunneled device
+            # round costs more than the whole batch)
+            return self._run_kfm_batch_host(frames, prev_frame,
+                                            start_index, entries)
         # transfer at source dtype, widen on device (4x less for uint8)
         arr = jnp.asarray(frames).astype(jnp.float32)
         prev = jnp.concatenate([
@@ -476,6 +504,52 @@ class FilterGraph:
         if self.post_chain is not None:
             out = self._apply_post(out, src_list, frames.shape[1])
         return self._download(out, n_entries)
+
+    def _run_kfm_batch_host(self, frames: np.ndarray, prev_frame,
+                            start_index: int, entries) -> np.ndarray:
+        """Numpy twin of the device synthesis (bit-identical ops in
+        float32; verified against the device path in
+        tests/test_filter_fps_modes.py::TestHostTwin)."""
+        from ..ops import deint as deint_ops
+
+        if self.quantize_output:
+            # native single-pass kernel (fieldcosts.cpp Amt_KfmSynth):
+            # exact vs device-float + round-to-uint8
+            u8 = np.ascontiguousarray(frames) \
+                if frames.dtype == np.uint8 \
+                else np.clip(np.rint(frames), 0, 255).astype(np.uint8)
+            prev_u8 = None
+            if prev_frame is not None:
+                prev_u8 = np.ascontiguousarray(prev_frame) \
+                    if getattr(prev_frame, "dtype", None) == np.uint8 \
+                    else np.clip(np.rint(prev_frame), 0,
+                                 255).astype(np.uint8)
+            out = deint_ops.kfm_synth_host(
+                u8, prev_u8,
+                [src - start_index for src, _ in entries],
+                [op for _, op in entries])
+            if out is not None:
+                return out
+        arr = np.asarray(frames, np.float32)
+        prev = np.concatenate([
+            np.asarray(prev_frame if prev_frame is not None
+                       else frames[0], np.float32)[None],
+            arr[:-1],
+        ])
+        ops_used = {op for _, op in entries}
+        variants = {VFRPlan.WEAVE: arr}
+        if VFRPlan.MERGE_PREV in ops_used:
+            variants[VFRPlan.MERGE_PREV] = \
+                deint_ops.merge_prev_weave_host(arr, prev)
+        if VFRPlan.BOB_T in ops_used:
+            variants[VFRPlan.BOB_T] = deint_ops.bob_field_host(arr, True)
+        if VFRPlan.BOB_B in ops_used:
+            variants[VFRPlan.BOB_B] = deint_ops.bob_field_host(arr, False)
+        out = np.stack([variants[op][src - start_index]
+                        for src, op in entries])
+        if self.quantize_output:
+            out = np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+        return out
 
     def _svp_emit(self, film, film_srcs: list[int], plane: int,
                   final: bool, plane_h: int, raw: bool = False):

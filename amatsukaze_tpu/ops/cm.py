@@ -128,13 +128,33 @@ def detect_scene_changes(
 
 
 def scene_metrics_batch_host(frames_u8, prev_frame_u8, bins: int = 32):
-    """Host (numpy) twin of scene_metrics_batch, for environments where
+    """Host twin of scene_metrics_batch, for environments where
     shipping full frames to the accelerator is slower than computing on
     the CPU (e.g. remote/tunneled devices). Decision-identical: same diff
-    scores (f32 tolerance) and exact histograms."""
+    scores (f32 tolerance) and exact histograms. Uses the native
+    single-pass kernel (fieldcosts.cpp Amt_SceneMetrics) when built —
+    the numpy loop below costs ~150 ms per 1080i frame on one core."""
     import numpy as np
 
+    from .deint import _load_host_lib
+
+    lib = _load_host_lib()
     arr = np.stack(frames_u8)
+    prev0 = np.ascontiguousarray(prev_frame_u8)
+    if (lib is not None and hasattr(lib, "Amt_SceneMetrics")
+            and arr.dtype == np.uint8 and prev0.dtype == np.uint8
+            and arr.flags["C_CONTIGUOUS"]):
+        import ctypes
+
+        b, h, w = arr.shape
+        diffs = np.empty(b, np.float64)
+        hists = np.empty((b, bins), np.float32)
+        lib.Amt_SceneMetrics(
+            arr.ctypes.data_as(ctypes.c_void_p),
+            prev0.ctypes.data_as(ctypes.c_void_p), b, h, w, bins,
+            diffs.ctypes.data_as(ctypes.c_void_p),
+            hists.ctypes.data_as(ctypes.c_void_p))
+        return diffs.astype(np.float32), hists
     prev = np.concatenate([np.asarray(prev_frame_u8)[None], arr[:-1]])
     d = np.mean(np.abs(arr.astype(np.int16) - prev.astype(np.int16)),
                 axis=(-2, -1), dtype=np.float32)

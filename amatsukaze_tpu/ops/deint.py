@@ -339,6 +339,138 @@ def frame_diff_metric(frames: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([jnp.zeros((1,), d.dtype), d])
 
 
+# ---------------------------------------------------------------------------
+# numpy host twins (decision-identical; used when the device link is slow,
+# see utils/device.device_link_is_slow — remote/tunneled devices pay
+# seconds per round trip)
+# ---------------------------------------------------------------------------
+
+
+_host_lib = None
+_host_lib_tried = False
+
+
+def _load_host_lib():
+    """Native host-twin kernels (native/fieldcosts.cpp) via the shared
+    library; None when unavailable (numpy paths take over)."""
+    global _host_lib, _host_lib_tried
+    if _host_lib is not None or _host_lib_tried:
+        return _host_lib
+    _host_lib_tried = True
+    try:
+        import ctypes
+
+        from ..ts.native import load_native
+
+        lib = load_native()
+        if lib is None:
+            return None
+        lib.Amt_FieldMatchCosts.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double)]
+        lib.Amt_KfmSynth.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
+        lib.Amt_SceneMetrics.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
+        _host_lib = lib
+    except (OSError, AttributeError):
+        _host_lib = None
+    return _host_lib
+
+
+def field_match_costs_host(frames) -> "np.ndarray":
+    """Host twin of field_match_costs: [B, H, W] uint8/float ->
+    [B, 3] float32 costs. Native single-pass integer kernel when the
+    shared library is built (exact products; only reduction rounding
+    differs from the float32 device kernel, and the pattern decision
+    compares costs with wide margins); numpy fallback otherwise."""
+    import numpy as np
+
+    lib = _load_host_lib()
+    arr8 = np.asarray(frames)
+    if lib is not None and arr8.dtype == np.uint8 \
+            and arr8.flags["C_CONTIGUOUS"]:
+        import ctypes
+
+        b, h, w = arr8.shape
+        out = np.empty((b, 3), np.float64)
+        lib.Amt_FieldMatchCosts(
+            arr8.ctypes.data_as(ctypes.c_void_p), b, h, w,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        return out.astype(np.float32)
+    arr = np.asarray(frames, np.float32)
+    b, h, w = arr.shape
+    x = arr.reshape(b, h // 2, 2, w)
+    top, bot = x[:, :, 0, :], x[:, :, 1, :]
+    prev_top = np.concatenate([top[:1], top[:-1]], axis=0)
+    prev_bot = np.concatenate([bot[:1], bot[:-1]], axis=0)
+
+    def comb(t, bm):
+        odd = (t[:, :-1] - bm[:, :-1]) * (t[:, 1:] - bm[:, :-1])
+        even = (bm[:, :-1] - t[:, 1:]) * (bm[:, 1:] - t[:, 1:])
+        total = (np.maximum(odd, 0.0).sum(axis=(-2, -1))
+                 + np.maximum(even, 0.0).sum(axis=(-2, -1)))
+        return total / ((h - 2) * w)
+
+    return np.stack([comb(top, bot), comb(top, prev_bot),
+                     comb(prev_top, bot)], axis=-1).astype(np.float32)
+
+
+def kfm_synth_host(frames_u8, prev_frame_u8, src_idx, op_codes):
+    """Native KFM pass-3 synthesis on uint8 (exact vs the float device
+    path + round-to-uint8). frames_u8: [B, H, W] C-contiguous uint8;
+    prev_frame_u8: [H, W] uint8 or None; src_idx: batch-local source
+    indices; op_codes: VFRPlan op per output. Returns [N, H, W] uint8,
+    or None when the native library is unavailable."""
+    import ctypes
+
+    import numpy as np
+
+    lib = _load_host_lib()
+    if lib is None:
+        return None
+    b, h, w = frames_u8.shape
+    idx = np.ascontiguousarray(src_idx, np.int32)
+    ops = np.ascontiguousarray(op_codes, np.uint8)
+    out = np.empty((len(idx), h, w), np.uint8)
+    prev_p = (prev_frame_u8.ctypes.data_as(ctypes.c_void_p)
+              if prev_frame_u8 is not None else None)
+    lib.Amt_KfmSynth(
+        frames_u8.ctypes.data_as(ctypes.c_void_p), prev_p, h, w,
+        idx.ctypes.data_as(ctypes.c_void_p),
+        ops.ctypes.data_as(ctypes.c_void_p), len(idx),
+        out.ctypes.data_as(ctypes.c_void_p))
+    return out
+
+
+def merge_prev_weave_host(frames, prev) -> "np.ndarray":
+    """Numpy twin of models.filter_graph.merge_prev_weave."""
+    import numpy as np
+
+    b, h, w = frames.shape
+    t = frames.reshape(b, h // 2, 2, w)[:, :, 0, :]
+    pb = prev.reshape(b, h // 2, 2, w)[:, :, 1, :]
+    return np.stack([t, pb], axis=2).reshape(b, h, w)
+
+
+def bob_field_host(frames, top: bool) -> "np.ndarray":
+    """Numpy twin of models.filter_graph.bob_field."""
+    import numpy as np
+
+    b, h, w = frames.shape
+    f2 = frames.reshape(b, h // 2, 2, w)
+    fld = f2[:, :, 0, :] if top else f2[:, :, 1, :]
+    if top:
+        nxt = np.concatenate([fld[:, 1:], fld[:, -1:]], axis=1)
+        interp = (fld + nxt) * np.float32(0.5)
+        return np.stack([fld, interp], axis=2).reshape(b, h, w)
+    prv = np.concatenate([fld[:, :1], fld[:, :-1]], axis=1)
+    interp = (prv + fld) * np.float32(0.5)
+    return np.stack([interp, fld], axis=2).reshape(b, h, w)
+
+
 # 3:2 pulldown: each 5-frame cycle carries 4 film frames; for each of the 5
 # possible phases, which frames of the cycle must field-match with their
 # predecessor (1) vs stand alone (0). Derived from the standard soft-telecine

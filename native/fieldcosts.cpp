@@ -1,0 +1,148 @@
+// Field-match cost host twin (KFM pass-1 metrics on the CPU).
+//
+// Used when the device link is slow (utils/device.device_link_is_slow):
+// the numpy twin moves ~10x the data through temporaries; this kernel
+// streams the uint8 frames once with exact integer products (the float32
+// device kernel differs only by reduction rounding; decisions compare
+// costs with wide margins). Mirrors ops/deint.field_match_costs:
+//   out[3i+0] = comb(top_i, bot_i)        (frame as-is)
+//   out[3i+1] = comb(top_i, bot_{i-1})    (top matches previous bottom)
+//   out[3i+2] = comb(top_{i-1}, bot_i)    (bottom matches previous top)
+// comb per ops/deint.combing_metric_fields: mean over rows of
+// relu((W[r-1]-W[r]) * (W[r+1]-W[r])) of the woven frame.
+
+#include <cstddef>
+#include <cstdint>
+using std::size_t;
+
+namespace {
+
+// one frame's combing energy for the weave of top rows (from ft) with
+// bottom rows (from fb); frames are [h][w] uint8, top row y = 2y,
+// bottom row y = 2y+1
+static int64_t comb_energy(const uint8_t* ft, const uint8_t* fb,
+                           int h, int w) {
+  const int h2 = h / 2;
+  int64_t total = 0;
+  // odd rows r=2y+1: (t[y]-b[y]) * (t[y+1]-b[y]),  y = 0..h2-2
+  // even rows r=2y:  (b[y-1]-t[y]) * (b[y]-t[y]),  y = 1..h2-1
+  for (int y = 0; y + 1 < h2; y++) {
+    const uint8_t* t0 = ft + (size_t)(2 * y) * w;
+    const uint8_t* t1 = ft + (size_t)(2 * y + 2) * w;
+    const uint8_t* b0 = fb + (size_t)(2 * y + 1) * w;
+    const uint8_t* b1 = fb + (size_t)(2 * y + 3) * w;
+    int64_t acc = 0;
+    for (int x = 0; x < w; x++) {
+      int odd = (t0[x] - b0[x]) * (t1[x] - b0[x]);
+      int even = (b0[x] - t1[x]) * (b1[x] - t1[x]);
+      acc += (odd > 0 ? odd : 0) + (even > 0 ? even : 0);
+    }
+    total += acc;
+  }
+  return total;
+}
+
+}  // namespace
+
+extern "C" {
+
+// frames: b contiguous [h][w] uint8 planes; out: [b][3] doubles.
+void Amt_FieldMatchCosts(const uint8_t* frames, int b, int h, int w,
+                         double* out) {
+  const double div = (double)(h - 2) * w;
+  const size_t fsz = (size_t)h * w;
+  for (int i = 0; i < b; i++) {
+    const uint8_t* cur = frames + i * fsz;
+    const uint8_t* prev = i > 0 ? cur - fsz : cur;
+    out[3 * i + 0] = comb_energy(cur, cur, h, w) / div;
+    out[3 * i + 1] = comb_energy(cur, prev, h, w) / div;
+    out[3 * i + 2] = comb_energy(prev, cur, h, w) / div;
+  }
+}
+
+// KFM pass-3 host synthesis on uint8 (exact vs the float device path +
+// round-to-uint8: weave/merge are copies, bob's missing line is
+// (a+b+1)>>1 == clip(floor((a+b)*0.5 + 0.5))).
+// ops: 0=WEAVE, 1=MERGE_PREV (top of src + bottom of src-1),
+//      2=BOB_T, 3=BOB_B  (models/kfm.VFRPlan op codes)
+void Amt_KfmSynth(const uint8_t* frames, const uint8_t* prev_frame,
+                  int h, int w, const int32_t* src_idx,
+                  const uint8_t* ops, int n_out, uint8_t* out) {
+  const size_t fsz = (size_t)h * w;
+  const int h2 = h / 2;
+  for (int o = 0; o < n_out; o++) {
+    int s = src_idx[o];
+    const uint8_t* src = frames + (size_t)s * fsz;
+    const uint8_t* prv = s > 0 ? src - fsz
+                               : (prev_frame ? prev_frame : src);
+    uint8_t* dst = out + (size_t)o * fsz;
+    switch (ops[o]) {
+      case 0:  // weave: verbatim
+        for (size_t i = 0; i < fsz; i++) dst[i] = src[i];
+        break;
+      case 1:  // merge_prev: top field of src + bottom field of prev
+        for (int y = 0; y < h2; y++) {
+          const uint8_t* t = src + (size_t)(2 * y) * w;
+          const uint8_t* pb = prv + (size_t)(2 * y + 1) * w;
+          uint8_t* d0 = dst + (size_t)(2 * y) * w;
+          uint8_t* d1 = dst + (size_t)(2 * y + 1) * w;
+          for (int x = 0; x < w; x++) {
+            d0[x] = t[x];
+            d1[x] = pb[x];
+          }
+        }
+        break;
+      case 2:  // bob top field: missing odd line = avg(kept y, y+1)
+        for (int y = 0; y < h2; y++) {
+          const uint8_t* f0 = src + (size_t)(2 * y) * w;
+          const uint8_t* f1 =
+              src + (size_t)(2 * (y + 1 < h2 ? y + 1 : y)) * w;
+          uint8_t* d0 = dst + (size_t)(2 * y) * w;
+          uint8_t* d1 = dst + (size_t)(2 * y + 1) * w;
+          for (int x = 0; x < w; x++) {
+            d0[x] = f0[x];
+            d1[x] = (uint8_t)((f0[x] + f1[x] + 1) >> 1);
+          }
+        }
+        break;
+      default:  // 3: bob bottom field: missing even line = avg(y-1, y)
+        for (int y = 0; y < h2; y++) {
+          const uint8_t* f0 = src + (size_t)(2 * (y > 0 ? y - 1 : 0)) * w + w;
+          const uint8_t* f1 = src + (size_t)(2 * y) * w + w;
+          uint8_t* d0 = dst + (size_t)(2 * y) * w;
+          uint8_t* d1 = dst + (size_t)(2 * y + 1) * w;
+          for (int x = 0; x < w; x++) {
+            d0[x] = (uint8_t)((f0[x] + f1[x] + 1) >> 1);
+            d1[x] = f1[x];
+          }
+        }
+        break;
+    }
+  }
+}
+
+// Scene-metrics host twin (ops/cm.scene_metrics_batch_host): per frame
+// the mean abs diff to the previous frame and a `bins`-bin normalised
+// luma histogram, in one streaming pass over the uint8 planes.
+void Amt_SceneMetrics(const uint8_t* frames, const uint8_t* prev_frame,
+                      int b, int h, int w, int bins, double* diffs,
+                      float* hists) {
+  const size_t fsz = (size_t)h * w;
+  for (int i = 0; i < b; i++) {
+    const uint8_t* cur = frames + i * fsz;
+    const uint8_t* prv = i > 0 ? cur - fsz : prev_frame;
+    int64_t acc = 0;
+    int64_t hist[256] = {0};
+    for (size_t j = 0; j < fsz; j++) {
+      int d = (int)cur[j] - (int)prv[j];
+      acc += d > 0 ? d : -d;
+      hist[(cur[j] * bins) >> 8]++;
+    }
+    diffs[i] = (double)acc / (double)fsz;
+    float* hrow = hists + (size_t)i * bins;
+    for (int k = 0; k < bins; k++)
+      hrow[k] = (float)((double)hist[k] / (double)fsz);
+  }
+}
+
+}  // extern "C"

@@ -214,6 +214,51 @@ class TestYadif60:
         assert np.allclose(out[1::2], want_b, atol=1e-4)
 
 
+class TestHostTwin:
+    """The numpy host twin (selected on slow device links, see
+    utils/device.device_link_is_slow) must make the SAME decisions and
+    synthesize the SAME frames as the device path."""
+
+    def _graph(self, frames, host: bool, mode=FilterGraph.MODE_KFM_VFR):
+        fg = FilterGraph(AMTContext(level="error"), mode=mode, batch=16)
+        fg._host_backend = host
+        fg.quantize_output = True
+        fg.analyze(iter(frames), len(frames))
+        return fg
+
+    def test_costs_twin_same_decisions(self):
+        frames = telecined_frames(25) + interlaced_video_frames(25)
+        dev = self._graph(frames, host=False)
+        host = self._graph(frames, host=True)
+        assert [(d.mode, d.phase) for d in dev.decisions] == \
+               [(d.mode, d.phase) for d in host.decisions]
+        assert dev.vfr_plan.durations == host.vfr_plan.durations
+
+    def test_synthesis_twin_identical_frames(self):
+        frames = telecined_frames(25) + interlaced_video_frames(25)
+        dev = self._graph(frames, host=False)
+        host = self._graph(frames, host=True)
+        prev = None
+        for s in range(0, 50, 16):
+            chunk = np.stack(frames[s:s + 16])
+            a = dev.run_kfm_batch(chunk, prev, s, plane=0,
+                                  final=s + 16 >= 50)
+            b = host.run_kfm_batch(chunk, prev, s, plane=0,
+                                   final=s + 16 >= 50)
+            a = a.materialize() if hasattr(a, "materialize") else np.asarray(a)
+            assert a.dtype == b.dtype == np.uint8
+            assert np.array_equal(a, b), f"batch at {s}"
+            prev = frames[min(s + 15, 49)]
+
+    def test_probe_env_override(self, monkeypatch):
+        from amatsukaze_tpu.utils import device as dev_mod
+
+        monkeypatch.setenv("AMATSUKAZE_FILTER_BACKEND", "host")
+        assert dev_mod.device_link_is_slow() is True
+        monkeypatch.setenv("AMATSUKAZE_FILTER_BACKEND", "device")
+        assert dev_mod.device_link_is_slow() is False
+
+
 class TestAutoVfr:
     def _opener(self, frames):
         def opener(start, end):

@@ -255,3 +255,60 @@ class TestMotionAdaptiveBob:
         frames = rng.integers(0, 256, (5, 32, 64)).astype(np.uint8)
         out = fg.run_pass3(frames, None, None, start_index=0)
         assert out.shape == (10, 32, 64)
+
+
+class TestHostTwinKernels:
+    """The native host-twin kernels (native/fieldcosts.cpp) must match
+    their device/numpy counterparts: these run production decisions when
+    the device link is slow (utils/device.device_link_is_slow)."""
+
+    def _frames(self, n=7):
+        rng = np.random.default_rng(3)
+        return rng.integers(0, 256, (n, H, W), dtype=np.uint8)
+
+    def test_scene_metrics_host_matches_device(self):
+        arr = self._frames()
+        prev = self._frames(1)[0]
+        dd, dh = cm_ops.scene_metrics_batch(jnp.asarray(arr),
+                                            jnp.asarray(prev))
+        hd, hh = cm_ops.scene_metrics_batch_host(arr, prev)
+        assert np.allclose(np.asarray(dd), hd, rtol=1e-5, atol=1e-4)
+        assert np.allclose(np.asarray(dh), hh, rtol=1e-6, atol=1e-7)
+
+    def test_field_match_costs_host_matches_device(self):
+        arr = self._frames()
+        dev = np.asarray(deint_ops.field_match_costs(
+            jnp.asarray(arr).astype(jnp.float32)))
+        host = deint_ops.field_match_costs_host(arr)
+        assert np.allclose(dev, host, rtol=1e-5, atol=1e-3)
+
+    def test_kfm_synth_host_matches_float_path(self):
+        from amatsukaze_tpu.models.filter_graph import (
+            bob_field,
+            merge_prev_weave,
+        )
+        from amatsukaze_tpu.models.kfm import VFRPlan
+
+        arr = self._frames(6)
+        prev_frame = self._frames(1)[0]
+        src_idx = [0, 1, 2, 3, 4, 5, 2, 3]
+        ops = [VFRPlan.WEAVE, VFRPlan.MERGE_PREV, VFRPlan.BOB_T,
+               VFRPlan.BOB_B, VFRPlan.WEAVE, VFRPlan.MERGE_PREV,
+               VFRPlan.BOB_T, VFRPlan.BOB_B]
+        out = deint_ops.kfm_synth_host(arr, prev_frame, src_idx, ops)
+        if out is None:
+            pytest.skip("native library not built")
+        # float reference path + round-to-uint8 (the device math)
+        af = jnp.asarray(arr).astype(jnp.float32)
+        pf = jnp.concatenate([jnp.asarray(prev_frame)
+                              .astype(jnp.float32)[None], af[:-1]])
+        variants = {
+            VFRPlan.WEAVE: af,
+            VFRPlan.MERGE_PREV: merge_prev_weave(af, pf),
+            VFRPlan.BOB_T: bob_field(af, top=True),
+            VFRPlan.BOB_B: bob_field(af, top=False),
+        }
+        for k, (s, op) in enumerate(zip(src_idx, ops)):
+            want = np.clip(np.floor(np.asarray(variants[op][s]) + 0.5),
+                           0, 255).astype(np.uint8)
+            assert np.array_equal(out[k], want), f"output {k} op {op}"

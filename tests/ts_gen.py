@@ -375,6 +375,7 @@ def build_simple_ts(
     event_name: str = "Test Program",
     jst_raw40: int = 0xC07A123456,
     video_es_frames: list | None = None,  # real coded pictures (coded order)
+    audio_es_frames: list | None = None,  # real ADTS frames, by time index
     video_stream_type: int = 0x02,  # 0x02 MPEG2, 0x1B H.264
 ) -> bytes:
     """A single-program TS with MPEG2 video + N ADTS audio streams.
@@ -447,7 +448,11 @@ def build_simple_ts(
         for a in range(num_audio):
             while audio_next[a] * audio_dur_num // audio_sr <= f * frame_dur:
                 apts = first_pts + audio_next[a] * audio_dur_num // audio_sr
-                af = adts_frame(sampling_frequency_index=audio_sfi)
+                if audio_es_frames is not None:
+                    af = audio_es_frames[
+                        min(audio_next[a], len(audio_es_frames) - 1)]
+                else:
+                    af = adts_frame(sampling_frequency_index=audio_sfi)
                 tz.add_pes(AUDIO_PID + a, make_pes(0xC0, af, pts=apts))
                 audio_next[a] += 1
 
