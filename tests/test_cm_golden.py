@@ -73,8 +73,13 @@ def _video_es(alpha):
     from amatsukaze_tpu.video.avdec import AvVideoEncoder
 
     rng = np.random.default_rng(4)
+    # photometrically distinct scenes (a real cut changes both the pixel
+    # values and the luma distribution — the detector requires diff>30
+    # AND histogram correlation <0.85, like real broadcast cuts)
+    ranges = [(20, 110), (140, 235), (60, 100)]
     scenes = [np.clip(gaussian_filter(
-        rng.uniform(40, 215, (H, W)), 1.5), 16, 235) for _ in range(3)]
+        rng.uniform(lo, hi, (H, W)), 1.5), 16, 235)
+        for lo, hi in ranges]
     uc = np.full((H // 2, W // 2), 128, np.uint8)
     enc = AvVideoEncoder(W, H, fps_num=30000, fps_den=1001, crf=0,
                          preset="", interlaced=False, bframes=0,
