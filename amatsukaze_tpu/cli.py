@@ -97,6 +97,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "script; the reference's deinterlacer x fps matrix)")
     p.add_argument("--autovfr-parallel", type=int, default=2,
                    help="AutoVfr analysis sections run in ordered parallel")
+    p.add_argument("--resize", default="",
+                   help="output WxH (lanczos3; even dims; SAR reset 1:1)")
+    p.add_argument("--kfm-no-ucf", action="store_true",
+                   help="disable the dirty-field (UCF) replacement in "
+                        "KFM modes (ref KfmEnableUcf)")
     p.add_argument("--post-filter", default="",
                    help="post chain tokens: nr,deband,edge")
     p.add_argument("--print-prefix", action="store_true")
@@ -190,6 +195,15 @@ def args_to_config(args) -> Config:
     conf.device_batch_frames = args.device_batch
     conf.filter_mode = args.filter_mode
     conf.autovfr_parallel = args.autovfr_parallel
+    conf.kfm_ucf = not args.kfm_no_ucf
+    if args.resize:
+        try:
+            w, h = (int(x) for x in args.resize.lower().split("x"))
+        except ValueError:
+            raise SystemExit(f"bad --resize {args.resize!r} (want WxH)")
+        if w % 2 or h % 2 or w <= 0 or h <= 0:
+            raise SystemExit("--resize dimensions must be positive and even")
+        conf.resize_width, conf.resize_height = w, h
     conf.post_filter = args.post_filter
     conf.print_prefix = args.print_prefix
 

@@ -115,6 +115,12 @@ class FilterGraph:
         # (same pattern as the scene-metrics host twin). Forced by
         # AMATSUKAZE_FILTER_BACKEND=host|device.
         self._host_backend: bool | None = None
+        # output resize (the reference's EnableResize -> BlackmanResize
+        # stage, Misc.cs:1411-1414): (width, height) of the luma plane,
+        # applied after the post chain in float (lanczos3)
+        self.resize: tuple | None = None
+        # KFM dirty-field (UCF) replacement toggle (ref KfmEnableUcf)
+        self.kfm_ucf = True
         self.decisions = None
         self.vfr_plan: VFRPlan | None = None
         # SVP interpolation carry: plane -> (last film frame on device,
@@ -130,6 +136,21 @@ class FilterGraph:
                 self.ctx.info("[filter] slow device link: using the host "
                               "twin for KFM costs/synthesis")
         return self._host_backend
+
+    def _apply_resize(self, out_j, plane: int):
+        """Lanczos3 resize of a [B, h, w] plane batch to the configured
+        output size (chroma planes get half dimensions)."""
+        if self.resize is None:
+            return out_j
+        import jax
+        import jax.numpy as jnp
+
+        w2, h2 = self.resize
+        if plane != 0:
+            w2, h2 = w2 // 2, h2 // 2
+        return jax.image.resize(out_j.astype(jnp.float32),
+                                (out_j.shape[0], h2, w2),
+                                method="lanczos3")
 
     def _download(self, out_dev, n_valid: int | None = None):
         import jax.numpy as jnp
@@ -222,8 +243,9 @@ class FilterGraph:
             # <0.2 s at the very end of the section) is dropped rather
             # than emitted at a different rate
             plan_frames = num_frames - (num_frames % 5)
-        self.vfr_plan = build_vfr_plan(self.decisions, plan_frames,
-                                       frame_costs=all_costs)
+        self.vfr_plan = build_vfr_plan(
+            self.decisions, plan_frames,
+            frame_costs=all_costs if self.kfm_ucf else None)
 
     # -- pass 1 + 2: analysis over the full sequence ---------------------------
     def analyze(self, frame_iter, num_frames: int) -> None:
@@ -401,6 +423,10 @@ class FilterGraph:
     # -- pass 3: output synthesis --------------------------------------------
     def output_spec(self, num_src_frames: int, in_fmt: VideoFormat) -> FilterOutput:
         out = FilterOutput(out_format=_copy_fmt(in_fmt))
+        if self.resize is not None:
+            # resized output resets SAR to 1:1 (ref MakeOutFormat :618-634)
+            out.out_format.width, out.out_format.height = self.resize
+            out.out_format.sar_width = out.out_format.sar_height = 1
         if self.mode == self.MODE_SVP and self.vfr_plan is not None:
             # 24p film reconstruction interpolated to smooth CFR 60p
             n_film = len(self.vfr_plan.durations)
@@ -458,7 +484,7 @@ class FilterGraph:
                                       frames.shape[1])
             return frames[:0].astype(np.float32)
         if (self.mode != self.MODE_SVP and self.post_chain is None
-                and self._use_host_twin()):
+                and self.resize is None and self._use_host_twin()):
             # slow device link: decision-identical numpy synthesis (the
             # ops are pure memory moves + one add; a tunneled device
             # round costs more than the whole batch)
@@ -503,6 +529,7 @@ class FilterGraph:
             n_entries = len(src_list)
         if self.post_chain is not None:
             out = self._apply_post(out, src_list, frames.shape[1])
+        out = self._apply_resize(out, plane)
         return self._download(out, n_entries)
 
     def _run_kfm_batch_host(self, frames: np.ndarray, prev_frame,
@@ -623,6 +650,7 @@ class FilterGraph:
             return ordered, out_srcs
         if self.post_chain is not None:
             ordered = self._apply_post(ordered, out_srcs, plane_h)
+        ordered = self._apply_resize(ordered, plane)
         return self._download(ordered)
 
     # cache of geometry-specialised fused kernels (TPU production path)
@@ -695,7 +723,7 @@ class FilterGraph:
         return out[1:-1, :h, :w]
 
     def run_pass3(self, frames: np.ndarray, prev_frame, next_frame,
-                  start_index: int = 0):
+                  start_index: int = 0, plane: int = 0):
         """Filter one batch [B, H, W] -> output frames for that batch.
 
         prev/next_frame provide the temporal halo (None at sequence ends);
@@ -711,9 +739,13 @@ class FilterGraph:
         if self.mode == self.MODE_YADIF:
             fused_out = self._fused_yadif(frames, prev_frame, next_frame)
             if fused_out is not None:
-                if self.post_chain is not None:
-                    fused_out = self._apply_post(
-                        fused_out.astype(jnp.float32), idx, frames.shape[1])
+                if self.post_chain is not None or self.resize is not None:
+                    if self.post_chain is not None:
+                        fused_out = self._apply_post(
+                            fused_out.astype(jnp.float32), idx,
+                            frames.shape[1])
+                    fused_out = self._apply_resize(
+                        fused_out.astype(jnp.float32), plane)
                     return self._download(fused_out)
                 # kernel output is already uint8
                 if self.defer_download:
@@ -762,6 +794,7 @@ class FilterGraph:
             out = jnp.asarray(frames).astype(jnp.float32)
         if self.post_chain is not None:
             out = self._apply_post(out, idx, frames.shape[1])
+        out = self._apply_resize(out, plane)
         return self._download(out)
 
 

@@ -129,6 +129,12 @@ class Config:
     filter_mode: str = "none"
     # AutoVfr section-parallel analysis width (ref AutoVfrParallel)
     autovfr_parallel: int = 2
+    # KFM dirty-field replacement (ref KfmEnableUcf)
+    kfm_ucf: bool = True
+    # output resize (ref FilterSetting.EnableResize + BlackmanResize,
+    # Misc.cs:1411-1414); 0 = keep source dimensions
+    resize_width: int = 0
+    resize_height: int = 0
     # post chain tokens: comma-separated from {nr, deband, edge}
     # (the reference's KTemporalNR/KDeband/KEdgeLevel GUI toggles)
     post_filter: str = ""

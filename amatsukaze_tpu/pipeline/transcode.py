@@ -721,6 +721,9 @@ class TranscodePipeline:
         fg = FilterGraph(self.ctx, mode=st.conf.filter_mode,
                          batch=st.conf.device_batch_frames,
                          post_chain=build_post_chain(st.conf.post_filter))
+        if st.conf.resize_width and st.conf.resize_height:
+            fg.resize = (st.conf.resize_width, st.conf.resize_height)
+        fg.kfm_ucf = st.conf.kfm_ucf
         # the encode pump rounds to uint8 anyway: round on device instead
         # and download 4x less
         fg.quantize_output = True
@@ -1016,6 +1019,7 @@ def _pump_filtered(fg, frames_iter, pump, batch: int) -> None:
                     None if prev_planes is None else prev_planes[p],
                     None if next_planes is None else next_planes[p],
                     start_index=start,
+                    plane=p,
                 )
                 # pad-and-slice only works for 1:N modes; a decimating
                 # mode must fail loudly, not emit padded tail frames

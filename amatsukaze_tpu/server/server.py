@@ -55,6 +55,10 @@ class ProfileSetting:
                                # EncodeServerData.cs:106-119)
     filter_path: str = ""
     post_filter_path: str = ""
+    # structured filter settings dict (ref FilterSetting,
+    # EncodeServerData.cs:132-194; see server/filter_setting.py); empty
+    # dict = use the plain filter_mode string above
+    filter_setting: dict = field(default_factory=dict)
     two_pass: bool = False
     auto_bitrate: bool = False
     bitrate_a: float = 0.0
@@ -492,7 +496,15 @@ class EncodeServer:
             "-e", profile.encoder_path,
             "-fmt", profile.output_format,
         ]
-        if profile.filter_mode and profile.filter_mode != "none":
+        if profile.filter_setting:
+            # structured filter settings (ref FilterSetting,
+            # EncodeServerData.cs:132-194) take precedence over the
+            # plain filter_mode string
+            from .filter_setting import FilterSetting, filter_setting_args
+
+            args += filter_setting_args(
+                FilterSetting.from_dict(profile.filter_setting))
+        elif profile.filter_mode and profile.filter_mode != "none":
             args += ["--filter-mode", profile.filter_mode]
         if profile.encoder_options:
             args += ["-eo", profile.encoder_options]

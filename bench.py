@@ -189,7 +189,7 @@ def bench_e2e() -> dict:
         f.write(ts_gen.build_simple_ts(width=w, height=h,
                                        video_es_frames=chunks))
 
-    def one_run(run_dir):
+    def one_run(run_dir, filter_mode):
         os.makedirs(run_dir, exist_ok=True)
         conf = Config()
         conf.src_file_path = src
@@ -197,7 +197,7 @@ def bench_e2e() -> dict:
         conf.out_info_json_path = os.path.join(run_dir, "result.json")
         conf.work_dir = run_dir
         conf.encoder_path = "x264"  # absent binary -> in-build shim
-        conf.filter_mode = "kfm_vfr"
+        conf.filter_mode = filter_mode
         conf.device_batch_frames = 64
         ctx = AMTContext(level="error")
         settings = Settings(ctx, conf)
@@ -209,8 +209,10 @@ def bench_e2e() -> dict:
 
     # first run pays every XLA compile (they are in-process caches);
     # the second run is the steady-state production number
-    cold_wall, _ = one_run(os.path.join(tmp, "r1"))
-    wall, report = one_run(os.path.join(tmp, "r2"))
+    cold_wall, _ = one_run(os.path.join(tmp, "r1"), "kfm_vfr")
+    wall, report = one_run(os.path.join(tmp, "r2"), "kfm_vfr")
+    # BASELINE config 1: plain transcode, no filters (CPU path)
+    plain_wall, plain_report = one_run(os.path.join(tmp, "r3"), "none")
     src_sec = report["srcduration"]
     waits = (report.get("encodewaits") or [{}])[0]
     out = {
@@ -223,6 +225,8 @@ def bench_e2e() -> dict:
         "filter_wait": waits.get("filter_wait"),
         "encoder_wait": waits.get("encoder_wait"),
         "out_size": report.get("outfilesize"),
+        "plain_x_realtime": round(
+            plain_report["srcduration"] / plain_wall, 3),
     }
     try:
         import shutil

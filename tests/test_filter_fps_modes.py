@@ -308,3 +308,47 @@ class TestAutoVfr:
         assert all(r1[0] == r0[1] for r0, r1 in zip(ranges, ranges[1:]))
         assert {r[2] for r in ranges} <= {24, 30, 60}
         assert len(ranges) >= 2  # film section + video section
+
+
+class TestResize:
+    """Output resize (ref FilterSetting.EnableResize -> BlackmanResize
+    stage, Misc.cs:1411-1414; lanczos3 here): plane dims, SAR reset,
+    and value preservation on flat content."""
+
+    def test_output_spec_dims_and_sar(self):
+        fg = FilterGraph(AMTContext(level="error"), mode="none")
+        fg.resize = (64, 48)
+        fmt = _fmt()
+        fmt.sar_width, fmt.sar_height = 4, 3
+        spec = fg.output_spec(10, fmt)
+        assert (spec.out_format.width, spec.out_format.height) == (64, 48)
+        assert (spec.out_format.sar_width, spec.out_format.sar_height) == (1, 1)
+
+    def test_luma_and_chroma_dims(self):
+        fg = FilterGraph(AMTContext(level="error"), mode="none")
+        fg.resize = (64, 48)
+        frames = np.full((4, H, W), 128, np.uint8)
+        luma = np.asarray(fg.run_pass3(frames, None, None, plane=0))
+        chroma = np.asarray(fg.run_pass3(
+            np.full((4, H // 2, W // 2), 64, np.uint8), None, None, plane=1))
+        assert luma.shape == (4, 48, 64)
+        assert chroma.shape == (4, 24, 32)
+        # flat content survives lanczos exactly (partition of unity)
+        assert np.allclose(luma, 128, atol=0.5)
+        assert np.allclose(chroma, 64, atol=0.5)
+
+    def test_resize_composes_with_yadif(self):
+        fg = FilterGraph(AMTContext(level="error"), mode=FilterGraph.MODE_YADIF)
+        fg.resize = (64, 48)
+        frames = np.stack(interlaced_video_frames(4))
+        out = np.asarray(fg.run_pass3(frames, None, None, plane=0))
+        assert out.shape == (4, 48, 64)
+
+    def test_resize_composes_with_kfm(self):
+        frames = telecined_frames(25)
+        fg = analyzed_graph(FilterGraph.MODE_KFM_VFR, frames)
+        fg.resize = (64, 48)
+        out = fg.run_kfm_batch(np.stack(frames), None, 0, plane=0,
+                               final=True)
+        out = out.materialize() if hasattr(out, "materialize") else np.asarray(out)
+        assert out.shape[1:] == (48, 64)

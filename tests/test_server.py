@@ -1102,3 +1102,81 @@ class TestMoveAfterEncode:
             await server.stop()
 
         run(main())
+
+
+class TestFilterSetting:
+    """Structured filter settings (ref EncodeServerData.cs:132-194
+    FilterSetting) compile to the declarative-graph CLI flags the way
+    AvsScriptCreator compiles them to the AVS script."""
+
+    def _fs(self, **kw):
+        from amatsukaze_tpu.server.filter_setting import FilterSetting
+
+        return FilterSetting(**kw)
+
+    def test_mode_matrix(self):
+        from amatsukaze_tpu.server.filter_setting import filter_mode_of
+
+        fs = self._fs()
+        assert filter_mode_of(fs) == "none"  # deinterlace off
+        fs.enable_deinterlace = True
+        for alg, fps, want in [
+            ("KFM", "VFR", "kfm_vfr"), ("KFM", "VFR30", "kfm_vfr30"),
+            ("KFM", "CFR24", "kfm_cfr24"), ("KFM", "SVP", "svp"),
+            ("KFM", "CFR60", "qtgmc"), ("QTGMC", "VFR", "qtgmc"),
+            ("Yadif", "CFR30", "yadif"), ("Yadif", "CFR60", "yadif60"),
+            ("AutoVfr", "VFR", "autovfr"), ("D3DVP", "CFR30", "yadif"),
+        ]:
+            fs.deinterlace_algorithm = alg
+            fs.kfm_fps = fps
+            fs.yadif_fps = fps if alg in ("Yadif", "D3DVP") else "CFR30"
+            assert filter_mode_of(fs) == want, (alg, fps)
+
+    def test_args_compile(self):
+        from amatsukaze_tpu.server.filter_setting import filter_setting_args
+
+        fs = self._fs(enable_deinterlace=True, deinterlace_algorithm="KFM",
+                      kfm_fps="VFR", kfm_enable_nr=True, kfm_enable_ucf=False,
+                      enable_deblock=True, enable_deband=True,
+                      enable_resize=True, resize_width=1280,
+                      resize_height=720)
+        args = filter_setting_args(fs)
+        assert args == ["--filter-mode", "kfm_vfr",
+                        "--post-filter", "deblock,nr,deband",
+                        "--resize", "1280x720", "--kfm-no-ucf"]
+        # the compiled args must PARSE through the real CLI
+        from amatsukaze_tpu.cli import args_to_config, build_parser
+
+        conf = args_to_config(build_parser().parse_args(
+            ["-i", "in.ts", "-o", "out"] + args))
+        assert conf.filter_mode == "kfm_vfr"
+        assert conf.post_filter == "deblock,nr,deband"
+        assert (conf.resize_width, conf.resize_height) == (1280, 720)
+        assert conf.kfm_ucf is False
+
+    def test_profile_roundtrip_and_make_args(self, ctx, tmp_path):
+        async def main():
+            from amatsukaze_tpu.server.server import EncodeServer
+
+            server = EncodeServer(ctx, data_dir=str(tmp_path / "d"))
+            prof = dict(server.profiles["default"].__dict__)
+            prof["name"] = "structured"
+            prof["filter_setting"] = {
+                "enable_deinterlace": True,
+                "deinterlace_algorithm": "AutoVfr",
+                "auto_vfr_parallel": 4,
+                "enable_edge_level": True,
+            }
+            await server.handle_request("SetProfile", prof)
+            entry = type("E", (), {"src_path": str(tmp_path / "a.ts"),
+                                   "out_path": str(tmp_path / "o"),
+                                   "profile_name": "structured",
+                                   "service_id": -1})()
+            args = server.make_cli_args(entry,
+                                        server.profiles["structured"])
+            assert "--filter-mode" in args
+            assert args[args.index("--filter-mode") + 1] == "autovfr"
+            assert args[args.index("--autovfr-parallel") + 1] == "4"
+            assert args[args.index("--post-filter") + 1] == "edge"
+
+        run(main())
