@@ -100,10 +100,9 @@ class NativeAacDecoder(AacDecoder):
             self._h, frame, len(frame), self._pcm, ctypes.byref(self._sr),
             self._etypes, self._ebits, ctypes.byref(self._ne))
         if self._lib.AacDec_NeedsFallback(self._h):
-            # HE-AAC v2 (parametric stereo): the C++ engine decodes SBR
-            # in-build (aacsbr.inc) but PS lives in Python (audio/ps.py);
-            # hand the stream over (one frame of history is lost at the
-            # switch point)
+            # escape hatch for future unsupported syntax; the native
+            # engine currently decodes LC, SBR and parametric stereo
+            # itself (aacsbr.inc / aacps.inc), so this never fires
             from .aac import AacLcDecoder
             self._sbr_fallback = AacLcDecoder()
             return self._sbr_fallback.decode(frame)

@@ -94,6 +94,8 @@ struct BitReader {
   }
 };
 
+#include "aachuff.inc"
+#include "aacps.inc"
 #include "aacsbr.inc"
 
 // ---------------------------------------------------------------------------
@@ -369,7 +371,6 @@ struct Decoder {
   sbr::SbrDec* sbr_dec[MAX_ELEMS] = {};
   int sbr_dec_ide[MAX_ELEMS] = {};
   bool sbr_active = false;   // sticky: apply SBR to every later frame
-  bool ps_detected = false;  // parametric stereo -> caller falls back
   uint8_t sbr_payload[MAX_ELEMS][1024];
   int sbr_payload_len[MAX_ELEMS];
   int elem_ch_start[MAX_ELEMS], elem_nch[MAX_ELEMS];
@@ -400,7 +401,6 @@ struct Decoder {
       sbr_dec[i] = nullptr;
     }
     sbr_active = false;
-    ps_detected = false;
     out_samples = HALF;
   }
 
@@ -959,9 +959,11 @@ struct Decoder {
 
     if (nch == 0) return 0;
     if (sbr_active) {
-      // HE-AAC v1: run each element's channels through its SBR decoder
-      // (elements without payload this frame plain-upsample; mirrors
-      // aac.py _apply_sbr)
+      // HE-AAC v1/v2: run each element's channels through its SBR
+      // decoder (elements without payload this frame plain-upsample; an
+      // SCE with parametric stereo yields two channels; mirrors aac.py
+      // _apply_sbr)
+      int out_nch = 0;
       for (int e = 0; e < ne; e++) {
         bool cpe = elem_types[e] == ID_CPE;
         if (sbr_dec[e] != nullptr && sbr_dec_ide[e] != elem_types[e]) {
@@ -974,27 +976,27 @@ struct Decoder {
         }
         if (sbr_payload_len[e] > 0)
           sbr_dec[e]->parse(sbr_payload[e], sbr_payload_len[e]);
-        if (sbr_dec[e]->ps_detected) ps_detected = true;
         const double* ins[2];
         double* outs[2];
-        for (int c = 0; c < elem_nch[e]; c++) {
+        for (int c = 0; c < elem_nch[e]; c++)
           ins[c] = pcm[elem_ch_start[e] + c];
-          outs[c] = sbr_out[elem_ch_start[e] + c];
-        }
-        sbr_dec[e]->process(ins, elem_nch[e], outs);
+        if (out_nch + 2 > MAX_CH) return 0;
+        outs[0] = sbr_out[out_nch];
+        outs[1] = sbr_out[out_nch + 1];
+        out_nch += sbr_dec[e]->process(ins, elem_nch[e], outs);
       }
       out_samples = 2 * HALF;
       for (int i = 0; i < 2 * HALF; i++) {
-        for (int c = 0; c < nch; c++) {
+        for (int c = 0; c < out_nch; c++) {
           double v = std::nearbyint(sbr_out[c][i]);
           if (v > 32767.0) v = 32767.0;
           if (v < -32768.0) v = -32768.0;
-          pcm_out[i * nch + c] = (int16_t)v;
+          pcm_out[i * out_nch + c] = (int16_t)v;
         }
       }
       *sample_rate = 2 * SAMPLE_RATE_HZ[sr_index];
       *n_elems = ne;
-      return nch;
+      return out_nch;
     }
     out_samples = HALF;
     for (int i = 0; i < HALF; i++) {
@@ -1042,10 +1044,12 @@ int AacDec_OutSamples(void* h) {
   return static_cast<aac::Decoder*>(h)->out_samples;
 }
 
-// 1 when the stream needs the Python decoder (parametric stereo /
-// HE-AAC v2 — the native engine decodes plain SBR itself).
+// 1 when the stream needs the Python decoder. Always 0 since the PS
+// (HE-AAC v2) port: LC, SBR and parametric stereo all decode natively;
+// the entry point stays for binding compatibility.
 int AacDec_NeedsFallback(void* h) {
-  return static_cast<aac::Decoder*>(h)->ps_detected ? 1 : 0;
+  (void)h;
+  return 0;
 }
 
 }  // extern "C"

@@ -142,10 +142,12 @@ def write_ps_data(w: BitWriter, *, iid_index: int = 0, icc_index: int = 0,
 def sbr_ps_payload(*, env_start: int = 25, noise_start: int = 30,
                    n_env_bands: int, n_noise_bands: int,
                    iid_index: int = 0, icc_index: int = 0,
+                   iid_mode: int = 0, icc_mode: int = 0,
                    ps_header: bool = True) -> bytes:
     """SCE SBR payload with a parametric-stereo extension block."""
     pw = BitWriter()
     write_ps_data(pw, iid_index=iid_index, icc_index=icc_index,
+                  iid_mode=iid_mode, icc_mode=icc_mode,
                   header=ps_header)
     pw.byte_align(fill=0)
     ps_bytes = pw.getvalue()

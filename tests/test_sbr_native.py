@@ -147,9 +147,9 @@ class TestNativeSbrDifferential:
                                   channel_config=0)] * 6
         assert _diff(frames) <= 1
 
-    def test_ps_stream_falls_back_to_python(self):
-        """HE-AAC v2: native must flag fallback; the binding reroutes to
-        the Python decoder so output still matches the oracle exactly."""
+    def test_ps_stream_decodes_natively(self):
+        """HE-AAC v2: the native engine decodes parametric stereo itself
+        (aacps.inc) and must match the Python oracle exactly."""
         t = _tables()
         pp = sbr_ps_payload(env_start=25, n_env_bands=t.n_low,
                             n_noise_bands=t.n_q)
@@ -165,3 +165,63 @@ class TestNativeSbrDifferential:
             assert b.num_channels == a.num_channels  # 2 via PS
             assert np.array_equal(np.frombuffer(a.pcm, "<i2"),
                                   np.frombuffer(b.pcm, "<i2"))
+
+
+class TestNativePsDifferential:
+    """The native parametric-stereo decoder (native/aacps.inc) vs the
+    Python oracle (audio/ps.py): the whole HE-AAC v2 chain decodes
+    natively now."""
+
+    def _ps_frames(self, n=8, **kw):
+        t = _tables()
+        pp = sbr_ps_payload(env_start=25, n_env_bands=t.n_low,
+                            n_noise_bands=t.n_q, **kw)
+        return _stream(pp, n)
+
+    def _exact(self, frames):
+        py = AacLcDecoder()
+        nat = NativeAacDecoder()
+        worst = 0
+        for i, fr in enumerate(frames):
+            a = py.decode(fr)
+            b = nat.decode(fr)
+            assert (a is None) == (b is None)
+            if a is None:
+                continue
+            assert b.num_channels == a.num_channels, f"frame {i}"
+            assert b.sample_rate == a.sample_rate
+            pa = np.frombuffer(a.pcm, "<i2").astype(np.int32)
+            pb = np.frombuffer(b.pcm, "<i2").astype(np.int32)
+            worst = max(worst, int(np.abs(pa - pb).max()))
+        return worst
+
+    def test_flat_ps(self):
+        assert self._exact(self._ps_frames()) <= 1
+
+    def test_iid_panning(self):
+        assert self._exact(self._ps_frames(iid_index=5)) <= 1
+        assert self._exact(self._ps_frames(iid_index=-6)) <= 1
+
+    def test_icc_decorrelation(self):
+        assert self._exact(self._ps_frames(icc_index=4)) <= 1
+        assert self._exact(self._ps_frames(icc_index=7)) <= 1
+
+    def test_mode1_20_bands(self):
+        assert self._exact(self._ps_frames(iid_mode=1, icc_mode=1)) <= 1
+
+    def test_headerless_continuation(self):
+        t = _tables()
+        with_h = sbr_ps_payload(env_start=25, n_env_bands=t.n_low,
+                                n_noise_bands=t.n_q, iid_index=3,
+                                icc_index=2)
+        without = sbr_ps_payload(env_start=25, n_env_bands=t.n_low,
+                                 n_noise_bands=t.n_q, ps_header=False)
+        frames = _stream(with_h, 4) + _stream(without, 4)
+        assert self._exact(frames) <= 1
+
+    def test_stereo_output_from_mono_sce(self):
+        res = NativeAacDecoder().decode(self._ps_frames(1)[0])
+        # even frame 1 (before any process history) emits 2 channels
+        assert res.num_channels == 2
+        assert res.sample_rate == 48000
+        assert len(np.frombuffer(res.pcm, "<i2")) == 2048 * 2
