@@ -124,6 +124,9 @@ class QueueEntry:
     height: int = 0  # video-size auto-select condition)
     hash: str = ""   # expected SHA-512 (hex) from the source dir's
                      # companion .hash list, verified before encoding
+    # pipeline JSON report subset of the last run (ref LogItem's result
+    # fields parsed from -enc.json, TranscodeWorker.cs:1085)
+    last_report: dict = field(default_factory=dict)
 
 
 CONSOLE_MAX_LINES = 400  # rolling console capture (ref RollingTextLines)
@@ -573,6 +576,8 @@ class EncodeServer:
             "out_files": list(entry.out_files),
             "encode_seconds": round(time.time() - start, 2),
             "finished": time.time(),
+            # result detail (ref LogItem's parsed -enc.json fields)
+            "report": dict(entry.last_report),
         })
         await self.clients.broadcast("OnQueueUpdate", asdict(entry))
         await self.clients.broadcast("OnLogUpdate", self.logs[-1])
@@ -709,6 +714,11 @@ class EncodeServer:
             if report:
                 entry.out_files = [
                     of.get("path", "") for of in report.get("outfiles", [])]
+                entry.last_report = {
+                    k: report.get(k) for k in (
+                        "srcfilesize", "intvideofilesize", "outfilesize",
+                        "srcduration", "outduration", "audiodiff", "error",
+                        "encodewaits", "logofiles", "cmanalyze")}
                 if entry.hash and not profile.disable_hash_check:
                     await loop.run_in_executor(
                         None, self._record_output_hashes, entry)
