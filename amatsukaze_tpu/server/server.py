@@ -523,7 +523,16 @@ class EncodeServer:
             args += ["--chapter"]
         if profile.subtitles:
             args += ["--subtitles"]
-        for lp in profile.logo_paths:
+        logo_paths = list(profile.logo_paths)
+        if entry.service_id > 0:
+            # per-service logo auto-selection: every .lgd in the logo
+            # directory whose header carries this service id is used
+            # (ref EncodeServer's ServiceSettings LogoSettings sync +
+            # MakeAmatsukazeArgs logo list)
+            for lp in self.logos_for_service(entry.service_id):
+                if lp not in logo_paths:
+                    logo_paths.append(lp)
+        for lp in logo_paths:
             args += ["--logo", lp]
         if profile.ignore_no_logo:
             args += ["--ignore-no-logo"]
@@ -917,6 +926,35 @@ class EncodeServer:
             from .drcs import DRCSManager
             self._drcs = DRCSManager(self.ctx, self.drcs_dir())
         return self._drcs
+
+    def logos_for_service(self, service_id: int) -> list[str]:
+        """Paths of logo files registered for a service (scanned from
+        the logo directory's .lgd headers; cached by directory mtime —
+        the reference's WatchFileThread keeps the same mapping hot)."""
+        from ..models.lgd import load_lgd
+
+        d = self.logo_dir()
+        try:
+            mtime = os.path.getmtime(d)
+        except OSError:
+            return []
+        cache = getattr(self, "_logo_service_cache", None)
+        if cache is None or cache[0] != mtime:
+            mapping: dict[int, list] = {}
+            for name in sorted(os.listdir(d)):
+                if not name.endswith(".lgd"):
+                    continue
+                path = os.path.join(d, name)
+                try:
+                    logo = load_lgd(path)
+                except (OSError, ValueError):
+                    continue
+                sid = getattr(logo.header, "service_id", -1)
+                if sid > 0:
+                    mapping.setdefault(sid, []).append(path)
+            cache = (mtime, mapping)
+            self._logo_service_cache = cache
+        return list(cache[1].get(service_id, []))
 
     def _logo_files(self) -> list[dict]:
         from ..models.logo_render import GUILogoFile

@@ -1180,3 +1180,48 @@ class TestFilterSetting:
             assert args[args.index("--post-filter") + 1] == "edge"
 
         run(main())
+
+
+class TestServiceLogoAutoSelect:
+    """Per-service logo auto-selection: .lgd files in the logo directory
+    are matched to queue items by the service id in their header (ref
+    EncodeServer's ServiceSettings/LogoSettings + MakeAmatsukazeArgs)."""
+
+    def _lgd(self, path, service_id):
+        import numpy as np
+
+        from amatsukaze_tpu.models.lgd import (
+            LogoData,
+            LogoHeader,
+            save_lgd,
+        )
+
+        header = LogoHeader(8, 8, 1, 1, 64, 48, 0, 0, "svc", service_id)
+        logo = LogoData.create(header)
+        logo.a_y[:] = 1.0
+        save_lgd(path, logo)
+
+    def test_logo_matched_by_service_id(self, ctx, tmp_path):
+        async def main():
+            from amatsukaze_tpu.server.server import EncodeServer
+
+            server = EncodeServer(ctx, data_dir=str(tmp_path / "d"))
+            self._lgd(os.path.join(server.logo_dir(), "a.lgd"), 1024)
+            self._lgd(os.path.join(server.logo_dir(), "b.lgd"), 1032)
+            entry = type("E", (), {"src_path": "x.ts", "out_path": "o",
+                                   "profile_name": "default",
+                                   "service_id": 1024})()
+            args = server.make_cli_args(entry, server.profiles["default"])
+            logos = [args[i + 1] for i, a in enumerate(args) if a == "--logo"]
+            assert len(logos) == 1 and logos[0].endswith("a.lgd")
+            # other service picks the other logo
+            entry.service_id = 1032
+            args = server.make_cli_args(entry, server.profiles["default"])
+            logos = [args[i + 1] for i, a in enumerate(args) if a == "--logo"]
+            assert len(logos) == 1 and logos[0].endswith("b.lgd")
+            # unknown service: none
+            entry.service_id = 9
+            args = server.make_cli_args(entry, server.profiles["default"])
+            assert "--logo" not in args
+
+        run(main())
