@@ -160,6 +160,14 @@ class CachedFrameSource:
                 n = self.failed[n]
                 continue
             can_seek = self.open_at is not None and self.frames_meta
+            if can_seek and n >= len(self.frames_meta):
+                # beyond the known frame list: substitute like the EOF
+                # path (the reference clamps n to the frame list size)
+                last = len(self.frames_meta) - 1
+                if last >= 0 and last != n:
+                    n = last
+                    continue
+                raise IndexError(n)
             if (self._it is not None and self._pos <= n
                     and (not can_seek
                          or n < self._pos + self.seek_distance)):

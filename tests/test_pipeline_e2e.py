@@ -1182,3 +1182,21 @@ class TestSimpleModeInbuild:
         i = data.index(b"FRAME\n") + 6
         y0 = np.frombuffer(data[i:i + 96 * 64], np.uint8).reshape(64, 96)
         assert np.array_equal(y0, enc.recon[0].y[:64, :96])
+
+
+class TestCachedFrameSourceEdges:
+    def test_seek_mode_beyond_frame_list_substitutes(self):
+        from amatsukaze_tpu.pipeline.frame_source import CachedFrameSource
+        from amatsukaze_tpu.reform.stream_reform import FilterSourceFrame
+
+        meta = [FilterSourceFrame(key_frame=0, file_offset=0)
+                for _ in range(10)]
+
+        def open_at(k, off):
+            return iter([(i, 0, 0) for i in range(k, 10)])
+
+        src = CachedFrameSource(
+            lambda: iter([(i, 0, 0) for i in range(10)]),
+            frames_meta=meta, open_at=open_at)
+        src.get_frame(5)
+        assert src.get_frame(50)[0] == 9  # last frame substituted
