@@ -460,6 +460,31 @@ class FilterGraph:
             out.num_out_frames = num_src_frames
         return out
 
+    def _run_yadif_host(self, frames, prev_frame, next_frame):
+        """Native yadif twin for slow device links (bit-identical to
+        the device path + round-to-uint8; equality test in
+        test_ops_filters::TestHostTwinKernels)."""
+        from ..ops import deint as deint_ops
+
+        cur = np.ascontiguousarray(frames)
+        first = (np.ascontiguousarray(prev_frame)
+                 if prev_frame is not None else cur[0])
+        last = (np.ascontiguousarray(next_frame)
+                if next_frame is not None else cur[-1])
+        prev = np.concatenate([first[None], cur[:-1]])
+        nxt = np.concatenate([cur[1:], last[None]])
+        out_t = deint_ops.yadif_host(prev, cur, nxt, True)
+        if out_t is None:
+            return None
+        if self.mode == self.MODE_YADIF:
+            return out_t
+        out_b = deint_ops.yadif_host(prev, cur, nxt, False)
+        b, h, w = cur.shape
+        out = np.empty((2 * b, h, w), np.uint8)
+        out[0::2] = out_t
+        out[1::2] = out_b
+        return out
+
     def run_kfm_batch(self, frames: np.ndarray, prev_frame,
                       start_index: int, plane: int = 0,
                       final: bool = False) -> np.ndarray:
@@ -736,6 +761,13 @@ class FilterGraph:
         from ..ops import deint as deint_ops
 
         idx = range(start_index, start_index + len(frames))
+        if (self.mode in (self.MODE_YADIF, self.MODE_YADIF60)
+                and self.post_chain is None and self.resize is None
+                and self.quantize_output and frames.dtype == np.uint8
+                and self._use_host_twin()):
+            host = self._run_yadif_host(frames, prev_frame, next_frame)
+            if host is not None:
+                return host
         if self.mode == self.MODE_YADIF:
             fused_out = self._fused_yadif(frames, prev_frame, next_frame)
             if fused_out is not None:

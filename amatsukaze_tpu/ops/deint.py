@@ -374,6 +374,9 @@ def _load_host_lib():
         lib.Amt_SceneMetrics.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
+        lib.Amt_Yadif.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
         _host_lib = lib
     except (OSError, AttributeError):
         _host_lib = None
@@ -442,6 +445,30 @@ def kfm_synth_host(frames_u8, prev_frame_u8, src_idx, op_codes):
         idx.ctypes.data_as(ctypes.c_void_p),
         ops.ctypes.data_as(ctypes.c_void_p), len(idx),
         out.ctypes.data_as(ctypes.c_void_p))
+    return out
+
+
+def yadif_host(prev_u8, cur_u8, next_u8, parity_top: bool):
+    """Native yadif host twin (fieldcosts.cpp Amt_Yadif): bit-identical
+    to yadif_deinterlace + round-to-uint8. Inputs [B, H, W] uint8
+    C-contiguous batches; returns [B, H, W] uint8, or None when the
+    native library is unavailable."""
+    import ctypes
+
+    import numpy as np
+
+    lib = _load_host_lib()
+    if lib is None or not hasattr(lib, "Amt_Yadif"):
+        return None
+    b, h, w = cur_u8.shape
+    out = np.empty_like(cur_u8)
+    for i in range(b):
+        lib.Amt_Yadif(
+            prev_u8[i].ctypes.data_as(ctypes.c_void_p),
+            cur_u8[i].ctypes.data_as(ctypes.c_void_p),
+            next_u8[i].ctypes.data_as(ctypes.c_void_p),
+            h, w, 1 if parity_top else 0,
+            out[i].ctypes.data_as(ctypes.c_void_p))
     return out
 
 

@@ -11,8 +11,10 @@
 // comb per ops/deint.combing_metric_fields: mean over rows of
 // relu((W[r-1]-W[r]) * (W[r+1]-W[r])) of the woven frame.
 
+#include <cmath>
 #include <cstddef>
 #include <cstdint>
+#include <cstring>
 using std::size_t;
 
 namespace {
@@ -146,3 +148,106 @@ void Amt_SceneMetrics(const uint8_t* frames, const uint8_t* prev_frame,
 }
 
 }  // extern "C"
+
+// Yadif host twin: float32 mirror of ops/deint.yadif_deinterlace + the
+// round-to-uint8 download (elementwise ops in the same order as the XLA
+// graph, so results are bit-identical on conforming IEEE float32).
+// parity_top=1 keeps the top field of cur and reconstructs odd lines.
+// The interior columns run branch-free without edge clamping so the
+// compiler vectorises them; the 2-pixel borders take the scalar path.
+extern "C" void Amt_Yadif(const uint8_t* prev, const uint8_t* cur,
+                          const uint8_t* next, int h, int w,
+                          int parity_top, uint8_t* out) {
+  const int h2 = h / 2;
+  for (int y = 0; y < h2; y++) {
+    int keep_row = parity_top ? 2 * y : 2 * y + 1;
+    int miss_row = parity_top ? 2 * y + 1 : 2 * y;
+    const uint8_t* k = cur + (size_t)keep_row * w;
+    std::memcpy(out + (size_t)keep_row * w, k, w);
+    const uint8_t* above;
+    const uint8_t* below;
+    if (parity_top) {
+      above = cur + (size_t)(2 * y) * w;
+      int yb = y + 1 < h2 ? y + 1 : y;
+      below = cur + (size_t)(2 * yb) * w;
+    } else {
+      int ya = y > 0 ? y - 1 : 0;
+      above = cur + (size_t)(2 * ya + 1) * w;
+      below = cur + (size_t)(2 * y + 1) * w;
+    }
+    const uint8_t* tp = prev + (size_t)miss_row * w;
+    const uint8_t* tn = next + (size_t)miss_row * w;
+    uint8_t* dst = out + (size_t)miss_row * w;
+    // interior: no column clamping needed
+    int x0 = 2, x1 = w - 2;
+    if (x1 < x0) x1 = x0;
+    for (int x = x0; x < x1; x++) {
+      float best = ((float)above[x] + (float)below[x]) * 0.5f;
+      float bs = std::fabs((float)above[x] - (float)below[x]);
+      // candidate order mirrors _spatial_pred: +1, -1, +2, -2
+      {
+        float pa = above[x + 1], pc = below[x - 1];
+        float sc = std::fabs(pa - pc);
+        float cand = (pa + pc) * 0.5f;
+        best = sc < bs ? cand : best;
+        bs = sc < bs ? sc : bs;
+      }
+      {
+        float pa = above[x - 1], pc = below[x + 1];
+        float sc = std::fabs(pa - pc);
+        float cand = (pa + pc) * 0.5f;
+        best = sc < bs ? cand : best;
+        bs = sc < bs ? sc : bs;
+      }
+      {
+        float pa = above[x + 2], pc = below[x - 2];
+        float sc = std::fabs(pa - pc);
+        float cand = (pa + pc) * 0.5f;
+        best = sc < bs ? cand : best;
+        bs = sc < bs ? sc : bs;
+      }
+      {
+        float pa = above[x - 2], pc = below[x + 2];
+        float sc = std::fabs(pa - pc);
+        float cand = (pa + pc) * 0.5f;
+        best = sc < bs ? cand : best;
+        bs = sc < bs ? sc : bs;
+      }
+      float tpf = tp[x], tnf = tn[x];
+      float temporal = (tpf + tnf) * 0.5f;
+      float diff = std::fabs(tpf - tnf) * 0.5f;
+      float lo = temporal - diff, hi = temporal + diff;
+      float recon = best < lo ? lo : (best > hi ? hi : best);
+      float q = std::floor(recon + 0.5f);
+      dst[x] = (uint8_t)(q < 0.f ? 0.f : (q > 255.f ? 255.f : q));
+    }
+    // borders: clamped column indexing (identical candidate order)
+    for (int xi = 0; xi < 4; xi++) {
+      int x = xi < 2 ? xi : w - 4 + xi;
+      if (x < 0 || x >= w || (x >= x0 && x < x1)) continue;
+      float best = ((float)above[x] + (float)below[x]) * 0.5f;
+      float bs = std::fabs((float)above[x] - (float)below[x]);
+      static const int dir[4] = {1, -1, 2, -2};
+      for (int di = 0; di < 4; di++) {
+        int d = dir[di];
+        int xa = x + d;
+        xa = xa < 0 ? 0 : (xa >= w ? w - 1 : xa);
+        int xc = x - d;
+        xc = xc < 0 ? 0 : (xc >= w ? w - 1 : xc);
+        float pa = above[xa], pc = below[xc];
+        float sc = std::fabs(pa - pc);
+        if (sc < bs) {
+          best = (pa + pc) * 0.5f;
+          bs = sc;
+        }
+      }
+      float tpf = tp[x], tnf = tn[x];
+      float temporal = (tpf + tnf) * 0.5f;
+      float diff = std::fabs(tpf - tnf) * 0.5f;
+      float lo = temporal - diff, hi = temporal + diff;
+      float recon = best < lo ? lo : (best > hi ? hi : best);
+      float q = std::floor(recon + 0.5f);
+      dst[x] = (uint8_t)(q < 0.f ? 0.f : (q > 255.f ? 255.f : q));
+    }
+  }
+}

@@ -312,3 +312,21 @@ class TestHostTwinKernels:
             want = np.clip(np.floor(np.asarray(variants[op][s]) + 0.5),
                            0, 255).astype(np.uint8)
             assert np.array_equal(out[k], want), f"output {k} op {op}"
+
+    def test_yadif_host_matches_device_exactly(self):
+        from amatsukaze_tpu.ops.deint import yadif_deinterlace, yadif_host
+
+        rng = np.random.default_rng(8)
+        cur = rng.integers(0, 256, (6, H, W), dtype=np.uint8)
+        prev = np.concatenate([cur[:1], cur[:-1]])
+        nxt = np.concatenate([cur[1:], cur[-1:]])
+        for parity in (True, False):
+            host = yadif_host(prev, cur, nxt, parity)
+            if host is None:
+                pytest.skip("native library not built")
+            dev = np.asarray(yadif_deinterlace(
+                jnp.asarray(prev).astype(jnp.float32),
+                jnp.asarray(cur).astype(jnp.float32),
+                jnp.asarray(nxt).astype(jnp.float32), parity))
+            dev_u8 = np.clip(np.floor(dev + 0.5), 0, 255).astype(np.uint8)
+            assert np.array_equal(host, dev_u8), f"parity {parity}"
