@@ -149,12 +149,13 @@ void Amt_SceneMetrics(const uint8_t* frames, const uint8_t* prev_frame,
 
 }  // extern "C"
 
-// Yadif host twin: float32 mirror of ops/deint.yadif_deinterlace + the
-// round-to-uint8 download (elementwise ops in the same order as the XLA
-// graph, so results are bit-identical on conforming IEEE float32).
+// Yadif host twin: exact-integer mirror of ops/deint.yadif_deinterlace
+// + the round-to-uint8 download. The float graph's values are all exact
+// halves of integers here: track 2x everything (spatial candidate =
+// pa+pc, temporal clamp bounds = 2*min/2*max of the neighbours, final
+// round (v+1)>>1 == floor(v/2 + 0.5)), so the select chain runs in int
+// arithmetic — identical results, and the compiler vectorises it.
 // parity_top=1 keeps the top field of cur and reconstructs odd lines.
-// The interior columns run branch-free without edge clamping so the
-// compiler vectorises them; the 2-pixel borders take the scalar path.
 extern "C" void Amt_Yadif(const uint8_t* prev, const uint8_t* cur,
                           const uint8_t* next, int h, int w,
                           int parity_top, uint8_t* out) {
@@ -178,76 +179,37 @@ extern "C" void Amt_Yadif(const uint8_t* prev, const uint8_t* cur,
     const uint8_t* tp = prev + (size_t)miss_row * w;
     const uint8_t* tn = next + (size_t)miss_row * w;
     uint8_t* dst = out + (size_t)miss_row * w;
-    // interior: no column clamping needed
-    int x0 = 2, x1 = w - 2;
-    if (x1 < x0) x1 = x0;
-    for (int x = x0; x < x1; x++) {
-      float best = ((float)above[x] + (float)below[x]) * 0.5f;
-      float bs = std::fabs((float)above[x] - (float)below[x]);
+    auto pixel = [&](int x, int xm2, int xm1, int xp1, int xp2) {
+      int a0 = above[x], c0 = below[x];
+      int best2 = a0 + c0;
+      int bs = a0 > c0 ? a0 - c0 : c0 - a0;
       // candidate order mirrors _spatial_pred: +1, -1, +2, -2
-      {
-        float pa = above[x + 1], pc = below[x - 1];
-        float sc = std::fabs(pa - pc);
-        float cand = (pa + pc) * 0.5f;
-        best = sc < bs ? cand : best;
-        bs = sc < bs ? sc : bs;
-      }
-      {
-        float pa = above[x - 1], pc = below[x + 1];
-        float sc = std::fabs(pa - pc);
-        float cand = (pa + pc) * 0.5f;
-        best = sc < bs ? cand : best;
-        bs = sc < bs ? sc : bs;
-      }
-      {
-        float pa = above[x + 2], pc = below[x - 2];
-        float sc = std::fabs(pa - pc);
-        float cand = (pa + pc) * 0.5f;
-        best = sc < bs ? cand : best;
-        bs = sc < bs ? sc : bs;
-      }
-      {
-        float pa = above[x - 2], pc = below[x + 2];
-        float sc = std::fabs(pa - pc);
-        float cand = (pa + pc) * 0.5f;
-        best = sc < bs ? cand : best;
-        bs = sc < bs ? sc : bs;
-      }
-      float tpf = tp[x], tnf = tn[x];
-      float temporal = (tpf + tnf) * 0.5f;
-      float diff = std::fabs(tpf - tnf) * 0.5f;
-      float lo = temporal - diff, hi = temporal + diff;
-      float recon = best < lo ? lo : (best > hi ? hi : best);
-      float q = std::floor(recon + 0.5f);
-      dst[x] = (uint8_t)(q < 0.f ? 0.f : (q > 255.f ? 255.f : q));
-    }
-    // borders: clamped column indexing (identical candidate order)
+      int pa, pc, sc;
+      pa = above[xp1]; pc = below[xm1];
+      sc = pa > pc ? pa - pc : pc - pa;
+      if (sc < bs) { best2 = pa + pc; bs = sc; }
+      pa = above[xm1]; pc = below[xp1];
+      sc = pa > pc ? pa - pc : pc - pa;
+      if (sc < bs) { best2 = pa + pc; bs = sc; }
+      pa = above[xp2]; pc = below[xm2];
+      sc = pa > pc ? pa - pc : pc - pa;
+      if (sc < bs) { best2 = pa + pc; bs = sc; }
+      pa = above[xm2]; pc = below[xp2];
+      sc = pa > pc ? pa - pc : pc - pa;
+      if (sc < bs) { best2 = pa + pc; bs = sc; }
+      int tpv = tp[x], tnv = tn[x];
+      int lo2 = 2 * (tpv < tnv ? tpv : tnv);
+      int hi2 = 2 * (tpv > tnv ? tpv : tnv);
+      int r2 = best2 < lo2 ? lo2 : (best2 > hi2 ? hi2 : best2);
+      dst[x] = (uint8_t)((r2 + 1) >> 1);
+    };
+    for (int x = 2; x < w - 2; x++) pixel(x, x - 2, x - 1, x + 1, x + 2);
+    // borders with edge-replicated column indexing
+    auto cl = [&](int v) { return v < 0 ? 0 : (v >= w ? w - 1 : v); };
     for (int xi = 0; xi < 4; xi++) {
       int x = xi < 2 ? xi : w - 4 + xi;
-      if (x < 0 || x >= w || (x >= x0 && x < x1)) continue;
-      float best = ((float)above[x] + (float)below[x]) * 0.5f;
-      float bs = std::fabs((float)above[x] - (float)below[x]);
-      static const int dir[4] = {1, -1, 2, -2};
-      for (int di = 0; di < 4; di++) {
-        int d = dir[di];
-        int xa = x + d;
-        xa = xa < 0 ? 0 : (xa >= w ? w - 1 : xa);
-        int xc = x - d;
-        xc = xc < 0 ? 0 : (xc >= w ? w - 1 : xc);
-        float pa = above[xa], pc = below[xc];
-        float sc = std::fabs(pa - pc);
-        if (sc < bs) {
-          best = (pa + pc) * 0.5f;
-          bs = sc;
-        }
-      }
-      float tpf = tp[x], tnf = tn[x];
-      float temporal = (tpf + tnf) * 0.5f;
-      float diff = std::fabs(tpf - tnf) * 0.5f;
-      float lo = temporal - diff, hi = temporal + diff;
-      float recon = best < lo ? lo : (best > hi ? hi : best);
-      float q = std::floor(recon + 0.5f);
-      dst[x] = (uint8_t)(q < 0.f ? 0.f : (q > 255.f ? 255.f : q));
+      if (x < 0 || x >= w || (x >= 2 && x < w - 2)) continue;
+      pixel(x, cl(x - 2), cl(x - 1), cl(x + 1), cl(x + 2));
     }
   }
 }
