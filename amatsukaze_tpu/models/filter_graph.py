@@ -460,10 +460,10 @@ class FilterGraph:
             out.num_out_frames = num_src_frames
         return out
 
-    def _run_yadif_host(self, frames, prev_frame, next_frame):
-        """Native yadif twin for slow device links (bit-identical to
-        the device path + round-to-uint8; equality test in
-        test_ops_filters::TestHostTwinKernels)."""
+    def _run_deint_host(self, frames, prev_frame, next_frame):
+        """Native yadif / motion-bob twins for slow device links
+        (bit-identical to the device paths + round-to-uint8; equality
+        tests in test_ops_filters::TestHostTwinKernels)."""
         from ..ops import deint as deint_ops
 
         cur = np.ascontiguousarray(frames)
@@ -473,6 +473,8 @@ class FilterGraph:
                 if next_frame is not None else cur[-1])
         prev = np.concatenate([first[None], cur[:-1]])
         nxt = np.concatenate([cur[1:], last[None]])
+        if self.mode == self.MODE_QTGMC:
+            return deint_ops.motion_bob_host(prev, cur, nxt, True)
         out_t = deint_ops.yadif_host(prev, cur, nxt, True)
         if out_t is None:
             return None
@@ -761,11 +763,12 @@ class FilterGraph:
         from ..ops import deint as deint_ops
 
         idx = range(start_index, start_index + len(frames))
-        if (self.mode in (self.MODE_YADIF, self.MODE_YADIF60)
+        if (self.mode in (self.MODE_YADIF, self.MODE_YADIF60,
+                          self.MODE_QTGMC)
                 and self.post_chain is None and self.resize is None
                 and self.quantize_output and frames.dtype == np.uint8
                 and self._use_host_twin()):
-            host = self._run_yadif_host(frames, prev_frame, next_frame)
+            host = self._run_deint_host(frames, prev_frame, next_frame)
             if host is not None:
                 return host
         if self.mode == self.MODE_YADIF:

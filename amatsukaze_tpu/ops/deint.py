@@ -377,6 +377,9 @@ def _load_host_lib():
         lib.Amt_Yadif.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
+        lib.Amt_MotionBob.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
         _host_lib = lib
     except (OSError, AttributeError):
         _host_lib = None
@@ -469,6 +472,30 @@ def yadif_host(prev_u8, cur_u8, next_u8, parity_top: bool):
             next_u8[i].ctypes.data_as(ctypes.c_void_p),
             h, w, 1 if parity_top else 0,
             out[i].ctypes.data_as(ctypes.c_void_p))
+    return out
+
+
+def motion_bob_host(prev_u8, cur_u8, next_u8, tff: bool = True):
+    """Native motion-adaptive-bob host twin (fieldcosts.cpp
+    Amt_MotionBob): bit-identical to motion_adaptive_bob +
+    round-to-uint8. Returns [2B, H, W] uint8 or None when the native
+    library is unavailable."""
+    import ctypes
+
+    import numpy as np
+
+    lib = _load_host_lib()
+    if lib is None or not hasattr(lib, "Amt_MotionBob"):
+        return None
+    b, h, w = cur_u8.shape
+    out = np.empty((2 * b, h, w), np.uint8)
+    for i in range(b):
+        lib.Amt_MotionBob(
+            prev_u8[i].ctypes.data_as(ctypes.c_void_p),
+            cur_u8[i].ctypes.data_as(ctypes.c_void_p),
+            next_u8[i].ctypes.data_as(ctypes.c_void_p),
+            h, w, 1 if tff else 0,
+            out[2 * i].ctypes.data_as(ctypes.c_void_p))
     return out
 
 

@@ -15,6 +15,7 @@
 #include <cstddef>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 using std::size_t;
 
 namespace {
@@ -212,4 +213,167 @@ extern "C" void Amt_Yadif(const uint8_t* prev, const uint8_t* cur,
       pixel(x, cl(x - 2), cl(x - 1), cl(x + 1), cl(x + 2));
     }
   }
+}
+
+// Motion-adaptive bob (qtgmc mode) host twin: exact-integer mirror of
+// ops/deint.motion_adaptive_bob + round-to-uint8. Every intermediate of
+// the float graph is an exact multiple of 1/16 here: spatial/MC
+// candidates are halves (track 2x), the blend weight w =
+// clip((12-m)/8, 0, 1) has an exact numerator w8 = clip(12-m, 0, 8),
+// and the blended output lives in sixteenths: out16 = w8*weave2 +
+// (8-w8)*moving2, rounded as (out16+8)>>4 == floor(out16/16 + 0.5).
+namespace {
+
+static inline int mab_pixel_fast(const uint8_t* above,
+                                 const uint8_t* below, const uint8_t* tp,
+                                 const uint8_t* tn, int x, int weave2,
+                                 int m_dil) {
+  int a0 = above[x], c0 = below[x];
+  int sp2 = a0 + c0;
+  int bs = a0 > c0 ? a0 - c0 : c0 - a0;
+  int pa, pc, sc;
+  pa = above[x + 1]; pc = below[x - 1];
+  sc = pa > pc ? pa - pc : pc - pa;
+  if (sc < bs) { sp2 = pa + pc; bs = sc; }
+  pa = above[x - 1]; pc = below[x + 1];
+  sc = pa > pc ? pa - pc : pc - pa;
+  if (sc < bs) { sp2 = pa + pc; bs = sc; }
+  pa = above[x + 2]; pc = below[x - 2];
+  sc = pa > pc ? pa - pc : pc - pa;
+  if (sc < bs) { sp2 = pa + pc; bs = sc; }
+  pa = above[x - 2]; pc = below[x + 2];
+  sc = pa > pc ? pa - pc : pc - pa;
+  if (sc < bs) { sp2 = pa + pc; bs = sc; }
+  int mc2 = tp[x] + tn[x];
+  int me = tp[x] > tn[x] ? tp[x] - tn[x] : tn[x] - tp[x];
+  int a, c, e;
+  a = tp[x + 1]; c = tn[x - 1];
+  e = a > c ? a - c : c - a;
+  if (e < me) { mc2 = a + c; me = e; }
+  a = tp[x - 1]; c = tn[x + 1];
+  e = a > c ? a - c : c - a;
+  if (e < me) { mc2 = a + c; me = e; }
+  a = tp[x + 2]; c = tn[x - 2];
+  e = a > c ? a - c : c - a;
+  if (e < me) { mc2 = a + c; me = e; }
+  a = tp[x - 2]; c = tn[x + 2];
+  e = a > c ? a - c : c - a;
+  if (e < me) { mc2 = a + c; me = e; }
+  a = tp[x + 3]; c = tn[x - 3];
+  e = a > c ? a - c : c - a;
+  if (e < me) { mc2 = a + c; me = e; }
+  a = tp[x - 3]; c = tn[x + 3];
+  e = a > c ? a - c : c - a;
+  if (e < me) { mc2 = a + c; me = e; }
+  int lo2 = mc2 - 2 * me, hi2 = mc2 + 2 * me;
+  int mv2 = sp2 < lo2 ? lo2 : (sp2 > hi2 ? hi2 : sp2);
+  int w8 = 12 - m_dil;
+  if (w8 < 0) w8 = 0;
+  if (w8 > 8) w8 = 8;
+  int out16 = w8 * weave2 + (8 - w8) * mv2;
+  return (out16 + 8) >> 4;
+}
+
+}  // namespace
+
+namespace {
+
+// one 60p output frame's reconstruction (free function: every buffer is
+// an explicit parameter so the autovectorizer can reason about aliasing)
+static void mab_run_field(const uint8_t* prev, const uint8_t* cur,
+                          const uint8_t* next, int h2, int W, int tff,
+                          bool second, int* vm, uint8_t* dst) {
+  const bool keep_top = second ? !tff : !!tff;
+  const bool missing_top = !keep_top;
+  for (int y = 0; y < h2; y++) {
+    const uint8_t* k = cur + (size_t)(2 * y + (keep_top ? 0 : 1)) * W;
+    std::memcpy(dst + (size_t)(2 * y + (keep_top ? 0 : 1)) * W, k, W);
+  }
+  const uint8_t* src_a = second ? cur : prev;
+  const uint8_t* src_b = second ? next : cur;
+  const int weave_mode = second ? 1 : 0;
+  auto row = [&](const uint8_t* f, bool top, int y) {
+    int yy = y < 0 ? 0 : (y >= h2 ? h2 - 1 : y);
+    return f + (size_t)(2 * yy + (top ? 0 : 1)) * W;
+  };
+  for (int y = 0; y < h2; y++) {
+    const uint8_t* above;
+    const uint8_t* below;
+    if (!missing_top) {
+      above = row(cur, true, y);
+      below = row(cur, true, y + 1);
+    } else {
+      above = row(cur, false, y - 1);
+      below = row(cur, false, y);
+    }
+    const uint8_t* tp = row(src_a, missing_top, y);
+    const uint8_t* tn = row(src_b, missing_top, y);
+    {  // vertical max of |src_a - src_b| over field rows y-1..y+1
+      const uint8_t* a0 = row(src_a, missing_top, y - 1);
+      const uint8_t* b0 = row(src_b, missing_top, y - 1);
+      const uint8_t* a2 = row(src_a, missing_top, y + 1);
+      const uint8_t* b2 = row(src_b, missing_top, y + 1);
+      for (int x = 0; x < W; x++) {
+        int d0 = (int)a0[x] - (int)b0[x];
+        if (d0 < 0) d0 = -d0;
+        int d1 = (int)tp[x] - (int)tn[x];
+        if (d1 < 0) d1 = -d1;
+        int d2 = (int)a2[x] - (int)b2[x];
+        if (d2 < 0) d2 = -d2;
+        int m = d0 > d1 ? d0 : d1;
+        vm[x] = m > d2 ? m : d2;
+      }
+    }
+    uint8_t* d = dst + (size_t)(2 * y + (missing_top ? 0 : 1)) * W;
+    // interior: fixed-offset accesses only (autovectorizable)
+    if (weave_mode) {
+      for (int x = 3; x < W - 3; x++) {
+        int v = vm[x - 1] > vm[x] ? vm[x - 1] : vm[x];
+        int m_dil = v > vm[x + 1] ? v : vm[x + 1];
+        d[x] = (uint8_t)mab_pixel_fast(above, below, tp, tn, x,
+                                       tp[x] + tn[x], m_dil);
+      }
+    } else {
+      for (int x = 3; x < W - 3; x++) {
+        int v = vm[x - 1] > vm[x] ? vm[x - 1] : vm[x];
+        int m_dil = v > vm[x + 1] ? v : vm[x + 1];
+        d[x] = (uint8_t)mab_pixel_fast(above, below, tp, tn, x,
+                                       2 * tn[x], m_dil);
+      }
+    }
+    // borders: clamped copies into small stack windows
+    auto cl = [&](int v) { return v < 0 ? 0 : (v >= W ? W - 1 : v); };
+    for (int xi = 0; xi < 6; xi++) {
+      int x = xi < 3 ? xi : W - 6 + xi;
+      if (x < 0 || x >= W || (x >= 3 && x < W - 3)) continue;
+      uint8_t ab[7], bb[7], tpb[7], tnb[7];
+      for (int i = 0; i < 7; i++) {
+        int xx = cl(x - 3 + i);
+        ab[i] = above[xx];
+        bb[i] = below[xx];
+        tpb[i] = tp[xx];
+        tnb[i] = tn[xx];
+      }
+      int v = vm[cl(x - 1)] > vm[x] ? vm[cl(x - 1)] : vm[x];
+      int m_dil = v > vm[cl(x + 1)] ? v : vm[cl(x + 1)];
+      int weave2 = weave_mode ? tpb[3] + tnb[3] : 2 * tnb[3];
+      d[x] = (uint8_t)mab_pixel_fast(ab, bb, tpb, tnb, 3, weave2, m_dil);
+    }
+  }
+}
+
+}  // namespace
+
+// prev/cur/next: [h][w] uint8; out: [2][h][w] (two 60p frames per input
+// frame, TFF: top-kept frame first).
+extern "C" void Amt_MotionBob(const uint8_t* prev, const uint8_t* cur,
+                              const uint8_t* next, int h, int w, int tff,
+                              uint8_t* out) {
+  const int h2 = h / 2;
+  if (w < 8 || w > 16384) return;
+  static thread_local std::vector<int> vm_buf;
+  vm_buf.resize(w);
+  mab_run_field(prev, cur, next, h2, w, tff, false, vm_buf.data(), out);
+  mab_run_field(prev, cur, next, h2, w, tff, true, vm_buf.data(),
+                out + (size_t)h * w);
 }

@@ -330,3 +330,24 @@ class TestHostTwinKernels:
                 jnp.asarray(nxt).astype(jnp.float32), parity))
             dev_u8 = np.clip(np.floor(dev + 0.5), 0, 255).astype(np.uint8)
             assert np.array_equal(host, dev_u8), f"parity {parity}"
+
+    def test_motion_bob_host_matches_device_exactly(self):
+        from amatsukaze_tpu.ops.deint import (
+            motion_adaptive_bob,
+            motion_bob_host,
+        )
+
+        rng = np.random.default_rng(9)
+        cur = rng.integers(0, 256, (5, H, W), dtype=np.uint8)
+        prev = np.concatenate([cur[:1], cur[:-1]])
+        nxt = np.concatenate([cur[1:], cur[-1:]])
+        for tff in (True, False):
+            host = motion_bob_host(prev, cur, nxt, tff)
+            if host is None:
+                pytest.skip("native library not built")
+            dev = np.asarray(motion_adaptive_bob(
+                jnp.asarray(prev).astype(jnp.float32),
+                jnp.asarray(cur).astype(jnp.float32),
+                jnp.asarray(nxt).astype(jnp.float32), tff))
+            dev_u8 = np.clip(np.floor(dev + 0.5), 0, 255).astype(np.uint8)
+            assert np.array_equal(host, dev_u8), f"tff {tff}"
