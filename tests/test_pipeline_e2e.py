@@ -1200,3 +1200,27 @@ class TestCachedFrameSourceEdges:
             frames_meta=meta, open_at=open_at)
         src.get_frame(5)
         assert src.get_frame(50)[0] == 9  # last frame substituted
+
+
+class TestResizeE2E:
+    def test_resize_through_cli_pipeline(self, env):
+        """--resize must change the encoder input dimensions + SAR
+        through the whole pipeline (ref EnableResize -> BlackmanResize +
+        MakeOutFormat SAR reset)."""
+        ctx, conf, tmp = env
+        conf.filter_mode = "yadif"
+        conf.resize_width, conf.resize_height = 64, 48
+        settings = Settings(ctx, conf)
+        pipe = TranscodePipeline(ctx, settings,
+                                 decoder_factory=NullDecoderFactory())
+        report = pipe.run()
+        data = open(report["outfiles"][0]["path"], "rb").read()
+        header = data[:data.index(b"\n")].decode()
+        assert "W64" in header and "H48" in header
+        assert "A1:1" in header  # SAR reset to square
+        fsize = 64 * 48 * 3 // 2
+        assert data.count(b"FRAME\n") == 89
+        # frame payloads really are the resized size
+        first = data.index(b"FRAME\n") + 6
+        second = data.index(b"FRAME\n", first)
+        assert second - first == fsize
