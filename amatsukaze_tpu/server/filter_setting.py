@@ -112,6 +112,7 @@ def filter_setting_args(fs: FilterSetting) -> list[str]:
         args += ["--post-filter", ",".join(post)]
     if fs.enable_resize and fs.resize_width and fs.resize_height:
         args += ["--resize", f"{fs.resize_width}x{fs.resize_height}"]
-    if mode.startswith("kfm") and not fs.kfm_enable_ucf:
+    if (mode in ("kfm_vfr", "kfm_vfr30", "kfm_cfr24", "svp", "autovfr")
+            and not fs.kfm_enable_ucf):
         args += ["--kfm-no-ucf"]
     return args

@@ -867,6 +867,36 @@ class EncodeServer:
             self.queue.resource_manager.set_gpu_resources(
                 self.setting.num_devices, self.setting.device_caps)
             return {"ok": True}
+        if method == "GetServices":
+            # service list aggregated from probed queue items + the logo
+            # directory's per-service .lgd files (ref the GUI's service
+            # management pane over ServiceSettings)
+            services: dict[int, dict] = {}
+            for e in self.entries.values():
+                if e.service_id > 0:
+                    svc = services.setdefault(
+                        e.service_id, {"service_id": e.service_id,
+                                       "name": "", "logos": []})
+                    if e.service_name:
+                        svc["name"] = e.service_name
+            from ..models.lgd import load_lgd
+
+            for name in sorted(os.listdir(self.logo_dir())):
+                if not name.endswith(".lgd"):
+                    continue
+                try:
+                    logo = load_lgd(os.path.join(self.logo_dir(), name))
+                except (OSError, ValueError):
+                    continue
+                sid = getattr(logo.header, "service_id", -1)
+                if sid > 0:
+                    svc = services.setdefault(
+                        sid, {"service_id": sid, "name": "", "logos": []})
+                    svc["logos"].append(name)
+                    if not svc["name"] and logo.header.name != "No Name":
+                        svc["name"] = logo.header.name
+            return sorted(services.values(),
+                          key=lambda s_: s_["service_id"])
         if method == "GetAutoSelect":
             return self.auto_select
         if method == "SetAutoSelect":

@@ -1225,3 +1225,22 @@ class TestServiceLogoAutoSelect:
             assert "--logo" not in args
 
         run(main())
+
+
+class TestServicesView:
+    def test_get_services_aggregates(self, ctx, tmp_path):
+        async def main():
+            from amatsukaze_tpu.server.server import EncodeServer
+
+            server = EncodeServer(ctx, data_dir=str(tmp_path / "d"))
+            TestServiceLogoAutoSelect()._lgd(
+                os.path.join(server.logo_dir(), "nhk.lgd"), 1024)
+            e = server.add_queue(str(tmp_path / "a.ts"),
+                                 str(tmp_path / "o"), "default",
+                                 service_id=1024)
+            e.service_name = "NHK G"
+            svcs = await server.handle_request("GetServices", {})
+            assert svcs == [{"service_id": 1024, "name": "NHK G",
+                             "logos": ["nhk.lgd"]}]
+
+        run(main())
