@@ -247,9 +247,12 @@ _ROWS = 12
 
 
 def _ass_time(t: float) -> str:
-    h = int(t // 3600)
-    m = int(t % 3600 // 60)
-    return f"{h}:{m:02d}:{t % 60:05.2f}"
+    # format from integral centiseconds so 59.999 never rounds to an
+    # invalid ":60.00" seconds field
+    cs = round(t * 100)
+    h, cs = divmod(cs, 360000)
+    m, cs = divmod(cs, 6000)
+    return f"{h}:{m:02d}:{cs // 100:02d}.{cs % 100:02d}"
 
 
 def _esc(text: str) -> str:

@@ -177,9 +177,7 @@ class JlsDecider:
         # 2. blocks between cuts; CM-unit-sized blocks are CM candidates
         blocks = list(zip(cuts, cuts[1:]))
 
-        def is_cm_unit(nframes: int) -> bool:
-            sec = nframes / fps
-            return any(abs(sec - u) <= o.unit_tolerance for u in o.cm_units)
+        is_cm_unit = self.is_cm_unit
 
         cm_flags = []
         for s, e in blocks:

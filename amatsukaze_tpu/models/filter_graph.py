@@ -333,11 +333,14 @@ class FilterGraph:
                 carry = arr[-1]
                 got += len(c)
                 yield c
-            # pad a section that came up short (decoder EOF) so the
-            # merged cost list stays index-aligned
+            # pad a section that came up short (decoder EOF / corrupt
+            # keyframe) so the merged cost list stays index-aligned
             want = sec_end - sec_start
-            if got < want and got > 0:
-                yield np.repeat(c[-1:], want - got, axis=0)
+            if got < want:
+                if got > 0:
+                    yield np.repeat(np.asarray(c)[-1:], want - got, axis=0)
+                else:
+                    yield np.zeros((want, 3), np.float32)
 
         per_section: list[list[np.ndarray]] = [[] for _ in bounds]
         for i, item in ordered_parallel(
@@ -349,8 +352,16 @@ class FilterGraph:
                 with open(f"{log_prefix}.autovfr{i + 1}.log", "w") as f:
                     f.write(f"# section {bounds[i][0]}-{bounds[i][1]}\n"
                             f"frames={rows}\n")
-        all_costs = np.concatenate(
-            [c for chunks in per_section for c in chunks])[:num_frames]
+        chunks_flat = [c for chunks in per_section for c in chunks]
+        if chunks_flat and isinstance(chunks_flat[0], np.ndarray):
+            all_costs = np.concatenate(chunks_flat)[:num_frames]
+        else:
+            # device buffers: concatenate ON DEVICE, one fetch (same
+            # round-trip economics as analyze())
+            import jax.numpy as jnp
+
+            all_costs = np.asarray(
+                jnp.concatenate(chunks_flat))[:num_frames]
         if sections_log is not None:
             sections_log.extend(bounds)
         self._finish_analysis(all_costs, num_frames)

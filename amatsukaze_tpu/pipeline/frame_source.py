@@ -73,9 +73,12 @@ class CachedFrameSource:
         """ref registerFailedFrames (AMTSource.hpp:649-658): substitute
         map + hard error past 10% undecodable frames."""
         begin = max(0, begin)
+        replace = max(0, replace)
+        if self.frames_meta:
+            replace = min(replace, len(self.frames_meta) - 1)
         count = 0
         for f in range(begin, end):
-            if f not in self.failed:
+            if f != replace and f not in self.failed:
                 self.failed[f] = replace
                 count += 1
         if count and self.ctx is not None:
@@ -143,9 +146,11 @@ class CachedFrameSource:
                 self._register_failed(n, max(n + 1, self._pos),
                                       self._last_decoded())
                 return
-            # back off to an earlier keyframe (ref :770)
+            # back off to an earlier keyframe (ref :770), re-snapped
+            # onto that frame's actual keyframe (short GOPs would
+            # otherwise land mid-GOP and desync the cached indices)
             key -= max(5, key - meta[key - 1].key_frame)
-            key = max(0, key)
+            key = meta[max(0, key)].key_frame
 
     # ------------------------------------------------------------------- API
     def get_frame(self, n: int):

@@ -562,9 +562,10 @@ class TranscodePipeline:
 
             with open(st.tmp_chapter_exe_path(v), "w") as f:
                 f.write(format_scene_changes_text(scene_changes, []))
-        cmd += ["-inscp", st.tmp_chapter_exe_path(v),
-                "-incmd", st.conf.jls_cmd_path,
-                "-o", st.tmp_trim_avs_path(v),
+        cmd += ["-inscp", st.tmp_chapter_exe_path(v)]
+        if st.conf.jls_cmd_path:  # the reference adds -incmd only when
+            cmd += ["-incmd", st.conf.jls_cmd_path]  # a JL file is set
+        cmd += ["-o", st.tmp_trim_avs_path(v),
                 "-oscp", st.tmp_jls_path(v),
                 "-odiv", st.tmp_div_path(v)]
         cmd += shlex.split(st.conf.jls_options)

@@ -97,7 +97,7 @@ def filter_setting_args(fs: FilterSetting) -> list[str]:
     mode = filter_mode_of(fs)
     if mode != "none":
         args += ["--filter-mode", mode]
-    if mode == "autovfr" and fs.auto_vfr_parallel > 1:
+    if mode == "autovfr" and fs.auto_vfr_parallel >= 1:
         args += ["--autovfr-parallel", str(fs.auto_vfr_parallel)]
     post = []
     if fs.enable_deblock:

@@ -181,11 +181,17 @@ class WebServer:
             opener = getattr(self.es, "logo_frame_source", None) \
                 or self.es._default_logo_frames
 
+            # open once: prime the first iterator AND read the
+            # dimensions from the same decode (restarts re-open)
+            frames0, w, h = opener(src)
+            primed = [iter(frames0)]
+
             def open_stream():
+                if primed:
+                    return primed.pop()
                 frames, _w, _h = opener(src)
                 return iter(frames)
 
-            _, w, h = opener(src)
             cached = (src, CachedFrameSource(open_stream, cache_frames=8),
                       w, h)
             self._frame_src = cached

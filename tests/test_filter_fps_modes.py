@@ -287,6 +287,28 @@ class TestAutoVfr:
             results.append([(d.mode, d.phase) for d in fg.decisions])
         assert results[0] == results[1] == results[2]
 
+    def test_empty_section_padded(self):
+        """A section whose decoder yields NOTHING (corrupt keyframe)
+        must still contribute `want` cost rows so later sections stay
+        index-aligned (regression: only short-but-nonempty sections
+        were padded)."""
+        frames = telecined_frames(40)
+
+        def opener(start, end):
+            if start >= 20:
+                return iter([])  # second section: decoder dead
+            return iter(frames[max(0, start):end])
+
+        fg = FilterGraph(AMTContext(level="error"),
+                         mode=FilterGraph.MODE_AUTOVFR, batch=16)
+        fg.analyze_autovfr(opener, len(frames), parallel=2)
+        assert len(fg.decisions) > 0
+        # the first (healthy) section's decisions match the reference
+        ref = analyzed_graph(FilterGraph.MODE_KFM_VFR, frames[:20])
+        n = min(len(ref.decisions), len(fg.decisions))
+        assert [(d.mode, d.phase) for d in fg.decisions[:4]] == \
+               [(d.mode, d.phase) for d in ref.decisions[:4]]
+
     def test_file_contracts(self, tmp_path):
         frames = telecined_frames(30) + interlaced_video_frames(30)
         fg = FilterGraph(AMTContext(level="error"),

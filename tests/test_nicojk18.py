@@ -218,6 +218,14 @@ class TestConvAss:
         assert abs(dialogues[0].start / MPEG_CLOCK_HZ - 5.0) < 0.02
         assert "first" in dialogues[0].line
 
+    def test_ass_time_never_emits_60_seconds(self):
+        from amatsukaze_tpu.captions.nicojk18 import _ass_time
+
+        assert _ass_time(59.999) == "0:01:00.00"
+        assert _ass_time(3599.996) == "1:00:00.00"
+        assert _ass_time(61.5) == "0:01:01.50"
+        assert _ass_time(0.004) == "0:00:00.00"
+
     def test_pre_start_comments_dropped(self):
         chats = [Chat(BASE_DATE - 5, 1, 1, "early", "")]
         ass = chats_to_ass(chats, BASE_DATE)

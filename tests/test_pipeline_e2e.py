@@ -726,6 +726,45 @@ open(val('-odiv'), 'w').write('45\\n')
 
         assert parse_trim_avs(line, 90) == [0, 30, 60, 89]
 
+    FAKE_JLS_ARGS = """#!/usr/bin/env python3
+import sys
+args = sys.argv[1:]
+def val(flag):
+    return args[args.index(flag) + 1] if flag in args else ''
+open(val('-o'), 'w').write('Trim(0,88)\\n')
+open(val('-oscp'), 'w').write('0 S 0 0\\n')
+open(val('-odiv'), 'w').write('\\n')
+import os
+open(os.environ['ARGS_OUT'], 'w').write('\\n'.join(args))
+"""
+
+    def test_incmd_only_when_configured(self, env, monkeypatch):
+        """-incmd must be OMITTED when no JL command file is set
+        (the reference only adds it alongside a configured JL file);
+        with jls_cmd_path set it must be passed through."""
+        ctx, conf, tmp = env
+        conf.mode = "cm"
+        conf.jls_path = self._tool(tmp, "fake_jls", self.FAKE_JLS_ARGS)
+        argfile = tmp / "args.txt"
+        monkeypatch.setenv("ARGS_OUT", str(argfile))
+        settings = Settings(ctx, conf)
+        TranscodePipeline(ctx, settings,
+                          decoder_factory=NullDecoderFactory()).run()
+        assert "-incmd" not in argfile.read_text().splitlines()
+
+        ctx2, conf2, _ = env
+        conf2.mode = "cm"
+        conf2.jls_path = conf.jls_path
+        cmd_file = tmp / "mycmd.txt"
+        cmd_file.write_text("")
+        conf2.jls_cmd_path = str(cmd_file)
+        settings2 = Settings(ctx2, conf2)
+        TranscodePipeline(ctx2, settings2,
+                          decoder_factory=NullDecoderFactory()).run()
+        lines = argfile.read_text().splitlines()
+        assert "-incmd" in lines
+        assert lines[lines.index("-incmd") + 1] == str(cmd_file)
+
     def test_failing_tool_raises(self, env):
         ctx, conf, tmp = env
         conf.mode = "cm"
@@ -1200,6 +1239,51 @@ class TestCachedFrameSourceEdges:
             frames_meta=meta, open_at=open_at)
         src.get_frame(5)
         assert src.get_frame(50)[0] == 9  # last frame substituted
+
+
+    def test_backoff_resnaps_onto_keyframe(self):
+        """With GOPs shorter than the fixed 5-frame back-off step, a
+        retry must land on a real keyframe (regression: key -= max(5,..)
+        could land mid-GOP and desync every cached index)."""
+        from amatsukaze_tpu.pipeline.frame_source import CachedFrameSource
+        from amatsukaze_tpu.reform.stream_reform import FilterSourceFrame
+
+        meta = [FilterSourceFrame(key_frame=(i // 3) * 3, file_offset=i)
+                for i in range(30)]
+        opened = []
+        fail_first = [True]
+
+        def open_at(k, off):
+            opened.append(k)
+            assert meta[k].key_frame == k, f"seek to non-keyframe {k}"
+            if fail_first[0]:
+                fail_first[0] = False
+                raise IOError("corrupt GOP")
+            return iter([(i, 0, 0) for i in range(k, 30)])
+
+        src = CachedFrameSource(lambda: iter([]), frames_meta=meta,
+                                open_at=open_at, seek_distance=1)
+        assert src.get_frame(27)[0] == 27
+        assert len(opened) == 2 and opened[1] < opened[0]
+
+    def test_head_failure_has_no_negative_substitute(self):
+        """When nothing at all decodes, the failed-frame map must not
+        point at -1 (regression: substitute could chase meta[-1])."""
+        from amatsukaze_tpu.pipeline.frame_source import CachedFrameSource
+        from amatsukaze_tpu.reform.stream_reform import FilterSourceFrame
+
+        meta = [FilterSourceFrame(key_frame=0, file_offset=0)
+                for _ in range(10)]
+
+        def open_at(k, off):
+            raise IOError("dead stream")
+
+        src = CachedFrameSource(lambda: iter([]), frames_meta=meta,
+                                open_at=open_at, seek_distance=1)
+        with pytest.raises(IndexError):
+            src.get_frame(3)
+        assert all(v >= 0 for v in src.failed.values())
+        assert all(k != v for k, v in src.failed.items())
 
 
 class TestResizeE2E:
