@@ -138,7 +138,9 @@ class SliceQpExtractor:
         saw_picture = False
         while i + 4 <= n:
             if not (es[i] == 0 and es[i + 1] == 0 and es[i + 2] == 1):
-                i += 1
+                i = es.find(b"\x00\x00\x01", i)  # C-speed resync
+                if i == -1 or i + 4 > n:
+                    break
                 continue
             code = es[i + 3]
             r = BitReader(es, (i + 4) * 8)
@@ -212,13 +214,12 @@ def iter_picture_chunks(es: bytes):
     es = bytes(es)
     n = len(es)
     starts = []  # (offset, code)
-    i = 0
-    while i + 4 <= n:
-        if es[i] == 0 and es[i + 1] == 0 and es[i + 2] == 1:
-            starts.append((i, es[i + 3]))
-            i += 4
-        else:
-            i += 1
+    # bytes.find runs at C speed — a per-byte Python loop here costs
+    # more than the native decode of the pictures being split
+    i = es.find(b"\x00\x00\x01")
+    while i != -1 and i + 4 <= n:
+        starts.append((i, es[i + 3]))
+        i = es.find(b"\x00\x00\x01", i + 4)
     pic_indices = [k for k, (_, c) in enumerate(starts) if c == 0x00]
     for pi, k in enumerate(pic_indices):
         # attach leading headers back to the previous slice/picture end
@@ -280,7 +281,13 @@ def extract_ps_video_es(data: bytes, return_consumed: bool = False):
     n = len(data)
     while i + 4 <= n:
         if not (data[i] == 0 and data[i + 1] == 0 and data[i + 2] == 1):
-            i += 1
+            nxt = data.find(b"\x00\x00\x01", i)  # C-speed resync
+            if nxt == -1 or nxt + 4 > n:
+                # keep up to 3 tail bytes: a start code may straddle
+                # the chunk boundary (same retention as the byte loop)
+                consumed = max(consumed, max(i, n - 3))
+                break
+            i = nxt
             consumed = i
             continue
         code = data[i + 3]
