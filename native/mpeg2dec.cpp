@@ -9,11 +9,14 @@
 // Amatsukaze/AMTSource.hpp:97-152); this is the standalone equivalent.
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <deque>
 #include <memory>
 #include <mutex>
+#include <thread>
 #include <vector>
 
 #ifdef __AVX2__
@@ -574,7 +577,7 @@ struct Decoder {
   int cur_first_parity = 0;
   bool in_second_field = false;
   bool have_i = false;
-  int64_t errors = 0;
+  std::atomic<int64_t> errors{0};  // slices may decode concurrently
   std::deque<std::unique_ptr<OutFrame>> outq;
 
   Decoder() { std::call_once(g_once, init_tables); }
@@ -600,6 +603,17 @@ struct Decoder {
     int32_t wq_intra[64];
     int32_t wq_non[64];
   };
+
+  // decode worker count: AMATSUKAZE_DECODE_THREADS, else the hardware
+  // concurrency (slice-parallel decode; 1 disables threading)
+  static int slice_threads() {
+    static int n = [] {
+      const char* e = std::getenv("AMATSUKAZE_DECODE_THREADS");
+      if (e && *e) return std::max(1, std::atoi(e));
+      return (int)std::max(1u, std::thread::hardware_concurrency());
+    }();
+    return n;
+  }
 
   void refresh_wq(SliceState& st) {
     for (int i = 0; i < 64; i++) {
@@ -1452,9 +1466,41 @@ struct Decoder {
     st.qs = 2;
     refresh_wq(st);
 
-    for (auto& s : slices) {
-      BitReader r{data, s.second.first, s.second.second, false};
-      decode_slice(r, st, s.first);
+    int nthreads = std::min<int>((int)slices.size(), slice_threads());
+    bool par = nthreads > 1 && !seq.mpeg1 && seq.height <= 2800;
+    if (par) {
+      // parallel only when every slice names a DISTINCT macroblock row
+      // (one slice per row is the conformant broadcast shape): each
+      // thread then writes its own rows exclusively and the output is
+      // bit-identical to the serial order. Multi-slice rows, MPEG-1
+      // row-crossing slices and tall (>2800) pictures decode serially.
+      std::vector<char> seen((size_t)st.mbh + 1, 0);
+      for (auto& s : slices) {
+        int vp = s.first;
+        if (vp < 1 || vp > st.mbh || seen[vp]) { par = false; break; }
+        seen[vp] = 1;
+      }
+    }
+    if (par) {
+      std::atomic<size_t> next{0};
+      std::vector<std::thread> pool;
+      pool.reserve(nthreads);
+      for (int t = 0; t < nthreads; t++)
+        pool.emplace_back([&]() {
+          SliceState lst = st;  // all prediction state resets per slice
+          for (size_t k = next.fetch_add(1); k < slices.size();
+               k = next.fetch_add(1)) {
+            BitReader r{data, slices[k].second.first,
+                        slices[k].second.second, false};
+            decode_slice(r, lst, slices[k].first);
+          }
+        });
+      for (auto& th : pool) th.join();
+    } else {
+      for (auto& s : slices) {
+        BitReader r{data, s.second.first, s.second.second, false};
+        decode_slice(r, st, s.first);
+      }
     }
 
     if (frame_pic) {

@@ -7,6 +7,8 @@ byte-identical. Corrupted streams must never crash either engine.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
@@ -223,3 +225,42 @@ def test_differential_422(gop):
     cfg = EncConfig(64, 48, qs=4, chroma_format=2, progressive=True)
     es = Mpeg2TestEncoder(cfg).encode(frames, gop)
     _assert_equal(decode_es(es), decode_es_native(es))
+
+
+def test_slice_parallel_decode_bit_identical():
+    """AMATSUKAZE_DECODE_THREADS > 1 decodes slices concurrently; output
+    must be bit-identical to serial decode (each conformant MPEG-2 slice
+    owns its macroblock row; the engine falls back to serial otherwise).
+    Thread count is latched per process, so compare across
+    subprocesses."""
+    import subprocess
+    import sys
+    import tempfile
+
+    cfg = EncConfig(96, 64, qs=6, progressive=False, search=1)
+    frames = synth_frames(96, 64, 6)
+    es = Mpeg2TestEncoder(cfg).encode(frames, "IPBPBP")
+    with tempfile.NamedTemporaryFile(suffix=".es", delete=False) as f:
+        f.write(es)
+        path = f.name
+    code = (
+        "import sys, hashlib\n"
+        "sys.path.insert(0, %r)\n"
+        "from amatsukaze_tpu.video.native import decode_es_native\n"
+        "out = decode_es_native(open(sys.argv[1], 'rb').read())\n"
+        "h = hashlib.sha256()\n"
+        "for fr in out:\n"
+        "    h.update(fr.y.tobytes()); h.update(fr.u.tobytes())\n"
+        "    h.update(fr.v.tobytes())\n"
+        "print(len(out), h.hexdigest())\n"
+    ) % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = {}
+    for n in ("1", "3"):
+        env = dict(os.environ, AMATSUKAZE_DECODE_THREADS=n)
+        r = subprocess.run([sys.executable, "-c", code, path],
+                           capture_output=True, text=True, env=env)
+        assert r.returncode == 0, r.stderr
+        res[n] = r.stdout
+    os.unlink(path)
+    assert res["1"] == res["3"]
+    assert res["1"].split()[0] == "6"
