@@ -36,6 +36,12 @@ from ..utils.perf import Stopwatch
 from .settings import Encoder, Settings, make_encoder_args
 from .splitter import AMTSplitter
 
+
+def _link_slow() -> bool:
+    from ..utils.device import device_link_is_slow
+
+    return device_link_is_slow()
+
 try:  # device compute is optional at import time (CLI --help etc.)
     from ..ops import cm as cm_ops
 except Exception:  # pragma: no cover
@@ -386,6 +392,11 @@ class TranscodePipeline:
                     forced = os.environ.get("AMATSUKAZE_SCENE_METRICS")
                     if forced in ("host", "device"):
                         state["host_metrics"] = forced == "host"
+                    elif _link_slow():
+                        # the shared probe is timeout-protected (a DEAD
+                        # link would hang the in-process upload probe
+                        # below forever); slow/dead -> host twin
+                        state["host_metrics"] = True
                     else:
                         jnp.asarray(
                             np.zeros_like(pend[0])).block_until_ready()

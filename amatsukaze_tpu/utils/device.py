@@ -32,41 +32,75 @@ def device_link_is_slow(threshold_ms: float = 20.0) -> bool:
         return False
     if _cached is not None:
         return _cached
-    try:
-        import jax
-        import jax.numpy as jnp
-        import numpy as np
 
-        f = jax.jit(lambda a: a + 1)
-        # warm: attach + compile are one-time costs, not link latency
-        np.asarray(f(jnp.asarray(np.zeros((256, 1024), np.uint8))))
-        t0 = time.time()
-        x = jnp.asarray(np.ones((256, 1024), np.uint8))
-        np.asarray(f(x))  # small round: latency
-        dt_ms = (time.time() - t0) * 1e3
-        if dt_ms > threshold_ms:
-            _cached = True  # latency alone disqualifies; skip the
-        else:               # (possibly very slow) bandwidth rounds
-            # frame-sized payload: one 1440x1088 luma plane (~1.5 MB
-            # each way) measures bandwidth as well as latency — a
-            # tunneled device can answer the small probe in a few ms
-            # yet sustain only ~10 MB/s of bulk transfer. The first
-            # frame-sized round includes the shape's compile; if it
-            # passes anyway the link is definitely fast, otherwise one
-            # compile-cached round decides.
-            t0 = time.time()
-            x = jnp.asarray(np.ones((1088, 1440), np.uint8))
-            np.asarray(f(x))
-            dt_ms = (time.time() - t0) * 1e3
-            if dt_ms > threshold_ms:
-                t0 = time.time()
-                x = jnp.asarray(np.ones((1088, 1440), np.uint8))
-                np.asarray(f(x))
-                dt_ms = (time.time() - t0) * 1e3
-            _cached = dt_ms > threshold_ms
-    except Exception:  # noqa: BLE001 - no usable device: host it is
+    # a dead/hung link would block the first device round forever, and
+    # a thread abandoned inside a blocked XLA call aborts the process
+    # at interpreter shutdown — so the probe runs in a SUBPROCESS that
+    # can be killed cleanly. "No answer within the budget" IS the
+    # answer (slow). AMATSUKAZE_PROBE_INPROCESS=1 skips the isolation
+    # (trusted links; avoids the subprocess startup cost).
+    budget = float(os.environ.get("AMATSUKAZE_PROBE_TIMEOUT", "60"))
+    if os.environ.get("AMATSUKAZE_PROBE_INPROCESS"):
+        try:
+            _cached = _measure(threshold_ms)
+        except Exception:  # noqa: BLE001 - no usable device: host it is
+            _cached = True
+        return _cached
+    import subprocess
+    import sys
+
+    try:
+        # the device plugin can override the JAX_PLATFORMS env var, so
+        # re-assert the parent's platform choice via jax.config
+        code = (
+            "import os, jax\n"
+            "p = os.environ.get('JAX_PLATFORMS')\n"
+            "if p:\n"
+            "    jax.config.update('jax_platforms', p)\n"
+            "from amatsukaze_tpu.utils.device import _measure\n"
+            f"print(int(_measure({threshold_ms})))\n")
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=budget,
+            cwd=os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))))
+        _cached = bool(int(r.stdout.strip())) if r.returncode == 0 else True
+    except (subprocess.TimeoutExpired, OSError, ValueError):
         _cached = True
     return _cached
+
+
+def _measure(threshold_ms: float) -> bool:
+    """One probe measurement (may block forever on a dead link — call
+    via device_link_is_slow, which isolates it in a subprocess)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    f = jax.jit(lambda a: a + 1)
+    # warm: attach + compile are one-time costs, not link latency
+    np.asarray(f(jnp.asarray(np.zeros((256, 1024), np.uint8))))
+    t0 = time.time()
+    x = jnp.asarray(np.ones((256, 1024), np.uint8))
+    np.asarray(f(x))  # small round: latency
+    dt_ms = (time.time() - t0) * 1e3
+    if dt_ms > threshold_ms:
+        return True  # latency alone disqualifies; skip the
+    # (possibly very slow) bandwidth rounds.
+    # frame-sized payload: one 1440x1088 luma plane (~1.5 MB each way)
+    # measures bandwidth as well as latency — a tunneled device can
+    # answer the small probe in a few ms yet sustain only ~10 MB/s of
+    # bulk transfer. The first frame-sized round includes the shape's
+    # compile; if it passes anyway the link is definitely fast,
+    # otherwise one compile-cached round decides.
+    for _ in range(2):
+        t0 = time.time()
+        x = jnp.asarray(np.ones((1088, 1440), np.uint8))
+        np.asarray(f(x))
+        dt_ms = (time.time() - t0) * 1e3
+        if dt_ms <= threshold_ms:
+            return False
+    return True
 
 
 def _reset_probe_cache() -> None:

@@ -23,6 +23,50 @@ import numpy as np
 
 
 def main() -> None:
+    """Prints ONE JSON line. The device micro-bench runs in a killable
+    subprocess: a dead/hung device link then yields a JSON line with
+    value 0 and a device_error note (plus the host-side e2e numbers)
+    instead of hanging the whole benchmark run."""
+    import os
+    import subprocess
+    import sys
+
+    kernel_only = "--kernel-only" in sys.argv
+    if kernel_only or os.environ.get("AMATSUKAZE_BENCH_INPROCESS"):
+        result = kernel_bench()
+    else:
+        budget = float(os.environ.get(
+            "AMATSUKAZE_BENCH_DEVICE_TIMEOUT", "1200"))
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--kernel-only"],
+                capture_output=True, text=True, timeout=budget)
+            line = (r.stdout.strip().splitlines() or [""])[-1]
+            result = json.loads(line) if r.returncode == 0 else None
+            if result is None:
+                result = _kernel_error(
+                    f"rc={r.returncode}: {r.stderr.strip()[-300:]}")
+        except subprocess.TimeoutExpired:
+            result = _kernel_error(
+                f"device bench exceeded {budget:.0f}s (hung link?)")
+        except (OSError, ValueError) as e:
+            result = _kernel_error(f"{type(e).__name__}: {e}")
+    if not kernel_only and not os.environ.get("AMATSUKAZE_BENCH_NO_E2E"):
+        try:
+            result["e2e"] = bench_e2e()
+        except Exception as e:  # noqa: BLE001 - kernel number must survive
+            result["e2e"] = {"error": f"{type(e).__name__}: {e}"}
+    print(json.dumps(result))
+
+
+def _kernel_error(msg: str) -> dict:
+    return {"metric": "filtered_1080i_fps_per_chip", "value": 0.0,
+            "unit": "frames/sec", "vs_baseline": 0.0,
+            "device_error": msg}
+
+
+def kernel_bench() -> dict:
     import jax
     import jax.numpy as jnp
     from amatsukaze_tpu.ops import logo as logo_ops
@@ -116,20 +160,12 @@ def main() -> None:
     per_batch = (times[41] - times[1]) / 40
     fps = BATCH / per_batch
     baseline = 2000.0
-    result = {
+    return {
         "metric": "filtered_1080i_fps_per_chip",
         "value": round(fps, 1),
         "unit": "frames/sec",
         "vs_baseline": round(fps / baseline, 3),
     }
-    import os
-
-    if not os.environ.get("AMATSUKAZE_BENCH_NO_E2E"):
-        try:
-            result["e2e"] = bench_e2e()
-        except Exception as e:  # noqa: BLE001 - kernel number must survive
-            result["e2e"] = {"error": f"{type(e).__name__}: {e}"}
-    print(json.dumps(result))
 
 
 def bench_e2e() -> dict:
