@@ -214,8 +214,6 @@ class FilterGraph:
 
     def _finish_analysis(self, all_costs,
                          num_frames: int) -> None:
-        import jax.numpy as jnp
-
         from ..ops import deint as deint_ops
 
         # per-batch results may still be device buffers (the analysis
@@ -232,9 +230,10 @@ class FilterGraph:
             all_costs = np.concatenate(
                 [all_costs, np.repeat(all_costs[-1:], pad, axis=0)]
             )
-        pattern = np.asarray(
-            deint_ops.telecine_pattern_costs(jnp.asarray(all_costs))
-        )
+        # the cost table is tiny and already fetched: aggregate on the
+        # host (a device round here would cost more than the math, and
+        # on a wedged tunneled link it hangs the pipeline)
+        pattern = deint_ops.telecine_pattern_costs_host(all_costs)
         self.frame_costs = all_costs
         self.decisions = self._make_decider().decide(pattern)
         plan_frames = num_frames

@@ -22,6 +22,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # ---------------------------------------------------------------------------
 # field handling
@@ -529,7 +530,7 @@ def bob_field_host(frames, top: bool) -> "np.ndarray":
 # possible phases, which frames of the cycle must field-match with their
 # predecessor (1) vs stand alone (0). Derived from the standard soft-telecine
 # field sequence TFF: [A A][A B][B C][C C][D D] -> frame 2 mixes fields.
-_PULLDOWN_MERGE = jnp.array(
+_PULLDOWN_MERGE_NP = np.array(
     [
         [0, 0, 1, 1, 0],
         [0, 0, 0, 1, 1],
@@ -537,8 +538,33 @@ _PULLDOWN_MERGE = jnp.array(
         [1, 1, 0, 0, 0],
         [0, 1, 1, 0, 0],
     ],
-    jnp.float32,
+    np.float32,
 )
+# note: the numpy constant is used directly inside the jitted function
+# (constant-folded at trace time) — a module-level jnp.array would
+# initialise the jax backend at import time, which blocks for the full
+# device-attach warm-up on a tunneled link even when the host twins
+# mean no device op ever runs.
+_PULLDOWN_MERGE = _PULLDOWN_MERGE_NP
+
+
+def telecine_pattern_costs_host(costs: np.ndarray) -> np.ndarray:
+    """Numpy twin of telecine_pattern_costs. The input is a tiny fetched
+    [N, 3] cost table, so production always aggregates on the host: a
+    device round trip here costs more than the whole computation (and on
+    a wedged tunneled link it would hang the pipeline)."""
+    costs = np.asarray(costs, np.float32)
+    n = costs.shape[0] // 5
+    c = costs[: n * 5].reshape(n, 5, 3)
+    as_is = c[:, :, 0]
+    merged = np.minimum(c[:, :, 1], c[:, :, 2])
+    phase_costs = merged @ _PULLDOWN_MERGE_NP.T \
+        + as_is @ (1.0 - _PULLDOWN_MERGE_NP).T
+    cost_30p = np.sum(as_is, axis=1)
+    cost_60p = np.sum(np.minimum(as_is, merged), axis=1)
+    return np.concatenate(
+        [phase_costs, cost_30p[:, None], cost_60p[:, None]], axis=1
+    ).astype(np.float32)
 
 
 @jax.jit

@@ -35,8 +35,11 @@ def main() -> None:
     if kernel_only or os.environ.get("AMATSUKAZE_BENCH_INPROCESS"):
         result = kernel_bench()
     else:
+        # a full device run on the tunneled dev chip costs ~13 min
+        # (attach + uncached Mosaic compiles); the budget only exists to
+        # catch a WEDGED link, so leave generous headroom over that
         budget = float(os.environ.get(
-            "AMATSUKAZE_BENCH_DEVICE_TIMEOUT", "1200"))
+            "AMATSUKAZE_BENCH_DEVICE_TIMEOUT", "2400"))
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),

@@ -250,6 +250,44 @@ class TestHostTwin:
             assert np.array_equal(a, b), f"batch at {s}"
             prev = frames[min(s + 15, 49)]
 
+    def test_host_path_never_initialises_a_jax_backend(self):
+        """On a wedged tunneled device a SINGLE stray device op (or a
+        module-level jnp constant) blocks for the whole device-attach
+        warm-up — the bench cold run once lost 1016 s to one. With the
+        host backend forced, a full analyze + synthesis pass must
+        succeed even when no jax backend can be initialised at all."""
+        import os
+        import subprocess
+        import sys
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        code = (
+            "import numpy as np\n"
+            "from amatsukaze_tpu.models.filter_graph import FilterGraph\n"
+            "from amatsukaze_tpu.utils.context import AMTContext\n"
+            "rng = np.random.default_rng(0)\n"
+            "frames = [rng.integers(0, 256, (64, 96)).astype(np.uint8)\n"
+            "          for _ in range(25)]\n"
+            "fg = FilterGraph(AMTContext(level='error'),\n"
+            "                 mode=FilterGraph.MODE_KFM_VFR, batch=16)\n"
+            "fg.quantize_output = True\n"
+            "fg.analyze(iter(frames), 25)\n"
+            "prev = None\n"
+            "for s in range(0, 25, 16):\n"
+            "    chunk = np.stack(frames[s:s + 16])\n"
+            "    out = fg.run_kfm_batch(chunk, prev, s, plane=0,\n"
+            "                           final=s + 16 >= 25)\n"
+            "    prev = frames[min(s + 15, 24)]\n"
+            "print('HOSTPATH_OK')\n")
+        env = dict(os.environ)
+        env.update({"AMATSUKAZE_FILTER_BACKEND": "host",
+                    # any backend lookup raises: proves zero device use
+                    "JAX_PLATFORMS": "no_such_platform",
+                    "PYTHONPATH": repo})
+        r = subprocess.run([sys.executable, "-c", code], env=env,
+                           capture_output=True, text=True, timeout=120)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "HOSTPATH_OK" in r.stdout
+
     def test_probe_env_override(self, monkeypatch):
         from amatsukaze_tpu.utils import device as dev_mod
 

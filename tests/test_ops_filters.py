@@ -282,6 +282,14 @@ class TestHostTwinKernels:
         host = deint_ops.field_match_costs_host(arr)
         assert np.allclose(dev, host, rtol=1e-5, atol=1e-3)
 
+    def test_telecine_pattern_costs_host_matches_device(self):
+        rng = np.random.default_rng(7)
+        costs = (rng.random((20, 3)) * 100).astype(np.float32)
+        dev = np.asarray(deint_ops.telecine_pattern_costs(
+            jnp.asarray(costs)))
+        host = deint_ops.telecine_pattern_costs_host(costs)
+        assert np.allclose(dev, host, rtol=1e-6, atol=1e-4)
+
     def test_kfm_synth_host_matches_float_path(self):
         from amatsukaze_tpu.models.filter_graph import (
             bob_field,
