@@ -521,12 +521,13 @@ class FilterGraph:
                                       frames.shape[1])
             return frames[:0].astype(np.float32)
         if (self.mode != self.MODE_SVP and self.post_chain is None
-                and self.resize is None and self._use_host_twin()):
+                and self._use_host_twin()):
             # slow device link: decision-identical numpy synthesis (the
             # ops are pure memory moves + one add; a tunneled device
-            # round costs more than the whole batch)
+            # round costs more than the whole batch). A configured
+            # resize runs on the host too (ops/resize host twin).
             return self._run_kfm_batch_host(frames, prev_frame,
-                                            start_index, entries)
+                                            start_index, entries, plane)
         # transfer at source dtype, widen on device (4x less for uint8)
         arr = jnp.asarray(frames).astype(jnp.float32)
         prev = jnp.concatenate([
@@ -570,15 +571,19 @@ class FilterGraph:
         return self._download(out, n_entries)
 
     def _run_kfm_batch_host(self, frames: np.ndarray, prev_frame,
-                            start_index: int, entries) -> np.ndarray:
+                            start_index: int, entries,
+                            plane: int = 0) -> np.ndarray:
         """Numpy twin of the device synthesis (bit-identical ops in
         float32; verified against the device path in
         tests/test_filter_fps_modes.py::TestHostTwin)."""
         from ..ops import deint as deint_ops
 
-        if self.quantize_output:
+        if self.quantize_output and self.resize is None:
             # native single-pass kernel (fieldcosts.cpp Amt_KfmSynth):
-            # exact vs device-float + round-to-uint8
+            # exact vs device-float + round-to-uint8. With a resize
+            # configured the float path below runs instead, so the
+            # resize sees unquantized synthesis output in the same
+            # order as the device path (synth -> resize -> round).
             u8 = np.ascontiguousarray(frames) \
                 if frames.dtype == np.uint8 \
                 else np.clip(np.rint(frames), 0, 255).astype(np.uint8)
@@ -611,6 +616,13 @@ class FilterGraph:
             variants[VFRPlan.BOB_B] = deint_ops.bob_field_host(arr, False)
         out = np.stack([variants[op][src - start_index]
                         for src, op in entries])
+        if self.resize is not None:
+            from ..ops.resize import resize_lanczos3_host
+
+            w2, h2 = self.resize
+            if plane != 0:
+                w2, h2 = w2 // 2, h2 // 2
+            out = resize_lanczos3_host(out, h2, w2)
         if self.quantize_output:
             out = np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
         return out

@@ -250,6 +250,52 @@ class TestHostTwin:
             assert np.array_equal(a, b), f"batch at {s}"
             prev = frames[min(s + 15, 49)]
 
+    def test_resize_weights_match_jax(self):
+        from jax._src.image.scale import (
+            _fill_lanczos_kernel,
+            compute_weight_mat,
+        )
+
+        from amatsukaze_tpu.ops.resize import lanczos3_weights
+
+        for in_s, out_s in [(64, 48), (48, 64), (96, 64), (1088, 720)]:
+            ours = lanczos3_weights(in_s, out_s)
+            ref = np.asarray(compute_weight_mat(
+                in_s, out_s, out_s / in_s, 0.0,
+                lambda x: _fill_lanczos_kernel(3.0, x), True),
+                np.float32)
+            assert np.allclose(ours, ref, rtol=1e-5, atol=1e-6), \
+                (in_s, out_s)
+
+    def test_resize_twin_matches_device(self):
+        """With a resize configured the host twin must still synthesize
+        (float path, synth -> resize -> round like the device) and agree
+        with the device output to rounding (+-1 on ties at most)."""
+        frames = telecined_frames(25)
+        outs = {}
+        for host in (False, True):
+            fg = FilterGraph(AMTContext(level="error"),
+                             mode=FilterGraph.MODE_KFM_VFR, batch=16)
+            fg._host_backend = host
+            fg.quantize_output = True
+            fg.resize = (64, 48)  # (w, h) down from 96x64
+            fg.analyze(iter(frames), len(frames))
+            got, prev = [], None
+            for s in range(0, 25, 16):
+                chunk = np.stack(frames[s:s + 16])
+                b = fg.run_kfm_batch(chunk, prev, s, plane=0,
+                                     final=s + 16 >= 25)
+                b = (b.materialize() if hasattr(b, "materialize")
+                     else np.asarray(b))
+                got.append(b)
+                prev = frames[min(s + 15, 24)]
+            outs[host] = np.concatenate(got)
+        a, b = outs[False], outs[True]
+        assert a.shape == b.shape and a.shape[1:] == (48, 64)
+        diff = np.abs(a.astype(np.int16) - b.astype(np.int16))
+        assert diff.max() <= 1
+        assert (diff != 0).mean() < 0.01
+
     def test_host_path_never_initialises_a_jax_backend(self):
         """On a wedged tunneled device a SINGLE stray device op (or a
         module-level jnp constant) blocks for the whole device-attach
