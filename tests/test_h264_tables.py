@@ -36,7 +36,8 @@ class TestCavlcTables:
             s = sum(2.0 ** -T.TOTAL_ZEROS_LEN[(tc - 1) * 16 + z]
                     for z in range(17 - tc)
                     if T.TOTAL_ZEROS_LEN[(tc - 1) * 16 + z])
-            assert s == 1.0, tc
+            # TotalCoeff == 1 leaves one 9-bit code unused in Table 9-7
+            assert s == (1.0 - 2.0 ** -9 if tc == 1 else 1.0), tc
 
     def test_run_before_complete(self):
         # Table 9-10: zerosLeft classes 1..6 complete; class 7+ covers
