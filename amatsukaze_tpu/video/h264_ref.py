@@ -1,0 +1,1577 @@
+"""Pure-Python H.264 decoder (ISO/IEC 14496-10) — the oracle.
+
+Like the MPEG-2 stack (video/mpeg2_ref.py + native/mpeg2dec.cpp), this
+defines every arithmetic step of H.264 decoding in exactly reproducible
+integer terms; a native C++ engine mirrors it bit-for-bit.  The
+reference project decodes H.264 via FFmpeg (reference
+Amatsukaze/ReaderWriterFFmpeg.hpp:256-483, AMTSource.hpp:97-152), so
+there is no reference decoder to mirror — the implementation follows
+14496-10 semantics and is cross-validated bit-exactly against the
+system libavcodec on libx264-encoded streams (tests/test_h264_decode.py).
+
+Scope (grown stage by stage, each stage held bit-exact vs FFmpeg):
+- NAL/RBSP, full SPS/PPS incl. scaling matrices, slice headers
+- I slices: Intra_4x4 / Intra_16x16 / I_PCM prediction, CAVLC residual
+  decode (coeff_token nC contexts, total_zeros, run_before), integer
+  4x4 transform, luma DC Hadamard, chroma DC 2x2
+- P/B slices: quarter-pel MC, MV prediction, skip/direct, ref lists
+- deblocking filter, CABAC, 8x8 transform, interlace (PAFF/MBAFF)
+
+Normative code tables live in video/h264_tables.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..utils.bits import BitReader, EOFError_
+from . import h264_tables as T
+
+# ---------------------------------------------------------------------------
+# Scan orders (4x4 / 8x8, frame). scan[n] = raster index of n-th coeff.
+# ---------------------------------------------------------------------------
+
+ZIGZAG_4x4 = (0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+FIELD_SCAN_4x4 = (0, 4, 1, 8, 12, 5, 9, 13, 2, 6, 10, 14, 3, 7, 11, 15)
+
+ZIGZAG_8x8 = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+FIELD_SCAN_8x8 = (
+    0, 8, 16, 1, 9, 24, 32, 17, 2, 25, 40, 48, 56, 33, 10, 3,
+    18, 41, 49, 57, 26, 11, 4, 19, 34, 42, 50, 58, 27, 12, 5, 20,
+    35, 43, 51, 59, 28, 13, 6, 21, 36, 44, 52, 60, 29, 14, 22, 37,
+    45, 53, 61, 30, 7, 15, 38, 46, 54, 62, 23, 31, 39, 47, 55, 63,
+)
+
+# Default scaling lists (Tables 7-3 / 7-4), in zigzag (decode) order.
+DEFAULT_4x4_INTRA = (6, 13, 13, 20, 20, 20, 28, 28, 28, 28, 32, 32, 32, 37, 37, 42)
+DEFAULT_4x4_INTER = (10, 14, 14, 20, 20, 20, 24, 24, 24, 24, 27, 27, 27, 30, 30, 34)
+DEFAULT_8x8_INTRA = (
+    6, 10, 10, 13, 11, 13, 16, 16, 16, 16, 18, 18, 18, 18, 18, 23,
+    23, 23, 23, 23, 23, 25, 25, 25, 25, 25, 25, 25, 27, 27, 27, 27,
+    27, 27, 27, 27, 29, 29, 29, 29, 29, 29, 29, 31, 31, 31, 31, 31,
+    31, 33, 33, 33, 33, 33, 36, 36, 36, 36, 38, 38, 38, 40, 40, 42,
+)
+DEFAULT_8x8_INTER = (
+    9, 13, 13, 15, 13, 15, 17, 17, 17, 17, 19, 19, 19, 19, 19, 21,
+    21, 21, 21, 21, 21, 22, 22, 22, 22, 22, 22, 22, 24, 24, 24, 24,
+    24, 24, 24, 24, 25, 25, 25, 25, 25, 25, 25, 27, 27, 27, 27, 27,
+    27, 28, 28, 28, 28, 28, 30, 30, 30, 30, 32, 32, 32, 33, 33, 35,
+)
+
+# normAdjust4x4 (Table in 8.5.12.1): row = qp % 6, col = position class
+# (0: both even coords, 1: both odd, 2: mixed).
+_NORM_ADJUST_4x4 = tuple(
+    tuple(T.DEQUANT4_COEFF_INIT[3 * m : 3 * m + 3]) for m in range(6)
+)
+# position class of each raster index in a 4x4 block: 0 = both coords even,
+# 2 = both odd, 1 = mixed (FFmpeg-probed: see tests/test_h264_decode.py)
+_POS_CLASS_4x4 = tuple(
+    (0 if (i % 2 == 0 and j % 2 == 0) else 2 if (i % 2 == 1 and j % 2 == 1) else 1)
+    for i in range(4)
+    for j in range(4)
+)
+# normAdjust8x8: row = qp % 6, col = position class 0..5
+_NORM_ADJUST_8x8 = tuple(
+    tuple(T.DEQUANT8_COEFF_INIT[6 * m : 6 * m + 6]) for m in range(6)
+)
+_POS_CLASS_8x8 = tuple(T.DEQUANT8_COEFF_INIT_SCAN)  # raster -> class
+
+
+# ---------------------------------------------------------------------------
+# CAVLC decode dictionaries built from the flat normative tables
+# ---------------------------------------------------------------------------
+
+def _vlc_dict(len_tab, bits_tab, lo, n, value_of):
+    """{(length, bits): value} for entries lo..lo+n-1 (len 0 = invalid)."""
+    d = {}
+    maxlen = 0
+    for k in range(n):
+        ln = len_tab[lo + k]
+        if ln == 0:
+            continue
+        key = (ln, bits_tab[lo + k])
+        assert key not in d, f"duplicate code {key}"
+        d[key] = value_of(k)
+        maxlen = max(maxlen, ln)
+    return d, maxlen
+
+# coeff_token: 4 nC classes, entries indexed 4*total_coeff + trailing_ones
+_COEFF_TOKEN = [
+    _vlc_dict(T.COEFF_TOKEN_LEN, T.COEFF_TOKEN_BITS, 68 * c, 68,
+              lambda k: (k >> 2, k & 3))
+    for c in range(4)
+]
+_COEFF_TOKEN_CHROMA_DC = _vlc_dict(
+    T.CHROMA_DC_COEFF_TOKEN_LEN, T.CHROMA_DC_COEFF_TOKEN_BITS, 0, 20,
+    lambda k: (k >> 2, k & 3))
+_COEFF_TOKEN_CHROMA422_DC = _vlc_dict(
+    T.CHROMA422_DC_COEFF_TOKEN_LEN, T.CHROMA422_DC_COEFF_TOKEN_BITS, 0, 36,
+    lambda k: (k >> 2, k & 3))
+
+# total_zeros: rows total_coeff-1 = 0..14, 16 columns (value = column)
+_TOTAL_ZEROS = [
+    _vlc_dict(T.TOTAL_ZEROS_LEN, T.TOTAL_ZEROS_BITS, 16 * row, 16, lambda k: k)
+    for row in range(15)
+]
+_TOTAL_ZEROS_CHROMA_DC = [
+    _vlc_dict(T.CHROMA_DC_TOTAL_ZEROS_LEN, T.CHROMA_DC_TOTAL_ZEROS_BITS,
+              4 * row, 4, lambda k: k)
+    for row in range(3)
+]
+_TOTAL_ZEROS_CHROMA422_DC = [
+    _vlc_dict(T.CHROMA422_DC_TOTAL_ZEROS_LEN, T.CHROMA422_DC_TOTAL_ZEROS_BITS,
+              8 * row, 8, lambda k: k)
+    for row in range(7)
+]
+
+# run_before: rows = min(zeros_left, 7) - 1, value = run
+_RUN_BEFORE = [
+    _vlc_dict(T.RUN_BEFORE_LEN, T.RUN_BEFORE_BITS, 16 * row, 16, lambda k: k)
+    for row in range(7)
+]
+
+
+def _read_vlc(r: BitReader, table) -> int:
+    d, maxlen = table
+    acc = 0
+    for ln in range(1, maxlen + 1):
+        acc = (acc << 1) | r.read(1)
+        v = d.get((ln, acc))
+        if v is not None:
+            return v
+    raise EOFError_(f"invalid VLC code {acc:b}")
+
+
+# ---------------------------------------------------------------------------
+# NAL / RBSP
+# ---------------------------------------------------------------------------
+
+def ebsp_to_rbsp(data: bytes) -> bytes:
+    """Strip emulation_prevention_three_byte (00 00 03 -> 00 00)."""
+    if b"\x00\x00\x03" not in data:
+        return data
+    out = bytearray()
+    i, n = 0, len(data)
+    while True:
+        j = data.find(b"\x00\x00\x03", i)
+        if j < 0:
+            out += data[i:]
+            return bytes(out)
+        out += data[i : j + 2]
+        i = j + 3
+
+
+def split_annexb(data: bytes) -> list[bytes]:
+    """Split an Annex B byte stream into NAL units (no start codes)."""
+    nals = []
+    i = data.find(b"\x00\x00\x01")
+    while i >= 0:
+        j = data.find(b"\x00\x00\x01", i + 3)
+        end = len(data) if j < 0 else j
+        # trailing_zero_8bits before the next start code
+        while end > i + 3 and data[end - 1] == 0:
+            end -= 1
+        if end > i + 3:
+            nals.append(data[i + 3 : end])
+        if j < 0:
+            break
+        i = j
+    return nals
+
+
+# ---------------------------------------------------------------------------
+# Parameter sets
+# ---------------------------------------------------------------------------
+
+def _parse_scaling_list(r: BitReader, size: int):
+    """-> (list in zigzag order, use_default flag)."""
+    scale = [0] * size
+    last, nxt = 8, 8
+    use_default = False
+    for j in range(size):
+        if nxt != 0:
+            delta = r.se()
+            nxt = (last + delta + 256) % 256
+            if j == 0 and nxt == 0:
+                use_default = True
+        scale[j] = last if nxt == 0 else nxt
+        last = scale[j]
+    return scale, use_default
+
+
+def _zz_to_raster(zz_list, size):
+    scan = ZIGZAG_4x4 if size == 16 else ZIGZAG_8x8
+    out = [0] * size
+    for k in range(size):
+        out[scan[k]] = zz_list[k]
+    return out
+
+
+_DEFAULT_LISTS_4 = (DEFAULT_4x4_INTRA, DEFAULT_4x4_INTER)
+_DEFAULT_LISTS_8 = (DEFAULT_8x8_INTRA, DEFAULT_8x8_INTER)
+
+
+def _read_scaling_matrices(r: BitReader, n_lists: int, fallback):
+    """Parse scaling_list() syntax for n_lists lists.
+
+    fallback[i] = list used when scaling_list_present_flag[i] == 0
+    (rule A: defaults chain; rule B: the SPS matrices).  Returns lists in
+    ZIGZAG order (length 16 for i<6, 64 for i>=6).
+    """
+    out = []
+    for i in range(n_lists):
+        size = 16 if i < 6 else 64
+        present = r.read(1)
+        if present:
+            lst, use_def = _parse_scaling_list(r, size)
+            if use_def:
+                lst = list(_default_list(i))
+        else:
+            lst = list(fallback(i, out))
+        out.append(lst)
+    return out
+
+
+def _default_list(i: int):
+    if i < 6:
+        return _DEFAULT_LISTS_4[0] if i < 3 else _DEFAULT_LISTS_4[1]
+    return _DEFAULT_LISTS_8[0] if (i - 6) % 2 == 0 else _DEFAULT_LISTS_8[1]
+
+
+def _fallback_rule_a(i: int, parsed):
+    # list 0 and 3 (and every 8x8 list) fall to defaults; others to previous
+    if i in (0, 3) or i >= 6:
+        return _default_list(i)
+    return parsed[i - 1]
+
+
+@dataclass
+class SPS:
+    profile_idc: int = 0
+    level_idc: int = 0
+    sps_id: int = 0
+    chroma_format_idc: int = 1
+    separate_colour_plane: int = 0
+    bit_depth_luma: int = 8
+    bit_depth_chroma: int = 8
+    qpprime_y_zero_transform_bypass: int = 0
+    scaling_matrix: list = None  # 8 or 12 lists, zigzag order, or None (flat)
+    log2_max_frame_num: int = 4
+    poc_type: int = 0
+    log2_max_poc_lsb: int = 4
+    delta_pic_order_always_zero: int = 0
+    offset_for_non_ref_pic: int = 0
+    offset_for_top_to_bottom_field: int = 0
+    offset_for_ref_frame: tuple = ()
+    max_num_ref_frames: int = 0
+    gaps_in_frame_num_allowed: int = 0
+    pic_width_in_mbs: int = 0
+    pic_height_in_map_units: int = 0
+    frame_mbs_only: int = 1
+    mb_adaptive_frame_field: int = 0
+    direct_8x8_inference: int = 0
+    crop: tuple = (0, 0, 0, 0)  # left, right, top, bottom (in units)
+
+    @property
+    def width(self) -> int:
+        return self.pic_width_in_mbs * 16
+
+    @property
+    def height(self) -> int:
+        return self.pic_height_in_map_units * 16 * (2 - self.frame_mbs_only)
+
+
+def parse_sps(rbsp: bytes) -> SPS:
+    r = BitReader(rbsp)
+    s = SPS()
+    s.profile_idc = r.read(8)
+    r.skip(8)  # constraint flags + reserved
+    s.level_idc = r.read(8)
+    s.sps_id = r.ue()
+    if s.profile_idc in (100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135):
+        s.chroma_format_idc = r.ue()
+        if s.chroma_format_idc == 3:
+            s.separate_colour_plane = r.read(1)
+        s.bit_depth_luma = 8 + r.ue()
+        s.bit_depth_chroma = 8 + r.ue()
+        s.qpprime_y_zero_transform_bypass = r.read(1)
+        if r.read(1):  # seq_scaling_matrix_present
+            n = 8 if s.chroma_format_idc != 3 else 12
+            s.scaling_matrix = _read_scaling_matrices(r, n, _fallback_rule_a)
+    s.log2_max_frame_num = 4 + r.ue()
+    s.poc_type = r.ue()
+    if s.poc_type == 0:
+        s.log2_max_poc_lsb = 4 + r.ue()
+    elif s.poc_type == 1:
+        s.delta_pic_order_always_zero = r.read(1)
+        s.offset_for_non_ref_pic = r.se()
+        s.offset_for_top_to_bottom_field = r.se()
+        n = r.ue()
+        s.offset_for_ref_frame = tuple(r.se() for _ in range(n))
+    s.max_num_ref_frames = r.ue()
+    s.gaps_in_frame_num_allowed = r.read(1)
+    s.pic_width_in_mbs = r.ue() + 1
+    s.pic_height_in_map_units = r.ue() + 1
+    s.frame_mbs_only = r.read(1)
+    if not s.frame_mbs_only:
+        s.mb_adaptive_frame_field = r.read(1)
+    s.direct_8x8_inference = r.read(1)
+    if r.read(1):  # frame_cropping
+        s.crop = (r.ue(), r.ue(), r.ue(), r.ue())
+    # VUI ignored for pixel decode (timing handled by ts/video_h264.py)
+    return s
+
+
+@dataclass
+class PPS:
+    pps_id: int = 0
+    sps_id: int = 0
+    entropy_coding_mode: int = 0
+    bottom_field_pic_order_in_frame_present: int = 0
+    num_slice_groups: int = 1
+    num_ref_idx_default: tuple = (1, 1)
+    weighted_pred: int = 0
+    weighted_bipred_idc: int = 0
+    pic_init_qp: int = 26
+    pic_init_qs: int = 26
+    chroma_qp_index_offset: int = 0
+    deblocking_filter_control_present: int = 0
+    constrained_intra_pred: int = 0
+    redundant_pic_cnt_present: int = 0
+    transform_8x8_mode: int = 0
+    scaling_matrix: list = None  # resolved final lists (zigzag) or None
+    second_chroma_qp_index_offset: int = 0
+
+
+def parse_pps(rbsp: bytes, sps_map: dict[int, SPS]) -> PPS:
+    r = BitReader(rbsp)
+    p = PPS()
+    p.pps_id = r.ue()
+    p.sps_id = r.ue()
+    sps = sps_map.get(p.sps_id)
+    p.entropy_coding_mode = r.read(1)
+    p.bottom_field_pic_order_in_frame_present = r.read(1)
+    p.num_slice_groups = r.ue() + 1
+    if p.num_slice_groups > 1:  # FMO — not used by broadcast/x264
+        map_type = r.ue()
+        if map_type == 0:
+            for _ in range(p.num_slice_groups):
+                r.ue()
+        elif map_type == 2:
+            for _ in range(p.num_slice_groups - 1):
+                r.ue(), r.ue()
+        elif map_type in (3, 4, 5):
+            r.read(1)
+            r.ue()
+        elif map_type == 6:
+            n = r.ue() + 1
+            bits = max(1, (p.num_slice_groups - 1).bit_length())
+            for _ in range(n):
+                r.read(bits)
+    p.num_ref_idx_default = (r.ue() + 1, r.ue() + 1)
+    p.weighted_pred = r.read(1)
+    p.weighted_bipred_idc = r.read(2)
+    p.pic_init_qp = 26 + r.se()
+    p.pic_init_qs = 26 + r.se()
+    p.chroma_qp_index_offset = r.se()
+    p.deblocking_filter_control_present = r.read(1)
+    p.constrained_intra_pred = r.read(1)
+    p.redundant_pic_cnt_present = r.read(1)
+    p.second_chroma_qp_index_offset = p.chroma_qp_index_offset
+    p.scaling_matrix = sps.scaling_matrix if sps is not None else None
+    if r.bits_left() > 8 or (r.bits_left() >= 1 and r.peek(min(8, r.bits_left())) not in _rbsp_stop_codes(r)):
+        # more_rbsp_data(): detect via trailing-bits pattern
+        pass
+    if _more_rbsp_data(r):
+        p.transform_8x8_mode = r.read(1)
+        if r.read(1):  # pic_scaling_matrix_present
+            n = 6 + ((2 if (sps and sps.chroma_format_idc == 3) else 1)
+                     * p.transform_8x8_mode)
+            sps_mat = sps.scaling_matrix if sps is not None else None
+
+            def fallback_b(i, parsed):
+                if i in (0, 3) or i >= 6:
+                    if sps_mat is not None and i < len(sps_mat):
+                        return sps_mat[i]
+                    return _default_list(i)
+                return parsed[i - 1]
+
+            mats = _read_scaling_matrices(r, n, fallback_b)
+            if n == 8:
+                # only 2 8x8 lists coded (Y intra, Y inter)
+                pass
+            p.scaling_matrix = mats
+        p.second_chroma_qp_index_offset = r.se()
+    else:
+        p.second_chroma_qp_index_offset = p.chroma_qp_index_offset
+    return p
+
+
+def _rbsp_stop_codes(r):
+    return ()
+
+
+def _more_rbsp_data(r: BitReader) -> bool:
+    """True if syntax elements remain before rbsp_trailing_bits()."""
+    left = r.bits_left()
+    if left <= 0:
+        return False
+    # find the last set bit in the remainder (the rbsp_stop_one_bit)
+    tail = r.peek(left)
+    if tail == 0:
+        return False  # malformed; treat as no more data
+    # position of the lowest set bit from the end
+    stop = tail.bit_length()  # bits up to & including first 1 from MSB side
+    # bits after current pos down to the final 1-bit: if any non-trailing
+    # bits exist before the stop bit, there is more data
+    lowest = tail & -tail
+    n_trailing = lowest.bit_length()  # stop bit position from LSB (1-based)
+    return left - n_trailing >= 1
+
+
+# ---------------------------------------------------------------------------
+# Slice header
+# ---------------------------------------------------------------------------
+
+SLICE_P, SLICE_B, SLICE_I, SLICE_SP, SLICE_SI = 0, 1, 2, 3, 4
+
+
+@dataclass
+class SliceHeader:
+    first_mb: int = 0
+    slice_type: int = 0  # modulo 5
+    all_equal: bool = False  # slice_type was 5..9
+    pps_id: int = 0
+    frame_num: int = 0
+    field_pic_flag: int = 0
+    bottom_field_flag: int = 0
+    idr: bool = False
+    idr_pic_id: int = 0
+    poc_lsb: int = 0
+    delta_poc_bottom: int = 0
+    delta_poc: tuple = (0, 0)
+    redundant_pic_cnt: int = 0
+    direct_spatial_mv_pred: int = 0
+    num_ref_idx: tuple = (0, 0)
+    ref_list_mods: tuple = ((), ())  # per list: ((op, val), ...)
+    # explicit weighted prediction: luma_log2_denom, chroma_log2_denom,
+    # weights[list][ref] = (wY, oY, wCb, oCb, wCr, oCr) or None
+    pred_weights: tuple = None
+    mmco: tuple = ()  # ((op, v1[, v2]), ...) or ('long_term_ref_flag', f) for IDR
+    no_output_of_prior_pics: int = 0
+    long_term_reference_flag: int = 0
+    adaptive_ref_pic_marking: bool = False
+    cabac_init_idc: int = 0
+    slice_qp: int = 26
+    disable_deblocking_filter_idc: int = 0
+    slice_alpha_c0_offset_div2: int = 0
+    slice_beta_offset_div2: int = 0
+    nal_ref_idc: int = 0
+    # bit position where slice data starts (after the header)
+    data_bit_pos: int = 0
+
+
+def parse_slice_header(rbsp: bytes, nal_ref_idc: int, nal_type: int,
+                       sps_map: dict, pps_map: dict) -> tuple[SliceHeader, SPS, PPS]:
+    r = BitReader(rbsp)
+    h = SliceHeader()
+    h.nal_ref_idc = nal_ref_idc
+    h.idr = nal_type == 5
+    h.first_mb = r.ue()
+    st = r.ue()
+    h.all_equal = st >= 5
+    h.slice_type = st % 5
+    h.pps_id = r.ue()
+    pps = pps_map[h.pps_id]
+    sps = sps_map[pps.sps_id]
+    if sps.separate_colour_plane:
+        r.read(2)  # colour_plane_id
+    h.frame_num = r.read(sps.log2_max_frame_num)
+    if not sps.frame_mbs_only:
+        h.field_pic_flag = r.read(1)
+        if h.field_pic_flag:
+            h.bottom_field_flag = r.read(1)
+    if h.idr:
+        h.idr_pic_id = r.ue()
+    if sps.poc_type == 0:
+        h.poc_lsb = r.read(sps.log2_max_poc_lsb)
+        if pps.bottom_field_pic_order_in_frame_present and not h.field_pic_flag:
+            h.delta_poc_bottom = r.se()
+    elif sps.poc_type == 1 and not sps.delta_pic_order_always_zero:
+        d0 = r.se()
+        d1 = r.se() if (pps.bottom_field_pic_order_in_frame_present
+                        and not h.field_pic_flag) else 0
+        h.delta_poc = (d0, d1)
+    if pps.redundant_pic_cnt_present:
+        h.redundant_pic_cnt = r.ue()
+    if h.slice_type == SLICE_B:
+        h.direct_spatial_mv_pred = r.read(1)
+    n0, n1 = pps.num_ref_idx_default
+    if h.slice_type in (SLICE_P, SLICE_SP, SLICE_B):
+        if r.read(1):  # num_ref_idx_active_override
+            n0 = r.ue() + 1
+            if h.slice_type == SLICE_B:
+                n1 = r.ue() + 1
+    h.num_ref_idx = (n0, n1 if h.slice_type == SLICE_B else 0)
+    # ref_pic_list_modification
+    mods = [[], []]
+    n_lists = 0
+    if h.slice_type in (SLICE_P, SLICE_SP, SLICE_B):
+        n_lists = 2 if h.slice_type == SLICE_B else 1
+    for lx in range(n_lists):
+        if r.read(1):  # ref_pic_list_modification_flag
+            while True:
+                op = r.ue()
+                if op == 3:
+                    break
+                mods[lx].append((op, r.ue()))
+    h.ref_list_mods = (tuple(mods[0]), tuple(mods[1]))
+    # pred_weight_table
+    if (pps.weighted_pred and h.slice_type in (SLICE_P, SLICE_SP)) or (
+            pps.weighted_bipred_idc == 1 and h.slice_type == SLICE_B):
+        h.pred_weights = _parse_pred_weights(r, h, sps)
+    # dec_ref_pic_marking
+    if nal_ref_idc:
+        if h.idr:
+            h.no_output_of_prior_pics = r.read(1)
+            h.long_term_reference_flag = r.read(1)
+        else:
+            if r.read(1):  # adaptive_ref_pic_marking_mode_flag
+                h.adaptive_ref_pic_marking = True
+                ops = []
+                while True:
+                    op = r.ue()
+                    if op == 0:
+                        break
+                    vals = [op]
+                    if op in (1, 3):
+                        vals.append(r.ue())  # difference_of_pic_nums_minus1
+                    if op == 2:
+                        vals.append(r.ue())  # long_term_pic_num
+                    if op in (3, 6):
+                        vals.append(r.ue())  # long_term_frame_idx
+                    if op == 4:
+                        vals.append(r.ue())  # max_long_term_frame_idx_plus1
+                    ops.append(tuple(vals))
+                h.mmco = tuple(ops)
+    if pps.entropy_coding_mode and h.slice_type not in (SLICE_I, SLICE_SI):
+        h.cabac_init_idc = r.ue()
+    h.slice_qp = pps.pic_init_qp + r.se()
+    if h.slice_type in (SLICE_SP, SLICE_SI):
+        if h.slice_type == SLICE_SP:
+            r.read(1)  # sp_for_switch_flag
+        r.se()  # slice_qs_delta
+    if pps.deblocking_filter_control_present:
+        h.disable_deblocking_filter_idc = r.ue()
+        if h.disable_deblocking_filter_idc != 1:
+            h.slice_alpha_c0_offset_div2 = r.se()
+            h.slice_beta_offset_div2 = r.se()
+    # slice groups: not supported (num_slice_groups == 1 everywhere here)
+    h.data_bit_pos = r.pos
+    return h, sps, pps
+
+
+def _parse_pred_weights(r: BitReader, h: SliceHeader, sps: SPS):
+    luma_log2 = r.ue()
+    chroma_log2 = r.ue() if sps.chroma_format_idc != 0 else 0
+    out = []
+    for lx in range(2 if h.slice_type == SLICE_B else 1):
+        lst = []
+        for _ in range(h.num_ref_idx[lx] if lx == 1 else h.num_ref_idx[0]):
+            wy, oy = 1 << luma_log2, 0
+            if r.read(1):  # luma_weight_flag
+                wy, oy = r.se(), r.se()
+            wcb = wcr = 1 << chroma_log2
+            ocb = ocr = 0
+            if sps.chroma_format_idc != 0 and r.read(1):
+                wcb, ocb = r.se(), r.se()
+                wcr, ocr = r.se(), r.se()
+            lst.append((wy, oy, wcb, ocb, wcr, ocr))
+        out.append(tuple(lst))
+    while len(out) < 2:
+        out.append(())
+    return (luma_log2, chroma_log2, tuple(out))
+
+
+# ---------------------------------------------------------------------------
+# CAVLC residual block decode (9.2)
+# ---------------------------------------------------------------------------
+
+def _cavlc_block(r: BitReader, nc: int, max_coeff: int):
+    """Decode one residual block. Returns (coeffs in scan order, total_coeff)."""
+    if nc >= 0:
+        cls = 0 if nc < 2 else 1 if nc < 4 else 2 if nc < 8 else 3
+        tc, t1 = _read_vlc(r, _COEFF_TOKEN[cls])
+    elif nc == -1:
+        tc, t1 = _read_vlc(r, _COEFF_TOKEN_CHROMA_DC)
+    else:  # nc == -2, 4:2:2 chroma DC
+        tc, t1 = _read_vlc(r, _COEFF_TOKEN_CHROMA422_DC)
+    coeffs = [0] * max_coeff
+    if tc == 0:
+        return coeffs, 0
+    suffix_len = 1 if (tc > 10 and t1 < 3) else 0
+    levels = []
+    for i in range(tc):
+        if i < t1:
+            levels.append(1 - 2 * r.read(1))
+            continue
+        prefix = 0
+        while r.read(1) == 0:
+            prefix += 1
+            if prefix > 32:
+                raise EOFError_("bad level_prefix")
+        lcode = min(15, prefix) << suffix_len
+        sz = suffix_len
+        if prefix >= 15:
+            sz = prefix - 3
+        elif prefix == 14 and suffix_len == 0:
+            sz = 4
+        if sz:
+            lcode += r.read(sz)
+        if prefix >= 15 and suffix_len == 0:
+            lcode += 15
+        if prefix >= 16:
+            lcode += (1 << (prefix - 3)) - 4096
+        if i == t1 and t1 < 3:
+            lcode += 2
+        level = (lcode + 2) >> 1 if (lcode & 1) == 0 else -((lcode + 1) >> 1)
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+        levels.append(level)
+    if tc < max_coeff:
+        if nc == -1:
+            total_zeros = _read_vlc(r, _TOTAL_ZEROS_CHROMA_DC[tc - 1])
+        elif nc == -2:
+            total_zeros = _read_vlc(r, _TOTAL_ZEROS_CHROMA422_DC[tc - 1])
+        else:
+            total_zeros = _read_vlc(r, _TOTAL_ZEROS[tc - 1])
+    else:
+        total_zeros = 0
+    zeros_left = total_zeros
+    idx = tc + total_zeros - 1
+    for k in range(tc):
+        coeffs[idx] = levels[k]
+        if k == tc - 1:
+            break
+        if zeros_left > 0:
+            run = _read_vlc(r, _RUN_BEFORE[min(zeros_left, 7) - 1])
+        else:
+            run = 0
+        zeros_left -= run
+        idx -= 1 + run
+    return coeffs, tc
+
+
+# ---------------------------------------------------------------------------
+# Dequantisation + integer transforms (8.5)
+# ---------------------------------------------------------------------------
+
+_FLAT16 = (16,) * 16
+_FLAT64 = (16,) * 64
+
+
+def _dequant4_tab(qp: int, weight_raster) -> tuple:
+    """Per-raster-position multiplier for a 4x4 residual block at qp:
+    (W(i,j) * normAdjust(qp%6, i, j)) << (qp/6) >> 4."""
+    m, s = qp % 6, qp // 6
+    na = _NORM_ADJUST_4x4[m]
+    return tuple(
+        (weight_raster[k] * na[_POS_CLASS_4x4[k]] << s) >> 4 for k in range(16)
+    )
+
+
+def _idct4x4(d):
+    """Exact 14496-10 8.5.12.2 inverse 4x4 transform. d: raster list of 16
+    dequantised ints. Returns raster residual after (x + 32) >> 6."""
+    e = [0] * 16
+    for i in range(4):  # rows
+        d0, d1, d2, d3 = d[4 * i : 4 * i + 4]
+        a0 = d0 + d2
+        a1 = d0 - d2
+        a2 = (d1 >> 1) - d3
+        a3 = d1 + (d3 >> 1)
+        e[4 * i] = a0 + a3
+        e[4 * i + 1] = a1 + a2
+        e[4 * i + 2] = a1 - a2
+        e[4 * i + 3] = a0 - a3
+    out = [0] * 16
+    for j in range(4):  # columns
+        d0, d1, d2, d3 = e[j], e[4 + j], e[8 + j], e[12 + j]
+        a0 = d0 + d2
+        a1 = d0 - d2
+        a2 = (d1 >> 1) - d3
+        a3 = d1 + (d3 >> 1)
+        out[j] = (a0 + a3 + 32) >> 6
+        out[4 + j] = (a1 + a2 + 32) >> 6
+        out[8 + j] = (a1 - a2 + 32) >> 6
+        out[12 + j] = (a0 - a3 + 32) >> 6
+    return out
+
+
+def _hadamard4x4(c):
+    """Inverse 4x4 Hadamard for Intra_16x16 luma DC (8.5.10), no scaling."""
+    e = [0] * 16
+    for i in range(4):
+        c0, c1, c2, c3 = c[4 * i : 4 * i + 4]
+        a0 = c0 + c2
+        a1 = c0 - c2
+        a2 = c1 - c3
+        a3 = c1 + c3
+        e[4 * i] = a0 + a3
+        e[4 * i + 1] = a1 + a2
+        e[4 * i + 2] = a1 - a2
+        e[4 * i + 3] = a0 - a3
+    out = [0] * 16
+    for j in range(4):
+        c0, c1, c2, c3 = e[j], e[4 + j], e[8 + j], e[12 + j]
+        a0 = c0 + c2
+        a1 = c0 - c2
+        a2 = c1 - c3
+        a3 = c1 + c3
+        out[j] = a0 + a3
+        out[4 + j] = a1 + a2
+        out[8 + j] = a1 - a2
+        out[12 + j] = a0 - a3
+    return out
+
+
+def _luma_dc_dequant(f, qp: int, w0: int):
+    """Scale inverse-Hadamard luma DC values (8.5.10):
+    (f * W(0,0)*normAdjust << qp/6 + 32) >> 6, arithmetic shift.
+    Pinned by FFmpeg probes over crafted streams at discriminating DC
+    values (tests/test_h264_decode.py): rounding +32 present (unlike the
+    chroma DC path), shifts floor."""
+    ls = (w0 * _NORM_ADJUST_4x4[qp % 6][0]) << (qp // 6)
+    return [(v * ls + 32) >> 6 for v in f]
+
+
+def _chroma_dc_dequant(f, qp: int, w0: int):
+    """Scale 2x2 chroma DC values (8.5.11):
+    ((f * W(0,0)*normAdjust) << qp/6) >> 5, plain floor shift, no
+    rounding term — FFmpeg-probed at discriminating negative DC values
+    (tests/test_h264_decode.py)."""
+    ls = w0 * _NORM_ADJUST_4x4[qp % 6][0]
+    sh = qp // 6
+    return [((v * ls) << sh) >> 5 for v in f]
+
+
+def chroma_qp(qp_luma: int, offset: int) -> int:
+    qpi = min(51, max(0, qp_luma + offset))
+    return T.CHROMA_QP_TABLE[qpi]
+
+
+def _clip1(v: int) -> int:
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+# z-scan index -> (x4, y4) position of a 4x4 block inside the MB
+_Z_TO_XY = tuple(((k & 1) + 2 * ((k >> 2) & 1), ((k >> 1) & 1) + 2 * ((k >> 3) & 1))
+                 for k in range(16))
+_XY_TO_Z = {xy: k for k, xy in enumerate(_Z_TO_XY)}
+
+
+# ---------------------------------------------------------------------------
+# Intra prediction (8.3)
+# ---------------------------------------------------------------------------
+
+def _pred4x4(mode: int, P, avail_l: bool, avail_t: bool, avail_tl: bool):
+    """4x4 intra prediction (8.3.1.2). P(x, y) returns the neighbour sample
+    for x in -1..7, y in -1..3 (top-right already substituted by caller when
+    unavailable). Returns a 4x4 list-of-rows."""
+    pred = [[0] * 4 for _ in range(4)]
+    if mode == 0:  # Vertical
+        t = [P(x, -1) for x in range(4)]
+        for y in range(4):
+            pred[y] = t[:]
+    elif mode == 1:  # Horizontal
+        for y in range(4):
+            v = P(-1, y)
+            pred[y] = [v] * 4
+    elif mode == 2:  # DC
+        if avail_l and avail_t:
+            v = (sum(P(x, -1) for x in range(4))
+                 + sum(P(-1, y) for y in range(4)) + 4) >> 3
+        elif avail_l:
+            v = (sum(P(-1, y) for y in range(4)) + 2) >> 2
+        elif avail_t:
+            v = (sum(P(x, -1) for x in range(4)) + 2) >> 2
+        else:
+            v = 128
+        for y in range(4):
+            pred[y] = [v] * 4
+    elif mode == 3:  # Diagonal down-left
+        for y in range(4):
+            for x in range(4):
+                if x == 3 and y == 3:
+                    pred[y][x] = (P(6, -1) + 3 * P(7, -1) + 2) >> 2
+                else:
+                    pred[y][x] = (P(x + y, -1) + 2 * P(x + y + 1, -1)
+                                  + P(x + y + 2, -1) + 2) >> 2
+    elif mode == 4:  # Diagonal down-right
+        for y in range(4):
+            for x in range(4):
+                if x > y:
+                    pred[y][x] = (P(x - y - 2, -1) + 2 * P(x - y - 1, -1)
+                                  + P(x - y, -1) + 2) >> 2
+                elif x < y:
+                    pred[y][x] = (P(-1, y - x - 2) + 2 * P(-1, y - x - 1)
+                                  + P(-1, y - x) + 2) >> 2
+                else:
+                    pred[y][x] = (P(0, -1) + 2 * P(-1, -1) + P(-1, 0) + 2) >> 2
+    elif mode == 5:  # Vertical right
+        for y in range(4):
+            for x in range(4):
+                z = 2 * x - y
+                if z >= 0 and z % 2 == 0:
+                    pred[y][x] = (P(x - (y >> 1) - 1, -1)
+                                  + P(x - (y >> 1), -1) + 1) >> 1
+                elif z >= 0:
+                    pred[y][x] = (P(x - (y >> 1) - 2, -1)
+                                  + 2 * P(x - (y >> 1) - 1, -1)
+                                  + P(x - (y >> 1), -1) + 2) >> 2
+                elif z == -1:
+                    pred[y][x] = (P(-1, 0) + 2 * P(-1, -1) + P(0, -1) + 2) >> 2
+                else:
+                    pred[y][x] = (P(-1, y - 2 * x - 1) + 2 * P(-1, y - 2 * x - 2)
+                                  + P(-1, y - 2 * x - 3) + 2) >> 2
+    elif mode == 6:  # Horizontal down
+        for y in range(4):
+            for x in range(4):
+                z = 2 * y - x
+                if z >= 0 and z % 2 == 0:
+                    pred[y][x] = (P(-1, y - (x >> 1) - 1)
+                                  + P(-1, y - (x >> 1)) + 1) >> 1
+                elif z >= 0:
+                    pred[y][x] = (P(-1, y - (x >> 1) - 2)
+                                  + 2 * P(-1, y - (x >> 1) - 1)
+                                  + P(-1, y - (x >> 1)) + 2) >> 2
+                elif z == -1:
+                    pred[y][x] = (P(-1, 0) + 2 * P(-1, -1) + P(0, -1) + 2) >> 2
+                else:
+                    pred[y][x] = (P(x - 2 * y - 1, -1) + 2 * P(x - 2 * y - 2, -1)
+                                  + P(x - 2 * y - 3, -1) + 2) >> 2
+    elif mode == 7:  # Vertical left
+        for y in range(4):
+            for x in range(4):
+                if y % 2 == 0:
+                    pred[y][x] = (P(x + (y >> 1), -1)
+                                  + P(x + (y >> 1) + 1, -1) + 1) >> 1
+                else:
+                    pred[y][x] = (P(x + (y >> 1), -1)
+                                  + 2 * P(x + (y >> 1) + 1, -1)
+                                  + P(x + (y >> 1) + 2, -1) + 2) >> 2
+    elif mode == 8:  # Horizontal up
+        for y in range(4):
+            for x in range(4):
+                z = x + 2 * y
+                if z % 2 == 0 and z < 6:
+                    pred[y][x] = (P(-1, y + (x >> 1))
+                                  + P(-1, y + (x >> 1) + 1) + 1) >> 1
+                elif z < 5:
+                    pred[y][x] = (P(-1, y + (x >> 1))
+                                  + 2 * P(-1, y + (x >> 1) + 1)
+                                  + P(-1, y + (x >> 1) + 2) + 2) >> 2
+                elif z == 5:
+                    pred[y][x] = (P(-1, 2) + 3 * P(-1, 3) + 2) >> 2
+                else:
+                    pred[y][x] = P(-1, 3)
+    else:
+        raise ValueError(f"bad intra4x4 mode {mode}")
+    return pred
+
+
+def _pred16x16(mode: int, left, top, topleft, avail_l, avail_t):
+    """16x16 luma intra prediction (8.3.3). left/top: 16 samples or None."""
+    pred = np.empty((16, 16), np.int32)
+    if mode == 0:  # Vertical
+        pred[:] = np.asarray(top, np.int32)[None, :]
+    elif mode == 1:  # Horizontal
+        pred[:] = np.asarray(left, np.int32)[:, None]
+    elif mode == 2:  # DC
+        if avail_l and avail_t:
+            v = (int(sum(top)) + int(sum(left)) + 16) >> 5
+        elif avail_l:
+            v = (int(sum(left)) + 8) >> 4
+        elif avail_t:
+            v = (int(sum(top)) + 8) >> 4
+        else:
+            v = 128
+        pred[:] = v
+    else:  # Plane
+        H = sum((i + 1) * (top[8 + i] - (topleft if i == 7 else top[6 - i]))
+                for i in range(8))
+        V = sum((i + 1) * (left[8 + i] - (topleft if i == 7 else left[6 - i]))
+                for i in range(8))
+        a = 16 * (left[15] + top[15])
+        b = (5 * H + 32) >> 6
+        c = (5 * V + 32) >> 6
+        xs = np.arange(16, dtype=np.int32)
+        grid = a + b * (xs[None, :] - 7) + c * (xs[:, None] - 7) + 16
+        pred[:] = np.clip(grid >> 5, 0, 255)
+    return pred
+
+
+def _pred_chroma8x8(mode: int, left, top, topleft, avail_l, avail_t):
+    """8x8 chroma intra prediction (8.3.4). Modes 0 DC / 1 H / 2 V / 3 Plane."""
+    pred = np.empty((8, 8), np.int32)
+    if mode == 0:  # DC, per 4x4 sub-block
+        for by in (0, 4):
+            for bx in (0, 4):
+                t = top[bx : bx + 4] if avail_t else None
+                l = left[by : by + 4] if avail_l else None
+                if bx == by:  # (0,0) and (4,4): both edges
+                    if t is not None and l is not None:
+                        v = (int(sum(t)) + int(sum(l)) + 4) >> 3
+                    elif l is not None:
+                        v = (int(sum(l)) + 2) >> 2
+                    elif t is not None:
+                        v = (int(sum(t)) + 2) >> 2
+                    else:
+                        v = 128
+                elif bx > by:  # (4,0): prefer top
+                    if t is not None:
+                        v = (int(sum(t)) + 2) >> 2
+                    elif l is not None:
+                        v = (int(sum(l)) + 2) >> 2
+                    else:
+                        v = 128
+                else:  # (0,4): prefer left
+                    if l is not None:
+                        v = (int(sum(l)) + 2) >> 2
+                    elif t is not None:
+                        v = (int(sum(t)) + 2) >> 2
+                    else:
+                        v = 128
+                pred[by : by + 4, bx : bx + 4] = v
+    elif mode == 1:  # Horizontal
+        pred[:] = np.asarray(left, np.int32)[:, None]
+    elif mode == 2:  # Vertical
+        pred[:] = np.asarray(top, np.int32)[None, :]
+    else:  # Plane
+        H = sum((i + 1) * (top[4 + i] - (topleft if i == 3 else top[2 - i]))
+                for i in range(4))
+        V = sum((i + 1) * (left[4 + i] - (topleft if i == 3 else left[2 - i]))
+                for i in range(4))
+        a = 16 * (left[7] + top[7])
+        b = (34 * H + 32) >> 6
+        c = (34 * V + 32) >> 6
+        xs = np.arange(8, dtype=np.int32)
+        grid = a + b * (xs[None, :] - 3) + c * (xs[:, None] - 3) + 16
+        pred[:] = np.clip(grid >> 5, 0, 255)
+    return pred
+
+
+# ---------------------------------------------------------------------------
+# Decoded picture + decoder
+# ---------------------------------------------------------------------------
+
+# mb class codes
+MB_I4, MB_I16, MB_IPCM, MB_I8, MB_P, MB_B = 0, 1, 2, 3, 4, 5
+
+
+class _Picture:
+    """One decoded frame with all the per-MB side state the decoder and
+    the deblocking filter need."""
+
+    def __init__(self, sps: SPS, pps: PPS):
+        self.sps, self.pps = sps, pps
+        w, h = sps.width, sps.height
+        self.w, self.h = w, h
+        self.mb_w, self.mb_h = w // 16, h // 16
+        self.Y = np.zeros((h, w), np.uint8)
+        self.U = np.zeros((h // 2, w // 2), np.uint8)
+        self.V = np.zeros((h // 2, w // 2), np.uint8)
+        n4w, n4h = self.mb_w * 4, self.mb_h * 4
+        self.nnz_y = np.zeros((n4h, n4w), np.int32)
+        self.nnz_c = np.zeros((2, n4h // 2, n4w // 2), np.int32)
+        self.i4_modes = np.full((n4h, n4w), 2, np.int32)
+        self.mb_slice = np.full((self.mb_h, self.mb_w), -1, np.int32)
+        self.mb_class = np.zeros((self.mb_h, self.mb_w), np.int32)
+        self.mb_qp = np.zeros((self.mb_h, self.mb_w), np.int32)
+        self.mb_cbp = np.zeros((self.mb_h, self.mb_w), np.int32)
+        # DC-coefficient presence (for deblock bS when nnz grids are AC-only)
+        self.mb_dc_flag = np.zeros((self.mb_h, self.mb_w), np.int32)
+        self.mb_tf8 = np.zeros((self.mb_h, self.mb_w), np.int32)
+        # display metadata
+        self.poc = 0
+        self.frame_num = 0
+        self.is_ref = False
+        self.is_idr = False
+        self.qp_y = 0
+
+    def is_intra(self, mbx: int, mby: int) -> bool:
+        return self.mb_class[mby, mbx] in (MB_I4, MB_I16, MB_IPCM, MB_I8)
+
+
+class H264RefDecoder:
+    """Annex B H.264 -> (Y, U, V) frames, display order."""
+
+    def __init__(self):
+        self.sps_map: dict[int, SPS] = {}
+        self.pps_map: dict[int, PPS] = {}
+        self.cur: _Picture | None = None
+        self.cur_hdr: SliceHeader | None = None
+        self._slice_counter = 0
+        self._out: list[_Picture] = []      # pending display-order output
+        self._emitted: list[_Picture] = []
+        # POC state
+        self._prev_poc_msb = 0
+        self._prev_poc_lsb = 0
+        self._prev_frame_num = 0
+        self._prev_frame_num_offset = 0
+        self._hold = 5  # display reorder hold-back depth
+
+    # -- public API --------------------------------------------------------
+
+    def decode(self, es: bytes) -> list[tuple]:
+        """Push Annex B bytes (whole NALs). Returns decoded frames ready
+        for display as (Y, U, V, poc) tuples."""
+        for nal in split_annexb(es):
+            self._nal(nal)
+        out = self._drain(self._hold)
+        return out
+
+    def flush(self) -> list[tuple]:
+        self._finish_picture()
+        return self._drain(0)
+
+    # -- NAL dispatch ------------------------------------------------------
+
+    def _nal(self, nal: bytes) -> None:
+        if not nal:
+            return
+        hdr = nal[0]
+        if hdr & 0x80:
+            return  # forbidden_zero_bit set: corrupt
+        ref_idc = (hdr >> 5) & 3
+        typ = hdr & 0x1F
+        if typ == 7:
+            s = parse_sps(ebsp_to_rbsp(nal[1:]))
+            self.sps_map[s.sps_id] = s
+        elif typ == 8:
+            p = parse_pps(ebsp_to_rbsp(nal[1:]), self.sps_map)
+            self.pps_map[p.pps_id] = p
+        elif typ in (1, 5):
+            rbsp = ebsp_to_rbsp(nal[1:])
+            h, sps, pps = parse_slice_header(rbsp, ref_idc, typ,
+                                             self.sps_map, self.pps_map)
+            self._decode_slice(rbsp, h, sps, pps)
+        # SEI (6), AUD (9), filler etc: ignored for pixel decode
+
+    # -- picture management ------------------------------------------------
+
+    def _is_new_picture(self, h: SliceHeader) -> bool:
+        if self.cur is None or self.cur_hdr is None:
+            return True
+        prev = self.cur_hdr
+        if h.first_mb == 0:
+            return True
+        return (h.frame_num != prev.frame_num or h.pps_id != prev.pps_id
+                or h.field_pic_flag != prev.field_pic_flag
+                or h.idr != prev.idr)
+
+    def _start_picture(self, h: SliceHeader, sps: SPS, pps: PPS) -> None:
+        self._finish_picture()
+        pic = _Picture(sps, pps)
+        pic.frame_num = h.frame_num
+        pic.is_ref = h.nal_ref_idc != 0
+        pic.is_idr = h.idr
+        pic.poc = self._compute_poc(h, sps)
+        self.cur = pic
+        self._slice_counter = 0
+
+    def _finish_picture(self) -> None:
+        if self.cur is None:
+            return
+        pic = self.cur
+        self.cur = None
+        self.cur_hdr = None
+        self._deblock_picture(pic)
+        self._out.append(pic)
+
+    def _drain(self, hold: int) -> list[tuple]:
+        out = []
+        while len(self._out) > hold:
+            # emit lowest-POC pending picture
+            k = min(range(len(self._out)), key=lambda i: self._out[i].poc)
+            pic = self._out.pop(k)
+            out.append((pic.Y, pic.U, pic.V, pic.poc))
+        return out
+
+    def _compute_poc(self, h: SliceHeader, sps: SPS) -> int:
+        if sps.poc_type == 0:
+            max_lsb = 1 << sps.log2_max_poc_lsb
+            if h.idr:
+                self._prev_poc_msb = 0
+                self._prev_poc_lsb = 0
+            lsb = h.poc_lsb
+            if lsb < self._prev_poc_lsb and self._prev_poc_lsb - lsb >= max_lsb // 2:
+                msb = self._prev_poc_msb + max_lsb
+            elif lsb > self._prev_poc_lsb and lsb - self._prev_poc_lsb > max_lsb // 2:
+                msb = self._prev_poc_msb - max_lsb
+            else:
+                msb = self._prev_poc_msb
+            if h.nal_ref_idc:
+                self._prev_poc_msb, self._prev_poc_lsb = msb, lsb
+            return msb + lsb  # TopFieldOrderCnt (frames: use top)
+        if sps.poc_type == 2:
+            if h.idr:
+                self._prev_frame_num_offset = 0
+                off = 0
+            else:
+                max_fn = 1 << sps.log2_max_frame_num
+                off = self._prev_frame_num_offset
+                if h.frame_num < self._prev_frame_num:
+                    off += max_fn
+                self._prev_frame_num_offset = off
+            self._prev_frame_num = h.frame_num
+            n = off + h.frame_num
+            return 2 * n - (0 if h.nal_ref_idc else 1)
+        # poc_type 1
+        if h.idr:
+            self._prev_frame_num_offset = 0
+            off = 0
+        else:
+            max_fn = 1 << sps.log2_max_frame_num
+            off = self._prev_frame_num_offset
+            if h.frame_num < self._prev_frame_num:
+                off += max_fn
+            self._prev_frame_num_offset = off
+        self._prev_frame_num = h.frame_num
+        abs_frame_num = off + h.frame_num
+        if not h.nal_ref_idc and abs_frame_num > 0:
+            abs_frame_num -= 1
+        ncyc = len(sps.offset_for_ref_frame)
+        expected = 0
+        if abs_frame_num > 0 and ncyc:
+            cycle_sum = sum(sps.offset_for_ref_frame)
+            pic_order_cycle_cnt = (abs_frame_num - 1) // ncyc
+            frame_num_in_cycle = (abs_frame_num - 1) % ncyc
+            expected = pic_order_cycle_cnt * cycle_sum + sum(
+                sps.offset_for_ref_frame[: frame_num_in_cycle + 1])
+        if not h.nal_ref_idc:
+            expected += sps.offset_for_non_ref_pic
+        return expected + h.delta_poc[0]
+
+    # -- slice decode ------------------------------------------------------
+
+    def _decode_slice(self, rbsp: bytes, h: SliceHeader, sps: SPS, pps: PPS) -> None:
+        if h.slice_type != SLICE_I:
+            raise NotImplementedError("P/B slices: next stage")
+        if pps.entropy_coding_mode:
+            raise NotImplementedError("CABAC: next stage")
+        if h.field_pic_flag:
+            raise NotImplementedError("field pictures: next stage")
+        if self._is_new_picture(h):
+            self._start_picture(h, sps, pps)
+        self.cur_hdr = h
+        self._slice_counter += 1
+        pic = self.cur
+        ctx = _SliceCtx(pic, h, sps, pps, self._slice_counter)
+        r = BitReader(rbsp, h.data_bit_pos)
+        n_mbs = pic.mb_w * pic.mb_h
+        mb_idx = h.first_mb
+        while mb_idx < n_mbs:
+            ctx.decode_mb_cavlc(r, mb_idx)
+            mb_idx += 1
+            if not _more_rbsp_data(r):
+                break
+
+    # -- deblocking (stage 2) ---------------------------------------------
+
+    def _deblock_picture(self, pic: _Picture) -> None:
+        pass
+
+
+class _SliceCtx:
+    """Per-slice decode state + MB decode/reconstruction."""
+
+    def __init__(self, pic: _Picture, h: SliceHeader, sps: SPS, pps: PPS,
+                 slice_id: int):
+        self.pic, self.h, self.sps, self.pps = pic, h, sps, pps
+        self.sid = slice_id
+        self.qp = h.slice_qp
+        # resolved raster-order scaling weights (lists 0..5 4x4, 6..7 8x8)
+        mats = pps.scaling_matrix
+        if mats is None:
+            self.w4 = [_FLAT16] * 6
+            self.w8 = [_FLAT64] * 2
+        else:
+            self.w4 = [tuple(_zz_to_raster(mats[i], 16)) for i in range(6)]
+            if len(mats) > 6:
+                self.w8 = [tuple(_zz_to_raster(mats[i], 64)) for i in (6, 7)]
+            else:
+                self.w8 = [_FLAT64] * 2
+        self._dequant_cache: dict = {}
+
+    # -- availability helpers ---------------------------------------------
+
+    def _mb_avail(self, mbx: int, mby: int) -> bool:
+        pic = self.pic
+        if mbx < 0 or mby < 0 or mbx >= pic.mb_w or mby >= pic.mb_h:
+            return False
+        return pic.mb_slice[mby, mbx] == self.sid
+
+    def _mb_avail_intra(self, mbx: int, mby: int) -> bool:
+        if not self._mb_avail(mbx, mby):
+            return False
+        if self.pps.constrained_intra_pred and not self.pic.is_intra(mbx, mby):
+            return False
+        return True
+
+    def _blk_avail_intra(self, gx: int, gy: int, cur_z: int,
+                         cur_mbx: int, cur_mby: int) -> bool:
+        """Availability of the luma 4x4 block at global 4x4 coords (gx,gy)
+        for intra prediction from the block cur_z of MB (cur_mbx,cur_mby)."""
+        if gx < 0 or gy < 0:
+            return False
+        mbx, mby = gx >> 2, gy >> 2
+        if mbx == cur_mbx and mby == cur_mby:
+            return _XY_TO_Z[(gx & 3, gy & 3)] < cur_z
+        if not self._mb_avail_intra(mbx, mby):
+            return False
+        # different MB: must precede in decode (raster) order
+        return mby < cur_mby or (mby == cur_mby and mbx < cur_mbx)
+
+    # -- nC (9.2.1) --------------------------------------------------------
+
+    def _nnz_luma(self, gx: int, gy: int):
+        pic = self.pic
+        if gx < 0 or gy < 0 or gx >= pic.mb_w * 4 or gy >= pic.mb_h * 4:
+            return None
+        if pic.mb_slice[gy >> 2, gx >> 2] != self.sid:
+            return None
+        return int(pic.nnz_y[gy, gx])
+
+    def _nnz_chroma(self, comp: int, cx: int, cy: int):
+        pic = self.pic
+        if cx < 0 or cy < 0 or cx >= pic.mb_w * 2 or cy >= pic.mb_h * 2:
+            return None
+        if pic.mb_slice[cy >> 1, cx >> 1] != self.sid:
+            return None
+        return int(pic.nnz_c[comp, cy, cx])
+
+    @staticmethod
+    def _combine_nc(na, nb) -> int:
+        if na is not None and nb is not None:
+            return (na + nb + 1) >> 1
+        if na is not None:
+            return na
+        if nb is not None:
+            return nb
+        return 0
+
+    # -- dequant -----------------------------------------------------------
+
+    def _dq4(self, qp: int, list_idx: int):
+        key = (qp, list_idx)
+        t = self._dequant_cache.get(key)
+        if t is None:
+            t = _dequant4_tab(qp, self.w4[list_idx])
+            self._dequant_cache[key] = t
+        return t
+
+    # -- MB decode ---------------------------------------------------------
+
+    def decode_mb_cavlc(self, r: BitReader, mb_idx: int) -> None:
+        pic = self.pic
+        mbx, mby = mb_idx % pic.mb_w, mb_idx // pic.mb_w
+        pic.mb_slice[mby, mbx] = self.sid
+        mb_type = r.ue()
+        # I-slice mb_type: 0 I_NxN, 1..24 I_16x16, 25 I_PCM
+        self._decode_intra_mb(r, mbx, mby, mb_type)
+
+    def _decode_intra_mb(self, r: BitReader, mbx: int, mby: int,
+                         imb: int) -> None:
+        pic = self.pic
+        if imb == 25:
+            self._decode_ipcm(r, mbx, mby)
+            return
+        if imb == 0:
+            self._decode_i4x4(r, mbx, mby)
+        else:
+            self._decode_i16x16(r, mbx, mby, imb - 1)
+
+    def _decode_ipcm(self, r: BitReader, mbx: int, mby: int) -> None:
+        pic = self.pic
+        r.byte_align()
+        y0, x0 = mby * 16, mbx * 16
+        for yy in range(16):
+            for xx in range(16):
+                pic.Y[y0 + yy, x0 + xx] = r.read(8)
+        for comp, plane in ((0, pic.U), (1, pic.V)):
+            for yy in range(8):
+                for xx in range(8):
+                    plane[mby * 8 + yy, mbx * 8 + xx] = r.read(8)
+        pic.mb_class[mby, mbx] = MB_IPCM
+        pic.nnz_y[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 16
+        pic.nnz_c[:, mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
+        pic.mb_qp[mby, mbx] = 0
+        pic.mb_cbp[mby, mbx] = 0x2F  # deblock treats PCM as fully coded
+
+    def _read_i4x4_modes(self, r: BitReader, mbx: int, mby: int):
+        """Parse 16 prediction modes, resolving the predictive coding
+        against neighbour modes (8.3.1.1)."""
+        pic = self.pic
+        modes = [2] * 16
+        gx0, gy0 = mbx * 4, mby * 4
+        for k in range(16):
+            x4, y4 = _Z_TO_XY[k]
+            gx, gy = gx0 + x4, gy0 + y4
+            ma = self._i4_mode_at(gx - 1, gy, k, mbx, mby)
+            mb_ = self._i4_mode_at(gx, gy - 1, k, mbx, mby)
+            pred = 2 if (ma is None or mb_ is None) else min(ma, mb_)
+            if r.read(1):  # prev_intra4x4_pred_mode_flag
+                mode = pred
+            else:
+                rem = r.read(3)
+                mode = rem if rem < pred else rem + 1
+            modes[k] = mode
+            pic.i4_modes[gy, gx] = mode
+        return modes
+
+    def _i4_mode_at(self, gx: int, gy: int, cur_z: int, mbx: int, mby: int):
+        """Mode of neighbour block for prediction-mode inference: None if
+        unavailable; 2 if the MB is not Intra_4x4/Intra_8x8 coded."""
+        if gx < 0 or gy < 0:
+            return None
+        nmbx, nmby = gx >> 2, gy >> 2
+        if nmbx == mbx and nmby == mby:
+            return int(self.pic.i4_modes[gy, gx])
+        if not self._mb_avail_intra(nmbx, nmby):
+            return None
+        cls = self.pic.mb_class[nmby, nmbx]
+        if cls in (MB_I4, MB_I8):
+            return int(self.pic.i4_modes[gy, gx])
+        return 2  # available but not 4x4-coded -> DC
+
+    def _decode_i4x4(self, r: BitReader, mbx: int, mby: int) -> None:
+        pic, pps = self.pic, self.pps
+        tf8 = 0
+        if pps.transform_8x8_mode:
+            tf8 = r.read(1)
+        if tf8:
+            raise NotImplementedError("8x8 transform: next stage")
+        pic.mb_class[mby, mbx] = MB_I4
+        modes = self._read_i4x4_modes(r, mbx, mby)
+        chroma_mode = r.ue()
+        cbp = T.GOLOMB_TO_INTRA4X4_CBP[r.ue()]
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp:
+            self.qp = (self.qp + r.se() + 52) % 52
+        pic.mb_qp[mby, mbx] = self.qp
+        pic.mb_cbp[mby, mbx] = cbp
+        # parse residuals (z order), reconstructing each block in turn:
+        # intra 4x4 prediction needs the reconstructed neighbours, and CAVLC
+        # nC needs the nnz of previously parsed blocks — both follow z order.
+        gx0, gy0 = mbx * 4, mby * 4
+        coeffs = [None] * 16
+        for k in range(16):
+            if cbp_luma & (1 << (k >> 2)):
+                x4, y4 = _Z_TO_XY[k]
+                gx, gy = gx0 + x4, gy0 + y4
+                nc = self._combine_nc(self._nnz_luma(gx - 1, gy),
+                                      self._nnz_luma(gx, gy - 1))
+                blk, tc = _cavlc_block(r, nc, 16)
+                coeffs[k] = blk
+                pic.nnz_y[gy, gx] = tc
+        # reconstruct luma blocks in z order
+        for k in range(16):
+            self._recon_i4_block(mbx, mby, k, modes[k], coeffs[k])
+        self._decode_chroma_cavlc(r, mbx, mby, chroma_mode, cbp_chroma,
+                                  intra=True)
+
+    def _recon_i4_block(self, mbx: int, mby: int, k: int, mode: int,
+                        coeffs) -> None:
+        pic = self.pic
+        x4, y4 = _Z_TO_XY[k]
+        gx, gy = mbx * 4 + x4, mby * 4 + y4
+        px, py = gx * 4, gy * 4
+        Y = pic.Y
+        avail_l = self._blk_avail_intra(gx - 1, gy, k, mbx, mby)
+        avail_t = self._blk_avail_intra(gx, gy - 1, k, mbx, mby)
+        avail_tl = self._blk_avail_intra(gx - 1, gy - 1, k, mbx, mby)
+        avail_tr = self._blk_avail_intra(gx + 1, gy - 1, k, mbx, mby)
+        l = [int(Y[py + i, px - 1]) for i in range(4)] if avail_l else [0] * 4
+        t = [int(Y[py - 1, px + i]) for i in range(4)] if avail_t else [0] * 4
+        tl = int(Y[py - 1, px - 1]) if avail_tl else 0
+        if avail_tr:
+            tr = [int(Y[py - 1, px + 4 + i]) for i in range(4)]
+        elif avail_t:
+            tr = [t[3]] * 4
+        else:
+            tr = [0] * 4
+
+        def P(x, y):
+            if y == -1:
+                if x == -1:
+                    return tl
+                return t[x] if x < 4 else tr[x - 4]
+            return l[y]
+
+        pred = _pred4x4(mode, P, avail_l, avail_t, avail_tl)
+        if coeffs is None:
+            for yy in range(4):
+                Y[py + yy, px : px + 4] = pred[yy]
+            return
+        dq = self._dq4(self.qp, 0)
+        d = [0] * 16
+        for s in range(16):
+            c = coeffs[s]
+            if c:
+                pos = ZIGZAG_4x4[s]
+                d[pos] = c * dq[pos]
+        res = _idct4x4(d)
+        for yy in range(4):
+            row = Y[py + yy]
+            base = 4 * yy
+            for xx in range(4):
+                row[px + xx] = _clip1(pred[yy][xx] + res[base + xx])
+
+    def _decode_i16x16(self, r: BitReader, mbx: int, mby: int, k: int) -> None:
+        pic = self.pic
+        pred_mode = k % 4
+        cbp_chroma = (k // 4) % 3
+        cbp_luma = 15 if k >= 12 else 0
+        chroma_mode = r.ue()
+        self.qp = (self.qp + r.se() + 52) % 52
+        pic.mb_class[mby, mbx] = MB_I16
+        pic.mb_qp[mby, mbx] = self.qp
+        pic.mb_cbp[mby, mbx] = cbp_luma | (cbp_chroma << 4)
+        gx0, gy0 = mbx * 4, mby * 4
+        # luma DC (4x4 scan over the DC array)
+        nc = self._combine_nc(self._nnz_luma(gx0 - 1, gy0),
+                              self._nnz_luma(gx0, gy0 - 1))
+        dc_scan, dc_tc = _cavlc_block(r, nc, 16)
+        if dc_tc:
+            pic.mb_dc_flag[mby, mbx] |= 1
+        # AC blocks
+        coeffs = [None] * 16
+        for kk in range(16):
+            x4, y4 = _Z_TO_XY[kk]
+            gx, gy = gx0 + x4, gy0 + y4
+            if cbp_luma:
+                ncb = self._combine_nc(self._nnz_luma(gx - 1, gy),
+                                       self._nnz_luma(gx, gy - 1))
+                blk, tc = _cavlc_block(r, ncb, 15)
+                coeffs[kk] = blk
+                pic.nnz_y[gy, gx] = tc
+        # reconstruct
+        avail_l = self._mb_avail_intra(mbx - 1, mby)
+        avail_t = self._mb_avail_intra(mbx, mby - 1)
+        avail_tl = self._mb_avail_intra(mbx - 1, mby - 1)
+        px, py = mbx * 16, mby * 16
+        Y = pic.Y
+        left = [int(Y[py + i, px - 1]) for i in range(16)] if avail_l else [0] * 16
+        top = [int(Y[py - 1, px + i]) for i in range(16)] if avail_t else [0] * 16
+        tl = int(Y[py - 1, px - 1]) if avail_tl else 0
+        pred = _pred16x16(pred_mode, left, top, tl, avail_l, avail_t)
+        # DC transform
+        dcr = [0] * 16
+        for s in range(16):
+            dcr[ZIGZAG_4x4[s]] = dc_scan[s]
+        f = _hadamard4x4(dcr)
+        dc = _luma_dc_dequant(f, self.qp, self.w4[0][0])
+        dq = self._dq4(self.qp, 0)
+        for kk in range(16):
+            x4, y4 = _Z_TO_XY[kk]
+            d = [0] * 16
+            blk = coeffs[kk]
+            if blk is not None:
+                for s in range(15):
+                    c = blk[s]
+                    if c:
+                        pos = ZIGZAG_4x4[s + 1]
+                        d[pos] = c * dq[pos]
+            d[0] = dc[4 * y4 + x4]
+            res = _idct4x4(d)
+            bx, by = px + 4 * x4, py + 4 * y4
+            for yy in range(4):
+                row = Y[by + yy]
+                prow = pred[by - py + yy]
+                base = 4 * yy
+                for xx in range(4):
+                    row[bx + xx] = _clip1(int(prow[bx - px + xx]) + res[base + xx])
+        self._decode_chroma_cavlc(r, mbx, mby, chroma_mode, cbp_chroma,
+                                  intra=True)
+
+    def _decode_chroma_cavlc(self, r: BitReader, mbx: int, mby: int,
+                             chroma_mode: int, cbp_chroma: int,
+                             intra: bool) -> None:
+        pic, pps = self.pic, self.pps
+        dc_scan = [[0] * 4, [0] * 4]
+        if cbp_chroma:
+            for comp in range(2):
+                blk, tc = _cavlc_block(r, -1, 4)
+                dc_scan[comp] = blk
+                if tc:
+                    pic.mb_dc_flag[mby, mbx] |= 2 << comp
+        coeffs = [[None] * 4 for _ in range(2)]
+        if cbp_chroma & 2:
+            for comp in range(2):
+                for b in range(4):
+                    cx = mbx * 2 + (b & 1)
+                    cy = mby * 2 + (b >> 1)
+                    nc = self._combine_nc(self._nnz_chroma(comp, cx - 1, cy),
+                                          self._nnz_chroma(comp, cx, cy - 1))
+                    blk, tc = _cavlc_block(r, nc, 15)
+                    coeffs[comp][b] = blk
+                    pic.nnz_c[comp, cy, cx] = tc
+        # reconstruct both chroma components
+        avail_l = self._mb_avail_intra(mbx - 1, mby)
+        avail_t = self._mb_avail_intra(mbx, mby - 1)
+        avail_tl = self._mb_avail_intra(mbx - 1, mby - 1)
+        qpc = (chroma_qp(self.qp, pps.chroma_qp_index_offset),
+               chroma_qp(self.qp, pps.second_chroma_qp_index_offset))
+        for comp, plane in ((0, pic.U), (1, pic.V)):
+            px, py = mbx * 8, mby * 8
+            if intra:
+                left = ([int(plane[py + i, px - 1]) for i in range(8)]
+                        if avail_l else [0] * 8)
+                top = ([int(plane[py - 1, px + i]) for i in range(8)]
+                       if avail_t else [0] * 8)
+                tl = int(plane[py - 1, px - 1]) if avail_tl else 0
+                pred = _pred_chroma8x8(chroma_mode, left, top, tl,
+                                       avail_l, avail_t)
+            else:
+                pred = self._inter_chroma_pred(comp, mbx, mby)
+            qp = qpc[comp]
+            list_idx = (1 + comp) if intra else (4 + comp)
+            # DC 2x2 transform
+            c0, c1, c2, c3 = dc_scan[comp]
+            f = (c0 + c1 + c2 + c3, c0 - c1 + c2 - c3,
+                 c0 + c1 - c2 - c3, c0 - c1 - c2 + c3)
+            dc = _chroma_dc_dequant(f, qp, self.w4[list_idx][0])
+            dq = self._dq4(qp, list_idx)
+            out = pred.copy()
+            for b in range(4):
+                bx, by = 4 * (b & 1), 4 * (b >> 1)
+                d = [0] * 16
+                blk = coeffs[comp][b]
+                if blk is not None:
+                    for s in range(15):
+                        c = blk[s]
+                        if c:
+                            pos = ZIGZAG_4x4[s + 1]
+                            d[pos] = c * dq[pos]
+                d[0] = dc[b]
+                if any(d):
+                    res = _idct4x4(d)
+                    for yy in range(4):
+                        base = 4 * yy
+                        for xx in range(4):
+                            out[by + yy, bx + xx] = _clip1(
+                                int(pred[by + yy, bx + xx]) + res[base + xx])
+            plane[py : py + 8, px : px + 8] = np.clip(out, 0, 255)
+
+    def _inter_chroma_pred(self, comp, mbx, mby):
+        raise NotImplementedError("inter: next stage")

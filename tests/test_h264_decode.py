@@ -1,0 +1,148 @@
+"""In-build H.264 decoder vs the system libavcodec (bit-exact).
+
+Two validation axes, mirroring the MPEG-2 strategy
+(test_mpeg2_decode.py / test_mpeg2_crossval.py):
+
+- crafted streams (tests/h264_gen.py): hand-written CAVLC bitstreams with
+  *chosen* coefficients probe the exact dequant/transform arithmetic the
+  real decoder uses (these pinned down the normAdjust position classes
+  and the DC scaling shifts — see h264_ref._luma_dc_dequant).
+- libx264 encodes of synthetic content at scoped feature levels, decoded
+  by both libavcodec and the in-build decoder, compared bit-exactly.
+"""
+
+import numpy as np
+import pytest
+
+from amatsukaze_tpu.video import h264_ref as HR
+from amatsukaze_tpu.video.avdec import avdec_available
+
+import h264_gen
+
+pytestmark = pytest.mark.skipif(
+    not avdec_available(), reason="FFmpeg bridge unavailable")
+
+
+def _ff_decode(es: bytes, tmp_path):
+    from amatsukaze_tpu.video.avdec import AvVideoDecoder
+    p = tmp_path / "probe.h264"
+    p.write_bytes(es)
+    return [(y.copy(), u.copy(), v.copy())
+            for y, u, v in AvVideoDecoder(str(p)).frames()]
+
+
+def _ref_decode(es: bytes):
+    dec = HR.H264RefDecoder()
+    return dec.decode(es) + dec.flush()
+
+
+def _assert_frames_equal(ref, got):
+    assert len(ref) == len(got)
+    for i, (rf, gf) in enumerate(zip(ref, got)):
+        for name, a, b in zip("YUV", rf[:3], gf[:3]):
+            assert np.array_equal(a, b), (
+                f"frame {i} plane {name}: "
+                f"{np.count_nonzero(a.astype(int) != b.astype(int))} diffs")
+
+
+def _smooth_frames(w, h, n, seed=7):
+    import scipy.ndimage as ndi
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        y = ndi.gaussian_filter(rng.uniform(0, 255, (h, w)), 2.5) + 2 * i
+        u = ndi.gaussian_filter(rng.uniform(0, 255, (h // 2, w // 2)), 2)
+        v = ndi.gaussian_filter(rng.uniform(0, 255, (h // 2, w // 2)), 2)
+        out.append(tuple(np.clip(p, 0, 255).astype(np.uint8)
+                         for p in (y, u, v)))
+    return out
+
+
+def _x264_stream(w, h, frames, params, crf=20, bframes=0, preset="veryfast"):
+    from amatsukaze_tpu.video.avdec import AvVideoEncoder
+    enc = AvVideoEncoder(w, h, 30, 1, crf=crf, preset=preset,
+                        bframes=bframes, x264_params=params)
+    pkts = []
+    for y, u, v in frames:
+        pkts += enc.encode(y, u, v)
+    pkts += enc.flush()
+    return b"".join(pkts)
+
+
+class TestCraftedProbes:
+    """Crafted single-coefficient streams: the arithmetic ground truth."""
+
+    def test_luma_ac_positions(self, tmp_path):
+        # every scan position, a mid and a high qp: nails the per-position
+        # normAdjust class mapping and the 4x4 IDCT rounding
+        for qp in (10, 23, 40):
+            for s in range(16):
+                co = [0] * 16
+                co[s] = 4
+                es = h264_gen.make_stream(2, 2, qp, {"luma_blocks": {0: co}})
+                _assert_frames_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+
+    def test_luma_negative_and_multi(self, tmp_path):
+        es = h264_gen.make_stream(2, 2, 23, {"luma_blocks": {
+            0: [-4, -1, 1] + [0] * 13,
+            5: [7, 0, 0, -3, 0, 1, -1] + [0] * 9,
+        }})
+        _assert_frames_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+
+    def test_i16_dc(self, tmp_path):
+        for qp in (3, 11, 23, 37, 51):
+            for co in ([4, 3] + [0] * 14, [-4, 0, -3] + [0] * 13):
+                es = h264_gen.make_stream(2, 2, qp, {"i16_dc": list(co)})
+                _assert_frames_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+
+    def test_chroma_dc_and_ac(self, tmp_path):
+        for qp in (1, 17, 23, 45):
+            es = h264_gen.make_stream(2, 2, qp,
+                                      {"chroma_dc": ([4, 2, 0, 1], [-3, 0, 0, 0])})
+            _assert_frames_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+        ac = [0] * 15
+        ac[0], ac[3] = 4, -2
+        es = h264_gen.make_stream(2, 2, 23, {"chroma_ac": {(0, 0): ac,
+                                                           (1, 2): ac}})
+        _assert_frames_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+
+    def test_cavlc_level_escapes(self, tmp_path):
+        # large levels exercise the suffix-length escalation + escape codes.
+        # qp is kept low: the CAVLC codes themselves are qp-independent, and
+        # at high qp these magnitudes dequantise past the int16 IDCT
+        # intermediate range that real SIMD decoders wrap at (out of the
+        # conformance envelope, so bit-exactness there is undefined)
+        es = h264_gen.make_stream(2, 2, 4, {"luma_blocks": {
+            0: [90, -40, 17, 9, -4, 2, 1, -1] + [0] * 8,
+            1: [450, -350] + [0] * 14,
+        }})
+        _assert_frames_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+        # level_prefix 15 escape with a 12-bit suffix at suffix_length 0
+        es = h264_gen.make_stream(2, 2, 0, {"luma_blocks": {
+            0: [2048] + [0] * 15, 2: [-1800] + [0] * 15}})
+        _assert_frames_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+
+
+class TestX264Intra:
+    """libx264 all-intra CAVLC streams, deblocking off."""
+
+    PARAMS = "keyint=1:cabac=0:8x8dct=0:no-deblock=1"
+
+    def test_fixed_qp(self, tmp_path):
+        frames = _smooth_frames(64, 64, 3)
+        for qp in (10, 26, 40):
+            es = _x264_stream(64, 64, frames, self.PARAMS + f":qp={qp}")
+            _assert_frames_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+
+    def test_noisy_content_crf(self, tmp_path):
+        rng = np.random.default_rng(3)
+        frames = [tuple(rng.integers(0, 256, s, dtype=np.uint8).astype(np.uint8)
+                        for s in ((48, 48), (24, 24), (24, 24)))
+                  for _ in range(2)]
+        es = _x264_stream(48, 48, frames, self.PARAMS, crf=30)
+        _assert_frames_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+
+    def test_larger_picture(self, tmp_path):
+        frames = _smooth_frames(176, 144, 2, seed=11)
+        es = _x264_stream(176, 144, frames, self.PARAMS + ":qp=30")
+        _assert_frames_equal(_ff_decode(es, tmp_path), _ref_decode(es))
