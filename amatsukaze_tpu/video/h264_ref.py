@@ -1001,6 +1001,15 @@ class _Picture:
         # DC-coefficient presence (for deblock bS when nnz grids are AC-only)
         self.mb_dc_flag = np.zeros((self.mb_h, self.mb_w), np.int32)
         self.mb_tf8 = np.zeros((self.mb_h, self.mb_w), np.int32)
+        # per-MB deblock parameters (from the slice header of the slice the
+        # MB belongs to; 8.7: offsets/disable follow the *current* (q) MB)
+        self.mb_alpha_off = np.zeros((self.mb_h, self.mb_w), np.int32)
+        self.mb_beta_off = np.zeros((self.mb_h, self.mb_w), np.int32)
+        self.mb_disable = np.zeros((self.mb_h, self.mb_w), np.int32)
+        # per-4x4-block motion state (P/B): mv in quarter-pel, ref picture
+        # identity per list (-1 = unused); bS=1 rule compares these
+        self.mv = np.zeros((2, n4h, n4w, 2), np.int32)
+        self.ref_id = np.full((2, n4h, n4w), -1, np.int64)
         # display metadata
         self.poc = 0
         self.frame_num = 0
@@ -1186,10 +1195,210 @@ class H264RefDecoder:
             if not _more_rbsp_data(r):
                 break
 
-    # -- deblocking (stage 2) ---------------------------------------------
+    # -- deblocking (8.7) --------------------------------------------------
 
     def _deblock_picture(self, pic: _Picture) -> None:
-        pass
+        for mby in range(pic.mb_h):
+            for mbx in range(pic.mb_w):
+                if pic.mb_slice[mby, mbx] < 0:
+                    continue
+                if pic.mb_disable[mby, mbx] == 1:
+                    continue
+                _deblock_mb(pic, mbx, mby)
+
+
+# ---------------------------------------------------------------------------
+# Deblocking filter (8.7) — in-place, MB raster order, vertical edges then
+# horizontal, using already-filtered neighbour samples (normative order).
+# ---------------------------------------------------------------------------
+
+def _bs_mv(pic: _Picture, gxp, gyp, gxq, gyq) -> int:
+    """bS in {0, 1} from motion (8.7.2.1, both blocks inter, no coeffs)."""
+    up = []
+    uq = []
+    for l in range(2):
+        rp = int(pic.ref_id[l, gyp, gxp])
+        if rp >= 0:
+            up.append((rp, (int(pic.mv[l, gyp, gxp, 0]),
+                            int(pic.mv[l, gyp, gxp, 1]))))
+        rq = int(pic.ref_id[l, gyq, gxq])
+        if rq >= 0:
+            uq.append((rq, (int(pic.mv[l, gyq, gxq, 0]),
+                            int(pic.mv[l, gyq, gxq, 1]))))
+    if len(up) != len(uq):
+        return 1
+    if sorted(r for r, _ in up) != sorted(r for r, _ in uq):
+        return 1
+
+    def far(a, b):
+        return abs(a[0] - b[0]) >= 4 or abs(a[1] - b[1]) >= 4
+
+    if len(up) == 1:
+        return 1 if far(up[0][1], uq[0][1]) else 0
+    if len(up) == 0:
+        return 0
+    if up[0][0] != up[1][0]:
+        for r, mv in up:
+            mv2 = next(m for rr, m in uq if rr == r)
+            if far(mv, mv2):
+                return 1
+        return 0
+    # both predictions from the same picture: near under either assignment
+    a = not far(up[0][1], uq[0][1]) and not far(up[1][1], uq[1][1])
+    b = not far(up[0][1], uq[1][1]) and not far(up[1][1], uq[0][1])
+    return 0 if (a or b) else 1
+
+
+def _bs(pic: _Picture, gxp, gyp, gxq, gyq, mb_edge: bool) -> int:
+    pmbx, pmby = gxp >> 2, gyp >> 2
+    qmbx, qmby = gxq >> 2, gyq >> 2
+    if pic.is_intra(pmbx, pmby) or pic.is_intra(qmbx, qmby):
+        return 4 if mb_edge else 3
+    if pic.nnz_y[gyp, gxp] or pic.nnz_y[gyq, gxq]:
+        return 2
+    return _bs_mv(pic, gxp, gyp, gxq, gyq)
+
+
+def _deblock_line(plane, y, x, dy, dx, bs, alpha, beta, tc0, luma) -> None:
+    """Filter one sample line across an edge. (y, x) = q0 position;
+    (dy, dx) = step towards q3 (p samples lie in the opposite direction)."""
+    p0 = int(plane[y - dy, x - dx])
+    p1 = int(plane[y - 2 * dy, x - 2 * dx])
+    p2 = int(plane[y - 3 * dy, x - 3 * dx])
+    q0 = int(plane[y, x])
+    q1 = int(plane[y + dy, x + dx])
+    q2 = int(plane[y + 2 * dy, x + 2 * dx])
+    if abs(p0 - q0) >= alpha or abs(p1 - p0) >= beta or abs(q1 - q0) >= beta:
+        return
+    ap = abs(p2 - p0)
+    aq = abs(q2 - q0)
+    if bs < 4:
+        if luma:
+            tc = tc0 + (1 if ap < beta else 0) + (1 if aq < beta else 0)
+        else:
+            tc = tc0 + 1
+        delta = (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3
+        delta = -tc if delta < -tc else tc if delta > tc else delta
+        plane[y - dy, x - dx] = _clip1(p0 + delta)
+        plane[y, x] = _clip1(q0 - delta)
+        if luma and ap < beta:
+            d = (p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1
+            d = -tc0 if d < -tc0 else tc0 if d > tc0 else d
+            plane[y - 2 * dy, x - 2 * dx] = p1 + d
+        if luma and aq < beta:
+            d = (q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1
+            d = -tc0 if d < -tc0 else tc0 if d > tc0 else d
+            plane[y + dy, x + dx] = q1 + d
+    else:
+        if luma:
+            strong = abs(p0 - q0) < (alpha >> 2) + 2
+            if strong and ap < beta:
+                p3 = int(plane[y - 4 * dy, x - 4 * dx])
+                plane[y - dy, x - dx] = (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3
+                plane[y - 2 * dy, x - 2 * dx] = (p2 + p1 + p0 + q0 + 2) >> 2
+                plane[y - 3 * dy, x - 3 * dx] = (
+                    2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3
+            else:
+                plane[y - dy, x - dx] = (2 * p1 + p0 + q1 + 2) >> 2
+            if strong and aq < beta:
+                q3 = int(plane[y + 3 * dy, x + 3 * dx])
+                plane[y, x] = (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3
+                plane[y + dy, x + dx] = (q2 + q1 + q0 + p0 + 2) >> 2
+                plane[y + 2 * dy, x + 2 * dx] = (
+                    2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3
+            else:
+                plane[y, x] = (2 * q1 + q0 + p1 + 2) >> 2
+        else:
+            plane[y - dy, x - dx] = (2 * p1 + p0 + q1 + 2) >> 2
+            plane[y, x] = (2 * q1 + q0 + p1 + 2) >> 2
+
+
+def _edge_bs_and_qp(pic: _Picture, mbx, mby, e, vertical):
+    """Per-4-sample-segment (bS, indexA inputs) for one luma edge."""
+    out = []
+    for seg in range(4):
+        if vertical:
+            gxq, gyq = mbx * 4 + e, mby * 4 + seg
+            gxp, gyp = gxq - 1, gyq
+        else:
+            gxq, gyq = mbx * 4 + seg, mby * 4 + e
+            gxp, gyp = gxq, gyq - 1
+        bs = _bs(pic, gxp, gyp, gxq, gyq, e == 0)
+        qpp = int(pic.mb_qp[gyp >> 2, gxp >> 2])
+        qpq = int(pic.mb_qp[gyq >> 2, gxq >> 2])
+        out.append((bs, qpp, qpq))
+    return out
+
+
+def _deblock_mb(pic: _Picture, mbx, mby) -> None:
+    aoff = int(pic.mb_alpha_off[mby, mbx])
+    boff = int(pic.mb_beta_off[mby, mbx])
+    disable = int(pic.mb_disable[mby, mbx])
+    tf8 = int(pic.mb_tf8[mby, mbx])
+    sid = int(pic.mb_slice[mby, mbx])
+    pps = pic.pps
+    coff = (pps.chroma_qp_index_offset, pps.second_chroma_qp_index_offset)
+
+    def thresholds(qpp, qpq, bs, chroma_comp=None):
+        if chroma_comp is None:
+            qav = (qpp + qpq + 1) >> 1
+        else:
+            qav = (chroma_qp(qpp, coff[chroma_comp])
+                   + chroma_qp(qpq, coff[chroma_comp]) + 1) >> 1
+        ia = min(51, max(0, qav + aoff))
+        ib = min(51, max(0, qav + boff))
+        alpha = T.DEBLOCK_ALPHA[ia]
+        beta = T.DEBLOCK_BETA[ib]
+        tc0 = T.DEBLOCK_TC0[bs - 1][ia] if bs < 4 else 0
+        return alpha, beta, tc0
+
+    for vertical in (True, False):
+        for e in range(4):
+            if e == 0:
+                nmbx, nmby = (mbx - 1, mby) if vertical else (mbx, mby - 1)
+                if nmbx < 0 or nmby < 0:
+                    continue
+                if pic.mb_slice[nmby, nmbx] < 0:
+                    continue
+                if disable == 2 and pic.mb_slice[nmby, nmbx] != sid:
+                    continue
+            elif tf8 and (e & 1):
+                continue
+            segs = _edge_bs_and_qp(pic, mbx, mby, e, vertical)
+            # luma
+            for seg, (bs, qpp, qpq) in enumerate(segs):
+                if bs == 0:
+                    continue
+                alpha, beta, tc0 = thresholds(qpp, qpq, bs)
+                if alpha == 0 or beta == 0:
+                    continue
+                for i in range(4):
+                    if vertical:
+                        _deblock_line(pic.Y, mby * 16 + seg * 4 + i,
+                                      mbx * 16 + e * 4, 0, 1, bs, alpha, beta,
+                                      tc0, True)
+                    else:
+                        _deblock_line(pic.Y, mby * 16 + e * 4,
+                                      mbx * 16 + seg * 4 + i, 1, 0, bs, alpha,
+                                      beta, tc0, True)
+            # chroma (4:2:0): luma edges 0 and 2 only
+            if e in (0, 2):
+                for comp, plane in ((0, pic.U), (1, pic.V)):
+                    for seg, (bs, qpp, qpq) in enumerate(segs):
+                        if bs == 0:
+                            continue
+                        alpha, beta, tc0 = thresholds(qpp, qpq, bs, comp)
+                        if alpha == 0 or beta == 0:
+                            continue
+                        for i in range(2):
+                            if vertical:
+                                _deblock_line(plane, mby * 8 + seg * 2 + i,
+                                              mbx * 8 + e * 2, 0, 1, bs,
+                                              alpha, beta, tc0, False)
+                            else:
+                                _deblock_line(plane, mby * 8 + e * 2,
+                                              mbx * 8 + seg * 2 + i, 1, 0, bs,
+                                              alpha, beta, tc0, False)
 
 
 class _SliceCtx:
@@ -1283,9 +1492,12 @@ class _SliceCtx:
     # -- MB decode ---------------------------------------------------------
 
     def decode_mb_cavlc(self, r: BitReader, mb_idx: int) -> None:
-        pic = self.pic
+        pic, h = self.pic, self.h
         mbx, mby = mb_idx % pic.mb_w, mb_idx // pic.mb_w
         pic.mb_slice[mby, mbx] = self.sid
+        pic.mb_alpha_off[mby, mbx] = h.slice_alpha_c0_offset_div2 * 2
+        pic.mb_beta_off[mby, mbx] = h.slice_beta_offset_div2 * 2
+        pic.mb_disable[mby, mbx] = h.disable_deblocking_filter_idc
         mb_type = r.ue()
         # I-slice mb_type: 0 I_NxN, 1..24 I_16x16, 25 I_PCM
         self._decode_intra_mb(r, mbx, mby, mb_type)

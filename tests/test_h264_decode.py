@@ -146,3 +146,36 @@ class TestX264Intra:
         frames = _smooth_frames(176, 144, 2, seed=11)
         es = _x264_stream(176, 144, frames, self.PARAMS + ":qp=30")
         _assert_frames_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+
+
+class TestX264IntraDeblock:
+    """All-intra with the in-loop deblocking filter active (8.7)."""
+
+    PARAMS = "keyint=1:cabac=0:8x8dct=0"
+
+    def test_default_offsets(self, tmp_path):
+        frames = _smooth_frames(64, 64, 3)
+        for qp in (20, 30, 40):
+            es = _x264_stream(64, 64, frames, self.PARAMS + f":qp={qp}")
+            _assert_frames_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+
+    def test_offsets(self, tmp_path):
+        frames = _smooth_frames(64, 64, 2, seed=5)
+        for db in ("2,1", "-3,-2", "6,6"):
+            es = _x264_stream(64, 64, frames,
+                              self.PARAMS + f":qp=35:deblock={db}")
+            _assert_frames_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+
+    def test_noisy_high_qp(self, tmp_path):
+        # high qp drives bS=4 strong filtering everywhere
+        rng = np.random.default_rng(9)
+        frames = [tuple(rng.integers(0, 256, s, dtype=np.uint8)
+                        for s in ((48, 48), (24, 24), (24, 24)))
+                  for _ in range(2)]
+        es = _x264_stream(48, 48, frames, self.PARAMS + ":qp=46")
+        _assert_frames_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+
+    def test_larger_picture(self, tmp_path):
+        frames = _smooth_frames(176, 144, 2, seed=13)
+        es = _x264_stream(176, 144, frames, self.PARAMS + ":qp=32")
+        _assert_frames_equal(_ff_decode(es, tmp_path), _ref_decode(es))
