@@ -971,6 +971,114 @@ def _pred_chroma8x8(mode: int, left, top, topleft, avail_l, avail_t):
 
 
 # ---------------------------------------------------------------------------
+# Inter prediction: quarter-pel luma / eighth-pel chroma interpolation (8.4.2.2)
+# ---------------------------------------------------------------------------
+
+def _six_h(a):
+    return (a[:, :-5] - 5 * a[:, 1:-4] + 20 * a[:, 2:-3]
+            + 20 * a[:, 3:-2] - 5 * a[:, 4:-1] + a[:, 5:])
+
+
+def _six_v(a):
+    return (a[:-5] - 5 * a[1:-4] + 20 * a[2:-3]
+            + 20 * a[3:-2] - 5 * a[4:-1] + a[5:])
+
+
+def _clip255(a):
+    return np.clip(a, 0, 255)
+
+
+def _mc_luma(refY: np.ndarray, x0: int, y0: int, w: int, h: int,
+             mvx: int, mvy: int) -> np.ndarray:
+    """Motion-compensated luma block (8.4.2.2.1), int32 result 0..255.
+    Sample coordinates are clamped to the picture (the spec's Clip3 on
+    xIntL/yIntL), implemented by clipped fancy-indexing."""
+    H, W = refY.shape
+    fx, fy = mvx & 3, mvy & 3
+    ix, iy = x0 + (mvx >> 2), y0 + (mvy >> 2)
+    rows = np.clip(np.arange(iy - 2, iy + h + 3), 0, H - 1)
+    cols = np.clip(np.arange(ix - 2, ix + w + 3), 0, W - 1)
+    ext = refY[np.ix_(rows, cols)].astype(np.int32)  # (h+5+1? ) -> (h+5, w+5)
+    # ext covers rows iy-2 .. iy+h+2, cols ix-2 .. ix+w+2  (h+5, w+5)
+    if fx == 0 and fy == 0:
+        return ext[2 : 2 + h, 2 : 2 + w]
+    G = ext[2 : 2 + h, 2 : 2 + w]
+    out = None
+    b = hh = j = None
+    if fy == 0:
+        b1 = _six_h(ext[2 : 2 + h])  # (h, w)
+        b = (b1 + 16) >> 5
+        b = _clip255(b)
+        if fx == 1:
+            out = (G + b + 1) >> 1
+        elif fx == 2:
+            out = b
+        else:
+            Hs = ext[2 : 2 + h, 3 : 3 + w]
+            out = (Hs + b + 1) >> 1
+        return out
+    if fx == 0:
+        h1 = _six_v(ext[:, 2 : 2 + w])  # (h, w)
+        hh = _clip255((h1 + 16) >> 5)
+        if fy == 1:
+            out = (G + hh + 1) >> 1
+        elif fy == 2:
+            out = hh
+        else:
+            M = ext[3 : 3 + h, 2 : 2 + w]
+            out = (M + hh + 1) >> 1
+        return out
+    # both fractional: need j and/or b/h/m/s
+    b1_all = _six_h(ext)              # (h+5, w)    rows iy-2..iy+h+2
+    h1_all = _six_v(ext)              # (h, w+5)    cols ix-2..ix+w+2
+    j1 = _six_v(b1_all)               # (h, w)
+    j = _clip255((j1 + 512) >> 10)
+    if fx == 2 and fy == 2:
+        return j
+    b = _clip255((b1_all[2 : 2 + h] + 16) >> 5)          # at (x, y)
+    s = _clip255((b1_all[3 : 3 + h] + 16) >> 5)          # b at y+1
+    hh = _clip255((h1_all[:, 2 : 2 + w] + 16) >> 5)      # at (x, y)
+    m = _clip255((h1_all[:, 3 : 3 + w] + 16) >> 5)       # h at x+1
+    if fy == 1:
+        if fx == 1:
+            out = (b + hh + 1) >> 1      # e
+        elif fx == 2:
+            out = (b + j + 1) >> 1       # f
+        else:
+            out = (b + m + 1) >> 1       # g
+    elif fy == 2:
+        if fx == 1:
+            out = (hh + j + 1) >> 1      # i
+        else:
+            out = (j + m + 1) >> 1       # k
+    else:  # fy == 3
+        if fx == 1:
+            out = (hh + s + 1) >> 1      # p
+        elif fx == 2:
+            out = (j + s + 1) >> 1       # q
+        else:
+            out = (m + s + 1) >> 1       # r
+    return out
+
+
+def _mc_chroma(refC: np.ndarray, cx0: int, cy0: int, w: int, h: int,
+               mvx: int, mvy: int) -> np.ndarray:
+    """Motion-compensated chroma block (8.4.2.2.2), 1/8-pel bilinear."""
+    H, W = refC.shape
+    dx, dy = mvx & 7, mvy & 7
+    ix, iy = cx0 + (mvx >> 3), cy0 + (mvy >> 3)
+    rows = np.clip(np.arange(iy, iy + h + 1), 0, H - 1)
+    cols = np.clip(np.arange(ix, ix + w + 1), 0, W - 1)
+    A = refC[np.ix_(rows, cols)].astype(np.int32)
+    return ((8 - dx) * (8 - dy) * A[:h, :w] + dx * (8 - dy) * A[:h, 1:]
+            + (8 - dx) * dy * A[1:, :w] + dx * dy * A[1:, 1:] + 32) >> 6
+
+
+def _median3(a, b, c):
+    return a + b + c - min(a, b, c) - max(a, b, c)
+
+
+# ---------------------------------------------------------------------------
 # Decoded picture + decoder
 # ---------------------------------------------------------------------------
 
@@ -1010,12 +1118,20 @@ class _Picture:
         # identity per list (-1 = unused); bS=1 rule compares these
         self.mv = np.zeros((2, n4h, n4w, 2), np.int32)
         self.ref_id = np.full((2, n4h, n4w), -1, np.int64)
+        self.ref_idx = np.full((2, n4h, n4w), -1, np.int32)
         # display metadata
         self.poc = 0
         self.frame_num = 0
         self.is_ref = False
         self.is_idr = False
         self.qp_y = 0
+        # reference management
+        self.pic_id = -1          # unique decode counter (bS identity)
+        self._epoch = 0
+        self.long_term = False
+        self.long_term_idx = -1
+        self._mmco = ()
+        self._long_term_ref_flag = 0
 
     def is_intra(self, mbx: int, mby: int) -> bool:
         return self.mb_class[mby, mbx] in (MB_I4, MB_I16, MB_IPCM, MB_I8)
@@ -1038,6 +1154,11 @@ class H264RefDecoder:
         self._prev_frame_num = 0
         self._prev_frame_num_offset = 0
         self._hold = 5  # display reorder hold-back depth
+        # reference picture state (8.2.4 / 8.2.5)
+        self.dpb: list[_Picture] = []
+        self._pic_counter = 0
+        self._max_long_term_idx = -1
+        self._epoch = 0  # bumped per IDR: POC comparisons only valid within
 
     # -- public API --------------------------------------------------------
 
@@ -1095,6 +1216,13 @@ class H264RefDecoder:
         pic.is_ref = h.nal_ref_idc != 0
         pic.is_idr = h.idr
         pic.poc = self._compute_poc(h, sps)
+        pic.pic_id = self._pic_counter
+        self._pic_counter += 1
+        if h.idr:
+            self._epoch += 1
+        pic._epoch = self._epoch
+        pic._mmco = h.mmco
+        pic._long_term_ref_flag = h.long_term_reference_flag
         self.cur = pic
         self._slice_counter = 0
 
@@ -1105,13 +1233,151 @@ class H264RefDecoder:
         self.cur = None
         self.cur_hdr = None
         self._deblock_picture(pic)
+        self._mark_references(pic)
         self._out.append(pic)
+
+    # -- reference marking (8.2.5) ----------------------------------------
+
+    def _frame_num_wrap(self, p: _Picture, cur_frame_num: int, sps: SPS) -> int:
+        max_fn = 1 << sps.log2_max_frame_num
+        return p.frame_num - max_fn if p.frame_num > cur_frame_num else p.frame_num
+
+    def _mark_references(self, pic: _Picture) -> None:
+        if not pic.is_ref:
+            return
+        sps = pic.sps
+        if pic.is_idr:
+            self.dpb = []
+            if pic._long_term_ref_flag:
+                pic.long_term = True
+                pic.long_term_idx = 0
+                self._max_long_term_idx = 0
+            else:
+                self._max_long_term_idx = -1
+            self.dpb.append(pic)
+            return
+        max_fn = 1 << sps.log2_max_frame_num
+        if pic._mmco:
+            cur_pn = pic.frame_num
+            for op_vals in pic._mmco:
+                op = op_vals[0]
+                if op == 1:
+                    pn = cur_pn - (op_vals[1] + 1)
+                    self.dpb = [p for p in self.dpb if p.long_term or
+                                self._frame_num_wrap(p, cur_pn, sps) != pn]
+                elif op == 2:
+                    self.dpb = [p for p in self.dpb
+                                if not (p.long_term
+                                        and p.long_term_idx == op_vals[1])]
+                elif op == 3:
+                    pn = cur_pn - (op_vals[1] + 1)
+                    idx = op_vals[2]
+                    self.dpb = [p for p in self.dpb
+                                if not (p.long_term and p.long_term_idx == idx)]
+                    for p in self.dpb:
+                        if (not p.long_term
+                                and self._frame_num_wrap(p, cur_pn, sps) == pn):
+                            p.long_term = True
+                            p.long_term_idx = idx
+                elif op == 4:
+                    self._max_long_term_idx = op_vals[1] - 1
+                    self.dpb = [p for p in self.dpb if not p.long_term
+                                or p.long_term_idx <= self._max_long_term_idx]
+                elif op == 5:
+                    self.dpb = []
+                    self._max_long_term_idx = -1
+                    pic.frame_num = 0
+                    self._prev_frame_num = 0
+                    self._prev_poc_msb = self._prev_poc_lsb = 0
+                elif op == 6:
+                    idx = op_vals[1]
+                    self.dpb = [p for p in self.dpb
+                                if not (p.long_term and p.long_term_idx == idx)]
+                    pic.long_term = True
+                    pic.long_term_idx = idx
+        else:
+            # sliding window
+            while len(self.dpb) >= max(1, sps.max_num_ref_frames):
+                sts = [p for p in self.dpb if not p.long_term]
+                if not sts:
+                    break
+                victim = min(sts, key=lambda p: self._frame_num_wrap(
+                    p, pic.frame_num, sps))
+                self.dpb.remove(victim)
+        self.dpb.append(pic)
+
+    # -- reference list construction (8.2.4) --------------------------------
+
+    def _build_ref_list_p(self, h: SliceHeader, sps: SPS) -> list:
+        cur_pn = h.frame_num
+        max_fn = 1 << sps.log2_max_frame_num
+        shorts = sorted(
+            [p for p in self.dpb if not p.long_term],
+            key=lambda p: -self._frame_num_wrap(p, cur_pn, sps))
+        longs = sorted([p for p in self.dpb if p.long_term],
+                       key=lambda p: p.long_term_idx)
+        lst = shorts + longs
+        lst = self._modify_ref_list(lst, h.ref_list_mods[0], cur_pn, max_fn,
+                                    h.num_ref_idx[0])
+        return lst
+
+    def _modify_ref_list(self, lst, mods, cur_pn, max_fn, num_active):
+        """8.2.4.3.1/.2 exactly: shift-insert at refIdxLX, then compact away
+        later entries of the same picture within the working window.  A
+        picture inserted twice by separate ops stays duplicated (x264
+        weightp=2 relies on this to give one picture two weight sets)."""
+        if not mods:
+            return lst[:num_active]
+        work = list(lst[:num_active])
+        pred = cur_pn
+        ref_idx = 0
+        for op, val in mods:
+            target = None
+            if op in (0, 1):
+                adp = val + 1
+                if op == 0:
+                    nw = pred - adp
+                    if nw < 0:
+                        nw += max_fn
+                else:
+                    nw = pred + adp
+                    if nw >= max_fn:
+                        nw -= max_fn
+                pred = nw
+                pn = nw - max_fn if nw > cur_pn else nw
+                for p in self.dpb:
+                    if not p.long_term and self._frame_num_wrap_h(
+                            p, cur_pn, max_fn) == pn:
+                        target = p
+                        break
+            else:  # op == 2: long-term
+                for p in self.dpb:
+                    if p.long_term and p.long_term_idx == val:
+                        target = p
+                        break
+            if target is None:
+                continue  # non-conformant; be tolerant
+            work.insert(ref_idx, target)
+            ref_idx += 1
+            i = ref_idx
+            while i < len(work):
+                if work[i] is target:
+                    del work[i]
+                else:
+                    i += 1
+        return work[:num_active]
+
+    @staticmethod
+    def _frame_num_wrap_h(p: _Picture, cur_fn: int, max_fn: int) -> int:
+        return p.frame_num - max_fn if p.frame_num > cur_fn else p.frame_num
 
     def _drain(self, hold: int) -> list[tuple]:
         out = []
         while len(self._out) > hold:
-            # emit lowest-POC pending picture
-            k = min(range(len(self._out)), key=lambda i: self._out[i].poc)
+            # emit lowest-(epoch, POC) pending picture: POC only orders
+            # pictures between IDRs (it resets at each IDR)
+            k = min(range(len(self._out)),
+                    key=lambda i: (self._out[i]._epoch, self._out[i].poc))
             pic = self._out.pop(k)
             out.append((pic.Y, pic.U, pic.V, pic.poc))
         return out
@@ -1174,8 +1440,8 @@ class H264RefDecoder:
     # -- slice decode ------------------------------------------------------
 
     def _decode_slice(self, rbsp: bytes, h: SliceHeader, sps: SPS, pps: PPS) -> None:
-        if h.slice_type != SLICE_I:
-            raise NotImplementedError("P/B slices: next stage")
+        if h.slice_type not in (SLICE_I, SLICE_P):
+            raise NotImplementedError("B slices: next stage")
         if pps.entropy_coding_mode:
             raise NotImplementedError("CABAC: next stage")
         if h.field_pic_flag:
@@ -1186,14 +1452,31 @@ class H264RefDecoder:
         self._slice_counter += 1
         pic = self.cur
         ctx = _SliceCtx(pic, h, sps, pps, self._slice_counter)
+        if h.slice_type == SLICE_P:
+            ctx.ref_l0 = self._build_ref_list_p(h, sps)
         r = BitReader(rbsp, h.data_bit_pos)
         n_mbs = pic.mb_w * pic.mb_h
         mb_idx = h.first_mb
-        while mb_idx < n_mbs:
-            ctx.decode_mb_cavlc(r, mb_idx)
-            mb_idx += 1
-            if not _more_rbsp_data(r):
-                break
+        if h.slice_type == SLICE_I:
+            while mb_idx < n_mbs:
+                ctx.decode_mb_cavlc(r, mb_idx)
+                mb_idx += 1
+                if not _more_rbsp_data(r):
+                    break
+            return
+        more = True
+        while more and mb_idx < n_mbs:
+            skip_run = r.ue()
+            for _ in range(skip_run):
+                if mb_idx >= n_mbs:
+                    break
+                ctx.decode_skip_mb(mb_idx)
+                mb_idx += 1
+            more = _more_rbsp_data(r)
+            if more and mb_idx < n_mbs:
+                ctx.decode_mb_cavlc(r, mb_idx)
+                mb_idx += 1
+                more = _more_rbsp_data(r)
 
     # -- deblocking (8.7) --------------------------------------------------
 
@@ -1421,6 +1704,10 @@ class _SliceCtx:
             else:
                 self.w8 = [_FLAT64] * 2
         self._dequant_cache: dict = {}
+        self.ref_l0: list[_Picture] = []
+        self._cur_mbx = self._cur_mby = 0
+        self._cur_z = 0
+        self._pred_chroma = None  # (U 8x8, V 8x8) int32 for inter recon
 
     # -- availability helpers ---------------------------------------------
 
@@ -1491,14 +1778,24 @@ class _SliceCtx:
 
     # -- MB decode ---------------------------------------------------------
 
-    def decode_mb_cavlc(self, r: BitReader, mb_idx: int) -> None:
+    def _mark_mb(self, mbx: int, mby: int) -> None:
         pic, h = self.pic, self.h
-        mbx, mby = mb_idx % pic.mb_w, mb_idx // pic.mb_w
         pic.mb_slice[mby, mbx] = self.sid
         pic.mb_alpha_off[mby, mbx] = h.slice_alpha_c0_offset_div2 * 2
         pic.mb_beta_off[mby, mbx] = h.slice_beta_offset_div2 * 2
         pic.mb_disable[mby, mbx] = h.disable_deblocking_filter_idc
+
+    def decode_mb_cavlc(self, r: BitReader, mb_idx: int) -> None:
+        pic = self.pic
+        mbx, mby = mb_idx % pic.mb_w, mb_idx // pic.mb_w
+        self._mark_mb(mbx, mby)
         mb_type = r.ue()
+        if self.h.slice_type == SLICE_P:
+            if mb_type < 5:
+                self._decode_p_mb(r, mbx, mby, mb_type)
+            else:
+                self._decode_intra_mb(r, mbx, mby, mb_type - 5)
+            return
         # I-slice mb_type: 0 I_NxN, 1..24 I_16x16, 25 I_PCM
         self._decode_intra_mb(r, mbx, mby, mb_type)
 
@@ -1786,4 +2083,242 @@ class _SliceCtx:
             plane[py : py + 8, px : px + 8] = np.clip(out, 0, 255)
 
     def _inter_chroma_pred(self, comp, mbx, mby):
-        raise NotImplementedError("inter: next stage")
+        return self._pred_chroma[comp]
+
+    # -- inter decoding (P slices) -----------------------------------------
+
+    def _read_te(self, r: BitReader, cmax: int) -> int:
+        if cmax == 0:
+            return 0
+        if cmax == 1:
+            return 1 - r.read(1)
+        return r.ue()
+
+    def _mv_ref_at(self, gx: int, gy: int):
+        """(avail, ref_idx, mvx, mvy) of the l0 motion of the 4x4 block at
+        global 4x4 coords for MV prediction (8.4.1.3.2). Blocks in the
+        current MB count as decoded when their z index < self._cur_z."""
+        pic = self.pic
+        if gx < 0 or gy < 0 or gx >= pic.mb_w * 4 or gy >= pic.mb_h * 4:
+            return (False, -1, 0, 0)
+        mbx, mby = gx >> 2, gy >> 2
+        if mbx == self._cur_mbx and mby == self._cur_mby:
+            if _XY_TO_Z[(gx & 3, gy & 3)] >= self._cur_z:
+                return (False, -1, 0, 0)
+        elif pic.mb_slice[mby, mbx] != self.sid:
+            return (False, -1, 0, 0)
+        elif not (mby < self._cur_mby
+                  or (mby == self._cur_mby and mbx < self._cur_mbx)):
+            return (False, -1, 0, 0)
+        return (True, int(pic.ref_idx[0, gy, gx]),
+                int(pic.mv[0, gy, gx, 0]), int(pic.mv[0, gy, gx, 1]))
+
+    def _mv_pred(self, bx4: int, by4: int, w4: int, h4: int, ref_idx: int,
+                 part_kind: str = "", part_i: int = 0):
+        """Median/directional motion vector prediction (8.4.1.3)."""
+        gx0 = self._cur_mbx * 4 + bx4
+        gy0 = self._cur_mby * 4 + by4
+        A = self._mv_ref_at(gx0 - 1, gy0)
+        B = self._mv_ref_at(gx0, gy0 - 1)
+        C = self._mv_ref_at(gx0 + w4, gy0 - 1)
+        if not C[0]:
+            C = self._mv_ref_at(gx0 - 1, gy0 - 1)  # D substitution
+        ra, rb, rc = A[1], B[1], C[1]
+        # directional overrides for 16x8 / 8x16 partitions
+        if part_kind == "16x8":
+            if part_i == 0 and rb == ref_idx:
+                return (B[2], B[3])
+            if part_i == 1 and ra == ref_idx:
+                return (A[2], A[3])
+        elif part_kind == "8x16":
+            if part_i == 0 and ra == ref_idx:
+                return (A[2], A[3])
+            if part_i == 1 and rc == ref_idx:
+                return (C[2], C[3])
+        match_a = ra == ref_idx
+        match_b = rb == ref_idx
+        match_c = rc == ref_idx
+        if match_a and not match_b and not match_c:
+            return (A[2], A[3])
+        if match_b and not match_a and not match_c:
+            return (B[2], B[3])
+        if match_c and not match_a and not match_b:
+            return (C[2], C[3])
+        if not B[0] and not C[0]:
+            return (A[2], A[3])
+        return (_median3(A[2], B[2], C[2]), _median3(A[3], B[3], C[3]))
+
+    def _store_part_mv(self, bx4, by4, w4, h4, ref_idx, ref: _Picture,
+                      mvx, mvy) -> None:
+        pic = self.pic
+        gx0 = self._cur_mbx * 4 + bx4
+        gy0 = self._cur_mby * 4 + by4
+        pic.mv[0, gy0 : gy0 + h4, gx0 : gx0 + w4] = (mvx, mvy)
+        pic.ref_idx[0, gy0 : gy0 + h4, gx0 : gx0 + w4] = ref_idx
+        pic.ref_id[0, gy0 : gy0 + h4, gx0 : gx0 + w4] = ref.pic_id
+
+    def _wp_luma(self, blk: np.ndarray, ref_idx: int) -> np.ndarray:
+        pw = self.h.pred_weights
+        if pw is None:
+            return blk
+        logwd = pw[0]
+        w, o = pw[2][0][ref_idx][0], pw[2][0][ref_idx][1]
+        if logwd >= 1:
+            blk = ((blk * w + (1 << (logwd - 1))) >> logwd) + o
+        else:
+            blk = blk * w + o
+        return _clip255(blk)
+
+    def _wp_chroma(self, blk: np.ndarray, ref_idx: int, comp: int) -> np.ndarray:
+        pw = self.h.pred_weights
+        if pw is None:
+            return blk
+        logwd = pw[1]
+        w = pw[2][0][ref_idx][2 + 2 * comp]
+        o = pw[2][0][ref_idx][3 + 2 * comp]
+        if logwd >= 1:
+            blk = ((blk * w + (1 << (logwd - 1))) >> logwd) + o
+        else:
+            blk = blk * w + o
+        return _clip255(blk)
+
+    def _mc_part(self, predY, predU, predV, bx4, by4, w4, h4,
+                 ref_idx: int, mvx: int, mvy: int) -> None:
+        ref = self.ref_l0[ref_idx]
+        mbx, mby = self._cur_mbx, self._cur_mby
+        x0, y0 = mbx * 16 + bx4 * 4, mby * 16 + by4 * 4
+        blk = _mc_luma(ref.Y, x0, y0, w4 * 4, h4 * 4, mvx, mvy)
+        predY[by4 * 4 : by4 * 4 + h4 * 4,
+              bx4 * 4 : bx4 * 4 + w4 * 4] = self._wp_luma(blk, ref_idx)
+        cx0, cy0 = mbx * 8 + bx4 * 2, mby * 8 + by4 * 2
+        for comp, plane, pred in ((0, ref.U, predU), (1, ref.V, predV)):
+            cb = _mc_chroma(plane, cx0, cy0, w4 * 2, h4 * 2, mvx, mvy)
+            pred[by4 * 2 : by4 * 2 + h4 * 2,
+                 bx4 * 2 : bx4 * 2 + w4 * 2] = self._wp_chroma(cb, ref_idx, comp)
+
+    def _skip_mv(self):
+        """P_Skip motion (8.4.1.1)."""
+        gx0 = self._cur_mbx * 4
+        gy0 = self._cur_mby * 4
+        A = self._mv_ref_at(gx0 - 1, gy0)
+        B = self._mv_ref_at(gx0, gy0 - 1)
+        if not A[0] or not B[0]:
+            return (0, 0)
+        if A[1] == 0 and A[2] == 0 and A[3] == 0:
+            return (0, 0)
+        if B[1] == 0 and B[2] == 0 and B[3] == 0:
+            return (0, 0)
+        return self._mv_pred(0, 0, 4, 4, 0)
+
+    def decode_skip_mb(self, mb_idx: int) -> None:
+        pic = self.pic
+        mbx, mby = mb_idx % pic.mb_w, mb_idx // pic.mb_w
+        self._mark_mb(mbx, mby)
+        self._cur_mbx, self._cur_mby, self._cur_z = mbx, mby, 0
+        pic.mb_class[mby, mbx] = MB_P
+        pic.mb_qp[mby, mbx] = self.qp
+        pic.mb_cbp[mby, mbx] = 0
+        mvx, mvy = self._skip_mv()
+        self._cur_z = 16
+        self._store_part_mv(0, 0, 4, 4, 0, self.ref_l0[0], mvx, mvy)
+        predY = np.empty((16, 16), np.int32)
+        predU = np.empty((8, 8), np.int32)
+        predV = np.empty((8, 8), np.int32)
+        self._mc_part(predY, predU, predV, 0, 0, 4, 4, 0, mvx, mvy)
+        pic.Y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = predY
+        pic.U[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = predU
+        pic.V[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = predV
+
+    _P_PARTS = {
+        0: ("16x16", ((0, 0, 4, 4),)),
+        1: ("16x8", ((0, 0, 4, 2), (0, 2, 4, 2))),
+        2: ("8x16", ((0, 0, 2, 4), (2, 0, 2, 4))),
+    }
+    _SUB_PARTS = {
+        0: ((0, 0, 2, 2),),
+        1: ((0, 0, 2, 1), (0, 1, 2, 1)),
+        2: ((0, 0, 1, 2), (1, 0, 1, 2)),
+        3: ((0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 1, 1)),
+    }
+
+    def _decode_p_mb(self, r: BitReader, mbx: int, mby: int, mb_type: int) -> None:
+        pic = self.pic
+        self._cur_mbx, self._cur_mby = mbx, mby
+        self._cur_z = 0
+        pic.mb_class[mby, mbx] = MB_P
+        n0 = self.h.num_ref_idx[0]
+        predY = np.empty((16, 16), np.int32)
+        predU = np.empty((8, 8), np.int32)
+        predV = np.empty((8, 8), np.int32)
+        if mb_type in (0, 1, 2):
+            kind, parts = self._P_PARTS[mb_type]
+            refs = [self._read_te(r, n0 - 1) for _ in parts]
+            for i, (bx4, by4, w4, h4) in enumerate(parts):
+                mvdx, mvdy = r.se(), r.se()
+                self._cur_z = _XY_TO_Z[(bx4, by4)]
+                px, py = self._mv_pred(bx4, by4, w4, h4, refs[i], kind, i)
+                mvx, mvy = px + mvdx, py + mvdy
+                self._store_part_mv(bx4, by4, w4, h4, refs[i],
+                                    self.ref_l0[refs[i]], mvx, mvy)
+                self._mc_part(predY, predU, predV, bx4, by4, w4, h4,
+                              refs[i], mvx, mvy)
+        else:
+            # P_8x8 (3) / P_8x8ref0 (4)
+            sub_types = [r.ue() for _ in range(4)]
+            if any(st > 3 for st in sub_types):
+                raise EOFError_(f"bad sub_mb_type {sub_types}")
+            if mb_type == 3:
+                refs = [self._read_te(r, n0 - 1) for _ in range(4)]
+            else:
+                refs = [0, 0, 0, 0]
+            for b in range(4):
+                bx0, by0 = (b & 1) * 2, (b >> 1) * 2
+                for (sx, sy, w4, h4) in self._SUB_PARTS[sub_types[b]]:
+                    bx4, by4 = bx0 + sx, by0 + sy
+                    mvdx, mvdy = r.se(), r.se()
+                    self._cur_z = _XY_TO_Z[(bx4, by4)]
+                    px, py = self._mv_pred(bx4, by4, w4, h4, refs[b])
+                    mvx, mvy = px + mvdx, py + mvdy
+                    self._store_part_mv(bx4, by4, w4, h4, refs[b],
+                                        self.ref_l0[refs[b]], mvx, mvy)
+                    self._mc_part(predY, predU, predV, bx4, by4, w4, h4,
+                                  refs[b], mvx, mvy)
+        self._cur_z = 16
+        # residual
+        cbp = T.GOLOMB_TO_INTER_CBP[r.ue()]
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp:
+            self.qp = (self.qp + r.se() + 52) % 52
+        pic.mb_qp[mby, mbx] = self.qp
+        pic.mb_cbp[mby, mbx] = cbp
+        gx0, gy0 = mbx * 4, mby * 4
+        Y = pic.Y
+        dq = self._dq4(self.qp, 3)
+        for k in range(16):
+            x4, y4 = _Z_TO_XY[k]
+            px, py = mbx * 16 + x4 * 4, mby * 16 + y4 * 4
+            if not (cbp_luma & (1 << (k >> 2))):
+                for yy in range(4):
+                    Y[py + yy, px : px + 4] = predY[y4 * 4 + yy,
+                                                    x4 * 4 : x4 * 4 + 4]
+                continue
+            gx, gy = gx0 + x4, gy0 + y4
+            nc = self._combine_nc(self._nnz_luma(gx - 1, gy),
+                                  self._nnz_luma(gx, gy - 1))
+            blk, tc = _cavlc_block(r, nc, 16)
+            pic.nnz_y[gy, gx] = tc
+            d = [0] * 16
+            for s in range(16):
+                c = blk[s]
+                if c:
+                    pos = ZIGZAG_4x4[s]
+                    d[pos] = c * dq[pos]
+            res = _idct4x4(d)
+            for yy in range(4):
+                row = Y[py + yy]
+                base = 4 * yy
+                for xx in range(4):
+                    row[px + xx] = _clip1(
+                        int(predY[y4 * 4 + yy, x4 * 4 + xx]) + res[base + xx])
+        self._pred_chroma = (predU, predV)
+        self._decode_chroma_cavlc(r, mbx, mby, 0, cbp_chroma, intra=False)

@@ -148,6 +148,80 @@ class TestX264Intra:
         _assert_frames_equal(_ff_decode(es, tmp_path), _ref_decode(es))
 
 
+def _motion_frames(n, size, seed=7, fade=False):
+    """Panning crop over a fixed background + per-frame noise: gives x264
+    real motion vectors at every subpel phase."""
+    import scipy.ndimage as ndi
+    rng = np.random.default_rng(seed)
+    w, h = size
+    base_y = ndi.gaussian_filter(rng.uniform(0, 255, (h * 2, w * 2)), 3)
+    base_u = ndi.gaussian_filter(rng.uniform(0, 255, (h, w)), 2)
+    base_v = ndi.gaussian_filter(rng.uniform(0, 255, (h, w)), 2)
+    frames = []
+    for i in range(n):
+        dx, dy = (3 * i) % (w // 2), (2 * i) % (h // 2)
+        y = np.clip(base_y[dy : dy + h, dx : dx + w]
+                    + rng.normal(0, 2, (h, w)), 0, 255).astype(np.uint8)
+        u = np.clip(base_u[dy // 2 : dy // 2 + h // 2,
+                           dx // 2 : dx // 2 + w // 2], 0, 255).astype(np.uint8)
+        v = np.clip(base_v[dy // 2 : dy // 2 + h // 2,
+                           dx // 2 : dx // 2 + w // 2], 0, 255).astype(np.uint8)
+        if fade:
+            f = 0.55 + 0.06 * i
+            y, u, v = (np.clip(p.astype(int) * f, 0, 255).astype(np.uint8)
+                       for p in (y, u, v))
+        frames.append((y, u, v))
+    return frames
+
+
+class TestX264P:
+    """IP streams (CAVLC): quarter-pel MC, MV prediction, skip, ref lists,
+    weighted prediction, multi-slice, multi-IDR output order."""
+
+    BASE = "cabac=0:8x8dct=0:bframes=0:keyint=50"
+
+    def _check(self, tmp_path, params, n=8, size=(64, 64), fade=False):
+        frames = _motion_frames(n, size, fade=fade)
+        es = _x264_stream(size[0], size[1], frames, params)
+        _assert_frames_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+
+    def test_basic(self, tmp_path):
+        self._check(tmp_path, self.BASE + ":weightp=0:ref=1:qp=28")
+
+    def test_multi_ref_subpel(self, tmp_path):
+        self._check(tmp_path, self.BASE + ":weightp=0:ref=5:subme=9:me=umh:qp=24")
+
+    def test_all_partitions(self, tmp_path):
+        self._check(tmp_path,
+                    self.BASE + ":weightp=0:ref=2:partitions=all:subme=7:qp=26")
+
+    def test_weightp_fade(self, tmp_path):
+        # x264 duplicates a reference via RPLM to attach two weight sets
+        self._check(tmp_path, self.BASE + ":weightp=2:ref=3:qp=26", fade=True)
+
+    def test_multi_slice(self, tmp_path):
+        self._check(tmp_path, self.BASE + ":weightp=0:ref=2:slices=3:qp=30",
+                    size=(96, 96))
+
+    def test_qcif(self, tmp_path):
+        self._check(tmp_path, self.BASE + ":weightp=0:ref=3:subme=6:qp=30",
+                    size=(176, 144))
+
+    def test_qp_extremes(self, tmp_path):
+        self._check(tmp_path, self.BASE + ":weightp=0:ref=2:qp=45")
+        self._check(tmp_path, self.BASE + ":weightp=0:ref=2:qp=12")
+
+    def test_multi_idr_output_order(self, tmp_path):
+        # several IDRs: POC resets; output order must respect IDR epochs
+        self._check(tmp_path,
+                    "cabac=0:8x8dct=0:bframes=0:keyint=4:weightp=2:ref=3:qp=30",
+                    n=16)
+
+    def test_crf_scenecut(self, tmp_path):
+        self._check(tmp_path,
+                    self.BASE + ":weightp=2:ref=4:crf=25:scenecut=40", n=14)
+
+
 class TestX264IntraDeblock:
     """All-intra with the in-loop deblocking filter active (8.7)."""
 
