@@ -1321,6 +1321,27 @@ class H264RefDecoder:
                                     h.num_ref_idx[0])
         return lst
 
+    def _build_ref_lists_b(self, h: SliceHeader, sps: SPS, cur_poc: int):
+        """RefPicList0/1 for B slices (8.2.4.2.3, frame coding)."""
+        cur_pn = h.frame_num
+        max_fn = 1 << sps.log2_max_frame_num
+        shorts = [p for p in self.dpb if not p.long_term]
+        longs = sorted([p for p in self.dpb if p.long_term],
+                       key=lambda p: p.long_term_idx)
+        before = sorted([p for p in shorts if p.poc < cur_poc],
+                        key=lambda p: -p.poc)
+        after = sorted([p for p in shorts if p.poc > cur_poc],
+                       key=lambda p: p.poc)
+        l0 = before + after + longs
+        l1 = after + before + longs
+        if len(l1) > 1 and l0 == l1:
+            l1 = [l1[1], l1[0]] + l1[2:]
+        l0 = self._modify_ref_list(l0, h.ref_list_mods[0], cur_pn, max_fn,
+                                   h.num_ref_idx[0])
+        l1 = self._modify_ref_list(l1, h.ref_list_mods[1], cur_pn, max_fn,
+                                   h.num_ref_idx[1])
+        return l0, l1
+
     def _modify_ref_list(self, lst, mods, cur_pn, max_fn, num_active):
         """8.2.4.3.1/.2 exactly: shift-insert at refIdxLX, then compact away
         later entries of the same picture within the working window.  A
@@ -1440,8 +1461,8 @@ class H264RefDecoder:
     # -- slice decode ------------------------------------------------------
 
     def _decode_slice(self, rbsp: bytes, h: SliceHeader, sps: SPS, pps: PPS) -> None:
-        if h.slice_type not in (SLICE_I, SLICE_P):
-            raise NotImplementedError("B slices: next stage")
+        if h.slice_type not in (SLICE_I, SLICE_P, SLICE_B):
+            raise NotImplementedError("SP/SI slices not supported")
         if pps.entropy_coding_mode:
             raise NotImplementedError("CABAC: next stage")
         if h.field_pic_flag:
@@ -1454,6 +1475,8 @@ class H264RefDecoder:
         ctx = _SliceCtx(pic, h, sps, pps, self._slice_counter)
         if h.slice_type == SLICE_P:
             ctx.ref_l0 = self._build_ref_list_p(h, sps)
+        elif h.slice_type == SLICE_B:
+            ctx.ref_l0, ctx.ref_l1 = self._build_ref_lists_b(h, sps, pic.poc)
         r = BitReader(rbsp, h.data_bit_pos)
         n_mbs = pic.mb_w * pic.mb_h
         mb_idx = h.first_mb
@@ -1705,9 +1728,11 @@ class _SliceCtx:
                 self.w8 = [_FLAT64] * 2
         self._dequant_cache: dict = {}
         self.ref_l0: list[_Picture] = []
+        self.ref_l1: list[_Picture] = []
         self._cur_mbx = self._cur_mby = 0
         self._cur_z = 0
         self._pred_chroma = None  # (U 8x8, V 8x8) int32 for inter recon
+        self._direct_cache = None  # per-MB spatial-direct MB-level state
 
     # -- availability helpers ---------------------------------------------
 
@@ -1795,6 +1820,12 @@ class _SliceCtx:
                 self._decode_p_mb(r, mbx, mby, mb_type)
             else:
                 self._decode_intra_mb(r, mbx, mby, mb_type - 5)
+            return
+        if self.h.slice_type == SLICE_B:
+            if mb_type < 23:
+                self._decode_b_mb(r, mbx, mby, mb_type)
+            else:
+                self._decode_intra_mb(r, mbx, mby, mb_type - 23)
             return
         # I-slice mb_type: 0 I_NxN, 1..24 I_16x16, 25 I_PCM
         self._decode_intra_mb(r, mbx, mby, mb_type)
@@ -2094,8 +2125,8 @@ class _SliceCtx:
             return 1 - r.read(1)
         return r.ue()
 
-    def _mv_ref_at(self, gx: int, gy: int):
-        """(avail, ref_idx, mvx, mvy) of the l0 motion of the 4x4 block at
+    def _mv_ref_at(self, gx: int, gy: int, l: int = 0):
+        """(avail, ref_idx, mvx, mvy) of the list-l motion of the 4x4 block at
         global 4x4 coords for MV prediction (8.4.1.3.2). Blocks in the
         current MB count as decoded when their z index < self._cur_z."""
         pic = self.pic
@@ -2110,19 +2141,19 @@ class _SliceCtx:
         elif not (mby < self._cur_mby
                   or (mby == self._cur_mby and mbx < self._cur_mbx)):
             return (False, -1, 0, 0)
-        return (True, int(pic.ref_idx[0, gy, gx]),
-                int(pic.mv[0, gy, gx, 0]), int(pic.mv[0, gy, gx, 1]))
+        return (True, int(pic.ref_idx[l, gy, gx]),
+                int(pic.mv[l, gy, gx, 0]), int(pic.mv[l, gy, gx, 1]))
 
     def _mv_pred(self, bx4: int, by4: int, w4: int, h4: int, ref_idx: int,
-                 part_kind: str = "", part_i: int = 0):
+                 part_kind: str = "", part_i: int = 0, l: int = 0):
         """Median/directional motion vector prediction (8.4.1.3)."""
         gx0 = self._cur_mbx * 4 + bx4
         gy0 = self._cur_mby * 4 + by4
-        A = self._mv_ref_at(gx0 - 1, gy0)
-        B = self._mv_ref_at(gx0, gy0 - 1)
-        C = self._mv_ref_at(gx0 + w4, gy0 - 1)
+        A = self._mv_ref_at(gx0 - 1, gy0, l)
+        B = self._mv_ref_at(gx0, gy0 - 1, l)
+        C = self._mv_ref_at(gx0 + w4, gy0 - 1, l)
         if not C[0]:
-            C = self._mv_ref_at(gx0 - 1, gy0 - 1)  # D substitution
+            C = self._mv_ref_at(gx0 - 1, gy0 - 1, l)  # D substitution
         ra, rb, rc = A[1], B[1], C[1]
         # directional overrides for 16x8 / 8x16 partitions
         if part_kind == "16x8":
@@ -2149,52 +2180,114 @@ class _SliceCtx:
         return (_median3(A[2], B[2], C[2]), _median3(A[3], B[3], C[3]))
 
     def _store_part_mv(self, bx4, by4, w4, h4, ref_idx, ref: _Picture,
-                      mvx, mvy) -> None:
+                      mvx, mvy, l: int = 0) -> None:
         pic = self.pic
         gx0 = self._cur_mbx * 4 + bx4
         gy0 = self._cur_mby * 4 + by4
-        pic.mv[0, gy0 : gy0 + h4, gx0 : gx0 + w4] = (mvx, mvy)
-        pic.ref_idx[0, gy0 : gy0 + h4, gx0 : gx0 + w4] = ref_idx
-        pic.ref_id[0, gy0 : gy0 + h4, gx0 : gx0 + w4] = ref.pic_id
+        pic.mv[l, gy0 : gy0 + h4, gx0 : gx0 + w4] = (mvx, mvy)
+        pic.ref_idx[l, gy0 : gy0 + h4, gx0 : gx0 + w4] = ref_idx
+        pic.ref_id[l, gy0 : gy0 + h4, gx0 : gx0 + w4] = ref.pic_id
 
-    def _wp_luma(self, blk: np.ndarray, ref_idx: int) -> np.ndarray:
+    def _wp_apply(self, blk: np.ndarray, l: int, ref_idx: int,
+                  comp: int) -> np.ndarray:
+        """Explicit single-list weighted prediction (8.4.2.3.2).
+        comp: -1 = luma, 0/1 = Cb/Cr."""
         pw = self.h.pred_weights
         if pw is None:
             return blk
-        logwd = pw[0]
-        w, o = pw[2][0][ref_idx][0], pw[2][0][ref_idx][1]
+        logwd = pw[0] if comp < 0 else pw[1]
+        wt = pw[2][l][ref_idx]
+        if comp < 0:
+            w, o = wt[0], wt[1]
+        else:
+            w, o = wt[2 + 2 * comp], wt[3 + 2 * comp]
         if logwd >= 1:
             blk = ((blk * w + (1 << (logwd - 1))) >> logwd) + o
         else:
             blk = blk * w + o
         return _clip255(blk)
 
-    def _wp_chroma(self, blk: np.ndarray, ref_idx: int, comp: int) -> np.ndarray:
-        pw = self.h.pred_weights
-        if pw is None:
-            return blk
-        logwd = pw[1]
-        w = pw[2][0][ref_idx][2 + 2 * comp]
-        o = pw[2][0][ref_idx][3 + 2 * comp]
-        if logwd >= 1:
-            blk = ((blk * w + (1 << (logwd - 1))) >> logwd) + o
+    def _fetch_pred(self, l: int, ref_idx: int, bx4, by4, w4, h4,
+                    mvx: int, mvy: int):
+        """Raw (unweighted) interpolated blocks (Y, U, V) from list l."""
+        ref = (self.ref_l0 if l == 0 else self.ref_l1)[ref_idx]
+        mbx, mby = self._cur_mbx, self._cur_mby
+        x0, y0 = mbx * 16 + bx4 * 4, mby * 16 + by4 * 4
+        cx0, cy0 = mbx * 8 + bx4 * 2, mby * 8 + by4 * 2
+        return (_mc_luma(ref.Y, x0, y0, w4 * 4, h4 * 4, mvx, mvy),
+                _mc_chroma(ref.U, cx0, cy0, w4 * 2, h4 * 2, mvx, mvy),
+                _mc_chroma(ref.V, cx0, cy0, w4 * 2, h4 * 2, mvx, mvy))
+
+    def _implicit_weights(self, ref_idx0: int, ref_idx1: int):
+        """(w0, w1) per 8.4.2.3.1 implicit mode."""
+        pic0 = self.ref_l0[ref_idx0]
+        pic1 = self.ref_l1[ref_idx1]
+        cur = self.pic.poc
+        if pic1.poc == pic0.poc or pic0.long_term or pic1.long_term:
+            return (32, 32)
+        tb = min(127, max(-128, cur - pic0.poc))
+        td = min(127, max(-128, pic1.poc - pic0.poc))
+        tx = (16384 + abs(td) // 2) // td
+        dsf = min(1023, max(-1024, (tb * tx + 32) >> 6))
+        w1 = dsf >> 2
+        if w1 < -64 or w1 > 128:
+            return (32, 32)
+        return (64 - w1, w1)
+
+    def _combine_store(self, predY, predU, predV, bx4, by4, w4, h4,
+                       p0, p1, ref_idx0: int, ref_idx1: int) -> None:
+        """Combine per-list predictions (weighted as configured) and place
+        into the MB prediction planes.  p0/p1: (Y, U, V) or None."""
+        pps, h = self.pps, self.h
+        out = [None, None, None]
+        if p0 is not None and p1 is not None:
+            if h.slice_type == SLICE_B and pps.weighted_bipred_idc == 2:
+                w0, w1 = self._implicit_weights(ref_idx0, ref_idx1)
+                for c in range(3):
+                    out[c] = _clip255(
+                        (p0[c] * w0 + p1[c] * w1 + 32) >> 6)
+            elif h.slice_type == SLICE_B and pps.weighted_bipred_idc == 1 \
+                    and h.pred_weights is not None:
+                pw = h.pred_weights
+                for c in range(3):
+                    logwd = pw[0] if c == 0 else pw[1]
+                    wt0 = pw[2][0][ref_idx0]
+                    wt1 = pw[2][1][ref_idx1]
+                    if c == 0:
+                        w0, o0, w1, o1 = wt0[0], wt0[1], wt1[0], wt1[1]
+                    else:
+                        k = 2 * c
+                        w0, o0 = wt0[k], wt0[k + 1]
+                        w1, o1 = wt1[k], wt1[k + 1]
+                    out[c] = _clip255(
+                        ((p0[c] * w0 + p1[c] * w1 + (1 << logwd))
+                         >> (logwd + 1)) + ((o0 + o1 + 1) >> 1))
+            else:
+                for c in range(3):
+                    out[c] = (p0[c] + p1[c] + 1) >> 1
         else:
-            blk = blk * w + o
-        return _clip255(blk)
+            l = 0 if p1 is None else 1
+            p = p0 if p1 is None else p1
+            ref_idx = ref_idx0 if p1 is None else ref_idx1
+            weighted = (h.pred_weights is not None
+                        and (h.slice_type != SLICE_B
+                             or pps.weighted_bipred_idc == 1))
+            for c in range(3):
+                out[c] = (self._wp_apply(p[c], l, ref_idx, c - 1 if c else -1)
+                          if weighted else p[c])
+        predY[by4 * 4 : by4 * 4 + h4 * 4,
+              bx4 * 4 : bx4 * 4 + w4 * 4] = out[0]
+        predU[by4 * 2 : by4 * 2 + h4 * 2,
+              bx4 * 2 : bx4 * 2 + w4 * 2] = out[1]
+        predV[by4 * 2 : by4 * 2 + h4 * 2,
+              bx4 * 2 : bx4 * 2 + w4 * 2] = out[2]
 
     def _mc_part(self, predY, predU, predV, bx4, by4, w4, h4,
                  ref_idx: int, mvx: int, mvy: int) -> None:
-        ref = self.ref_l0[ref_idx]
-        mbx, mby = self._cur_mbx, self._cur_mby
-        x0, y0 = mbx * 16 + bx4 * 4, mby * 16 + by4 * 4
-        blk = _mc_luma(ref.Y, x0, y0, w4 * 4, h4 * 4, mvx, mvy)
-        predY[by4 * 4 : by4 * 4 + h4 * 4,
-              bx4 * 4 : bx4 * 4 + w4 * 4] = self._wp_luma(blk, ref_idx)
-        cx0, cy0 = mbx * 8 + bx4 * 2, mby * 8 + by4 * 2
-        for comp, plane, pred in ((0, ref.U, predU), (1, ref.V, predV)):
-            cb = _mc_chroma(plane, cx0, cy0, w4 * 2, h4 * 2, mvx, mvy)
-            pred[by4 * 2 : by4 * 2 + h4 * 2,
-                 bx4 * 2 : bx4 * 2 + w4 * 2] = self._wp_chroma(cb, ref_idx, comp)
+        """P single-list MC + explicit weighting."""
+        p0 = self._fetch_pred(0, ref_idx, bx4, by4, w4, h4, mvx, mvy)
+        self._combine_store(predY, predU, predV, bx4, by4, w4, h4,
+                            p0, None, ref_idx, -1)
 
     def _skip_mv(self):
         """P_Skip motion (8.4.1.1)."""
@@ -2211,6 +2304,9 @@ class _SliceCtx:
         return self._mv_pred(0, 0, 4, 4, 0)
 
     def decode_skip_mb(self, mb_idx: int) -> None:
+        if self.h.slice_type == SLICE_B:
+            self.decode_b_skip_mb(mb_idx)
+            return
         pic = self.pic
         mbx, mby = mb_idx % pic.mb_w, mb_idx // pic.mb_w
         self._mark_mb(mbx, mby)
@@ -2284,7 +2380,12 @@ class _SliceCtx:
                     self._mc_part(predY, predU, predV, bx4, by4, w4, h4,
                                   refs[b], mvx, mvy)
         self._cur_z = 16
-        # residual
+        self._inter_residual(r, mbx, mby, predY, predU, predV)
+
+    def _inter_residual(self, r: BitReader, mbx: int, mby: int,
+                        predY, predU, predV) -> None:
+        """CBP + residual parse and reconstruction over inter prediction."""
+        pic = self.pic
         cbp = T.GOLOMB_TO_INTER_CBP[r.ue()]
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
         if cbp:
@@ -2322,3 +2423,262 @@ class _SliceCtx:
                         int(predY[y4 * 4 + yy, x4 * 4 + xx]) + res[base + xx])
         self._pred_chroma = (predU, predV)
         self._decode_chroma_cavlc(r, mbx, mby, 0, cbp_chroma, intra=False)
+
+    # -- B slices: direct modes + bi-prediction (8.4.1.2) ------------------
+
+    _B_TYPES = {
+        1: ("16x16", (0,)), 2: ("16x16", (1,)), 3: ("16x16", (2,)),
+        4: ("16x8", (0, 0)), 5: ("8x16", (0, 0)),
+        6: ("16x8", (1, 1)), 7: ("8x16", (1, 1)),
+        8: ("16x8", (0, 1)), 9: ("8x16", (0, 1)),
+        10: ("16x8", (1, 0)), 11: ("8x16", (1, 0)),
+        12: ("16x8", (0, 2)), 13: ("8x16", (0, 2)),
+        14: ("16x8", (1, 2)), 15: ("8x16", (1, 2)),
+        16: ("16x8", (2, 0)), 17: ("8x16", (2, 0)),
+        18: ("16x8", (2, 1)), 19: ("8x16", (2, 1)),
+        20: ("16x8", (2, 2)), 21: ("8x16", (2, 2)),
+    }
+    _PART_GEOM = {
+        "16x16": ((0, 0, 4, 4),),
+        "16x8": ((0, 0, 4, 2), (0, 2, 4, 2)),
+        "8x16": ((0, 0, 2, 4), (2, 0, 2, 4)),
+    }
+    # B sub_mb_type: (pred, parts) with pred -1 = direct
+    _B_SUB = {
+        0: (-1, None),
+        1: (0, ((0, 0, 2, 2),)), 2: (1, ((0, 0, 2, 2),)),
+        3: (2, ((0, 0, 2, 2),)),
+        4: (0, ((0, 0, 2, 1), (0, 1, 2, 1))),
+        5: (0, ((0, 0, 1, 2), (1, 0, 1, 2))),
+        6: (1, ((0, 0, 2, 1), (0, 1, 2, 1))),
+        7: (1, ((0, 0, 1, 2), (1, 0, 1, 2))),
+        8: (2, ((0, 0, 2, 1), (0, 1, 2, 1))),
+        9: (2, ((0, 0, 1, 2), (1, 0, 1, 2))),
+        10: (0, ((0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 1, 1))),
+        11: (1, ((0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 1, 1))),
+        12: (2, ((0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 1, 1))),
+    }
+
+    def _col_motion(self, gx: int, gy: int):
+        """(list, ref_idx, ref_pic_id, (mvx, mvy)) of the colocated 4x4 in
+        RefPicList1[0], preferring its L0 motion; None when intra."""
+        col = self.ref_l1[0]
+        for l in (0, 1):
+            if int(col.ref_idx[l, gy, gx]) >= 0:
+                return (l, int(col.ref_idx[l, gy, gx]),
+                        int(col.ref_id[l, gy, gx]),
+                        (int(col.mv[l, gy, gx, 0]), int(col.mv[l, gy, gx, 1])))
+        return None
+
+    def _direct_spatial_cache(self):
+        """MB-level spatial-direct state (refs, mvps, zero-pred flag);
+        must be computed with _cur_z == 0 (only outside-MB neighbours)."""
+        if self._direct_cache is not None:
+            return self._direct_cache
+        gx0, gy0 = self._cur_mbx * 4, self._cur_mby * 4
+        refs = [-1, -1]
+        for l in (0, 1):
+            A = self._mv_ref_at(gx0 - 1, gy0, l)
+            B = self._mv_ref_at(gx0, gy0 - 1, l)
+            C = self._mv_ref_at(gx0 + 4, gy0 - 1, l)
+            if not C[0]:
+                C = self._mv_ref_at(gx0 - 1, gy0 - 1, l)
+            cand = [x[1] for x in (A, B, C) if x[1] >= 0]
+            refs[l] = min(cand) if cand else -1
+        dzp = refs[0] < 0 and refs[1] < 0
+        if dzp:
+            refs = [0, 0]
+        mvps = [(0, 0), (0, 0)]
+        for l in (0, 1):
+            if refs[l] >= 0 and not dzp:
+                mvps[l] = self._mv_pred(0, 0, 4, 4, refs[l], l=l)
+        self._direct_cache = (refs, mvps, dzp)
+        return self._direct_cache
+
+    def _direct_mvs_8x8(self, b: int):
+        """[(ref_idx, (mvx, mvy)) for l0, l1] for 8x8 block b in direct mode
+        (direct_8x8_inference: colocated corner 4x4)."""
+        gx = self._cur_mbx * 4 + 3 * (b & 1)
+        gy = self._cur_mby * 4 + 3 * (b >> 1)
+        if self.h.direct_spatial_mv_pred:
+            refs, mvps, dzp = self._direct_spatial_cache()
+            col = self.ref_l1[0]
+            cz = False
+            if not col.long_term:
+                cm = self._col_motion(gx, gy)
+                if cm is not None:
+                    _, ridx, _, (mx, my) = cm
+                    cz = ridx == 0 and abs(mx) <= 1 and abs(my) <= 1
+            out = []
+            for l in (0, 1):
+                if refs[l] < 0:
+                    out.append((-1, (0, 0)))
+                elif dzp or (cz and refs[l] == 0):
+                    out.append((refs[l], (0, 0)))
+                else:
+                    out.append((refs[l], mvps[l]))
+            return out
+        # temporal direct (8.4.1.2.3)
+        cm = self._col_motion(gx, gy)
+        if cm is None:
+            ref0, mvcol = 0, (0, 0)
+        else:
+            _, _, rid, mvcol = cm
+            ref0 = 0
+            for i, p in enumerate(self.ref_l0):
+                if p.pic_id == rid:
+                    ref0 = i
+                    break
+        refpic = self.ref_l0[ref0]
+        colpic = self.ref_l1[0]
+        tb = min(127, max(-128, self.pic.poc - refpic.poc))
+        td = min(127, max(-128, colpic.poc - refpic.poc))
+        if refpic.long_term or td == 0:
+            return [(ref0, mvcol), (0, (0, 0))]
+        q = 16384 + abs(td) // 2
+        tx = (q // abs(td)) * (1 if td > 0 else -1)
+        dsf = min(1023, max(-1024, (tb * tx + 32) >> 6))
+        mv0 = ((dsf * mvcol[0] + 128) >> 8, (dsf * mvcol[1] + 128) >> 8)
+        mv1 = (mv0[0] - mvcol[0], mv0[1] - mvcol[1])
+        return [(ref0, mv0), (0, mv1)]
+
+    def _decode_direct_8x8(self, b: int, predY, predU, predV) -> None:
+        """Derive, store and motion-compensate one direct 8x8 block."""
+        (r0, mv0), (r1, mv1) = self._direct_mvs_8x8(b)
+        bx4, by4 = (b & 1) * 2, (b >> 1) * 2
+        if r0 >= 0:
+            self._store_part_mv(bx4, by4, 2, 2, r0, self.ref_l0[r0],
+                                mv0[0], mv0[1], 0)
+        if r1 >= 0:
+            self._store_part_mv(bx4, by4, 2, 2, r1, self.ref_l1[r1],
+                                mv1[0], mv1[1], 1)
+        p0 = (self._fetch_pred(0, r0, bx4, by4, 2, 2, mv0[0], mv0[1])
+              if r0 >= 0 else None)
+        p1 = (self._fetch_pred(1, r1, bx4, by4, 2, 2, mv1[0], mv1[1])
+              if r1 >= 0 else None)
+        self._combine_store(predY, predU, predV, bx4, by4, 2, 2,
+                            p0, p1, r0, r1)
+
+    def decode_b_skip_mb(self, mb_idx: int) -> None:
+        pic = self.pic
+        mbx, mby = mb_idx % pic.mb_w, mb_idx // pic.mb_w
+        self._mark_mb(mbx, mby)
+        self._cur_mbx, self._cur_mby, self._cur_z = mbx, mby, 0
+        self._direct_cache = None
+        pic.mb_class[mby, mbx] = MB_B
+        pic.mb_qp[mby, mbx] = self.qp
+        pic.mb_cbp[mby, mbx] = 0
+        predY = np.empty((16, 16), np.int32)
+        predU = np.empty((8, 8), np.int32)
+        predV = np.empty((8, 8), np.int32)
+        for b in range(4):
+            self._decode_direct_8x8(b, predY, predU, predV)
+        pic.Y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = predY
+        pic.U[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = predU
+        pic.V[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = predV
+
+    def _decode_b_mb(self, r: BitReader, mbx: int, mby: int,
+                     mb_type: int) -> None:
+        pic = self.pic
+        self._cur_mbx, self._cur_mby = mbx, mby
+        self._cur_z = 0
+        self._direct_cache = None
+        pic.mb_class[mby, mbx] = MB_B
+        n_act = self.h.num_ref_idx
+        predY = np.empty((16, 16), np.int32)
+        predU = np.empty((8, 8), np.int32)
+        predV = np.empty((8, 8), np.int32)
+        if mb_type == 0:  # B_Direct_16x16
+            for b in range(4):
+                self._decode_direct_8x8(b, predY, predU, predV)
+            self._cur_z = 16
+            self._inter_residual(r, mbx, mby, predY, predU, predV)
+            return
+        if mb_type < 22:
+            kind, preds = self._B_TYPES[mb_type]
+            parts = self._PART_GEOM[kind]
+            np_ = len(parts)
+            refs = [[-1] * np_, [-1] * np_]
+            for l in (0, 1):
+                for i, pm in enumerate(preds):
+                    if pm == 2 or pm == l:
+                        refs[l][i] = self._read_te(r, n_act[l] - 1)
+            mvds = [[(0, 0)] * np_, [(0, 0)] * np_]
+            for l in (0, 1):
+                for i, pm in enumerate(preds):
+                    if pm == 2 or pm == l:
+                        mvds[l][i] = (r.se(), r.se())
+            mvs = [[None] * np_, [None] * np_]
+            for l in (0, 1):
+                for i, (bx4, by4, w4, h4) in enumerate(parts):
+                    if refs[l][i] < 0:
+                        continue
+                    self._cur_z = _XY_TO_Z[(bx4, by4)]
+                    px, py = self._mv_pred(bx4, by4, w4, h4, refs[l][i],
+                                           kind, i, l)
+                    mv = (px + mvds[l][i][0], py + mvds[l][i][1])
+                    mvs[l][i] = mv
+                    self._store_part_mv(bx4, by4, w4, h4, refs[l][i],
+                                        (self.ref_l0, self.ref_l1)[l][refs[l][i]],
+                                        mv[0], mv[1], l)
+            for i, (bx4, by4, w4, h4) in enumerate(parts):
+                p0 = (self._fetch_pred(0, refs[0][i], bx4, by4, w4, h4,
+                                       *mvs[0][i]) if refs[0][i] >= 0 else None)
+                p1 = (self._fetch_pred(1, refs[1][i], bx4, by4, w4, h4,
+                                       *mvs[1][i]) if refs[1][i] >= 0 else None)
+                self._combine_store(predY, predU, predV, bx4, by4, w4, h4,
+                                    p0, p1, refs[0][i], refs[1][i])
+        else:  # B_8x8
+            sub_types = [r.ue() for _ in range(4)]
+            if any(st > 12 for st in sub_types):
+                raise EOFError_(f"bad B sub_mb_type {sub_types}")
+            # direct sub-blocks derive/store both lists first, in order
+            for b in range(4):
+                if self._B_SUB[sub_types[b]][0] == -1:
+                    self._cur_z = _XY_TO_Z[((b & 1) * 2, (b >> 1) * 2)]
+                    self._decode_direct_8x8(b, predY, predU, predV)
+            refs = [[-1] * 4, [-1] * 4]
+            for l in (0, 1):
+                for b in range(4):
+                    pm = self._B_SUB[sub_types[b]][0]
+                    if pm == 2 or pm == l:
+                        refs[l][b] = self._read_te(r, n_act[l] - 1)
+            mvds = [[], []]
+            for l in (0, 1):
+                for b in range(4):
+                    pm, sparts = self._B_SUB[sub_types[b]]
+                    if pm == -1 or not (pm == 2 or pm == l):
+                        continue
+                    for sp in sparts:
+                        mvds[l].append((b, sp, (r.se(), r.se())))
+            submvs = {}  # (l, b, sp) -> mv
+            for l in (0, 1):
+                for (b, sp, mvd) in mvds[l]:
+                    sx, sy, w4, h4 = sp
+                    bx4, by4 = (b & 1) * 2 + sx, (b >> 1) * 2 + sy
+                    self._cur_z = _XY_TO_Z[(bx4, by4)]
+                    px, py = self._mv_pred(bx4, by4, w4, h4, refs[l][b],
+                                           l=l)
+                    mv = (px + mvd[0], py + mvd[1])
+                    submvs[(l, b, sp)] = mv
+                    self._store_part_mv(bx4, by4, w4, h4, refs[l][b],
+                                        (self.ref_l0, self.ref_l1)[l][refs[l][b]],
+                                        mv[0], mv[1], l)
+            for b in range(4):
+                pm, sparts = self._B_SUB[sub_types[b]]
+                if pm == -1:
+                    continue
+                for sp in sparts:
+                    sx, sy, w4, h4 = sp
+                    bx4, by4 = (b & 1) * 2 + sx, (b >> 1) * 2 + sy
+                    p0 = p1 = None
+                    if refs[0][b] >= 0:
+                        p0 = self._fetch_pred(0, refs[0][b], bx4, by4, w4, h4,
+                                              *submvs[(0, b, sp)])
+                    if refs[1][b] >= 0:
+                        p1 = self._fetch_pred(1, refs[1][b], bx4, by4, w4, h4,
+                                              *submvs[(1, b, sp)])
+                    self._combine_store(predY, predU, predV, bx4, by4, w4, h4,
+                                        p0, p1, refs[0][b], refs[1][b])
+        self._cur_z = 16
+        self._inter_residual(r, mbx, mby, predY, predU, predV)

@@ -222,6 +222,54 @@ class TestX264P:
                     self.BASE + ":weightp=2:ref=4:crf=25:scenecut=40", n=14)
 
 
+class TestX264B:
+    """IPB streams (CAVLC): bi-prediction, spatial/temporal direct,
+    B_Skip, implicit/explicit weighted bipred, B-pyramid reordering."""
+
+    BASE = "cabac=0:8x8dct=0:keyint=50"
+
+    def _check(self, tmp_path, params, n=10, size=(64, 64), fade=False,
+               bframes=3):
+        frames = _motion_frames(n, size, fade=fade)
+        es = _x264_stream(size[0], size[1], frames, params, bframes=bframes)
+        _assert_frames_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+
+    def test_spatial_direct(self, tmp_path):
+        self._check(tmp_path, self.BASE
+                    + ":bframes=3:direct=spatial:weightp=0:weightb=0:ref=2:qp=28")
+
+    def test_temporal_direct(self, tmp_path):
+        self._check(tmp_path, self.BASE
+                    + ":bframes=3:direct=temporal:weightp=0:weightb=0:ref=2:qp=28")
+
+    def test_implicit_weightb_fade(self, tmp_path):
+        self._check(tmp_path,
+                    self.BASE + ":bframes=3:direct=spatial:weightb=1:ref=2:qp=28",
+                    fade=True)
+
+    def test_b_pyramid(self, tmp_path):
+        self._check(tmp_path, self.BASE
+                    + ":bframes=4:b-pyramid=normal:direct=auto:ref=3:qp=26",
+                    n=16)
+
+    def test_partitions_subpel(self, tmp_path):
+        self._check(tmp_path, self.BASE
+                    + ":bframes=3:partitions=all:subme=9:me=tesa:ref=3:qp=24",
+                    n=12)
+
+    def test_qcif(self, tmp_path):
+        self._check(tmp_path, self.BASE + ":bframes=3:ref=3:subme=7:qp=30",
+                    size=(176, 144))
+
+    def test_multi_idr(self, tmp_path):
+        self._check(tmp_path,
+                    "cabac=0:8x8dct=0:keyint=5:bframes=3:ref=3:qp=28", n=20)
+
+    def test_long_b_runs(self, tmp_path):
+        self._check(tmp_path, self.BASE + ":bframes=8:b-adapt=2:ref=4:crf=28",
+                    n=24, bframes=8)
+
+
 class TestX264IntraDeblock:
     """All-intra with the in-loop deblocking filter active (8.7)."""
 
