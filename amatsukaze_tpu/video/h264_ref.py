@@ -81,7 +81,11 @@ _POS_CLASS_4x4 = tuple(
 _NORM_ADJUST_8x8 = tuple(
     tuple(T.DEQUANT8_COEFF_INIT[6 * m : 6 * m + 6]) for m in range(6)
 )
-_POS_CLASS_8x8 = tuple(T.DEQUANT8_COEFF_INIT_SCAN)  # raster -> class
+# normAdjust8x8 position class repeats in a 4x4 pattern over the 8x8 block:
+# class of raster index i = pattern[(row % 4) * 4 + (col % 4)]
+_POS_CLASS_8x8 = tuple(
+    T.DEQUANT8_COEFF_INIT_SCAN[((i >> 1) & 12) | (i & 3)] for i in range(64)
+)
 
 
 # ---------------------------------------------------------------------------
@@ -715,6 +719,200 @@ def _idct4x4(d):
         out[8 + j] = (a1 - a2 + 32) >> 6
         out[12 + j] = (a0 - a3 + 32) >> 6
     return out
+
+
+def _dequant8_tab(qp: int, weight_raster) -> tuple:
+    """LevelScale8x8 per raster position (8.5.13.1), shift applied at use."""
+    na = _NORM_ADJUST_8x8[qp % 6]
+    return tuple(weight_raster[k] * na[_POS_CLASS_8x8[k]] for k in range(64))
+
+
+def _dequant8_apply(c: int, ls: int, qp: int) -> int:
+    """FFmpeg-probed rounding (tests/test_h264_decode.py 8x8 DC probes):
+    right-shift with +2^(5-qp/6) rounding below qp 36, left-shift above."""
+    if qp >= 36:
+        return (c * ls) << (qp // 6 - 6)
+    return (c * ls + (1 << (5 - qp // 6))) >> (6 - qp // 6)
+
+
+def _idct8_1d(d):
+    d0, d1, d2, d3, d4, d5, d6, d7 = d
+    a0 = d0 + d4
+    a2 = d0 - d4
+    a4 = (d2 >> 1) - d6
+    a6 = d2 + (d6 >> 1)
+    b0 = a0 + a6
+    b2 = a2 + a4
+    b4 = a2 - a4
+    b6 = a0 - a6
+    a1 = -d3 + d5 - d7 - (d7 >> 1)
+    a3 = d1 + d7 - d3 - (d3 >> 1)
+    a5 = -d1 + d7 + d5 + (d5 >> 1)
+    a7 = d3 + d5 + d1 + (d1 >> 1)
+    b1 = a1 + (a7 >> 2)
+    b3 = a3 + (a5 >> 2)
+    b5 = (a3 >> 2) - a5
+    b7 = a7 - (a1 >> 2)
+    return (b0 + b7, b2 + b5, b4 + b3, b6 + b1,
+            b6 - b1, b4 - b3, b2 - b5, b0 - b7)
+
+
+def _idct8x8(d):
+    """8.5.13.2 inverse 8x8 transform, rows then columns (FFmpeg-matched
+    order — the >>1 floors make pass order observable); (f+32)>>6 at end."""
+    e = [0] * 64
+    for i in range(8):
+        e[8 * i : 8 * i + 8] = _idct8_1d(d[8 * i : 8 * i + 8])
+    out = [0] * 64
+    for j in range(8):
+        col = _idct8_1d(e[j::8])
+        for i in range(8):
+            out[8 * i + j] = (col[i] + 32) >> 6
+    return out
+
+
+def _pred8x8(mode: int, left, top, topleft, avail_l, avail_t, avail_tl):
+    """Intra 8x8 prediction (8.3.2.2.2+) on FILTERED reference samples.
+    top: 16 filtered samples (incl. top-right extension), left: 8."""
+    pred = [[0] * 8 for _ in range(8)]
+    t, l, tl = top, left, topleft
+    if mode == 0:  # Vertical
+        for y in range(8):
+            pred[y] = list(t[:8])
+    elif mode == 1:  # Horizontal
+        for y in range(8):
+            pred[y] = [l[y]] * 8
+    elif mode == 2:  # DC
+        if avail_l and avail_t:
+            v = (sum(t[:8]) + sum(l) + 8) >> 4
+        elif avail_l:
+            v = (sum(l) + 4) >> 3
+        elif avail_t:
+            v = (sum(t[:8]) + 4) >> 3
+        else:
+            v = 128
+        for y in range(8):
+            pred[y] = [v] * 8
+    elif mode == 3:  # Diagonal down-left
+        for y in range(8):
+            for x in range(8):
+                if x == 7 and y == 7:
+                    pred[y][x] = (t[14] + 3 * t[15] + 2) >> 2
+                else:
+                    pred[y][x] = (t[x + y] + 2 * t[x + y + 1]
+                                  + t[x + y + 2] + 2) >> 2
+    elif mode in (4, 5, 6):  # down-right / vertical-right / horizontal-down
+        # spec sample index -1 designates p[-1,-1] (the filtered top-left);
+        # guard against Python's wrap-around indexing
+        def tx(i):
+            return tl if i < 0 else t[i]
+
+        def lx(i):
+            return tl if i < 0 else l[i]
+
+        if mode == 4:
+            for y in range(8):
+                for x in range(8):
+                    if x > y:
+                        pred[y][x] = (tx(x - y - 2) + 2 * tx(x - y - 1)
+                                      + t[x - y] + 2) >> 2
+                    elif x < y:
+                        pred[y][x] = (lx(y - x - 2) + 2 * lx(y - x - 1)
+                                      + l[y - x] + 2) >> 2
+                    else:
+                        pred[y][x] = (t[0] + 2 * tl + l[0] + 2) >> 2
+        elif mode == 5:
+            for y in range(8):
+                for x in range(8):
+                    z = 2 * x - y
+                    if z >= 0 and z % 2 == 0:
+                        pred[y][x] = (tx(x - (y >> 1) - 1)
+                                      + t[x - (y >> 1)] + 1) >> 1
+                    elif z >= 0:
+                        pred[y][x] = (tx(x - (y >> 1) - 2)
+                                      + 2 * tx(x - (y >> 1) - 1)
+                                      + t[x - (y >> 1)] + 2) >> 2
+                    elif z == -1:
+                        pred[y][x] = (l[0] + 2 * tl + t[0] + 2) >> 2
+                    else:
+                        pred[y][x] = (lx(y - 2 * x - 1) + 2 * lx(y - 2 * x - 2)
+                                      + lx(y - 2 * x - 3) + 2) >> 2
+        else:  # mode 6
+            for y in range(8):
+                for x in range(8):
+                    z = 2 * y - x
+                    if z >= 0 and z % 2 == 0:
+                        pred[y][x] = (lx(y - (x >> 1) - 1)
+                                      + l[y - (x >> 1)] + 1) >> 1
+                    elif z >= 0:
+                        pred[y][x] = (lx(y - (x >> 1) - 2)
+                                      + 2 * lx(y - (x >> 1) - 1)
+                                      + l[y - (x >> 1)] + 2) >> 2
+                    elif z == -1:
+                        pred[y][x] = (l[0] + 2 * tl + t[0] + 2) >> 2
+                    else:
+                        pred[y][x] = (tx(x - 2 * y - 1) + 2 * tx(x - 2 * y - 2)
+                                      + tx(x - 2 * y - 3) + 2) >> 2
+    elif mode == 7:  # Vertical left
+        for y in range(8):
+            for x in range(8):
+                if y % 2 == 0:
+                    pred[y][x] = (t[x + (y >> 1)] + t[x + (y >> 1) + 1] + 1) >> 1
+                else:
+                    pred[y][x] = (t[x + (y >> 1)] + 2 * t[x + (y >> 1) + 1]
+                                  + t[x + (y >> 1) + 2] + 2) >> 2
+    elif mode == 8:  # Horizontal up
+        for y in range(8):
+            for x in range(8):
+                z = x + 2 * y
+                if z % 2 == 0 and z < 14:
+                    pred[y][x] = (l[y + (x >> 1)] + l[y + (x >> 1) + 1] + 1) >> 1
+                elif z < 13:
+                    pred[y][x] = (l[y + (x >> 1)] + 2 * l[y + (x >> 1) + 1]
+                                  + l[y + (x >> 1) + 2] + 2) >> 2
+                elif z == 13:
+                    pred[y][x] = (l[6] + 3 * l[7] + 2) >> 2
+                else:
+                    pred[y][x] = l[7]
+    else:
+        raise ValueError(f"bad intra8x8 mode {mode}")
+    return pred
+
+
+def _filter_i8_refs(left, top, topleft, avail_l, avail_t, avail_tl):
+    """Reference sample filtering for intra 8x8 (8.3.2.2.1).
+    left: 8 raw or None; top: 16 raw (with top-right substitution already
+    applied) or None; topleft: raw int or None."""
+    fl = ft = None
+    ftl = 0
+    if avail_t:
+        ft = [0] * 16
+        if avail_tl:
+            ft[0] = (topleft + 2 * top[0] + top[1] + 2) >> 2
+        else:
+            ft[0] = (3 * top[0] + top[1] + 2) >> 2
+        for x in range(1, 15):
+            ft[x] = (top[x - 1] + 2 * top[x] + top[x + 1] + 2) >> 2
+        ft[15] = (top[14] + 3 * top[15] + 2) >> 2
+    if avail_tl:
+        if avail_l and avail_t:
+            ftl = (top[0] + 2 * topleft + left[0] + 2) >> 2
+        elif avail_t:
+            ftl = (3 * topleft + top[0] + 2) >> 2
+        elif avail_l:
+            ftl = (3 * topleft + left[0] + 2) >> 2
+        else:
+            ftl = topleft
+    if avail_l:
+        fl = [0] * 8
+        if avail_tl:
+            fl[0] = (topleft + 2 * left[0] + left[1] + 2) >> 2
+        else:
+            fl[0] = (3 * left[0] + left[1] + 2) >> 2
+        for y in range(1, 7):
+            fl[y] = (left[y - 1] + 2 * left[y] + left[y + 1] + 2) >> 2
+        fl[7] = (left[6] + 3 * left[7] + 2) >> 2
+    return fl, ft, ftl
 
 
 def _hadamard4x4(c):
@@ -1555,12 +1753,23 @@ def _bs_mv(pic: _Picture, gxp, gyp, gxq, gyq) -> int:
     return 0 if (a or b) else 1
 
 
+def _nnz_for_bs(pic: _Picture, gx: int, gy: int) -> int:
+    """Coefficient presence for bS: with the 8x8 transform, a 4x4 cell is
+    'coded' when its covering 8x8 transform block has any coefficients."""
+    mbx, mby = gx >> 2, gy >> 2
+    if pic.mb_tf8[mby, mbx]:
+        x0 = (gx & ~1)
+        y0 = (gy & ~1)
+        return int(pic.nnz_y[y0 : y0 + 2, x0 : x0 + 2].sum())
+    return int(pic.nnz_y[gy, gx])
+
+
 def _bs(pic: _Picture, gxp, gyp, gxq, gyq, mb_edge: bool) -> int:
     pmbx, pmby = gxp >> 2, gyp >> 2
     qmbx, qmby = gxq >> 2, gyq >> 2
     if pic.is_intra(pmbx, pmby) or pic.is_intra(qmbx, qmby):
         return 4 if mb_edge else 3
-    if pic.nnz_y[gyp, gxp] or pic.nnz_y[gyq, gxq]:
+    if _nnz_for_bs(pic, gxp, gyp) or _nnz_for_bs(pic, gxq, gyq):
         return 2
     return _bs_mv(pic, gxp, gyp, gxq, gyq)
 
@@ -1801,6 +2010,46 @@ class _SliceCtx:
             self._dequant_cache[key] = t
         return t
 
+    def _dq8(self, qp: int, list_idx: int):
+        key = (qp, 8, list_idx)
+        t = self._dequant_cache.get(key)
+        if t is None:
+            t = _dequant8_tab(qp, self.w8[list_idx])
+            self._dequant_cache[key] = t
+        return t
+
+    def _parse_luma8x8_cavlc(self, r: BitReader, b: int):
+        """Four interleaved 4x4 CAVLC blocks -> 64 coeffs in 8x8 scan order
+        (coeff k of 4x4 sub-block i lands at scan 4k+i).  Per-4x4 nnz
+        bookkeeping; nC neighbours only ever read odd-x / odd-y cells so
+        the per-sub counts are what both sides observe."""
+        pic = self.pic
+        mbx, mby = self._cur_mbx, self._cur_mby
+        gx0, gy0 = mbx * 4, mby * 4
+        scan64 = [0] * 64
+        for i in range(4):
+            z = 4 * b + i
+            x4, y4 = _Z_TO_XY[z]
+            gx, gy = gx0 + x4, gy0 + y4
+            nc = self._combine_nc(self._nnz_luma(gx - 1, gy),
+                                  self._nnz_luma(gx, gy - 1))
+            blk, tc = _cavlc_block(r, nc, 16)
+            pic.nnz_y[gy, gx] = tc
+            for k in range(16):
+                scan64[4 * k + i] = blk[k]
+        return scan64
+
+    def _residual8x8(self, scan64, qp: int, list_idx: int):
+        """Dequant + inverse 8x8 transform -> 64 raster residuals."""
+        ls = self._dq8(qp, list_idx)
+        d = [0] * 64
+        for s in range(64):
+            c = scan64[s]
+            if c:
+                pos = ZIGZAG_8x8[s]
+                d[pos] = _dequant8_apply(c, ls[pos], qp)
+        return _idct8x8(d)
+
     # -- MB decode ---------------------------------------------------------
 
     def _mark_mb(self, mbx: int, mby: int) -> None:
@@ -1900,7 +2149,8 @@ class _SliceCtx:
         if pps.transform_8x8_mode:
             tf8 = r.read(1)
         if tf8:
-            raise NotImplementedError("8x8 transform: next stage")
+            self._decode_i8x8_mb(r, mbx, mby)
+            return
         pic.mb_class[mby, mbx] = MB_I4
         modes = self._read_i4x4_modes(r, mbx, mby)
         chroma_mode = r.ue()
@@ -1929,6 +2179,86 @@ class _SliceCtx:
             self._recon_i4_block(mbx, mby, k, modes[k], coeffs[k])
         self._decode_chroma_cavlc(r, mbx, mby, chroma_mode, cbp_chroma,
                                   intra=True)
+
+    def _read_i8x8_modes(self, r: BitReader, mbx: int, mby: int):
+        """Four Intra8x8 prediction modes with neighbour inference (8.3.2.1).
+        Modes are stored into all four 4x4 cells of each 8x8 block so the
+        per-4x4 neighbour lookups work across I4/I8 macroblocks."""
+        pic = self.pic
+        modes = [2] * 4
+        gx0, gy0 = mbx * 4, mby * 4
+        for b in range(4):
+            bx, by = (b & 1) * 2, (b >> 1) * 2
+            gx, gy = gx0 + bx, gy0 + by
+            z = _XY_TO_Z[(bx, by)]
+            ma = self._i4_mode_at(gx - 1, gy, z, mbx, mby)
+            mb_ = self._i4_mode_at(gx, gy - 1, z, mbx, mby)
+            pred = 2 if (ma is None or mb_ is None) else min(ma, mb_)
+            if r.read(1):
+                mode = pred
+            else:
+                rem = r.read(3)
+                mode = rem if rem < pred else rem + 1
+            modes[b] = mode
+            pic.i4_modes[gy : gy + 2, gx : gx + 2] = mode
+        return modes
+
+    def _decode_i8x8_mb(self, r: BitReader, mbx: int, mby: int) -> None:
+        pic = self.pic
+        self._cur_mbx, self._cur_mby = mbx, mby
+        pic.mb_class[mby, mbx] = MB_I8
+        pic.mb_tf8[mby, mbx] = 1
+        modes = self._read_i8x8_modes(r, mbx, mby)
+        chroma_mode = r.ue()
+        cbp = T.GOLOMB_TO_INTRA4X4_CBP[r.ue()]
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp:
+            self.qp = (self.qp + r.se() + 52) % 52
+        pic.mb_qp[mby, mbx] = self.qp
+        pic.mb_cbp[mby, mbx] = cbp
+        coeffs = [None] * 4
+        for b in range(4):
+            if cbp_luma & (1 << b):
+                coeffs[b] = self._parse_luma8x8_cavlc(r, b)
+        for b in range(4):
+            self._recon_i8_block(mbx, mby, b, modes[b], coeffs[b])
+        self._decode_chroma_cavlc(r, mbx, mby, chroma_mode, cbp_chroma,
+                                  intra=True)
+
+    def _recon_i8_block(self, mbx: int, mby: int, b: int, mode: int,
+                        scan64) -> None:
+        pic = self.pic
+        bx, by = (b & 1) * 2, (b >> 1) * 2
+        gx, gy = mbx * 4 + bx, mby * 4 + by
+        z = _XY_TO_Z[(bx, by)]
+        px, py = gx * 4, gy * 4
+        Y = pic.Y
+        avail_l = self._blk_avail_intra(gx - 1, gy, z, mbx, mby)
+        avail_t = self._blk_avail_intra(gx, gy - 1, z, mbx, mby)
+        avail_tl = self._blk_avail_intra(gx - 1, gy - 1, z, mbx, mby)
+        avail_tr = self._blk_avail_intra(gx + 2, gy - 1, z, mbx, mby)
+        left = [int(Y[py + i, px - 1]) for i in range(8)] if avail_l else None
+        top = None
+        if avail_t:
+            top = [int(Y[py - 1, px + i]) for i in range(8)]
+            if avail_tr:
+                top += [int(Y[py - 1, px + 8 + i]) for i in range(8)]
+            else:
+                top += [top[7]] * 8
+        tl = int(Y[py - 1, px - 1]) if avail_tl else None
+        fl, ft, ftl = _filter_i8_refs(left, top, tl,
+                                      avail_l, avail_t, avail_tl)
+        pred = _pred8x8(mode, fl, ft, ftl, avail_l, avail_t, avail_tl)
+        if scan64 is None:
+            for yy in range(8):
+                Y[py + yy, px : px + 8] = pred[yy]
+            return
+        res = self._residual8x8(scan64, self.qp, 0)
+        for yy in range(8):
+            row = Y[py + yy]
+            base = 8 * yy
+            for xx in range(8):
+                row[px + xx] = _clip1(pred[yy][xx] + res[base + xx])
 
     def _recon_i4_block(self, mbx: int, mby: int, k: int, mode: int,
                         coeffs) -> None:
@@ -2380,20 +2710,46 @@ class _SliceCtx:
                     self._mc_part(predY, predU, predV, bx4, by4, w4, h4,
                                   refs[b], mvx, mvy)
         self._cur_z = 16
-        self._inter_residual(r, mbx, mby, predY, predU, predV)
+        tf8_ok = mb_type in (0, 1, 2) or all(st == 0 for st in sub_types)
+        self._inter_residual(r, mbx, mby, predY, predU, predV, tf8_ok)
 
     def _inter_residual(self, r: BitReader, mbx: int, mby: int,
-                        predY, predU, predV) -> None:
+                        predY, predU, predV, tf8_ok: bool = False) -> None:
         """CBP + residual parse and reconstruction over inter prediction."""
         pic = self.pic
         cbp = T.GOLOMB_TO_INTER_CBP[r.ue()]
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        tf8 = 0
+        if cbp_luma and tf8_ok and self.pps.transform_8x8_mode:
+            tf8 = r.read(1)
+        pic.mb_tf8[mby, mbx] = tf8
         if cbp:
             self.qp = (self.qp + r.se() + 52) % 52
         pic.mb_qp[mby, mbx] = self.qp
         pic.mb_cbp[mby, mbx] = cbp
         gx0, gy0 = mbx * 4, mby * 4
         Y = pic.Y
+        if tf8:
+            for b in range(4):
+                bx, by = (b & 1) * 2, (b >> 1) * 2
+                px, py = mbx * 16 + bx * 4, mby * 16 + by * 4
+                if not (cbp_luma & (1 << b)):
+                    for yy in range(8):
+                        Y[py + yy, px : px + 8] = predY[by * 4 + yy,
+                                                        bx * 4 : bx * 4 + 8]
+                    continue
+                scan64 = self._parse_luma8x8_cavlc(r, b)
+                res = self._residual8x8(scan64, self.qp, 1)
+                for yy in range(8):
+                    row = Y[py + yy]
+                    base = 8 * yy
+                    for xx in range(8):
+                        row[px + xx] = _clip1(
+                            int(predY[by * 4 + yy, bx * 4 + xx])
+                            + res[base + xx])
+            self._pred_chroma = (predU, predV)
+            self._decode_chroma_cavlc(r, mbx, mby, 0, cbp_chroma, intra=False)
+            return
         dq = self._dq4(self.qp, 3)
         for k in range(16):
             x4, y4 = _Z_TO_XY[k]
@@ -2592,8 +2948,10 @@ class _SliceCtx:
             for b in range(4):
                 self._decode_direct_8x8(b, predY, predU, predV)
             self._cur_z = 16
-            self._inter_residual(r, mbx, mby, predY, predU, predV)
+            self._inter_residual(r, mbx, mby, predY, predU, predV,
+                                 bool(self.sps.direct_8x8_inference))
             return
+        tf8_ok = True
         if mb_type < 22:
             kind, preds = self._B_TYPES[mb_type]
             parts = self._PART_GEOM[kind]
@@ -2680,5 +3038,8 @@ class _SliceCtx:
                                               *submvs[(1, b, sp)])
                     self._combine_store(predY, predU, predV, bx4, by4, w4, h4,
                                         p0, p1, refs[0][b], refs[1][b])
+            tf8_ok = all(
+                (st == 0 and self.sps.direct_8x8_inference) or st in (1, 2, 3)
+                for st in sub_types)
         self._cur_z = 16
-        self._inter_residual(r, mbx, mby, predY, predU, predV)
+        self._inter_residual(r, mbx, mby, predY, predU, predV, tf8_ok)

@@ -47,12 +47,18 @@ def _nal(rbsp: bytes, ref_idc: int, typ: int) -> bytes:
     return bytes(out)
 
 
-def sps_nal(mb_w: int, mb_h: int) -> bytes:
+def sps_nal(mb_w: int, mb_h: int, profile: int = 66) -> bytes:
     w = BitWriter()
-    w.write(66, 8)   # profile_idc baseline
-    w.write(0xC0, 8)  # constraint_set0+1
+    w.write(profile, 8)  # 66 baseline / 100 high
+    w.write(0xC0 if profile == 66 else 0, 8)  # constraint flags
     w.write(30, 8)   # level
     _ue(w, 0)        # sps_id
+    if profile == 100:
+        _ue(w, 1)    # chroma_format_idc 4:2:0
+        _ue(w, 0)    # bit_depth_luma_minus8
+        _ue(w, 0)    # bit_depth_chroma_minus8
+        w.write(0, 1)  # qpprime_y_zero_transform_bypass
+        w.write(0, 1)  # seq_scaling_matrix_present
     _ue(w, 0)        # log2_max_frame_num_minus4
     _ue(w, 2)        # poc_type 2
     _ue(w, 1)        # max_num_ref_frames
@@ -67,7 +73,7 @@ def sps_nal(mb_w: int, mb_h: int) -> bytes:
     return _nal(w.getvalue(), 3, 7)
 
 
-def pps_nal() -> bytes:
+def pps_nal(transform_8x8: bool = False) -> bytes:
     w = BitWriter()
     _ue(w, 0)        # pps_id
     _ue(w, 0)        # sps_id
@@ -84,6 +90,10 @@ def pps_nal() -> bytes:
     w.write(1, 1)    # deblocking_filter_control_present
     w.write(0, 1)    # constrained_intra_pred
     w.write(0, 1)    # redundant_pic_cnt_present
+    if transform_8x8:
+        w.write(1, 1)  # transform_8x8_mode_flag
+        w.write(0, 1)  # pic_scaling_matrix_present
+        _se(w, 0)      # second_chroma_qp_index_offset
     _trailing(w)
     return _nal(w.getvalue(), 3, 8)
 
@@ -185,7 +195,8 @@ def write_cavlc_block(w: BitWriter, coeffs, nc: int, max_coeff: int) -> int:
 _INV_CBP_I4 = {v: i for i, v in enumerate(T.GOLOMB_TO_INTRA4X4_CBP)}
 
 
-def islice_nal(mb_w: int, mb_h: int, qp: int, mb0) -> bytes:
+def islice_nal(mb_w: int, mb_h: int, qp: int, mb0,
+               transform_8x8: bool = False) -> bytes:
     """IDR slice: MB 0 per `mb0` descriptor, remaining MBs empty I_NxN DC.
 
     mb0 keys:
@@ -232,13 +243,20 @@ def islice_nal(mb_w: int, mb_h: int, qp: int, mb0) -> bytes:
                 pass  # no AC blocks (cbp_luma 0)
         else:
             _ue(w, 0)  # I_NxN
-            for _ in range(16):
-                w.write(1, 1)  # prev_intra4x4_pred_mode_flag -> predicted (DC)
+            tf8 = 0
+            if transform_8x8:
+                tf8 = 1 if "luma8_blocks" in desc else 0
+                w.write(tf8, 1)  # transform_size_8x8_flag
+            for _ in range(4 if tf8 else 16):
+                w.write(1, 1)  # prev_intra_pred_mode_flag -> predicted (DC)
             _ue(w, 0)  # chroma DC pred
             blocks = desc.get("luma_blocks", {})
+            blocks8 = desc.get("luma8_blocks", {})
             cbp_luma = 0
             for z in blocks:
                 cbp_luma |= 1 << (z >> 2)
+            for b in blocks8:
+                cbp_luma |= 1 << b
             cbp_chroma = 0
             if "chroma_dc" in desc:
                 cbp_chroma = 1
@@ -249,14 +267,28 @@ def islice_nal(mb_w: int, mb_h: int, qp: int, mb0) -> bytes:
             if cbp:
                 _se(w, 0)  # mb_qp_delta
             gx0, gy0 = mbx * 4, mby * 4
-            for z in range(16):
-                if not (cbp_luma & (1 << (z >> 2))):
-                    continue
-                x4, y4 = HR._Z_TO_XY[z]
-                gx, gy = gx0 + x4, gy0 + y4
-                nc = luma_nc(gx, gy, mbx)
-                tc = write_cavlc_block(w, blocks.get(z, [0] * 16), nc, 16)
-                nnz[(gx, gy)] = tc
+            if tf8:
+                for b in range(4):
+                    if not (cbp_luma & (1 << b)):
+                        continue
+                    scan64 = blocks8.get(b, [0] * 64)
+                    for i in range(4):
+                        z = 4 * b + i
+                        x4, y4 = HR._Z_TO_XY[z]
+                        gx, gy = gx0 + x4, gy0 + y4
+                        sub = [scan64[4 * k + i] for k in range(16)]
+                        nc = luma_nc(gx, gy, mbx)
+                        tc = write_cavlc_block(w, sub, nc, 16)
+                        nnz[(gx, gy)] = tc
+            else:
+                for z in range(16):
+                    if not (cbp_luma & (1 << (z >> 2))):
+                        continue
+                    x4, y4 = HR._Z_TO_XY[z]
+                    gx, gy = gx0 + x4, gy0 + y4
+                    nc = luma_nc(gx, gy, mbx)
+                    tc = write_cavlc_block(w, blocks.get(z, [0] * 16), nc, 16)
+                    nnz[(gx, gy)] = tc
             if cbp_chroma:
                 cdc = desc.get("chroma_dc", ([0] * 4, [0] * 4))
                 for comp in range(2):
@@ -279,5 +311,8 @@ def islice_nal(mb_w: int, mb_h: int, qp: int, mb0) -> bytes:
     return _nal(w.getvalue(), 3, 5)
 
 
-def make_stream(mb_w: int, mb_h: int, qp: int, mb0) -> bytes:
-    return sps_nal(mb_w, mb_h) + pps_nal() + islice_nal(mb_w, mb_h, qp, mb0)
+def make_stream(mb_w: int, mb_h: int, qp: int, mb0,
+                transform_8x8: bool = False) -> bytes:
+    profile = 100 if transform_8x8 else 66
+    return (sps_nal(mb_w, mb_h, profile) + pps_nal(transform_8x8)
+            + islice_nal(mb_w, mb_h, qp, mb0, transform_8x8))

@@ -270,6 +270,84 @@ class TestX264B:
                     n=24, bframes=8)
 
 
+class TestCrafted8x8Probes:
+    """Hand-written High-profile 8x8-transform streams: these pinned the
+    8.5.13.1 dequant rounding (+2^(5-qp/6) >> (6-qp/6) below qp 36) and
+    the CAVLC sub-block interleave (coeff k of sub i at scan 4k+i)."""
+
+    def test_dc_scaling(self, tmp_path):
+        for qp in (0, 5, 23, 35, 36, 40, 51):
+            for c in (1, 2, -3, 7):
+                co = [0] * 64
+                co[0] = c
+                es = h264_gen.make_stream(2, 2, qp, {"luma8_blocks": {0: co}},
+                                          transform_8x8=True)
+                _assert_frames_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+
+    def test_all_scan_positions(self, tmp_path):
+        for qp in (10, 40):
+            for s in range(64):
+                co = [0] * 64
+                co[s] = 5
+                es = h264_gen.make_stream(2, 2, qp, {"luma8_blocks": {0: co}},
+                                          transform_8x8=True)
+                _assert_frames_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+
+    def test_multi_coeff_rounding_interaction(self, tmp_path):
+        # >>1 floors in the IDCT make multi-coefficient blocks order-sensitive
+        patterns = [{1: 7, 2: -5}, {1: 3, 8: 3, 9: 5}, {5: 9, 17: -7, 30: 3},
+                    {0: 4, 1: -1, 2: -1, 3: 1, 11: 2}]
+        for pat in patterns:
+            co = [0] * 64
+            for s, v in pat.items():
+                co[s] = v
+            es = h264_gen.make_stream(2, 2, 23, {"luma8_blocks": {0: co}},
+                                      transform_8x8=True)
+            _assert_frames_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+
+
+class TestX264Transform8x8:
+    """High profile 8x8 transform (CAVLC): intra 8x8 prediction with
+    reference filtering, inter transform_size_8x8_flag, 8x8 deblock bS."""
+
+    def test_intra(self, tmp_path):
+        frames = _motion_frames(3, (64, 64))
+        for qp in (8, 26, 44):
+            es = _x264_stream(64, 64, frames, f"keyint=1:cabac=0:8x8dct=1:qp={qp}")
+            _assert_frames_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+
+    def test_p_frames(self, tmp_path):
+        frames = _motion_frames(6, (64, 64))
+        es = _x264_stream(
+            64, 64, frames,
+            "cabac=0:8x8dct=1:bframes=0:keyint=50:weightp=0:ref=2:qp=28")
+        _assert_frames_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+
+    def test_qp_shift_boundary(self, tmp_path):
+        # dequant switches from rounding right-shift to left-shift at qp 36
+        frames = _motion_frames(6, (64, 64))
+        for qp in (35, 36):
+            es = _x264_stream(
+                64, 64, frames,
+                f"cabac=0:8x8dct=1:bframes=0:keyint=50:ref=2:qp={qp}")
+            _assert_frames_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+
+    def test_b_frames_qcif(self, tmp_path):
+        frames = _motion_frames(6, (176, 144))
+        es = _x264_stream(176, 144, frames,
+                          "cabac=0:8x8dct=1:keyint=50:ref=3:subme=7:crf=28",
+                          bframes=3)
+        _assert_frames_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+
+    def test_full_stress(self, tmp_path):
+        frames = _motion_frames(16, (64, 64))
+        es = _x264_stream(
+            64, 64, frames,
+            "cabac=0:8x8dct=1:keyint=8:ref=4:partitions=all:subme=9:crf=24",
+            bframes=4)
+        _assert_frames_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+
+
 class TestX264IntraDeblock:
     """All-intra with the in-loop deblocking filter active (8.7)."""
 
