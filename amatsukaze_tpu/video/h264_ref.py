@@ -1317,6 +1317,15 @@ class _Picture:
         self.mv = np.zeros((2, n4h, n4w, 2), np.int32)
         self.ref_id = np.full((2, n4h, n4w), -1, np.int64)
         self.ref_idx = np.full((2, n4h, n4w), -1, np.int32)
+        # CABAC context state (coded_block_flag neighbours, skip/direct,
+        # chroma mode, per-cell motion vector differences)
+        self.cbf_y = np.zeros((n4h, n4w), np.int8)
+        self.cbf_c = np.zeros((2, n4h // 2, n4w // 2), np.int8)
+        self.mb_skip = np.zeros((self.mb_h, self.mb_w), np.int8)
+        self.mb_chroma_mode = np.zeros((self.mb_h, self.mb_w), np.int8)
+        self.mb_bdirect = np.zeros((self.mb_h, self.mb_w), np.int8)
+        self.mvd = np.zeros((2, n4h, n4w, 2), np.int32)
+        self.cell_direct = np.zeros((n4h, n4w), np.int8)
         # display metadata
         self.poc = 0
         self.frame_num = 0
@@ -1661,8 +1670,6 @@ class H264RefDecoder:
     def _decode_slice(self, rbsp: bytes, h: SliceHeader, sps: SPS, pps: PPS) -> None:
         if h.slice_type not in (SLICE_I, SLICE_P, SLICE_B):
             raise NotImplementedError("SP/SI slices not supported")
-        if pps.entropy_coding_mode:
-            raise NotImplementedError("CABAC: next stage")
         if h.field_pic_flag:
             raise NotImplementedError("field pictures: next stage")
         if self._is_new_picture(h):
@@ -1675,6 +1682,26 @@ class H264RefDecoder:
             ctx.ref_l0 = self._build_ref_list_p(h, sps)
         elif h.slice_type == SLICE_B:
             ctx.ref_l0, ctx.ref_l1 = self._build_ref_lists_b(h, sps, pic.poc)
+        if pps.entropy_coding_mode:
+            from . import h264_cabac
+            cb = h264_cabac.CabacSlice(ctx, rbsp, h)
+            n_mbs = pic.mb_w * pic.mb_h
+            mb_idx = h.first_mb
+            while mb_idx < n_mbs:
+                mbx, mby = mb_idx % pic.mb_w, mb_idx // pic.mb_w
+                if (h.slice_type in (SLICE_P, SLICE_B)
+                        and cb.mb_skip_flag(mbx, mby)):
+                    ctx.decode_skip_mb(mb_idx)
+                    pic.mb_skip[mby, mbx] = 1
+                    if h.slice_type == SLICE_B:
+                        pic.mb_bdirect[mby, mbx] = 1
+                    cb.prev_qp_delta_nz = 0
+                else:
+                    ctx.decode_mb_cabac(cb, mb_idx)
+                mb_idx += 1
+                if cb.end_of_slice():
+                    break
+            return
         r = BitReader(rbsp, h.data_bit_pos)
         n_mbs = pic.mb_w * pic.mb_h
         mb_idx = h.first_mb
@@ -2079,6 +2106,444 @@ class _SliceCtx:
         # I-slice mb_type: 0 I_NxN, 1..24 I_16x16, 25 I_PCM
         self._decode_intra_mb(r, mbx, mby, mb_type)
 
+    # -- CABAC macroblock layer (entropy parse via h264_cabac.CabacSlice,
+    #    reconstruction shared with the CAVLC path) -------------------------
+
+    def decode_mb_cabac(self, cb, mb_idx: int) -> None:
+        pic = self.pic
+        mbx, mby = mb_idx % pic.mb_w, mb_idx // pic.mb_w
+        self._mark_mb(mbx, mby)
+        self._cur_mbx, self._cur_mby = mbx, mby
+        self._cur_z = 0
+        st = self.h.slice_type
+        if st == SLICE_P:
+            mb_type = cb.mb_type_p(mbx, mby)
+            if mb_type < 5:
+                self._decode_p_mb_cabac(cb, mbx, mby, mb_type)
+            else:
+                self._decode_intra_mb_cabac(cb, mbx, mby, mb_type - 5)
+        elif st == SLICE_B:
+            mb_type = cb.mb_type_b(mbx, mby)
+            if mb_type < 23:
+                self._decode_b_mb_cabac(cb, mbx, mby, mb_type)
+            else:
+                self._decode_intra_mb_cabac(cb, mbx, mby, mb_type - 23)
+        else:
+            mb_type = cb.mb_type_i(mbx, mby)
+            self._decode_intra_mb_cabac(cb, mbx, mby, mb_type)
+
+    def _decode_intra_mb_cabac(self, cb, mbx, mby, imb: int) -> None:
+        pic = self.pic
+        if imb == 25:
+            self._decode_ipcm_cabac(cb, mbx, mby)
+            return
+        if imb == 0:
+            tf8 = 0
+            if self.pps.transform_8x8_mode:
+                tf8 = cb.transform_size_8x8(mbx, mby)
+            if tf8:
+                self._decode_i8x8_cabac(cb, mbx, mby)
+            else:
+                self._decode_i4x4_cabac(cb, mbx, mby)
+            return
+        self._decode_i16_cabac(cb, mbx, mby, imb - 1)
+
+    def _decode_ipcm_cabac(self, cb, mbx, mby) -> None:
+        pic = self.pic
+        e = cb.e
+        if e.pos & 7:
+            e.pos += 8 - (e.pos & 7)
+        y0, x0 = mby * 16, mbx * 16
+        data = e.data
+        p = e.pos >> 3
+        for yy in range(16):
+            for xx in range(16):
+                pic.Y[y0 + yy, x0 + xx] = data[p]
+                p += 1
+        for plane in (pic.U, pic.V):
+            for yy in range(8):
+                for xx in range(8):
+                    plane[mby * 8 + yy, mbx * 8 + xx] = data[p]
+                    p += 1
+        e.pos = p << 3
+        # re-initialise the arithmetic engine (9.3.1.2)
+        e.range_ = 510
+        off = 0
+        for _ in range(9):
+            off = (off << 1) | e._bit()
+        e.offset = off
+        pic.mb_class[mby, mbx] = MB_IPCM
+        pic.nnz_y[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 16
+        pic.cbf_y[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 1
+        pic.nnz_c[:, mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
+        pic.cbf_c[:, mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 1
+        pic.mb_qp[mby, mbx] = 0
+        pic.mb_cbp[mby, mbx] = 0x2F
+        cb.prev_qp_delta_nz = 0
+
+    def _qp_delta_cabac(self, cb, mbx, mby, cbp: int, always: bool) -> None:
+        pic = self.pic
+        if cbp or always:
+            self.qp = (self.qp + cb.mb_qp_delta() + 52) % 52
+        else:
+            cb.prev_qp_delta_nz = 0
+        pic.mb_qp[mby, mbx] = self.qp
+        pic.mb_cbp[mby, mbx] = cbp
+
+    def _luma4_residual_cabac(self, cb, k: int, cat: int):
+        """Parse one luma 4x4 residual (cat 1 or 2) with cbf/nnz updates."""
+        pic = self.pic
+        x4, y4 = _Z_TO_XY[k]
+        gx = self._cur_mbx * 4 + x4
+        gy = self._cur_mby * 4 + y4
+        blk = cb.residual(cat, 15 if cat == 1 else 16, (gx, gy))
+        if blk is None:
+            pic.cbf_y[gy, gx] = 0
+            pic.nnz_y[gy, gx] = 0
+            return None
+        pic.cbf_y[gy, gx] = 1
+        pic.nnz_y[gy, gx] = sum(1 for c in blk if c)
+        return blk
+
+    def _decode_i4x4_cabac(self, cb, mbx, mby) -> None:
+        pic = self.pic
+        pic.mb_class[mby, mbx] = MB_I4
+        modes = [2] * 16
+        gx0, gy0 = mbx * 4, mby * 4
+        for k in range(16):
+            x4, y4 = _Z_TO_XY[k]
+            gx, gy = gx0 + x4, gy0 + y4
+            ma = self._i4_mode_at(gx - 1, gy, k, mbx, mby)
+            mb_ = self._i4_mode_at(gx, gy - 1, k, mbx, mby)
+            pred = 2 if (ma is None or mb_ is None) else min(ma, mb_)
+            mode = cb.intra_pred_mode(pred)
+            modes[k] = mode
+            pic.i4_modes[gy, gx] = mode
+        chroma_mode = cb.chroma_pred_mode(mbx, mby)
+        pic.mb_chroma_mode[mby, mbx] = chroma_mode
+        cbp = cb.cbp(mbx, mby)
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        self._qp_delta_cabac(cb, mbx, mby, cbp, False)
+        coeffs = [None] * 16
+        for k in range(16):
+            if cbp_luma & (1 << (k >> 2)):
+                coeffs[k] = self._luma4_residual_cabac(cb, k, 2)
+        for k in range(16):
+            self._recon_i4_block(mbx, mby, k, modes[k], coeffs[k])
+        self._decode_chroma_cabac(cb, mbx, mby, chroma_mode, cbp_chroma, True)
+
+    def _decode_i8x8_cabac(self, cb, mbx, mby) -> None:
+        pic = self.pic
+        pic.mb_class[mby, mbx] = MB_I8
+        pic.mb_tf8[mby, mbx] = 1
+        modes = [2] * 4
+        gx0, gy0 = mbx * 4, mby * 4
+        for b in range(4):
+            bx, by = (b & 1) * 2, (b >> 1) * 2
+            gx, gy = gx0 + bx, gy0 + by
+            z = _XY_TO_Z[(bx, by)]
+            ma = self._i4_mode_at(gx - 1, gy, z, mbx, mby)
+            mb_ = self._i4_mode_at(gx, gy - 1, z, mbx, mby)
+            pred = 2 if (ma is None or mb_ is None) else min(ma, mb_)
+            mode = cb.intra_pred_mode(pred)
+            modes[b] = mode
+            pic.i4_modes[gy : gy + 2, gx : gx + 2] = mode
+        chroma_mode = cb.chroma_pred_mode(mbx, mby)
+        pic.mb_chroma_mode[mby, mbx] = chroma_mode
+        cbp = cb.cbp(mbx, mby)
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        self._qp_delta_cabac(cb, mbx, mby, cbp, False)
+        coeffs = [None] * 4
+        for b in range(4):
+            bx, by = (b & 1) * 2, (b >> 1) * 2
+            if cbp_luma & (1 << b):
+                blk = cb.residual(5, 64)
+                coeffs[b] = blk
+                nz = sum(1 for c in blk if c)
+                pic.cbf_y[gy0 + by : gy0 + by + 2, gx0 + bx : gx0 + bx + 2] = 1
+                pic.nnz_y[gy0 + by : gy0 + by + 2, gx0 + bx : gx0 + bx + 2] = nz
+        for b in range(4):
+            self._recon_i8_block(mbx, mby, b, modes[b], coeffs[b])
+        self._decode_chroma_cabac(cb, mbx, mby, chroma_mode, cbp_chroma, True)
+
+    def _decode_i16_cabac(self, cb, mbx, mby, k: int) -> None:
+        pic = self.pic
+        pred_mode = k % 4
+        cbp_chroma = (k // 4) % 3
+        cbp_luma = 15 if k >= 12 else 0
+        pic.mb_class[mby, mbx] = MB_I16
+        chroma_mode = cb.chroma_pred_mode(mbx, mby)
+        pic.mb_chroma_mode[mby, mbx] = chroma_mode
+        self._qp_delta_cabac(cb, mbx, mby, cbp_luma | (cbp_chroma << 4), True)
+        dc = cb.residual(0, 16, None)
+        if dc is not None:
+            pic.mb_dc_flag[mby, mbx] |= 1
+        dc_scan = dc if dc is not None else [0] * 16
+        coeffs = [None] * 16
+        if cbp_luma:
+            for kk in range(16):
+                coeffs[kk] = self._luma4_residual_cabac(cb, kk, 1)
+        self._recon_i16(mbx, mby, pred_mode, dc_scan, coeffs)
+        self._decode_chroma_cabac(cb, mbx, mby, chroma_mode, cbp_chroma, True)
+
+    def _decode_chroma_cabac(self, cb, mbx, mby, chroma_mode, cbp_chroma,
+                             intra: bool) -> None:
+        pic = self.pic
+        dc_scan = [[0] * 4, [0] * 4]
+        coeffs = [[None] * 4 for _ in range(2)]
+        if cbp_chroma:
+            for comp in range(2):
+                blk = cb.residual(3, 4, comp)
+                if blk is not None:
+                    dc_scan[comp] = blk
+                    pic.mb_dc_flag[mby, mbx] |= 2 << comp
+        if cbp_chroma & 2:
+            for comp in range(2):
+                for b in range(4):
+                    cx = mbx * 2 + (b & 1)
+                    cy = mby * 2 + (b >> 1)
+                    blk = cb.residual(4, 15, (comp, cx, cy))
+                    coeffs[comp][b] = blk
+                    if blk is None:
+                        pic.cbf_c[comp, cy, cx] = 0
+                        pic.nnz_c[comp, cy, cx] = 0
+                    else:
+                        pic.cbf_c[comp, cy, cx] = 1
+                        pic.nnz_c[comp, cy, cx] = sum(1 for c in blk if c)
+        self._recon_chroma(mbx, mby, chroma_mode, dc_scan, coeffs, intra)
+
+    def _store_part_mvd(self, bx4, by4, w4, h4, l, mvdx, mvdy) -> None:
+        pic = self.pic
+        gx0 = self._cur_mbx * 4 + bx4
+        gy0 = self._cur_mby * 4 + by4
+        pic.mvd[l, gy0 : gy0 + h4, gx0 : gx0 + w4] = (mvdx, mvdy)
+
+    def _part_motion_cabac(self, cb, l, bx4, by4, w4, h4, ref_idx,
+                           kind="", part_i=0):
+        """Parse mvd (CABAC ctx uses stored neighbour mvds), derive and
+        store mv + mvd for one partition; returns the mv."""
+        self._cur_z = _XY_TO_Z[(bx4, by4)]
+        mvdx = cb.mvd(l, bx4, by4, 0)
+        mvdy = cb.mvd(l, bx4, by4, 1)
+        px, py = self._mv_pred(bx4, by4, w4, h4, ref_idx, kind, part_i, l)
+        mv = (px + mvdx, py + mvdy)
+        refs = (self.ref_l0, self.ref_l1)[l]
+        self._store_part_mv(bx4, by4, w4, h4, ref_idx, refs[ref_idx],
+                            mv[0], mv[1], l)
+        self._store_part_mvd(bx4, by4, w4, h4, l, mvdx, mvdy)
+        return mv
+
+    def _decode_p_mb_cabac(self, cb, mbx, mby, mb_type: int) -> None:
+        pic = self.pic
+        pic.mb_class[mby, mbx] = MB_P
+        n0 = self.h.num_ref_idx[0]
+        predY = np.empty((16, 16), np.int32)
+        predU = np.empty((8, 8), np.int32)
+        predV = np.empty((8, 8), np.int32)
+        gx0, gy0 = mbx * 4, mby * 4
+        if mb_type in (0, 1, 2):
+            kind, parts = self._P_PARTS[mb_type]
+            refs = []
+            for (bx4, by4, w4, h4) in parts:
+                self._cur_z = _XY_TO_Z[(bx4, by4)]
+                r = cb.ref_idx(0, bx4, by4) if n0 > 1 else 0
+                refs.append(r)
+                # earlier partitions' refs are visible to later ref ctx
+                pic.ref_idx[0, gy0 + by4 : gy0 + by4 + h4,
+                            gx0 + bx4 : gx0 + bx4 + w4] = r
+            for i, (bx4, by4, w4, h4) in enumerate(parts):
+                mv = self._part_motion_cabac(cb, 0, bx4, by4, w4, h4,
+                                             refs[i], kind, i)
+                self._mc_part(predY, predU, predV, bx4, by4, w4, h4,
+                              refs[i], mv[0], mv[1])
+            sub_types = None
+        else:
+            sub_types = [cb.sub_mb_type_p() for _ in range(4)]
+            refs = [0, 0, 0, 0]
+            for b in range(4):
+                bx0, by0 = (b & 1) * 2, (b >> 1) * 2
+                if mb_type == 3 and n0 > 1:
+                    self._cur_z = _XY_TO_Z[(bx0, by0)]
+                    refs[b] = cb.ref_idx(0, bx0, by0)
+                pic.ref_idx[0, gy0 + by0 : gy0 + by0 + 2,
+                            gx0 + bx0 : gx0 + bx0 + 2] = refs[b]
+            for b in range(4):
+                bx0, by0 = (b & 1) * 2, (b >> 1) * 2
+                for (sx, sy, w4, h4) in self._SUB_PARTS[sub_types[b]]:
+                    bx4, by4 = bx0 + sx, by0 + sy
+                    mv = self._part_motion_cabac(cb, 0, bx4, by4, w4, h4,
+                                                 refs[b])
+                    self._mc_part(predY, predU, predV, bx4, by4, w4, h4,
+                                  refs[b], mv[0], mv[1])
+        self._cur_z = 16
+        tf8_ok = mb_type in (0, 1, 2) or all(st == 0 for st in sub_types)
+        self._inter_residual_cabac(cb, mbx, mby, predY, predU, predV, tf8_ok)
+
+    def _decode_b_mb_cabac(self, cb, mbx, mby, mb_type: int) -> None:
+        pic = self.pic
+        self._direct_cache = None
+        pic.mb_class[mby, mbx] = MB_B
+        n_act = self.h.num_ref_idx
+        predY = np.empty((16, 16), np.int32)
+        predU = np.empty((8, 8), np.int32)
+        predV = np.empty((8, 8), np.int32)
+        if mb_type == 0:  # B_Direct_16x16
+            pic.mb_bdirect[mby, mbx] = 1
+            for b in range(4):
+                self._decode_direct_8x8(b, predY, predU, predV)
+            self._cur_z = 16
+            self._inter_residual_cabac(cb, mbx, mby, predY, predU, predV,
+                                       bool(self.sps.direct_8x8_inference))
+            return
+        tf8_ok = True
+        if mb_type < 22:
+            kind, preds = self._B_TYPES[mb_type]
+            parts = self._PART_GEOM[kind]
+            np_ = len(parts)
+            refs = [[-1] * np_, [-1] * np_]
+            gx0, gy0 = mbx * 4, mby * 4
+            for l in (0, 1):
+                for i, pm in enumerate(preds):
+                    if pm == 2 or pm == l:
+                        bx4, by4, w4, h4 = parts[i]
+                        self._cur_z = _XY_TO_Z[(bx4, by4)]
+                        r = (cb.ref_idx(l, bx4, by4)
+                             if n_act[l] > 1 else 0)
+                        refs[l][i] = r
+                        pic.ref_idx[l, gy0 + by4 : gy0 + by4 + h4,
+                                    gx0 + bx4 : gx0 + bx4 + w4] = r
+            mvs = [[None] * np_, [None] * np_]
+            for l in (0, 1):
+                for i, (bx4, by4, w4, h4) in enumerate(parts):
+                    if refs[l][i] < 0:
+                        continue
+                    mvs[l][i] = self._part_motion_cabac(
+                        cb, l, bx4, by4, w4, h4, refs[l][i], kind, i)
+            for i, (bx4, by4, w4, h4) in enumerate(parts):
+                p0 = (self._fetch_pred(0, refs[0][i], bx4, by4, w4, h4,
+                                       *mvs[0][i]) if refs[0][i] >= 0 else None)
+                p1 = (self._fetch_pred(1, refs[1][i], bx4, by4, w4, h4,
+                                       *mvs[1][i]) if refs[1][i] >= 0 else None)
+                self._combine_store(predY, predU, predV, bx4, by4, w4, h4,
+                                    p0, p1, refs[0][i], refs[1][i])
+        else:  # B_8x8
+            sub_types = [cb.sub_mb_type_b() for _ in range(4)]
+            if any(st > 12 for st in sub_types):
+                raise EOFError_(f"bad B sub_mb_type {sub_types}")
+            for b in range(4):
+                if self._B_SUB[sub_types[b]][0] == -1:
+                    self._cur_z = _XY_TO_Z[((b & 1) * 2, (b >> 1) * 2)]
+                    self._decode_direct_8x8(b, predY, predU, predV)
+            refs = [[-1] * 4, [-1] * 4]
+            gx0, gy0 = mbx * 4, mby * 4
+            for l in (0, 1):
+                for b in range(4):
+                    pm = self._B_SUB[sub_types[b]][0]
+                    if pm == 2 or pm == l:
+                        bx0, by0 = (b & 1) * 2, (b >> 1) * 2
+                        self._cur_z = _XY_TO_Z[(bx0, by0)]
+                        r = (cb.ref_idx(l, bx0, by0)
+                             if n_act[l] > 1 else 0)
+                        refs[l][b] = r
+                        pic.ref_idx[l, gy0 + by0 : gy0 + by0 + 2,
+                                    gx0 + bx0 : gx0 + bx0 + 2] = r
+            submvs = {}
+            for l in (0, 1):
+                for b in range(4):
+                    pm, sparts = self._B_SUB[sub_types[b]]
+                    if pm == -1 or not (pm == 2 or pm == l):
+                        continue
+                    for sp in sparts:
+                        sx, sy, w4, h4 = sp
+                        bx4, by4 = (b & 1) * 2 + sx, (b >> 1) * 2 + sy
+                        submvs[(l, b, sp)] = self._part_motion_cabac(
+                            cb, l, bx4, by4, w4, h4, refs[l][b])
+            for b in range(4):
+                pm, sparts = self._B_SUB[sub_types[b]]
+                if pm == -1:
+                    continue
+                for sp in sparts:
+                    sx, sy, w4, h4 = sp
+                    bx4, by4 = (b & 1) * 2 + sx, (b >> 1) * 2 + sy
+                    p0 = p1 = None
+                    if refs[0][b] >= 0:
+                        p0 = self._fetch_pred(0, refs[0][b], bx4, by4, w4, h4,
+                                              *submvs[(0, b, sp)])
+                    if refs[1][b] >= 0:
+                        p1 = self._fetch_pred(1, refs[1][b], bx4, by4, w4, h4,
+                                              *submvs[(1, b, sp)])
+                    self._combine_store(predY, predU, predV, bx4, by4, w4, h4,
+                                        p0, p1, refs[0][b], refs[1][b])
+            tf8_ok = all(
+                (st == 0 and self.sps.direct_8x8_inference) or st in (1, 2, 3)
+                for st in sub_types)
+        self._cur_z = 16
+        self._inter_residual_cabac(cb, mbx, mby, predY, predU, predV, tf8_ok)
+
+    def _inter_residual_cabac(self, cb, mbx, mby, predY, predU, predV,
+                              tf8_ok: bool) -> None:
+        pic = self.pic
+        cbp = cb.cbp(mbx, mby)
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        tf8 = 0
+        if cbp_luma and tf8_ok and self.pps.transform_8x8_mode:
+            tf8 = cb.transform_size_8x8(mbx, mby)
+        pic.mb_tf8[mby, mbx] = tf8
+        self._qp_delta_cabac(cb, mbx, mby, cbp, False)
+        gx0, gy0 = mbx * 4, mby * 4
+        Y = pic.Y
+        if tf8:
+            for b in range(4):
+                bx, by = (b & 1) * 2, (b >> 1) * 2
+                px, py = mbx * 16 + bx * 4, mby * 16 + by * 4
+                if not (cbp_luma & (1 << b)):
+                    for yy in range(8):
+                        Y[py + yy, px : px + 8] = predY[by * 4 + yy,
+                                                        bx * 4 : bx * 4 + 8]
+                    continue
+                scan64 = cb.residual(5, 64)
+                nz = sum(1 for c in scan64 if c)
+                pic.cbf_y[gy0 + by : gy0 + by + 2, gx0 + bx : gx0 + bx + 2] = 1
+                pic.nnz_y[gy0 + by : gy0 + by + 2, gx0 + bx : gx0 + bx + 2] = nz
+                res = self._residual8x8(scan64, self.qp, 1)
+                for yy in range(8):
+                    row = Y[py + yy]
+                    base = 8 * yy
+                    for xx in range(8):
+                        row[px + xx] = _clip1(
+                            int(predY[by * 4 + yy, bx * 4 + xx])
+                            + res[base + xx])
+            self._pred_chroma = (predU, predV)
+            self._decode_chroma_cabac(cb, mbx, mby, 0, cbp_chroma, False)
+            return
+        dq = self._dq4(self.qp, 3)
+        for k in range(16):
+            x4, y4 = _Z_TO_XY[k]
+            px, py = mbx * 16 + x4 * 4, mby * 16 + y4 * 4
+            blk = None
+            if cbp_luma & (1 << (k >> 2)):
+                blk = self._luma4_residual_cabac(cb, k, 2)
+            if blk is None:
+                for yy in range(4):
+                    Y[py + yy, px : px + 4] = predY[y4 * 4 + yy,
+                                                    x4 * 4 : x4 * 4 + 4]
+                continue
+            d = [0] * 16
+            for s in range(16):
+                c = blk[s]
+                if c:
+                    pos = ZIGZAG_4x4[s]
+                    d[pos] = c * dq[pos]
+            res = _idct4x4(d)
+            for yy in range(4):
+                row = Y[py + yy]
+                base = 4 * yy
+                for xx in range(4):
+                    row[px + xx] = _clip1(
+                        int(predY[y4 * 4 + yy, x4 * 4 + xx]) + res[base + xx])
+        self._pred_chroma = (predU, predV)
+        self._decode_chroma_cabac(cb, mbx, mby, 0, cbp_chroma, False)
+
     def _decode_intra_mb(self, r: BitReader, mbx: int, mby: int,
                          imb: int) -> None:
         pic = self.pic
@@ -2335,7 +2800,15 @@ class _SliceCtx:
                 blk, tc = _cavlc_block(r, ncb, 15)
                 coeffs[kk] = blk
                 pic.nnz_y[gy, gx] = tc
-        # reconstruct
+        self._recon_i16(mbx, mby, pred_mode, dc_scan, coeffs)
+        self._decode_chroma_cavlc(r, mbx, mby, chroma_mode, cbp_chroma,
+                                  intra=True)
+
+    def _recon_i16(self, mbx: int, mby: int, pred_mode: int,
+                   dc_scan, coeffs) -> None:
+        """Intra_16x16 luma reconstruction from parsed DC (scan order) and
+        AC blocks (15-coeff scan order or None)."""
+        pic = self.pic
         avail_l = self._mb_avail_intra(mbx - 1, mby)
         avail_t = self._mb_avail_intra(mbx, mby - 1)
         avail_tl = self._mb_avail_intra(mbx - 1, mby - 1)
@@ -2371,8 +2844,6 @@ class _SliceCtx:
                 base = 4 * yy
                 for xx in range(4):
                     row[bx + xx] = _clip1(int(prow[bx - px + xx]) + res[base + xx])
-        self._decode_chroma_cavlc(r, mbx, mby, chroma_mode, cbp_chroma,
-                                  intra=True)
 
     def _decode_chroma_cavlc(self, r: BitReader, mbx: int, mby: int,
                              chroma_mode: int, cbp_chroma: int,
@@ -2396,7 +2867,12 @@ class _SliceCtx:
                     blk, tc = _cavlc_block(r, nc, 15)
                     coeffs[comp][b] = blk
                     pic.nnz_c[comp, cy, cx] = tc
-        # reconstruct both chroma components
+        self._recon_chroma(mbx, mby, chroma_mode, dc_scan, coeffs, intra)
+
+    def _recon_chroma(self, mbx: int, mby: int, chroma_mode: int,
+                      dc_scan, coeffs, intra: bool) -> None:
+        """Chroma reconstruction from parsed DC (2x2 scan) and AC blocks."""
+        pic, pps = self.pic, self.pps
         avail_l = self._mb_avail_intra(mbx - 1, mby)
         avail_t = self._mb_avail_intra(mbx, mby - 1)
         avail_tl = self._mb_avail_intra(mbx - 1, mby - 1)
@@ -2902,6 +3378,9 @@ class _SliceCtx:
         """Derive, store and motion-compensate one direct 8x8 block."""
         (r0, mv0), (r1, mv1) = self._direct_mvs_8x8(b)
         bx4, by4 = (b & 1) * 2, (b >> 1) * 2
+        gx0 = self._cur_mbx * 4 + bx4
+        gy0 = self._cur_mby * 4 + by4
+        self.pic.cell_direct[gy0 : gy0 + 2, gx0 : gx0 + 2] = 1
         if r0 >= 0:
             self._store_part_mv(bx4, by4, 2, 2, r0, self.ref_l0[r0],
                                 mv0[0], mv0[1], 0)

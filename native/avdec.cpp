@@ -125,6 +125,12 @@ void* AvDec_Open(const char* path) {
   // stay single-threaded here.
   d->dec->thread_count = 1;
   d->dec->export_side_data |= AV_CODEC_EXPORT_DATA_VIDEO_ENC_PARAMS;
+  if (const char* dbg = getenv("AMATSUKAZE_AVDEBUG")) {
+    // diagnostic: libavcodec's own per-MB dumps (mb_type/qp) as ground
+    // truth when cross-validating the in-build decoders
+    d->dec->debug = atoi(dbg);
+    av_log_set_level(AV_LOG_DEBUG);
+  }
   if (avcodec_open2(d->dec, codec, nullptr) < 0) {
     avcodec_free_context(&d->dec);
     avformat_close_input(&d->fmt);

@@ -348,6 +348,124 @@ class TestX264Transform8x8:
         _assert_frames_equal(_ff_decode(es, tmp_path), _ref_decode(es))
 
 
+class TestCraftedCabac:
+    """Hand-written CABAC streams (tests/h264_gen.py CabacWriter): the
+    writer mirrors the decoder's context choices, so libavcodec arbitrates
+    both at once.  These probes pinned the 8x8 last-coefficient ctx table,
+    the P mb_type binarization, and the partition-ref ctx visibility."""
+
+    def test_i8_cat5_positions(self, tmp_path):
+        # every 8x8 scan position exercises SIG/LAST ctx tables
+        for s in (0, 5, 15, 16, 23, 24, 31, 32, 47, 48, 55, 60, 62):
+            co = [0] * 64
+            co[s] = 5
+            es = h264_gen.make_cabac_stream(23, {0: co})
+            _assert_frames_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+
+    def test_i8_levels(self, tmp_path):
+        for co_d in ({0: 1}, {0: 2}, {0: 20}, {0: 3, 3: -2, 10: -1, 21: -1},
+                     {0: 1, 1: -1, 2: 1, 3: -1, 4: 1}):
+            co = [0] * 64
+            for s, v in co_d.items():
+                co[s] = v
+            es = h264_gen.make_cabac_stream(23, {0: co})
+            _assert_frames_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+
+    def test_i8_rem_modes(self, tmp_path):
+        for mode_b3 in (0, 1, 4, 6, 8):
+            es = h264_gen.make_cabac_stream(
+                23, {0: [40, 9, -7] + [0] * 61, 3: [11, 5] + [0] * 62},
+                modes=[2, 2, 2, mode_b3])
+            _assert_frames_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+
+    def test_p_mb_types(self, tmp_path):
+        blk = [5, 0, -3, 1] + [0] * 12
+        b8 = [0] * 64
+        b8[0], b8[20] = 5, -3
+        es = h264_gen.cabac_pslice_stream(26, {
+            0: {"type": 0, "mvds": [(1, 1)]},
+            1: {"type": 1, "mvds": [(0, 0), (2, -3)]},
+            5: {"type": 2, "mvds": [(1, 2), (0, 1)], "blocks": {0: blk}},
+            6: {"type": 3, "sub": [0, 0, 0, 0], "mvds": [(0, 0)] * 4,
+                "blocks8": {1: b8}},
+            10: {"type": 0, "mvds": [(2, 2)], "blocks8": {0: b8}},
+            11: {"type": 3, "sub": [1, 2, 3, 0],
+                 "mvds": [(1, 0), (1, 1), (2, 1), (0, 1), (-1, 3), (1, 1),
+                          (-2, 0), (1, -1), (0, 0)]},
+        })
+        _assert_frames_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+
+    def test_p_ref_ctx_visibility(self, tmp_path):
+        # partition refs visible to later partitions' ref ctx in-MB
+        es = h264_gen.cabac_pslice_stream(
+            26, {5: {"type": 1, "refs": [1, 0], "mvds": [(0, 0), (0, 0)]},
+                 6: {"type": 3, "sub": [0, 1, 2, 3], "refs": [1, 0, 1, 1],
+                     "mvds": [(1, 0), (1, 1), (2, 1), (0, 1), (-1, 3),
+                              (1, 1), (-2, 0), (1, -1), (0, 0)]}},
+            num_ref=2, n_lead_p=1)
+        _assert_frames_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+
+    def test_big_mvd_ueg3(self, tmp_path):
+        es = h264_gen.cabac_pslice_stream(
+            26, {5: {"type": 0, "mvds": [(45, -77)]}})
+        _assert_frames_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+
+
+class TestX264Cabac:
+    """libx264 CABAC streams across the whole feature surface."""
+
+    def _check(self, tmp_path, params, n=6, size=(64, 64), bframes=0,
+               fade=False):
+        frames = _motion_frames(n, size, fade=fade)
+        es = _x264_stream(size[0], size[1], frames, params, bframes=bframes)
+        _assert_frames_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+
+    def test_intra(self, tmp_path):
+        for qp in (6, 26, 45):
+            self._check(tmp_path, f"keyint=1:cabac=1:8x8dct=1:qp={qp}", n=3)
+
+    def test_p(self, tmp_path):
+        self._check(tmp_path,
+                    "cabac=1:8x8dct=1:bframes=0:keyint=50:weightp=0:ref=3:qp=26")
+
+    def test_p_all_partitions(self, tmp_path):
+        self._check(tmp_path, "cabac=1:8x8dct=1:bframes=0:keyint=50:ref=4:"
+                    "partitions=all:subme=9:me=umh:qp=24", n=10)
+
+    def test_p_weightp_fade(self, tmp_path):
+        self._check(tmp_path, "cabac=1:8x8dct=1:bframes=0:keyint=50:"
+                    "weightp=2:ref=3:crf=26", fade=True, n=8)
+
+    def test_b_full(self, tmp_path):
+        self._check(tmp_path, "cabac=1:8x8dct=1:keyint=50:ref=4:"
+                    "partitions=all:subme=9:b-pyramid=normal:b-adapt=2:crf=24",
+                    bframes=5, n=16)
+
+    def test_b_temporal_direct(self, tmp_path):
+        self._check(tmp_path,
+                    "cabac=1:8x8dct=1:keyint=50:ref=3:direct=temporal:crf=26",
+                    bframes=3, n=10)
+
+    def test_qcif_long(self, tmp_path):
+        self._check(tmp_path, "cabac=1:8x8dct=1:keyint=12:ref=4:subme=7:crf=27",
+                    size=(176, 144), bframes=3, n=20)
+
+    def test_qp_extremes(self, tmp_path):
+        self._check(tmp_path, "cabac=1:8x8dct=1:keyint=50:ref=2:qp=48",
+                    bframes=2)
+        self._check(tmp_path, "cabac=1:8x8dct=1:keyint=50:ref=2:qp=4",
+                    bframes=2, n=4)
+
+    def test_multi_slice(self, tmp_path):
+        self._check(tmp_path,
+                    "cabac=1:8x8dct=1:keyint=50:ref=2:slices=4:crf=28",
+                    size=(96, 96), bframes=2)
+
+    def test_trellis(self, tmp_path):
+        self._check(tmp_path, "cabac=1:8x8dct=1:keyint=50:ref=3:trellis=2:crf=23",
+                    bframes=3, n=10)
+
+
 class TestX264IntraDeblock:
     """All-intra with the in-loop deblocking filter active (8.7)."""
 
