@@ -396,7 +396,7 @@ def parse_pps(rbsp: bytes, sps_map: dict[int, SPS]) -> PPS:
     if _more_rbsp_data(r):
         p.transform_8x8_mode = r.read(1)
         if r.read(1):  # pic_scaling_matrix_present
-            n = 6 + ((2 if (sps and sps.chroma_format_idc == 3) else 1)
+            n = 6 + ((6 if (sps and sps.chroma_format_idc == 3) else 2)
                      * p.transform_8x8_mode)
             sps_mat = sps.scaling_matrix if sps is not None else None
 
@@ -684,13 +684,20 @@ _FLAT64 = (16,) * 64
 
 
 def _dequant4_tab(qp: int, weight_raster) -> tuple:
-    """Per-raster-position multiplier for a 4x4 residual block at qp:
-    (W(i,j) * normAdjust(qp%6, i, j)) << (qp/6) >> 4."""
-    m, s = qp % 6, qp // 6
-    na = _NORM_ADJUST_4x4[m]
-    return tuple(
-        (weight_raster[k] * na[_POS_CLASS_4x4[k]] << s) >> 4 for k in range(16)
-    )
+    """LevelScale4x4 = W(i,j) * normAdjust(qp%6, i, j) per raster position;
+    the qp-dependent shift (with low-qp rounding) is applied per
+    coefficient by _dequant4_apply.  For the flat weight 16 this is
+    bit-identical to a plain (LS << qp/6) >> 4."""
+    na = _NORM_ADJUST_4x4[qp % 6]
+    return tuple(weight_raster[k] * na[_POS_CLASS_4x4[k]] for k in range(16))
+
+
+def _dequant4_apply(c: int, ls: int, qp: int) -> int:
+    """8.5.12.1: left-shift above qp 24, rounded right-shift below (the
+    rounding only shows with non-flat scaling matrices)."""
+    if qp >= 24:
+        return (c * ls) << (qp // 6 - 4)
+    return (c * ls + (1 << (3 - qp // 6))) >> (4 - qp // 6)
 
 
 def _idct4x4(d):
@@ -2533,7 +2540,7 @@ class _SliceCtx:
                 c = blk[s]
                 if c:
                     pos = ZIGZAG_4x4[s]
-                    d[pos] = c * dq[pos]
+                    d[pos] = _dequant4_apply(c, dq[pos], self.qp)
             res = _idct4x4(d)
             for yy in range(4):
                 row = Y[py + yy]
@@ -2764,7 +2771,7 @@ class _SliceCtx:
             c = coeffs[s]
             if c:
                 pos = ZIGZAG_4x4[s]
-                d[pos] = c * dq[pos]
+                d[pos] = _dequant4_apply(c, dq[pos], self.qp)
         res = _idct4x4(d)
         for yy in range(4):
             row = Y[py + yy]
@@ -2834,7 +2841,7 @@ class _SliceCtx:
                     c = blk[s]
                     if c:
                         pos = ZIGZAG_4x4[s + 1]
-                        d[pos] = c * dq[pos]
+                        d[pos] = _dequant4_apply(c, dq[pos], self.qp)
             d[0] = dc[4 * y4 + x4]
             res = _idct4x4(d)
             bx, by = px + 4 * x4, py + 4 * y4
@@ -2908,7 +2915,7 @@ class _SliceCtx:
                         c = blk[s]
                         if c:
                             pos = ZIGZAG_4x4[s + 1]
-                            d[pos] = c * dq[pos]
+                            d[pos] = _dequant4_apply(c, dq[pos], qp)
                 d[0] = dc[b]
                 if any(d):
                     res = _idct4x4(d)
@@ -3245,7 +3252,7 @@ class _SliceCtx:
                 c = blk[s]
                 if c:
                     pos = ZIGZAG_4x4[s]
-                    d[pos] = c * dq[pos]
+                    d[pos] = _dequant4_apply(c, dq[pos], self.qp)
             res = _idct4x4(d)
             for yy in range(4):
                 row = Y[py + yy]

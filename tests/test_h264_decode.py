@@ -466,6 +466,27 @@ class TestX264Cabac:
                     bframes=3, n=10)
 
 
+class TestScalingMatrices:
+    """Custom quantisation matrices (cqm=jvt): PPS scaling-list parse and
+    the low-qp rounded dequant that only shows with non-flat weights."""
+
+    def _check(self, tmp_path, params, n=6, bframes=2):
+        frames = _motion_frames(n, (64, 64))
+        es = _x264_stream(64, 64, frames, params, bframes=bframes)
+        _assert_frames_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+
+    def test_intra(self, tmp_path):
+        for qp in (10, 26):
+            self._check(tmp_path, f"keyint=1:cabac=1:8x8dct=1:cqm=jvt:qp={qp}",
+                        n=3)
+
+    def test_cavlc_ip(self, tmp_path):
+        self._check(tmp_path, "cabac=0:8x8dct=1:keyint=50:ref=2:cqm=jvt:crf=26")
+
+    def test_cabac_b(self, tmp_path):
+        self._check(tmp_path, "cabac=1:8x8dct=1:keyint=50:ref=3:cqm=jvt:crf=24")
+
+
 class TestX264IntraDeblock:
     """All-intra with the in-loop deblocking filter active (8.7)."""
 
