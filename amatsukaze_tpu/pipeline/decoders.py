@@ -34,27 +34,33 @@ def auto_decoder_factory(pipeline, video_index: int):
                               VideoStreamFormat.UNKNOWN)
     conf = pipeline.settings.conf
     choice = conf.mpeg2_decoder if is_mpeg2 else conf.h264_decoder
-    if choice == "native" and is_mpeg2:
-        return mpeg2_decoder_factory(pipeline, video_index)
+    if choice == "native":
+        if is_mpeg2:
+            return mpeg2_decoder_factory(pipeline, video_index)
+        if fmt.format == VideoStreamFormat.H264:
+            return h264ref_decoder_factory(pipeline, video_index)
     if choice == "ffmpeg":
         return ffmpeg_decoder_factory(pipeline, video_index)
     if choice == "avlib":
         return avlib_decoder_factory(pipeline, video_index)
     if choice == "cv2":
         return cv2_decoder_factory(pipeline, video_index)
-    # default: ffmpeg binary > in-build MPEG2 > in-process libav > cv2
+    # default: ffmpeg binary > in-build MPEG2 > in-process libav > cv2 >
+    # in-build H.264 (pure Python, last resort for zero-binary setups)
     if shutil.which("ffmpeg"):
         return ffmpeg_decoder_factory(pipeline, video_index)
     if is_mpeg2:
         return mpeg2_decoder_factory(pipeline, video_index)
     if avlib_available():  # H.264/H.265: system libavcodec in-process
         return avlib_decoder_factory(pipeline, video_index)
-    if cv2_available():  # last resort: OpenCV's bundled FFmpeg (BGR trip)
+    if cv2_available():  # OpenCV's bundled FFmpeg (BGR trip)
         return cv2_decoder_factory(pipeline, video_index)
+    if fmt.format == VideoStreamFormat.H264:
+        return h264ref_decoder_factory(pipeline, video_index)
     raise RuntimeError(
         f"no decoder available for {fmt.format.name} video "
-        "(no ffmpeg binary, libav bridge, or cv2; the in-build decoder "
-        "handles MPEG2)")
+        "(no ffmpeg binary, libav bridge, or cv2; the in-build decoders "
+        "handle MPEG2 and H.264)")
 
 
 def avlib_available() -> bool:
@@ -76,6 +82,47 @@ def mpeg2_decoder_factory(pipeline, video_index: int):
     """Decode the PS intermediate with the in-build MPEG-2 decoder."""
     path = pipeline.settings.int_video_file_path(video_index)
     return decode_mpeg2_ps_file(path)
+
+
+def h264ref_decoder_factory(pipeline, video_index: int):
+    """Decode the PS intermediate with the in-build H.264 decoder
+    (video/h264_ref.py — pure Python, bit-exact vs libavcodec; slow,
+    the zero-binary fallback)."""
+    path = pipeline.settings.int_video_file_path(video_index)
+    return decode_h264_ps_file(path)
+
+
+def decode_h264_ps_file(path: str, is_ps: bool = True):
+    """Stream (Y, U, V) frames from a PS/Annex-B file through the
+    in-build H.264 decoder, feeding whole NALs per block."""
+    from ..ts.qp_extract import extract_ps_video_es
+    from ..video.h264_ref import H264RefDecoder
+
+    dec = H264RefDecoder()
+    ps_pend = b""
+    pend = b""
+    with open(path, "rb") as f:
+        while True:
+            block = f.read(1 << 20)
+            if not block:
+                break
+            if is_ps:
+                ps_pend += block
+                es, used = extract_ps_video_es(ps_pend, return_consumed=True)
+                ps_pend = ps_pend[used:]
+            else:
+                es = block
+            pend += es
+            # feed up to the last complete NAL (keep the open tail)
+            cut = pend.rfind(b"\x00\x00\x01")
+            if cut > 0:
+                for fr in dec.decode(pend[:cut]):
+                    yield fr[0], fr[1], fr[2]
+                pend = pend[cut:]
+    if is_ps and ps_pend:
+        pend += extract_ps_video_es(ps_pend)
+    for fr in dec.decode(pend) + dec.flush():
+        yield fr[0], fr[1], fr[2]
 
 
 def cv2_available() -> bool:

@@ -262,3 +262,48 @@ class TestH264QpMaps:
         report = pipe.run()
         data = open(report["outfiles"][0]["path"], "rb").read()
         assert data.count(b"FRAME\n") >= n - 1
+
+
+class TestInbuildH264Decoder:
+    def test_native_h264_decode_in_pipeline(self, tmp_path):
+        """conf.h264_decoder = 'native' routes the PS intermediate through
+        the in-build pure-Python H.264 decoder (video/h264_ref.py); output
+        pixels are bit-identical to the libav-bridge decode."""
+        _bridge_or_skip()
+        from amatsukaze_tpu.pipeline.decoders import default_decoder_factory
+        from amatsukaze_tpu.pipeline.settings import Config, Settings
+        from amatsukaze_tpu.pipeline.transcode import TranscodePipeline
+        from amatsukaze_tpu.utils.context import AMTContext
+
+        W, H, n = 96, 64, 12
+        frames = E.synth_frames(W, H, n)
+        aus = _encode_h264(frames, W, H)
+        src = tmp_path / "h264.ts"
+        src.write_bytes(ts_gen.build_simple_ts(
+            width=W, height=H, video_es_frames=aus,
+            video_stream_type=0x1B))
+        fake = tmp_path / "fake_x264"
+        fake.write_text(
+            '#!/bin/bash\nout=""\nwhile [ $# -gt 0 ]; do case "$1" in '
+            '-o) out="$2"; shift 2;; *) shift;; esac; done\ncat > "$out"\n')
+        fake.chmod(fake.stat().st_mode | stat.S_IEXEC)
+
+        outs = {}
+        for mode, sub in (("avlib", "a"), ("native", "b")):
+            wd = tmp_path / sub
+            wd.mkdir()
+            conf = Config()
+            conf.src_file_path = str(src)
+            conf.out_video_path = str(wd / "out")
+            conf.out_info_json_path = str(wd / "r.json")
+            conf.work_dir = str(wd)
+            conf.encoder_path = str(fake)
+            conf.h264_decoder = mode
+            conf.no_remove_tmp = True
+            ctx = AMTContext(level="error")
+            pipe = TranscodePipeline(ctx, Settings(ctx, conf),
+                                     decoder_factory=default_decoder_factory())
+            report = pipe.run()
+            outs[mode] = open(report["outfiles"][0]["path"], "rb").read()
+        assert outs["avlib"] == outs["native"]
+        assert outs["native"].count(b"FRAME\n") >= n - 1
