@@ -85,20 +85,35 @@ def mpeg2_decoder_factory(pipeline, video_index: int):
 
 
 def h264ref_decoder_factory(pipeline, video_index: int):
-    """Decode the PS intermediate with the in-build H.264 decoder
-    (video/h264_ref.py — pure Python, bit-exact vs libavcodec; slow,
-    the zero-binary fallback)."""
+    """Decode the PS intermediate with the in-build H.264 decoder:
+    the native C++ engine (native/h264dec.cpp) when the library is
+    built, else the pure-Python oracle (video/h264_ref.py) — both
+    bit-exact vs libavcodec (tests/test_h264_decode.py,
+    test_h264_native.py)."""
     path = pipeline.settings.int_video_file_path(video_index)
     return decode_h264_ps_file(path)
+
+
+def _open_h264_inbuild():
+    """Native engine when available, else the Python oracle."""
+    try:
+        from ..video.native import NativeH264Decoder, h264_native_available
+
+        if h264_native_available():
+            return NativeH264Decoder()
+    except Exception:
+        pass
+    from ..video.h264_ref import H264RefDecoder
+
+    return H264RefDecoder()
 
 
 def decode_h264_ps_file(path: str, is_ps: bool = True):
     """Stream (Y, U, V) frames from a PS/Annex-B file through the
     in-build H.264 decoder, feeding whole NALs per block."""
     from ..ts.qp_extract import extract_ps_video_es
-    from ..video.h264_ref import H264RefDecoder
 
-    dec = H264RefDecoder()
+    dec = _open_h264_inbuild()
     ps_pend = b""
     pend = b""
     with open(path, "rb") as f:

@@ -115,3 +115,91 @@ def decode_es_native(es: bytes) -> list[DecodedFrame]:
         out.extend(dec.decode_picture(chunk))
     out.extend(dec.flush())
     return out
+
+
+# ---------------------------------------------------------------------------
+# H.264: native C++ engine (native/h264dec.cpp), bit-exact twin of the
+# pure-Python oracle (video/h264_ref.py H264RefDecoder).
+# ---------------------------------------------------------------------------
+
+_h264_sigs_done = False
+
+
+def _bind_h264(lib) -> None:
+    global _h264_sigs_done
+    if _h264_sigs_done:
+        return
+    lib.H264_Create.restype = ctypes.c_void_p
+    lib.H264_Destroy.argtypes = [ctypes.c_void_p]
+    lib.H264_Decode.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                ctypes.c_longlong]
+    lib.H264_Decode.restype = ctypes.c_int
+    lib.H264_Flush.argtypes = [ctypes.c_void_p]
+    lib.H264_Flush.restype = ctypes.c_int
+    lib.H264_NextInfo.argtypes = [ctypes.c_void_p,
+                                  ctypes.POINTER(ctypes.c_int)]
+    lib.H264_NextInfo.restype = ctypes.c_int
+    lib.H264_PopFrame.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                  ctypes.c_void_p, ctypes.c_void_p]
+    lib.H264_PopFrame.restype = ctypes.c_int
+    lib.H264_Errors.argtypes = [ctypes.c_void_p]
+    lib.H264_Errors.restype = ctypes.c_longlong
+    _h264_sigs_done = True
+
+
+def h264_native_available() -> bool:
+    lib = load_native()
+    return lib is not None and hasattr(lib, "H264_Create")
+
+
+class NativeH264Decoder:
+    """Streaming Annex B H.264 decoder backed by the C++ engine.
+
+    Same contract as the oracle (video/h264_ref.py H264RefDecoder):
+    decode() takes whole NALs (cut the buffer at the last start code)
+    and returns (Y, U, V, poc) frames in display order; flush() drains.
+    """
+
+    def __init__(self):
+        lib = load_native()
+        if lib is None or not hasattr(lib, "H264_Create"):
+            raise RuntimeError("native H.264 decoder unavailable")
+        _bind_h264(lib)
+        self._lib = lib
+        self._h = lib.H264_Create()
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.H264_Destroy(h)
+            self._h = None
+
+    @property
+    def errors(self) -> int:
+        return int(self._lib.H264_Errors(self._h))
+
+    def _drain(self) -> list[tuple]:
+        out = []
+        info = (ctypes.c_int * 4)()
+        while self._lib.H264_NextInfo(self._h, info):
+            w, h = info[0], info[1]
+            y = np.empty((h, w), np.uint8)
+            u = np.empty((h // 2, w // 2), np.uint8)
+            v = np.empty((h // 2, w // 2), np.uint8)
+            ok = self._lib.H264_PopFrame(
+                self._h, y.ctypes.data_as(ctypes.c_void_p),
+                u.ctypes.data_as(ctypes.c_void_p),
+                v.ctypes.data_as(ctypes.c_void_p))
+            if not ok:
+                break
+            out.append((y, u, v, info[2]))
+        return out
+
+    def decode(self, es: bytes) -> list[tuple]:
+        b = bytes(es)
+        self._lib.H264_Decode(self._h, b, len(b))
+        return self._drain()
+
+    def flush(self) -> list[tuple]:
+        self._lib.H264_Flush(self._h)
+        return self._drain()
