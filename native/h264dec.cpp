@@ -1260,13 +1260,40 @@ static void mc_luma(const uint8_t* refY, int W, int H, int x0, int y0, int w,
                     int h, int mvx, int mvy, int* out) {
   int fx = mvx & 3, fy = mvy & 3;
   int ix = x0 + (mvx >> 2), iy = y0 + (mvy >> 2);
+  bool interior = ix >= 2 && iy >= 2 && ix + w + 3 <= W && iy + h + 3 <= H;
+  if (fx == 0 && fy == 0 && interior) {
+    for (int y = 0; y < h; ++y) {
+      const uint8_t* row = refY + (size_t)(iy + y) * W + ix;
+      for (int x = 0; x < w; ++x) out[y * w + x] = row[x];
+    }
+    return;
+  }
   int eh = h + 5, ew = w + 5;
+  // each case reads only a sub-range of the padded block:
+  // fy==0 -> rows 2..h+1 only; fx==0 -> cols 2..w+1 only
+  int r0 = 0, r1 = eh, c0 = 0, c1 = ew;
+  if (fy == 0) {
+    r0 = 2;
+    r1 = 2 + h;
+  }
+  if (fx == 0) {
+    c0 = 2;
+    c1 = 2 + w;
+  }
   int ext[21 * 21];
-  for (int r = 0; r < eh; ++r) {
-    int sy = clamp_i(iy - 2 + r, 0, H - 1);
-    const uint8_t* row = refY + (size_t)sy * W;
-    for (int c = 0; c < ew; ++c)
-      ext[r * ew + c] = row[clamp_i(ix - 2 + c, 0, W - 1)];
+  if (interior) {
+    for (int r = r0; r < r1; ++r) {
+      const uint8_t* row = refY + (size_t)(iy - 2 + r) * W + (ix - 2);
+      int* dst = ext + r * ew;
+      for (int c = c0; c < c1; ++c) dst[c] = row[c];
+    }
+  } else {
+    for (int r = r0; r < r1; ++r) {
+      int sy = clamp_i(iy - 2 + r, 0, H - 1);
+      const uint8_t* row = refY + (size_t)sy * W;
+      for (int c = c0; c < c1; ++c)
+        ext[r * ew + c] = row[clamp_i(ix - 2 + c, 0, W - 1)];
+    }
   }
   auto E = [&](int r, int c) { return ext[r * ew + c]; };
   if (fx == 0 && fy == 0) {
@@ -1363,11 +1390,19 @@ static void mc_chroma(const uint8_t* refC, int W, int H, int cx0, int cy0,
   int dx = mvx & 7, dy = mvy & 7;
   int ix = cx0 + (mvx >> 3), iy = cy0 + (mvy >> 3);
   int A[9 * 9];
-  for (int r = 0; r <= h; ++r) {
-    int sy = clamp_i(iy + r, 0, H - 1);
-    const uint8_t* row = refC + (size_t)sy * W;
-    for (int c = 0; c <= w; ++c)
-      A[r * (w + 1) + c] = row[clamp_i(ix + c, 0, W - 1)];
+  if (ix >= 0 && iy >= 0 && ix + w + 1 <= W && iy + h + 1 <= H) {
+    for (int r = 0; r <= h; ++r) {
+      const uint8_t* row = refC + (size_t)(iy + r) * W + ix;
+      int* dst = A + r * (w + 1);
+      for (int c = 0; c <= w; ++c) dst[c] = row[c];
+    }
+  } else {
+    for (int r = 0; r <= h; ++r) {
+      int sy = clamp_i(iy + r, 0, H - 1);
+      const uint8_t* row = refC + (size_t)sy * W;
+      for (int c = 0; c <= w; ++c)
+        A[r * (w + 1) + c] = row[clamp_i(ix + c, 0, W - 1)];
+    }
   }
   for (int y = 0; y < h; ++y)
     for (int x = 0; x < w; ++x)
@@ -1480,19 +1515,22 @@ typedef std::shared_ptr<Picture> PicPtr;
 static int bs_mv(const Picture& pic, int gxp, int gyp, int gxq, int gyq) {
   int upr[2], upx[2], upy[2], nup = 0;
   int uqr[2], uqx[2], uqy[2], nuq = 0;
+  size_t plane = (size_t)pic.n4h * pic.n4w;
+  size_t ip = pic.c4(gxp, gyp), iq = pic.c4(gxq, gyq);
   for (int l = 0; l < 2; ++l) {
-    int rp = pic.ref_id[pic.mvix(l, gyp, gxp)];
+    size_t ixp = l * plane + ip, ixq = l * plane + iq;
+    int rp = pic.ref_id[ixp];
     if (rp >= 0) {
       upr[nup] = rp;
-      upx[nup] = pic.mv[2 * pic.mvix(l, gyp, gxp)];
-      upy[nup] = pic.mv[2 * pic.mvix(l, gyp, gxp) + 1];
+      upx[nup] = pic.mv[2 * ixp];
+      upy[nup] = pic.mv[2 * ixp + 1];
       ++nup;
     }
-    int rq = pic.ref_id[pic.mvix(l, gyq, gxq)];
+    int rq = pic.ref_id[ixq];
     if (rq >= 0) {
       uqr[nuq] = rq;
-      uqx[nuq] = pic.mv[2 * pic.mvix(l, gyq, gxq)];
-      uqy[nuq] = pic.mv[2 * pic.mvix(l, gyq, gxq) + 1];
+      uqx[nuq] = pic.mv[2 * ixq];
+      uqy[nuq] = pic.mv[2 * ixq + 1];
       ++nuq;
     }
   }
@@ -1533,23 +1571,61 @@ static int nnz_for_bs(const Picture& pic, int gx, int gy) {
   return pic.nnz_y[pic.c4(gx, gy)];
 }
 
-static int bs_for(const Picture& pic, int gxp, int gyp, int gxq, int gyq,
-                  bool mb_edge) {
+// Per-picture precompute of nnz_for_bs over every 4x4 cell, built once
+// before deblocking (values identical to per-call nnz_for_bs; the
+// whole-picture pass replaces ~64 branchy lookups per MB).
+static void build_bs_nnz(const Picture& pic, std::vector<uint8_t>& out) {
+  out.assign((size_t)pic.n4h * pic.n4w, 0);
+  for (int mby = 0; mby < pic.mb_h; ++mby)
+    for (int mbx = 0; mbx < pic.mb_w; ++mbx) {
+      bool tf8 = pic.mb_tf8[pic.mbi(mbx, mby)] != 0;
+      for (int y = 0; y < 4; ++y)
+        for (int x = 0; x < 4; ++x) {
+          int gx = mbx * 4 + x, gy = mby * 4 + y;
+          int v;
+          if (tf8) {
+            int x0 = gx & ~1, y0 = gy & ~1;
+            v = pic.nnz_y[pic.c4(x0, y0)] + pic.nnz_y[pic.c4(x0 + 1, y0)] +
+                pic.nnz_y[pic.c4(x0, y0 + 1)] +
+                pic.nnz_y[pic.c4(x0 + 1, y0 + 1)];
+          } else {
+            v = pic.nnz_y[pic.c4(gx, gy)];
+          }
+          out[pic.c4(gx, gy)] = (uint8_t)(v ? 1 : 0);
+        }
+    }
+}
+
+static int bs_for(const Picture& pic, const uint8_t* bs_nnz, int gxp, int gyp,
+                  int gxq, int gyq, bool mb_edge) {
   int pmbx = gxp >> 2, pmby = gyp >> 2;
   int qmbx = gxq >> 2, qmby = gyq >> 2;
   if (pic.is_intra_mb(pmbx, pmby) || pic.is_intra_mb(qmbx, qmby))
     return mb_edge ? 4 : 3;
-  if (nnz_for_bs(pic, gxp, gyp) || nnz_for_bs(pic, gxq, gyq)) return 2;
+  if (bs_nnz[pic.c4(gxp, gyp)] || bs_nnz[pic.c4(gxq, gyq)]) return 2;
+  // fast path: bit-identical per-list motion on both sides -> bS 0
+  // (pairwise-equal predictions always pass 8.7.2.1's checks)
+  {
+    size_t plane = (size_t)pic.n4h * pic.n4w;
+    size_t ip = pic.c4(gxp, gyp), iq = pic.c4(gxq, gyq);
+    if (pic.ref_id[ip] == pic.ref_id[iq] &&
+        pic.ref_id[plane + ip] == pic.ref_id[plane + iq]) {
+      const int16_t* mp = &pic.mv[2 * ip];
+      const int16_t* mq = &pic.mv[2 * iq];
+      if (mp[0] == mq[0] && mp[1] == mq[1] &&
+          pic.mv[2 * (plane + ip)] == pic.mv[2 * (plane + iq)] &&
+          pic.mv[2 * (plane + ip) + 1] == pic.mv[2 * (plane + iq) + 1])
+        return 0;
+    }
+  }
   return bs_mv(pic, gxp, gyp, gxq, gyq);
 }
 
 // filter one sample line across an edge (h264_ref.py:1811-1862)
-static void deblock_line(uint8_t* plane, int stride, int y, int x, int dy,
-                         int dx, int bs, int alpha, int beta, int tc0,
-                         bool luma) {
-  auto S = [&](int k) -> uint8_t& {
-    return plane[(size_t)(y + k * dy) * stride + (x + k * dx)];
-  };
+// q0 at `p`; samples at p + k*step (p side negative k)
+static void deblock_line_p(uint8_t* p, int step, int bs, int alpha, int beta,
+                           int tc0, bool luma) {
+  auto S = [&](int k) -> uint8_t& { return p[k * step]; };
   int p0 = S(-1), p1 = S(-2), p2 = S(-3);
   int q0 = S(0), q1 = S(1), q2 = S(2);
   if (std::abs(p0 - q0) >= alpha || std::abs(p1 - p0) >= beta ||
@@ -1599,7 +1675,8 @@ static void deblock_line(uint8_t* plane, int stride, int y, int x, int dy,
   }
 }
 
-static void deblock_mb(Picture& pic, int mbx, int mby) {
+static void deblock_mb(Picture& pic, const uint8_t* bs_nnz, int mbx,
+                       int mby) {
   // h264_ref.py:1882-1950
   size_t mi = pic.mbi(mbx, mby);
   int aoff = pic.mb_alpha_off[mi];
@@ -1646,7 +1723,7 @@ static void deblock_mb(Picture& pic, int mbx, int mby) {
           gxp = gxq;
           gyp = gyq - 1;
         }
-        segs_bs[seg] = bs_for(pic, gxp, gyp, gxq, gyq, e == 0);
+        segs_bs[seg] = bs_for(pic, bs_nnz, gxp, gyp, gxq, gyq, e == 0);
         segs_qpp[seg] = pic.mb_qp[pic.mbi(gxp >> 2, gyp >> 2)];
         segs_qpq[seg] = pic.mb_qp[pic.mbi(gxq >> 2, gyq >> 2)];
       }
@@ -1656,14 +1733,16 @@ static void deblock_mb(Picture& pic, int mbx, int mby) {
         int alpha, beta, tc0;
         thresholds(segs_qpp[seg], segs_qpq[seg], bs, -1, &alpha, &beta, &tc0);
         if (alpha == 0 || beta == 0) continue;
-        for (int i = 0; i < 4; ++i) {
-          if (vertical)
-            deblock_line(pic.Y.data(), pic.w, mby * 16 + seg * 4 + i,
-                         mbx * 16 + e * 4, 0, 1, bs, alpha, beta, tc0, true);
-          else
-            deblock_line(pic.Y.data(), pic.w, mby * 16 + e * 4,
-                         mbx * 16 + seg * 4 + i, 1, 0, bs, alpha, beta, tc0,
-                         true);
+        if (vertical) {
+          uint8_t* p = pic.Y.data() +
+                       (size_t)(mby * 16 + seg * 4) * pic.w + mbx * 16 + e * 4;
+          for (int i = 0; i < 4; ++i, p += pic.w)
+            deblock_line_p(p, 1, bs, alpha, beta, tc0, true);
+        } else {
+          uint8_t* p = pic.Y.data() +
+                       (size_t)(mby * 16 + e * 4) * pic.w + mbx * 16 + seg * 4;
+          for (int i = 0; i < 4; ++i, ++p)
+            deblock_line_p(p, pic.w, bs, alpha, beta, tc0, true);
         }
       }
       if (e == 0 || e == 2) {
@@ -1676,15 +1755,16 @@ static void deblock_mb(Picture& pic, int mbx, int mby) {
             thresholds(segs_qpp[seg], segs_qpq[seg], bs, comp, &alpha, &beta,
                        &tc0);
             if (alpha == 0 || beta == 0) continue;
-            for (int i = 0; i < 2; ++i) {
-              if (vertical)
-                deblock_line(plane, pic.cw, mby * 8 + seg * 2 + i,
-                             mbx * 8 + e * 2, 0, 1, bs, alpha, beta, tc0,
-                             false);
-              else
-                deblock_line(plane, pic.cw, mby * 8 + e * 2,
-                             mbx * 8 + seg * 2 + i, 1, 0, bs, alpha, beta, tc0,
-                             false);
+            if (vertical) {
+              uint8_t* p = plane + (size_t)(mby * 8 + seg * 2) * pic.cw +
+                           mbx * 8 + e * 2;
+              for (int i = 0; i < 2; ++i, p += pic.cw)
+                deblock_line_p(p, 1, bs, alpha, beta, tc0, false);
+            } else {
+              uint8_t* p = plane + (size_t)(mby * 8 + e * 2) * pic.cw +
+                           mbx * 8 + seg * 2;
+              for (int i = 0; i < 2; ++i, ++p)
+                deblock_line_p(p, pic.cw, bs, alpha, beta, tc0, false);
             }
           }
         }
@@ -1694,12 +1774,14 @@ static void deblock_mb(Picture& pic, int mbx, int mby) {
 }
 
 static void deblock_picture(Picture& pic) {
+  std::vector<uint8_t> bs_nnz;
+  build_bs_nnz(pic, bs_nnz);
   for (int mby = 0; mby < pic.mb_h; ++mby)
     for (int mbx = 0; mbx < pic.mb_w; ++mbx) {
       size_t mi = pic.mbi(mbx, mby);
       if (pic.mb_slice[mi] < 0) continue;
       if (pic.mb_disable[mi] == 1) continue;
-      deblock_mb(pic, mbx, mby);
+      deblock_mb(pic, bs_nnz.data(), mbx, mby);
     }
 }
 
@@ -3122,6 +3204,59 @@ struct SliceCtx {
                   h1 ? &p1 : nullptr, refs[0], refs[1]);
   }
 
+  // all-direct MB (B_Skip / B_Direct_16x16): derive + store the four 8x8
+  // direct motions exactly as four decode_direct_8x8 calls would, but run
+  // ONE 16x16 MC when the derived motion is uniform (identical result --
+  // the interpolation of any output pixel depends only on its own
+  // neighbourhood; most B skip MBs hit this)
+  void decode_direct_mb(int* predY, int* predU, int* predV) {
+    int refs[4][2], mvs[4][2][2];
+    for (int b = 0; b < 4; ++b) direct_mvs_8x8(b, refs[b], mvs[b]);
+    for (int b = 0; b < 4; ++b) {
+      int bx4 = (b & 1) * 2, by4 = (b >> 1) * 2;
+      int gx0 = cur_mbx * 4 + bx4, gy0 = cur_mby * 4 + by4;
+      for (int y = 0; y < 2; ++y)
+        for (int x = 0; x < 2; ++x)
+          pic->cell_direct[pic->c4(gx0 + x, gy0 + y)] = 1;
+      if (refs[b][0] >= 0)
+        store_part_mv(bx4, by4, 2, 2, refs[b][0], ref_l0[refs[b][0]],
+                      mvs[b][0][0], mvs[b][0][1], 0);
+      if (refs[b][1] >= 0)
+        store_part_mv(bx4, by4, 2, 2, refs[b][1], ref_l1[refs[b][1]],
+                      mvs[b][1][0], mvs[b][1][1], 1);
+    }
+    bool uniform = true;
+    for (int b = 1; b < 4; ++b)
+      for (int l = 0; l < 2; ++l)
+        uniform &= refs[b][l] == refs[0][l] &&
+                   mvs[b][l][0] == mvs[0][l][0] &&
+                   mvs[b][l][1] == mvs[0][l][1];
+    if (uniform) {
+      PredBlk p0, p1;
+      bool h0 = refs[0][0] >= 0, h1 = refs[0][1] >= 0;
+      if (h0)
+        fetch_pred(0, refs[0][0], 0, 0, 4, 4, mvs[0][0][0], mvs[0][0][1], p0);
+      if (h1)
+        fetch_pred(1, refs[0][1], 0, 0, 4, 4, mvs[0][1][0], mvs[0][1][1], p1);
+      combine_store(predY, predU, predV, 0, 0, 4, 4, h0 ? &p0 : nullptr,
+                    h1 ? &p1 : nullptr, refs[0][0], refs[0][1]);
+      return;
+    }
+    for (int b = 0; b < 4; ++b) {
+      int bx4 = (b & 1) * 2, by4 = (b >> 1) * 2;
+      PredBlk p0, p1;
+      bool h0 = refs[b][0] >= 0, h1 = refs[b][1] >= 0;
+      if (h0)
+        fetch_pred(0, refs[b][0], bx4, by4, 2, 2, mvs[b][0][0], mvs[b][0][1],
+                   p0);
+      if (h1)
+        fetch_pred(1, refs[b][1], bx4, by4, 2, 2, mvs[b][1][0], mvs[b][1][1],
+                   p1);
+      combine_store(predY, predU, predV, bx4, by4, 2, 2, h0 ? &p0 : nullptr,
+                    h1 ? &p1 : nullptr, refs[b][0], refs[b][1]);
+    }
+  }
+
   void decode_b_skip(int mb_idx) {
     // h264_ref.py:3404-3420
     int mbx = mb_idx % pic->mb_w, mby = mb_idx / pic->mb_w;
@@ -3135,7 +3270,7 @@ struct SliceCtx {
     pic->mb_qp[mi] = (int8_t)qp;
     pic->mb_cbp[mi] = 0;
     int predY[256], predU[64], predV[64];
-    for (int b = 0; b < 4; ++b) decode_direct_8x8(b, predY, predU, predV);
+    decode_direct_mb(predY, predU, predV);
     store_mb_planes(mbx, mby, predY, predU, predV);
   }
 
@@ -3149,7 +3284,7 @@ struct SliceCtx {
     const int* n_act = h->num_ref_idx;
     int predY[256], predU[64], predV[64];
     if (mb_type == 0) {  // B_Direct_16x16
-      for (int b = 0; b < 4; ++b) decode_direct_8x8(b, predY, predU, predV);
+      decode_direct_mb(predY, predU, predV);
       cur_z = 16;
       inter_residual(r, mbx, mby, predY, predU, predV,
                      sps->direct_8x8_inference != 0);
@@ -4049,7 +4184,7 @@ void SliceCtx::decode_b_mb_cabac(CabacSlice& cb, int mbx, int mby,
   int predY[256], predU[64], predV[64];
   if (mb_type == 0) {  // B_Direct_16x16
     pic->mb_bdirect[pic->mbi(mbx, mby)] = 1;
-    for (int b = 0; b < 4; ++b) decode_direct_8x8(b, predY, predU, predV);
+    decode_direct_mb(predY, predU, predV);
     cur_z = 16;
     inter_residual_cabac(cb, mbx, mby, predY, predU, predV,
                          sps->direct_8x8_inference != 0);
