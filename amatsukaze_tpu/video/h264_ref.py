@@ -1678,11 +1678,26 @@ class H264RefDecoder:
         if h.slice_type not in (SLICE_I, SLICE_P, SLICE_B):
             raise NotImplementedError("SP/SI slices not supported")
         if h.field_pic_flag:
-            raise NotImplementedError("field pictures: next stage")
+            raise NotImplementedError("PAFF field pictures not supported")
         if self._is_new_picture(h):
             self._start_picture(h, sps, pps)
         self.cur_hdr = h
         self._slice_counter += 1
+        if sps.mb_adaptive_frame_field:
+            from . import h264_mbaff
+
+            sl = h264_mbaff.MbaffSlice(self, self.cur, h, sps, pps,
+                                       self._slice_counter)
+            if h.slice_type == SLICE_P:
+                sl.ref_l0 = self._build_ref_list_p(h, sps)
+            elif h.slice_type == SLICE_B:
+                sl.ref_l0, sl.ref_l1 = self._build_ref_lists_b(
+                    h, sps, self.cur.poc)
+            if pps.entropy_coding_mode:
+                sl.decode_cabac(rbsp)
+            else:
+                sl.decode_cavlc(BitReader(rbsp, h.data_bit_pos))
+            return
         pic = self.cur
         ctx = _SliceCtx(pic, h, sps, pps, self._slice_counter)
         if h.slice_type == SLICE_P:
@@ -1736,6 +1751,11 @@ class H264RefDecoder:
     # -- deblocking (8.7) --------------------------------------------------
 
     def _deblock_picture(self, pic: _Picture) -> None:
+        if getattr(pic, "mbaff", None) is not None:
+            from . import h264_mbaff
+
+            h264_mbaff.deblock_picture_mbaff(pic)
+            return
         for mby in range(pic.mb_h):
             for mbx in range(pic.mb_w):
                 if pic.mb_slice[mby, mbx] < 0:

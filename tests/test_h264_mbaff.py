@@ -1,0 +1,123 @@
+"""MBAFF (interlaced) H.264 decoding vs libavcodec (bit-exact).
+
+x264's interlaced mode emits MBAFF frames; libavcodec arbitrates every
+stage of video/h264_mbaff.py, on content engineered to produce pure
+frame-pair, pure field-pair, and MIXED frame/field-pair pictures (the
+mixed case exercises the 6.4.10 cross-interleave neighbour derivation).
+"""
+
+import numpy as np
+import pytest
+
+from amatsukaze_tpu.video import h264_ref as HR
+from amatsukaze_tpu.video.avdec import avdec_available
+
+from test_h264_decode import (_ff_decode, _motion_frames, _ref_decode,
+                              _smooth_frames, _x264_stream)
+
+pytestmark = pytest.mark.skipif(
+    not avdec_available(), reason="FFmpeg bridge unavailable")
+
+
+def interlaced_frames(n, size):
+    """Weave fields from consecutive motion phases: true comb structure
+    (x264 codes these pairs as field)."""
+    src = _motion_frames(2 * n, size)
+    out = []
+    for i in range(n):
+        (y0, u0, v0), (y1, u1, v1) = src[2 * i], src[2 * i + 1]
+        y = y0.copy()
+        y[1::2] = y1[1::2]
+        u = u0.copy()
+        u[1::2] = u1[1::2]
+        v = v0.copy()
+        v[1::2] = v1[1::2]
+        out.append((y, u, v))
+    return out
+
+
+def mixed_frames(n, size):
+    """Left half static progressive (frame pairs), right half combed
+    motion (field pairs) -> pictures with both pair types."""
+    w, h = size
+    mv = interlaced_frames(n, size)
+    stat = _smooth_frames(w, h, 1, seed=42)[0]
+    out = []
+    for y, u, v in mv:
+        y = y.copy()
+        u = u.copy()
+        v = v.copy()
+        y[:, : w // 2] = stat[0][:, : w // 2]
+        u[:, : w // 4] = stat[1][:, : w // 4]
+        v[:, : w // 4] = stat[2][:, : w // 4]
+        out.append((y, u, v))
+    return out
+
+
+def _assert_equal(ff, rf):
+    assert len(ff) == len(rf)
+    for i, (a, b) in enumerate(zip(ff, rf)):
+        for name, p, q in zip("YUV", a[:3], b[:3]):
+            assert np.array_equal(p, q), (
+                f"frame {i} plane {name}: "
+                f"{np.count_nonzero(p.astype(int) != q.astype(int))} diffs")
+
+
+def _field_pair_stats(es):
+    dec = HR.H264RefDecoder()
+    dec.decode(es)
+    dec.flush()
+    tot = fld = 0
+    for pic in dec._out + dec.dpb:
+        stt = getattr(pic, "mbaff", None)
+        if stt is None:
+            continue
+        tot += stt.n_pairs
+        fld += int(stt.field_flag.sum())
+    return fld, tot
+
+
+def _check(es, tmp_path, want_field=None, want_frame=None):
+    _assert_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+    fld, tot = _field_pair_stats(es)
+    if want_field:
+        assert fld > 0, "stream has no field pairs"
+    if want_frame:
+        assert fld < tot, "stream has no frame pairs"
+
+
+class TestMbaffIntra:
+    def test_frame_pairs(self, tmp_path):
+        frames = _smooth_frames(64, 64, 4)
+        es = _x264_stream(
+            64, 64, frames,
+            "keyint=1:cabac=0:8x8dct=0:no-deblock=1:interlaced=1:tff=1:qp=26")
+        _check(es, tmp_path)
+
+    def test_field_pairs(self, tmp_path):
+        frames = interlaced_frames(4, (96, 96))
+        es = _x264_stream(
+            96, 96, frames,
+            "keyint=1:cabac=0:8x8dct=0:no-deblock=1:interlaced=1:tff=1:qp=26")
+        _check(es, tmp_path, want_field=True)
+
+    def test_mixed_pairs(self, tmp_path):
+        frames = mixed_frames(4, (128, 96))
+        es = _x264_stream(
+            128, 96, frames,
+            "keyint=1:cabac=0:8x8dct=0:no-deblock=1:interlaced=1:tff=1:qp=30")
+        _check(es, tmp_path, want_field=True, want_frame=True)
+
+    def test_mixed_8x8(self, tmp_path):
+        frames = mixed_frames(4, (128, 96))
+        es = _x264_stream(
+            128, 96, frames,
+            "keyint=1:cabac=0:8x8dct=1:no-deblock=1:interlaced=1:tff=1:crf=30")
+        _check(es, tmp_path, want_field=True, want_frame=True)
+
+    def test_low_qp(self, tmp_path):
+        frames = interlaced_frames(3, (64, 64))
+        es = _x264_stream(
+            64, 64, frames,
+            "keyint=1:cabac=0:8x8dct=1:no-deblock=1:interlaced=1:tff=1:qp=8")
+        _check(es, tmp_path, want_field=True)
