@@ -723,17 +723,487 @@ class MbaffSlice:
                 if not HR._more_rbsp_data(r):
                     break
             return
-        raise NotImplementedError("MBAFF P/B slices: next stage")
+        # P slice (7.3.4 with MbaffFrameFlag): pairwise skip handling —
+        # the pair's field flag is read at the first coded MB of the pair
+        # (or inferred when both MBs are skipped, 7.4.4)
+        addr = h.first_mb * 2
+        more = True
+        pending_top = None  # top MB of current pair skipped, flag unknown
+        while more and addr < n_mbs:
+            skip_run = r.ue()
+            for _ in range(skip_run):
+                if addr >= n_mbs:
+                    break
+                if (addr & 1) == 0:
+                    pending_top = addr
+                else:
+                    if pending_top is not None:
+                        st.field_flag[addr >> 1] = self.infer_field_flag(
+                            addr >> 1)
+                        self.decode_skip_mb(pending_top)
+                        pending_top = None
+                    self.decode_skip_mb(addr)
+                addr += 1
+            more = HR._more_rbsp_data(r)
+            if more and addr < n_mbs:
+                if (addr & 1) == 0:
+                    st.field_flag[addr >> 1] = r.read(1)
+                elif pending_top is not None:
+                    st.field_flag[addr >> 1] = r.read(1)
+                if pending_top is not None:
+                    self.decode_skip_mb(pending_top)
+                    pending_top = None
+                self._mark_mb(addr)
+                self.cur_addr = addr
+                self.cur_z = 0
+                mb_type = r.ue()
+                if h.slice_type == HR.SLICE_P:
+                    if mb_type < 5:
+                        self._decode_p_mb(r, addr, mb_type)
+                    else:
+                        self.decode_intra_mb_cavlc(r, addr, mb_type - 5)
+                else:
+                    if mb_type < 23:
+                        self._decode_b_mb(r, addr, mb_type)
+                    else:
+                        self.decode_intra_mb_cavlc(r, addr, mb_type - 23)
+                addr += 1
+                more = HR._more_rbsp_data(r)
+        if pending_top is not None:
+            st.field_flag[pending_top >> 1] = self.infer_field_flag(
+                pending_top >> 1)
+            self.decode_skip_mb(pending_top)
 
     def decode_cabac(self, rbsp: bytes) -> None:
         raise NotImplementedError("MBAFF CABAC: next stage")
+
+    # -- inter: field reference resolution (8.4.2.1) ------------------------
+
+    def _field_ref(self, l: int, ref_idx: int, addr: int):
+        """Resolve a field-MB reference index: (frame pic, parity)."""
+        frm = (self.ref_l0 if l == 0 else self.ref_l1)[ref_idx >> 1]
+        cur_parity = addr & 1
+        parity = cur_parity if (ref_idx & 1) == 0 else 1 - cur_parity
+        return frm, parity
+
+    def _ref_identity(self, l: int, ref_idx: int, addr: int) -> int:
+        """Per-cell reference identity for deblock bS (distinguishes
+        fields; frame references use a disjoint code)."""
+        if self.st.is_field(addr):
+            frm, parity = self._field_ref(l, ref_idx, addr)
+            return 4 * frm.pic_id + parity
+        frm = (self.ref_l0 if l == 0 else self.ref_l1)[ref_idx]
+        return 4 * frm.pic_id + 3
+
+    # -- neighbour motion with cross-interleave scaling (8.4.1.3.1) --------
+
+    def _mv_nbr(self, addr: int, xN: int, yN: int, l: int):
+        """(avail, refIdx, mvx, mvy) of the list-l motion at local
+        (xN, yN), scaled into the CURRENT MB's frame/field units:
+        neighbour field -> current frame: ref >>= 1, mvy *= 2;
+        neighbour frame -> current field: ref *= 2, mvy /= 2 (truncating,
+        matching the spec's '/' and libavcodec MAP_F2F)."""
+        r = self._nbr(addr, xN, yN, False)
+        if r is None:
+            return (False, -1, 0, 0)
+        addrN, xW, yW = r
+        st = self.st
+        if addrN == addr and HR._XY_TO_Z[(xW >> 2, yW >> 2)] >= self.cur_z:
+            return (False, -1, 0, 0)
+        cell = 4 * (yW >> 2) + (xW >> 2)
+        ref = int(st.ref_idx[addrN, l, cell])
+        mvx = int(st.mv[addrN, l, cell, 0])
+        mvy = int(st.mv[addrN, l, cell, 1])
+        nf = st.is_field(addrN)
+        cf = st.is_field(addr)
+        if nf and not cf:
+            if ref >= 0:
+                ref >>= 1
+            mvy *= 2
+        elif cf and not nf:
+            if ref >= 0:
+                ref *= 2
+            mvy = int(mvy / 2) if mvy >= 0 else -((-mvy) // 2)
+        return (True, ref, mvx, mvy)
+
+    def _mv_pred(self, addr: int, bx4: int, by4: int, w4: int, h4: int,
+                 ref_idx: int, part_kind: str = "", part_i: int = 0,
+                 l: int = 0):
+        """Median/directional MV prediction (8.4.1.3 with MBAFF
+        neighbours; mirrors h264_ref._mv_pred)."""
+        xN0, yN0 = 4 * bx4, 4 * by4
+        A = self._mv_nbr(addr, xN0 - 1, yN0, l)
+        B = self._mv_nbr(addr, xN0, yN0 - 1, l)
+        C = self._mv_nbr(addr, xN0 + 4 * w4, yN0 - 1, l)
+        if not C[0]:
+            C = self._mv_nbr(addr, xN0 - 1, yN0 - 1, l)
+        ra, rb, rc = A[1], B[1], C[1]
+        if part_kind == "16x8":
+            if part_i == 0 and rb == ref_idx:
+                return (B[2], B[3])
+            if part_i == 1 and ra == ref_idx:
+                return (A[2], A[3])
+        elif part_kind == "8x16":
+            if part_i == 0 and ra == ref_idx:
+                return (A[2], A[3])
+            if part_i == 1 and rc == ref_idx:
+                return (C[2], C[3])
+        match_a = ra == ref_idx
+        match_b = rb == ref_idx
+        match_c = rc == ref_idx
+        if match_a and not match_b and not match_c:
+            return (A[2], A[3])
+        if match_b and not match_a and not match_c:
+            return (B[2], B[3])
+        if match_c and not match_a and not match_b:
+            return (C[2], C[3])
+        if not B[0] and not C[0]:
+            return (A[2], A[3])
+        return (HR._median3(A[2], B[2], C[2]), HR._median3(A[3], B[3], C[3]))
+
+    def _store_part_mv(self, addr: int, bx4, by4, w4, h4, ref_idx: int,
+                       mvx: int, mvy: int, l: int) -> None:
+        st = self.st
+        rid = self._ref_identity(l, ref_idx, addr)
+        for y in range(by4, by4 + h4):
+            for x in range(bx4, bx4 + w4):
+                cell = 4 * y + x
+                st.mv[addr, l, cell] = (mvx, mvy)
+                st.ref_idx[addr, l, cell] = ref_idx
+                st.ref_id[addr, l, cell] = rid
+    def _store_part_mvd(self, addr: int, bx4, by4, w4, h4, l, mvdx,
+                        mvdy) -> None:
+        st = self.st
+        for y in range(by4, by4 + h4):
+            for x in range(bx4, bx4 + w4):
+                st.mvd[addr, l, 4 * y + x] = (mvdx, mvdy)
+
+    # -- MC (8.4.2.2 on frame or field sample grids) ------------------------
+
+    def _fetch_pred(self, addr: int, l: int, ref_idx: int, bx4, by4, w4, h4,
+                    mvx: int, mvy: int):
+        """Raw interpolated (Y, U, V) int32 blocks from list l."""
+        st = self.st
+        px, py = st.pair_xy(addr)
+        cmvy = mvy
+        if st.is_field(addr):
+            frm, parity = self._field_ref(l, ref_idx, addr)
+            refY = frm.Y[parity::2]
+            refU = frm.U[parity::2]
+            refV = frm.V[parity::2]
+            y0 = py * 16 + 4 * by4
+            cy0 = py * 8 + 2 * by4
+            # chroma MV cross-parity adjustment (8.4.1.4): top field
+            # referencing bottom -> -2; bottom referencing top -> +2
+            cur_parity = addr & 1
+            if cur_parity == 0 and parity == 1:
+                cmvy = mvy - 2
+            elif cur_parity == 1 and parity == 0:
+                cmvy = mvy + 2
+        else:
+            frm = (self.ref_l0 if l == 0 else self.ref_l1)[ref_idx]
+            refY, refU, refV = frm.Y, frm.U, frm.V
+            y0 = py * 32 + 16 * (addr & 1) + 4 * by4
+            cy0 = py * 16 + 8 * (addr & 1) + 2 * by4
+        x0 = st.luma_x0(addr) + 4 * bx4
+        cx0 = (st.pair_of(addr) % st.mb_w) * 8 + 2 * bx4
+        return (HR._mc_luma(refY, x0, y0, w4 * 4, h4 * 4, mvx, mvy),
+                HR._mc_chroma(refU, cx0, cy0, w4 * 2, h4 * 2, mvx, cmvy),
+                HR._mc_chroma(refV, cx0, cy0, w4 * 2, h4 * 2, mvx, cmvy))
+
+    def _wp_apply(self, blk, l: int, ref_idx: int, comp: int, addr: int):
+        """Explicit weighted prediction; field MBs index the frame-list
+        weight table with refIdx >> 1 (8.4.3)."""
+        pw = self.h.pred_weights
+        if pw is None:
+            return blk
+        widx = ref_idx >> 1 if self.st.is_field(addr) else ref_idx
+        logwd = pw[0] if comp < 0 else pw[1]
+        wt = pw[2][l][widx]
+        if comp < 0:
+            w, o = wt[0], wt[1]
+        else:
+            w, o = wt[2 + 2 * comp], wt[3 + 2 * comp]
+        if logwd >= 1:
+            blk = ((blk * w + (1 << (logwd - 1))) >> logwd) + o
+        else:
+            blk = blk * w + o
+        return HR._clip255(blk)
+
+    def _implicit_weights(self, addr: int, ref_idx0: int, ref_idx1: int):
+        """8.4.2.3.1 implicit weights; field MBs use field order counts."""
+        if self.st.is_field(addr):
+            f0, p0 = self._field_ref(0, ref_idx0, addr)
+            f1, p1 = self._field_ref(1, ref_idx1, addr)
+            poc0 = f0.field_poc[p0]
+            poc1 = f1.field_poc[p1]
+            cur = self.pic.field_poc[addr & 1]
+            lt0, lt1 = f0.long_term, f1.long_term
+        else:
+            pic0 = self.ref_l0[ref_idx0]
+            pic1 = self.ref_l1[ref_idx1]
+            poc0, poc1 = pic0.poc, pic1.poc
+            cur = self.pic.poc
+            lt0, lt1 = pic0.long_term, pic1.long_term
+        if poc1 == poc0 or lt0 or lt1:
+            return (32, 32)
+        tb = min(127, max(-128, cur - poc0))
+        td = min(127, max(-128, poc1 - poc0))
+        tx = (16384 + abs(td) // 2) // td
+        dsf = min(1023, max(-1024, (tb * tx + 32) >> 6))
+        w1 = dsf >> 2
+        if w1 < -64 or w1 > 128:
+            return (32, 32)
+        return (64 - w1, w1)
+
+    def _combine_store(self, addr, predY, predU, predV, bx4, by4, w4, h4,
+                       p0, p1, ref_idx0: int, ref_idx1: int) -> None:
+        pps, h = self.pps, self.h
+        out = [None, None, None]
+        if p0 is not None and p1 is not None:
+            if h.slice_type == HR.SLICE_B and pps.weighted_bipred_idc == 2:
+                w0, w1 = self._implicit_weights(addr, ref_idx0, ref_idx1)
+                for c in range(3):
+                    out[c] = HR._clip255(
+                        (p0[c] * w0 + p1[c] * w1 + 32) >> 6)
+            elif (h.slice_type == HR.SLICE_B
+                  and pps.weighted_bipred_idc == 1
+                  and h.pred_weights is not None):
+                pw = h.pred_weights
+                fld = self.st.is_field(addr)
+                i0 = ref_idx0 >> 1 if fld else ref_idx0
+                i1 = ref_idx1 >> 1 if fld else ref_idx1
+                for c in range(3):
+                    logwd = pw[0] if c == 0 else pw[1]
+                    wt0 = pw[2][0][i0]
+                    wt1 = pw[2][1][i1]
+                    if c == 0:
+                        w0, o0, w1, o1 = wt0[0], wt0[1], wt1[0], wt1[1]
+                    else:
+                        k = 2 * c
+                        w0, o0 = wt0[k], wt0[k + 1]
+                        w1, o1 = wt1[k], wt1[k + 1]
+                    out[c] = HR._clip255(
+                        ((p0[c] * w0 + p1[c] * w1 + (1 << logwd))
+                         >> (logwd + 1)) + ((o0 + o1 + 1) >> 1))
+            else:
+                for c in range(3):
+                    out[c] = (p0[c] + p1[c] + 1) >> 1
+        else:
+            l = 0 if p1 is None else 1
+            p = p0 if p1 is None else p1
+            ref_idx = ref_idx0 if p1 is None else ref_idx1
+            weighted = (h.pred_weights is not None
+                        and (h.slice_type != HR.SLICE_B
+                             or pps.weighted_bipred_idc == 1))
+            for c in range(3):
+                out[c] = (self._wp_apply(p[c], l, ref_idx,
+                                         c - 1 if c else -1, addr)
+                          if weighted else p[c])
+        predY[by4 * 4 : by4 * 4 + h4 * 4,
+              bx4 * 4 : bx4 * 4 + w4 * 4] = out[0]
+        predU[by4 * 2 : by4 * 2 + h4 * 2,
+              bx4 * 2 : bx4 * 2 + w4 * 2] = out[1]
+        predV[by4 * 2 : by4 * 2 + h4 * 2,
+              bx4 * 2 : bx4 * 2 + w4 * 2] = out[2]
+
+    def _mc_part(self, addr, predY, predU, predV, bx4, by4, w4, h4,
+                 ref_idx: int, mvx: int, mvy: int) -> None:
+        p0 = self._fetch_pred(addr, 0, ref_idx, bx4, by4, w4, h4, mvx, mvy)
+        self._combine_store(addr, predY, predU, predV, bx4, by4, w4, h4,
+                            p0, None, ref_idx, -1)
+
+    def _store_mb(self, addr: int, predY, predU, predV) -> None:
+        st, pic = self.st, self.pic
+        x0 = st.luma_x0(addr)
+        for yy in range(16):
+            pic.Y[st.luma_y(addr, yy), x0 : x0 + 16] = np.clip(
+                predY[yy], 0, 255)
+        cx0 = (st.pair_of(addr) % st.mb_w) * 8
+        for plane, pred in ((pic.U, predU), (pic.V, predV)):
+            for yy in range(8):
+                plane[st.chroma_y(addr, yy), cx0 : cx0 + 8] = np.clip(
+                    pred[yy], 0, 255)
+
+    # -- P macroblocks ------------------------------------------------------
+
+    def _skip_mv(self, addr: int):
+        """P_Skip motion (8.4.1.1 with MBAFF neighbours)."""
+        A = self._mv_nbr(addr, -1, 0, 0)
+        B = self._mv_nbr(addr, 0, -1, 0)
+        if not A[0] or not B[0]:
+            return (0, 0)
+        if A[1] == 0 and A[2] == 0 and A[3] == 0:
+            return (0, 0)
+        if B[1] == 0 and B[2] == 0 and B[3] == 0:
+            return (0, 0)
+        return self._mv_pred(addr, 0, 0, 4, 4, 0)
+
+    def decode_skip_mb(self, addr: int) -> None:
+        if self.h.slice_type == HR.SLICE_B:
+            self.decode_b_skip_mb(addr)
+            return
+        st = self.st
+        self._mark_mb(addr)
+        self.cur_addr = addr
+        self.cur_z = 0
+        st.mb_class[addr] = HR.MB_P
+        st.mb_qp[addr] = self.qp
+        st.mb_cbp[addr] = 0
+        st.mb_skip[addr] = 1
+        mvx, mvy = self._skip_mv(addr)
+        self.cur_z = 16
+        self._store_part_mv(addr, 0, 0, 4, 4, 0, mvx, mvy, 0)
+        predY = np.empty((16, 16), np.int32)
+        predU = np.empty((8, 8), np.int32)
+        predV = np.empty((8, 8), np.int32)
+        self._mc_part(addr, predY, predU, predV, 0, 0, 4, 4, 0, mvx, mvy)
+        self._store_mb(addr, predY, predU, predV)
+
+    def _decode_p_mb(self, r: BitReader, addr: int, mb_type: int) -> None:
+        st = self.st
+        st.mb_class[addr] = HR.MB_P
+        n0 = self.h.num_ref_idx[0]
+        n0_mb = 2 * n0 if st.is_field(addr) else n0
+        predY = np.empty((16, 16), np.int32)
+        predU = np.empty((8, 8), np.int32)
+        predV = np.empty((8, 8), np.int32)
+        sub_types = None
+        if mb_type in (0, 1, 2):
+            kind, parts = HR._SliceCtx._P_PARTS[mb_type]
+            refs = [self._read_te(r, n0_mb - 1) for _ in parts]
+            for i, (bx4, by4, w4, h4) in enumerate(parts):
+                mvdx, mvdy = r.se(), r.se()
+                self.cur_z = HR._XY_TO_Z[(bx4, by4)]
+                px, py = self._mv_pred(addr, bx4, by4, w4, h4, refs[i],
+                                       kind, i)
+                mvx, mvy = px + mvdx, py + mvdy
+                self._store_part_mv(addr, bx4, by4, w4, h4, refs[i],
+                                    mvx, mvy, 0)
+                self._store_part_mvd(addr, bx4, by4, w4, h4, 0, mvdx, mvdy)
+                self._mc_part(addr, predY, predU, predV, bx4, by4, w4, h4,
+                              refs[i], mvx, mvy)
+        else:
+            sub_types = [r.ue() for _ in range(4)]
+            if any(stp > 3 for stp in sub_types):
+                raise EOFError_(f"bad sub_mb_type {sub_types}")
+            if mb_type == 3:
+                refs = [self._read_te(r, n0_mb - 1) for _ in range(4)]
+            else:
+                refs = [0, 0, 0, 0]
+            for b in range(4):
+                bx0, by0 = (b & 1) * 2, (b >> 1) * 2
+                for (sx, sy, w4, h4) in HR._SliceCtx._SUB_PARTS[sub_types[b]]:
+                    bx4, by4 = bx0 + sx, by0 + sy
+                    mvdx, mvdy = r.se(), r.se()
+                    self.cur_z = HR._XY_TO_Z[(bx4, by4)]
+                    px, py = self._mv_pred(addr, bx4, by4, w4, h4, refs[b])
+                    mvx, mvy = px + mvdx, py + mvdy
+                    self._store_part_mv(addr, bx4, by4, w4, h4, refs[b],
+                                        mvx, mvy, 0)
+                    self._store_part_mvd(addr, bx4, by4, w4, h4, 0,
+                                         mvdx, mvdy)
+                    self._mc_part(addr, predY, predU, predV, bx4, by4, w4, h4,
+                                  refs[b], mvx, mvy)
+        self.cur_z = 16
+        tf8_ok = mb_type in (0, 1, 2) or all(stp == 0 for stp in sub_types)
+        self._inter_residual(r, addr, predY, predU, predV, tf8_ok)
+
+    @staticmethod
+    def _read_te(r: BitReader, cmax: int) -> int:
+        if cmax == 0:
+            return 0
+        if cmax == 1:
+            return 1 - r.read(1)
+        return r.ue()
+
+    def _inter_residual(self, r: BitReader, addr: int, predY, predU, predV,
+                        tf8_ok: bool) -> None:
+        st, pic = self.st, self.pic
+        cbp = T.GOLOMB_TO_INTER_CBP[r.ue()]
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        tf8 = 0
+        if cbp_luma and tf8_ok and self.pps.transform_8x8_mode:
+            tf8 = r.read(1)
+        st.mb_tf8[addr] = tf8
+        if cbp:
+            self.qp = (self.qp + r.se() + 52) % 52
+        st.mb_qp[addr] = self.qp
+        st.mb_cbp[addr] = cbp
+        x0 = st.luma_x0(addr)
+        if tf8:
+            scan = self.scan8(addr)
+            for b in range(4):
+                bx, by = (b & 1) * 2, (b >> 1) * 2
+                if not (cbp_luma & (1 << b)):
+                    for yy in range(8):
+                        pic.Y[st.luma_y(addr, by * 4 + yy),
+                              x0 + bx * 4 : x0 + bx * 4 + 8] = np.clip(
+                            predY[by * 4 + yy, bx * 4 : bx * 4 + 8], 0, 255)
+                    continue
+                scan64 = self._parse_luma8x8_cavlc(r, addr, b)
+                ls = self._dq8(self.qp, 1)
+                d = [0] * 64
+                for s in range(64):
+                    c = scan64[s]
+                    if c:
+                        pos = scan[s]
+                        d[pos] = HR._dequant8_apply(c, ls[pos], self.qp)
+                res = HR._idct8x8(d)
+                for yy in range(8):
+                    row = pic.Y[st.luma_y(addr, by * 4 + yy)]
+                    base = 8 * yy
+                    for xx in range(8):
+                        row[x0 + bx * 4 + xx] = HR._clip1(
+                            int(predY[by * 4 + yy, bx * 4 + xx])
+                            + res[base + xx])
+            self._pred_chroma = (predU, predV)
+            self._decode_chroma_cavlc(r, addr, 0, cbp_chroma, False)
+            return
+        scan = self.scan4(addr)
+        dq = self._dq4(self.qp, 3)
+        for k in range(16):
+            x4, y4 = HR._Z_TO_XY[k]
+            if not (cbp_luma & (1 << (k >> 2))):
+                for yy in range(4):
+                    pic.Y[st.luma_y(addr, y4 * 4 + yy),
+                          x0 + x4 * 4 : x0 + x4 * 4 + 4] = np.clip(
+                        predY[y4 * 4 + yy, x4 * 4 : x4 * 4 + 4], 0, 255)
+                continue
+            self.cur_z = k
+            nc = self._nc_luma(addr, x4, y4)
+            blk, tc = HR._cavlc_block(r, nc, 16)
+            st.nnz_y[addr, 4 * y4 + x4] = tc
+            d = [0] * 16
+            for s in range(16):
+                c = blk[s]
+                if c:
+                    pos = scan[s]
+                    d[pos] = HR._dequant4_apply(c, dq[pos], self.qp)
+            res = HR._idct4x4(d)
+            for yy in range(4):
+                row = pic.Y[st.luma_y(addr, y4 * 4 + yy)]
+                base = 4 * yy
+                for xx in range(4):
+                    row[x0 + x4 * 4 + xx] = HR._clip1(
+                        int(predY[y4 * 4 + yy, x4 * 4 + xx]) + res[base + xx])
+        self.cur_z = 16
+        self._pred_chroma = (predU, predV)
+        self._decode_chroma_cavlc(r, addr, 0, cbp_chroma, False)
+
+    # -- B macroblocks: next stage ------------------------------------------
+
+    def decode_b_skip_mb(self, addr: int) -> None:
+        raise NotImplementedError("MBAFF B slices: next stage")
+
+    def _decode_b_mb(self, r: BitReader, addr: int, mb_type: int) -> None:
+        raise NotImplementedError("MBAFF B slices: next stage")
 
 
 def deblock_picture_mbaff(pic) -> None:
     """MBAFF deblocking (8.7 with MbaffFrameFlag) — next stage; streams
     with the filter disabled (x264 --no-deblock) pass through."""
     st = pic.mbaff
-    import numpy as np
     decoded = st.slice_id >= 0
     if np.any(decoded & (st.mb_disable != 1)):
         raise NotImplementedError("MBAFF deblocking: next stage")

@@ -121,3 +121,34 @@ class TestMbaffIntra:
             64, 64, frames,
             "keyint=1:cabac=0:8x8dct=1:no-deblock=1:interlaced=1:tff=1:qp=8")
         _check(es, tmp_path, want_field=True)
+
+
+class TestMbaffP:
+    BASE = ("cabac=0:8x8dct=0:no-deblock=1:interlaced=1:tff=1:bframes=0:"
+            "keyint=50:scenecut=0")
+
+    def _check(self, tmp_path, params, frames=None, size=(128, 96)):
+        if frames is None:
+            frames = mixed_frames(8, size)
+        es = _x264_stream(size[0], size[1], frames, params)
+        _assert_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+
+    def test_basic(self, tmp_path):
+        self._check(tmp_path, self.BASE + ":ref=1:qp=28")
+
+    def test_multiref_subpel(self, tmp_path):
+        self._check(tmp_path, self.BASE + ":ref=4:subme=7:qp=24")
+
+    def test_all_partitions(self, tmp_path):
+        self._check(tmp_path, self.BASE + ":partitions=all:subme=9:crf=26")
+
+    def test_8x8dct(self, tmp_path):
+        self._check(tmp_path, self.BASE.replace("8x8dct=0", "8x8dct=1")
+                    + ":ref=2:qp=26")
+
+    def test_all_field_pairs(self, tmp_path):
+        self._check(tmp_path, self.BASE + ":ref=2:qp=26",
+                    frames=interlaced_frames(8, (96, 96)), size=(96, 96))
+
+    def test_multi_idr(self, tmp_path):
+        self._check(tmp_path, self.BASE + ":ref=2:keyint=4:qp=26")
