@@ -1191,13 +1191,288 @@ class MbaffSlice:
         self._pred_chroma = (predU, predV)
         self._decode_chroma_cavlc(r, addr, 0, cbp_chroma, False)
 
-    # -- B macroblocks: next stage ------------------------------------------
+    # -- B macroblocks (8.4.1.2 spatial direct with MBAFF colocated) --------
+
+    def _n_act(self, addr: int, l: int) -> int:
+        """Active reference count in the MB's own units (field MBs see a
+        doubled field list, 8.4.2.1)."""
+        n = self.h.num_ref_idx[l]
+        return 2 * n if self.st.is_field(addr) else n
+
+    def _col_zero(self, addr: int, b: int) -> bool:
+        """colZeroFlag for spatial direct (8.4.1.2.2): the colocated
+        corner 4x4 of RefPicList1[0] is a zero-ish L0/L1 motion.  MBAFF
+        colocated selection: same structure -> same address; current
+        frame MB over a field-coded col pair -> the col field whose POC
+        is closer to the current picture (libavcodec col_parity), with
+        field mv doubled; current field MB over a frame-coded col pair
+    -> top/bottom col MB by band half, with frame mv halved."""
+        st = self.st
+        if self.st.is_field(addr):
+            col_frm, col_parity = self._field_ref(1, 0, addr)
+        else:
+            col_frm = self.ref_l1[0]
+            col_parity = addr & 1  # placeholder; real choice below
+        if col_frm.long_term:
+            return False
+        colst = getattr(col_frm, "mbaff", None)
+        px, py = st.pair_xy(addr)
+        xs4 = 3 * (b & 1)
+        ys4 = 3 * (b >> 1)
+        cur_field = st.is_field(addr)
+        scale = 1  # multiply col mvy by this ( /2 encoded as 0.5 via flag)
+        halve = False
+        if colst is None:
+            # colocated picture is progressive (frame grid)
+            if not cur_field:
+                gy4 = py * 8 + 4 * (addr & 1) + ys4
+                gx4 = px * 4 + xs4
+                ref = int(col_frm.ref_idx[0, gy4, gx4])
+                l = 0
+                if ref < 0:
+                    ref = int(col_frm.ref_idx[1, gy4, gx4])
+                    l = 1
+                if ref < 0:
+                    return False
+                mx = int(col_frm.mv[l, gy4, gx4, 0])
+                my = int(col_frm.mv[l, gy4, gx4, 1])
+                return ref == 0 and abs(mx) <= 1 and abs(my) <= 1
+            # current field MB over progressive col: band half selects row
+            gy4 = py * 8 + 2 * ys4
+            gx4 = px * 4 + xs4
+            ref = int(col_frm.ref_idx[0, gy4, gx4])
+            l = 0
+            if ref < 0:
+                ref = int(col_frm.ref_idx[1, gy4, gx4])
+                l = 1
+            if ref < 0:
+                return False
+            mx = int(col_frm.mv[l, gy4, gx4, 0])
+            my = int(col_frm.mv[l, gy4, gx4, 1])
+            my = int(my / 2) if my >= 0 else -((-my) // 2)
+            return ref == 0 and abs(mx) <= 1 and abs(my) <= 1
+        # colocated picture is an MBAFF frame
+        pair = py * st.mb_w + px
+        col_field = bool(colst.field_flag[pair])
+        if cur_field == col_field:
+            col_addr = 2 * pair + (addr & 1)
+            cell = 4 * ys4 + xs4
+        elif cur_field:
+            # current field, col pair frame: band half -> top/bottom MB
+            line4 = 2 * ys4          # frame 4x4 row within the pair band
+            col_addr = 2 * pair + (1 if line4 >= 4 else 0)
+            cell = 4 * (line4 & 3) + xs4
+            halve = True
+        else:
+            # current frame, col pair field: parity by POC distance
+            cur_poc = self.pic.poc
+            fp = col_frm.field_poc
+            parity = 1 if abs(fp[0] - cur_poc) >= abs(fp[1] - cur_poc) else 0
+            col_addr = 2 * pair + parity
+            band_row = 4 * (addr & 1) + ys4
+            cell = 4 * (band_row >> 1) + xs4
+            scale = 2
+        ref = int(colst.ref_idx[col_addr, 0, cell])
+        l = 0
+        if ref < 0:
+            ref = int(colst.ref_idx[col_addr, 1, cell])
+            l = 1
+        if ref < 0:
+            return False
+        mx = int(colst.mv[col_addr, l, cell, 0])
+        my = int(colst.mv[col_addr, l, cell, 1]) * scale
+        if halve:
+            my = int(my / 2) if my >= 0 else -((-my) // 2)
+        return ref == 0 and abs(mx) <= 1 and abs(my) <= 1
+
+    def _direct_spatial_cache_mbaff(self, addr: int):
+        if self._direct_cache is not None:
+            return self._direct_cache
+        refs = [-1, -1]
+        for l in (0, 1):
+            A = self._mv_nbr(addr, -1, 0, l)
+            B = self._mv_nbr(addr, 0, -1, l)
+            C = self._mv_nbr(addr, 16, -1, l)
+            if not C[0]:
+                C = self._mv_nbr(addr, -1, -1, l)
+            cand = [x[1] for x in (A, B, C) if x[1] >= 0]
+            refs[l] = min(cand) if cand else -1
+        dzp = refs[0] < 0 and refs[1] < 0
+        if dzp:
+            refs = [0, 0]
+        mvps = [(0, 0), (0, 0)]
+        for l in (0, 1):
+            if refs[l] >= 0 and not dzp:
+                mvps[l] = self._mv_pred(addr, 0, 0, 4, 4, refs[l], l=l)
+        self._direct_cache = (refs, mvps, dzp)
+        return self._direct_cache
+
+    def _direct_mvs_8x8(self, addr: int, b: int):
+        if not self.h.direct_spatial_mv_pred:
+            raise NotImplementedError("MBAFF temporal direct not supported "
+                                      "(x264 forces spatial for interlaced)")
+        refs, mvps, dzp = self._direct_spatial_cache_mbaff(addr)
+        cz = self._col_zero(addr, b)
+        out = []
+        for l in (0, 1):
+            if refs[l] < 0:
+                out.append((-1, (0, 0)))
+            elif dzp or (cz and refs[l] == 0):
+                out.append((refs[l], (0, 0)))
+            else:
+                out.append((refs[l], mvps[l]))
+        return out
+
+    def _decode_direct_8x8(self, addr: int, b: int, predY, predU,
+                           predV) -> None:
+        (r0, mv0), (r1, mv1) = self._direct_mvs_8x8(addr, b)
+        bx4, by4 = (b & 1) * 2, (b >> 1) * 2
+        st = self.st
+        for y in range(by4, by4 + 2):
+            for x in range(bx4, bx4 + 2):
+                st.cell_direct[addr, 4 * y + x] = 1
+        if r0 >= 0:
+            self._store_part_mv(addr, bx4, by4, 2, 2, r0, mv0[0], mv0[1], 0)
+        if r1 >= 0:
+            self._store_part_mv(addr, bx4, by4, 2, 2, r1, mv1[0], mv1[1], 1)
+        p0 = (self._fetch_pred(addr, 0, r0, bx4, by4, 2, 2, mv0[0], mv0[1])
+              if r0 >= 0 else None)
+        p1 = (self._fetch_pred(addr, 1, r1, bx4, by4, 2, 2, mv1[0], mv1[1])
+              if r1 >= 0 else None)
+        self._combine_store(addr, predY, predU, predV, bx4, by4, 2, 2,
+                            p0, p1, r0, r1)
 
     def decode_b_skip_mb(self, addr: int) -> None:
-        raise NotImplementedError("MBAFF B slices: next stage")
+        st = self.st
+        self._mark_mb(addr)
+        self.cur_addr = addr
+        self.cur_z = 0
+        self._direct_cache = None
+        st.mb_class[addr] = HR.MB_B
+        st.mb_qp[addr] = self.qp
+        st.mb_cbp[addr] = 0
+        st.mb_skip[addr] = 1
+        st.mb_bdirect[addr] = 1
+        predY = np.empty((16, 16), np.int32)
+        predU = np.empty((8, 8), np.int32)
+        predV = np.empty((8, 8), np.int32)
+        for b in range(4):
+            self._decode_direct_8x8(addr, b, predY, predU, predV)
+        self._store_mb(addr, predY, predU, predV)
 
     def _decode_b_mb(self, r: BitReader, addr: int, mb_type: int) -> None:
-        raise NotImplementedError("MBAFF B slices: next stage")
+        st = self.st
+        self._direct_cache = None
+        st.mb_class[addr] = HR.MB_B
+        predY = np.empty((16, 16), np.int32)
+        predU = np.empty((8, 8), np.int32)
+        predV = np.empty((8, 8), np.int32)
+        if mb_type == 0:  # B_Direct_16x16
+            st.mb_bdirect[addr] = 1
+            for b in range(4):
+                self._decode_direct_8x8(addr, b, predY, predU, predV)
+            self.cur_z = 16
+            self._inter_residual(r, addr, predY, predU, predV,
+                                 bool(self.sps.direct_8x8_inference))
+            return
+        tf8_ok = True
+        SC = HR._SliceCtx
+        if mb_type < 22:
+            kind, preds = SC._B_TYPES[mb_type]
+            parts = SC._PART_GEOM[kind]
+            np_ = len(parts)
+            refs = [[-1] * np_, [-1] * np_]
+            for l in (0, 1):
+                for i, pm in enumerate(preds):
+                    if pm == 2 or pm == l:
+                        refs[l][i] = self._read_te(r, self._n_act(addr, l) - 1)
+            mvds = [[(0, 0)] * np_, [(0, 0)] * np_]
+            for l in (0, 1):
+                for i, pm in enumerate(preds):
+                    if pm == 2 or pm == l:
+                        mvds[l][i] = (r.se(), r.se())
+            mvs = [[None] * np_, [None] * np_]
+            for l in (0, 1):
+                for i, (bx4, by4, w4, h4) in enumerate(parts):
+                    if refs[l][i] < 0:
+                        continue
+                    self.cur_z = HR._XY_TO_Z[(bx4, by4)]
+                    px, py = self._mv_pred(addr, bx4, by4, w4, h4,
+                                           refs[l][i], kind, i, l)
+                    mv = (px + mvds[l][i][0], py + mvds[l][i][1])
+                    mvs[l][i] = mv
+                    self._store_part_mv(addr, bx4, by4, w4, h4, refs[l][i],
+                                        mv[0], mv[1], l)
+                    self._store_part_mvd(addr, bx4, by4, w4, h4, l,
+                                         mvds[l][i][0], mvds[l][i][1])
+            for i, (bx4, by4, w4, h4) in enumerate(parts):
+                p0 = (self._fetch_pred(addr, 0, refs[0][i], bx4, by4, w4, h4,
+                                       *mvs[0][i]) if refs[0][i] >= 0
+                      else None)
+                p1 = (self._fetch_pred(addr, 1, refs[1][i], bx4, by4, w4, h4,
+                                       *mvs[1][i]) if refs[1][i] >= 0
+                      else None)
+                self._combine_store(addr, predY, predU, predV, bx4, by4,
+                                    w4, h4, p0, p1, refs[0][i], refs[1][i])
+        else:  # B_8x8
+            sub_types = [r.ue() for _ in range(4)]
+            if any(stp > 12 for stp in sub_types):
+                raise EOFError_(f"bad B sub_mb_type {sub_types}")
+            for b in range(4):
+                if SC._B_SUB[sub_types[b]][0] == -1:
+                    self.cur_z = HR._XY_TO_Z[((b & 1) * 2, (b >> 1) * 2)]
+                    self._decode_direct_8x8(addr, b, predY, predU, predV)
+            refs = [[-1] * 4, [-1] * 4]
+            for l in (0, 1):
+                for b in range(4):
+                    pm = SC._B_SUB[sub_types[b]][0]
+                    if pm == 2 or pm == l:
+                        refs[l][b] = self._read_te(r, self._n_act(addr, l) - 1)
+            mvds = [[], []]
+            for l in (0, 1):
+                for b in range(4):
+                    pm, sparts = SC._B_SUB[sub_types[b]]
+                    if pm == -1 or not (pm == 2 or pm == l):
+                        continue
+                    for sp in sparts:
+                        mvds[l].append((b, sp, (r.se(), r.se())))
+            submvs = {}
+            for l in (0, 1):
+                for (b, sp, mvd) in mvds[l]:
+                    sx, sy, w4, h4 = sp
+                    bx4, by4 = (b & 1) * 2 + sx, (b >> 1) * 2 + sy
+                    self.cur_z = HR._XY_TO_Z[(bx4, by4)]
+                    px, py = self._mv_pred(addr, bx4, by4, w4, h4,
+                                           refs[l][b], l=l)
+                    mv = (px + mvd[0], py + mvd[1])
+                    submvs[(l, b, sp)] = mv
+                    self._store_part_mv(addr, bx4, by4, w4, h4, refs[l][b],
+                                        mv[0], mv[1], l)
+                    self._store_part_mvd(addr, bx4, by4, w4, h4, l,
+                                         mvd[0], mvd[1])
+            for b in range(4):
+                pm, sparts = SC._B_SUB[sub_types[b]]
+                if pm == -1:
+                    continue
+                for sp in sparts:
+                    sx, sy, w4, h4 = sp
+                    bx4, by4 = (b & 1) * 2 + sx, (b >> 1) * 2 + sy
+                    p0 = p1 = None
+                    if refs[0][b] >= 0:
+                        p0 = self._fetch_pred(addr, 0, refs[0][b], bx4, by4,
+                                              w4, h4, *submvs[(0, b, sp)])
+                    if refs[1][b] >= 0:
+                        p1 = self._fetch_pred(addr, 1, refs[1][b], bx4, by4,
+                                              w4, h4, *submvs[(1, b, sp)])
+                    self._combine_store(addr, predY, predU, predV, bx4, by4,
+                                        w4, h4, p0, p1, refs[0][b],
+                                        refs[1][b])
+            tf8_ok = all(
+                (stp == 0 and self.sps.direct_8x8_inference)
+                or stp in (1, 2, 3)
+                for stp in sub_types)
+        self.cur_z = 16
+        self._inter_residual(r, addr, predY, predU, predV, tf8_ok)
 
 
 def deblock_picture_mbaff(pic) -> None:

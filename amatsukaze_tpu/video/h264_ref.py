@@ -1335,6 +1335,7 @@ class _Picture:
         self.cell_direct = np.zeros((n4h, n4w), np.int8)
         # display metadata
         self.poc = 0
+        self.field_poc = (0, 0)
         self.frame_num = 0
         self.is_ref = False
         self.is_idr = False
@@ -1429,7 +1430,17 @@ class H264RefDecoder:
         pic.frame_num = h.frame_num
         pic.is_ref = h.nal_ref_idc != 0
         pic.is_idr = h.idr
-        pic.poc = self._compute_poc(h, sps)
+        top = self._compute_poc(h, sps)
+        # BottomFieldOrderCnt (8.2.1): frame pictures carry both field
+        # POCs; progressive streams have delta 0 so pic.poc is unchanged
+        if sps.poc_type == 0:
+            bottom = top + h.delta_poc_bottom
+        elif sps.poc_type == 1:
+            bottom = top + sps.offset_for_top_to_bottom_field + h.delta_poc[1]
+        else:
+            bottom = top
+        pic.field_poc = (top, bottom)
+        pic.poc = min(top, bottom)
         pic.pic_id = self._pic_counter
         self._pic_counter += 1
         if h.idr:

@@ -152,3 +152,36 @@ class TestMbaffP:
 
     def test_multi_idr(self, tmp_path):
         self._check(tmp_path, self.BASE + ":ref=2:keyint=4:qp=26")
+
+
+class TestMbaffB:
+    BASE = ("cabac=0:8x8dct=0:no-deblock=1:interlaced=1:tff=1:keyint=50:"
+            "scenecut=0:b-adapt=0")
+
+    def _check(self, tmp_path, params, bframes=2, frames=None,
+               size=(128, 96)):
+        if frames is None:
+            frames = mixed_frames(10, size)
+        es = _x264_stream(size[0], size[1], frames, params, bframes=bframes)
+        _assert_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+
+    def test_basic(self, tmp_path):
+        self._check(tmp_path, self.BASE + ":ref=2:qp=28")
+
+    def test_multiref_3bf(self, tmp_path):
+        self._check(tmp_path, self.BASE + ":ref=3:subme=7:qp=25", bframes=3)
+
+    def test_partitions_8x8dct(self, tmp_path):
+        self._check(tmp_path, self.BASE.replace("8x8dct=0", "8x8dct=1")
+                    + ":ref=2:partitions=all:subme=9:crf=27")
+
+    def test_all_field(self, tmp_path):
+        self._check(tmp_path, self.BASE + ":ref=2:qp=26",
+                    frames=interlaced_frames(10, (96, 96)), size=(96, 96))
+
+    def test_b_pyramid(self, tmp_path):
+        self._check(tmp_path, self.BASE + ":ref=3:b-pyramid=normal:qp=27",
+                    bframes=3)
+
+    def test_multi_idr(self, tmp_path):
+        self._check(tmp_path, self.BASE + ":ref=2:keyint=4:qp=26")
