@@ -1475,10 +1475,426 @@ class MbaffSlice:
         self._inter_residual(r, addr, predY, predU, predV, tf8_ok)
 
 
+class _MbaffDeblock:
+    """In-place MBAFF deblocking (8.7 with MbaffFrameFlag = 1).
+
+    MB-address order, vertical edges then horizontal, on each MB's own
+    line map.  MBAFF-specific rules (pinned against libavcodec):
+    - horizontal macroblock edges cap at bS 3 for intra (bS 4 needs a
+      vertical edge when MbaffFrameFlag is 1);
+    - mixed frame/field edges never compare motion (bS >= 1);
+    - a mixed LEFT edge is filtered as two passes of 8 lines (one per
+      left-pair MB), bS per 2 lines;
+    - the top edge of a frame MB below a FIELD pair is filtered as two
+      field-mode passes (parity f: q rows f, f+2, f+4 against the
+      parity-f field MB's last rows).
+    """
+
+    def __init__(self, pic):
+        self.pic = pic
+        self.st: MbaffState = pic.mbaff
+        pps_coff = (pic.pps.chroma_qp_index_offset,
+                    pic.pps.second_chroma_qp_index_offset)
+        self.coff = pps_coff
+
+    # -- per-cell coded flag (tf8-aware, like h264_ref._nnz_for_bs) --------
+
+    def _coded(self, addr: int, cx: int, cy: int) -> bool:
+        st = self.st
+        if st.mb_tf8[addr]:
+            x0, y0 = cx & ~1, cy & ~1
+            return bool(st.nnz_y[addr, 4 * y0 + x0]
+                        or st.nnz_y[addr, 4 * y0 + x0 + 1]
+                        or st.nnz_y[addr, 4 * (y0 + 1) + x0]
+                        or st.nnz_y[addr, 4 * (y0 + 1) + x0 + 1])
+        return bool(st.nnz_y[addr, 4 * cy + cx])
+
+    def _bs_mv(self, addrP, cellP, addrQ, cellQ) -> int:
+        st = self.st
+        # 8.7.2.1: the vertical MV-difference threshold is 4 quarter
+        # FRAME samples = 2 quarter FIELD samples for field macroblocks
+        vth = 2 if st.is_field(addrQ) else 4
+        up, uq = [], []
+        for l in range(2):
+            rp = int(st.ref_id[addrP, l, cellP])
+            if rp >= 0:
+                up.append((rp, (int(st.mv[addrP, l, cellP, 0]),
+                                int(st.mv[addrP, l, cellP, 1]))))
+            rq = int(st.ref_id[addrQ, l, cellQ])
+            if rq >= 0:
+                uq.append((rq, (int(st.mv[addrQ, l, cellQ, 0]),
+                                int(st.mv[addrQ, l, cellQ, 1]))))
+        if len(up) != len(uq):
+            return 1
+        if sorted(r for r, _ in up) != sorted(r for r, _ in uq):
+            return 1
+
+        def far(a, b):
+            return abs(a[0] - b[0]) >= 4 or abs(a[1] - b[1]) >= vth
+
+        if len(up) == 1:
+            return 1 if far(up[0][1], uq[0][1]) else 0
+        if len(up) == 0:
+            return 0
+        if up[0][0] != up[1][0]:
+            for r, mv in up:
+                mv2 = next(m for rr, m in uq if rr == r)
+                if far(mv, mv2):
+                    return 1
+            return 0
+        a = not far(up[0][1], uq[0][1]) and not far(up[1][1], uq[1][1])
+        b = not far(up[0][1], uq[1][1]) and not far(up[1][1], uq[0][1])
+        return 0 if (a or b) else 1
+
+    def _bs(self, addrP, cellP, addrQ, cellQ, mb_edge: bool,
+            vertical: bool) -> int:
+        st = self.st
+        if st.is_intra(addrP) or st.is_intra(addrQ):
+            # 8.7.2.1: intra MB edges are bS 4 on vertical edges and on
+            # horizontal edges between two FRAME macroblocks; horizontal
+            # edges involving field macroblocks cap at 3
+            if mb_edge and (vertical or (not st.is_field(addrP)
+                                         and not st.is_field(addrQ))):
+                return 4
+            return 3
+        if (self._coded(addrP, cellP & 3, cellP >> 2)
+                or self._coded(addrQ, cellQ & 3, cellQ >> 2)):
+            return 2
+        if st.is_field(addrP) != st.is_field(addrQ):
+            return 1
+        return self._bs_mv(addrP, cellP, addrQ, cellQ)
+
+    def _thresholds(self, addrP, addrQ, bs, chroma_comp):
+        st = self.st
+        qpp = int(st.mb_qp[addrP])
+        qpq = int(st.mb_qp[addrQ])
+        if chroma_comp is None:
+            qav = (qpp + qpq + 1) >> 1
+        else:
+            qav = (HR.chroma_qp(qpp, self.coff[chroma_comp])
+                   + HR.chroma_qp(qpq, self.coff[chroma_comp]) + 1) >> 1
+        aoff = int(st.mb_alpha_off[addrQ])
+        boff = int(st.mb_beta_off[addrQ])
+        ia = min(51, max(0, qav + aoff))
+        ib = min(51, max(0, qav + boff))
+        alpha = T.DEBLOCK_ALPHA[ia]
+        beta = T.DEBLOCK_BETA[ib]
+        tc0 = T.DEBLOCK_TC0[bs - 1][ia] if bs < 4 else 0
+        return alpha, beta, tc0
+
+    # -- line filters over explicit sample index lists ----------------------
+
+    def _filter_v(self, plane, line, x, bs, alpha, beta, tc0, luma):
+        HR._deblock_line(plane, line, x, 0, 1, bs, alpha, beta, tc0, luma)
+
+    def _filter_h(self, plane, x, q_lines, p_lines, bs, alpha, beta, tc0,
+                  luma):
+        """Horizontal-edge filter with explicit absolute line lists:
+        q_lines[k] = line of q_k, p_lines[k] = line of p_k (4 entries
+        each when bS is 4 and luma — the strong filter reads p3/q3)."""
+        p0 = int(plane[p_lines[0], x])
+        p1 = int(plane[p_lines[1], x])
+        p2 = int(plane[p_lines[2], x])
+        q0 = int(plane[q_lines[0], x])
+        q1 = int(plane[q_lines[1], x])
+        q2 = int(plane[q_lines[2], x])
+        if (abs(p0 - q0) >= alpha or abs(p1 - p0) >= beta
+                or abs(q1 - q0) >= beta):
+            return
+        ap = abs(p2 - p0)
+        aq = abs(q2 - q0)
+        if bs < 4:
+            if luma:
+                tc = tc0 + (1 if ap < beta else 0) + (1 if aq < beta else 0)
+            else:
+                tc = tc0 + 1
+            delta = (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3
+            delta = -tc if delta < -tc else tc if delta > tc else delta
+            plane[p_lines[0], x] = HR._clip1(p0 + delta)
+            plane[q_lines[0], x] = HR._clip1(q0 - delta)
+            if luma and ap < beta:
+                d = (p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1
+                d = -tc0 if d < -tc0 else tc0 if d > tc0 else d
+                plane[p_lines[1], x] = p1 + d
+            if luma and aq < beta:
+                d = (q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1
+                d = -tc0 if d < -tc0 else tc0 if d > tc0 else d
+                plane[q_lines[1], x] = q1 + d
+            return
+        if luma:
+            strong = abs(p0 - q0) < (alpha >> 2) + 2
+            if strong and ap < beta:
+                p3 = int(plane[p_lines[3], x])
+                plane[p_lines[0], x] = (
+                    p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3
+                plane[p_lines[1], x] = (p2 + p1 + p0 + q0 + 2) >> 2
+                plane[p_lines[2], x] = (
+                    2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3
+            else:
+                plane[p_lines[0], x] = (2 * p1 + p0 + q1 + 2) >> 2
+            if strong and aq < beta:
+                q3 = int(plane[q_lines[3], x])
+                plane[q_lines[0], x] = (
+                    q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3
+                plane[q_lines[1], x] = (q2 + q1 + q0 + p0 + 2) >> 2
+                plane[q_lines[2], x] = (
+                    2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3
+            else:
+                plane[q_lines[0], x] = (2 * q1 + q0 + p1 + 2) >> 2
+        else:
+            plane[p_lines[0], x] = (2 * p1 + p0 + q1 + 2) >> 2
+            plane[q_lines[0], x] = (2 * q1 + q0 + p1 + 2) >> 2
+
+    # -- per-MB driver ------------------------------------------------------
+
+    def _p_mb_of_line(self, line: int, pair_x: int, chroma: bool):
+        band = 16 if chroma else 32
+        st = self.st
+        pair_y = line // band
+        pair = pair_y * st.mb_w + pair_x
+        local = line - pair_y * band
+        if st.field_flag[pair]:
+            return 2 * pair + (local & 1), local >> 1
+        half = band // 2
+        if local < half:
+            return 2 * pair, local
+        return 2 * pair + 1, local - half
+
+    def deblock_mb(self, addr: int) -> None:
+        st, pic = self.st, self.pic
+        px, py = st.pair_xy(addr)
+        disable = int(st.mb_disable[addr])
+        tf8 = int(st.mb_tf8[addr])
+        sid = int(st.slice_id[addr])
+        x0 = st.luma_x0(addr)
+        cx0 = px * 8
+        Y = pic.Y
+
+        def mb_ok(addrN: int) -> bool:
+            if st.slice_id[addrN] < 0:
+                return False
+            if disable == 2 and st.slice_id[addrN] != sid:
+                return False
+            return True
+
+        # ---- vertical edges ----
+        for e in range(4):
+            if e == 0:
+                if px == 0:
+                    continue
+                left_pair = py * st.mb_w + px - 1
+                mixed = bool(st.field_flag[left_pair]) != st.is_field(addr)
+                if mixed:
+                    # two passes: one per left-pair MB, 8 lines each,
+                    # bS per 2 lines
+                    for j in range(2):
+                        addrP = 2 * left_pair + j
+                        if not mb_ok(addrP):
+                            continue
+                        if st.is_field(addr):
+                            rows = [8 * j + i for i in range(8)]
+                        else:
+                            rows = [j + 2 * i for i in range(8)]
+                        for g in range(4):
+                            r0, r1 = rows[2 * g], rows[2 * g + 1]
+                            line0 = st.luma_y(addr, r0)
+                            _, pr = self._p_mb_of_line(line0, px - 1, False)
+                            cellQ = 4 * (r0 >> 2)
+                            cellP = 4 * (pr >> 2) + 3
+                            bs = self._bs(addrP, cellP, addr, cellQ,
+                                          True, True)
+                            if bs == 0:
+                                continue
+                            alpha, beta, tc0 = self._thresholds(
+                                addrP, addr, bs, None)
+                            if alpha == 0 or beta == 0:
+                                continue
+                            for rr in (r0, r1):
+                                self._filter_v(Y, st.luma_y(addr, rr), x0,
+                                               bs, alpha, beta, tc0, True)
+                            # chroma: one line per 2 luma lines
+                            # (curr field pass j: rows 4j+g; curr frame
+                            # pass j: rows j + 2g)
+                            if st.is_field(addr):
+                                crow = 4 * j + g
+                            else:
+                                crow = j + 2 * g
+                            cl = st.chroma_y(addr, crow)
+                            for comp, plane in ((0, pic.U), (1, pic.V)):
+                                ca, cbta, ctc0 = self._thresholds(
+                                    addrP, addr, bs, comp)
+                                if ca == 0 or cbta == 0:
+                                    continue
+                                HR._deblock_line(plane, cl, cx0, 0, 1, bs,
+                                                 ca, cbta, ctc0, False)
+                    continue
+                addrP = 2 * left_pair + (addr & 1)
+                if not mb_ok(addrP):
+                    continue
+                for seg in range(4):
+                    cellQ = 4 * seg
+                    cellP = 4 * seg + 3
+                    bs = self._bs(addrP, cellP, addr, cellQ, True, True)
+                    if bs == 0:
+                        continue
+                    alpha, beta, tc0 = self._thresholds(addrP, addr, bs,
+                                                        None)
+                    if alpha != 0 and beta != 0:
+                        for i in range(4):
+                            self._filter_v(Y, st.luma_y(addr, 4 * seg + i),
+                                           x0, bs, alpha, beta, tc0, True)
+                    for comp, plane in ((0, pic.U), (1, pic.V)):
+                        ca, cb, ctc0 = self._thresholds(addrP, addr, bs,
+                                                        comp)
+                        if ca == 0 or cb == 0:
+                            continue
+                        for i in range(2):
+                            HR._deblock_line(
+                                plane, st.chroma_y(addr, 2 * seg + i), cx0,
+                                0, 1, bs, ca, cb, ctc0, False)
+                continue
+            if tf8 and (e & 1):
+                continue
+            for seg in range(4):
+                cellQ = 4 * seg + e
+                cellP = 4 * seg + e - 1
+                bs = self._bs(addr, cellP, addr, cellQ, False, True)
+                if bs == 0:
+                    continue
+                alpha, beta, tc0 = self._thresholds(addr, addr, bs, None)
+                if alpha != 0 and beta != 0:
+                    for i in range(4):
+                        self._filter_v(Y, st.luma_y(addr, 4 * seg + i),
+                                       x0 + 4 * e, bs, alpha, beta, tc0,
+                                       True)
+                if e == 2:
+                    for comp, plane in ((0, pic.U), (1, pic.V)):
+                        ca, cb, ctc0 = self._thresholds(addr, addr, bs,
+                                                        comp)
+                        if ca == 0 or cb == 0:
+                            continue
+                        for i in range(2):
+                            HR._deblock_line(
+                                plane, st.chroma_y(addr, 2 * seg + i),
+                                cx0 + 4, 0, 1, bs, ca, cb, ctc0, False)
+
+        # ---- horizontal edges ----
+        for e in range(4):
+            if e == 0:
+                top_line = st.luma_y(addr, -1)
+                if top_line < 0:
+                    continue
+                # the special two-pass case applies only to the TOP MB of
+                # a FRAME pair whose ABOVE pair is field-coded
+                special = (not st.is_field(addr) and (addr & 1) == 0
+                           and py > 0
+                           and bool(st.field_flag[(py - 1) * st.mb_w + px]))
+                if special:
+                    above_pair = (py - 1) * st.mb_w + px
+                    for f in range(2):
+                        addrP = 2 * above_pair + f
+                        if not mb_ok(addrP):
+                            continue
+                        q_lines = [st.luma_y(addr, f + 2 * k)
+                                   for k in range(4)]
+                        p_lines = [st.luma_y(addrP, 15 - k)
+                                   for k in range(4)]
+                        for seg in range(4):
+                            cellQ = seg
+                            cellP = 12 + seg
+                            bs = self._bs(addrP, cellP, addr, cellQ,
+                                          True, False)
+                            if bs == 0:
+                                continue
+                            alpha, beta, tc0 = self._thresholds(
+                                addrP, addr, bs, None)
+                            if alpha != 0 and beta != 0:
+                                for i in range(4):
+                                    self._filter_h(Y, x0 + 4 * seg + i,
+                                                   q_lines, p_lines, bs,
+                                                   alpha, beta, tc0, True)
+                            for comp, plane in ((0, pic.U), (1, pic.V)):
+                                ca, cb, ctc0 = self._thresholds(
+                                    addrP, addr, bs, comp)
+                                if ca == 0 or cb == 0:
+                                    continue
+                                cq = [st.chroma_y(addr, f + 2 * k)
+                                      for k in range(3)]
+                                cp = [st.chroma_y(addrP, 7 - k)
+                                      for k in range(3)]
+                                for i in range(2):
+                                    self._filter_h(plane,
+                                                   cx0 + 2 * seg + i,
+                                                   cq, cp, bs, ca, cb,
+                                                   ctc0, False)
+                    continue
+                addrP, prow = self._p_mb_of_line(top_line, px, False)
+                if not mb_ok(addrP):
+                    continue
+                q_lines = [st.luma_y(addr, k) for k in range(4)]
+                p_lines = [st.luma_y(addr, -1 - k) for k in range(4)]
+                mb_edge = addrP != addr
+                for seg in range(4):
+                    cellQ = seg
+                    cellP = 4 * (prow >> 2) + seg
+                    bs = self._bs(addrP, cellP, addr, cellQ, mb_edge,
+                                  False)
+                    if bs == 0:
+                        continue
+                    alpha, beta, tc0 = self._thresholds(addrP, addr, bs,
+                                                        None)
+                    if alpha != 0 and beta != 0:
+                        for i in range(4):
+                            self._filter_h(Y, x0 + 4 * seg + i, q_lines,
+                                           p_lines, bs, alpha, beta, tc0,
+                                           True)
+                    for comp, plane in ((0, pic.U), (1, pic.V)):
+                        ca, cb, ctc0 = self._thresholds(addrP, addr, bs,
+                                                        comp)
+                        if ca == 0 or cb == 0:
+                            continue
+                        cq = [st.chroma_y(addr, k) for k in range(3)]
+                        cp = [st.chroma_y(addr, -1 - k) for k in range(3)]
+                        for i in range(2):
+                            self._filter_h(plane, cx0 + 2 * seg + i, cq,
+                                           cp, bs, ca, cb, ctc0, False)
+                continue
+            if tf8 and (e & 1):
+                continue
+            q_lines = [st.luma_y(addr, 4 * e + k) for k in range(4)]
+            p_lines = [st.luma_y(addr, 4 * e - 1 - k) for k in range(4)]
+            for seg in range(4):
+                cellQ = 4 * e + seg
+                cellP = 4 * (e - 1) + seg
+                bs = self._bs(addr, cellP, addr, cellQ, False, False)
+                if bs == 0:
+                    continue
+                alpha, beta, tc0 = self._thresholds(addr, addr, bs, None)
+                if alpha != 0 and beta != 0:
+                    for i in range(4):
+                        self._filter_h(Y, x0 + 4 * seg + i, q_lines,
+                                       p_lines, bs, alpha, beta, tc0, True)
+                if e == 2:
+                    cq = [st.chroma_y(addr, 4 + k) for k in range(3)]
+                    cp = [st.chroma_y(addr, 3 - k) for k in range(3)]
+                    for comp, plane in ((0, pic.U), (1, pic.V)):
+                        ca, cb, ctc0 = self._thresholds(addr, addr, bs,
+                                                        comp)
+                        if ca == 0 or cb == 0:
+                            continue
+                        for i in range(2):
+                            self._filter_h(plane, cx0 + 2 * seg + i, cq,
+                                           cp, bs, ca, cb, ctc0, False)
+
+
 def deblock_picture_mbaff(pic) -> None:
-    """MBAFF deblocking (8.7 with MbaffFrameFlag) — next stage; streams
-    with the filter disabled (x264 --no-deblock) pass through."""
+    """MBAFF deblocking driver (8.7, MbaffFrameFlag = 1)."""
     st = pic.mbaff
-    decoded = st.slice_id >= 0
-    if np.any(decoded & (st.mb_disable != 1)):
-        raise NotImplementedError("MBAFF deblocking: next stage")
+    db = _MbaffDeblock(pic)
+    n = st.mb_w * st.mb_h
+    for addr in range(n):
+        if st.slice_id[addr] < 0:
+            continue
+        if st.mb_disable[addr] == 1:
+            continue
+        db.deblock_mb(addr)

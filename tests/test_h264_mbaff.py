@@ -185,3 +185,53 @@ class TestMbaffB:
 
     def test_multi_idr(self, tmp_path):
         self._check(tmp_path, self.BASE + ":ref=2:keyint=4:qp=26")
+
+
+class TestMbaffDeblock:
+    """Deblocking ON (8.7 with MbaffFrameFlag): frame/field/mixed edges,
+    two-pass mixed top edges, field MV thresholds, slice offsets."""
+
+    BASE = "cabac=0:interlaced=1:tff=1:keyint=50:scenecut=0:b-adapt=0"
+
+    def _check(self, tmp_path, params, bframes=0, frames=None,
+               size=(128, 96)):
+        if frames is None:
+            frames = mixed_frames(8, size)
+        es = _x264_stream(size[0], size[1], frames, params, bframes=bframes)
+        _assert_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+
+    def test_intra_mixed(self, tmp_path):
+        self._check(tmp_path, "keyint=1:cabac=0:8x8dct=0:interlaced=1:"
+                    "tff=1:qp=32", frames=mixed_frames(3, (128, 96)))
+
+    def test_intra_8x8(self, tmp_path):
+        self._check(tmp_path, "keyint=1:cabac=0:8x8dct=1:interlaced=1:"
+                    "tff=1:qp=28", frames=mixed_frames(3, (128, 96)))
+
+    def test_p(self, tmp_path):
+        self._check(tmp_path, self.BASE + ":8x8dct=0:bframes=0:ref=2:qp=30")
+
+    def test_p_offsets(self, tmp_path):
+        self._check(tmp_path, self.BASE
+                    + ":8x8dct=0:bframes=0:ref=2:qp=30:deblock=2,-1")
+
+    def test_p_all_field(self, tmp_path):
+        self._check(tmp_path, self.BASE + ":8x8dct=0:bframes=0:ref=2:qp=28",
+                    frames=interlaced_frames(8, (96, 96)), size=(96, 96))
+
+    def test_b_8x8_multiref(self, tmp_path):
+        self._check(tmp_path, self.BASE + ":8x8dct=1:ref=3:subme=7:crf=28",
+                    bframes=2)
+
+    def test_b_pyramid(self, tmp_path):
+        self._check(tmp_path, self.BASE
+                    + ":8x8dct=1:ref=3:b-pyramid=normal:qp=28", bframes=3)
+
+    def test_b_all_field(self, tmp_path):
+        self._check(tmp_path, self.BASE + ":8x8dct=1:ref=2:qp=26",
+                    bframes=2, frames=interlaced_frames(10, (96, 96)),
+                    size=(96, 96))
+
+    def test_partitions(self, tmp_path):
+        self._check(tmp_path, self.BASE
+                    + ":8x8dct=1:bframes=0:partitions=all:subme=9:crf=27")
