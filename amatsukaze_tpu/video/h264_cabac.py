@@ -550,3 +550,14 @@ class CabacSlice:
 
     def end_of_slice(self) -> int:
         return self.e.terminate()
+
+
+# significance-map context increments for 8x8 blocks in FIELD-coded
+# macroblocks (Table 9-43 field column); field MBs also use the distinct
+# ctxIdxOffset blocks 277/338 (4x4 cats) and 436/451 (8x8) per Table 9-40.
+SIG_COEFF_8x8_FIELD = (
+    0, 1, 1, 2, 2, 3, 3, 4, 5, 6, 7, 7, 7, 8, 4, 5,
+    6, 9, 10, 10, 8, 11, 12, 11, 9, 9, 10, 10, 8, 11, 12, 11,
+    9, 9, 10, 10, 8, 11, 12, 11, 9, 9, 10, 10, 8, 13, 13, 9,
+    9, 10, 10, 8, 13, 13, 9, 9, 10, 10, 14, 14, 14, 14, 14,
+)

@@ -775,7 +775,506 @@ class MbaffSlice:
             self.decode_skip_mb(pending_top)
 
     def decode_cabac(self, rbsp: bytes) -> None:
-        raise NotImplementedError("MBAFF CABAC: next stage")
+        """CABAC slice data (7.3.4 with MbaffFrameFlag = 1): mb_skip per
+        MB, mb_field_decoding_flag at the first coded MB of each pair
+        (7.4.4 inference pre-seeds the flag for context derivation),
+        end_of_slice after bottom MBs only."""
+        h = self.h
+        st = self.st
+        cb = MbaffCabac(self, rbsp, h)
+        n_mbs = st.mb_w * st.mb_h
+        addr = h.first_mb * 2
+        pending_top = None
+        is_pb = h.slice_type in (HR.SLICE_P, HR.SLICE_B)
+        while addr < n_mbs:
+            if (addr & 1) == 0:
+                # pre-seed the pair flag for ctx/geometry until read
+                st.field_flag[addr >> 1] = self.infer_field_flag(addr >> 1)
+            skipped = False
+            if is_pb:
+                self.cur_addr = addr
+                if (addr & 1) == 0:
+                    self._mark_mb(addr)  # skip ctx availability
+                skipped = bool(cb.mb_skip_flag(addr))
+            if skipped:
+                if (addr & 1) == 0:
+                    st.mb_skip[addr] = 1
+                    st.slice_id[addr] = self.sid
+                    if h.slice_type == HR.SLICE_B:
+                        st.mb_bdirect[addr] = 1
+                    pending_top = addr
+                else:
+                    if pending_top is not None:
+                        # both skipped: inference already seeded
+                        self.decode_skip_mb(pending_top)
+                        pending_top = None
+                    self.decode_skip_mb(addr)
+                cb.prev_qp_delta_nz = 0
+            else:
+                if (addr & 1) == 0 or pending_top is not None:
+                    st.field_flag[addr >> 1] = cb.mb_field_decoding_flag(
+                        addr)
+                if pending_top is not None:
+                    self.decode_skip_mb(pending_top)
+                    pending_top = None
+                self._mark_mb(addr)
+                self.cur_addr = addr
+                self.cur_z = 0
+                self.decode_mb_cabac(cb, addr)
+            if (addr & 1) == 1:
+                if pending_top is not None:
+                    self.decode_skip_mb(pending_top)
+                    pending_top = None
+                if cb.end_of_slice():
+                    break
+            addr += 1
+        if pending_top is not None:
+            self.decode_skip_mb(pending_top)
+
+    def decode_mb_cabac(self, cb: "MbaffCabac", addr: int) -> None:
+        stp = self.h.slice_type
+        if stp == HR.SLICE_P:
+            mb_type = cb.mb_type_p(addr)
+            if mb_type < 5:
+                self._decode_p_mb_cabac(cb, addr, mb_type)
+            else:
+                self._decode_intra_mb_cabac(cb, addr, mb_type - 5)
+        elif stp == HR.SLICE_B:
+            mb_type = cb.mb_type_b(addr)
+            if mb_type < 23:
+                self._decode_b_mb_cabac(cb, addr, mb_type)
+            else:
+                self._decode_intra_mb_cabac(cb, addr, mb_type - 23)
+        else:
+            mb_type = cb.mb_type_i(addr)
+            self._decode_intra_mb_cabac(cb, addr, mb_type)
+
+    def _decode_intra_mb_cabac(self, cb, addr: int, imb: int) -> None:
+        if imb == 25:
+            self._decode_ipcm_cabac(cb, addr)
+            return
+        if imb == 0:
+            tf8 = 0
+            if self.pps.transform_8x8_mode:
+                tf8 = cb.transform_size_8x8(addr)
+            if tf8:
+                self._decode_i8x8_cabac(cb, addr)
+            else:
+                self._decode_i4x4_cabac(cb, addr)
+            return
+        self._decode_i16_cabac(cb, addr, imb - 1)
+
+    def _decode_ipcm_cabac(self, cb, addr: int) -> None:
+        st, pic = self.st, self.pic
+        e = cb.e
+        if e.pos & 7:
+            e.pos += 8 - (e.pos & 7)
+        data = e.data
+        p = e.pos >> 3
+        x0 = st.luma_x0(addr)
+        for yy in range(16):
+            ly = st.luma_y(addr, yy)
+            for xx in range(16):
+                pic.Y[ly, x0 + xx] = data[p]
+                p += 1
+        cx0 = (st.pair_of(addr) % st.mb_w) * 8
+        for plane in (pic.U, pic.V):
+            for yy in range(8):
+                cy = st.chroma_y(addr, yy)
+                for xx in range(8):
+                    plane[cy, cx0 + xx] = data[p]
+                    p += 1
+        e.pos = p << 3
+        e.range_ = 510
+        off = 0
+        for _ in range(9):
+            off = (off << 1) | e._bit()
+        e.offset = off
+        st.mb_class[addr] = HR.MB_IPCM
+        st.nnz_y[addr, :] = 16
+        st.nnz_c[addr, :, :] = 16
+        st.cbf_y[addr, :] = 1
+        st.cbf_c[addr, :, :] = 1
+        st.mb_qp[addr] = 0
+        st.mb_cbp[addr] = 0x2F
+        cb.prev_qp_delta_nz = 0
+
+    def _qp_delta_cabac(self, cb, addr: int, cbp: int, always: bool) -> None:
+        st = self.st
+        if cbp or always:
+            self.qp = (self.qp + cb.mb_qp_delta() + 52) % 52
+        else:
+            cb.prev_qp_delta_nz = 0
+        st.mb_qp[addr] = self.qp
+        st.mb_cbp[addr] = cbp
+
+    def _luma4_res_cabac(self, cb, addr: int, k: int, cat: int):
+        st = self.st
+        x4, y4 = HR._Z_TO_XY[k]
+        blk = cb.residual(addr, cat, 15 if cat == 1 else 16, (x4, y4))
+        cell = 4 * y4 + x4
+        if blk is None:
+            st.cbf_y[addr, cell] = 0
+            st.nnz_y[addr, cell] = 0
+            return None
+        st.cbf_y[addr, cell] = 1
+        st.nnz_y[addr, cell] = sum(1 for c in blk if c)
+        return blk
+
+    def _decode_i4x4_cabac(self, cb, addr: int) -> None:
+        st = self.st
+        st.mb_class[addr] = HR.MB_I4
+        modes = [2] * 16
+        for k in range(16):
+            x4, y4 = HR._Z_TO_XY[k]
+            self.cur_z = k
+            ma = self._i4_mode_nbr(addr, 4 * x4 - 1, 4 * y4)
+            mb_ = self._i4_mode_nbr(addr, 4 * x4, 4 * y4 - 1)
+            pred = 2 if (ma is None or mb_ is None) else min(ma, mb_)
+            mode = cb.intra_pred_mode(pred)
+            modes[k] = mode
+            st.i4_modes[addr, 4 * y4 + x4] = mode
+        chroma_mode = cb.chroma_pred_mode(addr)
+        st.mb_chroma_mode[addr] = chroma_mode
+        cbp = cb.cbp(addr)
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        self._qp_delta_cabac(cb, addr, cbp, False)
+        coeffs = [None] * 16
+        for k in range(16):
+            if cbp_luma & (1 << (k >> 2)):
+                self.cur_z = k
+                coeffs[k] = self._luma4_res_cabac(cb, addr, k, 2)
+        for k in range(16):
+            self.cur_z = k
+            self._recon_i4_block(addr, k, modes[k], coeffs[k])
+        self.cur_z = 16
+        self._decode_chroma_cabac(cb, addr, chroma_mode, cbp_chroma, True)
+
+    def _decode_i8x8_cabac(self, cb, addr: int) -> None:
+        st = self.st
+        st.mb_class[addr] = HR.MB_I8
+        st.mb_tf8[addr] = 1
+        modes = [2] * 4
+        for b in range(4):
+            bx, by = (b & 1) * 2, (b >> 1) * 2
+            self.cur_z = HR._XY_TO_Z[(bx, by)]
+            ma = self._i4_mode_nbr(addr, 4 * bx - 1, 4 * by)
+            mb_ = self._i4_mode_nbr(addr, 4 * bx, 4 * by - 1)
+            pred = 2 if (ma is None or mb_ is None) else min(ma, mb_)
+            mode = cb.intra_pred_mode(pred)
+            modes[b] = mode
+            for dy in range(2):
+                for dx in range(2):
+                    st.i4_modes[addr, 4 * (by + dy) + bx + dx] = mode
+        chroma_mode = cb.chroma_pred_mode(addr)
+        st.mb_chroma_mode[addr] = chroma_mode
+        cbp = cb.cbp(addr)
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        self._qp_delta_cabac(cb, addr, cbp, False)
+        coeffs = [None] * 4
+        for b in range(4):
+            bx, by = (b & 1) * 2, (b >> 1) * 2
+            if cbp_luma & (1 << b):
+                blk = cb.residual(addr, 5, 64)
+                coeffs[b] = blk
+                nz = sum(1 for c in blk if c)
+                for dy in range(2):
+                    for dx in range(2):
+                        st.cbf_y[addr, 4 * (by + dy) + bx + dx] = 1
+                        st.nnz_y[addr, 4 * (by + dy) + bx + dx] = nz
+        for b in range(4):
+            self.cur_z = HR._XY_TO_Z[((b & 1) * 2, (b >> 1) * 2)]
+            self._recon_i8_block(addr, b, modes[b], coeffs[b])
+        self.cur_z = 16
+        self._decode_chroma_cabac(cb, addr, chroma_mode, cbp_chroma, True)
+
+    def _decode_i16_cabac(self, cb, addr: int, k: int) -> None:
+        st = self.st
+        pred_mode = k % 4
+        cbp_chroma = (k // 4) % 3
+        cbp_luma = 15 if k >= 12 else 0
+        st.mb_class[addr] = HR.MB_I16
+        chroma_mode = cb.chroma_pred_mode(addr)
+        st.mb_chroma_mode[addr] = chroma_mode
+        self._qp_delta_cabac(cb, addr, cbp_luma | (cbp_chroma << 4), True)
+        dc = cb.residual(addr, 0, 16, None)
+        if dc is not None:
+            st.mb_dc_flag[addr] |= 1
+        dc_scan = dc if dc is not None else [0] * 16
+        coeffs = [None] * 16
+        if cbp_luma:
+            for kk in range(16):
+                self.cur_z = kk
+                coeffs[kk] = self._luma4_res_cabac(cb, addr, kk, 1)
+        self.cur_z = 16
+        self._recon_i16(addr, pred_mode, dc_scan, coeffs)
+        self._decode_chroma_cabac(cb, addr, chroma_mode, cbp_chroma, True)
+
+    def _decode_chroma_cabac(self, cb, addr: int, chroma_mode: int,
+                             cbp_chroma: int, intra: bool) -> None:
+        st = self.st
+        dc_scan = [[0] * 4, [0] * 4]
+        if cbp_chroma:
+            for comp in range(2):
+                blk = cb.residual(addr, 3, 4, comp)
+                if blk is not None:
+                    dc_scan[comp] = blk
+                    st.mb_dc_flag[addr] |= 2 << comp
+        coeffs = [[None] * 4 for _ in range(2)]
+        if cbp_chroma & 2:
+            for comp in range(2):
+                for b in range(4):
+                    cx, cy = (b & 1), (b >> 1)
+                    blk = cb.residual(addr, 4, 15, (comp, cx, cy))
+                    coeffs[comp][b] = blk
+                    cell = 2 * cy + cx
+                    if blk is None:
+                        st.cbf_c[addr, comp, cell] = 0
+                        st.nnz_c[addr, comp, cell] = 0
+                    else:
+                        st.cbf_c[addr, comp, cell] = 1
+                        st.nnz_c[addr, comp, cell] = sum(
+                            1 for c in blk if c)
+        self._recon_chroma(addr, chroma_mode, dc_scan, coeffs, intra)
+
+    def _part_motion_cabac(self, cb, addr: int, l: int, bx4, by4, w4, h4,
+                           ref_idx: int, kind: str = "", part_i: int = 0):
+        self.cur_z = HR._XY_TO_Z[(bx4, by4)]
+        mvdx = cb.mvd(addr, l, bx4, by4, 0)
+        mvdy = cb.mvd(addr, l, bx4, by4, 1)
+        px, py = self._mv_pred(addr, bx4, by4, w4, h4, ref_idx, kind,
+                               part_i, l)
+        mv = (px + mvdx, py + mvdy)
+        self._store_part_mv(addr, bx4, by4, w4, h4, ref_idx, mv[0], mv[1], l)
+        self._store_part_mvd(addr, bx4, by4, w4, h4, l, mvdx, mvdy)
+        return mv
+
+    def _decode_p_mb_cabac(self, cb, addr: int, mb_type: int) -> None:
+        st = self.st
+        st.mb_class[addr] = HR.MB_P
+        n0 = self._n_act(addr, 0)
+        predY = np.empty((16, 16), np.int32)
+        predU = np.empty((8, 8), np.int32)
+        predV = np.empty((8, 8), np.int32)
+        sub_types = None
+        if mb_type in (0, 1, 2):
+            kind, parts = HR._SliceCtx._P_PARTS[mb_type]
+            refs = []
+            for (bx4, by4, w4, h4) in parts:
+                self.cur_z = HR._XY_TO_Z[(bx4, by4)]
+                rr = cb.ref_idx(addr, 0, bx4, by4) if n0 > 1 else 0
+                refs.append(rr)
+                for y in range(by4, by4 + h4):
+                    for x in range(bx4, bx4 + w4):
+                        st.ref_idx[addr, 0, 4 * y + x] = rr
+            for i, (bx4, by4, w4, h4) in enumerate(parts):
+                mv = self._part_motion_cabac(cb, addr, 0, bx4, by4, w4, h4,
+                                             refs[i], kind, i)
+                self._mc_part(addr, predY, predU, predV, bx4, by4, w4, h4,
+                              refs[i], mv[0], mv[1])
+        else:
+            sub_types = [cb.sub_mb_type_p() for _ in range(4)]
+            refs = [0, 0, 0, 0]
+            for b in range(4):
+                bx0, by0 = (b & 1) * 2, (b >> 1) * 2
+                if mb_type == 3 and n0 > 1:
+                    self.cur_z = HR._XY_TO_Z[(bx0, by0)]
+                    refs[b] = cb.ref_idx(addr, 0, bx0, by0)
+                for y in range(by0, by0 + 2):
+                    for x in range(bx0, bx0 + 2):
+                        st.ref_idx[addr, 0, 4 * y + x] = refs[b]
+            for b in range(4):
+                bx0, by0 = (b & 1) * 2, (b >> 1) * 2
+                for (sx, sy, w4, h4) in HR._SliceCtx._SUB_PARTS[sub_types[b]]:
+                    bx4, by4 = bx0 + sx, by0 + sy
+                    mv = self._part_motion_cabac(cb, addr, 0, bx4, by4,
+                                                 w4, h4, refs[b])
+                    self._mc_part(addr, predY, predU, predV, bx4, by4,
+                                  w4, h4, refs[b], mv[0], mv[1])
+        self.cur_z = 16
+        tf8_ok = mb_type in (0, 1, 2) or all(stp == 0 for stp in sub_types)
+        self._inter_residual_cabac(cb, addr, predY, predU, predV, tf8_ok)
+
+    def _decode_b_mb_cabac(self, cb, addr: int, mb_type: int) -> None:
+        st = self.st
+        self._direct_cache = None
+        st.mb_class[addr] = HR.MB_B
+        predY = np.empty((16, 16), np.int32)
+        predU = np.empty((8, 8), np.int32)
+        predV = np.empty((8, 8), np.int32)
+        if mb_type == 0:
+            st.mb_bdirect[addr] = 1
+            for b in range(4):
+                self._decode_direct_8x8(addr, b, predY, predU, predV)
+            self.cur_z = 16
+            self._inter_residual_cabac(cb, addr, predY, predU, predV,
+                                       bool(self.sps.direct_8x8_inference))
+            return
+        tf8_ok = True
+        SC = HR._SliceCtx
+        if mb_type < 22:
+            kind, preds = SC._B_TYPES[mb_type]
+            parts = SC._PART_GEOM[kind]
+            np_ = len(parts)
+            refs = [[-1] * np_, [-1] * np_]
+            for l in (0, 1):
+                for i, pm in enumerate(preds):
+                    if pm == 2 or pm == l:
+                        bx4, by4, w4, h4 = parts[i]
+                        self.cur_z = HR._XY_TO_Z[(bx4, by4)]
+                        rr = (cb.ref_idx(addr, l, bx4, by4)
+                              if self._n_act(addr, l) > 1 else 0)
+                        refs[l][i] = rr
+                        for y in range(by4, by4 + h4):
+                            for x in range(bx4, bx4 + w4):
+                                st.ref_idx[addr, l, 4 * y + x] = rr
+            mvs = [[None] * np_, [None] * np_]
+            for l in (0, 1):
+                for i, (bx4, by4, w4, h4) in enumerate(parts):
+                    if refs[l][i] < 0:
+                        continue
+                    mvs[l][i] = self._part_motion_cabac(
+                        cb, addr, l, bx4, by4, w4, h4, refs[l][i], kind, i)
+            for i, (bx4, by4, w4, h4) in enumerate(parts):
+                p0 = (self._fetch_pred(addr, 0, refs[0][i], bx4, by4, w4, h4,
+                                       *mvs[0][i]) if refs[0][i] >= 0
+                      else None)
+                p1 = (self._fetch_pred(addr, 1, refs[1][i], bx4, by4, w4, h4,
+                                       *mvs[1][i]) if refs[1][i] >= 0
+                      else None)
+                self._combine_store(addr, predY, predU, predV, bx4, by4,
+                                    w4, h4, p0, p1, refs[0][i], refs[1][i])
+        else:
+            sub_types = [cb.sub_mb_type_b() for _ in range(4)]
+            if any(stp > 12 for stp in sub_types):
+                raise EOFError_(f"bad B sub_mb_type {sub_types}")
+            for b in range(4):
+                if SC._B_SUB[sub_types[b]][0] == -1:
+                    self.cur_z = HR._XY_TO_Z[((b & 1) * 2, (b >> 1) * 2)]
+                    self._decode_direct_8x8(addr, b, predY, predU, predV)
+            refs = [[-1] * 4, [-1] * 4]
+            for l in (0, 1):
+                for b in range(4):
+                    pm = SC._B_SUB[sub_types[b]][0]
+                    if pm == 2 or pm == l:
+                        bx0, by0 = (b & 1) * 2, (b >> 1) * 2
+                        self.cur_z = HR._XY_TO_Z[(bx0, by0)]
+                        rr = (cb.ref_idx(addr, l, bx0, by0)
+                              if self._n_act(addr, l) > 1 else 0)
+                        refs[l][b] = rr
+                        for y in range(by0, by0 + 2):
+                            for x in range(bx0, bx0 + 2):
+                                st.ref_idx[addr, l, 4 * y + x] = rr
+            submvs = {}
+            for l in (0, 1):
+                for b in range(4):
+                    pm, sparts = SC._B_SUB[sub_types[b]]
+                    if pm == -1 or not (pm == 2 or pm == l):
+                        continue
+                    for sp in sparts:
+                        sx, sy, w4, h4 = sp
+                        bx4, by4 = (b & 1) * 2 + sx, (b >> 1) * 2 + sy
+                        submvs[(l, b, sp)] = self._part_motion_cabac(
+                            cb, addr, l, bx4, by4, w4, h4, refs[l][b])
+            for b in range(4):
+                pm, sparts = SC._B_SUB[sub_types[b]]
+                if pm == -1:
+                    continue
+                for sp in sparts:
+                    sx, sy, w4, h4 = sp
+                    bx4, by4 = (b & 1) * 2 + sx, (b >> 1) * 2 + sy
+                    p0 = p1 = None
+                    if refs[0][b] >= 0:
+                        p0 = self._fetch_pred(addr, 0, refs[0][b], bx4, by4,
+                                              w4, h4, *submvs[(0, b, sp)])
+                    if refs[1][b] >= 0:
+                        p1 = self._fetch_pred(addr, 1, refs[1][b], bx4, by4,
+                                              w4, h4, *submvs[(1, b, sp)])
+                    self._combine_store(addr, predY, predU, predV, bx4, by4,
+                                        w4, h4, p0, p1, refs[0][b],
+                                        refs[1][b])
+            tf8_ok = all(
+                (stp == 0 and self.sps.direct_8x8_inference)
+                or stp in (1, 2, 3)
+                for stp in sub_types)
+        self.cur_z = 16
+        self._inter_residual_cabac(cb, addr, predY, predU, predV, tf8_ok)
+
+    def _inter_residual_cabac(self, cb, addr: int, predY, predU, predV,
+                              tf8_ok: bool) -> None:
+        st, pic = self.st, self.pic
+        cbp = cb.cbp(addr)
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        tf8 = 0
+        if cbp_luma and tf8_ok and self.pps.transform_8x8_mode:
+            tf8 = cb.transform_size_8x8(addr)
+        st.mb_tf8[addr] = tf8
+        self._qp_delta_cabac(cb, addr, cbp, False)
+        x0 = st.luma_x0(addr)
+        if tf8:
+            scan = self.scan8(addr)
+            for b in range(4):
+                bx, by = (b & 1) * 2, (b >> 1) * 2
+                if not (cbp_luma & (1 << b)):
+                    for yy in range(8):
+                        pic.Y[st.luma_y(addr, by * 4 + yy),
+                              x0 + bx * 4 : x0 + bx * 4 + 8] = np.clip(
+                            predY[by * 4 + yy, bx * 4 : bx * 4 + 8], 0, 255)
+                    continue
+                scan64 = cb.residual(addr, 5, 64)
+                nz = sum(1 for c in scan64 if c)
+                for dy in range(2):
+                    for dx in range(2):
+                        st.cbf_y[addr, 4 * (by + dy) + bx + dx] = 1
+                        st.nnz_y[addr, 4 * (by + dy) + bx + dx] = nz
+                ls = self._dq8(self.qp, 1)
+                d = [0] * 64
+                for sidx in range(64):
+                    c = scan64[sidx]
+                    if c:
+                        pos = scan[sidx]
+                        d[pos] = HR._dequant8_apply(c, ls[pos], self.qp)
+                res = HR._idct8x8(d)
+                for yy in range(8):
+                    row = pic.Y[st.luma_y(addr, by * 4 + yy)]
+                    base = 8 * yy
+                    for xx in range(8):
+                        row[x0 + bx * 4 + xx] = HR._clip1(
+                            int(predY[by * 4 + yy, bx * 4 + xx])
+                            + res[base + xx])
+            self._pred_chroma = (predU, predV)
+            self._decode_chroma_cabac(cb, addr, 0, cbp_chroma, False)
+            return
+        scan = self.scan4(addr)
+        dq = self._dq4(self.qp, 3)
+        for k in range(16):
+            x4, y4 = HR._Z_TO_XY[k]
+            blk = None
+            if cbp_luma & (1 << (k >> 2)):
+                self.cur_z = k
+                blk = self._luma4_res_cabac(cb, addr, k, 2)
+            if blk is None:
+                for yy in range(4):
+                    pic.Y[st.luma_y(addr, y4 * 4 + yy),
+                          x0 + x4 * 4 : x0 + x4 * 4 + 4] = np.clip(
+                        predY[y4 * 4 + yy, x4 * 4 : x4 * 4 + 4], 0, 255)
+                continue
+            d = [0] * 16
+            for sidx in range(16):
+                c = blk[sidx]
+                if c:
+                    pos = scan[sidx]
+                    d[pos] = HR._dequant4_apply(c, dq[pos], self.qp)
+            res = HR._idct4x4(d)
+            for yy in range(4):
+                row = pic.Y[st.luma_y(addr, y4 * 4 + yy)]
+                base = 4 * yy
+                for xx in range(4):
+                    row[x0 + x4 * 4 + xx] = HR._clip1(
+                        int(predY[y4 * 4 + yy, x4 * 4 + xx]) + res[base + xx])
+        self.cur_z = 16
+        self._pred_chroma = (predU, predV)
+        self._decode_chroma_cabac(cb, addr, 0, cbp_chroma, False)
 
     # -- inter: field reference resolution (8.4.2.1) ------------------------
 
@@ -1898,3 +2397,427 @@ def deblock_picture_mbaff(pic) -> None:
         if st.mb_disable[addr] == 1:
             continue
         db.deblock_mb(addr)
+
+
+# ---------------------------------------------------------------------------
+# CABAC MBAFF (9.3 with MbaffFrameFlag): pair-aware contexts + field
+# residual context blocks (Table 9-40: field-coded MBs use sig/last
+# ctxIdxOffsets 277/338 for 4x4 categories and 436/451 for 8x8).
+# ---------------------------------------------------------------------------
+
+from . import h264_cabac as HC
+
+
+class MbaffCabac:
+    """CABAC syntax parser driving an MbaffSlice."""
+
+    def __init__(self, sl: MbaffSlice, rbsp: bytes, h):
+        self.sl = sl
+        self.st = sl.st
+        self.h = h
+        st_i = h.slice_type == HR.SLICE_I
+        self.e = HC.CabacEngine(
+            rbsp, h.data_bit_pos,
+            HC.init_contexts(st_i, h.cabac_init_idc, h.slice_qp))
+        self.prev_qp_delta_nz = 0
+
+    # -- MB-level neighbours (via the line-map derivation) ------------------
+
+    def _mb_nbr(self, addr: int, xN: int, yN: int):
+        r = self.sl._nbr(addr, xN, yN, False)
+        if r is None:
+            return None
+        return r[0]
+
+    def mb_skip_flag(self, addr: int) -> int:
+        st = self.st
+        base = 11 if self.h.slice_type == HR.SLICE_P else 24
+        ctx = 0
+        for n in (self._mb_nbr(addr, -1, 0), self._mb_nbr(addr, 0, -1)):
+            if n is not None and not st.mb_skip[n]:
+                ctx += 1
+        return self.e.decision(base + ctx)
+
+    def mb_field_decoding_flag(self, addr: int) -> int:
+        """9.3.3.1.1.2: ctx from the field flags of the left and above
+        PAIRS (available = top MB in this slice)."""
+        st, sl = self.st, self.sl
+        pair = addr >> 1
+        px, py = pair % st.mb_w, pair // st.mb_w
+        ctx = 0
+        if px > 0 and st.slice_id[2 * (pair - 1)] == sl.sid:
+            ctx += int(st.field_flag[pair - 1])
+        if py > 0 and st.slice_id[2 * (pair - st.mb_w)] == sl.sid:
+            ctx += int(st.field_flag[pair - st.mb_w])
+        return self.e.decision(70 + ctx)
+
+    def _intra_mb_type(self, ctx_base: int, intra_slice: bool,
+                       addr: int) -> int:
+        e = self.e
+        st = self.st
+        base = ctx_base
+        if intra_slice:
+            ctx = 0
+            for n in (self._mb_nbr(addr, -1, 0), self._mb_nbr(addr, 0, -1)):
+                if n is not None and st.mb_class[n] in (HR.MB_I16,
+                                                       HR.MB_IPCM):
+                    ctx += 1
+            if e.decision(base + ctx) == 0:
+                return 0
+            base += 2
+        else:
+            if e.decision(base) == 0:
+                return 0
+        if e.terminate():
+            return 25
+        t = 1
+        t += 12 * e.decision(base + 1)
+        if e.decision(base + 2):
+            t += 4 + 4 * e.decision(base + 2 + (1 if intra_slice else 0))
+        off = 3 + (1 if intra_slice else 0)
+        t += 2 * e.decision(base + off)
+        t += e.decision(base + 3 + (2 if intra_slice else 0))
+        return t
+
+    def mb_type_i(self, addr: int) -> int:
+        return self._intra_mb_type(3, True, addr)
+
+    def mb_type_p(self, addr: int) -> int:
+        e = self.e
+        if e.decision(14):
+            return 5 + self._intra_mb_type(17, False, addr)
+        if e.decision(15) == 0:
+            return 3 * e.decision(16)
+        return 2 - e.decision(17)
+
+    def mb_type_b(self, addr: int) -> int:
+        e = self.e
+        st = self.st
+        ctx = 0
+        for n in (self._mb_nbr(addr, -1, 0), self._mb_nbr(addr, 0, -1)):
+            if n is not None and not st.mb_bdirect[n]:
+                ctx += 1
+        if not e.decision(27 + ctx):
+            return 0
+        if not e.decision(27 + 3):
+            return 1 + e.decision(27 + 5)
+        bits = e.decision(27 + 4) << 3
+        bits |= e.decision(27 + 5) << 2
+        bits |= e.decision(27 + 5) << 1
+        bits |= e.decision(27 + 5)
+        if bits < 8:
+            return bits + 3
+        if bits == 13:
+            return 23 + self._intra_mb_type(32, False, addr)
+        if bits == 14:
+            return 11
+        if bits == 15:
+            return 22
+        bits = (bits << 1) | e.decision(27 + 5)
+        return bits - 4
+
+    def sub_mb_type_p(self) -> int:
+        e = self.e
+        if e.decision(21):
+            return 0
+        if not e.decision(22):
+            return 1
+        return 2 if e.decision(23) else 3
+
+    def sub_mb_type_b(self) -> int:
+        e = self.e
+        if not e.decision(36):
+            return 0
+        if not e.decision(37):
+            return 1 + e.decision(39)
+        t = 3
+        if e.decision(38):
+            if e.decision(39):
+                return 11 + e.decision(39)
+            t += 4
+        t += 2 * e.decision(39)
+        t += e.decision(39)
+        return t
+
+    def intra_pred_mode(self, pred: int) -> int:
+        e = self.e
+        if e.decision(68):
+            return pred
+        rem = e.decision(69)
+        rem |= e.decision(69) << 1
+        rem |= e.decision(69) << 2
+        return rem if rem < pred else rem + 1
+
+    def chroma_pred_mode(self, addr: int) -> int:
+        e = self.e
+        st = self.st
+        ctx = 0
+        for n in (self._mb_nbr(addr, -1, 0), self._mb_nbr(addr, 0, -1)):
+            if n is not None and st.mb_chroma_mode[n] != 0:
+                ctx += 1
+        if not e.decision(64 + ctx):
+            return 0
+        if not e.decision(67):
+            return 1
+        return 3 if e.decision(67) else 2
+
+    def transform_size_8x8(self, addr: int) -> int:
+        st = self.st
+        ctx = 0
+        for n in (self._mb_nbr(addr, -1, 0), self._mb_nbr(addr, 0, -1)):
+            if n is not None and st.mb_tf8[n]:
+                ctx += 1
+        return self.e.decision(399 + ctx)
+
+    def _cbp_luma_bit(self, addr: int, b: int, cur_bits: int) -> int:
+        st, sl = self.st, self.sl
+        x8, y8 = (b & 1), (b >> 1)
+
+        def cond(xN, yN, nb_within):
+            r = sl._nbr(addr, xN, yN, False)
+            if r is None:
+                return 0
+            addrN, xW, yW = r
+            if addrN == addr:
+                nb = (xW >> 3) + 2 * (yW >> 3)
+                return 1 if not (cur_bits & (1 << nb)) else 0
+            if st.mb_class[addrN] == HR.MB_IPCM:
+                return 0
+            nb = (xW >> 3) + 2 * (yW >> 3)
+            return 1 if not (int(st.mb_cbp[addrN]) & (1 << nb)) else 0
+
+        ca = cond(8 * x8 - 1, 8 * y8, None)
+        cb = cond(8 * x8, 8 * y8 - 1, None)
+        return self.e.decision(73 + ca + 2 * cb)
+
+    def cbp(self, addr: int) -> int:
+        bits = 0
+        for b in range(4):
+            bits |= self._cbp_luma_bit(addr, b, bits) << b
+        st = self.st
+
+        def cchroma(n, want2):
+            if n is None:
+                return 0
+            if st.mb_class[n] == HR.MB_IPCM:
+                return 1
+            cc = int(st.mb_cbp[n]) >> 4
+            return 1 if (cc == 2 if want2 else cc != 0) else 0
+
+        na = self._mb_nbr(addr, -1, 0)
+        nb = self._mb_nbr(addr, 0, -1)
+        if self.e.decision(77 + cchroma(na, False) + 2 * cchroma(nb, False)):
+            chroma = 2 if self.e.decision(
+                81 + cchroma(na, True) + 2 * cchroma(nb, True)) else 1
+        else:
+            chroma = 0
+        return bits | (chroma << 4)
+
+    def mb_qp_delta(self) -> int:
+        e = self.e
+        if not e.decision(60 + (1 if self.prev_qp_delta_nz else 0)):
+            self.prev_qp_delta_nz = 0
+            return 0
+        k = 1
+        if e.decision(62):
+            k = 2
+            while k < 90 and e.decision(63):
+                k += 1
+        self.prev_qp_delta_nz = 1
+        return (k + 1) >> 1 if k & 1 else -(k >> 1)
+
+    # -- motion -------------------------------------------------------------
+
+    def ref_idx(self, addr: int, l: int, bx4: int, by4: int) -> int:
+        e = self.e
+        st, sl = self.st, self.sl
+        is_b = self.h.slice_type == HR.SLICE_B
+        ctx = 0
+        for side, (xN, yN) in enumerate(((4 * bx4 - 1, 4 * by4),
+                                         (4 * bx4, 4 * by4 - 1))):
+            r = sl._nbr(addr, xN, yN, False)
+            if r is None:
+                continue
+            addrN, xW, yW = r
+            if (addrN == addr
+                    and HR._XY_TO_Z[(xW >> 2, yW >> 2)] >= sl.cur_z):
+                continue
+            cell = 4 * (yW >> 2) + (xW >> 2)
+            ref = int(st.ref_idx[addrN, l, cell])
+            if ref < 0:
+                continue
+            # refIdxZeroFlag scaling (9.3.3.1.1.6)
+            if st.is_field(addrN) and not st.is_field(addr):
+                ref >>= 1
+            elif st.is_field(addr) and not st.is_field(addrN):
+                ref *= 2
+            if ref > 0 and not (is_b and st.cell_direct[addrN, cell]):
+                ctx += 1 << side
+        ref = 0
+        while e.decision(54 + ctx):
+            ref += 1
+            if ref > 32:
+                raise ValueError("bad ref_idx")
+            ctx = (ctx >> 2) + 4
+        return ref
+
+    def _mvd_nbr_abs(self, addr: int, xN: int, yN: int, l: int,
+                     comp: int) -> int:
+        st, sl = self.st, self.sl
+        r = sl._nbr(addr, xN, yN, False)
+        if r is None:
+            return 0
+        addrN, xW, yW = r
+        if addrN == addr and HR._XY_TO_Z[(xW >> 2, yW >> 2)] >= sl.cur_z:
+            return 0
+        cell = 4 * (yW >> 2) + (xW >> 2)
+        v = abs(int(st.mvd[addrN, l, cell, comp]))
+        if comp == 1:
+            # vertical mvd scaling across interleaves (libavcodec
+            # mvd_cache MAP_F2F: shifts)
+            if st.is_field(addrN) and not st.is_field(addr):
+                v <<= 1
+            elif st.is_field(addr) and not st.is_field(addrN):
+                v >>= 1
+        return v
+
+    def mvd(self, addr: int, l: int, bx4: int, by4: int, comp: int) -> int:
+        e = self.e
+        amvd = (self._mvd_nbr_abs(addr, 4 * bx4 - 1, 4 * by4, l, comp)
+                + self._mvd_nbr_abs(addr, 4 * bx4, 4 * by4 - 1, l, comp))
+        base = 40 if comp == 0 else 47
+        ctx = 0 if amvd < 3 else (2 if amvd > 32 else 1)
+        if not e.decision(base + ctx):
+            return 0
+        mvd = 1
+        ctx = 3
+        while mvd < 9 and e.decision(base + ctx):
+            if mvd < 4:
+                ctx += 1
+            mvd += 1
+        if mvd >= 9:
+            k = 3
+            while e.bypass():
+                mvd += 1 << k
+                k += 1
+                if k > 24:
+                    raise ValueError("bad mvd")
+            while k:
+                k -= 1
+                mvd += e.bypass() << k
+        return -mvd if e.bypass() else mvd
+
+    # -- residual blocks ----------------------------------------------------
+
+    def _cbf_nbr(self, addr: int, cat: int, info, side: int) -> int:
+        st, sl = self.st, self.sl
+        cur_intra = st.is_intra(addr)
+        if cat in (0, 3):
+            n = (self._mb_nbr(addr, -1, 0) if side == 0
+                 else self._mb_nbr(addr, 0, -1))
+            if n is None:
+                return 1 if cur_intra else 0
+            cls = st.mb_class[n]
+            if cls == HR.MB_IPCM:
+                return 1
+            if cat == 0:
+                if cls != HR.MB_I16:
+                    return 0
+                return 1 if (st.mb_dc_flag[n] & 1) else 0
+            comp = info
+            return 1 if (st.mb_dc_flag[n] & (2 << comp)) else 0
+        if cat in (1, 2):
+            x4, y4 = info
+            xN = 4 * x4 - (1 if side == 0 else 0)
+            yN = 4 * y4 - (0 if side == 0 else 1)
+            r = sl._nbr(addr, xN, yN, False)
+            if r is None:
+                return 1 if cur_intra else 0
+            addrN, xW, yW = r
+            if st.mb_class[addrN] == HR.MB_IPCM:
+                return 1
+            return int(st.cbf_y[addrN, 4 * (yW >> 2) + (xW >> 2)])
+        # cat 4: chroma AC
+        comp, cx, cy = info
+        xN = 4 * cx - (1 if side == 0 else 0)
+        yN = 4 * cy - (0 if side == 0 else 1)
+        r = sl._nbr(addr, xN, yN, True)
+        if r is None:
+            return 1 if cur_intra else 0
+        addrN, xW, yW = r
+        if st.mb_class[addrN] == HR.MB_IPCM:
+            return 1
+        return int(st.cbf_c[addrN, comp, 2 * (yW >> 2) + (xW >> 2)])
+
+    def residual(self, addr: int, cat: int, maxcoeff: int, info=None):
+        e = self.e
+        field = self.st.is_field(addr)
+        if cat != 5:
+            inc = (self._cbf_nbr(addr, cat, info, 0)
+                   + 2 * self._cbf_nbr(addr, cat, info, 1))
+            if not e.decision(85 + HC._CBF_OFF[cat] + inc):
+                return None
+        if cat == 5:
+            sig_base = 436 if field else 402
+            last_base = 451 if field else 417
+            abs_base = 426
+        else:
+            sig_base = (277 if field else 105) + HC._SIG_OFF[cat]
+            last_base = (338 if field else 166) + HC._SIG_OFF[cat]
+            abs_base = 227 + HC._ABS_OFF[cat]
+        sig8 = HC.SIG_COEFF_8x8_FIELD if field else HC.SIG_COEFF_8x8
+        coeffs = [0] * maxcoeff
+        sig = [False] * maxcoeff
+        last_idx = maxcoeff - 1
+        broke = False
+        for i in range(maxcoeff - 1):
+            if cat == 5:
+                s_inc = sig8[i]
+                l_inc = HC.LAST_COEFF_8x8[i]
+            elif cat == 3:
+                s_inc = l_inc = min(i, 2)
+            else:
+                s_inc = l_inc = i
+            if e.decision(sig_base + s_inc):
+                sig[i] = True
+                if e.decision(last_base + l_inc):
+                    last_idx = i
+                    broke = True
+                    break
+        if not broke:
+            sig[maxcoeff - 1] = True
+        if last_idx == maxcoeff - 1 and not sig[maxcoeff - 1]:
+            sig[maxcoeff - 1] = True
+        num_eq1 = 0
+        num_gt1 = 0
+        for pos in range(last_idx, -1, -1):
+            if not sig[pos]:
+                continue
+            ctx0 = 0 if num_gt1 else min(4, 1 + num_eq1)
+            if not e.decision(abs_base + ctx0):
+                level = 1
+            else:
+                ctxn = abs_base + 5 + min(4 - (1 if cat == 3 else 0),
+                                          num_gt1)
+                level = 2
+                while level < 15 and e.decision(ctxn):
+                    level += 1
+                if level == 15:
+                    k = 0
+                    while e.bypass():
+                        level += 1 << k
+                        k += 1
+                        if k > 30:
+                            raise ValueError("bad coeff level")
+                    while k:
+                        k -= 1
+                        level += e.bypass() << k
+            if level > 1:
+                num_gt1 += 1
+            else:
+                num_eq1 += 1
+            coeffs[pos] = -level if e.bypass() else level
+        return coeffs
+
+    def end_of_slice(self) -> int:
+        return self.e.terminate()

@@ -235,3 +235,51 @@ class TestMbaffDeblock:
     def test_partitions(self, tmp_path):
         self._check(tmp_path, self.BASE
                     + ":8x8dct=1:bframes=0:partitions=all:subme=9:crf=27")
+
+
+class TestMbaffCabac:
+    """CABAC MBAFF: pair-aware skip/field-flag contexts, field residual
+    context blocks (277/338, 436/451 + the field 8x8 significance map)."""
+
+    BASE = "cabac=1:interlaced=1:tff=1:keyint=50:scenecut=0:b-adapt=0"
+
+    def _check(self, tmp_path, params, bframes=0, frames=None,
+               size=(128, 96)):
+        if frames is None:
+            frames = mixed_frames(10, size)
+        es = _x264_stream(size[0], size[1], frames, params, bframes=bframes)
+        _assert_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+
+    def test_intra_mixed(self, tmp_path):
+        self._check(tmp_path, "keyint=1:cabac=1:8x8dct=0:interlaced=1:"
+                    "tff=1:qp=30", frames=mixed_frames(3, (128, 96)))
+
+    def test_intra_8x8_field(self, tmp_path):
+        self._check(tmp_path, "keyint=1:cabac=1:8x8dct=1:interlaced=1:"
+                    "tff=1:qp=26", frames=interlaced_frames(3, (96, 96)),
+                    size=(96, 96))
+
+    def test_p(self, tmp_path):
+        self._check(tmp_path, self.BASE + ":8x8dct=0:bframes=0:ref=2:qp=28")
+
+    def test_p_8x8_multiref(self, tmp_path):
+        self._check(tmp_path, self.BASE
+                    + ":8x8dct=1:bframes=0:ref=3:subme=7:qp=25")
+
+    def test_b(self, tmp_path):
+        self._check(tmp_path, self.BASE + ":8x8dct=1:ref=2:qp=27",
+                    bframes=2)
+
+    def test_b_pyramid_field(self, tmp_path):
+        self._check(tmp_path, self.BASE
+                    + ":8x8dct=1:ref=3:b-pyramid=normal:qp=26",
+                    bframes=3, frames=interlaced_frames(10, (96, 96)),
+                    size=(96, 96))
+
+    def test_partitions(self, tmp_path):
+        self._check(tmp_path, self.BASE
+                    + ":8x8dct=1:bframes=0:partitions=all:subme=9:crf=27")
+
+    def test_multi_idr(self, tmp_path):
+        self._check(tmp_path, self.BASE + ":8x8dct=1:ref=2:keyint=4:qp=26",
+                    bframes=2)
