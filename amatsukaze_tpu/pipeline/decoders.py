@@ -94,15 +94,32 @@ def h264ref_decoder_factory(pipeline, video_index: int):
     return decode_h264_ps_file(path)
 
 
-def _open_h264_inbuild():
-    """Native engine when available, else the Python oracle."""
-    try:
-        from ..video.native import NativeH264Decoder, h264_native_available
+def _open_h264_inbuild(es_head: bytes = b""):
+    """Native engine when available, else the Python oracle.  Interlaced
+    (MBAFF) streams route to the oracle (video/h264_mbaff.py) — the C++
+    engine covers progressive coding."""
+    mbaff = False
+    if es_head:
+        try:
+            from ..video import h264_ref as HR
 
-        if h264_native_available():
-            return NativeH264Decoder()
-    except Exception:
-        pass
+            for nal in HR.split_annexb(es_head):
+                if (nal[0] & 0x1F) == 7:
+                    s = HR.parse_sps(HR.ebsp_to_rbsp(nal[1:]))
+                    mbaff = bool(s.mb_adaptive_frame_field
+                                 or not s.frame_mbs_only)
+                    break
+        except Exception:
+            pass
+    if not mbaff:
+        try:
+            from ..video.native import (NativeH264Decoder,
+                                        h264_native_available)
+
+            if h264_native_available():
+                return NativeH264Decoder()
+        except Exception:
+            pass
     from ..video.h264_ref import H264RefDecoder
 
     return H264RefDecoder()
@@ -113,7 +130,7 @@ def decode_h264_ps_file(path: str, is_ps: bool = True):
     in-build H.264 decoder, feeding whole NALs per block."""
     from ..ts.qp_extract import extract_ps_video_es
 
-    dec = _open_h264_inbuild()
+    dec = None
     ps_pend = b""
     pend = b""
     with open(path, "rb") as f:
@@ -128,6 +145,8 @@ def decode_h264_ps_file(path: str, is_ps: bool = True):
             else:
                 es = block
             pend += es
+            if dec is None:
+                dec = _open_h264_inbuild(pend)
             # feed up to the last complete NAL (keep the open tail)
             cut = pend.rfind(b"\x00\x00\x01")
             if cut > 0:
@@ -136,6 +155,8 @@ def decode_h264_ps_file(path: str, is_ps: bool = True):
                 pend = pend[cut:]
     if is_ps and ps_pend:
         pend += extract_ps_video_es(ps_pend)
+    if dec is None:
+        dec = _open_h264_inbuild(pend)
     for fr in dec.decode(pend) + dec.flush():
         yield fr[0], fr[1], fr[2]
 

@@ -4800,6 +4800,9 @@ struct Decoder {
         h.slice_type != SLICE_B)
       throw DecodeError("SP/SI slices not supported");
     if (h.field_pic_flag) throw DecodeError("field pictures not supported");
+    if (sps.mb_adaptive_frame_field)
+      throw DecodeError("MBAFF: decoded by the Python engine "
+                        "(video/h264_mbaff.py)");
     if (sps.chroma_format_idc != 1)
       throw DecodeError("only 4:2:0 supported");
     if (is_new_picture(h)) start_picture(h, sps, pps);

@@ -283,3 +283,58 @@ class TestMbaffCabac:
     def test_multi_idr(self, tmp_path):
         self._check(tmp_path, self.BASE + ":8x8dct=1:ref=2:keyint=4:qp=26",
                     bframes=2)
+
+
+class TestMbaffPipeline:
+    def test_interlaced_ts_inbuild_decode(self, tmp_path):
+        """An interlaced (MBAFF) H.264 TS decodes through the pipeline's
+        in-build chain (conf.h264_decoder='native' routes MBAFF streams
+        to the oracle engine); output bit-identical to the libav-bridge
+        decode."""
+        import stat
+
+        import ts_gen
+        from amatsukaze_tpu.pipeline.decoders import default_decoder_factory
+        from amatsukaze_tpu.pipeline.settings import Config, Settings
+        from amatsukaze_tpu.pipeline.transcode import TranscodePipeline
+        from amatsukaze_tpu.utils.context import AMTContext
+        from amatsukaze_tpu.video.avdec import AvH264Encoder
+
+        W, H, n = 96, 64, 10
+        frames = mixed_frames(n, (W, H))
+        enc = AvH264Encoder(
+            W, H, crf=20, bframes=2,
+            x264_params="pic-struct=1:nal-hrd=vbr:force-cfr=1:aud=1:"
+            "interlaced=1:tff=1:keyint=8:scenecut=0:b-adapt=0")
+        aus = []
+        for y, u, v in frames:
+            aus.extend(enc.encode(y, u, v))
+        aus.extend(enc.flush())
+        src = tmp_path / "mbaff.ts"
+        src.write_bytes(ts_gen.build_simple_ts(
+            width=W, height=H, video_es_frames=aus, video_stream_type=0x1B))
+        fake = tmp_path / "fake_x264"
+        fake.write_text(
+            '#!/bin/bash\nout=""\nwhile [ $# -gt 0 ]; do case "$1" in '
+            '-o) out="$2"; shift 2;; *) shift;; esac; done\ncat > "$out"\n')
+        fake.chmod(fake.stat().st_mode | stat.S_IEXEC)
+
+        outs = {}
+        for mode, sub in (("avlib", "a"), ("native", "b")):
+            wd = tmp_path / sub
+            wd.mkdir()
+            conf = Config()
+            conf.src_file_path = str(src)
+            conf.out_video_path = str(wd / "out")
+            conf.out_info_json_path = str(wd / "r.json")
+            conf.work_dir = str(wd)
+            conf.encoder_path = str(fake)
+            conf.h264_decoder = mode
+            conf.no_remove_tmp = True
+            ctx = AMTContext(level="error")
+            pipe = TranscodePipeline(ctx, Settings(ctx, conf),
+                                     decoder_factory=default_decoder_factory())
+            report = pipe.run()
+            outs[mode] = open(report["outfiles"][0]["path"], "rb").read()
+        assert outs["avlib"] == outs["native"]
+        assert outs["native"].count(b"FRAME\n") >= n - 3
