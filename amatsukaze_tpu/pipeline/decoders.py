@@ -95,31 +95,16 @@ def h264ref_decoder_factory(pipeline, video_index: int):
 
 
 def _open_h264_inbuild(es_head: bytes = b""):
-    """Native engine when available, else the Python oracle.  Interlaced
-    (MBAFF) streams route to the oracle (video/h264_mbaff.py) — the C++
-    engine covers progressive coding."""
-    mbaff = False
-    if es_head:
-        try:
-            from ..video import h264_ref as HR
+    """Native engine when available (progressive AND interlaced/MBAFF),
+    else the Python oracle."""
+    del es_head  # both engines cover the full stream surface now
+    try:
+        from ..video.native import NativeH264Decoder, h264_native_available
 
-            for nal in HR.split_annexb(es_head):
-                if (nal[0] & 0x1F) == 7:
-                    s = HR.parse_sps(HR.ebsp_to_rbsp(nal[1:]))
-                    mbaff = bool(s.mb_adaptive_frame_field
-                                 or not s.frame_mbs_only)
-                    break
-        except Exception:
-            pass
-    if not mbaff:
-        try:
-            from ..video.native import (NativeH264Decoder,
-                                        h264_native_available)
-
-            if h264_native_available():
-                return NativeH264Decoder()
-        except Exception:
-            pass
+        if h264_native_available():
+            return NativeH264Decoder()
+    except Exception:
+        pass
     from ..video.h264_ref import H264RefDecoder
 
     return H264RefDecoder()

@@ -1256,14 +1256,23 @@ static inline int six(int a, int b, int c, int d, int e, int f) {
   return a - 5 * b + 20 * c + 20 * d - 5 * e + f;
 }
 
+// stride-aware (field views pass stride = 2*W with the field's H)
+static void mc_luma_s(const uint8_t* refY, int W, int H, long stride, int x0,
+                      int y0, int w, int h, int mvx, int mvy, int* out);
+
 static void mc_luma(const uint8_t* refY, int W, int H, int x0, int y0, int w,
                     int h, int mvx, int mvy, int* out) {
+  mc_luma_s(refY, W, H, W, x0, y0, w, h, mvx, mvy, out);
+}
+
+static void mc_luma_s(const uint8_t* refY, int W, int H, long stride, int x0,
+                      int y0, int w, int h, int mvx, int mvy, int* out) {
   int fx = mvx & 3, fy = mvy & 3;
   int ix = x0 + (mvx >> 2), iy = y0 + (mvy >> 2);
   bool interior = ix >= 2 && iy >= 2 && ix + w + 3 <= W && iy + h + 3 <= H;
   if (fx == 0 && fy == 0 && interior) {
     for (int y = 0; y < h; ++y) {
-      const uint8_t* row = refY + (size_t)(iy + y) * W + ix;
+      const uint8_t* row = refY + (size_t)(iy + y) * stride + ix;
       for (int x = 0; x < w; ++x) out[y * w + x] = row[x];
     }
     return;
@@ -1283,14 +1292,14 @@ static void mc_luma(const uint8_t* refY, int W, int H, int x0, int y0, int w,
   int ext[21 * 21];
   if (interior) {
     for (int r = r0; r < r1; ++r) {
-      const uint8_t* row = refY + (size_t)(iy - 2 + r) * W + (ix - 2);
+      const uint8_t* row = refY + (size_t)(iy - 2 + r) * stride + (ix - 2);
       int* dst = ext + r * ew;
       for (int c = c0; c < c1; ++c) dst[c] = row[c];
     }
   } else {
     for (int r = r0; r < r1; ++r) {
       int sy = clamp_i(iy - 2 + r, 0, H - 1);
-      const uint8_t* row = refY + (size_t)sy * W;
+      const uint8_t* row = refY + (size_t)sy * stride;
       for (int c = c0; c < c1; ++c)
         ext[r * ew + c] = row[clamp_i(ix - 2 + c, 0, W - 1)];
     }
@@ -1385,21 +1394,31 @@ static void mc_luma(const uint8_t* refY, int W, int H, int x0, int y0, int w,
     }
 }
 
+static void mc_chroma_s(const uint8_t* refC, int W, int H, long stride,
+                        int cx0, int cy0, int w, int h, int mvx, int mvy,
+                        int* out);
+
 static void mc_chroma(const uint8_t* refC, int W, int H, int cx0, int cy0,
                       int w, int h, int mvx, int mvy, int* out) {
+  mc_chroma_s(refC, W, H, W, cx0, cy0, w, h, mvx, mvy, out);
+}
+
+static void mc_chroma_s(const uint8_t* refC, int W, int H, long stride,
+                        int cx0, int cy0, int w, int h, int mvx, int mvy,
+                        int* out) {
   int dx = mvx & 7, dy = mvy & 7;
   int ix = cx0 + (mvx >> 3), iy = cy0 + (mvy >> 3);
   int A[9 * 9];
   if (ix >= 0 && iy >= 0 && ix + w + 1 <= W && iy + h + 1 <= H) {
     for (int r = 0; r <= h; ++r) {
-      const uint8_t* row = refC + (size_t)(iy + r) * W + ix;
+      const uint8_t* row = refC + (size_t)(iy + r) * stride + ix;
       int* dst = A + r * (w + 1);
       for (int c = 0; c <= w; ++c) dst[c] = row[c];
     }
   } else {
     for (int r = 0; r <= h; ++r) {
       int sy = clamp_i(iy + r, 0, H - 1);
-      const uint8_t* row = refC + (size_t)sy * W;
+      const uint8_t* row = refC + (size_t)sy * stride;
       for (int c = 0; c <= w; ++c)
         A[r * (w + 1) + c] = row[clamp_i(ix + c, 0, W - 1)];
     }
@@ -1417,6 +1436,8 @@ static void mc_chroma(const uint8_t* refC, int W, int H, int cx0, int cy0,
 // ---------------------------------------------------------------------------
 
 enum { MB_I4 = 0, MB_I16 = 1, MB_IPCM = 2, MB_I8 = 3, MB_P = 4, MB_B = 5 };
+
+struct MbaffState;  // per-picture MBAFF side state (defined below)
 
 struct Picture {
   int w = 0, h = 0, mb_w = 0, mb_h = 0, n4w = 0, n4h = 0, cw = 0, ch = 0;
@@ -1436,6 +1457,8 @@ struct Picture {
   std::vector<int16_t> mvd;        // [2][n4h][n4w][2]
   std::vector<int8_t> cell_direct;
   int poc = 0, frame_num = 0;
+  int field_poc[2] = {0, 0};
+  std::shared_ptr<MbaffState> mbaff;  // set when MBAFF slices decode
   bool is_ref = false, is_idr = false;
   int qp_y = 0;
   int pic_id = -1, epoch = 0;
@@ -4396,7 +4419,12 @@ namespace h264 {
 // (h264_ref.py:1354-1745 H264RefDecoder)
 // ---------------------------------------------------------------------------
 
+static void deblock_picture_mbaff(Picture& pic);
+
 struct Decoder {
+  void decode_slice_mbaff(const std::vector<uint8_t>& rbsp_,
+                          const SliceHeader& h, const SPS& sps,
+                          const PPS& pps);  // defined with the MBAFF code
   std::map<int, SPS> sps_map;
   std::map<int, PPS> pps_map;
   PicPtr cur;
@@ -4481,7 +4509,20 @@ struct Decoder {
     pic->frame_num = h.frame_num;
     pic->is_ref = h.nal_ref_idc != 0;
     pic->is_idr = h.idr;
-    pic->poc = compute_poc(h, sps);
+    {
+      // both field order counts (8.2.1; mirrors h264_ref._start_picture)
+      int top = compute_poc(h, sps);
+      int bottom;
+      if (sps.poc_type == 0)
+        bottom = top + h.delta_poc_bottom;
+      else if (sps.poc_type == 1)
+        bottom = top + sps.offset_for_top_to_bottom_field + h.delta_poc[1];
+      else
+        bottom = top;
+      pic->field_poc[0] = top;
+      pic->field_poc[1] = bottom;
+      pic->poc = std::min(top, bottom);
+    }
     pic->pic_id = pic_counter++;
     if (h.idr) ++epoch;
     pic->epoch = epoch;
@@ -4496,7 +4537,10 @@ struct Decoder {
     PicPtr pic = cur;
     cur.reset();
     has_hdr = false;
-    deblock_picture(*pic);
+    if (pic->mbaff)
+      deblock_picture_mbaff(*pic);
+    else
+      deblock_picture(*pic);
     mark_references(pic);
     pending.push_back(pic);
   }
@@ -4800,15 +4844,16 @@ struct Decoder {
         h.slice_type != SLICE_B)
       throw DecodeError("SP/SI slices not supported");
     if (h.field_pic_flag) throw DecodeError("field pictures not supported");
-    if (sps.mb_adaptive_frame_field)
-      throw DecodeError("MBAFF: decoded by the Python engine "
-                        "(video/h264_mbaff.py)");
     if (sps.chroma_format_idc != 1)
       throw DecodeError("only 4:2:0 supported");
     if (is_new_picture(h)) start_picture(h, sps, pps);
     cur_hdr = h;
     has_hdr = true;
     ++slice_counter;
+    if (sps.mb_adaptive_frame_field) {
+      decode_slice_mbaff(rbsp_, h, sps, pps);
+      return;
+    }
     Picture* pic = cur.get();
     auto ctx = std::unique_ptr<SliceCtx>(
         new SliceCtx(pic, &h, &sps, &pps, slice_counter));
@@ -4919,3 +4964,3174 @@ long long H264_Errors(void* hp) {
 }
 
 }  // extern "C"
+
+namespace h264 {
+
+// ===========================================================================
+// MBAFF (macroblock-adaptive frame/field) decoding — C++ twin of
+// amatsukaze_tpu/video/h264_mbaff.py (which is held bit-exact against
+// libavcodec on x264 interlaced streams; the native/oracle differential
+// runs in tests/test_h264_native.py::TestMbaff*).  Neighbour derivation
+// is the same geometric line-map form; state is per-mbAddr.
+// ===========================================================================
+
+struct MbaffState {
+  int mb_w = 0, mb_h = 0, n_pairs = 0, pair_rows = 0;
+  std::vector<int8_t> field_flag;   // per pair
+  std::vector<int32_t> slice_id;    // per addr, init -1
+  std::vector<int8_t> mb_class, mb_tf8, mb_dc_flag, mb_skip, mb_bdirect,
+      mb_chroma_mode;
+  std::vector<int32_t> mb_qp, mb_cbp, mb_alpha_off, mb_beta_off, mb_disable;
+  std::vector<int8_t> i4_modes, nnz_y, cbf_y;  // n*16 (cell = 4*y + x)
+  std::vector<int8_t> nnz_c, cbf_c;            // n*2*4
+  std::vector<int32_t> mv;                     // n*2*16*2
+  std::vector<int32_t> ref_idx;                // n*2*16, init -1
+  std::vector<int64_t> ref_id;                 // n*2*16, init -1
+  std::vector<int32_t> mvd;                    // n*2*16*2
+  std::vector<int8_t> cell_direct;             // n*16
+
+  void init(const Picture& pic) {
+    mb_w = pic.mb_w;
+    mb_h = pic.mb_h;
+    int n = mb_w * mb_h;
+    n_pairs = n / 2;
+    pair_rows = mb_h / 2;
+    field_flag.assign(n_pairs, 0);
+    slice_id.assign(n, -1);
+    mb_class.assign(n, 0);
+    mb_tf8.assign(n, 0);
+    mb_dc_flag.assign(n, 0);
+    mb_skip.assign(n, 0);
+    mb_bdirect.assign(n, 0);
+    mb_chroma_mode.assign(n, 0);
+    mb_qp.assign(n, 0);
+    mb_cbp.assign(n, 0);
+    mb_alpha_off.assign(n, 0);
+    mb_beta_off.assign(n, 0);
+    mb_disable.assign(n, 0);
+    i4_modes.assign((size_t)n * 16, 2);
+    nnz_y.assign((size_t)n * 16, 0);
+    cbf_y.assign((size_t)n * 16, 0);
+    nnz_c.assign((size_t)n * 8, 0);
+    cbf_c.assign((size_t)n * 8, 0);
+    mv.assign((size_t)n * 64, 0);
+    ref_idx.assign((size_t)n * 32, -1);
+    ref_id.assign((size_t)n * 32, -1);
+    mvd.assign((size_t)n * 64, 0);
+    cell_direct.assign((size_t)n * 16, 0);
+  }
+  // flat index helpers
+  size_t cell(int addr, int c) const { return (size_t)addr * 16 + c; }
+  size_t ccell(int addr, int comp, int c) const {
+    return (size_t)addr * 8 + comp * 4 + c;
+  }
+  size_t mref(int addr, int l, int c) const {
+    return (size_t)addr * 32 + l * 16 + c;
+  }
+  size_t mmv(int addr, int l, int c, int comp) const {
+    return (size_t)addr * 64 + l * 32 + c * 2 + comp;
+  }
+  int pair_of(int addr) const { return addr >> 1; }
+  bool is_field(int addr) const { return field_flag[addr >> 1] != 0; }
+  bool is_intra(int addr) const { return mb_class[addr] <= MB_I8; }
+  int pair_x(int addr) const { return (addr >> 1) % mb_w; }
+  int pair_y(int addr) const { return (addr >> 1) / mb_w; }
+  int luma_y(int addr, int y) const {
+    int py = pair_y(addr);
+    if (is_field(addr)) return py * 32 + (addr & 1) + 2 * y;
+    return py * 32 + 16 * (addr & 1) + y;
+  }
+  int chroma_y(int addr, int y) const {
+    int py = pair_y(addr);
+    if (is_field(addr)) return py * 16 + (addr & 1) + 2 * y;
+    return py * 16 + 8 * (addr & 1) + y;
+  }
+  int luma_x0(int addr) const { return pair_x(addr) * 16; }
+};
+
+struct MbaffCabac;  // fwd
+
+struct MbaffSlice {
+  Decoder* dec;
+  Picture* pic;
+  MbaffState* st;
+  const SliceHeader* h;
+  const SPS* sps;
+  const PPS* pps;
+  int sid;
+  int qp;
+  int w4[6][16];
+  int w8[2][64];
+  int32_t dq4c[52][6][16];
+  uint8_t dq4ok[52][6];
+  int32_t dq8c[52][2][64];
+  uint8_t dq8ok[52][2];
+  std::vector<Picture*> ref_l0, ref_l1;
+  int cur_addr = 0, cur_z = 0;
+  int pred_chromaU[64], pred_chromaV[64];
+  bool dc_valid = false;
+  int dc_refs[2] = {-1, -1};
+  int dc_mvps[2][2] = {{0, 0}, {0, 0}};
+  bool dc_dzp = false;
+
+  MbaffSlice(Decoder* dec_, Picture* pic_, const SliceHeader* h_,
+             const SPS* sps_, const PPS* pps_, int slice_id)
+      : dec(dec_), pic(pic_), h(h_), sps(sps_), pps(pps_), sid(slice_id) {
+    if (!pic->mbaff) {
+      pic->mbaff = std::make_shared<MbaffState>();
+      pic->mbaff->init(*pic);
+    }
+    st = pic->mbaff.get();
+    qp = h->slice_qp;
+    std::memset(dq4ok, 0, sizeof(dq4ok));
+    std::memset(dq8ok, 0, sizeof(dq8ok));
+    if (!pps->has_scaling) {
+      for (int i = 0; i < 6; ++i)
+        for (int k = 0; k < 16; ++k) w4[i][k] = 16;
+      for (int i = 0; i < 2; ++i)
+        for (int k = 0; k < 64; ++k) w8[i][k] = 16;
+    } else {
+      const ScalingMatrix& mats = pps->scaling_matrix;
+      for (int i = 0; i < 6; ++i)
+        for (int k = 0; k < 16; ++k) w4[i][kZigzag4[k]] = mats[i][k];
+      if (mats.size() > 6) {
+        for (int i = 0; i < 2; ++i)
+          for (int k = 0; k < 64; ++k) w8[i][kZigzag8[k]] = mats[6 + i][k];
+      } else {
+        for (int i = 0; i < 2; ++i)
+          for (int k = 0; k < 64; ++k) w8[i][k] = 16;
+      }
+    }
+  }
+
+  const uint8_t* scan4(int addr) const {
+    return st->is_field(addr) ? kFieldScan4 : kZigzag4;
+  }
+  const uint8_t* scan8(int addr) const {
+    return st->is_field(addr) ? kFieldScan8 : kZigzag8;
+  }
+  const int32_t* dq4(int qp_, int li) {
+    if (!dq4ok[qp_][li]) {
+      dequant4_tab(qp_, w4[li], dq4c[qp_][li]);
+      dq4ok[qp_][li] = 1;
+    }
+    return dq4c[qp_][li];
+  }
+  const int32_t* dq8(int qp_, int li) {
+    if (!dq8ok[qp_][li]) {
+      dequant8_tab(qp_, w8[li], dq8c[qp_][li]);
+      dq8ok[qp_][li] = 1;
+    }
+    return dq8c[qp_][li];
+  }
+
+  // -- neighbour derivation (geometric 6.4.10) ----------------------------
+  struct Nbr {
+    bool ok;
+    int addr, xW, yW;
+  };
+  Nbr addr_at(int pair_x, int pair_y, int line, bool chroma) const {
+    int band = chroma ? 16 : 32;
+    int pair = pair_y * st->mb_w + pair_x;
+    int local = line - pair_y * band;
+    if (st->field_flag[pair]) {
+      return {true, 2 * pair + (local & 1), 0, local >> 1};
+    }
+    int half = band / 2;
+    if (local < half) return {true, 2 * pair, 0, local};
+    return {true, 2 * pair + 1, 0, local - half};
+  }
+  Nbr nbr(int addr, int xN, int yN, bool chroma) const {
+    int maxW = chroma ? 8 : 16;
+    int px = st->pair_x(addr);
+    int xAbs = px * maxW + xN;
+    if (xAbs < 0 || xAbs >= st->mb_w * maxW) return {false, 0, 0, 0};
+    int line = chroma ? st->chroma_y(addr, yN) : st->luma_y(addr, yN);
+    int band = chroma ? 16 : 32;
+    if (line < 0 || line >= st->pair_rows * band) return {false, 0, 0, 0};
+    Nbr r = addr_at(xAbs / maxW, line / band, line, chroma);
+    r.xW = xAbs % maxW;
+    if (r.addr != addr) {
+      if (r.addr >= cur_addr) return {false, 0, 0, 0};
+      if (st->slice_id[r.addr] != sid) return {false, 0, 0, 0};
+    }
+    return r;
+  }
+  Nbr nbr_intra(int addr, int xN, int yN, bool chroma) const {
+    Nbr r = nbr(addr, xN, yN, chroma);
+    if (!r.ok) return r;
+    if (r.addr == addr) {
+      if (!chroma && xy_to_z(r.xW >> 2, r.yW >> 2) >= cur_z)
+        return {false, 0, 0, 0};
+      return r;
+    }
+    if (pps->constrained_intra_pred && !st->is_intra(r.addr))
+      return {false, 0, 0, 0};
+    return r;
+  }
+  int luma_sample(const Nbr& r) const {
+    return pic->Y[(size_t)st->luma_y(r.addr, r.yW) * pic->w +
+                  st->luma_x0(r.addr) + r.xW];
+  }
+  int chroma_sample(const uint8_t* plane, const Nbr& r) const {
+    return plane[(size_t)st->chroma_y(r.addr, r.yW) * pic->cw +
+                 st->pair_x(r.addr) * 8 + r.xW];
+  }
+
+  // -- CAVLC nC -----------------------------------------------------------
+  int nc_luma(int addr, int x4, int y4) const {
+    int na = -1000, nb = -1000;
+    Nbr r = nbr(addr, 4 * x4 - 1, 4 * y4, false);
+    if (r.ok) na = st->nnz_y[st->cell(r.addr, 4 * (r.yW >> 2) + (r.xW >> 2))];
+    r = nbr(addr, 4 * x4, 4 * y4 - 1, false);
+    if (r.ok) nb = st->nnz_y[st->cell(r.addr, 4 * (r.yW >> 2) + (r.xW >> 2))];
+    bool ha = na != -1000, hb = nb != -1000;
+    if (ha && hb) return (na + nb + 1) >> 1;
+    if (ha) return na;
+    if (hb) return nb;
+    return 0;
+  }
+  int nc_chroma(int addr, int comp, int cx, int cy) const {
+    int na = -1000, nb = -1000;
+    Nbr r = nbr(addr, 4 * cx - 1, 4 * cy, true);
+    if (r.ok)
+      na = st->nnz_c[st->ccell(r.addr, comp, 2 * (r.yW >> 2) + (r.xW >> 2))];
+    r = nbr(addr, 4 * cx, 4 * cy - 1, true);
+    if (r.ok)
+      nb = st->nnz_c[st->ccell(r.addr, comp, 2 * (r.yW >> 2) + (r.xW >> 2))];
+    bool ha = na != -1000, hb = nb != -1000;
+    if (ha && hb) return (na + nb + 1) >> 1;
+    if (ha) return na;
+    if (hb) return nb;
+    return 0;
+  }
+
+  // -- intra mode inference ----------------------------------------------
+  int i4_mode_nbr(int addr, int xN, int yN) const {
+    Nbr r = nbr_intra(addr, xN, yN, false);
+    if (!r.ok) return -1000;
+    int cellix = 4 * (r.yW >> 2) + (r.xW >> 2);
+    if (r.addr == addr) return st->i4_modes[st->cell(addr, cellix)];
+    int cls = st->mb_class[r.addr];
+    if (cls == MB_I4 || cls == MB_I8)
+      return st->i4_modes[st->cell(r.addr, cellix)];
+    return 2;
+  }
+
+  void mark_mb(int addr) {
+    st->slice_id[addr] = sid;
+    st->mb_alpha_off[addr] = h->slice_alpha_c0_offset_div2 * 2;
+    st->mb_beta_off[addr] = h->slice_beta_offset_div2 * 2;
+    st->mb_disable[addr] = h->disable_deblocking_filter_idc;
+  }
+
+  int infer_field_flag(int pair) const {
+    int px = pair % st->mb_w, py = pair / st->mb_w;
+    if (px > 0 && st->slice_id[2 * (pair - 1)] == sid)
+      return st->field_flag[pair - 1];
+    if (py > 0 && st->slice_id[2 * (pair - st->mb_w)] == sid)
+      return st->field_flag[pair - st->mb_w];
+    return 0;
+  }
+
+  // -- intra reconstruction ----------------------------------------------
+  void recon_i4_block(int addr, int k, int mode, const int* coeffs) {
+    int x4 = kZtoX[k], y4 = kZtoY[k];
+    int xN0 = 4 * x4, yN0 = 4 * y4;
+    bool avail_l = nbr_intra(addr, xN0 - 1, yN0, false).ok;
+    bool avail_t = nbr_intra(addr, xN0, yN0 - 1, false).ok;
+    bool avail_tl = nbr_intra(addr, xN0 - 1, yN0 - 1, false).ok;
+    bool avail_tr = nbr_intra(addr, xN0 + 4, yN0 - 1, false).ok;
+    Nbr4 n;
+    for (int i = 0; i < 4; ++i) {
+      Nbr r = nbr_intra(addr, xN0 - 1, yN0 + i, false);
+      n.l[i] = r.ok ? luma_sample(r) : 0;
+    }
+    for (int i = 0; i < 4; ++i) {
+      Nbr r = nbr_intra(addr, xN0 + i, yN0 - 1, false);
+      n.t[i] = r.ok ? luma_sample(r) : 0;
+    }
+    {
+      Nbr r = nbr_intra(addr, xN0 - 1, yN0 - 1, false);
+      n.tl = r.ok ? luma_sample(r) : 0;
+    }
+    if (avail_tr) {
+      for (int i = 0; i < 4; ++i) {
+        Nbr r = nbr_intra(addr, xN0 + 4 + i, yN0 - 1, false);
+        n.tr[i] = r.ok ? luma_sample(r) : 0;
+      }
+    } else if (avail_t) {
+      for (int i = 0; i < 4; ++i) n.tr[i] = n.t[3];
+    } else {
+      for (int i = 0; i < 4; ++i) n.tr[i] = 0;
+    }
+    int pred[4][4];
+    pred4x4(mode, n, avail_l, avail_t, avail_tl, pred);
+    int x0 = st->luma_x0(addr) + xN0;
+    uint8_t* Y = pic->Y.data();
+    if (!coeffs) {
+      for (int yy = 0; yy < 4; ++yy) {
+        uint8_t* row = Y + (size_t)st->luma_y(addr, yN0 + yy) * pic->w;
+        for (int xx = 0; xx < 4; ++xx) row[x0 + xx] = (uint8_t)pred[yy][xx];
+      }
+      return;
+    }
+    const uint8_t* scan = scan4(addr);
+    const int32_t* dq = dq4(qp, 0);
+    int d[16], res[16];
+    std::memset(d, 0, sizeof(d));
+    for (int s = 0; s < 16; ++s) {
+      int c = coeffs[s];
+      if (c) {
+        int pos = scan[s];
+        d[pos] = dequant4_apply(c, dq[pos], qp);
+      }
+    }
+    idct4x4(d, res);
+    for (int yy = 0; yy < 4; ++yy) {
+      uint8_t* row = Y + (size_t)st->luma_y(addr, yN0 + yy) * pic->w;
+      for (int xx = 0; xx < 4; ++xx)
+        row[x0 + xx] = (uint8_t)clip1(pred[yy][xx] + res[4 * yy + xx]);
+    }
+  }
+
+  void recon_i8_block(int addr, int b, int mode, const int* scan64) {
+    int bx = (b & 1) * 2, by = (b >> 1) * 2;
+    int xN0 = 4 * bx, yN0 = 4 * by;
+    bool avail_l = nbr_intra(addr, xN0 - 1, yN0, false).ok;
+    bool avail_t = nbr_intra(addr, xN0, yN0 - 1, false).ok;
+    bool avail_tl = nbr_intra(addr, xN0 - 1, yN0 - 1, false).ok;
+    bool avail_tr = nbr_intra(addr, xN0 + 8, yN0 - 1, false).ok;
+    int left[8], top[16], tl = 0;
+    if (avail_l)
+      for (int i = 0; i < 8; ++i) {
+        Nbr r = nbr_intra(addr, xN0 - 1, yN0 + i, false);
+        left[i] = r.ok ? luma_sample(r) : 0;
+      }
+    if (avail_t) {
+      for (int i = 0; i < 8; ++i) {
+        Nbr r = nbr_intra(addr, xN0 + i, yN0 - 1, false);
+        top[i] = r.ok ? luma_sample(r) : 0;
+      }
+      if (avail_tr)
+        for (int i = 0; i < 8; ++i) {
+          Nbr r = nbr_intra(addr, xN0 + 8 + i, yN0 - 1, false);
+          top[8 + i] = r.ok ? luma_sample(r) : 0;
+        }
+      else
+        for (int i = 0; i < 8; ++i) top[8 + i] = top[7];
+    }
+    if (avail_tl) {
+      Nbr r = nbr_intra(addr, xN0 - 1, yN0 - 1, false);
+      tl = r.ok ? luma_sample(r) : 0;
+    }
+    int fl[8], ft[16], ftl;
+    filter_i8_refs(avail_l ? left : nullptr, avail_t ? top : nullptr, tl,
+                   avail_l, avail_t, avail_tl, fl, ft, &ftl);
+    int pred[8][8];
+    pred8x8(mode, fl, ft, ftl, avail_l, avail_t, avail_tl, pred);
+    int x0 = st->luma_x0(addr) + xN0;
+    uint8_t* Y = pic->Y.data();
+    if (!scan64) {
+      for (int yy = 0; yy < 8; ++yy) {
+        uint8_t* row = Y + (size_t)st->luma_y(addr, yN0 + yy) * pic->w;
+        for (int xx = 0; xx < 8; ++xx) row[x0 + xx] = (uint8_t)pred[yy][xx];
+      }
+      return;
+    }
+    const uint8_t* scan = scan8(addr);
+    const int32_t* ls = dq8(qp, 0);
+    int d[64], res[64];
+    std::memset(d, 0, sizeof(d));
+    for (int s = 0; s < 64; ++s) {
+      int c = scan64[s];
+      if (c) {
+        int pos = scan[s];
+        d[pos] = dequant8_apply(c, ls[pos], qp);
+      }
+    }
+    idct8x8(d, res);
+    for (int yy = 0; yy < 8; ++yy) {
+      uint8_t* row = Y + (size_t)st->luma_y(addr, yN0 + yy) * pic->w;
+      for (int xx = 0; xx < 8; ++xx)
+        row[x0 + xx] = (uint8_t)clip1(pred[yy][xx] + res[8 * yy + xx]);
+    }
+  }
+
+  void recon_i16(int addr, int pred_mode, const int* dc_scan,
+                 const int* coeffs[16]) {
+    bool avail_l = nbr_intra(addr, -1, 0, false).ok;
+    bool avail_t = nbr_intra(addr, 0, -1, false).ok;
+    int left[16] = {}, top[16] = {}, tl = 0;
+    if (avail_l)
+      for (int i = 0; i < 16; ++i) {
+        Nbr r = nbr_intra(addr, -1, i, false);
+        left[i] = r.ok ? luma_sample(r) : 0;
+      }
+    if (avail_t)
+      for (int i = 0; i < 16; ++i) {
+        Nbr r = nbr_intra(addr, i, -1, false);
+        top[i] = r.ok ? luma_sample(r) : 0;
+      }
+    {
+      Nbr r = nbr_intra(addr, -1, -1, false);
+      tl = r.ok ? luma_sample(r) : 0;
+    }
+    int pred[256];
+    pred16x16(pred_mode, left, top, tl, avail_l, avail_t, pred);
+    const uint8_t* scan = scan4(addr);
+    int dcr[16];
+    for (int s = 0; s < 16; ++s) dcr[scan[s]] = dc_scan[s];
+    int f[16], dc[16];
+    hadamard4x4(dcr, f);
+    luma_dc_dequant(f, qp, w4[0][0], dc);
+    const int32_t* dq = dq4(qp, 0);
+    int x0 = st->luma_x0(addr);
+    uint8_t* Y = pic->Y.data();
+    for (int kk = 0; kk < 16; ++kk) {
+      int x4 = kZtoX[kk], y4 = kZtoY[kk];
+      int d[16], res[16];
+      std::memset(d, 0, sizeof(d));
+      if (coeffs[kk]) {
+        for (int s = 0; s < 15; ++s) {
+          int c = coeffs[kk][s];
+          if (c) {
+            int pos = scan[s + 1];
+            d[pos] = dequant4_apply(c, dq[pos], qp);
+          }
+        }
+      }
+      d[0] = dc[4 * y4 + x4];
+      idct4x4(d, res);
+      for (int yy = 0; yy < 4; ++yy) {
+        uint8_t* row =
+            Y + (size_t)st->luma_y(addr, 4 * y4 + yy) * pic->w;
+        for (int xx = 0; xx < 4; ++xx)
+          row[x0 + 4 * x4 + xx] = (uint8_t)clip1(
+              pred[16 * (4 * y4 + yy) + 4 * x4 + xx] + res[4 * yy + xx]);
+      }
+    }
+  }
+
+  void recon_chroma(int addr, int chroma_mode, int dc_scan[2][4],
+                    const int* coeffs[2][4], bool intra) {
+    int qpc[2] = {chroma_qp_map(qp, pps->chroma_qp_index_offset),
+                  chroma_qp_map(qp, pps->second_chroma_qp_index_offset)};
+    int cx0 = st->pair_x(addr) * 8;
+    const uint8_t* scan = scan4(addr);
+    for (int comp = 0; comp < 2; ++comp) {
+      uint8_t* plane = comp ? pic->V.data() : pic->U.data();
+      int pred[64];
+      if (intra) {
+        bool avail_l = nbr_intra(addr, -1, 0, true).ok;
+        bool avail_t = nbr_intra(addr, 0, -1, true).ok;
+        int left[8] = {}, top[8] = {}, tl = 0;
+        if (avail_l)
+          for (int i = 0; i < 8; ++i) {
+            Nbr r = nbr_intra(addr, -1, i, true);
+            left[i] = r.ok ? chroma_sample(plane, r) : 0;
+          }
+        if (avail_t)
+          for (int i = 0; i < 8; ++i) {
+            Nbr r = nbr_intra(addr, i, -1, true);
+            top[i] = r.ok ? chroma_sample(plane, r) : 0;
+          }
+        {
+          Nbr r = nbr_intra(addr, -1, -1, true);
+          tl = r.ok ? chroma_sample(plane, r) : 0;
+        }
+        pred_chroma8x8(chroma_mode, left, top, tl, avail_l, avail_t, pred);
+      } else {
+        const int* src = comp ? pred_chromaV : pred_chromaU;
+        std::memcpy(pred, src, sizeof(pred));
+      }
+      int qpcc = qpc[comp];
+      int li = intra ? (1 + comp) : (4 + comp);
+      int c0 = dc_scan[comp][0], c1 = dc_scan[comp][1];
+      int c2 = dc_scan[comp][2], c3 = dc_scan[comp][3];
+      int f[4] = {c0 + c1 + c2 + c3, c0 - c1 + c2 - c3, c0 + c1 - c2 - c3,
+                  c0 - c1 - c2 + c3};
+      int dc[4];
+      chroma_dc_dequant(f, qpcc, w4[li][0], dc);
+      const int32_t* dq = dq4(qpcc, li);
+      int out[64];
+      std::memcpy(out, pred, sizeof(out));
+      for (int b = 0; b < 4; ++b) {
+        int bx = 4 * (b & 1), by = 4 * (b >> 1);
+        int d[16];
+        std::memset(d, 0, sizeof(d));
+        if (coeffs[comp][b]) {
+          for (int s = 0; s < 15; ++s) {
+            int c = coeffs[comp][b][s];
+            if (c) {
+              int pos = scan[s + 1];
+              d[pos] = dequant4_apply(c, dq[pos], qpcc);
+            }
+          }
+        }
+        d[0] = dc[b];
+        bool any = false;
+        for (int i = 0; i < 16; ++i) any |= d[i] != 0;
+        if (any) {
+          int res[16];
+          idct4x4(d, res);
+          for (int yy = 0; yy < 4; ++yy)
+            for (int xx = 0; xx < 4; ++xx)
+              out[8 * (by + yy) + bx + xx] =
+                  clip1(pred[8 * (by + yy) + bx + xx] + res[4 * yy + xx]);
+        }
+      }
+      for (int yy = 0; yy < 8; ++yy) {
+        uint8_t* row = plane + (size_t)st->chroma_y(addr, yy) * pic->cw;
+        for (int xx = 0; xx < 8; ++xx)
+          row[cx0 + xx] = (uint8_t)clamp_i(out[8 * yy + xx], 0, 255);
+      }
+    }
+  }
+
+  // -- CAVLC I macroblocks ------------------------------------------------
+  void parse_luma8x8_cavlc(BitReader& r, int addr, int b, int* scan64) {
+    std::memset(scan64, 0, 64 * sizeof(int));
+    int blk[16];
+    for (int i = 0; i < 4; ++i) {
+      int z = 4 * b + i;
+      int x4 = kZtoX[z], y4 = kZtoY[z];
+      cur_z = z;
+      int nc = nc_luma(addr, x4, y4);
+      int tc = cavlc_block(r, nc, 16, blk);
+      st->nnz_y[st->cell(addr, 4 * y4 + x4)] = (int8_t)tc;
+      for (int k = 0; k < 16; ++k) scan64[4 * k + i] = blk[k];
+    }
+  }
+
+  void decode_ipcm(BitReader& r, int addr) {
+    r.byte_align();
+    int x0 = st->luma_x0(addr);
+    for (int yy = 0; yy < 16; ++yy) {
+      uint8_t* row = pic->Y.data() + (size_t)st->luma_y(addr, yy) * pic->w;
+      for (int xx = 0; xx < 16; ++xx) row[x0 + xx] = (uint8_t)r.read(8);
+    }
+    int cx0 = st->pair_x(addr) * 8;
+    for (int comp = 0; comp < 2; ++comp) {
+      uint8_t* plane = comp ? pic->V.data() : pic->U.data();
+      for (int yy = 0; yy < 8; ++yy) {
+        uint8_t* row = plane + (size_t)st->chroma_y(addr, yy) * pic->cw;
+        for (int xx = 0; xx < 8; ++xx) row[cx0 + xx] = (uint8_t)r.read(8);
+      }
+    }
+    set_ipcm_state(addr);
+  }
+
+  void set_ipcm_state(int addr) {
+    st->mb_class[addr] = MB_IPCM;
+    for (int c = 0; c < 16; ++c) {
+      st->nnz_y[st->cell(addr, c)] = 16;
+      st->cbf_y[st->cell(addr, c)] = 1;
+    }
+    for (int comp = 0; comp < 2; ++comp)
+      for (int c = 0; c < 4; ++c) {
+        st->nnz_c[st->ccell(addr, comp, c)] = 16;
+        st->cbf_c[st->ccell(addr, comp, c)] = 1;
+      }
+    st->mb_qp[addr] = 0;
+    st->mb_cbp[addr] = 0x2F;
+  }
+
+  void read_i4x4_modes(BitReader& r, int addr, int* modes) {
+    for (int k = 0; k < 16; ++k) {
+      int x4 = kZtoX[k], y4 = kZtoY[k];
+      cur_z = k;
+      int ma = i4_mode_nbr(addr, 4 * x4 - 1, 4 * y4);
+      int mb_ = i4_mode_nbr(addr, 4 * x4, 4 * y4 - 1);
+      int pred = (ma == -1000 || mb_ == -1000) ? 2 : std::min(ma, mb_);
+      int mode;
+      if (r.read1()) {
+        mode = pred;
+      } else {
+        int rem = (int)r.read(3);
+        mode = rem < pred ? rem : rem + 1;
+      }
+      modes[k] = mode;
+      st->i4_modes[st->cell(addr, 4 * y4 + x4)] = (int8_t)mode;
+    }
+  }
+
+  void read_i8x8_modes(BitReader& r, int addr, int* modes) {
+    for (int b = 0; b < 4; ++b) {
+      int bx = (b & 1) * 2, by = (b >> 1) * 2;
+      cur_z = xy_to_z(bx, by);
+      int ma = i4_mode_nbr(addr, 4 * bx - 1, 4 * by);
+      int mb_ = i4_mode_nbr(addr, 4 * bx, 4 * by - 1);
+      int pred = (ma == -1000 || mb_ == -1000) ? 2 : std::min(ma, mb_);
+      int mode;
+      if (r.read1()) {
+        mode = pred;
+      } else {
+        int rem = (int)r.read(3);
+        mode = rem < pred ? rem : rem + 1;
+      }
+      modes[b] = mode;
+      for (int dy = 0; dy < 2; ++dy)
+        for (int dx = 0; dx < 2; ++dx)
+          st->i4_modes[st->cell(addr, 4 * (by + dy) + bx + dx)] =
+              (int8_t)mode;
+    }
+  }
+
+  void decode_chroma_cavlc(BitReader& r, int addr, int chroma_mode,
+                           int cbp_chroma, bool intra) {
+    int dc_scan[2][4] = {{0, 0, 0, 0}, {0, 0, 0, 0}};
+    if (cbp_chroma) {
+      for (int comp = 0; comp < 2; ++comp) {
+        int blk[4];
+        int tc = cavlc_block(r, -1, 4, blk);
+        for (int i = 0; i < 4; ++i) dc_scan[comp][i] = blk[i];
+        if (tc) st->mb_dc_flag[addr] |= 2 << comp;
+      }
+    }
+    int coeffs[2][4][15];
+    bool has[2][4] = {};
+    if (cbp_chroma & 2) {
+      for (int comp = 0; comp < 2; ++comp)
+        for (int b = 0; b < 4; ++b) {
+          int cx = b & 1, cy = b >> 1;
+          int nc = nc_chroma(addr, comp, cx, cy);
+          int tc = cavlc_block(r, nc, 15, coeffs[comp][b]);
+          has[comp][b] = true;
+          st->nnz_c[st->ccell(addr, comp, 2 * cy + cx)] = (int8_t)tc;
+        }
+    }
+    const int* cptr[2][4];
+    for (int comp = 0; comp < 2; ++comp)
+      for (int b = 0; b < 4; ++b)
+        cptr[comp][b] = has[comp][b] ? coeffs[comp][b] : nullptr;
+    recon_chroma(addr, chroma_mode, dc_scan, cptr, intra);
+  }
+
+  void decode_i4x4(BitReader& r, int addr) {
+    int tf8 = 0;
+    if (pps->transform_8x8_mode) tf8 = r.read1();
+    if (tf8) {
+      decode_i8x8_mb(r, addr);
+      return;
+    }
+    st->mb_class[addr] = MB_I4;
+    int modes[16];
+    read_i4x4_modes(r, addr, modes);
+    int chroma_mode = r.ue();
+    int gi = r.ue();
+    if (gi >= 48) throw DecodeError("bad cbp golomb");
+    int cbp = kGolombToIntraCbp[gi];
+    int cbp_luma = cbp & 15, cbp_chroma = cbp >> 4;
+    if (cbp) qp = ((qp + r.se()) % 52 + 52) % 52;
+    st->mb_qp[addr] = qp;
+    st->mb_cbp[addr] = cbp;
+    st->mb_chroma_mode[addr] = (int8_t)chroma_mode;
+    int coeffs[16][16];
+    bool has[16] = {};
+    for (int k = 0; k < 16; ++k) {
+      if (cbp_luma & (1 << (k >> 2))) {
+        int x4 = kZtoX[k], y4 = kZtoY[k];
+        cur_z = k;
+        int nc = nc_luma(addr, x4, y4);
+        int tc = cavlc_block(r, nc, 16, coeffs[k]);
+        has[k] = true;
+        st->nnz_y[st->cell(addr, 4 * y4 + x4)] = (int8_t)tc;
+      }
+    }
+    for (int k = 0; k < 16; ++k) {
+      cur_z = k;
+      recon_i4_block(addr, k, modes[k], has[k] ? coeffs[k] : nullptr);
+    }
+    cur_z = 16;
+    decode_chroma_cavlc(r, addr, chroma_mode, cbp_chroma, true);
+  }
+
+  void decode_i8x8_mb(BitReader& r, int addr) {
+    st->mb_class[addr] = MB_I8;
+    st->mb_tf8[addr] = 1;
+    int modes[4];
+    read_i8x8_modes(r, addr, modes);
+    int chroma_mode = r.ue();
+    int gi = r.ue();
+    if (gi >= 48) throw DecodeError("bad cbp golomb");
+    int cbp = kGolombToIntraCbp[gi];
+    int cbp_luma = cbp & 15, cbp_chroma = cbp >> 4;
+    if (cbp) qp = ((qp + r.se()) % 52 + 52) % 52;
+    st->mb_qp[addr] = qp;
+    st->mb_cbp[addr] = cbp;
+    st->mb_chroma_mode[addr] = (int8_t)chroma_mode;
+    int coeffs[4][64];
+    bool has[4] = {};
+    for (int b = 0; b < 4; ++b)
+      if (cbp_luma & (1 << b)) {
+        parse_luma8x8_cavlc(r, addr, b, coeffs[b]);
+        has[b] = true;
+      }
+    for (int b = 0; b < 4; ++b) {
+      cur_z = xy_to_z((b & 1) * 2, (b >> 1) * 2);
+      recon_i8_block(addr, b, modes[b], has[b] ? coeffs[b] : nullptr);
+    }
+    cur_z = 16;
+    decode_chroma_cavlc(r, addr, chroma_mode, cbp_chroma, true);
+  }
+
+  void decode_i16x16(BitReader& r, int addr, int k) {
+    int pred_mode = k % 4;
+    int cbp_chroma = (k / 4) % 3;
+    int cbp_luma = k >= 12 ? 15 : 0;
+    int chroma_mode = r.ue();
+    qp = ((qp + r.se()) % 52 + 52) % 52;
+    st->mb_class[addr] = MB_I16;
+    st->mb_qp[addr] = qp;
+    st->mb_cbp[addr] = cbp_luma | (cbp_chroma << 4);
+    st->mb_chroma_mode[addr] = (int8_t)chroma_mode;
+    cur_z = 0;
+    int nc = nc_luma(addr, 0, 0);
+    int dc_scan[16];
+    int dc_tc = cavlc_block(r, nc, 16, dc_scan);
+    if (dc_tc) st->mb_dc_flag[addr] |= 1;
+    int coeffs[16][15];
+    bool has[16] = {};
+    for (int kk = 0; kk < 16; ++kk) {
+      if (cbp_luma) {
+        int x4 = kZtoX[kk], y4 = kZtoY[kk];
+        cur_z = kk;
+        int ncb = nc_luma(addr, x4, y4);
+        int tc = cavlc_block(r, ncb, 15, coeffs[kk]);
+        has[kk] = true;
+        st->nnz_y[st->cell(addr, 4 * y4 + x4)] = (int8_t)tc;
+      }
+    }
+    cur_z = 16;
+    const int* cptr[16];
+    for (int kk = 0; kk < 16; ++kk) cptr[kk] = has[kk] ? coeffs[kk] : nullptr;
+    recon_i16(addr, pred_mode, dc_scan, cptr);
+    decode_chroma_cavlc(r, addr, chroma_mode, cbp_chroma, true);
+  }
+
+  void decode_intra_mb_cavlc(BitReader& r, int addr, int imb) {
+    if (imb == 25) {
+      decode_ipcm(r, addr);
+      return;
+    }
+    if (imb == 0)
+      decode_i4x4(r, addr);
+    else
+      decode_i16x16(r, addr, imb - 1);
+  }
+
+  // -- inter (defined out-of-line below) ----------------------------------
+  void field_ref(int l, int ref_idx, int addr, Picture** frm, int* parity);
+  int64_t ref_identity(int l, int ref_idx, int addr);
+  struct MvN {
+    bool avail;
+    int ref, mvx, mvy;
+  };
+  MvN mv_nbr(int addr, int xN, int yN, int l);
+  void mv_pred(int addr, int bx4, int by4, int w4_, int h4_, int ref_idx,
+               int part_kind, int part_i, int l, int* px, int* py);
+  void store_part_mv(int addr, int bx4, int by4, int w4_, int h4_,
+                     int ref_idx, int mvx, int mvy, int l);
+  void store_part_mvd(int addr, int bx4, int by4, int w4_, int h4_, int l,
+                      int mvdx, int mvdy);
+  void fetch_pred(int addr, int l, int ref_idx, int bx4, int by4, int w4_,
+                  int h4_, int mvx, int mvy, PredBlk& out);
+  void wp_apply(int* blk, int n, int l, int ref_idx, int comp, int addr);
+  void implicit_weights(int addr, int r0, int r1, int* w0, int* w1);
+  void combine_store(int addr, int* predY, int* predU, int* predV, int bx4,
+                     int by4, int w4_, int h4_, PredBlk* p0, PredBlk* p1,
+                     int ref_idx0, int ref_idx1);
+  void mc_part(int addr, int* predY, int* predU, int* predV, int bx4,
+               int by4, int w4_, int h4_, int ref_idx, int mvx, int mvy);
+  void store_mb(int addr, const int* predY, const int* predU,
+                const int* predV);
+  int n_act(int addr, int l) const;
+  void skip_mv(int addr, int* mvx, int* mvy);
+  void decode_skip_mb(int addr);
+  void decode_p_skip(int addr);
+  void decode_p_mb(BitReader& r, int addr, int mb_type);
+  void inter_residual(BitReader& r, int addr, int* predY, int* predU,
+                      int* predV, bool tf8_ok);
+  bool col_zero(int addr, int b);
+  void direct_spatial_cache(int addr);
+  void direct_mvs_8x8(int addr, int b, int refs_out[2], int mvs_out[2][2]);
+  void decode_direct_8x8(int addr, int b, int* predY, int* predU,
+                         int* predV);
+  void decode_b_skip(int addr);
+  void decode_b_mb(BitReader& r, int addr, int mb_type);
+  void decode_cavlc(BitReader& r);
+  // CABAC
+  void decode_cabac(const std::vector<uint8_t>& rbsp);
+  void decode_mb_cabac(MbaffCabac& cb, int addr);
+  void decode_intra_mb_cabac(MbaffCabac& cb, int addr, int imb);
+  void decode_ipcm_cabac(MbaffCabac& cb, int addr);
+  void qp_delta_cabac(MbaffCabac& cb, int addr, int cbp, bool always);
+  bool luma4_res_cabac(MbaffCabac& cb, int addr, int k, int cat, int* blk);
+  void decode_i4x4_cabac(MbaffCabac& cb, int addr);
+  void decode_i8x8_cabac(MbaffCabac& cb, int addr);
+  void decode_i16_cabac(MbaffCabac& cb, int addr, int k);
+  void decode_chroma_cabac(MbaffCabac& cb, int addr, int chroma_mode,
+                           int cbp_chroma, bool intra);
+  void part_motion_cabac(MbaffCabac& cb, int addr, int l, int bx4, int by4,
+                         int w4_, int h4_, int ref_idx, int kind, int part_i,
+                         int* mvx, int* mvy);
+  void decode_p_mb_cabac(MbaffCabac& cb, int addr, int mb_type);
+  void decode_b_mb_cabac(MbaffCabac& cb, int addr, int mb_type);
+  void inter_residual_cabac(MbaffCabac& cb, int addr, int* predY,
+                            int* predU, int* predV, bool tf8_ok);
+};
+
+}  // namespace h264
+
+namespace h264 {
+
+// ---------------------------------------------------------------------------
+// MbaffSlice inter machinery (h264_mbaff.py P/B stages)
+// ---------------------------------------------------------------------------
+
+void MbaffSlice::field_ref(int l, int ref_idx, int addr, Picture** frm,
+                           int* parity) {
+  *frm = (l == 0 ? ref_l0 : ref_l1)[ref_idx >> 1];
+  int cur_parity = addr & 1;
+  *parity = (ref_idx & 1) == 0 ? cur_parity : 1 - cur_parity;
+}
+
+int64_t MbaffSlice::ref_identity(int l, int ref_idx, int addr) {
+  if (st->is_field(addr)) {
+    Picture* frm;
+    int parity;
+    field_ref(l, ref_idx, addr, &frm, &parity);
+    return 4LL * frm->pic_id + parity;
+  }
+  Picture* frm = (l == 0 ? ref_l0 : ref_l1)[ref_idx];
+  return 4LL * frm->pic_id + 3;
+}
+
+MbaffSlice::MvN MbaffSlice::mv_nbr(int addr, int xN, int yN, int l) {
+  Nbr r = nbr(addr, xN, yN, false);
+  if (!r.ok) return {false, -1, 0, 0};
+  if (r.addr == addr && xy_to_z(r.xW >> 2, r.yW >> 2) >= cur_z)
+    return {false, -1, 0, 0};
+  int c = 4 * (r.yW >> 2) + (r.xW >> 2);
+  int ref = st->ref_idx[st->mref(r.addr, l, c)];
+  int mvx = st->mv[st->mmv(r.addr, l, c, 0)];
+  int mvy = st->mv[st->mmv(r.addr, l, c, 1)];
+  bool nf = st->is_field(r.addr);
+  bool cf = st->is_field(addr);
+  if (nf && !cf) {
+    if (ref >= 0) ref >>= 1;
+    mvy *= 2;
+  } else if (cf && !nf) {
+    if (ref >= 0) ref *= 2;
+    mvy = mvy / 2;  // truncation toward zero (spec's '/')
+  }
+  return {true, ref, mvx, mvy};
+}
+
+void MbaffSlice::mv_pred(int addr, int bx4, int by4, int w4_, int h4_,
+                         int ref_idx, int part_kind, int part_i, int l,
+                         int* px, int* py) {
+  int xN0 = 4 * bx4, yN0 = 4 * by4;
+  MvN A = mv_nbr(addr, xN0 - 1, yN0, l);
+  MvN B = mv_nbr(addr, xN0, yN0 - 1, l);
+  MvN C = mv_nbr(addr, xN0 + 4 * w4_, yN0 - 1, l);
+  if (!C.avail) C = mv_nbr(addr, xN0 - 1, yN0 - 1, l);
+  int ra = A.ref, rb = B.ref, rc = C.ref;
+  if (part_kind == 1) {
+    if (part_i == 0 && rb == ref_idx) {
+      *px = B.mvx;
+      *py = B.mvy;
+      return;
+    }
+    if (part_i == 1 && ra == ref_idx) {
+      *px = A.mvx;
+      *py = A.mvy;
+      return;
+    }
+  } else if (part_kind == 2) {
+    if (part_i == 0 && ra == ref_idx) {
+      *px = A.mvx;
+      *py = A.mvy;
+      return;
+    }
+    if (part_i == 1 && rc == ref_idx) {
+      *px = C.mvx;
+      *py = C.mvy;
+      return;
+    }
+  }
+  bool ma = ra == ref_idx, mb_ = rb == ref_idx, mc = rc == ref_idx;
+  if (ma && !mb_ && !mc) {
+    *px = A.mvx;
+    *py = A.mvy;
+    return;
+  }
+  if (mb_ && !ma && !mc) {
+    *px = B.mvx;
+    *py = B.mvy;
+    return;
+  }
+  if (mc && !ma && !mb_) {
+    *px = C.mvx;
+    *py = C.mvy;
+    return;
+  }
+  if (!B.avail && !C.avail) {
+    *px = A.mvx;
+    *py = A.mvy;
+    return;
+  }
+  *px = median3(A.mvx, B.mvx, C.mvx);
+  *py = median3(A.mvy, B.mvy, C.mvy);
+}
+
+void MbaffSlice::store_part_mv(int addr, int bx4, int by4, int w4_, int h4_,
+                               int ref_idx, int mvx, int mvy, int l) {
+  int64_t rid = ref_identity(l, ref_idx, addr);
+  for (int y = by4; y < by4 + h4_; ++y)
+    for (int x = bx4; x < bx4 + w4_; ++x) {
+      int c = 4 * y + x;
+      st->mv[st->mmv(addr, l, c, 0)] = mvx;
+      st->mv[st->mmv(addr, l, c, 1)] = mvy;
+      st->ref_idx[st->mref(addr, l, c)] = ref_idx;
+      st->ref_id[st->mref(addr, l, c)] = rid;
+    }
+}
+
+void MbaffSlice::store_part_mvd(int addr, int bx4, int by4, int w4_, int h4_,
+                                int l, int mvdx, int mvdy) {
+  for (int y = by4; y < by4 + h4_; ++y)
+    for (int x = bx4; x < bx4 + w4_; ++x) {
+      int c = 4 * y + x;
+      st->mvd[st->mmv(addr, l, c, 0)] = mvdx;
+      st->mvd[st->mmv(addr, l, c, 1)] = mvdy;
+    }
+}
+
+void MbaffSlice::fetch_pred(int addr, int l, int ref_idx, int bx4, int by4,
+                            int w4_, int h4_, int mvx, int mvy,
+                            PredBlk& out) {
+  int py = st->pair_y(addr);
+  int cmvy = mvy;
+  const uint8_t *refY, *refU, *refV;
+  long strideY, strideC;
+  int H, CH, y0, cy0;
+  if (st->is_field(addr)) {
+    Picture* frm;
+    int parity;
+    field_ref(l, ref_idx, addr, &frm, &parity);
+    refY = frm->Y.data() + (size_t)parity * frm->w;
+    refU = frm->U.data() + (size_t)parity * frm->cw;
+    refV = frm->V.data() + (size_t)parity * frm->cw;
+    strideY = 2L * frm->w;
+    strideC = 2L * frm->cw;
+    H = frm->h / 2;
+    CH = frm->ch / 2;
+    y0 = py * 16 + 4 * by4;
+    cy0 = py * 8 + 2 * by4;
+    int cur_parity = addr & 1;
+    if (cur_parity == 0 && parity == 1)
+      cmvy = mvy - 2;
+    else if (cur_parity == 1 && parity == 0)
+      cmvy = mvy + 2;
+  } else {
+    Picture* frm = (l == 0 ? ref_l0 : ref_l1)[ref_idx];
+    refY = frm->Y.data();
+    refU = frm->U.data();
+    refV = frm->V.data();
+    strideY = frm->w;
+    strideC = frm->cw;
+    H = frm->h;
+    CH = frm->ch;
+    y0 = py * 32 + 16 * (addr & 1) + 4 * by4;
+    cy0 = py * 16 + 8 * (addr & 1) + 2 * by4;
+  }
+  int x0 = st->luma_x0(addr) + 4 * bx4;
+  int cx0 = st->pair_x(addr) * 8 + 2 * bx4;
+  mc_luma_s(refY, pic->w, H, strideY, x0, y0, w4_ * 4, h4_ * 4, mvx, mvy,
+            out.y);
+  mc_chroma_s(refU, pic->cw, CH, strideC, cx0, cy0, w4_ * 2, h4_ * 2, mvx,
+              cmvy, out.u);
+  mc_chroma_s(refV, pic->cw, CH, strideC, cx0, cy0, w4_ * 2, h4_ * 2, mvx,
+              cmvy, out.v);
+}
+
+void MbaffSlice::wp_apply(int* blk, int n, int l, int ref_idx, int comp,
+                          int addr) {
+  const PredWeights& pw = h->pred_weights;
+  if (!pw.present) return;
+  int widx = st->is_field(addr) ? (ref_idx >> 1) : ref_idx;
+  int logwd = comp < 0 ? pw.luma_log2 : pw.chroma_log2;
+  const std::array<int, 6>& wt = pw.w[l][widx];
+  int w, o;
+  if (comp < 0) {
+    w = wt[0];
+    o = wt[1];
+  } else {
+    w = wt[2 + 2 * comp];
+    o = wt[3 + 2 * comp];
+  }
+  if (logwd >= 1) {
+    for (int i = 0; i < n; ++i)
+      blk[i] = clip1(((blk[i] * w + (1 << (logwd - 1))) >> logwd) + o);
+  } else {
+    for (int i = 0; i < n; ++i) blk[i] = clip1(blk[i] * w + o);
+  }
+}
+
+void MbaffSlice::implicit_weights(int addr, int ref_idx0, int ref_idx1,
+                                  int* w0, int* w1) {
+  int poc0, poc1, cur;
+  bool lt0, lt1;
+  if (st->is_field(addr)) {
+    Picture *f0, *f1;
+    int p0, p1;
+    field_ref(0, ref_idx0, addr, &f0, &p0);
+    field_ref(1, ref_idx1, addr, &f1, &p1);
+    poc0 = f0->field_poc[p0];
+    poc1 = f1->field_poc[p1];
+    cur = pic->field_poc[addr & 1];
+    lt0 = f0->long_term;
+    lt1 = f1->long_term;
+  } else {
+    Picture* pic0 = ref_l0[ref_idx0];
+    Picture* pic1 = ref_l1[ref_idx1];
+    poc0 = pic0->poc;
+    poc1 = pic1->poc;
+    cur = pic->poc;
+    lt0 = pic0->long_term;
+    lt1 = pic1->long_term;
+  }
+  if (poc1 == poc0 || lt0 || lt1) {
+    *w0 = *w1 = 32;
+    return;
+  }
+  int tb = clamp_i(cur - poc0, -128, 127);
+  int td = clamp_i(poc1 - poc0, -128, 127);
+  int tx = floordiv(16384 + std::abs(td) / 2, td);
+  int dsf = clamp_i((tb * tx + 32) >> 6, -1024, 1023);
+  int v1 = dsf >> 2;
+  if (v1 < -64 || v1 > 128) {
+    *w0 = *w1 = 32;
+    return;
+  }
+  *w0 = 64 - v1;
+  *w1 = v1;
+}
+
+void MbaffSlice::combine_store(int addr, int* predY, int* predU, int* predV,
+                               int bx4, int by4, int w4_, int h4_,
+                               PredBlk* p0, PredBlk* p1, int ref_idx0,
+                               int ref_idx1) {
+  int lw = w4_ * 4, lh = h4_ * 4;
+  int cw_ = w4_ * 2, ch_ = h4_ * 2;
+  int nl = lw * lh, nc = cw_ * ch_;
+  int oy[256], ou[64], ov[64];
+  if (p0 && p1) {
+    if (h->slice_type == SLICE_B && pps->weighted_bipred_idc == 2) {
+      int w0, w1;
+      implicit_weights(addr, ref_idx0, ref_idx1, &w0, &w1);
+      for (int i = 0; i < nl; ++i)
+        oy[i] = clip1((p0->y[i] * w0 + p1->y[i] * w1 + 32) >> 6);
+      for (int i = 0; i < nc; ++i) {
+        ou[i] = clip1((p0->u[i] * w0 + p1->u[i] * w1 + 32) >> 6);
+        ov[i] = clip1((p0->v[i] * w0 + p1->v[i] * w1 + 32) >> 6);
+      }
+    } else if (h->slice_type == SLICE_B && pps->weighted_bipred_idc == 1 &&
+               h->pred_weights.present) {
+      const PredWeights& pw = h->pred_weights;
+      bool fld = st->is_field(addr);
+      int i0 = fld ? (ref_idx0 >> 1) : ref_idx0;
+      int i1 = fld ? (ref_idx1 >> 1) : ref_idx1;
+      const std::array<int, 6>& wt0 = pw.w[0][i0];
+      const std::array<int, 6>& wt1 = pw.w[1][i1];
+      for (int c = 0; c < 3; ++c) {
+        int logwd = c == 0 ? pw.luma_log2 : pw.chroma_log2;
+        int w0, o0, w1, o1;
+        if (c == 0) {
+          w0 = wt0[0];
+          o0 = wt0[1];
+          w1 = wt1[0];
+          o1 = wt1[1];
+        } else {
+          int k = 2 * c;
+          w0 = wt0[k];
+          o0 = wt0[k + 1];
+          w1 = wt1[k];
+          o1 = wt1[k + 1];
+        }
+        const int* s0 = c == 0 ? p0->y : c == 1 ? p0->u : p0->v;
+        const int* s1 = c == 0 ? p1->y : c == 1 ? p1->u : p1->v;
+        int* dst = c == 0 ? oy : c == 1 ? ou : ov;
+        int n = c == 0 ? nl : nc;
+        for (int i = 0; i < n; ++i)
+          dst[i] = clip1(((s0[i] * w0 + s1[i] * w1 + (1 << logwd)) >>
+                          (logwd + 1)) +
+                         ((o0 + o1 + 1) >> 1));
+      }
+    } else {
+      for (int i = 0; i < nl; ++i) oy[i] = (p0->y[i] + p1->y[i] + 1) >> 1;
+      for (int i = 0; i < nc; ++i) {
+        ou[i] = (p0->u[i] + p1->u[i] + 1) >> 1;
+        ov[i] = (p0->v[i] + p1->v[i] + 1) >> 1;
+      }
+    }
+  } else {
+    int l = p1 ? 1 : 0;
+    PredBlk* p = p1 ? p1 : p0;
+    int ref_idx = p1 ? ref_idx1 : ref_idx0;
+    bool weighted =
+        h->pred_weights.present &&
+        (h->slice_type != SLICE_B || pps->weighted_bipred_idc == 1);
+    std::memcpy(oy, p->y, nl * sizeof(int));
+    std::memcpy(ou, p->u, nc * sizeof(int));
+    std::memcpy(ov, p->v, nc * sizeof(int));
+    if (weighted) {
+      wp_apply(oy, nl, l, ref_idx, -1, addr);
+      wp_apply(ou, nc, l, ref_idx, 0, addr);
+      wp_apply(ov, nc, l, ref_idx, 1, addr);
+    }
+  }
+  for (int y = 0; y < lh; ++y)
+    for (int x = 0; x < lw; ++x)
+      predY[16 * (by4 * 4 + y) + bx4 * 4 + x] = oy[y * lw + x];
+  for (int y = 0; y < ch_; ++y)
+    for (int x = 0; x < cw_; ++x) {
+      predU[8 * (by4 * 2 + y) + bx4 * 2 + x] = ou[y * cw_ + x];
+      predV[8 * (by4 * 2 + y) + bx4 * 2 + x] = ov[y * cw_ + x];
+    }
+}
+
+void MbaffSlice::mc_part(int addr, int* predY, int* predU, int* predV,
+                         int bx4, int by4, int w4_, int h4_, int ref_idx,
+                         int mvx, int mvy) {
+  PredBlk p0;
+  fetch_pred(addr, 0, ref_idx, bx4, by4, w4_, h4_, mvx, mvy, p0);
+  combine_store(addr, predY, predU, predV, bx4, by4, w4_, h4_, &p0, nullptr,
+                ref_idx, -1);
+}
+
+void MbaffSlice::store_mb(int addr, const int* predY, const int* predU,
+                          const int* predV) {
+  int x0 = st->luma_x0(addr);
+  uint8_t* Y = pic->Y.data();
+  for (int yy = 0; yy < 16; ++yy) {
+    uint8_t* row = Y + (size_t)st->luma_y(addr, yy) * pic->w;
+    for (int xx = 0; xx < 16; ++xx)
+      row[x0 + xx] = (uint8_t)clamp_i(predY[16 * yy + xx], 0, 255);
+  }
+  int cx0 = st->pair_x(addr) * 8;
+  for (int comp = 0; comp < 2; ++comp) {
+    uint8_t* plane = comp ? pic->V.data() : pic->U.data();
+    const int* pred = comp ? predV : predU;
+    for (int yy = 0; yy < 8; ++yy) {
+      uint8_t* row = plane + (size_t)st->chroma_y(addr, yy) * pic->cw;
+      for (int xx = 0; xx < 8; ++xx)
+        row[cx0 + xx] = (uint8_t)clamp_i(pred[8 * yy + xx], 0, 255);
+    }
+  }
+}
+
+int MbaffSlice::n_act(int addr, int l) const {
+  int n = h->num_ref_idx[l];
+  return st->is_field(addr) ? 2 * n : n;
+}
+
+void MbaffSlice::skip_mv(int addr, int* mvx, int* mvy) {
+  MvN A = mv_nbr(addr, -1, 0, 0);
+  MvN B = mv_nbr(addr, 0, -1, 0);
+  if (!A.avail || !B.avail) {
+    *mvx = *mvy = 0;
+    return;
+  }
+  if (A.ref == 0 && A.mvx == 0 && A.mvy == 0) {
+    *mvx = *mvy = 0;
+    return;
+  }
+  if (B.ref == 0 && B.mvx == 0 && B.mvy == 0) {
+    *mvx = *mvy = 0;
+    return;
+  }
+  mv_pred(addr, 0, 0, 4, 4, 0, 0, 0, 0, mvx, mvy);
+}
+
+void MbaffSlice::decode_skip_mb(int addr) {
+  if (h->slice_type == SLICE_B) {
+    decode_b_skip(addr);
+    return;
+  }
+  decode_p_skip(addr);
+}
+
+void MbaffSlice::decode_p_skip(int addr) {
+  mark_mb(addr);
+  cur_addr = addr;
+  cur_z = 0;
+  st->mb_class[addr] = MB_P;
+  st->mb_qp[addr] = qp;
+  st->mb_cbp[addr] = 0;
+  st->mb_skip[addr] = 1;
+  int mvx, mvy;
+  skip_mv(addr, &mvx, &mvy);
+  cur_z = 16;
+  store_part_mv(addr, 0, 0, 4, 4, 0, mvx, mvy, 0);
+  int predY[256], predU[64], predV[64];
+  mc_part(addr, predY, predU, predV, 0, 0, 4, 4, 0, mvx, mvy);
+  store_mb(addr, predY, predU, predV);
+}
+
+void MbaffSlice::decode_p_mb(BitReader& r, int addr, int mb_type) {
+  st->mb_class[addr] = MB_P;
+  int n0 = n_act(addr, 0);
+  int predY[256], predU[64], predV[64];
+  std::vector<int> sub_types;
+  if (mb_type <= 2) {
+    int kind, np;
+    const SliceCtx::Part* parts = SliceCtx::p_parts(mb_type, &kind, &np);
+    int refs[2];
+    for (int i = 0; i < np; ++i) refs[i] = SliceCtx::read_te(r, n0 - 1);
+    for (int i = 0; i < np; ++i) {
+      int mvdx = r.se(), mvdy = r.se();
+      cur_z = xy_to_z(parts[i].bx4, parts[i].by4);
+      int px, py;
+      mv_pred(addr, parts[i].bx4, parts[i].by4, parts[i].w4, parts[i].h4,
+              refs[i], kind, i, 0, &px, &py);
+      int mvx = px + mvdx, mvy = py + mvdy;
+      store_part_mv(addr, parts[i].bx4, parts[i].by4, parts[i].w4,
+                    parts[i].h4, refs[i], mvx, mvy, 0);
+      store_part_mvd(addr, parts[i].bx4, parts[i].by4, parts[i].w4,
+                     parts[i].h4, 0, mvdx, mvdy);
+      mc_part(addr, predY, predU, predV, parts[i].bx4, parts[i].by4,
+              parts[i].w4, parts[i].h4, refs[i], mvx, mvy);
+    }
+  } else {
+    sub_types.resize(4);
+    for (int b = 0; b < 4; ++b) {
+      sub_types[b] = r.ue();
+      if (sub_types[b] > 3) throw DecodeError("bad sub_mb_type");
+    }
+    int refs[4] = {0, 0, 0, 0};
+    if (mb_type == 3)
+      for (int b = 0; b < 4; ++b) refs[b] = SliceCtx::read_te(r, n0 - 1);
+    for (int b = 0; b < 4; ++b) {
+      int bx0 = (b & 1) * 2, by0 = (b >> 1) * 2;
+      int ns;
+      const SliceCtx::Part* sp = SliceCtx::sub_parts(sub_types[b], &ns);
+      for (int s = 0; s < ns; ++s) {
+        int bx4 = bx0 + sp[s].bx4, by4 = by0 + sp[s].by4;
+        int mvdx = r.se(), mvdy = r.se();
+        cur_z = xy_to_z(bx4, by4);
+        int px, py;
+        mv_pred(addr, bx4, by4, sp[s].w4, sp[s].h4, refs[b], 0, 0, 0, &px,
+                &py);
+        int mvx = px + mvdx, mvy = py + mvdy;
+        store_part_mv(addr, bx4, by4, sp[s].w4, sp[s].h4, refs[b], mvx, mvy,
+                      0);
+        store_part_mvd(addr, bx4, by4, sp[s].w4, sp[s].h4, 0, mvdx, mvdy);
+        mc_part(addr, predY, predU, predV, bx4, by4, sp[s].w4, sp[s].h4,
+                refs[b], mvx, mvy);
+      }
+    }
+  }
+  cur_z = 16;
+  bool tf8_ok = mb_type <= 2;
+  if (!tf8_ok) {
+    tf8_ok = true;
+    for (int stp : sub_types) tf8_ok &= (stp == 0);
+  }
+  inter_residual(r, addr, predY, predU, predV, tf8_ok);
+}
+
+void MbaffSlice::inter_residual(BitReader& r, int addr, int* predY,
+                                int* predU, int* predV, bool tf8_ok) {
+  int gi = r.ue();
+  if (gi >= 48) throw DecodeError("bad cbp golomb");
+  int cbp = kGolombToInterCbp[gi];
+  int cbp_luma = cbp & 15, cbp_chroma = cbp >> 4;
+  int tf8 = 0;
+  if (cbp_luma && tf8_ok && pps->transform_8x8_mode) tf8 = r.read1();
+  st->mb_tf8[addr] = (int8_t)tf8;
+  if (cbp) qp = ((qp + r.se()) % 52 + 52) % 52;
+  st->mb_qp[addr] = qp;
+  st->mb_cbp[addr] = cbp;
+  int x0 = st->luma_x0(addr);
+  uint8_t* Y = pic->Y.data();
+  if (tf8) {
+    const uint8_t* scan = scan8(addr);
+    for (int b = 0; b < 4; ++b) {
+      int bx = (b & 1) * 2, by = (b >> 1) * 2;
+      if (!(cbp_luma & (1 << b))) {
+        for (int yy = 0; yy < 8; ++yy) {
+          uint8_t* row =
+              Y + (size_t)st->luma_y(addr, by * 4 + yy) * pic->w;
+          for (int xx = 0; xx < 8; ++xx)
+            row[x0 + bx * 4 + xx] = (uint8_t)clamp_i(
+                predY[16 * (by * 4 + yy) + bx * 4 + xx], 0, 255);
+        }
+        continue;
+      }
+      int scan64[64];
+      parse_luma8x8_cavlc(r, addr, b, scan64);
+      const int32_t* ls = dq8(qp, 1);
+      int d[64], res[64];
+      std::memset(d, 0, sizeof(d));
+      for (int s = 0; s < 64; ++s) {
+        int c = scan64[s];
+        if (c) {
+          int pos = scan[s];
+          d[pos] = dequant8_apply(c, ls[pos], qp);
+        }
+      }
+      idct8x8(d, res);
+      for (int yy = 0; yy < 8; ++yy) {
+        uint8_t* row = Y + (size_t)st->luma_y(addr, by * 4 + yy) * pic->w;
+        for (int xx = 0; xx < 8; ++xx)
+          row[x0 + bx * 4 + xx] = (uint8_t)clip1(
+              predY[16 * (by * 4 + yy) + bx * 4 + xx] + res[8 * yy + xx]);
+      }
+    }
+    std::memcpy(pred_chromaU, predU, sizeof(pred_chromaU));
+    std::memcpy(pred_chromaV, predV, sizeof(pred_chromaV));
+    decode_chroma_cavlc(r, addr, 0, cbp_chroma, false);
+    return;
+  }
+  const uint8_t* scan = scan4(addr);
+  const int32_t* dq = dq4(qp, 3);
+  for (int k = 0; k < 16; ++k) {
+    int x4 = kZtoX[k], y4 = kZtoY[k];
+    if (!(cbp_luma & (1 << (k >> 2)))) {
+      for (int yy = 0; yy < 4; ++yy) {
+        uint8_t* row = Y + (size_t)st->luma_y(addr, y4 * 4 + yy) * pic->w;
+        for (int xx = 0; xx < 4; ++xx)
+          row[x0 + x4 * 4 + xx] = (uint8_t)clamp_i(
+              predY[16 * (y4 * 4 + yy) + x4 * 4 + xx], 0, 255);
+      }
+      continue;
+    }
+    cur_z = k;
+    int nc = nc_luma(addr, x4, y4);
+    int blk[16];
+    int tc = cavlc_block(r, nc, 16, blk);
+    st->nnz_y[st->cell(addr, 4 * y4 + x4)] = (int8_t)tc;
+    int d[16], res[16];
+    std::memset(d, 0, sizeof(d));
+    for (int s = 0; s < 16; ++s) {
+      int c = blk[s];
+      if (c) {
+        int pos = scan[s];
+        d[pos] = dequant4_apply(c, dq[pos], qp);
+      }
+    }
+    idct4x4(d, res);
+    for (int yy = 0; yy < 4; ++yy) {
+      uint8_t* row = Y + (size_t)st->luma_y(addr, y4 * 4 + yy) * pic->w;
+      for (int xx = 0; xx < 4; ++xx)
+        row[x0 + x4 * 4 + xx] = (uint8_t)clip1(
+            predY[16 * (y4 * 4 + yy) + x4 * 4 + xx] + res[4 * yy + xx]);
+    }
+  }
+  cur_z = 16;
+  std::memcpy(pred_chromaU, predU, sizeof(pred_chromaU));
+  std::memcpy(pred_chromaV, predV, sizeof(pred_chromaV));
+  decode_chroma_cavlc(r, addr, 0, cbp_chroma, false);
+}
+
+// -- B slices ---------------------------------------------------------------
+
+bool MbaffSlice::col_zero(int addr, int b) {
+  Picture* col_frm;
+  int col_parity;
+  if (st->is_field(addr)) {
+    field_ref(1, 0, addr, &col_frm, &col_parity);
+  } else {
+    col_frm = ref_l1[0];
+    col_parity = addr & 1;
+  }
+  if (col_frm->long_term) return false;
+  MbaffState* colst = col_frm->mbaff.get();
+  int px = st->pair_x(addr), py = st->pair_y(addr);
+  int xs4 = 3 * (b & 1);
+  int ys4 = 3 * (b >> 1);
+  bool cur_field = st->is_field(addr);
+  int scale = 1;
+  bool halve = false;
+  if (!colst) {
+    // colocated picture is progressive (frame grids)
+    int gx4 = px * 4 + xs4;
+    int gy4;
+    if (!cur_field)
+      gy4 = py * 8 + 4 * (addr & 1) + ys4;
+    else {
+      gy4 = py * 8 + 2 * ys4;
+      halve = true;
+    }
+    int l = 0;
+    int ref = col_frm->ref_idx[col_frm->mvix(0, gy4, gx4)];
+    if (ref < 0) {
+      ref = col_frm->ref_idx[col_frm->mvix(1, gy4, gx4)];
+      l = 1;
+    }
+    if (ref < 0) return false;
+    int mx = col_frm->mv[2 * col_frm->mvix(l, gy4, gx4)];
+    int my = col_frm->mv[2 * col_frm->mvix(l, gy4, gx4) + 1];
+    if (halve) my = my / 2;
+    return ref == 0 && std::abs(mx) <= 1 && std::abs(my) <= 1;
+  }
+  int pair = py * st->mb_w + px;
+  bool col_field = colst->field_flag[pair] != 0;
+  int col_addr, cellix;
+  if (cur_field == col_field) {
+    col_addr = 2 * pair + (addr & 1);
+    cellix = 4 * ys4 + xs4;
+  } else if (cur_field) {
+    int line4 = 2 * ys4;
+    col_addr = 2 * pair + (line4 >= 4 ? 1 : 0);
+    cellix = 4 * (line4 & 3) + xs4;
+    halve = true;
+  } else {
+    int cur_poc = pic->poc;
+    int parity = (std::abs(col_frm->field_poc[0] - cur_poc) >=
+                  std::abs(col_frm->field_poc[1] - cur_poc))
+                     ? 1
+                     : 0;
+    col_addr = 2 * pair + parity;
+    int band_row = 4 * (addr & 1) + ys4;
+    cellix = 4 * (band_row >> 1) + xs4;
+    scale = 2;
+  }
+  int l = 0;
+  int ref = colst->ref_idx[colst->mref(col_addr, 0, cellix)];
+  if (ref < 0) {
+    ref = colst->ref_idx[colst->mref(col_addr, 1, cellix)];
+    l = 1;
+  }
+  if (ref < 0) return false;
+  int mx = colst->mv[colst->mmv(col_addr, l, cellix, 0)];
+  int my = colst->mv[colst->mmv(col_addr, l, cellix, 1)] * scale;
+  if (halve) my = my / 2;
+  return ref == 0 && std::abs(mx) <= 1 && std::abs(my) <= 1;
+}
+
+void MbaffSlice::direct_spatial_cache(int addr) {
+  if (dc_valid) return;
+  for (int l = 0; l < 2; ++l) {
+    MvN A = mv_nbr(addr, -1, 0, l);
+    MvN B = mv_nbr(addr, 0, -1, l);
+    MvN C = mv_nbr(addr, 16, -1, l);
+    if (!C.avail) C = mv_nbr(addr, -1, -1, l);
+    int best = -1;
+    for (const MvN* m : {&A, &B, &C})
+      if (m->ref >= 0) best = best < 0 ? m->ref : std::min(best, m->ref);
+    dc_refs[l] = best;
+  }
+  dc_dzp = dc_refs[0] < 0 && dc_refs[1] < 0;
+  if (dc_dzp) dc_refs[0] = dc_refs[1] = 0;
+  dc_mvps[0][0] = dc_mvps[0][1] = dc_mvps[1][0] = dc_mvps[1][1] = 0;
+  for (int l = 0; l < 2; ++l)
+    if (dc_refs[l] >= 0 && !dc_dzp)
+      mv_pred(addr, 0, 0, 4, 4, dc_refs[l], 0, 0, l, &dc_mvps[l][0],
+              &dc_mvps[l][1]);
+  dc_valid = true;
+}
+
+void MbaffSlice::direct_mvs_8x8(int addr, int b, int refs_out[2],
+                                int mvs_out[2][2]) {
+  if (!h->direct_spatial_mv_pred)
+    throw DecodeError("MBAFF temporal direct not supported");
+  direct_spatial_cache(addr);
+  bool cz = col_zero(addr, b);
+  for (int l = 0; l < 2; ++l) {
+    if (dc_refs[l] < 0) {
+      refs_out[l] = -1;
+      mvs_out[l][0] = mvs_out[l][1] = 0;
+    } else if (dc_dzp || (cz && dc_refs[l] == 0)) {
+      refs_out[l] = dc_refs[l];
+      mvs_out[l][0] = mvs_out[l][1] = 0;
+    } else {
+      refs_out[l] = dc_refs[l];
+      mvs_out[l][0] = dc_mvps[l][0];
+      mvs_out[l][1] = dc_mvps[l][1];
+    }
+  }
+}
+
+void MbaffSlice::decode_direct_8x8(int addr, int b, int* predY, int* predU,
+                                   int* predV) {
+  int refs[2], mvs[2][2];
+  direct_mvs_8x8(addr, b, refs, mvs);
+  int bx4 = (b & 1) * 2, by4 = (b >> 1) * 2;
+  for (int y = by4; y < by4 + 2; ++y)
+    for (int x = bx4; x < bx4 + 2; ++x)
+      st->cell_direct[st->cell(addr, 4 * y + x)] = 1;
+  if (refs[0] >= 0)
+    store_part_mv(addr, bx4, by4, 2, 2, refs[0], mvs[0][0], mvs[0][1], 0);
+  if (refs[1] >= 0)
+    store_part_mv(addr, bx4, by4, 2, 2, refs[1], mvs[1][0], mvs[1][1], 1);
+  PredBlk p0, p1;
+  bool h0 = refs[0] >= 0, h1 = refs[1] >= 0;
+  if (h0) fetch_pred(addr, 0, refs[0], bx4, by4, 2, 2, mvs[0][0], mvs[0][1],
+                     p0);
+  if (h1) fetch_pred(addr, 1, refs[1], bx4, by4, 2, 2, mvs[1][0], mvs[1][1],
+                     p1);
+  combine_store(addr, predY, predU, predV, bx4, by4, 2, 2, h0 ? &p0 : nullptr,
+                h1 ? &p1 : nullptr, refs[0], refs[1]);
+}
+
+void MbaffSlice::decode_b_skip(int addr) {
+  mark_mb(addr);
+  cur_addr = addr;
+  cur_z = 0;
+  dc_valid = false;
+  st->mb_class[addr] = MB_B;
+  st->mb_qp[addr] = qp;
+  st->mb_cbp[addr] = 0;
+  st->mb_skip[addr] = 1;
+  st->mb_bdirect[addr] = 1;
+  int predY[256], predU[64], predV[64];
+  for (int b = 0; b < 4; ++b) decode_direct_8x8(addr, b, predY, predU, predV);
+  store_mb(addr, predY, predU, predV);
+}
+
+void MbaffSlice::decode_b_mb(BitReader& r, int addr, int mb_type) {
+  dc_valid = false;
+  st->mb_class[addr] = MB_B;
+  int predY[256], predU[64], predV[64];
+  if (mb_type == 0) {
+    st->mb_bdirect[addr] = 1;
+    for (int b = 0; b < 4; ++b)
+      decode_direct_8x8(addr, b, predY, predU, predV);
+    cur_z = 16;
+    inter_residual(r, addr, predY, predU, predV,
+                   sps->direct_8x8_inference != 0);
+    return;
+  }
+  bool tf8_ok = true;
+  if (mb_type < 22) {
+    int kind, preds[2], np;
+    SliceCtx::b_type(mb_type, &kind, preds, &np);
+    int ng;
+    const SliceCtx::Part* parts = SliceCtx::geom(kind, &ng);
+    int refs[2][2] = {{-1, -1}, {-1, -1}};
+    for (int l = 0; l < 2; ++l)
+      for (int i = 0; i < np; ++i)
+        if (preds[i] == 2 || preds[i] == l)
+          refs[l][i] = SliceCtx::read_te(r, n_act(addr, l) - 1);
+    int mvds[2][2][2] = {};
+    for (int l = 0; l < 2; ++l)
+      for (int i = 0; i < np; ++i)
+        if (preds[i] == 2 || preds[i] == l) {
+          mvds[l][i][0] = r.se();
+          mvds[l][i][1] = r.se();
+        }
+    int mvs[2][2][2];
+    for (int l = 0; l < 2; ++l)
+      for (int i = 0; i < np; ++i) {
+        if (refs[l][i] < 0) continue;
+        cur_z = xy_to_z(parts[i].bx4, parts[i].by4);
+        int px, py;
+        mv_pred(addr, parts[i].bx4, parts[i].by4, parts[i].w4, parts[i].h4,
+                refs[l][i], kind, i, l, &px, &py);
+        mvs[l][i][0] = px + mvds[l][i][0];
+        mvs[l][i][1] = py + mvds[l][i][1];
+        store_part_mv(addr, parts[i].bx4, parts[i].by4, parts[i].w4,
+                      parts[i].h4, refs[l][i], mvs[l][i][0], mvs[l][i][1],
+                      l);
+        store_part_mvd(addr, parts[i].bx4, parts[i].by4, parts[i].w4,
+                       parts[i].h4, l, mvds[l][i][0], mvds[l][i][1]);
+      }
+    for (int i = 0; i < np; ++i) {
+      PredBlk p0, p1;
+      bool h0 = refs[0][i] >= 0, h1 = refs[1][i] >= 0;
+      if (h0)
+        fetch_pred(addr, 0, refs[0][i], parts[i].bx4, parts[i].by4,
+                   parts[i].w4, parts[i].h4, mvs[0][i][0], mvs[0][i][1], p0);
+      if (h1)
+        fetch_pred(addr, 1, refs[1][i], parts[i].bx4, parts[i].by4,
+                   parts[i].w4, parts[i].h4, mvs[1][i][0], mvs[1][i][1], p1);
+      combine_store(addr, predY, predU, predV, parts[i].bx4, parts[i].by4,
+                    parts[i].w4, parts[i].h4, h0 ? &p0 : nullptr,
+                    h1 ? &p1 : nullptr, refs[0][i], refs[1][i]);
+    }
+  } else {
+    int sub_types[4];
+    for (int b = 0; b < 4; ++b) {
+      sub_types[b] = r.ue();
+      if (sub_types[b] > 12) throw DecodeError("bad B sub_mb_type");
+    }
+    for (int b = 0; b < 4; ++b) {
+      int pm, ns;
+      const SliceCtx::Part* sp;
+      SliceCtx::b_sub(sub_types[b], &pm, &sp, &ns);
+      if (pm == -1) {
+        cur_z = xy_to_z((b & 1) * 2, (b >> 1) * 2);
+        decode_direct_8x8(addr, b, predY, predU, predV);
+      }
+    }
+    int refs[2][4] = {{-1, -1, -1, -1}, {-1, -1, -1, -1}};
+    for (int l = 0; l < 2; ++l)
+      for (int b = 0; b < 4; ++b) {
+        int pm, ns;
+        const SliceCtx::Part* sp;
+        SliceCtx::b_sub(sub_types[b], &pm, &sp, &ns);
+        if (pm == 2 || pm == l)
+          refs[l][b] = SliceCtx::read_te(r, n_act(addr, l) - 1);
+      }
+    // mvds in (l, b, sp) order, then derive/store in the same order
+    int submv[2][4][4][2];
+    int mvd_list[2][16][4];
+    int nmvd[2] = {0, 0};
+    for (int l = 0; l < 2; ++l)
+      for (int b = 0; b < 4; ++b) {
+        int pm, ns;
+        const SliceCtx::Part* sp;
+        SliceCtx::b_sub(sub_types[b], &pm, &sp, &ns);
+        if (pm == -1 || !(pm == 2 || pm == l)) continue;
+        for (int s = 0; s < ns; ++s) {
+          mvd_list[l][nmvd[l]][0] = b;
+          mvd_list[l][nmvd[l]][1] = s;
+          mvd_list[l][nmvd[l]][2] = r.se();
+          mvd_list[l][nmvd[l]][3] = r.se();
+          ++nmvd[l];
+        }
+      }
+    for (int l = 0; l < 2; ++l)
+      for (int i = 0; i < nmvd[l]; ++i) {
+        int b = mvd_list[l][i][0], s = mvd_list[l][i][1];
+        int pm, ns;
+        const SliceCtx::Part* sp;
+        SliceCtx::b_sub(sub_types[b], &pm, &sp, &ns);
+        int bx4 = (b & 1) * 2 + sp[s].bx4;
+        int by4 = (b >> 1) * 2 + sp[s].by4;
+        cur_z = xy_to_z(bx4, by4);
+        int px, py;
+        mv_pred(addr, bx4, by4, sp[s].w4, sp[s].h4, refs[l][b], 0, 0, l, &px,
+                &py);
+        submv[l][b][s][0] = px + mvd_list[l][i][2];
+        submv[l][b][s][1] = py + mvd_list[l][i][3];
+        store_part_mv(addr, bx4, by4, sp[s].w4, sp[s].h4, refs[l][b],
+                      submv[l][b][s][0], submv[l][b][s][1], l);
+        store_part_mvd(addr, bx4, by4, sp[s].w4, sp[s].h4, l,
+                       mvd_list[l][i][2], mvd_list[l][i][3]);
+      }
+    for (int b = 0; b < 4; ++b) {
+      int pm, ns;
+      const SliceCtx::Part* sp;
+      SliceCtx::b_sub(sub_types[b], &pm, &sp, &ns);
+      if (pm == -1) continue;
+      for (int s = 0; s < ns; ++s) {
+        int bx4 = (b & 1) * 2 + sp[s].bx4;
+        int by4 = (b >> 1) * 2 + sp[s].by4;
+        PredBlk p0, p1;
+        bool h0 = refs[0][b] >= 0, h1 = refs[1][b] >= 0;
+        if (h0)
+          fetch_pred(addr, 0, refs[0][b], bx4, by4, sp[s].w4, sp[s].h4,
+                     submv[0][b][s][0], submv[0][b][s][1], p0);
+        if (h1)
+          fetch_pred(addr, 1, refs[1][b], bx4, by4, sp[s].w4, sp[s].h4,
+                     submv[1][b][s][0], submv[1][b][s][1], p1);
+        combine_store(addr, predY, predU, predV, bx4, by4, sp[s].w4,
+                      sp[s].h4, h0 ? &p0 : nullptr, h1 ? &p1 : nullptr,
+                      refs[0][b], refs[1][b]);
+      }
+    }
+    tf8_ok = true;
+    for (int b = 0; b < 4; ++b)
+      tf8_ok &= ((sub_types[b] == 0 && sps->direct_8x8_inference) ||
+                 (sub_types[b] >= 1 && sub_types[b] <= 3));
+  }
+  cur_z = 16;
+  inter_residual(r, addr, predY, predU, predV, tf8_ok);
+}
+
+// -- CAVLC slice loop -------------------------------------------------------
+
+void MbaffSlice::decode_cavlc(BitReader& r) {
+  int n_mbs = st->mb_w * st->mb_h;
+  if (h->slice_type == SLICE_I) {
+    int addr = h->first_mb * 2;
+    while (addr < n_mbs) {
+      if ((addr & 1) == 0) st->field_flag[addr >> 1] = (int8_t)r.read1();
+      mark_mb(addr);
+      cur_addr = addr;
+      cur_z = 0;
+      int mb_type = r.ue();
+      decode_intra_mb_cavlc(r, addr, mb_type);
+      ++addr;
+      if (!more_rbsp_data(r)) break;
+    }
+    return;
+  }
+  int addr = h->first_mb * 2;
+  bool more = true;
+  int pending_top = -1;
+  while (more && addr < n_mbs) {
+    int skip_run = r.ue();
+    for (int i = 0; i < skip_run; ++i) {
+      if (addr >= n_mbs) break;
+      if ((addr & 1) == 0) {
+        pending_top = addr;
+      } else {
+        if (pending_top >= 0) {
+          st->field_flag[addr >> 1] = (int8_t)infer_field_flag(addr >> 1);
+          decode_skip_mb(pending_top);
+          pending_top = -1;
+        }
+        decode_skip_mb(addr);
+      }
+      ++addr;
+    }
+    more = more_rbsp_data(r);
+    if (more && addr < n_mbs) {
+      if ((addr & 1) == 0 || pending_top >= 0)
+        st->field_flag[addr >> 1] = (int8_t)r.read1();
+      if (pending_top >= 0) {
+        decode_skip_mb(pending_top);
+        pending_top = -1;
+      }
+      mark_mb(addr);
+      cur_addr = addr;
+      cur_z = 0;
+      int mb_type = r.ue();
+      if (h->slice_type == SLICE_P) {
+        if (mb_type < 5)
+          decode_p_mb(r, addr, mb_type);
+        else
+          decode_intra_mb_cavlc(r, addr, mb_type - 5);
+      } else {
+        if (mb_type < 23)
+          decode_b_mb(r, addr, mb_type);
+        else
+          decode_intra_mb_cavlc(r, addr, mb_type - 23);
+      }
+      ++addr;
+      more = more_rbsp_data(r);
+    }
+  }
+  if (pending_top >= 0) {
+    st->field_flag[pending_top >> 1] =
+        (int8_t)infer_field_flag(pending_top >> 1);
+    decode_skip_mb(pending_top);
+  }
+}
+
+}  // namespace h264
+
+namespace h264 {
+
+// ---------------------------------------------------------------------------
+// MBAFF CABAC (h264_mbaff.py MbaffCabac)
+// ---------------------------------------------------------------------------
+
+struct MbaffCabac {
+  CabacEngine e;
+  MbaffSlice* sl;
+  MbaffState* st;
+  const SliceHeader* h;
+  int prev_qp_delta_nz = 0;
+
+  MbaffCabac(MbaffSlice* sl_, const uint8_t* rbsp, size_t n,
+             const SliceHeader* h_)
+      : sl(sl_), st(sl_->st), h(h_) {
+    e.init_ctx(h->slice_type == SLICE_I, h->cabac_init_idc, h->slice_qp);
+    e.start(rbsp, n, h->data_bit_pos);
+  }
+
+  int mb_nbr(int addr, int xN, int yN) {
+    MbaffSlice::Nbr r = sl->nbr(addr, xN, yN, false);
+    return r.ok ? r.addr : -1;
+  }
+
+  int mb_skip_flag(int addr) {
+    int base = h->slice_type == SLICE_P ? 11 : 24;
+    int ctx = 0;
+    int n = mb_nbr(addr, -1, 0);
+    if (n >= 0 && !st->mb_skip[n]) ++ctx;
+    n = mb_nbr(addr, 0, -1);
+    if (n >= 0 && !st->mb_skip[n]) ++ctx;
+    return e.decision(base + ctx);
+  }
+
+  int mb_field_decoding_flag(int addr) {
+    int pair = addr >> 1;
+    int px = pair % st->mb_w, py = pair / st->mb_w;
+    int ctx = 0;
+    if (px > 0 && st->slice_id[2 * (pair - 1)] == sl->sid)
+      ctx += st->field_flag[pair - 1];
+    if (py > 0 && st->slice_id[2 * (pair - st->mb_w)] == sl->sid)
+      ctx += st->field_flag[pair - st->mb_w];
+    return e.decision(70 + ctx);
+  }
+
+  int intra_mb_type(int ctx_base, bool intra_slice, int addr) {
+    int base = ctx_base;
+    if (intra_slice) {
+      int ctx = 0;
+      for (int side = 0; side < 2; ++side) {
+        int n = side == 0 ? mb_nbr(addr, -1, 0) : mb_nbr(addr, 0, -1);
+        if (n >= 0) {
+          int cls = st->mb_class[n];
+          if (cls == MB_I16 || cls == MB_IPCM) ++ctx;
+        }
+      }
+      if (e.decision(base + ctx) == 0) return 0;
+      base += 2;
+    } else {
+      if (e.decision(base) == 0) return 0;
+    }
+    if (e.terminate()) return 25;
+    int t = 1;
+    t += 12 * e.decision(base + 1);
+    if (e.decision(base + 2))
+      t += 4 + 4 * e.decision(base + 2 + (intra_slice ? 1 : 0));
+    int off = 3 + (intra_slice ? 1 : 0);
+    t += 2 * e.decision(base + off);
+    t += e.decision(base + 3 + (intra_slice ? 2 : 0));
+    return t;
+  }
+
+  int mb_type_i(int addr) { return intra_mb_type(3, true, addr); }
+  int mb_type_p(int addr) {
+    if (e.decision(14)) return 5 + intra_mb_type(17, false, addr);
+    if (e.decision(15) == 0) return 3 * e.decision(16);
+    return 2 - e.decision(17);
+  }
+  int mb_type_b(int addr) {
+    int ctx = 0;
+    int n = mb_nbr(addr, -1, 0);
+    if (n >= 0 && !st->mb_bdirect[n]) ++ctx;
+    n = mb_nbr(addr, 0, -1);
+    if (n >= 0 && !st->mb_bdirect[n]) ++ctx;
+    if (!e.decision(27 + ctx)) return 0;
+    if (!e.decision(27 + 3)) return 1 + e.decision(27 + 5);
+    int bits = e.decision(27 + 4) << 3;
+    bits |= e.decision(27 + 5) << 2;
+    bits |= e.decision(27 + 5) << 1;
+    bits |= e.decision(27 + 5);
+    if (bits < 8) return bits + 3;
+    if (bits == 13) return 23 + intra_mb_type(32, false, addr);
+    if (bits == 14) return 11;
+    if (bits == 15) return 22;
+    bits = (bits << 1) | e.decision(27 + 5);
+    return bits - 4;
+  }
+  int sub_mb_type_p() {
+    if (e.decision(21)) return 0;
+    if (!e.decision(22)) return 1;
+    return e.decision(23) ? 2 : 3;
+  }
+  int sub_mb_type_b() {
+    if (!e.decision(36)) return 0;
+    if (!e.decision(37)) return 1 + e.decision(39);
+    int t = 3;
+    if (e.decision(38)) {
+      if (e.decision(39)) return 11 + e.decision(39);
+      t += 4;
+    }
+    t += 2 * e.decision(39);
+    t += e.decision(39);
+    return t;
+  }
+  int intra_pred_mode(int pred) {
+    if (e.decision(68)) return pred;
+    int rem = e.decision(69);
+    rem |= e.decision(69) << 1;
+    rem |= e.decision(69) << 2;
+    return rem < pred ? rem : rem + 1;
+  }
+  int chroma_pred_mode(int addr) {
+    int ctx = 0;
+    int n = mb_nbr(addr, -1, 0);
+    if (n >= 0 && st->mb_chroma_mode[n] != 0) ++ctx;
+    n = mb_nbr(addr, 0, -1);
+    if (n >= 0 && st->mb_chroma_mode[n] != 0) ++ctx;
+    if (!e.decision(64 + ctx)) return 0;
+    if (!e.decision(67)) return 1;
+    return e.decision(67) ? 3 : 2;
+  }
+  int transform_size_8x8(int addr) {
+    int ctx = 0;
+    int n = mb_nbr(addr, -1, 0);
+    if (n >= 0 && st->mb_tf8[n]) ++ctx;
+    n = mb_nbr(addr, 0, -1);
+    if (n >= 0 && st->mb_tf8[n]) ++ctx;
+    return e.decision(399 + ctx);
+  }
+
+  int cbp_luma_bit(int addr, int b, int cur_bits) {
+    int x8 = b & 1, y8 = b >> 1;
+    auto cond = [&](int xN, int yN) -> int {
+      MbaffSlice::Nbr r = sl->nbr(addr, xN, yN, false);
+      if (!r.ok) return 0;
+      int nb = (r.xW >> 3) + 2 * (r.yW >> 3);
+      if (r.addr == addr) return (cur_bits & (1 << nb)) ? 0 : 1;
+      if (st->mb_class[r.addr] == MB_IPCM) return 0;
+      return (st->mb_cbp[r.addr] & (1 << nb)) ? 0 : 1;
+    };
+    int ca = cond(8 * x8 - 1, 8 * y8);
+    int cb = cond(8 * x8, 8 * y8 - 1);
+    return e.decision(73 + ca + 2 * cb);
+  }
+
+  int cbp(int addr) {
+    int bits = 0;
+    for (int b = 0; b < 4; ++b) bits |= cbp_luma_bit(addr, b, bits) << b;
+    auto cchroma = [&](int n, bool want2) -> int {
+      if (n < 0) return 0;
+      if (st->mb_class[n] == MB_IPCM) return 1;
+      int cc = st->mb_cbp[n] >> 4;
+      return (want2 ? cc == 2 : cc != 0) ? 1 : 0;
+    };
+    int na = mb_nbr(addr, -1, 0);
+    int nb = mb_nbr(addr, 0, -1);
+    int chroma = 0;
+    if (e.decision(77 + cchroma(na, false) + 2 * cchroma(nb, false)))
+      chroma = e.decision(81 + cchroma(na, true) + 2 * cchroma(nb, true))
+                   ? 2
+                   : 1;
+    return bits | (chroma << 4);
+  }
+
+  int mb_qp_delta() {
+    if (!e.decision(60 + (prev_qp_delta_nz ? 1 : 0))) {
+      prev_qp_delta_nz = 0;
+      return 0;
+    }
+    int k = 1;
+    if (e.decision(62)) {
+      k = 2;
+      while (k < 90 && e.decision(63)) ++k;
+    }
+    prev_qp_delta_nz = 1;
+    return (k & 1) ? (k + 1) >> 1 : -(k >> 1);
+  }
+
+  int ref_idx(int addr, int l, int bx4, int by4) {
+    bool is_b = h->slice_type == SLICE_B;
+    int ctx = 0;
+    for (int side = 0; side < 2; ++side) {
+      int xN = 4 * bx4 - (side == 0 ? 1 : 0);
+      int yN = 4 * by4 - (side == 0 ? 0 : 1);
+      MbaffSlice::Nbr r = sl->nbr(addr, xN, yN, false);
+      if (!r.ok) continue;
+      if (r.addr == addr && xy_to_z(r.xW >> 2, r.yW >> 2) >= sl->cur_z)
+        continue;
+      int c = 4 * (r.yW >> 2) + (r.xW >> 2);
+      int ref = st->ref_idx[st->mref(r.addr, l, c)];
+      if (ref < 0) continue;
+      if (st->is_field(r.addr) && !st->is_field(addr))
+        ref >>= 1;
+      else if (st->is_field(addr) && !st->is_field(r.addr))
+        ref *= 2;
+      if (ref > 0 && !(is_b && st->cell_direct[st->cell(r.addr, c)]))
+        ctx += 1 << side;
+    }
+    int ref = 0;
+    while (e.decision(54 + ctx)) {
+      if (++ref > 32) throw DecodeError("bad ref_idx");
+      ctx = (ctx >> 2) + 4;
+    }
+    return ref;
+  }
+
+  int mvd_nbr_abs(int addr, int xN, int yN, int l, int comp) {
+    MbaffSlice::Nbr r = sl->nbr(addr, xN, yN, false);
+    if (!r.ok) return 0;
+    if (r.addr == addr && xy_to_z(r.xW >> 2, r.yW >> 2) >= sl->cur_z)
+      return 0;
+    int c = 4 * (r.yW >> 2) + (r.xW >> 2);
+    int v = std::abs((int)st->mvd[st->mmv(r.addr, l, c, comp)]);
+    if (comp == 1) {
+      if (st->is_field(r.addr) && !st->is_field(addr))
+        v <<= 1;
+      else if (st->is_field(addr) && !st->is_field(r.addr))
+        v >>= 1;
+    }
+    return v;
+  }
+
+  int mvd(int addr, int l, int bx4, int by4, int comp) {
+    int amvd = mvd_nbr_abs(addr, 4 * bx4 - 1, 4 * by4, l, comp) +
+               mvd_nbr_abs(addr, 4 * bx4, 4 * by4 - 1, l, comp);
+    int base = comp == 0 ? 40 : 47;
+    int ctx = amvd < 3 ? 0 : (amvd > 32 ? 2 : 1);
+    if (!e.decision(base + ctx)) return 0;
+    int v = 1;
+    ctx = 3;
+    while (v < 9 && e.decision(base + ctx)) {
+      if (v < 4) ++ctx;
+      ++v;
+    }
+    if (v >= 9) {
+      int k = 3;
+      while (e.bypass()) {
+        v += 1 << k;
+        if (++k > 24) throw DecodeError("bad mvd");
+      }
+      while (k) {
+        --k;
+        v += e.bypass() << k;
+      }
+    }
+    return e.bypass() ? -v : v;
+  }
+
+  int cbf_nbr(int addr, int cat, int i0, int i1, int i2, int side) {
+    bool cur_intra = st->is_intra(addr);
+    if (cat == 0 || cat == 3) {
+      int n = side == 0 ? mb_nbr(addr, -1, 0) : mb_nbr(addr, 0, -1);
+      if (n < 0) return cur_intra ? 1 : 0;
+      int cls = st->mb_class[n];
+      if (cls == MB_IPCM) return 1;
+      if (cat == 0) {
+        if (cls != MB_I16) return 0;
+        return (st->mb_dc_flag[n] & 1) ? 1 : 0;
+      }
+      return (st->mb_dc_flag[n] & (2 << i0)) ? 1 : 0;
+    }
+    if (cat == 1 || cat == 2) {
+      int xN = 4 * i0 - (side == 0 ? 1 : 0);
+      int yN = 4 * i1 - (side == 0 ? 0 : 1);
+      MbaffSlice::Nbr r = sl->nbr(addr, xN, yN, false);
+      if (!r.ok) return cur_intra ? 1 : 0;
+      if (st->mb_class[r.addr] == MB_IPCM) return 1;
+      return st->cbf_y[st->cell(r.addr, 4 * (r.yW >> 2) + (r.xW >> 2))];
+    }
+    int xN = 4 * i1 - (side == 0 ? 1 : 0);
+    int yN = 4 * i2 - (side == 0 ? 0 : 1);
+    MbaffSlice::Nbr r = sl->nbr(addr, xN, yN, true);
+    if (!r.ok) return cur_intra ? 1 : 0;
+    if (st->mb_class[r.addr] == MB_IPCM) return 1;
+    return st->cbf_c[st->ccell(r.addr, i0, 2 * (r.yW >> 2) + (r.xW >> 2))];
+  }
+
+  bool residual(int addr, int cat, int maxcoeff, int i0, int i1, int i2,
+                int* coeffs) {
+    bool field = st->is_field(addr);
+    if (cat != 5) {
+      int inc = cbf_nbr(addr, cat, i0, i1, i2, 0) +
+                2 * cbf_nbr(addr, cat, i0, i1, i2, 1);
+      if (!e.decision(85 + CBF_OFF[cat] + inc)) return false;
+    }
+    int sig_base, last_base, abs_base;
+    if (cat == 5) {
+      sig_base = field ? 436 : 402;
+      last_base = field ? 451 : 417;
+      abs_base = 426;
+    } else {
+      sig_base = (field ? 277 : 105) + SIG_OFF[cat];
+      last_base = (field ? 338 : 166) + SIG_OFF[cat];
+      abs_base = 227 + ABS_OFF[cat];
+    }
+    const uint8_t* sig8 = field ? kSigCoeff8x8Field : kSigCoeff8x8;
+    std::memset(coeffs, 0, maxcoeff * sizeof(int));
+    bool sig[64] = {};
+    int last_idx = maxcoeff - 1;
+    bool broke = false;
+    for (int i = 0; i < maxcoeff - 1; ++i) {
+      int s_inc, l_inc;
+      if (cat == 5) {
+        s_inc = sig8[i];
+        l_inc = kLastCoeff8x8[i];
+      } else if (cat == 3) {
+        s_inc = l_inc = std::min(i, 2);
+      } else {
+        s_inc = l_inc = i;
+      }
+      if (e.decision(sig_base + s_inc)) {
+        sig[i] = true;
+        if (e.decision(last_base + l_inc)) {
+          last_idx = i;
+          broke = true;
+          break;
+        }
+      }
+    }
+    if (!broke) sig[maxcoeff - 1] = true;
+    if (last_idx == maxcoeff - 1 && !sig[maxcoeff - 1])
+      sig[maxcoeff - 1] = true;
+    int num_eq1 = 0, num_gt1 = 0;
+    for (int pos = last_idx; pos >= 0; --pos) {
+      if (!sig[pos]) continue;
+      int ctx0 = num_gt1 ? 0 : std::min(4, 1 + num_eq1);
+      int level;
+      if (!e.decision(abs_base + ctx0)) {
+        level = 1;
+      } else {
+        int ctxn = abs_base + 5 + std::min(4 - (cat == 3 ? 1 : 0), num_gt1);
+        level = 2;
+        while (level < 15 && e.decision(ctxn)) ++level;
+        if (level == 15) {
+          int k = 0;
+          while (e.bypass()) {
+            level += 1 << k;
+            if (++k > 30) throw DecodeError("bad coeff level");
+          }
+          while (k) {
+            --k;
+            level += e.bypass() << k;
+          }
+        }
+      }
+      if (level > 1)
+        ++num_gt1;
+      else
+        ++num_eq1;
+      coeffs[pos] = e.bypass() ? -level : level;
+    }
+    return true;
+  }
+
+  int end_of_slice() { return e.terminate(); }
+};
+
+// ---------------------------------------------------------------------------
+// MbaffSlice CABAC MB layer
+// ---------------------------------------------------------------------------
+
+void MbaffSlice::decode_mb_cabac(MbaffCabac& cb, int addr) {
+  int stp = h->slice_type;
+  if (stp == SLICE_P) {
+    int mb_type = cb.mb_type_p(addr);
+    if (mb_type < 5)
+      decode_p_mb_cabac(cb, addr, mb_type);
+    else
+      decode_intra_mb_cabac(cb, addr, mb_type - 5);
+  } else if (stp == SLICE_B) {
+    int mb_type = cb.mb_type_b(addr);
+    if (mb_type < 23)
+      decode_b_mb_cabac(cb, addr, mb_type);
+    else
+      decode_intra_mb_cabac(cb, addr, mb_type - 23);
+  } else {
+    int mb_type = cb.mb_type_i(addr);
+    decode_intra_mb_cabac(cb, addr, mb_type);
+  }
+}
+
+void MbaffSlice::decode_intra_mb_cabac(MbaffCabac& cb, int addr, int imb) {
+  if (imb == 25) {
+    decode_ipcm_cabac(cb, addr);
+    return;
+  }
+  if (imb == 0) {
+    int tf8 = 0;
+    if (pps->transform_8x8_mode) tf8 = cb.transform_size_8x8(addr);
+    if (tf8)
+      decode_i8x8_cabac(cb, addr);
+    else
+      decode_i4x4_cabac(cb, addr);
+    return;
+  }
+  decode_i16_cabac(cb, addr, imb - 1);
+}
+
+void MbaffSlice::decode_ipcm_cabac(MbaffCabac& cb, int addr) {
+  CabacEngine& e = cb.e;
+  if (e.pos & 7) e.pos += 8 - (e.pos & 7);
+  size_t p = e.pos >> 3;
+  int x0 = st->luma_x0(addr);
+  for (int yy = 0; yy < 16; ++yy) {
+    uint8_t* row = pic->Y.data() + (size_t)st->luma_y(addr, yy) * pic->w;
+    for (int xx = 0; xx < 16; ++xx)
+      row[x0 + xx] = p < e.size ? e.data[p++] : (++p, 0);
+  }
+  int cx0 = st->pair_x(addr) * 8;
+  for (int comp = 0; comp < 2; ++comp) {
+    uint8_t* plane = comp ? pic->V.data() : pic->U.data();
+    for (int yy = 0; yy < 8; ++yy) {
+      uint8_t* row = plane + (size_t)st->chroma_y(addr, yy) * pic->cw;
+      for (int xx = 0; xx < 8; ++xx)
+        row[cx0 + xx] = p < e.size ? e.data[p++] : (++p, 0);
+    }
+  }
+  e.pos = p << 3;
+  e.range_ = 510;
+  int off = 0;
+  for (int i = 0; i < 9; ++i) off = (off << 1) | e.bit();
+  e.offset = off;
+  set_ipcm_state(addr);
+  cb.prev_qp_delta_nz = 0;
+}
+
+void MbaffSlice::qp_delta_cabac(MbaffCabac& cb, int addr, int cbp,
+                                bool always) {
+  if (cbp || always)
+    qp = ((qp + cb.mb_qp_delta()) % 52 + 52) % 52;
+  else
+    cb.prev_qp_delta_nz = 0;
+  st->mb_qp[addr] = qp;
+  st->mb_cbp[addr] = cbp;
+}
+
+bool MbaffSlice::luma4_res_cabac(MbaffCabac& cb, int addr, int k, int cat,
+                                 int* blk) {
+  int x4 = kZtoX[k], y4 = kZtoY[k];
+  bool ok = cb.residual(addr, cat, cat == 1 ? 15 : 16, x4, y4, 0, blk);
+  int c = 4 * y4 + x4;
+  if (!ok) {
+    st->cbf_y[st->cell(addr, c)] = 0;
+    st->nnz_y[st->cell(addr, c)] = 0;
+    return false;
+  }
+  st->cbf_y[st->cell(addr, c)] = 1;
+  int nz = 0;
+  int n = cat == 1 ? 15 : 16;
+  for (int i = 0; i < n; ++i) nz += blk[i] != 0;
+  st->nnz_y[st->cell(addr, c)] = (int8_t)nz;
+  return true;
+}
+
+void MbaffSlice::decode_i4x4_cabac(MbaffCabac& cb, int addr) {
+  st->mb_class[addr] = MB_I4;
+  int modes[16];
+  for (int k = 0; k < 16; ++k) {
+    int x4 = kZtoX[k], y4 = kZtoY[k];
+    cur_z = k;
+    int ma = i4_mode_nbr(addr, 4 * x4 - 1, 4 * y4);
+    int mb_ = i4_mode_nbr(addr, 4 * x4, 4 * y4 - 1);
+    int pred = (ma == -1000 || mb_ == -1000) ? 2 : std::min(ma, mb_);
+    int mode = cb.intra_pred_mode(pred);
+    modes[k] = mode;
+    st->i4_modes[st->cell(addr, 4 * y4 + x4)] = (int8_t)mode;
+  }
+  int chroma_mode = cb.chroma_pred_mode(addr);
+  st->mb_chroma_mode[addr] = (int8_t)chroma_mode;
+  int cbp = cb.cbp(addr);
+  int cbp_luma = cbp & 15, cbp_chroma = cbp >> 4;
+  qp_delta_cabac(cb, addr, cbp, false);
+  int coeffs[16][16];
+  bool has[16] = {};
+  for (int k = 0; k < 16; ++k)
+    if (cbp_luma & (1 << (k >> 2))) {
+      cur_z = k;
+      has[k] = luma4_res_cabac(cb, addr, k, 2, coeffs[k]);
+    }
+  for (int k = 0; k < 16; ++k) {
+    cur_z = k;
+    recon_i4_block(addr, k, modes[k], has[k] ? coeffs[k] : nullptr);
+  }
+  cur_z = 16;
+  decode_chroma_cabac(cb, addr, chroma_mode, cbp_chroma, true);
+}
+
+void MbaffSlice::decode_i8x8_cabac(MbaffCabac& cb, int addr) {
+  st->mb_class[addr] = MB_I8;
+  st->mb_tf8[addr] = 1;
+  int modes[4];
+  for (int b = 0; b < 4; ++b) {
+    int bx = (b & 1) * 2, by = (b >> 1) * 2;
+    cur_z = xy_to_z(bx, by);
+    int ma = i4_mode_nbr(addr, 4 * bx - 1, 4 * by);
+    int mb_ = i4_mode_nbr(addr, 4 * bx, 4 * by - 1);
+    int pred = (ma == -1000 || mb_ == -1000) ? 2 : std::min(ma, mb_);
+    int mode = cb.intra_pred_mode(pred);
+    modes[b] = mode;
+    for (int dy = 0; dy < 2; ++dy)
+      for (int dx = 0; dx < 2; ++dx)
+        st->i4_modes[st->cell(addr, 4 * (by + dy) + bx + dx)] = (int8_t)mode;
+  }
+  int chroma_mode = cb.chroma_pred_mode(addr);
+  st->mb_chroma_mode[addr] = (int8_t)chroma_mode;
+  int cbp = cb.cbp(addr);
+  int cbp_luma = cbp & 15, cbp_chroma = cbp >> 4;
+  qp_delta_cabac(cb, addr, cbp, false);
+  int coeffs[4][64];
+  bool has[4] = {};
+  for (int b = 0; b < 4; ++b) {
+    int bx = (b & 1) * 2, by = (b >> 1) * 2;
+    if (cbp_luma & (1 << b)) {
+      cb.residual(addr, 5, 64, 0, 0, 0, coeffs[b]);
+      has[b] = true;
+      int nz = 0;
+      for (int i = 0; i < 64; ++i) nz += coeffs[b][i] != 0;
+      for (int dy = 0; dy < 2; ++dy)
+        for (int dx = 0; dx < 2; ++dx) {
+          st->cbf_y[st->cell(addr, 4 * (by + dy) + bx + dx)] = 1;
+          st->nnz_y[st->cell(addr, 4 * (by + dy) + bx + dx)] = (int8_t)nz;
+        }
+    }
+  }
+  for (int b = 0; b < 4; ++b) {
+    cur_z = xy_to_z((b & 1) * 2, (b >> 1) * 2);
+    recon_i8_block(addr, b, modes[b], has[b] ? coeffs[b] : nullptr);
+  }
+  cur_z = 16;
+  decode_chroma_cabac(cb, addr, chroma_mode, cbp_chroma, true);
+}
+
+void MbaffSlice::decode_i16_cabac(MbaffCabac& cb, int addr, int k) {
+  int pred_mode = k % 4;
+  int cbp_chroma = (k / 4) % 3;
+  int cbp_luma = k >= 12 ? 15 : 0;
+  st->mb_class[addr] = MB_I16;
+  int chroma_mode = cb.chroma_pred_mode(addr);
+  st->mb_chroma_mode[addr] = (int8_t)chroma_mode;
+  qp_delta_cabac(cb, addr, cbp_luma | (cbp_chroma << 4), true);
+  int dc_scan[16];
+  bool has_dc = cb.residual(addr, 0, 16, 0, 0, 0, dc_scan);
+  if (has_dc) st->mb_dc_flag[addr] |= 1;
+  if (!has_dc) std::memset(dc_scan, 0, sizeof(dc_scan));
+  int coeffs[16][15];
+  bool has[16] = {};
+  if (cbp_luma)
+    for (int kk = 0; kk < 16; ++kk) {
+      cur_z = kk;
+      has[kk] = luma4_res_cabac(cb, addr, kk, 1, coeffs[kk]);
+    }
+  cur_z = 16;
+  const int* cptr[16];
+  for (int kk = 0; kk < 16; ++kk) cptr[kk] = has[kk] ? coeffs[kk] : nullptr;
+  recon_i16(addr, pred_mode, dc_scan, cptr);
+  decode_chroma_cabac(cb, addr, chroma_mode, cbp_chroma, true);
+}
+
+void MbaffSlice::decode_chroma_cabac(MbaffCabac& cb, int addr,
+                                     int chroma_mode, int cbp_chroma,
+                                     bool intra) {
+  int dc_scan[2][4] = {{0, 0, 0, 0}, {0, 0, 0, 0}};
+  if (cbp_chroma) {
+    for (int comp = 0; comp < 2; ++comp) {
+      int blk[4];
+      if (cb.residual(addr, 3, 4, comp, 0, 0, blk)) {
+        for (int i = 0; i < 4; ++i) dc_scan[comp][i] = blk[i];
+        st->mb_dc_flag[addr] |= 2 << comp;
+      }
+    }
+  }
+  int coeffs[2][4][15];
+  bool has[2][4] = {};
+  if (cbp_chroma & 2) {
+    for (int comp = 0; comp < 2; ++comp)
+      for (int b = 0; b < 4; ++b) {
+        int cx = b & 1, cy = b >> 1;
+        bool ok = cb.residual(addr, 4, 15, comp, cx, cy, coeffs[comp][b]);
+        has[comp][b] = ok;
+        int c = 2 * cy + cx;
+        if (!ok) {
+          st->cbf_c[st->ccell(addr, comp, c)] = 0;
+          st->nnz_c[st->ccell(addr, comp, c)] = 0;
+        } else {
+          st->cbf_c[st->ccell(addr, comp, c)] = 1;
+          int nz = 0;
+          for (int i = 0; i < 15; ++i) nz += coeffs[comp][b][i] != 0;
+          st->nnz_c[st->ccell(addr, comp, c)] = (int8_t)nz;
+        }
+      }
+  }
+  const int* cptr[2][4];
+  for (int comp = 0; comp < 2; ++comp)
+    for (int b = 0; b < 4; ++b)
+      cptr[comp][b] = has[comp][b] ? coeffs[comp][b] : nullptr;
+  recon_chroma(addr, chroma_mode, dc_scan, cptr, intra);
+}
+
+void MbaffSlice::part_motion_cabac(MbaffCabac& cb, int addr, int l, int bx4,
+                                   int by4, int w4_, int h4_, int ref_idx,
+                                   int kind, int part_i, int* mvx,
+                                   int* mvy) {
+  cur_z = xy_to_z(bx4, by4);
+  int mvdx = cb.mvd(addr, l, bx4, by4, 0);
+  int mvdy = cb.mvd(addr, l, bx4, by4, 1);
+  int px, py;
+  mv_pred(addr, bx4, by4, w4_, h4_, ref_idx, kind, part_i, l, &px, &py);
+  *mvx = px + mvdx;
+  *mvy = py + mvdy;
+  store_part_mv(addr, bx4, by4, w4_, h4_, ref_idx, *mvx, *mvy, l);
+  store_part_mvd(addr, bx4, by4, w4_, h4_, l, mvdx, mvdy);
+}
+
+void MbaffSlice::decode_p_mb_cabac(MbaffCabac& cb, int addr, int mb_type) {
+  st->mb_class[addr] = MB_P;
+  int n0 = n_act(addr, 0);
+  int predY[256], predU[64], predV[64];
+  std::vector<int> sub_types;
+  if (mb_type <= 2) {
+    int kind, np;
+    const SliceCtx::Part* parts = SliceCtx::p_parts(mb_type, &kind, &np);
+    int refs[2];
+    for (int i = 0; i < np; ++i) {
+      cur_z = xy_to_z(parts[i].bx4, parts[i].by4);
+      refs[i] = n0 > 1 ? cb.ref_idx(addr, 0, parts[i].bx4, parts[i].by4) : 0;
+      for (int y = parts[i].by4; y < parts[i].by4 + parts[i].h4; ++y)
+        for (int x = parts[i].bx4; x < parts[i].bx4 + parts[i].w4; ++x)
+          st->ref_idx[st->mref(addr, 0, 4 * y + x)] = refs[i];
+    }
+    for (int i = 0; i < np; ++i) {
+      int mvx, mvy;
+      part_motion_cabac(cb, addr, 0, parts[i].bx4, parts[i].by4, parts[i].w4,
+                        parts[i].h4, refs[i], kind, i, &mvx, &mvy);
+      mc_part(addr, predY, predU, predV, parts[i].bx4, parts[i].by4,
+              parts[i].w4, parts[i].h4, refs[i], mvx, mvy);
+    }
+  } else {
+    sub_types.resize(4);
+    for (int b = 0; b < 4; ++b) sub_types[b] = cb.sub_mb_type_p();
+    int refs[4] = {0, 0, 0, 0};
+    for (int b = 0; b < 4; ++b) {
+      int bx0 = (b & 1) * 2, by0 = (b >> 1) * 2;
+      if (mb_type == 3 && n0 > 1) {
+        cur_z = xy_to_z(bx0, by0);
+        refs[b] = cb.ref_idx(addr, 0, bx0, by0);
+      }
+      for (int y = by0; y < by0 + 2; ++y)
+        for (int x = bx0; x < bx0 + 2; ++x)
+          st->ref_idx[st->mref(addr, 0, 4 * y + x)] = refs[b];
+    }
+    for (int b = 0; b < 4; ++b) {
+      int bx0 = (b & 1) * 2, by0 = (b >> 1) * 2;
+      int ns;
+      const SliceCtx::Part* sp = SliceCtx::sub_parts(sub_types[b], &ns);
+      for (int s = 0; s < ns; ++s) {
+        int bx4 = bx0 + sp[s].bx4, by4 = by0 + sp[s].by4;
+        int mvx, mvy;
+        part_motion_cabac(cb, addr, 0, bx4, by4, sp[s].w4, sp[s].h4, refs[b],
+                          0, 0, &mvx, &mvy);
+        mc_part(addr, predY, predU, predV, bx4, by4, sp[s].w4, sp[s].h4,
+                refs[b], mvx, mvy);
+      }
+    }
+  }
+  cur_z = 16;
+  bool tf8_ok = mb_type <= 2;
+  if (!tf8_ok) {
+    tf8_ok = true;
+    for (int stp : sub_types) tf8_ok &= (stp == 0);
+  }
+  inter_residual_cabac(cb, addr, predY, predU, predV, tf8_ok);
+}
+
+void MbaffSlice::decode_b_mb_cabac(MbaffCabac& cb, int addr, int mb_type) {
+  dc_valid = false;
+  st->mb_class[addr] = MB_B;
+  int predY[256], predU[64], predV[64];
+  if (mb_type == 0) {
+    st->mb_bdirect[addr] = 1;
+    for (int b = 0; b < 4; ++b)
+      decode_direct_8x8(addr, b, predY, predU, predV);
+    cur_z = 16;
+    inter_residual_cabac(cb, addr, predY, predU, predV,
+                         sps->direct_8x8_inference != 0);
+    return;
+  }
+  bool tf8_ok = true;
+  if (mb_type < 22) {
+    int kind, preds[2], np;
+    SliceCtx::b_type(mb_type, &kind, preds, &np);
+    int ng;
+    const SliceCtx::Part* parts = SliceCtx::geom(kind, &ng);
+    int refs[2][2] = {{-1, -1}, {-1, -1}};
+    for (int l = 0; l < 2; ++l)
+      for (int i = 0; i < np; ++i)
+        if (preds[i] == 2 || preds[i] == l) {
+          cur_z = xy_to_z(parts[i].bx4, parts[i].by4);
+          int rr = n_act(addr, l) > 1
+                       ? cb.ref_idx(addr, l, parts[i].bx4, parts[i].by4)
+                       : 0;
+          refs[l][i] = rr;
+          for (int y = parts[i].by4; y < parts[i].by4 + parts[i].h4; ++y)
+            for (int x = parts[i].bx4; x < parts[i].bx4 + parts[i].w4; ++x)
+              st->ref_idx[st->mref(addr, l, 4 * y + x)] = rr;
+        }
+    int mvs[2][2][2];
+    for (int l = 0; l < 2; ++l)
+      for (int i = 0; i < np; ++i) {
+        if (refs[l][i] < 0) continue;
+        part_motion_cabac(cb, addr, l, parts[i].bx4, parts[i].by4,
+                          parts[i].w4, parts[i].h4, refs[l][i], kind, i,
+                          &mvs[l][i][0], &mvs[l][i][1]);
+      }
+    for (int i = 0; i < np; ++i) {
+      PredBlk p0, p1;
+      bool h0 = refs[0][i] >= 0, h1 = refs[1][i] >= 0;
+      if (h0)
+        fetch_pred(addr, 0, refs[0][i], parts[i].bx4, parts[i].by4,
+                   parts[i].w4, parts[i].h4, mvs[0][i][0], mvs[0][i][1], p0);
+      if (h1)
+        fetch_pred(addr, 1, refs[1][i], parts[i].bx4, parts[i].by4,
+                   parts[i].w4, parts[i].h4, mvs[1][i][0], mvs[1][i][1], p1);
+      combine_store(addr, predY, predU, predV, parts[i].bx4, parts[i].by4,
+                    parts[i].w4, parts[i].h4, h0 ? &p0 : nullptr,
+                    h1 ? &p1 : nullptr, refs[0][i], refs[1][i]);
+    }
+  } else {
+    int sub_types[4];
+    for (int b = 0; b < 4; ++b) {
+      sub_types[b] = cb.sub_mb_type_b();
+      if (sub_types[b] > 12) throw DecodeError("bad B sub_mb_type");
+    }
+    for (int b = 0; b < 4; ++b) {
+      int pm, ns;
+      const SliceCtx::Part* sp;
+      SliceCtx::b_sub(sub_types[b], &pm, &sp, &ns);
+      if (pm == -1) {
+        cur_z = xy_to_z((b & 1) * 2, (b >> 1) * 2);
+        decode_direct_8x8(addr, b, predY, predU, predV);
+      }
+    }
+    int refs[2][4] = {{-1, -1, -1, -1}, {-1, -1, -1, -1}};
+    for (int l = 0; l < 2; ++l)
+      for (int b = 0; b < 4; ++b) {
+        int pm, ns;
+        const SliceCtx::Part* sp;
+        SliceCtx::b_sub(sub_types[b], &pm, &sp, &ns);
+        if (pm == 2 || pm == l) {
+          int bx0 = (b & 1) * 2, by0 = (b >> 1) * 2;
+          cur_z = xy_to_z(bx0, by0);
+          int rr = n_act(addr, l) > 1 ? cb.ref_idx(addr, l, bx0, by0) : 0;
+          refs[l][b] = rr;
+          for (int y = by0; y < by0 + 2; ++y)
+            for (int x = bx0; x < bx0 + 2; ++x)
+              st->ref_idx[st->mref(addr, l, 4 * y + x)] = rr;
+        }
+      }
+    int submv[2][4][4][2];
+    for (int l = 0; l < 2; ++l)
+      for (int b = 0; b < 4; ++b) {
+        int pm, ns;
+        const SliceCtx::Part* sp;
+        SliceCtx::b_sub(sub_types[b], &pm, &sp, &ns);
+        if (pm == -1 || !(pm == 2 || pm == l)) continue;
+        for (int s = 0; s < ns; ++s) {
+          int bx4 = (b & 1) * 2 + sp[s].bx4;
+          int by4 = (b >> 1) * 2 + sp[s].by4;
+          part_motion_cabac(cb, addr, l, bx4, by4, sp[s].w4, sp[s].h4,
+                            refs[l][b], 0, 0, &submv[l][b][s][0],
+                            &submv[l][b][s][1]);
+        }
+      }
+    for (int b = 0; b < 4; ++b) {
+      int pm, ns;
+      const SliceCtx::Part* sp;
+      SliceCtx::b_sub(sub_types[b], &pm, &sp, &ns);
+      if (pm == -1) continue;
+      for (int s = 0; s < ns; ++s) {
+        int bx4 = (b & 1) * 2 + sp[s].bx4;
+        int by4 = (b >> 1) * 2 + sp[s].by4;
+        PredBlk p0, p1;
+        bool h0 = refs[0][b] >= 0, h1 = refs[1][b] >= 0;
+        if (h0)
+          fetch_pred(addr, 0, refs[0][b], bx4, by4, sp[s].w4, sp[s].h4,
+                     submv[0][b][s][0], submv[0][b][s][1], p0);
+        if (h1)
+          fetch_pred(addr, 1, refs[1][b], bx4, by4, sp[s].w4, sp[s].h4,
+                     submv[1][b][s][0], submv[1][b][s][1], p1);
+        combine_store(addr, predY, predU, predV, bx4, by4, sp[s].w4,
+                      sp[s].h4, h0 ? &p0 : nullptr, h1 ? &p1 : nullptr,
+                      refs[0][b], refs[1][b]);
+      }
+    }
+    tf8_ok = true;
+    for (int b = 0; b < 4; ++b)
+      tf8_ok &= ((sub_types[b] == 0 && sps->direct_8x8_inference) ||
+                 (sub_types[b] >= 1 && sub_types[b] <= 3));
+  }
+  cur_z = 16;
+  inter_residual_cabac(cb, addr, predY, predU, predV, tf8_ok);
+}
+
+void MbaffSlice::inter_residual_cabac(MbaffCabac& cb, int addr, int* predY,
+                                      int* predU, int* predV, bool tf8_ok) {
+  int cbp = cb.cbp(addr);
+  int cbp_luma = cbp & 15, cbp_chroma = cbp >> 4;
+  int tf8 = 0;
+  if (cbp_luma && tf8_ok && pps->transform_8x8_mode)
+    tf8 = cb.transform_size_8x8(addr);
+  st->mb_tf8[addr] = (int8_t)tf8;
+  qp_delta_cabac(cb, addr, cbp, false);
+  int x0 = st->luma_x0(addr);
+  uint8_t* Y = pic->Y.data();
+  if (tf8) {
+    const uint8_t* scan = scan8(addr);
+    for (int b = 0; b < 4; ++b) {
+      int bx = (b & 1) * 2, by = (b >> 1) * 2;
+      if (!(cbp_luma & (1 << b))) {
+        for (int yy = 0; yy < 8; ++yy) {
+          uint8_t* row =
+              Y + (size_t)st->luma_y(addr, by * 4 + yy) * pic->w;
+          for (int xx = 0; xx < 8; ++xx)
+            row[x0 + bx * 4 + xx] = (uint8_t)clamp_i(
+                predY[16 * (by * 4 + yy) + bx * 4 + xx], 0, 255);
+        }
+        continue;
+      }
+      int scan64[64];
+      cb.residual(addr, 5, 64, 0, 0, 0, scan64);
+      int nz = 0;
+      for (int i = 0; i < 64; ++i) nz += scan64[i] != 0;
+      for (int dy = 0; dy < 2; ++dy)
+        for (int dx = 0; dx < 2; ++dx) {
+          st->cbf_y[st->cell(addr, 4 * (by + dy) + bx + dx)] = 1;
+          st->nnz_y[st->cell(addr, 4 * (by + dy) + bx + dx)] = (int8_t)nz;
+        }
+      const int32_t* ls = dq8(qp, 1);
+      int d[64], res[64];
+      std::memset(d, 0, sizeof(d));
+      for (int s = 0; s < 64; ++s) {
+        int c = scan64[s];
+        if (c) {
+          int pos = scan[s];
+          d[pos] = dequant8_apply(c, ls[pos], qp);
+        }
+      }
+      idct8x8(d, res);
+      for (int yy = 0; yy < 8; ++yy) {
+        uint8_t* row = Y + (size_t)st->luma_y(addr, by * 4 + yy) * pic->w;
+        for (int xx = 0; xx < 8; ++xx)
+          row[x0 + bx * 4 + xx] = (uint8_t)clip1(
+              predY[16 * (by * 4 + yy) + bx * 4 + xx] + res[8 * yy + xx]);
+      }
+    }
+    std::memcpy(pred_chromaU, predU, sizeof(pred_chromaU));
+    std::memcpy(pred_chromaV, predV, sizeof(pred_chromaV));
+    decode_chroma_cabac(cb, addr, 0, cbp_chroma, false);
+    return;
+  }
+  const uint8_t* scan = scan4(addr);
+  const int32_t* dq = dq4(qp, 3);
+  for (int k = 0; k < 16; ++k) {
+    int x4 = kZtoX[k], y4 = kZtoY[k];
+    int blk[16];
+    bool has = false;
+    if (cbp_luma & (1 << (k >> 2))) {
+      cur_z = k;
+      has = luma4_res_cabac(cb, addr, k, 2, blk);
+    }
+    if (!has) {
+      for (int yy = 0; yy < 4; ++yy) {
+        uint8_t* row = Y + (size_t)st->luma_y(addr, y4 * 4 + yy) * pic->w;
+        for (int xx = 0; xx < 4; ++xx)
+          row[x0 + x4 * 4 + xx] = (uint8_t)clamp_i(
+              predY[16 * (y4 * 4 + yy) + x4 * 4 + xx], 0, 255);
+      }
+      continue;
+    }
+    int d[16], res[16];
+    std::memset(d, 0, sizeof(d));
+    for (int s = 0; s < 16; ++s) {
+      int c = blk[s];
+      if (c) {
+        int pos = scan[s];
+        d[pos] = dequant4_apply(c, dq[pos], qp);
+      }
+    }
+    idct4x4(d, res);
+    for (int yy = 0; yy < 4; ++yy) {
+      uint8_t* row = Y + (size_t)st->luma_y(addr, y4 * 4 + yy) * pic->w;
+      for (int xx = 0; xx < 4; ++xx)
+        row[x0 + x4 * 4 + xx] = (uint8_t)clip1(
+            predY[16 * (y4 * 4 + yy) + x4 * 4 + xx] + res[4 * yy + xx]);
+    }
+  }
+  cur_z = 16;
+  std::memcpy(pred_chromaU, predU, sizeof(pred_chromaU));
+  std::memcpy(pred_chromaV, predV, sizeof(pred_chromaV));
+  decode_chroma_cabac(cb, addr, 0, cbp_chroma, false);
+}
+
+void MbaffSlice::decode_cabac(const std::vector<uint8_t>& rbsp) {
+  MbaffCabac cb(this, rbsp.data(), rbsp.size(), h);
+  int n_mbs = st->mb_w * st->mb_h;
+  int addr = h->first_mb * 2;
+  int pending_top = -1;
+  bool is_pb = h->slice_type == SLICE_P || h->slice_type == SLICE_B;
+  while (addr < n_mbs) {
+    if ((addr & 1) == 0)
+      st->field_flag[addr >> 1] = (int8_t)infer_field_flag(addr >> 1);
+    bool skipped = false;
+    if (is_pb) {
+      cur_addr = addr;
+      if ((addr & 1) == 0) mark_mb(addr);
+      skipped = cb.mb_skip_flag(addr) != 0;
+    }
+    if (skipped) {
+      if ((addr & 1) == 0) {
+        st->mb_skip[addr] = 1;
+        st->slice_id[addr] = sid;
+        if (h->slice_type == SLICE_B) st->mb_bdirect[addr] = 1;
+        pending_top = addr;
+      } else {
+        if (pending_top >= 0) {
+          decode_skip_mb(pending_top);
+          pending_top = -1;
+        }
+        decode_skip_mb(addr);
+      }
+      cb.prev_qp_delta_nz = 0;
+    } else {
+      if ((addr & 1) == 0 || pending_top >= 0)
+        st->field_flag[addr >> 1] = (int8_t)cb.mb_field_decoding_flag(addr);
+      if (pending_top >= 0) {
+        decode_skip_mb(pending_top);
+        pending_top = -1;
+      }
+      mark_mb(addr);
+      cur_addr = addr;
+      cur_z = 0;
+      decode_mb_cabac(cb, addr);
+    }
+    if ((addr & 1) == 1) {
+      if (pending_top >= 0) {
+        decode_skip_mb(pending_top);
+        pending_top = -1;
+      }
+      if (cb.end_of_slice()) break;
+    }
+    ++addr;
+  }
+  if (pending_top >= 0) decode_skip_mb(pending_top);
+}
+
+// ---------------------------------------------------------------------------
+// MBAFF deblocking (h264_mbaff.py _MbaffDeblock)
+// ---------------------------------------------------------------------------
+
+struct MbaffDeblock {
+  Picture& pic;
+  MbaffState& st;
+  int coff[2];
+
+  MbaffDeblock(Picture& p) : pic(p), st(*p.mbaff) {
+    coff[0] = p.coff[0];
+    coff[1] = p.coff[1];
+  }
+
+  bool coded(int addr, int cx, int cy) const {
+    if (st.mb_tf8[addr]) {
+      int x0 = cx & ~1, y0 = cy & ~1;
+      return st.nnz_y[st.cell(addr, 4 * y0 + x0)] ||
+             st.nnz_y[st.cell(addr, 4 * y0 + x0 + 1)] ||
+             st.nnz_y[st.cell(addr, 4 * (y0 + 1) + x0)] ||
+             st.nnz_y[st.cell(addr, 4 * (y0 + 1) + x0 + 1)];
+    }
+    return st.nnz_y[st.cell(addr, 4 * cy + cx)] != 0;
+  }
+
+  int bs_mv(int addrP, int cellP, int addrQ, int cellQ) const {
+    int vth = st.is_field(addrQ) ? 2 : 4;
+    int64_t upr[2];
+    int upx[2], upy[2], nup = 0;
+    int64_t uqr[2];
+    int uqx[2], uqy[2], nuq = 0;
+    for (int l = 0; l < 2; ++l) {
+      int64_t rp = st.ref_id[st.mref(addrP, l, cellP)];
+      if (rp >= 0) {
+        upr[nup] = rp;
+        upx[nup] = st.mv[st.mmv(addrP, l, cellP, 0)];
+        upy[nup] = st.mv[st.mmv(addrP, l, cellP, 1)];
+        ++nup;
+      }
+      int64_t rq = st.ref_id[st.mref(addrQ, l, cellQ)];
+      if (rq >= 0) {
+        uqr[nuq] = rq;
+        uqx[nuq] = st.mv[st.mmv(addrQ, l, cellQ, 0)];
+        uqy[nuq] = st.mv[st.mmv(addrQ, l, cellQ, 1)];
+        ++nuq;
+      }
+    }
+    if (nup != nuq) return 1;
+    int64_t sp0 = nup > 1 ? std::min(upr[0], upr[1]) : (nup ? upr[0] : -1);
+    int64_t sp1 = nup > 1 ? std::max(upr[0], upr[1]) : -1;
+    int64_t sq0 = nuq > 1 ? std::min(uqr[0], uqr[1]) : (nuq ? uqr[0] : -1);
+    int64_t sq1 = nuq > 1 ? std::max(uqr[0], uqr[1]) : -1;
+    if (sp0 != sq0 || sp1 != sq1) return 1;
+    auto far_ = [&](int ax, int ay, int bx, int by) {
+      return std::abs(ax - bx) >= 4 || std::abs(ay - by) >= vth;
+    };
+    if (nup == 1) return far_(upx[0], upy[0], uqx[0], uqy[0]) ? 1 : 0;
+    if (nup == 0) return 0;
+    if (upr[0] != upr[1]) {
+      for (int i = 0; i < 2; ++i) {
+        int jm = (uqr[0] == upr[i]) ? 0 : 1;
+        if (far_(upx[i], upy[i], uqx[jm], uqy[jm])) return 1;
+      }
+      return 0;
+    }
+    bool a = !far_(upx[0], upy[0], uqx[0], uqy[0]) &&
+             !far_(upx[1], upy[1], uqx[1], uqy[1]);
+    bool b = !far_(upx[0], upy[0], uqx[1], uqy[1]) &&
+             !far_(upx[1], upy[1], uqx[0], uqy[0]);
+    return (a || b) ? 0 : 1;
+  }
+
+  int bs(int addrP, int cellP, int addrQ, int cellQ, bool mb_edge,
+         bool vertical) const {
+    if (st.is_intra(addrP) || st.is_intra(addrQ)) {
+      if (mb_edge &&
+          (vertical || (!st.is_field(addrP) && !st.is_field(addrQ))))
+        return 4;
+      return 3;
+    }
+    if (coded(addrP, cellP & 3, cellP >> 2) ||
+        coded(addrQ, cellQ & 3, cellQ >> 2))
+      return 2;
+    if (st.is_field(addrP) != st.is_field(addrQ)) return 1;
+    return bs_mv(addrP, cellP, addrQ, cellQ);
+  }
+
+  void thresholds(int addrP, int addrQ, int bs_, int chroma_comp, int* alpha,
+                  int* beta, int* tc0) const {
+    int qpp = st.mb_qp[addrP];
+    int qpq = st.mb_qp[addrQ];
+    int qav;
+    if (chroma_comp < 0)
+      qav = (qpp + qpq + 1) >> 1;
+    else
+      qav = (chroma_qp_map(qpp, coff[chroma_comp]) +
+             chroma_qp_map(qpq, coff[chroma_comp]) + 1) >> 1;
+    int ia = clamp_i(qav + st.mb_alpha_off[addrQ], 0, 51);
+    int ib = clamp_i(qav + st.mb_beta_off[addrQ], 0, 51);
+    *alpha = kAlpha[ia];
+    *beta = kBeta[ib];
+    *tc0 = (bs_ < 4) ? kTc0[52 * (bs_ - 1) + ia] : 0;
+  }
+
+  // horizontal-edge filter with explicit line lists
+  void filter_h(uint8_t* plane, long stride, int x, const int* q_lines,
+                const int* p_lines, int bs_, int alpha, int beta, int tc0,
+                bool luma) const {
+    auto P = [&](int k) -> uint8_t& {
+      return plane[(size_t)p_lines[k] * stride + x];
+    };
+    auto Q = [&](int k) -> uint8_t& {
+      return plane[(size_t)q_lines[k] * stride + x];
+    };
+    int p0 = P(0), p1 = P(1), p2 = P(2);
+    int q0 = Q(0), q1 = Q(1), q2 = Q(2);
+    if (std::abs(p0 - q0) >= alpha || std::abs(p1 - p0) >= beta ||
+        std::abs(q1 - q0) >= beta)
+      return;
+    int ap = std::abs(p2 - p0);
+    int aq = std::abs(q2 - q0);
+    if (bs_ < 4) {
+      int tc =
+          luma ? tc0 + (ap < beta ? 1 : 0) + (aq < beta ? 1 : 0) : tc0 + 1;
+      int delta = (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3;
+      delta = clamp_i(delta, -tc, tc);
+      P(0) = (uint8_t)clip1(p0 + delta);
+      Q(0) = (uint8_t)clip1(q0 - delta);
+      if (luma && ap < beta) {
+        int d = (p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1;
+        d = clamp_i(d, -tc0, tc0);
+        P(1) = (uint8_t)(p1 + d);
+      }
+      if (luma && aq < beta) {
+        int d = (q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1;
+        d = clamp_i(d, -tc0, tc0);
+        Q(1) = (uint8_t)(q1 + d);
+      }
+      return;
+    }
+    if (luma) {
+      bool strong = std::abs(p0 - q0) < (alpha >> 2) + 2;
+      if (strong && ap < beta) {
+        int p3 = P(3);
+        P(0) = (uint8_t)((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3);
+        P(1) = (uint8_t)((p2 + p1 + p0 + q0 + 2) >> 2);
+        P(2) = (uint8_t)((2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3);
+      } else {
+        P(0) = (uint8_t)((2 * p1 + p0 + q1 + 2) >> 2);
+      }
+      if (strong && aq < beta) {
+        int q3 = Q(3);
+        Q(0) = (uint8_t)((q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3);
+        Q(1) = (uint8_t)((q2 + q1 + q0 + p0 + 2) >> 2);
+        Q(2) = (uint8_t)((2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3);
+      } else {
+        Q(0) = (uint8_t)((2 * q1 + q0 + p1 + 2) >> 2);
+      }
+    } else {
+      P(0) = (uint8_t)((2 * p1 + p0 + q1 + 2) >> 2);
+      Q(0) = (uint8_t)((2 * q1 + q0 + p1 + 2) >> 2);
+    }
+  }
+
+  void p_mb_of_line(int line, int pair_x, bool chroma, int* addrN,
+                    int* yW) const {
+    int band = chroma ? 16 : 32;
+    int pair_y = line / band;
+    int pair = pair_y * st.mb_w + pair_x;
+    int local = line - pair_y * band;
+    if (st.field_flag[pair]) {
+      *addrN = 2 * pair + (local & 1);
+      *yW = local >> 1;
+      return;
+    }
+    int half = band / 2;
+    if (local < half) {
+      *addrN = 2 * pair;
+      *yW = local;
+    } else {
+      *addrN = 2 * pair + 1;
+      *yW = local - half;
+    }
+  }
+
+  void deblock_mb(int addr) {
+    int px = st.pair_x(addr), py = st.pair_y(addr);
+    int disable = st.mb_disable[addr];
+    int tf8 = st.mb_tf8[addr];
+    int sid = st.slice_id[addr];
+    int x0 = st.luma_x0(addr);
+    int cx0 = px * 8;
+    uint8_t* Y = pic.Y.data();
+    auto mb_ok = [&](int addrN) -> bool {
+      if (st.slice_id[addrN] < 0) return false;
+      if (disable == 2 && st.slice_id[addrN] != sid) return false;
+      return true;
+    };
+    // ---- vertical edges ----
+    for (int e = 0; e < 4; ++e) {
+      if (e == 0) {
+        if (px == 0) continue;
+        int left_pair = py * st.mb_w + px - 1;
+        bool mixed =
+            (st.field_flag[left_pair] != 0) != st.is_field(addr);
+        if (mixed) {
+          for (int j = 0; j < 2; ++j) {
+            int addrP = 2 * left_pair + j;
+            if (!mb_ok(addrP)) continue;
+            int rows[8];
+            if (st.is_field(addr))
+              for (int i = 0; i < 8; ++i) rows[i] = 8 * j + i;
+            else
+              for (int i = 0; i < 8; ++i) rows[i] = j + 2 * i;
+            for (int g = 0; g < 4; ++g) {
+              int r0 = rows[2 * g], r1 = rows[2 * g + 1];
+              int line0 = st.luma_y(addr, r0);
+              int dummy, pr;
+              p_mb_of_line(line0, px - 1, false, &dummy, &pr);
+              int cellQ = 4 * (r0 >> 2);
+              int cellP = 4 * (pr >> 2) + 3;
+              int b = bs(addrP, cellP, addr, cellQ, true, true);
+              if (b == 0) continue;
+              int alpha, beta, tc0;
+              thresholds(addrP, addr, b, -1, &alpha, &beta, &tc0);
+              if (alpha != 0 && beta != 0) {
+                for (int rr : {r0, r1})
+                  deblock_line_p(
+                      Y + (size_t)st.luma_y(addr, rr) * pic.w + x0, 1, b,
+                      alpha, beta, tc0, true);
+              }
+              int crow = st.is_field(addr) ? 4 * j + g : j + 2 * g;
+              int cl = st.chroma_y(addr, crow);
+              for (int comp = 0; comp < 2; ++comp) {
+                uint8_t* plane = comp ? pic.V.data() : pic.U.data();
+                int ca, cbeta, ctc0;
+                thresholds(addrP, addr, b, comp, &ca, &cbeta, &ctc0);
+                if (ca == 0 || cbeta == 0) continue;
+                deblock_line_p(plane + (size_t)cl * pic.cw + cx0, 1, b, ca,
+                               cbeta, ctc0, false);
+              }
+            }
+          }
+          continue;
+        }
+        int addrP = 2 * left_pair + (addr & 1);
+        if (!mb_ok(addrP)) continue;
+        for (int seg = 0; seg < 4; ++seg) {
+          int cellQ = 4 * seg;
+          int cellP = 4 * seg + 3;
+          int b = bs(addrP, cellP, addr, cellQ, true, true);
+          if (b == 0) continue;
+          int alpha, beta, tc0;
+          thresholds(addrP, addr, b, -1, &alpha, &beta, &tc0);
+          if (alpha != 0 && beta != 0)
+            for (int i = 0; i < 4; ++i)
+              deblock_line_p(
+                  Y + (size_t)st.luma_y(addr, 4 * seg + i) * pic.w + x0, 1,
+                  b, alpha, beta, tc0, true);
+          for (int comp = 0; comp < 2; ++comp) {
+            uint8_t* plane = comp ? pic.V.data() : pic.U.data();
+            int ca, cbeta, ctc0;
+            thresholds(addrP, addr, b, comp, &ca, &cbeta, &ctc0);
+            if (ca == 0 || cbeta == 0) continue;
+            for (int i = 0; i < 2; ++i)
+              deblock_line_p(
+                  plane + (size_t)st.chroma_y(addr, 2 * seg + i) * pic.cw +
+                      cx0,
+                  1, b, ca, cbeta, ctc0, false);
+          }
+        }
+        continue;
+      }
+      if (tf8 && (e & 1)) continue;
+      for (int seg = 0; seg < 4; ++seg) {
+        int cellQ = 4 * seg + e;
+        int cellP = 4 * seg + e - 1;
+        int b = bs(addr, cellP, addr, cellQ, false, true);
+        if (b == 0) continue;
+        int alpha, beta, tc0;
+        thresholds(addr, addr, b, -1, &alpha, &beta, &tc0);
+        if (alpha != 0 && beta != 0)
+          for (int i = 0; i < 4; ++i)
+            deblock_line_p(
+                Y + (size_t)st.luma_y(addr, 4 * seg + i) * pic.w + x0 +
+                    4 * e,
+                1, b, alpha, beta, tc0, true);
+        if (e == 2) {
+          for (int comp = 0; comp < 2; ++comp) {
+            uint8_t* plane = comp ? pic.V.data() : pic.U.data();
+            int ca, cbeta, ctc0;
+            thresholds(addr, addr, b, comp, &ca, &cbeta, &ctc0);
+            if (ca == 0 || cbeta == 0) continue;
+            for (int i = 0; i < 2; ++i)
+              deblock_line_p(
+                  plane + (size_t)st.chroma_y(addr, 2 * seg + i) * pic.cw +
+                      cx0 + 4,
+                  1, b, ca, cbeta, ctc0, false);
+          }
+        }
+      }
+    }
+    // ---- horizontal edges ----
+    for (int e = 0; e < 4; ++e) {
+      if (e == 0) {
+        int top_line = st.luma_y(addr, -1);
+        if (top_line < 0) continue;
+        bool special = !st.is_field(addr) && (addr & 1) == 0 && py > 0 &&
+                       st.field_flag[(py - 1) * st.mb_w + px];
+        if (special) {
+          int above_pair = (py - 1) * st.mb_w + px;
+          for (int f = 0; f < 2; ++f) {
+            int addrP = 2 * above_pair + f;
+            if (!mb_ok(addrP)) continue;
+            int q_lines[4], p_lines[4];
+            for (int k = 0; k < 4; ++k) {
+              q_lines[k] = st.luma_y(addr, f + 2 * k);
+              p_lines[k] = st.luma_y(addrP, 15 - k);
+            }
+            for (int seg = 0; seg < 4; ++seg) {
+              int cellQ = seg;
+              int cellP = 12 + seg;
+              int b = bs(addrP, cellP, addr, cellQ, true, false);
+              if (b == 0) continue;
+              int alpha, beta, tc0;
+              thresholds(addrP, addr, b, -1, &alpha, &beta, &tc0);
+              if (alpha != 0 && beta != 0)
+                for (int i = 0; i < 4; ++i)
+                  filter_h(Y, pic.w, x0 + 4 * seg + i, q_lines, p_lines, b,
+                           alpha, beta, tc0, true);
+              int cq[3], cp[3];
+              for (int k = 0; k < 3; ++k) {
+                cq[k] = st.chroma_y(addr, f + 2 * k);
+                cp[k] = st.chroma_y(addrP, 7 - k);
+              }
+              for (int comp = 0; comp < 2; ++comp) {
+                uint8_t* plane = comp ? pic.V.data() : pic.U.data();
+                int ca, cbeta, ctc0;
+                thresholds(addrP, addr, b, comp, &ca, &cbeta, &ctc0);
+                if (ca == 0 || cbeta == 0) continue;
+                for (int i = 0; i < 2; ++i)
+                  filter_h(plane, pic.cw, cx0 + 2 * seg + i, cq, cp, b, ca,
+                           cbeta, ctc0, false);
+              }
+            }
+          }
+          continue;
+        }
+        int addrP, prow;
+        p_mb_of_line(top_line, px, false, &addrP, &prow);
+        if (!mb_ok(addrP)) continue;
+        int q_lines[4], p_lines[4];
+        for (int k = 0; k < 4; ++k) {
+          q_lines[k] = st.luma_y(addr, k);
+          p_lines[k] = st.luma_y(addr, -1 - k);
+        }
+        bool mb_edge = addrP != addr;
+        for (int seg = 0; seg < 4; ++seg) {
+          int cellQ = seg;
+          int cellP = 4 * (prow >> 2) + seg;
+          int b = bs(addrP, cellP, addr, cellQ, mb_edge, false);
+          if (b == 0) continue;
+          int alpha, beta, tc0;
+          thresholds(addrP, addr, b, -1, &alpha, &beta, &tc0);
+          if (alpha != 0 && beta != 0)
+            for (int i = 0; i < 4; ++i)
+              filter_h(Y, pic.w, x0 + 4 * seg + i, q_lines, p_lines, b,
+                       alpha, beta, tc0, true);
+          int cq[3], cp[3];
+          for (int k = 0; k < 3; ++k) {
+            cq[k] = st.chroma_y(addr, k);
+            cp[k] = st.chroma_y(addr, -1 - k);
+          }
+          for (int comp = 0; comp < 2; ++comp) {
+            uint8_t* plane = comp ? pic.V.data() : pic.U.data();
+            int ca, cbeta, ctc0;
+            thresholds(addrP, addr, b, comp, &ca, &cbeta, &ctc0);
+            if (ca == 0 || cbeta == 0) continue;
+            for (int i = 0; i < 2; ++i)
+              filter_h(plane, pic.cw, cx0 + 2 * seg + i, cq, cp, b, ca,
+                       cbeta, ctc0, false);
+          }
+        }
+        continue;
+      }
+      if (tf8 && (e & 1)) continue;
+      int q_lines[4], p_lines[4];
+      for (int k = 0; k < 4; ++k) {
+        q_lines[k] = st.luma_y(addr, 4 * e + k);
+        p_lines[k] = st.luma_y(addr, 4 * e - 1 - k);
+      }
+      for (int seg = 0; seg < 4; ++seg) {
+        int cellQ = 4 * e + seg;
+        int cellP = 4 * (e - 1) + seg;
+        int b = bs(addr, cellP, addr, cellQ, false, false);
+        if (b == 0) continue;
+        int alpha, beta, tc0;
+        thresholds(addr, addr, b, -1, &alpha, &beta, &tc0);
+        if (alpha != 0 && beta != 0)
+          for (int i = 0; i < 4; ++i)
+            filter_h(Y, pic.w, x0 + 4 * seg + i, q_lines, p_lines, b, alpha,
+                     beta, tc0, true);
+        if (e == 2) {
+          int cq[3], cp[3];
+          for (int k = 0; k < 3; ++k) {
+            cq[k] = st.chroma_y(addr, 4 + k);
+            cp[k] = st.chroma_y(addr, 3 - k);
+          }
+          for (int comp = 0; comp < 2; ++comp) {
+            uint8_t* plane = comp ? pic.V.data() : pic.U.data();
+            int ca, cbeta, ctc0;
+            thresholds(addr, addr, b, comp, &ca, &cbeta, &ctc0);
+            if (ca == 0 || cbeta == 0) continue;
+            for (int i = 0; i < 2; ++i)
+              filter_h(plane, pic.cw, cx0 + 2 * seg + i, cq, cp, b, ca,
+                       cbeta, ctc0, false);
+          }
+        }
+      }
+    }
+  }
+};
+
+static void deblock_picture_mbaff(Picture& pic) {
+  MbaffState& st = *pic.mbaff;
+  MbaffDeblock db(pic);
+  int n = st.mb_w * st.mb_h;
+  for (int addr = 0; addr < n; ++addr) {
+    if (st.slice_id[addr] < 0) continue;
+    if (st.mb_disable[addr] == 1) continue;
+    db.deblock_mb(addr);
+  }
+}
+
+void Decoder::decode_slice_mbaff(const std::vector<uint8_t>& rbsp_,
+                                 const SliceHeader& h, const SPS& sps,
+                                 const PPS& pps) {
+  Picture* pic = cur.get();
+  MbaffSlice sl(this, pic, &h, &sps, &pps, slice_counter);
+  if (h.slice_type == SLICE_P) {
+    sl.ref_l0 = build_ref_list_p(h, sps);
+  } else if (h.slice_type == SLICE_B) {
+    build_ref_lists_b(h, sps, pic->poc, sl.ref_l0, sl.ref_l1);
+  }
+  if (pps.entropy_coding_mode) {
+    sl.decode_cabac(rbsp_);
+  } else {
+    BitReader r(rbsp_.data(), rbsp_.size(), h.data_bit_pos);
+    sl.decode_cavlc(r);
+  }
+}
+
+}  // namespace h264

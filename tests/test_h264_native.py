@@ -242,3 +242,56 @@ class TestX264Matrix:
                           "cabac=1:8x8dct=1:keyint=6:b-adapt=0:qp=26",
                           bframes=2)
         _diff_check(es, chunked=True)
+
+
+@needs_x264
+class TestMbaffNative:
+    """Native engine vs oracle on interlaced (MBAFF) streams."""
+
+    def _frames(self, kind, n, size):
+        from test_h264_mbaff import interlaced_frames, mixed_frames
+
+        return (interlaced_frames if kind == "field" else mixed_frames)(
+            n, size)
+
+    def test_intra_mixed(self):
+        es = _x264_stream(128, 96, self._frames("mixed", 3, (128, 96)),
+                          "keyint=1:cabac=0:8x8dct=0:interlaced=1:tff=1:"
+                          "qp=30")
+        _diff_check(es)
+
+    def test_p_cavlc(self):
+        es = _x264_stream(128, 96, self._frames("mixed", 8, (128, 96)),
+                          "cabac=0:8x8dct=0:interlaced=1:tff=1:keyint=50:"
+                          "scenecut=0:bframes=0:ref=2:qp=28")
+        _diff_check(es)
+
+    def test_b_cavlc_deblock(self):
+        from amatsukaze_tpu.video.avdec import AvVideoEncoder
+        frames = self._frames("mixed", 8, (128, 96))
+        enc = AvVideoEncoder(128, 96, 30, 1, crf=20, preset="veryfast",
+                             bframes=2, x264_params="cabac=0:8x8dct=1:"
+                             "interlaced=1:tff=1:keyint=50:scenecut=0:"
+                             "b-adapt=0:ref=2:qp=27")
+        es = b"".join(sum([enc.encode(*f) for f in frames], [])
+                      + enc.flush())
+        _diff_check(es)
+
+    def test_p_cabac_8x8(self):
+        es = _x264_stream(128, 96, self._frames("mixed", 8, (128, 96)),
+                          "cabac=1:8x8dct=1:interlaced=1:tff=1:keyint=50:"
+                          "scenecut=0:bframes=0:ref=3:subme=7:qp=25")
+        _diff_check(es)
+
+    def test_b_cabac_pyramid_field(self):
+        es = _x264_stream(96, 96, self._frames("field", 8, (96, 96)),
+                          "cabac=1:8x8dct=1:interlaced=1:tff=1:keyint=50:"
+                          "scenecut=0:b-adapt=0:ref=3:b-pyramid=normal:"
+                          "qp=26", bframes=3)
+        _diff_check(es)
+
+    def test_multi_idr_chunked(self):
+        es = _x264_stream(128, 96, self._frames("mixed", 10, (128, 96)),
+                          "cabac=1:8x8dct=1:interlaced=1:tff=1:keyint=4:"
+                          "scenecut=0:b-adapt=0:ref=2:qp=26", bframes=2)
+        _diff_check(es, chunked=True)
