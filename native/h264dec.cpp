@@ -4981,13 +4981,13 @@ struct MbaffState {
   std::vector<int32_t> slice_id;    // per addr, init -1
   std::vector<int8_t> mb_class, mb_tf8, mb_dc_flag, mb_skip, mb_bdirect,
       mb_chroma_mode;
-  std::vector<int32_t> mb_qp, mb_cbp, mb_alpha_off, mb_beta_off, mb_disable;
+  std::vector<int8_t> mb_qp, mb_cbp, mb_alpha_off, mb_beta_off, mb_disable;
   std::vector<int8_t> i4_modes, nnz_y, cbf_y;  // n*16 (cell = 4*y + x)
   std::vector<int8_t> nnz_c, cbf_c;            // n*2*4
-  std::vector<int32_t> mv;                     // n*2*16*2
-  std::vector<int32_t> ref_idx;                // n*2*16, init -1
-  std::vector<int64_t> ref_id;                 // n*2*16, init -1
-  std::vector<int32_t> mvd;                    // n*2*16*2
+  std::vector<int16_t> mv;                     // n*2*16*2
+  std::vector<int8_t> ref_idx;                 // n*2*16, init -1
+  std::vector<int32_t> ref_id;                 // n*2*16, init -1
+  std::vector<int16_t> mvd;                    // n*2*16*2
   std::vector<int8_t> cell_direct;             // n*16
 
   void init(const Picture& pic) {
@@ -5130,32 +5130,43 @@ struct MbaffSlice {
     bool ok;
     int addr, xW, yW;
   };
-  Nbr addr_at(int pair_x, int pair_y, int line, bool chroma) const {
-    int band = chroma ? 16 : 32;
-    int pair = pair_y * st->mb_w + pair_x;
-    int local = line - pair_y * band;
+  // wsh: log2 sample width of an MB (4 luma, 3 chroma); bsh: log2 pair
+  // band height (5 luma, 4 chroma) — shifts instead of runtime division
+  Nbr nbr_impl(int addr, int xN, int yN, int line, int wsh,
+               int bsh) const {
+    int px = st->pair_x(addr);
+    int xAbs = (px << wsh) + xN;
+    if ((unsigned)xAbs >= (unsigned)(st->mb_w << wsh))
+      return {false, 0, 0, 0};
+    if ((unsigned)line >= (unsigned)(st->pair_rows << bsh))
+      return {false, 0, 0, 0};
+    int pair_yN = line >> bsh;
+    int pair = pair_yN * st->mb_w + (xAbs >> wsh);
+    int local = line - (pair_yN << bsh);
+    int addrN, yW;
     if (st->field_flag[pair]) {
-      return {true, 2 * pair + (local & 1), 0, local >> 1};
+      addrN = 2 * pair + (local & 1);
+      yW = local >> 1;
+    } else {
+      int half = 1 << (bsh - 1);
+      if (local < half) {
+        addrN = 2 * pair;
+        yW = local;
+      } else {
+        addrN = 2 * pair + 1;
+        yW = local - half;
+      }
     }
-    int half = band / 2;
-    if (local < half) return {true, 2 * pair, 0, local};
-    return {true, 2 * pair + 1, 0, local - half};
+    if (addrN != addr) {
+      if (addrN >= cur_addr) return {false, 0, 0, 0};
+      if (st->slice_id[addrN] != sid) return {false, 0, 0, 0};
+    }
+    return {true, addrN, xAbs & ((1 << wsh) - 1), yW};
   }
   Nbr nbr(int addr, int xN, int yN, bool chroma) const {
-    int maxW = chroma ? 8 : 16;
-    int px = st->pair_x(addr);
-    int xAbs = px * maxW + xN;
-    if (xAbs < 0 || xAbs >= st->mb_w * maxW) return {false, 0, 0, 0};
-    int line = chroma ? st->chroma_y(addr, yN) : st->luma_y(addr, yN);
-    int band = chroma ? 16 : 32;
-    if (line < 0 || line >= st->pair_rows * band) return {false, 0, 0, 0};
-    Nbr r = addr_at(xAbs / maxW, line / band, line, chroma);
-    r.xW = xAbs % maxW;
-    if (r.addr != addr) {
-      if (r.addr >= cur_addr) return {false, 0, 0, 0};
-      if (st->slice_id[r.addr] != sid) return {false, 0, 0, 0};
-    }
-    return r;
+    if (chroma)
+      return nbr_impl(addr, xN, yN, st->chroma_y(addr, yN), 3, 4);
+    return nbr_impl(addr, xN, yN, st->luma_y(addr, yN), 4, 5);
   }
   Nbr nbr_intra(int addr, int xN, int yN, bool chroma) const {
     Nbr r = nbr(addr, xN, yN, chroma);
@@ -5723,7 +5734,7 @@ struct MbaffSlice {
 
   // -- inter (defined out-of-line below) ----------------------------------
   void field_ref(int l, int ref_idx, int addr, Picture** frm, int* parity);
-  int64_t ref_identity(int l, int ref_idx, int addr);
+  int32_t ref_identity(int l, int ref_idx, int addr);
   struct MvN {
     bool avail;
     int ref, mvx, mvy;
@@ -5797,15 +5808,15 @@ void MbaffSlice::field_ref(int l, int ref_idx, int addr, Picture** frm,
   *parity = (ref_idx & 1) == 0 ? cur_parity : 1 - cur_parity;
 }
 
-int64_t MbaffSlice::ref_identity(int l, int ref_idx, int addr) {
+int32_t MbaffSlice::ref_identity(int l, int ref_idx, int addr) {
   if (st->is_field(addr)) {
     Picture* frm;
     int parity;
     field_ref(l, ref_idx, addr, &frm, &parity);
-    return 4LL * frm->pic_id + parity;
+    return 4 * frm->pic_id + parity;
   }
   Picture* frm = (l == 0 ? ref_l0 : ref_l1)[ref_idx];
-  return 4LL * frm->pic_id + 3;
+  return 4 * frm->pic_id + 3;
 }
 
 MbaffSlice::MvN MbaffSlice::mv_nbr(int addr, int xN, int yN, int l) {
@@ -5888,13 +5899,13 @@ void MbaffSlice::mv_pred(int addr, int bx4, int by4, int w4_, int h4_,
 
 void MbaffSlice::store_part_mv(int addr, int bx4, int by4, int w4_, int h4_,
                                int ref_idx, int mvx, int mvy, int l) {
-  int64_t rid = ref_identity(l, ref_idx, addr);
+  int32_t rid = ref_identity(l, ref_idx, addr);
   for (int y = by4; y < by4 + h4_; ++y)
     for (int x = bx4; x < bx4 + w4_; ++x) {
       int c = 4 * y + x;
-      st->mv[st->mmv(addr, l, c, 0)] = mvx;
-      st->mv[st->mmv(addr, l, c, 1)] = mvy;
-      st->ref_idx[st->mref(addr, l, c)] = ref_idx;
+      st->mv[st->mmv(addr, l, c, 0)] = (int16_t)mvx;
+      st->mv[st->mmv(addr, l, c, 1)] = (int16_t)mvy;
+      st->ref_idx[st->mref(addr, l, c)] = (int8_t)ref_idx;
       st->ref_id[st->mref(addr, l, c)] = rid;
     }
 }
@@ -5904,8 +5915,8 @@ void MbaffSlice::store_part_mvd(int addr, int bx4, int by4, int w4_, int h4_,
   for (int y = by4; y < by4 + h4_; ++y)
     for (int x = bx4; x < bx4 + w4_; ++x) {
       int c = 4 * y + x;
-      st->mvd[st->mmv(addr, l, c, 0)] = mvdx;
-      st->mvd[st->mmv(addr, l, c, 1)] = mvdy;
+      st->mvd[st->mmv(addr, l, c, 0)] = (int16_t)mvdx;
+      st->mvd[st->mmv(addr, l, c, 1)] = (int16_t)mvdy;
     }
 }
 
@@ -7709,19 +7720,19 @@ struct MbaffDeblock {
 
   int bs_mv(int addrP, int cellP, int addrQ, int cellQ) const {
     int vth = st.is_field(addrQ) ? 2 : 4;
-    int64_t upr[2];
+    int32_t upr[2];
     int upx[2], upy[2], nup = 0;
-    int64_t uqr[2];
+    int32_t uqr[2];
     int uqx[2], uqy[2], nuq = 0;
     for (int l = 0; l < 2; ++l) {
-      int64_t rp = st.ref_id[st.mref(addrP, l, cellP)];
+      int32_t rp = st.ref_id[st.mref(addrP, l, cellP)];
       if (rp >= 0) {
         upr[nup] = rp;
         upx[nup] = st.mv[st.mmv(addrP, l, cellP, 0)];
         upy[nup] = st.mv[st.mmv(addrP, l, cellP, 1)];
         ++nup;
       }
-      int64_t rq = st.ref_id[st.mref(addrQ, l, cellQ)];
+      int32_t rq = st.ref_id[st.mref(addrQ, l, cellQ)];
       if (rq >= 0) {
         uqr[nuq] = rq;
         uqx[nuq] = st.mv[st.mmv(addrQ, l, cellQ, 0)];
@@ -7730,10 +7741,10 @@ struct MbaffDeblock {
       }
     }
     if (nup != nuq) return 1;
-    int64_t sp0 = nup > 1 ? std::min(upr[0], upr[1]) : (nup ? upr[0] : -1);
-    int64_t sp1 = nup > 1 ? std::max(upr[0], upr[1]) : -1;
-    int64_t sq0 = nuq > 1 ? std::min(uqr[0], uqr[1]) : (nuq ? uqr[0] : -1);
-    int64_t sq1 = nuq > 1 ? std::max(uqr[0], uqr[1]) : -1;
+    int32_t sp0 = nup > 1 ? std::min(upr[0], upr[1]) : (nup ? upr[0] : -1);
+    int32_t sp1 = nup > 1 ? std::max(upr[0], upr[1]) : -1;
+    int32_t sq0 = nuq > 1 ? std::min(uqr[0], uqr[1]) : (nuq ? uqr[0] : -1);
+    int32_t sq1 = nuq > 1 ? std::max(uqr[0], uqr[1]) : -1;
     if (sp0 != sq0 || sp1 != sq1) return 1;
     auto far_ = [&](int ax, int ay, int bx, int by) {
       return std::abs(ax - bx) >= 4 || std::abs(ay - by) >= vth;
