@@ -104,7 +104,9 @@ struct BitReader {
     while (read1() == 0)
       if (++zeros > 32) throw DecodeError("bad exp-golomb");
     if (!zeros) return 0;
-    return (1 << zeros) - 1 + (int)read(zeros);
+    int64_t v = ((int64_t)1 << zeros) - 1 + read(zeros);
+    if (v > 0x7FFFFFF) throw DecodeError("exp-golomb out of range");
+    return (int)v;
   }
   int se() {
     int k = ue();
@@ -347,9 +349,11 @@ static void parse_sps(const std::vector<uint8_t>& rbsp, SPS& s) {
     }
   }
   s.log2_max_frame_num = 4 + r.ue();
+  if (s.log2_max_frame_num > 16) throw DecodeError("bad log2_max_frame_num");
   s.poc_type = r.ue();
   if (s.poc_type == 0) {
     s.log2_max_poc_lsb = 4 + r.ue();
+    if (s.log2_max_poc_lsb > 16) throw DecodeError("bad log2_max_poc_lsb");
   } else if (s.poc_type == 1) {
     s.delta_pic_order_always_zero = r.read1();
     s.offset_for_non_ref_pic = r.se();
@@ -362,6 +366,8 @@ static void parse_sps(const std::vector<uint8_t>& rbsp, SPS& s) {
   s.gaps_in_frame_num_allowed = r.read1();
   s.pic_width_in_mbs = r.ue() + 1;
   s.pic_height_in_map_units = r.ue() + 1;
+  if (s.pic_width_in_mbs > 1024 || s.pic_height_in_map_units > 1024)
+    throw DecodeError("absurd picture dimensions");
   s.frame_mbs_only = r.read1();
   if (!s.frame_mbs_only) s.mb_adaptive_frame_field = r.read1();
   s.direct_8x8_inference = r.read1();
@@ -399,6 +405,7 @@ static void parse_pps(const std::vector<uint8_t>& rbsp,
   p.entropy_coding_mode = r.read1();
   p.bottom_field_pic_order_in_frame_present = r.read1();
   p.num_slice_groups = r.ue() + 1;
+  if (p.num_slice_groups > 8) throw DecodeError("bad num_slice_groups");
   if (p.num_slice_groups > 1) {  // FMO -- not used by broadcast/x264
     int map_type = r.ue();
     if (map_type == 0) {
@@ -515,6 +522,8 @@ static void parse_pred_weights(BitReader& r, SliceHeader& h, const SPS& sps) {
   pw.present = true;
   pw.luma_log2 = r.ue();
   pw.chroma_log2 = (sps.chroma_format_idc != 0) ? r.ue() : 0;
+  if (pw.luma_log2 > 7 || pw.chroma_log2 > 7)
+    throw DecodeError("bad weight denominator");
   int n_lists = (h.slice_type == SLICE_B) ? 2 : 1;
   for (int lx = 0; lx < n_lists; ++lx) {
     int cnt = (lx == 1) ? h.num_ref_idx[1] : h.num_ref_idx[0];
@@ -590,6 +599,7 @@ static void parse_slice_header(const std::vector<uint8_t>& rbsp,
       if (h.slice_type == SLICE_B) n1 = r.ue() + 1;
     }
   }
+  if (n0 > 32 || n1 > 32) throw DecodeError("bad num_ref_idx");
   h.num_ref_idx[0] = n0;
   h.num_ref_idx[1] = (h.slice_type == SLICE_B) ? n1 : 0;
   int n_lists = 0;
@@ -600,6 +610,8 @@ static void parse_slice_header(const std::vector<uint8_t>& rbsp,
       while (true) {
         int op = r.ue();
         if (op == 3) break;
+        if (h.ref_list_mods[lx].size() > 64)
+          throw DecodeError("runaway ref_pic_list_modification");
         h.ref_list_mods[lx].emplace_back(op, r.ue());
       }
     }
@@ -618,6 +630,7 @@ static void parse_slice_header(const std::vector<uint8_t>& rbsp,
         while (true) {
           int op = r.ue();
           if (op == 0) break;
+          if (h.mmco.size() > 64) throw DecodeError("runaway MMCO");
           std::array<int, 3> vals = {op, 0, 0};
           int vi = 1;
           if (op == 1 || op == 3) vals[vi++] = r.ue();
@@ -630,8 +643,10 @@ static void parse_slice_header(const std::vector<uint8_t>& rbsp,
     }
   }
   if (pps.entropy_coding_mode && h.slice_type != SLICE_I &&
-      h.slice_type != SLICE_SI)
+      h.slice_type != SLICE_SI) {
     h.cabac_init_idc = r.ue();
+    if (h.cabac_init_idc > 2) throw DecodeError("bad cabac_init_idc");
+  }
   h.slice_qp = pps.pic_init_qp + r.se();
   if (h.slice_type == SLICE_SP || h.slice_type == SLICE_SI) {
     if (h.slice_type == SLICE_SP) r.read1();
@@ -702,6 +717,8 @@ static int cavlc_block(BitReader& r, int nc, int max_coeff, int* coeffs) {
   int zeros_left = total_zeros;
   int idx = tc + total_zeros - 1;
   for (int i = 0; i < tc; ++i) {
+    if (idx < 0 || idx >= max_coeff)
+      throw DecodeError("corrupt run_before");
     coeffs[idx] = levels[i];
     if (i == tc - 1) break;
     int run = 0;
@@ -725,7 +742,7 @@ static void dequant4_tab(int qp, const int* weight_raster, int32_t* out16) {
 
 static inline int dequant4_apply(int c, int ls, int qp) {
   // 8.5.12.1 (h264_ref.py:695-700)
-  if (qp >= 24) return (int)(((int64_t)c * ls) << (qp / 6 - 4));
+  if (qp >= 24) return (int)((int64_t)c * ls * ((int64_t)1 << (qp / 6 - 4)));
   return (int)(((int64_t)c * ls + (1 << (3 - qp / 6))) >> (4 - qp / 6));
 }
 
@@ -737,7 +754,7 @@ static void dequant8_tab(int qp, const int* weight_raster, int32_t* out64) {
 
 static inline int dequant8_apply(int c, int ls, int qp) {
   // FFmpeg-probed rounding (h264_ref.py:737-742)
-  if (qp >= 36) return (int)(((int64_t)c * ls) << (qp / 6 - 6));
+  if (qp >= 36) return (int)((int64_t)c * ls * ((int64_t)1 << (qp / 6 - 6)));
   return (int)(((int64_t)c * ls + (1 << (5 - qp / 6))) >> (6 - qp / 6));
 }
 
@@ -830,7 +847,8 @@ static void luma_dc_dequant(const int* f, int qp, int w0, int* out16) {
 static void chroma_dc_dequant(const int* f, int qp, int w0, int* out4) {
   int64_t ls = (int64_t)w0 * NORM4[qp % 6][0];
   int sh = qp / 6;
-  for (int i = 0; i < 4; ++i) out4[i] = (int)((f[i] * ls << sh) >> 5);
+  for (int i = 0; i < 4; ++i)
+    out4[i] = (int)((f[i] * ls * ((int64_t)1 << sh)) >> 5);
 }
 
 static inline int chroma_qp_map(int qp_luma, int offset) {
@@ -1658,7 +1676,7 @@ static void deblock_line_p(uint8_t* p, int step, int bs, int alpha, int beta,
   int aq = std::abs(q2 - q0);
   if (bs < 4) {
     int tc = luma ? tc0 + (ap < beta ? 1 : 0) + (aq < beta ? 1 : 0) : tc0 + 1;
-    int delta = (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3;
+    int delta = ((q0 - p0) * 4 + (p1 - q1) + 4) >> 3;
     delta = clamp_i(delta, -tc, tc);
     S(-1) = (uint8_t)clip1(p0 + delta);
     S(0) = (uint8_t)clip1(q0 - delta);
@@ -2049,6 +2067,13 @@ struct SliceCtx {
     idct8x8(d, out64);
   }
 
+  Picture* refp(int l, int idx) const {
+    const std::vector<Picture*>& lst = l == 0 ? ref_l0 : ref_l1;
+    if (idx < 0 || (size_t)idx >= lst.size())
+      throw DecodeError("reference index out of range");
+    return lst[idx];
+  }
+
   void mark_mb(int mbx, int mby) {
     size_t mi = pic->mbi(mbx, mby);
     pic->mb_slice[mi] = sid;
@@ -2269,7 +2294,7 @@ struct SliceCtx {
     bool avail_t = blk_avail_intra(gx, gy - 1, z, mbx, mby);
     bool avail_tl = blk_avail_intra(gx - 1, gy - 1, z, mbx, mby);
     bool avail_tr = blk_avail_intra(gx + 2, gy - 1, z, mbx, mby);
-    int left[8], top[16], tl = 0;
+    int left[8] = {}, top[16] = {}, tl = 0;
     if (avail_l)
       for (int i = 0; i < 8; ++i) left[i] = Y[(size_t)(py + i) * W + px - 1];
     if (avail_t) {
@@ -2281,7 +2306,7 @@ struct SliceCtx {
         for (int i = 0; i < 8; ++i) top[8 + i] = top[7];
     }
     if (avail_tl) tl = Y[(size_t)(py - 1) * W + px - 1];
-    int fl[8], ft[16], ftl;
+    int fl[8] = {}, ft[16] = {}, ftl = 0;
     filter_i8_refs(avail_l ? left : nullptr, avail_t ? top : nullptr, tl,
                    avail_l, avail_t, avail_tl, fl, ft, &ftl);
     int pred[8][8];
@@ -2650,6 +2675,8 @@ struct SliceCtx {
   void wp_apply(int* blk, int n, int l, int ref_idx, int comp) {
     const PredWeights& pw = h->pred_weights;
     if (!pw.present) return;
+    if (ref_idx < 0 || (size_t)ref_idx >= pw.w[l].size())
+      throw DecodeError("weight index out of range");
     int logwd = comp < 0 ? pw.luma_log2 : pw.chroma_log2;
     const std::array<int, 6>& wt = pw.w[l][ref_idx];
     int w, o;
@@ -2671,7 +2698,10 @@ struct SliceCtx {
   // raw interpolated (Y, U, V) blocks from list l (h264_ref.py:3023-3032)
   void fetch_pred(int l, int ref_idx, int bx4, int by4, int w4_, int h4_,
                   int mvx, int mvy, PredBlk& out) {
-    const Picture* ref = (l == 0 ? ref_l0 : ref_l1)[ref_idx];
+    const std::vector<Picture*>& lst = l == 0 ? ref_l0 : ref_l1;
+    if (ref_idx < 0 || (size_t)ref_idx >= lst.size())
+      throw DecodeError("reference index out of range");
+    const Picture* ref = lst[ref_idx];
     int x0 = cur_mbx * 16 + bx4 * 4, y0 = cur_mby * 16 + by4 * 4;
     int cx0 = cur_mbx * 8 + bx4 * 2, cy0 = cur_mby * 8 + by4 * 2;
     mc_luma(ref->Y.data(), ref->w, ref->h, x0, y0, w4_ * 4, h4_ * 4, mvx, mvy,
@@ -2684,6 +2714,9 @@ struct SliceCtx {
 
   // (w0, w1) per 8.4.2.3.1 implicit mode (h264_ref.py:3034-3048)
   void implicit_weights(int ref_idx0, int ref_idx1, int* w0, int* w1) {
+    if (ref_idx0 < 0 || (size_t)ref_idx0 >= ref_l0.size() ||
+        ref_idx1 < 0 || (size_t)ref_idx1 >= ref_l1.size())
+      throw DecodeError("reference index out of range");
     const Picture* pic0 = ref_l0[ref_idx0];
     const Picture* pic1 = ref_l1[ref_idx1];
     int cur = pic->poc;
@@ -2725,6 +2758,9 @@ struct SliceCtx {
       } else if (h->slice_type == SLICE_B && pps->weighted_bipred_idc == 1 &&
                  h->pred_weights.present) {
         const PredWeights& pw = h->pred_weights;
+        if (ref_idx0 < 0 || (size_t)ref_idx0 >= pw.w[0].size() ||
+            ref_idx1 < 0 || (size_t)ref_idx1 >= pw.w[1].size())
+          throw DecodeError("weight index out of range");
         const std::array<int, 6>& wt0 = pw.w[0][ref_idx0];
         const std::array<int, 6>& wt1 = pw.w[1][ref_idx1];
         for (int c = 0; c < 3; ++c) {
@@ -2828,7 +2864,7 @@ struct SliceCtx {
     int mvx, mvy;
     skip_mv(&mvx, &mvy);
     cur_z = 16;
-    store_part_mv(0, 0, 4, 4, 0, ref_l0[0], mvx, mvy, 0);
+    store_part_mv(0, 0, 4, 4, 0, refp(0, 0), mvx, mvy, 0);
     int predY[256], predU[64], predV[64];
     mc_part(predY, predU, predV, 0, 0, 4, 4, 0, mvx, mvy);
     store_mb_planes(mbx, mby, predY, predU, predV);
@@ -2917,7 +2953,7 @@ struct SliceCtx {
                 kind, i, 0, &px, &py);
         int mvx = px + mvdx, mvy = py + mvdy;
         store_part_mv(parts[i].bx4, parts[i].by4, parts[i].w4, parts[i].h4,
-                      refs[i], ref_l0[refs[i]], mvx, mvy, 0);
+                      refs[i], refp(0, refs[i]), mvx, mvy, 0);
         mc_part(predY, predU, predV, parts[i].bx4, parts[i].by4, parts[i].w4,
                 parts[i].h4, refs[i], mvx, mvy);
       }
@@ -2942,8 +2978,8 @@ struct SliceCtx {
           int px, py;
           mv_pred(bx4, by4, sp[s].w4, sp[s].h4, refs[b], 0, 0, 0, &px, &py);
           int mvx = px + mvdx, mvy = py + mvdy;
-          store_part_mv(bx4, by4, sp[s].w4, sp[s].h4, refs[b], ref_l0[refs[b]],
-                        mvx, mvy, 0);
+          store_part_mv(bx4, by4, sp[s].w4, sp[s].h4, refs[b],
+                        refp(0, refs[b]), mvx, mvy, 0);
           mc_part(predY, predU, predV, bx4, by4, sp[s].w4, sp[s].h4, refs[b],
                   mvx, mvy);
         }
@@ -3098,6 +3134,7 @@ struct SliceCtx {
   // colocated 4x4 motion in RefPicList1[0] (h264_ref.py:3301-3310)
   // returns found; outputs (l, ref_idx, ref_pic_id, mv)
   bool col_motion(int gx, int gy, int* ref_idx, int* rid, int* mx, int* my) {
+    if (ref_l1.empty()) throw DecodeError("empty L1 list");
     const Picture* col = ref_l1[0];
     for (int l = 0; l < 2; ++l) {
       size_t ix = col->mvix(l, gy, gx);
@@ -3144,6 +3181,7 @@ struct SliceCtx {
     int gy = cur_mby * 4 + 3 * (b >> 1);
     if (h->direct_spatial_mv_pred) {
       direct_spatial_cache();
+      if (ref_l1.empty()) throw DecodeError("empty L1 list");
       const Picture* col = ref_l1[0];
       bool cz = false;
       if (!col->long_term) {
@@ -3179,7 +3217,8 @@ struct SliceCtx {
           break;
         }
     }
-    const Picture* refpic = ref_l0[ref0];
+    const Picture* refpic = refp(0, ref0);
+    if (ref_l1.empty()) throw DecodeError("empty L1 list");
     const Picture* colpic = ref_l1[0];
     int tb = clamp_i(pic->poc - refpic->poc, -128, 127);
     int td = clamp_i(colpic->poc - refpic->poc, -128, 127);
@@ -3214,10 +3253,10 @@ struct SliceCtx {
       for (int x = 0; x < 2; ++x)
         pic->cell_direct[pic->c4(gx0 + x, gy0 + y)] = 1;
     if (refs[0] >= 0)
-      store_part_mv(bx4, by4, 2, 2, refs[0], ref_l0[refs[0]], mvs[0][0],
+      store_part_mv(bx4, by4, 2, 2, refs[0], refp(0, refs[0]), mvs[0][0],
                     mvs[0][1], 0);
     if (refs[1] >= 0)
-      store_part_mv(bx4, by4, 2, 2, refs[1], ref_l1[refs[1]], mvs[1][0],
+      store_part_mv(bx4, by4, 2, 2, refs[1], refp(1, refs[1]), mvs[1][0],
                     mvs[1][1], 1);
     PredBlk p0, p1;
     bool h0 = refs[0] >= 0, h1 = refs[1] >= 0;
@@ -3242,10 +3281,10 @@ struct SliceCtx {
         for (int x = 0; x < 2; ++x)
           pic->cell_direct[pic->c4(gx0 + x, gy0 + y)] = 1;
       if (refs[b][0] >= 0)
-        store_part_mv(bx4, by4, 2, 2, refs[b][0], ref_l0[refs[b][0]],
+        store_part_mv(bx4, by4, 2, 2, refs[b][0], refp(0, refs[b][0]),
                       mvs[b][0][0], mvs[b][0][1], 0);
       if (refs[b][1] >= 0)
-        store_part_mv(bx4, by4, 2, 2, refs[b][1], ref_l1[refs[b][1]],
+        store_part_mv(bx4, by4, 2, 2, refs[b][1], refp(1, refs[b][1]),
                       mvs[b][1][0], mvs[b][1][1], 1);
     }
     bool uniform = true;
@@ -3343,7 +3382,7 @@ struct SliceCtx {
           mvs[l][i][1] = py + mvds[l][i][1];
           hasmv[l][i] = true;
           store_part_mv(parts[i].bx4, parts[i].by4, parts[i].w4, parts[i].h4,
-                        refs[l][i], (l == 0 ? ref_l0 : ref_l1)[refs[l][i]],
+                        refs[l][i], refp(l, refs[l][i]),
                         mvs[l][i][0], mvs[l][i][1], l);
         }
       for (int i = 0; i < np; ++i) {
@@ -3416,7 +3455,7 @@ struct SliceCtx {
           submv[l][b][s][0] = px + mvd_list[l][i][2];
           submv[l][b][s][1] = py + mvd_list[l][i][3];
           store_part_mv(bx4, by4, sp[s].w4, sp[s].h4, refs[l][b],
-                        (l == 0 ? ref_l0 : ref_l1)[refs[l][b]],
+                        refp(l, refs[l][b]),
                         submv[l][b][s][0], submv[l][b][s][1], l);
         }
       for (int b = 0; b < 4; ++b) {
@@ -4128,6 +4167,8 @@ void SliceCtx::part_motion_cabac(CabacSlice& cb, int l, int bx4, int by4,
   *mvx = px + mvdx;
   *mvy = py + mvdy;
   const std::vector<Picture*>& refs = l == 0 ? ref_l0 : ref_l1;
+  if (ref_idx < 0 || (size_t)ref_idx >= refs.size())
+    throw DecodeError("reference index out of range");
   store_part_mv(bx4, by4, w4_, h4_, ref_idx, refs[ref_idx], *mvx, *mvy, l);
   store_part_mvd(bx4, by4, w4_, h4_, l, mvdx, mvdy);
 }
@@ -4846,6 +4887,8 @@ struct Decoder {
     if (h.field_pic_flag) throw DecodeError("field pictures not supported");
     if (sps.chroma_format_idc != 1)
       throw DecodeError("only 4:2:0 supported");
+    if (h.slice_qp < 0 || h.slice_qp > 51)
+      throw DecodeError("slice QP out of range");
     if (is_new_picture(h)) start_picture(h, sps, pps);
     cur_hdr = h;
     has_hdr = true;
@@ -5313,7 +5356,7 @@ struct MbaffSlice {
     bool avail_t = nbr_intra(addr, xN0, yN0 - 1, false).ok;
     bool avail_tl = nbr_intra(addr, xN0 - 1, yN0 - 1, false).ok;
     bool avail_tr = nbr_intra(addr, xN0 + 8, yN0 - 1, false).ok;
-    int left[8], top[16], tl = 0;
+    int left[8] = {}, top[16] = {}, tl = 0;
     if (avail_l)
       for (int i = 0; i < 8; ++i) {
         Nbr r = nbr_intra(addr, xN0 - 1, yN0 + i, false);
@@ -5336,7 +5379,7 @@ struct MbaffSlice {
       Nbr r = nbr_intra(addr, xN0 - 1, yN0 - 1, false);
       tl = r.ok ? luma_sample(r) : 0;
     }
-    int fl[8], ft[16], ftl;
+    int fl[8] = {}, ft[16] = {}, ftl = 0;
     filter_i8_refs(avail_l ? left : nullptr, avail_t ? top : nullptr, tl,
                    avail_l, avail_t, avail_tl, fl, ft, &ftl);
     int pred[8][8];
@@ -5803,7 +5846,10 @@ namespace h264 {
 
 void MbaffSlice::field_ref(int l, int ref_idx, int addr, Picture** frm,
                            int* parity) {
-  *frm = (l == 0 ? ref_l0 : ref_l1)[ref_idx >> 1];
+  const std::vector<Picture*>& lst = l == 0 ? ref_l0 : ref_l1;
+  if (ref_idx < 0 || (size_t)(ref_idx >> 1) >= lst.size())
+    throw DecodeError("field reference index out of range");
+  *frm = lst[ref_idx >> 1];
   int cur_parity = addr & 1;
   *parity = (ref_idx & 1) == 0 ? cur_parity : 1 - cur_parity;
 }
@@ -5815,8 +5861,10 @@ int32_t MbaffSlice::ref_identity(int l, int ref_idx, int addr) {
     field_ref(l, ref_idx, addr, &frm, &parity);
     return 4 * frm->pic_id + parity;
   }
-  Picture* frm = (l == 0 ? ref_l0 : ref_l1)[ref_idx];
-  return 4 * frm->pic_id + 3;
+  const std::vector<Picture*>& lst = l == 0 ? ref_l0 : ref_l1;
+  if (ref_idx < 0 || (size_t)ref_idx >= lst.size())
+    throw DecodeError("reference index out of range");
+  return 4 * lst[ref_idx]->pic_id + 3;
 }
 
 MbaffSlice::MvN MbaffSlice::mv_nbr(int addr, int xN, int yN, int l) {
@@ -5947,7 +5995,10 @@ void MbaffSlice::fetch_pred(int addr, int l, int ref_idx, int bx4, int by4,
     else if (cur_parity == 1 && parity == 0)
       cmvy = mvy + 2;
   } else {
-    Picture* frm = (l == 0 ? ref_l0 : ref_l1)[ref_idx];
+    const std::vector<Picture*>& lst = l == 0 ? ref_l0 : ref_l1;
+    if (ref_idx < 0 || (size_t)ref_idx >= lst.size())
+      throw DecodeError("reference index out of range");
+    Picture* frm = lst[ref_idx];
     refY = frm->Y.data();
     refU = frm->U.data();
     refV = frm->V.data();
@@ -5973,6 +6024,8 @@ void MbaffSlice::wp_apply(int* blk, int n, int l, int ref_idx, int comp,
   const PredWeights& pw = h->pred_weights;
   if (!pw.present) return;
   int widx = st->is_field(addr) ? (ref_idx >> 1) : ref_idx;
+  if (widx < 0 || (size_t)widx >= pw.w[l].size())
+    throw DecodeError("weight index out of range");
   int logwd = comp < 0 ? pw.luma_log2 : pw.chroma_log2;
   const std::array<int, 6>& wt = pw.w[l][widx];
   int w, o;
@@ -6006,6 +6059,9 @@ void MbaffSlice::implicit_weights(int addr, int ref_idx0, int ref_idx1,
     lt0 = f0->long_term;
     lt1 = f1->long_term;
   } else {
+    if (ref_idx0 < 0 || (size_t)ref_idx0 >= ref_l0.size() ||
+        ref_idx1 < 0 || (size_t)ref_idx1 >= ref_l1.size())
+      throw DecodeError("reference index out of range");
     Picture* pic0 = ref_l0[ref_idx0];
     Picture* pic1 = ref_l1[ref_idx1];
     poc0 = pic0->poc;
@@ -6055,6 +6111,9 @@ void MbaffSlice::combine_store(int addr, int* predY, int* predU, int* predV,
       bool fld = st->is_field(addr);
       int i0 = fld ? (ref_idx0 >> 1) : ref_idx0;
       int i1 = fld ? (ref_idx1 >> 1) : ref_idx1;
+      if (i0 < 0 || (size_t)i0 >= pw.w[0].size() || i1 < 0 ||
+          (size_t)i1 >= pw.w[1].size())
+        throw DecodeError("weight index out of range");
       const std::array<int, 6>& wt0 = pw.w[0][i0];
       const std::array<int, 6>& wt1 = pw.w[1][i1];
       for (int c = 0; c < 3; ++c) {
@@ -6356,6 +6415,7 @@ bool MbaffSlice::col_zero(int addr, int b) {
   if (st->is_field(addr)) {
     field_ref(1, 0, addr, &col_frm, &col_parity);
   } else {
+    if (ref_l1.empty()) throw DecodeError("empty L1 list");
     col_frm = ref_l1[0];
     col_parity = addr & 1;
   }
@@ -7817,7 +7877,7 @@ struct MbaffDeblock {
     if (bs_ < 4) {
       int tc =
           luma ? tc0 + (ap < beta ? 1 : 0) + (aq < beta ? 1 : 0) : tc0 + 1;
-      int delta = (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3;
+      int delta = ((q0 - p0) * 4 + (p1 - q1) + 4) >> 3;
       delta = clamp_i(delta, -tc, tc);
       P(0) = (uint8_t)clip1(p0 + delta);
       Q(0) = (uint8_t)clip1(q0 - delta);

@@ -105,3 +105,73 @@ class TestQpFuzz:
                                      dtype=np.uint8))
             nat.parse_picture(buf)
             sl.parse_picture(buf)
+
+
+class TestH264Fuzz:
+    """The native H.264 engine must survive arbitrary corruption (bit
+    flips, truncation, garbage blocks) without crashing — errors are
+    counted and decoding continues.  Valid streams stay bit-exact vs the
+    oracle (tests/test_h264_native.py); a broader mutation sweep runs
+    under ASAN+UBSAN before commits (1000s of iterations clean)."""
+
+    def _base_stream(self, interlaced=False, cabac=True):
+        from amatsukaze_tpu.video.avdec import avdec_available
+        if not avdec_available():
+            pytest.skip("FFmpeg bridge unavailable")
+        from test_h264_decode import _motion_frames, _x264_stream
+        params = (f"cabac={1 if cabac else 0}:8x8dct=1:keyint=4:"
+                  "scenecut=0:b-adapt=0:qp=26")
+        if interlaced:
+            from test_h264_mbaff import mixed_frames
+            frames = mixed_frames(4, (96, 96))
+            params += ":interlaced=1:tff=1"
+        else:
+            frames = _motion_frames(4, (96, 96))
+        return _x264_stream(96, 96, frames, params, bframes=2)
+
+    def _hammer(self, base: bytes, seed: int, n=60):
+        from amatsukaze_tpu.video.native import (NativeH264Decoder,
+                                                 h264_native_available)
+        if not h264_native_available():
+            pytest.skip("native H.264 engine unavailable")
+        rng = np.random.default_rng(seed)
+        for it in range(n):
+            buf = bytearray(base)
+            mode = it % 3
+            if mode == 0:
+                for _ in range(int(rng.integers(1, 12))):
+                    buf[int(rng.integers(0, len(buf)))] ^= 1 << int(
+                        rng.integers(0, 8))
+            elif mode == 1:
+                buf = buf[: int(rng.integers(1, len(buf)))]
+            else:
+                off = int(rng.integers(0, len(buf)))
+                ln = int(min(len(buf) - off, rng.integers(0, 256)))
+                buf[off : off + ln] = bytes(
+                    rng.integers(0, 256, ln, dtype=np.uint8))
+            dec = NativeH264Decoder()
+            dec.decode(bytes(buf))
+            dec.flush()  # must not crash; errors may be counted
+
+    def test_progressive_cabac(self):
+        self._hammer(self._base_stream(), 101)
+
+    def test_progressive_cavlc(self):
+        self._hammer(self._base_stream(cabac=False), 102)
+
+    def test_mbaff(self):
+        self._hammer(self._base_stream(interlaced=True), 103)
+
+    def test_pure_garbage(self):
+        from amatsukaze_tpu.video.native import (NativeH264Decoder,
+                                                 h264_native_available)
+        if not h264_native_available():
+            pytest.skip("native H.264 engine unavailable")
+        rng = np.random.default_rng(7)
+        for _ in range(100):
+            buf = b"\x00\x00\x01" + bytes(
+                rng.integers(0, 256, int(rng.integers(0, 300)),
+                             dtype=np.uint8))
+            dec = NativeH264Decoder()
+            dec.decode(buf)
+            dec.flush()
