@@ -175,3 +175,39 @@ class TestH264Fuzz:
             dec = NativeH264Decoder()
             dec.decode(buf)
             dec.flush()
+
+
+class TestMpeg2DecoderFuzz:
+    """Native MPEG-2 picture decoder on corrupted streams: never crash
+    (verified clean under ASAN+UBSAN sweeps before commits)."""
+
+    def test_mutations(self):
+        from amatsukaze_tpu.video.native import (NativeMpeg2Decoder,
+                                                 native_available)
+        if not native_available():
+            pytest.skip("native MPEG-2 decoder unavailable")
+        from amatsukaze_tpu.ts.qp_extract import iter_picture_chunks
+        from mpeg2_enc import EncConfig, Mpeg2TestEncoder, synth_frames
+
+        cfg = EncConfig(width=96, height=96)
+        es = Mpeg2TestEncoder(cfg).encode(synth_frames(96, 96, 6),
+                                          "IBBPBP")
+        rng = np.random.default_rng(77)
+        for it in range(60):
+            buf = bytearray(es)
+            mode = it % 3
+            if mode == 0:
+                for _ in range(int(rng.integers(1, 12))):
+                    buf[int(rng.integers(0, len(buf)))] ^= 1 << int(
+                        rng.integers(0, 8))
+            elif mode == 1:
+                buf = buf[: int(rng.integers(1, len(buf)))]
+            else:
+                off = int(rng.integers(0, len(buf)))
+                ln = int(min(len(buf) - off, rng.integers(0, 256)))
+                buf[off : off + ln] = bytes(
+                    rng.integers(0, 256, ln, dtype=np.uint8))
+            dec = NativeMpeg2Decoder()
+            for chunk in iter_picture_chunks(bytes(buf)):
+                dec.decode_picture(chunk)
+            dec.flush()
