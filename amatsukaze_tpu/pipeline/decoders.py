@@ -95,16 +95,31 @@ def h264ref_decoder_factory(pipeline, video_index: int):
 
 
 def _open_h264_inbuild(es_head: bytes = b""):
-    """Native engine when available (progressive AND interlaced/MBAFF),
-    else the Python oracle."""
-    del es_head  # both engines cover the full stream surface now
-    try:
-        from ..video.native import NativeH264Decoder, h264_native_available
+    """Native engine when available (progressive AND interlaced/MBAFF);
+    PAFF field-picture streams route to the oracle engine
+    (video/h264_paff.py), which the C++ engine does not cover yet."""
+    paff = False
+    if es_head:
+        try:
+            from ..video import h264_ref as HR
 
-        if h264_native_available():
-            return NativeH264Decoder()
-    except Exception:
-        pass
+            for nal in HR.split_annexb(es_head):
+                if (nal[0] & 0x1F) == 7:
+                    s = HR.parse_sps(HR.ebsp_to_rbsp(nal[1:]))
+                    paff = (not s.frame_mbs_only
+                            and not s.mb_adaptive_frame_field)
+                    break
+        except Exception:
+            pass
+    if not paff:
+        try:
+            from ..video.native import (NativeH264Decoder,
+                                        h264_native_available)
+
+            if h264_native_available():
+                return NativeH264Decoder()
+        except Exception:
+            pass
     from ..video.h264_ref import H264RefDecoder
 
     return H264RefDecoder()

@@ -144,6 +144,8 @@ class CabacSlice:
             rbsp, h.data_bit_pos,
             init_contexts(st_i, h.cabac_init_idc, h.slice_qp))
         self.prev_qp_delta_nz = 0
+        # field pictures (PAFF) use the field residual context blocks
+        self.field_pic = bool(getattr(sl.pic, "is_field_pic", False))
 
     # -- neighbour helpers -------------------------------------------------
 
@@ -492,17 +494,20 @@ class CabacSlice:
             if not e.decision(85 + _CBF_OFF[cat] + inc):
                 return None
         if cat == 5:
-            sig_base, last_base, abs_base = 402, 417, 426
+            sig_base = 436 if self.field_pic else 402
+            last_base = 451 if self.field_pic else 417
+            abs_base = 426
         else:
-            sig_base = 105 + _SIG_OFF[cat]
-            last_base = 166 + _SIG_OFF[cat]
+            sig_base = (277 if self.field_pic else 105) + _SIG_OFF[cat]
+            last_base = (338 if self.field_pic else 166) + _SIG_OFF[cat]
             abs_base = 227 + _ABS_OFF[cat]
         coeffs = [0] * maxcoeff
         sig = [False] * maxcoeff
         last_idx = maxcoeff - 1
         for i in range(maxcoeff - 1):
             if cat == 5:
-                s_inc = SIG_COEFF_8x8[i]
+                s_inc = (SIG_COEFF_8x8_FIELD if self.field_pic
+                         else SIG_COEFF_8x8)[i]
                 l_inc = LAST_COEFF_8x8[i]
             elif cat == 3:
                 s_inc = l_inc = min(i, 2)

@@ -1452,6 +1452,14 @@ class H264RefDecoder:
         self._slice_counter = 0
 
     def _finish_picture(self) -> None:
+        if getattr(self, "_paff_st", None) is not None or getattr(
+                self, "_paff_pending", None) is not None:
+            from . import h264_paff
+
+            h264_paff.finalize_pending(self)
+        self._finish_frame_picture()
+
+    def _finish_frame_picture(self) -> None:
         if self.cur is None:
             return
         pic = self.cur
@@ -1689,7 +1697,11 @@ class H264RefDecoder:
         if h.slice_type not in (SLICE_I, SLICE_P, SLICE_B):
             raise NotImplementedError("SP/SI slices not supported")
         if h.field_pic_flag:
-            raise NotImplementedError("PAFF field pictures not supported")
+            from . import h264_paff
+
+            self._finish_frame_picture()  # close a pending FRAME picture
+            h264_paff.decode_field_slice(self, rbsp, h, sps, pps)
+            return
         if self._is_new_picture(h):
             self._start_picture(h, sps, pps)
         self.cur_hdr = h
@@ -1715,49 +1727,7 @@ class H264RefDecoder:
             ctx.ref_l0 = self._build_ref_list_p(h, sps)
         elif h.slice_type == SLICE_B:
             ctx.ref_l0, ctx.ref_l1 = self._build_ref_lists_b(h, sps, pic.poc)
-        if pps.entropy_coding_mode:
-            from . import h264_cabac
-            cb = h264_cabac.CabacSlice(ctx, rbsp, h)
-            n_mbs = pic.mb_w * pic.mb_h
-            mb_idx = h.first_mb
-            while mb_idx < n_mbs:
-                mbx, mby = mb_idx % pic.mb_w, mb_idx // pic.mb_w
-                if (h.slice_type in (SLICE_P, SLICE_B)
-                        and cb.mb_skip_flag(mbx, mby)):
-                    ctx.decode_skip_mb(mb_idx)
-                    pic.mb_skip[mby, mbx] = 1
-                    if h.slice_type == SLICE_B:
-                        pic.mb_bdirect[mby, mbx] = 1
-                    cb.prev_qp_delta_nz = 0
-                else:
-                    ctx.decode_mb_cabac(cb, mb_idx)
-                mb_idx += 1
-                if cb.end_of_slice():
-                    break
-            return
-        r = BitReader(rbsp, h.data_bit_pos)
-        n_mbs = pic.mb_w * pic.mb_h
-        mb_idx = h.first_mb
-        if h.slice_type == SLICE_I:
-            while mb_idx < n_mbs:
-                ctx.decode_mb_cavlc(r, mb_idx)
-                mb_idx += 1
-                if not _more_rbsp_data(r):
-                    break
-            return
-        more = True
-        while more and mb_idx < n_mbs:
-            skip_run = r.ue()
-            for _ in range(skip_run):
-                if mb_idx >= n_mbs:
-                    break
-                ctx.decode_skip_mb(mb_idx)
-                mb_idx += 1
-            more = _more_rbsp_data(r)
-            if more and mb_idx < n_mbs:
-                ctx.decode_mb_cavlc(r, mb_idx)
-                mb_idx += 1
-                more = _more_rbsp_data(r)
+        run_slice_data(ctx, rbsp, h, pic, pps)
 
     # -- deblocking (8.7) --------------------------------------------------
 
@@ -1776,13 +1746,63 @@ class H264RefDecoder:
                 _deblock_mb(pic, mbx, mby)
 
 
+def run_slice_data(ctx, rbsp: bytes, h: SliceHeader, pic, pps: PPS) -> None:
+    """Drive the slice-data loop (7.3.4, non-MBAFF) over a picture —
+    frame pictures and PAFF field pictures alike."""
+    if pps.entropy_coding_mode:
+        from . import h264_cabac
+        cb = h264_cabac.CabacSlice(ctx, rbsp, h)
+        n_mbs = pic.mb_w * pic.mb_h
+        mb_idx = h.first_mb
+        while mb_idx < n_mbs:
+            mbx, mby = mb_idx % pic.mb_w, mb_idx // pic.mb_w
+            if (h.slice_type in (SLICE_P, SLICE_B)
+                    and cb.mb_skip_flag(mbx, mby)):
+                ctx.decode_skip_mb(mb_idx)
+                pic.mb_skip[mby, mbx] = 1
+                if h.slice_type == SLICE_B:
+                    pic.mb_bdirect[mby, mbx] = 1
+                cb.prev_qp_delta_nz = 0
+            else:
+                ctx.decode_mb_cabac(cb, mb_idx)
+            mb_idx += 1
+            if cb.end_of_slice():
+                break
+        return
+    r = BitReader(rbsp, h.data_bit_pos)
+    n_mbs = pic.mb_w * pic.mb_h
+    mb_idx = h.first_mb
+    if h.slice_type == SLICE_I:
+        while mb_idx < n_mbs:
+            ctx.decode_mb_cavlc(r, mb_idx)
+            mb_idx += 1
+            if not _more_rbsp_data(r):
+                break
+        return
+    more = True
+    while more and mb_idx < n_mbs:
+        skip_run = r.ue()
+        for _ in range(skip_run):
+            if mb_idx >= n_mbs:
+                break
+            ctx.decode_skip_mb(mb_idx)
+            mb_idx += 1
+        more = _more_rbsp_data(r)
+        if more and mb_idx < n_mbs:
+            ctx.decode_mb_cavlc(r, mb_idx)
+            mb_idx += 1
+            more = _more_rbsp_data(r)
+
+
 # ---------------------------------------------------------------------------
 # Deblocking filter (8.7) — in-place, MB raster order, vertical edges then
 # horizontal, using already-filtered neighbour samples (normative order).
 # ---------------------------------------------------------------------------
 
 def _bs_mv(pic: _Picture, gxp, gyp, gxq, gyq) -> int:
-    """bS in {0, 1} from motion (8.7.2.1, both blocks inter, no coeffs)."""
+    """bS in {0, 1} from motion (8.7.2.1, both blocks inter, no coeffs).
+    Field pictures use the 2-quarter-field vertical threshold."""
+    vth = 2 if getattr(pic, "is_field_pic", False) else 4
     up = []
     uq = []
     for l in range(2):
@@ -1800,7 +1820,7 @@ def _bs_mv(pic: _Picture, gxp, gyp, gxq, gyq) -> int:
         return 1
 
     def far(a, b):
-        return abs(a[0] - b[0]) >= 4 or abs(a[1] - b[1]) >= 4
+        return abs(a[0] - b[0]) >= 4 or abs(a[1] - b[1]) >= vth
 
     if len(up) == 1:
         return 1 if far(up[0][1], uq[0][1]) else 0
@@ -1829,11 +1849,14 @@ def _nnz_for_bs(pic: _Picture, gx: int, gy: int) -> int:
     return int(pic.nnz_y[gy, gx])
 
 
-def _bs(pic: _Picture, gxp, gyp, gxq, gyq, mb_edge: bool) -> int:
+def _bs(pic: _Picture, gxp, gyp, gxq, gyq, mb_edge: bool,
+        vertical: bool = True) -> int:
     pmbx, pmby = gxp >> 2, gyp >> 2
     qmbx, qmby = gxq >> 2, gyq >> 2
+    field = getattr(pic, "is_field_pic", False)
     if pic.is_intra(pmbx, pmby) or pic.is_intra(qmbx, qmby):
-        return 4 if mb_edge else 3
+        # field pictures: bS 4 only on vertical MB edges (8.7.2.1)
+        return 4 if (mb_edge and (vertical or not field)) else 3
     if _nnz_for_bs(pic, gxp, gyp) or _nnz_for_bs(pic, gxq, gyq):
         return 2
     return _bs_mv(pic, gxp, gyp, gxq, gyq)
@@ -1903,7 +1926,7 @@ def _edge_bs_and_qp(pic: _Picture, mbx, mby, e, vertical):
         else:
             gxq, gyq = mbx * 4 + seg, mby * 4 + e
             gxp, gyp = gxq, gyq - 1
-        bs = _bs(pic, gxp, gyp, gxq, gyq, e == 0)
+        bs = _bs(pic, gxp, gyp, gxq, gyq, e == 0, vertical)
         qpp = int(pic.mb_qp[gyp >> 2, gxp >> 2])
         qpq = int(pic.mb_qp[gyq >> 2, gxq >> 2])
         out.append((bs, qpp, qpq))
@@ -2001,6 +2024,13 @@ class _SliceCtx:
             else:
                 self.w8 = [_FLAT64] * 2
         self._dequant_cache: dict = {}
+        # field pictures (PAFF) use the field residual scans
+        if getattr(pic, "is_field_pic", False):
+            self.scan4 = FIELD_SCAN_4x4
+            self.scan8 = FIELD_SCAN_8x8
+        else:
+            self.scan4 = ZIGZAG_4x4
+            self.scan8 = ZIGZAG_8x8
         self.ref_l0: list[_Picture] = []
         self.ref_l1: list[_Picture] = []
         self._cur_mbx = self._cur_mby = 0
@@ -2111,7 +2141,7 @@ class _SliceCtx:
         for s in range(64):
             c = scan64[s]
             if c:
-                pos = ZIGZAG_8x8[s]
+                pos = self.scan8[s]
                 d[pos] = _dequant8_apply(c, ls[pos], qp)
         return _idct8x8(d)
 
@@ -2570,7 +2600,7 @@ class _SliceCtx:
             for s in range(16):
                 c = blk[s]
                 if c:
-                    pos = ZIGZAG_4x4[s]
+                    pos = self.scan4[s]
                     d[pos] = _dequant4_apply(c, dq[pos], self.qp)
             res = _idct4x4(d)
             for yy in range(4):
@@ -2801,7 +2831,7 @@ class _SliceCtx:
         for s in range(16):
             c = coeffs[s]
             if c:
-                pos = ZIGZAG_4x4[s]
+                pos = self.scan4[s]
                 d[pos] = _dequant4_apply(c, dq[pos], self.qp)
         res = _idct4x4(d)
         for yy in range(4):
@@ -2859,7 +2889,7 @@ class _SliceCtx:
         # DC transform
         dcr = [0] * 16
         for s in range(16):
-            dcr[ZIGZAG_4x4[s]] = dc_scan[s]
+            dcr[self.scan4[s]] = dc_scan[s]
         f = _hadamard4x4(dcr)
         dc = _luma_dc_dequant(f, self.qp, self.w4[0][0])
         dq = self._dq4(self.qp, 0)
@@ -2871,7 +2901,7 @@ class _SliceCtx:
                 for s in range(15):
                     c = blk[s]
                     if c:
-                        pos = ZIGZAG_4x4[s + 1]
+                        pos = self.scan4[s + 1]
                         d[pos] = _dequant4_apply(c, dq[pos], self.qp)
             d[0] = dc[4 * y4 + x4]
             res = _idct4x4(d)
@@ -2945,7 +2975,7 @@ class _SliceCtx:
                     for s in range(15):
                         c = blk[s]
                         if c:
-                            pos = ZIGZAG_4x4[s + 1]
+                            pos = self.scan4[s + 1]
                             d[pos] = _dequant4_apply(c, dq[pos], qp)
                 d[0] = dc[b]
                 if any(d):
@@ -3053,14 +3083,24 @@ class _SliceCtx:
 
     def _fetch_pred(self, l: int, ref_idx: int, bx4, by4, w4, h4,
                     mvx: int, mvy: int):
-        """Raw (unweighted) interpolated blocks (Y, U, V) from list l."""
+        """Raw (unweighted) interpolated blocks (Y, U, V) from list l.
+        Field pictures referencing the opposite parity apply the 8.4.1.4
+        chroma vertical MV adjustment (top->bottom -2, bottom->top +2)."""
         ref = (self.ref_l0 if l == 0 else self.ref_l1)[ref_idx]
         mbx, mby = self._cur_mbx, self._cur_mby
         x0, y0 = mbx * 16 + bx4 * 4, mby * 16 + by4 * 4
         cx0, cy0 = mbx * 8 + bx4 * 2, mby * 8 + by4 * 2
+        cmvy = mvy
+        if getattr(self.pic, "is_field_pic", False):
+            cur_parity = self.pic.parity
+            ref_parity = getattr(ref, "parity", cur_parity)
+            if cur_parity == 0 and ref_parity == 1:
+                cmvy = mvy - 2
+            elif cur_parity == 1 and ref_parity == 0:
+                cmvy = mvy + 2
         return (_mc_luma(ref.Y, x0, y0, w4 * 4, h4 * 4, mvx, mvy),
-                _mc_chroma(ref.U, cx0, cy0, w4 * 2, h4 * 2, mvx, mvy),
-                _mc_chroma(ref.V, cx0, cy0, w4 * 2, h4 * 2, mvx, mvy))
+                _mc_chroma(ref.U, cx0, cy0, w4 * 2, h4 * 2, mvx, cmvy),
+                _mc_chroma(ref.V, cx0, cy0, w4 * 2, h4 * 2, mvx, cmvy))
 
     def _implicit_weights(self, ref_idx0: int, ref_idx1: int):
         """(w0, w1) per 8.4.2.3.1 implicit mode."""
@@ -3282,7 +3322,7 @@ class _SliceCtx:
             for s in range(16):
                 c = blk[s]
                 if c:
-                    pos = ZIGZAG_4x4[s]
+                    pos = self.scan4[s]
                     d[pos] = _dequant4_apply(c, dq[pos], self.qp)
             res = _idct4x4(d)
             for yy in range(4):

@@ -1,0 +1,187 @@
+"""PAFF (field-picture) H.264 stream synthesis for decoder validation.
+
+There is no PAFF encoder in this environment (x264 emits MBAFF), so PAFF
+streams are synthesized by re-heading a PROGRESSIVE half-height libx264
+encode as a sequence of coded fields: the macroblock-layer slice data of
+a progressive W x H/2 picture parses identically inside a field picture
+(entropy coding does not depend on the picture structure), only the
+header-level semantics change (field references, PicNum arithmetic,
+POC).  libavcodec decodes the rewritten stream and serves as the ground
+truth for what those bits mean under field decoding.
+
+Source pictures alternate top/bottom parity (even index = top, tff).
+"""
+
+from __future__ import annotations
+
+from amatsukaze_tpu.utils.bits import BitReader, BitWriter
+from amatsukaze_tpu.video import h264_ref as HR
+
+
+def _ue(w: BitWriter, v: int) -> None:
+    n = v + 1
+    nb = n.bit_length()
+    w.write(0, nb - 1)
+    w.write(n, nb)
+
+
+def _se(w: BitWriter, v: int) -> None:
+    _ue(w, 2 * v - 1 if v > 0 else -2 * v)
+
+
+def _nal(rbsp: bytes, ref_idc: int, typ: int) -> bytes:
+    out = bytearray(b"\x00\x00\x00\x01")
+    out.append((ref_idc << 5) | typ)
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def _copy_bits(w: BitWriter, r: BitReader, nbits: int) -> None:
+    while nbits >= 32:
+        w.write(r.read(32), 32)
+        nbits -= 32
+    if nbits:
+        w.write(r.read(nbits), nbits)
+
+
+def _rewrite_sps(rbsp: bytes) -> bytes:
+    """frame_mbs_only 1 -> 0 (+ mb_adaptive_frame_field 0).  The height
+    in map units is unchanged: H_field/16 map units x 32 = frame height."""
+    r = BitReader(rbsp)
+    w = BitWriter()
+    w.write(r.read(8), 8)   # profile
+    w.write(r.read(8), 8)   # constraints
+    w.write(r.read(8), 8)   # level
+    profile = rbsp[0]
+    _ue(w, r.ue())          # sps_id
+    if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        _ue(w, r.ue())      # chroma_format_idc
+        _ue(w, r.ue())      # bit_depth_luma
+        _ue(w, r.ue())      # bit_depth_chroma
+        w.write(r.read(1), 1)
+        if r.read(1):       # seq_scaling_matrix (copy verbatim is hard;
+            raise ValueError("SPS scaling matrices unsupported in rewrite")
+        w.write(0, 1)
+    _ue(w, r.ue())          # log2_max_frame_num_minus4
+    poc_type = r.ue()
+    _ue(w, poc_type)
+    if poc_type == 0:
+        _ue(w, r.ue())      # log2_max_poc_lsb_minus4
+    elif poc_type == 1:
+        raise ValueError("poc_type 1 unsupported in rewrite")
+    _ue(w, r.ue())          # max_num_ref_frames
+    w.write(r.read(1), 1)   # gaps allowed
+    _ue(w, r.ue())          # width_in_mbs_minus1
+    _ue(w, r.ue())          # map_units_minus1 (unchanged)
+    fmo = r.read(1)         # frame_mbs_only (source: 1)
+    assert fmo == 1
+    w.write(0, 1)           # frame_mbs_only = 0
+    w.write(0, 1)           # mb_adaptive_frame_field = 0  -> PAFF
+    r.read(1)               # direct_8x8_inference
+    w.write(1, 1)           # force 1 (required when !frame_mbs_only)
+    if r.read(1):           # frame_cropping
+        w.write(1, 1)
+        _ue(w, r.ue())
+        _ue(w, r.ue())
+        _ue(w, r.ue())
+        _ue(w, r.ue())      # bottom crop now counts frame lines; accept
+    else:
+        w.write(0, 1)
+    w.write(0, 1)           # vui_parameters_present = 0 (drop source VUI)
+    w.write(1, 1)
+    w.byte_align()
+    return w.getvalue()
+
+
+def rewrite_to_paff(es: bytes, log2_max_frame_num=None,
+                    log2_max_poc_lsb=None) -> bytes:
+    """Re-head a progressive Annex B stream (W x H/2 pictures) as PAFF
+    coded fields (alternating top/bottom, tff)."""
+    sps_map = {}
+    pps_map = {}
+    out = bytearray()
+    field_idx = 0
+    for nal in HR.split_annexb(es):
+        typ = nal[0] & 0x1F
+        ref_idc = (nal[0] >> 5) & 3
+        rbsp = HR.ebsp_to_rbsp(nal[1:])
+        if typ == 7:
+            s = HR.parse_sps(rbsp)
+            sps_map[s.sps_id] = s
+            out += _nal(_rewrite_sps(rbsp), ref_idc, 7)
+        elif typ == 8:
+            p = HR.parse_pps(rbsp, sps_map)
+            pps_map[p.pps_id] = p
+            out += _nal(nal[1:], ref_idc, 8)
+        elif typ in (1, 5):
+            h, sps, pps = HR.parse_slice_header(rbsp, ref_idc, typ,
+                                                sps_map, pps_map)
+            w = BitWriter()
+            _ue(w, h.first_mb)
+            _ue(w, h.slice_type + (5 if h.all_equal else 0))
+            _ue(w, h.pps_id)
+            frame_num = (field_idx // 2) % (1 << sps.log2_max_frame_num)
+            w.write(frame_num, sps.log2_max_frame_num)
+            w.write(1, 1)               # field_pic_flag = 1
+            w.write(field_idx & 1, 1)   # bottom_field_flag
+            if h.idr:
+                _ue(w, (field_idx // 2) & 0xFFFF)  # idr_pic_id per frame
+            if sps.poc_type == 0:
+                poc_lsb = field_idx % (1 << sps.log2_max_poc_lsb)
+                w.write(poc_lsb, sps.log2_max_poc_lsb)
+                # no delta_poc_bottom for field pictures
+            # copy the remainder of the header + slice data verbatim:
+            # everything from ref_pic_list_modification onward parses
+            # identically (B direct flag precedes lists in source order)
+            r = BitReader(rbsp)
+            r.skip(_source_header_prefix_bits(rbsp, h, sps, pps))
+            rest_bits = len(rbsp) * 8 - r.pos
+            if pps.entropy_coding_mode:
+                # slice data is byte-aligned in the source; re-align after
+                # the new header and copy whole bytes
+                split = h.data_bit_pos
+                mid_bits = split - r.pos
+                _copy_bits(w, r, mid_bits)       # rest of header
+                while w.bit_length() % 8:
+                    w.write(1, 1)                # cabac_alignment_one_bit
+                src_byte = (split + 7) // 8
+                w.byte_align()
+                payload = w.getvalue() + rbsp[src_byte:]
+                out += _nal(payload, ref_idc, typ)
+                field_idx += 1
+                continue
+            _copy_bits(w, r, rest_bits)
+            w.byte_align(fill=0)
+            payload = w.getvalue()
+            # source trailing bits were copied verbatim (incl. stop bit);
+            # byte_align(0) pads with zero bits like trailing_zero_8bits
+            out += _nal(payload, ref_idc, typ)
+            field_idx += 1
+        else:
+            out += _nal(nal[1:], ref_idc, typ)
+    return bytes(out)
+
+
+def _source_header_prefix_bits(rbsp: bytes, h, sps, pps) -> int:
+    """Bit length of the source slice-header prefix that the rewrite
+    replaces: first_mb, slice_type, pps_id, frame_num, [idr_pic_id],
+    [poc_lsb (+delta_poc_bottom)].  Everything after is copied."""
+    r = BitReader(rbsp)
+    r.ue()
+    r.ue()
+    r.ue()
+    r.read(sps.log2_max_frame_num)
+    # source is progressive: no field flags
+    if h.idr:
+        r.ue()
+    if sps.poc_type == 0:
+        r.read(sps.log2_max_poc_lsb)
+        if pps.bottom_field_pic_order_in_frame_present:
+            r.se()
+    return r.pos

@@ -1,0 +1,90 @@
+"""PAFF (field-picture) H.264 decoding vs libavcodec (bit-exact).
+
+No PAFF encoder exists in this environment, so streams are synthesized
+by re-heading progressive half-height x264 encodes as coded fields
+(tests/paff_gen.py) — the slice data parses identically and libavcodec
+arbitrates the FIELD-semantics interpretation (field scans, field
+reference lists with per-field reference marking, cross-parity chroma MV
+adjustment, field deblocking rules).  CAVLC I/P configurations validate
+bit-exactly; CABAC re-heading desyncs into encoder-side concealment and
+is not usable as ground truth (the oracle's CABAC field machinery is
+instead pinned by the MBAFF suite, which shares it).
+"""
+
+import numpy as np
+import pytest
+
+from amatsukaze_tpu.video.avdec import avdec_available
+
+import paff_gen
+from test_h264_decode import (_ff_decode, _motion_frames, _ref_decode,
+                              _smooth_frames, _x264_stream)
+
+pytestmark = pytest.mark.skipif(
+    not avdec_available(), reason="FFmpeg bridge unavailable")
+
+
+def _check(tmp_path, params, n=12, size=(96, 48)):
+    fields = _motion_frames(n, size)
+    es = _x264_stream(size[0], size[1], fields, params)
+    paff = paff_gen.rewrite_to_paff(es)
+    ff = _ff_decode(paff, tmp_path)
+    rf = _ref_decode(paff)
+    assert len(ff) == len(rf)
+    for i, (a, b) in enumerate(zip(ff, rf)):
+        for name, p, q in zip("YUV", a[:3], b[:3]):
+            assert np.array_equal(p, q), (
+                f"frame {i} plane {name}: "
+                f"{np.count_nonzero(p.astype(int) != q.astype(int))} diffs")
+
+
+class TestPaffIntra:
+    def test_all_intra(self, tmp_path):
+        _check(tmp_path, "keyint=1:cabac=0:8x8dct=0:no-deblock=1:qp=26",
+               n=8)
+
+    def test_all_intra_deblock(self, tmp_path):
+        _check(tmp_path, "keyint=1:cabac=0:8x8dct=0:qp=28", n=8)
+
+    def test_intra_smooth(self, tmp_path):
+        fields = _smooth_frames(96, 48, 6)
+        es = _x264_stream(96, 48, fields,
+                          "keyint=1:cabac=0:8x8dct=0:no-deblock=1:qp=20")
+        paff = paff_gen.rewrite_to_paff(es)
+        ff = _ff_decode(paff, tmp_path)
+        rf = _ref_decode(paff)
+        assert len(ff) == len(rf) == 3
+        for a, b in zip(ff, rf):
+            for p, q in zip(a[:3], b[:3]):
+                assert np.array_equal(p, q)
+
+
+class TestPaffP:
+    BASE = "cabac=0:8x8dct=0:bframes=0:keyint=50:scenecut=0"
+
+    def test_ref1(self, tmp_path):
+        # single-reference: the first field's sliding-window eviction
+        # leaves the complementary field as the only reference
+        _check(tmp_path, self.BASE + ":no-deblock=1:ref=1:qp=26")
+
+    def test_multiref_subpel(self, tmp_path):
+        _check(tmp_path, self.BASE + ":no-deblock=1:ref=3:subme=7:qp=24")
+
+    def test_deblock(self, tmp_path):
+        _check(tmp_path, self.BASE + ":ref=2:qp=28")
+
+    def test_all_partitions(self, tmp_path):
+        _check(tmp_path, self.BASE
+               + ":no-deblock=1:partitions=all:subme=9:crf=26")
+
+    def test_8x8dct(self, tmp_path):
+        _check(tmp_path, "cabac=0:8x8dct=1:bframes=0:keyint=50:scenecut=0:"
+               "no-deblock=1:ref=2:qp=26")
+
+    def test_multi_idr(self, tmp_path):
+        _check(tmp_path, self.BASE + ":ref=2:keyint=4:qp=26")
+
+    def test_larger(self, tmp_path):
+        # field height a multiple of 16 (the in-build decoders emit
+        # uncropped planes)
+        _check(tmp_path, self.BASE + ":ref=2:qp=27", n=8, size=(176, 80))
