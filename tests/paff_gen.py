@@ -93,7 +93,20 @@ def _rewrite_sps(rbsp: bytes) -> bytes:
         _ue(w, r.ue())      # bottom crop now counts frame lines; accept
     else:
         w.write(0, 1)
-    w.write(0, 1)           # vui_parameters_present = 0 (drop source VUI)
+    w.write(1, 1)           # vui_parameters_present
+    # minimal VUI: only pic_struct_present (field pic_timing SEI)
+    w.write(0, 1)           # aspect_ratio_info_present
+    w.write(0, 1)           # overscan_info_present
+    w.write(0, 1)           # video_signal_type_present
+    w.write(0, 1)           # chroma_loc_info_present
+    w.write(1, 1)           # timing_info_present
+    w.write(1, 32)          # num_units_in_tick
+    w.write(60, 32)         # time_scale (two ticks/frame -> 30 fps)
+    w.write(1, 1)           # fixed_frame_rate
+    w.write(0, 1)           # nal_hrd_parameters_present
+    w.write(0, 1)           # vcl_hrd_parameters_present
+    w.write(1, 1)           # pic_struct_present
+    w.write(0, 1)           # bitstream_restriction
     w.write(1, 1)
     w.byte_align()
     return w.getvalue()
@@ -111,6 +124,8 @@ def rewrite_to_paff(es: bytes, log2_max_frame_num=None,
         typ = nal[0] & 0x1F
         ref_idc = (nal[0] >> 5) & 3
         rbsp = HR.ebsp_to_rbsp(nal[1:])
+        if typ == 6:
+            continue  # drop source SEI; field pic_timing injected below
         if typ == 7:
             s = HR.parse_sps(rbsp)
             sps_map[s.sps_id] = s
@@ -122,6 +137,11 @@ def rewrite_to_paff(es: bytes, log2_max_frame_num=None,
         elif typ in (1, 5):
             h, sps, pps = HR.parse_slice_header(rbsp, ref_idc, typ,
                                                 sps_map, pps_map)
+            # pic_timing SEI: pic_struct 1 (top field) / 2 (bottom field),
+            # one clock TS with clock_timestamp_flag 0, payload trailing
+            ps = 1 if (field_idx & 1) == 0 else 2
+            payload = bytes([(ps << 4) | 0x04])  # ps(4) flag(1)=0 stop(1) pad
+            out += _nal(bytes([0x01, 0x01]) + payload + b"\x80", 0, 6)
             w = BitWriter()
             _ue(w, h.first_mb)
             _ue(w, h.slice_type + (5 if h.all_equal else 0))

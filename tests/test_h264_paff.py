@@ -88,3 +88,63 @@ class TestPaffP:
         # field height a multiple of 16 (the in-build decoders emit
         # uncropped planes)
         _check(tmp_path, self.BASE + ":ref=2:qp=27", n=8, size=(176, 80))
+
+
+class TestPaffPipeline:
+    def test_paff_ts_inbuild_decode(self, tmp_path):
+        """A PAFF H.264 TS decodes through the pipeline's in-build chain
+        (the decoder factory routes field-picture streams to the oracle
+        engine); output bit-identical to the libav-bridge decode."""
+        import stat
+
+        import ts_gen
+        from amatsukaze_tpu.pipeline.decoders import default_decoder_factory
+        from amatsukaze_tpu.pipeline.settings import Config, Settings
+        from amatsukaze_tpu.pipeline.transcode import TranscodePipeline
+        from amatsukaze_tpu.utils.context import AMTContext
+
+        W, H, n = 96, 48, 12  # fields; frames are 96x96
+        fields = _motion_frames(n, (W, H))
+        es = _x264_stream(W, H, fields,
+                          "cabac=0:8x8dct=0:bframes=0:keyint=6:scenecut=0:"
+                          "ref=2:qp=26:aud=1")
+        paff = paff_gen.rewrite_to_paff(es)
+        # one PES frame per FIELD PAIR (both field AUs together — the
+        # reference parser pairs fields within one PES frame,
+        # H264VideoParser.hpp:651)
+        idx = [i for i in range(len(paff) - 4)
+               if paff[i : i + 5] == b"\x00\x00\x00\x01\x09"]
+        idx.append(len(paff))
+        chunks = [paff[a:b] for a, b in zip(idx, idx[1:])]
+        aus = [chunks[i] + chunks[i + 1] for i in range(0, len(chunks) - 1, 2)]
+        head = paff[: idx[0]]
+        aus[0] = head + aus[0]
+        src = tmp_path / "paff.ts"
+        src.write_bytes(ts_gen.build_simple_ts(
+            width=W, height=H * 2, video_es_frames=aus,
+            video_stream_type=0x1B))
+        fake = tmp_path / "fake_x264"
+        fake.write_text(
+            '#!/bin/bash\nout=""\nwhile [ $# -gt 0 ]; do case "$1" in '
+            '-o) out="$2"; shift 2;; *) shift;; esac; done\ncat > "$out"\n')
+        fake.chmod(fake.stat().st_mode | stat.S_IEXEC)
+
+        outs = {}
+        for mode, sub in (("avlib", "a"), ("native", "b")):
+            wd = tmp_path / sub
+            wd.mkdir()
+            conf = Config()
+            conf.src_file_path = str(src)
+            conf.out_video_path = str(wd / "out")
+            conf.out_info_json_path = str(wd / "r.json")
+            conf.work_dir = str(wd)
+            conf.encoder_path = str(fake)
+            conf.h264_decoder = mode
+            conf.no_remove_tmp = True
+            ctx = AMTContext(level="error")
+            pipe = TranscodePipeline(ctx, Settings(ctx, conf),
+                                     decoder_factory=default_decoder_factory())
+            report = pipe.run()
+            outs[mode] = open(report["outfiles"][0]["path"], "rb").read()
+        assert outs["avlib"] == outs["native"]
+        assert outs["native"].count(b"FRAME\n") >= n // 2 - 2
