@@ -205,3 +205,118 @@ def _source_header_prefix_bits(rbsp: bytes, h, sps, pps) -> int:
         if pps.bottom_field_pic_order_in_frame_present:
             r.se()
     return r.pos
+
+
+def crafted_cabac_field_stream(qp: int, coeffs64, parity: int = 0) -> bytes:
+    """Hand-written CABAC FIELD picture (field_pic_flag=1): one 16x32
+    frame whose single field MB is I_NxN/8x8 with `coeffs64` (field
+    scan) in block 0.  libavcodec arbitrates the field CABAC context
+    blocks (436/451 + field significance map) on the PAFF path."""
+    import h264_gen
+    from h264_gen import CabacWriter
+    from amatsukaze_tpu.video import h264_cabac as HC
+
+    # SPS: high profile, 16x32 frame (1 map unit), frame_mbs_only=0
+    w = BitWriter()
+    w.write(100, 8)
+    w.write(0, 8)
+    w.write(30, 8)
+    _ue(w, 0)
+    _ue(w, 1)
+    _ue(w, 0)
+    _ue(w, 0)
+    w.write(0, 1)
+    w.write(0, 1)   # no scaling matrices
+    _ue(w, 0)       # log2_max_frame_num_minus4
+    _ue(w, 2)       # poc_type 2
+    _ue(w, 1)       # max refs
+    w.write(0, 1)
+    _ue(w, 0)       # width 1 MB
+    _ue(w, 0)       # 1 map unit
+    w.write(0, 1)   # frame_mbs_only = 0
+    w.write(0, 1)   # mbaff = 0 -> PAFF
+    w.write(1, 1)   # direct_8x8_inference
+    w.write(0, 1)
+    w.write(0, 1)
+    w.write(1, 1)
+    w.byte_align()
+    sps = _nal(w.getvalue(), 3, 7)
+    pps = h264_gen.pps_nal_cabac()
+
+    out = bytearray(sps + pps)
+    for fld in range(2):
+        w = BitWriter()
+        _ue(w, 0)       # first_mb
+        _ue(w, 7)       # slice_type I
+        _ue(w, 0)       # pps_id
+        w.write(0, 4)   # frame_num
+        w.write(1, 1)   # field_pic_flag = 1
+        w.write(fld ^ parity, 1)
+        _ue(w, 0)       # idr_pic_id (same for both fields of the pair)
+        w.write(0, 1)
+        w.write(0, 1)
+        _se(w, qp - 26)
+        _ue(w, 1)       # deblock off
+        while w.bit_length() % 8:
+            w.write(1, 1)
+        states = HC.init_contexts(True, 0, qp)
+        c = CabacWriter(states)
+        c.decision(3, 0)      # I_NxN
+        c.decision(399, 1)    # transform 8x8
+        for _ in range(4):
+            c.decision(68, 1)  # DC modes
+        c.decision(64, 0)      # chroma DC
+        co = coeffs64 if fld == 0 else [0] * 64
+        cbp_luma = 1 if any(co) else 0
+        bits = 0
+        for b in range(4):
+            ca = 1 if (b & 1) and not (bits & (1 << (b - 1))) else 0
+            cb = 1 if (b & 2) and not (bits & (1 << (b - 2))) else 0
+            v = cbp_luma if b == 0 else 0
+            c.decision(73 + ca + 2 * cb, v)
+            bits |= v << b
+        c.decision(77, 0)
+        if cbp_luma:
+            c.decision(60, 0)  # qp_delta 0
+            sigpos = [i for i, v in enumerate(co) if v]
+            last = sigpos[-1]
+            for i in range(min(last + 1, 63)):
+                s = 1 if co[i] else 0
+                c.decision(436 + HC.SIG_COEFF_8x8_FIELD[i], s)
+                if s:
+                    c.decision(451 + HC.LAST_COEFF_8x8[i],
+                               1 if i == last else 0)
+                    if i == last:
+                        break
+            # significance at the final scan position is inferred
+            num_eq1 = num_gt1 = 0
+            for pos in reversed(sigpos):
+                lv = abs(co[pos])
+                ctx0 = 0 if num_gt1 else min(4, 1 + num_eq1)
+                if lv == 1:
+                    c.decision(426 + ctx0, 0)
+                else:
+                    c.decision(426 + ctx0, 1)
+                    ctxn = 426 + 5 + min(4, num_gt1)
+                    for _ in range(min(lv, 15) - 2):
+                        c.decision(ctxn, 1)
+                    if lv < 15:
+                        c.decision(ctxn, 0)
+                if lv > 1:
+                    num_gt1 += 1
+                else:
+                    num_eq1 += 1
+                c.bypass(1 if co[pos] < 0 else 0)
+        c.terminate(1)
+        acc = bytearray(w.getvalue())
+        cur = nb = 0
+        for bit in c.bits:
+            cur = (cur << 1) | bit
+            nb += 1
+            if nb == 8:
+                acc.append(cur)
+                cur = nb = 0
+        if nb:
+            acc.append(cur << (8 - nb))
+        out += _nal(bytes(acc), 3, 5)
+    return bytes(out)

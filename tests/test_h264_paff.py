@@ -7,8 +7,11 @@ arbitrates the FIELD-semantics interpretation (field scans, field
 reference lists with per-field reference marking, cross-parity chroma MV
 adjustment, field deblocking rules).  CAVLC I/P configurations validate
 bit-exactly; CABAC re-heading desyncs into encoder-side concealment and
-is not usable as ground truth (the oracle's CABAC field machinery is
-instead pinned by the MBAFF suite, which shares it).
+is not usable as ground truth, so the field CABAC context blocks
+(436/451 + field significance map) are pinned on the PAFF path by
+hand-written CABAC field pictures (paff_gen.crafted_cabac_field_stream)
+that libavcodec arbitrates, on top of the MBAFF suite's coverage of the
+shared machinery.
 """
 
 import numpy as np
@@ -88,6 +91,37 @@ class TestPaffP:
         # field height a multiple of 16 (the in-build decoders emit
         # uncropped planes)
         _check(tmp_path, self.BASE + ":ref=2:qp=27", n=8, size=(176, 80))
+
+
+class TestPaffCabac:
+    """Hand-written CABAC FIELD pictures: libavcodec arbitrates the field
+    CABAC context blocks (sig 436+, last 451+ with SIG_COEFF_8x8_FIELD)
+    as exercised by the PAFF field_pic_flag=1 path."""
+
+    def _probe(self, tmp_path, qp, coeffs, parity=0):
+        es = paff_gen.crafted_cabac_field_stream(qp, coeffs, parity)
+        ff = _ff_decode(es, tmp_path)
+        rf = _ref_decode(es)
+        assert len(ff) == len(rf) == 1
+        for name, p, q in zip("YUV", ff[0][:3], rf[0][:3]):
+            assert np.array_equal(p, q), f"plane {name} differs"
+
+    @pytest.mark.parametrize("pos", [0, 1, 7, 17, 33, 40, 55, 62, 63])
+    def test_single_coeff_positions(self, tmp_path, pos):
+        co = [0] * 64
+        co[pos] = 6 if pos else 9
+        self._probe(tmp_path, 24, co)
+
+    def test_dense_block(self, tmp_path):
+        co = [(i % 5) - 2 for i in range(64)]
+        co[0] = 11
+        self._probe(tmp_path, 27, co)
+
+    def test_bottom_field_first(self, tmp_path):
+        co = [0] * 64
+        co[3] = -4
+        co[29] = 2
+        self._probe(tmp_path, 23, co, parity=1)
 
 
 class TestPaffPipeline:
