@@ -95,31 +95,16 @@ def h264ref_decoder_factory(pipeline, video_index: int):
 
 
 def _open_h264_inbuild(es_head: bytes = b""):
-    """Native engine when available (progressive AND interlaced/MBAFF);
-    PAFF field-picture streams route to the oracle engine
-    (video/h264_paff.py), which the C++ engine does not cover yet."""
-    paff = False
-    if es_head:
-        try:
-            from ..video import h264_ref as HR
+    """Native engine when available (progressive, interlaced MBAFF AND
+    PAFF field pictures), else the pure-Python oracle."""
+    del es_head  # sniffing no longer needed: the C++ engine covers PAFF
+    try:
+        from ..video.native import NativeH264Decoder, h264_native_available
 
-            for nal in HR.split_annexb(es_head):
-                if (nal[0] & 0x1F) == 7:
-                    s = HR.parse_sps(HR.ebsp_to_rbsp(nal[1:]))
-                    paff = (not s.frame_mbs_only
-                            and not s.mb_adaptive_frame_field)
-                    break
-        except Exception:
-            pass
-    if not paff:
-        try:
-            from ..video.native import (NativeH264Decoder,
-                                        h264_native_available)
-
-            if h264_native_available():
-                return NativeH264Decoder()
-        except Exception:
-            pass
+        if h264_native_available():
+            return NativeH264Decoder()
+    except Exception:
+        pass
     from ..video.h264_ref import H264RefDecoder
 
     return H264RefDecoder()

@@ -1477,6 +1477,16 @@ struct Picture {
   int poc = 0, frame_num = 0;
   int field_poc[2] = {0, 0};
   std::shared_ptr<MbaffState> mbaff;  // set when MBAFF slices decode
+  // PAFF (h264_paff.py): coded FIELD pictures decode as contiguous
+  // half-height Pictures (the oracle uses numpy strided views; contiguous
+  // fields + a weave at pair completion keep every sample path unchanged
+  // in C++ and are cache-friendlier).  A frame container owns its two
+  // fields; a field points back at its frame for marking-level state
+  // (frame_num wrap, long_term).
+  bool is_field_pic = false;
+  int parity = 0;
+  std::shared_ptr<Picture> paff_fields[2];  // on the FRAME container
+  Picture* parent = nullptr;                // field -> owning frame
   bool is_ref = false, is_idr = false;
   int qp_y = 0;
   int pic_id = -1, epoch = 0;
@@ -1491,8 +1501,14 @@ struct Picture {
   int log2_max_frame_num = 4, max_num_ref_frames = 0;
 
   void init(const SPS& sps, const PPS& pps) {
-    w = sps.width();
-    h = sps.height();
+    init_dims(sps.width(), sps.height(), sps, pps);
+  }
+
+  // half-height allocation for a PAFF coded field (h264_paff.py
+  // _FieldSpsShim + _make_field_pic)
+  void init_dims(int w_, int h_, const SPS& sps, const PPS& pps) {
+    w = w_;
+    h = h_;
     mb_w = w / 16;
     mb_h = h / 16;
     n4w = mb_w * 4;
@@ -1582,8 +1598,11 @@ static int bs_mv(const Picture& pic, int gxp, int gyp, int gxq, int gyq) {
   int sq0 = nuq > 1 ? std::min(uqr[0], uqr[1]) : (nuq ? uqr[0] : -1);
   int sq1 = nuq > 1 ? std::max(uqr[0], uqr[1]) : -1;
   if (sp0 != sq0 || sp1 != sq1) return 1;
-  auto far_ = [](int ax, int ay, int bx, int by) {
-    return std::abs(ax - bx) >= 4 || std::abs(ay - by) >= 4;
+  // field pictures use the 2-quarter-field vertical threshold
+  // (h264_ref.py:1800-1804)
+  const int vth = pic.is_field_pic ? 2 : 4;
+  auto far_ = [vth](int ax, int ay, int bx, int by) {
+    return std::abs(ax - bx) >= 4 || std::abs(ay - by) >= vth;
   };
   if (nup == 1) return far_(upx[0], upy[0], uqx[0], uqy[0]) ? 1 : 0;
   if (nup == 0) return 0;
@@ -1638,11 +1657,13 @@ static void build_bs_nnz(const Picture& pic, std::vector<uint8_t>& out) {
 }
 
 static int bs_for(const Picture& pic, const uint8_t* bs_nnz, int gxp, int gyp,
-                  int gxq, int gyq, bool mb_edge) {
+                  int gxq, int gyq, bool mb_edge, bool vertical) {
   int pmbx = gxp >> 2, pmby = gyp >> 2;
   int qmbx = gxq >> 2, qmby = gyq >> 2;
   if (pic.is_intra_mb(pmbx, pmby) || pic.is_intra_mb(qmbx, qmby))
-    return mb_edge ? 4 : 3;
+    // field pictures: bS 4 only on vertical MB edges (8.7.2.1;
+    // h264_ref.py:1856-1860)
+    return (mb_edge && (vertical || !pic.is_field_pic)) ? 4 : 3;
   if (bs_nnz[pic.c4(gxp, gyp)] || bs_nnz[pic.c4(gxq, gyq)]) return 2;
   // fast path: bit-identical per-list motion on both sides -> bS 0
   // (pairwise-equal predictions always pass 8.7.2.1's checks)
@@ -1764,7 +1785,8 @@ static void deblock_mb(Picture& pic, const uint8_t* bs_nnz, int mbx,
           gxp = gxq;
           gyp = gyq - 1;
         }
-        segs_bs[seg] = bs_for(pic, bs_nnz, gxp, gyp, gxq, gyq, e == 0);
+        segs_bs[seg] =
+            bs_for(pic, bs_nnz, gxp, gyp, gxq, gyq, e == 0, vertical != 0);
         segs_qpp[seg] = pic.mb_qp[pic.mbi(gxp >> 2, gyp >> 2)];
         segs_qpq[seg] = pic.mb_qp[pic.mbi(gxq >> 2, gyq >> 2)];
       }
@@ -1952,10 +1974,19 @@ struct SliceCtx {
   int dc_mvps[2][2] = {{0, 0}, {0, 0}};
   bool dc_dzp = false;
 
+  // residual scans: field pictures (PAFF) use the field scans
+  // (h264_ref.py:2026-2032); scaling matrices stay in frame zigzag order
+  const uint8_t* zz4 = kZigzag4;
+  const uint8_t* zz8 = kZigzag8;
+
   SliceCtx(Picture* pic_, const SliceHeader* h_, const SPS* sps_,
            const PPS* pps_, int slice_id)
       : pic(pic_), h(h_), sps(sps_), pps(pps_), sid(slice_id) {
     qp = h->slice_qp;
+    if (pic->is_field_pic) {
+      zz4 = kFieldScan4;
+      zz8 = kFieldScan8;
+    }
     std::memset(dq4ok, 0, sizeof(dq4ok));
     std::memset(dq8ok, 0, sizeof(dq8ok));
     // resolve scaling weights (h264_ref.py:1960-1971)
@@ -2060,7 +2091,7 @@ struct SliceCtx {
     for (int s = 0; s < 64; ++s) {
       int c = scan64[s];
       if (c) {
-        int posn = kZigzag8[s];
+        int posn = zz8[s];
         d[posn] = dequant8_apply(c, ls[posn], qp_);
       }
     }
@@ -2362,7 +2393,7 @@ struct SliceCtx {
     for (int s = 0; s < 16; ++s) {
       int c = coeffs[s];
       if (c) {
-        int posn = kZigzag4[s];
+        int posn = zz4[s];
         d[posn] = dequant4_apply(c, dq[posn], qp);
       }
     }
@@ -2424,7 +2455,7 @@ struct SliceCtx {
     int pred[256];
     pred16x16(pred_mode, left, top, tl, avail_l, avail_t, pred);
     int dcr[16];
-    for (int s = 0; s < 16; ++s) dcr[kZigzag4[s]] = dc_scan[s];
+    for (int s = 0; s < 16; ++s) dcr[zz4[s]] = dc_scan[s];
     int f[16], dc[16];
     hadamard4x4(dcr, f);
     luma_dc_dequant(f, qp, w4[0][0], dc);
@@ -2437,7 +2468,7 @@ struct SliceCtx {
         for (int s = 0; s < 15; ++s) {
           int c = coeffs[kk][s];
           if (c) {
-            int posn = kZigzag4[s + 1];
+            int posn = zz4[s + 1];
             d[posn] = dequant4_apply(c, dq[posn], qp);
           }
         }
@@ -2531,7 +2562,7 @@ struct SliceCtx {
           for (int s = 0; s < 15; ++s) {
             int c = coeffs[comp][b][s];
             if (c) {
-              int posn = kZigzag4[s + 1];
+              int posn = zz4[s + 1];
               d[posn] = dequant4_apply(c, dq[posn], qpcc);
             }
           }
@@ -2704,12 +2735,18 @@ struct SliceCtx {
     const Picture* ref = lst[ref_idx];
     int x0 = cur_mbx * 16 + bx4 * 4, y0 = cur_mby * 16 + by4 * 4;
     int cx0 = cur_mbx * 8 + bx4 * 2, cy0 = cur_mby * 8 + by4 * 2;
+    // fields referencing the opposite parity apply the 8.4.1.4 chroma
+    // vertical MV adjustment (top->bottom -2, bottom->top +2;
+    // h264_ref.py:3085-3100)
+    int cmvy = mvy;
+    if (pic->is_field_pic && ref->parity != pic->parity)
+      cmvy = pic->parity == 0 ? mvy - 2 : mvy + 2;
     mc_luma(ref->Y.data(), ref->w, ref->h, x0, y0, w4_ * 4, h4_ * 4, mvx, mvy,
             out.y);
     mc_chroma(ref->U.data(), ref->cw, ref->ch, cx0, cy0, w4_ * 2, h4_ * 2,
-              mvx, mvy, out.u);
+              mvx, cmvy, out.u);
     mc_chroma(ref->V.data(), ref->cw, ref->ch, cx0, cy0, w4_ * 2, h4_ * 2,
-              mvx, mvy, out.v);
+              mvx, cmvy, out.v);
   }
 
   // (w0, w1) per 8.4.2.3.1 implicit mode (h264_ref.py:3034-3048)
@@ -3056,7 +3093,7 @@ struct SliceCtx {
       for (int s = 0; s < 16; ++s) {
         int c = blk[s];
         if (c) {
-          int posn = kZigzag4[s];
+          int posn = zz4[s];
           d[posn] = dequant4_apply(c, dq[posn], qp);
         }
       }
@@ -3535,9 +3572,14 @@ struct CabacSlice {
   const SliceHeader* h;
   int prev_qp_delta_nz = 0;
 
+  // PAFF coded fields select the field residual context blocks
+  // (h264_cabac.py CabacSlice.field_pic)
+  bool field = false;
+
   CabacSlice(SliceCtx* sl_, const uint8_t* rbsp, size_t n,
              const SliceHeader* h_)
       : sl(sl_), pic(sl_->pic), h(h_) {
+    field = pic->is_field_pic;
     e.init_ctx(h->slice_type == SLICE_I, h->cabac_init_idc, h->slice_qp);
     e.start(rbsp, n, h->data_bit_pos);
   }
@@ -3841,14 +3883,15 @@ struct CabacSlice {
     }
     int sig_base, last_base, abs_base;
     if (cat == 5) {
-      sig_base = 402;
-      last_base = 417;
+      sig_base = field ? 436 : 402;
+      last_base = field ? 451 : 417;
       abs_base = 426;
     } else {
-      sig_base = 105 + SIG_OFF[cat];
-      last_base = 166 + SIG_OFF[cat];
+      sig_base = (field ? 277 : 105) + SIG_OFF[cat];
+      last_base = (field ? 338 : 166) + SIG_OFF[cat];
       abs_base = 227 + ABS_OFF[cat];
     }
+    const uint8_t* sig8 = field ? kSigCoeff8x8Field : kSigCoeff8x8;
     std::memset(coeffs, 0, maxcoeff * sizeof(int));
     bool sig[64] = {};
     int last_idx = maxcoeff - 1;
@@ -3856,7 +3899,7 @@ struct CabacSlice {
     for (int i = 0; i < maxcoeff - 1; ++i) {
       int s_inc, l_inc;
       if (cat == 5) {
-        s_inc = kSigCoeff8x8[i];
+        s_inc = sig8[i];
         l_inc = kLastCoeff8x8[i];
       } else if (cat == 3) {
         s_inc = l_inc = std::min(i, 2);
@@ -4436,7 +4479,7 @@ void SliceCtx::inter_residual_cabac(CabacSlice& cb, int mbx, int mby,
     for (int s = 0; s < 16; ++s) {
       int c = blk[s];
       if (c) {
-        int posn = kZigzag4[s];
+        int posn = zz4[s];
         d[posn] = dequant4_apply(c, dq[posn], qp);
       }
     }
@@ -4479,6 +4522,21 @@ struct Decoder {
   int prev_frame_num = 0, prev_frame_num_offset = 0;
   int hold = 5;
   int pic_counter = 0;
+  // PAFF field-pairing state (h264_paff.py _paff_st / _paff_pending)
+  struct PaffSt {
+    PicPtr fp, frame;
+    int parity;
+    SliceHeader hdr;
+    int slices = 0;
+    bool second = false;
+    int first_parity;
+  };
+  struct PaffPending {
+    PicPtr frame;
+    int fn, first_parity, idr, idr_pic_id;
+  };
+  std::unique_ptr<PaffSt> paff_st;
+  std::unique_ptr<PaffPending> paff_pending;
   int max_long_term_idx = -1;
   int epoch = 0;
   long long errors = 0;
@@ -4500,6 +4558,8 @@ struct Decoder {
   void flush() {
     try {
       finish_picture();
+      paff_finish_field();
+      paff_finalize_frame();
     } catch (const std::exception&) {
       ++errors;
     }
@@ -4545,6 +4605,9 @@ struct Decoder {
 
   void start_picture(const SliceHeader& h, const SPS& sps, const PPS& pps) {
     finish_picture();
+    // a frame-coded picture closes any in-progress PAFF field pair
+    paff_finish_field();
+    paff_finalize_frame();
     PicPtr pic = std::make_shared<Picture>();
     pic->init(sps, pps);
     pic->frame_num = h.frame_num;
@@ -4884,11 +4947,14 @@ struct Decoder {
     if (h.slice_type != SLICE_I && h.slice_type != SLICE_P &&
         h.slice_type != SLICE_B)
       throw DecodeError("SP/SI slices not supported");
-    if (h.field_pic_flag) throw DecodeError("field pictures not supported");
     if (sps.chroma_format_idc != 1)
       throw DecodeError("only 4:2:0 supported");
     if (h.slice_qp < 0 || h.slice_qp > 51)
       throw DecodeError("slice QP out of range");
+    if (h.field_pic_flag) {
+      decode_field_slice(rbsp_, h, sps, pps);
+      return;
+    }
     if (is_new_picture(h)) start_picture(h, sps, pps);
     cur_hdr = h;
     has_hdr = true;
@@ -4905,9 +4971,17 @@ struct Decoder {
     } else if (h.slice_type == SLICE_B) {
       build_ref_lists_b(h, sps, pic->poc, ctx->ref_l0, ctx->ref_l1);
     }
+    run_slice(pic, ctx.get(), rbsp_, h, pps);
+  }
+
+  // shared MB loop for frame and field pictures (the oracle's
+  // module-level run_slice_data, h264_ref.py)
+  void run_slice(Picture* pic, SliceCtx* ctx,
+                 const std::vector<uint8_t>& rbsp_, const SliceHeader& h,
+                 const PPS& pps) {
     int n_mbs = pic->mb_w * pic->mb_h;
     if (pps.entropy_coding_mode) {
-      CabacSlice cb(ctx.get(), rbsp_.data(), rbsp_.size(), &h);
+      CabacSlice cb(ctx, rbsp_.data(), rbsp_.size(), &h);
       int mb_idx = h.first_mb;
       while (mb_idx < n_mbs) {
         int mbx = mb_idx % pic->mb_w, mby = mb_idx / pic->mb_w;
@@ -4950,6 +5024,331 @@ struct Decoder {
         more = more_rbsp_data(r);
       }
     }
+  }
+
+  // =========================================================================
+  // PAFF: coded FIELD pictures (field_pic_flag = 1) -- C++ twin of
+  // amatsukaze_tpu/video/h264_paff.py.  Each field decodes as an
+  // independent contiguous half-height Picture; the two fields of a pair
+  // weave into the output frame at completion.  Field reference lists
+  // derive from the frame DPB by parity alternation (8.2.4.2.2-2.5) with
+  // per-field reference marking (8.2.5: the first field's sliding window
+  // can evict frames before the second field decodes).
+  // =========================================================================
+
+  static Picture* paff_field_of(Picture* frame, int parity) {
+    Picture* f = frame->paff_fields[parity].get();
+    return (f && f->is_ref) ? f : nullptr;
+  }
+
+  // 8.2.4.2.5: alternate same-parity / opposite-parity fields taken from
+  // the ordered frame sequence (h264_paff.py _interleave_fields)
+  std::vector<Picture*> paff_interleave(const std::vector<Picture*>& frames,
+                                        int cur_parity,
+                                        const Picture* excl) const {
+    std::vector<Picture*> same, opp, out;
+    for (auto* fr : frames) {
+      Picture* f = paff_field_of(fr, cur_parity);
+      if (f && f != excl) same.push_back(f);
+    }
+    for (auto* fr : frames) {
+      Picture* f = paff_field_of(fr, 1 - cur_parity);
+      if (f && f != excl) opp.push_back(f);
+    }
+    size_t i = 0, j = 0;
+    bool take_same = true;
+    while (i < same.size() || j < opp.size()) {
+      if (take_same && i < same.size())
+        out.push_back(same[i++]);
+      else if (!take_same && j < opp.size())
+        out.push_back(opp[j++]);
+      else if (i < same.size())
+        out.push_back(same[i++]);
+      else
+        out.push_back(opp[j++]);
+      take_same = !take_same;
+    }
+    return out;
+  }
+
+  std::vector<Picture*> paff_all_ref_fields(const Picture* excl) const {
+    std::vector<Picture*> out;
+    for (int lt = 0; lt < 2; ++lt)
+      for (auto& p : dpb) {
+        if ((p->long_term ? 1 : 0) != lt) continue;
+        for (int par = 0; par < 2; ++par) {
+          Picture* f = paff_field_of(p.get(), par);
+          if (f && f != excl) out.push_back(f);
+        }
+      }
+    return out;
+  }
+
+  // 8.2.4.3.1 in FIELD units: maxPicNum = 2*MaxFrameNum, currPicNum =
+  // 2*frame_num + 1, short-term field PicNumF = 2*FrameNumWrap +
+  // (same parity ? 1 : 0)  (h264_paff.py _modify_field_list)
+  std::vector<Picture*> modify_field_list(
+      const std::vector<Picture*>& lst,
+      const std::vector<std::pair<int, int>>& mods, const SliceHeader& h,
+      const SPS& sps, int num_active, int cur_parity, const Picture* excl) {
+    std::vector<Picture*> work(
+        lst.begin(), lst.begin() + std::min((size_t)num_active, lst.size()));
+    if (mods.empty()) return work;
+    int cur_fn = h.frame_num;
+    int max_fn = 1 << sps.log2_max_frame_num;
+    int max_pn = 2 * max_fn;
+    int cur_pn = 2 * cur_fn + 1;
+    std::vector<Picture*> avail = paff_all_ref_fields(excl);
+    int pred = cur_pn;
+    int ref_idx = 0;
+    for (auto& m : mods) {
+      int op = m.first, val = m.second;
+      Picture* target = nullptr;
+      if (op == 0 || op == 1) {
+        int adp = val + 1;
+        int nw;
+        if (op == 0) {
+          nw = pred - adp;
+          if (nw < 0) nw += max_pn;
+        } else {
+          nw = pred + adp;
+          if (nw >= max_pn) nw -= max_pn;
+        }
+        pred = nw;
+        int pn = nw > cur_pn ? nw - max_pn : nw;
+        for (auto* f : avail) {
+          if (f->parent->long_term) continue;
+          int w = frame_num_wrap_pic(*f->parent, cur_fn,
+                                     sps.log2_max_frame_num);
+          int pnf = 2 * w + (f->parity == cur_parity ? 1 : 0);
+          if (pnf == pn) {
+            target = f;
+            break;
+          }
+        }
+      } else {  // op == 2: long-term field
+        for (auto* f : avail) {
+          if (!f->parent->long_term) continue;
+          int ltp = 2 * f->parent->long_term_idx +
+                    (f->parity == cur_parity ? 1 : 0);
+          if (ltp == val) {
+            target = f;
+            break;
+          }
+        }
+      }
+      if (!target) continue;
+      work.insert(work.begin() + ref_idx, target);
+      ++ref_idx;
+      for (size_t i = ref_idx; i < work.size();) {
+        if (work[i] == target)
+          work.erase(work.begin() + i);
+        else
+          ++i;
+      }
+    }
+    if ((int)work.size() > num_active) work.resize(num_active);
+    return work;
+  }
+
+  std::vector<Picture*> build_field_list_p(const SliceHeader& h,
+                                           const SPS& sps,
+                                           const Picture* curfp,
+                                           int cur_parity) {
+    int cur_fn = h.frame_num;
+    std::vector<Picture*> shorts, longs;
+    for (auto& p : dpb)
+      (p->long_term ? longs : shorts).push_back(p.get());
+    std::stable_sort(shorts.begin(), shorts.end(),
+                     [&](Picture* a, Picture* b) {
+                       return frame_num_wrap(*a, cur_fn, sps) >
+                              frame_num_wrap(*b, cur_fn, sps);
+                     });
+    std::stable_sort(longs.begin(), longs.end(), [](Picture* a, Picture* b) {
+      return a->long_term_idx < b->long_term_idx;
+    });
+    std::vector<Picture*> lst = paff_interleave(shorts, cur_parity, curfp);
+    std::vector<Picture*> l2 = paff_interleave(longs, cur_parity, curfp);
+    lst.insert(lst.end(), l2.begin(), l2.end());
+    return modify_field_list(lst, h.ref_list_mods[0], h, sps,
+                             h.num_ref_idx[0], cur_parity, curfp);
+  }
+
+  void build_field_lists_b(const SliceHeader& h, const SPS& sps, int cur_poc,
+                           const Picture* curfp, int cur_parity,
+                           std::vector<Picture*>& l0,
+                           std::vector<Picture*>& l1) {
+    std::vector<Picture*> shorts, longs;
+    for (auto& p : dpb)
+      (p->long_term ? longs : shorts).push_back(p.get());
+    std::stable_sort(longs.begin(), longs.end(), [](Picture* a, Picture* b) {
+      return a->long_term_idx < b->long_term_idx;
+    });
+    auto frame_poc = [](Picture* p) {
+      int best = 0;
+      bool any = false;
+      for (int par = 0; par < 2; ++par)
+        if (p->paff_fields[par]) {
+          int v = p->paff_fields[par]->poc;
+          best = any ? std::min(best, v) : v;
+          any = true;
+        }
+      return any ? best : p->poc;
+    };
+    std::vector<Picture*> before, after;
+    for (auto* p : shorts)
+      (frame_poc(p) <= cur_poc ? before : after).push_back(p);
+    std::stable_sort(before.begin(), before.end(), [&](Picture* a,
+                                                       Picture* b) {
+      return frame_poc(a) > frame_poc(b);
+    });
+    std::stable_sort(after.begin(), after.end(), [&](Picture* a,
+                                                     Picture* b) {
+      return frame_poc(a) < frame_poc(b);
+    });
+    std::vector<Picture*> f0 = before, f1 = after;
+    f0.insert(f0.end(), after.begin(), after.end());
+    f0.insert(f0.end(), longs.begin(), longs.end());
+    f1.insert(f1.end(), before.begin(), before.end());
+    f1.insert(f1.end(), longs.begin(), longs.end());
+    l0 = paff_interleave(f0, cur_parity, curfp);
+    l1 = paff_interleave(f1, cur_parity, curfp);
+    if (l1.size() > 1 && l0 == l1) std::swap(l1[0], l1[1]);
+    l0 = modify_field_list(l0, h.ref_list_mods[0], h, sps, h.num_ref_idx[0],
+                           cur_parity, curfp);
+    l1 = modify_field_list(l1, h.ref_list_mods[1], h, sps, h.num_ref_idx[1],
+                           cur_parity, curfp);
+  }
+
+  void decode_field_slice(const std::vector<uint8_t>& rbsp_,
+                          const SliceHeader& h, const SPS& sps,
+                          const PPS& pps) {
+    finish_picture();  // close any in-progress frame-coded picture
+    bool new_pic = !paff_st || h.first_mb == 0 ||
+                   h.frame_num != paff_st->hdr.frame_num ||
+                   h.bottom_field_flag != paff_st->hdr.bottom_field_flag ||
+                   h.pps_id != paff_st->hdr.pps_id;
+    if (new_pic) {
+      paff_finish_field();
+      paff_start_field(h, sps, pps);
+    }
+    paff_st->hdr = h;
+    ++paff_st->slices;
+    Picture* fp = paff_st->fp.get();
+    auto ctx = std::unique_ptr<SliceCtx>(
+        new SliceCtx(fp, &h, &sps, &pps, paff_st->slices));
+    if (h.slice_type == SLICE_P) {
+      ctx->ref_l0 =
+          build_field_list_p(h, sps, fp, paff_st->parity);
+    } else if (h.slice_type == SLICE_B) {
+      build_field_lists_b(h, sps, fp->poc, fp, paff_st->parity, ctx->ref_l0,
+                          ctx->ref_l1);
+    }
+    run_slice(fp, ctx.get(), rbsp_, h, pps);
+  }
+
+  void paff_start_field(const SliceHeader& h, const SPS& sps,
+                        const PPS& pps) {
+    int parity = h.bottom_field_flag;
+    // an IDR first field normally pairs with a NON-IDR second field
+    // (which references it); two consecutive IDR fields pair only when
+    // they share idr_pic_id (7.4.3)
+    bool pairable = paff_pending && h.frame_num == paff_pending->fn &&
+                    parity != paff_pending->first_parity &&
+                    (!(h.idr && paff_pending->idr) ||
+                     h.idr_pic_id == paff_pending->idr_pic_id);
+    if (paff_pending && !pairable) paff_finalize_frame();
+    PicPtr frame;
+    bool second;
+    int first_parity;
+    if (pairable) {
+      frame = paff_pending->frame;
+      second = true;
+      first_parity = paff_pending->first_parity;
+    } else {
+      frame = std::make_shared<Picture>();
+      frame->init(sps, pps);
+      frame->frame_num = h.frame_num;
+      frame->is_idr = h.idr;
+      frame->pic_id = pic_counter++;
+      if (h.idr) ++epoch;
+      frame->epoch = epoch;
+      frame->mmco_ops = h.mmco;
+      frame->long_term_ref_flag = h.long_term_reference_flag;
+      second = false;
+      first_parity = parity;
+    }
+    PicPtr fp = std::make_shared<Picture>();
+    fp->init_dims(sps.width(), sps.height() / 2, sps, pps);
+    fp->is_field_pic = true;
+    fp->parity = parity;
+    fp->parent = frame.get();
+    fp->pic_id = pic_counter++;
+    fp->poc = compute_poc(h, sps);
+    fp->is_ref = h.nal_ref_idc != 0;
+    fp->frame_num = h.frame_num;
+    frame->paff_fields[parity] = fp;
+    if (fp->is_ref) frame->is_ref = true;
+    frame->field_poc[parity] = fp->poc;
+    {
+      int best = fp->poc;
+      for (int par = 0; par < 2; ++par)
+        if (frame->paff_fields[par])
+          best = std::min(best, frame->paff_fields[par]->poc);
+      frame->poc = best;
+    }
+    paff_st.reset(new PaffSt());
+    paff_st->fp = fp;
+    paff_st->frame = frame;
+    paff_st->parity = parity;
+    paff_st->hdr = h;
+    paff_st->second = second;
+    paff_st->first_parity = first_parity;
+    if (!second) {
+      paff_pending.reset(new PaffPending());
+      paff_pending->frame = frame;
+      paff_pending->fn = h.frame_num;
+      paff_pending->first_parity = parity;
+      paff_pending->idr = h.idr;
+      paff_pending->idr_pic_id = h.idr_pic_id;
+    }
+  }
+
+  void paff_finish_field() {
+    if (!paff_st) return;
+    std::unique_ptr<PaffSt> st(std::move(paff_st));
+    deblock_picture(*st->fp);
+    if (st->fp->is_ref) {
+      bool in_dpb = false;
+      for (auto& p : dpb)
+        if (p == st->frame) {
+          in_dpb = true;
+          break;
+        }
+      if (!in_dpb) mark_references(st->frame);
+    }
+    if (st->second) paff_finalize_frame();
+  }
+
+  void paff_finalize_frame() {
+    if (!paff_pending) return;
+    std::unique_ptr<PaffPending> pend(std::move(paff_pending));
+    Picture* frame = pend->frame.get();
+    // weave the decoded fields into the frame planes
+    for (int par = 0; par < 2; ++par) {
+      Picture* f = frame->paff_fields[par].get();
+      if (!f) continue;
+      for (int y = 0; y < f->h; ++y)
+        std::memcpy(&frame->Y[(size_t)(2 * y + par) * frame->w],
+                    &f->Y[(size_t)y * f->w], f->w);
+      for (int y = 0; y < f->ch; ++y) {
+        std::memcpy(&frame->U[(size_t)(2 * y + par) * frame->cw],
+                    &f->U[(size_t)y * f->cw], f->cw);
+        std::memcpy(&frame->V[(size_t)(2 * y + par) * frame->cw],
+                    &f->V[(size_t)y * f->cw], f->cw);
+      }
+    }
+    pending.push_back(pend->frame);
   }
 };
 

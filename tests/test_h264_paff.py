@@ -27,18 +27,45 @@ pytestmark = pytest.mark.skipif(
     not avdec_available(), reason="FFmpeg bridge unavailable")
 
 
-def _check(tmp_path, params, n=12, size=(96, 48)):
-    fields = _motion_frames(n, size)
-    es = _x264_stream(size[0], size[1], fields, params)
-    paff = paff_gen.rewrite_to_paff(es)
+def _native_decode(es):
+    from amatsukaze_tpu.video.native import (NativeH264Decoder,
+                                             h264_native_available)
+
+    if not h264_native_available():
+        return None
+    dec = NativeH264Decoder()
+    frames = dec.decode(es) + dec.flush()
+    assert dec.errors == 0
+    return [(y, u, v) for (y, u, v, _poc) in frames]
+
+
+def _compare_all(tmp_path, paff):
+    """libavcodec vs oracle vs native engine, all bit-exact."""
     ff = _ff_decode(paff, tmp_path)
     rf = _ref_decode(paff)
     assert len(ff) == len(rf)
     for i, (a, b) in enumerate(zip(ff, rf)):
         for name, p, q in zip("YUV", a[:3], b[:3]):
             assert np.array_equal(p, q), (
-                f"frame {i} plane {name}: "
+                f"oracle frame {i} plane {name}: "
                 f"{np.count_nonzero(p.astype(int) != q.astype(int))} diffs")
+    nf = _native_decode(paff)
+    if nf is not None:
+        assert len(ff) == len(nf)
+        for i, (a, b) in enumerate(zip(ff, nf)):
+            for name, p, q in zip("YUV", a[:3], b[:3]):
+                assert np.array_equal(p, q), (
+                    f"native frame {i} plane {name}: "
+                    f"{np.count_nonzero(p.astype(int) != q.astype(int))}"
+                    " diffs")
+    return ff
+
+
+def _check(tmp_path, params, n=12, size=(96, 48)):
+    fields = _motion_frames(n, size)
+    es = _x264_stream(size[0], size[1], fields, params)
+    paff = paff_gen.rewrite_to_paff(es)
+    _compare_all(tmp_path, paff)
 
 
 class TestPaffIntra:
@@ -54,12 +81,8 @@ class TestPaffIntra:
         es = _x264_stream(96, 48, fields,
                           "keyint=1:cabac=0:8x8dct=0:no-deblock=1:qp=20")
         paff = paff_gen.rewrite_to_paff(es)
-        ff = _ff_decode(paff, tmp_path)
-        rf = _ref_decode(paff)
-        assert len(ff) == len(rf) == 3
-        for a, b in zip(ff, rf):
-            for p, q in zip(a[:3], b[:3]):
-                assert np.array_equal(p, q)
+        ff = _compare_all(tmp_path, paff)
+        assert len(ff) == 3
 
 
 class TestPaffP:
@@ -100,11 +123,8 @@ class TestPaffCabac:
 
     def _probe(self, tmp_path, qp, coeffs, parity=0):
         es = paff_gen.crafted_cabac_field_stream(qp, coeffs, parity)
-        ff = _ff_decode(es, tmp_path)
-        rf = _ref_decode(es)
-        assert len(ff) == len(rf) == 1
-        for name, p, q in zip("YUV", ff[0][:3], rf[0][:3]):
-            assert np.array_equal(p, q), f"plane {name} differs"
+        ff = _compare_all(tmp_path, es)
+        assert len(ff) == 1
 
     @pytest.mark.parametrize("pos", [0, 1, 7, 17, 33, 40, 55, 62, 63])
     def test_single_coeff_positions(self, tmp_path, pos):
@@ -127,8 +147,9 @@ class TestPaffCabac:
 class TestPaffPipeline:
     def test_paff_ts_inbuild_decode(self, tmp_path):
         """A PAFF H.264 TS decodes through the pipeline's in-build chain
-        (the decoder factory routes field-picture streams to the oracle
-        engine); output bit-identical to the libav-bridge decode."""
+        (the native C++ engine covers field-picture streams; the oracle
+        is the fallback); output bit-identical to the libav-bridge
+        decode."""
         import stat
 
         import ts_gen

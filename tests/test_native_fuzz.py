@@ -162,6 +162,18 @@ class TestH264Fuzz:
     def test_mbaff(self):
         self._hammer(self._base_stream(interlaced=True), 103)
 
+    def test_paff(self):
+        from amatsukaze_tpu.video.avdec import avdec_available
+        if not avdec_available():
+            pytest.skip("FFmpeg bridge unavailable")
+        import paff_gen
+        from test_h264_decode import _motion_frames, _x264_stream
+        fields = _motion_frames(8, (96, 48))
+        es = _x264_stream(96, 48, fields,
+                          "cabac=0:8x8dct=0:bframes=0:keyint=4:scenecut=0:"
+                          "ref=2:qp=26")
+        self._hammer(paff_gen.rewrite_to_paff(es), 104)
+
     def test_pure_garbage(self):
         from amatsukaze_tpu.video.native import (NativeH264Decoder,
                                                  h264_native_available)
