@@ -320,3 +320,209 @@ def crafted_cabac_field_stream(qp: int, coeffs64, parity: int = 0) -> bytes:
             acc.append(cur << (8 - nb))
         out += _nal(bytes(acc), 3, 5)
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Hand-written CAVLC PAFF streams with P and B FIELD pictures.
+#
+# The re-heading trick (rewrite_to_paff) cannot express B fields: with
+# B frames the source decode order no longer pairs consecutive pictures
+# into frames.  These streams are written bit by bit instead — I_PCM
+# anchor fields for texture, then pure-MC P/B fields (cbp 0) so only
+# the untested PICTURE-LEVEL machinery matters: field reference list
+# construction (8.2.4.2.5 parity alternation), implicit bi-prediction
+# weights from field POCs, spatial AND temporal direct in coded fields,
+# cross-parity chroma MV adjustment and field deblocking on B edges.
+# libavcodec arbitrates every case (tests/test_h264_paff.py TestPaffB).
+# ---------------------------------------------------------------------------
+
+def _cavlc_field_sps() -> bytes:
+    """Main profile, 32x64 frame (2x2 MBs per field), poc_type 0,
+    frame_mbs_only=0 / mbaff=0."""
+    w = BitWriter()
+    w.write(77, 8)
+    w.write(0, 8)
+    w.write(30, 8)
+    _ue(w, 0)       # sps_id
+    _ue(w, 0)       # log2_max_frame_num_minus4 -> 4 bits
+    _ue(w, 0)       # poc_type 0
+    _ue(w, 2)       # log2_max_poc_lsb_minus4 -> 6 bits
+    _ue(w, 4)       # max_num_ref_frames
+    w.write(0, 1)   # gaps_in_frame_num_allowed
+    _ue(w, 1)       # pic_width_in_mbs_minus1 -> 32 px
+    _ue(w, 1)       # pic_height_in_map_units_minus1 -> 2 units
+    w.write(0, 1)   # frame_mbs_only = 0
+    w.write(0, 1)   # mbaff = 0 -> PAFF
+    w.write(1, 1)   # direct_8x8_inference
+    w.write(0, 1)   # no cropping
+    w.write(0, 1)   # no VUI
+    w.write(1, 1)   # stop bit
+    w.byte_align()
+    return _nal(w.getvalue(), 3, 7)
+
+
+def _cavlc_field_pps(weighted_bipred_idc=0) -> bytes:
+    w = BitWriter()
+    _ue(w, 0)       # pps_id
+    _ue(w, 0)       # sps_id
+    w.write(0, 1)   # entropy_coding_mode = CAVLC
+    w.write(0, 1)   # bottom_field_pic_order_in_frame_present
+    _ue(w, 0)       # num_slice_groups_minus1
+    _ue(w, 1)       # num_ref_idx_l0_default_active_minus1
+    _ue(w, 0)       # num_ref_idx_l1_default_active_minus1
+    w.write(0, 1)   # weighted_pred_flag
+    w.write(weighted_bipred_idc, 2)
+    _se(w, 0)       # pic_init_qp_minus26
+    _se(w, 0)       # pic_init_qs_minus26
+    _se(w, 0)       # chroma_qp_index_offset
+    w.write(1, 1)   # deblocking_filter_control_present
+    w.write(0, 1)   # constrained_intra
+    w.write(0, 1)   # redundant_pic_cnt_present
+    w.write(1, 1)   # stop bit
+    w.byte_align()
+    return _nal(w.getvalue(), 3, 8)
+
+
+def _te(w: BitWriter, v: int, cap: int) -> None:
+    if cap <= 0:
+        return
+    if cap == 1:
+        w.write(1 - v, 1)
+    else:
+        _ue(w, v)
+
+
+def _field_slice_nal(slice_type, fn, bottom, poc_lsb, qp, mbs, *,
+                     idr=False, idr_pic_id=0, ref=True, n_ref=(1, 1),
+                     direct_spatial=1, deblock=False) -> bytes:
+    """One coded-field slice.  `mbs` is a list of 4 MB specs:
+    I slice: ("pcm", y256, u64, v64); P: ("l0", ref, (mvx, mvy)) or
+    ("skip",); B: ("dir",) / ("skip",) / ("l0"|"l1", ref, mv) /
+    ("bi", ref0, ref1, mv0, mv1)."""
+    w = BitWriter()
+    _ue(w, 0)                  # first_mb
+    _ue(w, slice_type + 5)     # all-equal form
+    _ue(w, 0)                  # pps_id
+    w.write(fn, 4)
+    w.write(1, 1)              # field_pic_flag
+    w.write(bottom, 1)
+    if idr:
+        _ue(w, idr_pic_id)
+    w.write(poc_lsb, 6)
+    if slice_type == 1:        # B
+        w.write(direct_spatial, 1)
+    if slice_type in (0, 1):
+        w.write(1, 1)          # num_ref_idx_override
+        _ue(w, n_ref[0] - 1)
+        if slice_type == 1:
+            _ue(w, n_ref[1] - 1)
+        w.write(0, 1)          # no RPLM l0
+        if slice_type == 1:
+            w.write(0, 1)      # no RPLM l1
+    if ref:
+        if idr:
+            w.write(0, 1)      # no_output_of_prior_pics
+            w.write(0, 1)      # long_term_reference_flag
+        else:
+            w.write(0, 1)      # adaptive_ref_pic_marking = 0
+    _se(w, qp - 26)
+    if deblock:
+        _ue(w, 0)
+        _se(w, 0)
+        _se(w, 0)
+    else:
+        _ue(w, 1)              # disable deblocking
+    skip_run = 0
+    for mb in mbs:
+        kind = mb[0]
+        if kind == "skip":
+            skip_run += 1
+            continue
+        if slice_type in (0, 1):
+            _ue(w, skip_run)
+            skip_run = 0
+        if kind == "pcm":
+            _ue(w, 25)         # I_PCM
+            w.byte_align()
+            for plane in mb[1:]:
+                for s in plane:
+                    w.write(int(s), 8)
+            continue
+        if kind == "dir":
+            _ue(w, 0)          # B_Direct_16x16
+            _ue(w, 0)          # cbp 0 (inter code 0)
+            continue
+        if kind == "l0":
+            _ue(w, 0 if slice_type == 0 else 1)
+            _te(w, mb[1], n_ref[0] - 1)
+            _se(w, mb[2][0])
+            _se(w, mb[2][1])
+        elif kind == "l1":
+            _ue(w, 2)
+            _te(w, mb[1], n_ref[1] - 1)
+            _se(w, mb[2][0])
+            _se(w, mb[2][1])
+        else:  # bi
+            _ue(w, 3)
+            _te(w, mb[1], n_ref[0] - 1)
+            _te(w, mb[2], n_ref[1] - 1)
+            _se(w, mb[3][0])
+            _se(w, mb[3][1])
+            _se(w, mb[4][0])
+            _se(w, mb[4][1])
+        _ue(w, 0)              # cbp 0
+    if slice_type in (0, 1) and skip_run:
+        _ue(w, skip_run)
+    w.write(1, 1)              # stop bit
+    w.byte_align()
+    ref_idc = 0 if not ref else (3 if idr else 2)
+    return _nal(w.getvalue(), ref_idc, 5 if idr else 1)
+
+
+def crafted_b_field_stream(seed=0, *, direct_spatial=1, implicit=False,
+                           deblock=False, parity0=0, qp=27) -> bytes:
+    """PAFF sequence IDR pair -> P pair -> P pair -> non-ref B pair
+    (displayed between the P pairs), pure-MC P/B fields over I_PCM
+    anchors.  Every B shape in one stream: direct (spatial or temporal
+    per `direct_spatial`), skip, L0/L1-only, Bi (implicit weighting
+    when `implicit`), cross-parity references, odd vertical MVs."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    out = bytearray(_cavlc_field_sps()
+                    + _cavlc_field_pps(2 if implicit else 0))
+
+    def pcm_mbs():
+        return [("pcm", rng.integers(16, 236, 256),
+                 rng.integers(16, 236, 64), rng.integers(16, 236, 64))
+                for _ in range(4)]
+
+    def mv():
+        return (int(rng.integers(-21, 22)), int(rng.integers(-21, 22)))
+
+    # anchor pair: IDR first field + NON-IDR I second field (an IDR
+    # access unit starts a new CVS, so the second field of the frame
+    # must be non-IDR -- 7.4.1.2.4; libavcodec resets the first field's
+    # reference marks if both fields are IDR NALs)
+    out += _field_slice_nal(2, 0, parity0, 0, qp, pcm_mbs(),
+                            idr=True, deblock=deblock)
+    out += _field_slice_nal(2, 0, 1 - parity0, 1, qp, pcm_mbs(),
+                            deblock=deblock)
+    for k in range(2):   # P pair 1: refs = IDR fields (both parities)
+        mbs = [("l0", 0, mv()), ("l0", 1, mv()), ("skip",),
+               ("l0", 0, (5, 7))]
+        out += _field_slice_nal(0, 1, k ^ parity0, 8 + k, qp, mbs,
+                                n_ref=(2, 1), deblock=deblock)
+    for k in range(2):   # P pair 2: 4 ref fields live
+        mbs = [("l0", int(rng.integers(0, 4)), mv()) for _ in range(3)]
+        mbs.append(("l0", 2, (-9, 3)))
+        out += _field_slice_nal(0, 2, k ^ parity0, 16 + k, qp, mbs,
+                                n_ref=(4, 1), deblock=deblock)
+    for k in range(2):   # non-ref B pair displayed between the P pairs
+        mbs = [("dir",), ("bi", int(rng.integers(0, 3)), 0, mv(), mv()),
+               ("l1", 0, mv()), ("skip",) if k else ("l0", 1, mv())]
+        out += _field_slice_nal(1, 3, k ^ parity0, 12 + k, qp, mbs,
+                                ref=False, n_ref=(3, 1),
+                                direct_spatial=direct_spatial,
+                                deblock=deblock)
+    return bytes(out)

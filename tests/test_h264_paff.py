@@ -6,12 +6,14 @@ by re-heading progressive half-height x264 encodes as coded fields
 arbitrates the FIELD-semantics interpretation (field scans, field
 reference lists with per-field reference marking, cross-parity chroma MV
 adjustment, field deblocking rules).  CAVLC I/P configurations validate
-bit-exactly; CABAC re-heading desyncs into encoder-side concealment and
-is not usable as ground truth, so the field CABAC context blocks
-(436/451 + field significance map) are pinned on the PAFF path by
-hand-written CABAC field pictures (paff_gen.crafted_cabac_field_stream)
-that libavcodec arbitrates, on top of the MBAFF suite's coverage of the
-shared machinery.
+bit-exactly; B fields and CABAC cannot come from re-heading (B decode
+order breaks the pairing; CABAC re-heading desyncs into encoder-side
+concealment), so those paths are pinned by HAND-WRITTEN streams that
+libavcodec arbitrates: crafted CABAC field pictures for the field
+context blocks (crafted_cabac_field_stream) and crafted CAVLC B-field
+sequences for field B lists / direct modes / implicit weighting
+(crafted_b_field_stream, TestPaffB), on top of the MBAFF suite's
+coverage of the shared machinery.
 """
 
 import numpy as np
@@ -114,6 +116,42 @@ class TestPaffP:
         # field height a multiple of 16 (the in-build decoders emit
         # uncropped planes)
         _check(tmp_path, self.BASE + ":ref=2:qp=27", n=8, size=(176, 80))
+
+
+class TestPaffB:
+    """B FIELD pictures — hand-written CAVLC PAFF streams
+    (paff_gen.crafted_b_field_stream: I_PCM anchors, pure-MC P/B
+    fields), since the re-heading trick cannot express B fields.
+    Exercises field B reference lists (8.2.4.2.5 before/after parity
+    alternation), spatial AND temporal direct in coded fields, implicit
+    bi-prediction weights from field POCs, B skip, cross-parity
+    references and field deblocking over B edges; libavcodec, the
+    oracle and the native engine must agree bit-exactly."""
+
+    def _run(self, tmp_path, seed, **kw):
+        es = paff_gen.crafted_b_field_stream(seed=seed, **kw)
+        ff = _compare_all(tmp_path, es)
+        assert len(ff) == 4
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_spatial_direct(self, tmp_path, seed):
+        self._run(tmp_path, seed, direct_spatial=1)
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_temporal_direct(self, tmp_path, seed):
+        self._run(tmp_path, seed, direct_spatial=0)
+
+    def test_implicit_weighting(self, tmp_path):
+        self._run(tmp_path, 4, implicit=True)
+
+    def test_implicit_temporal(self, tmp_path):
+        self._run(tmp_path, 5, implicit=True, direct_spatial=0)
+
+    def test_deblock(self, tmp_path):
+        self._run(tmp_path, 6, deblock=True)
+
+    def test_bottom_field_first(self, tmp_path):
+        self._run(tmp_path, 7, parity0=1, direct_spatial=0)
 
 
 class TestPaffCabac:
