@@ -90,6 +90,9 @@ def build_parser() -> argparse.ArgumentParser:
                    dest="encode_buffer")
     p.add_argument("--device-batch", type=int, default=32,
                    help="frames per device batch (TPU)")
+    p.add_argument("--frame-cache-mb", type=int, default=-1,
+                   help="decoded-frame cache across pipeline sweeps "
+                        "(-1 = auto: a quarter of RAM, 0 = off)")
     p.add_argument("--filter-mode", default="none",
                    choices=["none", "yadif", "yadif60", "qtgmc", "kfm_vfr",
                             "kfm_vfr30", "kfm_cfr24", "svp", "autovfr"],
@@ -193,6 +196,7 @@ def args_to_config(args) -> Config:
     conf.dump_filter = args.dump_filter
     conf.num_encode_buffer_frames = args.encode_buffer
     conf.device_batch_frames = args.device_batch
+    conf.frame_cache_mb = args.frame_cache_mb
     conf.filter_mode = args.filter_mode
     conf.autovfr_parallel = args.autovfr_parallel
     conf.kfm_ucf = not args.kfm_no_ucf

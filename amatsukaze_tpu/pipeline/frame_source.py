@@ -28,6 +28,87 @@ from collections import OrderedDict
 from ..utils.context import ErrorCounter, FormatError
 
 
+def _available_ram_bytes() -> int:
+    """MemAvailable from /proc/meminfo (0 when unknown)."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    return 0
+
+
+class SweepFrameCache:
+    """Decoded-frame reuse across sequential pipeline sweeps.
+
+    The pipeline decodes each intermediate video several times end to
+    end: the CM scene/silence sweep, the filter analysis passes, and the
+    encode feed (the reference does the same — its AMTSource LRU holds
+    only 32 frames, AMTSource.hpp:410-426, so every sweep re-runs
+    FFmpeg). Host RAM is measured in GB here, so the first sweep records
+    the decoded planes and later sweeps replay them from memory.
+
+    All-or-nothing per video: if the clip exceeds the byte budget the
+    recording is abandoned (marked too-big) and every sweep decodes as
+    before — long recordings keep the streaming behaviour. A sweep
+    abandoned mid-stream (e.g. a dead encoder) leaves no partial cache.
+    """
+
+    _TOO_BIG = object()
+
+    def __init__(self, budget_bytes: int):
+        self.budget = max(0, int(budget_bytes))
+        self._store: dict[int, object] = {}
+        self._bytes = 0
+        self.hits = 0
+
+    @staticmethod
+    def auto_budget_mb() -> int:
+        """Default budget: a quarter of available RAM."""
+        return int(_available_ram_bytes() // 4) >> 20
+
+    def _frame_bytes(self, planes: tuple) -> int:
+        return sum(getattr(p, "nbytes", 0) for p in planes
+                   if p is not None)
+
+    def stream(self, video_index: int, open_stream):
+        """Iterate the decoded stream for `video_index`, serving from the
+        recording when a complete one exists and recording otherwise."""
+        got = self._store.get(video_index)
+        if isinstance(got, list):
+            self.hits += 1
+            yield from got
+            return
+        if got is self._TOO_BIG or self.budget <= 0:
+            yield from open_stream()
+            return
+        rec: list[tuple] = []
+        rec_bytes = 0
+        complete = False
+        try:
+            for planes in open_stream():
+                if rec is not None:
+                    rec_bytes += self._frame_bytes(planes)
+                    if self._bytes + rec_bytes > self.budget:
+                        self._store[video_index] = self._TOO_BIG
+                        rec = None
+                    else:
+                        rec.append(planes)
+                yield planes
+            complete = True
+        finally:
+            if complete and rec is not None:
+                self._store[video_index] = rec
+                self._bytes += rec_bytes
+
+    def drop(self, video_index: int) -> None:
+        got = self._store.pop(video_index, None)
+        if isinstance(got, list):
+            self._bytes -= sum(self._frame_bytes(p) for p in got)
+
+
 class CachedFrameSource:
     """get_frame(n) -> (Y, U, V) with an LRU cache (ref PutFrame/GetFrame,
     AMTSource.hpp:410-426, 721-780)."""

@@ -122,6 +122,10 @@ class Config:
     max_frames: int = 0
     # device settings (TPU-era replacement for DecoderSetting GPU choices)
     device_batch_frames: int = 32
+    # decoded-frame reuse across pipeline sweeps (CM metrics -> filter
+    # analysis -> encode feed): MB budget; -1 = auto (a quarter of
+    # available RAM), 0 disables. The reference re-decodes per sweep.
+    frame_cache_mb: int = -1
     # declarative filter graph mode (TPU-era replacement for the AVS filter
     # script; mirrors the GUI deinterlacer x fps matrix,
     # EncodeServerData.cs:106-119): none | yadif | yadif60 | qtgmc |

@@ -33,6 +33,7 @@ from ..reform.stream_reform import MPEG_CLOCK_HZ, StreamReformInfo
 from ..types import CMType, EncodeFileKey, VideoStreamFormat
 from ..utils.context import ErrorCounter, FormatError, NoDrcsMapError
 from ..utils.perf import Stopwatch
+from .frame_source import SweepFrameCache
 from .settings import Encoder, Settings, make_encoder_args
 from .splitter import AMTSplitter
 
@@ -126,6 +127,20 @@ class TranscodePipeline:
         self.nicojk_fetchers = nicojk_fetchers or []
         self._nico_ok = False
         self.decoder_factory = decoder_factory
+        if decoder_factory is not None:
+            mb = settings.conf.frame_cache_mb
+            if mb < 0:
+                mb = SweepFrameCache.auto_budget_mb()
+            if mb > 0:
+                self._sweep_cache = SweepFrameCache(mb << 20)
+
+                def cached_factory(pipeline, video_index,
+                                   _orig=decoder_factory):
+                    return self._sweep_cache.stream(
+                        video_index,
+                        lambda: _orig(pipeline, video_index))
+
+                self.decoder_factory = cached_factory
         if audio_decoder_factory is None:
             # the in-build AAC-LC decoder (replaces libfaad): feeds the
             # CM-analysis wave stream and dual-mono element splitting.
@@ -901,6 +916,66 @@ class _NullPhases:
         pass
 
 
+class _InProcessEncoderSink:
+    """In-build encode without the subprocess + y4m round-trip.
+
+    When the encoder command resolves to the x264 shim (no external
+    binary installed), the filtered planes go straight into the libx264
+    bridge in this process — one pipe serialization + y4m parse less per
+    frame. Real encoder binaries keep the reference architecture: y4m
+    over stdin to a subprocess (ref Encoder.hpp:94-164).
+    """
+
+    def __init__(self, shim_argv: list[str], y4m_fmt):
+        from ..tools.x264_shim import build_encoder, parse_args
+
+        opts = parse_args(shim_argv)
+        if not opts["out"]:
+            raise RuntimeError("in-process encoder: no -o output path")
+        interlaced = y4m_fmt.interlaced or opts["field_order"] is not None
+        tff = (opts["field_order"] != "bff") if opts["field_order"] \
+            else getattr(y4m_fmt, "tff", True)
+        self._enc = build_encoder(
+            opts, y4m_fmt.width, y4m_fmt.height, y4m_fmt.fps_num,
+            y4m_fmt.fps_den, interlaced, tff)
+        self._shift = max(getattr(y4m_fmt, "bits", 8) - 8, 0)
+        self._out = open(opts["out"], "wb")
+        self.frames = 0
+
+    def write_frame(self, y, u, v) -> None:
+        if self._shift:
+            y = (y >> self._shift).astype(np.uint8)
+            u = (u >> self._shift).astype(np.uint8)
+            v = (v >> self._shift).astype(np.uint8)
+        for pkt in self._enc.encode(_to_u8(y), _to_u8(u), _to_u8(v)):
+            self._out.write(pkt)
+        self.frames += 1
+
+    def join(self) -> int:
+        try:
+            for pkt in self._enc.flush():
+                self._out.write(pkt)
+        finally:
+            self._out.close()
+        return 0
+
+
+def _inprocess_encoder_argv(encoder_args: str) -> list[str] | None:
+    """The shim argv when `encoder_args` invokes the in-build shim
+    (resolve_encoder_command swapped a missing binary), else None."""
+    import shlex
+
+    try:
+        parts = shlex.split(encoder_args)
+    except ValueError:
+        return None
+    for i, p in enumerate(parts):
+        if p == "amatsukaze_tpu.tools.x264_shim":
+            if i > 0 and parts[i - 1] == "-m":
+                return parts[i + 1:]
+    return None
+
+
 def _default_encoder_runner(pipeline: TranscodePipeline, reform,
                             key: EncodeFileKey, encoder_args: str) -> None:
     """Drive the external encoder: decode -> device filter -> y4m -> stdin.
@@ -924,14 +999,19 @@ def _default_encoder_runner(pipeline: TranscodePipeline, reform,
     from .settings import resolve_encoder_command
 
     encoder_args = resolve_encoder_command(encoder_args, st.conf.encoder)
-    proc = SubProcess(encoder_args)
     y4m_fmt = Y4MFormat(
         width=out_fmt.width, height=out_fmt.height,
         fps_num=out_fmt.frame_rate_num, fps_den=out_fmt.frame_rate_denom,
         interlaced=not out_fmt.progressive,
         sar_num=out_fmt.sar_width, sar_den=out_fmt.sar_height,
     )
-    writer = Y4MWriter(proc.stdin, y4m_fmt)
+    shim_argv = _inprocess_encoder_argv(encoder_args)
+    if shim_argv is not None:
+        proc = None
+        writer = _InProcessEncoderSink(shim_argv, y4m_fmt)
+    else:
+        proc = SubProcess(encoder_args)
+        writer = Y4MWriter(proc.stdin, y4m_fmt)
     pump = DataPumpThread(lambda planes: writer.write_frame(*planes),
                           max_items=max(4, st.conf.num_encode_buffer_frames))
     from ..io.process import prefetch_iter
@@ -951,10 +1031,11 @@ def _default_encoder_runner(pipeline: TranscodePipeline, reform,
         _pump_filtered(fg, frames_iter, pump,
                        max(3, st.conf.device_batch_frames))
     pump.join()
-    rc = proc.join()
+    rc = writer.join() if proc is None else proc.join()
     if rc != 0:
         raise RuntimeError(
-            f"encoder failed ({rc}): " + "\n".join(proc.last_lines)
+            f"encoder failed ({rc}): "
+            + "\n".join(proc.last_lines if proc is not None else [])
         )
     # encode-stage wait breakdown (ref Encoder.hpp:238-239 logs Total /
     # FilterWait / EncoderWait): consumer_wait = the encoder feed idling

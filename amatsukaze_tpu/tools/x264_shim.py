@@ -20,7 +20,7 @@ def parse_args(argv: list[str]) -> dict:
     # the encoder command line overrides it explicitly (x264 semantics:
     # --tff/--bff force interlaced encode with that field order).
     opts = {"out": "", "crf": 21, "preset": "veryfast", "field_order": None,
-            "bitrate": 0, "codec": "libx264"}
+            "bitrate": 0, "codec": "libx264", "threads": 0}
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -42,6 +42,8 @@ def parse_args(argv: list[str]) -> dict:
             opts["preset"] = val()
         elif a == "--bitrate":
             opts["bitrate"] = int(val())
+        elif a == "--threads":
+            opts["threads"] = max(0, int(val()))  # 0 = auto (x264 semantics)
         elif a == "--tff":
             opts["field_order"] = "tff"
         elif a == "--bff":
@@ -57,6 +59,41 @@ def parse_args(argv: list[str]) -> dict:
     return opts
 
 
+def build_encoder(opts: dict, width: int, height: int, fps_num: int,
+                  fps_den: int, interlaced: bool, tff: bool):
+    """AvVideoEncoder from parsed shim options (shared between the
+    subprocess shim and the pipeline's in-process encode path)."""
+    import os
+
+    from ..video.avdec import AvVideoEncoder
+
+    # adaptive encoder threading: the production encode path scales to
+    # the host's cores (x264 --threads semantics, 0 = auto); fixture
+    # generation goes through AvVideoEncoder directly and stays
+    # single-threaded/deterministic
+    threads = opts["threads"] or (os.cpu_count() or 1)
+    extra = ""
+    preset = opts["preset"]
+    if opts["codec"] == "libx264":
+        extra = "force-cfr=1"
+        if interlaced:
+            extra += ":tff=1" if tff else ":bff=1"
+        if opts["bitrate"]:
+            extra += f":bitrate={opts['bitrate']}"
+        if threads > 1:
+            extra += f":threads={threads}"
+    elif opts["codec"] == "libx265":
+        if threads > 1:
+            extra = f"pools={threads}"
+    elif opts["codec"] == "libsvtav1":
+        preset = "8"  # SVT presets are numeric
+    return AvVideoEncoder(
+        width, height, fps_num=fps_num, fps_den=fps_den,
+        crf=opts["crf"], preset=preset,
+        interlaced=interlaced, x264_params=extra,
+        codec=opts["codec"])
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     opts = parse_args(argv)
@@ -64,7 +101,7 @@ def main(argv=None) -> int:
         print("x264_shim: no -o output path", file=sys.stderr)
         return 1
     from ..io.y4m import Y4MReader
-    from ..video.avdec import AvVideoEncoder, avdec_available
+    from ..video.avdec import avdec_available
 
     if not avdec_available():
         print("x264_shim: FFmpeg bridge unavailable", file=sys.stderr)
@@ -75,21 +112,8 @@ def main(argv=None) -> int:
     # otherwise the header's interlace flag + field order win.
     interlaced = fmt.interlaced or opts["field_order"] is not None
     tff = (opts["field_order"] != "bff") if opts["field_order"] else fmt.tff
-    extra = ""
-    preset = opts["preset"]
-    if opts["codec"] == "libx264":
-        extra = "force-cfr=1"
-        if interlaced:
-            extra += ":tff=1" if tff else ":bff=1"
-        if opts["bitrate"]:
-            extra += f":bitrate={opts['bitrate']}"
-    elif opts["codec"] == "libsvtav1":
-        preset = "8"  # SVT presets are numeric
-    enc = AvVideoEncoder(
-        fmt.width, fmt.height, fps_num=fmt.fps_num, fps_den=fmt.fps_den,
-        crf=opts["crf"], preset=preset,
-        interlaced=interlaced, x264_params=extra,
-        codec=opts["codec"])
+    enc = build_encoder(opts, fmt.width, fmt.height, fmt.fps_num,
+                        fmt.fps_den, interlaced, tff)
     import numpy as np
 
     shift = max(fmt.bits - 8, 0)

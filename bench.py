@@ -236,6 +236,9 @@ def bench_e2e() -> dict:
         conf.out_info_json_path = os.path.join(run_dir, "result.json")
         conf.work_dir = run_dir
         conf.encoder_path = "x264"  # absent binary -> in-build shim
+        # the reference's own transcode tests encode with x264 superfast
+        # (AmatsukazeUnitTest.cpp:266-281); match that speed class here
+        conf.encoder_options = "--preset superfast"
         conf.filter_mode = filter_mode
         conf.device_batch_frames = 64
         ctx = AMTContext(level="error")

@@ -1308,3 +1308,111 @@ class TestResizeE2E:
         first = data.index(b"FRAME\n") + 6
         second = data.index(b"FRAME\n", first)
         assert second - first == fsize
+
+
+class TestSweepFrameCache:
+    """Decoded-frame reuse across pipeline sweeps (frame_source.SweepFrameCache)."""
+
+    def _frames(self, n, w=8, h=8):
+        return [(np.full((h, w), i, np.uint8),
+                 np.full((h // 2, w // 2), i, np.uint8),
+                 np.full((h // 2, w // 2), i, np.uint8)) for i in range(n)]
+
+    def test_records_then_replays(self):
+        from amatsukaze_tpu.pipeline.frame_source import SweepFrameCache
+
+        cache = SweepFrameCache(1 << 20)
+        frames = self._frames(5)
+        calls = {"n": 0}
+
+        def opener():
+            calls["n"] += 1
+            return iter(frames)
+
+        out1 = list(cache.stream(0, opener))
+        out2 = list(cache.stream(0, opener))
+        assert calls["n"] == 1
+        assert cache.hits == 1
+        assert all((a[0] == b[0]).all() for a, b in zip(out1, out2))
+
+    def test_budget_fallback(self):
+        from amatsukaze_tpu.pipeline.frame_source import SweepFrameCache
+
+        cache = SweepFrameCache(100)  # < one frame
+        frames = self._frames(3)
+        calls = {"n": 0}
+
+        def opener():
+            calls["n"] += 1
+            return iter(frames)
+
+        assert len(list(cache.stream(0, opener))) == 3
+        assert len(list(cache.stream(0, opener))) == 3
+        assert calls["n"] == 2  # too big: every sweep decodes
+        assert cache.hits == 0
+
+    def test_abandoned_sweep_leaves_no_partial(self):
+        from amatsukaze_tpu.pipeline.frame_source import SweepFrameCache
+
+        cache = SweepFrameCache(1 << 20)
+        frames = self._frames(5)
+        it = cache.stream(0, lambda: iter(frames))
+        next(it)
+        it.close()  # consumer died mid-stream (e.g. encoder failure)
+        out = list(cache.stream(0, lambda: iter(frames)))
+        assert len(out) == 5
+        # and the complete second sweep recorded for the third
+        assert cache.hits == 0
+        assert len(list(cache.stream(0, lambda: (_ for _ in ()).throw(
+            AssertionError("should replay"))))) == 5
+
+    def test_videos_accounted_separately(self):
+        from amatsukaze_tpu.pipeline.frame_source import SweepFrameCache
+
+        per_frame = sum(p.nbytes for p in self._frames(1)[0])
+        cache = SweepFrameCache(per_frame * 4)
+        assert len(list(cache.stream(0, lambda: iter(self._frames(3))))) == 3
+        # 3 frames cached; a second video of 3 frames exceeds the budget
+        assert len(list(cache.stream(1, lambda: iter(self._frames(3))))) == 3
+        list(cache.stream(1, lambda: iter(self._frames(3))))
+        assert cache.hits == 0  # video 1 never fit
+        list(cache.stream(0, lambda: iter([])))
+        assert cache.hits == 1  # video 0 replays
+
+
+class TestInProcessEncoder:
+    def test_shim_argv_detection(self):
+        from amatsukaze_tpu.pipeline.transcode import _inprocess_encoder_argv
+
+        argv = _inprocess_encoder_argv(
+            '"/usr/bin/python3" -m amatsukaze_tpu.tools.x264_shim '
+            "--shim-codec libx264 --crf 21 -o /tmp/out.264")
+        assert argv == ["--shim-codec", "libx264", "--crf", "21",
+                        "-o", "/tmp/out.264"]
+        assert _inprocess_encoder_argv("x264 --crf 21 -o out.264") is None
+        assert _inprocess_encoder_argv('bad "quote') is None
+
+    def test_sink_encodes(self, tmp_path):
+        from amatsukaze_tpu.io.y4m import Y4MFormat
+        from amatsukaze_tpu.pipeline.transcode import _InProcessEncoderSink
+        from amatsukaze_tpu.video.avdec import avdec_available
+
+        if not avdec_available():
+            pytest.skip("FFmpeg bridge unavailable")
+        out = str(tmp_path / "out.264")
+        fmt = Y4MFormat(width=64, height=48, interlaced=False)
+        sink = _InProcessEncoderSink(
+            ["--shim-codec", "libx264", "--crf", "30", "-o", out], fmt)
+        rng = np.random.default_rng(0)
+        for _ in range(6):
+            sink.write_frame(
+                rng.integers(0, 255, (48, 64), dtype=np.uint8),
+                rng.integers(0, 255, (24, 32), dtype=np.uint8),
+                rng.integers(0, 255, (24, 32), dtype=np.uint8))
+        assert sink.join() == 0
+        data = open(out, "rb").read()
+        assert data[:4] in (b"\x00\x00\x00\x01", b"\x00\x00\x01\x67")
+        from amatsukaze_tpu.video.avdec import AvVideoDecoder
+
+        dec = AvVideoDecoder(out)
+        assert len(list(dec.frames())) == 6
