@@ -1,0 +1,1397 @@
+"""H.265/HEVC reference decoder (Python oracle).
+
+In-build pixel decode for HEVC Main-profile streams: the reference
+project decodes HEVC through FFmpeg (/root/reference/Amatsukaze/
+ReaderWriterFFmpeg.hpp:256-483); this module removes that external
+dependency for HEVC services the same way mpeg2_ref/h264_ref do for
+the 2K broadcast codecs.  Validated bit-exactly against the system
+libavcodec on libx265 streams (tests/test_h265_decode.py).
+
+Clause references are ITU-T H.265 (04/2013).  The arithmetic decoding
+engine (9.3.4.3) is identical to H.264's and is reused from
+h264_cabac.CabacEngine; only context initialisation (9.3.2.2) and the
+binarisations differ.
+
+Scope (grown stage by stage like h264_ref):
+  - Main profile 8-bit 4:2:0, single tile
+  - all slice types, WPP (entropy_coding_sync), multiple slices
+  - intra (35 modes, DST/DCT, strong smoothing), transform skip,
+    transquant bypass, sign data hiding, cu_qp_delta
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils.bits import BitReader
+from . import h265_tables as T
+from .h264_cabac import CabacEngine
+from .h264_ref import split_annexb
+
+# NAL unit types (Table 7-1)
+NAL_TRAIL_N, NAL_TRAIL_R = 0, 1
+NAL_BLA_W_LP, NAL_IDR_W_RADL, NAL_IDR_N_LP, NAL_CRA = 16, 19, 20, 21
+NAL_VPS, NAL_SPS, NAL_PPS = 32, 33, 34
+
+SLICE_B, SLICE_P, SLICE_I = 0, 1, 2
+
+MODE_INTRA, MODE_INTER, MODE_SKIP = 1, 0, 2
+
+
+def nal_to_rbsp(nal: bytes) -> tuple[bytes, list[int]]:
+    """Strip emulation prevention; also return RBSP positions where a
+    0x03 byte was removed (needed to translate entry-point offsets,
+    which count EBSP bytes, into RBSP offsets)."""
+    if b"\x00\x00\x03" not in nal:
+        return nal, []
+    out = bytearray()
+    epb = []
+    i, n = 0, len(nal)
+    while True:
+        j = nal.find(b"\x00\x00\x03", i)
+        if j < 0:
+            out += nal[i:]
+            return bytes(out), epb
+        out += nal[i : j + 2]
+        epb.append(len(out))  # rbsp length when the 0x03 was dropped
+        i = j + 3
+
+
+def ebsp_off_to_rbsp(off: int, epb: list[int]) -> int:
+    """EBSP byte offset (from NAL payload start) -> RBSP offset."""
+    r = off
+    for p in epb:
+        if p <= r:
+            r -= 1
+        else:
+            break
+    return r
+
+
+# ---------------------------------------------------------------------------
+# Parameter sets (7.3.2)
+# ---------------------------------------------------------------------------
+
+
+def _ptl(r: BitReader, max_sub_layers_minus1: int) -> None:
+    """profile_tier_level (7.3.3), contents skipped."""
+    r.skip(8 + 32 + 48 + 8)
+    sub = [(r.read(1), r.read(1)) for _ in range(max_sub_layers_minus1)]
+    if max_sub_layers_minus1 > 0:
+        r.skip(2 * (8 - max_sub_layers_minus1))
+    for pp, lp in sub:
+        if pp:
+            r.skip(88)
+        if lp:
+            r.skip(8)
+
+
+class ShortTermRPS:
+    __slots__ = ("neg", "pos")
+
+    def __init__(self, neg=(), pos=()):
+        # neg: [(delta_poc(<0), used)], closest first; pos: (>0), closest first
+        self.neg = list(neg)
+        self.pos = list(pos)
+
+    @property
+    def num_delta_pocs(self) -> int:
+        return len(self.neg) + len(self.pos)
+
+
+def parse_strps(r: BitReader, idx: int, prev: list[ShortTermRPS],
+                num_sets: int) -> ShortTermRPS:
+    """st_ref_pic_set (7.3.7 + 7.4.8 derivation)."""
+    inter = r.read(1) if idx != 0 else 0
+    if inter:
+        delta_idx = (r.ue() + 1) if idx == num_sets else 1
+        ref = prev[idx - delta_idx]
+        sign = r.read(1)
+        delta_rps = (1 - 2 * sign) * (r.ue() + 1)
+        nd = ref.num_delta_pocs
+        flags = []
+        for _ in range(nd + 1):
+            used = r.read(1)
+            use_delta = 1 if used else r.read(1)
+            flags.append((used, use_delta))
+        neg, pos = [], []
+        # S0 (7.4.8): ref positives in reverse, deltaRps itself, ref negatives
+        for j in range(len(ref.pos) - 1, -1, -1):
+            dpoc = ref.pos[j][0] + delta_rps
+            u, ud = flags[len(ref.neg) + j]
+            if dpoc < 0 and ud:
+                neg.append((dpoc, u))
+        if delta_rps < 0 and flags[nd][1]:
+            neg.append((delta_rps, flags[nd][0]))
+        for j in range(len(ref.neg)):
+            dpoc = ref.neg[j][0] + delta_rps
+            u, ud = flags[j]
+            if dpoc < 0 and ud:
+                neg.append((dpoc, u))
+        # S1: ref negatives in reverse, deltaRps, ref positives
+        for j in range(len(ref.neg) - 1, -1, -1):
+            dpoc = ref.neg[j][0] + delta_rps
+            u, ud = flags[j]
+            if dpoc > 0 and ud:
+                pos.append((dpoc, u))
+        if delta_rps > 0 and flags[nd][1]:
+            pos.append((delta_rps, flags[nd][0]))
+        for j in range(len(ref.pos)):
+            dpoc = ref.pos[j][0] + delta_rps
+            u, ud = flags[len(ref.neg) + j]
+            if dpoc > 0 and ud:
+                pos.append((dpoc, u))
+        return ShortTermRPS(neg, pos)
+    n_neg = r.ue()
+    n_pos = r.ue()
+    neg, pos = [], []
+    d = 0
+    for _ in range(n_neg):
+        d -= r.ue() + 1
+        neg.append((d, r.read(1)))
+    d = 0
+    for _ in range(n_pos):
+        d += r.ue() + 1
+        pos.append((d, r.read(1)))
+    return ShortTermRPS(neg, pos)
+
+
+class SPS:
+    pass
+
+
+def parse_sps(rbsp: bytes) -> SPS:
+    r = BitReader(rbsp, 16)  # skip the 2-byte NAL header
+    s = SPS()
+    r.read(4)  # sps_video_parameter_set_id
+    max_sub = r.read(3)
+    r.read(1)  # temporal_id_nesting
+    _ptl(r, max_sub)
+    s.id = r.ue()
+    s.chroma_format_idc = r.ue()
+    if s.chroma_format_idc == 3:
+        r.read(1)
+    if s.chroma_format_idc != 1:
+        raise NotImplementedError("only 4:2:0 supported")
+    s.width = r.ue()
+    s.height = r.ue()
+    s.conf_win = (0, 0, 0, 0)
+    if r.read(1):
+        s.conf_win = (r.ue(), r.ue(), r.ue(), r.ue())  # l, r, t, b
+    s.bit_depth = r.ue() + 8
+    s.bit_depth_c = r.ue() + 8
+    if s.bit_depth != 8 or s.bit_depth_c != 8:
+        raise NotImplementedError("only 8-bit supported")
+    s.log2_max_poc_lsb = r.ue() + 4
+    sub_ordering = r.read(1)
+    s.max_dec_pic_buffering = 0
+    s.num_reorder = 0
+    for _ in range((max_sub + 1) if sub_ordering else 1):
+        s.max_dec_pic_buffering = r.ue() + 1
+        s.num_reorder = r.ue()
+        r.ue()  # max_latency_increase_plus1
+    s.log2_min_cb = r.ue() + 3
+    s.log2_ctb = s.log2_min_cb + r.ue()
+    s.log2_min_tb = r.ue() + 2
+    s.log2_max_tb = s.log2_min_tb + r.ue()
+    s.max_trafo_depth_inter = r.ue()
+    s.max_trafo_depth_intra = r.ue()
+    s.scaling_list_enabled = r.read(1)
+    if s.scaling_list_enabled:
+        raise NotImplementedError("scaling lists")
+    s.amp_enabled = r.read(1)
+    s.sao_enabled = r.read(1)
+    s.pcm_enabled = r.read(1)
+    if s.pcm_enabled:
+        raise NotImplementedError("PCM")
+    n_sets = r.ue()
+    s.strps = []
+    for i in range(n_sets):
+        s.strps.append(parse_strps(r, i, s.strps, n_sets))
+    s.long_term_present = r.read(1)
+    s.lt_poc_lsb, s.lt_used = [], []
+    if s.long_term_present:
+        for _ in range(r.ue()):
+            s.lt_poc_lsb.append(r.read(s.log2_max_poc_lsb))
+            s.lt_used.append(r.read(1))
+    s.temporal_mvp_enabled = r.read(1)
+    s.strong_intra_smoothing = r.read(1)
+    # VUI and extensions not needed (timing comes from the TS layer)
+    s.ctb_size = 1 << s.log2_ctb
+    s.pic_w_ctbs = -(-s.width // s.ctb_size)
+    s.pic_h_ctbs = -(-s.height // s.ctb_size)
+    s.pic_size_ctbs = s.pic_w_ctbs * s.pic_h_ctbs
+    return s
+
+
+class PPS:
+    pass
+
+
+def parse_pps(rbsp: bytes, sps_map: dict[int, SPS]) -> PPS:
+    r = BitReader(rbsp, 16)
+    p = PPS()
+    p.id = r.ue()
+    p.sps_id = r.ue()
+    p.sps = sps_map[p.sps_id]
+    p.dependent_slices_enabled = r.read(1)
+    p.output_flag_present = r.read(1)
+    p.num_extra_slice_header_bits = r.read(3)
+    p.sign_data_hiding = r.read(1)
+    p.cabac_init_present = r.read(1)
+    p.num_ref_l0_default = r.ue() + 1
+    p.num_ref_l1_default = r.ue() + 1
+    p.init_qp = r.se() + 26
+    p.constrained_intra_pred = r.read(1)
+    p.transform_skip_enabled = r.read(1)
+    p.cu_qp_delta_enabled = r.read(1)
+    p.diff_cu_qp_delta_depth = r.ue() if p.cu_qp_delta_enabled else 0
+    p.cb_qp_offset = r.se()
+    p.cr_qp_offset = r.se()
+    p.slice_chroma_qp_offsets = r.read(1)
+    p.weighted_pred = r.read(1)
+    p.weighted_bipred = r.read(1)
+    p.transquant_bypass_enabled = r.read(1)
+    p.tiles_enabled = r.read(1)
+    p.entropy_coding_sync = r.read(1)
+    if p.tiles_enabled:
+        raise NotImplementedError("tiles")
+    p.loop_filter_across_slices = r.read(1)
+    p.deblocking_override_enabled = 0
+    p.deblocking_disabled = 0
+    p.beta_offset = 0
+    p.tc_offset = 0
+    if r.read(1):  # deblocking_filter_control_present
+        p.deblocking_override_enabled = r.read(1)
+        p.deblocking_disabled = r.read(1)
+        if not p.deblocking_disabled:
+            p.beta_offset = 2 * r.se()
+            p.tc_offset = 2 * r.se()
+    if r.read(1):  # pps_scaling_list_data_present
+        raise NotImplementedError("scaling lists")
+    p.lists_modification_present = r.read(1)
+    p.log2_parallel_merge_level = r.ue() + 2
+    p.slice_header_extension = r.read(1)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Slice segment header (7.3.6)
+# ---------------------------------------------------------------------------
+
+
+class SliceHeader:
+    pass
+
+
+def parse_slice_header(rbsp: bytes, nal_type: int,
+                       sps_map: dict, pps_map: dict) -> SliceHeader:
+    r = BitReader(rbsp, 16)
+    h = SliceHeader()
+    h.nal_type = nal_type
+    h.first_slice = r.read(1)
+    if NAL_BLA_W_LP <= nal_type <= 23:  # IRAP
+        r.read(1)  # no_output_of_prior_pics_flag
+    h.pps = pps_map[r.ue()]
+    pps, sps = h.pps, h.pps.sps
+    h.sps = sps
+    h.dependent = 0
+    h.segment_address = 0
+    if not h.first_slice:
+        if pps.dependent_slices_enabled:
+            h.dependent = r.read(1)
+        nbits = max(1, (sps.pic_size_ctbs - 1).bit_length())
+        h.segment_address = r.read(nbits)
+    h.slice_type = SLICE_I
+    h.poc_lsb = 0
+    h.strps = ShortTermRPS()
+    h.lt = []  # [(poc_lsb_or_abs, used, has_msb, delta_msb)]
+    h.temporal_mvp = 0
+    h.sao_luma = h.sao_chroma = 0
+    h.num_ref = [0, 0]
+    h.rplm = (None, None)
+    h.mvd_l1_zero = 0
+    h.cabac_init_flag = 0
+    h.collocated_from_l0 = 1
+    h.collocated_ref_idx = 0
+    h.max_merge = 5
+    h.cb_qp_offset = h.cr_qp_offset = 0
+    h.deblocking_disabled = pps.deblocking_disabled
+    h.beta_offset = pps.beta_offset
+    h.tc_offset = pps.tc_offset
+    h.loop_filter_across_slices = pps.loop_filter_across_slices
+    h.pred_weights = None
+    if not h.dependent:
+        for _ in range(pps.num_extra_slice_header_bits):
+            r.read(1)
+        h.slice_type = r.ue()
+        if pps.output_flag_present:
+            r.read(1)
+        idr = nal_type in (NAL_IDR_W_RADL, NAL_IDR_N_LP)
+        if not idr:
+            h.poc_lsb = r.read(sps.log2_max_poc_lsb)
+            if r.read(1):  # short_term_ref_pic_set_sps_flag
+                idxbits = max(1, (len(sps.strps) - 1).bit_length())
+                idx = r.read(idxbits) if len(sps.strps) > 1 else 0
+                h.strps = sps.strps[idx]
+            else:
+                h.strps = parse_strps(r, len(sps.strps), sps.strps,
+                                      len(sps.strps))
+            if sps.long_term_present:
+                n_sps = r.ue() if sps.lt_poc_lsb else 0
+                n_slice = r.ue()
+                for i in range(n_sps + n_slice):
+                    if i < n_sps:
+                        idxbits = max(1, (len(sps.lt_poc_lsb) - 1)
+                                      .bit_length())
+                        k = (r.read(idxbits)
+                             if len(sps.lt_poc_lsb) > 1 else 0)
+                        lsb, used = sps.lt_poc_lsb[k], sps.lt_used[k]
+                    else:
+                        lsb = r.read(sps.log2_max_poc_lsb)
+                        used = r.read(1)
+                    has_msb = r.read(1)
+                    dmsb = r.ue() if has_msb else 0
+                    h.lt.append((lsb, used, has_msb, dmsb))
+            if sps.temporal_mvp_enabled:
+                h.temporal_mvp = r.read(1)
+        if sps.sao_enabled:
+            h.sao_luma = r.read(1)
+            h.sao_chroma = r.read(1)
+        if h.slice_type in (SLICE_P, SLICE_B):
+            h.num_ref = [pps.num_ref_l0_default, pps.num_ref_l1_default]
+            if r.read(1):  # num_ref_idx_active_override
+                h.num_ref[0] = r.ue() + 1
+                if h.slice_type == SLICE_B:
+                    h.num_ref[1] = r.ue() + 1
+            npics = (sum(u for _, u in h.strps.neg)
+                     + sum(u for _, u in h.strps.pos)
+                     + sum(e[1] for e in h.lt))
+            h.num_pics_total_curr = npics
+            rplm = [None, None]
+            if pps.lists_modification_present and npics > 1:
+                nb = max(1, (npics - 1).bit_length())
+                for lx in range(2 if h.slice_type == SLICE_B else 1):
+                    if r.read(1):
+                        rplm[lx] = [r.read(nb)
+                                    for _ in range(h.num_ref[lx])]
+            h.rplm = tuple(rplm)
+            if h.slice_type == SLICE_B:
+                h.mvd_l1_zero = r.read(1)
+            if pps.cabac_init_present:
+                h.cabac_init_flag = r.read(1)
+            if h.temporal_mvp:
+                if h.slice_type == SLICE_B:
+                    h.collocated_from_l0 = r.read(1)
+                lst = 0 if h.collocated_from_l0 else 1
+                if h.num_ref[lst] > 1:
+                    h.collocated_ref_idx = r.ue()
+            if ((pps.weighted_pred and h.slice_type == SLICE_P)
+                    or (pps.weighted_bipred and h.slice_type == SLICE_B)):
+                h.pred_weights = _parse_pred_weights(r, h)
+            h.max_merge = 5 - r.ue()
+        h.slice_qp = pps.init_qp + r.se()
+        if pps.slice_chroma_qp_offsets:
+            h.cb_qp_offset = r.se()
+            h.cr_qp_offset = r.se()
+        if pps.deblocking_override_enabled and r.read(1):
+            h.deblocking_disabled = r.read(1)
+            if not h.deblocking_disabled:
+                h.beta_offset = 2 * r.se()
+                h.tc_offset = 2 * r.se()
+        if pps.loop_filter_across_slices and (
+                h.sao_luma or h.sao_chroma or not h.deblocking_disabled):
+            h.loop_filter_across_slices = r.read(1)
+    h.entry_points = []
+    if pps.tiles_enabled or pps.entropy_coding_sync:
+        n = r.ue()
+        if n:
+            ob = r.ue() + 1
+            h.entry_points = [r.read(ob) + 1 for _ in range(n)]
+    if pps.slice_header_extension:
+        for _ in range(r.ue()):
+            r.read(8)
+    # byte_alignment(): alignment_bit_equal_to_one + zeros
+    assert r.read(1) == 1
+    while not r.is_byte_aligned():
+        r.read(1)
+    h.data_byte_pos = r.byte_pos()
+    return h
+
+
+def _parse_pred_weights(r: BitReader, h: SliceHeader):
+    """pred_weight_table (7.3.6.3) -> per-list [(wY,oY,(wCb,oCb),(wCr,oCr))]."""
+    luma_log2 = r.ue()
+    chroma_log2 = luma_log2 + r.se()
+    out = []
+    for lx in range(2 if h.slice_type == SLICE_B else 1):
+        n = h.num_ref[lx]
+        lflags = [r.read(1) for _ in range(n)]
+        cflags = [r.read(1) for _ in range(n)]
+        ent = []
+        for i in range(n):
+            wy, oy = 1 << luma_log2, 0
+            wcb = wcr = 1 << chroma_log2
+            ocb = ocr = 0
+            if lflags[i]:
+                wy = (1 << luma_log2) + r.se()
+                oy = r.se()
+            if cflags[i]:
+                dw = r.se()
+                do = r.se()
+                wcb = (1 << chroma_log2) + dw
+                ocb = _clip3(-128, 127,
+                             do + 128 - ((128 * wcb) >> chroma_log2))
+                dw = r.se()
+                do = r.se()
+                wcr = (1 << chroma_log2) + dw
+                ocr = _clip3(-128, 127,
+                             do + 128 - ((128 * wcr) >> chroma_log2))
+            ent.append((wy, oy, (wcb, ocb), (wcr, ocr)))
+        out.append(ent)
+    return luma_log2, chroma_log2, out
+
+
+def _clip3(lo, hi, v):
+    return lo if v < lo else hi if v > hi else v
+
+
+# ---------------------------------------------------------------------------
+# CABAC contexts (9.3.2.2)
+# ---------------------------------------------------------------------------
+
+CTX_OFFSETS: dict[str, int] = {}
+_n = 0
+for _k, _rows in T.CTX_INIT.items():
+    CTX_OFFSETS[_k] = _n
+    _n += len(_rows[0])
+N_CONTEXTS = _n
+
+
+def init_hevc_contexts(init_type: int, qp: int):
+    q = _clip3(0, 51, qp)
+    states = []
+    for rows in T.CTX_INIT.values():
+        for iv in rows[init_type]:
+            m = (iv >> 4) * 5 - 45
+            n = ((iv & 15) << 3) - 16
+            pre = _clip3(1, 126, ((m * q) >> 4) + n)
+            if pre <= 63:
+                states.append([63 - pre, 0])
+            else:
+                states.append([pre - 64, 1])
+    return states
+
+
+class Cabac:
+    """HEVC syntax-element layer over the shared arithmetic engine."""
+
+    def __init__(self, rbsp: bytes, byte_pos: int, init_type: int, qp: int):
+        self.e = CabacEngine(rbsp, byte_pos * 8,
+                             init_hevc_contexts(init_type, qp))
+
+    def decision(self, name: str, inc: int = 0) -> int:
+        return self.e.decision(CTX_OFFSETS[name] + inc)
+
+    def bypass(self) -> int:
+        return self.e.bypass()
+
+    def bypass_bits(self, n: int) -> int:
+        v = 0
+        e = self.e
+        for _ in range(n):
+            v = (v << 1) | e.bypass()
+        return v
+
+    def terminate(self) -> int:
+        return self.e.terminate()
+
+    def tr_bypass(self, cmax: int) -> int:
+        """Truncated-rice prefix with cRiceParam=0, bypass bins."""
+        v = 0
+        while v < cmax and self.e.bypass():
+            v += 1
+        return v
+
+    def eg_bypass(self, k: int) -> int:
+        """k-th order Exp-Golomb, bypass bins (9.3.3.3-ish helper)."""
+        n = 0
+        while self.e.bypass():
+            n += 1
+        v = (1 << n) - 1
+        return (v << k) + self.bypass_bits(n + k)
+
+    def snapshot(self):
+        return [st.copy() for st in self.e.ctx]
+
+    def restore(self, snap):
+        self.e.ctx = [st.copy() for st in snap]
+
+
+# ---------------------------------------------------------------------------
+# Transforms + dequant (8.6.3 / 8.6.4)
+# ---------------------------------------------------------------------------
+
+_DCT = {2: T.DCT4, 3: T.DCT8, 4: T.DCT16, 5: T.DCT32}
+
+
+def dequant_block(coef: np.ndarray, qp: int, log2: int) -> np.ndarray:
+    """8.6.3 with flat (m=16) scaling lists, 8-bit."""
+    shift = 8 + log2 - 5
+    scale = 16 * T.LEVEL_SCALE[qp % 6] << (qp // 6)
+    d = (coef.astype(np.int64) * scale + (1 << (shift - 1))) >> shift
+    return np.clip(d, -32768, 32767)
+
+
+def inv_transform(d: np.ndarray, log2: int, dst: bool) -> np.ndarray:
+    """8.6.4.2: vertical then horizontal inverse, 16-bit intermediate
+    clip, second-stage shift 20-BitDepth=12."""
+    m = (T.DST4 if dst else _DCT[log2]).astype(np.int64)
+    tmp = np.clip((m.T @ d.astype(np.int64) + 64) >> 7, -32768, 32767)
+    return (tmp @ m + 2048) >> 12
+
+
+def residual_from_coeffs(coef: np.ndarray, qp: int, log2: int,
+                         dst: bool, ts: bool, bypass: bool) -> np.ndarray:
+    if bypass:
+        return coef.astype(np.int64)
+    d = dequant_block(coef, qp, log2)
+    if ts:
+        return ((d << 7) + 2048) >> 12
+    return inv_transform(d, log2, dst)
+
+
+# ---------------------------------------------------------------------------
+# Intra prediction (8.4.4.2)
+# ---------------------------------------------------------------------------
+
+
+def _intra_refs(plane: np.ndarray, px: int, py: int, nT: int,
+                avail_fn) -> tuple[np.ndarray, np.ndarray, int]:
+    """Reference sample gather + substitution (8.4.4.2.2).
+    Returns (left[0..2nT-1], top[0..2nT-1], topleft)."""
+    n2 = 2 * nT
+    left = np.zeros(n2, np.int32)
+    top = np.zeros(n2, np.int32)
+    la = np.zeros(n2, bool)
+    ta = np.zeros(n2, bool)
+    hh, ww = plane.shape
+    for i in range(n2):
+        y = py + i
+        if px > 0 and y < hh and avail_fn(px - 1, y):
+            left[i] = plane[y, px - 1]
+            la[i] = True
+        x = px + i
+        if py > 0 and x < ww and avail_fn(x, py - 1):
+            top[i] = plane[py - 1, x]
+            ta[i] = True
+    tl, tla = 0, False
+    if px > 0 and py > 0 and avail_fn(px - 1, py - 1):
+        tl = int(plane[py - 1, px - 1])
+        tla = True
+    if not (tla or la.any() or ta.any()):
+        return (np.full(n2, 128, np.int32), np.full(n2, 128, np.int32), 128)
+    # substitution scan: left bottom-up, topleft, top left-to-right
+    if not la[n2 - 1]:
+        # first available in scan order
+        v = None
+        for i in range(n2 - 1, -1, -1):
+            if la[i]:
+                v = left[i]
+                break
+        if v is None:
+            v = tl if tla else top[ta.argmax()]
+        left[n2 - 1] = v
+        la[n2 - 1] = True
+    for i in range(n2 - 2, -1, -1):
+        if not la[i]:
+            left[i] = left[i + 1]
+    if not tla:
+        tl = int(left[0])
+    for i in range(n2):
+        if not ta[i]:
+            top[i] = top[i - 1] if i > 0 else tl
+    return left, top, tl
+
+
+def _filter_refs(left, top, tl, nT: int, mode: int,
+                 strong: bool) -> tuple[np.ndarray, np.ndarray, int]:
+    """8.4.4.2.3 (luma only; caller gates on cIdx/size/mode)."""
+    n2 = 2 * nT
+    if strong and nT == 32 and (
+            abs(tl + top[n2 - 1] - 2 * top[nT - 1]) < 8
+            and abs(tl + left[n2 - 1] - 2 * left[nT - 1]) < 8):
+        ftop = np.empty(n2, np.int32)
+        fleft = np.empty(n2, np.int32)
+        for x in range(n2 - 1):
+            ftop[x] = ((63 - x) * tl + (x + 1) * top[n2 - 1] + 32) >> 6
+            fleft[x] = ((63 - x) * tl + (x + 1) * left[n2 - 1] + 32) >> 6
+        ftop[n2 - 1] = top[n2 - 1]
+        fleft[n2 - 1] = left[n2 - 1]
+        return fleft, ftop, tl
+    ftl = (left[0] + 2 * tl + top[0] + 2) >> 2
+    ftop = np.empty(n2, np.int32)
+    fleft = np.empty(n2, np.int32)
+    ftop[0] = (tl + 2 * top[0] + top[1] + 2) >> 2
+    fleft[0] = (tl + 2 * left[0] + left[1] + 2) >> 2
+    for i in range(1, n2 - 1):
+        ftop[i] = (top[i - 1] + 2 * top[i] + top[i + 1] + 2) >> 2
+        fleft[i] = (left[i - 1] + 2 * left[i] + left[i + 1] + 2) >> 2
+    ftop[n2 - 1] = top[n2 - 1]
+    fleft[n2 - 1] = left[n2 - 1]
+    return fleft, ftop, int(ftl)
+
+
+def intra_predict(plane: np.ndarray, px: int, py: int, nT: int, mode: int,
+                  cIdx: int, avail_fn, strong_smoothing: bool) -> np.ndarray:
+    """8.4.4.2.4-6 -> predicted block (nT x nT int32)."""
+    left, top, tl = _intra_refs(plane, px, py, nT, avail_fn)
+    if cIdx == 0 and mode != 1 and nT > 4:
+        mindist = min(abs(mode - 26), abs(mode - 10))
+        thr = {8: 7, 16: 1, 32: 0}[nT]
+        if mindist > thr:
+            left, top, tl = _filter_refs(left, top, tl, nT, mode,
+                                         strong_smoothing)
+    pred = np.empty((nT, nT), np.int32)
+    if mode == 0:  # planar (8.4.4.2.4)
+        xs = np.arange(nT)
+        tr = int(top[nT])
+        bl = int(left[nT])
+        for y in range(nT):
+            pred[y] = ((nT - 1 - xs) * left[y] + (xs + 1) * tr
+                       + (nT - 1 - y) * top[:nT] + (y + 1) * bl
+                       + nT) >> (nT.bit_length())  # log2(nT)+1
+        return pred
+    if mode == 1:  # DC (8.4.4.2.5)
+        dc = (int(top[:nT].sum()) + int(left[:nT].sum()) + nT) >> (
+            nT.bit_length())
+        pred[:] = dc
+        if cIdx == 0 and nT < 32:
+            pred[0, 0] = (left[0] + 2 * dc + top[0] + 2) >> 2
+            pred[0, 1:] = (top[1:nT] + 3 * dc + 2) >> 2
+            pred[1:, 0] = (left[1:nT] + 3 * dc + 2) >> 2
+        return pred
+    # angular (8.4.4.2.6)
+    ang = T.INTRA_PRED_ANGLE[mode - 2]
+    if mode >= 18:  # near-vertical: main = top
+        ref = np.zeros(3 * nT + 1, np.int32)  # index bias nT: ref[nT+i]=p[i-1][-1]
+        ref[nT] = tl
+        ref[nT + 1:nT + 1 + 2 * nT] = top
+        if ang < 0:
+            inv = T.INV_ANGLE[ang]
+            lo = (nT * ang) >> 5
+            for x in range(-1, lo - 1, -1):
+                idx = ((x * inv + 128) >> 8) - 1
+                ref[nT + x] = tl if idx < 0 else left[idx]
+        for y in range(nT):
+            ii = ((y + 1) * ang) >> 5
+            fact = ((y + 1) * ang) & 31
+            base = nT + 1 + ii
+            if fact:
+                pred[y] = ((32 - fact) * ref[base:base + nT]
+                           + fact * ref[base + 1:base + 1 + nT] + 16) >> 5
+            else:
+                pred[y] = ref[base:base + nT]
+        if mode == 26 and cIdx == 0 and nT < 32:
+            col = top[0] + ((left[:nT] - tl) >> 1)
+            pred[:, 0] = np.clip(col, 0, 255)
+        return pred
+    # near-horizontal: main = left (transpose of the vertical case)
+    ref = np.zeros(3 * nT + 1, np.int32)
+    ref[nT] = tl
+    ref[nT + 1:nT + 1 + 2 * nT] = left
+    if ang < 0:
+        inv = T.INV_ANGLE[ang]
+        lo = (nT * ang) >> 5
+        for x in range(-1, lo - 1, -1):
+            idx = ((x * inv + 128) >> 8) - 1
+            ref[nT + x] = tl if idx < 0 else top[idx]
+    for x in range(nT):
+        ii = ((x + 1) * ang) >> 5
+        fact = ((x + 1) * ang) & 31
+        base = nT + 1 + ii
+        if fact:
+            pred[:, x] = ((32 - fact) * ref[base:base + nT]
+                          + fact * ref[base + 1:base + 1 + nT] + 16) >> 5
+        else:
+            pred[:, x] = ref[base:base + nT]
+    if mode == 10 and cIdx == 0 and nT < 32:
+        row = left[0] + ((top[:nT] - tl) >> 1)
+        pred[0] = np.clip(row, 0, 255)
+    return pred
+
+
+# ---------------------------------------------------------------------------
+# Picture state
+# ---------------------------------------------------------------------------
+
+
+class _Picture:
+    def __init__(self, sps: SPS, pps: PPS):
+        self.sps, self.pps = sps, pps
+        wp = sps.pic_w_ctbs << sps.log2_ctb
+        hp = sps.pic_h_ctbs << sps.log2_ctb
+        self.Y = np.zeros((hp, wp), np.uint8)
+        self.U = np.zeros((hp >> 1, wp >> 1), np.uint8)
+        self.V = np.zeros((hp >> 1, wp >> 1), np.uint8)
+        g = (hp >> 2, wp >> 2)
+        self.avail = np.zeros(g, bool)        # samples reconstructed
+        self.decided = np.zeros(g, bool)      # mode info parsed (z-scan)
+        self.slice_id = np.full(g, -1, np.int32)
+        self.ctdepth = np.zeros(g, np.uint8)
+        self.intra_mode = np.ones(g, np.uint8)
+        self.is_intra = np.zeros(g, bool)
+        self.skip = np.zeros(g, bool)
+        self.qp = np.zeros(g, np.int16)
+        self.bypass = np.zeros(g, bool)       # cu_transquant_bypass
+        self.poc = 0
+        self.nal_type = 0
+
+    def output(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        s = self.sps
+        cl, cr, ct, cb = s.conf_win
+        w = s.width - 2 * (cl + cr)
+        h = s.height - 2 * (ct + cb)
+        y = self.Y[2 * ct:2 * ct + h, 2 * cl:2 * cl + w].copy()
+        u = self.U[ct:ct + h // 2, cl:cl + w // 2].copy()
+        v = self.V[ct:ct + h // 2, cl:cl + w // 2].copy()
+        return y, u, v
+
+
+# scan-position lookup: (scanIdx, log2size) -> {(x,y): index}
+_SCAN_POS = {
+    (si, k): {xy: i for i, xy in enumerate(tab)}
+    for si, sub in T.SCAN.items() for k, tab in sub.items()
+}
+_SB_ORIGIN = [((0, 0),)]  # 1x1 sub-block grid
+
+
+def _sb_scan(scan_idx: int, log2sb: int):
+    if log2sb == 0:
+        return _SB_ORIGIN[0]
+    return T.SCAN[scan_idx][log2sb]
+
+
+# ---------------------------------------------------------------------------
+# Slice decoding
+# ---------------------------------------------------------------------------
+
+
+class _SliceDec:
+    def __init__(self, dec: "H265RefDecoder", pic: _Picture, h: SliceHeader,
+                 rbsp: bytes, epb: list[int], slice_id: int):
+        self.dec = dec
+        self.pic = pic
+        self.h = h
+        self.sps: SPS = h.sps
+        self.pps: PPS = h.pps
+        self.slice_id = slice_id
+        self.rbsp = rbsp
+        if h.slice_type == SLICE_I:
+            self.init_type = 0
+        elif h.slice_type == SLICE_P:
+            self.init_type = 2 if h.cabac_init_flag else 1
+        else:
+            self.init_type = 1 if h.cabac_init_flag else 2
+        # substream RBSP byte offsets (entry points count EBSP bytes)
+        ebsp_data = h.data_byte_pos + sum(
+            1 for p in epb if p <= h.data_byte_pos)
+        starts = [h.data_byte_pos]
+        off = ebsp_data
+        for ep in h.entry_points:
+            off += ep
+            starts.append(ebsp_off_to_rbsp(off, epb))
+        self.substreams = starts
+        self.sub_idx = 0
+        self.c = Cabac(rbsp, starts[0], self.init_type, h.slice_qp)
+        self.wpp_snap: dict[int, list] = {}
+        self.qp_prev = h.slice_qp
+        self.last_cu_qp = h.slice_qp
+        self.is_delta_coded = False
+        self.delta_val = 0
+        self.qg_x = self.qg_y = 0
+        self.log2_min_qg = (self.sps.log2_ctb
+                            - self.pps.diff_cu_qp_delta_depth)
+
+    # -- availability ------------------------------------------------------
+
+    def _zavail(self, x: int, y: int, parse: bool) -> bool:
+        """6.4.1 z-scan availability of the block covering luma (x,y).
+        parse=True checks parse-order (mode info); False checks
+        reconstructed samples."""
+        if x < 0 or y < 0 or x >= self.sps.width or y >= self.sps.height:
+            return False
+        p = self.pic
+        i = (y >> 2, x >> 2)
+        grid = p.decided if parse else p.avail
+        return bool(grid[i]) and p.slice_id[i] == self.slice_id
+
+    def _sample_avail_luma(self, x: int, y: int) -> bool:
+        if not self._zavail(x, y, parse=False):
+            return False
+        if self.pps.constrained_intra_pred:
+            return bool(self.pic.is_intra[y >> 2, x >> 2])
+        return True
+
+    def _sample_avail_chroma(self, xc: int, yc: int) -> bool:
+        return self._sample_avail_luma(xc << 1, yc << 1)
+
+    # -- QP ------------------------------------------------------------------
+
+    def _qg_reset(self, x0: int, y0: int) -> None:
+        self.is_delta_coded = False
+        self.delta_val = 0
+        self.qg_x, self.qg_y = x0, y0
+        self.qp_prev = self.last_cu_qp
+
+    def _cu_qp(self) -> int:
+        if self.cur_cu_qp is None:
+            xq, yq = self.qg_x, self.qg_y
+            ctb = 1 << self.sps.log2_ctb
+            qa = qb = self.qp_prev
+            if (xq % ctb) and self._zavail(xq - 1, yq, parse=True):
+                qa = int(self.pic.qp[yq >> 2, (xq - 1) >> 2])
+            if (yq % ctb) and self._zavail(xq, yq - 1, parse=True):
+                qb = int(self.pic.qp[(yq - 1) >> 2, xq >> 2])
+            pred = (qa + qb + 1) >> 1
+            self.cur_cu_qp = (pred + self.delta_val + 52) % 52
+        return self.cur_cu_qp
+
+    # -- slice data loop -----------------------------------------------------
+
+    def run(self) -> None:
+        sps = self.sps
+        ctb_addr = self.h.segment_address
+        wctb = sps.pic_w_ctbs
+        sync = self.pps.entropy_coding_sync
+        while True:
+            cx = (ctb_addr % wctb) << sps.log2_ctb
+            cy = (ctb_addr // wctb) << sps.log2_ctb
+            if sync and ctb_addr % wctb == 0 and ctb_addr != \
+                    self.h.segment_address:
+                pass  # engine already re-inited at row switch below
+            self._decode_ctu(cx, cy)
+            if sync and ((ctb_addr % wctb == 1)
+                         or (wctb == 1 and ctb_addr % wctb == 0)):
+                self.wpp_snap[ctb_addr // wctb] = self.c.snapshot()
+            end = self.c.terminate()
+            ctb_addr += 1
+            if end or ctb_addr >= sps.pic_size_ctbs:
+                break
+            if sync and ctb_addr % wctb == 0:
+                # end_of_subset_one_bit + byte alignment -> next substream
+                one = self.c.terminate()
+                assert one == 1
+                self.sub_idx += 1
+                row = ctb_addr // wctb
+                snap = self.wpp_snap.get(row - 1)
+                self.c = Cabac(self.rbsp, self.substreams[self.sub_idx],
+                               self.init_type, self.h.slice_qp)
+                if snap is not None:
+                    self.c.restore(snap)
+                self.qp_prev = self.h.slice_qp
+                self.last_cu_qp = self.h.slice_qp
+
+    def _decode_ctu(self, x0: int, y0: int) -> None:
+        if self.h.sao_luma or self.h.sao_chroma:
+            self._parse_sao(x0, y0)
+        self._coding_quadtree(x0, y0, self.sps.log2_ctb, 0)
+
+    def _parse_sao(self, x0: int, y0: int) -> None:
+        raise NotImplementedError("SAO")
+
+    # -- quadtree ------------------------------------------------------------
+
+    def _coding_quadtree(self, x0: int, y0: int, log2: int,
+                         depth: int) -> None:
+        sps = self.sps
+        size = 1 << log2
+        inside = (x0 + size <= sps.width) and (y0 + size <= sps.height)
+        if inside and log2 > sps.log2_min_cb:
+            inc = 0
+            if self._zavail(x0 - 1, y0, parse=True) and \
+                    self.pic.ctdepth[y0 >> 2, (x0 - 1) >> 2] > depth:
+                inc += 1
+            if self._zavail(x0, y0 - 1, parse=True) and \
+                    self.pic.ctdepth[(y0 - 1) >> 2, x0 >> 2] > depth:
+                inc += 1
+            split = self.c.decision("split_cu_flag", inc)
+        else:
+            split = 1 if log2 > sps.log2_min_cb else 0
+        if self.pps.cu_qp_delta_enabled and log2 >= self.log2_min_qg:
+            self._qg_reset(x0, y0)
+        if split:
+            half = size >> 1
+            for dx, dy in ((0, 0), (half, 0), (0, half), (half, half)):
+                x1, y1 = x0 + dx, y0 + dy
+                if x1 < sps.width and y1 < sps.height:
+                    self._coding_quadtree(x1, y1, log2 - 1, depth + 1)
+        else:
+            self._coding_unit(x0, y0, log2, depth)
+
+    # -- coding unit (intra) ---------------------------------------------------
+
+    def _coding_unit(self, x0: int, y0: int, log2: int, depth: int) -> None:
+        c = self.c
+        pic = self.pic
+        sps, pps = self.sps, self.pps
+        size = 1 << log2
+        self.cur_cu = (x0, y0, log2)
+        self.cur_cu_qp = None
+        self.cu_bypass = False
+        if pps.transquant_bypass_enabled:
+            self.cu_bypass = bool(c.decision("cu_transquant_bypass_flag"))
+        if self.h.slice_type != SLICE_I:
+            raise NotImplementedError("inter slices")
+        g = (slice(y0 >> 2, (y0 + size) >> 2),
+             slice(x0 >> 2, (x0 + size) >> 2))
+        pic.ctdepth[g] = depth
+        pic.slice_id[g] = self.slice_id
+        pic.is_intra[g] = True
+        pic.bypass[g] = self.cu_bypass
+        part_nxn = False
+        if log2 == sps.log2_min_cb:
+            if not c.decision("part_mode"):
+                part_nxn = True
+        n_pu = 4 if part_nxn else 1
+        pbs = size >> (1 if part_nxn else 0)
+        prev_flags = [c.decision("prev_intra_luma_pred_flag")
+                      for _ in range(n_pu)]
+        raw = []
+        for i in range(n_pu):
+            if prev_flags[i]:
+                idx = 0
+                if c.bypass():
+                    idx = 1 + c.bypass()
+                raw.append(("mpm", idx))
+            else:
+                raw.append(("rem", c.bypass_bits(5)))
+        modes = []
+        for i in range(n_pu):
+            xp = x0 + (i & 1) * pbs
+            yp = y0 + (i >> 1) * pbs
+            cand_a = cand_b = 1  # DC
+            if self._zavail(xp - 1, yp, parse=True):
+                gi = (yp >> 2, (xp - 1) >> 2)
+                if pic.is_intra[gi]:
+                    cand_a = int(pic.intra_mode[gi])
+            if (yp % (1 << sps.log2_ctb)) and \
+                    self._zavail(xp, yp - 1, parse=True):
+                gi = ((yp - 1) >> 2, xp >> 2)
+                if pic.is_intra[gi]:
+                    cand_b = int(pic.intra_mode[gi])
+            if cand_a == cand_b:
+                if cand_a < 2:
+                    mpm = [0, 1, 26]
+                else:
+                    mpm = [cand_a, 2 + ((cand_a + 29) % 32),
+                           2 + ((cand_a - 2 + 1) % 32)]
+            else:
+                third = 0 if 0 not in (cand_a, cand_b) else (
+                    1 if 1 not in (cand_a, cand_b) else 26)
+                mpm = [cand_a, cand_b, third]
+            kind, v = raw[i]
+            if kind == "mpm":
+                mode = mpm[v]
+            else:
+                mode = v
+                for m in sorted(mpm):
+                    if mode >= m:
+                        mode += 1
+            modes.append(mode)
+            gp = (slice(yp >> 2, (yp + pbs) >> 2),
+                  slice(xp >> 2, (xp + pbs) >> 2))
+            pic.intra_mode[gp] = mode
+            pic.decided[gp] = True
+        if not c.decision("intra_chroma_pred_mode"):
+            chroma_mode = modes[0]
+        else:
+            idx = c.bypass_bits(2)
+            cand = (0, 26, 10, 1)[idx]
+            chroma_mode = 34 if cand == modes[0] else cand
+        self.cu_modes = modes
+        self.cu_pbs = pbs
+        self.cu_chroma_mode = chroma_mode
+        self.cu_intra_split = part_nxn
+        self._transform_tree(x0, y0, x0, y0, log2, 0, 0, 1, 1)
+        # finalize CU QP over the region (for deblocking/prediction)
+        pic.qp[g] = self._cu_qp()
+        self.last_cu_qp = self.cur_cu_qp
+
+    # -- transform tree --------------------------------------------------------
+
+    def _transform_tree(self, x0, y0, x_base, y_base, log2, depth, blk_idx,
+                        pcb, pcr) -> None:
+        c = self.c
+        sps = self.sps
+        intra_split = self.cu_intra_split
+        max_depth = sps.max_trafo_depth_intra + (1 if intra_split else 0)
+        if (log2 <= sps.log2_max_tb and log2 > sps.log2_min_tb
+                and depth < max_depth and not (intra_split and depth == 0)):
+            split = c.decision("split_transform_flag", 5 - log2)
+        else:
+            split = 1 if (log2 > sps.log2_max_tb
+                          or (intra_split and depth == 0)) else 0
+        cbf_cb, cbf_cr = pcb, pcr
+        if log2 > 2:
+            if depth == 0 or pcb:
+                cbf_cb = c.decision("cbf_chroma", depth)
+            if depth == 0 or pcr:
+                cbf_cr = c.decision("cbf_chroma", depth)
+        if split:
+            half = 1 << (log2 - 1)
+            for i, (dx, dy) in enumerate(
+                    ((0, 0), (half, 0), (0, half), (half, half))):
+                self._transform_tree(x0 + dx, y0 + dy, x0, y0, log2 - 1,
+                                     depth + 1, i, cbf_cb, cbf_cr)
+            return
+        cbf_luma = 1
+        if depth != 0 or cbf_cb or cbf_cr or True:  # intra: always coded
+            cbf_luma = c.decision("cbf_luma", 1 if depth == 0 else 0)
+        self._transform_unit(x0, y0, x_base, y_base, log2, depth, blk_idx,
+                             cbf_luma, cbf_cb, cbf_cr)
+
+    # -- transform unit (intra recon) ------------------------------------------
+
+    def _transform_unit(self, x0, y0, x_base, y_base, log2, depth, blk_idx,
+                        cbf_l, cbf_cb, cbf_cr) -> None:
+        c = self.c
+        pic = self.pic
+        pps = self.pps
+        size = 1 << log2
+        if (cbf_l or cbf_cb or cbf_cr) and pps.cu_qp_delta_enabled \
+                and not self.is_delta_coded:
+            pre = c.decision("cu_qp_delta_abs", 0)
+            val = pre
+            if pre:
+                while val < 5 and c.decision("cu_qp_delta_abs", 1):
+                    val += 1
+                if val == 5:
+                    val = 5 + c.eg_bypass(0)
+                if c.bypass():
+                    val = -val
+            self.delta_val = val
+            self.is_delta_coded = True
+            self.cur_cu_qp = None
+        # luma: predict, parse residual, reconstruct
+        mode = self._pu_mode(x0, y0)
+        pred = intra_predict(pic.Y, x0, y0, size, mode, 0,
+                             self._sample_avail_luma,
+                             bool(self.sps.strong_intra_smoothing))
+        if cbf_l:
+            coef, ts = self._residual_coding(log2, 0, mode)
+            res = residual_from_coeffs(coef, self._cu_qp(), log2,
+                                       dst=(log2 == 2), ts=ts,
+                                       bypass=self.cu_bypass)
+            pred = pred + res
+        pic.Y[y0:y0 + size, x0:x0 + size] = np.clip(pred, 0, 255)
+        pic.avail[y0 >> 2:(y0 + size) >> 2, x0 >> 2:(x0 + size) >> 2] = True
+        # chroma at this node (size>4) or at the last 4x4 luma (blk_idx 3)
+        if log2 > 2:
+            cx, cy, clog2 = x0 >> 1, y0 >> 1, log2 - 1
+        elif blk_idx == 3:
+            cx, cy, clog2 = x_base >> 1, y_base >> 1, 2
+        else:
+            return
+        csize = 1 << clog2
+        cmode = self.cu_chroma_mode
+        qpy = self._cu_qp()
+        for c_idx, plane, cbf, off in (
+                (1, pic.U, cbf_cb, pps.cb_qp_offset + self.h.cb_qp_offset),
+                (2, pic.V, cbf_cr, pps.cr_qp_offset + self.h.cr_qp_offset)):
+            predc = intra_predict(plane, cx, cy, csize, cmode, c_idx,
+                                  self._sample_avail_chroma, False)
+            if cbf:
+                coef, ts = self._residual_coding(clog2, c_idx, cmode)
+                qpi = _clip3(0, 57, qpy + off)
+                qpc = T.chroma_qp_from_luma(qpi)
+                res = residual_from_coeffs(coef, qpc, clog2, dst=False,
+                                           ts=ts, bypass=self.cu_bypass)
+                predc = predc + res
+            plane[cy:cy + csize, cx:cx + csize] = np.clip(predc, 0, 255)
+
+    def _pu_mode(self, x: int, y: int) -> int:
+        if not self.cu_intra_split:
+            return self.cu_modes[0]
+        x0, y0, _ = self.cur_cu
+        pbs = self.cu_pbs
+        i = ((1 if y >= y0 + pbs else 0) << 1) | (1 if x >= x0 + pbs else 0)
+        return self.cu_modes[i]
+
+    # -- residual coding (7.3.8.11) --------------------------------------------
+
+    def _residual_coding(self, log2: int, c_idx: int,
+                         pred_mode: int) -> tuple[np.ndarray, bool]:
+        c = self.c
+        size = 1 << log2
+        ts = False
+        if (self.pps.transform_skip_enabled and not self.cu_bypass
+                and log2 == 2):
+            ts = bool(c.decision("transform_skip_flag",
+                                 0 if c_idx == 0 else 1))
+        # scan selection (mode-dependent for small intra TBs)
+        scan_idx = 0
+        if log2 == 2 or (log2 == 3 and c_idx == 0):
+            if 6 <= pred_mode <= 14:
+                scan_idx = 2
+            elif 22 <= pred_mode <= 30:
+                scan_idx = 1
+        # last significant coefficient position
+        cmax = (log2 << 1) - 1
+        if c_idx == 0:
+            coff = 3 * (log2 - 2) + ((log2 - 1) >> 2)
+            cshift = (log2 + 1) >> 2
+        else:
+            coff = 15
+            cshift = log2 - 2
+        lx = 0
+        while lx < cmax and c.decision("last_sig_coeff_x_prefix",
+                                       coff + (lx >> cshift)):
+            lx += 1
+        ly = 0
+        while ly < cmax and c.decision("last_sig_coeff_y_prefix",
+                                       coff + (ly >> cshift)):
+            ly += 1
+        if lx > 3:
+            nbits = (lx >> 1) - 1
+            lx = (1 << nbits) * (2 + (lx & 1)) + c.bypass_bits(nbits)
+        if ly > 3:
+            nbits = (ly >> 1) - 1
+            ly = (1 << nbits) * (2 + (ly & 1)) + c.bypass_bits(nbits)
+        if scan_idx == 2:
+            lx, ly = ly, lx
+        log2sb = log2 - 2
+        sb_scan = _sb_scan(scan_idx, log2sb)
+        in_scan = T.SCAN[scan_idx][2]
+        sb_pos = _SCAN_POS[(scan_idx, log2sb)] if log2sb else {(0, 0): 0}
+        in_pos = _SCAN_POS[(scan_idx, 2)]
+        last_sb = sb_pos[(lx >> 2, ly >> 2)]
+        last_pos = in_pos[(lx & 3, ly & 3)]
+        nsb = 1 << (2 * log2sb)
+        csbf = np.zeros((nsb and (1 << log2sb) or 1,) * 2, bool)
+        coef = np.zeros((size, size), np.int32)
+        sdh = (self.pps.sign_data_hiding and not self.cu_bypass)
+        prev_c1_zero = False
+        for i in range(last_sb, -1, -1):
+            xs, ys = sb_scan[i]
+            if i == last_sb or i == 0:
+                sb_coded = 1
+                infer_dc = False
+            else:
+                inc = int(bool(
+                    (xs + 1 < csbf.shape[1] and csbf[ys, xs + 1])
+                    or (ys + 1 < csbf.shape[0] and csbf[ys + 1, xs])))
+                sb_coded = c.decision("coded_sub_block_flag",
+                                      inc + (2 if c_idx else 0))
+                infer_dc = True
+            csbf[ys, xs] = bool(sb_coded)
+            if not sb_coded:
+                continue
+            # significance flags
+            sig_pos = []  # scan positions n with sig==1, parse order
+            start_n = last_pos - 1 if i == last_sb else 15
+            if i == last_sb:
+                sig_pos.append(last_pos)
+            for n in range(start_n, -1, -1):
+                if n == 0 and infer_dc:
+                    sig_pos.append(0)
+                    break
+                xp, yp = in_scan[n]
+                xc, yc = (xs << 2) + xp, (ys << 2) + yp
+                if log2 == 2:
+                    sctx = T.SIG_CTX_MAP_4x4[(yc << 2) + xc]
+                elif xc + yc == 0:
+                    sctx = 0
+                else:
+                    right = xs + 1 < csbf.shape[1] and csbf[ys, xs + 1]
+                    below = ys + 1 < csbf.shape[0] and csbf[ys + 1, xs]
+                    prev = (1 if right else 0) | (2 if below else 0)
+                    if prev == 0:
+                        sctx = 2 if xp + yp == 0 else (
+                            1 if xp + yp < 3 else 0)
+                    elif prev == 1:
+                        sctx = 2 if yp == 0 else (1 if yp == 1 else 0)
+                    elif prev == 2:
+                        sctx = 2 if xp == 0 else (1 if xp == 1 else 0)
+                    else:
+                        sctx = 2
+                    if c_idx == 0:
+                        if xs or ys:
+                            sctx += 3
+                        sctx += (9 if scan_idx == 0 else 15) \
+                            if log2 == 3 else 21
+                    else:
+                        sctx += 9 if log2 == 3 else 12
+                inc = sctx if c_idx == 0 else 27 + sctx
+                if c.decision("sig_coeff_flag", inc):
+                    sig_pos.append(n)
+                    infer_dc = False
+            if not sig_pos:
+                continue
+            # greater1 / greater2
+            ctx_set = 0 if (i == 0 or c_idx > 0) else 2
+            if prev_c1_zero:
+                ctx_set += 1
+            base1 = (0 if c_idx == 0 else 16) + 4 * ctx_set
+            c1 = 1
+            gt1 = {}
+            for j, n in enumerate(sig_pos[:8]):
+                b = c.decision("coeff_abs_level_greater1_flag",
+                               base1 + min(c1, 3))
+                gt1[n] = b
+                if b:
+                    c1 = 0
+                elif 0 < c1 < 3:
+                    c1 += 1
+            prev_c1_zero = (c1 == 0)
+            gt2 = {}
+            first_g1 = next((n for n in sig_pos[:8] if gt1[n]), None)
+            if first_g1 is not None:
+                gt2[first_g1] = c.decision(
+                    "coeff_abs_level_greater2_flag",
+                    (0 if c_idx == 0 else 4) + ctx_set)
+            # signs (parse order, last one maybe hidden)
+            first_scan = sig_pos[-1]
+            last_scan = sig_pos[0]
+            hidden = sdh and (last_scan - first_scan) > 3
+            signs = {}
+            for n in sig_pos[:-1] if hidden else sig_pos:
+                signs[n] = c.bypass()
+            # remaining levels
+            rice = 0
+            levels = {}
+            for j, n in enumerate(sig_pos):
+                base = 1 + (gt1.get(n, 0) if j < 8 else 0) + gt2.get(n, 0)
+                cap = 1 if j >= 8 else (3 if n in gt2 else 2)
+                lvl = base
+                if base == cap:
+                    rem = self._coeff_remaining(rice)
+                    lvl = base + rem
+                    if lvl > (3 << rice):
+                        rice = min(rice + 1, 4)
+                levels[n] = lvl
+            if hidden:
+                total = sum(levels.values())
+                signs[first_scan] = 1 if (total & 1) else 0
+            for n, lvl in levels.items():
+                xp, yp = in_scan[n]
+                v = -lvl if signs[n] else lvl
+                coef[(ys << 2) + yp, (xs << 2) + xp] = v
+        return coef, ts
+
+    def _coeff_remaining(self, rice: int) -> int:
+        """coeff_abs_level_remaining (9.3.3.9), bypass bins."""
+        c = self.c
+        prefix = 0
+        while prefix < 32 and c.bypass():
+            prefix += 1
+        if prefix <= 3:
+            return (prefix << rice) + c.bypass_bits(rice)
+        return (((1 << (prefix - 3)) + 3 - 1) << rice) \
+            + c.bypass_bits(prefix - 3 + rice)
+
+
+# ---------------------------------------------------------------------------
+# Top-level decoder
+# ---------------------------------------------------------------------------
+
+
+class H265RefDecoder:
+    """Drop-in HEVC twin of h264_ref.H264RefDecoder: feed Annex B
+    bytes, get (Y, U, V) uint8 planes in display order."""
+
+    def __init__(self):
+        self.sps_map: dict[int, SPS] = {}
+        self.pps_map: dict[int, PPS] = {}
+        self.cur_pic: _Picture | None = None
+        self.cur_poc = 0
+        self.slice_counter = 0
+        self.prev_poc_msb = 0
+        self.prev_poc_lsb = 0
+        self.waiting: list[tuple[int, tuple]] = []
+        self.out: list[tuple] = []
+        self.first_pic_after_irap_noout = False
+
+    def decode(self, es: bytes) -> list[tuple]:
+        for nal in split_annexb(es):
+            self._nal(nal)
+        out, self.out = self.out, []
+        return out
+
+    def flush(self) -> list[tuple]:
+        self._finish_picture()
+        self.waiting.sort(key=lambda e: e[0])
+        out = self.out + [f for _, f in self.waiting]
+        self.out = []
+        self.waiting = []
+        return out
+
+    def _nal(self, nal: bytes) -> None:
+        if len(nal) < 2:
+            return
+        t = (nal[0] >> 1) & 0x3F
+        if t == NAL_SPS:
+            rbsp, _ = nal_to_rbsp(nal)
+            s = parse_sps(rbsp)
+            self.sps_map[s.id] = s
+        elif t == NAL_PPS:
+            rbsp, _ = nal_to_rbsp(nal)
+            p = parse_pps(rbsp, self.sps_map)
+            self.pps_map[p.id] = p
+        elif t < 32:
+            self._slice(nal, t)
+
+    def _slice(self, nal: bytes, t: int) -> None:
+        rbsp, epb = nal_to_rbsp(nal)
+        h = parse_slice_header(rbsp, t, self.sps_map, self.pps_map)
+        if h.first_slice:
+            self._finish_picture()
+            self.cur_pic = _Picture(h.sps, h.pps)
+            self.cur_pic.nal_type = t
+            self.cur_poc = self._compute_poc(h, t)
+            self.cur_pic.poc = self.cur_poc
+        if h.dependent:
+            raise NotImplementedError("dependent slice segments")
+        self.slice_counter += 1
+        _SliceDec(self, self.cur_pic, h, rbsp, epb,
+                  self.slice_counter).run()
+
+    def _compute_poc(self, h: SliceHeader, t: int) -> int:
+        sps = h.sps
+        if t in (NAL_IDR_W_RADL, NAL_IDR_N_LP):
+            msb = lsb = 0
+        else:
+            max_lsb = 1 << sps.log2_max_poc_lsb
+            lsb = h.poc_lsb
+            pm, pl = self.prev_poc_msb, self.prev_poc_lsb
+            if t in (NAL_CRA, NAL_BLA_W_LP, 17, 18) and \
+                    not self.prev_poc_valid():
+                msb = 0
+            elif lsb < pl and (pl - lsb) >= (max_lsb >> 1):
+                msb = pm + max_lsb
+            elif lsb > pl and (lsb - pl) > (max_lsb >> 1):
+                msb = pm - max_lsb
+            else:
+                msb = pm
+        # RASL/RADL and sub-layer non-ref pics don't update prevTid0
+        if t not in (8, 9, 6, 7):
+            self.prev_poc_msb, self.prev_poc_lsb = msb, lsb
+        return msb + lsb
+
+    def prev_poc_valid(self) -> bool:
+        return self.waiting or self.prev_poc_lsb or self.prev_poc_msb
+
+    def _finish_picture(self) -> None:
+        pic = self.cur_pic
+        if pic is None:
+            return
+        self.cur_pic = None
+        # (loop filters land in later stages)
+        if pic.nal_type in (NAL_IDR_W_RADL, NAL_IDR_N_LP):
+            self.waiting.sort(key=lambda e: e[0])
+            self.out.extend(f for _, f in self.waiting)
+            self.waiting = []
+        self.waiting.append((pic.poc, pic.output()))
+        self.waiting.sort(key=lambda e: e[0])
+        while len(self.waiting) > pic.sps.num_reorder:
+            self.out.append(self.waiting.pop(0)[1])

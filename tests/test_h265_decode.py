@@ -1,0 +1,149 @@
+"""In-build HEVC decoder vs the system libavcodec (bit-exact).
+
+Mirrors test_h264_decode.py's strategy: libx265 encodes of synthetic
+content at scoped feature levels (x265-params pins each tool on/off),
+decoded by both libavcodec and the in-build oracle, compared
+plane-exactly.  Reference parity: the upstream project decodes HEVC
+through FFmpeg (ReaderWriterFFmpeg.hpp); this suite proves the
+standalone path.
+"""
+
+import numpy as np
+import pytest
+
+from amatsukaze_tpu.video import h265_ref as HR
+from amatsukaze_tpu.video.avdec import avdec_available
+
+pytestmark = pytest.mark.skipif(
+    not avdec_available(), reason="FFmpeg bridge unavailable")
+
+BASE = ("keyint=1:no-wpp=1:no-signhide=1:frame-threads=1:no-sao=1:"
+        "no-deblock=1:qp=30")
+
+
+def _encode(frames, w, h, params, codec="libx265", crf=25):
+    from amatsukaze_tpu.video.avdec import AvVideoEncoder
+    enc = AvVideoEncoder(w, h, codec=codec, preset="ultrafast", crf=crf,
+                         x264_params=params)
+    aus = []
+    for y, u, v in frames:
+        aus += enc.encode(y, u, v)
+    aus += enc.flush()
+    return b"".join(aus)
+
+
+def _ff_decode(es: bytes, tmp_path):
+    from amatsukaze_tpu.video.avdec import AvVideoDecoder
+    p = tmp_path / "probe.h265"
+    p.write_bytes(es)
+    return [(y.copy(), u.copy(), v.copy())
+            for y, u, v in AvVideoDecoder(str(p)).frames()]
+
+
+def _ref_decode(es: bytes):
+    dec = HR.H265RefDecoder()
+    return dec.decode(es) + dec.flush()
+
+
+def _assert_frames_equal(ref, got):
+    assert len(ref) == len(got), (len(ref), len(got))
+    for i, (rf, gf) in enumerate(zip(ref, got)):
+        for name, a, b in zip("YUV", rf[:3], gf[:3]):
+            assert a.shape == b.shape, (i, name, a.shape, b.shape)
+            assert np.array_equal(a, b), (
+                f"frame {i} plane {name}: "
+                f"{np.count_nonzero(a.astype(int) != b.astype(int))} diffs"
+                f" of {a.size}")
+
+
+def _smooth_frames(w, h, n, seed=7, amp=255.0):
+    import scipy.ndimage as ndi
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        y = ndi.gaussian_filter(rng.uniform(0, amp, (h, w)), 2.5,
+                                mode="nearest")
+        u = ndi.gaussian_filter(rng.uniform(0, amp, (h // 2, w // 2)), 2,
+                                mode="nearest")
+        v = ndi.gaussian_filter(rng.uniform(0, amp, (h // 2, w // 2)), 2,
+                                mode="nearest")
+        out.append(tuple(a.astype(np.uint8) for a in (y, u, v)))
+    return out
+
+
+def _run(frames, w, h, params, tmp_path, crf=25):
+    es = _encode(frames, w, h, params, crf=crf)
+    _assert_frames_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+
+
+class TestIntra:
+    def test_allintra_ctu32(self, tmp_path):
+        _run(_smooth_frames(64, 64, 3), 64, 64, BASE + ":ctu=32", tmp_path)
+
+    def test_allintra_ctu16(self, tmp_path):
+        _run(_smooth_frames(64, 64, 2), 64, 64,
+             BASE + ":ctu=16:min-cu-size=8", tmp_path)
+
+    def test_allintra_ctu64_tu_depth(self, tmp_path):
+        _run(_smooth_frames(128, 128, 2), 128, 128,
+             BASE + ":ctu=64:min-cu-size=8:tu-intra-depth=3:rdoq-level=0",
+             tmp_path)
+
+    def test_noisy_content_many_modes(self, tmp_path):
+        import scipy.ndimage as ndi
+        rng = np.random.default_rng(11)
+        frames = []
+        for k in range(2):
+            y = (ndi.gaussian_filter(rng.uniform(0, 255, (96, 96)), 1.0)
+                 + rng.uniform(-20, 20, (96, 96)))
+            xx, yy = np.meshgrid(np.arange(96), np.arange(96))
+            y = y + 40 * np.sin(xx / 5 + k) + 40 * np.cos(yy / 7)
+            u = ndi.gaussian_filter(rng.uniform(0, 255, (48, 48)), 1.0)
+            v = ndi.gaussian_filter(rng.uniform(0, 255, (48, 48)), 1.0)
+            frames.append(tuple(np.clip(a, 0, 255).astype(np.uint8)
+                                for a in (y, u, v)))
+        _run(frames, 96, 96, BASE + ":ctu=32:min-cu-size=8", tmp_path,
+             crf=18)
+
+    def test_sign_data_hiding(self, tmp_path):
+        _run(_smooth_frames(64, 64, 2, seed=3), 64, 64,
+             BASE.replace("no-signhide=1", "signhide=1") + ":ctu=32",
+             tmp_path)
+
+    def test_conformance_window_crop(self, tmp_path):
+        # 60x52 is not CTU-aligned -> conformance window cropping
+        _run(_smooth_frames(60, 52, 2, seed=5), 60, 52,
+             BASE + ":ctu=32:min-cu-size=8", tmp_path)
+
+    def test_qp_range(self, tmp_path):
+        for qp in (10, 44):
+            _run(_smooth_frames(64, 64, 1, seed=qp), 64, 64,
+                 BASE.replace("qp=30", f"qp={qp}") + ":ctu=32", tmp_path)
+
+    def test_wpp_entry_points(self, tmp_path):
+        # 4 CTU rows -> entropy_coding_sync with per-row substreams
+        _run(_smooth_frames(192, 128, 2, seed=9), 192, 128,
+             "keyint=1:wpp=1:no-signhide=1:frame-threads=1:no-sao=1:"
+             "no-deblock=1:qp=28:ctu=32:min-cu-size=8", tmp_path)
+
+    def test_multi_slice(self, tmp_path):
+        _run(_smooth_frames(192, 128, 2, seed=9), 192, 128,
+             "keyint=1:wpp=1:slices=2:no-signhide=1:frame-threads=1:"
+             "no-sao=1:no-deblock=1:qp=28:ctu=32", tmp_path)
+
+    def test_cu_qp_delta(self, tmp_path):
+        # CRF + aq-mode=2 -> per-CU QP deltas and QP prediction
+        _run(_smooth_frames(192, 128, 2, seed=9), 192, 128,
+             "keyint=1:no-wpp=1:no-signhide=1:frame-threads=1:no-sao=1:"
+             "no-deblock=1:ctu=32:aq-mode=2", tmp_path, crf=24)
+
+    def test_transform_skip(self, tmp_path):
+        _run(_smooth_frames(192, 128, 2, seed=9), 192, 128,
+             "keyint=1:no-wpp=1:no-signhide=1:frame-threads=1:no-sao=1:"
+             "no-deblock=1:qp=28:ctu=32:tskip=1", tmp_path)
+
+    def test_transquant_bypass(self, tmp_path):
+        # lossless=1 forces cu_transquant_bypass on every CU
+        _run(_smooth_frames(96, 64, 2, seed=13), 96, 64,
+             "keyint=1:no-wpp=1:no-signhide=1:frame-threads=1:no-sao=1:"
+             "no-deblock=1:ctu=32:lossless=1", tmp_path)
