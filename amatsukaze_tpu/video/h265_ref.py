@@ -744,6 +744,9 @@ class _Picture:
         self.skip = np.zeros(g, bool)
         self.qp = np.zeros(g, np.int16)
         self.bypass = np.zeros(g, bool)       # cu_transquant_bypass
+        self.nnz = np.zeros(g, bool)          # TU had cbf_luma
+        self.tu_edge_v = np.zeros(g, bool)    # TU/PU left edge at this col
+        self.tu_edge_h = np.zeros(g, bool)    # TU/PU top edge at this row
         self.poc = 0
         self.nal_type = 0
 
@@ -1085,7 +1088,12 @@ class _SliceDec:
                                        bypass=self.cu_bypass)
             pred = pred + res
         pic.Y[y0:y0 + size, x0:x0 + size] = np.clip(pred, 0, 255)
-        pic.avail[y0 >> 2:(y0 + size) >> 2, x0 >> 2:(x0 + size) >> 2] = True
+        g = (slice(y0 >> 2, (y0 + size) >> 2),
+             slice(x0 >> 2, (x0 + size) >> 2))
+        pic.avail[g] = True
+        pic.nnz[g] = bool(cbf_l)
+        pic.tu_edge_v[g[0], x0 >> 2] = True
+        pic.tu_edge_h[y0 >> 2, g[1]] = True
         # chroma at this node (size>4) or at the last 4x4 luma (blk_idx 3)
         if log2 > 2:
             cx, cy, clog2 = x0 >> 1, y0 >> 1, log2 - 1
@@ -1292,6 +1300,206 @@ class _SliceDec:
 
 
 # ---------------------------------------------------------------------------
+# Deblocking filter (8.7.2): all vertical edges of the picture, then all
+# horizontal edges, on the 8x8 luma grid (16x16 for chroma).
+# ---------------------------------------------------------------------------
+
+
+def _clip1(v: int) -> int:
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def _bs_for_edge(pic: _Picture, gp: tuple, gq: tuple, tu_edge: bool) -> int:
+    """8.7.2.4 boundary strength from the two 4x4 blocks."""
+    if pic.is_intra[gp] or pic.is_intra[gq]:
+        return 2
+    if tu_edge and (pic.nnz[gp] or pic.nnz[gq]):
+        return 1
+    return _bs_inter(pic, gp, gq)
+
+
+def _bs_inter(pic: _Picture, gp: tuple, gq: tuple) -> int:
+    """Motion-based bS (inter pictures; grown with the inter stage)."""
+    mp, mq = pic.mv[gp], pic.mv[gq]
+    up, uq = pic.mv_used[gp], pic.mv_used[gq]
+    rp = (pic.ref_poc[gp][0] if up[0] else None,
+          pic.ref_poc[gp][1] if up[1] else None)
+    rq = (pic.ref_poc[gq][0] if uq[0] else None,
+          pic.ref_poc[gq][1] if uq[1] else None)
+    np_, nq = int(up[0]) + int(up[1]), int(uq[0]) + int(uq[1])
+    if np_ != nq:
+        return 1
+    def far(a, b):
+        return abs(int(a[0]) - int(b[0])) >= 4 or \
+            abs(int(a[1]) - int(b[1])) >= 4
+    if np_ == 1:
+        lp = 0 if up[0] else 1
+        lq = 0 if uq[0] else 1
+        if rp[lp] != rq[lq]:
+            return 1
+        return 1 if far(mp[lp], mq[lq]) else 0
+    # two MVs each: compare as unordered reference sets
+    if sorted(map(str, [rp[0], rp[1]])) != sorted(map(str, [rq[0], rq[1]])):
+        return 1
+    if rp[0] == rp[1]:
+        # same picture both lists: both orderings must exceed to get bS 1
+        a = far(mp[0], mq[0]) or far(mp[1], mq[1])
+        b = far(mp[0], mq[1]) or far(mp[1], mq[0])
+        return 1 if (a and b) else 0
+    if rp[0] == rq[0]:
+        return 1 if (far(mp[0], mq[0]) or far(mp[1], mq[1])) else 0
+    return 1 if (far(mp[0], mq[1]) or far(mp[1], mq[0])) else 0
+
+
+def _deblock_luma_segment(Y, x, y, dx, dy, bs, qp_p, qp_q, h: SliceHeader,
+                          nofilt_p: bool, nofilt_q: bool) -> None:
+    """One 4-sample luma edge segment; (dx,dy) = unit vector across the
+    edge (P side at -1). 8.7.2.5.3/8.7.2.5.7."""
+    qavg = (qp_p + qp_q + 1) >> 1
+    beta = T.BETA_TABLE[_clip3(0, 51, qavg + h.beta_offset)]
+    tc = T.TC_TABLE[_clip3(0, 53, qavg + 2 * (bs - 1) + h.tc_offset)]
+    if beta == 0 and tc == 0:
+        return
+    # tangential unit vector
+    tx, ty = dy, dx
+
+    def s(i, k):  # line i (0..3), offset k across edge (-4..3; -1=p0, 0=q0)
+        return int(Y[y + i * ty + k * dy, x + i * tx + k * dx])
+
+    dp0 = abs(s(0, -3) - 2 * s(0, -2) + s(0, -1))
+    dp3 = abs(s(3, -3) - 2 * s(3, -2) + s(3, -1))
+    dq0 = abs(s(0, 2) - 2 * s(0, 1) + s(0, 0))
+    dq3 = abs(s(3, 2) - 2 * s(3, 1) + s(3, 0))
+    d = dp0 + dp3 + dq0 + dq3
+    if d >= beta:
+        return
+    strong = True
+    for i in (0, 3):
+        dpq = (dp0 + dq0) if i == 0 else (dp3 + dq3)
+        if not (2 * dpq < (beta >> 2)
+                and abs(s(i, -4) - s(i, -1)) + abs(s(i, 0) - s(i, 3))
+                < (beta >> 3)
+                and abs(s(i, -1) - s(i, 0)) < ((5 * tc + 1) >> 1)):
+            strong = False
+            break
+    dep1 = (dp0 + dp3) < ((beta + (beta >> 1)) >> 3)
+    deq1 = (dq0 + dq3) < ((beta + (beta >> 1)) >> 3)
+    for i in range(4):
+        px = [s(i, -1 - k) for k in range(4)]  # p0..p3
+        qx = [s(i, k) for k in range(4)]       # q0..q3
+        if strong:
+            np0 = _clip3(px[0] - 2 * tc, px[0] + 2 * tc,
+                         (px[2] + 2 * px[1] + 2 * px[0] + 2 * qx[0]
+                          + qx[1] + 4) >> 3)
+            np1 = _clip3(px[1] - 2 * tc, px[1] + 2 * tc,
+                         (px[2] + px[1] + px[0] + qx[0] + 2) >> 2)
+            np2 = _clip3(px[2] - 2 * tc, px[2] + 2 * tc,
+                         (2 * px[3] + 3 * px[2] + px[1] + px[0]
+                          + qx[0] + 4) >> 3)
+            nq0 = _clip3(qx[0] - 2 * tc, qx[0] + 2 * tc,
+                         (px[1] + 2 * px[0] + 2 * qx[0] + 2 * qx[1]
+                          + qx[2] + 4) >> 3)
+            nq1 = _clip3(qx[1] - 2 * tc, qx[1] + 2 * tc,
+                         (px[0] + qx[0] + qx[1] + qx[2] + 2) >> 2)
+            nq2 = _clip3(qx[2] - 2 * tc, qx[2] + 2 * tc,
+                         (px[0] + qx[0] + qx[1] + 3 * qx[2]
+                          + 2 * qx[3] + 4) >> 3)
+            if not nofilt_p:
+                for k, v in enumerate((np0, np1, np2)):
+                    Y[y + i * ty + (-1 - k) * dy,
+                      x + i * tx + (-1 - k) * dx] = v
+            if not nofilt_q:
+                for k, v in enumerate((nq0, nq1, nq2)):
+                    Y[y + i * ty + k * dy, x + i * tx + k * dx] = v
+        else:
+            delta = (9 * (qx[0] - px[0]) - 3 * (qx[1] - px[1]) + 8) >> 4
+            if abs(delta) >= tc * 10:
+                continue
+            delta = _clip3(-tc, tc, delta)
+            if not nofilt_p:
+                Y[y + i * ty - dy, x + i * tx - dx] = _clip1(px[0] + delta)
+                if dep1:
+                    dp = _clip3(-(tc >> 1), tc >> 1,
+                                (((px[2] + px[0] + 1) >> 1)
+                                 - px[1] + delta) >> 1)
+                    Y[y + i * ty - 2 * dy, x + i * tx - 2 * dx] = \
+                        _clip1(px[1] + dp)
+            if not nofilt_q:
+                Y[y + i * ty, x + i * tx] = _clip1(qx[0] - delta)
+                if deq1:
+                    dq = _clip3(-(tc >> 1), tc >> 1,
+                                (((qx[2] + qx[0] + 1) >> 1)
+                                 - qx[1] - delta) >> 1)
+                    Y[y + i * ty + dy, x + i * tx + dx] = _clip1(qx[1] + dq)
+
+
+def _deblock_chroma_segment(C, cx, cy, dx, dy, qp_p, qp_q, off: int,
+                            h: SliceHeader, nofilt_p: bool,
+                            nofilt_q: bool) -> None:
+    """One 4-sample chroma edge segment (bS==2 only), 8.7.2.5.5."""
+    qpi = _clip3(0, 57, ((qp_p + qp_q + 1) >> 1) + off)
+    qpc = T.chroma_qp_from_luma(qpi)
+    tc = T.TC_TABLE[_clip3(0, 53, qpc + 2 + h.tc_offset)]
+    if tc == 0:
+        return
+    tx, ty = dy, dx
+    for i in range(4):
+        p1 = int(C[cy + i * ty - 2 * dy, cx + i * tx - 2 * dx])
+        p0 = int(C[cy + i * ty - dy, cx + i * tx - dx])
+        q0 = int(C[cy + i * ty, cx + i * tx])
+        q1 = int(C[cy + i * ty + dy, cx + i * tx + dx])
+        delta = _clip3(-tc, tc, ((((q0 - p0) << 2) + p1 - q1 + 4) >> 3))
+        if not nofilt_p:
+            C[cy + i * ty - dy, cx + i * tx - dx] = _clip1(p0 + delta)
+        if not nofilt_q:
+            C[cy + i * ty, cx + i * tx] = _clip1(q0 - delta)
+
+
+def deblock_picture(pic: _Picture, headers: dict[int, SliceHeader]) -> None:
+    sps = pic.sps
+    w, hgt = sps.width, sps.height
+    for vertical in (True, False):
+        edge_grid = pic.tu_edge_v if vertical else pic.tu_edge_h
+        dx, dy = (1, 0) if vertical else (0, 1)
+        for ex in (range(8, w, 8) if vertical else range(0, w - 3, 4)):
+            for ey in (range(0, hgt - 3, 4) if vertical
+                       else range(8, hgt, 8)):
+                gq = (ey >> 2, ex >> 2)
+                if not edge_grid[gq]:
+                    continue
+                gp = (ey >> 2, (ex - 1) >> 2) if vertical else \
+                    ((ey - 1) >> 2, ex >> 2)
+                sq = int(pic.slice_id[gq])
+                h = headers[sq]
+                if h.deblocking_disabled:
+                    continue
+                if pic.slice_id[gp] != sq and \
+                        not h.loop_filter_across_slices:
+                    continue
+                tu_edge = True
+                bs = _bs_for_edge(pic, gp, gq, tu_edge)
+                if bs == 0:
+                    continue
+                qp_p = int(pic.qp[gp])
+                qp_q = int(pic.qp[gq])
+                nofp = bool(pic.bypass[gp])
+                nofq = bool(pic.bypass[gq])
+                _deblock_luma_segment(pic.Y, ex, ey, dx, dy, bs,
+                                      qp_p, qp_q, h, nofp, nofq)
+                if bs == 2 and (ex % 16 == 0 if vertical
+                                else ey % 16 == 0) and (
+                        ey % 8 == 0 if vertical else ex % 8 == 0):
+                    _deblock_chroma_segment(pic.U, ex >> 1, ey >> 1,
+                                            dx, dy, qp_p, qp_q,
+                                            pic.pps.cb_qp_offset, h,
+                                            nofp, nofq)
+                    _deblock_chroma_segment(pic.V, ex >> 1, ey >> 1,
+                                            dx, dy, qp_p, qp_q,
+                                            pic.pps.cr_qp_offset, h,
+                                            nofp, nofq)
+
+
+# ---------------------------------------------------------------------------
 # Top-level decoder
 # ---------------------------------------------------------------------------
 
@@ -1306,6 +1514,7 @@ class H265RefDecoder:
         self.cur_pic: _Picture | None = None
         self.cur_poc = 0
         self.slice_counter = 0
+        self.slice_headers: dict[int, SliceHeader] = {}
         self.prev_poc_msb = 0
         self.prev_poc_lsb = 0
         self.waiting: list[tuple[int, tuple]] = []
@@ -1353,6 +1562,7 @@ class H265RefDecoder:
         if h.dependent:
             raise NotImplementedError("dependent slice segments")
         self.slice_counter += 1
+        self.slice_headers[self.slice_counter] = h
         _SliceDec(self, self.cur_pic, h, rbsp, epb,
                   self.slice_counter).run()
 
@@ -1386,7 +1596,11 @@ class H265RefDecoder:
         if pic is None:
             return
         self.cur_pic = None
-        # (loop filters land in later stages)
+        if any(not h.deblocking_disabled
+               for h in self.slice_headers.values()):
+            deblock_picture(pic, self.slice_headers)
+        self.slice_headers = {}
+        # (SAO lands with a later stage)
         if pic.nal_type in (NAL_IDR_W_RADL, NAL_IDR_N_LP):
             self.waiting.sort(key=lambda e: e[0])
             self.out.extend(f for _, f in self.waiting)

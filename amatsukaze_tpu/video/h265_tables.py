@@ -225,9 +225,9 @@ BETA_TABLE = tuple([0] * 16 + [6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17,
                                18, 20, 22, 24, 26, 28, 30, 32, 34, 36, 38,
                                40, 42, 44, 46, 48, 50, 52, 54, 56, 58, 60,
                                62, 64])
-TC_TABLE = tuple([0] * 16 + [0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3,
-                             3, 3, 3, 4, 4, 4, 5, 5, 6, 6, 7, 8, 9, 10, 11,
-                             13, 14, 16, 18, 20, 22, 24])
+TC_TABLE = tuple([0] * 16 + [0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2,
+                             3, 3, 3, 3, 4, 4, 4, 5, 5, 6, 6, 7, 8, 9, 10,
+                             11, 13, 14, 16, 18, 20, 22, 24])
 
 # chroma QP mapping for 4:2:0 (Table 8-10)
 CHROMA_QP_MAP = tuple(list(range(30)) + [29, 30, 31, 32, 33, 33, 34, 34, 35,

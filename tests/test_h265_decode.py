@@ -147,3 +147,34 @@ class TestIntra:
         _run(_smooth_frames(96, 64, 2, seed=13), 96, 64,
              "keyint=1:no-wpp=1:no-signhide=1:frame-threads=1:no-sao=1:"
              "no-deblock=1:ctu=32:lossless=1", tmp_path)
+
+
+class TestDeblock:
+    BASE_DB = ("keyint=1:no-wpp=1:no-signhide=1:frame-threads=1:"
+               "no-sao=1:ctu=32")
+
+    def test_default(self, tmp_path):
+        _run(_smooth_frames(96, 64, 2, seed=21), 96, 64,
+             self.BASE_DB + ":deblock=1:qp=30:min-cu-size=8", tmp_path)
+
+    def test_offsets(self, tmp_path):
+        # x265 deblock=<tC>,<beta> -> slice tc/beta offset_div2
+        for off in ("2,0", "2,-2", "-2,2"):
+            _run(_smooth_frames(96, 64, 1, seed=21), 96, 64,
+                 self.BASE_DB + f":deblock={off}:qp=34", tmp_path)
+
+    def test_qp_extremes(self, tmp_path):
+        for qp in (18, 44):
+            _run(_smooth_frames(96, 64, 1, seed=22), 96, 64,
+                 self.BASE_DB + f":deblock=1:qp={qp}:min-cu-size=8",
+                 tmp_path)
+
+    def test_wpp_and_deblock(self, tmp_path):
+        _run(_smooth_frames(96, 64, 2, seed=21), 96, 64,
+             "keyint=1:wpp=1:no-signhide=1:frame-threads=1:no-sao=1:"
+             "deblock=1:qp=30:ctu=32:min-cu-size=8", tmp_path)
+
+    def test_lossless_cu_excluded(self, tmp_path):
+        # bypass CUs must not be touched by the loop filter
+        _run(_smooth_frames(96, 64, 2, seed=21), 96, 64,
+             self.BASE_DB + ":deblock=1:qp=30:lossless=1", tmp_path)
