@@ -747,6 +747,11 @@ class _Picture:
         self.nnz = np.zeros(g, bool)          # TU had cbf_luma
         self.tu_edge_v = np.zeros(g, bool)    # TU/PU left edge at this col
         self.tu_edge_h = np.zeros(g, bool)    # TU/PU top edge at this row
+        cg = (sps.pic_h_ctbs, sps.pic_w_ctbs)
+        self.sao_type = np.zeros(cg + (3,), np.int8)
+        self.sao_offsets = np.zeros(cg + (3, 4), np.int16)
+        self.sao_band_pos = np.zeros(cg + (3,), np.int8)
+        self.sao_eo_class = np.zeros(cg + (3,), np.int8)
         self.poc = 0
         self.nal_type = 0
 
@@ -901,7 +906,56 @@ class _SliceDec:
         self._coding_quadtree(x0, y0, self.sps.log2_ctb, 0)
 
     def _parse_sao(self, x0: int, y0: int) -> None:
-        raise NotImplementedError("SAO")
+        """sao(rx, ry) syntax (7.3.8.3)."""
+        c = self.c
+        pic = self.pic
+        rx = x0 >> self.sps.log2_ctb
+        ry = y0 >> self.sps.log2_ctb
+        if rx > 0 and self.pic.slice_id[y0 >> 2, (x0 - 1) >> 2] == \
+                self.slice_id and c.decision("sao_merge_flag"):
+            src = (ry, rx - 1)
+            pic.sao_type[ry, rx] = pic.sao_type[src]
+            pic.sao_offsets[ry, rx] = pic.sao_offsets[src]
+            pic.sao_band_pos[ry, rx] = pic.sao_band_pos[src]
+            pic.sao_eo_class[ry, rx] = pic.sao_eo_class[src]
+            return
+        if ry > 0 and self.pic.slice_id[(y0 - 1) >> 2, x0 >> 2] == \
+                self.slice_id and c.decision("sao_merge_flag"):
+            src = (ry - 1, rx)
+            pic.sao_type[ry, rx] = pic.sao_type[src]
+            pic.sao_offsets[ry, rx] = pic.sao_offsets[src]
+            pic.sao_band_pos[ry, rx] = pic.sao_band_pos[src]
+            pic.sao_eo_class[ry, rx] = pic.sao_eo_class[src]
+            return
+        for ci in range(3):
+            if ci == 0 and not self.h.sao_luma:
+                continue
+            if ci > 0 and not self.h.sao_chroma:
+                continue
+            if ci == 2:
+                # Cr shares type/eo-class with Cb, own offsets/band pos
+                typ = int(pic.sao_type[ry, rx, 1])
+            else:
+                typ = 0
+                if c.decision("sao_type_idx"):
+                    typ = 2 if c.bypass() else 1
+            pic.sao_type[ry, rx, ci] = typ
+            if typ == 0:
+                continue
+            offs = [c.tr_bypass(7) for _ in range(4)]
+            if typ == 1:  # band
+                for i in range(4):
+                    if offs[i] and c.bypass():
+                        offs[i] = -offs[i]
+                pic.sao_band_pos[ry, rx, ci] = c.bypass_bits(5)
+            else:  # edge: offsets 0,1 positive; 2,3 negative
+                offs[2] = -offs[2]
+                offs[3] = -offs[3]
+                if ci == 2:
+                    pic.sao_eo_class[ry, rx, 2] = pic.sao_eo_class[ry, rx, 1]
+                else:
+                    pic.sao_eo_class[ry, rx, ci] = c.bypass_bits(2)
+            pic.sao_offsets[ry, rx, ci] = offs
 
     # -- quadtree ------------------------------------------------------------
 
@@ -1500,6 +1554,82 @@ def deblock_picture(pic: _Picture, headers: dict[int, SliceHeader]) -> None:
 
 
 # ---------------------------------------------------------------------------
+# Sample adaptive offset (8.7.3): applied after deblocking, reading the
+# deblocked picture and writing a fresh copy (EO comparisons must see
+# pre-SAO neighbours).
+# ---------------------------------------------------------------------------
+
+_EO_NBR = ((( -1, 0), (1, 0)), ((0, -1), (0, 1)),
+           ((-1, -1), (1, 1)), ((1, -1), (-1, 1)))
+
+
+def apply_sao(pic: _Picture, headers: dict[int, SliceHeader]) -> None:
+    sps = pic.sps
+    ctb = 1 << sps.log2_ctb
+    srcs = (pic.Y.copy(), pic.U.copy(), pic.V.copy())
+    outs = (pic.Y, pic.U, pic.V)
+    for ry in range(sps.pic_h_ctbs):
+        for rx in range(sps.pic_w_ctbs):
+            for ci in range(3):
+                typ = int(pic.sao_type[ry, rx, ci])
+                if typ == 0:
+                    continue
+                sh = 0 if ci == 0 else 1
+                src = srcs[ci]
+                out = outs[ci]
+                w = sps.width >> sh
+                h = sps.height >> sh
+                x0 = (rx * ctb) >> sh
+                y0 = (ry * ctb) >> sh
+                x1 = min(x0 + (ctb >> sh), w)
+                y1 = min(y0 + (ctb >> sh), h)
+                offs = pic.sao_offsets[ry, rx, ci]
+                if typ == 1:  # band offset
+                    bpos = int(pic.sao_band_pos[ry, rx, ci])
+                    lut = np.zeros(32, np.int16)
+                    for k in range(4):
+                        lut[(bpos + k) & 31] = offs[k]
+                    for y in range(y0, y1):
+                        for x in range(x0, x1):
+                            if pic.bypass[(y << sh) >> 2, (x << sh) >> 2]:
+                                continue
+                            p = int(src[y, x])
+                            out[y, x] = _clip1(p + int(lut[p >> 3]))
+                    continue
+                # edge offset
+                eo = int(pic.sao_eo_class[ry, rx, ci])
+                (ax, ay), (bx, by) = _EO_NBR[eo]
+                sid = pic.slice_id[(y0 << sh) >> 2, (x0 << sh) >> 2]
+                across = headers[int(sid)].loop_filter_across_slices
+                for y in range(y0, y1):
+                    for x in range(x0, x1):
+                        na = (x + ax, y + ay)
+                        nb = (x + bx, y + by)
+                        if not (0 <= na[0] < w and 0 <= na[1] < h
+                                and 0 <= nb[0] < w and 0 <= nb[1] < h):
+                            continue
+                        if pic.bypass[(y << sh) >> 2, (x << sh) >> 2]:
+                            continue
+                        if not across:
+                            ga = (((na[1] << sh) >> 2), ((na[0] << sh) >> 2))
+                            gb = (((nb[1] << sh) >> 2), ((nb[0] << sh) >> 2))
+                            if pic.slice_id[ga] != sid or \
+                                    pic.slice_id[gb] != sid:
+                                continue
+                        p = int(src[y, x])
+                        da = p - int(src[na[1], na[0]])
+                        db = p - int(src[nb[1], nb[0]])
+                        ei = 2 + (0 if da == 0 else (1 if da > 0 else -1)) \
+                            + (0 if db == 0 else (1 if db > 0 else -1))
+                        if ei == 2:
+                            continue
+                        if ei < 2:
+                            ei += 1
+                        # ei now 1..4 -> offsets[0..3]
+                        out[y, x] = _clip1(p + int(offs[ei - 1]))
+
+
+# ---------------------------------------------------------------------------
 # Top-level decoder
 # ---------------------------------------------------------------------------
 
@@ -1599,8 +1729,10 @@ class H265RefDecoder:
         if any(not h.deblocking_disabled
                for h in self.slice_headers.values()):
             deblock_picture(pic, self.slice_headers)
+        if any(h.sao_luma or h.sao_chroma
+               for h in self.slice_headers.values()):
+            apply_sao(pic, self.slice_headers)
         self.slice_headers = {}
-        # (SAO lands with a later stage)
         if pic.nal_type in (NAL_IDR_W_RADL, NAL_IDR_N_LP):
             self.waiting.sort(key=lambda e: e[0])
             self.out.extend(f for _, f in self.waiting)

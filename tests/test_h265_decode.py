@@ -178,3 +178,33 @@ class TestDeblock:
         # bypass CUs must not be touched by the loop filter
         _run(_smooth_frames(96, 64, 2, seed=21), 96, 64,
              self.BASE_DB + ":deblock=1:qp=30:lossless=1", tmp_path)
+
+
+class TestSao:
+    def test_sao_only(self, tmp_path):
+        _run(_smooth_frames(96, 64, 2, seed=31), 96, 64,
+             "keyint=1:no-wpp=1:no-signhide=1:frame-threads=1:sao=1:"
+             "no-deblock=1:qp=34:ctu=32:min-cu-size=8", tmp_path)
+
+    def test_sao_and_deblock(self, tmp_path):
+        _run(_smooth_frames(96, 64, 2, seed=31), 96, 64,
+             "keyint=1:no-wpp=1:no-signhide=1:frame-threads=1:sao=1:"
+             "deblock=1:qp=30:ctu=32:min-cu-size=8", tmp_path)
+
+    def test_sao_high_qp_noisy(self, tmp_path):
+        # high QP + noise drives band offsets, merges and all EO classes
+        rng = np.random.default_rng(17)
+        frames = []
+        for _ in range(2):
+            y = rng.integers(0, 256, (64, 96)).astype(np.uint8)
+            u = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+            v = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+            frames.append((y, u, v))
+        _run(frames, 96, 64,
+             "keyint=1:no-wpp=1:no-signhide=1:frame-threads=1:sao=1:"
+             "deblock=1:qp=44:ctu=16:min-cu-size=8", tmp_path)
+
+    def test_sao_wpp(self, tmp_path):
+        _run(_smooth_frames(96, 64, 2, seed=31), 96, 64,
+             "keyint=1:wpp=1:no-signhide=1:frame-threads=1:sao=1:"
+             "deblock=1:qp=38:ctu=32", tmp_path)
