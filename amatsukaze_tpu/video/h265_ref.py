@@ -680,7 +680,7 @@ def intra_predict(plane: np.ndarray, px: int, py: int, nT: int, mode: int,
         if ang < 0:
             inv = T.INV_ANGLE[ang]
             lo = (nT * ang) >> 5
-            for x in range(-1, lo - 1, -1):
+            for x in range(-1, lo, -1):  # ref[lo] is never read
                 idx = ((x * inv + 128) >> 8) - 1
                 ref[nT + x] = tl if idx < 0 else left[idx]
         for y in range(nT):
@@ -703,7 +703,7 @@ def intra_predict(plane: np.ndarray, px: int, py: int, nT: int, mode: int,
     if ang < 0:
         inv = T.INV_ANGLE[ang]
         lo = (nT * ang) >> 5
-        for x in range(-1, lo - 1, -1):
+        for x in range(-1, lo, -1):  # ref[lo] is never read
             idx = ((x * inv + 128) >> 8) - 1
             ref[nT + x] = tl if idx < 0 else top[idx]
     for x in range(nT):
@@ -752,8 +752,16 @@ class _Picture:
         self.sao_offsets = np.zeros(cg + (3, 4), np.int16)
         self.sao_band_pos = np.zeros(cg + (3,), np.int8)
         self.sao_eo_class = np.zeros(cg + (3,), np.int8)
+        # motion field (per 4x4): quarter-pel MVs, per-list use, ref POC
+        self.mv = np.zeros(g + (2, 2), np.int16)
+        self.mv_used = np.zeros(g + (2,), bool)
+        self.ref_poc = np.zeros(g + (2,), np.int32)
+        self.ref_idx = np.zeros(g + (2,), np.int8)
+        self.pu_edge_v = np.zeros(g, bool)
+        self.pu_edge_h = np.zeros(g, bool)
         self.poc = 0
         self.nal_type = 0
+        self.referenced = True
 
     def output(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         s = self.sps
@@ -764,6 +772,43 @@ class _Picture:
         u = self.U[ct:ct + h // 2, cl:cl + w // 2].copy()
         v = self.V[ct:ct + h // 2, cl:cl + w // 2].copy()
         return y, u, v
+
+
+# PU partition modes (Table 7-10)
+(PART_2Nx2N, PART_2NxN, PART_Nx2N, PART_NxN,
+ PART_2NxnU, PART_2NxnD, PART_nLx2N, PART_nRx2N) = range(8)
+
+
+def _pu_geometry(part: int, s: int) -> list[tuple[int, int, int, int]]:
+    h2, q = s >> 1, s >> 2
+    return {
+        PART_2Nx2N: [(0, 0, s, s)],
+        PART_2NxN: [(0, 0, s, h2), (0, h2, s, h2)],
+        PART_Nx2N: [(0, 0, h2, s), (h2, 0, h2, s)],
+        PART_NxN: [(0, 0, h2, h2), (h2, 0, h2, h2),
+                   (0, h2, h2, h2), (h2, h2, h2, h2)],
+        PART_2NxnU: [(0, 0, s, q), (0, q, s, s - q)],
+        PART_2NxnD: [(0, 0, s, s - q), (0, s - q, s, q)],
+        PART_nLx2N: [(0, 0, q, s), (q, 0, s - q, s)],
+        PART_nRx2N: [(0, 0, s - q, s), (s - q, 0, q, s)],
+    }[part]
+
+
+def _wrap16(v: int) -> int:
+    v &= 0xFFFF
+    return v - 0x10000 if v >= 0x8000 else v
+
+
+def _mv_scale(mv: int, tb: int, td: int) -> int:
+    """8.5.3.2.8 POC-distance MV scaling."""
+    td = _clip3(-128, 127, td)
+    tb = _clip3(-128, 127, tb)
+    q = (16384 + (abs(td) >> 1)) // abs(td)
+    tx = q if td > 0 else -q
+    dsf = _clip3(-4096, 4095, (tb * tx + 32) >> 6)
+    v = dsf * mv
+    s = -1 if v < 0 else 1
+    return _clip3(-32768, 32767, s * ((abs(v) + 127) >> 8))
 
 
 # scan-position lookup: (scanIdx, log2size) -> {(x,y): index}
@@ -820,6 +865,9 @@ class _SliceDec:
         self.qg_x = self.qg_y = 0
         self.log2_min_qg = (self.sps.log2_ctb
                             - self.pps.diff_cu_qp_delta_depth)
+        self.refs: tuple[list, list] = ([], [])
+        self.col_pic: _Picture | None = None
+        self.no_backward = True
 
     # -- availability ------------------------------------------------------
 
@@ -991,21 +1039,68 @@ class _SliceDec:
     def _coding_unit(self, x0: int, y0: int, log2: int, depth: int) -> None:
         c = self.c
         pic = self.pic
-        sps, pps = self.sps, self.pps
+        pps = self.pps
         size = 1 << log2
         self.cur_cu = (x0, y0, log2)
         self.cur_cu_qp = None
         self.cu_bypass = False
-        if pps.transquant_bypass_enabled:
-            self.cu_bypass = bool(c.decision("cu_transquant_bypass_flag"))
-        if self.h.slice_type != SLICE_I:
-            raise NotImplementedError("inter slices")
+        self.cu_depth = depth
         g = (slice(y0 >> 2, (y0 + size) >> 2),
              slice(x0 >> 2, (x0 + size) >> 2))
         pic.ctdepth[g] = depth
         pic.slice_id[g] = self.slice_id
-        pic.is_intra[g] = True
+        skip = False
+        if self.h.slice_type != SLICE_I:
+            inc = 0
+            if self._zavail(x0 - 1, y0, parse=True) and \
+                    pic.skip[y0 >> 2, (x0 - 1) >> 2]:
+                inc += 1
+            if self._zavail(x0, y0 - 1, parse=True) and \
+                    pic.skip[(y0 - 1) >> 2, x0 >> 2]:
+                inc += 1
+            skip = bool(c.decision("cu_skip_flag", inc))
+        if skip:
+            pic.skip[g] = True
+            pic.is_intra[g] = False
+            self._prediction_unit(x0, y0, size, size, 0, PART_2Nx2N,
+                                  skip_cu=True)
+            self._mark_pu_edges(x0, y0, size, size)
+            self._finish_cu(x0, y0, size, g)
+            return
+        pic.skip[g] = False
+        if pps.transquant_bypass_enabled:
+            self.cu_bypass = bool(c.decision("cu_transquant_bypass_flag"))
         pic.bypass[g] = self.cu_bypass
+        intra = True
+        if self.h.slice_type != SLICE_I:
+            intra = bool(c.decision("pred_mode_flag"))
+        if intra:
+            self._cu_intra(x0, y0, log2, depth, g)
+        else:
+            self._cu_inter(x0, y0, log2, depth, g)
+
+    def _finish_cu(self, x0: int, y0: int, size: int, g) -> None:
+        pic = self.pic
+        # CU boundaries are transform-block edges for deblocking even when
+        # no residual is coded (skip / rqt_root_cbf=0), 8.7.2.
+        pic.tu_edge_v[g[0], x0 >> 2] = True
+        pic.tu_edge_h[y0 >> 2, g[1]] = True
+        pic.qp[g] = self._cu_qp()
+        self.last_cu_qp = self.cur_cu_qp
+        pic.avail[g] = True
+        pic.decided[g] = True
+
+    def _mark_pu_edges(self, xp: int, yp: int, w: int, h: int) -> None:
+        pic = self.pic
+        pic.pu_edge_v[yp >> 2:(yp + h) >> 2, xp >> 2] = True
+        pic.pu_edge_h[yp >> 2, xp >> 2:(xp + w) >> 2] = True
+
+    def _cu_intra(self, x0: int, y0: int, log2: int, depth: int, g) -> None:
+        c = self.c
+        pic = self.pic
+        sps = self.sps
+        size = 1 << log2
+        pic.is_intra[g] = True
         part_nxn = False
         if log2 == sps.log2_min_cb:
             if not c.decision("part_mode"):
@@ -1070,10 +1165,9 @@ class _SliceDec:
         self.cu_pbs = pbs
         self.cu_chroma_mode = chroma_mode
         self.cu_intra_split = part_nxn
+        self.cu_is_intra = True
         self._transform_tree(x0, y0, x0, y0, log2, 0, 0, 1, 1)
-        # finalize CU QP over the region (for deblocking/prediction)
-        pic.qp[g] = self._cu_qp()
-        self.last_cu_qp = self.cur_cu_qp
+        self._finish_cu(x0, y0, size, g)
 
     # -- transform tree --------------------------------------------------------
 
@@ -1081,14 +1175,21 @@ class _SliceDec:
                         pcb, pcr) -> None:
         c = self.c
         sps = self.sps
-        intra_split = self.cu_intra_split
-        max_depth = sps.max_trafo_depth_intra + (1 if intra_split else 0)
+        intra_split = self.cu_is_intra and self.cu_intra_split
+        inter_split = (not self.cu_is_intra and depth == 0
+                       and self.cu_inter_split)
+        if self.cu_is_intra:
+            max_depth = sps.max_trafo_depth_intra + (1 if intra_split
+                                                     else 0)
+        else:
+            max_depth = sps.max_trafo_depth_inter
         if (log2 <= sps.log2_max_tb and log2 > sps.log2_min_tb
                 and depth < max_depth and not (intra_split and depth == 0)):
             split = c.decision("split_transform_flag", 5 - log2)
         else:
             split = 1 if (log2 > sps.log2_max_tb
-                          or (intra_split and depth == 0)) else 0
+                          or (intra_split and depth == 0)
+                          or inter_split) else 0
         cbf_cb, cbf_cr = pcb, pcr
         if log2 > 2:
             if depth == 0 or pcb:
@@ -1102,9 +1203,10 @@ class _SliceDec:
                 self._transform_tree(x0 + dx, y0 + dy, x0, y0, log2 - 1,
                                      depth + 1, i, cbf_cb, cbf_cr)
             return
-        cbf_luma = 1
-        if depth != 0 or cbf_cb or cbf_cr or True:  # intra: always coded
+        if self.cu_is_intra or depth != 0 or cbf_cb or cbf_cr:
             cbf_luma = c.decision("cbf_luma", 1 if depth == 0 else 0)
+        else:
+            cbf_luma = 1  # inter root with no chroma cbf: inferred
         self._transform_unit(x0, y0, x_base, y_base, log2, depth, blk_idx,
                              cbf_luma, cbf_cb, cbf_cr)
 
@@ -1130,21 +1232,27 @@ class _SliceDec:
             self.delta_val = val
             self.is_delta_coded = True
             self.cur_cu_qp = None
-        # luma: predict, parse residual, reconstruct
-        mode = self._pu_mode(x0, y0)
-        pred = intra_predict(pic.Y, x0, y0, size, mode, 0,
-                             self._sample_avail_luma,
-                             bool(self.sps.strong_intra_smoothing))
+        intra = self.cu_is_intra
+        # luma: predict (intra) or take the MC output, add residual
+        if intra:
+            mode = self._pu_mode(x0, y0)
+            pred = intra_predict(pic.Y, x0, y0, size, mode, 0,
+                                 self._sample_avail_luma,
+                                 bool(self.sps.strong_intra_smoothing))
+        else:
+            mode = None
+            pred = pic.Y[y0:y0 + size, x0:x0 + size].astype(np.int32)
         if cbf_l:
             coef, ts = self._residual_coding(log2, 0, mode)
             res = residual_from_coeffs(coef, self._cu_qp(), log2,
-                                       dst=(log2 == 2), ts=ts,
+                                       dst=(intra and log2 == 2), ts=ts,
                                        bypass=self.cu_bypass)
             pred = pred + res
         pic.Y[y0:y0 + size, x0:x0 + size] = np.clip(pred, 0, 255)
         g = (slice(y0 >> 2, (y0 + size) >> 2),
              slice(x0 >> 2, (x0 + size) >> 2))
-        pic.avail[g] = True
+        if intra:
+            pic.avail[g] = True
         pic.nnz[g] = bool(cbf_l)
         pic.tu_edge_v[g[0], x0 >> 2] = True
         pic.tu_edge_h[y0 >> 2, g[1]] = True
@@ -1156,13 +1264,18 @@ class _SliceDec:
         else:
             return
         csize = 1 << clog2
-        cmode = self.cu_chroma_mode
         qpy = self._cu_qp()
         for c_idx, plane, cbf, off in (
                 (1, pic.U, cbf_cb, pps.cb_qp_offset + self.h.cb_qp_offset),
                 (2, pic.V, cbf_cr, pps.cr_qp_offset + self.h.cr_qp_offset)):
-            predc = intra_predict(plane, cx, cy, csize, cmode, c_idx,
-                                  self._sample_avail_chroma, False)
+            if intra:
+                cmode = self.cu_chroma_mode
+                predc = intra_predict(plane, cx, cy, csize, cmode, c_idx,
+                                      self._sample_avail_chroma, False)
+            else:
+                cmode = None
+                predc = plane[cy:cy + csize,
+                              cx:cx + csize].astype(np.int32)
             if cbf:
                 coef, ts = self._residual_coding(clog2, c_idx, cmode)
                 qpi = _clip3(0, 57, qpy + off)
@@ -1170,7 +1283,384 @@ class _SliceDec:
                 res = residual_from_coeffs(coef, qpc, clog2, dst=False,
                                            ts=ts, bypass=self.cu_bypass)
                 predc = predc + res
-            plane[cy:cy + csize, cx:cx + csize] = np.clip(predc, 0, 255)
+            if cbf or intra:
+                plane[cy:cy + csize, cx:cx + csize] = \
+                    np.clip(predc, 0, 255)
+
+    # -- inter CUs ---------------------------------------------------------
+
+    def _cu_inter(self, x0: int, y0: int, log2: int, depth: int, g) -> None:
+        c = self.c
+        pic = self.pic
+        size = 1 << log2
+        pic.is_intra[g] = False
+        part = self._part_mode_inter(log2)
+        merged_2n = False
+        for i, (dx, dy, pw, ph) in enumerate(_pu_geometry(part, size)):
+            merged = self._prediction_unit(x0 + dx, y0 + dy, pw, ph, i,
+                                           part)
+            self._mark_pu_edges(x0 + dx, y0 + dy, pw, ph)
+            if part == PART_2Nx2N:
+                merged_2n = merged
+        root_cbf = 1
+        if not (part == PART_2Nx2N and merged_2n):
+            root_cbf = c.decision("rqt_root_cbf")
+        if root_cbf:
+            self.cu_is_intra = False
+            self.cu_intra_split = False
+            self.cu_inter_split = (self.sps.max_trafo_depth_inter == 0
+                                   and part != PART_2Nx2N)
+            self._transform_tree(x0, y0, x0, y0, log2, 0, 0, 1, 1)
+        self._finish_cu(x0, y0, size, g)
+
+    def _part_mode_inter(self, log2: int) -> int:
+        """part_mode binarisation for inter CUs (9.3.3.7 Table 9-34)."""
+        c = self.c
+        if c.decision("part_mode", 0):
+            return PART_2Nx2N
+        at_min = log2 == self.sps.log2_min_cb
+        b1 = c.decision("part_mode", 1)
+        if not at_min:
+            if self.sps.amp_enabled:
+                if c.decision("part_mode", 3):
+                    return PART_2NxN if b1 else PART_Nx2N
+                if b1:
+                    return PART_2NxnD if c.bypass() else PART_2NxnU
+                return PART_nRx2N if c.bypass() else PART_nLx2N
+            return PART_2NxN if b1 else PART_Nx2N
+        if b1:
+            return PART_2NxN
+        if log2 == 3:
+            return PART_Nx2N
+        return PART_Nx2N if c.decision("part_mode", 2) else PART_NxN
+
+    def _prediction_unit(self, xp: int, yp: int, w: int, h: int,
+                         part_idx: int, part: int,
+                         skip_cu: bool = False) -> bool:
+        """prediction_unit (7.3.8.6) + motion derivation + MC.
+        Returns the merge flag."""
+        c = self.c
+        hh = self.h
+        merge = True
+        if not skip_cu:
+            merge = bool(c.decision("merge_flag"))
+        if merge:
+            idx = 0
+            if hh.max_merge > 1 and c.decision("merge_idx"):
+                idx = 1
+                while idx < hh.max_merge - 1 and c.bypass():
+                    idx += 1
+            used, mvs, ridx = self._merge_list(xp, yp, w, h,
+                                               part_idx, part)[idx]
+        else:
+            if hh.slice_type == SLICE_B:
+                idc = self._inter_pred_idc(w, h)
+            else:
+                idc = 0  # PRED_L0
+            used = [idc in (0, 2), idc in (1, 2)]
+            mvs = [[0, 0], [0, 0]]
+            ridx = [0, 0]
+            for lx in (0, 1):
+                if not used[lx]:
+                    continue
+                n = hh.num_ref[lx]
+                if n > 1:
+                    r = 0
+                    if c.decision("ref_idx", 0):
+                        r = 1
+                        if n > 2 and c.decision("ref_idx", 1):
+                            r = 2
+                            while r < n - 1 and c.bypass():
+                                r += 1
+                    ridx[lx] = r
+                if lx == 1 and hh.mvd_l1_zero and idc == 2:
+                    mvd = (0, 0)
+                else:
+                    mvd = self._mvd_coding()
+                mvp_flag = c.decision("mvp_flag")
+                mvp = self._amvp(xp, yp, w, h, lx, ridx[lx], mvp_flag,
+                                 part_idx, part)
+                mvs[lx] = [_wrap16(mvp[0] + mvd[0]),
+                           _wrap16(mvp[1] + mvd[1])]
+        self._store_motion(xp, yp, w, h, used, mvs, ridx)
+        self._mc_pu(xp, yp, w, h, used, mvs, ridx)
+        return merge
+
+    def _inter_pred_idc(self, w: int, h: int) -> int:
+        """9.3.3: 2=BI, 0=L0, 1=L1."""
+        c = self.c
+        if w + h != 12:
+            if c.decision("inter_pred_idc", self.cu_depth):
+                return 2
+        return 1 if c.decision("inter_pred_idc", 4) else 0
+
+    def _mvd_coding(self) -> tuple[int, int]:
+        c = self.c
+        g0 = [c.decision("abs_mvd_greater0_flag"),
+              c.decision("abs_mvd_greater0_flag")]
+        g1 = [0, 0]
+        for k in (0, 1):
+            if g0[k]:
+                g1[k] = c.decision("abs_mvd_greater1_flag")
+        out = [0, 0]
+        for k in (0, 1):
+            if g0[k]:
+                v = 1
+                if g1[k]:
+                    v = 2 + c.eg_bypass(1)
+                if c.bypass():
+                    v = -v
+                out[k] = v
+        return out[0], out[1]
+
+    def _store_motion(self, xp, yp, w, h, used, mvs, ridx) -> None:
+        pic = self.pic
+        r = (slice(yp >> 2, (yp + h) >> 2), slice(xp >> 2, (xp + w) >> 2))
+        for lx in (0, 1):
+            pic.mv_used[r + (lx,)] = used[lx]
+            if used[lx]:
+                pic.mv[r + (lx, 0)] = mvs[lx][0]
+                pic.mv[r + (lx, 1)] = mvs[lx][1]
+                pic.ref_idx[r + (lx,)] = ridx[lx]
+                pic.ref_poc[r + (lx,)] = self.refs[lx][ridx[lx]].poc
+        pic.is_intra[r] = False
+        pic.decided[r] = True
+
+    def _mc_pu(self, xp, yp, w, h, used, mvs, ridx) -> None:
+        pic = self.pic
+        sps = self.sps
+        pw = self.h.pred_weights
+        preds = {}
+        wps = {}
+        for lx in (0, 1):
+            if not used[lx]:
+                continue
+            ref = self.refs[lx][ridx[lx]]
+            mx, my = mvs[lx]
+            preds[lx] = (
+                _mc_luma_14bit(ref.Y, sps.width, sps.height,
+                               xp, yp, w, h, mx, my),
+                _mc_chroma_14bit(ref.U, sps.width >> 1, sps.height >> 1,
+                                 xp >> 1, yp >> 1, w >> 1, h >> 1, mx, my),
+                _mc_chroma_14bit(ref.V, sps.width >> 1, sps.height >> 1,
+                                 xp >> 1, yp >> 1, w >> 1, h >> 1, mx, my))
+            if pw is not None:
+                llog2, clog2, tab = pw
+                wy, oy, (wcb, ocb), (wcr, ocr) = tab[lx][ridx[lx]]
+                wps[lx] = ((wy, oy, llog2 + 6), (wcb, ocb, clog2 + 6),
+                           (wcr, ocr, clog2 + 6))
+            else:
+                wps[lx] = (None, None, None)
+        planes = (pic.Y, pic.U, pic.V)
+        for pi in range(3):
+            sh = 0 if pi == 0 else 1
+            xx, yy = xp >> sh, yp >> sh
+            ww, hh2 = w >> sh, h >> sh
+            if len(preds) == 1:
+                lx = next(iter(preds))
+                out = _weighted_uni(preds[lx][pi], wps[lx][pi])
+            else:
+                out = _weighted_bi(preds[0][pi], preds[1][pi],
+                                   wps[0][pi], wps[1][pi])
+            planes[pi][yy:yy + hh2, xx:xx + ww] = out
+
+    # -- motion candidate derivation ----------------------------------------
+
+    def _mot_at(self, x: int, y: int):
+        """Motion of the block covering luma (x,y), or None if
+        unavailable / intra (6.4.2 + 8.5.3)."""
+        if not self._zavail(x, y, parse=True):
+            return None
+        pic = self.pic
+        gi = (y >> 2, x >> 2)
+        if pic.is_intra[gi]:
+            return None
+        u = pic.mv_used[gi]
+        return ([bool(u[0]), bool(u[1])],
+                [[int(pic.mv[gi][0][0]), int(pic.mv[gi][0][1])],
+                 [int(pic.mv[gi][1][0]), int(pic.mv[gi][1][1])]],
+                [int(pic.ref_idx[gi][0]), int(pic.ref_idx[gi][1])])
+
+    def _merge_list(self, xp, yp, w, h, part_idx, part):
+        """8.5.3.2.3 merge candidate list (always MaxNumMergeCand long)."""
+        plevel = self.pps.log2_parallel_merge_level
+
+        def fetch(nx, ny):
+            if nx < 0 or ny < 0:
+                return None
+            if (xp >> plevel) == (nx >> plevel) and \
+                    (yp >> plevel) == (ny >> plevel):
+                return None
+            return self._mot_at(nx, ny)
+
+        # pruning compares against the *fetched* neighbour motion, even
+        # when that neighbour itself was pruned from the list (8.5.3.2.3)
+        a1 = b1 = None
+        if not (part_idx == 1 and part in (PART_Nx2N, PART_nLx2N,
+                                           PART_nRx2N)):
+            a1 = fetch(xp - 1, yp + h - 1)
+        if not (part_idx == 1 and part in (PART_2NxN, PART_2NxnU,
+                                           PART_2NxnD)):
+            b1 = fetch(xp + w - 1, yp - 1)
+        b0 = fetch(xp + w, yp - 1)
+        a0 = fetch(xp - 1, yp + h)
+        cands = []
+        if a1:
+            cands.append(a1)
+        if b1 and b1 != a1:
+            cands.append(b1)
+        if b0 and b0 != b1:
+            cands.append(b0)
+        if a0 and a0 != a1:
+            cands.append(a0)
+        if len(cands) < 4:
+            b2 = fetch(xp - 1, yp - 1)
+            if b2 and b2 != a1 and b2 != b1:
+                cands.append(b2)
+        maxm = self.h.max_merge
+        if self.h.temporal_mvp and len(cands) < maxm:
+            tm = [None, None]
+            tu = [False, False]
+            for lx in (0, 1) if self.h.slice_type == SLICE_B else (0,):
+                mv = self._tmvp(xp, yp, w, h, 0, lx)
+                if mv is not None:
+                    tm[lx] = mv
+                    tu[lx] = True
+            if tu[0] or tu[1]:
+                cands.append((tu, [tm[0] or [0, 0], tm[1] or [0, 0]],
+                              [0, 0]))
+        # combined bi-predictive candidates (B slices)
+        if self.h.slice_type == SLICE_B and 1 < len(cands) < maxm:
+            order = ((0, 1), (1, 0), (0, 2), (2, 0), (1, 2), (2, 1),
+                     (0, 3), (3, 0), (1, 3), (3, 1), (2, 3), (3, 2))
+            n = len(cands)
+            for i, j in order:
+                if len(cands) >= maxm:
+                    break
+                if i >= n or j >= n:
+                    break
+                c0, c1 = cands[i], cands[j]
+                if not (c0[0][0] and c1[0][1]):
+                    continue
+                r0 = self.refs[0][c0[2][0]].poc
+                r1 = self.refs[1][c1[2][1]].poc
+                if r0 == r1 and c0[1][0] == c1[1][1]:
+                    continue
+                cands.append(([True, True], [list(c0[1][0]),
+                                             list(c1[1][1])],
+                              [c0[2][0], c1[2][1]]))
+        # zero-motion fill
+        if self.h.slice_type == SLICE_B:
+            nref = min(self.h.num_ref[0], self.h.num_ref[1])
+        else:
+            nref = self.h.num_ref[0]
+        zi = 0
+        while len(cands) < maxm:
+            r = zi if zi < nref else 0
+            if self.h.slice_type == SLICE_B:
+                cands.append(([True, True], [[0, 0], [0, 0]], [r, r]))
+            else:
+                cands.append(([True, False], [[0, 0], [0, 0]], [r, 0]))
+            zi += 1
+        return cands
+
+    def _tmvp(self, xp, yp, w, h, ref_idx, list_x):
+        """8.5.3.2.8 temporal MV candidate, or None."""
+        if self.col_pic is None:
+            return None
+        sps = self.sps
+        xbr, ybr = xp + w, yp + h
+        mv = None
+        if ((ybr >> sps.log2_ctb) == (yp >> sps.log2_ctb)
+                and ybr < sps.height and xbr < sps.width):
+            mv = self._col_mv((xbr >> 4) << 4, (ybr >> 4) << 4,
+                              ref_idx, list_x)
+        if mv is None:
+            xc, yc = xp + (w >> 1), yp + (h >> 1)
+            mv = self._col_mv((xc >> 4) << 4, (yc >> 4) << 4,
+                              ref_idx, list_x)
+        return mv
+
+    def _col_mv(self, x, y, ref_idx, list_x):
+        col = self.col_pic
+        gi = (y >> 2, x >> 2)
+        if col.is_intra[gi]:
+            return None
+        u = col.mv_used[gi]
+        if not u[0] and not u[1]:
+            return None
+        if not u[0]:
+            n = 1
+        elif not u[1]:
+            n = 0
+        elif self.no_backward:
+            n = list_x
+        else:
+            n = self.h.collocated_from_l0
+        mvc = [int(col.mv[gi][n][0]), int(col.mv[gi][n][1])]
+        col_diff = col.poc - int(col.ref_poc[gi][n])
+        cur_diff = self.pic.poc - self.refs[list_x][ref_idx].poc
+        if col_diff == cur_diff:
+            return mvc
+        return [_mv_scale(v, cur_diff, col_diff) for v in mvc]
+
+    def _amvp(self, xp, yp, w, h, list_x, ref_idx, mvp_flag,
+              part_idx, part):
+        """8.5.3.2.5/6 AMVP predictor selection."""
+        target = self.refs[list_x][ref_idx]
+        a0p, a1p = (xp - 1, yp + h), (xp - 1, yp + h - 1)
+        b0p, b1p, b2p = ((xp + w, yp - 1), (xp + w - 1, yp - 1),
+                         (xp - 1, yp - 1))
+        a_cands = [self._mot_at(*p) for p in (a0p, a1p)]
+        is_scaled = any(c is not None for c in a_cands)
+        mva = self._amvp_noscale(a_cands, list_x, target)
+        if mva is None and is_scaled:
+            mva = self._amvp_scaled(a_cands, list_x, target)
+        b_cands = [self._mot_at(*p) for p in (b0p, b1p, b2p)]
+        mvb = self._amvp_noscale(b_cands, list_x, target)
+        if not is_scaled:
+            if mva is None and mvb is not None:
+                mva = mvb
+                mvb = None
+            if mvb is None:
+                mvb = self._amvp_scaled(b_cands, list_x, target)
+                if mvb is not None and mva is not None and mvb == mva:
+                    mvb = None
+        cands = [m for m in (mva, mvb if mvb != mva else None)
+                 if m is not None]
+        if len(cands) < 2 and self.h.temporal_mvp:
+            t = self._tmvp(xp, yp, w, h, ref_idx, list_x)
+            if t is not None:
+                cands.append(t)
+        while len(cands) < 2:
+            cands.append([0, 0])
+        return cands[mvp_flag]
+
+    def _amvp_noscale(self, cands, list_x, target):
+        for c in cands:
+            if c is None:
+                continue
+            for lx in (list_x, 1 - list_x):
+                if c[0][lx] and lx < len(self.refs) and \
+                        c[2][lx] < len(self.refs[lx]) and \
+                        self.refs[lx][c[2][lx]].poc == target.poc:
+                    return list(c[1][lx])
+        return None
+
+    def _amvp_scaled(self, cands, list_x, target):
+        for c in cands:
+            if c is None:
+                continue
+            for lx in (list_x, 1 - list_x):
+                if c[0][lx]:
+                    cand_diff = self.pic.poc - \
+                        self.refs[lx][c[2][lx]].poc
+                    cur_diff = self.pic.poc - target.poc
+                    if cand_diff == cur_diff:
+                        return list(c[1][lx])
+                    return [_mv_scale(v, cur_diff, cand_diff)
+                            for v in c[1][lx]]
+        return None
 
     def _pu_mode(self, x: int, y: int) -> int:
         if not self.cu_intra_split:
@@ -1193,7 +1683,8 @@ class _SliceDec:
                                  0 if c_idx == 0 else 1))
         # scan selection (mode-dependent for small intra TBs)
         scan_idx = 0
-        if log2 == 2 or (log2 == 3 and c_idx == 0):
+        if pred_mode is not None and (log2 == 2
+                                      or (log2 == 3 and c_idx == 0)):
             if 6 <= pred_mode <= 14:
                 scan_idx = 2
             elif 22 <= pred_mode <= 30:
@@ -1351,6 +1842,89 @@ class _SliceDec:
             return (prefix << rice) + c.bypass_bits(rice)
         return (((1 << (prefix - 3)) + 3 - 1) << rice) \
             + c.bypass_bits(prefix - 3 + rice)
+
+
+# ---------------------------------------------------------------------------
+# Inter prediction: fractional-sample interpolation (8.5.4.2.2).
+# Returns 14-bit-scale predictions (before the weighted-sample stage).
+# ---------------------------------------------------------------------------
+
+
+def _mc_luma_14bit(plane: np.ndarray, pw: int, ph: int, x0: int, y0: int,
+                   w: int, h: int, mvx: int, mvy: int) -> np.ndarray:
+    xi = x0 + (mvx >> 2)
+    yi = y0 + (mvy >> 2)
+    fx, fy = mvx & 3, mvy & 3
+    if fx == 0 and fy == 0:
+        xs = np.clip(np.arange(xi, xi + w), 0, pw - 1)
+        ys = np.clip(np.arange(yi, yi + h), 0, ph - 1)
+        return plane[np.ix_(ys, xs)].astype(np.int32) << 6
+    xs = np.clip(np.arange(xi - 3, xi + w + 4), 0, pw - 1)
+    ys = np.clip(np.arange(yi - 3, yi + h + 4), 0, ph - 1)
+    win = plane[np.ix_(ys, xs)].astype(np.int32)
+    if fx:
+        ftab = T.LUMA_FILTER[fx]
+        win = sum(ftab[i] * win[:, i:i + w] for i in range(8))
+    else:
+        win = win[:, 3:3 + w] << 6
+        # keep 14-bit scale consistent: horizontal pass contributes <<0,
+        # so undo the shift when a vertical pass follows
+        if fy:
+            win >>= 6
+    if fy:
+        ftab = T.LUMA_FILTER[fy]
+        win = sum(ftab[i] * win[i:i + h, :] for i in range(8))
+        if fx:
+            win >>= 6
+        return win
+    return win[3:3 + h, :]
+
+
+def _mc_chroma_14bit(plane: np.ndarray, pw: int, ph: int, x0: int, y0: int,
+                     w: int, h: int, mvx: int, mvy: int) -> np.ndarray:
+    """mv in eighth-chroma units (== the luma quarter-pel value)."""
+    xi = x0 + (mvx >> 3)
+    yi = y0 + (mvy >> 3)
+    fx, fy = mvx & 7, mvy & 7
+    if fx == 0 and fy == 0:
+        xs = np.clip(np.arange(xi, xi + w), 0, pw - 1)
+        ys = np.clip(np.arange(yi, yi + h), 0, ph - 1)
+        return plane[np.ix_(ys, xs)].astype(np.int32) << 6
+    xs = np.clip(np.arange(xi - 1, xi + w + 2), 0, pw - 1)
+    ys = np.clip(np.arange(yi - 1, yi + h + 2), 0, ph - 1)
+    win = plane[np.ix_(ys, xs)].astype(np.int32)
+    if fx:
+        ftab = T.CHROMA_FILTER[fx]
+        win = sum(ftab[i] * win[:, i:i + w] for i in range(4))
+    else:
+        win = win[:, 1:1 + w] << 6
+        if fy:
+            win >>= 6
+    if fy:
+        ftab = T.CHROMA_FILTER[fy]
+        win = sum(ftab[i] * win[i:i + h, :] for i in range(4))
+        if fx:
+            win >>= 6
+        return win
+    return win[1:1 + h, :]
+
+
+def _weighted_uni(pred: np.ndarray, wp) -> np.ndarray:
+    """8.5.4.2.2 default / 8.5.4.2.3 explicit, uni-directional, 8-bit."""
+    if wp is None:
+        return np.clip((pred + 32) >> 6, 0, 255)
+    w0, o0, log2wd = wp
+    return np.clip(((pred * w0 + (1 << (log2wd - 1))) >> log2wd) + o0,
+                   0, 255)
+
+
+def _weighted_bi(p0: np.ndarray, p1: np.ndarray, wp0, wp1) -> np.ndarray:
+    if wp0 is None:
+        return np.clip((p0 + p1 + 64) >> 7, 0, 255)
+    w0, o0, log2wd = wp0
+    w1, o1, _ = wp1
+    return np.clip((p0 * w0 + p1 * w1
+                    + ((o0 + o1 + 1) << log2wd)) >> (log2wd + 1), 0, 255)
 
 
 # ---------------------------------------------------------------------------
@@ -1513,13 +2087,15 @@ def deblock_picture(pic: _Picture, headers: dict[int, SliceHeader]) -> None:
     sps = pic.sps
     w, hgt = sps.width, sps.height
     for vertical in (True, False):
-        edge_grid = pic.tu_edge_v if vertical else pic.tu_edge_h
+        tu_grid = pic.tu_edge_v if vertical else pic.tu_edge_h
+        pu_grid = pic.pu_edge_v if vertical else pic.pu_edge_h
         dx, dy = (1, 0) if vertical else (0, 1)
         for ex in (range(8, w, 8) if vertical else range(0, w - 3, 4)):
             for ey in (range(0, hgt - 3, 4) if vertical
                        else range(8, hgt, 8)):
                 gq = (ey >> 2, ex >> 2)
-                if not edge_grid[gq]:
+                tu_edge = bool(tu_grid[gq])
+                if not (tu_edge or pu_grid[gq]):
                     continue
                 gp = (ey >> 2, (ex - 1) >> 2) if vertical else \
                     ((ey - 1) >> 2, ex >> 2)
@@ -1530,7 +2106,6 @@ def deblock_picture(pic: _Picture, headers: dict[int, SliceHeader]) -> None:
                 if pic.slice_id[gp] != sq and \
                         not h.loop_filter_across_slices:
                     continue
-                tu_edge = True
                 bs = _bs_for_edge(pic, gp, gq, tu_edge)
                 if bs == 0:
                     continue
@@ -1642,6 +2217,7 @@ class H265RefDecoder:
         self.sps_map: dict[int, SPS] = {}
         self.pps_map: dict[int, PPS] = {}
         self.cur_pic: _Picture | None = None
+        self.dpb: list[_Picture] = []
         self.cur_poc = 0
         self.slice_counter = 0
         self.slice_headers: dict[int, SliceHeader] = {}
@@ -1685,16 +2261,57 @@ class H265RefDecoder:
         h = parse_slice_header(rbsp, t, self.sps_map, self.pps_map)
         if h.first_slice:
             self._finish_picture()
+            if t in (NAL_IDR_W_RADL, NAL_IDR_N_LP):
+                self.dpb = []
             self.cur_pic = _Picture(h.sps, h.pps)
             self.cur_pic.nal_type = t
             self.cur_poc = self._compute_poc(h, t)
             self.cur_pic.poc = self.cur_poc
+            # RPS: drop DPB pictures not referenced by this picture
+            if t not in (NAL_IDR_W_RADL, NAL_IDR_N_LP):
+                keep = {self.cur_poc + d
+                        for d, _ in h.strps.neg + h.strps.pos}
+                self.dpb = [p for p in self.dpb if p.poc in keep]
         if h.dependent:
             raise NotImplementedError("dependent slice segments")
         self.slice_counter += 1
         self.slice_headers[self.slice_counter] = h
-        _SliceDec(self, self.cur_pic, h, rbsp, epb,
-                  self.slice_counter).run()
+        sd = _SliceDec(self, self.cur_pic, h, rbsp, epb,
+                       self.slice_counter)
+        if h.slice_type != SLICE_I:
+            sd.refs = self._build_ref_lists(h)
+            sd.no_backward = all(p.poc <= self.cur_poc
+                                 for lst in sd.refs for p in lst)
+            if h.temporal_mvp:
+                lst = sd.refs[0 if h.collocated_from_l0 else 1]
+                sd.col_pic = lst[h.collocated_ref_idx]
+        sd.run()
+
+    def _build_ref_lists(self, h: SliceHeader) -> tuple[list, list]:
+        """RefPicList0/1 from the short-term RPS (8.3.2-8.3.4)."""
+        if h.lt:
+            raise NotImplementedError("long-term reference pictures")
+        poc = self.cur_poc
+        by_poc = {p.poc: p for p in self.dpb}
+        before = [by_poc[poc + d] for d, u in h.strps.neg if u]
+        after = [by_poc[poc + d] for d, u in h.strps.pos if u]
+        lists = []
+        for order in ((before + after), (after + before)):
+            n = h.num_ref[0 if not lists else 1]
+            if not order:
+                lists.append([])
+                continue
+            tmp = []
+            while len(tmp) < n:
+                tmp += order
+            mods = h.rplm[len(lists)]
+            if mods is not None:
+                lists.append([tmp[m] for m in mods])
+            else:
+                lists.append(tmp[:n])
+        if h.slice_type == SLICE_P:
+            lists[1] = []
+        return lists[0], lists[1]
 
     def _compute_poc(self, h: SliceHeader, t: int) -> int:
         sps = h.sps
@@ -1733,6 +2350,7 @@ class H265RefDecoder:
                for h in self.slice_headers.values()):
             apply_sao(pic, self.slice_headers)
         self.slice_headers = {}
+        self.dpb.append(pic)
         if pic.nal_type in (NAL_IDR_W_RADL, NAL_IDR_N_LP):
             self.waiting.sort(key=lambda e: e[0])
             self.out.extend(f for _, f in self.waiting)

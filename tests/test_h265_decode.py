@@ -208,3 +208,70 @@ class TestSao:
         _run(_smooth_frames(96, 64, 2, seed=31), 96, 64,
              "keyint=1:wpp=1:no-signhide=1:frame-threads=1:sao=1:"
              "deblock=1:qp=38:ctu=32", tmp_path)
+
+
+def _moving_frames(w, h, n, seed=3):
+    """Smooth base rolled per frame: real motion plus a wrap seam that
+    forces boundary MVs and intra-in-P blocks late in the GOP."""
+    base = _smooth_frames(w, h, 1, seed=seed)[0]
+    out = []
+    for i in range(n):
+        y = np.roll(base[0], (3 * i, 7 * i), (0, 1))
+        u = np.roll(base[1], (i, 3 * i), (0, 1))
+        v = np.roll(base[2], (2 * i, i), (0, 1))
+        out.append((y.copy(), u.copy(), v.copy()))
+    return out
+
+
+class TestInterP:
+    """P slices: merge/AMVP, quarter-pel MC, TMVP, weighted pred."""
+
+    def test_p_basic_no_loopfilter(self, tmp_path):
+        _run(_moving_frames(96, 64, 10), 96, 64,
+             "keyint=8:bframes=0:no-wpp=1:no-signhide=1:frame-threads=1:"
+             "no-sao=1:no-deblock=1:qp=30:ref=1:no-temporal-mvp=1", tmp_path)
+
+    def test_p_tmvp_multi_ref(self, tmp_path):
+        _run(_moving_frames(96, 64, 10), 96, 64,
+             "keyint=8:bframes=0:no-wpp=1:no-signhide=1:frame-threads=1:"
+             "no-sao=1:no-deblock=1:qp=30:ref=2", tmp_path)
+
+    def test_p_deblock_sao(self, tmp_path):
+        _run(_moving_frames(112, 80, 14), 112, 80,
+             "keyint=12:bframes=0:no-wpp=1:frame-threads=1:qp=30:ref=3",
+             tmp_path)
+
+    def test_p_amp_rect_merge5(self, tmp_path):
+        _run(_moving_frames(96, 64, 10), 96, 64,
+             "keyint=8:bframes=0:no-wpp=1:frame-threads=1:no-sao=1:"
+             "no-deblock=1:qp=26:ref=3:amp=1:rect=1:max-merge=5", tmp_path)
+
+    def test_p_weightp(self, tmp_path):
+        _run(_moving_frames(112, 80, 14), 112, 80,
+             "keyint=12:bframes=0:no-wpp=1:frame-threads=1:qp=30:ref=2:"
+             "weightp=1", tmp_path)
+
+    def test_p_subpel_hex(self, tmp_path):
+        _run(_moving_frames(112, 80, 14), 112, 80,
+             "keyint=12:bframes=0:no-wpp=1:frame-threads=1:qp=28:ref=2:"
+             "subme=2:me=hex:max-merge=3", tmp_path)
+
+    def test_p_cu_qp_delta(self, tmp_path):
+        _run(_moving_frames(112, 80, 14), 112, 80,
+             "keyint=12:bframes=0:no-wpp=1:frame-threads=1:ref=2:"
+             "aq-mode=2:crf=28:qg-size=16", tmp_path)
+
+    def test_p_ctu64(self, tmp_path):
+        _run(_moving_frames(112, 80, 14), 112, 80,
+             "keyint=12:bframes=0:no-wpp=1:frame-threads=1:qp=30:ref=2:"
+             "ctu=64:min-cu-size=8", tmp_path)
+
+    def test_p_wpp(self, tmp_path):
+        _run(_moving_frames(96, 64, 10), 96, 64,
+             "keyint=8:bframes=0:wpp=1:frame-threads=1:qp=30:ref=2",
+             tmp_path)
+
+    def test_p_tskip_lossless(self, tmp_path):
+        _run(_moving_frames(112, 80, 14), 112, 80,
+             "keyint=12:bframes=0:no-wpp=1:frame-threads=1:qp=30:ref=2:"
+             "tskip=1:cu-lossless=1", tmp_path)
