@@ -275,3 +275,54 @@ class TestInterP:
         _run(_moving_frames(112, 80, 14), 112, 80,
              "keyint=12:bframes=0:no-wpp=1:frame-threads=1:qp=30:ref=2:"
              "tskip=1:cu-lossless=1", tmp_path)
+
+
+class TestInterB:
+    """B slices: bi-prediction, combined merge candidates, b-pyramid,
+    weighted bi-pred, open-GOP CRA/RASL ordering."""
+
+    def test_b_basic_no_loopfilter(self, tmp_path):
+        _run(_moving_frames(112, 80, 14), 112, 80,
+             "keyint=12:bframes=3:b-adapt=0:no-b-pyramid=1:no-wpp=1:"
+             "no-signhide=1:frame-threads=1:no-sao=1:no-deblock=1:qp=30:"
+             "ref=2", tmp_path)
+
+    def test_b_pyramid(self, tmp_path):
+        _run(_moving_frames(112, 80, 18), 112, 80,
+             "keyint=16:bframes=4:b-adapt=0:b-pyramid=1:no-wpp=1:"
+             "frame-threads=1:qp=30:ref=3", tmp_path)
+
+    def test_b_weightb(self, tmp_path):
+        _run(_moving_frames(112, 80, 14), 112, 80,
+             "keyint=12:bframes=3:b-adapt=0:no-wpp=1:frame-threads=1:"
+             "qp=30:ref=2:weightp=1:weightb=1", tmp_path)
+
+    def test_b_amp_rect_merge5(self, tmp_path):
+        _run(_moving_frames(112, 80, 14), 112, 80,
+             "keyint=12:bframes=3:b-adapt=0:no-wpp=1:frame-threads=1:"
+             "qp=26:ref=2:amp=1:rect=1:max-merge=5", tmp_path)
+
+    def test_b_adapt_pyramid_deep(self, tmp_path):
+        _run(_moving_frames(112, 80, 24), 112, 80,
+             "keyint=16:bframes=8:b-adapt=2:b-pyramid=1:no-wpp=1:"
+             "frame-threads=1:qp=30:ref=3:rc-lookahead=10", tmp_path)
+
+    def test_b_open_gop_cra(self, tmp_path):
+        _run(_moving_frames(112, 80, 20), 112, 80,
+             "keyint=8:min-keyint=8:open-gop=1:bframes=3:b-adapt=0:"
+             "no-wpp=1:frame-threads=1:qp=30:ref=2", tmp_path)
+
+    def test_b_closed_gop(self, tmp_path):
+        _run(_moving_frames(112, 80, 20), 112, 80,
+             "keyint=8:min-keyint=8:no-open-gop=1:bframes=3:b-adapt=0:"
+             "no-wpp=1:frame-threads=1:qp=30:ref=2", tmp_path)
+
+    def test_b_no_tmvp(self, tmp_path):
+        _run(_moving_frames(112, 80, 14), 112, 80,
+             "keyint=12:bframes=3:b-adapt=0:no-wpp=1:frame-threads=1:"
+             "qp=30:ref=2:no-temporal-mvp=1", tmp_path)
+
+    def test_b_wpp_sao(self, tmp_path):
+        _run(_moving_frames(112, 80, 14), 112, 80,
+             "keyint=12:bframes=3:b-adapt=0:wpp=1:frame-threads=1:"
+             "qp=32:ref=2", tmp_path)
