@@ -39,6 +39,8 @@ def auto_decoder_factory(pipeline, video_index: int):
             return mpeg2_decoder_factory(pipeline, video_index)
         if fmt.format == VideoStreamFormat.H264:
             return h264ref_decoder_factory(pipeline, video_index)
+        if fmt.format == VideoStreamFormat.H265:
+            return h265ref_decoder_factory(pipeline, video_index)
     if choice == "ffmpeg":
         return ffmpeg_decoder_factory(pipeline, video_index)
     if choice == "avlib":
@@ -57,10 +59,12 @@ def auto_decoder_factory(pipeline, video_index: int):
         return cv2_decoder_factory(pipeline, video_index)
     if fmt.format == VideoStreamFormat.H264:
         return h264ref_decoder_factory(pipeline, video_index)
+    if fmt.format == VideoStreamFormat.H265:
+        return h265ref_decoder_factory(pipeline, video_index)
     raise RuntimeError(
         f"no decoder available for {fmt.format.name} video "
         "(no ffmpeg binary, libav bridge, or cv2; the in-build decoders "
-        "handle MPEG2 and H.264)")
+        "handle MPEG2, H.264 and HEVC)")
 
 
 def avlib_available() -> bool:
@@ -113,6 +117,32 @@ def _open_h264_inbuild(es_head: bytes = b""):
 def decode_h264_ps_file(path: str, is_ps: bool = True):
     """Stream (Y, U, V) frames from a PS/Annex-B file through the
     in-build H.264 decoder, feeding whole NALs per block."""
+    return _decode_annexb_ps_file(path, _open_h264_inbuild, is_ps)
+
+
+def h265ref_decoder_factory(pipeline, video_index: int):
+    """Decode the PS intermediate with the in-build HEVC decoder
+    (video/h265_ref.py, bit-exact vs libavcodec in
+    tests/test_h265_decode.py). Beyond reference parity: the upstream
+    decodes HEVC only through FFmpeg (ReaderWriterFFmpeg.hpp:355)."""
+    path = pipeline.settings.int_video_file_path(video_index)
+    return decode_h265_ps_file(path)
+
+
+def _open_h265_inbuild(es_head: bytes = b""):
+    del es_head
+    from ..video.h265_ref import H265RefDecoder
+
+    return H265RefDecoder()
+
+
+def decode_h265_ps_file(path: str, is_ps: bool = True):
+    """Stream (Y, U, V) frames from a PS/Annex-B file through the
+    in-build HEVC decoder, feeding whole NALs per block."""
+    return _decode_annexb_ps_file(path, _open_h265_inbuild, is_ps)
+
+
+def _decode_annexb_ps_file(path: str, open_decoder, is_ps: bool):
     from ..ts.qp_extract import extract_ps_video_es
 
     dec = None
@@ -131,7 +161,7 @@ def decode_h264_ps_file(path: str, is_ps: bool = True):
                 es = block
             pend += es
             if dec is None:
-                dec = _open_h264_inbuild(pend)
+                dec = open_decoder(pend)
             # feed up to the last complete NAL (keep the open tail)
             cut = pend.rfind(b"\x00\x00\x01")
             if cut > 0:
@@ -141,7 +171,7 @@ def decode_h264_ps_file(path: str, is_ps: bool = True):
     if is_ps and ps_pend:
         pend += extract_ps_video_es(ps_pend)
     if dec is None:
-        dec = _open_h264_inbuild(pend)
+        dec = open_decoder(pend)
     for fr in dec.decode(pend) + dec.flush():
         yield fr[0], fr[1], fr[2]
 

@@ -25,7 +25,9 @@ class PMTESInfo:
 
 
 def is_video_stream(stream_type: int) -> bool:
-    return stream_type in (0x02, 0x1B)  # MPEG2, H.264
+    # MPEG2, H.264, H.265 (the reference comments 0x24 out of isVideo,
+    # Mpeg2TsParser.hpp:1420; in-build HEVC ingest goes beyond parity)
+    return stream_type in (0x02, 0x1B, 0x24)
 
 
 def is_audio_stream(stream_type: int) -> bool:

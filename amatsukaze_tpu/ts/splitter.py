@@ -24,6 +24,7 @@ from .packet import TS_PACKET_LENGTH, PacketBatch, TsPacket, TsPacketParser
 from .pes import PesParser, PESPacket
 from .selector import PMTESInfo, TsPacketSelector, TsPacketSelectorHandler
 from .video_h264 import H264VideoParser
+from .video_h265 import H265VideoParser
 from .video_mpeg2 import Mpeg2VideoParser
 
 MAX_BUFFERED_PACKETS = 50 * 1024  # 9.6 MB (ref TsSplitter.hpp:418)
@@ -130,11 +131,15 @@ class VideoFrameParser(PesParser):
         self._video_format = VideoFormat()
         self._mpeg2 = Mpeg2VideoParser(ctx)
         self._h264 = H264VideoParser(ctx)
+        self._h265 = H265VideoParser(ctx)
         self._parser = self._mpeg2
 
     def set_stream_format(self, fmt: VideoStreamFormat) -> None:
         if self._stream_format != fmt:
-            self._parser = self._mpeg2 if fmt == VideoStreamFormat.MPEG2 else self._h264
+            self._parser = {
+                VideoStreamFormat.MPEG2: self._mpeg2,
+                VideoStreamFormat.H265: self._h265,
+            }.get(fmt, self._h264)
             self.reset()
             self._stream_format = fmt
 
@@ -610,6 +615,8 @@ class TsSplitter(TsPacketSelectorHandler):
                 self.video_parser.set_stream_format(VideoStreamFormat.MPEG2)
             elif video.stype == 0x1B:
                 self.video_parser.set_stream_format(VideoStreamFormat.H264)
+            elif video.stype == 0x24:
+                self.video_parser.set_stream_format(VideoStreamFormat.H265)
             while len(self.audio_parsers) < len(audio):
                 idx = len(self.audio_parsers)
                 self.audio_parsers.append(

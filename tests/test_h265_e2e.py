@@ -1,0 +1,154 @@
+"""HEVC source support, validated with REAL x265 streams (encoded
+in-process via the FFmpeg bridge's libx265).
+
+Beyond reference parity: the upstream's TS layer comments stream_type
+0x24 out of isVideo (Mpeg2TsParser.hpp:1420) and decodes HEVC only via
+FFmpeg (ReaderWriterFFmpeg.hpp:355). Here HEVC TS is a first-class
+input: ts/video_h265.py parses the ES, and the in-build decoder
+(video/h265_ref.py) gives a zero-binary decode path.
+"""
+
+from __future__ import annotations
+
+import math
+import stat
+
+import numpy as np
+import pytest
+
+import mpeg2_enc as E
+import ts_gen
+
+
+def _bridge_or_skip():
+    from amatsukaze_tpu.video.avdec import avdec_available
+
+    if not avdec_available():
+        pytest.skip("FFmpeg bridge unavailable")
+
+
+def _encode_h265(frames, w, h, params="", **kw):
+    from amatsukaze_tpu.video.avdec import AvVideoEncoder
+
+    enc = AvVideoEncoder(
+        w, h, codec="libx265", preset="ultrafast", crf=20, bframes=0,
+        x264_params="keyint=15:min-keyint=15:frame-threads=1:aud=1:"
+                    "repeat-headers=1" + (":" + params if params else ""),
+        **kw)
+    aus = []
+    for f in frames:
+        aus.extend(enc.encode(f.y, f.u, f.v))
+    aus.extend(enc.flush())
+    return aus
+
+
+class TestH265Parser:
+    def test_real_x265_stream_parses(self):
+        _bridge_or_skip()
+        from amatsukaze_tpu.ts.video_h265 import H265VideoParser
+        from amatsukaze_tpu.types import FrameType, VideoStreamFormat
+        from amatsukaze_tpu.utils.context import AMTContext
+
+        n = 20
+        frames = E.synth_frames(96, 64, n)
+        aus = _encode_h265(frames, 96, 64)
+        assert len(aus) == n
+        p = H265VideoParser(AMTContext(level="error"))
+        infos = []
+        for i, au in enumerate(aus):
+            r = p.input_frame(au, pts=90000 + i * 3003,
+                              dts=90000 + i * 3003)
+            if r:
+                infos.extend(r)
+        assert len(infos) == n
+        f0 = infos[0]
+        assert f0.format.width == 96 and f0.format.height == 64
+        assert f0.format.format == VideoStreamFormat.H265
+        assert f0.format.frame_rate_num == 30000
+        assert f0.format.frame_rate_denom == 1001
+        assert f0.format.progressive
+        assert f0.is_gop_start
+        assert f0.type == FrameType.I
+        assert any(fi.type == FrameType.P for fi in infos[1:])
+        # second GOP starts at the IRAP 15 frames in
+        assert infos[15].is_gop_start and infos[15].type == FrameType.I
+        assert infos[0].pts == 90000 and infos[1].pts == 93003
+
+    def test_conformance_crop_and_sar(self):
+        _bridge_or_skip()
+        from amatsukaze_tpu.ts.video_h265 import H265VideoParser
+        from amatsukaze_tpu.utils.context import AMTContext
+
+        # 100x60 forces a conformance window inside 8-aligned CTBs
+        frames = E.synth_frames(100, 60, 2)
+        aus = _encode_h265(frames, 100, 60, params="sar=4\\:3")
+        p = H265VideoParser(AMTContext(level="error"))
+        infos = []
+        for i, au in enumerate(aus):
+            r = p.input_frame(au, pts=90000 + i * 3003, dts=-1)
+            if r:
+                infos.extend(r)
+        assert infos[0].format.width == 100
+        assert infos[0].format.height == 60
+        assert (infos[0].format.sar_width, infos[0].format.sar_height) \
+            == (4, 3)
+
+
+class TestH265Pipeline:
+    def _run(self, tmp_path, conf_tune=None, n=24):
+        from amatsukaze_tpu.pipeline.decoders import default_decoder_factory
+        from amatsukaze_tpu.pipeline.settings import Config, Settings
+        from amatsukaze_tpu.pipeline.transcode import TranscodePipeline
+        from amatsukaze_tpu.utils.context import AMTContext
+
+        W, H = 96, 64
+        frames = E.synth_frames(W, H, n)
+        aus = _encode_h265(frames, W, H)
+        src = tmp_path / "h265.ts"
+        src.write_bytes(ts_gen.build_simple_ts(
+            width=W, height=H, video_es_frames=aus,
+            video_stream_type=0x24))
+        fake = tmp_path / "fake_enc"
+        fake.write_text(
+            '#!/bin/bash\nout=""\nwhile [ $# -gt 0 ]; do case "$1" in '
+            '-o) out="$2"; shift 2;; *) shift;; esac; done\ncat > "$out"\n')
+        fake.chmod(fake.stat().st_mode | stat.S_IEXEC)
+
+        conf = Config()
+        conf.src_file_path = str(src)
+        conf.out_video_path = str(tmp_path / "out")
+        conf.out_info_json_path = str(tmp_path / "r.json")
+        conf.work_dir = str(tmp_path)
+        conf.encoder_path = str(fake)
+        conf.no_remove_tmp = True
+        if conf_tune:
+            conf_tune(conf)
+        ctx = AMTContext(level="error")
+        pipe = TranscodePipeline(ctx, Settings(ctx, conf),
+                                 decoder_factory=default_decoder_factory())
+        report = pipe.run()
+        data = open(report["outfiles"][0]["path"], "rb").read()
+        assert data.startswith(b"YUV4MPEG2")
+        got = data.count(b"FRAME\n")
+        assert got >= n - 1  # one frame can be lost at stream EOF
+        i = data.index(b"FRAME\n") + 6
+        y0 = np.frombuffer(data[i:i + W * H], np.uint8).reshape(H, W)
+        mse = np.mean((y0.astype(float) - frames[0].y.astype(float)) ** 2)
+        psnr = 10 * math.log10(255 ** 2 / max(mse, 1e-9))
+        assert psnr > 35, psnr
+
+    def test_full_transcode_real_pixels(self, tmp_path):
+        """HEVC-in-TS -> demux -> reform -> decode -> filter none ->
+        encoder: decoded pixels reach the output."""
+        _bridge_or_skip()
+        self._run(tmp_path)
+
+    def test_inbuild_decoder_route(self, tmp_path):
+        """Same flow forced through the in-build HEVC decoder
+        (h264_decoder='native' routes all AVC/HEVC to the oracles)."""
+        _bridge_or_skip()
+
+        def tune(conf):
+            conf.h264_decoder = "native"
+
+        self._run(tmp_path, conf_tune=tune, n=10)
