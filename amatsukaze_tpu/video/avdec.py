@@ -47,6 +47,9 @@ def _load():
             return None
         lib.AvDec_Open.restype = ctypes.c_void_p
         lib.AvDec_Open.argtypes = [ctypes.c_char_p]
+        if hasattr(lib, "AvDec_Open10"):
+            lib.AvDec_Open10.restype = ctypes.c_void_p
+            lib.AvDec_Open10.argtypes = [ctypes.c_char_p]
         lib.AvDec_Info.argtypes = [ctypes.c_void_p,
                                    ctypes.POINTER(ctypes.c_int)]
         lib.AvDec_NextFrame.argtypes = [
@@ -72,12 +75,17 @@ def avdec_available() -> bool:
 class AvVideoDecoder:
     """Decode any container/codec FFmpeg knows to (Y, U, V) planes."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, keep_depth: bool = False):
+        """With keep_depth, 10-bit sources (HEVC Main10) yield uint16
+        planes instead of being converted down to 8-bit."""
         lib = _load()
         if lib is None:
             raise RuntimeError("FFmpeg bridge unavailable")
         self._lib = lib
-        self._h = lib.AvDec_Open(path.encode())
+        if keep_depth and hasattr(lib, "AvDec_Open10"):
+            self._h = lib.AvDec_Open10(path.encode())
+        else:
+            self._h = lib.AvDec_Open(path.encode())
         if not self._h:
             raise RuntimeError(f"cannot open {path}")
         info = (ctypes.c_int * 12)()
@@ -90,6 +98,7 @@ class AvVideoDecoder:
         self.codec_id = info[5]
         self.chroma_class = info[6]  # 1 = 4:2:0, 2 = 4:2:2
         self.sar = (info[7], info[8])
+        self.bit_depth = info[9] or 8
 
     def __del__(self):
         h = getattr(self, "_h", None)
@@ -98,15 +107,17 @@ class AvVideoDecoder:
             self._h = None
 
     def frames(self):
-        """Yield (y, u, v[, finfo]) uint8 planes in display order."""
+        """Yield (y, u, v[, finfo]) planes in display order (uint8, or
+        uint16 for 10-bit sources opened with keep_depth)."""
         w, h = self.width, self.height
         ch = h if self.chroma_class == 2 else h // 2
         cw = w // 2
+        dt = np.uint16 if self.bit_depth > 8 else np.uint8
         finfo = (ctypes.c_int * 4)()
         while True:
-            y = np.empty((h, w), np.uint8)
-            u = np.empty((ch, cw), np.uint8)
-            v = np.empty((ch, cw), np.uint8)
+            y = np.empty((h, w), dt)
+            u = np.empty((ch, cw), dt)
+            v = np.empty((ch, cw), dt)
             r = self._lib.AvDec_NextFrame(
                 self._h, y.ctypes.data_as(ctypes.c_void_p),
                 u.ctypes.data_as(ctypes.c_void_p),
@@ -165,7 +176,7 @@ class AvVideoEncoder:
                  fps_den: int = 1001, crf: int = 20,
                  preset: str = "veryfast", interlaced: bool = False,
                  bframes: int = 2, x264_params: str = "",
-                 codec: str = "libx264"):
+                 codec: str = "libx264", bit_depth: int = 8):
         lib = _load()
         if lib is None:
             raise RuntimeError("FFmpeg bridge unavailable")
@@ -182,15 +193,31 @@ class AvVideoEncoder:
         lib.AvEnc_Encode.restype = ctypes.c_int
         lib.AvEnc_Close.argtypes = [ctypes.c_void_p]
         self._lib = lib
-        self._h = lib.AvEnc_Open2(codec.encode(), width, height,
-                                  fps_num, fps_den,
-                                  crf, preset.encode(),
-                                  1 if interlaced else 0, bframes,
-                                  x264_params.encode())
+        if bit_depth > 8:
+            if not hasattr(lib, "AvEnc_Open3"):
+                raise RuntimeError("bridge lacks 10-bit encode support")
+            lib.AvEnc_Open3.restype = ctypes.c_void_p
+            lib.AvEnc_Open3.argtypes = (
+                [ctypes.c_char_p] + [ctypes.c_int] * 5
+                + [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                   ctypes.c_char_p, ctypes.c_int])
+            self._h = lib.AvEnc_Open3(codec.encode(), width, height,
+                                      fps_num, fps_den,
+                                      crf, preset.encode(),
+                                      1 if interlaced else 0, bframes,
+                                      x264_params.encode(), bit_depth)
+        else:
+            self._h = lib.AvEnc_Open2(codec.encode(), width, height,
+                                      fps_num, fps_den,
+                                      crf, preset.encode(),
+                                      1 if interlaced else 0, bframes,
+                                      x264_params.encode())
         if not self._h:
             raise RuntimeError(f"{codec} encoder unavailable")
         self.width, self.height = width, height
-        self._buf = np.empty(width * height * 4 + (1 << 16), np.uint8)
+        self.bit_depth = bit_depth
+        self._dtype = np.uint16 if bit_depth > 8 else np.uint8
+        self._buf = np.empty(width * height * 8 + (1 << 16), np.uint8)
 
     def __del__(self):
         h = getattr(self, "_h", None)
@@ -220,9 +247,9 @@ class AvVideoEncoder:
                ) -> list[bytes]:
         """-> list of complete access units (coded order; may be empty
         while the encoder buffers)."""
-        y = np.ascontiguousarray(y, np.uint8)
-        u = np.ascontiguousarray(u, np.uint8)
-        v = np.ascontiguousarray(v, np.uint8)
+        y = np.ascontiguousarray(y, self._dtype)
+        u = np.ascontiguousarray(u, self._dtype)
+        v = np.ascontiguousarray(v, self._dtype)
         return self._collect(y, u, v)
 
     def flush(self) -> list[bytes]:

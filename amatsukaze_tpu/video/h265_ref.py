@@ -180,8 +180,8 @@ def parse_sps(rbsp: bytes) -> SPS:
         s.conf_win = (r.ue(), r.ue(), r.ue(), r.ue())  # l, r, t, b
     s.bit_depth = r.ue() + 8
     s.bit_depth_c = r.ue() + 8
-    if s.bit_depth != 8 or s.bit_depth_c != 8:
-        raise NotImplementedError("only 8-bit supported")
+    if s.bit_depth != s.bit_depth_c or s.bit_depth not in (8, 10):
+        raise NotImplementedError("only 8/10-bit 4:2:0 supported")
     s.log2_max_poc_lsb = r.ue() + 4
     sub_ordering = r.read(1)
     s.max_dec_pic_buffering = 0
@@ -535,30 +535,33 @@ class Cabac:
 _DCT = {2: T.DCT4, 3: T.DCT8, 4: T.DCT16, 5: T.DCT32}
 
 
-def dequant_block(coef: np.ndarray, qp: int, log2: int) -> np.ndarray:
+def dequant_block(coef: np.ndarray, qp: int, log2: int,
+                  bd: int = 8) -> np.ndarray:
     """8.6.3 with flat (m=16) scaling lists, 8-bit."""
-    shift = 8 + log2 - 5
+    shift = bd + log2 - 5
     scale = 16 * T.LEVEL_SCALE[qp % 6] << (qp // 6)
     d = (coef.astype(np.int64) * scale + (1 << (shift - 1))) >> shift
     return np.clip(d, -32768, 32767)
 
 
-def inv_transform(d: np.ndarray, log2: int, dst: bool) -> np.ndarray:
+def inv_transform(d: np.ndarray, log2: int, dst: bool,
+                  bd: int = 8) -> np.ndarray:
     """8.6.4.2: vertical then horizontal inverse, 16-bit intermediate
-    clip, second-stage shift 20-BitDepth=12."""
+    clip, second-stage shift 20-BitDepth."""
     m = (T.DST4 if dst else _DCT[log2]).astype(np.int64)
     tmp = np.clip((m.T @ d.astype(np.int64) + 64) >> 7, -32768, 32767)
-    return (tmp @ m + 2048) >> 12
+    return (tmp @ m + (1 << (19 - bd))) >> (20 - bd)
 
 
 def residual_from_coeffs(coef: np.ndarray, qp: int, log2: int,
-                         dst: bool, ts: bool, bypass: bool) -> np.ndarray:
+                         dst: bool, ts: bool, bypass: bool,
+                         bd: int = 8) -> np.ndarray:
     if bypass:
         return coef.astype(np.int64)
-    d = dequant_block(coef, qp, log2)
+    d = dequant_block(coef, qp, log2, bd)
     if ts:
-        return ((d << 7) + 2048) >> 12
-    return inv_transform(d, log2, dst)
+        return ((d << 7) + (1 << (19 - bd))) >> (20 - bd)
+    return inv_transform(d, log2, dst, bd)
 
 
 # ---------------------------------------------------------------------------
@@ -567,7 +570,8 @@ def residual_from_coeffs(coef: np.ndarray, qp: int, log2: int,
 
 
 def _intra_refs(plane: np.ndarray, px: int, py: int, nT: int,
-                avail_fn) -> tuple[np.ndarray, np.ndarray, int]:
+                avail_fn, bd: int = 8
+                ) -> tuple[np.ndarray, np.ndarray, int]:
     """Reference sample gather + substitution (8.4.4.2.2).
     Returns (left[0..2nT-1], top[0..2nT-1], topleft)."""
     n2 = 2 * nT
@@ -590,7 +594,9 @@ def _intra_refs(plane: np.ndarray, px: int, py: int, nT: int,
         tl = int(plane[py - 1, px - 1])
         tla = True
     if not (tla or la.any() or ta.any()):
-        return (np.full(n2, 128, np.int32), np.full(n2, 128, np.int32), 128)
+        half = 1 << (bd - 1)
+        return (np.full(n2, half, np.int32),
+                np.full(n2, half, np.int32), half)
     # substitution scan: left bottom-up, topleft, top left-to-right
     if not la[n2 - 1]:
         # first available in scan order
@@ -615,12 +621,14 @@ def _intra_refs(plane: np.ndarray, px: int, py: int, nT: int,
 
 
 def _filter_refs(left, top, tl, nT: int, mode: int,
-                 strong: bool) -> tuple[np.ndarray, np.ndarray, int]:
+                 strong: bool, bd: int = 8
+                 ) -> tuple[np.ndarray, np.ndarray, int]:
     """8.4.4.2.3 (luma only; caller gates on cIdx/size/mode)."""
     n2 = 2 * nT
+    thr = 1 << (bd - 5)
     if strong and nT == 32 and (
-            abs(tl + top[n2 - 1] - 2 * top[nT - 1]) < 8
-            and abs(tl + left[n2 - 1] - 2 * left[nT - 1]) < 8):
+            abs(tl + top[n2 - 1] - 2 * top[nT - 1]) < thr
+            and abs(tl + left[n2 - 1] - 2 * left[nT - 1]) < thr):
         ftop = np.empty(n2, np.int32)
         fleft = np.empty(n2, np.int32)
         for x in range(n2 - 1):
@@ -643,15 +651,16 @@ def _filter_refs(left, top, tl, nT: int, mode: int,
 
 
 def intra_predict(plane: np.ndarray, px: int, py: int, nT: int, mode: int,
-                  cIdx: int, avail_fn, strong_smoothing: bool) -> np.ndarray:
+                  cIdx: int, avail_fn, strong_smoothing: bool,
+                  bd: int = 8) -> np.ndarray:
     """8.4.4.2.4-6 -> predicted block (nT x nT int32)."""
-    left, top, tl = _intra_refs(plane, px, py, nT, avail_fn)
+    left, top, tl = _intra_refs(plane, px, py, nT, avail_fn, bd)
     if cIdx == 0 and mode != 1 and nT > 4:
         mindist = min(abs(mode - 26), abs(mode - 10))
         thr = {8: 7, 16: 1, 32: 0}[nT]
         if mindist > thr:
             left, top, tl = _filter_refs(left, top, tl, nT, mode,
-                                         strong_smoothing)
+                                         strong_smoothing, bd)
     pred = np.empty((nT, nT), np.int32)
     if mode == 0:  # planar (8.4.4.2.4)
         xs = np.arange(nT)
@@ -694,7 +703,7 @@ def intra_predict(plane: np.ndarray, px: int, py: int, nT: int, mode: int,
                 pred[y] = ref[base:base + nT]
         if mode == 26 and cIdx == 0 and nT < 32:
             col = top[0] + ((left[:nT] - tl) >> 1)
-            pred[:, 0] = np.clip(col, 0, 255)
+            pred[:, 0] = np.clip(col, 0, (1 << bd) - 1)
         return pred
     # near-horizontal: main = left (transpose of the vertical case)
     ref = np.zeros(3 * nT + 1, np.int32)
@@ -717,7 +726,7 @@ def intra_predict(plane: np.ndarray, px: int, py: int, nT: int, mode: int,
             pred[:, x] = ref[base:base + nT]
     if mode == 10 and cIdx == 0 and nT < 32:
         row = left[0] + ((top[:nT] - tl) >> 1)
-        pred[0] = np.clip(row, 0, 255)
+        pred[0] = np.clip(row, 0, (1 << bd) - 1)
     return pred
 
 
@@ -731,9 +740,10 @@ class _Picture:
         self.sps, self.pps = sps, pps
         wp = sps.pic_w_ctbs << sps.log2_ctb
         hp = sps.pic_h_ctbs << sps.log2_ctb
-        self.Y = np.zeros((hp, wp), np.uint8)
-        self.U = np.zeros((hp >> 1, wp >> 1), np.uint8)
-        self.V = np.zeros((hp >> 1, wp >> 1), np.uint8)
+        dt = np.uint16 if sps.bit_depth > 8 else np.uint8
+        self.Y = np.zeros((hp, wp), dt)
+        self.U = np.zeros((hp >> 1, wp >> 1), dt)
+        self.V = np.zeros((hp >> 1, wp >> 1), dt)
         g = (hp >> 2, wp >> 2)
         self.avail = np.zeros(g, bool)        # samples reconstructed
         self.decided = np.zeros(g, bool)      # mode info parsed (z-scan)
@@ -910,7 +920,9 @@ class _SliceDec:
             if (yq % ctb) and self._zavail(xq, yq - 1, parse=True):
                 qb = int(self.pic.qp[(yq - 1) >> 2, xq >> 2])
             pred = (qa + qb + 1) >> 1
-            self.cur_cu_qp = (pred + self.delta_val + 52) % 52
+            qbd = 6 * (self.sps.bit_depth - 8)
+            self.cur_cu_qp = ((pred + self.delta_val + 52 + 2 * qbd)
+                              % (52 + qbd)) - qbd
         return self.cur_cu_qp
 
     # -- slice data loop -----------------------------------------------------
@@ -990,7 +1002,8 @@ class _SliceDec:
             pic.sao_type[ry, rx, ci] = typ
             if typ == 0:
                 continue
-            offs = [c.tr_bypass(7) for _ in range(4)]
+            cmax = (1 << (min(self.sps.bit_depth, 10) - 5)) - 1
+            offs = [c.tr_bypass(cmax) for _ in range(4)]
             if typ == 1:  # band
                 for i in range(4):
                     if offs[i] and c.bypass():
@@ -1233,22 +1246,24 @@ class _SliceDec:
             self.is_delta_coded = True
             self.cur_cu_qp = None
         intra = self.cu_is_intra
+        bd = self.sps.bit_depth
+        qbd = 6 * (bd - 8)
         # luma: predict (intra) or take the MC output, add residual
         if intra:
             mode = self._pu_mode(x0, y0)
             pred = intra_predict(pic.Y, x0, y0, size, mode, 0,
                                  self._sample_avail_luma,
-                                 bool(self.sps.strong_intra_smoothing))
+                                 bool(self.sps.strong_intra_smoothing), bd)
         else:
             mode = None
             pred = pic.Y[y0:y0 + size, x0:x0 + size].astype(np.int32)
         if cbf_l:
             coef, ts = self._residual_coding(log2, 0, mode)
-            res = residual_from_coeffs(coef, self._cu_qp(), log2,
+            res = residual_from_coeffs(coef, self._cu_qp() + qbd, log2,
                                        dst=(intra and log2 == 2), ts=ts,
-                                       bypass=self.cu_bypass)
+                                       bypass=self.cu_bypass, bd=bd)
             pred = pred + res
-        pic.Y[y0:y0 + size, x0:x0 + size] = np.clip(pred, 0, 255)
+        pic.Y[y0:y0 + size, x0:x0 + size] = np.clip(pred, 0, (1 << bd) - 1)
         g = (slice(y0 >> 2, (y0 + size) >> 2),
              slice(x0 >> 2, (x0 + size) >> 2))
         if intra:
@@ -1271,21 +1286,22 @@ class _SliceDec:
             if intra:
                 cmode = self.cu_chroma_mode
                 predc = intra_predict(plane, cx, cy, csize, cmode, c_idx,
-                                      self._sample_avail_chroma, False)
+                                      self._sample_avail_chroma, False, bd)
             else:
                 cmode = None
                 predc = plane[cy:cy + csize,
                               cx:cx + csize].astype(np.int32)
             if cbf:
                 coef, ts = self._residual_coding(clog2, c_idx, cmode)
-                qpi = _clip3(0, 57, qpy + off)
+                qpi = _clip3(-qbd, 57, qpy + off)
                 qpc = T.chroma_qp_from_luma(qpi)
-                res = residual_from_coeffs(coef, qpc, clog2, dst=False,
-                                           ts=ts, bypass=self.cu_bypass)
+                res = residual_from_coeffs(coef, qpc + qbd, clog2,
+                                           dst=False, ts=ts,
+                                           bypass=self.cu_bypass, bd=bd)
                 predc = predc + res
             if cbf or intra:
                 plane[cy:cy + csize, cx:cx + csize] = \
-                    np.clip(predc, 0, 255)
+                    np.clip(predc, 0, (1 << bd) - 1)
 
     # -- inter CUs ---------------------------------------------------------
 
@@ -1429,6 +1445,8 @@ class _SliceDec:
     def _mc_pu(self, xp, yp, w, h, used, mvs, ridx) -> None:
         pic = self.pic
         sps = self.sps
+        bd = sps.bit_depth
+        obd = bd - 8  # WpOffsetBdShift: offsets are coded in 8-bit range
         pw = self.h.pred_weights
         preds = {}
         wps = {}
@@ -1439,16 +1457,19 @@ class _SliceDec:
             mx, my = mvs[lx]
             preds[lx] = (
                 _mc_luma_14bit(ref.Y, sps.width, sps.height,
-                               xp, yp, w, h, mx, my),
+                               xp, yp, w, h, mx, my, bd),
                 _mc_chroma_14bit(ref.U, sps.width >> 1, sps.height >> 1,
-                                 xp >> 1, yp >> 1, w >> 1, h >> 1, mx, my),
+                                 xp >> 1, yp >> 1, w >> 1, h >> 1,
+                                 mx, my, bd),
                 _mc_chroma_14bit(ref.V, sps.width >> 1, sps.height >> 1,
-                                 xp >> 1, yp >> 1, w >> 1, h >> 1, mx, my))
+                                 xp >> 1, yp >> 1, w >> 1, h >> 1,
+                                 mx, my, bd))
             if pw is not None:
                 llog2, clog2, tab = pw
                 wy, oy, (wcb, ocb), (wcr, ocr) = tab[lx][ridx[lx]]
-                wps[lx] = ((wy, oy, llog2 + 6), (wcb, ocb, clog2 + 6),
-                           (wcr, ocr, clog2 + 6))
+                wps[lx] = ((wy, oy << obd, llog2 + 14 - bd),
+                           (wcb, ocb << obd, clog2 + 14 - bd),
+                           (wcr, ocr << obd, clog2 + 14 - bd))
             else:
                 wps[lx] = (None, None, None)
         planes = (pic.Y, pic.U, pic.V)
@@ -1458,10 +1479,10 @@ class _SliceDec:
             ww, hh2 = w >> sh, h >> sh
             if len(preds) == 1:
                 lx = next(iter(preds))
-                out = _weighted_uni(preds[lx][pi], wps[lx][pi])
+                out = _weighted_uni(preds[lx][pi], wps[lx][pi], bd)
             else:
                 out = _weighted_bi(preds[0][pi], preds[1][pi],
-                                   wps[0][pi], wps[1][pi])
+                                   wps[0][pi], wps[1][pi], bd)
             planes[pi][yy:yy + hh2, xx:xx + ww] = out
 
     # -- motion candidate derivation ----------------------------------------
@@ -1851,80 +1872,83 @@ class _SliceDec:
 
 
 def _mc_luma_14bit(plane: np.ndarray, pw: int, ph: int, x0: int, y0: int,
-                   w: int, h: int, mvx: int, mvy: int) -> np.ndarray:
+                   w: int, h: int, mvx: int, mvy: int,
+                   bd: int = 8) -> np.ndarray:
+    """8.5.4.2.2.1: 14-bit intermediates; first filter stage shifted by
+    BitDepth-8, second by 6, full-pel samples by 14-BitDepth."""
     xi = x0 + (mvx >> 2)
     yi = y0 + (mvy >> 2)
     fx, fy = mvx & 3, mvy & 3
+    s1 = bd - 8
     if fx == 0 and fy == 0:
         xs = np.clip(np.arange(xi, xi + w), 0, pw - 1)
         ys = np.clip(np.arange(yi, yi + h), 0, ph - 1)
-        return plane[np.ix_(ys, xs)].astype(np.int32) << 6
+        return plane[np.ix_(ys, xs)].astype(np.int32) << (14 - bd)
     xs = np.clip(np.arange(xi - 3, xi + w + 4), 0, pw - 1)
     ys = np.clip(np.arange(yi - 3, yi + h + 4), 0, ph - 1)
     win = plane[np.ix_(ys, xs)].astype(np.int32)
     if fx:
         ftab = T.LUMA_FILTER[fx]
-        win = sum(ftab[i] * win[:, i:i + w] for i in range(8))
+        win = sum(ftab[i] * win[:, i:i + w] for i in range(8)) >> s1
     else:
-        win = win[:, 3:3 + w] << 6
-        # keep 14-bit scale consistent: horizontal pass contributes <<0,
-        # so undo the shift when a vertical pass follows
-        if fy:
-            win >>= 6
+        win = win[:, 3:3 + w]
     if fy:
         ftab = T.LUMA_FILTER[fy]
         win = sum(ftab[i] * win[i:i + h, :] for i in range(8))
-        if fx:
-            win >>= 6
+        win >>= 6 if fx else s1
         return win
     return win[3:3 + h, :]
 
 
 def _mc_chroma_14bit(plane: np.ndarray, pw: int, ph: int, x0: int, y0: int,
-                     w: int, h: int, mvx: int, mvy: int) -> np.ndarray:
+                     w: int, h: int, mvx: int, mvy: int,
+                     bd: int = 8) -> np.ndarray:
     """mv in eighth-chroma units (== the luma quarter-pel value)."""
     xi = x0 + (mvx >> 3)
     yi = y0 + (mvy >> 3)
     fx, fy = mvx & 7, mvy & 7
+    s1 = bd - 8
     if fx == 0 and fy == 0:
         xs = np.clip(np.arange(xi, xi + w), 0, pw - 1)
         ys = np.clip(np.arange(yi, yi + h), 0, ph - 1)
-        return plane[np.ix_(ys, xs)].astype(np.int32) << 6
+        return plane[np.ix_(ys, xs)].astype(np.int32) << (14 - bd)
     xs = np.clip(np.arange(xi - 1, xi + w + 2), 0, pw - 1)
     ys = np.clip(np.arange(yi - 1, yi + h + 2), 0, ph - 1)
     win = plane[np.ix_(ys, xs)].astype(np.int32)
     if fx:
         ftab = T.CHROMA_FILTER[fx]
-        win = sum(ftab[i] * win[:, i:i + w] for i in range(4))
+        win = sum(ftab[i] * win[:, i:i + w] for i in range(4)) >> s1
     else:
-        win = win[:, 1:1 + w] << 6
-        if fy:
-            win >>= 6
+        win = win[:, 1:1 + w]
     if fy:
         ftab = T.CHROMA_FILTER[fy]
         win = sum(ftab[i] * win[i:i + h, :] for i in range(4))
-        if fx:
-            win >>= 6
+        win >>= 6 if fx else s1
         return win
     return win[1:1 + h, :]
 
 
-def _weighted_uni(pred: np.ndarray, wp) -> np.ndarray:
-    """8.5.4.2.2 default / 8.5.4.2.3 explicit, uni-directional, 8-bit."""
+def _weighted_uni(pred: np.ndarray, wp, bd: int = 8) -> np.ndarray:
+    """8.5.4.2.2 default / 8.5.4.2.3 explicit, uni-directional."""
+    mx = (1 << bd) - 1
+    s1 = 14 - bd
     if wp is None:
-        return np.clip((pred + 32) >> 6, 0, 255)
+        return np.clip((pred + (1 << (s1 - 1))) >> s1, 0, mx)
     w0, o0, log2wd = wp
     return np.clip(((pred * w0 + (1 << (log2wd - 1))) >> log2wd) + o0,
-                   0, 255)
+                   0, mx)
 
 
-def _weighted_bi(p0: np.ndarray, p1: np.ndarray, wp0, wp1) -> np.ndarray:
+def _weighted_bi(p0: np.ndarray, p1: np.ndarray, wp0, wp1,
+                 bd: int = 8) -> np.ndarray:
+    mx = (1 << bd) - 1
+    s1 = 14 - bd
     if wp0 is None:
-        return np.clip((p0 + p1 + 64) >> 7, 0, 255)
+        return np.clip((p0 + p1 + (1 << s1)) >> (s1 + 1), 0, mx)
     w0, o0, log2wd = wp0
     w1, o1, _ = wp1
     return np.clip((p0 * w0 + p1 * w1
-                    + ((o0 + o1 + 1) << log2wd)) >> (log2wd + 1), 0, 255)
+                    + ((o0 + o1 + 1) << log2wd)) >> (log2wd + 1), 0, mx)
 
 
 # ---------------------------------------------------------------------------
@@ -1933,8 +1957,8 @@ def _weighted_bi(p0: np.ndarray, p1: np.ndarray, wp0, wp1) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _clip1(v: int) -> int:
-    return 0 if v < 0 else 255 if v > 255 else v
+def _clip1(v: int, mx: int = 255) -> int:
+    return 0 if v < 0 else mx if v > mx else v
 
 
 def _bs_for_edge(pic: _Picture, gp: tuple, gq: tuple, tu_edge: bool) -> int:
@@ -1980,12 +2004,15 @@ def _bs_inter(pic: _Picture, gp: tuple, gq: tuple) -> int:
 
 
 def _deblock_luma_segment(Y, x, y, dx, dy, bs, qp_p, qp_q, h: SliceHeader,
-                          nofilt_p: bool, nofilt_q: bool) -> None:
+                          nofilt_p: bool, nofilt_q: bool,
+                          bd: int = 8) -> None:
     """One 4-sample luma edge segment; (dx,dy) = unit vector across the
     edge (P side at -1). 8.7.2.5.3/8.7.2.5.7."""
     qavg = (qp_p + qp_q + 1) >> 1
-    beta = T.BETA_TABLE[_clip3(0, 51, qavg + h.beta_offset)]
-    tc = T.TC_TABLE[_clip3(0, 53, qavg + 2 * (bs - 1) + h.tc_offset)]
+    beta = T.BETA_TABLE[_clip3(0, 51, qavg + h.beta_offset)] << (bd - 8)
+    tc = T.TC_TABLE[_clip3(0, 53, qavg + 2 * (bs - 1)
+                           + h.tc_offset)] << (bd - 8)
+    mx = (1 << bd) - 1
     if beta == 0 and tc == 0:
         return
     # tangential unit vector
@@ -2045,29 +2072,32 @@ def _deblock_luma_segment(Y, x, y, dx, dy, bs, qp_p, qp_q, h: SliceHeader,
                 continue
             delta = _clip3(-tc, tc, delta)
             if not nofilt_p:
-                Y[y + i * ty - dy, x + i * tx - dx] = _clip1(px[0] + delta)
+                Y[y + i * ty - dy, x + i * tx - dx] = _clip1(px[0] + delta,
+                                                             mx)
                 if dep1:
                     dp = _clip3(-(tc >> 1), tc >> 1,
                                 (((px[2] + px[0] + 1) >> 1)
                                  - px[1] + delta) >> 1)
                     Y[y + i * ty - 2 * dy, x + i * tx - 2 * dx] = \
-                        _clip1(px[1] + dp)
+                        _clip1(px[1] + dp, mx)
             if not nofilt_q:
-                Y[y + i * ty, x + i * tx] = _clip1(qx[0] - delta)
+                Y[y + i * ty, x + i * tx] = _clip1(qx[0] - delta, mx)
                 if deq1:
                     dq = _clip3(-(tc >> 1), tc >> 1,
                                 (((qx[2] + qx[0] + 1) >> 1)
                                  - qx[1] - delta) >> 1)
-                    Y[y + i * ty + dy, x + i * tx + dx] = _clip1(qx[1] + dq)
+                    Y[y + i * ty + dy, x + i * tx + dx] = \
+                        _clip1(qx[1] + dq, mx)
 
 
 def _deblock_chroma_segment(C, cx, cy, dx, dy, qp_p, qp_q, off: int,
                             h: SliceHeader, nofilt_p: bool,
-                            nofilt_q: bool) -> None:
+                            nofilt_q: bool, bd: int = 8) -> None:
     """One 4-sample chroma edge segment (bS==2 only), 8.7.2.5.5."""
     qpi = _clip3(0, 57, ((qp_p + qp_q + 1) >> 1) + off)
     qpc = T.chroma_qp_from_luma(qpi)
-    tc = T.TC_TABLE[_clip3(0, 53, qpc + 2 + h.tc_offset)]
+    tc = T.TC_TABLE[_clip3(0, 53, qpc + 2 + h.tc_offset)] << (bd - 8)
+    mx = (1 << bd) - 1
     if tc == 0:
         return
     tx, ty = dy, dx
@@ -2078,9 +2108,9 @@ def _deblock_chroma_segment(C, cx, cy, dx, dy, qp_p, qp_q, off: int,
         q1 = int(C[cy + i * ty + dy, cx + i * tx + dx])
         delta = _clip3(-tc, tc, ((((q0 - p0) << 2) + p1 - q1 + 4) >> 3))
         if not nofilt_p:
-            C[cy + i * ty - dy, cx + i * tx - dx] = _clip1(p0 + delta)
+            C[cy + i * ty - dy, cx + i * tx - dx] = _clip1(p0 + delta, mx)
         if not nofilt_q:
-            C[cy + i * ty, cx + i * tx] = _clip1(q0 - delta)
+            C[cy + i * ty, cx + i * tx] = _clip1(q0 - delta, mx)
 
 
 def deblock_picture(pic: _Picture, headers: dict[int, SliceHeader]) -> None:
@@ -2114,18 +2144,19 @@ def deblock_picture(pic: _Picture, headers: dict[int, SliceHeader]) -> None:
                 nofp = bool(pic.bypass[gp])
                 nofq = bool(pic.bypass[gq])
                 _deblock_luma_segment(pic.Y, ex, ey, dx, dy, bs,
-                                      qp_p, qp_q, h, nofp, nofq)
+                                      qp_p, qp_q, h, nofp, nofq,
+                                      sps.bit_depth)
                 if bs == 2 and (ex % 16 == 0 if vertical
                                 else ey % 16 == 0) and (
                         ey % 8 == 0 if vertical else ex % 8 == 0):
                     _deblock_chroma_segment(pic.U, ex >> 1, ey >> 1,
                                             dx, dy, qp_p, qp_q,
                                             pic.pps.cb_qp_offset, h,
-                                            nofp, nofq)
+                                            nofp, nofq, sps.bit_depth)
                     _deblock_chroma_segment(pic.V, ex >> 1, ey >> 1,
                                             dx, dy, qp_p, qp_q,
                                             pic.pps.cr_qp_offset, h,
-                                            nofp, nofq)
+                                            nofp, nofq, sps.bit_depth)
 
 
 # ---------------------------------------------------------------------------
@@ -2140,6 +2171,9 @@ _EO_NBR = ((( -1, 0), (1, 0)), ((0, -1), (0, 1)),
 
 def apply_sao(pic: _Picture, headers: dict[int, SliceHeader]) -> None:
     sps = pic.sps
+    bd = sps.bit_depth
+    mx = (1 << bd) - 1
+    bshift = bd - 5
     ctb = 1 << sps.log2_ctb
     srcs = (pic.Y.copy(), pic.U.copy(), pic.V.copy())
     outs = (pic.Y, pic.U, pic.V)
@@ -2169,7 +2203,8 @@ def apply_sao(pic: _Picture, headers: dict[int, SliceHeader]) -> None:
                             if pic.bypass[(y << sh) >> 2, (x << sh) >> 2]:
                                 continue
                             p = int(src[y, x])
-                            out[y, x] = _clip1(p + int(lut[p >> 3]))
+                            out[y, x] = _clip1(p + int(lut[p >> bshift]),
+                                               mx)
                     continue
                 # edge offset
                 eo = int(pic.sao_eo_class[ry, rx, ci])
@@ -2201,7 +2236,7 @@ def apply_sao(pic: _Picture, headers: dict[int, SliceHeader]) -> None:
                         if ei < 2:
                             ei += 1
                         # ei now 1..4 -> offsets[0..3]
-                        out[y, x] = _clip1(p + int(offs[ei - 1]))
+                        out[y, x] = _clip1(p + int(offs[ei - 1]), mx)
 
 
 # ---------------------------------------------------------------------------

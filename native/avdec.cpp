@@ -73,9 +73,12 @@ struct VDec {
   int out_w = 0, out_h = 0;
   AVPixelFormat out_fmt = AV_PIX_FMT_YUV420P;
   bool eof_sent = false;
+  // keep high bit depth: pass 10-bit planes through as uint16 instead
+  // of converting down to 8 (Main10 validation path)
+  bool keep_hbd = false;
 };
 
-bool pick_out_fmt(AVPixelFormat in, AVPixelFormat* out) {
+bool pick_out_fmt(AVPixelFormat in, bool keep_hbd, AVPixelFormat* out) {
   switch (in) {
     case AV_PIX_FMT_YUV420P:
     case AV_PIX_FMT_YUVJ420P:
@@ -86,6 +89,13 @@ bool pick_out_fmt(AVPixelFormat in, AVPixelFormat* out) {
     case AV_PIX_FMT_YUVJ422P:
       *out = AV_PIX_FMT_YUV422P;
       return in == AV_PIX_FMT_YUV422P;
+    case AV_PIX_FMT_YUV420P10LE:
+      if (keep_hbd) {
+        *out = AV_PIX_FMT_YUV420P10LE;
+        return true;
+      }
+      *out = AV_PIX_FMT_YUV420P;
+      return false;
     default:
       *out = AV_PIX_FMT_YUV420P;
       return false;
@@ -143,6 +153,14 @@ void* AvDec_Open(const char* path) {
   return d;
 }
 
+// Open with 10-bit passthrough: frames from yuv420p10 sources are
+// returned as native-endian uint16 planes (info[9] reports the depth).
+void* AvDec_Open10(const char* path) {
+  auto* d = static_cast<VDec*>(AvDec_Open(path));
+  if (d) d->keep_hbd = true;
+  return d;
+}
+
 // info[12] = {width, height, fps_num, fps_den, interlaced_guess,
 //             codec_id, chroma_class (1=420, 2=422), sar_num, sar_den,
 //             0, 0, 0}
@@ -151,7 +169,7 @@ int AvDec_Info(void* hp, int* info) {
   AVStream* st = d->fmt->streams[d->stream_index];
   AVRational fr = av_guess_frame_rate(d->fmt, st, nullptr);
   AVPixelFormat outf;
-  pick_out_fmt((AVPixelFormat)st->codecpar->format, &outf);
+  pick_out_fmt((AVPixelFormat)st->codecpar->format, d->keep_hbd, &outf);
   info[0] = st->codecpar->width;
   info[1] = st->codecpar->height;
   info[2] = fr.num ? fr.num : 30000;
@@ -162,7 +180,8 @@ int AvDec_Info(void* hp, int* info) {
   info[6] = outf == AV_PIX_FMT_YUV422P ? 2 : 1;
   info[7] = st->codecpar->sample_aspect_ratio.num;
   info[8] = st->codecpar->sample_aspect_ratio.den;
-  info[9] = info[10] = info[11] = 0;
+  info[9] = outf == AV_PIX_FMT_YUV420P10LE ? 10 : 8;
+  info[10] = info[11] = 0;
   return 0;
 }
 
@@ -193,10 +212,11 @@ int AvDec_NextFrame(void* hp, uint8_t* y, uint8_t* u, uint8_t* v,
 
   AVFrame* f = d->frame;
   AVPixelFormat outf;
-  bool direct = pick_out_fmt((AVPixelFormat)f->format, &outf);
+  bool direct = pick_out_fmt((AVPixelFormat)f->format, d->keep_hbd, &outf);
   int w = f->width, h = f->height;
   int ch = outf == AV_PIX_FMT_YUV422P ? h : h / 2;
   int cw = w / 2;
+  int bps = outf == AV_PIX_FMT_YUV420P10LE ? 2 : 1;
   const uint8_t* sy;
   const uint8_t* su;
   const uint8_t* sv;
@@ -223,10 +243,11 @@ int AvDec_NextFrame(void* hp, uint8_t* y, uint8_t* u, uint8_t* v,
     ly = d->out->linesize[0]; lu = d->out->linesize[1];
     lv = d->out->linesize[2];
   }
-  for (int r = 0; r < h; r++) std::memcpy(y + (int64_t)r * w, sy + (int64_t)r * ly, w);
+  for (int r = 0; r < h; r++)
+    std::memcpy(y + (int64_t)r * w * bps, sy + (int64_t)r * ly, (int64_t)w * bps);
   for (int r = 0; r < ch; r++) {
-    std::memcpy(u + (int64_t)r * cw, su + (int64_t)r * lu, cw);
-    std::memcpy(v + (int64_t)r * cw, sv + (int64_t)r * lv, cw);
+    std::memcpy(u + (int64_t)r * cw * bps, su + (int64_t)r * lu, (int64_t)cw * bps);
+    std::memcpy(v + (int64_t)r * cw * bps, sv + (int64_t)r * lv, (int64_t)cw * bps);
   }
   d->last_qp_n = 0;
   {
@@ -374,20 +395,24 @@ struct VEnc {
   AVFrame* frame = nullptr;
   AVPacket* pkt = nullptr;
   int64_t pts = 0;
+  int bps = 1;  // bytes per input sample (2 for 10-bit)
 };
 
-void* AvEnc_Open2(const char* codec_name, int w, int h, int fps_num,
+void* AvEnc_Open3(const char* codec_name, int w, int h, int fps_num,
                   int fps_den, int crf, const char* preset,
-                  int interlaced, int bframes, const char* params) {
+                  int interlaced, int bframes, const char* params,
+                  int bit_depth) {
   const AVCodec* codec = avcodec_find_encoder_by_name(codec_name);
   if (!codec) return nullptr;
   auto* e = new (std::nothrow) VEnc();
+  e->bps = bit_depth > 8 ? 2 : 1;
   e->enc = avcodec_alloc_context3(codec);
   e->enc->width = w;
   e->enc->height = h;
   e->enc->time_base = {fps_den, fps_num};
   e->enc->framerate = {fps_num, fps_den};
-  e->enc->pix_fmt = AV_PIX_FMT_YUV420P;
+  e->enc->pix_fmt =
+      bit_depth > 8 ? AV_PIX_FMT_YUV420P10LE : AV_PIX_FMT_YUV420P;
   e->enc->gop_size = 30;
   e->enc->max_b_frames = bframes;
   if (interlaced)
@@ -413,12 +438,19 @@ void* AvEnc_Open2(const char* codec_name, int w, int h, int fps_num,
     return nullptr;
   }
   e->frame = av_frame_alloc();
-  e->frame->format = AV_PIX_FMT_YUV420P;
+  e->frame->format = e->enc->pix_fmt;
   e->frame->width = w;
   e->frame->height = h;
   av_frame_get_buffer(e->frame, 32);
   e->pkt = av_packet_alloc();
   return e;
+}
+
+void* AvEnc_Open2(const char* codec_name, int w, int h, int fps_num,
+                  int fps_den, int crf, const char* preset,
+                  int interlaced, int bframes, const char* params) {
+  return AvEnc_Open3(codec_name, w, h, fps_num, fps_den, crf, preset,
+                     interlaced, bframes, params, 8);
 }
 
 // Feed one frame (y/u/v planes, 4:2:0) or NULL planes to flush.
@@ -432,15 +464,15 @@ int AvEnc_Encode(void* hp, const uint8_t* y, const uint8_t* u,
   int r;
   if (y) {
     av_frame_make_writable(e->frame);
-    int w = e->enc->width, h = e->enc->height;
+    int w = e->enc->width, h = e->enc->height, bps = e->bps;
     for (int row = 0; row < h; row++)
       std::memcpy(e->frame->data[0] + (int64_t)row * e->frame->linesize[0],
-                  y + (int64_t)row * w, w);
+                  y + (int64_t)row * w * bps, (int64_t)w * bps);
     for (int row = 0; row < h / 2; row++) {
       std::memcpy(e->frame->data[1] + (int64_t)row * e->frame->linesize[1],
-                  u + (int64_t)row * (w / 2), w / 2);
+                  u + (int64_t)row * (w / 2) * bps, (int64_t)(w / 2) * bps);
       std::memcpy(e->frame->data[2] + (int64_t)row * e->frame->linesize[2],
-                  v + (int64_t)row * (w / 2), w / 2);
+                  v + (int64_t)row * (w / 2) * bps, (int64_t)(w / 2) * bps);
     }
     e->frame->pts = e->pts++;
     r = avcodec_send_frame(e->enc, e->frame);

@@ -326,3 +326,98 @@ class TestInterB:
         _run(_moving_frames(112, 80, 14), 112, 80,
              "keyint=12:bframes=3:b-adapt=0:wpp=1:frame-threads=1:"
              "qp=32:ref=2", tmp_path)
+
+
+def _encode10(frames, w, h, params):
+    from amatsukaze_tpu.video.avdec import AvVideoEncoder
+    enc = AvVideoEncoder(w, h, codec="libx265", preset="ultrafast",
+                         crf=25, bframes=0, x264_params=params,
+                         bit_depth=10)
+    aus = []
+    for y, u, v in frames:
+        aus += enc.encode(y, u, v)
+    aus += enc.flush()
+    return b"".join(aus)
+
+
+def _ff_decode10(es: bytes, tmp_path):
+    from amatsukaze_tpu.video.avdec import AvVideoDecoder
+    p = tmp_path / "probe.h265"
+    p.write_bytes(es)
+    return [(y.copy(), u.copy(), v.copy())
+            for y, u, v in AvVideoDecoder(str(p), keep_depth=True).frames()]
+
+
+def _smooth10(w, h, n, seed=7):
+    import scipy.ndimage as ndi
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        y = ndi.gaussian_filter(rng.uniform(0, 1023, (h, w)), 2.5,
+                                mode="nearest").astype(np.uint16)
+        u = ndi.gaussian_filter(rng.uniform(0, 1023, (h // 2, w // 2)), 2,
+                                mode="nearest").astype(np.uint16)
+        v = ndi.gaussian_filter(rng.uniform(0, 1023, (h // 2, w // 2)), 2,
+                                mode="nearest").astype(np.uint16)
+        out.append((y, u, v))
+    return out
+
+
+def _moving10(w, h, n, seed=3):
+    base = _smooth10(w, h, 1, seed)[0]
+    out = []
+    for i in range(n):
+        out.append((np.roll(base[0], (3 * i, 7 * i), (0, 1)).copy(),
+                    np.roll(base[1], (i, 3 * i), (0, 1)).copy(),
+                    np.roll(base[2], (2 * i, i), (0, 1)).copy()))
+    return out
+
+
+def _run10(frames, w, h, params, tmp_path):
+    es = _encode10(frames, w, h, params)
+    _assert_frames_equal(_ff_decode10(es, tmp_path), _ref_decode(es))
+
+
+class TestMain10:
+    """Main10 (10-bit) profile: what BS4K/CS4K broadcast HEVC uses.
+    Bit-depth-parameterised residual shifts, MC intermediates, weighted
+    prediction, QpBdOffset, deblock beta/tc scaling and SAO bands."""
+
+    B = "frame-threads=1:no-wpp=1"
+
+    def test_10b_intra_no_loopfilter(self, tmp_path):
+        _run10(_smooth10(96, 64, 2), 96, 64,
+               self.B + ":keyint=1:no-sao=1:no-deblock=1:no-signhide=1:"
+               "qp=30", tmp_path)
+
+    def test_10b_intra_deblock_sao(self, tmp_path):
+        _run10(_smooth10(96, 64, 2), 96, 64,
+               self.B + ":keyint=1:qp=34", tmp_path)
+
+    def test_10b_intra_low_qp(self, tmp_path):
+        _run10(_smooth10(96, 64, 2), 96, 64,
+               self.B + ":keyint=1:qp=4", tmp_path)
+
+    def test_10b_p_slices(self, tmp_path):
+        _run10(_moving10(96, 64, 10), 96, 64,
+               self.B + ":keyint=8:bframes=0:qp=30:ref=2", tmp_path)
+
+    def test_10b_b_pyramid(self, tmp_path):
+        _run10(_moving10(112, 80, 14), 112, 80,
+               self.B + ":keyint=12:bframes=3:b-adapt=0:b-pyramid=1:"
+               "qp=30:ref=2", tmp_path)
+
+    def test_10b_weightp(self, tmp_path):
+        _run10(_moving10(112, 80, 14), 112, 80,
+               self.B + ":keyint=12:bframes=0:qp=30:ref=2:weightp=1",
+               tmp_path)
+
+    def test_10b_cu_qp_delta(self, tmp_path):
+        _run10(_moving10(112, 80, 10), 112, 80,
+               self.B + ":keyint=8:bframes=0:ref=2:aq-mode=2:crf=30:"
+               "qg-size=16", tmp_path)
+
+    def test_10b_tskip_lossless(self, tmp_path):
+        _run10(_moving10(96, 64, 8), 96, 64,
+               self.B + ":keyint=8:bframes=0:qp=30:ref=2:tskip=1:"
+               "cu-lossless=1", tmp_path)
