@@ -130,7 +130,17 @@ def h265ref_decoder_factory(pipeline, video_index: int):
 
 
 def _open_h265_inbuild(es_head: bytes = b""):
+    """Native engine (native/h265dec.cpp) when the library is built,
+    else the pure-Python oracle — both bit-exact vs libavcodec
+    (tests/test_h265_decode.py, test_h265_native.py)."""
     del es_head
+    try:
+        from ..video.native import NativeH265Decoder, h265_native_available
+
+        if h265_native_available():
+            return NativeH265Decoder()
+    except Exception:
+        pass
     from ..video.h265_ref import H265RefDecoder
 
     return H265RefDecoder()

@@ -203,3 +203,93 @@ class NativeH264Decoder:
     def flush(self) -> list[tuple]:
         self._lib.H264_Flush(self._h)
         return self._drain()
+
+
+# ---------------------------------------------------------------------------
+# HEVC: native C++ engine (native/h265dec.cpp), bit-exact twin of the
+# pure-Python oracle (video/h265_ref.py H265RefDecoder).
+# ---------------------------------------------------------------------------
+
+_h265_sigs_done = False
+
+
+def _bind_h265(lib) -> None:
+    global _h265_sigs_done
+    if _h265_sigs_done:
+        return
+    lib.H265_Create.restype = ctypes.c_void_p
+    lib.H265_Destroy.argtypes = [ctypes.c_void_p]
+    lib.H265_Decode.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                ctypes.c_longlong]
+    lib.H265_Decode.restype = ctypes.c_int
+    lib.H265_Flush.argtypes = [ctypes.c_void_p]
+    lib.H265_Flush.restype = ctypes.c_int
+    lib.H265_NextInfo.argtypes = [ctypes.c_void_p,
+                                  ctypes.POINTER(ctypes.c_int)]
+    lib.H265_NextInfo.restype = ctypes.c_int
+    lib.H265_PopFrame.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                  ctypes.c_void_p, ctypes.c_void_p]
+    lib.H265_PopFrame.restype = ctypes.c_int
+    lib.H265_Errors.argtypes = [ctypes.c_void_p]
+    lib.H265_Errors.restype = ctypes.c_longlong
+    _h265_sigs_done = True
+
+
+def h265_native_available() -> bool:
+    lib = load_native()
+    return lib is not None and hasattr(lib, "H265_Create")
+
+
+class NativeH265Decoder:
+    """Streaming Annex B HEVC decoder backed by the C++ engine.
+
+    Same contract as the oracle (video/h265_ref.py H265RefDecoder):
+    decode() takes whole NALs (cut the buffer at the last start code)
+    and returns (Y, U, V) frames in display order (uint8 for 8-bit
+    streams, uint16 for Main10); flush() drains.
+    """
+
+    def __init__(self):
+        lib = load_native()
+        if lib is None or not hasattr(lib, "H265_Create"):
+            raise RuntimeError("native HEVC decoder unavailable")
+        _bind_h265(lib)
+        self._lib = lib
+        self._h = lib.H265_Create()
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.H265_Destroy(h)
+            self._h = None
+
+    @property
+    def errors(self) -> int:
+        return int(self._lib.H265_Errors(self._h))
+
+    def _drain(self) -> list[tuple]:
+        out = []
+        info = (ctypes.c_int * 6)()
+        while self._lib.H265_NextInfo(self._h, info):
+            w, h, bd = info[0], info[1], info[4]
+            dt = np.uint16 if bd > 8 else np.uint8
+            y = np.empty((h, w), dt)
+            u = np.empty((h // 2, w // 2), dt)
+            v = np.empty((h // 2, w // 2), dt)
+            ok = self._lib.H265_PopFrame(
+                self._h, y.ctypes.data_as(ctypes.c_void_p),
+                u.ctypes.data_as(ctypes.c_void_p),
+                v.ctypes.data_as(ctypes.c_void_p))
+            if not ok:
+                break
+            out.append((y, u, v, info[2]))
+        return out
+
+    def decode(self, es: bytes) -> list[tuple]:
+        b = bytes(es)
+        self._lib.H265_Decode(self._h, b, len(b))
+        return self._drain()
+
+    def flush(self) -> list[tuple]:
+        self._lib.H265_Flush(self._h)
+        return self._drain()
