@@ -757,7 +757,22 @@ struct Frame {
   int wp, hp;        // CTB-padded plane dims
   int gw, gh;        // 4x4 grid dims
   int cw, chh;       // chroma plane dims
-  std::vector<uint16_t> Y, U, V;
+  // plane buffers are intentionally uninitialized: slice decode writes
+  // every in-picture sample and nothing reads the CTB padding
+  struct Plane {
+    std::unique_ptr<uint16_t[]> buf;
+    size_t n = 0;
+    void alloc(size_t count) {
+      buf.reset(new uint16_t[count]);
+      n = count;
+    }
+    uint16_t* data() { return buf.get(); }
+    const uint16_t* data() const { return buf.get(); }
+    size_t size() const { return n; }
+    uint16_t& operator[](size_t i) { return buf[i]; }
+    const uint16_t& operator[](size_t i) const { return buf[i]; }
+  };
+  Plane Y, U, V;
   // per-4x4 grids
   std::vector<uint8_t> avail, decided, ctdepth, intra_mode, is_intra, skip;
   std::vector<uint8_t> nnz, bypass, tu_edge_v, tu_edge_h;
@@ -785,9 +800,9 @@ struct Frame {
     gh = hp >> 2;
     cw = wp >> 1;
     chh = hp >> 1;
-    Y.assign((size_t)wp * hp, 0);
-    U.assign((size_t)cw * chh, 0);
-    V.assign((size_t)cw * chh, 0);
+    Y.alloc((size_t)wp * hp);
+    U.alloc((size_t)cw * chh);
+    V.alloc((size_t)cw * chh);
     size_t g = (size_t)gw * gh;
     avail.assign(g, 0);
     decided.assign(g, 0);
@@ -829,64 +844,127 @@ using PicPtr = std::shared_ptr<Frame>;
 // size x size int32; residual returned in the caller's int32 buffer.
 // ---------------------------------------------------------------------------
 
-// transMatrix rows for size 1<<log2: kDct32 sub-sampled by row stride
-static inline int dct_at(int log2, int i, int j) {
-  return kDct32[(i << (5 - log2)) * 32 + j];
+// transMatrix for size 1<<log2: kDct32 sub-sampled by row stride,
+// repacked contiguous per size for the matmul inner loops
+static int16_t g_dct[6][32 * 32];
+static const struct InitDct {
+  InitDct() {
+    for (int log2 = 2; log2 <= 5; ++log2) {
+      int n = 1 << log2;
+      for (int i = 0; i < n; ++i)
+        for (int j = 0; j < n; ++j)
+          g_dct[log2][i * n + j] = kDct32[(i << (5 - log2)) * 32 + j];
+    }
+  }
+} g_init_dct;
+
+// Bounded inverse transform: rows > nzh and cols > nzw of d are zero
+// (the residual parser tracks the nonzero coefficient extent), so the
+// matmul sums stop there.  All intermediates fit int32: |coef| < 2^15,
+// |matrix| <= 90, 32-term sums < 2^27; stage-2 inputs are clipped to
+// 16 bits.
+// 1-D inverse DCT synthesis dst[i] = sum_k M[k][i] c[k] via even-odd
+// decomposition: even rows of the normative matrix are symmetric in i,
+// odd rows antisymmetric, and the even-row half is exactly the
+// half-size matrix -- so dst[i] = E[i] + O[i], dst[n-1-i] = E[i] - O[i]
+// with E the recursive half transform of the even coefficients.
+// nnz = count of leading coefficients that may be nonzero.
+static void idct_1d(const int32_t* src, int sstride, int log2, int nnz,
+                    int32_t* out) {
+  int n = 1 << log2;
+  const int16_t* M = g_dct[log2];
+  if (n == 4) {
+    for (int i = 0; i < 4; ++i) {
+      int32_t acc = 0;
+      for (int k = 0; k < nnz; ++k) acc += M[k * 4 + i] * src[k * sstride];
+      out[i] = acc;
+    }
+    return;
+  }
+  int half = n >> 1;
+  int32_t even[16];
+  idct_1d(src, sstride * 2, log2 - 1, (nnz + 1) >> 1, even);
+  int n_odd = nnz >> 1;  // odd indices 1,3,.. < nnz
+  for (int i = 0; i < half; ++i) {
+    int32_t odd = 0;
+    for (int j = 0; j < n_odd; ++j)
+      odd += M[(2 * j + 1) * n + i] * src[(2 * j + 1) * sstride];
+    out[i] = even[i] + odd;
+    out[n - 1 - i] = even[i] - odd;
+  }
 }
 
 static void inv_transform(const int32_t* d, int log2, bool dst, int bd,
-                          int32_t* out) {
+                          int nzw, int nzh, int32_t* out) {
   int n = 1 << log2;
-  // tmp = clip((M^T @ d + 64) >> 7); out = (tmp @ M + (1<<(19-bd))) >> (20-bd)
-  std::vector<int64_t> tmp((size_t)n * n);
-  for (int i = 0; i < n; ++i) {
-    for (int j = 0; j < n; ++j) {
-      int64_t acc = 0;
-      for (int k = 0; k < n; ++k) {
-        int m = dst ? kDst4[k * 4 + i] : dct_at(log2, k, i);
-        acc += (int64_t)m * d[k * n + j];
+  int32_t tmp[32 * 32];
+  int32_t col[32];
+  if (dst) {
+    // 4x4 DST-VII has no even-odd symmetry: direct
+    const int16_t* M = kDst4;
+    for (int j = 0; j <= nzw; ++j) {
+      for (int i = 0; i < 4; ++i) {
+        int32_t acc = 0;
+        for (int k = 0; k <= nzh; ++k) acc += M[k * 4 + i] * d[k * 4 + j];
+        int32_t v = (acc + 64) >> 7;
+        tmp[i * 4 + j] = v < -32768 ? -32768 : v > 32767 ? 32767 : v;
       }
-      int64_t v = (acc + 64) >> 7;
+    }
+    int rnd = 1 << (19 - bd), sh = 20 - bd;
+    for (int i = 0; i < 4; ++i) {
+      for (int j = 0; j < 4; ++j) {
+        int32_t acc = 0;
+        for (int k = 0; k <= nzw; ++k)
+          acc += tmp[i * 4 + k] * M[k * 4 + j];
+        out[i * 4 + j] = (acc + rnd) >> sh;
+      }
+    }
+    return;
+  }
+  // stage 1 (vertical): tmp[.][j] = clip((idct(d[.][j]) + 64) >> 7)
+  for (int j = 0; j <= nzw; ++j) {
+    idct_1d(d + j, n, log2, nzh + 1, col);
+    for (int i = 0; i < n; ++i) {
+      int32_t v = (col[i] + 64) >> 7;
       tmp[i * n + j] = v < -32768 ? -32768 : v > 32767 ? 32767 : v;
     }
   }
+  // stage 2 (horizontal): out[i][.] = (idct(tmp[i][.]) + rnd) >> sh
   int rnd = 1 << (19 - bd), sh = 20 - bd;
   for (int i = 0; i < n; ++i) {
-    for (int j = 0; j < n; ++j) {
-      int64_t acc = 0;
-      for (int k = 0; k < n; ++k) {
-        int m = dst ? kDst4[k * 4 + j] : dct_at(log2, k, j);
-        acc += tmp[i * n + k] * m;
-      }
-      out[i * n + j] = (int32_t)((acc + rnd) >> sh);
-    }
+    idct_1d(tmp + i * n, 1, log2, nzw + 1, col);
+    for (int j = 0; j < n; ++j) out[i * n + j] = (col[j] + rnd) >> sh;
   }
 }
 
 static void residual_from_coeffs(const int32_t* coef, int qp, int log2,
                                  bool dst, bool ts, bool bypass, int bd,
-                                 int32_t* out) {
+                                 int nzw, int nzh, int32_t* out) {
   int n = 1 << log2;
   if (bypass) {
     std::memcpy(out, coef, sizeof(int32_t) * n * n);
     return;
   }
-  // dequant (8.6.3)
+  // dequant (8.6.3) -- only the nonzero extent
   int shift = bd + log2 - 5;
   int64_t scale = (int64_t)16 * kLevelScale[qp % 6] << (qp / 6);
-  std::vector<int32_t> d((size_t)n * n);
+  int32_t d[32 * 32];
   int64_t rnd = (int64_t)1 << (shift - 1);
-  for (int i = 0; i < n * n; ++i) {
-    int64_t v = ((int64_t)coef[i] * scale + rnd) >> shift;
-    d[i] = (int32_t)(v < -32768 ? -32768 : v > 32767 ? 32767 : v);
-  }
+  for (int y = 0; y <= nzh; ++y)
+    for (int x = 0; x <= nzw; ++x) {
+      int64_t v = ((int64_t)coef[y * n + x] * scale + rnd) >> shift;
+      d[y * n + x] =
+          (int32_t)(v < -32768 ? -32768 : v > 32767 ? 32767 : v);
+    }
   if (ts) {
     int r2 = 1 << (19 - bd), s2 = 20 - bd;
-    for (int i = 0; i < n * n; ++i)
-      out[i] = (int32_t)((((int64_t)d[i] << 7) + r2) >> s2);
+    std::memset(out, 0, sizeof(int32_t) * n * n);
+    for (int y = 0; y <= nzh; ++y)
+      for (int x = 0; x <= nzw; ++x)
+        out[y * n + x] = (((int32_t)d[y * n + x] << 7) + r2) >> s2;
     return;
   }
-  inv_transform(d.data(), log2, dst, bd, out);
+  inv_transform(d, log2, dst, bd, nzw, nzh, out);
 }
 
 // ---------------------------------------------------------------------------
@@ -1703,10 +1781,12 @@ struct SliceDec {
     if (cbf_l) {
       int32_t coef[32 * 32];
       bool ts = false;
-      residual_coding(log2, 0, intra ? mode : -1, coef, &ts);
+      int nzw, nzh;
+      residual_coding(log2, 0, intra ? mode : -1, coef, &ts, &nzw, &nzh);
       int32_t res[32 * 32];
       residual_from_coeffs(coef, cu_qp() + qbd, log2,
-                           intra && log2 == 2, ts, cu_bypass, bd, res);
+                           intra && log2 == 2, ts, cu_bypass, bd, nzw, nzh,
+                           res);
       for (int i = 0; i < size * size; ++i) pred[i] += res[i];
     }
     for (int y = 0; y < size; ++y)
@@ -1757,12 +1837,14 @@ struct SliceDec {
       if (cbf) {
         int32_t coef[32 * 32];
         bool ts = false;
-        residual_coding(clog2, c_idx, intra ? cmode : -1, coef, &ts);
+        int nzw, nzh;
+        residual_coding(clog2, c_idx, intra ? cmode : -1, coef, &ts, &nzw,
+                        &nzh);
         int qpi = clamp_i(qpy + offsets[k], -qbd, 57);
         int qpc = qpi < 0 ? qpi : kChromaQpMap[qpi];
         int32_t res[32 * 32];
         residual_from_coeffs(coef, qpc + qbd, clog2, false, ts, cu_bypass,
-                             bd, res);
+                             bd, nzw, nzh, res);
         for (int i = 0; i < csize * csize; ++i) predc[i] += res[i];
       }
       if (cbf || intra)
@@ -1785,9 +1867,17 @@ struct SliceDec {
   }
 
   void residual_coding(int log2, int c_idx, int pred_mode, int32_t* coef,
-                       bool* ts_out) {
+                       bool* ts_out, int* nzw, int* nzh) {
     int size = 1 << log2;
-    std::memset(coef, 0, sizeof(int32_t) * size * size);
+    *nzw = *nzh = 0;
+    // coefficient writes are collected and scattered at the end so only
+    // the nonzero bounding rect needs zero-filling (the transform reads
+    // nothing beyond it); transquant-bypass copies the whole block, so
+    // it keeps the full clear
+    int16_t w_pos[32 * 32];
+    int32_t w_val[32 * 32];
+    int n_w = 0;
+    if (cu_bypass) std::memset(coef, 0, sizeof(int32_t) * size * size);
     bool ts = false;
     if (pps->transform_skip_enabled && !cu_bypass && log2 == 2)
       ts = dcd(CTX_transform_skip_flag, c_idx == 0 ? 0 : 1) != 0;
@@ -1967,9 +2057,17 @@ struct SliceDec {
         int n = sig_pos[j];
         int xp = in_scan[2 * n], yp = in_scan[2 * n + 1];
         int v = signs[j] ? -levels[j] : levels[j];
-        coef[((ys << 2) + yp) * size + (xs << 2) + xp] = v;
+        int xc2 = (xs << 2) + xp, yc2 = (ys << 2) + yp;
+        w_pos[n_w] = (int16_t)(yc2 * size + xc2);
+        w_val[n_w++] = v;
+        if (xc2 > *nzw) *nzw = xc2;
+        if (yc2 > *nzh) *nzh = yc2;
       }
     }
+    if (!cu_bypass)
+      for (int y = 0; y <= *nzh; ++y)
+        std::memset(coef + y * size, 0, sizeof(int32_t) * (*nzw + 1));
+    for (int j = 0; j < n_w; ++j) coef[w_pos[j]] = w_val[j];
   }
 
   // inter path defined below
@@ -2007,6 +2105,20 @@ namespace h265 {
 // stage shifted by BitDepth-8, second by 6, full-pel by 14-BitDepth.
 // ---------------------------------------------------------------------------
 
+// Gather a (w+taps-1) x-extended, clamped window row pointer: when the
+// whole access window is inside the picture the raw row is used
+// directly; otherwise samples are edge-clamped into `scratch`.
+static inline const uint16_t* mc_row(const uint16_t* plane, int stride,
+                                     int pw, int ph, int y, int x_lo,
+                                     int count, uint16_t* scratch) {
+  int yc = clamp_i(y, 0, ph - 1);
+  const uint16_t* row = plane + (size_t)yc * stride;
+  if (x_lo >= 0 && x_lo + count <= pw) return row + x_lo;
+  for (int i = 0; i < count; ++i)
+    scratch[i] = row[clamp_i(x_lo + i, 0, pw - 1)];
+  return scratch;
+}
+
 static void mc_luma_14bit(const uint16_t* plane, int stride, int pw, int ph,
                           int x0, int y0, int w, int h, int mvx, int mvy,
                           int bd, int32_t* out) {
@@ -2014,25 +2126,26 @@ static void mc_luma_14bit(const uint16_t* plane, int stride, int pw, int ph,
   int yi = y0 + (mvy >> 2);
   int fx = mvx & 3, fy = mvy & 3;
   int s1 = bd - 8;
-  auto cx = [&](int x) { return clamp_i(x, 0, pw - 1); };
-  auto cy = [&](int y) { return clamp_i(y, 0, ph - 1); };
+  uint16_t scratch[64 + 8];
   if (fx == 0 && fy == 0) {
     for (int y = 0; y < h; ++y) {
-      const uint16_t* row = plane + (size_t)cy(yi + y) * stride;
+      const uint16_t* row =
+          mc_row(plane, stride, pw, ph, yi + y, xi, w, scratch);
       for (int x = 0; x < w; ++x)
-        out[y * w + x] = (int32_t)row[cx(xi + x)] << (14 - bd);
+        out[y * w + x] = (int32_t)row[x] << (14 - bd);
     }
     return;
   }
   if (fx && fy) {
     // horizontal into (h+7) x w temp (>> s1), then vertical (>> 6)
-    std::vector<int32_t> tmp((size_t)(h + 7) * w);
+    int32_t tmp[(64 + 7) * 64];
     const int16_t* ftab = kLumaFilter + fx * 8;
     for (int y = 0; y < h + 7; ++y) {
-      const uint16_t* row = plane + (size_t)cy(yi - 3 + y) * stride;
+      const uint16_t* row =
+          mc_row(plane, stride, pw, ph, yi - 3 + y, xi - 3, w + 7, scratch);
       for (int x = 0; x < w; ++x) {
         int acc = 0;
-        for (int i = 0; i < 8; ++i) acc += ftab[i] * row[cx(xi - 3 + x + i)];
+        for (int i = 0; i < 8; ++i) acc += ftab[i] * row[x + i];
         tmp[y * w + x] = acc >> s1;
       }
     }
@@ -2048,10 +2161,11 @@ static void mc_luma_14bit(const uint16_t* plane, int stride, int pw, int ph,
   if (fx) {
     const int16_t* ftab = kLumaFilter + fx * 8;
     for (int y = 0; y < h; ++y) {
-      const uint16_t* row = plane + (size_t)cy(yi + y) * stride;
+      const uint16_t* row =
+          mc_row(plane, stride, pw, ph, yi + y, xi - 3, w + 7, scratch);
       for (int x = 0; x < w; ++x) {
         int acc = 0;
-        for (int i = 0; i < 8; ++i) acc += ftab[i] * row[cx(xi - 3 + x + i)];
+        for (int i = 0; i < 8; ++i) acc += ftab[i] * row[x + i];
         out[y * w + x] = acc >> s1;
       }
     }
@@ -2059,12 +2173,14 @@ static void mc_luma_14bit(const uint16_t* plane, int stride, int pw, int ph,
   }
   // fy only
   const int16_t* fv = kLumaFilter + fy * 8;
+  const uint16_t* rows[64 + 7];
+  uint16_t rowbuf[64 + 7][64 + 8];
+  for (int y = 0; y < h + 7; ++y)
+    rows[y] = mc_row(plane, stride, pw, ph, yi - 3 + y, xi, w, rowbuf[y]);
   for (int y = 0; y < h; ++y)
     for (int x = 0; x < w; ++x) {
       int acc = 0;
-      for (int i = 0; i < 8; ++i)
-        acc += fv[i] *
-               plane[(size_t)cy(yi - 3 + y + i) * stride + cx(xi + x)];
+      for (int i = 0; i < 8; ++i) acc += fv[i] * rows[y + i][x];
       out[y * w + x] = acc >> s1;
     }
 }
@@ -2077,24 +2193,25 @@ static void mc_chroma_14bit(const uint16_t* plane, int stride, int pw,
   int yi = y0 + (mvy >> 3);
   int fx = mvx & 7, fy = mvy & 7;
   int s1 = bd - 8;
-  auto cx = [&](int x) { return clamp_i(x, 0, pw - 1); };
-  auto cy = [&](int y) { return clamp_i(y, 0, ph - 1); };
+  uint16_t scratch[32 + 4];
   if (fx == 0 && fy == 0) {
     for (int y = 0; y < h; ++y) {
-      const uint16_t* row = plane + (size_t)cy(yi + y) * stride;
+      const uint16_t* row =
+          mc_row(plane, stride, pw, ph, yi + y, xi, w, scratch);
       for (int x = 0; x < w; ++x)
-        out[y * w + x] = (int32_t)row[cx(xi + x)] << (14 - bd);
+        out[y * w + x] = (int32_t)row[x] << (14 - bd);
     }
     return;
   }
   if (fx && fy) {
-    std::vector<int32_t> tmp((size_t)(h + 3) * w);
+    int32_t tmp[(32 + 3) * 32];
     const int16_t* ftab = kChromaFilter + fx * 4;
     for (int y = 0; y < h + 3; ++y) {
-      const uint16_t* row = plane + (size_t)cy(yi - 1 + y) * stride;
+      const uint16_t* row =
+          mc_row(plane, stride, pw, ph, yi - 1 + y, xi - 1, w + 3, scratch);
       for (int x = 0; x < w; ++x) {
         int acc = 0;
-        for (int i = 0; i < 4; ++i) acc += ftab[i] * row[cx(xi - 1 + x + i)];
+        for (int i = 0; i < 4; ++i) acc += ftab[i] * row[x + i];
         tmp[y * w + x] = acc >> s1;
       }
     }
@@ -2110,22 +2227,25 @@ static void mc_chroma_14bit(const uint16_t* plane, int stride, int pw,
   if (fx) {
     const int16_t* ftab = kChromaFilter + fx * 4;
     for (int y = 0; y < h; ++y) {
-      const uint16_t* row = plane + (size_t)cy(yi + y) * stride;
+      const uint16_t* row =
+          mc_row(plane, stride, pw, ph, yi + y, xi - 1, w + 3, scratch);
       for (int x = 0; x < w; ++x) {
         int acc = 0;
-        for (int i = 0; i < 4; ++i) acc += ftab[i] * row[cx(xi - 1 + x + i)];
+        for (int i = 0; i < 4; ++i) acc += ftab[i] * row[x + i];
         out[y * w + x] = acc >> s1;
       }
     }
     return;
   }
   const int16_t* fv = kChromaFilter + fy * 4;
+  const uint16_t* rows[32 + 3];
+  uint16_t rowbuf[32 + 3][32 + 4];
+  for (int y = 0; y < h + 3; ++y)
+    rows[y] = mc_row(plane, stride, pw, ph, yi - 1 + y, xi, w, rowbuf[y]);
   for (int y = 0; y < h; ++y)
     for (int x = 0; x < w; ++x) {
       int acc = 0;
-      for (int i = 0; i < 4; ++i)
-        acc += fv[i] *
-               plane[(size_t)cy(yi - 1 + y + i) * stride + cx(xi + x)];
+      for (int i = 0; i < 4; ++i) acc += fv[i] * rows[y + i][x];
       out[y * w + x] = acc >> s1;
     }
 }
@@ -2312,28 +2432,34 @@ void SliceDec::mvd_coding(int out[2]) {
 void SliceDec::store_motion(int xp, int yp, int w, int hh,
                             const bool used[2], const int mvs[2][2],
                             const int ridx[2]) {
-  for (int gy = yp >> 2; gy < (yp + hh) >> 2; ++gy)
-    for (int gx = xp >> 2; gx < (xp + w) >> 2; ++gx) {
-      int gi = pic->gi(gy, gx);
+  int pocs[2] = {used[0] ? refs[0][ridx[0]]->poc : 0,
+                 used[1] ? refs[1][ridx[1]]->poc : 0};
+  for (int gy = yp >> 2; gy < (yp + hh) >> 2; ++gy) {
+    int gi0 = pic->gi(gy, xp >> 2);
+    int cnt = (w >> 2);
+    for (int gi = gi0; gi < gi0 + cnt; ++gi) {
       for (int lx = 0; lx < 2; ++lx) {
         pic->mv_used[gi * 2 + lx] = used[lx] ? 1 : 0;
         if (used[lx]) {
           pic->mv[gi * 4 + lx * 2 + 0] = (int16_t)mvs[lx][0];
           pic->mv[gi * 4 + lx * 2 + 1] = (int16_t)mvs[lx][1];
           pic->ref_idx[gi * 2 + lx] = (int8_t)ridx[lx];
-          pic->ref_poc[gi * 2 + lx] = refs[lx][ridx[lx]]->poc;
+          pic->ref_poc[gi * 2 + lx] = pocs[lx];
         }
       }
       pic->is_intra[gi] = 0;
       pic->decided[gi] = 1;
     }
+  }
 }
 
 void SliceDec::mc_pu(int xp, int yp, int w, int hh, const bool used[2],
                      const int mvs[2][2], const int ridx[2]) {
   int bd = sps->bit_depth;
   int obd = bd - 8;  // WpOffsetBdShift: offsets are coded in 8-bit range
-  std::vector<int32_t> pred[2][3];
+  // static per-PU prediction buffers (max PU 64x64)
+  static thread_local int32_t predbuf[2][3][64 * 64];
+  int32_t (*pred)[3][64 * 64] = predbuf;
   Wp wps[2][3];
   int n_used = 0;
   int first_lx = -1;
@@ -2343,17 +2469,14 @@ void SliceDec::mc_pu(int xp, int yp, int w, int hh, const bool used[2],
     if (first_lx < 0) first_lx = lx;
     Frame* ref = refs[lx][ridx[lx]];
     int mx = mvs[lx][0], my = mvs[lx][1];
-    pred[lx][0].resize((size_t)w * hh);
-    pred[lx][1].resize((size_t)(w >> 1) * (hh >> 1));
-    pred[lx][2].resize((size_t)(w >> 1) * (hh >> 1));
     mc_luma_14bit(ref->Y.data(), ref->wp, sps->width, sps->height, xp, yp, w,
-                  hh, mx, my, bd, pred[lx][0].data());
+                  hh, mx, my, bd, pred[lx][0]);
     mc_chroma_14bit(ref->U.data(), ref->cw, sps->width >> 1,
                     sps->height >> 1, xp >> 1, yp >> 1, w >> 1, hh >> 1, mx,
-                    my, bd, pred[lx][1].data());
+                    my, bd, pred[lx][1]);
     mc_chroma_14bit(ref->V.data(), ref->cw, sps->width >> 1,
                     sps->height >> 1, xp >> 1, yp >> 1, w >> 1, hh >> 1, mx,
-                    my, bd, pred[lx][2].data());
+                    my, bd, pred[lx][2]);
     if (h->has_pred_weights) {
       const WeightEnt& e = h->pred_weights[lx][ridx[lx]];
       wps[lx][0] = {true, e.wy, e.oy << obd, h->luma_log2 + 14 - bd};
@@ -2372,11 +2495,11 @@ void SliceDec::mc_pu(int xp, int yp, int w, int hh, const bool used[2],
     int stride = pi == 0 ? pic->wp : pic->cw;
     uint16_t* dst = plane + (size_t)yy * stride + xx;
     if (n_used == 1)
-      weighted_uni(pred[first_lx][pi].data(), ww * hh2, wps[first_lx][pi],
-                   bd, ww, stride, dst);
+      weighted_uni(pred[first_lx][pi], ww * hh2, wps[first_lx][pi], bd, ww,
+                   stride, dst);
     else
-      weighted_bi(pred[0][pi].data(), pred[1][pi].data(), ww * hh2,
-                  wps[0][pi], wps[1][pi], bd, ww, stride, dst);
+      weighted_bi(pred[0][pi], pred[1][pi], ww * hh2, wps[0][pi],
+                  wps[1][pi], bd, ww, stride, dst);
   }
 }
 
@@ -2890,7 +3013,9 @@ static void apply_sao(Frame& pic,
   int mx = (1 << bd) - 1;
   int bshift = bd - 5;
   int ctb = 1 << sps.log2_ctb;
-  std::vector<uint16_t> srcY = pic.Y, srcU = pic.U, srcV = pic.V;
+  std::vector<uint16_t> srcY(pic.Y.data(), pic.Y.data() + pic.Y.size());
+  std::vector<uint16_t> srcU(pic.U.data(), pic.U.data() + pic.U.size());
+  std::vector<uint16_t> srcV(pic.V.data(), pic.V.data() + pic.V.size());
   const uint16_t* srcs[3] = {srcY.data(), srcU.data(), srcV.data()};
   uint16_t* outs[3] = {pic.Y.data(), pic.U.data(), pic.V.data()};
   for (int ry = 0; ry < sps.pic_h_ctbs; ++ry)
