@@ -201,6 +201,7 @@ static ShortTermRps parse_strps(BitReader& r, int idx,
   ShortTermRps out;
   if (inter) {
     int delta_idx = (idx == num_sets) ? r.ue() + 1 : 1;
+    if (delta_idx > idx) throw DecodeError("bad RPS delta_idx");
     const ShortTermRps& ref = prev[idx - delta_idx];
     int sign = r.read1();
     int delta_rps = (1 - 2 * sign) * (r.ue() + 1);
@@ -241,6 +242,7 @@ static ShortTermRps parse_strps(BitReader& r, int idx,
   }
   int n_neg = r.ue();
   int n_pos = r.ue();
+  if (n_neg > 16 || n_pos > 16) throw DecodeError("bad RPS sizes");
   int d = 0;
   for (int i = 0; i < n_neg; ++i) {
     d -= r.ue() + 1;
@@ -286,25 +288,45 @@ static void parse_sps(const std::vector<uint8_t>& rbsp, Sps& s) {
   if (s.chroma_format_idc != 1) throw DecodeError("only 4:2:0 supported");
   s.width = r.ue();
   s.height = r.ue();
+  if (s.width < 16 || s.height < 16 || s.width > 8192 || s.height > 8192)
+    throw DecodeError("bad picture dimensions");
   if (r.read1())
-    for (int i = 0; i < 4; ++i) s.conf_win[i] = r.ue();
+    for (int i = 0; i < 4; ++i) {
+      s.conf_win[i] = r.ue();
+      if (s.conf_win[i] > 4096) throw DecodeError("bad conformance window");
+    }
+  if (2 * (s.conf_win[0] + s.conf_win[1]) >= s.width ||
+      2 * (s.conf_win[2] + s.conf_win[3]) >= s.height)
+    throw DecodeError("conformance window exceeds picture");
   s.bit_depth = r.ue() + 8;
   s.bit_depth_c = r.ue() + 8;
   if (s.bit_depth != s.bit_depth_c || (s.bit_depth != 8 && s.bit_depth != 10))
     throw DecodeError("only 8/10-bit 4:2:0 supported");
   s.log2_max_poc_lsb = r.ue() + 4;
+  if (s.log2_max_poc_lsb > 16) throw DecodeError("bad log2_max_poc_lsb");
   int sub_ordering = r.read1();
   for (int i = 0; i < (sub_ordering ? max_sub + 1 : 1); ++i) {
     s.max_dec_pic_buffering = r.ue() + 1;
     s.num_reorder = r.ue();
     r.ue();  // max_latency_increase_plus1
   }
+  if (s.num_reorder > 16 || s.max_dec_pic_buffering > 17)
+    throw DecodeError("bad DPB sizes");
   s.log2_min_cb = r.ue() + 3;
   s.log2_ctb = s.log2_min_cb + r.ue();
+  if (s.log2_min_cb > 6 || s.log2_ctb > 6)
+    throw DecodeError("bad coding block sizes");
+  if (s.width % (1 << s.log2_min_cb) || s.height % (1 << s.log2_min_cb))
+    throw DecodeError("dimensions not min-CB aligned");
   s.log2_min_tb = r.ue() + 2;
   s.log2_max_tb = s.log2_min_tb + r.ue();
+  if (s.log2_min_tb >= s.log2_ctb || s.log2_max_tb > 5 ||
+      s.log2_max_tb > s.log2_ctb)
+    throw DecodeError("bad transform block sizes");
   s.max_trafo_depth_inter = r.ue();
   s.max_trafo_depth_intra = r.ue();
+  if (s.max_trafo_depth_inter > 4 || s.max_trafo_depth_intra > 4)
+    throw DecodeError("bad transform depth");
   s.scaling_list_enabled = r.read1();
   if (s.scaling_list_enabled) throw DecodeError("scaling lists");
   s.amp_enabled = r.read1();
@@ -312,11 +334,13 @@ static void parse_sps(const std::vector<uint8_t>& rbsp, Sps& s) {
   s.pcm_enabled = r.read1();
   if (s.pcm_enabled) throw DecodeError("PCM");
   int n_sets = r.ue();
+  if (n_sets > 64) throw DecodeError("bad num_short_term_ref_pic_sets");
   for (int i = 0; i < n_sets; ++i)
     s.strps.push_back(parse_strps(r, i, s.strps, n_sets));
   s.long_term_present = r.read1();
   if (s.long_term_present) {
     int n = r.ue();
+    if (n > 32) throw DecodeError("bad num_long_term_ref_pics_sps");
     for (int i = 0; i < n; ++i) {
       s.lt_poc_lsb.push_back(r.read(s.log2_max_poc_lsb));
       s.lt_used.push_back(r.read1());
@@ -369,11 +393,16 @@ static void parse_pps(const std::vector<uint8_t>& rbsp,
   p.cabac_init_present = r.read1();
   p.num_ref_l0_default = r.ue() + 1;
   p.num_ref_l1_default = r.ue() + 1;
+  if (p.num_ref_l0_default > 16 || p.num_ref_l1_default > 16)
+    throw DecodeError("bad default ref counts");
   p.init_qp = r.se() + 26;
+  if (p.init_qp < -62 || p.init_qp > 51) throw DecodeError("bad init_qp");
   p.constrained_intra_pred = r.read1();
   p.transform_skip_enabled = r.read1();
   p.cu_qp_delta_enabled = r.read1();
   p.diff_cu_qp_delta_depth = p.cu_qp_delta_enabled ? r.ue() : 0;
+  if (p.diff_cu_qp_delta_depth > 3)
+    throw DecodeError("bad diff_cu_qp_delta_depth");
   p.cb_qp_offset = r.se();
   p.cr_qp_offset = r.se();
   p.slice_chroma_qp_offsets = r.read1();
@@ -395,6 +424,8 @@ static void parse_pps(const std::vector<uint8_t>& rbsp,
   if (r.read1()) throw DecodeError("scaling lists");  // pps scaling list
   p.lists_modification_present = r.read1();
   p.log2_parallel_merge_level = r.ue() + 2;
+  if (p.log2_parallel_merge_level > 6)
+    throw DecodeError("bad parallel merge level");
   p.slice_header_extension = r.read1();
 }
 
@@ -454,6 +485,8 @@ static int bit_length(int v) {
 static void parse_pred_weights(BitReader& r, SliceHeader& h) {
   h.luma_log2 = r.ue();
   h.chroma_log2 = h.luma_log2 + r.se();
+  if (h.luma_log2 > 7 || h.chroma_log2 > 7 || h.chroma_log2 < 0)
+    throw DecodeError("bad weight denominators");
   int nlists = h.slice_type == SLICE_B ? 2 : 1;
   for (int lx = 0; lx < nlists; ++lx) {
     int n = h.num_ref[lx];
@@ -469,6 +502,8 @@ static void parse_pred_weights(BitReader& r, SliceHeader& h) {
       if (lflags[i]) {
         e.wy = (1 << h.luma_log2) + r.se();
         e.oy = r.se();
+        if (e.wy < -128 || e.wy > 127 || e.oy < -128 || e.oy > 127)
+          throw DecodeError("bad luma weight");
       }
       if (cflags[i]) {
         int dw = r.se();
@@ -481,6 +516,8 @@ static void parse_pred_weights(BitReader& r, SliceHeader& h) {
         e.wcr = (1 << h.chroma_log2) + dw;
         e.ocr = clamp_i(dd + 128 - ((128 * e.wcr) >> h.chroma_log2),
                         -128, 127);
+        if (e.wcb < -128 || e.wcb > 127 || e.wcr < -128 || e.wcr > 127)
+          throw DecodeError("bad chroma weight");
       }
       h.pred_weights[lx].push_back(e);
     }
@@ -508,6 +545,8 @@ static void parse_slice_header(const std::vector<uint8_t>& rbsp, int nal_type,
     if (pps.dependent_slices_enabled) h.dependent = r.read1();
     int nbits = std::max(1, bit_length(sps.pic_size_ctbs - 1));
     h.segment_address = r.read(nbits);
+    if (h.segment_address >= sps.pic_size_ctbs)
+      throw DecodeError("bad slice segment address");
   }
   h.deblocking_disabled = pps.deblocking_disabled;
   h.beta_offset = pps.beta_offset;
@@ -523,6 +562,8 @@ static void parse_slice_header(const std::vector<uint8_t>& rbsp, int nal_type,
       if (r.read1()) {  // short_term_ref_pic_set_sps_flag
         int idxbits = std::max(1, bit_length((int)sps.strps.size() - 1));
         int idx = sps.strps.size() > 1 ? (int)r.read(idxbits) : 0;
+        if (idx >= (int)sps.strps.size())
+          throw DecodeError("bad st_rps index");
         h.strps = sps.strps[idx];
       } else {
         h.strps = parse_strps(r, (int)sps.strps.size(), sps.strps,
@@ -531,12 +572,16 @@ static void parse_slice_header(const std::vector<uint8_t>& rbsp, int nal_type,
       if (sps.long_term_present) {
         int n_sps = sps.lt_poc_lsb.empty() ? 0 : r.ue();
         int n_slice = r.ue();
+        if (n_sps > 32 || n_slice > 32)
+          throw DecodeError("bad long-term counts");
         for (int i = 0; i < n_sps + n_slice; ++i) {
           int lsb, used;
           if (i < n_sps) {
             int idxbits =
                 std::max(1, bit_length((int)sps.lt_poc_lsb.size() - 1));
             int k = sps.lt_poc_lsb.size() > 1 ? (int)r.read(idxbits) : 0;
+            if (k >= (int)sps.lt_poc_lsb.size())
+              throw DecodeError("bad lt sps index");
             lsb = sps.lt_poc_lsb[k];
             used = sps.lt_used[k];
           } else {
@@ -561,6 +606,8 @@ static void parse_slice_header(const std::vector<uint8_t>& rbsp, int nal_type,
         h.num_ref[0] = r.ue() + 1;
         if (h.slice_type == SLICE_B) h.num_ref[1] = r.ue() + 1;
       }
+      if (h.num_ref[0] > 16 || h.num_ref[1] > 16)
+        throw DecodeError("bad num_ref_idx_active");
       int npics = 0;
       for (auto& e : h.strps.neg) npics += e.second;
       for (auto& e : h.strps.pos) npics += e.second;
@@ -588,8 +635,11 @@ static void parse_slice_header(const std::vector<uint8_t>& rbsp, int nal_type,
           (pps.weighted_bipred && h.slice_type == SLICE_B))
         parse_pred_weights(r, h);
       h.max_merge = 5 - r.ue();
+      if (h.max_merge < 1) throw DecodeError("bad max_num_merge_cand");
     }
     h.slice_qp = pps.init_qp + r.se();
+    if (h.slice_qp < -(6 * (sps.bit_depth - 8)) || h.slice_qp > 51)
+      throw DecodeError("bad slice QP");
     if (pps.slice_chroma_qp_offsets) {
       h.cb_qp_offset = r.se();
       h.cr_qp_offset = r.se();
@@ -609,13 +659,16 @@ static void parse_slice_header(const std::vector<uint8_t>& rbsp, int nal_type,
   }
   if (pps.tiles_enabled || pps.entropy_coding_sync) {
     int n = r.ue();
+    if (n > sps.pic_size_ctbs) throw DecodeError("bad entry point count");
     if (n) {
       int ob = r.ue() + 1;
+      if (ob > 32) throw DecodeError("bad entry point offset length");
       for (int i = 0; i < n; ++i) h.entry_points.push_back(r.read(ob) + 1);
     }
   }
   if (pps.slice_header_extension) {
     int n = r.ue();
+    if (n > 4096) throw DecodeError("bad slice header extension");
     for (int i = 0; i < n; ++i) r.read(8);
   }
   // byte_alignment(): alignment_bit_equal_to_one + zeros
@@ -701,9 +754,9 @@ struct CabacEngine {
     return 0;
   }
   int bypass_bits(int n) {
-    int v = 0;
-    for (int i = 0; i < n; ++i) v = (v << 1) | bypass();
-    return v;
+    uint32_t v = 0;
+    for (int i = 0; i < n; ++i) v = (v << 1) | (uint32_t)bypass();
+    return (int)v;
   }
   int terminate() {
     range_ -= 2;
@@ -725,7 +778,9 @@ struct CabacEngine {
   // k-th order Exp-Golomb, bypass bins
   int eg_bypass(int k) {
     int n = 0;
-    while (bypass()) ++n;
+    while (bypass()) {
+      if (++n > 30) throw DecodeError("bad exp-golomb bypass");
+    }
     int v = (1 << n) - 1;
     return (v << k) + bypass_bits(n + k);
   }
@@ -752,6 +807,11 @@ namespace h265 {
 // ---------------------------------------------------------------------------
 
 struct Frame {
+  // own copies: a corrupt mid-stream SPS/PPS re-parse must not change
+  // the geometry of an in-flight picture (the parameter-set maps are
+  // updated in place)
+  Sps sps_store;
+  Pps pps_store;
   const Sps* sps;
   const Pps* pps;
   int wp, hp;        // CTB-padded plane dims
@@ -793,7 +853,9 @@ struct Frame {
   int poc = 0;
   int nal_type = 0;
 
-  explicit Frame(const Sps& s, const Pps& p) : sps(&s), pps(&p) {
+  explicit Frame(const Sps& s, const Pps& p)
+      : sps_store(s), pps_store(p), sps(&sps_store), pps(&pps_store) {
+    pps_store.sps = &sps_store;
     wp = s.pic_w_ctbs << s.log2_ctb;
     hp = s.pic_h_ctbs << s.log2_ctb;
     gw = wp >> 2;
@@ -961,7 +1023,7 @@ static void residual_from_coeffs(const int32_t* coef, int qp, int log2,
     std::memset(out, 0, sizeof(int32_t) * n * n);
     for (int y = 0; y <= nzh; ++y)
       for (int x = 0; x <= nzw; ++x)
-        out[y * n + x] = (((int32_t)d[y * n + x] << 7) + r2) >> s2;
+        out[y * n + x] = ((int32_t)d[y * n + x] * 128 + r2) >> s2;
     return;
   }
   inv_transform(d, log2, dst, bd, nzw, nzh, out);
@@ -1388,7 +1450,9 @@ struct SliceDec {
         qb = pic->qp[pic->gi((yq - 1) >> 2, xq >> 2)];
       int pred = (qa + qb + 1) >> 1;
       int qbd = 6 * (sps->bit_depth - 8);
-      cur_cu_qp_val = ((pred + delta_val + 52 + 2 * qbd) % (52 + qbd)) - qbd;
+      int m = 52 + qbd;
+      int lhs = pred + delta_val + 52 + 2 * qbd;
+      cur_cu_qp_val = (((lhs % m) + m) % m) - qbd;
       has_cur_cu_qp = true;
     }
     return cur_cu_qp_val;
@@ -1754,6 +1818,7 @@ struct SliceDec {
       if (pre) {
         while (val < 5 && dcd(CTX_cu_qp_delta_abs, 1)) ++val;
         if (val == 5) val = 5 + c.eg_bypass(0);
+        if (val > 90) throw DecodeError("bad cu_qp_delta");
         if (c.bypass()) val = -val;
       }
       delta_val = val;
@@ -1862,6 +1927,7 @@ struct SliceDec {
     int prefix = 0;
     while (prefix < 32 && c.bypass()) ++prefix;
     if (prefix <= 3) return (prefix << rice) + c.bypass_bits(rice);
+    if (prefix - 3 + rice > 30) throw DecodeError("bad coeff remaining");
     return ((((1 << (prefix - 3)) + 3 - 1)) << rice) +
            c.bypass_bits(prefix - 3 + rice);
   }
@@ -2295,7 +2361,7 @@ static void weighted_bi(const int32_t* p0, const int32_t* p1, int n,
     for (int x = 0; x < w_; ++x) {
       int64_t v = (int64_t)p0[y * w_ + x] * wp0.w +
                   (int64_t)p1[y * w_ + x] * wp1.w +
-                  (((int64_t)wp0.o + wp1.o + 1) << wp0.log2wd);
+                  ((int64_t)wp0.o + wp1.o + 1) * ((int64_t)1 << wp0.log2wd);
       out[(size_t)y * stride_out + x] =
           (uint16_t)clamp_i((int)(v >> (wp0.log2wd + 1)), 0, mx);
     }
@@ -2479,9 +2545,10 @@ void SliceDec::mc_pu(int xp, int yp, int w, int hh, const bool used[2],
                     my, bd, pred[lx][2]);
     if (h->has_pred_weights) {
       const WeightEnt& e = h->pred_weights[lx][ridx[lx]];
-      wps[lx][0] = {true, e.wy, e.oy << obd, h->luma_log2 + 14 - bd};
-      wps[lx][1] = {true, e.wcb, e.ocb << obd, h->chroma_log2 + 14 - bd};
-      wps[lx][2] = {true, e.wcr, e.ocr << obd, h->chroma_log2 + 14 - bd};
+      int osc = 1 << obd;
+      wps[lx][0] = {true, e.wy, e.oy * osc, h->luma_log2 + 14 - bd};
+      wps[lx][1] = {true, e.wcb, e.ocb * osc, h->chroma_log2 + 14 - bd};
+      wps[lx][2] = {true, e.wcr, e.ocr * osc, h->chroma_log2 + 14 - bd};
     } else {
       for (int pi = 0; pi < 3; ++pi) wps[lx][pi] = {false, 0, 0, 0};
     }
@@ -2941,7 +3008,7 @@ static void deblock_chroma_segment(uint16_t* C, int stride, int cx, int cy,
     int p0 = C[base - dy * (size_t)stride - dx];
     int q0 = C[base];
     int q1 = C[base + dy * (size_t)stride + dx];
-    int delta = clamp_i((((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc, tc);
+    int delta = clamp_i(((q0 - p0) * 4 + p1 - q1 + 4) >> 3, -tc, tc);
     if (!nofilt_p)
       C[base - dy * (size_t)stride - dx] =
           (uint16_t)clamp_i(p0 + delta, 0, mx);
@@ -3179,12 +3246,22 @@ struct Decoder {
       }
     }
     if (!cur_pic) throw DecodeError("slice without picture start");
+    // a corrupt mid-picture SPS/PPS re-parse must not let a later slice
+    // address the in-flight frame with different geometry
+    if (h.sps->width != cur_pic->sps->width ||
+        h.sps->height != cur_pic->sps->height ||
+        h.sps->log2_ctb != cur_pic->sps->log2_ctb ||
+        h.sps->bit_depth != cur_pic->sps->bit_depth)
+      throw DecodeError("parameter set geometry changed mid-picture");
     ++slice_counter;
     slice_headers[slice_counter] = h;
     SliceDec sd(this, cur_pic.get(), &slice_headers[slice_counter], rbsp,
                 epb, slice_counter);
     if (h.slice_type != SLICE_I) {
       build_ref_lists(h, sd.refs);
+      if (sd.refs[0].empty() ||
+          (h.slice_type == SLICE_B && sd.refs[1].empty()))
+        throw DecodeError("empty reference list");
       sd.no_backward = true;
       for (int lx = 0; lx < 2; ++lx)
         for (Frame* p : sd.refs[lx])
