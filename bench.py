@@ -60,6 +60,11 @@ def main() -> None:
             result["e2e"] = bench_e2e()
         except Exception as e:  # noqa: BLE001 - kernel number must survive
             result["e2e"] = {"error": f"{type(e).__name__}: {e}"}
+    if not kernel_only and not os.environ.get("AMATSUKAZE_BENCH_NO_DECODERS"):
+        try:
+            result["decoders"] = bench_decoders()
+        except Exception as e:  # noqa: BLE001
+            result["decoders"] = {"error": f"{type(e).__name__}: {e}"}
     print(json.dumps(result))
 
 
@@ -276,6 +281,92 @@ def bench_e2e() -> dict:
         shutil.rmtree(tmp)
     except OSError:
         pass
+    return out
+
+
+
+
+def bench_decoders() -> dict:
+    """Single-core fps of the in-build native video decoders at 1080
+    broadcast shapes (MPEG-2 1080i, H.264 1080i CABAC, HEVC 1080p and
+    4K Main10), each bridge-encoded in-process and decoded through the
+    same native engines the pipeline uses."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    from scipy.ndimage import gaussian_filter
+
+    from amatsukaze_tpu.video.avdec import AvVideoEncoder, avdec_available
+    from amatsukaze_tpu.video.native import (
+        NativeH264Decoder,
+        NativeH265Decoder,
+        decode_es_native,
+        h264_native_available,
+        h265_native_available,
+    )
+
+    if not avdec_available():
+        return {"error": "libav bridge unavailable"}
+    n = int(os.environ.get("AMATSUKAZE_BENCH_DEC_FRAMES", "60"))
+
+    def frames(w, h, depth=8, seed=7):
+        rng = np.random.default_rng(seed)
+        hi = 255 if depth == 8 else 1023
+        dt = np.uint8 if depth == 8 else np.uint16
+        base = gaussian_filter(rng.uniform(0, hi, (h, w)), 1.5)
+        ubase = gaussian_filter(rng.uniform(0, hi, (h // 2, w // 2)), 2.0)
+        out = []
+        for i in range(n):
+            y = np.clip(np.roll(base, 3 * i, axis=1), 0, hi).astype(dt)
+            u = np.clip(np.roll(ubase, i, axis=1), 0, hi).astype(dt)
+            out.append((y, u, u))
+        return out
+
+    def encode(w, h, codec, params, depth=8, interlaced=False):
+        enc = AvVideoEncoder(w, h, fps_num=30000, fps_den=1001, crf=23,
+                             preset="" if codec == "mpeg2video"
+                             else "ultrafast",
+                             interlaced=interlaced, bframes=2, codec=codec,
+                             x264_params=params, bit_depth=depth)
+        pkts = []
+        for y, u, v in frames(w, h, depth):
+            pkts.extend(enc.encode(y, u, v))
+        pkts.extend(enc.flush())
+        return b"".join(pkts)
+
+    out = {}
+    es = encode(1440, 1080, "mpeg2video", "b=10M:maxrate=14M:bufsize=4M",
+                interlaced=True)
+    t0 = time.perf_counter()
+    got = decode_es_native(es)
+    out["mpeg2_1080i_fps"] = round(len(got) / (time.perf_counter() - t0), 1)
+
+    if h264_native_available():
+        es = encode(1440, 1080, "libx264",
+                    "keyint=30:bframes=2:b-adapt=0:crf=23")
+        dec = NativeH264Decoder()
+        t0 = time.perf_counter()
+        cnt = len(dec.decode(es)) + len(dec.flush())
+        out["h264_1080_fps"] = round(cnt / (time.perf_counter() - t0), 1)
+
+    if h265_native_available():
+        es = encode(1920, 1080, "libx265",
+                    "frame-threads=1:keyint=30:bframes=3:b-adapt=0:crf=24")
+        dec = NativeH265Decoder()
+        t0 = time.perf_counter()
+        cnt = len(dec.decode(es)) + len(dec.flush())
+        out["hevc_1080p_fps"] = round(cnt / (time.perf_counter() - t0), 1)
+
+        es = encode(3840, 2160, "libx265",
+                    "frame-threads=1:keyint=30:bframes=3:b-adapt=0:crf=26",
+                    depth=10)
+        dec = NativeH265Decoder()
+        t0 = time.perf_counter()
+        cnt = len(dec.decode(es)) + len(dec.flush())
+        out["hevc_4k_main10_fps"] = round(
+            cnt / (time.perf_counter() - t0), 1)
     return out
 
 
