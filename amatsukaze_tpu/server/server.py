@@ -781,6 +781,15 @@ class EncodeServer:
             return {"ok": True}
         if method == "GetProfiles":
             return {k: asdict(v) for k, v in self.profiles.items()}
+        if method == "PreviewFilter":
+            # compiled filter-graph mode + CLI flags for a FilterSetting
+            # dict (the web filter editor's live preview; the WPF client
+            # shows the generated AVS script the same way)
+            from .filter_setting import (FilterSetting, filter_mode_of,
+                                         filter_setting_args)
+            fs = FilterSetting.from_dict(payload or {})
+            return {"mode": filter_mode_of(fs),
+                    "args": filter_setting_args(fs)}
         if method == "RemoveProfile":
             self.profiles.pop(payload.get("name", ""), None)
             return {"ok": True}

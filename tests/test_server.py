@@ -819,6 +819,56 @@ class TestWebServer:
 
         run(main())
 
+    def test_filter_editor_preview_and_save(self, ctx, tmp_path):
+        """Structured filter editor flow: PreviewFilter compiles a
+        FilterSetting dict live, and SetProfile round-trips the
+        structured dict (the WPF FilterKFMPanel-class editing, SURVEY
+        2.3 GUI row)."""
+        async def main():
+            server, web, port = await self._start(ctx, tmp_path)
+            loop = asyncio.get_running_loop()
+            pv = await loop.run_in_executor(
+                None, self._api, port, "PreviewFilter",
+                {"enable_deinterlace": True,
+                 "deinterlace_algorithm": "KFM", "kfm_fps": "VFR",
+                 "kfm_enable_ucf": False, "enable_deband": True})
+            assert pv["mode"] == "kfm_vfr"
+            assert "--kfm-no-ucf" in pv["args"]
+            assert "deband" in " ".join(pv["args"])
+            pv = await loop.run_in_executor(
+                None, self._api, port, "PreviewFilter",
+                {"enable_deinterlace": True,
+                 "deinterlace_algorithm": "AutoVfr",
+                 "auto_vfr_parallel": 4})
+            assert pv["mode"] == "autovfr"
+            assert pv["args"][-1] == "4"
+            pv = await loop.run_in_executor(
+                None, self._api, port, "PreviewFilter", {})
+            assert pv == {"mode": "none", "args": []}
+            # structured save/load through SetProfile
+            profs = await loop.run_in_executor(
+                None, self._api, port, "GetProfiles")
+            p = dict(profs["default"])
+            p["name"] = "webfs"
+            p["filter_setting"] = {
+                "enable_deinterlace": True,
+                "deinterlace_algorithm": "Yadif", "yadif_fps": "CFR60",
+                "enable_resize": True, "resize_width": 1280,
+                "resize_height": 720}
+            await loop.run_in_executor(
+                None, self._api, port, "SetProfile", p)
+            got = (await loop.run_in_executor(
+                None, self._api, port, "GetProfiles"))["webfs"]
+            assert got["filter_setting"]["yadif_fps"] == "CFR60"
+            # the served page carries the editor
+            html = (await loop.run_in_executor(
+                None, self._get, port, "/")).decode()
+            assert "filterEditor" in html and "PreviewFilter" in html
+            await web.stop()
+            await server.stop()
+
+        run(main())
+
     def test_logo_png_render(self, ctx, tmp_path):
         async def main():
             import struct
