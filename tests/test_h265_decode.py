@@ -421,3 +421,27 @@ class TestMain10:
         _run10(_moving10(96, 64, 8), 96, 64,
                self.B + ":keyint=8:bframes=0:qp=30:ref=2:tskip=1:"
                "cu-lossless=1", tmp_path)
+
+
+class TestInterlacedSignaled:
+    def test_field_signaled_stream(self, tmp_path):
+        """x265 --interlace: frame-coded with field_seq/pic-struct
+        signaling (the HEVC interlaced form x265 emits). Decode must be
+        bit-exact; the TS-layer parser reports progressive=False so the
+        pipeline routes it through the deinterlacers (the reference's
+        fieldMode_ handling, ReaderWriterFFmpeg.hpp:429)."""
+        from amatsukaze_tpu.ts.video_h265 import H265VideoParser
+        from amatsukaze_tpu.utils.context import AMTContext
+        from amatsukaze_tpu.video.avdec import AvVideoEncoder
+
+        frames = _moving_frames(96, 64, 8)
+        enc = AvVideoEncoder(96, 64, codec="libx265", preset="ultrafast",
+                             crf=25, bframes=0, interlaced=True,
+                             x264_params="keyint=8:frame-threads=1:"
+                             "no-wpp=1:qp=30:ref=2:interlace=tff")
+        es = b"".join(sum([enc.encode(*f) for f in frames], []))
+        es += b"".join(enc.flush())
+        _assert_frames_equal(_ff_decode(es, tmp_path), _ref_decode(es))
+        p = H265VideoParser(AMTContext(level="error"))
+        infos = p.input_frame(es, 90000, 90000) or []
+        assert infos and not infos[0].progressive
