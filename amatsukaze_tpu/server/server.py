@@ -409,6 +409,15 @@ class EncodeServer:
         )
         self.queue.add_queue(item)
 
+    def _pending_item(self, item_id: int):
+        """The scheduler QueueItem for a still-pending entry, or None."""
+        for level in self.queue.levels:
+            for items in level.values():
+                for it in items:
+                    if it.item_id == item_id:
+                        return it
+        return None
+
     def add_queue(self, src_path: str, out_path: str, profile: str = "default",
                   priority: int = 3, service_id: int = -1) -> QueueEntry:
         entry = QueueEntry(
@@ -811,6 +820,88 @@ class EncodeServer:
                                 items.remove(it)
                 return {"ok": True}
             return {"ok": False}
+        if method == "ChangeItem":
+            # queue item operations (ref ChangeItemType,
+            # EncodeServerData.cs:782-795 + QueueManager.ChangeItem)
+            typ = payload.get("type", "")
+            if typ == "remove_completed":
+                done = [i for i, e in self.entries.items()
+                        if e.state == "complete"]
+                for i in done:
+                    del self.entries[i]
+                return {"ok": True, "removed": len(done)}
+            entry = self.entries.get(payload.get("item_id", -1))
+            if entry is None:
+                return {"ok": False, "error": "no such item"}
+            item = self._pending_item(entry.item_id)
+            if typ in ("reset", "update_profile"):
+                # ResetState / UpdateProfile: requeue from any finished
+                # state (UpdateProfile re-runs auto profile selection)
+                if entry.state not in ("failed", "canceled", "complete"):
+                    return {"ok": False}
+                if typ == "update_profile" and payload.get("profile"):
+                    entry.profile_name = str(payload["profile"])
+                entry.state = "queue"
+                entry.retry_count = 0
+                self._enqueue(entry)
+                return {"ok": True}
+            if typ == "duplicate":
+                dup = self.add_queue(entry.src_path, entry.out_path,
+                                     entry.profile_name, entry.priority,
+                                     entry.service_id)
+                return {"ok": True, "item_id": dup.item_id}
+            if typ == "priority":
+                pr = max(1, min(5, int(payload.get("priority",
+                                                   entry.priority))))
+                entry.priority = pr
+                if item is not None:
+                    self.queue.remove_queue(item)
+                    item.priority = pr
+                    self.queue.add_queue(item)
+                return {"ok": True}
+            if typ == "profile":
+                if entry.state != "queue":
+                    return {"ok": False}
+                entry.profile_name = str(payload.get("profile",
+                                                     entry.profile_name))
+                if item is not None:
+                    # resource requirements come from the profile:
+                    # rebuild the scheduler item
+                    self.queue.remove_queue(item)
+                    self._enqueue(entry)
+                return {"ok": True}
+            if typ == "remove":
+                if entry.state == "encoding":
+                    return {"ok": False, "error": "item is encoding"}
+                if item is not None:
+                    self.queue.remove_queue(item)
+                del self.entries[entry.item_id]
+                return {"ok": True}
+            if typ == "force_start":
+                if item is None or entry.state != "queue":
+                    return {"ok": False}
+                self.queue.remove_queue(item)
+                self.pool.force_start(item)
+                return {"ok": True}
+            if typ == "remove_source":
+                # only for finished items (ref: 通常/自動追加の完了item)
+                if entry.state != "complete":
+                    return {"ok": False}
+                try:
+                    os.remove(entry.src_path)
+                except OSError as e:
+                    return {"ok": False, "error": str(e)}
+                return {"ok": True}
+            if typ in ("move_top", "move_bottom"):
+                if item is None:
+                    return {"ok": False}
+                orders = [it.order for level in self.queue.levels
+                          for items in level.values() for it in items]
+                item.order = (min(orders) - 1 if typ == "move_top"
+                              else max(orders) + 1)
+                self.queue.make_dirty()
+                return {"ok": True}
+            return {"ok": False, "error": f"unknown type {typ!r}"}
         # ScriptCommand RPCs (ref ServerInterface.cs:111-115 ids 300+,
         # used by pre/post user scripts via tools/script_command.py)
         if method == "AddTag":

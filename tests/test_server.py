@@ -275,6 +275,65 @@ class TestEncodeServer:
 
         run(main())
 
+    def test_change_item_ops(self, ctx, tmp_path):
+        """ChangeItem RPC covering the reference's ChangeItemType set
+        (EncodeServerData.cs:782-795): priority, move, duplicate,
+        force-start preconditions, reset, remove, remove_completed,
+        remove_source."""
+        async def main():
+            from amatsukaze_tpu.server.server import EncodeServer
+
+            s = EncodeServer(ctx, data_dir=str(tmp_path / "d"))
+            s.setting.num_parallel = 0  # nothing actually runs
+            await s.start(port=0)
+            src_file = tmp_path / "a.ts"
+            src_file.write_bytes(b"x" * 188)
+            e1 = s.add_queue(str(src_file), "a", priority=3)
+            e2 = s.add_queue(str(src_file), "b", priority=3)
+
+            async def rpc(typ, item_id, **kw):
+                return await s.handle_request(
+                    "ChangeItem", {"item_id": item_id, "type": typ, **kw})
+
+            # priority re-queues the scheduler item at the new level
+            r = await rpc("priority", e1.item_id, priority=5)
+            assert r["ok"] and s.entries[e1.item_id].priority == 5
+            it = s._pending_item(e1.item_id)
+            assert it is not None and it.priority == 5
+            # move_top adjusts the per-bucket order
+            r = await rpc("move_top", e2.item_id)
+            assert r["ok"]
+            assert s._pending_item(e2.item_id).order < \
+                s._pending_item(e1.item_id).order
+            # duplicate adds a fresh entry
+            r = await rpc("duplicate", e1.item_id)
+            assert r["ok"] and r["item_id"] in s.entries
+            # profile change rebuilds the scheduler item
+            s.profiles["alt"] = type(s.profiles["default"])(name="alt")
+            r = await rpc("profile", e1.item_id, profile="alt")
+            assert r["ok"]
+            assert s.entries[e1.item_id].profile_name == "alt"
+            # reset only from finished states
+            assert not (await rpc("reset", e1.item_id))["ok"]
+            s.entries[e1.item_id].state = "failed"
+            s.queue.remove_queue(s._pending_item(e1.item_id))
+            r = await rpc("reset", e1.item_id)
+            assert r["ok"] and s.entries[e1.item_id].state == "queue"
+            # remove drops entry + scheduler item
+            r = await rpc("remove", e2.item_id)
+            assert r["ok"] and e2.item_id not in s.entries
+            assert s._pending_item(e2.item_id) is None
+            # remove_source only for completed items; the file goes away
+            s.entries[e1.item_id].state = "complete"
+            r = await rpc("remove_source", e1.item_id)
+            assert r["ok"] and not src_file.exists()
+            # remove_completed sweeps it
+            r = await rpc("remove_completed", 0)
+            assert r["ok"] and e1.item_id not in s.entries
+            await s.stop()
+
+        run(main())
+
     def test_make_cli_args(self, ctx, tmp_path):
         from amatsukaze_tpu.server.server import (
             EncodeServer, ProfileSetting, QueueEntry,
