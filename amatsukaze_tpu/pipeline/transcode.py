@@ -935,20 +935,29 @@ class _InProcessEncoderSink:
         interlaced = y4m_fmt.interlaced or opts["field_order"] is not None
         tff = (opts["field_order"] != "bff") if opts["field_order"] \
             else getattr(y4m_fmt, "tff", True)
+        bits = getattr(y4m_fmt, "bits", 8)
+        # Main10 pass-through: encode at 10 bits when the codec can
+        native10 = bits == 10 and opts["codec"] in ("libx265", "libsvtav1")
         self._enc = build_encoder(
             opts, y4m_fmt.width, y4m_fmt.height, y4m_fmt.fps_num,
-            y4m_fmt.fps_den, interlaced, tff)
-        self._shift = max(getattr(y4m_fmt, "bits", 8) - 8, 0)
+            y4m_fmt.fps_den, interlaced, tff,
+            bit_depth=10 if native10 else 8)
+        self._shift = 0 if native10 else max(bits - 8, 0)
         self._out = open(opts["out"], "wb")
         self.frames = 0
 
     def write_frame(self, y, u, v) -> None:
         if self._shift:
-            y = (y >> self._shift).astype(np.uint8)
-            u = (u >> self._shift).astype(np.uint8)
-            v = (v >> self._shift).astype(np.uint8)
-        for pkt in self._enc.encode(_to_u8(y), _to_u8(u), _to_u8(v)):
-            self._out.write(pkt)
+            rnd = 1 << (self._shift - 1)
+            y = ((y + rnd) >> self._shift).clip(0, 255).astype(np.uint8)
+            u = ((u + rnd) >> self._shift).clip(0, 255).astype(np.uint8)
+            v = ((v + rnd) >> self._shift).clip(0, 255).astype(np.uint8)
+        if self._enc.bit_depth > 8:
+            for pkt in self._enc.encode(y, u, v):
+                self._out.write(pkt)
+        else:
+            for pkt in self._enc.encode(_to_u8(y), _to_u8(u), _to_u8(v)):
+                self._out.write(pkt)
         self.frames += 1
 
     def join(self) -> int:
@@ -999,11 +1008,37 @@ def _default_encoder_runner(pipeline: TranscodePipeline, reform,
     from .settings import resolve_encoder_command
 
     encoder_args = resolve_encoder_command(encoder_args, st.conf.encoder)
+    from ..io.process import prefetch_iter
+
+    wanted = set(file.video_frames)
+    src = prefetch_iter(pipeline.decoder_factory(pipeline, key.video),
+                        depth=max(8, st.conf.num_encode_buffer_frames))
+    # peek the first decoded frame: Main10 sources arrive as uint16
+    import itertools
+
+    src = iter(src)
+    first = next(src, None)
+    depth = 10 if (first is not None
+                   and first[0].dtype == np.uint16) else 8
+    if first is not None:
+        src = itertools.chain([first], src)
+    eraser = getattr(pipeline, "_active_eraser", None)
+    filtered = not (fg is None
+                    or (fg.mode == "none" and fg.post_chain is None))
+    passthrough10 = depth == 10 and not filtered and eraser is None
+    if depth == 10 and not passthrough10:
+        # the filter graph runs at 8 bits: rounded downconvert
+        # (the reference filters at source depth via AviSynth; the
+        # unfiltered path below keeps the full 10 bits)
+        src = (tuple(((p.astype(np.int32) + 2) >> 2)
+                     .clip(0, 255).astype(np.uint8) for p in planes)
+               for planes in src)
     y4m_fmt = Y4MFormat(
         width=out_fmt.width, height=out_fmt.height,
         fps_num=out_fmt.frame_rate_num, fps_den=out_fmt.frame_rate_denom,
         interlaced=not out_fmt.progressive,
         sar_num=out_fmt.sar_width, sar_den=out_fmt.sar_height,
+        colorspace="420p10" if passthrough10 else "420mpeg2",
     )
     shim_argv = _inprocess_encoder_argv(encoder_args)
     if shim_argv is not None:
@@ -1014,12 +1049,6 @@ def _default_encoder_runner(pipeline: TranscodePipeline, reform,
         writer = Y4MWriter(proc.stdin, y4m_fmt)
     pump = DataPumpThread(lambda planes: writer.write_frame(*planes),
                           max_items=max(4, st.conf.num_encode_buffer_frames))
-    from ..io.process import prefetch_iter
-
-    wanted = set(file.video_frames)
-    src = prefetch_iter(pipeline.decoder_factory(pipeline, key.video),
-                        depth=max(8, st.conf.num_encode_buffer_frames))
-    eraser = getattr(pipeline, "_active_eraser", None)
     if eraser is not None:
         src = eraser.erase_iter(src, max(3, st.conf.device_batch_frames))
     frames_iter = (planes for i, planes in enumerate(src) if i in wanted)

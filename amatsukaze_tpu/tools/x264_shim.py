@@ -60,7 +60,8 @@ def parse_args(argv: list[str]) -> dict:
 
 
 def build_encoder(opts: dict, width: int, height: int, fps_num: int,
-                  fps_den: int, interlaced: bool, tff: bool):
+                  fps_den: int, interlaced: bool, tff: bool,
+                  bit_depth: int = 8):
     """AvVideoEncoder from parsed shim options (shared between the
     subprocess shim and the pipeline's in-process encode path)."""
     import os
@@ -91,7 +92,7 @@ def build_encoder(opts: dict, width: int, height: int, fps_num: int,
         width, height, fps_num=fps_num, fps_den=fps_den,
         crf=opts["crf"], preset=preset,
         interlaced=interlaced, x264_params=extra,
-        codec=opts["codec"])
+        codec=opts["codec"], bit_depth=bit_depth)
 
 
 def main(argv=None) -> int:
@@ -112,18 +113,23 @@ def main(argv=None) -> int:
     # otherwise the header's interlace flag + field order win.
     interlaced = fmt.interlaced or opts["field_order"] is not None
     tff = (opts["field_order"] != "bff") if opts["field_order"] else fmt.tff
+    # 10-bit y4m (Main10 pass-through) encodes at 10 bits when the
+    # encoder supports it (x265/SVT); deeper post-chain depths downshift
+    native10 = fmt.bits == 10 and opts["codec"] in ("libx265", "libsvtav1")
     enc = build_encoder(opts, fmt.width, fmt.height, fmt.fps_num,
-                        fmt.fps_den, interlaced, tff)
+                        fmt.fps_den, interlaced, tff,
+                        bit_depth=10 if native10 else 8)
     import numpy as np
 
-    shift = max(fmt.bits - 8, 0)
+    shift = 0 if native10 else max(fmt.bits - 8, 0)
     n = 0
     with open(opts["out"], "wb") as out:
         for y, u, v in reader.frames():
             if shift:  # high-bit-depth y4m from the post chain
-                y = (y >> shift).astype(np.uint8)
-                u = (u >> shift).astype(np.uint8)
-                v = (v >> shift).astype(np.uint8)
+                rnd = 1 << (shift - 1)
+                y = ((y + rnd) >> shift).clip(0, 255).astype(np.uint8)
+                u = ((u + rnd) >> shift).clip(0, 255).astype(np.uint8)
+                v = ((v + rnd) >> shift).clip(0, 255).astype(np.uint8)
             for pkt in enc.encode(y, u, v):
                 out.write(pkt)
             n += 1

@@ -128,8 +128,11 @@ class AvVideoDecoder:
 
 
 def decode_file_av(path: str):
-    """(Y, U, V) frame iterator via the FFmpeg bridge."""
-    dec = AvVideoDecoder(path)
+    """(Y, U, V) frame iterator via the FFmpeg bridge. 10-bit sources
+    (HEVC Main10) yield uint16 planes at native depth; the pipeline
+    decides whether to pass the depth through to the encoder or
+    downconvert for the 8-bit filter graph."""
+    dec = AvVideoDecoder(path, keep_depth=True)
     yield from dec.frames()
 
 

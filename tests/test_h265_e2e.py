@@ -152,3 +152,116 @@ class TestH265Pipeline:
             conf.h264_decoder = "native"
 
         self._run(tmp_path, conf_tune=tune, n=10)
+
+
+def _encode10_aud(frames, w, h, params=""):
+    from amatsukaze_tpu.video.avdec import AvVideoEncoder
+
+    enc = AvVideoEncoder(
+        w, h, codec="libx265", preset="ultrafast", crf=20, bframes=0,
+        bit_depth=10,
+        x264_params="keyint=6:min-keyint=6:frame-threads=1:aud=1:"
+                    "repeat-headers=1:no-wpp=1"
+                    + (":" + params if params else ""))
+    aus = []
+    for y, u, v in frames:
+        aus.extend(enc.encode(y, u, v))
+    aus.extend(enc.flush())
+    return aus
+
+
+def _moving10(w, h, n, seed=3):
+    import scipy.ndimage as ndi
+    rng = np.random.default_rng(seed)
+    y0 = ndi.gaussian_filter(rng.uniform(0, 1023, (h, w)), 2.5,
+                             mode="nearest").astype(np.uint16)
+    u0 = ndi.gaussian_filter(rng.uniform(0, 1023, (h // 2, w // 2)), 2,
+                             mode="nearest").astype(np.uint16)
+    out = []
+    for i in range(n):
+        out.append((np.roll(y0, (3 * i, 7 * i), (0, 1)).copy(),
+                    np.roll(u0, (i, 3 * i), (0, 1)).copy(),
+                    np.roll(u0, (2 * i, i), (0, 1)).copy()))
+    return out
+
+
+class TestMain10Pipeline:
+    """BS4K-shaped input: HEVC Main10 in TS. The unfiltered path keeps
+    the full 10 bits through y4m C420p10 into a 10-bit x265 encode; the
+    filtered path downconverts with rounding for the 8-bit device
+    graph."""
+
+    def _make_src(self, tmp_path, n=12):
+        W, H = 96, 64
+        frames = _moving10(W, H, n)
+        aus = _encode10_aud(frames, W, H, params="qp=24")
+        src = tmp_path / "m10.ts"
+        src.write_bytes(ts_gen.build_simple_ts(
+            width=W, height=H, video_es_frames=aus,
+            video_stream_type=0x24))
+        return src, frames, W, H
+
+    def _run(self, tmp_path, src, encoder_path="x265", filter_mode=None):
+        from amatsukaze_tpu.pipeline.decoders import default_decoder_factory
+        from amatsukaze_tpu.pipeline.settings import Config, Settings
+        from amatsukaze_tpu.pipeline.transcode import TranscodePipeline
+        from amatsukaze_tpu.utils.context import AMTContext
+
+        conf = Config()
+        conf.src_file_path = str(src)
+        conf.out_video_path = str(tmp_path / "out")
+        conf.out_info_json_path = str(tmp_path / "r.json")
+        conf.work_dir = str(tmp_path)
+        conf.encoder_path = encoder_path  # absent binary -> in-build shim
+        if encoder_path == "x265":
+            from amatsukaze_tpu.pipeline.settings import Encoder
+            conf.encoder = Encoder.X265
+        conf.no_remove_tmp = True
+        if filter_mode:
+            conf.filter_mode = filter_mode
+        ctx = AMTContext(level="error")
+        pipe = TranscodePipeline(ctx, Settings(ctx, conf),
+                                 decoder_factory=default_decoder_factory())
+        return pipe.run()
+
+    def test_main10_passthrough_10bit_encode(self, tmp_path):
+        """Unfiltered Main10 transcode stays 10-bit end to end: the
+        in-build x265 shim encodes yuv420p10 and the output decodes to
+        uint16 close to the source."""
+        _bridge_or_skip()
+        import math
+
+        from amatsukaze_tpu.video.avdec import AvVideoDecoder
+
+        src, frames, W, H = self._make_src(tmp_path)
+        report = self._run(tmp_path, src, encoder_path="x265")
+        out = report["outfiles"][0]["path"]
+        dec = AvVideoDecoder(out, keep_depth=True)
+        assert dec.bit_depth == 10  # REAL 10-bit output
+        got = list(dec.frames())
+        assert len(got) >= len(frames) - 1
+        mse = np.mean((got[0][0].astype(float)
+                       - frames[0][0].astype(float)) ** 2)
+        psnr = 10 * math.log10(1023 ** 2 / max(mse, 1e-9))
+        assert psnr > 40, psnr
+
+    def test_main10_filtered_downconverts(self, tmp_path):
+        """With a filter graph the device path runs at 8 bits: the
+        output is 8-bit and still close to the (shifted) source."""
+        _bridge_or_skip()
+        import math
+
+        from amatsukaze_tpu.video.avdec import AvVideoDecoder
+
+        src, frames, W, H = self._make_src(tmp_path)
+        report = self._run(tmp_path, src, encoder_path="x264",
+                           filter_mode="yadif")
+        out = report["outfiles"][0]["path"]
+        dec = AvVideoDecoder(out, keep_depth=True)
+        assert dec.bit_depth == 8
+        got = list(dec.frames())
+        assert got
+        ref8 = ((frames[0][0].astype(np.int32) + 2) >> 2).clip(0, 255)
+        mse = np.mean((got[0][0].astype(float) - ref8) ** 2)
+        psnr = 10 * math.log10(255 ** 2 / max(mse, 1e-9))
+        assert psnr > 30, psnr
