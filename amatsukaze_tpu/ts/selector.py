@@ -31,7 +31,9 @@ def is_video_stream(stream_type: int) -> bool:
 
 
 def is_audio_stream(stream_type: int) -> bool:
-    return stream_type == 0x0F  # ADTS AAC only
+    # ADTS AAC (2K broadcast) + LATM/LOAS AAC (stream_type 0x11, the
+    # ARIB STD-B32 4K framing; the reference accepts only 0x0F)
+    return stream_type in (0x0F, 0x11)
 
 
 def is_caption_stream(stream_type: int) -> bool:

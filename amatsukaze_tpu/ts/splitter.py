@@ -174,7 +174,9 @@ class VideoFrameParser(PesParser):
 
 
 class AudioFrameParser(PesParser):
-    """PES -> ADTS frames (ref TsSplitter.hpp:114-157)."""
+    """PES -> ADTS frames (ref TsSplitter.hpp:114-157). LATM/LOAS
+    audio (stream_type 0x11, 4K broadcast) is re-wrapped to ADTS in
+    front of the same machinery (ts/latm.py)."""
 
     def __init__(self, ctx, splitter: "TsSplitter", audio_idx: int,
                  decoder_factory=None):
@@ -185,13 +187,25 @@ class AudioFrameParser(PesParser):
         dec = decoder_factory() if decoder_factory else None
         self._adts = AdtsParser(ctx, dec)
         self._format = AudioFormat()
+        self._latm = None  # set when the PMT types this PID 0x11
+
+    def set_stream_type(self, stream_type: int) -> None:
+        if stream_type == 0x11 and self._latm is None:
+            from .latm import LatmToAdts
+
+            self._latm = LatmToAdts()
+        elif stream_type != 0x11:
+            self._latm = None
 
     def on_pes_packet(self, clock: int, packet: PESPacket) -> None:
         if clock == -1:
             self.ctx.error("audio PES packet without clock info")
             return
         pts = packet.pts if packet.has_pts else -1
-        frames = self._adts.input_frame(packet.payload(), pts)
+        payload = packet.payload()
+        if self._latm is not None:
+            payload = self._latm.feed(payload)
+        frames = self._adts.input_frame(payload, pts)
         if frames:
             first = frames[0]
             if first.format != self._format:
@@ -623,6 +637,8 @@ class TsSplitter(TsPacketSelectorHandler):
                     AudioFrameParser(self.ctx, self, idx, self._audio_decoder_factory)
                 )
                 self.ctx.info("added audio parser %d", idx)
+            for idx, es in enumerate(audio):
+                self.audio_parsers[idx].set_stream_type(es.stype)
 
     def _check_scramble(self, packet: TsPacket) -> bool:
         self.num_total_packets += 1

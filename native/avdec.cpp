@@ -314,8 +314,11 @@ struct ADec {
   AVFrame* frame = nullptr;
 };
 
-void* AvAac_Open() {
-  const AVCodec* codec = avcodec_find_decoder(AV_CODEC_ID_AAC);
+// latm != 0 opens the LOAS/LATM-framed AAC decoder (ARIB STD-B32 4K
+// broadcast audio) instead of the ADTS one
+void* AvAac_OpenLatm(int latm) {
+  const AVCodec* codec =
+      avcodec_find_decoder(latm ? AV_CODEC_ID_AAC_LATM : AV_CODEC_ID_AAC);
   if (!codec) return nullptr;
   auto* d = new (std::nothrow) ADec();
   d->dec = avcodec_alloc_context3(codec);
@@ -328,6 +331,8 @@ void* AvAac_Open() {
   d->frame = av_frame_alloc();
   return d;
 }
+
+void* AvAac_Open() { return AvAac_OpenLatm(0); }
 
 // Decode one ADTS frame; writes up to max_samples interleaved float32
 // samples. info[4] = {channels, sample_rate, samples_per_channel, 0}.

@@ -377,6 +377,7 @@ def build_simple_ts(
     video_es_frames: list | None = None,  # real coded pictures (coded order)
     audio_es_frames: list | None = None,  # real ADTS frames, by time index
     video_stream_type: int = 0x02,  # 0x02 MPEG2, 0x1B H.264
+    audio_stream_type: int = 0x0F,  # 0x0F ADTS, 0x11 LATM/LOAS
 ) -> bytes:
     """A single-program TS with MPEG2 video + N ADTS audio streams.
 
@@ -390,7 +391,7 @@ def build_simple_ts(
     pat = make_pat(TSID, [(service_id, PMT_PID)])
     streams = [(video_stream_type, VIDEO_PID, b"")]
     for i in range(num_audio):
-        streams.append((0x0F, AUDIO_PID + i, b""))
+        streams.append((audio_stream_type, AUDIO_PID + i, b""))
     pmt = make_pmt(service_id, VIDEO_PID, streams)
     sdt = make_sdt(TSID, [(service_id, service_name)]) if si else None
     eit = make_eit_present(service_id, event_name, "synthetic event",
