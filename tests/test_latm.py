@@ -226,3 +226,75 @@ class TestLatmPipeline:
         # decoded audio samples made it into the wave store
         assert report.get("audiofiles") or report["outfiles"][0].get(
             "audio_frames", 1)
+
+
+class TestBs4kShape:
+    def test_hevc_main10_plus_latm_ts(self, tmp_path):
+        """The full ARIB STD-B32 4K shape in one TS: HEVC Main10 video
+        (stream_type 0x24) + LATM/LOAS AAC audio (0x11). Transcode keeps
+        10 bits through to a 10-bit x265 encode with the audio reformed
+        alongside."""
+        _bridge_or_skip()
+        import math
+
+        import scipy.ndimage as ndi
+        import ts_gen
+        from amatsukaze_tpu.pipeline.decoders import default_decoder_factory
+        from amatsukaze_tpu.pipeline.settings import Config, Encoder, Settings
+        from amatsukaze_tpu.pipeline.transcode import TranscodePipeline
+        from amatsukaze_tpu.utils.context import AMTContext
+        from amatsukaze_tpu.video.avdec import AvVideoDecoder, AvVideoEncoder
+
+        W, H, n = 96, 64, 12
+        rng = np.random.default_rng(3)
+        y0 = ndi.gaussian_filter(rng.uniform(0, 1023, (H, W)), 2.5,
+                                 mode="nearest").astype(np.uint16)
+        u0 = ndi.gaussian_filter(rng.uniform(0, 1023, (H // 2, W // 2)), 2,
+                                 mode="nearest").astype(np.uint16)
+        frames = [(np.roll(y0, (3 * i, 7 * i), (0, 1)).copy(),
+                   np.roll(u0, (i, 3 * i), (0, 1)).copy(),
+                   np.roll(u0, (2 * i, i), (0, 1)).copy())
+                  for i in range(n)]
+        enc = AvVideoEncoder(
+            W, H, codec="libx265", preset="ultrafast", crf=20, bframes=0,
+            bit_depth=10,
+            x264_params="keyint=6:min-keyint=6:frame-threads=1:aud=1:"
+                        "repeat-headers=1:no-wpp=1:qp=24")
+        aus = []
+        for f in frames:
+            aus.extend(enc.encode(*f))
+        aus.extend(enc.flush())
+        aes = _adts_fixture(n_frames=48)
+        loas = latm_gen.loas_from_adts(aes)
+        chunks = []
+        i = 0
+        while i + 3 <= len(loas):
+            ln = ((loas[i + 1] & 0x1F) << 8) | loas[i + 2]
+            chunks.append(loas[i:i + 3 + ln])
+            i += 3 + ln
+        src = tmp_path / "bs4k.ts"
+        src.write_bytes(ts_gen.build_simple_ts(
+            width=W, height=H, video_es_frames=aus,
+            video_stream_type=0x24, audio_es_frames=chunks,
+            audio_stream_type=0x11))
+        conf = Config()
+        conf.src_file_path = str(src)
+        conf.out_video_path = str(tmp_path / "out")
+        conf.out_info_json_path = str(tmp_path / "r.json")
+        conf.work_dir = str(tmp_path)
+        conf.encoder_path = "x265"  # absent -> in-build 10-bit shim
+        conf.encoder = Encoder.X265
+        conf.no_remove_tmp = True
+        ctx = AMTContext(level="error")
+        pipe = TranscodePipeline(ctx, Settings(ctx, conf),
+                                 decoder_factory=default_decoder_factory())
+        report = pipe.run()
+        out = report["outfiles"][0]["path"]
+        dec = AvVideoDecoder(out, keep_depth=True)
+        assert dec.bit_depth == 10
+        got = list(dec.frames())
+        assert len(got) >= n - 1
+        mse = np.mean((got[0][0].astype(float)
+                       - frames[0][0].astype(float)) ** 2)
+        psnr = 10 * math.log10(1023 ** 2 / max(mse, 1e-9))
+        assert psnr > 40, psnr
