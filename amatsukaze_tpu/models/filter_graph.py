@@ -119,6 +119,12 @@ class FilterGraph:
         # stage, Misc.cs:1411-1414): (width, height) of the luma plane,
         # applied after the post chain in float (lanczos3)
         self.resize: tuple | None = None
+        # source sample bit depth. 8 for 2K broadcast; 10 for Main10
+        # sources running the post-chain-only path (mode "none"): the
+        # 14-bit internal domain then scales from/to 10 bits and the
+        # output quantizes to uint16 (the reference's ConvertBits chain
+        # at source depth, Misc.cs:1403-1441)
+        self.src_bits = 8
         # KFM dirty-field (UCF) replacement toggle (ref KfmEnableUcf)
         self.kfm_ucf = True
         self.decisions = None
@@ -157,8 +163,10 @@ class FilterGraph:
 
         q = out_dev
         if self.quantize_output:
+            mx = (1 << self.src_bits) - 1
+            dt = jnp.uint16 if self.src_bits > 8 else jnp.uint8
             q = jnp.clip(jnp.floor(out_dev.astype(jnp.float32) + 0.5),
-                         0, 255).astype(jnp.uint8)
+                         0, mx).astype(dt)
         n = len(out_dev) if n_valid is None else n_valid
         if self.defer_download:
             return DeferredBatch(q, n)
@@ -173,8 +181,9 @@ class FilterGraph:
             if qp is not None:
                 mbh = qp.shape[1]
                 scale = 2 if plane_h > mbh * 12 else 1  # luma vs 4:2:0 chroma
-                return self.post_chain(out_j, qp=qp, qp_block_scale=scale)
-        return self.post_chain(out_j)
+                return self.post_chain(out_j, qp=qp, qp_block_scale=scale,
+                                       src_bits=self.src_bits)
+        return self.post_chain(out_j, src_bits=self.src_bits)
 
     def debug_dump(self, num_frames: int) -> dict:
         """JSON-able description of the configured graph and its analysis
@@ -870,13 +879,13 @@ def build_post_chain(spec: str):
     if unknown:
         raise ValueError(f"unknown post-filter tokens: {sorted(unknown)}")
 
-    def chain(frames, qp=None, qp_block_scale=2):
+    def chain(frames, qp=None, qp_block_scale=2, src_bits=8):
         import jax.numpy as jnp
 
         from ..ops import denoise
 
         x = jnp.asarray(frames)
-        if "deblock" in tokens and qp is not None:
+        if "deblock" in tokens and qp is not None and src_bits == 8:
             b, h, w = x.shape
             hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
             if (hp, wp) != (h, w):
@@ -888,14 +897,15 @@ def build_post_chain(spec: str):
             else:
                 x = denoise.deblock_qp(x, jnp.asarray(qp),
                                        qp_block_scale=qp_block_scale)
-        x = denoise.to_14bit(x)
+        scale = float(1 << (14 - src_bits))  # ConvertBits(14) at depth
+        x = x.astype(jnp.float32) * scale
         if "nr" in tokens:
             x = denoise.temporal_nr(x)
         if "deband" in tokens:
             x = denoise.deband(x, jnp.uint32(0))
         if "edge" in tokens:
             x = denoise.edge_level(x)
-        return x * (1.0 / 64.0)  # back to the 8-bit domain
+        return x * (1.0 / scale)  # back to the source domain
 
     chain.wants_qp = "deblock" in tokens
     return chain

@@ -1026,8 +1026,15 @@ def _default_encoder_runner(pipeline: TranscodePipeline, reform,
     filtered = not (fg is None
                     or (fg.mode == "none" and fg.post_chain is None))
     passthrough10 = depth == 10 and not filtered and eraser is None
-    if depth == 10 and not passthrough10:
-        # the filter graph runs at 8 bits: rounded downconvert
+    # post-chain-only filtering (the realistic Main10 case: 4K is
+    # progressive, so NR/deband/edge/resize apply but no deinterlacer)
+    # runs the 14-bit device chain scaled from/to 10 bits
+    post10 = (depth == 10 and eraser is None and fg is not None
+              and fg.mode == "none" and fg.post_chain is not None)
+    if post10:
+        fg.src_bits = 10
+    if depth == 10 and not passthrough10 and not post10:
+        # deinterlacer graphs run at 8 bits: rounded downconvert
         # (the reference filters at source depth via AviSynth; the
         # unfiltered path below keeps the full 10 bits)
         src = (tuple(((p.astype(np.int32) + 2) >> 2)
@@ -1038,7 +1045,8 @@ def _default_encoder_runner(pipeline: TranscodePipeline, reform,
         fps_num=out_fmt.frame_rate_num, fps_den=out_fmt.frame_rate_denom,
         interlaced=not out_fmt.progressive,
         sar_num=out_fmt.sar_width, sar_den=out_fmt.sar_height,
-        colorspace="420p10" if passthrough10 else "420mpeg2",
+        colorspace="420p10" if (passthrough10 or post10)
+        else "420mpeg2",
     )
     shim_argv = _inprocess_encoder_argv(encoder_args)
     if shim_argv is not None:
@@ -1086,6 +1094,15 @@ def _to_u8(plane: np.ndarray) -> np.ndarray:
     return np.clip(np.floor(plane + 0.5), 0, 255).astype(np.uint8)
 
 
+def _to_depth(plane: np.ndarray, bits: int) -> np.ndarray:
+    if bits <= 8:
+        return _to_u8(plane)
+    if plane.dtype == np.uint16:  # already rounded (on device)
+        return plane
+    mx = (1 << bits) - 1
+    return np.clip(np.floor(plane + 0.5), 0, mx).astype(np.uint16)
+
+
 def _pump_filtered(fg, frames_iter, pump, batch: int) -> None:
     """Batch the selected source frames through the filter graph, per plane
     (Y/U/V run the same op at their own resolutions), and feed the pump.
@@ -1106,7 +1123,8 @@ def _pump_filtered(fg, frames_iter, pump, batch: int) -> None:
         mats = [o.materialize() if hasattr(o, "materialize") else o
                 for o in outs]
         for k in range(n_out):
-            pump.put(tuple(_to_u8(mats[p][k]) for p in range(3)))
+            pump.put(tuple(_to_depth(mats[p][k], fg.src_bits)
+                           for p in range(3)))
 
     def flush(chunk, next_planes):
         nonlocal prev_planes, start, pending

@@ -201,7 +201,8 @@ class TestMain10Pipeline:
             video_stream_type=0x24))
         return src, frames, W, H
 
-    def _run(self, tmp_path, src, encoder_path="x265", filter_mode=None):
+    def _run(self, tmp_path, src, encoder_path="x265", filter_mode=None,
+             conf_tune=None):
         from amatsukaze_tpu.pipeline.decoders import default_decoder_factory
         from amatsukaze_tpu.pipeline.settings import Config, Settings
         from amatsukaze_tpu.pipeline.transcode import TranscodePipeline
@@ -219,6 +220,8 @@ class TestMain10Pipeline:
         conf.no_remove_tmp = True
         if filter_mode:
             conf.filter_mode = filter_mode
+        if conf_tune:
+            conf_tune(conf)
         ctx = AMTContext(level="error")
         pipe = TranscodePipeline(ctx, Settings(ctx, conf),
                                  decoder_factory=default_decoder_factory())
@@ -265,3 +268,29 @@ class TestMain10Pipeline:
         mse = np.mean((got[0][0].astype(float) - ref8) ** 2)
         psnr = 10 * math.log10(255 ** 2 / max(mse, 1e-9))
         assert psnr > 30, psnr
+
+    def test_main10_post_chain_stays_10bit(self, tmp_path):
+        """Post-chain-only filtering (NR/deband — the realistic Main10
+        case, 4K being progressive) runs the 14-bit device chain scaled
+        from 10 bits and the output stays 10-bit."""
+        _bridge_or_skip()
+        import math
+
+        from amatsukaze_tpu.video.avdec import AvVideoDecoder
+
+        src, frames, W, H = self._make_src(tmp_path)
+
+        def tune(conf):
+            conf.post_filter = "nr,deband"
+
+        report = self._run(tmp_path, src, encoder_path="x265",
+                           conf_tune=tune)
+        out = report["outfiles"][0]["path"]
+        dec = AvVideoDecoder(out, keep_depth=True)
+        assert dec.bit_depth == 10
+        got = list(dec.frames())
+        assert len(got) >= len(frames) - 1
+        mse = np.mean((got[0][0].astype(float)
+                       - frames[0][0].astype(float)) ** 2)
+        psnr = 10 * math.log10(1023 ** 2 / max(mse, 1e-9))
+        assert psnr > 34, psnr  # NR+deband perturb mildly
