@@ -266,10 +266,7 @@ class FilterGraph:
         for chunk in _batched(frame_iter, self.batch):
             # ship at source dtype (uint8 = 4x less transfer), widen on
             # device; frames here are integer-valued decoder output
-            arr = np.stack(chunk)
-            if arr.dtype != np.uint8 and np.issubdtype(arr.dtype,
-                                                       np.floating):
-                arr = np.clip(np.rint(arr), 0, 255).astype(np.uint8)
+            arr = normalize_u8(np.stack(chunk))
             arr_in = (np.concatenate([carry[None], arr])
                       if carry is not None else arr)
             c = self._device_costs(arr_in)
@@ -327,10 +324,7 @@ class FilterGraph:
             got = 0
             it = section_opener(sec_start - halo, sec_end)
             for chunk in _batched(it, self.batch):
-                arr = np.stack(chunk)
-                if arr.dtype != np.uint8 and np.issubdtype(
-                        arr.dtype, np.floating):
-                    arr = np.clip(np.rint(arr), 0, 255).astype(np.uint8)
+                arr = normalize_u8(np.stack(chunk))
                 arr_in = (np.concatenate([carry[None], arr])
                           if carry is not None else arr)
                 c = self._device_costs(arr_in)
@@ -862,6 +856,21 @@ class FilterGraph:
             out = self._apply_post(out, idx, frames.shape[1])
         out = self._apply_resize(out, plane)
         return self._download(out)
+
+
+def normalize_u8(arr: np.ndarray) -> np.ndarray:
+    """Analysis-feed intake: device cost/logo kernels run 8-bit math.
+    Floats round; 10-bit (uint16) decoder output downshifts with
+    rounding — the same conversion the deinterlacer encode feed uses,
+    so analysis and synthesis see identical pixels."""
+    if arr.dtype == np.uint8:
+        return arr
+    if arr.dtype == np.uint16:
+        return (((arr.astype(np.int32) + 2) >> 2)
+                .clip(0, 255).astype(np.uint8))
+    if np.issubdtype(arr.dtype, np.floating):
+        return np.clip(np.rint(arr), 0, 255).astype(np.uint8)
+    return arr.astype(np.uint8)
 
 
 def build_post_chain(spec: str):

@@ -112,8 +112,12 @@ class LogoEraser:
             buf.clear()
             return out
 
+        from .filter_graph import normalize_u8
+
         for planes in frames_iter:
-            buf.append(planes)
+            # logo parameters are 8-bit domain: normalise 10-bit/float
+            # decoder output the same way the analysis feeds do
+            buf.append(tuple(normalize_u8(p) for p in planes))
             if len(buf) >= batch:
                 yield from flush()
         yield from flush()

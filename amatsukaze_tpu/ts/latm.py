@@ -61,6 +61,10 @@ def parse_audio_specific_config(r: BitReader) -> dict:
     ext_flag = r.read(1)
     if chan == 0:
         raise LatmError("PCE channel configs unsupported")
+    if chan > 7:
+        raise LatmError("channel config beyond ADTS range")
+    if sfi == 0xF:
+        raise LatmError("explicit sampling frequency unsupported")
     if ext_flag:
         raise LatmError("GASpecificConfig extension unsupported")
     return {"aot": aot, "sfi": sfi, "channels": chan, "ext_sfi": ext_sfi}
@@ -148,16 +152,19 @@ class LatmToAdts:
         return bytes(out)
 
     def _parse_smc(self, r: BitReader) -> None:
-        """StreamMuxConfig (1.7.3.2), single program/layer."""
+        """StreamMuxConfig (1.7.3.2), single program/layer. State is
+        applied only after the whole config validates: a rejected SMC
+        must not leave later useSameStreamMux frames half-configured."""
         if r.read(1):  # audioMuxVersion
             raise LatmError("audioMuxVersion 1 unsupported")
-        self._all_same_timing = r.read(1)
-        self._num_sub_frames = r.read(6)
+        if not r.read(1):  # allStreamsSameTimeFraming
+            raise LatmError("per-stream time framing unsupported")
+        num_sub = r.read(6)
         if r.read(4):  # numProgram
             raise LatmError("multi-program LATM unsupported")
         if r.read(3):  # numLayer
             raise LatmError("multi-layer LATM unsupported")
-        self._asc = parse_audio_specific_config(r)
+        asc = parse_audio_specific_config(r)
         flt = r.read(3)  # frameLengthType
         if flt != 0:
             raise LatmError(f"frameLengthType {flt} unsupported")
@@ -171,3 +178,5 @@ class LatmToAdts:
                     break
         if r.read(1):  # crcCheckPresent
             r.read(8)
+        self._asc = asc
+        self._num_sub_frames = num_sub

@@ -1368,6 +1368,10 @@ class _SliceDec:
                     idx += 1
             used, mvs, ridx = self._merge_list(xp, yp, w, h,
                                                part_idx, part)[idx]
+            # 8.5.3.2.2: 8x4/4x8 PUs convert bi-predictive merge
+            # candidates to uni-L0 (bi-prediction is barred at that size)
+            if w + h == 12 and used[0] and used[1]:
+                used = [True, False]
         else:
             if hh.slice_type == SLICE_B:
                 idc = self._inter_pred_idc(w, h)
@@ -2261,6 +2265,11 @@ class H265RefDecoder:
         self.waiting: list[tuple[int, tuple]] = []
         self.out: list[tuple] = []
         self.first_pic_after_irap_noout = False
+        # NoRaslOutputFlag state (8.1.3): RASL pictures associated with
+        # a CRA that starts decoding (mid-stream join) or any BLA
+        # reference pictures that precede the join and must be dropped
+        self.skip_rasl = False
+        self.decoded_any = False
 
     def decode(self, es: bytes) -> list[tuple]:
         for nal in split_annexb(es):
@@ -2292,6 +2301,17 @@ class H265RefDecoder:
             self._slice(nal, t)
 
     def _slice(self, nal: bytes, t: int) -> None:
+        if t in (8, 9):  # RASL_N / RASL_R
+            if self.skip_rasl:
+                return
+        elif t < 32:
+            if t in (NAL_IDR_W_RADL, NAL_IDR_N_LP):
+                self.skip_rasl = False
+            elif t in (NAL_CRA, NAL_BLA_W_LP, 17, 18):
+                # NoRaslOutputFlag = 1 for BLA or a CRA that starts
+                # decoding; its RASL pictures reference lost history
+                self.skip_rasl = (t != NAL_CRA) or not self.decoded_any
+            self.decoded_any = True
         rbsp, epb = nal_to_rbsp(nal)
         h = parse_slice_header(rbsp, t, self.sps_map, self.pps_map)
         if h.first_slice:

@@ -292,10 +292,7 @@ def bench_decoders() -> dict:
     4K Main10), each bridge-encoded in-process and decoded through the
     same native engines the pipeline uses."""
     import os
-    import sys
 
-    sys.path.insert(0, os.path.join(os.path.dirname(
-        os.path.abspath(__file__)), "tests"))
     from scipy.ndimage import gaussian_filter
 
     from amatsukaze_tpu.video.avdec import AvVideoEncoder, avdec_available

@@ -2434,6 +2434,9 @@ bool SliceDec::prediction_unit(int xp, int yp, int w, int hh, int part_idx,
     merge_list(xp, yp, w, hh, part_idx, part, cands);
     used[0] = cands[idx].used[0];
     used[1] = cands[idx].used[1];
+    // 8.5.3.2.2: 8x4/4x8 PUs convert bi-predictive merge candidates to
+    // uni-L0 (bi-prediction is barred at that size)
+    if (w + hh == 12 && used[0] && used[1]) used[1] = false;
     std::memcpy(mvs, cands[idx].mv, sizeof mvs);
     ridx[0] = cands[idx].ridx[0];
     ridx[1] = cands[idx].ridx[1];
@@ -3173,6 +3176,10 @@ struct Decoder {
   std::vector<std::pair<int, OutPtr>> waiting;
   std::deque<OutPtr> outq;
   long long errors = 0;
+  // NoRaslOutputFlag state (8.1.3): RASL pictures after a CRA that
+  // starts decoding (mid-stream join) or any BLA are dropped
+  bool skip_rasl = false;
+  bool decoded_any = false;
   std::vector<uint8_t> rbsp;  // scratch
   std::vector<size_t> epb;
 
@@ -3221,6 +3228,15 @@ struct Decoder {
   }
 
   void slice(const uint8_t* d, size_t n, int t) {
+    if (t == 8 || t == 9) {  // RASL_N / RASL_R
+      if (skip_rasl) return;
+    } else {
+      if (t == NAL_IDR_W_RADL || t == NAL_IDR_N_LP)
+        skip_rasl = false;
+      else if (t == NAL_CRA || t == NAL_BLA_W_LP || t == 17 || t == 18)
+        skip_rasl = (t != NAL_CRA) || !decoded_any;
+      decoded_any = true;
+    }
     nal_to_rbsp(d, n, rbsp, epb);
     SliceHeader h;
     parse_slice_header(rbsp, t, sps_map, pps_map, h);

@@ -445,3 +445,36 @@ class TestInterlacedSignaled:
         p = H265VideoParser(AMTContext(level="error"))
         infos = p.input_frame(es, 90000, 90000) or []
         assert infos and not infos[0].progressive
+
+
+class TestConformanceEdges:
+    def test_8x4_merge_uni_conversion(self, tmp_path):
+        """8.5.3.2.2: 8x4/4x8 PUs convert bi-predictive merge candidates
+        to uni-L0. Without the conversion these streams diverge from
+        libavcodec (pre-fix: dozens-to-thousands of pixel diffs)."""
+        _run(_moving_frames(128, 96, 16, seed=11), 128, 96,
+             "frame-threads=1:no-wpp=1:keyint=12:bframes=3:b-adapt=0:"
+             "qp=34:ref=2:rect=1:amp=1:min-cu-size=8:ctu=16:max-merge=5:"
+             "no-sao=1:no-deblock=1", tmp_path)
+        _run(_moving_frames(128, 96, 16, seed=11), 128, 96,
+             "frame-threads=1:no-wpp=1:keyint=12:bframes=4:b-adapt=0:"
+             "b-pyramid=1:qp=37:ref=3:rect=1:min-cu-size=8:ctu=16:"
+             "max-merge=5:subme=3:me=umh", tmp_path)
+
+    def test_mid_stream_cra_join_drops_rasl(self, tmp_path):
+        """Joining at a CRA (broadcast tune-in): RASL pictures reference
+        lost history and must be dropped (NoRaslOutputFlag, 8.1.3) —
+        output must match libavcodec's."""
+        import re
+
+        frames = _moving_frames(112, 80, 24)
+        es = _encode(frames, 112, 80,
+                     "frame-threads=1:no-wpp=1:keyint=8:min-keyint=8:"
+                     "open-gop=1:bframes=3:b-adapt=0:qp=30:ref=2")
+        starts = [m.start() for m in re.finditer(b"\x00\x00\x01", es)]
+        cras = [s for s in starts if ((es[s + 3] >> 1) & 0x3F) == 21]
+        assert len(cras) >= 2
+        first_vcl = next(s for s in starts
+                         if ((es[s + 3] >> 1) & 0x3F) < 32)
+        cut = es[:first_vcl] + es[cras[1]:]
+        _assert_frames_equal(_ff_decode(cut, tmp_path), _ref_decode(cut))

@@ -186,3 +186,23 @@ class TestMain10Native:
         _check(_encode10(_moving10(96, 64, 8), 96, 64,
                          B + ":no-wpp=1:keyint=8:bframes=0:qp=30:ref=2:"
                          "tskip=1:cu-lossless=1"))
+
+
+class TestConformanceEdgesNative:
+    def test_8x4_merge_and_rasl(self):
+        import re
+
+        _native_or_skip()
+        _check(_encode(_moving_frames(128, 96, 16, seed=11), 128, 96,
+                       "frame-threads=1:no-wpp=1:keyint=12:bframes=3:"
+                       "b-adapt=0:qp=34:ref=2:rect=1:amp=1:min-cu-size=8:"
+                       "ctu=16:max-merge=5:no-sao=1:no-deblock=1"))
+        es = _encode(_moving_frames(112, 80, 24), 112, 80,
+                     "frame-threads=1:no-wpp=1:keyint=8:min-keyint=8:"
+                     "open-gop=1:bframes=3:b-adapt=0:qp=30:ref=2")
+        starts = [m.start() for m in re.finditer(b"\x00\x00\x01", es)]
+        cras = [s for s in starts if ((es[s + 3] >> 1) & 0x3F) == 21]
+        first_vcl = next(s for s in starts
+                         if ((es[s + 3] >> 1) & 0x3F) < 32)
+        cut = es[:first_vcl] + es[cras[1]:]
+        _check(cut)
