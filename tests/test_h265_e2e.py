@@ -294,3 +294,21 @@ class TestMain10Pipeline:
                        - frames[0][0].astype(float)) ** 2)
         psnr = 10 * math.log10(1023 ** 2 / max(mse, 1e-9))
         assert psnr > 34, psnr  # NR+deband perturb mildly
+
+
+class TestParserRobustness:
+    def test_h265_parser_survives_garbage(self):
+        """The TS-layer ES parser must never raise on corrupt payloads
+        (same posture as the MPEG2/H.264 parsers)."""
+        from amatsukaze_tpu.ts.video_h265 import H265VideoParser
+        from amatsukaze_tpu.utils.context import AMTContext
+
+        rng = np.random.default_rng(9)
+        p = H265VideoParser(AMTContext(level="error"))
+        for i in range(200):
+            blob = bytes(rng.integers(0, 256, int(rng.integers(4, 400)),
+                                      dtype=np.uint8))
+            if i % 3 == 0:  # salt with start codes + plausible NAL types
+                blob = b"\x00\x00\x01" + bytes(
+                    [int(rng.integers(0, 64)) << 1, 1]) + blob
+            p.input_frame(blob, pts=90000 + i, dts=-1)
