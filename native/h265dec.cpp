@@ -1239,6 +1239,16 @@ static void intra_predict(const uint16_t* plane, int stride, int pw, int ph,
 
 namespace h265 {
 
+// in-subblock significance-context pattern (9.3.4.2.5) per csbf
+// neighbour state `prev` = right|below<<1; the caller adds the
+// luma/chroma/size base offset
+static const uint8_t kSigCtxPos[4][16] = {
+    {2, 1, 1, 0, 1, 1, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0},
+    {2, 2, 2, 2, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0},
+    {2, 1, 0, 0, 2, 1, 0, 0, 2, 1, 0, 0, 2, 1, 0, 0},
+    {2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2},
+};
+
 // scan position inverse luts: kScanPos[si][k][(y<<k)+x] = scan index n
 static uint8_t g_scan_pos[3][4][64];
 static const struct InitScanPos {
@@ -1829,35 +1839,40 @@ struct SliceDec {
     int bd = sps->bit_depth;
     int qbd = 6 * (bd - 8);
     int mx = (1 << bd) - 1;
-    // luma: predict (intra) or take the MC output, add residual
-    int32_t pred[64 * 64];
+    // luma: predict (intra) or take the MC output, add residual.
+    // Inter blocks without a coded residual keep the MC output as-is
+    // (already in range): no copy needed.
     int mode = -1;
-    if (intra) {
-      mode = pu_mode(x0, y0);
-      auto av = [this](int x, int y) { return sample_avail_luma(x, y); };
-      intra_predict(pic->Y.data(), pic->wp, sps->width, sps->height, x0, y0,
-                    size, mode, 0, av, sps->strong_intra_smoothing != 0, bd,
-                    pred);
-    } else {
+    if (intra || cbf_l) {
+      int32_t pred[64 * 64];
+      if (intra) {
+        mode = pu_mode(x0, y0);
+        auto av = [this](int x, int y) { return sample_avail_luma(x, y); };
+        intra_predict(pic->Y.data(), pic->wp, sps->width, sps->height, x0,
+                      y0, size, mode, 0, av,
+                      sps->strong_intra_smoothing != 0, bd, pred);
+      } else {
+        for (int y = 0; y < size; ++y)
+          for (int x = 0; x < size; ++x)
+            pred[y * size + x] =
+                pic->Y[(size_t)(y0 + y) * pic->wp + x0 + x];
+      }
+      if (cbf_l) {
+        int32_t coef[32 * 32];
+        bool ts = false;
+        int nzw, nzh;
+        residual_coding(log2, 0, intra ? mode : -1, coef, &ts, &nzw, &nzh);
+        int32_t res[32 * 32];
+        residual_from_coeffs(coef, cu_qp() + qbd, log2,
+                             intra && log2 == 2, ts, cu_bypass, bd, nzw,
+                             nzh, res);
+        for (int i = 0; i < size * size; ++i) pred[i] += res[i];
+      }
       for (int y = 0; y < size; ++y)
         for (int x = 0; x < size; ++x)
-          pred[y * size + x] = pic->Y[(size_t)(y0 + y) * pic->wp + x0 + x];
+          pic->Y[(size_t)(y0 + y) * pic->wp + x0 + x] =
+              (uint16_t)clamp_i(pred[y * size + x], 0, mx);
     }
-    if (cbf_l) {
-      int32_t coef[32 * 32];
-      bool ts = false;
-      int nzw, nzh;
-      residual_coding(log2, 0, intra ? mode : -1, coef, &ts, &nzw, &nzh);
-      int32_t res[32 * 32];
-      residual_from_coeffs(coef, cu_qp() + qbd, log2,
-                           intra && log2 == 2, ts, cu_bypass, bd, nzw, nzh,
-                           res);
-      for (int i = 0; i < size * size; ++i) pred[i] += res[i];
-    }
-    for (int y = 0; y < size; ++y)
-      for (int x = 0; x < size; ++x)
-        pic->Y[(size_t)(y0 + y) * pic->wp + x0 + x] =
-            (uint16_t)clamp_i(pred[y * size + x], 0, mx);
     if (intra) grid_fill_u8(pic->avail, x0, y0, size, 1);
     grid_fill_u8(pic->nnz, x0, y0, size, cbf_l ? 1 : 0);
     for (int gy = y0 >> 2; gy < (y0 + size) >> 2; ++gy)
@@ -1887,6 +1902,7 @@ struct SliceDec {
       int c_idx = k + 1;
       uint16_t* plane = planes[k];
       int cbf = cbfs[k];
+      if (!cbf && !intra) continue;  // MC output stays as-is
       int32_t predc[32 * 32];
       int cmode = -1;
       if (intra) {
@@ -1998,6 +2014,11 @@ struct SliceDec {
     }
     uint8_t csbf[8 * 8] = {0};
     bool sdh = pps->sign_data_hiding && !cu_bypass;
+    // base offset of the position-dependent significance context
+    // (everything except the in-subblock pattern; (xs||ys) adds 3 for
+    // luma, folded in per sub-block below)
+    int sig_base0 = c_idx == 0 ? (log2 == 3 ? (scan_idx == 0 ? 9 : 15) : 21)
+                               : (log2 == 3 ? 9 : 12);
     bool prev_c1_zero = false;
     for (int i = last_sb; i >= 0; --i) {
       int xs, ys;
@@ -2022,6 +2043,7 @@ struct SliceDec {
       }
       csbf[ys * sbw + xs] = (uint8_t)(sb_coded != 0);
       if (!sb_coded) continue;
+      int sig_base = sig_base0 + ((c_idx == 0 && (xs || ys)) ? 3 : 0);
       // significance flags: scan positions n with sig==1, parse order
       int sig_pos[16];
       int n_sig = 0;
@@ -2043,20 +2065,7 @@ struct SliceDec {
           bool right = xs + 1 < sbw && csbf[ys * sbw + xs + 1];
           bool below = ys + 1 < sbw && csbf[(ys + 1) * sbw + xs];
           int prev = (right ? 1 : 0) | (below ? 2 : 0);
-          if (prev == 0)
-            sctx = xp + yp == 0 ? 2 : (xp + yp < 3 ? 1 : 0);
-          else if (prev == 1)
-            sctx = yp == 0 ? 2 : (yp == 1 ? 1 : 0);
-          else if (prev == 2)
-            sctx = xp == 0 ? 2 : (xp == 1 ? 1 : 0);
-          else
-            sctx = 2;
-          if (c_idx == 0) {
-            if (xs || ys) sctx += 3;
-            sctx += log2 == 3 ? (scan_idx == 0 ? 9 : 15) : 21;
-          } else {
-            sctx += log2 == 3 ? 9 : 12;
-          }
+          sctx = kSigCtxPos[prev][(yp << 2) + xp] + sig_base;
         }
         int inc = c_idx == 0 ? sctx : 27 + sctx;
         if (dcd(CTX_sig_coeff_flag, inc)) {
