@@ -246,6 +246,88 @@ def decode_mpeg2_ps_file(path: str, is_ps: bool = True):
         yield fr.y, fr.u, fr.v
 
 
+def annexb_ps_seek_opener(path: str, fmt, is_ps: bool = True):
+    """Byte-seek opener for CachedFrameSource over an H.264/HEVC PS/ES
+    intermediate (the AMTSource byte-seek path for the AVC/HEVC codecs;
+    the MPEG2 twin is mpeg2_ps_seek_opener below). Decoding joins the
+    stream at the keyframe offset: H.264 restarts cleanly at an IDR
+    (broadcast AVC uses periodic IDR); HEVC restarts at any IRAP — the
+    decoders drop RASL leading pictures on a CRA join (8.1.3), so the
+    first output is the keyframe itself. Returns None when the keyframe
+    at offset 0 is not a clean join point (open-GOP H.264 recovery
+    points), letting the caller fall back to forward decode."""
+    from ..ts.qp_extract import extract_ps_video_es
+    from ..types import VideoStreamFormat
+
+    is_hevc = fmt == VideoStreamFormat.H265
+
+    def _first_vcl_ok(es_head: bytes) -> bool:
+        pos = 0
+        for _ in range(64):
+            i = es_head.find(b"\x00\x00\x01", pos)
+            if i < 0 or i + 4 > len(es_head):
+                return False
+            b0 = es_head[i + 3]
+            if is_hevc:
+                t = (b0 >> 1) & 0x3F
+                if t < 32:  # first VCL NAL must be an IRAP
+                    return 16 <= t <= 21
+            else:
+                t = b0 & 0x1F
+                if t in (1, 5):  # first coded slice must be IDR
+                    return t == 5
+            pos = i + 3
+        return False
+
+    def opener(key_index: int, file_offset: int):
+        del key_index  # outputs start at the keyframe by construction
+        dec = None
+        ps_pend = b""
+        pend = b""
+        checked = False
+        with open(path, "rb") as f:
+            f.seek(file_offset)
+            while True:
+                block = f.read(1 << 20)
+                if not block:
+                    break
+                if is_ps:
+                    ps_pend += block
+                    es, used = extract_ps_video_es(ps_pend,
+                                                   return_consumed=True)
+                    ps_pend = ps_pend[used:]
+                else:
+                    es = block
+                pend += es
+                if not checked and len(pend) >= 4096:
+                    if not _first_vcl_ok(pend):
+                        raise FormatSeekError("not a clean join point")
+                    checked = True
+                if dec is None and checked:
+                    dec = (_open_h265_inbuild(pend) if is_hevc
+                           else _open_h264_inbuild(pend))
+                cut = pend.rfind(b"\x00\x00\x01")
+                if dec is not None and cut > 0:
+                    for fr in dec.decode(pend[:cut]):
+                        yield fr[0], fr[1], fr[2]
+                    pend = pend[cut:]
+        if is_ps and ps_pend:
+            pend += extract_ps_video_es(ps_pend)
+        if not checked and not _first_vcl_ok(pend):
+            raise FormatSeekError("not a clean join point")
+        if dec is None:
+            dec = (_open_h265_inbuild(pend) if is_hevc
+                   else _open_h264_inbuild(pend))
+        for fr in dec.decode(pend) + dec.flush():
+            yield fr[0], fr[1], fr[2]
+
+    return opener
+
+
+class FormatSeekError(RuntimeError):
+    """The keyframe at the seek offset is not a clean decode join."""
+
+
 def _picture_header(chunk: bytes):
     """(temporal_reference, coding_type) from a per-picture chunk, or
     None. ISO 13818-2 6.2.3: 10-bit temporal_reference then 3-bit

@@ -654,31 +654,51 @@ class TranscodePipeline:
         identity = wanted == list(range(len(meta)))
         seek_open = None
         if identity and meta:
+            from ..types import VideoStreamFormat
+
+            vfmt = reform.get_format(key).video_format.format
             try:
-                from ..video.native import NativeMpeg2Decoder  # noqa: F401
-
-                from .decoders import mpeg2_ps_seek_opener
-
                 ps = st.int_video_file_path(key.video)
                 with open(ps, "rb") as f:
                     head = f.read(4)
                 if head[:3] == b"\x00\x00\x01":  # MPEG PS/ES intermediate
-                    seek_open = mpeg2_ps_seek_opener(ps)
+                    if vfmt in (VideoStreamFormat.MPEG2,
+                                VideoStreamFormat.UNKNOWN):
+                        from ..video.native import (  # noqa: F401
+                            NativeMpeg2Decoder,
+                        )
+
+                        from .decoders import mpeg2_ps_seek_opener
+
+                        seek_open = mpeg2_ps_seek_opener(ps)
+                    else:
+                        # H.264 (IDR joins) / HEVC (IRAP joins, RASL
+                        # dropped by the decoders)
+                        from .decoders import annexb_ps_seek_opener
+
+                        seek_open = annexb_ps_seek_opener(ps, vfmt)
             except (RuntimeError, OSError):
                 seek_open = None
 
         def opener(start: int, end: int):
             start = max(0, start)
             if seek_open is not None:
+                from .decoders import FormatSeekError
+
                 key_idx = meta[start].key_frame
-                it = seek_open(key_idx, meta[key_idx].file_offset)
-                for i, planes in enumerate(it):
-                    idx = key_idx + i
-                    if idx >= end:
-                        break
-                    if idx >= start:
-                        yield planes[0]
-                return
+                try:
+                    it = seek_open(key_idx, meta[key_idx].file_offset)
+                    for i, planes in enumerate(it):
+                        idx = key_idx + i
+                        if idx >= end:
+                            break
+                        if idx >= start:
+                            yield planes[0]
+                    return
+                except FormatSeekError:
+                    # not a clean join (open-GOP H.264 recovery point):
+                    # forward decode below
+                    pass
             wanted_set = set(wanted)
             pos = 0
             for i, planes in enumerate(self.decoder_factory(self, key.video)):

@@ -312,3 +312,67 @@ class TestParserRobustness:
                 blob = b"\x00\x00\x01" + bytes(
                     [int(rng.integers(0, 64)) << 1, 1]) + blob
             p.input_frame(blob, pts=90000 + i, dts=-1)
+
+
+class TestSeekOpener:
+    def test_annexb_seek_hevc(self, tmp_path):
+        """Byte-seek random access over an HEVC ES: decoding from an
+        IRAP offset yields the keyframe and its trailing frames
+        (AMTSource byte-seek parity for the 4K codec)."""
+        import re
+
+        from amatsukaze_tpu.pipeline.decoders import annexb_ps_seek_opener
+        from amatsukaze_tpu.types import VideoStreamFormat
+
+        frames = _moving10(96, 64, 18)
+        aus = _encode10_aud(frames, 96, 64, params="qp=24")
+        es = b"".join(aus)
+        p = tmp_path / "seek.h265"
+        p.write_bytes(es)
+        # reference display order from a full decode
+        from amatsukaze_tpu.video.h265_ref import H265RefDecoder
+
+        full = H265RefDecoder()
+        ref = full.decode(es) + full.flush()
+        # the 2nd IRAP's byte offset (keyint=6 -> display index 6)
+        starts = [m.start() for m in re.finditer(b"\x00\x00\x01", es)]
+        iraps = [s for s in starts
+                 if 16 <= ((es[s + 3] >> 1) & 0x3F) <= 21]
+        assert len(iraps) >= 2
+        # the AU (incl. its parameter sets / AUD) starts before the VCL
+        # NAL: seek from the preceding AUD
+        auds = [s for s in starts if ((es[s + 3] >> 1) & 0x3F) == 35]
+        aud_before = max(a for a in auds if a < iraps[1])
+        opener = annexb_ps_seek_opener(str(p), VideoStreamFormat.H265,
+                                       is_ps=False)
+        got = list(opener(6, aud_before - 1))
+        assert len(got) == len(ref) - 6
+        for k, fr in enumerate(got):
+            for a, b in zip(fr, ref[6 + k][:3]):
+                assert np.array_equal(a, b)
+
+    def test_annexb_seek_h264_rejects_non_idr(self, tmp_path):
+        """Open-GOP H.264 (non-IDR I keyframes) is not a clean join:
+        the opener raises FormatSeekError so callers fall back."""
+        import mpeg2_enc as E
+        from amatsukaze_tpu.pipeline.decoders import (FormatSeekError,
+                                                      annexb_ps_seek_opener)
+        from amatsukaze_tpu.types import VideoStreamFormat
+        from amatsukaze_tpu.video.avdec import AvVideoEncoder
+
+        frames = E.synth_frames(96, 64, 10)
+        enc = AvVideoEncoder(96, 64, crf=23, bframes=2,
+                             x264_params="keyint=4:open-gop=1:"
+                             "scenecut=0:b-adapt=0")
+        es = b"".join(sum([enc.encode(f.y, f.u, f.v) for f in frames],
+                          [])) + b"".join(enc.flush())
+        # cut to the 2nd I frame region: find a non-IDR slice start
+        import re
+        starts = [m.start() for m in re.finditer(b"\x00\x00\x01", es)]
+        nonidr_i = [s for s in starts[4:] if (es[s + 3] & 0x1F) == 1]
+        p = tmp_path / "seek.h264"
+        p.write_bytes(es)
+        opener = annexb_ps_seek_opener(str(p), VideoStreamFormat.H264,
+                                       is_ps=False)
+        with pytest.raises(FormatSeekError):
+            list(opener(0, es.find(b"\x00\x00\x01", len(es) // 2)))
