@@ -156,6 +156,85 @@ def parse_strps(r: BitReader, idx: int, prev: list[ShortTermRPS],
     return ShortTermRPS(neg, pos)
 
 
+def parse_scaling_list_data(r: BitReader) -> list:
+    """scaling_list_data (7.3.4) -> ScalingFactor matrices per
+    (sizeId, matrixId) as numpy arrays (7.4.5), with the DC coefficient
+    already substituted for 16x16/32x32."""
+    lists = [[None] * 6 for _ in range(4)]  # raw coef lists (diag order)
+    dcs = [[16] * 6 for _ in range(4)]
+    for size_id in range(4):
+        n_mat = 2 if size_id == 3 else 6
+        for mid in range(n_mat):
+            if not r.read(1):  # scaling_list_pred_mode_flag == 0
+                # 7.4.5: refMatrixId = matrixId - delta*(sizeId==3?3:1),
+                # and for sizeId 3 the loop's matrixIds are 3*index --
+                # so the LIST index steps by the raw delta either way
+                delta = r.ue()
+                if delta == 0:
+                    lists[size_id][mid] = None  # default
+                    dcs[size_id][mid] = 16
+                else:
+                    ref = mid - delta
+                    if ref < 0:
+                        raise ValueError("bad scaling list pred")
+                    lists[size_id][mid] = lists[size_id][ref]
+                    dcs[size_id][mid] = dcs[size_id][ref]
+            else:
+                ncoef = min(64, 1 << (4 + (size_id << 1)))
+                dc = 16
+                nxt = 8
+                if size_id > 1:
+                    dc = r.se() + 8
+                    dcs[size_id][mid] = dc
+                    nxt = dc  # 7.3.4: the delta chain starts at the DC
+                coefs = []
+                for _ in range(ncoef):
+                    nxt = (nxt + r.se() + 256) % 256
+                    coefs.append(nxt)
+                lists[size_id][mid] = coefs
+    return _scaling_factors(lists, dcs)
+
+
+def default_scaling_factors() -> list:
+    return _scaling_factors([[None] * 6 for _ in range(4)],
+                            [[16] * 6 for _ in range(4)])
+
+
+def _default_coefs(size_id: int, mid: int) -> list:
+    if size_id == 0:
+        return [16] * 16
+    n_mat = 2 if size_id == 3 else 6
+    intra = mid < (n_mat // 2) if size_id == 3 else mid < 3
+    tab = (T.DEFAULT_SCALING_INTRA8 if intra
+           else T.DEFAULT_SCALING_INTER8)
+    # the default tables are raster 8x8; scaling lists are carried in
+    # up-right diagonal order
+    return [tab[y * 8 + x] for x, y in T.SCAN[0][3]]
+
+
+def _scaling_factors(lists: list, dcs: list) -> list:
+    out = [[None] * 6 for _ in range(4)]
+    for size_id in range(4):
+        n_mat = 2 if size_id == 3 else 6
+        blk = 4 if size_id == 0 else 8
+        scan = T.SCAN[0][2 if size_id == 0 else 3]
+        for mid in range(n_mat):
+            coefs = lists[size_id][mid]
+            if coefs is None:
+                coefs = _default_coefs(size_id, mid)
+            base = np.zeros((blk, blk), np.int32)
+            for i, (x, y) in enumerate(scan):
+                base[y, x] = coefs[i]
+            if size_id <= 1:
+                out[size_id][mid] = base
+            else:
+                rep = 1 << (size_id - 1)  # 2 for 16x16, 4 for 32x32
+                m = np.repeat(np.repeat(base, rep, 0), rep, 1)
+                m[0, 0] = dcs[size_id][mid]
+                out[size_id][mid] = m
+    return out
+
+
 class SPS:
     pass
 
@@ -197,8 +276,12 @@ def parse_sps(rbsp: bytes) -> SPS:
     s.max_trafo_depth_inter = r.ue()
     s.max_trafo_depth_intra = r.ue()
     s.scaling_list_enabled = r.read(1)
+    s.scaling_factors = None
     if s.scaling_list_enabled:
-        raise NotImplementedError("scaling lists")
+        if r.read(1):  # sps_scaling_list_data_present
+            s.scaling_factors = parse_scaling_list_data(r)
+        else:
+            s.scaling_factors = default_scaling_factors()
     s.amp_enabled = r.read(1)
     s.sao_enabled = r.read(1)
     s.pcm_enabled = r.read(1)
@@ -267,8 +350,9 @@ def parse_pps(rbsp: bytes, sps_map: dict[int, SPS]) -> PPS:
         if not p.deblocking_disabled:
             p.beta_offset = 2 * r.se()
             p.tc_offset = 2 * r.se()
+    p.scaling_factors = p.sps.scaling_factors
     if r.read(1):  # pps_scaling_list_data_present
-        raise NotImplementedError("scaling lists")
+        p.scaling_factors = parse_scaling_list_data(r)
     p.lists_modification_present = r.read(1)
     p.log2_parallel_merge_level = r.ue() + 2
     p.slice_header_extension = r.read(1)
@@ -536,11 +620,17 @@ _DCT = {2: T.DCT4, 3: T.DCT8, 4: T.DCT16, 5: T.DCT32}
 
 
 def dequant_block(coef: np.ndarray, qp: int, log2: int,
-                  bd: int = 8) -> np.ndarray:
+                  bd: int = 8, m=None) -> np.ndarray:
     """8.6.3 with flat (m=16) scaling lists, 8-bit."""
     shift = bd + log2 - 5
-    scale = 16 * T.LEVEL_SCALE[qp % 6] << (qp // 6)
-    d = (coef.astype(np.int64) * scale + (1 << (shift - 1))) >> shift
+    if m is None:
+        scale = 16 * T.LEVEL_SCALE[qp % 6] << (qp // 6)
+        d = (coef.astype(np.int64) * scale + (1 << (shift - 1))) >> shift
+    else:
+        # 8.6.3 with scaling lists: the flat 16 becomes m[x][y]
+        scale = np.asarray(m, np.int64) * T.LEVEL_SCALE[qp % 6] \
+            << (qp // 6)
+        d = (coef.astype(np.int64) * scale + (1 << (shift - 1))) >> shift
     return np.clip(d, -32768, 32767)
 
 
@@ -555,10 +645,10 @@ def inv_transform(d: np.ndarray, log2: int, dst: bool,
 
 def residual_from_coeffs(coef: np.ndarray, qp: int, log2: int,
                          dst: bool, ts: bool, bypass: bool,
-                         bd: int = 8) -> np.ndarray:
+                         bd: int = 8, m=None) -> np.ndarray:
     if bypass:
         return coef.astype(np.int64)
-    d = dequant_block(coef, qp, log2, bd)
+    d = dequant_block(coef, qp, log2, bd, m)
     if ts:
         return ((d << 7) + (1 << (19 - bd))) >> (20 - bd)
     return inv_transform(d, log2, dst, bd)
@@ -1261,7 +1351,8 @@ class _SliceDec:
             coef, ts = self._residual_coding(log2, 0, mode)
             res = residual_from_coeffs(coef, self._cu_qp() + qbd, log2,
                                        dst=(intra and log2 == 2), ts=ts,
-                                       bypass=self.cu_bypass, bd=bd)
+                                       bypass=self.cu_bypass, bd=bd,
+                                       m=self._scaling_m(log2, 0, intra))
             pred = pred + res
         pic.Y[y0:y0 + size, x0:x0 + size] = np.clip(pred, 0, (1 << bd) - 1)
         g = (slice(y0 >> 2, (y0 + size) >> 2),
@@ -1295,9 +1386,10 @@ class _SliceDec:
                 coef, ts = self._residual_coding(clog2, c_idx, cmode)
                 qpi = _clip3(-qbd, 57, qpy + off)
                 qpc = T.chroma_qp_from_luma(qpi)
-                res = residual_from_coeffs(coef, qpc + qbd, clog2,
-                                           dst=False, ts=ts,
-                                           bypass=self.cu_bypass, bd=bd)
+                res = residual_from_coeffs(
+                    coef, qpc + qbd, clog2, dst=False, ts=ts,
+                    bypass=self.cu_bypass, bd=bd,
+                    m=self._scaling_m(clog2, c_idx, intra))
                 predc = predc + res
             if cbf or intra:
                 plane[cy:cy + csize, cx:cx + csize] = \
@@ -1686,6 +1778,19 @@ class _SliceDec:
                     return [_mv_scale(v, cur_diff, cand_diff)
                             for v in c[1][lx]]
         return None
+
+    def _scaling_m(self, log2: int, c_idx: int, intra: bool):
+        """ScalingFactor matrix for this TB, or None when lists are off
+        (8.6.3 m[x][y]; Table 7-4 matrixId)."""
+        sf = self.pps.scaling_factors
+        if sf is None:
+            return None
+        size_id = log2 - 2
+        if size_id == 3:
+            mid = 0 if intra else 1
+        else:
+            mid = (0 if intra else 3) + c_idx
+        return sf[size_id][mid]
 
     def _pu_mode(self, x: int, y: int) -> int:
         if not self.cu_intra_split:

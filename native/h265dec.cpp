@@ -256,6 +256,112 @@ static ShortTermRps parse_strps(BitReader& r, int idx,
   return out;
 }
 
+// ScalingFactor matrices (7.4.5): [sizeId][matrixId][y*blk+x] with the
+// 16/32 sizes already upsampled and DC-substituted. Shared: a Frame's
+// parameter-set copy keeps the factors alive across corrupt re-parses.
+struct ScalingFactors {
+  // sizeId 0: 4x4 (16), 1: 8x8 (64), 2: 16x16 (256), 3: 32x32 (1024)
+  std::vector<int32_t> m[4][6];
+};
+
+// Default scaling lists in up-right diagonal order (Tables 7-5/7-6;
+// flat 16 for sizeId 0). kDefaultScalingIntra8/Inter8 are raster 8x8.
+static void default_scaling_coefs(int size_id, int mid, int* out) {
+  if (size_id == 0) {
+    for (int i = 0; i < 16; ++i) out[i] = 16;
+    return;
+  }
+  bool intra = size_id == 3 ? mid < 1 : mid < 3;
+  const uint8_t* tab =
+      intra ? kDefaultScalingIntra8 : kDefaultScalingInter8;
+  const uint8_t* scan = kScan[0][3];
+  for (int i = 0; i < 64; ++i)
+    out[i] = tab[scan[2 * i + 1] * 8 + scan[2 * i]];
+}
+
+// ScalingFactor derivation (7.4.5): diag-order lists to matrices, with
+// 2x/4x upsampling and DC substitution for the 16/32 sizes
+static void derive_scaling_factors(const int dcs[4][6],
+                                   const int coefs[4][6][64],
+                                   ScalingFactors& sf) {
+  for (int size_id = 0; size_id < 4; ++size_id) {
+    int n_mat = size_id == 3 ? 2 : 6;
+    int blk = size_id == 0 ? 4 : 8;
+    int k = size_id == 0 ? 2 : 3;
+    const uint8_t* scan = kScan[0][k];
+    int32_t base[64];
+    for (int mid = 0; mid < n_mat; ++mid) {
+      for (int i = 0; i < blk * blk; ++i)
+        base[scan[2 * i + 1] * blk + scan[2 * i]] = coefs[size_id][mid][i];
+      int n = 1 << (size_id + 2);
+      auto& m = sf.m[size_id][mid];
+      m.assign((size_t)n * n, 0);
+      if (size_id <= 1) {
+        for (int i = 0; i < n * n; ++i) m[i] = base[i];
+      } else {
+        int rep = n / 8;
+        for (int y = 0; y < n; ++y)
+          for (int x = 0; x < n; ++x)
+            m[y * n + x] = base[(y / rep) * 8 + x / rep];
+        m[0] = dcs[size_id][mid];
+      }
+    }
+  }
+}
+
+static std::shared_ptr<ScalingFactors> default_scaling_factors() {
+  int dcs[4][6];
+  int coefs[4][6][64];
+  for (int s = 0; s < 4; ++s)
+    for (int m = 0; m < 6; ++m) {
+      dcs[s][m] = 16;
+      default_scaling_coefs(s, m, coefs[s][m]);
+    }
+  auto sf = std::make_shared<ScalingFactors>();
+  derive_scaling_factors(dcs, coefs, *sf);
+  return sf;
+}
+
+// scaling_list_data (7.3.4)
+static std::shared_ptr<ScalingFactors> parse_scaling_list_data(BitReader& r) {
+  int dcs[4][6];
+  int coefs[4][6][64];
+  for (int size_id = 0; size_id < 4; ++size_id) {
+    int n_mat = size_id == 3 ? 2 : 6;
+    for (int mid = 0; mid < n_mat; ++mid) {
+      dcs[size_id][mid] = 16;
+      if (!r.read1()) {  // scaling_list_pred_mode_flag == 0
+        int delta = r.ue() * (size_id == 3 ? 3 : 1);
+        if (delta == 0) {
+          default_scaling_coefs(size_id, mid, coefs[size_id][mid]);
+        } else {
+          int ref = mid - (size_id == 3 ? delta / 3 : delta);
+          if (ref < 0) throw DecodeError("bad scaling list pred");
+          std::memcpy(coefs[size_id][mid], coefs[size_id][ref],
+                      sizeof coefs[size_id][mid]);
+          dcs[size_id][mid] = dcs[size_id][ref];
+        }
+      } else {
+        int ncoef = std::min(64, 1 << (4 + (size_id << 1)));
+        int nxt = 8;
+        if (size_id > 1) {
+          int dc = r.se() + 8;
+          if (dc < 1 || dc > 255) throw DecodeError("bad scaling dc");
+          dcs[size_id][mid] = dc;
+          nxt = dc;  // 7.3.4: the delta chain starts at the DC
+        }
+        for (int i = 0; i < ncoef; ++i) {
+          nxt = ((nxt + r.se()) % 256 + 256) % 256;
+          coefs[size_id][mid][i] = nxt;
+        }
+      }
+    }
+  }
+  auto sf = std::make_shared<ScalingFactors>();
+  derive_scaling_factors(dcs, coefs, *sf);
+  return sf;
+}
+
 struct Sps {
   int id = 0;
   int chroma_format_idc = 1;
@@ -268,6 +374,7 @@ struct Sps {
   int log2_min_tb = 2, log2_max_tb = 5;
   int max_trafo_depth_inter = 0, max_trafo_depth_intra = 0;
   int scaling_list_enabled = 0;
+  std::shared_ptr<ScalingFactors> scaling_factors;
   int amp_enabled = 0, sao_enabled = 0, pcm_enabled = 0;
   std::vector<ShortTermRps> strps;
   int long_term_present = 0;
@@ -328,7 +435,12 @@ static void parse_sps(const std::vector<uint8_t>& rbsp, Sps& s) {
   if (s.max_trafo_depth_inter > 4 || s.max_trafo_depth_intra > 4)
     throw DecodeError("bad transform depth");
   s.scaling_list_enabled = r.read1();
-  if (s.scaling_list_enabled) throw DecodeError("scaling lists");
+  if (s.scaling_list_enabled) {
+    if (r.read1())  // sps_scaling_list_data_present
+      s.scaling_factors = parse_scaling_list_data(r);
+    else
+      s.scaling_factors = default_scaling_factors();
+  }
   s.amp_enabled = r.read1();
   s.sao_enabled = r.read1();
   s.pcm_enabled = r.read1();
@@ -376,6 +488,7 @@ struct Pps {
   int lists_modification_present = 0;
   int log2_parallel_merge_level = 2;
   int slice_header_extension = 0;
+  std::shared_ptr<ScalingFactors> scaling_factors;  // effective (pps|sps)
 };
 
 static void parse_pps(const std::vector<uint8_t>& rbsp,
@@ -421,7 +534,9 @@ static void parse_pps(const std::vector<uint8_t>& rbsp,
       p.tc_offset = 2 * r.se();
     }
   }
-  if (r.read1()) throw DecodeError("scaling lists");  // pps scaling list
+  p.scaling_factors = p.sps->scaling_factors;
+  if (r.read1())  // pps_scaling_list_data_present
+    p.scaling_factors = parse_scaling_list_data(r);
   p.lists_modification_present = r.read1();
   p.log2_parallel_merge_level = r.ue() + 2;
   if (p.log2_parallel_merge_level > 6)
@@ -1001,23 +1116,36 @@ static void inv_transform(const int32_t* d, int log2, bool dst, int bd,
 
 static void residual_from_coeffs(const int32_t* coef, int qp, int log2,
                                  bool dst, bool ts, bool bypass, int bd,
-                                 int nzw, int nzh, int32_t* out) {
+                                 int nzw, int nzh, const int32_t* sm,
+                                 int32_t* out) {
   int n = 1 << log2;
   if (bypass) {
     std::memcpy(out, coef, sizeof(int32_t) * n * n);
     return;
   }
-  // dequant (8.6.3) -- only the nonzero extent
+  // dequant (8.6.3) -- only the nonzero extent; sm = per-coefficient
+  // ScalingFactor matrix (nullptr = flat 16)
   int shift = bd + log2 - 5;
-  int64_t scale = (int64_t)16 * kLevelScale[qp % 6] << (qp / 6);
   int32_t d[32 * 32];
   int64_t rnd = (int64_t)1 << (shift - 1);
-  for (int y = 0; y <= nzh; ++y)
-    for (int x = 0; x <= nzw; ++x) {
-      int64_t v = ((int64_t)coef[y * n + x] * scale + rnd) >> shift;
-      d[y * n + x] =
-          (int32_t)(v < -32768 ? -32768 : v > 32767 ? 32767 : v);
-    }
+  if (sm == nullptr) {
+    int64_t scale = (int64_t)16 * kLevelScale[qp % 6] << (qp / 6);
+    for (int y = 0; y <= nzh; ++y)
+      for (int x = 0; x <= nzw; ++x) {
+        int64_t v = ((int64_t)coef[y * n + x] * scale + rnd) >> shift;
+        d[y * n + x] =
+            (int32_t)(v < -32768 ? -32768 : v > 32767 ? 32767 : v);
+      }
+  } else {
+    int64_t ls = (int64_t)kLevelScale[qp % 6] << (qp / 6);
+    for (int y = 0; y <= nzh; ++y)
+      for (int x = 0; x <= nzw; ++x) {
+        int64_t v =
+            ((int64_t)coef[y * n + x] * sm[y * n + x] * ls + rnd) >> shift;
+        d[y * n + x] =
+            (int32_t)(v < -32768 ? -32768 : v > 32767 ? 32767 : v);
+      }
+  }
   if (ts) {
     int r2 = 1 << (19 - bd), s2 = 20 - bd;
     std::memset(out, 0, sizeof(int32_t) * n * n);
@@ -1865,7 +1993,7 @@ struct SliceDec {
         int32_t res[32 * 32];
         residual_from_coeffs(coef, cu_qp() + qbd, log2,
                              intra && log2 == 2, ts, cu_bypass, bd, nzw,
-                             nzh, res);
+                             nzh, scaling_m(log2, 0, intra), res);
         for (int i = 0; i < size * size; ++i) pred[i] += res[i];
       }
       for (int y = 0; y < size; ++y)
@@ -1925,7 +2053,8 @@ struct SliceDec {
         int qpc = qpi < 0 ? qpi : kChromaQpMap[qpi];
         int32_t res[32 * 32];
         residual_from_coeffs(coef, qpc + qbd, clog2, false, ts, cu_bypass,
-                             bd, nzw, nzh, res);
+                             bd, nzw, nzh, scaling_m(clog2, c_idx, intra),
+                             res);
         for (int i = 0; i < csize * csize; ++i) predc[i] += res[i];
       }
       if (cbf || intra)
@@ -1939,6 +2068,17 @@ struct SliceDec {
   // -- residual coding (7.3.8.11; h265_ref.py _residual_coding) ------------
 
   // coeff_abs_level_remaining (9.3.3.9), bypass bins
+  // ScalingFactor matrix for this TB, or nullptr when lists are off
+  // (8.6.3 m[x][y]; Table 7-4 matrixId)
+  const int32_t* scaling_m(int log2, int c_idx, bool intra) const {
+    const ScalingFactors* sf = pps->scaling_factors.get();
+    if (!sf) return nullptr;
+    int size_id = log2 - 2;
+    int mid = size_id == 3 ? (intra ? 0 : 1)
+                           : (intra ? 0 : 3) + c_idx;
+    return sf->m[size_id][mid].data();
+  }
+
   int coeff_remaining(int rice) {
     int prefix = 0;
     while (prefix < 32 && c.bypass()) ++prefix;

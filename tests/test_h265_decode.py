@@ -478,3 +478,45 @@ class TestConformanceEdges:
                          if ((es[s + 3] >> 1) & 0x3F) < 32)
         cut = es[:first_vcl] + es[cras[1]:]
         _assert_frames_equal(_ff_decode(cut, tmp_path), _ref_decode(cut))
+
+
+class TestScalingLists:
+    """Scaling lists (7.3.4/7.4.5/8.6.3): default matrices from x265
+    scaling-list=default across intra/inter/CTU64/10-bit/tskip, and the
+    explicit-coefficient + pred-copy syntax via the SPS splicer
+    (h265_sl_gen) with libavcodec arbitrating both forms."""
+
+    B = "frame-threads=1:no-wpp=1"
+
+    def test_default_lists(self, tmp_path):
+        _run(_smooth_frames(96, 64, 2), 96, 64,
+             self.B + ":keyint=1:qp=30:scaling-list=default", tmp_path)
+        _run(_moving_frames(112, 80, 14), 112, 80,
+             self.B + ":keyint=12:bframes=3:b-adapt=0:qp=30:ref=2:"
+             "scaling-list=default", tmp_path)
+        _run(_smooth_frames(128, 96, 2), 128, 96,
+             self.B + ":keyint=1:qp=26:ctu=64:max-tu-size=32:"
+             "tu-intra-depth=2:scaling-list=default", tmp_path)
+        _run(_smooth_frames(96, 64, 2), 96, 64,
+             self.B + ":keyint=1:qp=30:tskip=1:scaling-list=default",
+             tmp_path)
+
+    def test_default_lists_main10(self, tmp_path):
+        _run10(_moving10(96, 64, 8), 96, 64,
+               self.B + ":keyint=8:bframes=0:qp=28:ref=2:"
+               "scaling-list=default", tmp_path)
+
+    def test_explicit_and_pred_copy(self, tmp_path):
+        import h265_sl_gen as SL
+
+        for params in (
+                self.B + ":keyint=1:qp=30:scaling-list=default",
+                self.B + ":keyint=12:bframes=3:b-adapt=0:qp=30:ref=2:"
+                "scaling-list=default:ctu=64:max-tu-size=32"):
+            es = _encode(_moving_frames(112, 80, 10), 112, 80, params)
+            patched = SL.patch_stream(es)
+            base = _ff_decode(es, tmp_path)
+            ffp = _ff_decode(patched, tmp_path)
+            # libavcodec: explicit default == flagged default
+            _assert_frames_equal(base, ffp)
+            _assert_frames_equal(ffp, _ref_decode(patched))

@@ -206,3 +206,18 @@ class TestConformanceEdgesNative:
                          if ((es[s + 3] >> 1) & 0x3F) < 32)
         cut = es[:first_vcl] + es[cras[1]:]
         _check(cut)
+
+    def test_scaling_lists(self):
+        import h265_sl_gen as SL
+
+        _native_or_skip()
+        _check(_encode(_moving_frames(112, 80, 14), 112, 80,
+                       B + ":no-wpp=1:keyint=12:bframes=3:b-adapt=0:qp=30:"
+                       "ref=2:scaling-list=default"))
+        _check(_encode10(_moving10(96, 64, 8), 96, 64,
+                         B + ":no-wpp=1:keyint=8:bframes=0:qp=28:ref=2:"
+                         "scaling-list=default"))
+        es = _encode(_moving_frames(112, 80, 10), 112, 80,
+                     B + ":no-wpp=1:keyint=12:bframes=3:b-adapt=0:qp=30:"
+                     "ref=2:scaling-list=default:ctu=64:max-tu-size=32")
+        _check(SL.patch_stream(es))
