@@ -2675,6 +2675,52 @@ void SliceDec::mc_pu(int xp, int yp, int w, int hh, const bool used[2],
                      const int mvs[2][2], const int ridx[2]) {
   int bd = sps->bit_depth;
   int obd = bd - 8;  // WpOffsetBdShift: offsets are coded in 8-bit range
+  // fast path: uni-prediction, default weights, full-pel in both luma
+  // and chroma precision -- the 14-bit staging shifts cancel exactly,
+  // so prediction is a clamped block copy from the reference
+  if (!h->has_pred_weights && used[0] != used[1]) {
+    int lx = used[0] ? 0 : 1;
+    int mx = mvs[lx][0], my = mvs[lx][1];
+    if ((mx & 7) == 0 && (my & 7) == 0) {
+      Frame* ref = refs[lx][ridx[lx]];
+      const struct {
+        const uint16_t* src;
+        uint16_t* dst;
+        int stride_s, stride_d, pw, ph, x, y, bw, bh;
+      } planes[3] = {
+          {ref->Y.data(), pic->Y.data(), ref->wp, pic->wp, sps->width,
+           sps->height, xp + (mx >> 2), yp + (my >> 2), w, hh},
+          {ref->U.data(), pic->U.data(), ref->cw, pic->cw,
+           sps->width >> 1, sps->height >> 1, (xp >> 1) + (mx >> 3),
+           (yp >> 1) + (my >> 3), w >> 1, hh >> 1},
+          {ref->V.data(), pic->V.data(), ref->cw, pic->cw,
+           sps->width >> 1, sps->height >> 1, (xp >> 1) + (mx >> 3),
+           (yp >> 1) + (my >> 3), w >> 1, hh >> 1},
+      };
+      int dx[3] = {xp, xp >> 1, xp >> 1};
+      int dy[3] = {yp, yp >> 1, yp >> 1};
+      for (int pi = 0; pi < 3; ++pi) {
+        auto& p = planes[pi];
+        bool interior = p.x >= 0 && p.y >= 0 && p.x + p.bw <= p.pw &&
+                        p.y + p.bh <= p.ph;
+        for (int y = 0; y < p.bh; ++y) {
+          uint16_t* dst =
+              p.dst + (size_t)(dy[pi] + y) * p.stride_d + dx[pi];
+          if (interior) {
+            std::memcpy(dst,
+                        p.src + (size_t)(p.y + y) * p.stride_s + p.x,
+                        sizeof(uint16_t) * p.bw);
+          } else {
+            const uint16_t* row =
+                p.src + (size_t)clamp_i(p.y + y, 0, p.ph - 1) * p.stride_s;
+            for (int x = 0; x < p.bw; ++x)
+              dst[x] = row[clamp_i(p.x + x, 0, p.pw - 1)];
+          }
+        }
+      }
+      return;
+    }
+  }
   // static per-PU prediction buffers (max PU 64x64)
   static thread_local int32_t predbuf[2][3][64 * 64];
   int32_t (*pred)[3][64 * 64] = predbuf;
