@@ -154,12 +154,15 @@ class Muxer:
 
     # ----------------------------------------------------------- subs
     def _gather_subs(self, key: EncodeFileKey, nico_ok: bool,
-                     result: MuxResult) -> tuple[list[str], list[str]]:
+                     result: MuxResult,
+                     copy_out: bool = False) -> tuple[list[str], list[str]]:
         """MKV embeds ASS/SRT; MP4/M2TS copy ASS out as side files and embed
-        only SRT (ref Muxer.hpp:134-167)."""
+        only SRT (ref Muxer.hpp:134-167). `copy_out=True` forces the
+        side-file behaviour for every format (used by the in-build remux
+        path, which cannot embed subtitle tracks)."""
         st = self.settings
         file = self.reform.get_encode_file(key)
-        is_mkv = st.conf.format == OutputFormat.MKV
+        is_mkv = st.conf.format == OutputFormat.MKV and not copy_out
         subs_files: list[str] = []
         subs_titles: list[str] = []
 

@@ -150,6 +150,19 @@ class TranscodePipeline:
 
             audio_decoder_factory = make_decoder
         self.audio_decoder_factory = audio_decoder_factory
+        if caption_decoder is None and settings.conf.subtitles:
+            # --subtitles without an injected decoder gets the in-build
+            # ARIB decoder (the reference always has Caption.dll when
+            # captions are enabled); unmapped DRCS bitmaps land next to
+            # the mapping file, matching the server's drcs-dir layout
+            # (<dir>/drcs_map.txt + <dir>/<md5>.bmp, ref DRCSManager).
+            from ..captions.b24 import CaptionDecoder
+
+            drcs_dir = settings.conf.drcs_out_path
+            if not drcs_dir and settings.conf.drcs_map_path:
+                drcs_dir = os.path.dirname(
+                    os.path.abspath(settings.conf.drcs_map_path))
+            caption_decoder = CaptionDecoder(ctx, drcs_out_dir=drcs_dir)
         self.caption_decoder = caption_decoder
         self.phase = phase_scheduler or _NullPhases()
         self.encoder_runner = encoder_runner or _default_encoder_runner
@@ -188,6 +201,7 @@ class TranscodePipeline:
         self._reform = reform  # decoders may need the format info
         ctx.info("TS analysis done: %.2f s", sw.getandreset())
         service_id = splitter.get_actual_service_id()
+        self.actual_service_id = service_id
         num_total = splitter.num_total_packets
         num_scramble = splitter.num_scramble_packets
         total_int_video_size = splitter.total_int_video_size
@@ -1236,6 +1250,16 @@ def _default_muxer_runner(pipeline: TranscodePipeline, reform,
                         aac_decoder_factory=pipeline.audio_decoder_factory)
             audios = [p for p in mux._write_audio_files(key)
                       if os.path.exists(p)]
+            # caption/NicoJK side files (the in-build remux cannot embed
+            # subtitle tracks, so every format gets the MP4-style ASS
+            # side-file treatment; ref Muxer.hpp:134-167)
+            from ..io.muxer import MuxResult
+
+            mres = MuxResult()
+            mux._gather_subs(
+                key, bool(getattr(pipeline, "_nico_ok", False)), mres,
+                copy_out=True)
+            res.subs = mres.out_subs
             tc_path = st.enc_timecode_path(key)
             timecodes = None
             if os.path.exists(tc_path):

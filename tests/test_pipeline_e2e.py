@@ -1416,3 +1416,95 @@ class TestInProcessEncoder:
 
         dec = AvVideoDecoder(out)
         assert len(list(dec.frames())) == 6
+
+
+class TestBroadcastCapstone:
+    """BASELINE config 5 shape: a multi-service TS with ARIB captions and
+    dual-mono AAC through the full pipeline (service selection by id,
+    --subtitles caption decode -> ASS/SRT, dual-mono split at mux;
+    ref transcodeMain + CaptionConsumer + SpDualMonoSplitter)."""
+
+    def make_dual_mono_adts(self, amp0=30, amp1=50):
+        sys.path.insert(0, os.path.dirname(__file__))
+        import aac_gen
+        from amatsukaze_tpu.audio import aac_tables as T
+
+        swb = T.SWB_OFFSETS[(1024, 48000)]
+        sfb = 8
+        width = swb[sfb + 1] - swb[sfb]
+        v0 = [0] * width
+        v0[0] = amp0
+        v1 = [0] * width
+        v1[1] = amp1
+
+        def payload(w):
+            aac_gen.make_sce(w, {sfb: v0}, global_gain=160)
+            aac_gen.make_sce(w, {sfb: v1}, global_gain=160)
+
+        return aac_gen.make_adts_frame(payload, channel_config=0)
+
+    def build_ts(self):
+        caption_groups = [
+            (3, ts_gen.caption_management_group()),
+            (5, ts_gen.caption_statement_group(
+                b"\x0c"  # CS (clear)
+                + b"\x1c" + bytes([0x40 + 12, 0x40])  # APS row 12
+                + ts_gen.arib_ascii("HELLO CAPTION"))),
+            (60, ts_gen.caption_statement_group(b"\x0c")),  # clear
+        ]
+        return ts_gen.build_simple_ts(
+            num_frames=90, width=W, height=H, si=True,
+            caption_groups=caption_groups,
+            audio_es_frames=[self.make_dual_mono_adts()] * 200,
+            extra_services=[(0x0401, 0x01F1), (0x0402, 0x01F2)],
+            extra_services_first=True,
+        )
+
+    @pytest.fixture
+    def cap_env(self, env):
+        ctx, conf, tmp = env
+        src = tmp / "cap_src.ts"
+        src.write_bytes(self.build_ts())
+        conf.src_file_path = str(src)
+        conf.subtitles = True
+        conf.service_id = ts_gen.SERVICE_ID
+        return ctx, conf, tmp
+
+    def test_captions_and_dual_mono(self, cap_env):
+        ctx, conf, tmp = cap_env
+        settings = Settings(ctx, conf)
+        pipe = TranscodePipeline(ctx, settings,
+                                 decoder_factory=NullDecoderFactory())
+        report = pipe.run()
+
+        # the right service was picked among the decoys
+        assert pipe.actual_service_id == ts_gen.SERVICE_ID
+
+        # caption text reached the muxed ASS/SRT outputs
+        key = EncodeFileKey()
+        ass = open(settings.tmp_ass_path(key, 0), encoding="utf-8").read()
+        assert "HELLO CAPTION" in ass
+        srt = open(settings.tmp_srt_path(key, 0), encoding="utf-8").read()
+        assert "HELLO CAPTION" in srt
+        subs = report["outfiles"][0]["subs"]
+        assert any(p.endswith(".ass") for p in subs)
+
+        # dual-mono split into two mono AAC tracks at mux time
+        a0 = settings.int_audio_file_path(key, 0)
+        a1 = settings.int_audio_file_path(key, 1)
+        assert os.path.getsize(a0) > 0 and os.path.getsize(a1) > 0
+        from amatsukaze_tpu.audio.aac import AacLcDecoder
+
+        for path in (a0, a1):
+            data = open(path, "rb").read()
+            res = AacLcDecoder().decode(data)
+            assert res is not None and res.num_channels == 1
+
+    def test_subtitles_off_drops_captions(self, cap_env):
+        ctx, conf, tmp = cap_env
+        conf.subtitles = False
+        settings = Settings(ctx, conf)
+        pipe = TranscodePipeline(ctx, settings,
+                                 decoder_factory=NullDecoderFactory())
+        pipe.run()
+        assert not os.path.exists(settings.tmp_ass_path(EncodeFileKey(), 0))

@@ -59,6 +59,42 @@ def component_tag_descriptor(tag: int) -> bytes:
     return bytes([0x52, 0x01, tag])
 
 
+# ---------------------------------------------------------------------------
+# ARIB caption data groups (STD-B24; decoded by captions/b24.py)
+# ---------------------------------------------------------------------------
+
+def caption_data_group(group_id: int, body: bytes) -> bytes:
+    """data_group header (group_id, link numbers, size) + body + CRC_16."""
+    return (bytes([(group_id & 0x3F) << 2, 0, 0,
+                   len(body) >> 8, len(body) & 0xFF])
+            + body + b"\x00\x00")
+
+
+def caption_management_group(languages: int = 1, swf_fmt: int = 0) -> bytes:
+    """Caption management data (group 0): TMD free, N languages with
+    ISO code 'jpn' and display-format nibble `swf_fmt` (0 = 960x540)."""
+    body = bytearray([0x00, languages])
+    for _ in range(languages):
+        body += bytes([0x00]) + b"jpn" + bytes([(swf_fmt & 0xF) << 4])
+    return caption_data_group(0x0, bytes(body))
+
+
+def caption_statement_group(du: bytes, lang_index: int = 0,
+                            unit_parameter: int = 0x20) -> bytes:
+    """Caption statement (group 1+lang): one data unit.
+
+    unit_parameter 0x20 = statement body (ARIB 8-bit char stream),
+    0x30/0x31 = DRCS download."""
+    unit = (bytes([0x1F, unit_parameter]) + len(du).to_bytes(3, "big") + du)
+    body = bytes([0x00]) + len(unit).to_bytes(3, "big") + unit
+    return caption_data_group(0x1 + lang_index, body)
+
+
+def caption_pes_payload(group: bytes) -> bytes:
+    """Synchronized PES data packet wrapper (data_identifier 0x80)."""
+    return bytes([0x80, 0xFF, 0xF0]) + group
+
+
 def make_tdt(jst_raw40: int) -> bytes:
     body = jst_raw40.to_bytes(5, "big")
     length = len(body)
@@ -349,6 +385,7 @@ class TsPacketizer:
 VIDEO_PID = 0x0111
 AUDIO_PID = 0x0112
 AUDIO2_PID = 0x0113
+CAPTION_PID = 0x0115
 PMT_PID = 0x01F0
 SERVICE_ID = 0x5C38
 TSID = 0x7FE0
@@ -378,6 +415,9 @@ def build_simple_ts(
     audio_es_frames: list | None = None,  # real ADTS frames, by time index
     video_stream_type: int = 0x02,  # 0x02 MPEG2, 0x1B H.264
     audio_stream_type: int = 0x0F,  # 0x0F ADTS, 0x11 LATM/LOAS
+    caption_groups: list[tuple[int, bytes]] | None = None,  # (frame, group)
+    extra_services: list[tuple[int, int]] | None = None,  # (sid, pmt_pid)
+    extra_services_first: bool = False,
 ) -> bytes:
     """A single-program TS with MPEG2 video + N ADTS audio streams.
 
@@ -388,12 +428,28 @@ def build_simple_ts(
     if video_es_frames is not None:
         num_frames = len(video_es_frames)
     tz = TsPacketizer()
-    pat = make_pat(TSID, [(service_id, PMT_PID)])
+    programs = [(service_id, PMT_PID)]
+    extra_pmts = []
+    for n, (sid, ppid) in enumerate(extra_services or []):
+        # decoy services: own PMT with video/audio PIDs that carry no
+        # packets (selection must go by service id, not PID traffic)
+        programs.append((sid, ppid))
+        extra_pmts.append((ppid, make_pmt(sid, 0x0200 + 16 * n, [
+            (video_stream_type, 0x0200 + 16 * n, b""),
+            (audio_stream_type, 0x0201 + 16 * n, b""),
+        ])))
+    if extra_services_first:
+        programs.reverse()
+    pat = make_pat(TSID, programs)
     streams = [(video_stream_type, VIDEO_PID, b"")]
     for i in range(num_audio):
         streams.append((audio_stream_type, AUDIO_PID + i, b""))
+    if caption_groups:
+        streams.append((0x06, CAPTION_PID, component_tag_descriptor(0x30)))
     pmt = make_pmt(service_id, VIDEO_PID, streams)
-    sdt = make_sdt(TSID, [(service_id, service_name)]) if si else None
+    sdt_services = [(service_id, service_name)] + [
+        (sid, f"DECOY {sid:04X}") for sid, _ in (extra_services or [])]
+    sdt = make_sdt(TSID, sdt_services) if si else None
     eit = make_eit_present(service_id, event_name, "synthetic event",
                            (0x7, 0x0), jst_raw40) if si else None
     tdt = make_tdt(jst_raw40) if si else None
@@ -408,10 +464,16 @@ def build_simple_ts(
 
     audio_next = [0] * num_audio  # next audio frame index per stream
 
+    cap_by_frame: dict[int, list[bytes]] = {}
+    for cf, group in caption_groups or []:
+        cap_by_frame.setdefault(cf, []).append(group)
+
     for f in range(num_frames):
         if f % psi_interval == 0:
             tz.add_section(0x0000, pat)
             tz.add_section(PMT_PID, pmt)
+            for ppid, xpmt in extra_pmts:
+                tz.add_section(ppid, xpmt)
             if si:
                 tz.add_section(0x0011, sdt)
                 tz.add_section(0x0012, eit)
@@ -444,6 +506,13 @@ def build_simple_ts(
                                 if real_slices else None)
         pes = make_pes(0xE0, bytes(es), pts=pts, dts=dts, unbounded=True)
         tz.add_pes(VIDEO_PID, pes, pcr=pcr)
+
+        # caption PES: PTS leads the PCR clock by ~0.8 s (the splitter's
+        # 0.5-1.5 s receiver-lead sanity window, TsSplitter.hpp:174-186)
+        for group in cap_by_frame.get(f, ()):
+            cpts = pts + int(0.4 * 90_000)
+            tz.add_pes(CAPTION_PID,
+                       make_pes(0xBD, caption_pes_payload(group), pts=cpts))
 
         # emit audio to keep pace with video time
         for a in range(num_audio):
