@@ -154,6 +154,17 @@ class AribDecoder:
         self.single_shift: int | None = None
         self.drcs_hook = None  # callable(charset_final, code) -> str | None
 
+    def _char(self, cs: "_CharSet", b1: int, b2: int = 0) -> str:
+        """One character through `cs`; DRCS charsets consult drcs_hook
+        (md5-mapped replacement text, ref CaptionData.hpp:416-445) and
+        fall back to the placeholder glyph."""
+        if 0x40 <= cs.final <= 0x4F and self.drcs_hook is not None:
+            code = ((b1 << 8) | b2) if cs.two_byte else b1
+            rep = self.drcs_hook(cs.final, code)
+            if rep is not None:
+                return rep
+        return cs.decode(b1, b2)
+
     # -- ESC designation handling --------------------------------------------
     def _escape(self, data: bytes, pos: int) -> int:
         """Process an ESC sequence at data[pos] (after the ESC byte);
@@ -249,10 +260,10 @@ class AribDecoder:
                     i += self._macro(b & 0x7F)
                     continue
                 if cs.two_byte and i + 1 < n:
-                    out.append(cs.decode(b & 0x7F, data[i + 1] & 0x7F))
+                    out.append(self._char(cs, b & 0x7F, data[i + 1] & 0x7F))
                     i += 2
                 else:
-                    out.append(cs.decode(b & 0x7F))
+                    out.append(self._char(cs, b & 0x7F))
                     i += 1
                 continue
             # GL region 0x21-0x7E
@@ -263,10 +274,10 @@ class AribDecoder:
                 i += self._macro(b)
                 continue
             if cs.two_byte and i + 1 < n:
-                out.append(cs.decode(b, data[i + 1]))
+                out.append(self._char(cs, b, data[i + 1]))
                 i += 2
             else:
-                out.append(cs.decode(b))
+                out.append(self._char(cs, b))
                 i += 1
         return "".join(out)
 

@@ -101,6 +101,7 @@ class CaptionDecoder:
         self.drcs_out_dir = drcs_out_dir
         self.languages: list[int] = []  # language tags from management data
         self._drcs_map: dict[str, str] = {}  # md5 -> replacement (per stream)
+        self._drcs_codes: dict[tuple[int, int], str] = {}  # (final, code) -> md5
         self.plane = (960, 540)
 
     # -- entry ---------------------------------------------------------------
@@ -222,8 +223,16 @@ class CaptionDecoder:
         for _ in range(num):
             if pos + 3 > len(du):
                 return
-            # character code (1 or 2 bytes) + number of fonts
-            pos += 2 if two_byte else 1
+            # CharacterCode is 16 bits for BOTH unit kinds (STD-B24
+            # Fig. 9-3): for the 1-byte DRCS-1..15 sets the high byte is
+            # the charset final (0x41-0x4F), for DRCS-0 it is the
+            # two-byte code itself
+            cc1, cc2 = du[pos], du[pos + 1]
+            pos += 2
+            if two_byte:
+                code_key = (0x40, ((cc1 & 0x7F) << 8) | (cc2 & 0x7F))
+            else:
+                code_key = (cc1 & 0x7F, cc2 & 0x7F)
             if pos >= len(du):
                 return
             num_font = du[pos]
@@ -241,6 +250,7 @@ class CaptionDecoder:
                     pattern = bytes(du[pos : pos + nbytes])
                     pos += nbytes
                     md5 = drcs_md5(width, height, depth, pattern)
+                    self._drcs_codes[code_key] = md5
                     mapping = self.ctx.get_drcs_mapping(md5)
                     if mapping is None:
                         self.ctx.incr(ErrorCounter.NO_DRCS_MAP)
@@ -251,7 +261,19 @@ class CaptionDecoder:
                     return
 
     def _drcs_lookup(self, charset_final: int, code: int) -> str | None:
-        return None  # bitmap DRCS substitution happens via the md5 map
+        """Replacement text for a previously-downloaded DRCS glyph: the
+        (charset, code) pair resolves to the glyph's md5, which the user
+        mapping (drcs_map.txt / AMTContext) turns into text
+        (ref CaptionData.hpp:416-445 SetDRCSReplace path)."""
+        md5 = self._drcs_codes.get((charset_final, code))
+        if md5 is None:
+            return None
+        rep = self._drcs_map.get(md5)
+        if rep is None:
+            rep = self.ctx.get_drcs_mapping(md5)
+            if rep is not None:
+                self._drcs_map[md5] = rep
+        return rep
 
     def _save_unmapped(self, md5, width, height, pattern, bits) -> None:
         """Write the unmapped DRCS as a BMP for the GUI mapping flow

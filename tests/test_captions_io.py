@@ -274,3 +274,90 @@ class TestDefaultMacros:
         text = dec.decode(b"\x1b\x6f\x6f" + b"\x0f" + b"\x25\x21")
         # macro 0x6F: G0 = JIS X0201 katakana (half width)
         assert text and "□" not in text
+
+
+class TestDrcsSubstitution:
+    """DRCS gaiji download -> (charset, code) -> md5 -> user mapping
+    substitution (ref CaptionData.hpp:374-445 + AMTContext DRCS map)."""
+
+    PATTERN = bytes([0xF0, 0xF0])  # 4x4, depth 2 (1 bit/px)
+
+    def _texts(self, items):
+        return [it.line.text for it in items if it.line is not None]
+
+    def _feed(self, dec, groups, pts=1000):
+        items = []
+        for g in groups:
+            items.extend(dec.decode(pts, ts_gen.caption_pes_payload(g)))
+        return items
+
+    def drcs_groups(self, two_byte=False):
+        import ts_gen as tg
+
+        if two_byte:
+            dl = tg.caption_statement_group(
+                tg.caption_drcs_du(0x40, 0x2121, pattern=self.PATTERN,
+                                   two_byte=True),
+                unit_parameter=0x31)
+            # designate G1 <- DRCS-0 (2-byte: ESC 0x24 0x29 0x20 0x40),
+            # LS1, code 0x21 0x21, LS0
+            text = (b"\x1b\x24\x29\x20\x40" + b"\x0e" + b"\x21\x21"
+                    + b"\x0f" + ts_gen.arib_ascii("X"))
+        else:
+            dl = tg.caption_statement_group(
+                tg.caption_drcs_du(0x41, 0x21, pattern=self.PATTERN),
+                unit_parameter=0x30)
+            # designate G1 <- DRCS-1 (ESC 0x29 0x20 0x41), LS1, code, LS0
+            text = (b"\x1b\x29\x20\x41" + b"\x0e" + b"\x21" + b"\x0f"
+                    + ts_gen.arib_ascii("X"))
+        return [dl, tg.caption_statement_group(text)]
+
+    def md5(self):
+        return drcs_md5(4, 4, 2, self.PATTERN)
+
+    def test_mapped_drcs_substitutes(self, tmp_path):
+        from amatsukaze_tpu.captions.b24 import CaptionDecoder
+        from amatsukaze_tpu.utils.context import AMTContext
+
+        ctx = AMTContext(level="error")
+        ctx.drcs_map[self.md5()] = "%"
+        dec = CaptionDecoder(ctx, drcs_out_dir=str(tmp_path))
+        items = self._feed(dec, self.drcs_groups())
+        assert self._texts(items) == ["%X"]
+        assert not list(tmp_path.iterdir())  # mapped: no BMP dump
+
+    def test_mapped_two_byte_drcs_substitutes(self, tmp_path):
+        from amatsukaze_tpu.captions.b24 import CaptionDecoder
+        from amatsukaze_tpu.utils.context import AMTContext
+
+        ctx = AMTContext(level="error")
+        ctx.drcs_map[self.md5()] = "&"
+        dec = CaptionDecoder(ctx, drcs_out_dir=str(tmp_path))
+        items = self._feed(dec, self.drcs_groups(two_byte=True))
+        assert self._texts(items) == ["&X"]
+
+    def test_unmapped_drcs_placeholder_bmp_counter(self, tmp_path):
+        from amatsukaze_tpu.captions.b24 import CaptionDecoder
+        from amatsukaze_tpu.utils.context import AMTContext, ErrorCounter
+
+        ctx = AMTContext(level="error")
+        dec = CaptionDecoder(ctx, drcs_out_dir=str(tmp_path))
+        items = self._feed(dec, self.drcs_groups())
+        assert self._texts(items) == ["□X"]  # placeholder glyph
+        assert ctx.error_count(ErrorCounter.NO_DRCS_MAP) == 1
+        bmp = tmp_path / f"{self.md5()}.bmp"
+        assert bmp.exists() and bmp.read_bytes()[:2] == b"BM"
+
+    def test_late_mapping_applies(self, tmp_path):
+        """A mapping learned after download (ctx map updated mid-stream,
+        the server DRCS workflow) applies to later statements."""
+        from amatsukaze_tpu.captions.b24 import CaptionDecoder
+        from amatsukaze_tpu.utils.context import AMTContext
+
+        ctx = AMTContext(level="error")
+        dec = CaptionDecoder(ctx, drcs_out_dir=str(tmp_path))
+        dl, text = self.drcs_groups()
+        self._feed(dec, [dl])
+        ctx.drcs_map[self.md5()] = "@"
+        items = self._feed(dec, [text])
+        assert self._texts(items) == ["@X"]

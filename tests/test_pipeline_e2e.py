@@ -1508,3 +1508,60 @@ class TestBroadcastCapstone:
                                  decoder_factory=NullDecoderFactory())
         pipe.run()
         assert not os.path.exists(settings.tmp_ass_path(EncodeFileKey(), 0))
+
+    def build_drcs_ts(self):
+        pattern = bytes([0xF0, 0xF0])
+        caption_groups = [
+            (3, ts_gen.caption_management_group()),
+            (4, ts_gen.caption_statement_group(
+                ts_gen.caption_drcs_du(0x41, 0x21, pattern=pattern),
+                unit_parameter=0x30)),
+            (5, ts_gen.caption_statement_group(
+                b"\x0c" + b"\x1b\x29\x20\x41" + b"\x0e" + b"\x21" + b"\x0f"
+                + ts_gen.arib_ascii(" GAIJI"))),
+        ]
+        from amatsukaze_tpu.captions.b24 import drcs_md5
+
+        return ts_gen.build_simple_ts(
+            num_frames=90, width=W, height=H,
+            caption_groups=caption_groups,
+        ), drcs_md5(4, 4, 2, pattern)
+
+    def test_unmapped_drcs_exits_101(self, env, tmp_path):
+        """Reference contract: unmapped DRCS aborts with AMT_NO_DRCS
+        unless --ignore-no-drcsmap; the bitmap lands beside the map file
+        for the mapping workflow (ref TranscodeManager + DRCSManager)."""
+        from amatsukaze_tpu import cli
+
+        ctx, conf, tmp = env
+        data, md5 = self.build_drcs_ts()
+        src = tmp / "drcs_src.ts"
+        src.write_bytes(data)
+        drcs_dir = tmp_path / "drcs"
+        drcs_dir.mkdir()
+        map_path = drcs_dir / "drcs_map.txt"
+        map_path.write_text("")
+        args = ["-i", str(src), "-o", str(tmp / "dout"), "-w",
+                str(tmp / "dwork"), "--mode", "ts", "--subtitles",
+                "-e", conf.encoder_path, "--drcs", str(map_path)]
+        assert cli.main(args) == cli.EXIT_NO_DRCS
+        assert (drcs_dir / f"{md5}.bmp").exists()
+
+        # mapped: the replacement text reaches the ASS output
+        map_path.write_text(f"{md5}=#\n")
+        out2 = tmp / "dout2"
+        assert cli.main(["-i", str(src), "-o", str(out2), "-w",
+                         str(tmp / "dwork2"), "--mode", "ts", "--subtitles",
+                         "-e", conf.encoder_path, "--drcs", str(map_path),
+                         "--no-remove-tmp"]) == 0
+        ass = (tmp / "dout2.ass").read_text(encoding="utf-8")
+        assert "# GAIJI" in ass
+
+        # unmapped but --ignore-no-drcsmap: completes with placeholder
+        out3 = tmp / "dout3"
+        map_path.write_text("")
+        assert cli.main(["-i", str(src), "-o", str(out3), "-w",
+                         str(tmp / "dwork3"), "--mode", "ts", "--subtitles",
+                         "-e", conf.encoder_path, "--drcs", str(map_path),
+                         "--ignore-no-drcsmap"]) == 0
+        assert "□ GAIJI" in (tmp / "dout3.ass").read_text(encoding="utf-8")

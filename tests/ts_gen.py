@@ -90,6 +90,24 @@ def caption_statement_group(du: bytes, lang_index: int = 0,
     return caption_data_group(0x1 + lang_index, body)
 
 
+def caption_drcs_du(charset_final: int, code: int, width: int = 4,
+                    height: int = 4, pattern: bytes | None = None,
+                    two_byte: bool = False) -> bytes:
+    """DRCS download data unit body (STD-B24 Fig. 9-3): one code, one
+    1-bit-depth font. For 1-byte DRCS sets the 16-bit CharacterCode's
+    high byte is `charset_final` (0x41-0x4F); for DRCS-0 pass
+    two_byte=True and the full 2-byte code."""
+    if pattern is None:
+        pattern = bytes([0xF0] * ((width * height + 7) // 8))
+    if two_byte:
+        cc = bytes([(code >> 8) & 0x7F, code & 0x7F])
+    else:
+        cc = bytes([charset_final, code & 0x7F])
+    return (bytes([1]) + cc + bytes([1])  # NumberOfCode, code, NumberOfFont
+            + bytes([0x00])  # fontId=0, mode=0 (bitmap)
+            + bytes([2, width, height]) + pattern)
+
+
 def caption_pes_payload(group: bytes) -> bytes:
     """Synchronized PES data packet wrapper (data_identifier 0x80)."""
     return bytes([0x80, 0xFF, 0xF0]) + group
