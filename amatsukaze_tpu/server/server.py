@@ -71,6 +71,7 @@ class ProfileSetting:
     subtitles: bool = False
     logo_paths: list = field(default_factory=list)
     ignore_no_logo: bool = True
+    ignore_no_drcs_map: bool = False  # ref IgnoreNoDrcsMap
     loose_logo_detection: bool = False
     cm_out_mask: int = 1
     disable_hash_check: bool = False  # skip hash-dir source verification
@@ -532,6 +533,13 @@ class EncodeServer:
             args += ["--chapter"]
         if profile.subtitles:
             args += ["--subtitles"]
+        # DRCS mapping always rides along (ref MakeAmatsukazeArgs,
+        # EncodeServer.cs:1240-1242): encodes load the server map and
+        # drop unmapped bitmaps into the dir DRCSManager watches
+        os.makedirs(self.drcs_dir(), exist_ok=True)
+        args += ["--drcs", os.path.join(self.drcs_dir(), "drcs_map.txt")]
+        if profile.ignore_no_drcs_map:
+            args += ["--ignore-no-drcsmap"]
         logo_paths = list(profile.logo_paths)
         if entry.service_id > 0:
             # per-service logo auto-selection: every .lgd in the logo

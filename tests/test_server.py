@@ -1287,6 +1287,18 @@ class TestFilterSetting:
             assert args[args.index("--filter-mode") + 1] == "autovfr"
             assert args[args.index("--autovfr-parallel") + 1] == "4"
             assert args[args.index("--post-filter") + 1] == "edge"
+            # DRCS map rides along unconditionally (ref EncodeServer.cs
+            # :1240-1242) so encodes feed the DRCSManager workflow
+            import os as _os
+            drcs = args[args.index("--drcs") + 1]
+            assert drcs == _os.path.join(server.drcs_dir(), "drcs_map.txt")
+            assert _os.path.isdir(server.drcs_dir())
+            assert "--ignore-no-drcsmap" not in args
+            prof["name"] = "nodrcs"
+            prof["ignore_no_drcs_map"] = True
+            await server.handle_request("SetProfile", prof)
+            args2 = server.make_cli_args(entry, server.profiles["nodrcs"])
+            assert "--ignore-no-drcsmap" in args2
 
         run(main())
 
