@@ -105,8 +105,23 @@ def probe_audio(ctx, settings) -> list[str]:
     return out
 
 
+def default_caption_decoder(ctx, settings):
+    """The in-build ARIB decoder with the DRCS-dir convention shared
+    with TranscodePipeline: unmapped bitmaps land beside the --drcs
+    mapping file (ref searchDrcsMain + DRCSManager layout)."""
+    from ..captions.b24 import CaptionDecoder
+
+    drcs_dir = settings.conf.drcs_out_path
+    if not drcs_dir and settings.conf.drcs_map_path:
+        drcs_dir = os.path.dirname(
+            os.path.abspath(settings.conf.drcs_map_path))
+    return CaptionDecoder(ctx, drcs_out_dir=drcs_dir)
+
+
 def search_drcs(ctx, settings, caption_decoder=None) -> None:
     """Scan the whole file for unmapped DRCS (ref searchDrcsMain :1102-1110)."""
+    if caption_decoder is None:
+        caption_decoder = default_caption_decoder(ctx, settings)
     sp = _SubtitleProbe(ctx, 1 << 30, caption_decoder)
     if settings.conf.service_id > 0:
         sp.set_service_id(settings.conf.service_id)

@@ -156,13 +156,9 @@ class TranscodePipeline:
             # captions are enabled); unmapped DRCS bitmaps land next to
             # the mapping file, matching the server's drcs-dir layout
             # (<dir>/drcs_map.txt + <dir>/<md5>.bmp, ref DRCSManager).
-            from ..captions.b24 import CaptionDecoder
+            from .probe import default_caption_decoder
 
-            drcs_dir = settings.conf.drcs_out_path
-            if not drcs_dir and settings.conf.drcs_map_path:
-                drcs_dir = os.path.dirname(
-                    os.path.abspath(settings.conf.drcs_map_path))
-            caption_decoder = CaptionDecoder(ctx, drcs_out_dir=drcs_dir)
+            caption_decoder = default_caption_decoder(ctx, settings)
         self.caption_decoder = caption_decoder
         self.phase = phase_scheduler or _NullPhases()
         self.encoder_runner = encoder_runner or _default_encoder_runner

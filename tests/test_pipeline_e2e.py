@@ -1565,3 +1565,20 @@ class TestBroadcastCapstone:
                          "-e", conf.encoder_path, "--drcs", str(map_path),
                          "--ignore-no-drcsmap"]) == 0
         assert "□ GAIJI" in (tmp / "dout3.ass").read_text(encoding="utf-8")
+
+    def test_drcs_mode_dumps_bitmaps(self, env, tmp_path):
+        """`--mode drcs` scans the TS and saves unmapped DRCS bitmaps
+        beside the --drcs map file (ref searchDrcsMain :1102-1110)."""
+        from amatsukaze_tpu import cli
+
+        ctx, conf, tmp = env
+        data, md5 = self.build_drcs_ts()
+        src = tmp / "scan_src.ts"
+        src.write_bytes(data)
+        drcs_dir = tmp_path / "scan_drcs"
+        drcs_dir.mkdir()
+        (drcs_dir / "drcs_map.txt").write_text("")
+        assert cli.main(["-i", str(src), "-w", str(tmp / "swork"),
+                         "--mode", "drcs",
+                         "--drcs", str(drcs_dir / "drcs_map.txt")]) == 0
+        assert (drcs_dir / f"{md5}.bmp").exists()
