@@ -214,8 +214,11 @@ class AribDecoder:
     # -- main ------------------------------------------------------------------
     def decode(self, data: bytes, control_hook=None) -> str:
         """Decode a byte string to text. control_hook(code, params) receives
-        CSI/other control codes (position, colour) for layout-aware callers."""
-        out = []
+        CSI/other control codes (position, colour) for layout-aware callers.
+        During decode `self.emitted` counts output characters so far, so
+        hooks can anchor per-span formats to text positions."""
+        self.emitted = 0
+        out = _CountingOut(self)
         i = 0
         n = len(data)
         while i < n:
@@ -286,7 +289,9 @@ class AribDecoder:
         a pure designation/invocation sequence run through the decoder
         state (ref PutMacroChar, AribString.hpp:840-862)."""
         if 0x60 <= code <= 0x6F:
+            saved = getattr(self, "emitted", 0)
             self.decode(DEFAULT_MACROS[code & 0x0F])
+            self.emitted = saved  # nested decode resets the counter
         return 1
 
     def _control(self, data: bytes, i: int, out: list, hook) -> int:
@@ -347,7 +352,9 @@ class AribDecoder:
             if i + 1 < len(data) and data[i + 1] == 0x20:
                 return 3
             if hook and i + 1 < len(data):
-                hook("COL", bytes([data[i + 1] & 0x0F]))
+                # full param byte: 0x48-4F fg, 0x50-57 bg, 0x58-5F
+                # half-fg, 0x60-67 half-bg (STD-B24 table 7-14)
+                hook("COL", bytes([data[i + 1]]))
             return 2
         if b == 0x91:  # FLC: 1 param
             return 2
@@ -374,6 +381,19 @@ class AribDecoder:
         if b == 0x9D:  # TIME: 0x20 + param
             return 3
         return 1
+
+
+class _CountingOut(list):
+    """Output accumulator that keeps the decoder's emitted-character
+    count in sync so control hooks can anchor formats to positions."""
+
+    def __init__(self, dec: AribDecoder):
+        super().__init__()
+        self._dec = dec
+
+    def append(self, s: str) -> None:
+        super().append(s)
+        self._dec.emitted += len(s)
 
 
 def decode_arib_string(data: bytes) -> str:

@@ -68,6 +68,28 @@ CLUT = [
 _SWF_PLANES = {0: (960, 540), 2: (960, 540), 7: (960, 540), 9: (720, 480),
                11: (1280, 720)}
 
+# STD-B24 table 8-7 common CLUT, first 16 entries: 8 full-intensity
+# colours, transparent, 7 half-intensity colours (RGBA)
+_ARIB_CLUT = (
+    (0, 0, 0, 255), (255, 0, 0, 255), (0, 255, 0, 255), (255, 255, 0, 255),
+    (0, 0, 255, 255), (255, 0, 255, 255), (0, 255, 255, 255),
+    (255, 255, 255, 255),
+    (0, 0, 0, 0), (170, 0, 0, 255), (0, 170, 0, 255), (170, 170, 0, 255),
+    (0, 0, 170, 255), (170, 0, 170, 255), (0, 170, 170, 255),
+    (170, 170, 170, 255),
+)
+
+# char cell dimensions per size mode (0=small 1=medium 2=normal;
+# ref CaptionData.hpp:293-323 char sizing modes)
+_SIZE_DIMS = {0: (18.0, 18.0), 1: (18.0, 36.0), 2: (36.0, 36.0)}
+
+
+def _make_format(cur: dict, pos: int) -> "CaptionFormat":
+    w, h = _SIZE_DIMS[cur["size"]]
+    return CaptionFormat(pos=pos, char_w=w, char_h=h, width=w, height=h,
+                         text_color=cur["fg"], back_color=cur["bg"],
+                         size_mode=cur["size"])
+
 
 def drcs_md5(width: int, height: int, depth: int, pattern: bytes) -> str:
     """MD5 over a normalised 1-bit-per-pixel bitmap (ref CalcMD5FromDRCSPattern,
@@ -185,22 +207,67 @@ class CaptionDecoder:
 
     def _statement_body(self, pts, lang_index, wait_time, du) -> list[CaptionItem]:
         state = {"clear": False, "aps": []}
+        dec = AribDecoder(caption=True)
+        dec.drcs_hook = self._drcs_lookup
+        cur = {"fg": (255, 255, 255, 255), "bg": (0, 0, 0, 128), "size": 2}
+        fmts: list[CaptionFormat] = [_make_format(cur, 0)]
+
+        def push():
+            f = _make_format(cur, dec.emitted)
+            if fmts[-1].pos == f.pos:
+                fmts[-1] = f
+            else:
+                fmts.append(f)
 
         def hook(code, params):
             if code == "CS":
                 state["clear"] = True
             elif code == "APS" and len(params) >= 2:
                 state["aps"].append((params[0] & 0x3F, params[1] & 0x3F))
+            elif code == "COL" and params:
+                v = params[0]
+                if v < 8:  # C1 BKF..WHF foreground
+                    cur["fg"] = _ARIB_CLUT[v]
+                elif 0x48 <= v <= 0x4F:  # COL foreground, palette row 1
+                    cur["fg"] = _ARIB_CLUT[8 + (v & 7)]
+                elif 0x50 <= v <= 0x57:  # COL background
+                    cur["bg"] = _ARIB_CLUT[v & 7]
+                elif 0x58 <= v <= 0x5F:  # half-fg -> half-intensity row
+                    cur["fg"] = _ARIB_CLUT[8 + (v & 7)]
+                elif 0x60 <= v <= 0x67:  # half-bg
+                    cur["bg"] = _ARIB_CLUT[8 + (v & 7)]
+                push()
+            elif code in ("SSZ", "MSZ", "NSZ"):
+                cur["size"] = {"SSZ": 0, "MSZ": 1, "NSZ": 2}[code]
+                push()
 
-        dec = AribDecoder(caption=True)
-        dec.drcs_hook = self._drcs_lookup
         text = dec.decode(bytes(du), control_hook=hook)
         items = []
         if state["clear"]:
             items.append(CaptionItem(pts=pts, lang_index=lang_index,
                                      wait_time=wait_time, line=None))
+        lead = len(text) - len(text.lstrip("\n"))
         text = text.strip("\n")
         if text:
+            if lead:
+                for f in fmts:
+                    f.pos = max(0, f.pos - lead)
+            # drop spans that start at/after the stripped end, dedupe by pos
+            formats: list[CaptionFormat] = []
+            for f in fmts:
+                if f.pos >= len(text):
+                    continue
+                if formats and formats[-1].pos == f.pos:
+                    formats[-1] = f
+                else:
+                    formats.append(f)
+            # width/height are SPAN extents (the formatter derives
+            # per-char advance as width/len(frag)): chars * cell size
+            for i, f in enumerate(formats):
+                end = (formats[i + 1].pos if i + 1 < len(formats)
+                       else len(text))
+                f.width = f.char_w * max(1, end - f.pos)
+                f.height = f.char_h
             w, h = self.plane
             pos_y = 0.0
             if state["aps"]:
@@ -208,7 +275,7 @@ class CaptionDecoder:
                 pos_y = row * (h / 15.0)
             line = CaptionLine(
                 text=text, plane_w=w, plane_h=h, pos_x=0.0, pos_y=pos_y,
-                formats=[CaptionFormat(pos=0)],
+                formats=formats or [CaptionFormat(pos=0)],
             )
             items.append(CaptionItem(pts=pts, lang_index=lang_index,
                                      wait_time=wait_time, line=line))

@@ -361,3 +361,61 @@ class TestDrcsSubstitution:
         ctx.drcs_map[self.md5()] = "@"
         items = self._feed(dec, [text])
         assert self._texts(items) == ["@X"]
+
+
+class TestCaptionFormats:
+    """Per-span colour/size capture (ref CaptionData.hpp:37-96 formats;
+    rendered by CaptionASSFormatter as inline override tags)."""
+
+    def _decode(self, du):
+        from amatsukaze_tpu.captions.b24 import CaptionDecoder
+        from amatsukaze_tpu.utils.context import AMTContext
+
+        dec = CaptionDecoder(AMTContext(level="error"))
+        group = ts_gen.caption_statement_group(du)
+        items = dec.decode(1000, ts_gen.caption_pes_payload(group))
+        lines = [it.line for it in items if it.line is not None]
+        assert len(lines) == 1
+        return lines[0]
+
+    def test_c1_color_split(self):
+        # "AB" white (default), then RDF (0x81) -> "CD" red
+        du = ts_gen.arib_ascii("AB") + b"\x81" + b"\x43\x44"
+        line = self._decode(du)
+        assert line.text == "ABCD"
+        assert [f.pos for f in line.formats] == [0, 2]
+        assert line.formats[0].text_color == (255, 255, 255, 255)
+        assert line.formats[1].text_color == (255, 0, 0, 255)
+
+    def test_size_modes(self):
+        # MSZ half-width digits then NSZ normal
+        du = b"\x89" + ts_gen.arib_ascii("12") + b"\x8a" + b"\x33"
+        line = self._decode(du)
+        assert line.text == "123"
+        assert [(f.pos, f.size_mode) for f in line.formats] == [(0, 1), (2, 2)]
+        assert line.formats[0].char_w == 18.0
+        assert line.formats[0].char_h == 36.0
+
+    def test_col_background(self):
+        # COL background blue (0x90 0x54) from the start
+        du = b"\x90\x54" + ts_gen.arib_ascii("X")
+        line = self._decode(du)
+        assert len(line.formats) == 1
+        assert line.formats[0].back_color == (0, 0, 255, 255)
+
+    def test_leading_newline_strip_shifts_positions(self):
+        du = b"\x0d" + ts_gen.arib_ascii("A") + b"\x82" + b"\x42"
+        line = self._decode(du)
+        assert line.text == "AB"
+        assert [f.pos for f in line.formats] == [0, 1]
+        assert line.formats[1].text_color == (0, 255, 0, 255)
+
+    def test_ass_renders_inline_color(self):
+        from amatsukaze_tpu.captions.formatters import CaptionASSFormatter
+        from amatsukaze_tpu.utils.context import AMTContext
+
+        line = self._decode(ts_gen.arib_ascii("AB") + b"\x81" + b"\x43")
+        out = OutCaptionLine(start=0.0, end=1.0, line=line)
+        ass = CaptionASSFormatter(AMTContext(level="error")).generate([out])
+        assert "ABC" not in ass.replace("{", "|")  # split by override tag
+        assert "\\c&H" in ass.split("AB", 1)[1]  # colour change before C
