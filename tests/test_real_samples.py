@@ -111,3 +111,37 @@ class TestRealSamples:
         assert qsrc.slices_ok / total > 0.95, (
             f"{qsrc.slices_fallback}/{total} slices fell back - "
             "suspect a DCT table defect")
+
+    def test_caption_decode_health(self, src, tmp_path):
+        """Real broadcast captions through the in-build ARIB decoder:
+        every caption PES must decode without error, text must contain
+        no raw control characters, and DRCS glyphs must resolve to the
+        placeholder or a mapping (grounds TVCaptionMod2 parity on real
+        streams; unmapped-DRCS bitmaps land in the tmp dir for eyeball
+        checks)."""
+        from amatsukaze_tpu.captions.b24 import CaptionDecoder
+        from amatsukaze_tpu.pipeline.settings import Config, Settings
+        from amatsukaze_tpu.pipeline.splitter import AMTSplitter
+        from amatsukaze_tpu.utils.context import AMTContext
+
+        conf = Config()
+        conf.src_file_path = src
+        conf.out_video_path = str(tmp_path / "out")
+        conf.work_dir = str(tmp_path)
+        conf.subtitles = True
+        ctx = AMTContext(level="error")
+        st = Settings(ctx, conf)
+        dec = CaptionDecoder(ctx, drcs_out_dir=str(tmp_path / "drcs"))
+        splitter = AMTSplitter(ctx, st, caption_decoder=dec)
+        reform = splitter.split()
+        reform.prepare(split_sub=True)
+        items = reform.caption_item_list
+        if not items:
+            pytest.skip("no captions in this recording")
+        for it in items:
+            if it.line is None:
+                continue
+            assert not any(ord(c) < 0x20 and c != "\n" for c in it.line.text)
+            assert it.line.formats and it.line.formats[0].pos == 0
+            for a, b in zip(it.line.formats, it.line.formats[1:]):
+                assert a.pos < b.pos <= len(it.line.text)
