@@ -119,7 +119,10 @@ class Config:
     chapter_exe_options: str = ""
     cm_out_mask: int = 1
     trim_avs_path: str = ""
-    max_frames: int = 0
+    # probe-mode early stop; ref default 30*300 (AmatsukazeCLI.hpp:194).
+    # 0 would stop probes on the FIRST video frame (probe_subtitles /
+    # probe_audio then see nothing) — keep in sync with cli --max-frames
+    max_frames: int = 9000
     # device settings (TPU-era replacement for DecoderSetting GPU choices)
     device_batch_frames: int = 32
     # decoded-frame reuse across pipeline sweeps (CM metrics -> filter

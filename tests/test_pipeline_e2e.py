@@ -1582,3 +1582,9 @@ class TestBroadcastCapstone:
                          "--mode", "drcs",
                          "--drcs", str(drcs_dir / "drcs_map.txt")]) == 0
         assert (drcs_dir / f"{md5}.bmp").exists()
+
+    def test_probe_subtitles_detects_captions(self, cap_env):
+        from amatsukaze_tpu.pipeline.probe import probe_subtitles
+
+        ctx, conf, tmp = cap_env
+        assert probe_subtitles(ctx, Settings(ctx, conf)) is True
