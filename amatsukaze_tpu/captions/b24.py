@@ -79,13 +79,29 @@ _ARIB_CLUT = (
     (170, 170, 170, 255),
 )
 
-# char cell dimensions per size mode (0=small 1=medium 2=normal;
-# ref CaptionData.hpp:293-323 char sizing modes)
-_SIZE_DIMS = {0: (18.0, 18.0), 1: (18.0, 36.0), 2: (36.0, 36.0)}
+# CSI SWF writing-format parameter -> plane (STD-B24 table 7-8)
+_CSI_SWF_PLANES = {5: (1920, 1080), 7: (960, 540), 9: (720, 480),
+                   11: (1280, 720)}
+
+
+def _parse_csi(params: bytes) -> tuple[list[int], int]:
+    """CSI body: ASCII-digit params separated by 0x3B, optional 0x20
+    intermediate, final byte last. Returns (numbers, final)."""
+    final = params[-1]
+    body = params[:-1].rstrip(b"\x20")
+    nums = []
+    for part in body.split(b"\x3B"):
+        digits = bytes(b for b in part if 0x30 <= b <= 0x39)
+        if digits:
+            nums.append(int(digits))
+    return nums, final
 
 
 def _make_format(cur: dict, pos: int) -> "CaptionFormat":
-    w, h = _SIZE_DIMS[cur["size"]]
+    # size modes scale the SSM cell (0=small halves both dims,
+    # 1=medium halves width; ref CaptionData.hpp:293-323)
+    w = cur["cw"] * (0.5 if cur["size"] in (0, 1) else 1.0)
+    h = cur["ch"] * (0.5 if cur["size"] == 0 else 1.0)
     return CaptionFormat(pos=pos, char_w=w, char_h=h, width=w, height=h,
                          text_color=cur["fg"], back_color=cur["bg"],
                          size_mode=cur["size"])
@@ -209,7 +225,12 @@ class CaptionDecoder:
         state = {"clear": False, "aps": []}
         dec = AribDecoder(caption=True)
         dec.drcs_hook = self._drcs_lookup
-        cur = {"fg": (255, 255, 255, 255), "bg": (0, 0, 0, 128), "size": 2}
+        cur = {"fg": (255, 255, 255, 255), "bg": (0, 0, 0, 128), "size": 2,
+               "cw": 36.0, "ch": 36.0}
+        # region/cell layout state (STD-B24 profile A defaults for the
+        # 960x540 plane: display area at (170,30), 36x36 chars with
+        # 4px/24px spacing); updated by CSI SDP/SSM/SHS/SVS
+        layout = {"sdp": [170.0, 30.0], "shs": 4.0, "svs": 24.0}
         fmts: list[CaptionFormat] = [_make_format(cur, 0)]
 
         def push():
@@ -224,6 +245,19 @@ class CaptionDecoder:
                 state["clear"] = True
             elif code == "APS" and len(params) >= 2:
                 state["aps"].append((params[0] & 0x3F, params[1] & 0x3F))
+            elif code == "CSI" and params:
+                nums, final = _parse_csi(params)
+                if final == 0x5F and len(nums) >= 2:  # SDP: area origin
+                    layout["sdp"] = [float(nums[0]), float(nums[1])]
+                elif final == 0x57 and len(nums) >= 2:  # SSM: char dims
+                    cur["cw"], cur["ch"] = float(nums[0]), float(nums[1])
+                    push()
+                elif final == 0x58 and nums:  # SHS: horizontal spacing
+                    layout["shs"] = float(nums[0])
+                elif final == 0x59 and nums:  # SVS: vertical spacing
+                    layout["svs"] = float(nums[0])
+                elif final == 0x53 and nums:  # SWF: writing format
+                    self.plane = _CSI_SWF_PLANES.get(nums[0], self.plane)
             elif code == "COL" and params:
                 v = params[0]
                 if v < 8:  # C1 BKF..WHF foreground
@@ -269,12 +303,19 @@ class CaptionDecoder:
                 f.width = f.char_w * max(1, end - f.pos)
                 f.height = f.char_h
             w, h = self.plane
-            pos_y = 0.0
+            pos_x = pos_y = 0.0
             if state["aps"]:
+                # pen position: display-area origin + cell-metric grid
+                # (char cell = SSM dims + SHS/SVS spacing; y is the row
+                # BOTTOM, matching the Alignment=1 \pos convention)
                 row, col = state["aps"][0]
-                pos_y = row * (h / 15.0)
+                f0 = formats[0] if formats else CaptionFormat()
+                cell_w = f0.char_w + layout["shs"]
+                cell_h = f0.char_h + layout["svs"]
+                pos_x = layout["sdp"][0] + col * cell_w
+                pos_y = layout["sdp"][1] + (row + 1) * cell_h
             line = CaptionLine(
-                text=text, plane_w=w, plane_h=h, pos_x=0.0, pos_y=pos_y,
+                text=text, plane_w=w, plane_h=h, pos_x=pos_x, pos_y=pos_y,
                 formats=formats or [CaptionFormat(pos=0)],
             )
             items.append(CaptionItem(pts=pts, lang_index=lang_index,

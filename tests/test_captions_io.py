@@ -419,3 +419,27 @@ class TestCaptionFormats:
         ass = CaptionASSFormatter(AMTContext(level="error")).generate([out])
         assert "ABC" not in ass.replace("{", "|")  # split by override tag
         assert "\\c&H" in ass.split("AB", 1)[1]  # colour change before C
+
+    def test_csi_layout_positions(self):
+        # SDP(100,200) SSM(24,24) SVS(12) then APS row 2 col 3
+        csi = (b"\x9b" + b"100;200 \x5f"          # SDP
+               + b"\x9b" + b"24;24 \x57"          # SSM
+               + b"\x9b" + b"12 \x59"             # SVS
+               + b"\x9b" + b"4 \x58"              # SHS
+               + b"\x1c" + bytes([0x40 + 2, 0x40 + 3]))  # APS row2 col3
+        line = self._decode(csi + ts_gen.arib_ascii("POS"))
+        assert line.formats[0].char_w == 24.0
+        assert line.pos_x == 100.0 + 3 * (24.0 + 4.0)
+        assert line.pos_y == 200.0 + 3 * (24.0 + 12.0)
+
+    def test_csi_swf_sets_plane(self):
+        line = self._decode(b"\x9b" + b"5 \x53" + ts_gen.arib_ascii("HD"))
+        assert (line.plane_w, line.plane_h) == (1920, 1080)
+
+    def test_default_profile_a_layout(self):
+        # bare APS on the default 960x540 layout: origin (170,30),
+        # 36x36 cells with 4/24 spacing
+        line = self._decode(b"\x1c" + bytes([0x40 + 1, 0x40])
+                            + ts_gen.arib_ascii("Z"))
+        assert line.pos_x == 170.0
+        assert line.pos_y == 30.0 + 2 * 60.0
