@@ -222,7 +222,7 @@ class CaptionDecoder:
         return items
 
     def _statement_body(self, pts, lang_index, wait_time, du) -> list[CaptionItem]:
-        state = {"clear": False, "aps": []}
+        state = {"clear": False, "aps": [], "wait_ms": 0}
         dec = AribDecoder(caption=True)
         dec.drcs_hook = self._drcs_lookup
         cur = {"fg": (255, 255, 255, 255), "bg": (0, 0, 0, 128), "size": 2,
@@ -274,12 +274,17 @@ class CaptionDecoder:
             elif code in ("SSZ", "MSZ", "NSZ"):
                 cur["size"] = {"SSZ": 0, "MSZ": 1, "NSZ": 2}[code]
                 push()
+            elif code == "TIME" and params:
+                # display-delay accumulation, 0.1 s units
+                # (ref Caption.dll dwWaitTime semantics)
+                state["wait_ms"] += (params[0] - 0x40) * 100
 
         text = dec.decode(bytes(du), control_hook=hook)
         items = []
         if state["clear"]:
             items.append(CaptionItem(pts=pts, lang_index=lang_index,
-                                     wait_time=wait_time, line=None))
+                                     wait_time=wait_time + state["wait_ms"],
+                                     line=None))
         lead = len(text) - len(text.lstrip("\n"))
         text = text.strip("\n")
         if text:
@@ -319,7 +324,8 @@ class CaptionDecoder:
                 formats=formats or [CaptionFormat(pos=0)],
             )
             items.append(CaptionItem(pts=pts, lang_index=lang_index,
-                                     wait_time=wait_time, line=line))
+                                     wait_time=wait_time + state["wait_ms"],
+                                     line=line))
         return items
 
     # -- DRCS ------------------------------------------------------------------

@@ -443,3 +443,14 @@ class TestCaptionFormats:
                             + ts_gen.arib_ascii("Z"))
         assert line.pos_x == 170.0
         assert line.pos_y == 30.0 + 2 * 60.0
+
+    def test_time_control_sets_wait(self):
+        from amatsukaze_tpu.captions.b24 import CaptionDecoder
+        from amatsukaze_tpu.utils.context import AMTContext
+
+        dec = CaptionDecoder(AMTContext(level="error"))
+        # TIME 0x9D 0x20 P with P=0x4F -> 15 * 100 ms
+        du = b"\x9d\x20\x4f" + ts_gen.arib_ascii("WAIT")
+        group = ts_gen.caption_statement_group(du)
+        items = dec.decode(1000, ts_gen.caption_pes_payload(group))
+        assert items[-1].wait_time == 1500
