@@ -378,6 +378,14 @@ class AribDecoder:
             if hook and j < len(data):
                 hook("CSI", data[i + 1 : j + 1])
             return j - i + 1
+        if b == 0x9A:  # STL - start lining (underline)
+            if hook:
+                hook("STL", b"")
+            return 1
+        if b == 0x99:  # SPL - stop lining
+            if hook:
+                hook("SPL", b"")
+            return 1
         if b == 0x9D:  # TIME: 0x20 + wait param (units of 0.1 s)
             if (hook and i + 2 < len(data) and data[i + 1] == 0x20):
                 hook("TIME", bytes([data[i + 2]]))

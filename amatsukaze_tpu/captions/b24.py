@@ -104,7 +104,7 @@ def _make_format(cur: dict, pos: int) -> "CaptionFormat":
     h = cur["ch"] * (0.5 if cur["size"] == 0 else 1.0)
     return CaptionFormat(pos=pos, char_w=w, char_h=h, width=w, height=h,
                          text_color=cur["fg"], back_color=cur["bg"],
-                         size_mode=cur["size"])
+                         style=cur.get("style", 0), size_mode=cur["size"])
 
 
 def drcs_md5(width: int, height: int, depth: int, pattern: bytes) -> str:
@@ -226,7 +226,7 @@ class CaptionDecoder:
         dec = AribDecoder(caption=True)
         dec.drcs_hook = self._drcs_lookup
         cur = {"fg": (255, 255, 255, 255), "bg": (0, 0, 0, 128), "size": 2,
-               "cw": 36.0, "ch": 36.0}
+               "cw": 36.0, "ch": 36.0, "style": 0}
         # region/cell layout state (STD-B24 profile A defaults for the
         # 960x540 plane: display area at (170,30), 36x36 chars with
         # 4px/24px spacing); updated by CSI SDP/SSM/SHS/SVS
@@ -258,6 +258,10 @@ class CaptionDecoder:
                     layout["svs"] = float(nums[0])
                 elif final == 0x53 and nums:  # SWF: writing format
                     self.plane = _CSI_SWF_PLANES.get(nums[0], self.plane)
+                elif final == 0x64 and nums:  # MDF: bold/italic
+                    cur["style"] = (cur["style"] & 1) | {
+                        0: 0, 1: 4, 2: 8, 3: 12}.get(nums[0], 0)
+                    push()
             elif code == "COL" and params:
                 v = params[0]
                 if v < 8:  # C1 BKF..WHF foreground
@@ -273,6 +277,12 @@ class CaptionDecoder:
                 push()
             elif code in ("SSZ", "MSZ", "NSZ"):
                 cur["size"] = {"SSZ": 0, "MSZ": 1, "NSZ": 2}[code]
+                push()
+            elif code == "STL":
+                cur["style"] |= 1  # UNDERLINE (ref CaptionData.hpp:39)
+                push()
+            elif code == "SPL":
+                cur["style"] &= ~1
                 push()
             elif code == "TIME" and params:
                 # display-delay accumulation, 0.1 s units

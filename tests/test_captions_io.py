@@ -454,3 +454,17 @@ class TestCaptionFormats:
         group = ts_gen.caption_statement_group(du)
         items = dec.decode(1000, ts_gen.caption_pes_payload(group))
         assert items[-1].wait_time == 1500
+
+    def test_underline_and_bold_styles(self):
+        from amatsukaze_tpu.captions.formatters import (
+            STYLE_BOLD,
+            STYLE_UNDERLINE,
+        )
+
+        # STL "U" SPL, then CSI MDF bold "B"
+        du = (b"\x9a" + ts_gen.arib_ascii("U") + b"\x99"
+              + b"\x9b" + b"1 \x64" + b"\x42")
+        line = self._decode(du)
+        assert line.text == "UB"
+        styles = [(f.pos, f.style) for f in line.formats]
+        assert styles == [(0, STYLE_UNDERLINE), (1, STYLE_BOLD)]
