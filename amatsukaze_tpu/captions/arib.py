@@ -82,12 +82,20 @@ def _decode_kanji(b1: int, b2: int) -> str:
 
 
 class _CharSet:
-    def __init__(self, final: int, two_byte: bool):
+    """A designated G-set. `drcs` is True only when the set was designated
+    with the 0x20 intermediate byte (STD-B24 DRCS designation) — the final
+    byte alone is ambiguous: DRCS-2/9/10 finals collide with Kanji (0x42),
+    JIS X0201 katakana (0x49) and alnum (0x4A)."""
+
+    def __init__(self, final: int, two_byte: bool, drcs: bool = False):
         self.final = final
         self.two_byte = two_byte
+        self.drcs = drcs
 
     def decode(self, b1: int, b2: int = 0) -> str:
         f = self.final
+        if self.drcs:
+            return "□"  # DRCS placeholder (the bitmap path handles real DRCS)
         if f in (SET_KANJI, SET_JIS_KANJI_1, SET_JIS_KANJI_2,
                  SET_ADDITIONAL_SYMBOLS):
             return _decode_kanji(b1, b2)
@@ -102,8 +110,6 @@ class _CharSet:
         if f == SET_JIS_X0201_KATAKANA:
             i = b1 - 0x21
             return _X0201_KATAKANA[i] if 0 <= i < len(_X0201_KATAKANA) else "?"
-        if 0x40 <= f <= 0x4F or f == 0x70:
-            return "□"  # DRCS placeholder (the bitmap path handles real DRCS)
         return ""  # mosaics etc.
 
 
@@ -158,7 +164,7 @@ class AribDecoder:
         """One character through `cs`; DRCS charsets consult drcs_hook
         (md5-mapped replacement text, ref CaptionData.hpp:416-445) and
         fall back to the placeholder glyph."""
-        if 0x40 <= cs.final <= 0x4F and self.drcs_hook is not None:
+        if cs.drcs and self.drcs_hook is not None:
             code = ((b1 << 8) | b2) if cs.two_byte else b1
             rep = self.drcs_hook(cs.final, code)
             if rep is not None:
@@ -192,7 +198,9 @@ class AribDecoder:
             if pos + 1 < len(data):
                 nxt = data[pos + 1]
                 if nxt == 0x20 and pos + 2 < len(data):  # DRCS
-                    self.g[b - 0x28] = _CharSet(data[pos + 2], False)
+                    fin = data[pos + 2]
+                    self.g[b - 0x28] = _CharSet(fin, False,
+                                                drcs=(fin != SET_MACRO))
                     return 3
                 self.g[b - 0x28] = _CharSet(nxt, False)
                 return 2
@@ -202,7 +210,8 @@ class AribDecoder:
                 nxt = data[pos + 1]
                 if 0x28 <= nxt <= 0x2B and pos + 2 < len(data):
                     if data[pos + 2] == 0x20 and pos + 3 < len(data):  # 2-byte DRCS
-                        self.g[nxt - 0x28] = _CharSet(data[pos + 3], True)
+                        self.g[nxt - 0x28] = _CharSet(data[pos + 3], True,
+                                                      drcs=True)
                         return 4
                     self.g[nxt - 0x28] = _CharSet(data[pos + 2], True)
                     return 3
@@ -387,6 +396,14 @@ class AribDecoder:
                 hook("SPL", b"")
             return 1
         if b == 0x9D:  # TIME: 0x20 + wait param (units of 0.1 s)
+            if i + 1 < len(data) and data[i + 1] == 0x28:
+                # time-control variant 0x9D 0x28 P... F: parameters run
+                # until a final byte 0x40-0x43 (STD-B24 table 7-16);
+                # consume them so they are not decoded as text.
+                j = i + 2
+                while j < len(data) and not (0x40 <= data[j] <= 0x43):
+                    j += 1
+                return j - i + 1
             if (hook and i + 2 < len(data) and data[i + 1] == 0x20):
                 hook("TIME", bytes([data[i + 2]]))
             return 3

@@ -222,15 +222,23 @@ class CaptionDecoder:
         return items
 
     def _statement_body(self, pts, lang_index, wait_time, du) -> list[CaptionItem]:
-        state = {"clear": False, "aps": [], "wait_ms": 0}
+        # SWF is scoped to this statement: it starts from the
+        # management-data plane and a CSI SWF only affects the current
+        # statement's layout (Caption.dll resets from management data).
+        state = {"clear": False, "aps": [], "wait_ms": 0,
+                 "plane": self.plane}
         dec = AribDecoder(caption=True)
         dec.drcs_hook = self._drcs_lookup
-        cur = {"fg": (255, 255, 255, 255), "bg": (0, 0, 0, 128), "size": 2,
-               "cw": 36.0, "ch": 36.0, "style": 0}
-        # region/cell layout state (STD-B24 profile A defaults for the
+        # region/cell layout defaults (STD-B24 profile A, stated for the
         # 960x540 plane: display area at (170,30), 36x36 chars with
-        # 4px/24px spacing); updated by CSI SDP/SSM/SHS/SVS
-        layout = {"sdp": [170.0, 30.0], "shs": 4.0, "svs": 24.0}
+        # 4px/24px spacing) scale with the active plane; updated by
+        # CSI SDP/SSM/SHS/SVS. `explicit` tracks which were set by CSI so
+        # an SWF plane switch rescales only the still-default metrics.
+        s = state["plane"][0] / 960.0
+        cur = {"fg": (255, 255, 255, 255), "bg": (0, 0, 0, 128), "size": 2,
+               "cw": 36.0 * s, "ch": 36.0 * s, "style": 0}
+        layout = {"sdp": [170.0 * s, 30.0 * s], "shs": 4.0 * s,
+                  "svs": 24.0 * s, "explicit": set()}
         fmts: list[CaptionFormat] = [_make_format(cur, 0)]
 
         def push():
@@ -244,20 +252,41 @@ class CaptionDecoder:
             if code == "CS":
                 state["clear"] = True
             elif code == "APS" and len(params) >= 2:
-                state["aps"].append((params[0] & 0x3F, params[1] & 0x3F))
+                # capture the grid metrics at APS time from the UNSCALED
+                # SSM dims (size modes scale glyphs, not the pen grid)
+                state["aps"].append((params[0] & 0x3F, params[1] & 0x3F,
+                                     cur["cw"] + layout["shs"],
+                                     cur["ch"] + layout["svs"],
+                                     layout["sdp"][0], layout["sdp"][1]))
             elif code == "CSI" and params:
                 nums, final = _parse_csi(params)
                 if final == 0x5F and len(nums) >= 2:  # SDP: area origin
                     layout["sdp"] = [float(nums[0]), float(nums[1])]
+                    layout["explicit"].add("sdp")
                 elif final == 0x57 and len(nums) >= 2:  # SSM: char dims
                     cur["cw"], cur["ch"] = float(nums[0]), float(nums[1])
+                    layout["explicit"].add("ssm")
                     push()
                 elif final == 0x58 and nums:  # SHS: horizontal spacing
                     layout["shs"] = float(nums[0])
+                    layout["explicit"].add("shs")
                 elif final == 0x59 and nums:  # SVS: vertical spacing
                     layout["svs"] = float(nums[0])
+                    layout["explicit"].add("svs")
                 elif final == 0x53 and nums:  # SWF: writing format
-                    self.plane = _CSI_SWF_PLANES.get(nums[0], self.plane)
+                    new_plane = _CSI_SWF_PLANES.get(nums[0])
+                    if new_plane and new_plane != state["plane"]:
+                        state["plane"] = new_plane
+                        ns = new_plane[0] / 960.0
+                        if "sdp" not in layout["explicit"]:
+                            layout["sdp"] = [170.0 * ns, 30.0 * ns]
+                        if "shs" not in layout["explicit"]:
+                            layout["shs"] = 4.0 * ns
+                        if "svs" not in layout["explicit"]:
+                            layout["svs"] = 24.0 * ns
+                        if "ssm" not in layout["explicit"]:
+                            cur["cw"] = cur["ch"] = 36.0 * ns
+                            push()
                 elif final == 0x64 and nums:  # MDF: bold/italic
                     cur["style"] = (cur["style"] & 1) | {
                         0: 0, 1: 4, 2: 8, 3: 12}.get(nums[0], 0)
@@ -317,18 +346,16 @@ class CaptionDecoder:
                        else len(text))
                 f.width = f.char_w * max(1, end - f.pos)
                 f.height = f.char_h
-            w, h = self.plane
+            w, h = state["plane"]
             pos_x = pos_y = 0.0
             if state["aps"]:
                 # pen position: display-area origin + cell-metric grid
-                # (char cell = SSM dims + SHS/SVS spacing; y is the row
-                # BOTTOM, matching the Alignment=1 \pos convention)
-                row, col = state["aps"][0]
-                f0 = formats[0] if formats else CaptionFormat()
-                cell_w = f0.char_w + layout["shs"]
-                cell_h = f0.char_h + layout["svs"]
-                pos_x = layout["sdp"][0] + col * cell_w
-                pos_y = layout["sdp"][1] + (row + 1) * cell_h
+                # (char cell = SSM dims + SHS/SVS spacing, captured at
+                # APS time; y is the row BOTTOM, matching the
+                # Alignment=1 \pos convention)
+                row, col, cell_w, cell_h, ox, oy = state["aps"][0]
+                pos_x = ox + col * cell_w
+                pos_y = oy + (row + 1) * cell_h
             line = CaptionLine(
                 text=text, plane_w=w, plane_h=h, pos_x=pos_x, pos_y=pos_y,
                 formats=formats or [CaptionFormat(pos=0)],

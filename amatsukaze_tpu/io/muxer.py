@@ -189,8 +189,16 @@ class Muxer:
                 result.out_subs.append(dst)
             src_srt = st.tmp_srt_path(key, lang)
             if os.path.exists(src_srt):
-                subs_files.append(src_srt)
-                subs_titles.append("SRT")
+                if copy_out:
+                    # in-build remux cannot embed tracks: SRT becomes an
+                    # out-path side file like the ASS above
+                    dst = st.out_sub_path(file.out_key, file.key_max, lang,
+                                          ext=".srt")
+                    shutil.copyfile(src_srt, dst)
+                    result.out_subs.append(dst)
+                else:
+                    subs_files.append(src_srt)
+                    subs_titles.append("SRT")
         return subs_files, subs_titles
 
     # ----------------------------------------------------------- meta

@@ -304,6 +304,11 @@ class Settings:
 
     def out_ass_path(self, key: EncodeFileKey, key_max: EncodeFileKey,
                      langidx: int, jktype: int = -1) -> str:
+        return self.out_sub_path(key, key_max, langidx, jktype, ".ass")
+
+    def out_sub_path(self, key: EncodeFileKey, key_max: EncodeFileKey,
+                     langidx: int, jktype: int = -1,
+                     ext: str = ".ass") -> str:
         s = self.conf.out_video_path
         if key.format > 0:
             s += f"-{key.format}"
@@ -314,7 +319,7 @@ class Settings:
             s += f"-nicojk{NICOJK_TYPES[jktype]}"
         elif langidx > 0:
             s += f"-{langidx}"
-        return s + ".ass"
+        return s + ext
 
     # -- bitrate ----------------------------------------------------------------
     def target_bitrate(self, fmt: VideoStreamFormat, src_bitrate_kbps: float) -> float:

@@ -348,6 +348,29 @@ class TestDrcsSubstitution:
         bmp = tmp_path / f"{self.md5()}.bmp"
         assert bmp.exists() and bmp.read_bytes()[:2] == b"BM"
 
+    def test_drcs_final_collision_with_standard_set(self, tmp_path):
+        """DRCS-10's final (0x4A) collides with the standard alnum set:
+        only a set designated WITH the 0x20 intermediate is DRCS; plain
+        alnum text whose byte equals a downloaded glyph code must NOT be
+        substituted (advisor finding r2)."""
+        import ts_gen as tg
+
+        from amatsukaze_tpu.captions.b24 import CaptionDecoder
+        from amatsukaze_tpu.utils.context import AMTContext
+
+        ctx = AMTContext(level="error")
+        ctx.drcs_map[self.md5()] = "%"
+        dec = CaptionDecoder(ctx, drcs_out_dir=str(tmp_path))
+        dl = tg.caption_statement_group(
+            tg.caption_drcs_du(0x4A, 0x58, pattern=self.PATTERN),
+            unit_parameter=0x30)
+        # G1 <- DRCS-10 (with 0x20), glyph 0x58 -> "%", then
+        # G1 <- standard alnum (no 0x20), byte 0x58 -> literal "X"
+        text = (b"\x1b\x29\x20\x4a" + b"\x0e" + b"\x58"
+                + b"\x1b\x29\x4a" + b"\x58" + b"\x0f")
+        items = self._feed(dec, [dl, tg.caption_statement_group(text)])
+        assert self._texts(items) == ["%X"]
+
     def test_late_mapping_applies(self, tmp_path):
         """A mapping learned after download (ctx map updated mid-stream,
         the server DRCS workflow) applies to later statements."""
@@ -443,6 +466,47 @@ class TestCaptionFormats:
                             + ts_gen.arib_ascii("Z"))
         assert line.pos_x == 170.0
         assert line.pos_y == 30.0 + 2 * 60.0
+
+    def test_swf_scoped_to_statement(self):
+        """CSI SWF affects only the statement that issued it; the next
+        statement resets to the management-data plane (advisor r2)."""
+        from amatsukaze_tpu.captions.b24 import CaptionDecoder
+        from amatsukaze_tpu.utils.context import AMTContext
+
+        dec = CaptionDecoder(AMTContext(level="error"))
+        g1 = ts_gen.caption_statement_group(
+            b"\x9b" + b"5 \x53" + ts_gen.arib_ascii("HD"))
+        g2 = ts_gen.caption_statement_group(ts_gen.arib_ascii("SD"))
+        l1 = [it.line for it in
+              dec.decode(1000, ts_gen.caption_pes_payload(g1)) if it.line][0]
+        l2 = [it.line for it in
+              dec.decode(2000, ts_gen.caption_pes_payload(g2)) if it.line][0]
+        assert (l1.plane_w, l1.plane_h) == (1920, 1080)
+        assert (l2.plane_w, l2.plane_h) == (960, 540)
+
+    def test_swf_scales_default_layout(self):
+        # SWF 1920x1080 doubles the profile-A defaults: origin (340,60),
+        # 72x72 cells with 8/48 spacing
+        line = self._decode(b"\x9b" + b"5 \x53"
+                            + b"\x1c" + bytes([0x40 + 1, 0x40 + 2])
+                            + ts_gen.arib_ascii("Z"))
+        assert line.formats[0].char_w == 72.0
+        assert line.pos_x == 340.0 + 2 * (72.0 + 8.0)
+        assert line.pos_y == 60.0 + 2 * (72.0 + 48.0)
+
+    def test_aps_grid_unscaled_by_size_mode(self):
+        # MSZ halves the glyph, not the pen grid: APS after MSZ still
+        # positions on the full 36+4 cell pitch (advisor r2)
+        line = self._decode(b"\x89"
+                            + b"\x1c" + bytes([0x40, 0x40 + 2])
+                            + ts_gen.arib_ascii("12"))
+        assert line.formats[0].char_w == 18.0  # glyph is half width
+        assert line.pos_x == 170.0 + 2 * (36.0 + 4.0)
+
+    def test_time_control_0x28_params_not_text(self):
+        # TIME 0x9D 0x28 P... F: parameter bytes must not leak into text
+        line = self._decode(b"\x9d\x28\x31\x32\x40" + ts_gen.arib_ascii("OK"))
+        assert line.text == "OK"
 
     def test_time_control_sets_wait(self):
         from amatsukaze_tpu.captions.b24 import CaptionDecoder

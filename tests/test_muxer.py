@@ -164,6 +164,25 @@ class TestMuxer:
         assert os.path.exists(res.out_subs[0])
         assert res.out_subs[0].endswith(".ass")
 
+    def test_copy_out_gathers_srt_side_file(self, env):
+        # in-build remux path (copy_out=True) cannot embed tracks: SRT
+        # becomes an out-path side file next to the ASS (advisor r2)
+        ctx, st, key, file, fmt = env
+        file.caption_list = [[object()]]
+        with open(st.tmp_ass_path(key, 0), "w") as f:
+            f.write("ass")
+        with open(st.tmp_srt_path(key, 0), "w") as f:
+            f.write("srt")
+        reform = FakeReform(file, fmt)
+        mux = Muxer(ctx, st, reform, runner=lambda cmd, show: 0)
+        from amatsukaze_tpu.io.muxer import MuxResult
+        res = MuxResult()
+        subs_files, _ = mux._gather_subs(key, False, res, copy_out=True)
+        assert not subs_files  # nothing left to embed
+        exts = sorted(os.path.splitext(p)[1] for p in res.out_subs)
+        assert exts == [".ass", ".srt"]
+        assert all(os.path.exists(p) for p in res.out_subs)
+
     def test_m2ts_meta(self, env):
         ctx, st, key, file, fmt = env
         st.conf.format = OutputFormat.M2TS
