@@ -100,6 +100,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "script; the reference's deinterlacer x fps matrix)")
     p.add_argument("--autovfr-parallel", type=int, default=2,
                    help="AutoVfr analysis sections run in ordered parallel")
+    p.add_argument("--devices", type=int, default=1,
+                   help="shard the filter pass over N devices of the mesh "
+                        "(multi-chip; 1 = single device)")
     p.add_argument("--resize", default="",
                    help="output WxH (lanczos3; even dims; SAR reset 1:1)")
     p.add_argument("--kfm-no-ucf", action="store_true",
@@ -199,6 +202,9 @@ def args_to_config(args) -> Config:
     conf.frame_cache_mb = args.frame_cache_mb
     conf.filter_mode = args.filter_mode
     conf.autovfr_parallel = args.autovfr_parallel
+    if args.devices < 1:
+        raise SystemExit("--devices must be >= 1")
+    conf.filter_devices = args.devices
     conf.kfm_ucf = not args.kfm_no_ucf
     if args.resize:
         try:

@@ -132,8 +132,38 @@ class FilterGraph:
         # SVP interpolation carry: plane -> (last film frame on device,
         # its source index) so pairs bridge device batches
         self._svp_carry: dict = {}
+        # multi-chip: a jax.sharding.Mesh makes every device path run
+        # sharded over the frame axis (parallel/sharded_filter) — the
+        # production multi-chip mode (--devices N)
+        self.mesh = None
+        self._mesh_backend = None
+
+    def set_mesh(self, mesh_or_ndevices) -> None:
+        """Run the filter pass sharded over a device mesh (the production
+        multi-chip path). Accepts a jax.sharding.Mesh or a device count
+        (mesh over jax.devices()[:n]). Disables the slow-link host twin:
+        a mesh implies co-located devices."""
+        from ..parallel.sharded_filter import ShardedFilterBackend
+
+        mesh = mesh_or_ndevices
+        if isinstance(mesh_or_ndevices, int):
+            import jax
+
+            from ..parallel.mesh import make_mesh
+
+            n = mesh_or_ndevices
+            devs = jax.devices()
+            if len(devs) < n:
+                raise RuntimeError(
+                    f"--devices {n}: only {len(devs)} devices visible")
+            mesh = make_mesh(devs[:n])
+        self.mesh = mesh
+        self._mesh_backend = ShardedFilterBackend(mesh)
+        self._host_backend = False
 
     def _use_host_twin(self) -> bool:
+        if self._mesh_backend is not None:
+            return False
         if self._host_backend is None:
             from ..utils.device import device_link_is_slow
 
@@ -399,6 +429,10 @@ class FilterGraph:
         only sensitive case)."""
         from ..ops import deint as deint_ops
 
+        if self._mesh_backend is not None:
+            # multi-chip: ppermute halo for the previous frame; rows are
+            # bit-identical to the single-device jnp costs
+            return self._mesh_backend.field_match_costs(arr)
         if self._use_host_twin():
             return deint_ops.field_match_costs_host(arr)
         import jax
@@ -531,6 +565,20 @@ class FilterGraph:
             # resize runs on the host too (ops/resize host twin).
             return self._run_kfm_batch_host(frames, prev_frame,
                                             start_index, entries, plane)
+        if self._mesh_backend is not None and self.mode != self.MODE_SVP:
+            # multi-chip synthesis: host-directed source slabs per shard,
+            # contiguous output runs (parallel/sharded_filter.kfm_synth);
+            # the post chain below runs on the still-sharded output
+            local_entries = [(src - start_index, op) for src, op in entries]
+            out, n_entries = self._mesh_backend.kfm_synth(
+                frames, prev_frame, local_entries)
+            if self.post_chain is not None:
+                pad_n = len(out) - n_entries
+                src_list = ([src for src, _ in entries]
+                            + [entries[-1][0]] * pad_n)
+                out = self._apply_post(out, src_list, frames.shape[1])
+            out = self._apply_resize(out, plane)
+            return self._download(out, n_entries)
         # transfer at source dtype, widen on device (4x less for uint8)
         arr = jnp.asarray(frames).astype(jnp.float32)
         prev = jnp.concatenate([
@@ -796,6 +844,25 @@ class FilterGraph:
             host = self._run_deint_host(frames, prev_frame, next_frame)
             if host is not None:
                 return host
+        if self._mesh_backend is not None:
+            # multi-chip: shard_map + ppermute halo exchange over the
+            # frame axis (parallel/sharded_filter.deint); the post chain
+            # and resize below run on the still-sharded output under
+            # XLA SPMD partitioning
+            mb = self._mesh_backend
+            if self.mode == self.MODE_YADIF:
+                out = mb.deint("yadif", frames, prev_frame, next_frame)
+            elif self.mode in (self.MODE_QTGMC, self.MODE_YADIF60):
+                out = mb.deint("qtgmc" if self.mode == self.MODE_QTGMC
+                               else "yadif60", frames, prev_frame,
+                               next_frame)
+                idx = [i for i in idx for _ in range(2)]
+            else:
+                out = mb.put_batch(frames).astype(jnp.float32)
+            if self.post_chain is not None:
+                out = self._apply_post(out, list(idx), frames.shape[1])
+            out = self._apply_resize(out, plane)
+            return self._download(out)
         if self.mode == self.MODE_YADIF:
             fused_out = self._fused_yadif(frames, prev_frame, next_frame)
             if fused_out is not None:

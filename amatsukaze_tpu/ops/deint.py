@@ -333,6 +333,27 @@ def field_match_costs(frames: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([c_cur, c_tp, c_bt], axis=-1)
 
 
+def field_match_costs_from_prev(frames: jnp.ndarray,
+                                prev_frame: jnp.ndarray) -> jnp.ndarray:
+    """field_match_costs with an explicit previous frame.
+
+    frames: [B, H, W]; prev_frame: [H, W] — the frame immediately before
+    frames[0] (at the sequence head pass frames[0] itself: the self-pair
+    then reproduces field_match_costs' duplicate-first-row semantics).
+    Used by the mesh-sharded production path (parallel/sharded_filter),
+    where each shard's previous frame arrives by ppermute halo exchange;
+    bit-identical per row to the corresponding field_match_costs rows.
+    """
+    top, bot = field_split(frames)
+    ptop, pbot = field_split(prev_frame[None])
+    prev_top = jnp.concatenate([ptop, top[:-1]], axis=0)
+    prev_bot = jnp.concatenate([pbot, bot[:-1]], axis=0)
+    c_cur = combing_metric_fields(top, bot)
+    c_tp = combing_metric_fields(top, prev_bot)
+    c_bt = combing_metric_fields(prev_top, bot)
+    return jnp.stack([c_cur, c_tp, c_bt], axis=-1)
+
+
 @jax.jit
 def frame_diff_metric(frames: jnp.ndarray) -> jnp.ndarray:
     """Mean abs diff to the previous frame per frame [B] (first = 0)."""

@@ -125,6 +125,12 @@ class Config:
     max_frames: int = 9000
     # device settings (TPU-era replacement for DecoderSetting GPU choices)
     device_batch_frames: int = 32
+    # multi-chip: shard this job's filter pass over the first N devices
+    # of the mesh (parallel/sharded_filter); 1 = single device. The
+    # TPU-native scale-up analog of the reference's per-item GPU index
+    # (ResourceManager.cs:87-97) — one item across chips instead of one
+    # GPU per item
+    filter_devices: int = 1
     # decoded-frame reuse across pipeline sweeps (CM metrics -> filter
     # analysis -> encode feed): MB budget; -1 = auto (a quarter of
     # available RAM), 0 disables. The reference re-decodes per sweep.

@@ -778,6 +778,12 @@ class TranscodePipeline:
         fg = FilterGraph(self.ctx, mode=st.conf.filter_mode,
                          batch=st.conf.device_batch_frames,
                          post_chain=build_post_chain(st.conf.post_filter))
+        if st.conf.filter_devices > 1:
+            # multi-chip production path: shard this file's filter pass
+            # over the device mesh (parallel/sharded_filter)
+            fg.set_mesh(st.conf.filter_devices)
+            ctx.info("[filter] sharding over %d devices",
+                     st.conf.filter_devices)
         if st.conf.resize_width and st.conf.resize_height:
             fg.resize = (st.conf.resize_width, st.conf.resize_height)
         fg.kfm_ucf = st.conf.kfm_ucf
