@@ -103,6 +103,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--devices", type=int, default=1,
                    help="shard the filter pass over N devices of the mesh "
                         "(multi-chip; 1 = single device)")
+    p.add_argument("--encoder-process", type=int, default=-1,
+                   choices=[-1, 0, 1],
+                   help="in-build encoder placement: -1 auto (subprocess "
+                        "on multi-core hosts), 0 in-process, 1 subprocess")
     p.add_argument("--resize", default="",
                    help="output WxH (lanczos3; even dims; SAR reset 1:1)")
     p.add_argument("--kfm-no-ucf", action="store_true",
@@ -205,6 +209,7 @@ def args_to_config(args) -> Config:
     if args.devices < 1:
         raise SystemExit("--devices must be >= 1")
     conf.filter_devices = args.devices
+    conf.encoder_process = args.encoder_process
     conf.kfm_ucf = not args.kfm_no_ucf
     if args.resize:
         try:

@@ -125,6 +125,13 @@ class Config:
     max_frames: int = 9000
     # device settings (TPU-era replacement for DecoderSetting GPU choices)
     device_batch_frames: int = 32
+    # in-build encoder placement when no external binary exists:
+    # -1 = auto (dedicated encoder subprocess when the host has >1 CPU —
+    # the reference's stage-pipelined architecture, Encoder.hpp:94-164:
+    # decode/filter overlap the encoder across cores via the y4m pipe),
+    # 0 = always in-process (one pipe serialization less; right for
+    # single-core hosts), 1 = always a subprocess
+    encoder_process: int = -1
     # multi-chip: shard this job's filter pass over the first N devices
     # of the mesh (parallel/sharded_filter); 1 = single device. The
     # TPU-native scale-up analog of the reference's per-item GPU index

@@ -405,6 +405,7 @@ class TranscodePipeline:
             def scene_batch(pend):
                 if cm_ops is None:
                     return
+                t_sb = time.time()
                 if "host_metrics" not in state:
                     # adaptive backend: on tunneled/remote devices every
                     # device round trip dwarfs the compute — fall back to
@@ -468,6 +469,8 @@ class TranscodePipeline:
                 scene_scores.append(d)
                 scene_hists.append(h)
                 state["prev"] = pend[-1]
+                state["scene_s"] = (state.get("scene_s", 0.0)
+                                    + time.time() - t_sb)
 
             def luma_stream():
                 from ..io.process import prefetch_iter
@@ -489,6 +492,7 @@ class TranscodePipeline:
                     yield from pend
 
             stream = luma_stream()
+            t_stream = time.time()
             if self.logos:
                 matcher = LogoFrameMatcher(self.ctx, [lg for _, lg in self.logos])
                 # the 11-step fade sweep feeds both matching and the
@@ -499,6 +503,16 @@ class TranscodePipeline:
             else:
                 for _ in stream:
                     pass
+            # per-substage split (ref transcodeMain's per-stage elapsed
+            # logs, TranscodeManager.hpp:489/:607): scene-metric time is
+            # accumulated inside scene_batch; the rest of the streaming
+            # pass is decode + (when logos exist) the fade-sweep matcher
+            self.ctx.info(
+                "[CM analysis] stream pass %.2fs (%d frames; scene "
+                "metrics %.2fs, decode+logo %.2fs)",
+                time.time() - t_stream, state["count"],
+                state.get("scene_s", 0.0),
+                time.time() - t_stream - state.get("scene_s", 0.0))
 
             if cm_ops is not None and scene_scores:
                 scores = np.concatenate(scene_scores)
@@ -1085,10 +1099,19 @@ def _default_encoder_runner(pipeline: TranscodePipeline, reform,
         else "420mpeg2",
     )
     shim_argv = _inprocess_encoder_argv(encoder_args)
-    if shim_argv is not None:
+    ep = st.conf.encoder_process
+    use_subprocess = shim_argv is None or ep == 1 or (
+        ep == -1 and (os.cpu_count() or 1) > 1)
+    if not use_subprocess:
+        # single-core host: the in-process sink skips the y4m pipe
+        # round-trip (the encoder C call releases the GIL, so the
+        # decode/filter threads still overlap it)
         proc = None
         writer = _InProcessEncoderSink(shim_argv, y4m_fmt)
     else:
+        # the reference's stage-pipelined architecture: the encoder runs
+        # in its own process fed y4m over stdin (Encoder.hpp:94-164) —
+        # on a multi-core host decode/filter and encode overlap fully
         proc = SubProcess(encoder_args)
         writer = Y4MWriter(proc.stdin, y4m_fmt)
     pump = DataPumpThread(lambda planes: writer.write_frame(*planes),
