@@ -168,11 +168,61 @@ def kernel_bench() -> dict:
     per_batch = (times[41] - times[1]) / 40
     fps = BATCH / per_batch
     baseline = 2000.0
+    roof = _kernel_roofline(H, W, WP, fps)
     return {
         "metric": "filtered_1080i_fps_per_chip",
         "value": round(fps, 1),
         "unit": "frames/sec",
         "vs_baseline": round(fps / baseline, 3),
+        **roof,
+    }
+
+
+def _kernel_roofline(H: int, W: int, WP: int, fps: float) -> dict:
+    """Analytic bytes-moved / FLOPs per frame for the measured chain and
+    the achieved fraction of the chip's HBM roofline (VERDICT r2 item 7).
+
+    HBM traffic model (u8 unless noted), per frame, for the field-layout
+    fused kernel (ops/fused_filter.make_fused_filter_field at ftr=136,
+    njf=4, fsrows=152) plus the XLA field split/interleave around it:
+      split:      read H*WP (frame) + write 2*fh*WP (field planes)
+      kernel in:  njf * 3 frames * 2 planes * fsrows * WP slab DMAs
+      kernel out: 2*fh*WP (+ cost rows, negligible)
+      interleave: read 2*fh*WP + write hp*WP
+    The window-only logo erase (~2*96*256) and the cost outputs are noise;
+    the dynamic_update_slice copy is assumed fused into the split read.
+
+    FLOP model (f32 vector op = 1): yadif ~47 ops per missing-field pixel
+    (base pred/score 4, 4 candidate dirs x ~8, temporal clamp 7, weave/
+    quantize 4) over H/2*W logical pixels; field-match costs ~27 ops per
+    field pixel (3 sums x ~9: 4 subs, 2 muls, 2 relu/mask, 1 add) over
+    njf*fsrows*WP stored field pixels; u8->f32 widening of 5 slab planes
+    ~2 ops each. Peak figures: TPU v5e 819 GB/s HBM; VPU vector peak is
+    not published per-op, so only the HBM fraction is a true roofline —
+    the op count documents why the kernel is VPU-issue-bound, not
+    bandwidth-bound (see ARCHITECTURE.md)."""
+    ftr, halo = 136, 8
+    fh = -(-((H + 1) // 2) // ftr) * ftr
+    njf = fh // ftr
+    fsrows = ftr + 2 * halo
+    hp = 2 * fh
+    split_b = H * WP + 2 * fh * WP
+    kern_in = njf * 3 * 2 * fsrows * WP
+    kern_out = 2 * fh * WP
+    inter_b = 2 * fh * WP + hp * WP
+    bytes_per_frame = split_b + kern_in + kern_out + inter_b
+    yadif_flops = 47 * (H // 2) * W
+    cost_flops = 27 * njf * fsrows * WP
+    widen_flops = 2 * 5 * njf * fsrows * WP
+    flops_per_frame = yadif_flops + cost_flops + widen_flops
+    hbm_peak = 819e9  # TPU v5e/v5 lite
+    achieved_bw = bytes_per_frame * fps
+    return {
+        "bytes_per_frame": bytes_per_frame,
+        "flops_per_frame": flops_per_frame,
+        "achieved_gbps": round(achieved_bw / 1e9, 1),
+        "hbm_bw_frac": round(achieved_bw / hbm_peak, 3),
+        "achieved_tops": round(flops_per_frame * fps / 1e12, 3),
     }
 
 
