@@ -285,8 +285,14 @@ def parse_sps(rbsp: bytes) -> SPS:
     s.amp_enabled = r.read(1)
     s.sao_enabled = r.read(1)
     s.pcm_enabled = r.read(1)
+    s.pcm_loop_filter_disabled = 0
     if s.pcm_enabled:
-        raise NotImplementedError("PCM")
+        # 7.3.2.2.1: IPCM block geometry + sample bit depths
+        s.pcm_bd = r.read(4) + 1
+        s.pcm_bd_c = r.read(4) + 1
+        s.log2_min_pcm = r.ue() + 3
+        s.log2_max_pcm = s.log2_min_pcm + r.ue()
+        s.pcm_loop_filter_disabled = r.read(1)
     n_sets = r.ue()
     s.strps = []
     for i in range(n_sets):
@@ -337,8 +343,52 @@ def parse_pps(rbsp: bytes, sps_map: dict[int, SPS]) -> PPS:
     p.transquant_bypass_enabled = r.read(1)
     p.tiles_enabled = r.read(1)
     p.entropy_coding_sync = r.read(1)
+    p.loop_filter_across_tiles = 1
+    sps = p.sps
     if p.tiles_enabled:
-        raise NotImplementedError("tiles")
+        # 7.3.2.3.1 tile grid; 6.5.1 tile/CTB scan conversion tables
+        ncols = r.ue() + 1
+        nrows = r.ue() + 1
+        if r.read(1):  # uniform_spacing_flag
+            col_bd = [(i * sps.pic_w_ctbs) // ncols
+                      for i in range(ncols + 1)]
+            row_bd = [(i * sps.pic_h_ctbs) // nrows
+                      for i in range(nrows + 1)]
+        else:
+            cw = [r.ue() + 1 for _ in range(ncols - 1)]
+            rh = [r.ue() + 1 for _ in range(nrows - 1)]
+            cw.append(sps.pic_w_ctbs - sum(cw))
+            rh.append(sps.pic_h_ctbs - sum(rh))
+            col_bd = [0]
+            for v in cw:
+                col_bd.append(col_bd[-1] + v)
+            row_bd = [0]
+            for v in rh:
+                row_bd.append(row_bd[-1] + v)
+        p.loop_filter_across_tiles = r.read(1)
+        p.tile_cols, p.tile_rows = ncols, nrows
+        p.col_bd, p.row_bd = col_bd, row_bd
+        wc, hc = sps.pic_w_ctbs, sps.pic_h_ctbs
+        tile_id = np.zeros(wc * hc, np.int32)
+        rs_to_ts = np.zeros(wc * hc, np.int32)
+        ts = 0
+        for tj in range(nrows):
+            for ti in range(ncols):
+                tid = tj * ncols + ti
+                for y in range(row_bd[tj], row_bd[tj + 1]):
+                    for x in range(col_bd[ti], col_bd[ti + 1]):
+                        rs = y * wc + x
+                        tile_id[rs] = tid
+                        rs_to_ts[rs] = ts
+                        ts += 1
+        ts_to_rs = np.zeros(wc * hc, np.int32)
+        ts_to_rs[rs_to_ts] = np.arange(wc * hc)
+        p.tile_id, p.rs_to_ts, p.ts_to_rs = tile_id, rs_to_ts, ts_to_rs
+    else:
+        p.tile_cols = p.tile_rows = 1
+        n = sps.pic_size_ctbs
+        p.tile_id = np.zeros(n, np.int32)
+        p.rs_to_ts = p.ts_to_rs = np.arange(n, dtype=np.int32)
     p.loop_filter_across_slices = r.read(1)
     p.deblocking_override_enabled = 0
     p.deblocking_disabled = 0
@@ -424,6 +474,7 @@ def parse_slice_header(rbsp: bytes, nal_type: int,
             if sps.long_term_present:
                 n_sps = r.ue() if sps.lt_poc_lsb else 0
                 n_slice = r.ue()
+                prev_cum = 0
                 for i in range(n_sps + n_slice):
                     if i < n_sps:
                         idxbits = max(1, (len(sps.lt_poc_lsb) - 1)
@@ -436,7 +487,14 @@ def parse_slice_header(rbsp: bytes, nal_type: int,
                         used = r.read(1)
                     has_msb = r.read(1)
                     dmsb = r.ue() if has_msb else 0
-                    h.lt.append((lsb, used, has_msb, dmsb))
+                    # DeltaPocMsbCycleLt is cumulative within each of the
+                    # SPS-sourced and slice-sourced runs (7.4.7.1)
+                    if i in (0, n_sps):
+                        cum = dmsb
+                    else:
+                        cum = dmsb + prev_cum
+                    prev_cum = cum
+                    h.lt.append((lsb, used, has_msb, cum))
             if sps.temporal_mvp_enabled:
                 h.temporal_mvp = r.read(1)
         if sps.sao_enabled:
@@ -610,6 +668,44 @@ class Cabac:
 
     def restore(self, snap):
         self.e.ctx = [st.copy() for st in snap]
+
+    # -- PCM raw payload (7.3.8.7 / 9.3.1) --------------------------------
+    # pcm_flag==1 (terminate bin, no renorm) leaves the engine's bit
+    # position exact; pcm_alignment_zero_bit skips to the byte boundary,
+    # samples are f(v) reads, then the arithmetic engine is re-initialised
+    # with its context models preserved.
+
+    def pcm_begin(self) -> None:
+        e = self.e
+        if e.pos & 7:
+            e.pos += 8 - (e.pos & 7)
+
+    def pcm_bits(self, n: int) -> int:
+        e = self.e
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | e._bit()
+        return v
+
+    def pcm_plane(self, count: int, width: int, bd: int) -> "np.ndarray":
+        e = self.e
+        if bd == 8 and (e.pos & 7) == 0:  # byte-aligned fast path
+            b0 = e.pos >> 3
+            arr = np.frombuffer(e.data[b0:b0 + count],
+                                np.uint8).astype(np.int32)
+            e.pos += 8 * count
+        else:
+            arr = np.array([self.pcm_bits(bd) for _ in range(count)],
+                           np.int32)
+        return arr.reshape(-1, width)
+
+    def pcm_end(self) -> None:
+        e = self.e
+        e.range_ = 510
+        off = 0
+        for _ in range(9):
+            off = (off << 1) | e._bit()
+        e.offset = off
 
 
 # ---------------------------------------------------------------------------
@@ -857,6 +953,7 @@ class _Picture:
         self.mv_used = np.zeros(g + (2,), bool)
         self.ref_poc = np.zeros(g + (2,), np.int32)
         self.ref_idx = np.zeros(g + (2,), np.int8)
+        self.ref_lt = np.zeros(g + (2,), bool)  # ref was long-term
         self.pu_edge_v = np.zeros(g, bool)
         self.pu_edge_h = np.zeros(g, bool)
         self.poc = 0
@@ -966,21 +1063,32 @@ class _SliceDec:
         self.log2_min_qg = (self.sps.log2_ctb
                             - self.pps.diff_cu_qp_delta_depth)
         self.refs: tuple[list, list] = ([], [])
+        self.refs_lt: tuple[list, list] = ([], [])
         self.col_pic: _Picture | None = None
         self.no_backward = True
+        self.cur_tile = 0  # tile id of the CTU being decoded
 
     # -- availability ------------------------------------------------------
 
     def _zavail(self, x: int, y: int, parse: bool) -> bool:
         """6.4.1 z-scan availability of the block covering luma (x,y).
         parse=True checks parse-order (mode info); False checks
-        reconstructed samples."""
+        reconstructed samples. Blocks in a different slice or a
+        different tile are unavailable."""
         if x < 0 or y < 0 or x >= self.sps.width or y >= self.sps.height:
             return False
         p = self.pic
         i = (y >> 2, x >> 2)
         grid = p.decided if parse else p.avail
-        return bool(grid[i]) and p.slice_id[i] == self.slice_id
+        if not grid[i] or p.slice_id[i] != self.slice_id:
+            return False
+        if self.pps.tiles_enabled:
+            sps = self.sps
+            rs = ((y >> sps.log2_ctb) * sps.pic_w_ctbs
+                  + (x >> sps.log2_ctb))
+            if self.pps.tile_id[rs] != self.cur_tile:
+                return False
+        return True
 
     def _sample_avail_luma(self, x: int, y: int) -> bool:
         if not self._zavail(x, y, parse=False):
@@ -1019,34 +1127,44 @@ class _SliceDec:
 
     def run(self) -> None:
         sps = self.sps
-        ctb_addr = self.h.segment_address
+        pps = self.pps
         wctb = sps.pic_w_ctbs
-        sync = self.pps.entropy_coding_sync
+        sync = pps.entropy_coding_sync
+        tiles = pps.tiles_enabled
+        ts_to_rs = pps.ts_to_rs
+        # slice_segment_address is in raster scan; decode order is tile
+        # scan (6.5.1)
+        ctb_ts = int(pps.rs_to_ts[self.h.segment_address])
         while True:
+            ctb_addr = int(ts_to_rs[ctb_ts])
+            self.cur_tile = int(pps.tile_id[ctb_addr])
             cx = (ctb_addr % wctb) << sps.log2_ctb
             cy = (ctb_addr // wctb) << sps.log2_ctb
-            if sync and ctb_addr % wctb == 0 and ctb_addr != \
-                    self.h.segment_address:
-                pass  # engine already re-inited at row switch below
             self._decode_ctu(cx, cy)
             if sync and ((ctb_addr % wctb == 1)
                          or (wctb == 1 and ctb_addr % wctb == 0)):
                 self.wpp_snap[ctb_addr // wctb] = self.c.snapshot()
             end = self.c.terminate()
-            ctb_addr += 1
-            if end or ctb_addr >= sps.pic_size_ctbs:
+            ctb_ts += 1
+            if end or ctb_ts >= sps.pic_size_ctbs:
                 break
-            if sync and ctb_addr % wctb == 0:
+            nxt_rs = int(ts_to_rs[ctb_ts])
+            new_tile = tiles and \
+                pps.tile_id[nxt_rs] != pps.tile_id[ctb_addr]
+            new_row = sync and nxt_rs % wctb == 0
+            if new_tile or new_row:
                 # end_of_subset_one_bit + byte alignment -> next substream
                 one = self.c.terminate()
                 assert one == 1
                 self.sub_idx += 1
-                row = ctb_addr // wctb
-                snap = self.wpp_snap.get(row - 1)
                 self.c = Cabac(self.rbsp, self.substreams[self.sub_idx],
                                self.init_type, self.h.slice_qp)
-                if snap is not None:
-                    self.c.restore(snap)
+                if new_row:
+                    snap = self.wpp_snap.get(nxt_rs // wctb - 1)
+                    if snap is not None:
+                        self.c.restore(snap)
+                # a new tile re-initialises contexts (9.3.1); both reset
+                # the QP predictor (8.6.1)
                 self.qp_prev = self.h.slice_qp
                 self.last_cu_qp = self.h.slice_qp
 
@@ -1061,7 +1179,16 @@ class _SliceDec:
         pic = self.pic
         rx = x0 >> self.sps.log2_ctb
         ry = y0 >> self.sps.log2_ctb
-        if rx > 0 and self.pic.slice_id[y0 >> 2, (x0 - 1) >> 2] == \
+        # merge candidates must share the slice AND the tile (7.4.9.3)
+        wc = self.sps.pic_w_ctbs
+        tid = self.pps.tile_id
+
+        def same_tile(nrx, nry):
+            return (not self.pps.tiles_enabled
+                    or tid[nry * wc + nrx] == tid[ry * wc + rx])
+
+        if rx > 0 and same_tile(rx - 1, ry) and \
+                self.pic.slice_id[y0 >> 2, (x0 - 1) >> 2] == \
                 self.slice_id and c.decision("sao_merge_flag"):
             src = (ry, rx - 1)
             pic.sao_type[ry, rx] = pic.sao_type[src]
@@ -1069,7 +1196,8 @@ class _SliceDec:
             pic.sao_band_pos[ry, rx] = pic.sao_band_pos[src]
             pic.sao_eo_class[ry, rx] = pic.sao_eo_class[src]
             return
-        if ry > 0 and self.pic.slice_id[(y0 - 1) >> 2, x0 >> 2] == \
+        if ry > 0 and same_tile(rx, ry - 1) and \
+                self.pic.slice_id[(y0 - 1) >> 2, x0 >> 2] == \
                 self.slice_id and c.decision("sao_merge_flag"):
             src = (ry - 1, rx)
             pic.sao_type[ry, rx] = pic.sao_type[src]
@@ -1208,6 +1336,11 @@ class _SliceDec:
         if log2 == sps.log2_min_cb:
             if not c.decision("part_mode"):
                 part_nxn = True
+        if (sps.pcm_enabled and not part_nxn
+                and sps.log2_min_pcm <= log2 <= sps.log2_max_pcm
+                and c.terminate()):  # pcm_flag (9.3.3.6 terminate bin)
+            self._pcm_cu(x0, y0, log2, g)
+            return
         n_pu = 4 if part_nxn else 1
         pbs = size >> (1 if part_nxn else 0)
         prev_flags = [c.decision("prev_intra_luma_pred_flag")
@@ -1270,6 +1403,32 @@ class _SliceDec:
         self.cu_intra_split = part_nxn
         self.cu_is_intra = True
         self._transform_tree(x0, y0, x0, y0, log2, 0, 0, 1, 1)
+        self._finish_cu(x0, y0, size, g)
+
+    def _pcm_cu(self, x0: int, y0: int, log2: int, g) -> None:
+        """pcm_sample (7.3.8.7): raw luma + chroma at the PCM bit depths,
+        left-shifted to the picture depth (8.4.4.1)."""
+        sps, pic, c = self.sps, self.pic, self.c
+        size = 1 << log2
+        c.pcm_begin()
+        ylum = c.pcm_plane(size * size, size, sps.pcm_bd) \
+            << (sps.bit_depth - sps.pcm_bd)
+        half = size >> 1
+        sh_c = sps.bit_depth - sps.pcm_bd_c
+        cbs = c.pcm_plane(half * half, half, sps.pcm_bd_c) << sh_c
+        crs = c.pcm_plane(half * half, half, sps.pcm_bd_c) << sh_c
+        c.pcm_end()
+        dt = pic.Y.dtype
+        pic.Y[y0:y0 + size, x0:x0 + size] = ylum.astype(dt)
+        pic.U[y0 >> 1:(y0 >> 1) + half,
+              x0 >> 1:(x0 >> 1) + half] = cbs.astype(dt)
+        pic.V[y0 >> 1:(y0 >> 1) + half,
+              x0 >> 1:(x0 >> 1) + half] = crs.astype(dt)
+        pic.intra_mode[g] = 1  # PCM counts as DC for neighbour MPM (8.4.2)
+        pic.skip[g] = False
+        pic.nnz[g] = False
+        if sps.pcm_loop_filter_disabled:
+            pic.bypass[g] = True  # samples exempt from deblock/SAO (8.7)
         self._finish_cu(x0, y0, size, g)
 
     # -- transform tree --------------------------------------------------------
@@ -1535,6 +1694,7 @@ class _SliceDec:
                 pic.mv[r + (lx, 1)] = mvs[lx][1]
                 pic.ref_idx[r + (lx,)] = ridx[lx]
                 pic.ref_poc[r + (lx,)] = self.refs[lx][ridx[lx]].poc
+                pic.ref_lt[r + (lx,)] = self.refs_lt[lx][ridx[lx]]
         pic.is_intra[r] = False
         pic.decided[r] = True
 
@@ -1714,7 +1874,16 @@ class _SliceDec:
             n = list_x
         else:
             n = self.h.collocated_from_l0
+        # 8.5.3.2.9: the candidate exists only when the collocated ref
+        # and the target agree on long-term-ness; long-term MVs are
+        # never POC-scaled
+        col_lt = bool(col.ref_lt[gi][n])
+        targ_lt = bool(self.refs_lt[list_x][ref_idx])
+        if col_lt != targ_lt:
+            return None
         mvc = [int(col.mv[gi][n][0]), int(col.mv[gi][n][1])]
+        if targ_lt:
+            return mvc
         col_diff = col.poc - int(col.ref_poc[gi][n])
         cur_diff = self.pic.poc - self.refs[list_x][ref_idx].poc
         if col_diff == cur_diff:
@@ -1725,6 +1894,7 @@ class _SliceDec:
               part_idx, part):
         """8.5.3.2.5/6 AMVP predictor selection."""
         target = self.refs[list_x][ref_idx]
+        target_lt = bool(self.refs_lt[list_x][ref_idx])
         a0p, a1p = (xp - 1, yp + h), (xp - 1, yp + h - 1)
         b0p, b1p, b2p = ((xp + w, yp - 1), (xp + w - 1, yp - 1),
                          (xp - 1, yp - 1))
@@ -1732,7 +1902,7 @@ class _SliceDec:
         is_scaled = any(c is not None for c in a_cands)
         mva = self._amvp_noscale(a_cands, list_x, target)
         if mva is None and is_scaled:
-            mva = self._amvp_scaled(a_cands, list_x, target)
+            mva = self._amvp_scaled(a_cands, list_x, target, target_lt)
         b_cands = [self._mot_at(*p) for p in (b0p, b1p, b2p)]
         mvb = self._amvp_noscale(b_cands, list_x, target)
         if not is_scaled:
@@ -1740,7 +1910,8 @@ class _SliceDec:
                 mva = mvb
                 mvb = None
             if mvb is None:
-                mvb = self._amvp_scaled(b_cands, list_x, target)
+                mvb = self._amvp_scaled(b_cands, list_x, target,
+                                        target_lt)
                 if mvb is not None and mva is not None and mvb == mva:
                     mvb = None
         cands = [m for m in (mva, mvb if mvb != mva else None)
@@ -1764,12 +1935,19 @@ class _SliceDec:
                     return list(c[1][lx])
         return None
 
-    def _amvp_scaled(self, cands, list_x, target):
+    def _amvp_scaled(self, cands, list_x, target, target_lt=False):
         for c in cands:
             if c is None:
                 continue
             for lx in (list_x, 1 - list_x):
                 if c[0][lx]:
+                    # 8.5.3.2.6: usable only when candidate ref and
+                    # target agree on long-term-ness; long-term MVs are
+                    # copied unscaled
+                    if bool(self.refs_lt[lx][c[2][lx]]) != target_lt:
+                        continue
+                    if target_lt:
+                        return list(c[1][lx])
                     cand_diff = self.pic.poc - \
                         self.refs[lx][c[2][lx]].poc
                     cur_diff = self.pic.poc - target.poc
@@ -2222,9 +2400,19 @@ def _deblock_chroma_segment(C, cx, cy, dx, dy, qp_p, qp_q, off: int,
             C[cy + i * ty, cx + i * tx] = _clip1(q0 - delta, mx)
 
 
+def _tile_of_g(pic: _Picture, g: tuple) -> int:
+    """Tile id of the 4x4-grid cell g=(y4, x4)."""
+    sps = pic.sps
+    rs = (((g[0] << 2) >> sps.log2_ctb) * sps.pic_w_ctbs
+          + ((g[1] << 2) >> sps.log2_ctb))
+    return int(pic.pps.tile_id[rs])
+
+
 def deblock_picture(pic: _Picture, headers: dict[int, SliceHeader]) -> None:
     sps = pic.sps
     w, hgt = sps.width, sps.height
+    tile_gate = pic.pps.tiles_enabled and \
+        not pic.pps.loop_filter_across_tiles
     for vertical in (True, False):
         tu_grid = pic.tu_edge_v if vertical else pic.tu_edge_h
         pu_grid = pic.pu_edge_v if vertical else pic.pu_edge_h
@@ -2244,6 +2432,9 @@ def deblock_picture(pic: _Picture, headers: dict[int, SliceHeader]) -> None:
                     continue
                 if pic.slice_id[gp] != sq and \
                         not h.loop_filter_across_slices:
+                    continue
+                if tile_gate and _tile_of_g(pic, gp) != \
+                        _tile_of_g(pic, gq):
                     continue
                 bs = _bs_for_edge(pic, gp, gq, tu_edge)
                 if bs == 0:
@@ -2318,8 +2509,12 @@ def apply_sao(pic: _Picture, headers: dict[int, SliceHeader]) -> None:
                 # edge offset
                 eo = int(pic.sao_eo_class[ry, rx, ci])
                 (ax, ay), (bx, by) = _EO_NBR[eo]
-                sid = pic.slice_id[(y0 << sh) >> 2, (x0 << sh) >> 2]
+                g0 = ((y0 << sh) >> 2, (x0 << sh) >> 2)
+                sid = pic.slice_id[g0]
                 across = headers[int(sid)].loop_filter_across_slices
+                tile_gate = pic.pps.tiles_enabled and \
+                    not pic.pps.loop_filter_across_tiles
+                tid = _tile_of_g(pic, g0) if tile_gate else 0
                 for y in range(y0, y1):
                     for x in range(x0, x1):
                         na = (x + ax, y + ay)
@@ -2329,11 +2524,15 @@ def apply_sao(pic: _Picture, headers: dict[int, SliceHeader]) -> None:
                             continue
                         if pic.bypass[(y << sh) >> 2, (x << sh) >> 2]:
                             continue
+                        ga = (((na[1] << sh) >> 2), ((na[0] << sh) >> 2))
+                        gb = (((nb[1] << sh) >> 2), ((nb[0] << sh) >> 2))
                         if not across:
-                            ga = (((na[1] << sh) >> 2), ((na[0] << sh) >> 2))
-                            gb = (((nb[1] << sh) >> 2), ((nb[0] << sh) >> 2))
                             if pic.slice_id[ga] != sid or \
                                     pic.slice_id[gb] != sid:
+                                continue
+                        if tile_gate:
+                            if _tile_of_g(pic, ga) != tid or \
+                                    _tile_of_g(pic, gb) != tid:
                                 continue
                         p = int(src[y, x])
                         da = p - int(src[na[1], na[0]])
@@ -2370,6 +2569,8 @@ class H265RefDecoder:
         self.waiting: list[tuple[int, tuple]] = []
         self.out: list[tuple] = []
         self.first_pic_after_irap_noout = False
+        self.prev_indep: SliceHeader | None = None
+        self.seg_carry = None  # (cabac ctx, last QP, wpp snaps)
         # NoRaslOutputFlag state (8.1.3): RASL pictures associated with
         # a CRA that starts decoding (mid-stream join) or any BLA
         # reference pictures that precede the join and must be dropped
@@ -2428,50 +2629,111 @@ class H265RefDecoder:
             self.cur_poc = self._compute_poc(h, t)
             self.cur_pic.poc = self.cur_poc
             # RPS: drop DPB pictures not referenced by this picture
+            # (short-term deltas or resolved long-term entries, 8.3.2)
             if t not in (NAL_IDR_W_RADL, NAL_IDR_N_LP):
                 keep = {self.cur_poc + d
                         for d, _ in h.strps.neg + h.strps.pos}
-                self.dpb = [p for p in self.dpb if p.poc in keep]
+                lt_keep = {id(p) for p, _ in self._resolve_lt(h)}
+                self.dpb = [p for p in self.dpb
+                            if p.poc in keep or id(p) in lt_keep]
         if h.dependent:
-            raise NotImplementedError("dependent slice segments")
-        self.slice_counter += 1
-        self.slice_headers[self.slice_counter] = h
+            # 7.4.7.1: a dependent segment inherits every slice-header
+            # value of the preceding independent segment except its own
+            # address/entry points; it continues the same slice.
+            ph = self.prev_indep
+            if ph is None:
+                return
+            own = {k: getattr(h, k) for k in
+                   ("segment_address", "data_byte_pos", "entry_points",
+                    "dependent", "first_slice")}
+            h.__dict__.update({**vars(ph), **own})
+        else:
+            self.prev_indep = h
+            self.slice_counter += 1
+            self.slice_headers[self.slice_counter] = h
         sd = _SliceDec(self, self.cur_pic, h, rbsp, epb,
                        self.slice_counter)
+        if h.dependent and self.seg_carry is not None:
+            # 9.3.1: CABAC contexts + QP predictor continue across
+            # dependent slice segment boundaries — unless the segment's
+            # first CTU starts a new tile, where fresh initialisation
+            # takes precedence (and the QP predictor resets, 8.6.1).
+            # (entropy_coding_sync row-start sync is handled by the
+            # carried wpp_snap inside run().)
+            pps = h.pps
+            ts0 = int(pps.rs_to_ts[h.segment_address])
+            tile_start = pps.tiles_enabled and (
+                ts0 == 0 or pps.tile_id[int(pps.ts_to_rs[ts0 - 1])]
+                != pps.tile_id[h.segment_address])
+            ctx, last_qp, wpp = self.seg_carry
+            sd.wpp_snap = wpp
+            if not tile_start:
+                sd.c.restore(ctx)
+                sd.last_cu_qp = last_qp
+                sd.qp_prev = last_qp
         if h.slice_type != SLICE_I:
-            sd.refs = self._build_ref_lists(h)
+            sd.refs, sd.refs_lt = self._build_ref_lists(h)
             sd.no_backward = all(p.poc <= self.cur_poc
                                  for lst in sd.refs for p in lst)
             if h.temporal_mvp:
                 lst = sd.refs[0 if h.collocated_from_l0 else 1]
                 sd.col_pic = lst[h.collocated_ref_idx]
         sd.run()
+        self.seg_carry = (sd.c.snapshot(), sd.last_cu_qp, sd.wpp_snap)
 
-    def _build_ref_lists(self, h: SliceHeader) -> tuple[list, list]:
-        """RefPicList0/1 from the short-term RPS (8.3.2-8.3.4)."""
-        if h.lt:
-            raise NotImplementedError("long-term reference pictures")
+    def _resolve_lt(self, h: SliceHeader) -> list:
+        """Match the slice's long-term entries against the DPB
+        (8.3.2 PocLtCurr): full-POC match when the MSB cycle is sent,
+        else POC-LSB match. Returns [(picture, used_by_curr)]."""
+        out = []
+        max_lsb = 1 << h.sps.log2_max_poc_lsb
+        for lsb, used, has_msb, dmsb in h.lt:
+            if has_msb:
+                target = (lsb + self.cur_poc - dmsb * max_lsb
+                          - (self.cur_poc & (max_lsb - 1)))
+                match = [p for p in self.dpb if p.poc == target]
+            else:
+                match = [p for p in self.dpb
+                         if (p.poc & (max_lsb - 1)) == lsb]
+            if match:
+                out.append((match[-1], used))
+        return out
+
+    def _build_ref_lists(self, h: SliceHeader) -> tuple[tuple, tuple]:
+        """RefPicList0/1 from the short-term RPS + long-term set
+        (8.3.2-8.3.4). Returns ((list0, list1), (lt0, lt1)) where ltN
+        flags each entry as long-term (MV scaling is disabled against
+        long-term references, 8.5.3.2.8)."""
         poc = self.cur_poc
         by_poc = {p.poc: p for p in self.dpb}
         before = [by_poc[poc + d] for d, u in h.strps.neg if u]
         after = [by_poc[poc + d] for d, u in h.strps.pos if u]
+        lt_curr = [p for p, used in self._resolve_lt(h) if used]
         lists = []
+        lt_flags = []
         for order in ((before + after), (after + before)):
-            n = h.num_ref[0 if not lists else 1]
+            is_lt = [False] * len(order) + [True] * len(lt_curr)
+            order = order + lt_curr
+            n = h.num_ref[len(lists)]
             if not order:
                 lists.append([])
+                lt_flags.append([])
                 continue
-            tmp = []
+            tmp, tmp_lt = [], []
             while len(tmp) < n:
                 tmp += order
+                tmp_lt += is_lt
             mods = h.rplm[len(lists)]
             if mods is not None:
                 lists.append([tmp[m] for m in mods])
+                lt_flags.append([tmp_lt[m] for m in mods])
             else:
                 lists.append(tmp[:n])
+                lt_flags.append(tmp_lt[:n])
         if h.slice_type == SLICE_P:
             lists[1] = []
-        return lists[0], lists[1]
+            lt_flags[1] = []
+        return (lists[0], lists[1]), (lt_flags[0], lt_flags[1])
 
     def _compute_poc(self, h: SliceHeader, t: int) -> int:
         sps = h.sps

@@ -376,6 +376,9 @@ struct Sps {
   int scaling_list_enabled = 0;
   std::shared_ptr<ScalingFactors> scaling_factors;
   int amp_enabled = 0, sao_enabled = 0, pcm_enabled = 0;
+  int pcm_bd = 8, pcm_bd_c = 8;
+  int log2_min_pcm = 3, log2_max_pcm = 3;
+  int pcm_loop_filter_disabled = 0;
   std::vector<ShortTermRps> strps;
   int long_term_present = 0;
   std::vector<int> lt_poc_lsb, lt_used;
@@ -444,7 +447,19 @@ static void parse_sps(const std::vector<uint8_t>& rbsp, Sps& s) {
   s.amp_enabled = r.read1();
   s.sao_enabled = r.read1();
   s.pcm_enabled = r.read1();
-  if (s.pcm_enabled) throw DecodeError("PCM");
+  if (s.pcm_enabled) {
+    // 7.3.2.2.1: IPCM block geometry + sample bit depths
+    s.pcm_bd = (int)r.read(4) + 1;
+    s.pcm_bd_c = (int)r.read(4) + 1;
+    if (s.pcm_bd > s.bit_depth || s.pcm_bd_c > s.bit_depth_c)
+      throw DecodeError("bad PCM bit depth");
+    s.log2_min_pcm = r.ue() + 3;
+    s.log2_max_pcm = s.log2_min_pcm + r.ue();
+    if (s.log2_min_pcm < s.log2_min_cb || s.log2_max_pcm > s.log2_ctb ||
+        s.log2_max_pcm > 5)
+      throw DecodeError("bad PCM block sizes");
+    s.pcm_loop_filter_disabled = r.read1();
+  }
   int n_sets = r.ue();
   if (n_sets > 64) throw DecodeError("bad num_short_term_ref_pic_sets");
   for (int i = 0; i < n_sets; ++i)
@@ -482,6 +497,10 @@ struct Pps {
   int weighted_pred = 0, weighted_bipred = 0;
   int transquant_bypass_enabled = 0;
   int tiles_enabled = 0, entropy_coding_sync = 0;
+  int loop_filter_across_tiles = 1;
+  int tile_cols = 1, tile_rows = 1;
+  // 6.5.1 scan conversion: tile id per CTB (raster), raster<->tile scan
+  std::vector<int32_t> tile_id, rs_to_ts, ts_to_rs;
   int loop_filter_across_slices = 0;
   int deblocking_override_enabled = 0, deblocking_disabled = 0;
   int beta_offset = 0, tc_offset = 0;
@@ -524,7 +543,60 @@ static void parse_pps(const std::vector<uint8_t>& rbsp,
   p.transquant_bypass_enabled = r.read1();
   p.tiles_enabled = r.read1();
   p.entropy_coding_sync = r.read1();
-  if (p.tiles_enabled) throw DecodeError("tiles");
+  {
+    const Sps& sps = *p.sps;
+    int wc = sps.pic_w_ctbs, hc = sps.pic_h_ctbs;
+    std::vector<int> col_bd{0}, row_bd{0};
+    if (p.tiles_enabled) {
+      // 7.3.2.3.1 tile grid; 6.5.1 scan conversion tables
+      p.tile_cols = r.ue() + 1;
+      p.tile_rows = r.ue() + 1;
+      if (p.tile_cols > wc || p.tile_rows > hc)
+        throw DecodeError("bad tile grid");
+      if (r.read1()) {  // uniform_spacing_flag
+        col_bd.clear();
+        row_bd.clear();
+        for (int i = 0; i <= p.tile_cols; ++i)
+          col_bd.push_back((i * wc) / p.tile_cols);
+        for (int i = 0; i <= p.tile_rows; ++i)
+          row_bd.push_back((i * hc) / p.tile_rows);
+      } else {
+        for (int i = 0; i < p.tile_cols - 1; ++i) {
+          int cwv = r.ue() + 1;
+          col_bd.push_back(col_bd.back() + cwv);
+          if (col_bd.back() >= wc) throw DecodeError("bad tile columns");
+        }
+        col_bd.push_back(wc);
+        for (int i = 0; i < p.tile_rows - 1; ++i) {
+          int rhv = r.ue() + 1;
+          row_bd.push_back(row_bd.back() + rhv);
+          if (row_bd.back() >= hc) throw DecodeError("bad tile rows");
+        }
+        row_bd.push_back(hc);
+      }
+      p.loop_filter_across_tiles = r.read1();
+    } else {
+      col_bd.push_back(wc);
+      row_bd.push_back(hc);
+    }
+    size_t n = (size_t)wc * hc;
+    p.tile_id.assign(n, 0);
+    p.rs_to_ts.assign(n, 0);
+    p.ts_to_rs.assign(n, 0);
+    int ts = 0;
+    for (int tj = 0; tj + 1 < (int)row_bd.size(); ++tj)
+      for (int ti = 0; ti + 1 < (int)col_bd.size(); ++ti) {
+        int tid = tj * p.tile_cols + ti;
+        for (int y = row_bd[tj]; y < row_bd[tj + 1]; ++y)
+          for (int x = col_bd[ti]; x < col_bd[ti + 1]; ++x) {
+            int rs = y * wc + x;
+            p.tile_id[rs] = tid;
+            p.rs_to_ts[rs] = ts;
+            p.ts_to_rs[ts] = rs;
+            ++ts;
+          }
+      }
+  }
   p.loop_filter_across_slices = r.read1();
   if (r.read1()) {  // deblocking_filter_control_present
     p.deblocking_override_enabled = r.read1();
@@ -689,6 +761,7 @@ static void parse_slice_header(const std::vector<uint8_t>& rbsp, int nal_type,
         int n_slice = r.ue();
         if (n_sps > 32 || n_slice > 32)
           throw DecodeError("bad long-term counts");
+        int prev_cum = 0;
         for (int i = 0; i < n_sps + n_slice; ++i) {
           int lsb, used;
           if (i < n_sps) {
@@ -705,7 +778,11 @@ static void parse_slice_header(const std::vector<uint8_t>& rbsp, int nal_type,
           }
           int has_msb = r.read1();
           int dmsb = has_msb ? r.ue() : 0;
-          h.lt.push_back(std::array<int, 4>{lsb, used, has_msb, dmsb});
+          // DeltaPocMsbCycleLt is cumulative within each of the
+          // SPS-sourced and slice-sourced runs (7.4.7.1)
+          int cum = (i == 0 || i == n_sps) ? dmsb : dmsb + prev_cum;
+          prev_cum = cum;
+          h.lt.push_back(std::array<int, 4>{lsb, used, has_msb, cum});
         }
       }
       if (sps.temporal_mvp_enabled) h.temporal_mvp = r.read1();
@@ -769,9 +846,9 @@ static void parse_slice_header(const std::vector<uint8_t>& rbsp, int nal_type,
     if (pps.loop_filter_across_slices &&
         (h.sao_luma || h.sao_chroma || !h.deblocking_disabled))
       h.loop_filter_across_slices = r.read1();
-  } else {
-    throw DecodeError("dependent slice segments");
   }
+  // (dependent segments carry no slice-level fields: the caller
+  // inherits them from the preceding independent segment, 7.4.7.1)
   if (pps.tiles_enabled || pps.entropy_coding_sync) {
     int n = r.ue();
     if (n > sps.pic_size_ctbs) throw DecodeError("bad entry point count");
@@ -899,6 +976,25 @@ struct CabacEngine {
     int v = (1 << n) - 1;
     return (v << k) + bypass_bits(n + k);
   }
+  // -- PCM raw payload (7.3.8.7 / 9.3.1) ---------------------------------
+  // pcm_flag==1 (terminate bin, no renorm) leaves the bit position
+  // exact; pcm_alignment_zero_bit skips to the byte boundary, samples
+  // are f(v) reads, then the engine re-initialises with contexts kept.
+  void pcm_begin() {
+    if (pos & 7) pos += 8 - (pos & 7);
+  }
+  int pcm_bits(int n) {
+    int v = 0;
+    for (int i = 0; i < n; ++i) v = (v << 1) | bit();
+    return v;
+  }
+  void pcm_end() {
+    range_ = 510;
+    int off = 0;
+    for (int i = 0; i < 9; ++i) off = (off << 1) | bit();
+    offset = off;
+  }
+
   // WPP snapshot of the context states only (h265_ref.py Cabac.snapshot)
   struct Snap {
     uint8_t state[kNumContexts], mps[kNumContexts];
@@ -959,6 +1055,7 @@ struct Frame {
   std::vector<uint8_t> mv_used;  // [g][2]
   std::vector<int32_t> ref_poc;  // [g][2]
   std::vector<int8_t> ref_idx;   // [g][2]
+  std::vector<uint8_t> ref_lt;   // [g][2]: ref was long-term
   // per-CTB SAO state
   int cgw, cgh;
   std::vector<int8_t> sao_type;      // [ctb][3]
@@ -999,6 +1096,7 @@ struct Frame {
     mv_used.assign(g * 2, 0);
     ref_poc.assign(g * 2, 0);
     ref_idx.assign(g * 2, 0);
+    ref_lt.assign(g * 2, 0);
     cgw = s.pic_w_ctbs;
     cgh = s.pic_h_ctbs;
     size_t c = (size_t)cgw * cgh;
@@ -1514,10 +1612,12 @@ struct SliceDec {
   int cu_modes[4] = {1, 1, 1, 1};
   int cu_pbs = 0;
   int cu_chroma_mode = 1;
-  // reference lists
+  // reference lists (+ per-entry long-term flags, 8.3.2)
   std::vector<Frame*> refs[2];
+  std::vector<uint8_t> refs_lt[2];
   Frame* col_pic = nullptr;
   bool no_backward = true;
+  int cur_tile = 0;  // tile id of the CTU being decoded
 
   SliceDec(Decoder* d, Frame* p, const SliceHeader* hh,
            const std::vector<uint8_t>& rbsp_, const std::vector<size_t>& epb,
@@ -1555,7 +1655,13 @@ struct SliceDec {
     if (x < 0 || y < 0 || x >= sps->width || y >= sps->height) return false;
     int i = pic->gi(y >> 2, x >> 2);
     const uint8_t* grid = parse ? pic->decided.data() : pic->avail.data();
-    return grid[i] && pic->slice_id[i] == slice_id;
+    if (!grid[i] || pic->slice_id[i] != slice_id) return false;
+    if (pps->tiles_enabled) {
+      // 6.4.1: blocks in a different tile are unavailable
+      int rs = (y >> sps->log2_ctb) * sps->pic_w_ctbs + (x >> sps->log2_ctb);
+      if (pps->tile_id[rs] != cur_tile) return false;
+    }
+    return true;
   }
   bool sample_avail_luma(int x, int y) const {
     if (!zavail(x, y, false)) return false;
@@ -1599,10 +1705,15 @@ struct SliceDec {
   // -- slice data loop (h265_ref.py run) -----------------------------------
 
   void run() {
-    int ctb_addr = h->segment_address;
     int wctb = sps->pic_w_ctbs;
     bool sync = pps->entropy_coding_sync != 0;
+    bool tiles = pps->tiles_enabled != 0;
+    // slice_segment_address is in raster scan; decode order is tile
+    // scan (6.5.1)
+    int ctb_ts = pps->rs_to_ts[h->segment_address];
     while (true) {
+      int ctb_addr = pps->ts_to_rs[ctb_ts];
+      cur_tile = pps->tile_id[ctb_addr];
       int cx = (ctb_addr % wctb) << sps->log2_ctb;
       int cy = (ctb_addr / wctb) << sps->log2_ctb;
       decode_ctu(cx, cy);
@@ -1610,20 +1721,26 @@ struct SliceDec {
           ((ctb_addr % wctb == 1) || (wctb == 1 && ctb_addr % wctb == 0)))
         c.snapshot(wpp_snap[ctb_addr / wctb]);
       int end = c.terminate();
-      ++ctb_addr;
-      if (end || ctb_addr >= sps->pic_size_ctbs) break;
-      if (sync && ctb_addr % wctb == 0) {
+      ++ctb_ts;
+      if (end || ctb_ts >= sps->pic_size_ctbs) break;
+      int nxt_rs = pps->ts_to_rs[ctb_ts];
+      bool new_tile = tiles && pps->tile_id[nxt_rs] != pps->tile_id[ctb_addr];
+      bool new_row = sync && nxt_rs % wctb == 0;
+      if (new_tile || new_row) {
         // end_of_subset_one_bit + byte alignment -> next substream
         int one = c.terminate();
         if (one != 1) throw DecodeError("missing end_of_subset bit");
         ++sub_idx;
         if (sub_idx >= (int)substreams.size())
           throw DecodeError("entry point underrun");
-        int row = ctb_addr / wctb;
+        // a new tile re-initialises contexts (9.3.1); both reset the
+        // QP predictor (8.6.1)
         c.init_ctx(init_type, h->slice_qp);
         c.start(rbsp, rbsp_len, substreams[sub_idx] * 8);
-        auto it = wpp_snap.find(row - 1);
-        if (it != wpp_snap.end()) c.restore(it->second);
+        if (new_row) {
+          auto it = wpp_snap.find(nxt_rs / wctb - 1);
+          if (it != wpp_snap.end()) c.restore(it->second);
+        }
         qp_prev = h->slice_qp;
         last_cu_qp = h->slice_qp;
       }
@@ -1652,12 +1769,20 @@ struct SliceDec {
               pic->sao_offsets[(src + ci) * 4 + k];
       }
     };
-    if (rx > 0 && pic->slice_id[pic->gi(y0 >> 2, (x0 - 1) >> 2)] == slice_id &&
+    // merge candidates must share the slice AND the tile (7.4.9.3)
+    int wc = sps->pic_w_ctbs;
+    auto same_tile = [&](int nrx, int nry) {
+      return !pps->tiles_enabled ||
+             pps->tile_id[nry * wc + nrx] == pps->tile_id[ry * wc + rx];
+    };
+    if (rx > 0 && same_tile(rx - 1, ry) &&
+        pic->slice_id[pic->gi(y0 >> 2, (x0 - 1) >> 2)] == slice_id &&
         dcd(CTX_sao_merge_flag)) {
       copy_from(ry, rx - 1);
       return;
     }
-    if (ry > 0 && pic->slice_id[pic->gi((y0 - 1) >> 2, x0 >> 2)] == slice_id &&
+    if (ry > 0 && same_tile(rx, ry - 1) &&
+        pic->slice_id[pic->gi((y0 - 1) >> 2, x0 >> 2)] == slice_id &&
         dcd(CTX_sao_merge_flag)) {
       copy_from(ry - 1, rx);
       return;
@@ -1814,6 +1939,12 @@ struct SliceDec {
     if (log2 == sps->log2_min_cb) {
       if (!dcd(CTX_part_mode)) part_nxn = true;
     }
+    if (sps->pcm_enabled && !part_nxn && log2 >= sps->log2_min_pcm &&
+        log2 <= sps->log2_max_pcm &&
+        c.terminate()) {  // pcm_flag (9.3.3.6 terminate bin)
+      pcm_cu(x0, y0, log2);
+      return;
+    }
     int n_pu = part_nxn ? 4 : 1;
     int pbs = size >> (part_nxn ? 1 : 0);
     int prev_flags[4], raw_kind[4], raw_val[4];
@@ -1891,6 +2022,37 @@ struct SliceDec {
     cu_intra_split = part_nxn;
     cu_is_intra = true;
     transform_tree(x0, y0, x0, y0, log2, 0, 0, 1, 1);
+    finish_cu(x0, y0, size);
+  }
+
+  // pcm_sample (7.3.8.7): raw luma + chroma at the PCM bit depths,
+  // left-shifted to the picture depth (8.4.4.1)
+  void pcm_cu(int x0, int y0, int log2) {
+    int size = 1 << log2;
+    c.pcm_begin();
+    int sh_y = sps->bit_depth - sps->pcm_bd;
+    for (int y = y0; y < y0 + size; ++y) {
+      uint16_t* row = pic->yrow(y);
+      for (int x = x0; x < x0 + size; ++x)
+        row[x] = (uint16_t)(c.pcm_bits(sps->pcm_bd) << sh_y);
+    }
+    int half = size >> 1;
+    int sh_c = sps->bit_depth_c - sps->pcm_bd_c;
+    for (int pl = 0; pl < 2; ++pl) {
+      for (int y = y0 >> 1; y < (y0 >> 1) + half; ++y) {
+        uint16_t* row = pl ? pic->vrow(y) : pic->urow(y);
+        for (int x = x0 >> 1; x < (x0 >> 1) + half; ++x)
+          row[x] = (uint16_t)(c.pcm_bits(sps->pcm_bd_c) << sh_c);
+      }
+    }
+    c.pcm_end();
+    // PCM counts as DC for neighbour MPM (8.4.2); samples are exempt
+    // from deblock/SAO when pcm_loop_filter_disabled (8.7)
+    grid_fill_u8(pic->intra_mode, x0, y0, size, 1);
+    grid_fill_u8(pic->skip, x0, y0, size, 0);
+    grid_fill_u8(pic->nnz, x0, y0, size, 0);
+    if (sps->pcm_loop_filter_disabled)
+      grid_fill_u8(pic->bypass, x0, y0, size, 1);
     finish_cu(x0, y0, size);
   }
 
@@ -2307,6 +2469,7 @@ struct SliceDec {
   bool amvp_noscale(const Mot* cands, int n, int list_x, int target_poc,
                     int out[2]) const;
   bool amvp_scaled(const Mot* cands, int n, int list_x, int target_poc,
+                   bool target_lt,
                    int out[2]) const;
 };
 
@@ -2663,6 +2826,7 @@ void SliceDec::store_motion(int xp, int yp, int w, int hh,
           pic->mv[gi * 4 + lx * 2 + 1] = (int16_t)mvs[lx][1];
           pic->ref_idx[gi * 2 + lx] = (int8_t)ridx[lx];
           pic->ref_poc[gi * 2 + lx] = pocs[lx];
+          pic->ref_lt[gi * 2 + lx] = refs_lt[lx][ridx[lx]];
         }
       }
       pic->is_intra[gi] = 0;
@@ -2931,7 +3095,18 @@ bool SliceDec::col_mv(int x, int y, int ref_idx, int list_x,
     n = list_x;
   else
     n = h->collocated_from_l0;
+  // 8.5.3.2.9: the candidate exists only when the collocated ref and
+  // the target agree on long-term-ness; long-term MVs are never
+  // POC-scaled
+  bool col_lt = col->ref_lt[gi * 2 + n] != 0;
+  bool targ_lt = refs_lt[list_x][ref_idx] != 0;
+  if (col_lt != targ_lt) return false;
   int mvc[2] = {col->mv[gi * 4 + n * 2], col->mv[gi * 4 + n * 2 + 1]};
+  if (targ_lt) {
+    out[0] = mvc[0];
+    out[1] = mvc[1];
+    return true;
+  }
   int col_diff = col->poc - col->ref_poc[gi * 2 + n];
   int cur_diff = pic->poc - refs[list_x][ref_idx]->poc;
   if (col_diff == cur_diff) {
@@ -2948,12 +3123,13 @@ bool SliceDec::col_mv(int x, int y, int ref_idx, int list_x,
 void SliceDec::amvp(int xp, int yp, int w, int hh, int list_x, int ref_idx,
                     int mvp_flag, int out[2]) const {
   int target_poc = refs[list_x][ref_idx]->poc;
+  bool target_lt = refs_lt[list_x][ref_idx] != 0;
   Mot a_cands[2] = {mot_at(xp - 1, yp + hh), mot_at(xp - 1, yp + hh - 1)};
   bool is_scaled = a_cands[0].valid || a_cands[1].valid;
   int mva[2], mvb[2];
   bool has_a = amvp_noscale(a_cands, 2, list_x, target_poc, mva);
   if (!has_a && is_scaled)
-    has_a = amvp_scaled(a_cands, 2, list_x, target_poc, mva);
+    has_a = amvp_scaled(a_cands, 2, list_x, target_poc, target_lt, mva);
   Mot b_cands[3] = {mot_at(xp + w, yp - 1), mot_at(xp + w - 1, yp - 1),
                     mot_at(xp - 1, yp - 1)};
   bool has_b = amvp_noscale(b_cands, 3, list_x, target_poc, mvb);
@@ -2965,7 +3141,7 @@ void SliceDec::amvp(int xp, int yp, int w, int hh, int list_x, int ref_idx,
       has_b = false;
     }
     if (!has_b) {
-      has_b = amvp_scaled(b_cands, 3, list_x, target_poc, mvb);
+      has_b = amvp_scaled(b_cands, 3, list_x, target_poc, target_lt, mvb);
       if (has_b && has_a && mvb[0] == mva[0] && mvb[1] == mva[1])
         has_b = false;
     }
@@ -3017,13 +3193,22 @@ bool SliceDec::amvp_noscale(const Mot* cands, int nc, int list_x,
 }
 
 bool SliceDec::amvp_scaled(const Mot* cands, int nc, int list_x,
-                           int target_poc, int out[2]) const {
+                           int target_poc, bool target_lt,
+                           int out[2]) const {
   for (int i = 0; i < nc; ++i) {
     const Mot& m = cands[i];
     if (!m.valid) continue;
     const int order[2] = {list_x, 1 - list_x};
     for (int lx : order) {
       if (m.used[lx]) {
+        // 8.5.3.2.6: usable only when candidate ref and target agree
+        // on long-term-ness; long-term MVs are copied unscaled
+        if ((refs_lt[lx][m.ridx[lx]] != 0) != target_lt) continue;
+        if (target_lt) {
+          out[0] = m.mv[lx][0];
+          out[1] = m.mv[lx][1];
+          return true;
+        }
         int cand_diff = pic->poc - refs[lx][m.ridx[lx]]->poc;
         int cur_diff = pic->poc - target_poc;
         if (cand_diff == cur_diff) {
@@ -3214,10 +3399,21 @@ static void deblock_chroma_segment(uint16_t* C, int stride, int cx, int cy,
   }
 }
 
+// tile id of the 4x4-grid cell gi
+static inline int tile_of_g(const Frame& pic, int gi) {
+  const Sps& s = *pic.sps;
+  int gy = gi / pic.gw, gx = gi % pic.gw;
+  int rs = (((gy << 2) >> s.log2_ctb) * s.pic_w_ctbs) +
+           ((gx << 2) >> s.log2_ctb);
+  return pic.pps->tile_id[rs];
+}
+
 static void deblock_picture(Frame& pic,
                             const std::map<int, SliceHeader>& headers) {
   const Sps& sps = *pic.sps;
   int w = sps.width, hgt = sps.height;
+  bool tile_gate =
+      pic.pps->tiles_enabled && !pic.pps->loop_filter_across_tiles;
   for (int pass = 0; pass < 2; ++pass) {
     bool vertical = pass == 0;
     const std::vector<uint8_t>& tu_grid =
@@ -3238,6 +3434,7 @@ static void deblock_picture(Frame& pic,
         const SliceHeader& h = headers.at(sq);
         if (h.deblocking_disabled) continue;
         if (pic.slice_id[gp] != sq && !h.loop_filter_across_slices) continue;
+        if (tile_gate && tile_of_g(pic, gp) != tile_of_g(pic, gq)) continue;
         int bs = bs_for_edge(pic, gp, gq, tu_edge);
         if (bs == 0) continue;
         int qp_p = pic.qp[gp];
@@ -3318,8 +3515,12 @@ static void apply_sao(Frame& pic,
         int eo = pic.sao_eo_class[cb];
         int ax = kEoNbr[eo][0][0], ay = kEoNbr[eo][0][1];
         int bx = kEoNbr[eo][1][0], by = kEoNbr[eo][1][1];
-        int sid = pic.slice_id[pic.gi((y0 << sh) >> 2, (x0 << sh) >> 2)];
+        int g0 = pic.gi((y0 << sh) >> 2, (x0 << sh) >> 2);
+        int sid = pic.slice_id[g0];
         bool across = headers.at(sid).loop_filter_across_slices != 0;
+        bool tile_gate =
+            pic.pps->tiles_enabled && !pic.pps->loop_filter_across_tiles;
+        int tid = tile_gate ? tile_of_g(pic, g0) : 0;
         for (int y = y0; y < y1; ++y)
           for (int x = x0; x < x1; ++x) {
             int nax = x + ax, nay = y + ay;
@@ -3328,10 +3529,14 @@ static void apply_sao(Frame& pic,
                   nbx < w && nby >= 0 && nby < h))
               continue;
             if (pic.bypass[pic.gi((y << sh) >> 2, (x << sh) >> 2)]) continue;
+            int ga = pic.gi((nay << sh) >> 2, (nax << sh) >> 2);
+            int gb = pic.gi((nby << sh) >> 2, (nbx << sh) >> 2);
             if (!across) {
-              int ga = pic.gi((nay << sh) >> 2, (nax << sh) >> 2);
-              int gb = pic.gi((nby << sh) >> 2, (nbx << sh) >> 2);
               if (pic.slice_id[ga] != sid || pic.slice_id[gb] != sid)
+                continue;
+            }
+            if (tile_gate) {
+              if (tile_of_g(pic, ga) != tid || tile_of_g(pic, gb) != tid)
                 continue;
             }
             int p = src[(size_t)y * stride + x];
@@ -3377,6 +3582,16 @@ struct Decoder {
   bool decoded_any = false;
   std::vector<uint8_t> rbsp;  // scratch
   std::vector<size_t> epb;
+  // dependent slice segment state (7.4.7.1 / 9.3.1): the preceding
+  // independent header, and the CABAC/QP carry from the last segment
+  SliceHeader prev_indep;
+  bool has_prev_indep = false;
+  struct SegCarry {
+    CabacEngine::Snap ctx;
+    int last_qp = 26;
+    std::map<int, CabacEngine::Snap> wpp;
+    bool valid = false;
+  } seg_carry;
 
   void decode(const uint8_t* d, size_t n) {
     std::vector<std::pair<size_t, size_t>> nals;
@@ -3443,7 +3658,10 @@ struct Decoder {
       cur_poc = compute_poc(h, t);
       cur_pic->poc = cur_poc;
       // RPS: drop DPB pictures not referenced by this picture
+      // (short-term deltas or resolved long-term entries, 8.3.2)
       if (t != NAL_IDR_W_RADL && t != NAL_IDR_N_LP) {
+        std::vector<std::pair<Frame*, int>> lts;
+        resolve_lt(h, lts);
         std::vector<PicPtr> keep;
         for (auto& p : dpb) {
           bool keep_it = false;
@@ -3451,6 +3669,8 @@ struct Decoder {
             if (p->poc == cur_poc + e.first) keep_it = true;
           for (auto& e : h.strps.pos)
             if (p->poc == cur_poc + e.first) keep_it = true;
+          for (auto& e : lts)
+            if (e.first == p.get()) keep_it = true;
           if (keep_it) keep.push_back(p);
         }
         dpb = keep;
@@ -3464,12 +3684,45 @@ struct Decoder {
         h.sps->log2_ctb != cur_pic->sps->log2_ctb ||
         h.sps->bit_depth != cur_pic->sps->bit_depth)
       throw DecodeError("parameter set geometry changed mid-picture");
-    ++slice_counter;
+    bool dep_restore = false;
+    if (h.dependent) {
+      // 7.4.7.1: inherit every slice-header value of the preceding
+      // independent segment except the segment's own address/entry
+      // points; it continues the same slice (same slice_id)
+      if (!has_prev_indep || !seg_carry.valid)
+        throw DecodeError("dependent segment without predecessor");
+      SliceHeader own = h;
+      h = prev_indep;
+      h.dependent = 1;
+      h.first_slice = 0;
+      h.segment_address = own.segment_address;
+      h.entry_points = own.entry_points;
+      h.data_byte_pos = own.data_byte_pos;
+      // a dependent segment restores carried contexts unless its first
+      // CTU starts a new tile (tile init wins, 9.3.1)
+      const Pps& pps = *h.pps;
+      int ts0 = pps.rs_to_ts[h.segment_address];
+      bool tile_start =
+          pps.tiles_enabled &&
+          (ts0 == 0 || pps.tile_id[pps.ts_to_rs[ts0 - 1]] !=
+                           pps.tile_id[h.segment_address]);
+      dep_restore = !tile_start;
+    } else {
+      prev_indep = h;
+      has_prev_indep = true;
+      ++slice_counter;
+    }
     slice_headers[slice_counter] = h;
     SliceDec sd(this, cur_pic.get(), &slice_headers[slice_counter], rbsp,
                 epb, slice_counter);
+    if (dep_restore) {
+      sd.c.restore(seg_carry.ctx);
+      sd.last_cu_qp = seg_carry.last_qp;
+      sd.qp_prev = seg_carry.last_qp;
+    }
+    if (h.dependent) sd.wpp_snap = seg_carry.wpp;
     if (h.slice_type != SLICE_I) {
-      build_ref_lists(h, sd.refs);
+      build_ref_lists(h, sd.refs, sd.refs_lt);
       if (sd.refs[0].empty() ||
           (h.slice_type == SLICE_B && sd.refs[1].empty()))
         throw DecodeError("empty reference list");
@@ -3485,11 +3738,39 @@ struct Decoder {
       }
     }
     sd.run();
+    sd.c.snapshot(seg_carry.ctx);
+    seg_carry.last_qp = sd.last_cu_qp;
+    seg_carry.wpp = sd.wpp_snap;
+    seg_carry.valid = true;
   }
 
-  // RefPicList0/1 from the short-term RPS (8.3.2-8.3.4)
-  void build_ref_lists(const SliceHeader& h, std::vector<Frame*> refs[2]) {
-    if (!h.lt.empty()) throw DecodeError("long-term reference pictures");
+  // Match the slice's long-term entries against the DPB (8.3.2
+  // PocLtCurr): full-POC match when the MSB cycle is sent, else
+  // POC-LSB match. Appends (picture, used_by_curr).
+  void resolve_lt(const SliceHeader& h,
+                  std::vector<std::pair<Frame*, int>>& out) {
+    int max_lsb = 1 << h.sps->log2_max_poc_lsb;
+    for (auto& e : h.lt) {
+      int lsb = e[0], used = e[1], has_msb = e[2], dmsb = e[3];
+      Frame* match = nullptr;
+      if (has_msb) {
+        int target =
+            lsb + cur_poc - dmsb * max_lsb - (cur_poc & (max_lsb - 1));
+        for (auto& p : dpb)
+          if (p->poc == target) match = p.get();
+      } else {
+        for (auto& p : dpb)
+          if ((p->poc & (max_lsb - 1)) == lsb) match = p.get();
+      }
+      if (match) out.emplace_back(match, used);
+    }
+  }
+
+  // RefPicList0/1 from the short-term RPS + long-term set (8.3.2-8.3.4);
+  // refs_lt flags each entry as long-term (MV scaling is disabled
+  // against long-term references, 8.5.3.2.8)
+  void build_ref_lists(const SliceHeader& h, std::vector<Frame*> refs[2],
+                       std::vector<uint8_t> refs_lt[2]) {
     int poc = cur_poc;
     std::map<int, Frame*> by_poc;
     for (auto& p : dpb) by_poc[p->poc] = p.get();
@@ -3506,8 +3787,14 @@ struct Decoder {
         if (it == by_poc.end()) throw DecodeError("missing reference");
         after.push_back(it->second);
       }
+    std::vector<std::pair<Frame*, int>> lts;
+    resolve_lt(h, lts);
+    std::vector<Frame*> lt_curr;
+    for (auto& e : lts)
+      if (e.second) lt_curr.push_back(e.first);
     for (int li = 0; li < 2; ++li) {
       std::vector<Frame*> order;
+      std::vector<uint8_t> is_lt;
       if (li == 0) {
         order = before;
         order.insert(order.end(), after.begin(), after.end());
@@ -3515,25 +3802,40 @@ struct Decoder {
         order = after;
         order.insert(order.end(), before.begin(), before.end());
       }
+      is_lt.assign(order.size(), 0);
+      for (Frame* p : lt_curr) {
+        order.push_back(p);
+        is_lt.push_back(1);
+      }
       int n = h.num_ref[li];
       if (order.empty()) {
         refs[li].clear();
+        refs_lt[li].clear();
         continue;
       }
       std::vector<Frame*> tmp;
-      while ((int)tmp.size() < n)
+      std::vector<uint8_t> tmp_lt;
+      while ((int)tmp.size() < n) {
         tmp.insert(tmp.end(), order.begin(), order.end());
+        tmp_lt.insert(tmp_lt.end(), is_lt.begin(), is_lt.end());
+      }
       refs[li].clear();
+      refs_lt[li].clear();
       if (h.has_rplm[li]) {
         for (int m : h.rplm[li]) {
           if (m >= (int)tmp.size()) throw DecodeError("bad rplm index");
           refs[li].push_back(tmp[m]);
+          refs_lt[li].push_back(tmp_lt[m]);
         }
       } else {
         refs[li].assign(tmp.begin(), tmp.begin() + n);
+        refs_lt[li].assign(tmp_lt.begin(), tmp_lt.begin() + n);
       }
     }
-    if (h.slice_type == SLICE_P) refs[1].clear();
+    if (h.slice_type == SLICE_P) {
+      refs[1].clear();
+      refs_lt[1].clear();
+    }
   }
 
   int compute_poc(const SliceHeader& h, int t) {

@@ -278,3 +278,15 @@ class TestH265Fuzz:
 
     def test_main10(self):
         self._hammer(self._base_stream(bit10=True), 202)
+
+    def test_pcm_tiles_dep_lt(self):
+        # crafted conformance-edge streams: PCM payloads, tile grids,
+        # dependent segments and long-term refs all survive corruption
+        import h265_craft as C
+        tiles, _ = C.pcm_stream(96, 64, 1, tiles=(2, 2))
+        dep, _ = C.pcm_stream(64, 64, 1, segments=[8],
+                              dep_segments=True)
+        lt = C.lt_stream(64, 48, retention=True)
+        self._hammer(tiles, 203, n=40)
+        self._hammer(dep, 204, n=40)
+        self._hammer(lt, 205, n=40)
