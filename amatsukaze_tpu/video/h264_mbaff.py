@@ -1698,58 +1698,51 @@ class MbaffSlice:
         n = self.h.num_ref_idx[l]
         return 2 * n if self.st.is_field(addr) else n
 
-    def _col_zero(self, addr: int, b: int) -> bool:
-        """colZeroFlag for spatial direct (8.4.1.2.2): the colocated
-        corner 4x4 of RefPicList1[0] is a zero-ish L0/L1 motion.  MBAFF
-        colocated selection: same structure -> same address; current
+    def _col_fetch(self, addr: int, b: int):
+        """Colocated corner-4x4 motion of RefPicList1[0] for the direct
+        modes, with the MBAFF colocated selection + vertMvScale of
+        8.4.1.2.2 applied: same structure -> same address; current
         frame MB over a field-coded col pair -> the col field whose POC
         is closer to the current picture (libavcodec col_parity), with
-        field mv doubled; current field MB over a frame-coded col pair
-    -> top/bottom col MB by band half, with frame mv halved."""
+        field mv doubled (Fld_To_Frm); current field MB over a
+        frame-coded col pair -> top/bottom col MB by band half, with
+        frame mv halved (Frm_To_Fld). Returns (refIdxCol, refIdCol,
+        (mvx, mvy)) preferring the col block's L0 motion, or None when
+        it is intra; refIdCol uses the 4*pic_id+parity / 4*pic_id+3
+        identity encoding of _ref_identity."""
         st = self.st
-        if self.st.is_field(addr):
-            col_frm, col_parity = self._field_ref(1, 0, addr)
+        if st.is_field(addr):
+            col_frm, _ = self._field_ref(1, 0, addr)
         else:
             col_frm = self.ref_l1[0]
-            col_parity = addr & 1  # placeholder; real choice below
-        if col_frm.long_term:
-            return False
         colst = getattr(col_frm, "mbaff", None)
         px, py = st.pair_xy(addr)
         xs4 = 3 * (b & 1)
         ys4 = 3 * (b >> 1)
         cur_field = st.is_field(addr)
-        scale = 1  # multiply col mvy by this ( /2 encoded as 0.5 via flag)
+        scale = 1  # multiply col mvy by this ( /2 encoded via halve)
         halve = False
         if colst is None:
             # colocated picture is progressive (frame grid)
             if not cur_field:
                 gy4 = py * 8 + 4 * (addr & 1) + ys4
-                gx4 = px * 4 + xs4
-                ref = int(col_frm.ref_idx[0, gy4, gx4])
-                l = 0
-                if ref < 0:
-                    ref = int(col_frm.ref_idx[1, gy4, gx4])
-                    l = 1
-                if ref < 0:
-                    return False
-                mx = int(col_frm.mv[l, gy4, gx4, 0])
-                my = int(col_frm.mv[l, gy4, gx4, 1])
-                return ref == 0 and abs(mx) <= 1 and abs(my) <= 1
-            # current field MB over progressive col: band half selects row
-            gy4 = py * 8 + 2 * ys4
+            else:
+                # current field MB over progressive col: band half
+                # selects the row (Frm_To_Fld)
+                gy4 = py * 8 + 2 * ys4
+                halve = True
             gx4 = px * 4 + xs4
-            ref = int(col_frm.ref_idx[0, gy4, gx4])
-            l = 0
-            if ref < 0:
-                ref = int(col_frm.ref_idx[1, gy4, gx4])
-                l = 1
-            if ref < 0:
-                return False
-            mx = int(col_frm.mv[l, gy4, gx4, 0])
-            my = int(col_frm.mv[l, gy4, gx4, 1])
-            my = int(my / 2) if my >= 0 else -((-my) // 2)
-            return ref == 0 and abs(mx) <= 1 and abs(my) <= 1
+            for l in (0, 1):
+                ref = int(col_frm.ref_idx[l, gy4, gx4])
+                if ref >= 0:
+                    mx = int(col_frm.mv[l, gy4, gx4, 0])
+                    my = int(col_frm.mv[l, gy4, gx4, 1])
+                    if halve:
+                        my = int(my / 2) if my >= 0 else -((-my) // 2)
+                    # progressive grids store plain pic_id (frame refs)
+                    rid = 4 * int(col_frm.ref_id[l, gy4, gx4]) + 3
+                    return ref, rid, (mx, my)
+            return None
         # colocated picture is an MBAFF frame
         pair = py * st.mb_w + px
         col_field = bool(colst.field_flag[pair])
@@ -1771,17 +1764,29 @@ class MbaffSlice:
             band_row = 4 * (addr & 1) + ys4
             cell = 4 * (band_row >> 1) + xs4
             scale = 2
-        ref = int(colst.ref_idx[col_addr, 0, cell])
-        l = 0
-        if ref < 0:
-            ref = int(colst.ref_idx[col_addr, 1, cell])
-            l = 1
-        if ref < 0:
+        for l in (0, 1):
+            ref = int(colst.ref_idx[col_addr, l, cell])
+            if ref >= 0:
+                mx = int(colst.mv[col_addr, l, cell, 0])
+                my = int(colst.mv[col_addr, l, cell, 1]) * scale
+                if halve:
+                    my = int(my / 2) if my >= 0 else -((-my) // 2)
+                return ref, int(colst.ref_id[col_addr, l, cell]), (mx, my)
+        return None
+
+    def _col_zero(self, addr: int, b: int) -> bool:
+        """colZeroFlag for spatial direct (8.4.1.2.2): the colocated
+        corner 4x4 of RefPicList1[0] is a zero-ish refIdx-0 motion."""
+        if self.st.is_field(addr):
+            col_frm, _ = self._field_ref(1, 0, addr)
+        else:
+            col_frm = self.ref_l1[0]
+        if col_frm.long_term:
             return False
-        mx = int(colst.mv[col_addr, l, cell, 0])
-        my = int(colst.mv[col_addr, l, cell, 1]) * scale
-        if halve:
-            my = int(my / 2) if my >= 0 else -((-my) // 2)
+        cm = self._col_fetch(addr, b)
+        if cm is None:
+            return False
+        ref, _, (mx, my) = cm
         return ref == 0 and abs(mx) <= 1 and abs(my) <= 1
 
     def _direct_spatial_cache_mbaff(self, addr: int):
@@ -1806,10 +1811,62 @@ class MbaffSlice:
         self._direct_cache = (refs, mvps, dzp)
         return self._direct_cache
 
+    def _map_col_ref(self, addr: int, rid: int) -> int:
+        """8.4.1.2.3 refIdxL0: lowest current-list-0 index referencing
+        the frame (or the field of it) containing refPicCol.  For field
+        macroblocks the index space is the relative field list; a
+        frame-referencing colocated block maps to the field with the
+        current macroblock's parity (libavcodec fill_colmap)."""
+        pic_id, par = rid >> 2, rid & 3
+        if not self.st.is_field(addr):
+            for i, f in enumerate(self.ref_l0):
+                if f.pic_id == pic_id:
+                    return i
+            return 0
+        want_par = (addr & 1) if par == 3 else par
+        for r in range(2 * len(self.ref_l0)):
+            f, pr = self._field_ref(0, r, addr)
+            if f.pic_id == pic_id and pr == want_par:
+                return r
+        return 0
+
+    def _direct_temporal_8x8(self, addr: int, b: int):
+        """Temporal direct (8.4.1.2.3) with the MBAFF colocated mapping:
+        POC distances use the current field's parity when the macroblock
+        is field-coded (currPicOrField / pic0 / pic1 are fields)."""
+        cm = self._col_fetch(addr, b)
+        if cm is None:
+            ref0, mvcol = 0, (0, 0)
+        else:
+            _, rid, mvcol = cm
+            ref0 = self._map_col_ref(addr, rid)
+        p = addr & 1
+        if self.st.is_field(addr):
+            cur_poc = self.pic.field_poc[p]
+            f0, p0 = self._field_ref(0, ref0, addr)
+            poc0 = f0.field_poc[p0]
+            f1, p1 = self._field_ref(1, 0, addr)
+            poc1 = f1.field_poc[p1]
+            lt0 = f0.long_term
+        else:
+            cur_poc = self.pic.poc
+            poc0 = self.ref_l0[ref0].poc
+            poc1 = self.ref_l1[0].poc
+            lt0 = self.ref_l0[ref0].long_term
+        tb = min(127, max(-128, cur_poc - poc0))
+        td = min(127, max(-128, poc1 - poc0))
+        if lt0 or td == 0:
+            return [(ref0, mvcol), (0, (0, 0))]
+        q = 16384 + abs(td) // 2
+        tx = (q // abs(td)) * (1 if td > 0 else -1)
+        dsf = min(1023, max(-1024, (tb * tx + 32) >> 6))
+        mv0 = ((dsf * mvcol[0] + 128) >> 8, (dsf * mvcol[1] + 128) >> 8)
+        mv1 = (mv0[0] - mvcol[0], mv0[1] - mvcol[1])
+        return [(ref0, mv0), (0, mv1)]
+
     def _direct_mvs_8x8(self, addr: int, b: int):
         if not self.h.direct_spatial_mv_pred:
-            raise NotImplementedError("MBAFF temporal direct not supported "
-                                      "(x264 forces spatial for interlaced)")
+            return self._direct_temporal_8x8(addr, b)
         refs, mvps, dzp = self._direct_spatial_cache_mbaff(addr)
         cz = self._col_zero(addr, b)
         out = []

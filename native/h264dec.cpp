@@ -6207,6 +6207,12 @@ struct MbaffSlice {
   void inter_residual(BitReader& r, int addr, int* predY, int* predU,
                       int* predV, bool tf8_ok);
   bool col_zero(int addr, int b);
+  // colocated corner-4x4 motion with MBAFF selection + vertMvScale
+  // (8.4.1.2.2); false when intra. rid uses the ref_identity encoding.
+  bool col_fetch(int addr, int b, int* ref, int32_t* rid, int mv[2]);
+  int map_col_ref(int addr, int32_t rid);
+  void direct_temporal_8x8(int addr, int b, int refs_out[2],
+                           int mvs_out[2][2]);
   void direct_spatial_cache(int addr);
   void direct_mvs_8x8(int addr, int b, int refs_out[2], int mvs_out[2][2]);
   void decode_direct_8x8(int addr, int b, int* predY, int* predU,
@@ -6808,7 +6814,8 @@ void MbaffSlice::inter_residual(BitReader& r, int addr, int* predY,
 
 // -- B slices ---------------------------------------------------------------
 
-bool MbaffSlice::col_zero(int addr, int b) {
+bool MbaffSlice::col_fetch(int addr, int b, int* ref_out, int32_t* rid_out,
+                           int mv_out[2]) {
   Picture* col_frm;
   int col_parity;
   if (st->is_field(addr)) {
@@ -6816,9 +6823,7 @@ bool MbaffSlice::col_zero(int addr, int b) {
   } else {
     if (ref_l1.empty()) throw DecodeError("empty L1 list");
     col_frm = ref_l1[0];
-    col_parity = addr & 1;
   }
-  if (col_frm->long_term) return false;
   MbaffState* colst = col_frm->mbaff.get();
   int px = st->pair_x(addr), py = st->pair_y(addr);
   int xs4 = 3 * (b & 1);
@@ -6846,7 +6851,12 @@ bool MbaffSlice::col_zero(int addr, int b) {
     int mx = col_frm->mv[2 * col_frm->mvix(l, gy4, gx4)];
     int my = col_frm->mv[2 * col_frm->mvix(l, gy4, gx4) + 1];
     if (halve) my = my / 2;
-    return ref == 0 && std::abs(mx) <= 1 && std::abs(my) <= 1;
+    *ref_out = ref;
+    // progressive grids store plain pic_id (frame references)
+    *rid_out = 4 * col_frm->ref_id[col_frm->mvix(l, gy4, gx4)] + 3;
+    mv_out[0] = mx;
+    mv_out[1] = my;
+    return true;
   }
   int pair = py * st->mb_w + px;
   bool col_field = colst->field_flag[pair] != 0;
@@ -6880,7 +6890,102 @@ bool MbaffSlice::col_zero(int addr, int b) {
   int mx = colst->mv[colst->mmv(col_addr, l, cellix, 0)];
   int my = colst->mv[colst->mmv(col_addr, l, cellix, 1)] * scale;
   if (halve) my = my / 2;
-  return ref == 0 && std::abs(mx) <= 1 && std::abs(my) <= 1;
+  *ref_out = ref;
+  *rid_out = colst->ref_id[colst->mref(col_addr, l, cellix)];
+  mv_out[0] = mx;
+  mv_out[1] = my;
+  return true;
+}
+
+bool MbaffSlice::col_zero(int addr, int b) {
+  Picture* col_frm;
+  int col_parity;
+  if (st->is_field(addr)) {
+    field_ref(1, 0, addr, &col_frm, &col_parity);
+  } else {
+    if (ref_l1.empty()) throw DecodeError("empty L1 list");
+    col_frm = ref_l1[0];
+  }
+  if (col_frm->long_term) return false;
+  int ref, mv[2];
+  int32_t rid;
+  if (!col_fetch(addr, b, &ref, &rid, mv)) return false;
+  return ref == 0 && std::abs(mv[0]) <= 1 && std::abs(mv[1]) <= 1;
+}
+
+// 8.4.1.2.3 refIdxL0: lowest current-list-0 index referencing the frame
+// (or the field of it) containing refPicCol. For field macroblocks the
+// index space is the relative field list; a frame-referencing colocated
+// block maps to the field with the current macroblock's parity
+// (libavcodec fill_colmap).
+int MbaffSlice::map_col_ref(int addr, int32_t rid) {
+  int pic_id = rid >> 2, par = rid & 3;
+  if (!st->is_field(addr)) {
+    for (size_t i = 0; i < ref_l0.size(); ++i)
+      if (ref_l0[i]->pic_id == pic_id) return (int)i;
+    return 0;
+  }
+  int want_par = par == 3 ? (addr & 1) : par;
+  for (int r = 0; r < 2 * (int)ref_l0.size(); ++r) {
+    Picture* f;
+    int pr;
+    field_ref(0, r, addr, &f, &pr);
+    if (f->pic_id == pic_id && pr == want_par) return r;
+  }
+  return 0;
+}
+
+// Temporal direct (8.4.1.2.3) with the MBAFF colocated mapping: POC
+// distances use the current field's parity when the macroblock is
+// field-coded (currPicOrField / pic0 / pic1 are fields).
+void MbaffSlice::direct_temporal_8x8(int addr, int b, int refs_out[2],
+                                     int mvs_out[2][2]) {
+  int ref0 = 0, mvcol[2] = {0, 0};
+  int refc;
+  int32_t rid;
+  if (col_fetch(addr, b, &refc, &rid, mvcol))
+    ref0 = map_col_ref(addr, rid);
+  else
+    mvcol[0] = mvcol[1] = 0;
+  int p = addr & 1;
+  int cur_poc, poc0, poc1;
+  bool lt0;
+  if (st->is_field(addr)) {
+    cur_poc = pic->field_poc[p];
+    Picture* f0;
+    int p0;
+    field_ref(0, ref0, addr, &f0, &p0);
+    poc0 = f0->field_poc[p0];
+    Picture* f1;
+    int p1;
+    field_ref(1, 0, addr, &f1, &p1);
+    poc1 = f1->field_poc[p1];
+    lt0 = f0->long_term;
+  } else {
+    if (ref_l0.empty() || ref_l1.empty())
+      throw DecodeError("empty reference list");
+    cur_poc = pic->poc;
+    poc0 = ref_l0[ref0]->poc;
+    poc1 = ref_l1[0]->poc;
+    lt0 = ref_l0[ref0]->long_term;
+  }
+  int tb = std::min(127, std::max(-128, cur_poc - poc0));
+  int td = std::min(127, std::max(-128, poc1 - poc0));
+  refs_out[0] = ref0;
+  refs_out[1] = 0;
+  if (lt0 || td == 0) {
+    mvs_out[0][0] = mvcol[0];
+    mvs_out[0][1] = mvcol[1];
+    mvs_out[1][0] = mvs_out[1][1] = 0;
+    return;
+  }
+  int q = 16384 + std::abs(td) / 2;
+  int tx = (q / std::abs(td)) * (td > 0 ? 1 : -1);
+  int dsf = std::min(1023, std::max(-1024, (tb * tx + 32) >> 6));
+  mvs_out[0][0] = (dsf * mvcol[0] + 128) >> 8;
+  mvs_out[0][1] = (dsf * mvcol[1] + 128) >> 8;
+  mvs_out[1][0] = mvs_out[0][0] - mvcol[0];
+  mvs_out[1][1] = mvs_out[0][1] - mvcol[1];
 }
 
 void MbaffSlice::direct_spatial_cache(int addr) {
@@ -6907,8 +7012,10 @@ void MbaffSlice::direct_spatial_cache(int addr) {
 
 void MbaffSlice::direct_mvs_8x8(int addr, int b, int refs_out[2],
                                 int mvs_out[2][2]) {
-  if (!h->direct_spatial_mv_pred)
-    throw DecodeError("MBAFF temporal direct not supported");
+  if (!h->direct_spatial_mv_pred) {
+    direct_temporal_8x8(addr, b, refs_out, mvs_out);
+    return;
+  }
   direct_spatial_cache(addr);
   bool cz = col_zero(addr, b);
   for (int l = 0; l < 2; ++l) {

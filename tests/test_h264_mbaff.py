@@ -338,3 +338,134 @@ class TestMbaffPipeline:
             outs[mode] = open(report["outfiles"][0]["path"], "rb").read()
         assert outs["avlib"] == outs["native"]
         assert outs["native"].count(b"FRAME\n") >= n - 3
+
+
+# ---------------------------------------------------------------------------
+# Temporal direct (8.4.1.2.3) in MBAFF frames. x264 forces spatial
+# direct for interlaced encodes, so the streams are re-headered:
+# direct_spatial_mv_pred_flag is flipped 1->0 in every B slice header
+# (a fixed 1-bit field, so the CABAC/CAVLC payload is untouched and
+# every direct MB now decodes through the temporal path). libavcodec
+# arbitrates the re-headered stream; reference parity:
+# Amatsukaze decodes such streams via FFmpeg (ReaderWriterFFmpeg.hpp).
+# ---------------------------------------------------------------------------
+
+
+def _rbsp_escape(rbsp: bytes) -> bytes:
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def flip_direct_flag(es: bytes) -> bytes:
+    """Flip direct_spatial_mv_pred_flag (1 -> 0) in every B slice."""
+    from amatsukaze_tpu.utils.bits import BitReader
+    sps_map, pps_map = {}, {}
+    out = bytearray()
+    flipped = 0
+    for nal in HR.split_annexb(es):
+        t = nal[0] & 0x1F
+        rbsp = HR.ebsp_to_rbsp(nal[1:])
+        if t == 7:
+            s = HR.parse_sps(rbsp)
+            sps_map[s.sps_id] = s
+        elif t == 8:
+            p = HR.parse_pps(rbsp, sps_map)
+            pps_map[p.pps_id] = p
+        elif t in (1, 5):
+            r = BitReader(rbsp)
+            r.ue()                        # first_mb_in_slice
+            st = r.ue()
+            if st % 5 == 1:               # B slice
+                pps = pps_map[r.ue()]
+                sps = sps_map[pps.sps_id]
+                if sps.separate_colour_plane:
+                    r.read(2)
+                r.read(sps.log2_max_frame_num)
+                field = 0
+                if not sps.frame_mbs_only:
+                    field = r.read(1)
+                    if field:
+                        r.read(1)
+                if t == 5:
+                    r.ue()                # idr_pic_id
+                if sps.poc_type == 0:
+                    r.read(sps.log2_max_poc_lsb)
+                    if pps.bottom_field_pic_order_in_frame_present \
+                            and not field:
+                        r.se()
+                elif sps.poc_type == 1 and \
+                        not sps.delta_pic_order_always_zero:
+                    r.se()
+                    if pps.bottom_field_pic_order_in_frame_present \
+                            and not field:
+                        r.se()
+                if pps.redundant_pic_cnt_present:
+                    r.ue()
+                pos = r.pos               # direct_spatial_mv_pred_flag
+                assert r.read(1) == 1, "expected spatial-direct stream"
+                buf = bytearray(rbsp)
+                buf[pos >> 3] ^= 0x80 >> (pos & 7)
+                nal = nal[:1] + _rbsp_escape(bytes(buf))
+                flipped += 1
+        out += b"\x00\x00\x01" + nal
+    assert flipped > 0, "no B slices found"
+    return bytes(out)
+
+
+def _native_decode(es: bytes):
+    from amatsukaze_tpu.video.native import (NativeH264Decoder,
+                                             h264_native_available)
+    if not h264_native_available():
+        return None
+    dec = NativeH264Decoder()
+    out = list(dec.decode(es))
+    out += list(dec.flush())
+    return out
+
+
+class TestMbaffTemporalDirect:
+    BASE = ("cabac=0:8x8dct=0:no-deblock=1:interlaced=1:tff=1:keyint=50:"
+            "scenecut=0:b-adapt=0")
+
+    def _check(self, tmp_path, params, bframes=2, frames=None,
+               size=(128, 96)):
+        if frames is None:
+            frames = mixed_frames(10, size)
+        es = flip_direct_flag(
+            _x264_stream(size[0], size[1], frames, params, bframes=bframes))
+        ff = _ff_decode(es, tmp_path)
+        assert ff, "libavcodec rejected the re-headered stream"
+        _assert_equal(ff, _ref_decode(es))
+        nat = _native_decode(es)
+        if nat is not None:
+            _assert_equal(ff, nat)
+
+    def test_mixed_pairs(self, tmp_path):
+        # mixed frame/field MB pairs: One_To_One, Frm_To_Fld and
+        # Fld_To_Frm colocated scaling all occur
+        self._check(tmp_path, self.BASE + ":ref=2:qp=28")
+
+    def test_all_field_pairs(self, tmp_path):
+        self._check(tmp_path, self.BASE + ":ref=2:qp=26",
+                    frames=interlaced_frames(10, (96, 96)), size=(96, 96))
+
+    def test_multiref(self, tmp_path):
+        # ref=3 makes refIdxL0 mapping land beyond index 0
+        self._check(tmp_path, self.BASE + ":ref=3:subme=7:qp=25",
+                    bframes=3)
+
+    def test_b_pyramid(self, tmp_path):
+        # B pictures used as colocated references
+        self._check(tmp_path, self.BASE + ":ref=3:b-pyramid=normal:qp=27",
+                    bframes=3)
+
+    def test_cabac(self, tmp_path):
+        self._check(tmp_path, self.BASE.replace("cabac=0", "cabac=1")
+                    + ":ref=2:qp=27")

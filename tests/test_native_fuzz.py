@@ -174,6 +174,18 @@ class TestH264Fuzz:
                           "ref=2:qp=26")
         self._hammer(paff_gen.rewrite_to_paff(es), 104)
 
+    def test_mbaff_temporal_direct(self):
+        from amatsukaze_tpu.video.avdec import avdec_available
+        if not avdec_available():
+            pytest.skip("FFmpeg bridge unavailable")
+        from test_h264_decode import _x264_stream
+        from test_h264_mbaff import flip_direct_flag, mixed_frames
+        es = flip_direct_flag(_x264_stream(
+            128, 96, mixed_frames(8, (128, 96)),
+            "cabac=0:8x8dct=0:no-deblock=1:interlaced=1:tff=1:keyint=50:"
+            "scenecut=0:b-adapt=0:ref=2:qp=28", bframes=2))
+        self._hammer(es, 105, n=40)
+
     def test_pure_garbage(self):
         from amatsukaze_tpu.video.native import (NativeH264Decoder,
                                                  h264_native_available)
