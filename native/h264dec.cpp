@@ -72,13 +72,21 @@ struct BitReader {
       : data(d), size(n), pos(bitpos) {}
   size_t total() const { return size * 8; }
   long bits_left() const { return (long)total() - (long)pos; }
-  // zero-padded peek (never throws; used by the VLC prefix LUTs)
+  // zero-padded peek (never throws; used by the VLC prefix LUTs).
+  // Hot path: one unaligned 8-byte load + bswap (same trick as
+  // mpeg2dec.cpp peek_raw); byte loop only near the buffer tail.
   uint32_t peek_pad(int n) const {
     if (n == 0) return 0;
-    uint64_t w = 0;
+    uint64_t w;
     size_t byte = pos >> 3;
-    for (int i = 0; i < 8; ++i)
-      w = (w << 8) | (byte + i < size ? data[byte + i] : 0);
+    if (byte + 8 <= size) {
+      std::memcpy(&w, data + byte, 8);
+      w = __builtin_bswap64(w);
+    } else {
+      w = 0;
+      for (int i = 0; i < 8; ++i)
+        w = (w << 8) | (byte + i < size ? data[byte + i] : 0);
+    }
     int off = (int)(pos & 7);
     return (uint32_t)((w << off) >> (64 - n));
   }
@@ -100,6 +108,18 @@ struct BitReader {
   }
   void byte_align() { pos = (pos + 7) & ~(size_t)7; }
   int ue() {
+    // Fast path: codes with <=15 leading zeros fit in a 32-bit peek
+    // and decode as (first 2z+1 bits) - 1; identical to the bit loop.
+    uint32_t w = peek_pad(32);
+    if (w) {
+      int z = __builtin_clz(w);
+      if (z <= 15) {
+        int len = 2 * z + 1;
+        if ((long)(pos + len) > (long)total()) throw DecodeError("EOF");
+        pos += len;
+        return (int)((w >> (32 - len)) - 1);
+      }
+    }
     int zeros = 0;
     while (read1() == 0)
       if (++zeros > 32) throw DecodeError("bad exp-golomb");
@@ -686,9 +706,19 @@ static int cavlc_block(BitReader& r, int nc, int max_coeff, int* coeffs) {
       levels[i] = 1 - 2 * r.read1();
       continue;
     }
+    // level_prefix: count leading zeros via one 32-bit peek (identical
+    // to the bit loop for prefixes <= 31; the all-zero window falls back)
     int prefix = 0;
-    while (r.read1() == 0) {
-      if (++prefix > 32) throw DecodeError("bad level_prefix");
+    uint32_t pw = r.peek_pad(32);
+    if (pw) {
+      prefix = __builtin_clz(pw);
+      if ((long)(r.pos + prefix + 1) > (long)r.total())
+        throw DecodeError("EOF");
+      r.pos += prefix + 1;
+    } else {
+      while (r.read1() == 0) {
+        if (++prefix > 32) throw DecodeError("bad level_prefix");
+      }
     }
     long lcode = (long)std::min(15, prefix) << suffix_len;
     int sz = suffix_len;
@@ -1502,6 +1532,27 @@ struct Picture {
 
   void init(const SPS& sps, const PPS& pps) {
     init_dims(sps.width(), sps.height(), sps, pps);
+  }
+
+  // Steal a retired picture's heap storage (capacity only; init_dims'
+  // assign() re-fills every element).  Used by the decoder's picture
+  // pool so steady-state decode does no large allocations; this keeps
+  // the fresh-Picture default-field semantics with recycled buffers.
+  void take_storage(Picture& o) {
+    Y = std::move(o.Y); U = std::move(o.U); V = std::move(o.V);
+    nnz_y = std::move(o.nnz_y); nnz_c = std::move(o.nnz_c);
+    i4_modes = std::move(o.i4_modes); mb_slice = std::move(o.mb_slice);
+    mb_class = std::move(o.mb_class); mb_qp = std::move(o.mb_qp);
+    mb_cbp = std::move(o.mb_cbp); mb_dc_flag = std::move(o.mb_dc_flag);
+    mb_tf8 = std::move(o.mb_tf8); mb_alpha_off = std::move(o.mb_alpha_off);
+    mb_beta_off = std::move(o.mb_beta_off);
+    mb_disable = std::move(o.mb_disable);
+    mv = std::move(o.mv); ref_id = std::move(o.ref_id);
+    ref_idx = std::move(o.ref_idx); cbf_y = std::move(o.cbf_y);
+    cbf_c = std::move(o.cbf_c); mb_skip = std::move(o.mb_skip);
+    mb_chroma_mode = std::move(o.mb_chroma_mode);
+    mb_bdirect = std::move(o.mb_bdirect); mvd = std::move(o.mvd);
+    cell_direct = std::move(o.cell_direct);
   }
 
   // half-height allocation for a PAFF coded field (h264_paff.py
@@ -4537,6 +4588,25 @@ struct Decoder {
   };
   std::unique_ptr<PaffSt> paff_st;
   std::unique_ptr<PaffPending> paff_pending;
+
+  // Picture pool: recycles retired pictures' heap storage so steady-state
+  // decode performs no large allocations.  A pooled entry with
+  // use_count()==1 is referenced by nobody (not DPB, not output, not a
+  // PAFF pair) — its buffers are free to steal.  The new Picture is
+  // default-constructed (fresh field semantics) and only adopts capacity.
+  std::vector<PicPtr> pic_pool;
+  PicPtr alloc_picture() {
+    PicPtr fresh = std::make_shared<Picture>();
+    for (auto& q : pic_pool) {
+      if (q.use_count() == 1) {
+        fresh->take_storage(*q);
+        q = fresh;
+        return fresh;
+      }
+    }
+    if (pic_pool.size() < 64) pic_pool.push_back(fresh);
+    return fresh;
+  }
   int max_long_term_idx = -1;
   int epoch = 0;
   long long errors = 0;
@@ -4608,7 +4678,7 @@ struct Decoder {
     // a frame-coded picture closes any in-progress PAFF field pair
     paff_finish_field();
     paff_finalize_frame();
-    PicPtr pic = std::make_shared<Picture>();
+    PicPtr pic = alloc_picture();
     pic->init(sps, pps);
     pic->frame_num = h.frame_num;
     pic->is_ref = h.nal_ref_idc != 0;
@@ -5266,7 +5336,7 @@ struct Decoder {
       second = true;
       first_parity = paff_pending->first_parity;
     } else {
-      frame = std::make_shared<Picture>();
+      frame = alloc_picture();
       frame->init(sps, pps);
       frame->frame_num = h.frame_num;
       frame->is_idr = h.idr;
@@ -5278,7 +5348,7 @@ struct Decoder {
       second = false;
       first_parity = parity;
     }
-    PicPtr fp = std::make_shared<Picture>();
+    PicPtr fp = alloc_picture();
     fp->init_dims(sps.width(), sps.height() / 2, sps, pps);
     fp->is_field_pic = true;
     fp->parity = parity;
