@@ -10,10 +10,10 @@
 // decoder to port -- this is an independent implementation.
 //
 // Scope (the oracle's): Main / Main10 (8/10-bit 4:2:0), all slice
-// types incl. B pyramids, WPP, multiple slices, transform skip,
-// transquant bypass, sign data hiding, cu_qp_delta, deblocking, SAO.
-// Tiles, scaling lists, PCM, dependent slices and long-term references
-// raise (mirrors the oracle; x265/broadcast streams don't use them).
+// types incl. B pyramids, WPP (with wavefront-parallel decode), tiles,
+// multiple/dependent slices, scaling lists, PCM, long-term references,
+// transform skip, transquant bypass, sign data hiding, cu_qp_delta,
+// deblocking, SAO.
 //
 // Pixels are stored as uint16_t regardless of depth: broadcast HEVC
 // (BS4K, ARIB STD-B32) is Main10, so the 10-bit path is the hot one;
@@ -21,12 +21,16 @@
 
 #include <algorithm>
 #include <array>
+#include <atomic>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <deque>
 #include <map>
 #include <memory>
+#include <mutex>
 #include <stdexcept>
+#include <thread>
 #include <vector>
 
 #include "h265_tables.inc"
@@ -2813,24 +2817,60 @@ void SliceDec::mvd_coding(int out[2]) {
 void SliceDec::store_motion(int xp, int yp, int w, int hh,
                             const bool used[2], const int mvs[2][2],
                             const int ridx[2]) {
+  // Branch-hoisted grid fill (this runs per PU over up to 16x16 cells).
+  // Unused lanes keep their previous contents — merge pruning compares
+  // both lanes of Mot unconditionally, so stale values are observable
+  // and must match the oracle's (which also leaves them untouched).
   int pocs[2] = {used[0] ? refs[0][ridx[0]]->poc : 0,
                  used[1] ? refs[1][ridx[1]]->poc : 0};
-  for (int gy = yp >> 2; gy < (yp + hh) >> 2; ++gy) {
-    int gi0 = pic->gi(gy, xp >> 2);
-    int cnt = (w >> 2);
-    for (int gi = gi0; gi < gi0 + cnt; ++gi) {
-      for (int lx = 0; lx < 2; ++lx) {
-        pic->mv_used[gi * 2 + lx] = used[lx] ? 1 : 0;
-        if (used[lx]) {
-          pic->mv[gi * 4 + lx * 2 + 0] = (int16_t)mvs[lx][0];
-          pic->mv[gi * 4 + lx * 2 + 1] = (int16_t)mvs[lx][1];
-          pic->ref_idx[gi * 2 + lx] = (int8_t)ridx[lx];
-          pic->ref_poc[gi * 2 + lx] = pocs[lx];
-          pic->ref_lt[gi * 2 + lx] = refs_lt[lx][ridx[lx]];
-        }
+  const int gy0 = yp >> 2, gy1 = (yp + hh) >> 2;
+  const int gx0 = xp >> 2, cnt = w >> 2;
+  if (used[0] && used[1]) {
+    const int16_t m4[4] = {(int16_t)mvs[0][0], (int16_t)mvs[0][1],
+                           (int16_t)mvs[1][0], (int16_t)mvs[1][1]};
+    uint64_t mv64;
+    std::memcpy(&mv64, m4, 8);
+    const int8_t ri2[2] = {(int8_t)ridx[0], (int8_t)ridx[1]};
+    uint16_t ri16;
+    std::memcpy(&ri16, ri2, 2);
+    const int32_t rp2[2] = {pocs[0], pocs[1]};
+    uint64_t rp64;
+    std::memcpy(&rp64, rp2, 8);
+    const uint8_t lt2[2] = {refs_lt[0][ridx[0]], refs_lt[1][ridx[1]]};
+    uint16_t lt16;
+    std::memcpy(&lt16, lt2, 2);
+    const uint16_t used16 = 0x0101;
+    for (int gy = gy0; gy < gy1; ++gy) {
+      int gi0 = pic->gi(gy, gx0);
+      for (int gi = gi0; gi < gi0 + cnt; ++gi) {
+        std::memcpy(&pic->mv[gi * 4], &mv64, 8);
+        std::memcpy(&pic->mv_used[gi * 2], &used16, 2);
+        std::memcpy(&pic->ref_idx[gi * 2], &ri16, 2);
+        std::memcpy(&pic->ref_poc[gi * 2], &rp64, 8);
+        std::memcpy(&pic->ref_lt[gi * 2], &lt16, 2);
+        pic->is_intra[gi] = 0;
+        pic->decided[gi] = 1;
       }
-      pic->is_intra[gi] = 0;
-      pic->decided[gi] = 1;
+    }
+  } else {
+    const int lx = used[0] ? 0 : 1;
+    const int16_t mx = (int16_t)mvs[lx][0], my = (int16_t)mvs[lx][1];
+    const int8_t ri = (int8_t)ridx[lx];
+    const int32_t rp = pocs[lx];
+    const uint8_t lt = refs_lt[lx][ridx[lx]];
+    for (int gy = gy0; gy < gy1; ++gy) {
+      int gi0 = pic->gi(gy, gx0);
+      for (int gi = gi0; gi < gi0 + cnt; ++gi) {
+        pic->mv_used[gi * 2 + lx] = 1;
+        pic->mv_used[gi * 2 + (1 - lx)] = 0;
+        pic->mv[gi * 4 + lx * 2 + 0] = mx;
+        pic->mv[gi * 4 + lx * 2 + 1] = my;
+        pic->ref_idx[gi * 2 + lx] = ri;
+        pic->ref_poc[gi * 2 + lx] = rp;
+        pic->ref_lt[gi * 2 + lx] = lt;
+        pic->is_intra[gi] = 0;
+        pic->decided[gi] = 1;
+      }
     }
   }
 }
@@ -2871,9 +2911,22 @@ void SliceDec::mc_pu(int xp, int yp, int w, int hh, const bool used[2],
           uint16_t* dst =
               p.dst + (size_t)(dy[pi] + y) * p.stride_d + dx[pi];
           if (interior) {
-            std::memcpy(dst,
-                        p.src + (size_t)(p.y + y) * p.stride_s + p.x,
-                        sizeof(uint16_t) * p.bw);
+            const uint16_t* src =
+                p.src + (size_t)(p.y + y) * p.stride_s + p.x;
+            // fixed-size copies inline to vector moves; a libc memcpy
+            // call costs more than the copy itself at these row sizes
+            switch (p.bw) {
+              case 2: std::memcpy(dst, src, 4); break;
+              case 4: std::memcpy(dst, src, 8); break;
+              case 8: std::memcpy(dst, src, 16); break;
+              case 12: std::memcpy(dst, src, 24); break;
+              case 16: std::memcpy(dst, src, 32); break;
+              case 24: std::memcpy(dst, src, 48); break;
+              case 32: std::memcpy(dst, src, 64); break;
+              case 48: std::memcpy(dst, src, 96); break;
+              case 64: std::memcpy(dst, src, 128); break;
+              default: std::memcpy(dst, src, sizeof(uint16_t) * p.bw);
+            }
           } else {
             const uint16_t* row =
                 p.src + (size_t)clamp_i(p.y + y, 0, p.ph - 1) * p.stride_s;
@@ -3557,10 +3610,153 @@ static void apply_sao(Frame& pic,
 // Top-level decoder (h265_ref.py H265RefDecoder)
 // ---------------------------------------------------------------------------
 
+// ---------------------------------------------------------------------------
+// Wavefront (WPP) parallel slice decode.
+//
+// HEVC's availability rules make a 2-CTB-lag wavefront bit-exact: every
+// neighbour a CTB at (col, row) may consult -- intra above-right
+// samples, merge/AMVP candidate B0, SAO merge-up, the QP predictor --
+// reaches at most the end of CTB col+1 of the row above, and the CABAC
+// context for a row starts from the snapshot taken after CTB 1 of the
+// row above (9.3.1 entropy_coding_sync).  So decoding row r gated on
+// "row r-1 has completed CTB col+1" reproduces the serial decode
+// exactly.  Applied only to the common broadcast/x265 shape: a single
+// independent slice covering the whole picture with one substream per
+// CTB row; every other shape takes the serial path.
+//
+// Worker t owns rows t, t+N, ... ; per-row state is a private SliceDec
+// copy.  Cross-thread visibility of the shared Frame grids rides the
+// acquire/release progress counters.  On a corrupt stream any row's
+// throw (or an early end_of_slice flag) sets `stop`, everyone bails at
+// the next CTB boundary, and the first error is rethrown after join --
+// matching the serial path's throw-out-of-run() error accounting.
+// ---------------------------------------------------------------------------
+
+// decode worker count: AMATSUKAZE_DECODE_THREADS, else hardware
+// concurrency (1 disables threading; same switch as mpeg2dec.cpp)
+static int decode_threads() {
+  static int n = [] {
+    const char* e = std::getenv("AMATSUKAZE_DECODE_THREADS");
+    if (e && *e) return std::max(1, std::atoi(e));
+    return (int)std::max(1u, std::thread::hardware_concurrency());
+  }();
+  return n;
+}
+
+static bool wavefront_eligible(const SliceDec& sd) {
+  const Sps& s = *sd.sps;
+  return sd.pps->entropy_coding_sync && !sd.pps->tiles_enabled &&
+         !sd.h->dependent && sd.h->segment_address == 0 &&
+         (int)sd.substreams.size() == s.pic_h_ctbs && s.pic_h_ctbs >= 2 &&
+         s.pic_w_ctbs >= 2 && decode_threads() > 1;
+}
+
+static void run_wavefront(SliceDec& sd) {
+  const Sps& s = *sd.sps;
+  const int rows = s.pic_h_ctbs, wctb = s.pic_w_ctbs;
+  const int nthreads = std::min(decode_threads(), rows);
+  std::unique_ptr<std::atomic<int>[]> progress(new std::atomic<int>[rows]);
+  std::unique_ptr<std::atomic<int>[]> snap_ready(new std::atomic<int>[rows]);
+  for (int i = 0; i < rows; ++i) {
+    progress[i].store(0, std::memory_order_relaxed);
+    snap_ready[i].store(0, std::memory_order_relaxed);
+  }
+  std::vector<CabacEngine::Snap> snaps(rows);
+  std::atomic<bool> stop{false};
+  std::mutex err_mu;
+  std::exception_ptr first_err;
+  // last row's exit state, for the serial path's seg_carry parity
+  CabacEngine::Snap last_ctx;
+  int last_qp = sd.last_cu_qp;
+  bool last_done = false;
+
+  auto row_task = [&](SliceDec& w, int r) {
+    w.c.init_ctx(w.init_type, w.h->slice_qp);
+    w.c.start(w.rbsp, w.rbsp_len, w.substreams[r] * 8);
+    if (r > 0) {
+      while (!snap_ready[r - 1].load(std::memory_order_acquire)) {
+        if (stop.load(std::memory_order_relaxed)) return;
+        std::this_thread::yield();
+      }
+      w.c.restore(snaps[r - 1]);
+    }
+    w.qp_prev = w.h->slice_qp;
+    w.last_cu_qp = w.h->slice_qp;
+    for (int col = 0; col < wctb; ++col) {
+      if (r > 0) {
+        int need = std::min(col + 2, wctb);
+        while (progress[r - 1].load(std::memory_order_acquire) < need) {
+          if (stop.load(std::memory_order_relaxed)) return;
+          std::this_thread::yield();
+        }
+      }
+      if (stop.load(std::memory_order_relaxed)) return;
+      w.cur_tile = 0;
+      w.decode_ctu(col << s.log2_ctb, r << s.log2_ctb);
+      if (col == 1) {
+        w.c.snapshot(snaps[r]);
+        snap_ready[r].store(1, std::memory_order_release);
+      }
+      int end = w.c.terminate();
+      progress[r].store(col + 1, std::memory_order_release);
+      if (end) {
+        // serial run() breaks out of the whole slice here; stop all
+        if (!(r == rows - 1 && col == wctb - 1))
+          stop.store(true, std::memory_order_relaxed);
+        break;
+      }
+      if (col == wctb - 1 && r < rows - 1) {
+        int one = w.c.terminate();
+        if (one != 1) throw DecodeError("missing end_of_subset bit");
+      }
+    }
+    if (r == rows - 1) {
+      w.c.snapshot(last_ctx);
+      last_qp = w.last_cu_qp;
+      last_done = true;
+    }
+  };
+
+  std::vector<std::thread> pool;
+  pool.reserve(nthreads);
+  for (int t = 0; t < nthreads; ++t)
+    pool.emplace_back([&, t]() {
+      for (int r = t; r < rows; r += nthreads) {
+        SliceDec w(sd);
+        try {
+          row_task(w, r);
+        } catch (...) {
+          {
+            std::lock_guard<std::mutex> lk(err_mu);
+            if (!first_err) first_err = std::current_exception();
+          }
+          stop.store(true, std::memory_order_relaxed);
+        }
+        // unblock dependants even when this row bailed early
+        progress[r].store(wctb, std::memory_order_release);
+        if (!snap_ready[r].load(std::memory_order_relaxed))
+          snap_ready[r].store(1, std::memory_order_release);
+      }
+    });
+  for (auto& th : pool) th.join();
+  if (first_err) std::rethrow_exception(first_err);
+  if (last_done) {
+    sd.c.restore(last_ctx);
+    sd.last_cu_qp = last_qp;
+  }
+  for (int r = 0; r < rows; ++r) sd.wpp_snap[r] = snaps[r];
+}
+
+// A display-order output entry: owned, conformance-cropped planes in
+// *uninitialized* buffers (vector::resize zero-filled ~1.5*w*h uint16
+// per frame before the crop copy overwrote every element — the memset
+// alone was ~12% of 4K decode time).  Owned copies keep memory bounded
+// for feed-everything-then-pop drivers; pinning the decoded Frame
+// instead defeats allocator reuse and costs fresh-page faults.
 struct OutFrame {
   int poc;
   int w, h, bd;
-  std::vector<uint16_t> Y, U, V;
+  std::unique_ptr<uint16_t[]> Y, U, V;
 };
 using OutPtr = std::shared_ptr<OutFrame>;
 
@@ -3737,7 +3933,10 @@ struct Decoder {
         sd.col_pic = lst[h.collocated_ref_idx];
       }
     }
-    sd.run();
+    if (wavefront_eligible(sd))
+      run_wavefront(sd);
+    else
+      sd.run();
     sd.c.snapshot(seg_carry.ctx);
     seg_carry.last_qp = sd.last_cu_qp;
     seg_carry.wpp = sd.wpp_snap;
@@ -3887,7 +4086,7 @@ struct Decoder {
       for (auto& e : waiting) outq.push_back(e.second);
       waiting.clear();
     }
-    waiting.emplace_back(pic->poc, output_frame(*pic));
+    waiting.emplace_back(pic->poc, output_frame(pic));
     std::sort(waiting.begin(), waiting.end(),
               [](const auto& a, const auto& b) { return a.first < b.first; });
     while ((int)waiting.size() > pic->sps->num_reorder) {
@@ -3897,7 +4096,8 @@ struct Decoder {
   }
 
   // conformance-window crop (h265_ref.py _Picture.output)
-  OutPtr output_frame(const Frame& pic) {
+  OutPtr output_frame(const PicPtr& pics) {
+    const Frame& pic = *pics;
     const Sps& s = *pic.sps;
     int cl = s.conf_win[0], cr = s.conf_win[1];
     int ct = s.conf_win[2], cb = s.conf_win[3];
@@ -3906,9 +4106,9 @@ struct Decoder {
     f->bd = s.bit_depth;
     f->w = s.width - 2 * (cl + cr);
     f->h = s.height - 2 * (ct + cb);
-    f->Y.resize((size_t)f->w * f->h);
-    f->U.resize((size_t)(f->w / 2) * (f->h / 2));
-    f->V.resize((size_t)(f->w / 2) * (f->h / 2));
+    f->Y.reset(new uint16_t[(size_t)f->w * f->h]);
+    f->U.reset(new uint16_t[(size_t)(f->w / 2) * (f->h / 2)]);
+    f->V.reset(new uint16_t[(size_t)(f->w / 2) * (f->h / 2)]);
     for (int y = 0; y < f->h; ++y)
       std::memcpy(&f->Y[(size_t)y * f->w],
                   &pic.Y[(size_t)(2 * ct + y) * pic.wp + 2 * cl],
@@ -3972,14 +4172,19 @@ int H265_PopFrame(void* hp, uint8_t* y, uint8_t* u, uint8_t* v) {
   if (d->outq.empty()) return 0;
   auto f = d->outq.front();
   d->outq.pop_front();
+  const size_t ny = (size_t)f->w * f->h;
+  const size_t nc = (size_t)(f->w / 2) * (f->h / 2);
   if (f->bd > 8) {
-    std::memcpy(y, f->Y.data(), f->Y.size() * 2);
-    std::memcpy(u, f->U.data(), f->U.size() * 2);
-    std::memcpy(v, f->V.data(), f->V.size() * 2);
+    std::memcpy(y, f->Y.get(), ny * 2);
+    std::memcpy(u, f->U.get(), nc * 2);
+    std::memcpy(v, f->V.get(), nc * 2);
   } else {
-    for (size_t i = 0; i < f->Y.size(); ++i) y[i] = (uint8_t)f->Y[i];
-    for (size_t i = 0; i < f->U.size(); ++i) u[i] = (uint8_t)f->U[i];
-    for (size_t i = 0; i < f->V.size(); ++i) v[i] = (uint8_t)f->V[i];
+    const uint16_t* sy = f->Y.get();
+    const uint16_t* su = f->U.get();
+    const uint16_t* sv = f->V.get();
+    for (size_t i = 0; i < ny; ++i) y[i] = (uint8_t)sy[i];
+    for (size_t i = 0; i < nc; ++i) u[i] = (uint8_t)su[i];
+    for (size_t i = 0; i < nc; ++i) v[i] = (uint8_t)sv[i];
   }
   return 1;
 }
