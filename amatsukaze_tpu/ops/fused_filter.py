@@ -378,12 +378,16 @@ def make_fused_filter_field(height: int, width: int,
 
     The frame-layout kernel (make_fused_filter) spends ~20% of its time on
     in-kernel field splits and the output weave — pure sublane data
-    movement. Here frames are split into field planes ONCE by XLA outside
-    the kernel (a near-bandwidth transpose, ~0.4 ms round trip per
-    64x1080p batch vs ~1.5 ms of in-kernel shuffles) and the kernel DMAs
-    field slabs directly. The math is identical; the public entry
-    ``yadif_costs(frames_u8 [B, H, W])`` keeps the frame-layout contract
-    and performs the split/interleave inside the same jit.
+    movement. Here the field split costs NOTHING: a row-major
+    ``[B, H, W] -> [B, H/2, 2W]`` reshape is a free view whose row k is
+    (top-field row k | bottom-field row k) side by side in the lane axis,
+    so the kernel DMAs one contiguous slab per region (both fields at
+    once) and separates them with 128-aligned lane slices in VMEM. The
+    output is written in the same merged layout and reshaped back for
+    free. This replaced an explicit XLA split/interleave transpose pair
+    (~1.1 ms round trip per 64x1080p batch, ~22% of chain time) in an
+    earlier revision. The math is identical; the public entry
+    ``yadif_costs(frames_u8 [B, H, W])`` keeps the frame-layout contract.
 
     `height` is the stored FRAME height; it is padded internally so the
     field planes tile into 8-aligned row blocks. Results are bit-identical
@@ -427,34 +431,31 @@ def make_fused_filter_field(height: int, width: int,
 
         frow0, top_src, bot_src = row_srcs(j)
 
-        def load6(dst, sem6, srcs, batch_slice):
+        # one copy per row region covers BOTH fields: field rows are
+        # lane-merged (row = top|bottom), so the slab is contiguous
+        def load3(dst, sem3, srcs, batch_slice):
+            at = lambda sl: fields_ref.at[batch_slice, sl]
+            dat = lambda sl: dst.at[:, sl]
             row0_, top, bot = srcs
-            copies = []
-            for p in (0, 1):  # top/bottom field plane
-                at = lambda sl, p=p: fields_ref.at[batch_slice, p, sl]
-                dat = lambda sl, p=p: dst.at[:, p, sl]
-                copies += [
-                    pltpu.make_async_copy(at(pl.ds(top, HALO)),
-                                          dat(pl.ds(0, HALO)),
-                                          sem6.at[p, 0]),
-                    pltpu.make_async_copy(at(pl.ds(row0_, ftr)),
-                                          dat(pl.ds(HALO, ftr)),
-                                          sem6.at[p, 1]),
-                    pltpu.make_async_copy(at(pl.ds(bot, HALO)),
-                                          dat(pl.ds(HALO + ftr, HALO)),
-                                          sem6.at[p, 2]),
-                ]
-            return copies
+            return [
+                pltpu.make_async_copy(at(pl.ds(top, HALO)),
+                                      dat(pl.ds(0, HALO)), sem3.at[0]),
+                pltpu.make_async_copy(at(pl.ds(row0_, ftr)),
+                                      dat(pl.ds(HALO, ftr)), sem3.at[1]),
+                pltpu.make_async_copy(at(pl.ds(bot, HALO)),
+                                      dat(pl.ds(HALO + ftr, HALO)),
+                                      sem3.at[2]),
+            ]
 
         def start_slab(jj, ii, slot):
             base = jnp.clip(ii - 1, 0, nb - 3)
-            for c in load6(slab_s.at[slot], sems.at[slot], row_srcs(jj),
+            for c in load3(slab_s.at[slot], sems.at[slot], row_srcs(jj),
                            pl.ds(base, 3)):
                 c.start()
 
         def wait_slab(slot):
             base = jnp.clip(i - 1, 0, nb - 3)
-            for c in load6(slab_s.at[slot], sems.at[slot],
+            for c in load3(slab_s.at[slot], sems.at[slot],
                            (frow0, top_src, bot_src), pl.ds(base, 3)):
                 c.wait()
 
@@ -476,31 +477,35 @@ def make_fused_filter_field(height: int, width: int,
         is_first = i == 0
         is_last = i == nb - 1
 
-        def pick(p, which):
-            s0, s1, s2 = (slab_s[slot, 0, p], slab_s[slot, 1, p],
-                          slab_s[slot, 2, p])
+        def pick(which):
+            s0, s1, s2 = (slab_s[slot, 0], slab_s[slot, 1], slab_s[slot, 2])
             if which == "cur":
                 return jnp.where(is_first, s0, jnp.where(is_last, s2, s1))
             if which == "prv":
                 return jnp.where(is_last, s1, s0)
             return jnp.where(is_first, s1, s2)
 
-        ct8 = pick(0, "cur")
-        cb8 = pick(1, "cur")
-        ct = ct8.astype(jnp.int32).astype(jnp.float32)
-        cb = cb8.astype(jnp.int32).astype(jnp.float32)
-        pt = pick(0, "prv").astype(jnp.int32).astype(jnp.float32)
-        pb = pick(1, "prv").astype(jnp.int32).astype(jnp.float32)
+        # widen the merged slab once, then lane-slice the field halves
+        # (128-aligned static slices; no sublane movement)
+        cur8 = pick("cur")
+        cur = cur8.astype(jnp.int32).astype(jnp.float32)
+        prv = pick("prv").astype(jnp.int32).astype(jnp.float32)
+        ct8 = cur8[:, :width]
+        cb8 = cur8[:, width:]
+        ct = cur[:, :width]
+        cb = cur[:, width:]
+        pt = prv[:, :width]
+        pb = prv[:, width:]
 
         gy_core = jax.lax.broadcasted_iota(jnp.int32, (ftr, 1), 0) + frow0
 
         if costs_only:
             # analysis pass: the deinterlaced output is never read, so the
             # source fields pass through and only the sums are computed
-            out_ref[0] = ct8[HALO:HALO + ftr]
-            out_ref[1] = cb8[HALO:HALO + ftr]
+            out_ref[...] = cur8[HALO:HALO + ftr]
         else:
-            nb_ = pick(1, "nxt").astype(jnp.int32).astype(jnp.float32)
+            nb_ = pick("nxt")[:, width:].astype(jnp.int32).astype(
+                jnp.float32)
             # --- yadif: keep top field (u8 passthrough), reconstruct
             # bottom ----------------------------------------------------
             keep = ct[HALO:HALO + ftr]
@@ -522,12 +527,14 @@ def make_fused_filter_field(height: int, width: int,
             temporal = (tp_ + tn_) * 0.5
             diff = jnp.abs(tp_ - tn_) * 0.5
             recon = jnp.clip(best_pred, temporal - diff, temporal + diff)
-            out_ref[0] = ct8[HALO:HALO + ftr]  # kept field: passthrough
-            out_ref[1] = (
+            recon8 = (
                 jnp.clip(jnp.floor(recon + 0.5), 0.0, maxv)
                 .astype(jnp.int32)
                 .astype(jnp.uint8)
             )
+            # merged write: kept top field | reconstructed bottom field
+            out_ref[...] = jnp.concatenate(
+                [ct8[HALO:HALO + ftr], recon8], axis=1)
 
         if not with_costs:
             return
@@ -574,18 +581,19 @@ def make_fused_filter_field(height: int, width: int,
         bsz, h_in, w_in = erased.shape
         assert h_in == height and w_in == width
         assert bsz >= 3, "fused filter needs batches of at least 3 frames"
-        # frame -> padded field planes (XLA transpose; edge-replicated pad
-        # rows keep the clamped-halo algebra identical to the frame kernel)
+        # frame -> lane-merged field planes: [B, H, W] -> [B, H/2, 2W] is a
+        # FREE row-major view (row k = top row k | bottom row k); only the
+        # 8-alignment pad rows cost a copy, and only when hp > height
         x = erased
         if hp > height:
             x = jnp.concatenate(
                 [x, jnp.repeat(x[:, -1:], hp - height, axis=1)], axis=1)
-        fields = x.reshape(bsz, fh, 2, width).transpose(0, 2, 1, 3)
+        fields = x.reshape(bsz, fh, 2 * width)
         out_specs = [
-            pl.BlockSpec((None, 2, ftr, width), lambda j, i: (i, 0, j, 0),
+            pl.BlockSpec((None, ftr, 2 * width), lambda j, i: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ]
-        out_shape = [jax.ShapeDtypeStruct((bsz, 2, fh, width), jnp.uint8)]
+        out_shape = [jax.ShapeDtypeStruct((bsz, fh, 2 * width), jnp.uint8)]
         if with_costs:
             out_specs.append(
                 pl.BlockSpec((None, None, 1, 128), lambda j, i: (j, i, 0, 0),
@@ -596,14 +604,14 @@ def make_fused_filter_field(height: int, width: int,
             kernel,
             grid=(njf, bsz),
             in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),  # field planes (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),  # merged fields (HBM)
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_specs=tuple(out_specs),
             out_shape=tuple(out_shape),
             scratch_shapes=[
-                pltpu.VMEM((2, 3, 2, fsrows, width), jnp.uint8),
-                pltpu.SemaphoreType.DMA((2, 2, 3)),
+                pltpu.VMEM((2, 3, fsrows, 2 * width), jnp.uint8),
+                pltpu.SemaphoreType.DMA((2, 3)),
             ],
             interpret=interpret,
         )(fields, jnp.reshape(maxv, (1,)))
@@ -611,7 +619,7 @@ def make_fused_filter_field(height: int, width: int,
             out_f, costs = res
         else:
             out_f, costs = res[0], None
-        out = out_f.transpose(0, 2, 1, 3).reshape(bsz, hp, width)[:, :height]
+        out = out_f.reshape(bsz, hp, width)[:, :height]  # free un-merge
         if costs is None:
             return out, None
         return out, costs[:, :, 0, :3].sum(axis=0) / ((lh - 2) * lw)
