@@ -744,7 +744,8 @@ class EncodeServer:
                     k: report.get(k) for k in (
                         "srcfilesize", "intvideofilesize", "outfilesize",
                         "srcduration", "outduration", "audiodiff", "error",
-                        "encodewaits", "logofiles", "cmanalyze")}
+                        "encodewaits", "logofiles", "cmanalyze",
+                        "outfiles")}
                 if entry.hash and not profile.disable_hash_check:
                     await loop.run_in_executor(
                         None, self._record_output_hashes, entry)

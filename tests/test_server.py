@@ -878,6 +878,96 @@ class TestWebServer:
 
         run(main())
 
+    def test_finished_encode_stats_flow(self, ctx, tmp_path):
+        """Full HTTP flow of the encode-detail panel (ref the WPF
+        LogItem panel, DisplayData.cs): a REAL tiny encode runs through
+        the server's default pipeline, then GetLogs over HTTP returns
+        per-output bitrates, audio drift stats and the per-pass
+        Total/FilterWait/EncoderWait split the panel renders; the HTML
+        ships the panel plus queue filter/sort and the structured
+        auto-select editor; SetAutoSelect round-trips a priority rule."""
+        import stat
+        import sys
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        import mpeg2_enc as E
+        import ts_gen
+
+        async def main():
+            from amatsukaze_tpu.server.server import EncodeServer
+            from amatsukaze_tpu.server.web import WebServer
+            from amatsukaze_tpu.ts.qp_extract import iter_picture_chunks
+
+            W2, H2 = 96, 64
+            frames = E.synth_frames(W2, H2, 18)
+            enc = E.Mpeg2TestEncoder(E.EncConfig(
+                W2, H2, qs=2, progressive=False, search=2,
+                seq_every_i=True))
+            es = enc.encode(frames, "I" + "P" * 17)
+            src = tmp_path / "src.ts"
+            src.write_bytes(ts_gen.build_simple_ts(
+                width=W2, height=H2,
+                video_es_frames=list(iter_picture_chunks(es))))
+            fake = tmp_path / "fake_x264"
+            fake.write_text(
+                '#!/bin/bash\nout=""\nwhile [ $# -gt 0 ]; do case "$1" in '
+                '-o) out="$2"; shift 2;; *) shift;; esac; done\n'
+                'cat > "$out"\n')
+            fake.chmod(fake.stat().st_mode | stat.S_IEXEC)
+
+            server = EncodeServer(ctx, data_dir=str(tmp_path / "data"))
+            server.profiles["default"].encoder_path = str(fake)
+            await server.start(port=0)
+            web = WebServer(server)
+            port = await web.start(port=0)
+            loop = asyncio.get_running_loop()
+            api = lambda m, p=None: loop.run_in_executor(
+                None, self._api, port, m, p)
+
+            # the webui ships the new panels
+            html = await loop.run_in_executor(None, self._get, port, "/")
+            for anchor in (b'id="logDetail"', b'id="qFilter"',
+                           b'id="qSort"', b'id="autoRulesBody"',
+                           b"saveAutoSelectRules"):
+                assert anchor in html, anchor
+
+            r = await api("AddQueue", {
+                "src": str(src), "out": str(tmp_path / "out.mp4")})
+            item = r["item_id"]
+            for _ in range(600):
+                await asyncio.sleep(0.1)
+                q = await api("GetQueue")
+                e = next(x for x in q if x["item_id"] == item)
+                if e["state"] in ("complete", "failed"):
+                    break
+            assert e["state"] == "complete", e
+
+            logs = await api("GetLogs")
+            log = next(x for x in logs if x["id"] == item)
+            rep = log["report"]
+            # per-output bitrate rows (panel "Outputs" table)
+            assert rep["outfiles"] and rep["outfiles"][0]["srcbitrate"] > 0
+            assert "path" in rep["outfiles"][0]
+            # audio drift stats (panel "Audio drift")
+            for k in ("avgdiff", "maxdiff", "totalsrcframes",
+                      "notincludedper"):
+                assert k in rep["audiodiff"], k
+            # per-pass wait split (panel "Per-pass waits")
+            assert rep["encodewaits"] and "total" in rep["encodewaits"][0]
+            assert rep["srcfilesize"] > 0 and rep["srcduration"] > 0
+
+            # structured auto-select rules with priority override
+            rules = {"rules": [{"service_id": 1024, "genre": [7],
+                                "profile": "default", "priority": 5}]}
+            await api("SetAutoSelect", rules)
+            back = await api("GetAutoSelect")
+            assert back == rules
+
+            await web.stop()
+            await server.stop()
+
+        run(main())
+
     def test_filter_editor_preview_and_save(self, ctx, tmp_path):
         """Structured filter editor flow: PreviewFilter compiles a
         FilterSetting dict live, and SetProfile round-trips the
