@@ -110,7 +110,41 @@ class _CharSet:
         if f == SET_JIS_X0201_KATAKANA:
             i = b1 - 0x21
             return _X0201_KATAKANA[i] if 0 <= i < len(_X0201_KATAKANA) else "?"
-        return ""  # mosaics etc.
+        if f == SET_MOSAIC_A:
+            return _mosaic_a(b1)
+        if f in (SET_MOSAIC_B, SET_MOSAIC_C, SET_MOSAIC_D):
+            # separated / line-drawing mosaic sets: no exact Unicode
+            # counterpart; render a shade cell so layout advances
+            return "▒"
+        return ""
+
+
+def _mosaic_a(c: int) -> str:
+    """ARIB mosaic set A -> Unicode.
+
+    The contiguous 2x3 block mosaics (columns 2-3 and 6-7) follow the
+    videotex arrangement the set derives from (ITU-T T.101 / teletext
+    G1): cells TL,TR,ML,MR,BL,BR are pattern bits 0..4 from the low
+    code bits plus bit 5 from the 0x40 column bit. Unicode sextants
+    (U+1FB00..U+1FB3B, Symbols for Legacy Computing) render these
+    exactly, with the three classic exceptions encoded as half/full
+    blocks. The 0x40-0x5F column (separated elements) renders as a
+    shade cell. The reference's AribString marks mosaics non-drawable
+    and drops them (AribString.hpp:30-33); rendering them is strictly
+    more faithful for the rare mosaic captions.
+    """
+    if 0x21 <= c <= 0x3F or 0x60 <= c <= 0x7F:
+        p = (c & 0x1F) | ((c & 0x40) >> 1)
+        if p == 21:
+            return "▌"  # left half block
+        if p == 42:
+            return "▐"  # right half block
+        if p == 63:
+            return "█"  # full block
+        return chr(0x1FB00 + p - 1 - (p > 21) - (p > 42))
+    if 0x40 <= c <= 0x5F:
+        return "▒"
+    return ""
 
 
 # STD-B24 default macros (table 7-17): macro codes 0x60-0x6F expand to

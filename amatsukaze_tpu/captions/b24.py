@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import hashlib
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from ..utils.context import ErrorCounter
 from .arib import AribDecoder
@@ -31,7 +31,7 @@ class CaptionFormat:
     text_color: tuple = (255, 255, 255, 255)
     back_color: tuple = (0, 0, 0, 128)
     style: int = 0
-    size_mode: int = 0  # 0=small 1=medium 2=normal
+    size_mode: int = 2  # 0=small 1=medium 2=normal (decoder starts NSZ)
 
 
 @dataclass
@@ -257,7 +257,8 @@ class CaptionDecoder:
                 state["aps"].append((params[0] & 0x3F, params[1] & 0x3F,
                                      cur["cw"] + layout["shs"],
                                      cur["ch"] + layout["svs"],
-                                     layout["sdp"][0], layout["sdp"][1]))
+                                     layout["sdp"][0], layout["sdp"][1],
+                                     dec.emitted))
             elif code == "CSI" and params:
                 nums, final = _parse_csi(params)
                 if final == 0x5F and len(nums) >= 2:  # SDP: area origin
@@ -324,40 +325,61 @@ class CaptionDecoder:
             items.append(CaptionItem(pts=pts, lang_index=lang_index,
                                      wait_time=wait_time + state["wait_ms"],
                                      line=None))
-        lead = len(text) - len(text.lstrip("\n"))
-        text = text.strip("\n")
-        if text:
-            if lead:
-                for f in fmts:
-                    f.pos = max(0, f.pos - lead)
-            # drop spans that start at/after the stripped end, dedupe by pos
+        # One CaptionLine per APS-positioned run (the reference DLL
+        # yields one CAPTION_CHAR_DATA line per positioned run,
+        # CaptionData.hpp:36-96) — ruby rows are separate lines above
+        # their base text, each with its own pen position. Text before
+        # the first APS forms an unpositioned line.
+        aps_list = state["aps"]
+        if not aps_list:
+            segments = [(None, 0, len(text))]
+        else:
+            segments = []
+            if aps_list[0][-1] > 0:
+                segments.append((None, 0, aps_list[0][-1]))
+            for i, a in enumerate(aps_list):
+                end = (aps_list[i + 1][-1] if i + 1 < len(aps_list)
+                       else len(text))
+                segments.append((a, a[-1], end))
+        w, h = state["plane"]
+        for aps, s, e in segments:
+            raw = text[s:e]
+            lead = len(raw) - len(raw.lstrip("\n"))
+            seg_text = raw.strip("\n")
+            if not seg_text:
+                continue
+            # spans overlapping [s, e): the latest span at/before the
+            # segment start carries in at pos 0; later ones rebase
             formats: list[CaptionFormat] = []
             for f in fmts:
-                if f.pos >= len(text):
+                if f.pos >= e:
                     continue
-                if formats and formats[-1].pos == f.pos:
-                    formats[-1] = f
+                g = replace(f, pos=max(0, f.pos - s - lead))
+                if g.pos >= len(seg_text):
+                    continue
+                if formats and formats[-1].pos == g.pos:
+                    formats[-1] = g
                 else:
-                    formats.append(f)
+                    formats.append(g)
             # width/height are SPAN extents (the formatter derives
             # per-char advance as width/len(frag)): chars * cell size
             for i, f in enumerate(formats):
                 end = (formats[i + 1].pos if i + 1 < len(formats)
-                       else len(text))
+                       else len(seg_text))
                 f.width = f.char_w * max(1, end - f.pos)
                 f.height = f.char_h
-            w, h = state["plane"]
             pos_x = pos_y = 0.0
-            if state["aps"]:
+            if aps:
                 # pen position: display-area origin + cell-metric grid
                 # (char cell = SSM dims + SHS/SVS spacing, captured at
                 # APS time; y is the row BOTTOM, matching the
                 # Alignment=1 \pos convention)
-                row, col, cell_w, cell_h, ox, oy = state["aps"][0]
+                row, col, cell_w, cell_h, ox, oy, _off = aps
                 pos_x = ox + col * cell_w
                 pos_y = oy + (row + 1) * cell_h
             line = CaptionLine(
-                text=text, plane_w=w, plane_h=h, pos_x=pos_x, pos_y=pos_y,
+                text=seg_text, plane_w=w, plane_h=h,
+                pos_x=pos_x, pos_y=pos_y,
                 formats=formats or [CaptionFormat(pos=0)],
             )
             items.append(CaptionItem(pts=pts, lang_index=lang_index,

@@ -193,8 +193,10 @@ class CaptionSRTFormatter:
             fmts = cl.formats
             text = cl.text
             for i, fmt in enumerate(fmts):
-                if fmt.size_mode == SIZE_SMALL and getattr(fmt, "is_ruby", False):
-                    continue  # ruby-size fragments are not emitted
+                if fmt.size_mode == SIZE_SMALL:
+                    # small-size (ruby/furigana) fragments are not
+                    # emitted in SRT (ref CaptionFormatter.hpp:267-270)
+                    continue
                 if line.end != prev_end:
                     push_line()
                     out.append(f"\n{sub_index}\n")

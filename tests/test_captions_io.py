@@ -63,6 +63,23 @@ class TestAribDecode:
         data += bytes([93 + 0x20, 90 + 0x20])
         assert d.decode(data) == "♪"
 
+    def test_mosaic_a_sextants(self):
+        # designate G0 <- mosaic A (final 0x32): the contiguous 2x3
+        # mosaics render as Unicode sextants / half blocks (0x7F is DEL,
+        # outside GL, so the all-cells pattern only occurs via 0x6A+...)
+        data = bytes([0x1B, 0x28, 0x32]) + bytes([0x21, 0x35, 0x6A, 0x62])
+        got = decode_arib_string(data)
+        # 0x21 = TL-only sextant; 0x35 (p=21) = left half block;
+        # 0x6A (p=42) = right half block; 0x62 (p=34) = U+1FB20
+        assert got == "\U0001FB00▌▐\U0001FB20"
+
+    def test_mosaic_a_separated_column_and_bcd(self):
+        # 0x40-0x5F separated/line elements and mosaic sets B/C/D have
+        # no exact Unicode form: render a shade cell, never drop them
+        data = bytes([0x1B, 0x28, 0x32, 0x41])       # mosaic A col 4
+        data += bytes([0x1B, 0x28, 0x33, 0x30])      # mosaic B
+        assert decode_arib_string(data) == "▒▒"
+
 
 class TestDrcsMd5:
     def test_stable(self):
@@ -532,3 +549,69 @@ class TestCaptionFormats:
         assert line.text == "UB"
         styles = [(f.pos, f.style) for f in line.formats]
         assert styles == [(0, STYLE_UNDERLINE), (1, STYLE_BOLD)]
+
+
+class TestRubyLayout:
+    """Ruby/furigana (SSZ small-size spans) against the CSI/APS layout:
+    the ASS output positions the ruby line on its own APS row with
+    half-size scale overrides; SRT drops small-size fragments entirely
+    (ref CaptionFormatter.hpp:267-270)."""
+
+    def _lines(self, du):
+        from amatsukaze_tpu.captions.b24 import CaptionDecoder
+        from amatsukaze_tpu.utils.context import AMTContext
+
+        dec = CaptionDecoder(AMTContext(level="error"))
+        group = ts_gen.caption_statement_group(du)
+        items = dec.decode(1000, ts_gen.caption_pes_payload(group))
+        return [it.line for it in items if it.line is not None]
+
+    def _ruby_du(self):
+        # ruby "rb" in SSZ on row 0 col 2, base "KJ" in NSZ on row 1
+        # col 2 (the broadcaster convention: ruby occupies the row above
+        # its base text, half-size glyphs on the same column origin)
+        return (b"\x1c" + bytes([0x40, 0x40 + 2]) + b"\x88"
+                + ts_gen.arib_ascii("rb")
+                + b"\x1c" + bytes([0x40 + 1, 0x40 + 2]) + b"\x8a"
+                + ts_gen.arib_ascii("KJ"))
+
+    def test_ruby_row_metrics(self):
+        ruby, base = self._lines(self._ruby_du())
+        # default profile-A layout: origin (170,30), 36px cells, 4/24
+        # spacing; APS positions on the unscaled grid, SSZ halves only
+        # the glyph metrics
+        assert ruby.pos_x == base.pos_x == 170.0 + 2 * 40.0
+        assert ruby.pos_y == 30.0 + 1 * 60.0
+        assert base.pos_y == 30.0 + 2 * 60.0
+        assert ruby.formats[0].char_w == 18.0
+        assert ruby.formats[0].char_h == 18.0
+        assert base.formats[0].char_w == 36.0
+
+    def test_ass_positions_and_scales_ruby(self):
+        from amatsukaze_tpu.captions.formatters import CaptionASSFormatter
+        from amatsukaze_tpu.reform.stream_reform import OutCaptionLine
+        from amatsukaze_tpu.utils.context import AMTContext
+
+        ruby, base = self._lines(self._ruby_du())
+        outs = [OutCaptionLine(start=0.0, end=90000.0, line=ruby),
+                OutCaptionLine(start=0.0, end=90000.0, line=base)]
+        ass = CaptionASSFormatter(AMTContext(level="error")).generate(outs)
+        ruby_ev, base_ev = [ln for ln in ass.splitlines()
+                            if ln.startswith("Dialogue:")]
+        # ruby: own row above the base, half-size scale overrides
+        assert "\\pos(250,90)" in ruby_ev and "rb" in ruby_ev
+        assert "\\fscx50" in ruby_ev and "\\fscy50" in ruby_ev
+        assert "\\pos(250,150)" in base_ev and "KJ" in base_ev
+        assert "\\fscx50" not in base_ev
+
+    def test_srt_skips_ruby_fragments(self):
+        from amatsukaze_tpu.captions.formatters import CaptionSRTFormatter
+        from amatsukaze_tpu.reform.stream_reform import OutCaptionLine
+        from amatsukaze_tpu.utils.context import AMTContext
+
+        ruby, base = self._lines(self._ruby_du())
+        outs = [OutCaptionLine(start=0.0, end=90000.0, line=ruby),
+                OutCaptionLine(start=0.0, end=90000.0, line=base)]
+        srt = CaptionSRTFormatter(AMTContext(level="error")).generate(outs)
+        assert "KJ" in srt
+        assert "rb" not in srt  # small-size fragments are not emitted
