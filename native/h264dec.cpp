@@ -2833,6 +2833,33 @@ struct SliceCtx {
     int cw_ = w4_ * 2, ch_ = h4_ * 2;
     int nl = lw * lh, nc = cw_ * ch_;
     int oy[256], ou[64], ov[64];
+    // fast path: single-list unweighted prediction (the dominant case)
+    // stores the fetched block straight into the MB planes row-wise;
+    // the oy/ou/ov round trip cost ~4M sub-64B libc memcpys per second
+    // of 1080p (fixed-size copies inline to vector moves)
+    if (!(p0 && p1) &&
+        !(h->pred_weights.present &&
+          (h->slice_type != SLICE_B || pps->weighted_bipred_idc == 1))) {
+      const PredBlk* p = p1 ? p1 : p0;
+      auto rows = [](const int* src, int* dstbase, int stride, int x0,
+                     int y0, int rw, int rh) {
+        for (int y = 0; y < rh; ++y) {
+          int* dst = dstbase + stride * (y0 + y) + x0;
+          const int* s = src + (size_t)y * rw;
+          switch (rw) {
+            case 2: std::memcpy(dst, s, 8); break;
+            case 4: std::memcpy(dst, s, 16); break;
+            case 8: std::memcpy(dst, s, 32); break;
+            case 16: std::memcpy(dst, s, 64); break;
+            default: std::memcpy(dst, s, (size_t)rw * 4);
+          }
+        }
+      };
+      rows(p->y, predY, 16, bx4 * 4, by4 * 4, lw, lh);
+      rows(p->u, predU, 8, bx4 * 2, by4 * 2, cw_, ch_);
+      rows(p->v, predV, 8, bx4 * 2, by4 * 2, cw_, ch_);
+      return;
+    }
     if (p0 && p1) {
       if (h->slice_type == SLICE_B && pps->weighted_bipred_idc == 2) {
         int w0, w1;
@@ -2899,13 +2926,14 @@ struct SliceCtx {
       }
     }
     for (int y = 0; y < lh; ++y)
-      for (int x = 0; x < lw; ++x)
-        predY[16 * (by4 * 4 + y) + bx4 * 4 + x] = oy[y * lw + x];
-    for (int y = 0; y < ch_; ++y)
-      for (int x = 0; x < cw_; ++x) {
-        predU[8 * (by4 * 2 + y) + bx4 * 2 + x] = ou[y * cw_ + x];
-        predV[8 * (by4 * 2 + y) + bx4 * 2 + x] = ov[y * cw_ + x];
-      }
+      std::memcpy(predY + 16 * (by4 * 4 + y) + bx4 * 4, oy + y * lw,
+                  (size_t)lw * sizeof(int));
+    for (int y = 0; y < ch_; ++y) {
+      std::memcpy(predU + 8 * (by4 * 2 + y) + bx4 * 2, ou + y * cw_,
+                  (size_t)cw_ * sizeof(int));
+      std::memcpy(predV + 8 * (by4 * 2 + y) + bx4 * 2, ov + y * cw_,
+                  (size_t)cw_ * sizeof(int));
+    }
   }
 
   void mc_part(int* predY, int* predU, int* predV, int bx4, int by4, int w4_,
