@@ -1856,12 +1856,28 @@ struct SliceDec {
     }
   }
 
-  // grid fill helpers
+  // grid fill helpers. Row runs are 2-16 bytes; std::fill on bytes
+  // lowers to a libc memset CALL (libstdc++ __fill_a1), whose overhead
+  // dwarfs the stores at these sizes — ~14M calls per 4K second came
+  // from here. Fixed-size copies of a replicated pattern inline.
   void grid_fill_u8(std::vector<uint8_t>& g, int x0, int y0, int size,
                     uint8_t v) {
-    for (int gy = y0 >> 2; gy < (y0 + size) >> 2; ++gy)
-      std::fill(g.begin() + pic->gi(gy, x0 >> 2),
-                g.begin() + pic->gi(gy, (x0 + size) >> 2), v);
+    const int gx0 = x0 >> 2, w = size >> 2;
+    const uint64_t pat = (uint64_t)v * 0x0101010101010101ull;
+    for (int gy = y0 >> 2; gy < (y0 + size) >> 2; ++gy) {
+      uint8_t* row = g.data() + pic->gi(gy, gx0);
+      switch (w) {
+        case 1: row[0] = v; break;
+        case 2: { uint16_t p = (uint16_t)pat; std::memcpy(row, &p, 2); break; }
+        case 4: { uint32_t p = (uint32_t)pat; std::memcpy(row, &p, 4); break; }
+        case 8: std::memcpy(row, &pat, 8); break;
+        case 16:
+          std::memcpy(row, &pat, 8);
+          std::memcpy(row + 8, &pat, 8);
+          break;
+        default: std::memset(row, v, (size_t)w);
+      }
+    }
   }
 
   // -- coding unit (h265_ref.py _coding_unit) ------------------------------
@@ -2445,9 +2461,29 @@ struct SliceDec {
         if (yc2 > *nzh) *nzh = yc2;
       }
     }
-    if (!cu_bypass)
-      for (int y = 0; y <= *nzh; ++y)
-        std::memset(coef + y * size, 0, sizeof(int32_t) * (*nzw + 1));
+    if (!cu_bypass) {
+      // the bounding rect is tiny for most TUs (nzw+1 is 1-4 for
+      // sparse blocks); fixed-size memsets inline to stores — the
+      // variable-size form was ~23M sub-16-byte libc calls per 4K
+      // second, ~10% of decode time in call overhead
+      const int nz = *nzw + 1;
+      for (int y = 0; y <= *nzh; ++y) {
+        int32_t* row = coef + y * size;
+        switch (nz) {
+          case 1: std::memset(row, 0, 4); break;
+          case 2: std::memset(row, 0, 8); break;
+          case 3: std::memset(row, 0, 12); break;
+          case 4: std::memset(row, 0, 16); break;
+          case 5: std::memset(row, 0, 20); break;
+          case 6: std::memset(row, 0, 24); break;
+          case 7: std::memset(row, 0, 28); break;
+          case 8: std::memset(row, 0, 32); break;
+          case 12: std::memset(row, 0, 48); break;
+          case 16: std::memset(row, 0, 64); break;
+          default: std::memset(row, 0, sizeof(int32_t) * nz);
+        }
+      }
+    }
     for (int j = 0; j < n_w; ++j) coef[w_pos[j]] = w_val[j];
   }
 
