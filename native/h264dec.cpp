@@ -17,10 +17,13 @@
 #include <array>
 #include <cstdint>
 #include <cstring>
+#include <atomic>
+#include <cstdlib>
 #include <deque>
 #include <map>
 #include <memory>
 #include <stdexcept>
+#include <thread>
 #include <vector>
 
 #include "h264_tables.inc"
@@ -1494,6 +1497,16 @@ struct Picture {
   std::vector<int8_t> nnz_c;       // 2 x (n4h/2) x (n4w/2)
   std::vector<int8_t> i4_modes;    // init 2
   std::vector<int32_t> mb_slice;   // init -1
+  // mb_slice is the only cell crossing threads during slice-parallel
+  // decode (writers set their own MBs; readers only compare against
+  // their own sid, so any racing value reads as "unavailable").
+  // Relaxed atomics make that well-defined and TSAN-clean.
+  int32_t slice_of(size_t mi) const {
+    return __atomic_load_n(&mb_slice[mi], __ATOMIC_RELAXED);
+  }
+  void set_slice_of(size_t mi, int32_t v) {
+    __atomic_store_n(&mb_slice[mi], v, __ATOMIC_RELAXED);
+  }
   std::vector<int8_t> mb_class, mb_qp, mb_cbp, mb_dc_flag, mb_tf8;
   std::vector<int8_t> mb_alpha_off, mb_beta_off, mb_disable;
   std::vector<int16_t> mv;         // [2][n4h][n4w][2]
@@ -2064,7 +2077,7 @@ struct SliceCtx {
   bool mb_avail(int mbx, int mby) const {
     if (mbx < 0 || mby < 0 || mbx >= pic->mb_w || mby >= pic->mb_h)
       return false;
-    return pic->mb_slice[pic->mbi(mbx, mby)] == sid;
+    return pic->slice_of(pic->mbi(mbx, mby)) == sid;
   }
   bool mb_avail_intra(int mbx, int mby) const {
     if (!mb_avail(mbx, mby)) return false;
@@ -2085,13 +2098,13 @@ struct SliceCtx {
   // -- nC (9.2.1; h264_ref.py:2011-2035).  -1000 = unavailable ------------
   int nnz_luma(int gx, int gy) const {
     if (gx < 0 || gy < 0 || gx >= pic->n4w || gy >= pic->n4h) return -1000;
-    if (pic->mb_slice[pic->mbi(gx >> 2, gy >> 2)] != sid) return -1000;
+    if (pic->slice_of(pic->mbi(gx >> 2, gy >> 2)) != sid) return -1000;
     return pic->nnz_y[pic->c4(gx, gy)];
   }
   int nnz_chroma(int comp, int cx, int cy) const {
     if (cx < 0 || cy < 0 || cx >= pic->n4w / 2 || cy >= pic->n4h / 2)
       return -1000;
-    if (pic->mb_slice[pic->mbi(cx >> 1, cy >> 1)] != sid) return -1000;
+    if (pic->slice_of(pic->mbi(cx >> 1, cy >> 1)) != sid) return -1000;
     return pic->nnz_c[pic->cc(comp, cx, cy)];
   }
   static int combine_nc(int na, int nb) {
@@ -2158,7 +2171,7 @@ struct SliceCtx {
 
   void mark_mb(int mbx, int mby) {
     size_t mi = pic->mbi(mbx, mby);
-    pic->mb_slice[mi] = sid;
+    pic->set_slice_of(mi, sid);
     pic->mb_alpha_off[mi] = (int8_t)(h->slice_alpha_c0_offset_div2 * 2);
     pic->mb_beta_off[mi] = (int8_t)(h->slice_beta_offset_div2 * 2);
     pic->mb_disable[mi] = (int8_t)h->disable_deblocking_filter_idc;
@@ -2656,7 +2669,7 @@ struct SliceCtx {
     int mbx = gx >> 2, mby = gy >> 2;
     if (mbx == cur_mbx && mby == cur_mby) {
       if (xy_to_z(gx & 3, gy & 3) >= cur_z) return {false, -1, 0, 0};
-    } else if (pic->mb_slice[pic->mbi(mbx, mby)] != sid) {
+    } else if (pic->slice_of(pic->mbi(mbx, mby)) != sid) {
       return {false, -1, 0, 0};
     } else if (!(mby < cur_mby || (mby == cur_mby && mbx < cur_mbx))) {
       return {false, -1, 0, 0};
@@ -3869,7 +3882,7 @@ struct CabacSlice {
     int mbx = gx >> 2, mby = gy >> 2;
     if (mbx == sl->cur_mbx && mby == sl->cur_mby) {
       if (xy_to_z(gx & 3, gy & 3) >= sl->cur_z) return 0;
-    } else if (pic->mb_slice[pic->mbi(mbx, mby)] != sl->sid) {
+    } else if (pic->slice_of(pic->mbi(mbx, mby)) != sl->sid) {
       return 0;
     } else if (!(mby < sl->cur_mby ||
                  (mby == sl->cur_mby && mbx < sl->cur_mbx))) {
@@ -4736,6 +4749,7 @@ struct Decoder {
 
   void finish_picture() {
     if (!cur) return;
+    flush_slice_batch();
     PicPtr pic = cur;
     cur.reset();
     has_hdr = false;
@@ -4745,6 +4759,79 @@ struct Decoder {
       deblock_picture(*pic);
     mark_references(pic);
     pending.push_back(pic);
+  }
+
+  // ---- slice-parallel decode (frame, non-MBAFF pictures) ----------------
+  // Slices of one picture are fully independent before deblocking:
+  // intra/MV/nnz availability is gated on mb_slice == sid (so no
+  // cross-slice reads occur during MB decode), each slice writes a
+  // disjoint MB set, and deblocking runs as a separate per-picture pass
+  // after the join. Slices are buffered as they arrive and decoded at
+  // picture completion — in a worker pool when the picture has several
+  // slices and cores exist, serially (arrival order) otherwise. Output
+  // is bit-identical either way. Same switch as mpeg2dec/h265dec:
+  // AMATSUKAZE_DECODE_THREADS, default hardware concurrency.
+  struct PendingSlice {
+    std::vector<uint8_t> rbsp;
+    SliceHeader h;
+    SPS sps;  // own copies: a mid-picture parameter-set rewrite must
+    PPS pps;  // not retarget an already-buffered slice
+    int sid;
+  };
+  std::vector<PendingSlice> slice_batch;
+
+  static int decode_threads() {
+    static int n = [] {
+      const char* e = std::getenv("AMATSUKAZE_DECODE_THREADS");
+      if (e && *e) return std::max(1, std::atoi(e));
+      return (int)std::max(1u, std::thread::hardware_concurrency());
+    }();
+    return n;
+  }
+
+  void flush_slice_batch() {
+    if (slice_batch.empty()) return;
+    Picture* pic = cur.get();
+    auto run_one = [&](PendingSlice& ps) {
+      auto ctx = std::unique_ptr<SliceCtx>(
+          new SliceCtx(pic, &ps.h, &ps.sps, &ps.pps, ps.sid));
+      if (ps.h.slice_type == SLICE_P) {
+        ctx->ref_l0 = build_ref_list_p(ps.h, ps.sps);
+      } else if (ps.h.slice_type == SLICE_B) {
+        build_ref_lists_b(ps.h, ps.sps, pic->poc, ctx->ref_l0, ctx->ref_l1);
+      }
+      run_slice(pic, ctx.get(), ps.rbsp, ps.h, ps.pps);
+    };
+    const int nt =
+        std::min<int>((int)slice_batch.size(), decode_threads());
+    if (nt <= 1) {
+      for (auto& ps : slice_batch) {
+        try {
+          run_one(ps);
+        } catch (const std::exception&) {
+          ++errors;
+        }
+      }
+    } else {
+      std::atomic<size_t> next{0};
+      std::atomic<long long> errs{0};
+      std::vector<std::thread> pool;
+      pool.reserve(nt);
+      for (int t = 0; t < nt; ++t)
+        pool.emplace_back([&]() {
+          for (size_t k = next.fetch_add(1); k < slice_batch.size();
+               k = next.fetch_add(1)) {
+            try {
+              run_one(slice_batch[k]);
+            } catch (const std::exception&) {
+              ++errs;
+            }
+          }
+        });
+      for (auto& th : pool) th.join();
+      errors += errs.load();
+    }
+    slice_batch.clear();
   }
 
   // -- reference marking (8.2.5; h264_ref.py:1455-1521) -------------------
@@ -5061,15 +5148,10 @@ struct Decoder {
       decode_slice_mbaff(rbsp_, h, sps, pps);
       return;
     }
-    Picture* pic = cur.get();
-    auto ctx = std::unique_ptr<SliceCtx>(
-        new SliceCtx(pic, &h, &sps, &pps, slice_counter));
-    if (h.slice_type == SLICE_P) {
-      ctx->ref_l0 = build_ref_list_p(h, sps);
-    } else if (h.slice_type == SLICE_B) {
-      build_ref_lists_b(h, sps, pic->poc, ctx->ref_l0, ctx->ref_l1);
-    }
-    run_slice(pic, ctx.get(), rbsp_, h, pps);
+    // buffered for slice-parallel decode at picture completion (the
+    // DPB and marking state are stable between a picture's slices, so
+    // deferred ref-list construction sees identical state)
+    slice_batch.push_back({rbsp_, h, sps, pps, slice_counter});
   }
 
   // shared MB loop for frame and field pictures (the oracle's
