@@ -28,6 +28,11 @@
 
 #include "h264_tables.inc"
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#define H264_SIMD 1
+#endif
+
 namespace h264 {
 
 struct DecodeError : std::runtime_error {
@@ -1316,6 +1321,109 @@ static void mc_luma(const uint8_t* refY, int W, int H, int x0, int y0, int w,
   mc_luma_s(refY, W, H, W, x0, y0, w, h, mvx, mvy, out);
 }
 
+// SIMD kernels (AVX2): the MC inner loops dominate decode time.  Pixel
+// data is staged into small fixed-stride uint8 scratch blocks first, so
+// one code path serves interior and frame-edge partitions and vector
+// loads can never leave the scratch buffer.  Lanes >= w compute garbage
+// from unstaged scratch bytes but are never stored (16-bit intrinsics
+// wrap, no UB).  Scalar twins keep non-AVX2 builds bit-exact.
+#if H264_SIMD
+// six-tap a-5b+20c+20d-5e+f over 16 horizontal u8 lanes (p[0..20] read);
+// range [-2550, 10710] fits int16
+static inline __m256i six_h16(const uint8_t* p) {
+  __m256i A = _mm256_cvtepu8_epi16(_mm_loadu_si128((const __m128i*)p));
+  __m256i B = _mm256_cvtepu8_epi16(_mm_loadu_si128((const __m128i*)(p + 1)));
+  __m256i C = _mm256_cvtepu8_epi16(_mm_loadu_si128((const __m128i*)(p + 2)));
+  __m256i D = _mm256_cvtepu8_epi16(_mm_loadu_si128((const __m128i*)(p + 3)));
+  __m256i E = _mm256_cvtepu8_epi16(_mm_loadu_si128((const __m128i*)(p + 4)));
+  __m256i F = _mm256_cvtepu8_epi16(_mm_loadu_si128((const __m128i*)(p + 5)));
+  __m256i af = _mm256_add_epi16(A, F);
+  __m256i be = _mm256_mullo_epi16(_mm256_add_epi16(B, E),
+                                  _mm256_set1_epi16(5));
+  __m256i cd = _mm256_mullo_epi16(_mm256_add_epi16(C, D),
+                                  _mm256_set1_epi16(20));
+  return _mm256_add_epi16(_mm256_sub_epi16(af, be), cd);
+}
+// same six-tap vertically: rows p, p+st, .., p+5*st at one column run
+static inline __m256i six_v16(const uint8_t* p, long st) {
+  __m256i A = _mm256_cvtepu8_epi16(_mm_loadu_si128((const __m128i*)p));
+  __m256i B =
+      _mm256_cvtepu8_epi16(_mm_loadu_si128((const __m128i*)(p + st)));
+  __m256i C =
+      _mm256_cvtepu8_epi16(_mm_loadu_si128((const __m128i*)(p + 2 * st)));
+  __m256i D =
+      _mm256_cvtepu8_epi16(_mm_loadu_si128((const __m128i*)(p + 3 * st)));
+  __m256i E =
+      _mm256_cvtepu8_epi16(_mm_loadu_si128((const __m128i*)(p + 4 * st)));
+  __m256i F =
+      _mm256_cvtepu8_epi16(_mm_loadu_si128((const __m128i*)(p + 5 * st)));
+  __m256i af = _mm256_add_epi16(A, F);
+  __m256i be = _mm256_mullo_epi16(_mm256_add_epi16(B, E),
+                                  _mm256_set1_epi16(5));
+  __m256i cd = _mm256_mullo_epi16(_mm256_add_epi16(C, D),
+                                  _mm256_set1_epi16(20));
+  return _mm256_add_epi16(_mm256_sub_epi16(af, be), cd);
+}
+// clip1((v + 16) >> 5) on 16 int16 lanes
+static inline __m256i clip_half16(__m256i v) {
+  __m256i t = _mm256_srai_epi16(_mm256_add_epi16(v, _mm256_set1_epi16(16)), 5);
+  t = _mm256_max_epi16(t, _mm256_setzero_si256());
+  return _mm256_min_epi16(t, _mm256_set1_epi16(255));
+}
+static inline __m256i cvt16(const uint8_t* p) {
+  return _mm256_cvtepu8_epi16(_mm_loadu_si128((const __m128i*)p));
+}
+// pred+res, clip to 0..255, store one 4-px row (saturating packs == clip1)
+static inline void add_clip_row4(uint8_t* dst, const int* pred,
+                                 const int* res) {
+  __m128i s = _mm_add_epi32(_mm_loadu_si128((const __m128i*)pred),
+                            _mm_loadu_si128((const __m128i*)res));
+  s = _mm_packus_epi16(_mm_packs_epi32(s, s), s);
+  int v = _mm_cvtsi128_si32(s);
+  std::memcpy(dst, &v, 4);
+}
+static inline void add_clip_row8(uint8_t* dst, const int* pred,
+                                 const int* res) {
+  __m128i a = _mm_add_epi32(_mm_loadu_si128((const __m128i*)pred),
+                            _mm_loadu_si128((const __m128i*)res));
+  __m128i b = _mm_add_epi32(_mm_loadu_si128((const __m128i*)(pred + 4)),
+                            _mm_loadu_si128((const __m128i*)(res + 4)));
+  __m128i s = _mm_packs_epi32(a, b);
+  _mm_storel_epi64((__m128i*)dst, _mm_packus_epi16(s, s));
+}
+// store an in-range int32 row as bytes (saturating, matches (uint8_t) cast
+// on already-clipped prediction samples)
+static inline void pack_row4(uint8_t* dst, const int* pred) {
+  __m128i s = _mm_loadu_si128((const __m128i*)pred);
+  s = _mm_packus_epi16(_mm_packs_epi32(s, s), s);
+  int v = _mm_cvtsi128_si32(s);
+  std::memcpy(dst, &v, 4);
+}
+static inline void pack_row8(uint8_t* dst, const int* pred) {
+  __m128i s = _mm_packs_epi32(_mm_loadu_si128((const __m128i*)pred),
+                              _mm_loadu_si128((const __m128i*)(pred + 4)));
+  _mm_storel_epi64((__m128i*)dst, _mm_packus_epi16(s, s));
+}
+#endif
+
+#if H264_SIMD
+// widen the low w 16-bit lanes (values 0..255) to int32 and store
+static inline void store_i32_from_u16(int* dst, __m256i v, int w) {
+  __m128i lo = _mm256_castsi256_si128(v);
+  if (w >= 8) {
+    _mm256_storeu_si256((__m256i*)dst, _mm256_cvtepu16_epi32(lo));
+    if (w == 16)
+      _mm256_storeu_si256(
+          (__m256i*)(dst + 8),
+          _mm256_cvtepu16_epi32(_mm256_extracti128_si256(v, 1)));
+  } else if (w == 4) {
+    _mm_storeu_si128((__m128i*)dst, _mm_cvtepu16_epi32(lo));
+  } else {  // w == 2 (chroma)
+    _mm_storel_epi64((__m128i*)dst, _mm_cvtepu16_epi32(lo));
+  }
+}
+#endif
+
 static void mc_luma_s(const uint8_t* refY, int W, int H, long stride, int x0,
                       int y0, int w, int h, int mvx, int mvy, int* out) {
   int fx = mvx & 3, fy = mvy & 3;
@@ -1324,7 +1432,12 @@ static void mc_luma_s(const uint8_t* refY, int W, int H, long stride, int x0,
   if (fx == 0 && fy == 0 && interior) {
     for (int y = 0; y < h; ++y) {
       const uint8_t* row = refY + (size_t)(iy + y) * stride + ix;
-      for (int x = 0; x < w; ++x) out[y * w + x] = row[x];
+      int* dst = out + (size_t)y * w;
+#if H264_SIMD
+      store_i32_from_u16(dst, cvt16(row), w);
+#else
+      for (int x = 0; x < w; ++x) dst[x] = row[x];
+#endif
     }
     return;
   }
@@ -1340,62 +1453,154 @@ static void mc_luma_s(const uint8_t* refY, int W, int H, long stride, int x0,
     c0 = 2;
     c1 = 2 + w;
   }
-  int ext[21 * 21];
+  // fixed 32-byte row stride so 16-byte vector loads at any used column
+  // offset stay inside the scratch block
+  enum { XS = 32 };
+  uint8_t ext[21 * XS];
   if (interior) {
-    for (int r = r0; r < r1; ++r) {
-      const uint8_t* row = refY + (size_t)(iy - 2 + r) * stride + (ix - 2);
-      int* dst = ext + r * ew;
-      for (int c = c0; c < c1; ++c) dst[c] = row[c];
-    }
+    for (int r = r0; r < r1; ++r)
+      std::memcpy(ext + r * XS + c0,
+                  refY + (size_t)(iy - 2 + r) * stride + (ix - 2) + c0,
+                  (size_t)(c1 - c0));
   } else {
     for (int r = r0; r < r1; ++r) {
       int sy = clamp_i(iy - 2 + r, 0, H - 1);
       const uint8_t* row = refY + (size_t)sy * stride;
       for (int c = c0; c < c1; ++c)
-        ext[r * ew + c] = row[clamp_i(ix - 2 + c, 0, W - 1)];
+        ext[r * XS + c] = row[clamp_i(ix - 2 + c, 0, W - 1)];
     }
   }
-  auto E = [&](int r, int c) { return ext[r * ew + c]; };
+  auto E = [&](int r, int c) { return (int)ext[r * XS + c]; };
   if (fx == 0 && fy == 0) {
-    for (int y = 0; y < h; ++y)
+    for (int y = 0; y < h; ++y) {
+#if H264_SIMD
+      store_i32_from_u16(out + y * w, cvt16(ext + (y + 2) * XS + 2), w);
+#else
       for (int x = 0; x < w; ++x) out[y * w + x] = E(y + 2, x + 2);
+#endif
+    }
     return;
   }
   if (fy == 0) {
-    for (int y = 0; y < h; ++y)
+    for (int y = 0; y < h; ++y) {
+      const uint8_t* p = ext + (y + 2) * XS;
+#if H264_SIMD
+      __m256i b = clip_half16(six_h16(p));
+      __m256i v = fx == 1   ? _mm256_avg_epu16(b, cvt16(p + 2))
+                  : fx == 2 ? b
+                            : _mm256_avg_epu16(b, cvt16(p + 3));
+      store_i32_from_u16(out + y * w, v, w);
+#else
       for (int x = 0; x < w; ++x) {
-        int b1 = six(E(y + 2, x), E(y + 2, x + 1), E(y + 2, x + 2),
-                     E(y + 2, x + 3), E(y + 2, x + 4), E(y + 2, x + 5));
+        int b1 = six(p[x], p[x + 1], p[x + 2], p[x + 3], p[x + 4], p[x + 5]);
         int b = clip1((b1 + 16) >> 5);
         int v;
         if (fx == 1)
-          v = (E(y + 2, x + 2) + b + 1) >> 1;
+          v = (p[x + 2] + b + 1) >> 1;
         else if (fx == 2)
           v = b;
         else
-          v = (E(y + 2, x + 3) + b + 1) >> 1;
+          v = (p[x + 3] + b + 1) >> 1;
         out[y * w + x] = v;
       }
+#endif
+    }
     return;
   }
   if (fx == 0) {
-    for (int y = 0; y < h; ++y)
+    for (int y = 0; y < h; ++y) {
+      const uint8_t* p = ext + y * XS + 2;
+#if H264_SIMD
+      __m256i hh = clip_half16(six_v16(p, XS));
+      __m256i v = fy == 1   ? _mm256_avg_epu16(hh, cvt16(p + 2 * XS))
+                  : fy == 2 ? hh
+                            : _mm256_avg_epu16(hh, cvt16(p + 3 * XS));
+      store_i32_from_u16(out + y * w, v, w);
+#else
       for (int x = 0; x < w; ++x) {
-        int h1 = six(E(y, x + 2), E(y + 1, x + 2), E(y + 2, x + 2),
-                     E(y + 3, x + 2), E(y + 4, x + 2), E(y + 5, x + 2));
+        int h1 = six(p[x], p[XS + x], p[2 * XS + x], p[3 * XS + x],
+                     p[4 * XS + x], p[5 * XS + x]);
         int hh = clip1((h1 + 16) >> 5);
         int v;
         if (fy == 1)
-          v = (E(y + 2, x + 2) + hh + 1) >> 1;
+          v = (p[2 * XS + x] + hh + 1) >> 1;
         else if (fy == 2)
           v = hh;
         else
-          v = (E(y + 3, x + 2) + hh + 1) >> 1;
+          v = (p[3 * XS + x] + hh + 1) >> 1;
         out[y * w + x] = v;
       }
+#endif
+    }
     return;
   }
   // both fractional (h264_ref.py:1236-1266)
+#if H264_SIMD
+  alignas(32) int16_t b1_all[21 * 16];  // rows 0..h+4 x 16 lanes (six_h)
+  for (int r = 0; r < eh; ++r)
+    _mm256_store_si256((__m256i*)(b1_all + r * 16), six_h16(ext + r * XS));
+  alignas(32) int16_t h1_all[16 * XS];  // rows 0..h-1, cols 0..w+4 (six_v)
+  for (int y = 0; y < h; ++y) {
+    _mm256_store_si256((__m256i*)(h1_all + y * XS),
+                       six_v16(ext + y * XS, XS));
+    if (w > 11)
+      _mm256_store_si256((__m256i*)(h1_all + y * XS + 16),
+                         six_v16(ext + y * XS + 16, XS));
+  }
+  const __m256i v512 = _mm256_set1_epi32(512);
+  const __m256i v255 = _mm256_set1_epi32(255);
+  for (int y = 0; y < h; ++y) {
+    // j1 = six over b1_all rows y..y+5, widened to int32
+    __m256i r16[6];
+    for (int k = 0; k < 6; ++k)
+      r16[k] = _mm256_load_si256((const __m256i*)(b1_all + (y + k) * 16));
+    __m256i jq[2];
+    for (int half = 0; half < 2; ++half) {
+      __m256i q[6];
+      for (int k = 0; k < 6; ++k) {
+        __m128i part = half ? _mm256_extracti128_si256(r16[k], 1)
+                            : _mm256_castsi256_si128(r16[k]);
+        q[k] = _mm256_cvtepi16_epi32(part);
+      }
+      __m256i af = _mm256_add_epi32(q[0], q[5]);
+      __m256i be = _mm256_mullo_epi32(_mm256_add_epi32(q[1], q[4]),
+                                      _mm256_set1_epi32(5));
+      __m256i cd = _mm256_mullo_epi32(_mm256_add_epi32(q[2], q[3]),
+                                      _mm256_set1_epi32(20));
+      __m256i j1 = _mm256_add_epi32(_mm256_sub_epi32(af, be), cd);
+      __m256i j = _mm256_srai_epi32(_mm256_add_epi32(j1, v512), 10);
+      j = _mm256_max_epi32(j, _mm256_setzero_si256());
+      jq[half] = _mm256_min_epi32(j, v255);
+    }
+    // pack both int32 halves back into 16 ordered int16 lanes
+    __m256i jv = _mm256_permute4x64_epi64(_mm256_packs_epi32(jq[0], jq[1]),
+                                          0xD8);
+    __m256i v;
+    if (fx == 2 && fy == 2) {
+      v = jv;
+    } else {
+      __m256i b = clip_half16(
+          _mm256_load_si256((const __m256i*)(b1_all + (y + 2) * 16)));
+      __m256i s = clip_half16(
+          _mm256_load_si256((const __m256i*)(b1_all + (y + 3) * 16)));
+      __m256i hh = clip_half16(
+          _mm256_loadu_si256((const __m256i*)(h1_all + y * XS + 2)));
+      __m256i m = clip_half16(
+          _mm256_loadu_si256((const __m256i*)(h1_all + y * XS + 3)));
+      if (fy == 1)
+        v = fx == 1   ? _mm256_avg_epu16(b, hh)
+            : fx == 2 ? _mm256_avg_epu16(b, jv)
+                      : _mm256_avg_epu16(b, m);
+      else if (fy == 2)
+        v = fx == 1 ? _mm256_avg_epu16(hh, jv) : _mm256_avg_epu16(jv, m);
+      else
+        v = fx == 1   ? _mm256_avg_epu16(hh, s)
+            : fx == 2 ? _mm256_avg_epu16(jv, s)
+                      : _mm256_avg_epu16(m, s);
+    }
+    store_i32_from_u16(out + y * w, v, w);
+  }
+#else
   int b1_all[21 * 16];  // rows 0..h+4, cols 0..w-1  (six_h of ext)
   for (int r = 0; r < eh; ++r)
     for (int x = 0; x < w; ++x)
@@ -1443,6 +1648,7 @@ static void mc_luma_s(const uint8_t* refY, int W, int H, long stride, int x0,
       }
       out[y * w + x] = v;
     }
+#endif
 }
 
 static void mc_chroma_s(const uint8_t* refC, int W, int H, long stride,
@@ -1459,27 +1665,60 @@ static void mc_chroma_s(const uint8_t* refC, int W, int H, long stride,
                         int* out) {
   int dx = mvx & 7, dy = mvy & 7;
   int ix = cx0 + (mvx >> 3), iy = cy0 + (mvy >> 3);
-  int A[9 * 9];
+  // fixed 16-byte row stride scratch (w+1 <= 9 used columns) so vector
+  // loads stay inside the block; lanes >= w are never stored
+  enum { CS = 16 };
+  uint8_t A[10 * CS];
   if (ix >= 0 && iy >= 0 && ix + w + 1 <= W && iy + h + 1 <= H) {
-    for (int r = 0; r <= h; ++r) {
-      const uint8_t* row = refC + (size_t)(iy + r) * stride + ix;
-      int* dst = A + r * (w + 1);
-      for (int c = 0; c <= w; ++c) dst[c] = row[c];
-    }
+    for (int r = 0; r <= h; ++r)
+      std::memcpy(A + r * CS, refC + (size_t)(iy + r) * stride + ix, w + 1);
   } else {
     for (int r = 0; r <= h; ++r) {
       int sy = clamp_i(iy + r, 0, H - 1);
       const uint8_t* row = refC + (size_t)sy * stride;
       for (int c = 0; c <= w; ++c)
-        A[r * (w + 1) + c] = row[clamp_i(ix + c, 0, W - 1)];
+        A[r * CS + c] = row[clamp_i(ix + c, 0, W - 1)];
     }
   }
+#if H264_SIMD
+  // bilinear in 16-bit lanes: t = (8-dx)*A[x] + dx*A[x+1] (<= 2040),
+  // out = ((8-dy)*t0 + dy*t1 + 32) >> 6 (<= 16352, fits int16)
+  const __m128i vdx = _mm_set1_epi16((short)dx);
+  const __m128i vix = _mm_set1_epi16((short)(8 - dx));
+  const __m128i vdy = _mm_set1_epi16((short)dy);
+  const __m128i viy = _mm_set1_epi16((short)(8 - dy));
+  const __m128i v32 = _mm_set1_epi16(32);
+  auto hrow = [&](const uint8_t* p) {
+    __m128i b = _mm_loadu_si128((const __m128i*)p);
+    __m128i a0 = _mm_cvtepu8_epi16(b);
+    __m128i a1 = _mm_cvtepu8_epi16(_mm_srli_si128(b, 1));
+    return _mm_add_epi16(_mm_mullo_epi16(a0, vix), _mm_mullo_epi16(a1, vdx));
+  };
+  __m128i t0 = hrow(A);
+  for (int y = 0; y < h; ++y) {
+    __m128i t1 = hrow(A + (y + 1) * CS);
+    __m128i s = _mm_add_epi16(
+        _mm_add_epi16(_mm_mullo_epi16(t0, viy), _mm_mullo_epi16(t1, vdy)),
+        v32);
+    s = _mm_srli_epi16(s, 6);
+    int* dst = out + (size_t)y * w;
+    if (w == 8) {
+      _mm256_storeu_si256((__m256i*)dst, _mm256_cvtepu16_epi32(s));
+    } else if (w == 4) {
+      _mm_storeu_si128((__m128i*)dst, _mm_cvtepu16_epi32(s));
+    } else {  // w == 2
+      _mm_storel_epi64((__m128i*)dst, _mm_cvtepu16_epi32(s));
+    }
+    t0 = t1;
+  }
+#else
   for (int y = 0; y < h; ++y)
     for (int x = 0; x < w; ++x)
-      out[y * w + x] = ((8 - dx) * (8 - dy) * A[y * (w + 1) + x] +
-                        dx * (8 - dy) * A[y * (w + 1) + x + 1] +
-                        (8 - dx) * dy * A[(y + 1) * (w + 1) + x] +
-                        dx * dy * A[(y + 1) * (w + 1) + x + 1] + 32) >> 6;
+      out[y * w + x] = ((8 - dx) * (8 - dy) * A[y * CS + x] +
+                        dx * (8 - dy) * A[y * CS + x + 1] +
+                        (8 - dx) * dy * A[(y + 1) * CS + x] +
+                        dx * dy * A[(y + 1) * CS + x + 1] + 32) >> 6;
+#endif
 }
 
 // ---------------------------------------------------------------------------
@@ -2644,9 +2883,13 @@ struct SliceCtx {
         }
       }
       for (int yy = 0; yy < 8; ++yy)
+#if H264_SIMD
+        pack_row8(plane + (size_t)(py + yy) * CW + px, out + 8 * yy);
+#else
         for (int xx = 0; xx < 8; ++xx)
           plane[(size_t)(py + yy) * CW + px + xx] =
               (uint8_t)clamp_i(out[8 * yy + xx], 0, 255);
+#endif
     }
   }
 
@@ -3146,18 +3389,28 @@ struct SliceCtx {
         int px = mbx * 16 + bx * 4, py = mby * 16 + by * 4;
         if (!(cbp_luma & (1 << b))) {
           for (int yy = 0; yy < 8; ++yy)
+#if H264_SIMD
+            pack_row8(Y + (size_t)(py + yy) * W + px,
+                      predY + 16 * (by * 4 + yy) + bx * 4);
+#else
             for (int xx = 0; xx < 8; ++xx)
               Y[(size_t)(py + yy) * W + px + xx] =
                   (uint8_t)predY[16 * (by * 4 + yy) + bx * 4 + xx];
+#endif
           continue;
         }
         int scan64[64], res[64];
         parse_luma8x8_cavlc(r, b, scan64);
         residual8x8(scan64, qp, 1, res);
         for (int yy = 0; yy < 8; ++yy)
+#if H264_SIMD
+          add_clip_row8(Y + (size_t)(py + yy) * W + px,
+                        predY + 16 * (by * 4 + yy) + bx * 4, res + 8 * yy);
+#else
           for (int xx = 0; xx < 8; ++xx)
             Y[(size_t)(py + yy) * W + px + xx] = (uint8_t)clip1(
                 predY[16 * (by * 4 + yy) + bx * 4 + xx] + res[8 * yy + xx]);
+#endif
       }
       std::memcpy(pred_chromaU, predU, sizeof(pred_chromaU));
       std::memcpy(pred_chromaV, predV, sizeof(pred_chromaV));
@@ -3170,9 +3423,14 @@ struct SliceCtx {
       int px = mbx * 16 + x4 * 4, py = mby * 16 + y4 * 4;
       if (!(cbp_luma & (1 << (k >> 2)))) {
         for (int yy = 0; yy < 4; ++yy)
+#if H264_SIMD
+          pack_row4(Y + (size_t)(py + yy) * W + px,
+                    predY + 16 * (y4 * 4 + yy) + x4 * 4);
+#else
           for (int xx = 0; xx < 4; ++xx)
             Y[(size_t)(py + yy) * W + px + xx] =
                 (uint8_t)predY[16 * (y4 * 4 + yy) + x4 * 4 + xx];
+#endif
         continue;
       }
       int gx = gx0 + x4, gy = gy0 + y4;
@@ -3191,9 +3449,14 @@ struct SliceCtx {
       }
       idct4x4(d, res);
       for (int yy = 0; yy < 4; ++yy)
+#if H264_SIMD
+        add_clip_row4(Y + (size_t)(py + yy) * W + px,
+                      predY + 16 * (y4 * 4 + yy) + x4 * 4, res + 4 * yy);
+#else
         for (int xx = 0; xx < 4; ++xx)
           Y[(size_t)(py + yy) * W + px + xx] = (uint8_t)clip1(
               predY[16 * (y4 * 4 + yy) + x4 * 4 + xx] + res[4 * yy + xx]);
+#endif
     }
     std::memcpy(pred_chromaU, predU, sizeof(pred_chromaU));
     std::memcpy(pred_chromaV, predV, sizeof(pred_chromaV));
