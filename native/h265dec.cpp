@@ -35,6 +35,11 @@
 
 #include "h265_tables.inc"
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#define H265_SIMD 1
+#endif
+
 namespace h265 {
 
 struct DecodeError : std::runtime_error {
@@ -1113,6 +1118,22 @@ struct Frame {
   inline uint16_t* yrow(int y) { return Y.data() + (size_t)y * wp; }
   inline uint16_t* urow(int y) { return U.data() + (size_t)y * cw; }
   inline uint16_t* vrow(int y) { return V.data() + (size_t)y * cw; }
+  // Frames evicted from the DPB can still be display-pending (OutFrame
+  // keeps the pixel planes alive zero-copy); the per-4x4 grids and SAO
+  // state are reference-/decode-time only, so release the ~40B/cell
+  // (e.g. ~20 MB at 4K) as soon as the picture stops being a reference.
+  void drop_side_arrays() {
+    auto drop = [](auto& v) {
+      v.clear();
+      v.shrink_to_fit();
+    };
+    drop(avail); drop(decided); drop(ctdepth); drop(intra_mode);
+    drop(is_intra); drop(skip); drop(nnz); drop(bypass);
+    drop(tu_edge_v); drop(tu_edge_h); drop(pu_edge_v); drop(pu_edge_h);
+    drop(slice_id); drop(qp); drop(mv); drop(mv_used); drop(ref_poc);
+    drop(ref_idx); drop(ref_lt); drop(sao_type); drop(sao_offsets);
+    drop(sao_band_pos); drop(sao_eo_class);
+  }
 };
 
 using PicPtr = std::shared_ptr<Frame>;
@@ -2537,6 +2558,73 @@ static inline const uint16_t* mc_row(const uint16_t* plane, int stride,
   return scratch;
 }
 
+#if H265_SIMD
+// N-tap filter over a uint16 row: out[x] = (sum f[i]*row[x+i]) >> s1 for
+// x in [0, w), w >= 8 (row has w+N-1 valid entries via mc_row).  Chunks
+// of 8 int32 lanes; the tail chunk back-shifts and recomputes overlap.
+template <int N>
+static inline void filt_row_u16(const uint16_t* row, const int16_t* f,
+                                int w, int s1, int32_t* out) {
+  __m256i c[N];
+  for (int i = 0; i < N; ++i) c[i] = _mm256_set1_epi32(f[i]);
+  const __m128i sh = _mm_cvtsi32_si128(s1);
+  int x = 0;
+  for (;;) {
+    if (x + 8 > w) x = w - 8;
+    __m256i acc = _mm256_setzero_si256();
+    for (int i = 0; i < N; ++i) {
+      __m256i v = _mm256_cvtepu16_epi32(
+          _mm_loadu_si128((const __m128i*)(row + x + i)));
+      acc = _mm256_add_epi32(acc, _mm256_mullo_epi32(v, c[i]));
+    }
+    _mm256_storeu_si256((__m256i*)(out + x), _mm256_sra_epi32(acc, sh));
+    x += 8;
+    if (x >= w) break;
+  }
+}
+// same, filtering vertically over an int32 plane of row stride w
+template <int N>
+static inline void filt_col_i32(const int32_t* tmp, int w, const int16_t* f,
+                                int s1, int32_t* out) {
+  __m256i c[N];
+  for (int i = 0; i < N; ++i) c[i] = _mm256_set1_epi32(f[i]);
+  const __m128i sh = _mm_cvtsi32_si128(s1);
+  int x = 0;
+  for (;;) {
+    if (x + 8 > w) x = w - 8;
+    __m256i acc = _mm256_setzero_si256();
+    for (int i = 0; i < N; ++i) {
+      __m256i v = _mm256_loadu_si256((const __m256i*)(tmp + i * w + x));
+      acc = _mm256_add_epi32(acc, _mm256_mullo_epi32(v, c[i]));
+    }
+    _mm256_storeu_si256((__m256i*)(out + x), _mm256_sra_epi32(acc, sh));
+    x += 8;
+    if (x >= w) break;
+  }
+}
+// same, vertically over N uint16 row pointers
+template <int N>
+static inline void filt_col_u16(const uint16_t* const* rows, int w,
+                                const int16_t* f, int s1, int32_t* out) {
+  __m256i c[N];
+  for (int i = 0; i < N; ++i) c[i] = _mm256_set1_epi32(f[i]);
+  const __m128i sh = _mm_cvtsi32_si128(s1);
+  int x = 0;
+  for (;;) {
+    if (x + 8 > w) x = w - 8;
+    __m256i acc = _mm256_setzero_si256();
+    for (int i = 0; i < N; ++i) {
+      __m256i v = _mm256_cvtepu16_epi32(
+          _mm_loadu_si128((const __m128i*)(rows[i] + x)));
+      acc = _mm256_add_epi32(acc, _mm256_mullo_epi32(v, c[i]));
+    }
+    _mm256_storeu_si256((__m256i*)(out + x), _mm256_sra_epi32(acc, sh));
+    x += 8;
+    if (x >= w) break;
+  }
+}
+#endif
+
 static void mc_luma_14bit(const uint16_t* plane, int stride, int pw, int ph,
                           int x0, int y0, int w, int h, int mvx, int mvy,
                           int bd, int32_t* out) {
@@ -2561,6 +2649,12 @@ static void mc_luma_14bit(const uint16_t* plane, int stride, int pw, int ph,
     for (int y = 0; y < h + 7; ++y) {
       const uint16_t* row =
           mc_row(plane, stride, pw, ph, yi - 3 + y, xi - 3, w + 7, scratch);
+#if H265_SIMD
+      if (w >= 8) {
+        filt_row_u16<8>(row, ftab, w, s1, tmp + y * w);
+        continue;
+      }
+#endif
       for (int x = 0; x < w; ++x) {
         int acc = 0;
         for (int i = 0; i < 8; ++i) acc += ftab[i] * row[x + i];
@@ -2568,12 +2662,19 @@ static void mc_luma_14bit(const uint16_t* plane, int stride, int pw, int ph,
       }
     }
     const int16_t* fv = kLumaFilter + fy * 8;
-    for (int y = 0; y < h; ++y)
+    for (int y = 0; y < h; ++y) {
+#if H265_SIMD
+      if (w >= 8) {
+        filt_col_i32<8>(tmp + y * w, w, fv, 6, out + y * w);
+        continue;
+      }
+#endif
       for (int x = 0; x < w; ++x) {
         int acc = 0;
         for (int i = 0; i < 8; ++i) acc += fv[i] * tmp[(y + i) * w + x];
         out[y * w + x] = acc >> 6;
       }
+    }
     return;
   }
   if (fx) {
@@ -2581,6 +2682,12 @@ static void mc_luma_14bit(const uint16_t* plane, int stride, int pw, int ph,
     for (int y = 0; y < h; ++y) {
       const uint16_t* row =
           mc_row(plane, stride, pw, ph, yi + y, xi - 3, w + 7, scratch);
+#if H265_SIMD
+      if (w >= 8) {
+        filt_row_u16<8>(row, ftab, w, s1, out + y * w);
+        continue;
+      }
+#endif
       for (int x = 0; x < w; ++x) {
         int acc = 0;
         for (int i = 0; i < 8; ++i) acc += ftab[i] * row[x + i];
@@ -2595,12 +2702,19 @@ static void mc_luma_14bit(const uint16_t* plane, int stride, int pw, int ph,
   uint16_t rowbuf[64 + 7][64 + 8];
   for (int y = 0; y < h + 7; ++y)
     rows[y] = mc_row(plane, stride, pw, ph, yi - 3 + y, xi, w, rowbuf[y]);
-  for (int y = 0; y < h; ++y)
+  for (int y = 0; y < h; ++y) {
+#if H265_SIMD
+    if (w >= 8) {
+      filt_col_u16<8>(rows + y, w, fv, s1, out + y * w);
+      continue;
+    }
+#endif
     for (int x = 0; x < w; ++x) {
       int acc = 0;
       for (int i = 0; i < 8; ++i) acc += fv[i] * rows[y + i][x];
       out[y * w + x] = acc >> s1;
     }
+  }
 }
 
 // mv in eighth-chroma units (== the luma quarter-pel value)
@@ -2627,6 +2741,12 @@ static void mc_chroma_14bit(const uint16_t* plane, int stride, int pw,
     for (int y = 0; y < h + 3; ++y) {
       const uint16_t* row =
           mc_row(plane, stride, pw, ph, yi - 1 + y, xi - 1, w + 3, scratch);
+#if H265_SIMD
+      if (w >= 8) {
+        filt_row_u16<4>(row, ftab, w, s1, tmp + y * w);
+        continue;
+      }
+#endif
       for (int x = 0; x < w; ++x) {
         int acc = 0;
         for (int i = 0; i < 4; ++i) acc += ftab[i] * row[x + i];
@@ -2634,12 +2754,19 @@ static void mc_chroma_14bit(const uint16_t* plane, int stride, int pw,
       }
     }
     const int16_t* fv = kChromaFilter + fy * 4;
-    for (int y = 0; y < h; ++y)
+    for (int y = 0; y < h; ++y) {
+#if H265_SIMD
+      if (w >= 8) {
+        filt_col_i32<4>(tmp + y * w, w, fv, 6, out + y * w);
+        continue;
+      }
+#endif
       for (int x = 0; x < w; ++x) {
         int acc = 0;
         for (int i = 0; i < 4; ++i) acc += fv[i] * tmp[(y + i) * w + x];
         out[y * w + x] = acc >> 6;
       }
+    }
     return;
   }
   if (fx) {
@@ -2647,6 +2774,12 @@ static void mc_chroma_14bit(const uint16_t* plane, int stride, int pw,
     for (int y = 0; y < h; ++y) {
       const uint16_t* row =
           mc_row(plane, stride, pw, ph, yi + y, xi - 1, w + 3, scratch);
+#if H265_SIMD
+      if (w >= 8) {
+        filt_row_u16<4>(row, ftab, w, s1, out + y * w);
+        continue;
+      }
+#endif
       for (int x = 0; x < w; ++x) {
         int acc = 0;
         for (int i = 0; i < 4; ++i) acc += ftab[i] * row[x + i];
@@ -2660,12 +2793,19 @@ static void mc_chroma_14bit(const uint16_t* plane, int stride, int pw,
   uint16_t rowbuf[32 + 3][32 + 4];
   for (int y = 0; y < h + 3; ++y)
     rows[y] = mc_row(plane, stride, pw, ph, yi - 1 + y, xi, w, rowbuf[y]);
-  for (int y = 0; y < h; ++y)
+  for (int y = 0; y < h; ++y) {
+#if H265_SIMD
+    if (w >= 8) {
+      filt_col_u16<4>(rows + y, w, fv, s1, out + y * w);
+      continue;
+    }
+#endif
     for (int x = 0; x < w; ++x) {
       int acc = 0;
       for (int i = 0; i < 4; ++i) acc += fv[i] * rows[y + i][x];
       out[y * w + x] = acc >> s1;
     }
+  }
 }
 
 // 8.5.4.2.2 default / 8.5.4.2.3 explicit weighted prediction
@@ -2675,6 +2815,17 @@ struct Wp {
   int w, o, log2wd;
 };
 
+#if H265_SIMD
+// clamp 8 int32 lanes to [0, mx] and store as 8 uint16
+static inline void pack_clamp8_u16(uint16_t* dst, __m256i v, __m256i vmx) {
+  v = _mm256_max_epi32(v, _mm256_setzero_si256());
+  v = _mm256_min_epi32(v, vmx);
+  __m128i p = _mm_packus_epi32(_mm256_castsi256_si128(v),
+                               _mm256_extracti128_si256(v, 1));
+  _mm_storeu_si128((__m128i*)dst, p);
+}
+#endif
+
 static void weighted_uni(const int32_t* pred, int n, const Wp& wp, int bd,
                          int w_, int stride_out, uint16_t* out) {
   int mx = (1 << bd) - 1;
@@ -2682,6 +2833,29 @@ static void weighted_uni(const int32_t* pred, int n, const Wp& wp, int bd,
   int rows = n / w_;
   if (!wp.present) {
     int rnd = 1 << (s1 - 1);
+#if H265_SIMD
+    if (w_ >= 8) {
+      const __m256i vr = _mm256_set1_epi32(rnd);
+      const __m256i vmx = _mm256_set1_epi32(mx);
+      const __m128i sh = _mm_cvtsi32_si128(s1);
+      for (int y = 0; y < rows; ++y) {
+        uint16_t* orow = out + (size_t)y * stride_out;
+        const int32_t* prow = pred + (size_t)y * w_;
+        int x = 0;
+        for (;;) {
+          if (x + 8 > w_) x = w_ - 8;
+          __m256i v = _mm256_sra_epi32(
+              _mm256_add_epi32(
+                  _mm256_loadu_si256((const __m256i*)(prow + x)), vr),
+              sh);
+          pack_clamp8_u16(orow + x, v, vmx);
+          x += 8;
+          if (x >= w_) break;
+        }
+      }
+      return;
+    }
+#endif
     for (int y = 0; y < rows; ++y)
       for (int x = 0; x < w_; ++x)
         out[(size_t)y * stride_out + x] =
@@ -2703,6 +2877,30 @@ static void weighted_bi(const int32_t* p0, const int32_t* p1, int n,
   int rows = n / w_;
   if (!wp0.present) {
     int rnd = 1 << s1;
+#if H265_SIMD
+    if (w_ >= 8) {
+      const __m256i vr = _mm256_set1_epi32(rnd);
+      const __m256i vmx = _mm256_set1_epi32(mx);
+      const __m128i sh = _mm_cvtsi32_si128(s1 + 1);
+      for (int y = 0; y < rows; ++y) {
+        uint16_t* orow = out + (size_t)y * stride_out;
+        const int32_t* r0 = p0 + (size_t)y * w_;
+        const int32_t* r1 = p1 + (size_t)y * w_;
+        int x = 0;
+        for (;;) {
+          if (x + 8 > w_) x = w_ - 8;
+          __m256i v = _mm256_add_epi32(
+              _mm256_loadu_si256((const __m256i*)(r0 + x)),
+              _mm256_loadu_si256((const __m256i*)(r1 + x)));
+          v = _mm256_sra_epi32(_mm256_add_epi32(v, vr), sh);
+          pack_clamp8_u16(orow + x, v, vmx);
+          x += 8;
+          if (x >= w_) break;
+        }
+      }
+      return;
+    }
+#endif
     for (int y = 0; y < rows; ++y)
       for (int x = 0; x < w_; ++x)
         out[(size_t)y * stride_out + x] = (uint16_t)clamp_i(
@@ -2875,18 +3073,30 @@ void SliceDec::store_motion(int xp, int yp, int w, int hh,
     const uint8_t lt2[2] = {refs_lt[0][ridx[0]], refs_lt[1][ridx[1]]};
     uint16_t lt16;
     std::memcpy(&lt16, lt2, 2);
-    const uint16_t used16 = 0x0101;
+    // one contiguous sweep per array keeps each row fill inside a
+    // single cache stream (the interleaved per-cell form bounced
+    // across all seven arrays every 4x4 cell)
     for (int gy = gy0; gy < gy1; ++gy) {
-      int gi0 = pic->gi(gy, gx0);
-      for (int gi = gi0; gi < gi0 + cnt; ++gi) {
-        std::memcpy(&pic->mv[gi * 4], &mv64, 8);
-        std::memcpy(&pic->mv_used[gi * 2], &used16, 2);
-        std::memcpy(&pic->ref_idx[gi * 2], &ri16, 2);
-        std::memcpy(&pic->ref_poc[gi * 2], &rp64, 8);
-        std::memcpy(&pic->ref_lt[gi * 2], &lt16, 2);
-        pic->is_intra[gi] = 0;
-        pic->decided[gi] = 1;
+      size_t gi0 = pic->gi(gy, gx0);
+      int16_t* mvd = &pic->mv[gi0 * 4];
+      for (int i = 0; i < cnt; ++i) std::memcpy(mvd + 4 * i, &mv64, 8);
+      std::memset(&pic->mv_used[gi0 * 2], 1, (size_t)cnt * 2);
+      int8_t* rid = &pic->ref_idx[gi0 * 2];
+      if (ri2[0] == ri2[1]) {
+        std::memset(rid, (uint8_t)ri2[0], (size_t)cnt * 2);
+      } else {
+        for (int i = 0; i < cnt; ++i) std::memcpy(rid + 2 * i, &ri16, 2);
       }
+      int32_t* rpd = &pic->ref_poc[gi0 * 2];
+      for (int i = 0; i < cnt; ++i) std::memcpy(rpd + 2 * i, &rp64, 8);
+      uint8_t* ltd = &pic->ref_lt[gi0 * 2];
+      if (lt2[0] == lt2[1]) {
+        std::memset(ltd, lt2[0], (size_t)cnt * 2);
+      } else {
+        for (int i = 0; i < cnt; ++i) std::memcpy(ltd + 2 * i, &lt16, 2);
+      }
+      std::memset(&pic->is_intra[gi0], 0, cnt);
+      std::memset(&pic->decided[gi0], 1, cnt);
     }
   } else {
     const int lx = used[0] ? 0 : 1;
@@ -2895,18 +3105,25 @@ void SliceDec::store_motion(int xp, int yp, int w, int hh,
     const int32_t rp = pocs[lx];
     const uint8_t lt = refs_lt[lx][ridx[lx]];
     for (int gy = gy0; gy < gy1; ++gy) {
-      int gi0 = pic->gi(gy, gx0);
-      for (int gi = gi0; gi < gi0 + cnt; ++gi) {
-        pic->mv_used[gi * 2 + lx] = 1;
-        pic->mv_used[gi * 2 + (1 - lx)] = 0;
-        pic->mv[gi * 4 + lx * 2 + 0] = mx;
-        pic->mv[gi * 4 + lx * 2 + 1] = my;
-        pic->ref_idx[gi * 2 + lx] = ri;
-        pic->ref_poc[gi * 2 + lx] = rp;
-        pic->ref_lt[gi * 2 + lx] = lt;
-        pic->is_intra[gi] = 0;
-        pic->decided[gi] = 1;
+      size_t gi0 = pic->gi(gy, gx0);
+      uint8_t* mu = &pic->mv_used[gi0 * 2];
+      for (int i = 0; i < cnt; ++i) {
+        mu[2 * i + lx] = 1;
+        mu[2 * i + (1 - lx)] = 0;
       }
+      int16_t* mvd = &pic->mv[gi0 * 4 + lx * 2];
+      for (int i = 0; i < cnt; ++i) {
+        mvd[4 * i] = mx;
+        mvd[4 * i + 1] = my;
+      }
+      int8_t* rid = &pic->ref_idx[gi0 * 2 + lx];
+      for (int i = 0; i < cnt; ++i) rid[2 * i] = ri;
+      int32_t* rpd = &pic->ref_poc[gi0 * 2 + lx];
+      for (int i = 0; i < cnt; ++i) rpd[2 * i] = rp;
+      uint8_t* ltd = &pic->ref_lt[gi0 * 2 + lx];
+      for (int i = 0; i < cnt; ++i) ltd[2 * i] = lt;
+      std::memset(&pic->is_intra[gi0], 0, cnt);
+      std::memset(&pic->decided[gi0], 1, cnt);
     }
   }
 }
@@ -3792,7 +4009,11 @@ static void run_wavefront(SliceDec& sd) {
 struct OutFrame {
   int poc;
   int w, h, bd;
-  std::unique_ptr<uint16_t[]> Y, U, V;
+  // zero-copy: the display frame references the decoded picture (kept
+  // alive by this shared_ptr until popped) instead of a cropped copy;
+  // PopFrame copies rows straight from the strided planes
+  std::shared_ptr<Frame> src;
+  int ox, oy;  // conformance-window origin in luma samples
 };
 using OutPtr = std::shared_ptr<OutFrame>;
 
@@ -3884,7 +4105,10 @@ struct Decoder {
     parse_slice_header(rbsp, t, sps_map, pps_map, h);
     if (h.first_slice) {
       finish_picture();
-      if (t == NAL_IDR_W_RADL || t == NAL_IDR_N_LP) dpb.clear();
+      if (t == NAL_IDR_W_RADL || t == NAL_IDR_N_LP) {
+        for (auto& p : dpb) p->drop_side_arrays();
+        dpb.clear();
+      }
       cur_pic = std::make_shared<Frame>(*h.sps, *h.pps);
       cur_pic->nal_type = t;
       cur_poc = compute_poc(h, t);
@@ -3903,7 +4127,10 @@ struct Decoder {
             if (p->poc == cur_poc + e.first) keep_it = true;
           for (auto& e : lts)
             if (e.first == p.get()) keep_it = true;
-          if (keep_it) keep.push_back(p);
+          if (keep_it)
+            keep.push_back(p);
+          else
+            p->drop_side_arrays();
         }
         dpb = keep;
       }
@@ -4142,21 +4369,9 @@ struct Decoder {
     f->bd = s.bit_depth;
     f->w = s.width - 2 * (cl + cr);
     f->h = s.height - 2 * (ct + cb);
-    f->Y.reset(new uint16_t[(size_t)f->w * f->h]);
-    f->U.reset(new uint16_t[(size_t)(f->w / 2) * (f->h / 2)]);
-    f->V.reset(new uint16_t[(size_t)(f->w / 2) * (f->h / 2)]);
-    for (int y = 0; y < f->h; ++y)
-      std::memcpy(&f->Y[(size_t)y * f->w],
-                  &pic.Y[(size_t)(2 * ct + y) * pic.wp + 2 * cl],
-                  sizeof(uint16_t) * f->w);
-    for (int y = 0; y < f->h / 2; ++y) {
-      std::memcpy(&f->U[(size_t)y * (f->w / 2)],
-                  &pic.U[(size_t)(ct + y) * pic.cw + cl],
-                  sizeof(uint16_t) * (f->w / 2));
-      std::memcpy(&f->V[(size_t)y * (f->w / 2)],
-                  &pic.V[(size_t)(ct + y) * pic.cw + cl],
-                  sizeof(uint16_t) * (f->w / 2));
-    }
+    f->src = pics;
+    f->ox = 2 * cl;
+    f->oy = 2 * ct;
     return f;
   }
 };
@@ -4208,20 +4423,44 @@ int H265_PopFrame(void* hp, uint8_t* y, uint8_t* u, uint8_t* v) {
   if (d->outq.empty()) return 0;
   auto f = d->outq.front();
   d->outq.pop_front();
-  const size_t ny = (size_t)f->w * f->h;
-  const size_t nc = (size_t)(f->w / 2) * (f->h / 2);
+  const h265::Frame& p = *f->src;
+  const int cw = f->w / 2, ch = f->h / 2;
+  const int cox = f->ox / 2, coy = f->oy / 2;
   if (f->bd > 8) {
-    std::memcpy(y, f->Y.get(), ny * 2);
-    std::memcpy(u, f->U.get(), nc * 2);
-    std::memcpy(v, f->V.get(), nc * 2);
+    for (int r = 0; r < f->h; ++r)
+      std::memcpy(y + (size_t)r * f->w * 2,
+                  &p.Y[(size_t)(f->oy + r) * p.wp + f->ox],
+                  (size_t)f->w * 2);
+    for (int r = 0; r < ch; ++r) {
+      std::memcpy(u + (size_t)r * cw * 2,
+                  &p.U[(size_t)(coy + r) * p.cw + cox], (size_t)cw * 2);
+      std::memcpy(v + (size_t)r * cw * 2,
+                  &p.V[(size_t)(coy + r) * p.cw + cox], (size_t)cw * 2);
+    }
   } else {
-    const uint16_t* sy = f->Y.get();
-    const uint16_t* su = f->U.get();
-    const uint16_t* sv = f->V.get();
-    for (size_t i = 0; i < ny; ++i) y[i] = (uint8_t)sy[i];
-    for (size_t i = 0; i < nc; ++i) u[i] = (uint8_t)su[i];
-    for (size_t i = 0; i < nc; ++i) v[i] = (uint8_t)sv[i];
+    auto narrow_row = [](uint8_t* dst, const uint16_t* src, int n) {
+      int i = 0;
+#if H265_SIMD
+      for (; i + 16 <= n; i += 16) {
+        __m256i a = _mm256_loadu_si256((const __m256i*)(src + i));
+        __m256i pk = _mm256_packus_epi16(a, a);
+        pk = _mm256_permute4x64_epi64(pk, 0xD8);
+        _mm_storeu_si128((__m128i*)(dst + i), _mm256_castsi256_si128(pk));
+      }
+#endif
+      for (; i < n; ++i) dst[i] = (uint8_t)src[i];
+    };
+    for (int r = 0; r < f->h; ++r)
+      narrow_row(y + (size_t)r * f->w,
+                 &p.Y[(size_t)(f->oy + r) * p.wp + f->ox], f->w);
+    for (int r = 0; r < ch; ++r) {
+      narrow_row(u + (size_t)r * cw, &p.U[(size_t)(coy + r) * p.cw + cox],
+                 cw);
+      narrow_row(v + (size_t)r * cw, &p.V[(size_t)(coy + r) * p.cw + cox],
+                 cw);
+    }
   }
+  f->src.reset();
   return 1;
 }
 
