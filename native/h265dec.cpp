@@ -923,6 +923,28 @@ struct CabacEngine {
     if (byte >= size) return 0;
     return (data[byte] >> (7 - (p & 7))) & 1;
   }
+  // next k bits MSB-first (k <= 24); bits past the buffer end read as 0,
+  // matching bit().  One 8-byte big-endian window load in the fast path.
+  uint32_t read_bits(int k) {
+    if (k == 0) return 0;
+    size_t p = pos;
+    pos += k;
+    size_t byte = p >> 3;
+    if (byte + 8 <= size) {
+      uint64_t w;
+      std::memcpy(&w, data + byte, 8);
+      w = __builtin_bswap64(w);
+      return (uint32_t)((w >> (64 - (p & 7) - k)) &
+                        (((uint64_t)1 << k) - 1));
+    }
+    uint32_t v = 0;
+    for (int i = 0; i < k; ++i) {
+      size_t b = (p + i) >> 3;
+      int bv = b >= size ? 0 : (data[b] >> (7 - ((p + i) & 7))) & 1;
+      v = (v << 1) | (uint32_t)bv;
+    }
+    return v;
+  }
   int decision(int idx) {
     int pstate = state[idx];
     int rng = range_;
@@ -939,15 +961,17 @@ struct CabacEngine {
       b = mps[idx];
       state[idx] = kTransIdxMps[pstate];
     }
-    while (rng < 256) {
-      rng <<= 1;
-      offset = (offset << 1) | bit();
+    if (rng < 256) {
+      // renormalize in one step: smallest k with rng<<k >= 256
+      int k = 8 - (31 - __builtin_clz((unsigned)rng));
+      rng <<= k;
+      offset = (offset << k) | (int)read_bits(k);
     }
     range_ = rng;
     return b;
   }
   int bypass() {
-    offset = (offset << 1) | bit();
+    offset = (offset << 1) | (int)read_bits(1);
     if (offset >= range_) {
       offset -= range_;
       return 1;
@@ -955,6 +979,15 @@ struct CabacEngine {
     return 0;
   }
   int bypass_bits(int n) {
+    // n bypass bins == n steps of long division of
+    // (offset * 2^n + next n bits) by range_ (offset < range_ invariant:
+    // each step's quotient digit is the decoded bin)
+    if (n <= 20) {
+      uint64_t acc = ((uint64_t)(uint32_t)offset << n) | read_bits(n);
+      int v = (int)(acc / (uint32_t)range_);
+      offset = (int)(acc % (uint32_t)range_);
+      return v;
+    }
     uint32_t v = 0;
     for (int i = 0; i < n; ++i) v = (v << 1) | (uint32_t)bypass();
     return (int)v;
@@ -1194,6 +1227,48 @@ static void idct_1d(const int32_t* src, int sstride, int log2, int nnz,
   }
 }
 
+#if H265_SIMD
+// vertical partial-butterfly IDCT over 8 columns at once: column j of
+// the coefficient block d (row stride `stride`) starting at column x;
+// out = sz rows x 8 lanes.  Same recursion as idct_1d, but each lane
+// is one column, so the stride-n column walks become contiguous loads.
+static void idct_cols8(const int32_t* d, int stride, int log2, int nnz,
+                       int x, int32_t* out) {
+  int sz = 1 << log2;
+  const int16_t* M = g_dct[log2];
+  if (sz == 4) {
+    for (int i = 0; i < 4; ++i) {
+      __m256i acc = _mm256_setzero_si256();
+      for (int k = 0; k < nnz; ++k)
+        acc = _mm256_add_epi32(
+            acc, _mm256_mullo_epi32(
+                     _mm256_set1_epi32(M[k * 4 + i]),
+                     _mm256_loadu_si256(
+                         (const __m256i*)(d + (size_t)k * stride + x))));
+      _mm256_store_si256((__m256i*)(out + i * 8), acc);
+    }
+    return;
+  }
+  int half = sz >> 1;
+  alignas(32) int32_t even[16 * 8];
+  idct_cols8(d, stride * 2, log2 - 1, (nnz + 1) >> 1, x, even);
+  int n_odd = nnz >> 1;
+  for (int i = 0; i < half; ++i) {
+    __m256i odd = _mm256_setzero_si256();
+    for (int j = 0; j < n_odd; ++j)
+      odd = _mm256_add_epi32(
+          odd, _mm256_mullo_epi32(
+                   _mm256_set1_epi32(M[(2 * j + 1) * sz + i]),
+                   _mm256_loadu_si256((const __m256i*)(
+                       d + (size_t)(2 * j + 1) * stride + x))));
+    __m256i ev = _mm256_load_si256((const __m256i*)(even + i * 8));
+    _mm256_store_si256((__m256i*)(out + i * 8), _mm256_add_epi32(ev, odd));
+    _mm256_store_si256((__m256i*)(out + (sz - 1 - i) * 8),
+                       _mm256_sub_epi32(ev, odd));
+  }
+}
+#endif
+
 static void inv_transform(const int32_t* d, int log2, bool dst, int bd,
                           int nzw, int nzh, int32_t* out) {
   int n = 1 << log2;
@@ -1222,6 +1297,26 @@ static void inv_transform(const int32_t* d, int log2, bool dst, int bd,
     return;
   }
   // stage 1 (vertical): tmp[.][j] = clip((idct(d[.][j]) + 64) >> 7)
+#if H265_SIMD
+  if (n >= 8) {
+    alignas(32) int32_t cols[32 * 8];
+    const __m256i v64 = _mm256_set1_epi32(64);
+    const __m256i vlo = _mm256_set1_epi32(-32768);
+    const __m256i vhi = _mm256_set1_epi32(32767);
+    for (int x0 = 0; x0 <= nzw; x0 += 8) {
+      int x = x0 + 8 > n ? n - 8 : x0;
+      idct_cols8(d, n, log2, nzh + 1, x, cols);
+      for (int i = 0; i < n; ++i) {
+        __m256i v = _mm256_srai_epi32(
+            _mm256_add_epi32(
+                _mm256_load_si256((const __m256i*)(cols + i * 8)), v64),
+            7);
+        v = _mm256_min_epi32(_mm256_max_epi32(v, vlo), vhi);
+        _mm256_storeu_si256((__m256i*)(tmp + i * n + x), v);
+      }
+    }
+  } else
+#endif
   for (int j = 0; j <= nzw; ++j) {
     idct_1d(d + j, n, log2, nzh + 1, col);
     for (int i = 0; i < n; ++i) {
