@@ -2198,6 +2198,28 @@ struct CabacEngine {
     if (byte >= size) return 0;
     return (data[byte] >> (7 - (p & 7))) & 1;
   }
+  // next k bits MSB-first (k <= 24); bits past the buffer end read as 0,
+  // matching bit().  One 8-byte big-endian window load in the fast path.
+  uint32_t read_bits(int k) {
+    if (k == 0) return 0;
+    size_t p = pos;
+    pos += k;
+    size_t byte = p >> 3;
+    if (byte + 8 <= size) {
+      uint64_t w;
+      std::memcpy(&w, data + byte, 8);
+      w = __builtin_bswap64(w);
+      return (uint32_t)((w >> (64 - (p & 7) - k)) &
+                        (((uint64_t)1 << k) - 1));
+    }
+    uint32_t v = 0;
+    for (int i = 0; i < k; ++i) {
+      size_t b = (p + i) >> 3;
+      int bv = b >= size ? 0 : (data[b] >> (7 - ((p + i) & 7))) & 1;
+      v = (v << 1) | (uint32_t)bv;
+    }
+    return v;
+  }
   int decision(int idx) {
     int pstate = state[idx];
     int rng = range_;
@@ -2214,15 +2236,17 @@ struct CabacEngine {
       b = mps[idx];
       state[idx] = kTransIdxMps[pstate];
     }
-    while (rng < 256) {
-      rng <<= 1;
-      offset = (offset << 1) | bit();
+    if (rng < 256) {
+      // one-step renormalization: smallest k with rng<<k >= 256
+      int k = 8 - (31 - __builtin_clz((unsigned)rng));
+      rng <<= k;
+      offset = (offset << k) | (int)read_bits(k);
     }
     range_ = rng;
     return b;
   }
   int bypass() {
-    offset = (offset << 1) | bit();
+    offset = (offset << 1) | (int)read_bits(1);
     if (offset >= range_) {
       offset -= range_;
       return 1;
