@@ -220,49 +220,84 @@ cat > "$out"
 """
 
 
+_E2E_RUNNER = """
+import sys
+
+sys.path.insert(0, {tests_dir!r})
+import conftest  # noqa: F401  (JAX_PLATFORMS=cpu + 8 virtual devices)
+import stat
+
+import ts_gen
+import test_pipeline_e2e as e2e
+import test_sharded_filter as tsf
+
+from amatsukaze_tpu.pipeline.settings import Config, Settings
+from amatsukaze_tpu.pipeline.transcode import TranscodePipeline
+from amatsukaze_tpu.utils.context import AMTContext
+
+devices = int(sys.argv[1])
+work = sys.argv[2]
+
+import os
+
+os.environ["AMATSUKAZE_FILTER_BACKEND"] = "device"
+src = os.path.join(work, "src.ts")
+with open(src, "wb") as f:
+    f.write(ts_gen.build_simple_ts(num_frames=90, width=tsf.W,
+                                   height=tsf.H))
+enc = os.path.join(work, "fake_x264")
+with open(enc, "w") as f:
+    f.write(tsf.FAKE_ENCODER)
+os.chmod(enc, os.stat(enc).st_mode | stat.S_IEXEC)
+conf = Config()
+conf.src_file_path = src
+conf.out_video_path = os.path.join(work, "out")
+conf.work_dir = work
+conf.encoder_path = enc
+conf.filter_mode = "kfm_vfr"
+conf.post_filter = "nr,deband"
+conf.filter_devices = devices
+conf.device_batch_frames = 16
+ctx = AMTContext(level="error")
+pipe = TranscodePipeline(ctx, Settings(ctx, conf),
+                         decoder_factory=e2e.TelecineDecoderFactory())
+report = pipe.run()
+print(report["outfiles"][0]["path"])
+"""
+
+
 class TestMultiChipE2E:
     """Full-file transcode sharded over the 8-device mesh == single device
-    (the VERDICT round-3 'production multi-chip' contract)."""
+    (the VERDICT round-3 'production multi-chip' contract).
 
-    def _run(self, tmp_path, monkeypatch, devices: int) -> bytes:
-        from amatsukaze_tpu.pipeline.settings import Config, Settings
-        from amatsukaze_tpu.pipeline.transcode import TranscodePipeline
-        from amatsukaze_tpu.utils.context import AMTContext
+    Each transcode runs in a FRESH subprocess: XLA's CPU collective
+    rendezvous has a hardcoded 40 s termination timeout that calls
+    abort() (rendezvous.cc), and a long-lived suite process accumulates
+    enough XLA threadpool state on this 1-core host to trip it flakily;
+    process isolation both avoids that and keeps a hypothetical abort
+    from killing the whole pytest run.
+    """
 
-        # both runs must take the DEVICE path (the mesh run forces it;
-        # force it for the single-device baseline too)
-        monkeypatch.setenv("AMATSUKAZE_FILTER_BACKEND", "device")
+    def _run(self, tmp_path, devices: int) -> bytes:
+        import subprocess
+        import sys
+
         work = tmp_path / f"dev{devices}"
         work.mkdir()
-        src = work / "src.ts"
-        src.write_bytes(ts_gen.build_simple_ts(num_frames=90,
-                                               width=W, height=H))
-        enc = work / "fake_x264"
-        enc.write_text(FAKE_ENCODER)
-        enc.chmod(enc.stat().st_mode | stat.S_IEXEC)
-        conf = Config()
-        conf.src_file_path = str(src)
-        conf.out_video_path = str(work / "out")
-        conf.work_dir = str(work)
-        conf.encoder_path = str(enc)
-        conf.filter_mode = "kfm_vfr"
-        conf.post_filter = "nr,deband"
-        conf.filter_devices = devices
-        conf.device_batch_frames = 16
-        ctx = AMTContext(level="error")
-
-        import test_pipeline_e2e as e2e
-
-        pipe = TranscodePipeline(
-            ctx, Settings(ctx, conf),
-            decoder_factory=e2e.TelecineDecoderFactory())
-        report = pipe.run()
-        out = report["outfiles"][0]["path"]
+        tests_dir = os.path.dirname(os.path.abspath(__file__))
+        r = subprocess.run(
+            [sys.executable, "-c",
+             _E2E_RUNNER.format(tests_dir=tests_dir),
+             str(devices), str(work)],
+            capture_output=True, text=True, timeout=900,
+            cwd=os.path.dirname(tests_dir))
+        assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+        out = r.stdout.strip().splitlines()[-1]
         return open(out, "rb").read()
 
-    def test_outputs_bit_identical(self, tmp_path, monkeypatch):
-        one = self._run(tmp_path, monkeypatch, 1)
-        eight = self._run(tmp_path, monkeypatch, 8)
+    def test_outputs_bit_identical(self, tmp_path):
+        one = self._run(tmp_path, 1)
+        eight = self._run(tmp_path, 8)
         assert one.startswith(b"YUV4MPEG2")
         assert one.count(b"FRAME\n") > 0
         assert one == eight
