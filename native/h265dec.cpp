@@ -1076,8 +1076,10 @@ struct Frame {
     std::unique_ptr<uint16_t[]> buf;
     size_t n = 0;
     void alloc(size_t count) {
-      buf.reset(new uint16_t[count]);
-      n = count;
+      if (n != count) {
+        buf.reset(new uint16_t[count]);
+        n = count;
+      }
     }
     uint16_t* data() { return buf.get(); }
     const uint16_t* data() const { return buf.get(); }
@@ -1110,6 +1112,20 @@ struct Frame {
   explicit Frame(const Sps& s, const Pps& p)
       : sps_store(s), pps_store(p), sps(&sps_store), pps(&pps_store) {
     pps_store.sps = &sps_store;
+    init_grids();
+  }
+  // recycle a display-released frame (decoder frame pool): keeps the
+  // pixel-plane allocations warm; grids re-assign to constructor state
+  void reinit(const Sps& s, const Pps& p) {
+    sps_store = s;
+    pps_store = p;
+    pps_store.sps = &sps_store;
+    poc = 0;
+    nal_type = 0;
+    init_grids();
+  }
+  void init_grids() {
+    const Sps& s = sps_store;
     wp = s.pic_w_ctbs << s.log2_ctb;
     hp = s.pic_h_ctbs << s.log2_ctb;
     gw = wp >> 2;
@@ -4117,6 +4133,22 @@ struct Decoder {
   std::map<int, Pps> pps_map;
   PicPtr cur_pic;
   std::vector<PicPtr> dpb;
+  // display-released frames recycled by alloc_frame (keeps the large
+  // pixel-plane allocations warm instead of re-faulting fresh pages)
+  std::vector<PicPtr> frame_pool;
+  PicPtr alloc_frame(const Sps& s, const Pps& p) {
+    int want_wp = s.pic_w_ctbs << s.log2_ctb;
+    int want_hp = s.pic_h_ctbs << s.log2_ctb;
+    for (auto it = frame_pool.begin(); it != frame_pool.end(); ++it) {
+      if ((*it)->wp == want_wp && (*it)->hp == want_hp) {
+        PicPtr f = *it;
+        frame_pool.erase(it);
+        f->reinit(s, p);
+        return f;
+      }
+    }
+    return std::make_shared<Frame>(s, p);
+  }
   int cur_poc = 0;
   int slice_counter = 0;
   std::map<int, SliceHeader> slice_headers;
@@ -4204,7 +4236,7 @@ struct Decoder {
         for (auto& p : dpb) p->drop_side_arrays();
         dpb.clear();
       }
-      cur_pic = std::make_shared<Frame>(*h.sps, *h.pps);
+      cur_pic = alloc_frame(*h.sps, *h.pps);
       cur_pic->nal_type = t;
       cur_poc = compute_poc(h, t);
       cur_pic->poc = cur_poc;
@@ -4555,6 +4587,8 @@ int H265_PopFrame(void* hp, uint8_t* y, uint8_t* u, uint8_t* v) {
                  cw);
     }
   }
+  if (f->src.use_count() == 1 && d->frame_pool.size() < 16)
+    d->frame_pool.push_back(f->src);
   f->src.reset();
   return 1;
 }
