@@ -64,6 +64,16 @@ def load_native():
             lib = ctypes.CDLL(path)
         except OSError:
             return None
+        # Video-frame buffers (a 4K Main10 frame is ~17 MB per plane)
+        # exceed glibc's mmap threshold, so by default every decoded
+        # frame costs an mmap + page faults + munmap round trip.  Raise
+        # M_MMAP_THRESHOLD so large plane buffers recycle through the
+        # heap (measured ~1.5x on steady-state 4K decode through the
+        # Python wrappers).
+        try:
+            ctypes.CDLL(None).mallopt(-3, 1 << 28)  # M_MMAP_THRESHOLD
+        except (OSError, AttributeError):
+            pass
         lib.tse_create.restype = ctypes.c_void_p
         lib.tse_destroy.argtypes = [ctypes.c_void_p]
         lib.tse_reset.argtypes = [ctypes.c_void_p]

@@ -147,6 +147,29 @@ def _bind_h264(lib) -> None:
     _h264_sigs_done = True
 
 
+def _annexb_segments(es: bytes, target: int = 1 << 20):
+    """Yield `es` in ~target-byte pieces cut at NAL start-code boundaries
+    (never mid-NAL; the engines take whole NALs per feed).  Draining
+    decoded frames between feeds keeps the live-frame set bounded, so
+    the engines' picture pools recycle instead of faulting fresh pages
+    for every frame of a long buffer."""
+    n = len(es)
+    pos = 0
+    while pos < n:
+        end = pos + target
+        if end >= n:
+            yield es[pos:]
+            return
+        cut = es.find(b"\x00\x00\x01", end)
+        if cut < 0:
+            yield es[pos:]
+            return
+        if cut > 0 and es[cut - 1] == 0:  # 4-byte start code
+            cut -= 1
+        yield es[pos:cut]
+        pos = cut
+
+
 def h264_native_available() -> bool:
     lib = load_native()
     return lib is not None and hasattr(lib, "H264_Create")
@@ -196,9 +219,11 @@ class NativeH264Decoder:
         return out
 
     def decode(self, es: bytes) -> list[tuple]:
-        b = bytes(es)
-        self._lib.H264_Decode(self._h, b, len(b))
-        return self._drain()
+        out = []
+        for seg in _annexb_segments(bytes(es)):
+            self._lib.H264_Decode(self._h, seg, len(seg))
+            out.extend(self._drain())
+        return out
 
     def flush(self) -> list[tuple]:
         self._lib.H264_Flush(self._h)
@@ -286,9 +311,11 @@ class NativeH265Decoder:
         return out
 
     def decode(self, es: bytes) -> list[tuple]:
-        b = bytes(es)
-        self._lib.H265_Decode(self._h, b, len(b))
-        return self._drain()
+        out = []
+        for seg in _annexb_segments(bytes(es)):
+            self._lib.H265_Decode(self._h, seg, len(seg))
+            out.extend(self._drain())
+        return out
 
     def flush(self) -> list[tuple]:
         self._lib.H265_Flush(self._h)

@@ -398,6 +398,16 @@ def bench_decoders() -> dict:
         cnt = len(dec.decode(es)) + len(dec.flush())
         out["h264_1080_fps"] = round(cnt / (time.perf_counter() - t0), 1)
 
+        # broadcast H.264 is CABAC High profile (ultrafast above is
+        # CAVLC); measure the CABAC path explicitly
+        es = encode(1440, 1080, "libx264",
+                    "cabac=1:keyint=30:bframes=2:b-adapt=0:crf=23")
+        dec = NativeH264Decoder()
+        t0 = time.perf_counter()
+        cnt = len(dec.decode(es)) + len(dec.flush())
+        out["h264_1080_cabac_fps"] = round(
+            cnt / (time.perf_counter() - t0), 1)
+
     if h265_native_available():
         es = encode(1920, 1080, "libx265",
                     "frame-threads=1:keyint=30:bframes=3:b-adapt=0:crf=24")
