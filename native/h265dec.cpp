@@ -1108,6 +1108,11 @@ struct Frame {
   std::vector<int8_t> sao_eo_class;  // [ctb][3]
   int poc = 0;
   int nal_type = 0;
+  // set when any CU in the picture uses transquant bypass (or PCM with
+  // pcm_loop_filter_disabled): lets the loop filters skip the per-cell
+  // bypass[] lookups on the overwhelmingly common all-zero pictures.
+  // Written by slice threads (value only ever goes 0->1, relaxed store)
+  uint8_t any_bypass = 0;
 
   explicit Frame(const Sps& s, const Pps& p)
       : sps_store(s), pps_store(p), sps(&sps_store), pps(&pps_store) {
@@ -1122,6 +1127,7 @@ struct Frame {
     pps_store.sps = &sps_store;
     poc = 0;
     nal_type = 0;
+    any_bypass = 0;
     init_grids();
   }
   void init_grids() {
@@ -2050,6 +2056,7 @@ struct SliceDec {
     if (pps->transquant_bypass_enabled)
       cu_bypass = dcd(CTX_cu_transquant_bypass_flag) != 0;
     grid_fill_u8(pic->bypass, x0, y0, size, cu_bypass ? 1 : 0);
+    if (cu_bypass) __atomic_store_n(&pic->any_bypass, 1, __ATOMIC_RELAXED);
     bool intra = true;
     if (h->slice_type != SLICE_I) intra = dcd(CTX_pred_mode_flag) != 0;
     if (intra)
@@ -2203,8 +2210,10 @@ struct SliceDec {
     grid_fill_u8(pic->intra_mode, x0, y0, size, 1);
     grid_fill_u8(pic->skip, x0, y0, size, 0);
     grid_fill_u8(pic->nnz, x0, y0, size, 0);
-    if (sps->pcm_loop_filter_disabled)
+    if (sps->pcm_loop_filter_disabled) {
       grid_fill_u8(pic->bypass, x0, y0, size, 1);
+      __atomic_store_n(&pic->any_bypass, 1, __ATOMIC_RELAXED);
+    }
     finish_cu(x0, y0, size);
   }
 
@@ -3831,6 +3840,7 @@ static void deblock_picture(Frame& pic,
   int w = sps.width, hgt = sps.height;
   bool tile_gate =
       pic.pps->tiles_enabled && !pic.pps->loop_filter_across_tiles;
+  bool any_bypass = pic.any_bypass != 0;
   for (int pass = 0; pass < 2; ++pass) {
     bool vertical = pass == 0;
     const std::vector<uint8_t>& tu_grid =
@@ -3838,38 +3848,53 @@ static void deblock_picture(Frame& pic,
     const std::vector<uint8_t>& pu_grid =
         vertical ? pic.pu_edge_v : pic.pu_edge_h;
     int dx = vertical ? 1 : 0, dy = vertical ? 0 : 1;
-    for (int ex = vertical ? 8 : 0; ex < (vertical ? w : w - 3);
-         ex += vertical ? 8 : 4) {
-      for (int ey = vertical ? 0 : 8; ey < (vertical ? hgt - 3 : hgt);
-           ey += vertical ? 4 : 8) {
-        int gq = pic.gi(ey >> 2, ex >> 2);
-        bool tu_edge = tu_grid[gq] != 0;
-        if (!(tu_edge || pu_grid[gq])) continue;
-        int gp = vertical ? pic.gi(ey >> 2, (ex - 1) >> 2)
-                          : pic.gi((ey - 1) >> 2, ex >> 2);
-        int sq = pic.slice_id[gq];
-        const SliceHeader& h = headers.at(sq);
-        if (h.deblocking_disabled) continue;
-        if (pic.slice_id[gp] != sq && !h.loop_filter_across_slices) continue;
-        if (tile_gate && tile_of_g(pic, gp) != tile_of_g(pic, gq)) continue;
-        int bs = bs_for_edge(pic, gp, gq, tu_edge);
-        if (bs == 0) continue;
-        int qp_p = pic.qp[gp];
-        int qp_q = pic.qp[gq];
-        bool nofp = pic.bypass[gp] != 0;
-        bool nofq = pic.bypass[gq] != 0;
-        deblock_luma_segment(pic.Y.data(), pic.wp, ex, ey, dx, dy, bs, qp_p,
-                             qp_q, h, nofp, nofq, sps.bit_depth);
-        if (bs == 2 && (vertical ? ex % 16 == 0 : ey % 16 == 0) &&
-            (vertical ? ey % 8 == 0 : ex % 8 == 0)) {
-          deblock_chroma_segment(pic.U.data(), pic.cw, ex >> 1, ey >> 1, dx,
-                                 dy, qp_p, qp_q, pic.pps->cb_qp_offset, h,
-                                 nofp, nofq, sps.bit_depth);
-          deblock_chroma_segment(pic.V.data(), pic.cw, ex >> 1, ey >> 1, dx,
-                                 dy, qp_p, qp_q, pic.pps->cr_qp_offset, h,
-                                 nofp, nofq, sps.bit_depth);
-        }
+    // slice headers are constant across huge runs of edges; cache the
+    // map lookup (it was one tree walk per 4-sample segment)
+    const SliceHeader* hc = nullptr;
+    int hc_sid = -2;
+    auto edge = [&](int ex, int ey) {
+      int gq = pic.gi(ey >> 2, ex >> 2);
+      bool tu_edge = tu_grid[gq] != 0;
+      if (!(tu_edge || pu_grid[gq])) return;
+      int gp = vertical ? pic.gi(ey >> 2, (ex - 1) >> 2)
+                        : pic.gi((ey - 1) >> 2, ex >> 2);
+      int sq = pic.slice_id[gq];
+      if (sq != hc_sid) {
+        hc = &headers.at(sq);
+        hc_sid = sq;
       }
+      const SliceHeader& h = *hc;
+      if (h.deblocking_disabled) return;
+      if (pic.slice_id[gp] != sq && !h.loop_filter_across_slices) return;
+      if (tile_gate && tile_of_g(pic, gp) != tile_of_g(pic, gq)) return;
+      int bs = bs_for_edge(pic, gp, gq, tu_edge);
+      if (bs == 0) return;
+      int qp_p = pic.qp[gp];
+      int qp_q = pic.qp[gq];
+      bool nofp = any_bypass && pic.bypass[gp] != 0;
+      bool nofq = any_bypass && pic.bypass[gq] != 0;
+      deblock_luma_segment(pic.Y.data(), pic.wp, ex, ey, dx, dy, bs, qp_p,
+                           qp_q, h, nofp, nofq, sps.bit_depth);
+      if (bs == 2 && (vertical ? ex % 16 == 0 : ey % 16 == 0) &&
+          (vertical ? ey % 8 == 0 : ex % 8 == 0)) {
+        deblock_chroma_segment(pic.U.data(), pic.cw, ex >> 1, ey >> 1, dx,
+                               dy, qp_p, qp_q, pic.pps->cb_qp_offset, h,
+                               nofp, nofq, sps.bit_depth);
+        deblock_chroma_segment(pic.V.data(), pic.cw, ex >> 1, ey >> 1, dx,
+                               dy, qp_p, qp_q, pic.pps->cr_qp_offset, h,
+                               nofp, nofq, sps.bit_depth);
+      }
+    };
+    // row-major edge walk in both passes (grid rows and pixel rows
+    // stream; edges within a pass are independent — a segment reads at
+    // most 4 samples across the edge, disjoint from any other segment's
+    // writes in the same direction)
+    if (vertical) {
+      for (int ey = 0; ey < hgt - 3; ey += 4)
+        for (int ex = 8; ex < w; ex += 8) edge(ex, ey);
+    } else {
+      for (int ey = 8; ey < hgt; ey += 8)
+        for (int ex = 0; ex < w - 3; ex += 4) edge(ex, ey);
     }
   }
 }
@@ -3892,11 +3917,19 @@ static void apply_sao(Frame& pic,
   int mx = (1 << bd) - 1;
   int bshift = bd - 5;
   int ctb = 1 << sps.log2_ctb;
-  std::vector<uint16_t> srcY(pic.Y.data(), pic.Y.data() + pic.Y.size());
-  std::vector<uint16_t> srcU(pic.U.data(), pic.U.data() + pic.U.size());
-  std::vector<uint16_t> srcV(pic.V.data(), pic.V.data() + pic.V.size());
+  // copy planes only for components some CTB actually offsets (EO must
+  // read pre-SAO neighbours; an all-off component needs no copy)
+  bool used[3] = {false, false, false};
+  for (size_t cb = 0; cb < pic.sao_type.size(); ++cb)
+    if (pic.sao_type[cb]) used[cb % 3] = true;
+  if (!used[0] && !used[1] && !used[2]) return;
+  std::vector<uint16_t> srcY, srcU, srcV;
+  if (used[0]) srcY.assign(pic.Y.data(), pic.Y.data() + pic.Y.size());
+  if (used[1]) srcU.assign(pic.U.data(), pic.U.data() + pic.U.size());
+  if (used[2]) srcV.assign(pic.V.data(), pic.V.data() + pic.V.size());
   const uint16_t* srcs[3] = {srcY.data(), srcU.data(), srcV.data()};
   uint16_t* outs[3] = {pic.Y.data(), pic.U.data(), pic.V.data()};
+  bool any_bypass = pic.any_bypass != 0;
   for (int ry = 0; ry < sps.pic_h_ctbs; ++ry)
     for (int rx = 0; rx < sps.pic_w_ctbs; ++rx)
       for (int ci = 0; ci < 3; ++ci) {
@@ -3920,7 +3953,8 @@ static void apply_sao(Frame& pic,
           for (int k = 0; k < 4; ++k) lut[(bpos + k) & 31] = offs[k];
           for (int y = y0; y < y1; ++y)
             for (int x = x0; x < x1; ++x) {
-              if (pic.bypass[pic.gi((y << sh) >> 2, (x << sh) >> 2)])
+              if (any_bypass &&
+                  pic.bypass[pic.gi((y << sh) >> 2, (x << sh) >> 2)])
                 continue;
               int p = src[(size_t)y * stride + x];
               out[(size_t)y * stride + x] =
@@ -3938,6 +3972,31 @@ static void apply_sao(Frame& pic,
         bool tile_gate =
             pic.pps->tiles_enabled && !pic.pps->loop_filter_across_tiles;
         int tid = tile_gate ? tile_of_g(pic, g0) : 0;
+        if (across && !tile_gate && !any_bypass) {
+          // fast path (single-slice-per-CTB gating irrelevant): pure
+          // pixel math with the neighbour bounds hoisted per direction
+          int ys = std::max(y0, (ay < 0 || by < 0) ? 1 : 0);
+          int ye = std::min(y1, (ay > 0 || by > 0) ? h - 1 : h);
+          int xs = std::max(x0, (ax < 0 || bx < 0) ? 1 : 0);
+          int xe = std::min(x1, (ax > 0 || bx > 0) ? w - 1 : w);
+          long na = (long)ay * stride + ax;
+          long nb = (long)by * stride + bx;
+          for (int y = ys; y < ye; ++y) {
+            const uint16_t* sr = src + (size_t)y * stride;
+            uint16_t* orow = out + (size_t)y * stride;
+            for (int x = xs; x < xe; ++x) {
+              int p = sr[x];
+              int da = p - sr[x + na];
+              int db = p - sr[x + nb];
+              int ei = 2 + (da == 0 ? 0 : (da > 0 ? 1 : -1)) +
+                       (db == 0 ? 0 : (db > 0 ? 1 : -1));
+              if (ei == 2) continue;
+              if (ei < 2) ++ei;
+              orow[x] = (uint16_t)clamp_i(p + offs[ei - 1], 0, mx);
+            }
+          }
+          continue;
+        }
         for (int y = y0; y < y1; ++y)
           for (int x = x0; x < x1; ++x) {
             int nax = x + ax, nay = y + ay;
@@ -3945,7 +4004,9 @@ static void apply_sao(Frame& pic,
             if (!(nax >= 0 && nax < w && nay >= 0 && nay < h && nbx >= 0 &&
                   nbx < w && nby >= 0 && nby < h))
               continue;
-            if (pic.bypass[pic.gi((y << sh) >> 2, (x << sh) >> 2)]) continue;
+            if (any_bypass &&
+                pic.bypass[pic.gi((y << sh) >> 2, (x << sh) >> 2)])
+              continue;
             int ga = pic.gi((nay << sh) >> 2, (nax << sh) >> 2);
             int gb = pic.gi((nby << sh) >> 2, (nbx << sh) >> 2);
             if (!across) {
