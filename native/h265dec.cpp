@@ -3311,6 +3311,76 @@ void SliceDec::mc_pu(int xp, int yp, int w, int hh, const bool used[2],
       return;
     }
   }
+  // fast path: default-weight BI prediction, full-pel both lists —
+  // the 14-bit staging cancels exactly into (p0 + p1 + 1) >> 1 on the
+  // reference samples, so prediction is a clamped averaging copy
+  if (!h->has_pred_weights && used[0] && used[1] &&
+      ((mvs[0][0] | mvs[0][1] | mvs[1][0] | mvs[1][1]) & 7) == 0) {
+    for (int pi = 0; pi < 3; ++pi) {
+      int sh = pi == 0 ? 0 : 1;
+      int pw = sps->width >> sh, phh = sps->height >> sh;
+      int bw = w >> sh, bhh = hh >> sh;
+      int dxp = xp >> sh, dyp = yp >> sh;
+      const Frame* r0 = refs[0][ridx[0]];
+      const Frame* r1 = refs[1][ridx[1]];
+      const uint16_t* s0 = pi == 0 ? r0->Y.data()
+                                   : (pi == 1 ? r0->U.data() : r0->V.data());
+      const uint16_t* s1 = pi == 0 ? r1->Y.data()
+                                   : (pi == 1 ? r1->U.data() : r1->V.data());
+      int st0 = pi == 0 ? r0->wp : r0->cw;
+      int st1 = pi == 0 ? r1->wp : r1->cw;
+      uint16_t* dplane = pi == 0 ? pic->Y.data()
+                                 : (pi == 1 ? pic->U.data() : pic->V.data());
+      int std_ = pi == 0 ? pic->wp : pic->cw;
+      int x0 = dxp + (mvs[0][0] >> (2 + sh));
+      int y0 = dyp + (mvs[0][1] >> (2 + sh));
+      int x1 = dxp + (mvs[1][0] >> (2 + sh));
+      int y1 = dyp + (mvs[1][1] >> (2 + sh));
+      bool in0 = x0 >= 0 && y0 >= 0 && x0 + bw <= pw && y0 + bhh <= phh;
+      bool in1 = x1 >= 0 && y1 >= 0 && x1 + bw <= pw && y1 + bhh <= phh;
+      uint16_t rbuf0[64], rbuf1[64];
+      for (int y = 0; y < bhh; ++y) {
+        const uint16_t* p0;
+        const uint16_t* p1;
+        if (in0) {
+          p0 = s0 + (size_t)(y0 + y) * st0 + x0;
+        } else {
+          const uint16_t* row =
+              s0 + (size_t)clamp_i(y0 + y, 0, phh - 1) * st0;
+          for (int x = 0; x < bw; ++x)
+            rbuf0[x] = row[clamp_i(x0 + x, 0, pw - 1)];
+          p0 = rbuf0;
+        }
+        if (in1) {
+          p1 = s1 + (size_t)(y1 + y) * st1 + x1;
+        } else {
+          const uint16_t* row =
+              s1 + (size_t)clamp_i(y1 + y, 0, phh - 1) * st1;
+          for (int x = 0; x < bw; ++x)
+            rbuf1[x] = row[clamp_i(x1 + x, 0, pw - 1)];
+          p1 = rbuf1;
+        }
+        uint16_t* dst = dplane + (size_t)(dyp + y) * std_ + dxp;
+        int x = 0;
+#if H265_SIMD
+        for (; x + 16 <= bw; x += 16)
+          _mm256_storeu_si256(
+              (__m256i*)(dst + x),
+              _mm256_avg_epu16(
+                  _mm256_loadu_si256((const __m256i*)(p0 + x)),
+                  _mm256_loadu_si256((const __m256i*)(p1 + x))));
+        for (; x + 8 <= bw; x += 8)
+          _mm_storeu_si128(
+              (__m128i*)(dst + x),
+              _mm_avg_epu16(_mm_loadu_si128((const __m128i*)(p0 + x)),
+                            _mm_loadu_si128((const __m128i*)(p1 + x))));
+#endif
+        for (; x < bw; ++x)
+          dst[x] = (uint16_t)((p0[x] + p1[x] + 1) >> 1);
+      }
+    }
+    return;
+  }
   // static per-PU prediction buffers (max PU 64x64)
   static thread_local int32_t predbuf[2][3][64 * 64];
   int32_t (*pred)[3][64 * 64] = predbuf;
