@@ -46,14 +46,20 @@ struct BitReader {
   const uint8_t* data = nullptr;
   int64_t pos = 0, end = 0;  // bit offsets
   bool err = false;
+  // Cached 64-bit big-endian window starting at byte-aligned bit wbit.
+  // peek_raw serves from the register copy and reloads only when pos
+  // walks past it (~every 7 consumed bytes), instead of one unaligned
+  // load + bswap per decoded symbol.
+  mutable uint64_t win = 0;
+  mutable int64_t wbit = INT64_MIN;
 
   int64_t left() const { return end - pos; }
 
-  uint32_t peek_raw(int n) const {  // caller guarantees n <= left()
+  void refill() const {
     int64_t byte = pos >> 3;
     int64_t nbytes = (end + 7) >> 3;
     uint64_t v;
-    if (byte + 8 <= nbytes) {  // one unaligned load + bswap (hot path)
+    if (byte + 8 <= nbytes) {  // one unaligned load + bswap
       std::memcpy(&v, data + byte, 8);
       v = __builtin_bswap64(v);
     } else {
@@ -63,8 +69,17 @@ struct BitReader {
         if (byte + i < nbytes) v |= data[byte + i];
       }
     }
-    int shift = 64 - (int)(pos & 7) - n;
-    return (uint32_t)((v >> shift) &
+    win = v;
+    wbit = byte << 3;
+  }
+
+  uint32_t peek_raw(int n) const {  // caller guarantees n <= left()
+    int64_t off = pos - wbit;
+    if ((uint64_t)off > (uint64_t)(64 - n)) {  // also catches off < 0
+      refill();
+      off = pos & 7;  // <= 7, so any n <= 57 is now servable
+    }
+    return (uint32_t)((win >> (64 - off - n)) &
                       ((n >= 32) ? 0xFFFFFFFFu : ((1u << n) - 1)));
   }
   uint32_t peek(int n) {
@@ -219,6 +234,27 @@ static void idct8x8(const int32_t f[64], int32_t out[64],
     for (int i = 0; i < 64; i++) out[i] = v;
     return;
   }
+#ifdef __AVX2__
+  // Single live coefficient row: t has one live row, and A's row 0 is
+  // the constant 5793, so every output row is identical — compute the
+  // row once and broadcast (exact: dead t rows are (0+1024)>>11 == 0).
+  if (rowmask == 1) {
+    __m256i acc = _mm256_set1_epi32(1024);
+    for (int u = 0; u < 8; u++)
+      acc = _mm256_add_epi32(
+          acc, _mm256_mullo_epi32(
+                   _mm256_set1_epi32(f[u]),
+                   _mm256_loadu_si256((const __m256i*)(IDCT_A + u * 8))));
+    __m256i t0 = _mm256_srai_epi32(acc, 11);
+    __m256i v = _mm256_srai_epi32(
+        _mm256_add_epi32(_mm256_set1_epi32(65536),
+                         _mm256_mullo_epi32(t0, _mm256_set1_epi32(5793))),
+        17);
+    for (int m = 0; m < 8; m++)
+      _mm256_storeu_si256((__m256i*)(out + m * 8), v);
+    return;
+  }
+#endif
   int32_t t[64];
   int rows[8];
   int nrows = 0;
@@ -236,39 +272,29 @@ static void idct8x8(const int32_t f[64], int32_t out[64],
     }
     _mm256_storeu_si256((__m256i*)(t + i * 8), _mm256_srai_epi32(acc, 11));
   }
-  // out[m][n] = (65536 + sum_u A[u][m]*t[u][n]) >> 17 in 64-bit lanes.
-  // A's even rows are symmetric in m and odd rows antisymmetric, so
-  // out[m] = E+O and out[7-m] = E-O share both partial sums — half the
-  // 64-bit multiplies. Exact: integer addition is associative and the
-  // int64 accumulators cannot overflow. (_mm256_mul_epi32 sign-extends
-  // the low 32 bits of each 64-bit lane, which after cvtepi32_epi64 is
-  // exactly the int32 t value.)
+  // out[m][n] = (65536 + sum_u A[u][m]*t[u][n]) >> 17.  Pure int32 is
+  // exact here: coefficients saturate to [-2048,2047] before the IDCT,
+  // so |t| <= 43284 and the worst-case accumulator (even/odd partials
+  // and their sum/difference) is < 1.88e9 < 2^31 — no wrap can occur,
+  // making mullo_epi32 + add_epi32 arithmetically identical to the
+  // oracle's int64 evaluation.  A's even rows are symmetric in m and
+  // odd rows antisymmetric, so out[m] = E+O and out[7-m] = E-O share
+  // both partial sums — half the multiplies.
   for (int m = 0; m < 4; m++) {
-    __m256i el = _mm256_set1_epi64x(65536), eh = el;
-    __m256i ol = _mm256_setzero_si256(), oh = ol;
+    __m256i e = _mm256_set1_epi32(65536), o = _mm256_setzero_si256();
     for (int k = 0; k < nrows; k++) {
       int u = rows[k];
-      __m256i a = _mm256_set1_epi64x(IDCT_A[u * 8 + m]);
+      __m256i a = _mm256_set1_epi32(IDCT_A[u * 8 + m]);
       __m256i tv = _mm256_loadu_si256((const __m256i*)(t + u * 8));
-      __m256i tl = _mm256_cvtepi32_epi64(_mm256_castsi256_si128(tv));
-      __m256i th = _mm256_cvtepi32_epi64(_mm256_extracti128_si256(tv, 1));
-      if (u & 1) {
-        ol = _mm256_add_epi64(ol, _mm256_mul_epi32(tl, a));
-        oh = _mm256_add_epi64(oh, _mm256_mul_epi32(th, a));
-      } else {
-        el = _mm256_add_epi64(el, _mm256_mul_epi32(tl, a));
-        eh = _mm256_add_epi64(eh, _mm256_mul_epi32(th, a));
-      }
+      __m256i p = _mm256_mullo_epi32(tv, a);
+      if (u & 1) o = _mm256_add_epi32(o, p);
+      else e = _mm256_add_epi32(e, p);
     }
-    alignas(32) int64_t acc[16];
-    _mm256_store_si256((__m256i*)acc, _mm256_add_epi64(el, ol));
-    _mm256_store_si256((__m256i*)(acc + 4), _mm256_add_epi64(eh, oh));
-    _mm256_store_si256((__m256i*)(acc + 8), _mm256_sub_epi64(el, ol));
-    _mm256_store_si256((__m256i*)(acc + 12), _mm256_sub_epi64(eh, oh));
-    int32_t* om = out + m * 8;
-    int32_t* orm = out + (7 - m) * 8;
-    for (int n = 0; n < 8; n++) om[n] = (int32_t)(acc[n] >> 17);
-    for (int n = 0; n < 8; n++) orm[n] = (int32_t)(acc[8 + n] >> 17);
+    _mm256_storeu_si256((__m256i*)(out + m * 8),
+                        _mm256_srai_epi32(_mm256_add_epi32(e, o), 17));
+    _mm256_storeu_si256(
+        (__m256i*)(out + (7 - m) * 8),
+        _mm256_srai_epi32(_mm256_sub_epi32(e, o), 17));
   }
 #else
   for (int i = 0; i < 8; i++) {
@@ -304,6 +330,9 @@ static inline int div2_trunc(int v) {       // toward zero
 static inline int dp_half(int v) { return (v + (v > 0 ? 1 : 0)) >> 1; }
 static inline int trunc_div32(int64_t n) {  // "/" 7.4.2.3: toward zero
   return (int)(n < 0 ? -((-n) >> 5) : n >> 5);
+}
+static inline int trunc_shr5(int v) {       // int32 variant of the above
+  return v < 0 ? -((-v) >> 5) : v >> 5;
 }
 static inline uint8_t clip255(int v) {
   return (uint8_t)(v < 0 ? 0 : v > 255 ? 255 : v);
@@ -409,7 +438,7 @@ static PlaneView field_view(std::vector<uint8_t>& v, int h, int w,
 // Half-sample bilinear fetch mirroring mpeg2_ref._fetch (incl. the
 // clamp-into-picture policy for non-conformant vectors).
 static void fetch(const PlaneView& pv, int sy, int sx, int h, int w,
-                  uint8_t* out /* h*w */) {
+                  uint8_t* out, int ostride) {
   int fy = sy & 1, fx = sx & 1;
   int iy = sy >> 1, ix = sx >> 1;
   int maxy = pv.h - h - fy; if (maxy < 0) maxy = 0;
@@ -425,11 +454,11 @@ static void fetch(const PlaneView& pv, int sy, int sx, int h, int w,
     // the quarter-sample case runs in 16-bit lanes (max 4*255+2 fits).
     if (w == 16) {
       if (!fy && !fx) {
-        for (int r = 0; r < h; r++, r0 += pv.stride, out += 16)
+        for (int r = 0; r < h; r++, r0 += pv.stride, out += ostride)
           _mm_storeu_si128((__m128i*)out,
                            _mm_loadu_si128((const __m128i*)r0));
       } else if (fy && fx) {
-        for (int r = 0; r < h; r++, r0 += pv.stride, out += 16) {
+        for (int r = 0; r < h; r++, r0 += pv.stride, out += ostride) {
           const uint8_t* r1 = r0 + pv.stride;
           __m256i a0 = _mm256_cvtepu8_epi16(_mm_loadu_si128((const __m128i*)r0));
           __m256i a1 = _mm256_cvtepu8_epi16(_mm_loadu_si128((const __m128i*)(r0 + 1)));
@@ -445,7 +474,7 @@ static void fetch(const PlaneView& pv, int sy, int sx, int h, int w,
         }
       } else {
         int step = fy ? pv.stride : 1;
-        for (int r = 0; r < h; r++, r0 += pv.stride, out += 16)
+        for (int r = 0; r < h; r++, r0 += pv.stride, out += ostride)
           _mm_storeu_si128(
               (__m128i*)out,
               _mm_avg_epu8(_mm_loadu_si128((const __m128i*)r0),
@@ -455,10 +484,10 @@ static void fetch(const PlaneView& pv, int sy, int sx, int h, int w,
     }
     if (w == 8) {
       if (!fy && !fx) {
-        for (int r = 0; r < h; r++, r0 += pv.stride, out += 8)
+        for (int r = 0; r < h; r++, r0 += pv.stride, out += ostride)
           std::memcpy(out, r0, 8);
       } else if (fy && fx) {
-        for (int r = 0; r < h; r++, r0 += pv.stride, out += 8) {
+        for (int r = 0; r < h; r++, r0 += pv.stride, out += ostride) {
           const uint8_t* r1 = r0 + pv.stride;
           __m128i a0 = _mm_cvtepu8_epi16(_mm_loadl_epi64((const __m128i*)r0));
           __m128i a1 = _mm_cvtepu8_epi16(_mm_loadl_epi64((const __m128i*)(r0 + 1)));
@@ -470,7 +499,7 @@ static void fetch(const PlaneView& pv, int sy, int sx, int h, int w,
         }
       } else {
         int step = fy ? pv.stride : 1;
-        for (int r = 0; r < h; r++, r0 += pv.stride, out += 8)
+        for (int r = 0; r < h; r++, r0 += pv.stride, out += ostride)
           _mm_storel_epi64(
               (__m128i*)out,
               _mm_avg_epu8(_mm_loadl_epi64((const __m128i*)r0),
@@ -481,24 +510,24 @@ static void fetch(const PlaneView& pv, int sy, int sx, int h, int w,
 #endif
     if (!fy && !fx) {
       for (int r = 0; r < h; r++, r0 += pv.stride)
-        for (int c = 0; c < w; c++) out[r * w + c] = r0[c];
+        for (int c = 0; c < w; c++) out[r * ostride + c] = r0[c];
     } else if (fy && fx) {
       for (int r = 0; r < h; r++, r0 += pv.stride) {
         const uint8_t* r1 = r0 + pv.stride;
         for (int c = 0; c < w; c++)
-          out[r * w + c] =
+          out[r * ostride + c] =
               (r0[c] + r0[c + 1] + r1[c] + r1[c + 1] + 2) >> 2;
       }
     } else if (fy) {
       for (int r = 0; r < h; r++, r0 += pv.stride) {
         const uint8_t* r1 = r0 + pv.stride;
         for (int c = 0; c < w; c++)
-          out[r * w + c] = (r0[c] + r1[c] + 1) >> 1;
+          out[r * ostride + c] = (r0[c] + r1[c] + 1) >> 1;
       }
     } else {
       for (int r = 0; r < h; r++, r0 += pv.stride)
         for (int c = 0; c < w; c++)
-          out[r * w + c] = (r0[c] + r0[c + 1] + 1) >> 1;
+          out[r * ostride + c] = (r0[c] + r0[c + 1] + 1) >> 1;
     }
     return;
   }
@@ -521,7 +550,7 @@ static void fetch(const PlaneView& pv, int sy, int sx, int h, int w,
         v = (px(iy + r, ix + c) + px(iy + r, ix + c + 1) + 1) >> 1;
       else
         v = px(iy + r, ix + c);
-      out[r * w + c] = v;
+      out[r * ostride + c] = v;
     }
 }
 
@@ -536,27 +565,43 @@ struct Pred {  // one macroblock prediction (chroma sized for 4:2:2)
   }
 };
 
-static void avg_into(Pred& a, const Pred& b, int clen) {
+// Strided per-macroblock destination: points either straight into the
+// current frame (hot path — prediction fetch and residual add land in
+// place, no intermediate copy) or at a packed Pred temp (ys=16, cs=8).
+struct Dst {
+  uint8_t *y = nullptr, *u = nullptr, *v = nullptr;
+  int ys = 16, cs = 8;
+};
+
+static inline Dst pred_dst(Pred& p) { return Dst{p.y, p.u, p.v, 16, 8}; }
+
+// row average a = avg(a, b): _mm_avg_epu8 is exactly (a+b+1)>>1 per byte
+static inline void avg_row16(uint8_t* a, const uint8_t* b) {
 #ifdef __AVX2__
-  // _mm256_avg_epu8 is exactly (a+b+1)>>1 per byte
-  for (int i = 0; i < 256; i += 32) {
-    __m256i va = _mm256_loadu_si256((const __m256i*)(a.y + i));
-    __m256i vb = _mm256_loadu_si256((const __m256i*)(b.y + i));
-    _mm256_storeu_si256((__m256i*)(a.y + i), _mm256_avg_epu8(va, vb));
-  }
-  for (int i = 0; i < clen; i += 32) {
-    __m256i ua = _mm256_loadu_si256((const __m256i*)(a.u + i));
-    __m256i ub = _mm256_loadu_si256((const __m256i*)(b.u + i));
-    _mm256_storeu_si256((__m256i*)(a.u + i), _mm256_avg_epu8(ua, ub));
-    __m256i va = _mm256_loadu_si256((const __m256i*)(a.v + i));
-    __m256i vb = _mm256_loadu_si256((const __m256i*)(b.v + i));
-    _mm256_storeu_si256((__m256i*)(a.v + i), _mm256_avg_epu8(va, vb));
-  }
+  _mm_storeu_si128((__m128i*)a,
+                   _mm_avg_epu8(_mm_loadu_si128((const __m128i*)a),
+                                _mm_loadu_si128((const __m128i*)b)));
 #else
-  for (int i = 0; i < 256; i++) a.y[i] = (a.y[i] + b.y[i] + 1) >> 1;
-  for (int i = 0; i < clen; i++) a.u[i] = (a.u[i] + b.u[i] + 1) >> 1;
-  for (int i = 0; i < clen; i++) a.v[i] = (a.v[i] + b.v[i] + 1) >> 1;
+  for (int i = 0; i < 16; i++) a[i] = (a[i] + b[i] + 1) >> 1;
 #endif
+}
+static inline void avg_row8(uint8_t* a, const uint8_t* b) {
+#ifdef __AVX2__
+  _mm_storel_epi64((__m128i*)a,
+                   _mm_avg_epu8(_mm_loadl_epi64((const __m128i*)a),
+                                _mm_loadl_epi64((const __m128i*)b)));
+#else
+  for (int i = 0; i < 8; i++) a[i] = (a[i] + b[i] + 1) >> 1;
+#endif
+}
+
+// d = avg(d, packed Pred temp) over a whole macroblock (c_rows chroma rows)
+static void avg_into_dst(const Dst& d, const Pred& t, int c_rows) {
+  for (int r = 0; r < 16; r++) avg_row16(d.y + r * d.ys, t.y + r * 16);
+  for (int r = 0; r < c_rows; r++) {
+    avg_row8(d.u + r * d.cs, t.u + r * 8);
+    avg_row8(d.v + r * d.cs, t.v + r * 8);
+  }
 }
 
 // ---------------------------------------------------------------------------
@@ -757,7 +802,8 @@ struct Decoder {
   // coefficient rows may be nonzero (superset), for the sparse IDCT.
   bool block(BitReader& r, SliceState& st, bool intra, int cc,
              int32_t coeffs[64], unsigned& rowmask) {
-    std::memset(coeffs, 0, 64 * sizeof(int32_t));
+    // coefficient rows are zeroed lazily, the first time a row goes
+    // live (saturation/mismatch and the IDCT only ever read live rows)
     rowmask = 0;
     const int32_t* wq_intra = st.wq_intra;
     const int32_t* wq_non = st.wq_non;
@@ -776,6 +822,7 @@ struct Decoder {
                                           : (int)bits - (1 << size) + 1;
       }
       st.dc_pred[cc] += diff;
+      std::memset(coeffs, 0, 8 * sizeof(int32_t));
       coeffs[0] = st.dc_pred[cc] * st.dc_mult;
       rowmask |= 1;
       n = 1;
@@ -856,15 +903,22 @@ struct Decoder {
       if (n > 63) { r.err = true; return false; }
       int pos = st.scan[n];
       n += 1;
-      rowmask |= 1u << (pos >> 3);
+      unsigned rb = 1u << (pos >> 3);
+      if (!(rowmask & rb)) {  // first write into this row: zero it
+        std::memset(coeffs + (pos & 56), 0, 8 * sizeof(int32_t));
+        rowmask |= rb;
+      }
+      // dequant products fit int32 (|2*level+1| <= 4095, wq <= 28560,
+      // 4095*28560 < 2^27*...: 1.17e8 < 2^31), so the oracle's int64
+      // "/32 toward zero" evaluates identically in int32
       if (intra) {
         if (pos != 0)
-          coeffs[pos] = trunc_div32(2LL * level * wq_intra[pos]);
+          coeffs[pos] = trunc_shr5(2 * level * wq_intra[pos]);
         else
           coeffs[pos] = level;
       } else {
         int k = level == 0 ? 0 : (level > 0 ? 1 : -1);
-        coeffs[pos] = trunc_div32((2LL * level + k) * wq_non[pos]);
+        coeffs[pos] = trunc_shr5((2 * level + k) * wq_non[pos]);
       }
       if (seq.mpeg1 && pos != 0) {
         // 11172-2: per-coefficient oddification (DC exempt)
@@ -903,8 +957,11 @@ struct Decoder {
     }
 #endif
     if (!seq.mpeg1 && (sum & 1) == 0) {  // MPEG-1 oddifies instead
+      if (!(rowmask & 0x80)) {  // row 7 going live via the toggle
+        std::memset(coeffs + 56, 0, 8 * sizeof(int32_t));
+        rowmask |= 0x80;
+      }
       coeffs[63] ^= 1;
-      rowmask |= 0x80;
     }
     return true;
   }
@@ -939,74 +996,62 @@ struct Decoder {
     out[2] = field_view(f->v, f->ch(), f->cw(), parity);
   }
 
-  // frame-based 16x16 prediction (mirrors _frame_pred)
+  // frame-based 16x16 prediction (mirrors _frame_pred), fetched straight
+  // into the (strided) destination
   void frame_pred(FrameBuf* frame, int mby, int mbx, int mvx, int mvy,
-                  Pred& p) {
+                  const Dst& d) {
     PlaneView pv[3];
     frame_views(frame, pv);
-    fetch(pv[0], mby * 32 + mvy, mbx * 32 + mvx, 16, 16, p.y);
+    fetch(pv[0], mby * 32 + mvy, mbx * 32 + mvx, 16, 16, d.y, d.ys);
     int cf = seq.chroma_format;
     int cr = cf == 1 ? 8 : 16;
     int cx = div2_trunc(mvx);
     int cy = cf == 1 ? div2_trunc(mvy) : mvy;  // 4:2:2: full vertical
-    fetch(pv[1], mby * 2 * cr + cy, mbx * 16 + cx, cr, 8, p.u);
-    fetch(pv[2], mby * 2 * cr + cy, mbx * 16 + cx, cr, 8, p.v);
+    fetch(pv[1], mby * 2 * cr + cy, mbx * 16 + cx, cr, 8, d.u, d.cs);
+    fetch(pv[2], mby * 2 * cr + cy, mbx * 16 + cx, cr, 8, d.v, d.cs);
   }
 
-  // field prediction of h luma rows into tmp buffers (mirrors
-  // _field_pred_views); caller places rows.
+  // field prediction of h luma rows into strided destinations (mirrors
+  // _field_pred_views); interleaved placement = ty offset + 2x stride.
   void field_pred(const PlaneView pv[3], int fy_mb, int mbx, int mvx,
-                  int mvy, int h, int y_off, uint8_t* ty, uint8_t* tu,
-                  uint8_t* tv) {
-    fetch(pv[0], (fy_mb + y_off) * 2 + mvy, mbx * 32 + mvx, h, 16, ty);
+                  int mvy, int h, int y_off, uint8_t* ty, int ys,
+                  uint8_t* tu, uint8_t* tv, int cs) {
+    fetch(pv[0], (fy_mb + y_off) * 2 + mvy, mbx * 32 + mvx, h, 16, ty, ys);
     int cx = div2_trunc(mvx);
     if (seq.chroma_format == 1) {
       int cy = div2_trunc(mvy);
-      fetch(pv[1], (fy_mb + y_off) + cy, mbx * 16 + cx, h / 2, 8, tu);
-      fetch(pv[2], (fy_mb + y_off) + cy, mbx * 16 + cx, h / 2, 8, tv);
+      fetch(pv[1], (fy_mb + y_off) + cy, mbx * 16 + cx, h / 2, 8, tu, cs);
+      fetch(pv[2], (fy_mb + y_off) + cy, mbx * 16 + cx, h / 2, 8, tv, cs);
     } else {  // 4:2:2: chroma fields have luma's vertical resolution
-      fetch(pv[1], (fy_mb + y_off) * 2 + mvy, mbx * 16 + cx, h, 8, tu);
-      fetch(pv[2], (fy_mb + y_off) * 2 + mvy, mbx * 16 + cx, h, 8, tv);
+      fetch(pv[1], (fy_mb + y_off) * 2 + mvy, mbx * 16 + cx, h, 8, tu, cs);
+      fetch(pv[2], (fy_mb + y_off) * 2 + mvy, mbx * 16 + cx, h, 8, tv, cs);
     }
   }
 
-  // Place an h-row field prediction into a Pred at interleave step/offset.
-  static void place_field(Pred& p, int dest_par, int step, const uint8_t* ty,
-                          const uint8_t* tu, const uint8_t* tv, int h,
-                          int hc) {
-    for (int r = 0; r < h; r++)
-      std::memcpy(p.y + (dest_par + r * step) * 16, ty + r * 16,
-                  16);
-    for (int r = 0; r < hc; r++) {
-      std::memcpy(p.u + (dest_par + r * step) * 8, tu + r * 8,
-                  8);
-      std::memcpy(p.v + (dest_par + r * step) * 8, tv + r * 8,
-                  8);
-    }
-  }
-
-  // ---- store (mirrors _store_mb) ----
-  void store_mb(SliceState& st, int mb_row, int mb_x, const Pred& mb) {
-    bool frame_pic = st.frame_pic;
-    PlaneView ty, tu, tv;
-    if (frame_pic) {
-      ty = full_view(cur->y, cur->yh(), cur->yw());
-      tu = full_view(cur->u, cur->ch(), cur->cw());
-      tv = full_view(cur->v, cur->ch(), cur->cw());
+  // Destination window of one macroblock inside the current picture
+  // (frame pictures: frame stride; field pictures: 2x stride + parity
+  // offset).  Prediction fetch and residual add land here directly —
+  // the oracle's separate _store_mb copy is the identity on the result.
+  Dst mb_dst(const SliceState& st, int mb_row, int mb_x) {
+    Dst d;
+    if (st.frame_pic) {
+      d.ys = cur->yw();
+      d.cs = cur->cw();
+      d.y = cur->y.data() + (size_t)mb_row * 16 * d.ys + mb_x * 16;
+      d.u = cur->u.data() + (size_t)mb_row * st.c_rows * d.cs + mb_x * 8;
+      d.v = cur->v.data() + (size_t)mb_row * st.c_rows * d.cs + mb_x * 8;
     } else {
-      ty = field_view(cur->y, cur->yh(), cur->yw(), st.cur_parity);
-      tu = field_view(cur->u, cur->ch(), cur->cw(), st.cur_parity);
-      tv = field_view(cur->v, cur->ch(), cur->cw(), st.cur_parity);
+      int yw = cur->yw(), cw = cur->cw();
+      d.ys = 2 * yw;
+      d.cs = 2 * cw;
+      d.y = cur->y.data() + st.cur_parity * yw +
+            (size_t)mb_row * 16 * d.ys + mb_x * 16;
+      d.u = cur->u.data() + st.cur_parity * cw +
+            (size_t)mb_row * st.c_rows * d.cs + mb_x * 8;
+      d.v = cur->v.data() + st.cur_parity * cw +
+            (size_t)mb_row * st.c_rows * d.cs + mb_x * 8;
     }
-    // Pred pixels are already clipped bytes (clipping happens exactly
-    // once per pixel, at residual-add time), so the store is a copy.
-    for (int r = 0; r < 16; r++)
-      std::memcpy(ty.row(mb_row * 16 + r) + mb_x * 16, mb.y + r * 16, 16);
-    int cr = st.c_rows;
-    for (int r = 0; r < cr; r++) {
-      std::memcpy(tu.row(mb_row * cr + r) + mb_x * 8, mb.u + r * 8, 8);
-      std::memcpy(tv.row(mb_row * cr + r) + mb_x * 8, mb.v + r * 8, 8);
-    }
+    return d;
   }
 
   // ---- skipped macroblocks (mirrors _skipped_mb) ----
@@ -1050,12 +1095,14 @@ struct Decoder {
         return true;
       }
     }
-    Pred acc, tmp;
+    Dst d = mb_dst(st, mb_row, mb_x);
+    Pred tmp;
+    Dst td = pred_dst(tmp);
     int npred = 0;
     for (int s = 0; s < 2; s++) {
       if (!(flags & (s == 0 ? MBT_MOTION_F : MBT_MOTION_B))) continue;
       int mvx = mvs[s][0], mvy = mvs[s][1];
-      Pred& p = npred == 0 ? acc : tmp;
+      const Dst& p = npred == 0 ? d : td;
       if (st.frame_pic) {
         FrameBuf* frame = ref_frame(s);
         if (!frame) continue;
@@ -1063,21 +1110,23 @@ struct Decoder {
       } else {
         PlaneView pv[3];
         ref_field(s, st.cur_parity, pv);
-        field_pred(pv, mb_row * 16, mb_x, mvx, mvy, 16, 0, p.y, p.u, p.v);
+        field_pred(pv, mb_row * 16, mb_x, mvx, mvy, 16, 0, p.y, p.ys,
+                   p.u, p.v, p.cs);
       }
-      if (npred > 0) avg_into(acc, tmp, st.c_len);
+      if (npred > 0) avg_into_dst(d, tmp, st.c_rows);
       npred++;
     }
-    if (npred == 0) return true;
-    store_mb(st, mb_row, mb_x, acc);
+    if (npred == 0) return true;  // no refs: leave prev_flags untouched
     st.prev_flags = flags;
     return true;
   }
 
   // ---- one decoded motion direction (mirrors _motion + its closures) ----
+  // Writes the prediction into the strided destination (the picture
+  // itself for the first direction, a packed Pred temp for the second).
   // Returns false on bitstream error.
   bool motion(BitReader& r, SliceState& st, int s, int motion_type,
-              int mb_row, int mb_x, Pred& out) {
+              int mb_row, int mb_x, const Dst& out) {
     if (st.frame_pic) {
       if (motion_type == 2) {  // frame-based
         Mv m = mv(r, st, 0, s, false, false);
@@ -1093,7 +1142,6 @@ struct Decoder {
         return true;
       }
       if (motion_type == 1) {  // field-based in frame picture
-        out.zero();
         for (int rr = 0; rr < 2; rr++) {
           int fs = r.read(1);
           Mv m = mv(r, st, rr, s, true, false);
@@ -1102,9 +1150,11 @@ struct Decoder {
           if (!frame) return false;
           PlaneView pv[3];
           field_views(frame, fs, pv);
-          uint8_t ty[128], tu[64], tv[64];
-          field_pred(pv, mb_row * 8, mb_x, m.x, m.y, 8, 0, ty, tu, tv);
-          place_field(out, rr, 2, ty, tu, tv, 8, st.c_rows / 2);
+          // parity rr rows land interleaved: offset rr, stride doubled
+          field_pred(pv, mb_row * 8, mb_x, m.x, m.y, 8, 0,
+                     out.y + rr * out.ys, 2 * out.ys,
+                     out.u + rr * out.cs, out.v + rr * out.cs,
+                     2 * out.cs);
         }
         return true;
       }
@@ -1115,26 +1165,30 @@ struct Decoder {
         FrameBuf* frame = ref_frame(s);
         if (!frame) return false;
         bool tff = pic.top_field_first;
-        out.zero();
         for (int dest_par = 0; dest_par < 2; dest_par++) {
           PlaneView same[3], opp[3];
           field_views(frame, dest_par, same);
           field_views(frame, 1 - dest_par, opp);
-          uint8_t ay[128], au[64], av[64], by[128], bu[64], bv[64];
-          field_pred(same, mb_row * 8, mb_x, m.x, m.y, 8, 0, ay, au, av);
+          uint8_t* dy = out.y + dest_par * out.ys;
+          uint8_t* du = out.u + dest_par * out.cs;
+          uint8_t* dv = out.v + dest_par * out.cs;
+          field_pred(same, mb_row * 8, mb_x, m.x, m.y, 8, 0, dy,
+                     2 * out.ys, du, dv, 2 * out.cs);
           int mfac, corr;
           if (dest_par == 0) { mfac = tff ? 1 : 3; corr = -1; }
           else { mfac = tff ? 3 : 1; corr = 1; }
           int ox = dp_half(m.x * mfac) + m.dmx;
           int oy = dp_half(m.y * mfac) + m.dmy + corr;
-          field_pred(opp, mb_row * 8, mb_x, ox, oy, 8, 0, by, bu, bv);
+          uint8_t by[128], bu[64], bv[64];
+          field_pred(opp, mb_row * 8, mb_x, ox, oy, 8, 0, by, 16, bu, bv,
+                     8);
           int hc = st.c_rows / 2;
-          for (int i = 0; i < 128; i++) ay[i] = (ay[i] + by[i] + 1) >> 1;
-          for (int i = 0; i < hc * 8; i++) {
-            au[i] = (au[i] + bu[i] + 1) >> 1;
-            av[i] = (av[i] + bv[i] + 1) >> 1;
+          for (int rr = 0; rr < 8; rr++)
+            avg_row16(dy + rr * 2 * out.ys, by + rr * 16);
+          for (int rr = 0; rr < hc; rr++) {
+            avg_row8(du + rr * 2 * out.cs, bu + rr * 8);
+            avg_row8(dv + rr * 2 * out.cs, bv + rr * 8);
           }
-          place_field(out, dest_par, 2, ay, au, av, 8, hc);
         }
         return true;
       }
@@ -1150,28 +1204,22 @@ struct Decoder {
       std::memcpy(st.pmv[1][s], st.pmv[0][s], sizeof st.pmv[1][s]);
       PlaneView pv[3];
       ref_field(s, fs, pv);
-      field_pred(pv, mb_row * 16, mb_x, m.x, m.y, 16, 0, out.y, out.u,
-                 out.v);
+      field_pred(pv, mb_row * 16, mb_x, m.x, m.y, 16, 0, out.y, out.ys,
+                 out.u, out.v, out.cs);
       return true;
     }
     if (motion_type == 2) {  // 16x8
-      out.zero();
+      int hc = st.c_rows / 2;
       for (int half = 0; half < 2; half++) {
         int fs = r.read(1);
         Mv m = mv(r, st, half, s, false, false);
         if (r.err) return false;
         PlaneView pv[3];
         ref_field(s, fs, pv);
-        uint8_t ty[128], tu[64], tv[64];
-        field_pred(pv, mb_row * 16, mb_x, m.x, m.y, 8, half * 8, ty, tu,
-                   tv);
-        int hc = st.c_rows / 2;
-        for (int rr = 0; rr < 8; rr++)
-          std::memcpy(out.y + (half * 8 + rr) * 16, ty + rr * 16, 16);
-        for (int rr = 0; rr < hc; rr++) {
-          std::memcpy(out.u + (half * hc + rr) * 8, tu + rr * 8, 8);
-          std::memcpy(out.v + (half * hc + rr) * 8, tv + rr * 8, 8);
-        }
+        field_pred(pv, mb_row * 16, mb_x, m.x, m.y, 8, half * 8,
+                   out.y + half * 8 * out.ys, out.ys,
+                   out.u + half * hc * out.cs,
+                   out.v + half * hc * out.cs, out.cs);
       }
       return true;
     }
@@ -1182,15 +1230,18 @@ struct Decoder {
       PlaneView same[3], opp[3];
       ref_field(s, cur_par, same);
       ref_field(s, 1 - cur_par, opp);
-      uint8_t ay[256], au[128], av[128], by[256], bu[128], bv[128];
-      field_pred(same, mb_row * 16, mb_x, m.x, m.y, 16, 0, ay, au, av);
+      field_pred(same, mb_row * 16, mb_x, m.x, m.y, 16, 0, out.y, out.ys,
+                 out.u, out.v, out.cs);
       int ox = dp_half(m.x) + m.dmx;
       int oy = dp_half(m.y) + m.dmy + (cur_par == 1 ? 1 : -1);
-      field_pred(opp, mb_row * 16, mb_x, ox, oy, 16, 0, by, bu, bv);
-      for (int i = 0; i < 256; i++) out.y[i] = (ay[i] + by[i] + 1) >> 1;
-      for (int i = 0; i < st.c_len; i++) {
-        out.u[i] = (au[i] + bu[i] + 1) >> 1;
-        out.v[i] = (av[i] + bv[i] + 1) >> 1;
+      uint8_t by[256], bu[128], bv[128];
+      field_pred(opp, mb_row * 16, mb_x, ox, oy, 16, 0, by, 16, bu, bv,
+                 8);
+      for (int rr = 0; rr < 16; rr++)
+        avg_row16(out.y + rr * out.ys, by + rr * 16);
+      for (int rr = 0; rr < st.c_rows; rr++) {
+        avg_row8(out.u + rr * out.cs, bu + rr * 8);
+        avg_row8(out.v + rr * out.cs, bv + rr * 8);
       }
       return true;
     }
@@ -1227,7 +1278,9 @@ struct Decoder {
     if (flags & MBT_QUANT) { st.qs = qscale(r.read(5), r); refresh_wq(st); }
     if (r.err) return false;
 
-    Pred acc, tmp;
+    Dst d = mb_dst(st, mb_row, mb_x);
+    Pred tmp;
+    Dst td = pred_dst(tmp);
     int npred = 0;
     if (intra) {
       if (pic.concealment) {
@@ -1244,15 +1297,15 @@ struct Decoder {
       for (int s = 0; s < 2; s++) {
         bool has = s == 0 ? motion_f : motion_b;
         if (!has) continue;
-        Pred& p = npred == 0 ? acc : tmp;
+        const Dst& p = npred == 0 ? d : td;
         if (!motion(r, st, s, motion_type, mb_row, mb_x, p)) return false;
-        if (npred > 0) avg_into(acc, tmp, st.c_len);
+        if (npred > 0) avg_into_dst(d, tmp, st.c_rows);
         npred++;
       }
       if (pic.coding_type == 2 && !motion_f && !intra) {
         // pattern-only P macroblock: zero vector + PMV reset
         std::memset(st.pmv, 0, sizeof st.pmv);
-        Pred& p = npred == 0 ? acc : tmp;
+        const Dst& p = npred == 0 ? d : td;
         if (st.frame_pic) {
           FrameBuf* frame = ref_frame(0);
           if (!frame) return false;
@@ -1260,9 +1313,10 @@ struct Decoder {
         } else {
           PlaneView pv[3];
           ref_field(0, st.cur_parity, pv);
-          field_pred(pv, mb_row * 16, mb_x, 0, 0, 16, 0, p.y, p.u, p.v);
+          field_pred(pv, mb_row * 16, mb_x, 0, 0, 16, 0, p.y, p.ys, p.u,
+                     p.v, p.cs);
         }
-        if (npred > 0) avg_into(acc, tmp, st.c_len);
+        if (npred > 0) avg_into_dst(d, tmp, st.c_rows);
         npred++;
       }
     }
@@ -1278,8 +1332,15 @@ struct Decoder {
       cbp = (1 << st.nblocks) - 1;
     }
 
-    Pred& mb = acc;
-    if (intra || npred == 0) mb.zero();
+    // intra MBs code every block (cbp all-ones) and set_clip8 overwrites,
+    // so only the missing-reference inter case needs explicit zeros
+    if (!intra && npred == 0) {
+      for (int rr = 0; rr < 16; rr++) std::memset(d.y + rr * d.ys, 0, 16);
+      for (int rr = 0; rr < st.c_rows; rr++) {
+        std::memset(d.u + rr * d.cs, 0, 8);
+        std::memset(d.v + rr * d.cs, 0, 8);
+      }
+    }
 
     for (int b = 0; b < st.nblocks; b++) {
       if (!((cbp >> (st.nblocks - 1 - b)) & 1)) continue;
@@ -1294,7 +1355,7 @@ struct Decoder {
         if (dct_type) {  // field DCT interleave
           int base_row = b / 2, cs = (b & 1) * 8;
           for (int rr = 0; rr < 8; rr++) {
-            uint8_t* dst = mb.y + (base_row + rr * 2) * 16 + cs;
+            uint8_t* dst = d.y + (base_row + rr * 2) * d.ys + cs;
             const int32_t* sr = res + rr * 8;
             if (intra) set_clip8(dst, sr);
             else add_clip8(dst, sr);
@@ -1302,26 +1363,29 @@ struct Decoder {
         } else {
           int rs = (b / 2) * 8, cs = (b & 1) * 8;
           for (int rr = 0; rr < 8; rr++) {
-            uint8_t* dst = mb.y + (rs + rr) * 16 + cs;
+            uint8_t* dst = d.y + (rs + rr) * d.ys + cs;
             const int32_t* sr = res + rr * 8;
             if (intra) set_clip8(dst, sr);
             else add_clip8(dst, sr);
           }
         }
       } else {
-        uint8_t* base = (b & 1) == 0 ? mb.u : mb.v;
+        uint8_t* base = (b & 1) == 0 ? d.u : d.v;
         int k2 = (b - 4) / 2;
         if (dct_type && st.cf == 2) {  // 4:2:2 chroma is field-organised
           for (int rr = 0; rr < 8; rr++) {
-            uint8_t* dst = base + (k2 + rr * 2) * 8;
+            uint8_t* dst = base + (k2 + rr * 2) * d.cs;
             const int32_t* sr = res + rr * 8;
             if (intra) set_clip8(dst, sr);
             else add_clip8(dst, sr);
           }
         } else {
-          uint8_t* dst = base + k2 * 64;
-          if (intra) for (int i = 0; i < 64; i += 8) set_clip8(dst + i, res + i);
-          else for (int i = 0; i < 64; i += 8) add_clip8(dst + i, res + i);
+          for (int rr = 0; rr < 8; rr++) {
+            uint8_t* dst = base + (k2 * 8 + rr) * d.cs;
+            const int32_t* sr = res + rr * 8;
+            if (intra) set_clip8(dst, sr);
+            else add_clip8(dst, sr);
+          }
         }
       }
     }
@@ -1329,12 +1393,21 @@ struct Decoder {
     if (!intra && !pattern)
       for (int i = 0; i < 3; i++) st.dc_pred[i] = st.dc_reset;
     st.prev_flags = intra ? 0 : flags;
-    store_mb(st, mb_row, mb_x, mb);
     return true;
   }
 
   // ---- slice (mirrors decode_slice) ----
-  void decode_slice(BitReader& r, SliceState& st, int vertical_pos) {
+  // flatten: inline the whole hot path (macroblock/block/mv/motion/VLC)
+  // so the slice-local reader below stays register-resident across the
+  // symbol loops — by-reference cursor fields would otherwise be
+  // spilled around every data[] byte load (char may alias them).
+  __attribute__((flatten))
+  void decode_slice(BitReader& r_, SliceState& st, int vertical_pos) {
+    BitReader r = r_;
+    struct Commit {
+      BitReader &dst, &src;
+      ~Commit() { dst = src; }
+    } commit_{r_, r};
     int mb_row = vertical_pos - 1;
     if (seq.height > 2800) mb_row = ((int)r.read(3) << 7) + vertical_pos - 1;
     if (mb_row >= st.mbh) { errors++; return; }
