@@ -536,20 +536,25 @@ class FilterGraph:
 
     def run_kfm_batch(self, frames: np.ndarray, prev_frame,
                       start_index: int, plane: int = 0,
-                      final: bool = False) -> np.ndarray:
+                      final: bool = False,
+                      n_real: int | None = None) -> np.ndarray:
         """Synthesize the VFR output frames whose source index falls in
-        [start_index, start_index + len(frames)) (the KFM pass-3 analog).
+        [start_index, start_index + n_real) (the KFM pass-3 analog).
 
         frames: [B, H, W] source frames (one plane); prev_frame: the source
         frame before `start_index` (None at the sequence head), needed for
         MERGE_PREV pulldown repair. plane identifies the Y/U/V plane for
         per-plane carries; final marks the last batch of the stream
-        (SVP mode flushes its interpolation tail).
+        (SVP mode flushes its interpolation tail). n_real < len(frames)
+        marks trailing rows as padding (repeats shipped only to keep one
+        XLA batch geometry); their entries belong to the next chunk and
+        are excluded here.
         """
         import jax.numpy as jnp
 
         assert self.vfr_plan is not None
-        end_index = start_index + len(frames)
+        end_index = start_index + (n_real if n_real is not None
+                                   else len(frames))
         entries = [(src, op) for src, op in self.vfr_plan.source_frames
                    if start_index <= src < end_index]
         if not entries:

@@ -72,12 +72,22 @@ def ensure_jax_backend(ctx) -> None:
             jax.config.update(
                 "jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.devices()
+        # the backend is attached: from here the link-economics probe
+        # measures in-process (a subprocess could never attach a
+        # single-client tunneled device the parent already holds and
+        # would burn its whole timeout before concluding "slow")
+        from ..utils.device import mark_backend_attached
+
+        mark_backend_attached()
     except RuntimeError as e:
         ctx.warn("accelerator backend unavailable (%s); falling back to CPU", e)
         import jax
 
         jax.config.update("jax_platforms", "cpu")
         jax.devices()
+        from ..utils.device import mark_backend_attached
+
+        mark_backend_attached()
 
 
 @dataclass
@@ -400,7 +410,33 @@ class TranscodePipeline:
             batch = max(8, st.conf.device_batch_frames)
             scene_scores: list[np.ndarray] = []
             scene_hists: list[np.ndarray] = []
-            state = {"prev": None, "count": 0}
+            state = {"prev": None, "count": 0, "pending": None}
+
+            def drain_scene_pending():
+                # deferred download of the previous batch's metrics: the
+                # device computed while the host decoded this batch, so
+                # the blocking np.asarray here only pays what overlap
+                # could not hide
+                if state["pending"] is None:
+                    return
+                dj, hj, n_real, n_pend = state["pending"]
+                state["pending"] = None
+                t0 = time.time()
+                scene_scores.append(np.asarray(dj)[:n_real])
+                scene_hists.append(np.asarray(hj)[:n_real])
+                # late rescue: if the drain still blocks long after a
+                # full decode batch of overlap, the link (not the
+                # compiler) is slow -> decision-identical host twin
+                state["dev_batches"] = state.get("dev_batches", 0) + 1
+                if (state["dev_batches"] > 1
+                        and time.time() - t0 > 0.005 * n_pend):
+                    state["host_metrics"] = True
+                    self.ctx.info(
+                        "[scene metrics] device round slow "
+                        "(%.0f ms/frame); switching to the host twin",
+                        (time.time() - t0) * 1e3 / n_pend)
+                state["scene_s"] = (state.get("scene_s", 0.0)
+                                    + time.time() - t0)
 
             def scene_batch(pend):
                 if cm_ops is None:
@@ -445,29 +481,21 @@ class TranscodePipeline:
 
                     padded, n_real = pad_tail(pend, batch)
                     arr = jnp.asarray(padded)
-                if arr is None:
+                drain_scene_pending()
+                if arr is None or state["host_metrics"]:
                     d, h = cm_ops.scene_metrics_batch_host(
                         pend, state["prev"] if state["prev"] is not None
                         else pend[0])
+                    scene_scores.append(d)
+                    scene_hists.append(h)
                 else:
-                    t0 = time.time()
                     prev = (arr[0] if state["prev"] is None
                             else jnp.asarray(state["prev"]))
                     dj, hj = cm_ops.scene_metrics_batch(arr, prev)
-                    d = np.asarray(dj)[:n_real]
-                    h = np.asarray(hj)[:n_real]
-                    # late rescue: a slow full round AFTER the compile
-                    # batch means the link (not the compiler) is slow
-                    state["dev_batches"] = state.get("dev_batches", 0) + 1
-                    if (state["dev_batches"] > 1
-                            and time.time() - t0 > 0.005 * len(pend)):
-                        state["host_metrics"] = True
-                        self.ctx.info(
-                            "[scene metrics] device round slow "
-                            "(%.0f ms/frame); switching to the host twin",
-                            (time.time() - t0) * 1e3 / len(pend))
-                scene_scores.append(d)
-                scene_hists.append(h)
+                    # enqueue only: downloaded by the NEXT batch's drain
+                    # (or the final drain), overlapping device compute
+                    # with the host decode of the following batch
+                    state["pending"] = (dj, hj, n_real, len(pend))
                 state["prev"] = pend[-1]
                 state["scene_s"] = (state.get("scene_s", 0.0)
                                     + time.time() - t_sb)
@@ -507,6 +535,7 @@ class TranscodePipeline:
             # logs, TranscodeManager.hpp:489/:607): scene-metric time is
             # accumulated inside scene_batch; the rest of the streaming
             # pass is decode + (when logos exist) the fade-sweep matcher
+            drain_scene_pending()
             self.ctx.info(
                 "[CM analysis] stream pass %.2fs (%d frames; scene "
                 "metrics %.2fs, decode+logo %.2fs)",
@@ -1114,8 +1143,16 @@ def _default_encoder_runner(pipeline: TranscodePipeline, reform,
         # on a multi-core host decode/filter and encode overlap fully
         proc = SubProcess(encoder_args)
         writer = Y4MWriter(proc.stdin, y4m_fmt)
+    # queue deep enough to ride out a full device batch round without
+    # starving the encoder (ref Encoder.hpp's pump buffering), capped at
+    # ~256 MB of frames so 4K sources don't blow host memory
+    frame_bytes = max(1, out_fmt.width * out_fmt.height * 3 // 2
+                      * (2 if (passthrough10 or post10) else 1))
+    pump_depth = max(st.conf.num_encode_buffer_frames,
+                     st.conf.device_batch_frames)
+    pump_depth = max(4, min(pump_depth, (256 << 20) // frame_bytes))
     pump = DataPumpThread(lambda planes: writer.write_frame(*planes),
-                          max_items=max(4, st.conf.num_encode_buffer_frames))
+                          max_items=pump_depth)
     if eraser is not None:
         src = eraser.erase_iter(src, max(3, st.conf.device_batch_frames))
     frames_iter = (planes for i, planes in enumerate(src) if i in wanted)
@@ -1197,15 +1234,23 @@ def _pump_filtered(fg, frames_iter, pump, batch: int) -> None:
             # keep the decoder's uint8 through to the filter graph: every
             # device transfer ships 4x less and widens on device
             if fg.mode in FilterGraph.KFM_FAMILY:
-                # VFR synthesis emits a data-dependent frame count, so
-                # the tail cannot be pad-and-sliced
+                # VFR synthesis emits a data-dependent frame count; pad
+                # short chunks (head ramp / tail) to the steady batch
+                # shape with repeats so XLA keeps ONE executable per
+                # plane geometry, and restrict the emitted entries to
+                # the real range via n_real
                 arr = np.stack([f[p] for f in chunk])
+                if len(chunk) < batch:
+                    arr = np.concatenate(
+                        [arr, np.repeat(arr[-1:], batch - len(chunk),
+                                        axis=0)])
                 res = fg.run_kfm_batch(
                     arr,
                     None if prev_planes is None else prev_planes[p],
                     start,
                     plane=p,
                     final=next_planes is None,
+                    n_real=len(chunk),
                 )
                 n_out = len(res)
             else:
@@ -1235,9 +1280,17 @@ def _pump_filtered(fg, frames_iter, pump, batch: int) -> None:
             emit(*pending)
         pending = (outs, n_out)
 
+    # head ramp: flush a small first chunk so the encoder starts after
+    # ~8 decoded frames instead of a full batch + device round (the
+    # chunk is padded to the steady geometry, so no extra XLA compile)
+    ramp = min(8, batch)
     for planes in frames_iter:
         buf.append(planes)
-        if len(buf) > batch:  # keep one lookahead frame for yadif's halo
+        if start == 0 and pending is None and ramp < batch \
+                and len(buf) > ramp:
+            flush(buf[:ramp], buf[ramp])
+            buf = buf[ramp:]
+        elif len(buf) > batch:  # keep one lookahead frame (yadif halo)
             flush(buf[:batch], buf[batch])
             buf = buf[batch:]
     flush(buf, None)

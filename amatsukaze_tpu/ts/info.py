@@ -28,7 +28,7 @@ from .psi import (
     parse_service_descriptor,
     parse_short_event_descriptor,
 )
-from .selector import is_video_stream
+from .selector import is_audio_stream, is_video_stream
 from .video_h264 import H264VideoParser
 from .video_mpeg2 import Mpeg2VideoParser
 
@@ -42,6 +42,12 @@ class ProgramItem:
     has_video: bool = False
     video_format: VideoFormat = field(default_factory=VideoFormat)
     format_ok: bool = False
+    # audio elementary streams: (PID, stream_type) in PMT order
+    audio_pids: list = field(default_factory=list)
+
+    @property
+    def has_audio(self) -> bool:
+        return bool(self.audio_pids)
 
 
 @dataclass
@@ -142,6 +148,8 @@ class TsInfo(TsPacketParser):
             return
         for elem in pmt.elems:
             if is_video_stream(elem.stream_type):
+                if prog.has_video:
+                    continue
                 prog.video_pid = elem.elementary_pid
                 prog.stream_type = elem.stream_type
                 prog.has_video = True
@@ -149,7 +157,10 @@ class TsInfo(TsPacketParser):
                     probe = _VideoFormatProbe(self.ctx, prog)
                     self._video_probes[elem.elementary_pid] = probe
                     self._pid_parsers[elem.elementary_pid] = probe
-                break
+            elif is_audio_stream(elem.stream_type):
+                pair = (elem.elementary_pid, elem.stream_type)
+                if pair not in prog.audio_pids:
+                    prog.audio_pids.append(pair)
 
     def _on_sdt(self, section) -> None:
         if section.table_id not in (0x42,):  # actual TS only

@@ -14,6 +14,18 @@ import os
 import time
 
 _cached: bool | None = None
+_attached = False  # this process already initialized the jax backend
+
+
+def mark_backend_attached() -> None:
+    """Record that THIS process attached the jax backend successfully.
+    From then on the link probe measures in-process: the link is
+    provably alive (attach worked), so the hang-isolation subprocess is
+    unnecessary — worse, on single-client device tunnels (axon) a
+    second attaching process can never connect and would burn the whole
+    probe timeout before concluding 'slow'."""
+    global _attached
+    _attached = True
 
 
 def device_link_is_slow(threshold_ms: float = 20.0) -> bool:
@@ -24,7 +36,7 @@ def device_link_is_slow(threshold_ms: float = 20.0) -> bool:
     device can answer a small probe in a few ms yet sustain only ~10 MB/s
     of bulk transfer, which makes the per-frame economics ~200 ms/frame.
     Forced by AMATSUKAZE_FILTER_BACKEND=host|device."""
-    global _cached
+    global _cached, _pending
     forced = os.environ.get("AMATSUKAZE_FILTER_BACKEND")
     if forced == "host":
         return True
@@ -40,7 +52,13 @@ def device_link_is_slow(threshold_ms: float = 20.0) -> bool:
     # answer (slow). AMATSUKAZE_PROBE_INPROCESS=1 skips the isolation
     # (trusted links; avoids the subprocess startup cost).
     budget = float(os.environ.get("AMATSUKAZE_PROBE_TIMEOUT", "60"))
-    if os.environ.get("AMATSUKAZE_PROBE_INPROCESS"):
+    if _attached or os.environ.get("AMATSUKAZE_PROBE_INPROCESS"):
+        if _tunneled_backend():
+            # development tunnels (axon) sustain ~10 MB/s of bulk
+            # transfer; measuring would pay the first-contact cost
+            # (~10 s) just to confirm what the transport already says
+            _cached = True
+            return _cached
         try:
             _cached = _measure(threshold_ms)
         except Exception:  # noqa: BLE001 - no usable device: host it is
@@ -68,6 +86,19 @@ def device_link_is_slow(threshold_ms: float = 20.0) -> bool:
     except (subprocess.TimeoutExpired, OSError, ValueError):
         _cached = True
     return _cached
+
+
+def _tunneled_backend() -> bool:
+    """True when the attached jax backend is a remote development
+    tunnel (identified by its platform_version string) rather than a
+    co-located device."""
+    try:
+        import jax._src.xla_bridge as xb
+
+        ver = str(getattr(xb.get_backend(), "platform_version", ""))
+        return "axon" in ver.lower()
+    except Exception:  # noqa: BLE001 - unknown backend: measure instead
+        return False
 
 
 def _measure(threshold_ms: float) -> bool:
@@ -105,5 +136,6 @@ def _measure(threshold_ms: float) -> bool:
 
 def _reset_probe_cache() -> None:
     """Test hook."""
-    global _cached
+    global _cached, _attached
     _cached = None
+    _attached = False

@@ -638,9 +638,18 @@ int AvMux_Remux(const char* video_path, const char** audio_paths,
   AVPacket* pkt = av_packet_alloc();
   int64_t vcount = 0;
   int64_t* acounts = nullptr;
+  AVDictionary* mux_opts = nullptr;
 
   if (avformat_alloc_output_context2(&out, nullptr, nullptr, out_path) < 0)
     goto done;
+  // ts/m2ts outputs ride libavformat's mpegts muxer (the external-binary
+  // path uses tsMuxeR instead, reference Muxer.hpp:171-199); a .m2ts
+  // extension turns on BDAV 192-byte packets via m2ts mode
+  if (out->oformat && std::strcmp(out->oformat->name, "mpegts") == 0) {
+    size_t olen = std::strlen(out_path);
+    if (olen >= 5 && std::strcmp(out_path + olen - 5, ".m2ts") == 0)
+      av_dict_set(&mux_opts, "mpegts_m2ts_mode", "1", 0);
+  }
   if (avformat_open_input(&vin, video_path, nullptr, nullptr) < 0)
     goto done;
   if (avformat_find_stream_info(vin, nullptr) < 0) goto done;
@@ -658,7 +667,35 @@ int AvMux_Remux(const char* video_path, const char** audio_paths,
     // an unparseable audio track is skipped, not fatal
     if (avformat_open_input(&ains[i], audio_paths[i], nullptr, nullptr) < 0)
       continue;
-    if (avformat_find_stream_info(ains[i], nullptr) < 0 ||
+    avformat_find_stream_info(ains[i], nullptr);
+    if (ains[i]->nb_streams > 0 &&
+        ains[i]->streams[0]->codecpar->sample_rate <= 0 &&
+        ains[i]->streams[0]->codecpar->codec_id == AV_CODEC_ID_AAC) {
+      // find_stream_info confirms params by DECODING; a mux-only path
+      // must not require that (the reference's muxers copy ADTS
+      // untouched) — recover the rate/channels from the fixed ADTS
+      // header instead
+      FILE* fp = fopen(audio_paths[i], "rb");
+      if (fp) {
+        uint8_t h[7];
+        if (fread(h, 1, 7, fp) == 7 && h[0] == 0xFF && (h[1] & 0xF0) == 0xF0) {
+          static const int kAdtsRate[16] = {96000, 88200, 64000, 48000,
+                                            44100, 32000, 24000, 22050,
+                                            16000, 12000, 11025, 8000,
+                                            7350,  0,     0,     0};
+          int sfi = (h[2] >> 2) & 0xF;
+          int ch = ((h[2] & 1) << 2) | (h[3] >> 6);
+          if (kAdtsRate[sfi] > 0) {
+            ains[i]->streams[0]->codecpar->sample_rate = kAdtsRate[sfi];
+            if (ch > 0)
+              av_channel_layout_default(
+                  &ains[i]->streams[0]->codecpar->ch_layout, ch);
+          }
+        }
+        fclose(fp);
+      }
+    }
+    if (ains[i]->nb_streams == 0 ||
         ains[i]->streams[0]->codecpar->sample_rate <= 0) {
       avformat_close_input(&ains[i]);
       ains[i] = nullptr;
@@ -672,7 +709,7 @@ int AvMux_Remux(const char* video_path, const char** audio_paths,
   if (!(out->oformat->flags & AVFMT_NOFILE) &&
       avio_open(&out->pb, out_path, AVIO_FLAG_WRITE) < 0)
     goto done;
-  if (avformat_write_header(out, nullptr) < 0) goto done;
+  if (avformat_write_header(out, &mux_opts) < 0) goto done;
 
   // video packets: coded order == display order (shim encodes with no
   // B-frames); stamp from timecodes or CFR
@@ -720,6 +757,7 @@ int AvMux_Remux(const char* video_path, const char** audio_paths,
   err = 0;
 
 done:
+  av_dict_free(&mux_opts);
   av_packet_free(&pkt);
   if (vin) avformat_close_input(&vin);
   for (int i = 0; ains && i < n_audio; i++)

@@ -16,6 +16,10 @@
 #include <cstdint>
 #include <cstring>
 #include <vector>
+
+#ifdef __AVX2__
+#include <immintrin.h>
+#endif
 using std::size_t;
 
 namespace {
@@ -135,16 +139,50 @@ void Amt_SceneMetrics(const uint8_t* frames, const uint8_t* prev_frame,
     const uint8_t* cur = frames + i * fsz;
     const uint8_t* prv = i > 0 ? cur - fsz : prev_frame;
     int64_t acc = 0;
-    int64_t hist[256] = {0};
-    for (size_t j = 0; j < fsz; j++) {
+    // 4 partial histograms: consecutive bytes hit different tables, so
+    // the increment chains don't stall on store-to-load forwarding
+    int64_t hist[4][256] = {};
+    size_t j = 0;
+#ifdef __AVX2__
+    // |cur-prv| summed by SAD (8 byte-lanes -> one u64 per 8 bytes)
+    __m256i vacc = _mm256_setzero_si256();
+    for (; j + 32 <= fsz; j += 32) {
+      __m256i a = _mm256_loadu_si256((const __m256i*)(cur + j));
+      __m256i p = _mm256_loadu_si256((const __m256i*)(prv + j));
+      vacc = _mm256_add_epi64(vacc, _mm256_sad_epu8(a, p));
+      // histogram: scalar via a 64-bit register window (the scatter
+      // increment can't vectorize; partials keep it ~1 byte/cycle)
+      uint64_t q0, q1, q2, q3;
+      std::memcpy(&q0, cur + j, 8);
+      std::memcpy(&q1, cur + j + 8, 8);
+      std::memcpy(&q2, cur + j + 16, 8);
+      std::memcpy(&q3, cur + j + 24, 8);
+      for (int k = 0; k < 8; k++) {
+        hist[0][q0 & 0xFF]++; q0 >>= 8;
+        hist[1][q1 & 0xFF]++; q1 >>= 8;
+        hist[2][q2 & 0xFF]++; q2 >>= 8;
+        hist[3][q3 & 0xFF]++; q3 >>= 8;
+      }
+    }
+    alignas(32) int64_t sv[4];
+    _mm256_store_si256((__m256i*)sv, vacc);
+    acc = sv[0] + sv[1] + sv[2] + sv[3];
+#endif
+    for (; j < fsz; j++) {
       int d = (int)cur[j] - (int)prv[j];
       acc += d > 0 ? d : -d;
-      hist[(cur[j] * bins) >> 8]++;
+      hist[0][cur[j]]++;
     }
     diffs[i] = (double)acc / (double)fsz;
+    // fold value counts into bins as integers FIRST, divide once —
+    // bit-identical to the oracle's int64-count / fsz float conversion
+    int64_t bh[256] = {};
+    for (int v = 0; v < 256; v++)
+      bh[(v * bins) >> 8] += hist[0][v] + hist[1][v] + hist[2][v]
+                             + hist[3][v];
     float* hrow = hists + (size_t)i * bins;
     for (int k = 0; k < bins; k++)
-      hrow[k] = (float)((double)hist[k] / (double)fsz);
+      hrow[k] = (float)((double)bh[k] / (double)fsz);
   }
 }
 

@@ -162,6 +162,84 @@ class TestInbuildEncoder:
         assert worst > 30, worst
 
 
+class TestInbuildTsRemux:
+    """ts/m2ts outputs through the in-build libavformat remux (the
+    external path uses tsMuxeR with a meta file, reference
+    Muxer.hpp:171-199; zero-binary environments ride the bridge's
+    mpegts muxer, m2ts mode for BDAV 192-byte packets). The produced
+    transport stream is validated with the repo's OWN TS stack."""
+
+    @pytest.mark.parametrize("fmt", ["ts", "m2ts"])
+    def test_zero_binary_ts_output(self, fmt, tmp_path):
+        _bridge_or_skip()
+        from amatsukaze_tpu.pipeline.decoders import default_decoder_factory
+        from amatsukaze_tpu.pipeline.settings import (Config, OutputFormat,
+                                                      Settings)
+        from amatsukaze_tpu.pipeline.transcode import TranscodePipeline
+        from amatsukaze_tpu.ts.info import TsInfo
+        from amatsukaze_tpu.ts.qp_extract import iter_picture_chunks
+        from amatsukaze_tpu.utils.context import AMTContext
+
+        W, H, n = 96, 64, 24
+        frames = E.synth_frames(W, H, n)
+        enc = E.Mpeg2TestEncoder(E.EncConfig(W, H, qs=4,
+                                             progressive=False))
+        es = enc.encode(frames, "I" + "P" * (n - 1))
+        src = tmp_path / "src.ts"
+        src.write_bytes(ts_gen.build_simple_ts(
+            width=W, height=H,
+            video_es_frames=list(iter_picture_chunks(es))))
+
+        conf = Config()
+        conf.src_file_path = str(src)
+        conf.out_video_path = str(tmp_path / "out")
+        conf.out_info_json_path = str(tmp_path / "r.json")
+        conf.work_dir = str(tmp_path)
+        conf.format = OutputFormat(fmt)
+        ctx = AMTContext(level="error")
+        pipe = TranscodePipeline(ctx, Settings(ctx, conf),
+                                 decoder_factory=default_decoder_factory())
+        report = pipe.run()
+        out = report["outfiles"][0]["path"]
+        assert out.endswith("." + fmt)
+        data = open(out, "rb").read()
+        assert len(data) > 0
+        ts_bytes = data
+        if fmt == "m2ts":
+            # BDAV: 192-byte packets, 4-byte TP_extra_header then sync;
+            # strip the TP_extra_headers -> a plain 188 TS for the stack
+            assert len(data) % 192 == 0
+            assert all(data[i + 4] == 0x47
+                       for i in range(0, min(len(data), 192 * 64), 192))
+            arr = np.frombuffer(data, np.uint8).reshape(-1, 192)
+            ts_bytes = arr[:, 4:].tobytes()
+        else:
+            assert len(ts_bytes) % 188 == 0
+            assert all(ts_bytes[i] == 0x47
+                       for i in range(0, min(len(ts_bytes), 188 * 64),
+                                      188))
+        # dogfood: the repo's own prober must see a video+audio program
+        probe = tmp_path / "probe.ts"
+        probe.write_bytes(ts_bytes)
+        info = TsInfo(AMTContext(level="error"))
+        assert info.read_file(str(probe))
+        assert any(p.has_video for p in info.programs)
+        # the source TS carries one AAC track; the remux must keep it.
+        # plain ts: ADTS rides DVB stream_type 0x0F -> TsInfo sees it;
+        # m2ts: libavformat maps non-BD codecs to private 0x06, so
+        # assert presence via a second elementary PID carrying PES
+        if fmt == "ts":
+            assert any(p.has_audio for p in info.programs)
+        else:
+            arr = np.frombuffer(ts_bytes, np.uint8).reshape(-1, 188)
+            pids = {int(((int(r[1]) & 0x1F) << 8) | int(r[2]))
+                    for r in arr}
+            es_pids = {p for p in pids
+                       if p not in (0x0000, 0x0011, 0x1FFF)
+                       and all(p != q.pmt_pid for q in info.programs)}
+            assert len(es_pids) >= 2, pids
+
+
 class TestEncoderFamily:
     """The in-build encoder fallback covers all three software encoders
     the reference supports (x264 / x265 / SVT-AV1)."""
