@@ -32,6 +32,21 @@ def main() -> None:
     import sys
 
     kernel_only = "--kernel-only" in sys.argv
+    if not kernel_only:
+        # build the native libraries BEFORE any timer starts: the first
+        # load after a fresh clone (or source change) runs the whole
+        # `make` (~1 min single-core g++), which is setup, not
+        # transcode/cold-start work
+        try:
+            from amatsukaze_tpu.ops.deint import _load_host_lib
+            from amatsukaze_tpu.ts.native import load_native
+            from amatsukaze_tpu.video.avdec import avdec_available
+
+            load_native()
+            _load_host_lib()
+            avdec_available()
+        except Exception:  # noqa: BLE001 - benches degrade gracefully
+            pass
     if kernel_only or os.environ.get("AMATSUKAZE_BENCH_INPROCESS"):
         result = kernel_bench()
     else:

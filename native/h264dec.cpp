@@ -9,9 +9,11 @@
 // Amatsukaze/ReaderWriterFFmpeg.hpp:256-483, AMTSource.hpp:97-152); there
 // is no reference decoder to port -- this is an independent implementation.
 //
-// Scope: Baseline/Main/High frame coding (CAVLC + CABAC, I/P/B slices,
-// 8x8 transform, scaling matrices, weighted prediction, full deblocking),
-// 4:2:0 8-bit.  Field/MBAFF pictures raise (mirrors the oracle's scope).
+// Scope: Baseline/Main/High frame, field (PAFF) and MBAFF coding
+// (CAVLC + CABAC, I/P/B slices, 8x8 transform, scaling matrices,
+// weighted prediction, full deblocking), 4:2:0 8-bit — validated
+// native-vs-oracle incl. field/MBAFF streams (tests/test_h264_native,
+// test_h264_paff, test_h264_mbaff).
 
 #include <algorithm>
 #include <array>
