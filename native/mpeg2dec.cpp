@@ -216,15 +216,46 @@ static void init_tables() {
   g_rl15.build(B15_DCT, B15_DCT_N);
 }
 
+// Optional section timers for single-thread profiling builds
+// (-DM2V_TIMERS, AMATSUKAZE_DECODE_THREADS=1). Zero footprint otherwise.
+#ifdef M2V_TIMERS
+#include <x86intrin.h>
+enum { T_BLOCK, T_IDCT, T_STORE, T_MOTION, T_SKIP, T_EMIT, T_N };
+static uint64_t g_tm[T_N];
+static const char* g_tm_names[T_N] = {"block", "idct", "store",
+                                      "motion", "skip", "emit"};
+struct M2vTimer {
+  int k;
+  uint64_t t0;
+  M2vTimer(int k_) : k(k_), t0(__rdtsc()) {}
+  ~M2vTimer() { g_tm[k] += __rdtsc() - t0; }
+};
+#define M2VT(k) M2vTimer _tm##__LINE__(k)
+struct M2vTimerReport {
+  ~M2vTimerReport() {
+    uint64_t tot = 0;
+    for (int i = 0; i < T_N; i++) tot += g_tm[i];
+    for (int i = 0; i < T_N; i++)
+      fprintf(stderr, "M2V %-6s %12llu (%.1f%%)\n", g_tm_names[i],
+              (unsigned long long)g_tm[i], 100.0 * g_tm[i] / (tot ? tot : 1));
+  }
+} g_tm_report;
+#else
+#define M2VT(k)
+#endif
+
 // ---------------------------------------------------------------------------
 // Fixed-point IDCT — identical matrix + shifts as the oracle idct8x8().
 // ---------------------------------------------------------------------------
 
 // rowmask bit i set => coefficient row i of f may be nonzero. Zero rows
 // produce exactly-zero t rows ((0+1024)>>11 == 0), so skipping them is
-// arithmetic-identical to the oracle's dense evaluation.
+// arithmetic-identical to the oracle's dense evaluation. colmask is the
+// same superset for columns: a zero column contributes f[u]*A[u][m] == 0
+// to every pass-1 sum, so truncating the u loop to the live-column
+// prefix is exact (typical inter blocks live entirely in columns 0-3).
 static void idct8x8(const int32_t f[64], int32_t out[64],
-                    unsigned rowmask = 0xFF) {
+                    unsigned rowmask = 0xFF, unsigned colmask = 0xFF) {
   // DC-only fast path: A row 0 is the constant 5793, so both passes
   // collapse to scalars and the output is uniform — arithmetic
   // identical to the dense evaluation with one live coefficient.
@@ -239,12 +270,21 @@ static void idct8x8(const int32_t f[64], int32_t out[64],
   // the constant 5793, so every output row is identical — compute the
   // row once and broadcast (exact: dead t rows are (0+1024)>>11 == 0).
   if (rowmask == 1) {
-    __m256i acc = _mm256_set1_epi32(1024);
-    for (int u = 0; u < 8; u++)
-      acc = _mm256_add_epi32(
-          acc, _mm256_mullo_epi32(
-                   _mm256_set1_epi32(f[u]),
-                   _mm256_loadu_si256((const __m256i*)(IDCT_A + u * 8))));
+    auto dot = [&](auto uc) {
+      __m256i acc = _mm256_set1_epi32(1024);
+      for (int u = 0; u < decltype(uc)::value; u++)
+        acc = _mm256_add_epi32(
+            acc,
+            _mm256_mullo_epi32(
+                _mm256_set1_epi32(f[u]),
+                _mm256_loadu_si256((const __m256i*)(IDCT_A + u * 8))));
+      return acc;
+    };
+    __m256i acc = (colmask & 0xF0)
+                      ? dot(std::integral_constant<int, 8>{})
+                      : (colmask & 0x0C)
+                            ? dot(std::integral_constant<int, 4>{})
+                            : dot(std::integral_constant<int, 2>{});
     __m256i t0 = _mm256_srai_epi32(acc, 11);
     __m256i v = _mm256_srai_epi32(
         _mm256_add_epi32(_mm256_set1_epi32(65536),
@@ -259,19 +299,26 @@ static void idct8x8(const int32_t f[64], int32_t out[64],
   int rows[8];
   int nrows = 0;
 #ifdef __AVX2__
-  for (int i = 0; i < 8; i++) {
-    if (!(rowmask & (1u << i))) continue;
-    rows[nrows++] = i;
-    const int32_t* fr = f + i * 8;
-    // t_row[m] = (1024 + sum_u fr[u]*A[u][m]) >> 11 — one mullo per u
-    __m256i acc = _mm256_set1_epi32(1024);
-    for (int u = 0; u < 8; u++) {
-      __m256i a = _mm256_loadu_si256((const __m256i*)(IDCT_A + u * 8));
-      acc = _mm256_add_epi32(
-          acc, _mm256_mullo_epi32(_mm256_set1_epi32(fr[u]), a));
+  // t_row[m] = (1024 + sum_u fr[u]*A[u][m]) >> 11 — one mullo per live
+  // column u, unrolled per live-column-prefix tier
+  auto pass1 = [&](auto uc) {
+    for (int i = 0; i < 8; i++) {
+      if (!(rowmask & (1u << i))) continue;
+      rows[nrows++] = i;
+      const int32_t* fr = f + i * 8;
+      __m256i acc = _mm256_set1_epi32(1024);
+      for (int u = 0; u < decltype(uc)::value; u++) {
+        __m256i a = _mm256_loadu_si256((const __m256i*)(IDCT_A + u * 8));
+        acc = _mm256_add_epi32(
+            acc, _mm256_mullo_epi32(_mm256_set1_epi32(fr[u]), a));
+      }
+      _mm256_storeu_si256((__m256i*)(t + i * 8),
+                          _mm256_srai_epi32(acc, 11));
     }
-    _mm256_storeu_si256((__m256i*)(t + i * 8), _mm256_srai_epi32(acc, 11));
-  }
+  };
+  if (colmask & 0xF0) pass1(std::integral_constant<int, 8>{});
+  else if (colmask & 0x0C) pass1(std::integral_constant<int, 4>{});
+  else pass1(std::integral_constant<int, 2>{});
   // out[m][n] = (65536 + sum_u A[u][m]*t[u][n]) >> 17.  Pure int32 is
   // exact here: coefficients saturate to [-2048,2047] before the IDCT,
   // so |t| <= 43284 and the worst-case accumulator (even/odd partials
@@ -608,9 +655,15 @@ static void avg_into_dst(const Dst& d, const Pred& t, int c_rows) {
 // Decoder
 // ---------------------------------------------------------------------------
 
+// Display-order output entry. Holds a reference to the decoded FrameBuf
+// (stable once its picture completes) instead of a cropped copy:
+// M2V_PopFrame copies rows straight from the padded planes into the
+// caller's buffers — one copy per frame instead of two (the emit-time
+// crop copy was 14% of decode time at 1080i).
 struct OutFrame {
-  int width = 0, height = 0;
-  std::vector<uint8_t> y, u, v;
+  int width = 0, height = 0;    // display crop
+  int cwidth = 0, cheight = 0;  // chroma crop
+  std::shared_ptr<FrameBuf> buf;
   int coding_type = 0, temporal_reference = 0;
   int progressive_frame = 0, top_field_first = 0, repeat_first_field = 0;
 };
@@ -801,13 +854,21 @@ struct Decoder {
   // Returns false on desync (r.err set). rowmask accumulates which
   // coefficient rows may be nonzero (superset), for the sparse IDCT.
   bool block(BitReader& r, SliceState& st, bool intra, int cc,
-             int32_t coeffs[64], unsigned& rowmask) {
+             int32_t coeffs[64], unsigned& rowmask, unsigned& colmask) {
+    M2VT(T_BLOCK);
     // coefficient rows are zeroed lazily, the first time a row goes
-    // live (saturation/mismatch and the IDCT only ever read live rows)
+    // live (saturation/mismatch and the IDCT only ever read live rows).
+    // Saturation and the mismatch sum run AT WRITE TIME: run-level
+    // coding writes each position exactly once and per-coefficient
+    // clamp/oddify/sum commute across coefficients, so this is
+    // arithmetically identical to the oracle's whole-block passes —
+    // without re-walking the live rows at end of block.
     rowmask = 0;
+    colmask = 0;
     const int32_t* wq_intra = st.wq_intra;
     const int32_t* wq_non = st.wq_non;
     int n = 0;
+    int32_t sum = 0;  // saturated-coefficient sum (mismatch control)
     bool first;
     if (intra) {
       const Vlc& dct = cc == 0 ? g_dcl : g_dcc;
@@ -823,8 +884,13 @@ struct Decoder {
       }
       st.dc_pred[cc] += diff;
       std::memset(coeffs, 0, 8 * sizeof(int32_t));
-      coeffs[0] = st.dc_pred[cc] * st.dc_mult;
+      int32_t dc = st.dc_pred[cc] * st.dc_mult;
+      if (dc < -2048) dc = -2048;
+      else if (dc > 2047) dc = 2047;
+      coeffs[0] = dc;
+      sum += dc;
       rowmask |= 1;
+      colmask |= 1;
       n = 1;
       first = false;
     } else {
@@ -911,57 +977,33 @@ struct Decoder {
       // dequant products fit int32 (|2*level+1| <= 4095, wq <= 28560,
       // 4095*28560 < 2^27*...: 1.17e8 < 2^31), so the oracle's int64
       // "/32 toward zero" evaluates identically in int32
+      int32_t c;
       if (intra) {
-        if (pos != 0)
-          coeffs[pos] = trunc_shr5(2 * level * wq_intra[pos]);
-        else
-          coeffs[pos] = level;
+        c = pos != 0 ? trunc_shr5(2 * level * wq_intra[pos])
+                     : level;  // unreachable guard (scan[n>=1] != 0)
       } else {
         int k = level == 0 ? 0 : (level > 0 ? 1 : -1);
-        coeffs[pos] = trunc_shr5((2 * level + k) * wq_non[pos]);
+        c = trunc_shr5((2 * level + k) * wq_non[pos]);
       }
       if (seq.mpeg1 && pos != 0) {
-        // 11172-2: per-coefficient oddification (DC exempt)
-        int32_t c = coeffs[pos];
-        if (c && (c & 1) == 0) coeffs[pos] = c > 0 ? c - 1 : c + 1;
+        // 11172-2: per-coefficient oddification (DC exempt), applied
+        // before saturation exactly as in the oracle's pass order
+        if (c && (c & 1) == 0) c = c > 0 ? c - 1 : c + 1;
       }
+      if (c < -2048) c = -2048;
+      else if (c > 2047) c = 2047;
+      coeffs[pos] = c;
+      sum += c;
+      colmask |= 1u << (pos & 7);
     }
-    // saturation + mismatch control (whole block, incl. DC) — zero rows
-    // clip to zero and add nothing, so only live rows need touching
-    int64_t sum = 0;
-#ifdef __AVX2__
-    {
-      // per-row sums fit int32 (|clamped| <= 2048, 8 rows of 8)
-      __m256i vsum = _mm256_setzero_si256();
-      const __m256i lo = _mm256_set1_epi32(-2048);
-      const __m256i hi = _mm256_set1_epi32(2047);
-      for (unsigned m = rowmask; m; m &= m - 1) {
-        int32_t* cr = coeffs + 8 * __builtin_ctz(m);
-        __m256i v = _mm256_loadu_si256((const __m256i*)cr);
-        v = _mm256_min_epi32(_mm256_max_epi32(v, lo), hi);
-        _mm256_storeu_si256((__m256i*)cr, v);
-        vsum = _mm256_add_epi32(vsum, v);
-      }
-      alignas(32) int32_t sv[8];
-      _mm256_store_si256((__m256i*)sv, vsum);
-      for (int i = 0; i < 8; i++) sum += sv[i];
-    }
-#else
-    for (unsigned m = rowmask; m; m &= m - 1) {
-      int32_t* cr = coeffs + 8 * __builtin_ctz(m);
-      for (int i = 0; i < 8; i++) {
-        if (cr[i] < -2048) cr[i] = -2048;
-        else if (cr[i] > 2047) cr[i] = 2047;
-        sum += cr[i];
-      }
-    }
-#endif
+    // mismatch control (saturation + sum already ran at write time)
     if (!seq.mpeg1 && (sum & 1) == 0) {  // MPEG-1 oddifies instead
       if (!(rowmask & 0x80)) {  // row 7 going live via the toggle
         std::memset(coeffs + 56, 0, 8 * sizeof(int32_t));
         rowmask |= 0x80;
       }
       coeffs[63] ^= 1;
+      colmask |= 0x80;
     }
     return true;
   }
@@ -1056,6 +1098,7 @@ struct Decoder {
 
   // ---- skipped macroblocks (mirrors _skipped_mb) ----
   bool skipped_mb(SliceState& st, int mb_row, int mb_x) {
+    M2VT(T_SKIP);
     for (int i = 0; i < 3; i++) st.dc_pred[i] = st.dc_reset;
     if (pic.coding_type == 1) return false;  // error
     int flags;
@@ -1127,6 +1170,7 @@ struct Decoder {
   // Returns false on bitstream error.
   bool motion(BitReader& r, SliceState& st, int s, int motion_type,
               int mb_row, int mb_x, const Dst& out) {
+    M2VT(T_MOTION);
     if (st.frame_pic) {
       if (motion_type == 2) {  // frame-based
         Mv m = mv(r, st, 0, s, false, false);
@@ -1346,48 +1390,46 @@ struct Decoder {
       if (!((cbp >> (st.nblocks - 1 - b)) & 1)) continue;
       int cc = b < 4 ? 0 : 1 + (b & 1);
       int32_t coeffs[64], res[64];
-      unsigned rowmask;
-      if (!block(r, st, intra, cc, coeffs, rowmask)) return false;
-      idct8x8(coeffs, res, rowmask);
-      // each pixel receives exactly one residual, so clipping here is
-      // identical to the oracle's clip-at-store
+      unsigned rowmask, colmask;
+      if (!block(r, st, intra, cc, coeffs, rowmask, colmask)) return false;
+      // every block layout is (row0 pointer, row stride); measured: the
+      // separate res[64] round trip beats a fused IDCT-pass2+store (344
+      // vs 331 fps 1080i) — the independent store loop pipelines better
+      {
+        M2VT(T_IDCT);
+        idct8x8(coeffs, res, rowmask, colmask);
+      }
+      M2VT(T_STORE);
+      uint8_t* dst0;
+      int rstride;
       if (b < 4) {
+        int cs = (b & 1) * 8;
         if (dct_type) {  // field DCT interleave
-          int base_row = b / 2, cs = (b & 1) * 8;
-          for (int rr = 0; rr < 8; rr++) {
-            uint8_t* dst = d.y + (base_row + rr * 2) * d.ys + cs;
-            const int32_t* sr = res + rr * 8;
-            if (intra) set_clip8(dst, sr);
-            else add_clip8(dst, sr);
-          }
+          dst0 = d.y + (b / 2) * d.ys + cs;
+          rstride = 2 * d.ys;
         } else {
-          int rs = (b / 2) * 8, cs = (b & 1) * 8;
-          for (int rr = 0; rr < 8; rr++) {
-            uint8_t* dst = d.y + (rs + rr) * d.ys + cs;
-            const int32_t* sr = res + rr * 8;
-            if (intra) set_clip8(dst, sr);
-            else add_clip8(dst, sr);
-          }
+          dst0 = d.y + (b / 2) * 8 * d.ys + cs;
+          rstride = d.ys;
         }
       } else {
         uint8_t* base = (b & 1) == 0 ? d.u : d.v;
         int k2 = (b - 4) / 2;
         if (dct_type && st.cf == 2) {  // 4:2:2 chroma is field-organised
-          for (int rr = 0; rr < 8; rr++) {
-            uint8_t* dst = base + (k2 + rr * 2) * d.cs;
-            const int32_t* sr = res + rr * 8;
-            if (intra) set_clip8(dst, sr);
-            else add_clip8(dst, sr);
-          }
+          dst0 = base + k2 * d.cs;
+          rstride = 2 * d.cs;
         } else {
-          for (int rr = 0; rr < 8; rr++) {
-            uint8_t* dst = base + (k2 * 8 + rr) * d.cs;
-            const int32_t* sr = res + rr * 8;
-            if (intra) set_clip8(dst, sr);
-            else add_clip8(dst, sr);
-          }
+          dst0 = base + k2 * 8 * d.cs;
+          rstride = d.cs;
         }
       }
+      // each pixel receives exactly one residual, so clipping here is
+      // identical to the oracle's clip-at-store
+      if (intra)
+        for (int rr = 0; rr < 8; rr++)
+          set_clip8(dst0 + rr * rstride, res + rr * 8);
+      else
+        for (int rr = 0; rr < 8; rr++)
+          add_clip8(dst0 + rr * rstride, res + rr * 8);
     }
 
     if (!intra && !pattern)
@@ -1478,29 +1520,19 @@ struct Decoder {
   }
 
   void emit(std::shared_ptr<FrameBuf> buf) {
+    M2VT(T_EMIT);
     auto f = std::make_unique<OutFrame>();
     int h = seq.height, w = seq.width;
-    int ch = seq.chroma_format == 1 ? (h + 1) / 2 : h;
-    int cw = (w + 1) / 2;
     f->width = w;
     f->height = h;
-    f->y.resize((size_t)h * w);
-    f->u.resize((size_t)ch * cw);
-    f->v.resize((size_t)ch * cw);
-    for (int r = 0; r < h; r++)
-      std::memcpy(f->y.data() + (size_t)r * w,
-                  buf->y.data() + (size_t)r * buf->yw(), w);
-    for (int r = 0; r < ch; r++) {
-      std::memcpy(f->u.data() + (size_t)r * cw,
-                  buf->u.data() + (size_t)r * buf->cw(), cw);
-      std::memcpy(f->v.data() + (size_t)r * cw,
-                  buf->v.data() + (size_t)r * buf->cw(), cw);
-    }
+    f->cheight = seq.chroma_format == 1 ? (h + 1) / 2 : h;
+    f->cwidth = (w + 1) / 2;
     f->coding_type = buf->coding_type;
     f->temporal_reference = buf->temporal_reference;
     f->progressive_frame = buf->progressive_frame;
     f->top_field_first = buf->top_field_first;
     f->repeat_first_field = buf->repeat_first_field;
+    f->buf = std::move(buf);
     outq.push_back(std::move(f));
   }
 
@@ -1704,20 +1736,36 @@ int M2V_NextInfo(void* hp, int* info) {
   info[5] = f.top_field_first;
   info[6] = f.repeat_first_field;
   info[7] = (int)d.errors;
-  info[8] = f.u.empty() ? 0 : (int)(f.u.size() / ((f.width + 1) / 2));
-  info[9] = (f.width + 1) / 2;
+  info[8] = f.cheight;
+  info[9] = f.cwidth;
   return 1;
 }
 
 // Pop the front frame into caller buffers (y: h*w, u/v: ceil(h/2)*ceil(w/2)).
+// Rows are copied straight from the padded decode planes (display crop).
 int M2V_PopFrame(void* hp, uint8_t* y, uint8_t* u, uint8_t* v) {
   auto& d = static_cast<m2dec::Handle*>(hp)->dec;
   if (d.outq.empty()) return 0;
   auto f = std::move(d.outq.front());
   d.outq.pop_front();
-  std::memcpy(y, f->y.data(), f->y.size());
-  std::memcpy(u, f->u.data(), f->u.size());
-  std::memcpy(v, f->v.data(), f->v.size());
+  const m2dec::FrameBuf& b = *f->buf;
+  int h = f->height, w = f->width;
+  int ch = f->cheight, cw = f->cwidth;
+  if (w == b.yw()) {
+    std::memcpy(y, b.y.data(), (size_t)h * w);
+  } else {
+    for (int r = 0; r < h; r++)
+      std::memcpy(y + (size_t)r * w, b.y.data() + (size_t)r * b.yw(), w);
+  }
+  if (cw == b.cw()) {
+    std::memcpy(u, b.u.data(), (size_t)ch * cw);
+    std::memcpy(v, b.v.data(), (size_t)ch * cw);
+  } else {
+    for (int r = 0; r < ch; r++) {
+      std::memcpy(u + (size_t)r * cw, b.u.data() + (size_t)r * b.cw(), cw);
+      std::memcpy(v + (size_t)r * cw, b.v.data() + (size_t)r * b.cw(), cw);
+    }
+  }
   return 1;
 }
 
