@@ -186,11 +186,30 @@ class QueueItem:
 class ScheduledQueue:
     def __init__(self, enable_resource_scheduling: bool = True):
         self.levels: list[dict[int, list[QueueItem]]] = [dict() for _ in range(5)]
-        self.actives: list[tuple[QueueItem, Resource]] = []
+        self.actives: list[tuple[QueueItem, ReqResource]] = []
         self.resource_manager = ResourceManager()
         self.enable_resource_scheduling = enable_resource_scheduling
         self.worker_pool: "WorkerPool | None" = None
         self._dirty = False
+        # virtual tally of active items' Encode reqs, used for ORDERING
+        # only (ref Scheduler.cs:379-425 active-resource tracking). It
+        # must never consume ResourceManager capacity: reserving the
+        # whole job's Encode share up front starves the per-phase waits
+        # (with num_parallel>=2, three parked TSAnalyze waits can then
+        # never clear -> deadlock; the reference gates phases through
+        # the HostThread protocol against live usage only).
+        self._acpu = 0
+        self._ahdd = 0
+        self._agpu = 0
+
+    def _order_cost(self, req: ReqResource) -> int:
+        rm = self.resource_manager
+        g = rm._most_capable_gpu()
+        return max(
+            rm.cur_cpu + self._acpu + req.cpu - MAX_POOL,
+            rm.cur_hdd + self._ahdd + req.hdd - MAX_POOL,
+            rm.cur_gpu[g] + self._agpu + req.gpu - rm.max_gpu[g],
+        )
 
     def add_queue(self, item: QueueItem) -> None:
         item.priority = max(1, min(5, item.priority))
@@ -240,7 +259,7 @@ class ScheduledQueue:
                     for key, items in self.levels[pr].items():
                         if not items:
                             continue
-                        cost = self.resource_manager.resource_cost(
+                        cost = self._order_cost(
                             ReqResource.from_canonical(key)
                         )
                         if best is None or cost < best[0]:
@@ -254,6 +273,13 @@ class ScheduledQueue:
                     return items[0]
         return None
 
+    def _track_active(self, item: QueueItem) -> None:
+        req = item.encode_req()
+        self._acpu += req.cpu
+        self._ahdd += req.hdd
+        self._agpu += req.gpu
+        self.actives.append((item, req))
+
     def pop_item(self) -> QueueItem | None:
         if self._dirty:
             self._clean()
@@ -261,18 +287,18 @@ class ScheduledQueue:
         if item is None:
             return None
         self.remove_queue(item)
-        res = self.resource_manager.force_get_resource(item.encode_req())
-        self.actives.append((item, res))
+        self._track_active(item)
         return item
 
     def start_item(self, item: QueueItem) -> None:
-        res = self.resource_manager.force_get_resource(item.encode_req())
-        self.actives.append((item, res))
+        self._track_active(item)
 
     def release_item(self, item: QueueItem) -> None:
-        for i, (it, res) in enumerate(self.actives):
+        for i, (it, req) in enumerate(self.actives):
             if it is item:
-                self.resource_manager.release_resource(res)
+                self._acpu -= req.cpu
+                self._ahdd -= req.hdd
+                self._agpu -= req.gpu
                 del self.actives[i]
                 return
         raise ValueError("item is not active")

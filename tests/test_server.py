@@ -113,6 +113,66 @@ class TestScheduledQueue:
         q.release_item(item)
         assert not q.actives
 
+    def test_active_items_do_not_consume_phase_capacity(self):
+        """Active-item tracking is ordering-only (Scheduler.cs:379-425):
+        popping items must not reserve ResourceManager capacity, or
+        num_parallel>=2 jobs with default profile reqs deadlock in their
+        first phase wait (regression: 3 popped Encode(cpu=50) items left
+        cur_cpu=150 and every TSAnalyze(cpu=20) wait blocked forever)."""
+        q = ScheduledQueue()
+        for i in range(1, 4):
+            q.add_queue(QueueItem(item_id=i, priority=3, order=i,
+                                  req_resources={
+                                      "Encode": ReqResource(50, 10, 30)}))
+        items = [q.pop_item() for _ in range(3)]
+        assert all(items)
+        rm = q.resource_manager
+        assert rm.cur_cpu == 0 and rm.cur_hdd == 0
+        # every job's first phase fits immediately against live usage
+        assert rm.resource_cost(ReqResource(20, 30, 0)) <= 0
+        # but ordering still sees the committed work
+        assert q._order_cost(ReqResource(50, 10, 30)) > 0
+
+    def test_parallel_jobs_phase_waits_complete(self):
+        """Three num_parallel=3 jobs walking all five phases with the
+        default profile ReqResources must complete (the deadlock above
+        showed up end-to-end through EncodeServer)."""
+        import os
+        import tempfile
+
+        from amatsukaze_tpu.server.server import EncodeServer
+        from amatsukaze_tpu.utils.context import AMTContext
+
+        async def run_item(server, worker_id, entry, phase):
+            for name in PHASES:
+                await phase.wait_async(name)
+                await asyncio.sleep(0.01)
+            return True
+
+        async def main():
+            tmp = tempfile.mkdtemp()
+            src = os.path.join(tmp, "s.ts")
+            with open(src, "wb") as f:
+                f.write(b"G" + bytes(187))
+            ctx = AMTContext(level="error")
+            s = EncodeServer(ctx, data_dir=os.path.join(tmp, "d"),
+                             run_item=run_item)
+            s.setting.num_parallel = 3
+            s.setting.work_dir = tmp
+            await s.start(port=0)
+            ids = [s.add_queue(src, os.path.join(tmp, f"o{k}")).item_id
+                   for k in range(3)]
+            for _ in range(400):
+                await asyncio.sleep(0.01)
+                if {s.entries[i].state for i in ids} <= {"complete",
+                                                         "failed"}:
+                    break
+            states = [s.entries[i].state for i in ids]
+            await s.stop()
+            assert states == ["complete"] * 3, states
+
+        run(main())
+
 
 class TestWorkerPool:
     def test_parallel_execution(self):
