@@ -26,6 +26,11 @@ def default_decoder_factory():
     return auto_decoder_factory
 
 
+def _is_4k(fmt) -> bool:
+    """UHD-class coded size (>= 4x the 1080p pixel budget's midpoint)."""
+    return fmt.width >= 3000 or fmt.height >= 1600
+
+
 def auto_decoder_factory(pipeline, video_index: int):
     from ..types import VideoStreamFormat
 
@@ -48,7 +53,16 @@ def auto_decoder_factory(pipeline, video_index: int):
     if choice == "cv2":
         return cv2_decoder_factory(pipeline, video_index)
     # default: ffmpeg binary > in-build MPEG2 > in-process libav > cv2 >
-    # in-build H.264 (pure Python, last resort for zero-binary setups)
+    # in-build H.264/HEVC (bit-exact, last resort for zero-binary setups).
+    # 4K policy (ARCHITECTURE.md "4K HEVC decode policy"): the in-build
+    # HEVC engine is bit-exact but single-threaded (~14 fps 4K Main10 on
+    # one core), so >=2160p-class sources must ride libavcodec — an
+    # explicit "native" choice on a 4K source is honoured but warned.
+    if choice == "native" and _is_4k(fmt):
+        pipeline.ctx.warn(
+            "in-build decoder forced for a %dx%d source; expect well "
+            "below realtime on 4K — the libav bridge is the supported "
+            "4K path", fmt.width, fmt.height)
     if shutil.which("ffmpeg"):
         return ffmpeg_decoder_factory(pipeline, video_index)
     if is_mpeg2:
@@ -57,6 +71,11 @@ def auto_decoder_factory(pipeline, video_index: int):
         return avlib_decoder_factory(pipeline, video_index)
     if cv2_available():  # OpenCV's bundled FFmpeg (BGR trip)
         return cv2_decoder_factory(pipeline, video_index)
+    if _is_4k(fmt):
+        pipeline.ctx.warn(
+            "no libav bridge/ffmpeg for a %dx%d source; decoding 4K with "
+            "the in-build engine (bit-exact, well below realtime)",
+            fmt.width, fmt.height)
     if fmt.format == VideoStreamFormat.H264:
         return h264ref_decoder_factory(pipeline, video_index)
     if fmt.format == VideoStreamFormat.H265:
