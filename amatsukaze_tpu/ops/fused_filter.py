@@ -402,8 +402,14 @@ def make_fused_filter_field(height: int, width: int,
     # pad the field planes to a multiple of the field tile; the tile must
     # be 8-row aligned so every halo/core HBM slice stays (8,128)-tiled
     if field_tile_rows is None:
+        # bigger tiles amortize the per-grid-step fixed cost (semaphore
+        # waits, scalar setup, pipeline turnaround ~ several us). 184 is
+        # the largest 8-aligned tile whose 4-slot ring + f32 temporaries
+        # stay inside the ~16 MB scoped VMEM budget (272 was measured to
+        # need 20.65 MB on v5e — Mosaic refuses), and it tiles a 540-row
+        # 1080i field plane in 3 steps with only 12 pad rows
         fh_logical = (height + 1) // 2
-        field_tile_rows = 136 if fh_logical > 136 else max(
+        field_tile_rows = 184 if fh_logical > 184 else max(
             8, -(-fh_logical // 8) * 8)
     ftr = field_tile_rows
     assert ftr % 8 == 0
@@ -431,11 +437,17 @@ def make_fused_filter_field(height: int, width: int,
 
         frow0, top_src, bot_src = row_srcs(j)
 
+        # Slab ring: slab q = (tile j_q, frame f_q) with q = j_q*nb + f_q
+        # holds ONE frame's tile rows. Consecutive steps share 2 of
+        # their 3 temporal slabs, so steady state DMAs exactly ONE new
+        # slab per step (3x less HBM input traffic than reloading the
+        # prv/cur/nxt triple). A slab's last reader is step q+1 and its
+        # slot is rewritten at step q+2, so a 4-slot ring is safe.
         # one copy per row region covers BOTH fields: field rows are
         # lane-merged (row = top|bottom), so the slab is contiguous
-        def load3(dst, sem3, srcs, batch_slice):
-            at = lambda sl: fields_ref.at[batch_slice, sl]
-            dat = lambda sl: dst.at[:, sl]
+        def load3(dst, sem3, srcs, frame_idx):
+            at = lambda sl: fields_ref.at[frame_idx, sl]
+            dat = lambda sl: dst.at[sl]
             row0_, top, bot = srcs
             return [
                 pltpu.make_async_copy(at(pl.ds(top, HALO)),
@@ -447,51 +459,63 @@ def make_fused_filter_field(height: int, width: int,
                                       sem3.at[2]),
             ]
 
-        def start_slab(jj, ii, slot):
-            base = jnp.clip(ii - 1, 0, nb - 3)
-            for c in load3(slab_s.at[slot], sems.at[slot], row_srcs(jj),
-                           pl.ds(base, 3)):
+        def slab_copies(q):
+            jq = jax.lax.div(q, nb)
+            fq = jax.lax.rem(q, nb)
+            slot = jax.lax.rem(q, 4)
+            return load3(slab_s.at[slot], sems.at[slot], row_srcs(jq), fq)
+
+        def start_q(q):
+            for c in slab_copies(q):
                 c.start()
 
-        def wait_slab(slot):
-            base = jnp.clip(i - 1, 0, nb - 3)
-            for c in load3(slab_s.at[slot], sems.at[slot],
-                           (frow0, top_src, bot_src), pl.ds(base, 3)):
+        def wait_q(q):
+            for c in slab_copies(q):
                 c.wait()
 
         step = j * nb + i
-        slot = jax.lax.rem(step, 2)
+        total = njf * nb
 
         @pl.when(step == 0)
         def _():
-            start_slab(j, i, 0)
+            start_q(jnp.int32(0))
+            start_q(jnp.int32(1))
+            start_q(jnp.int32(2))
 
-        @pl.when(step + 1 < njf * nb)
+        @pl.when((step > 0) & (step + 2 < total))
         def _():
-            j2 = jnp.where(i == nb - 1, j + 1, j)
-            i2 = jnp.where(i == nb - 1, 0, i + 1)
-            start_slab(j2, i2, 1 - slot)
+            start_q(step + 2)
 
-        wait_slab(slot)
+        # each slab is waited exactly once, right before its first use:
+        # frames 0 and 1 of a tile at that tile's first step, frame i+1
+        # at step i (its nxt use)
+        @pl.when(i == 0)
+        def _():
+            wait_q(step)
 
-        is_first = i == 0
-        is_last = i == nb - 1
+        @pl.when(i < nb - 1)
+        def _():
+            wait_q(step + 1)
 
         def pick(which):
-            s0, s1, s2 = (slab_s[slot, 0], slab_s[slot, 1], slab_s[slot, 2])
             if which == "cur":
-                return jnp.where(is_first, s0, jnp.where(is_last, s2, s1))
-            if which == "prv":
-                return jnp.where(is_last, s1, s0)
-            return jnp.where(is_first, s1, s2)
+                q = step
+            elif which == "prv":
+                q = j * nb + jnp.maximum(i - 1, 0)
+            else:
+                q = j * nb + jnp.minimum(i + 1, nb - 1)
+            return slab_s[jax.lax.rem(q, 4)]
 
         # widen the merged slab once, then lane-slice the field halves
-        # (128-aligned static slices; no sublane movement)
+        # (128-aligned static slices; no sublane movement). Only rows
+        # [HALO-1, HALO+ftr+1) are ever read by yadif (+1 row below) or
+        # the combing sums (+/-1 row) — widening just that ftr+2 window
+        # instead of the full fsrows slab saves the halo conversions.
         cur8 = pick("cur")
-        cur = cur8.astype(jnp.int32).astype(jnp.float32)
-        prv = pick("prv").astype(jnp.int32).astype(jnp.float32)
+        cw = slice(HALO - 1, HALO + ftr + 1)
+        cur = cur8[cw].astype(jnp.int32).astype(jnp.float32)
+        prv = pick("prv")[cw].astype(jnp.int32).astype(jnp.float32)
         ct8 = cur8[:, :width]
-        cb8 = cur8[:, width:]
         ct = cur[:, :width]
         cb = cur[:, width:]
         pt = prv[:, :width]
@@ -504,12 +528,12 @@ def make_fused_filter_field(height: int, width: int,
             # source fields pass through and only the sums are computed
             out_ref[...] = cur8[HALO:HALO + ftr]
         else:
-            nb_ = pick("nxt")[:, width:].astype(jnp.int32).astype(
-                jnp.float32)
+            nb_ = pick("nxt")[HALO:HALO + ftr, width:].astype(
+                jnp.int32).astype(jnp.float32)
             # --- yadif: keep top field (u8 passthrough), reconstruct
             # bottom ----------------------------------------------------
-            keep = ct[HALO:HALO + ftr]
-            below = ct[HALO + 1:HALO + 1 + ftr]
+            keep = ct[1:1 + ftr]
+            below = ct[2:2 + ftr]
             below = jnp.where(gy_core == lh // 2 - 1, keep, below)
             best_pred = (keep + below) * 0.5
             best_score = jnp.abs(keep - below)
@@ -522,8 +546,8 @@ def make_fused_filter_field(height: int, width: int,
                     better = score < best_score
                     best_pred = jnp.where(better, pred, best_pred)
                     best_score = jnp.where(better, score, best_score)
-            tp_ = pb[HALO:HALO + ftr]
-            tn_ = nb_[HALO:HALO + ftr]
+            tp_ = pb[1:1 + ftr]
+            tn_ = nb_
             temporal = (tp_ + tn_) * 0.5
             diff = jnp.abs(tp_ - tn_) * 0.5
             recon = jnp.clip(best_pred, temporal - diff, temporal + diff)
@@ -548,8 +572,8 @@ def make_fused_filter_field(height: int, width: int,
         def shift_down(x):
             return jnp.concatenate([x[:1], x[:-1]], axis=0)
 
-        gy = jax.lax.broadcasted_iota(jnp.int32, (fsrows, 1), 0) \
-            + (frow0 - HALO)
+        gy = jax.lax.broadcasted_iota(jnp.int32, (ftr + 2, 1), 0) \
+            + (frow0 - 1)
         core = (gy >= frow0) & (gy < frow0 + ftr)
         col_ok = (
             jax.lax.broadcasted_iota(jnp.int32, (1, width), 1) < lw
@@ -610,8 +634,8 @@ def make_fused_filter_field(height: int, width: int,
             out_specs=tuple(out_specs),
             out_shape=tuple(out_shape),
             scratch_shapes=[
-                pltpu.VMEM((2, 3, fsrows, 2 * width), jnp.uint8),
-                pltpu.SemaphoreType.DMA((2, 3)),
+                pltpu.VMEM((4, fsrows, 2 * width), jnp.uint8),
+                pltpu.SemaphoreType.DMA((4, 3)),
             ],
             interpret=interpret,
         )(fields, jnp.reshape(maxv, (1,)))
@@ -625,4 +649,5 @@ def make_fused_filter_field(height: int, width: int,
         return out, costs[:, :, 0, :3].sum(axis=0) / ((lh - 2) * lw)
 
     yadif_costs.yadif_costs = yadif_costs
+    yadif_costs.ftr = ftr  # chosen field-tile rows (bench roofline model)
     return yadif_costs
