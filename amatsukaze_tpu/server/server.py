@@ -133,6 +133,28 @@ class QueueEntry:
 CONSOLE_MAX_LINES = 400  # rolling console capture (ref RollingTextLines)
 
 
+class _EntryConsole:
+    """File-like sink routing a pipeline's log prints into the queue
+    entry's rolling console (ref TranscodeWorker's stdout capture)."""
+
+    def __init__(self, server: "EncodeServer", entry: "QueueEntry"):
+        self._server = server
+        self._entry = entry
+        self._buf = ""
+
+    def write(self, s: str) -> None:
+        self._buf += s
+        while "\n" in self._buf:
+            line, _, self._buf = self._buf.partition("\n")
+            if line:
+                self._server.append_console(self._entry, line)
+
+    def flush(self) -> None:
+        if self._buf:
+            self._server.append_console(self._entry, self._buf)
+            self._buf = ""
+
+
 class EncodeServer:
     def __init__(self, ctx, data_dir: str = "./data",
                  run_item=None):
@@ -604,6 +626,10 @@ class EncodeServer:
             "finished": time.time(),
             # result detail (ref LogItem's parsed -enc.json fields)
             "report": dict(entry.last_report),
+            # full console text on disk, retrievable after the rolling
+            # in-memory console ages out (ref RequestLogFile ->
+            # ReadLogFIle(EncodeStartDate), EncodeServer.cs:2986-2997)
+            "log_file": self._write_log_file(entry),
         })
         await self.clients.broadcast("OnQueueUpdate", asdict(entry))
         await self.clients.broadcast("OnLogUpdate", self.logs[-1])
@@ -635,6 +661,31 @@ class EncodeServer:
             self.append_console(entry, f"moved source to {sub}/")
         except OSError as e:
             self.append_console(entry, f"source move failed: {e}")
+
+    def _write_log_file(self, entry: QueueEntry) -> str:
+        """Persist the item's full console under <data>/logs and return
+        the file name (the GetLogFile payload). One file per attempt so
+        retries keep their own history, like the reference's
+        per-EncodeStartDate log files (EncodeServer.cs ReadLogFIle)."""
+        name = f"item{entry.item_id}_try{entry.retry_count}.txt"
+        log_dir = self._path("logs")
+        os.makedirs(log_dir, exist_ok=True)
+        try:
+            with open(os.path.join(log_dir, name), "w",
+                      encoding="utf-8") as f:
+                f.write("\n".join(entry.console))
+        except OSError:
+            return ""
+        return name
+
+    def read_log_file(self, name: str) -> str:
+        """The persisted console text for a GetLogs entry's log_file
+        (ref ServerInterface RequestLogFile -> OnLogFile round trip)."""
+        if not name or os.path.basename(name) != name:
+            raise ValueError("bad log file name")
+        with open(os.path.join(self._path("logs"), name),
+                  encoding="utf-8") as f:
+            return f.read()
 
     def append_console(self, entry: QueueEntry, line: str) -> None:
         entry.console.append(line)
@@ -709,6 +760,7 @@ class EncodeServer:
         from ..pipeline.settings import Settings
         from ..pipeline.transcode import TranscodePipeline
         from ..pipeline.decoders import default_decoder_factory
+        from ..utils.context import AMTContext
 
         profile = self.profile_for(entry)
         loop = asyncio.get_running_loop()
@@ -731,9 +783,20 @@ class EncodeServer:
             argv = self.make_cli_args(entry, profile)
             args = build_parser().parse_args(argv)
             conf = args_to_config(args)
-            settings = Settings(self.ctx, conf)
+            # per-item context: the pipeline's log lines land in the
+            # item's rolling console and hence its persisted log file —
+            # the reference's TranscodeWorker captures Amatsukaze.exe's
+            # stdout the same way (TranscodeWorker.cs rolling console)
+            # always capture at info: the persisted log must hold the
+            # full run transcript even when the server itself is quiet
+            item_ctx = AMTContext(
+                level="debug" if self.ctx.level == "debug" else "info",
+                time_prefix=True, out=_EntryConsole(self, entry))
+            item_ctx.drcs_map.update(self.ctx.drcs_map)
+            settings = Settings(item_ctx, conf)
             pipe = TranscodePipeline(
-                self.ctx, settings, decoder_factory=default_decoder_factory(),
+                item_ctx, settings,
+                decoder_factory=default_decoder_factory(),
                 phase_scheduler=phase,
             )
             report = await loop.run_in_executor(None, pipe.run)
@@ -790,6 +853,23 @@ class EncodeServer:
             return [asdict(e) for e in self.entries.values()]
         if method == "GetLogs":
             return self.logs
+        if method == "GetLogFile":
+            # full persisted console text of a finished encode (ref
+            # RequestLogFile, ServerInterface.cs:38/531). Accepts the
+            # log entry's log_file name or an item id (latest attempt).
+            name = payload.get("file", "")
+            if not name:
+                wanted = payload.get("id")
+                for log in reversed(self.logs):
+                    if log["id"] == wanted and log.get("log_file"):
+                        name = log["log_file"]
+                        break
+            if not name:
+                return {"text": "", "file": ""}
+            try:
+                return {"text": self.read_log_file(name), "file": name}
+            except (OSError, ValueError):
+                return {"text": "", "file": name}
         if method == "PauseEncode":
             self.pool.set_pause(bool(payload.get("pause", True)))
             return {"paused": self.pool.is_paused}

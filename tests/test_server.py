@@ -1023,6 +1023,22 @@ class TestWebServer:
             back = await api("GetAutoSelect")
             assert back == rules
 
+            # log-file browsing (ref RequestLogFile/OnLogFile round
+            # trip, ServerInterface.cs:38/531): the finished item's
+            # full pipeline transcript is persisted and retrievable
+            assert log.get("log_file"), log
+            lf = await api("GetLogFile", {"id": item})
+            assert lf["file"] == log["log_file"]
+            # the per-item context captured real pipeline log lines
+            assert "Total:" in lf["text"], lf["text"][:400]
+            by_name = await api("GetLogFile", {"file": log["log_file"]})
+            assert by_name["text"] == lf["text"]
+            # unknown ids return empty, never an exception
+            missing = await api("GetLogFile", {"id": 99999})
+            assert missing["text"] == ""
+            # the webui ships the search box + log pane anchors
+            assert b'id="logSearch"' in html and b"renderLogs" in html
+
             await web.stop()
             await server.stop()
 
