@@ -161,6 +161,16 @@ class FilterGraph:
         self._mesh_backend = ShardedFilterBackend(mesh)
         self._host_backend = False
 
+    def prefers_host(self) -> bool:
+        """True when run_kfm_batch will take the numpy host-twin branch
+        (slow device link, no post chain / mesh / SVP).  Callers use it
+        to skip device-only batch padding: repeating tail frames exists
+        to keep ONE XLA executable per geometry, which the host path
+        neither needs nor benefits from (each np.repeat of a 64-frame
+        1080 batch costs ~55 ms)."""
+        return (self.mode != self.MODE_SVP and self._mesh_backend is None
+                and self.post_chain is None and self._use_host_twin())
+
     def _use_host_twin(self) -> bool:
         if self._mesh_backend is not None:
             return False

@@ -69,15 +69,27 @@ def ensure_jax_backend(ctx) -> None:
                     "JAX_COMPILATION_CACHE_DIR",
                     os.path.join(os.path.expanduser("~"), ".cache",
                                  "amatsukaze_tpu", "jax")))
+            # cache everything non-trivial: a kfm run is ~30 separate
+            # jits and most compile in 0.2-0.9 s each — with a 1.0 s
+            # floor none of them persisted and every fresh worker
+            # process paid the full ~15 s compile wall again
             jax.config.update(
-                "jax_persistent_cache_min_compile_time_secs", 1.0)
+                "jax_persistent_cache_min_compile_time_secs", 0.1)
+        from ..utils.device import mark_backend_attached, tunneled_env
+
+        if (tunneled_env()
+                and os.environ.get("AMATSUKAZE_FILTER_BACKEND") != "device"):
+            # development tunnel: first contact costs ~10 s and the
+            # link economics route every frame-sized op to the host
+            # twins anyway (device_link_is_slow short-circuits on the
+            # same environment check) — skip the eager attach; jax
+            # still attaches lazily if something does ship device work
+            return
         jax.devices()
         # the backend is attached: from here the link-economics probe
         # measures in-process (a subprocess could never attach a
         # single-client tunneled device the parent already holds and
         # would burn its whole timeout before concluding "slow")
-        from ..utils.device import mark_backend_attached
-
         mark_backend_attached()
     except RuntimeError as e:
         ctx.warn("accelerator backend unavailable (%s); falling back to CPU", e)
@@ -1253,7 +1265,7 @@ def _pump_filtered(fg, frames_iter, pump, batch: int) -> None:
                 # plane geometry, and restrict the emitted entries to
                 # the real range via n_real
                 arr = np.stack([f[p] for f in chunk])
-                if len(chunk) < batch:
+                if len(chunk) < batch and not fg.prefers_host():
                     arr = np.concatenate(
                         [arr, np.repeat(arr[-1:], batch - len(chunk),
                                         axis=0)])

@@ -44,6 +44,13 @@ def device_link_is_slow(threshold_ms: float = 20.0) -> bool:
         return False
     if _cached is not None:
         return _cached
+    if tunneled_env():
+        # tunnel known from the environment alone: answer WITHOUT
+        # attaching the backend (first contact with an axon tunnel
+        # costs ~10 s — pure waste when every frame-sized op is going
+        # to the host twins anyway)
+        _cached = True
+        return _cached
 
     # a dead/hung link would block the first device round forever, and
     # a thread abandoned inside a blocked XLA call aborts the process
@@ -86,6 +93,17 @@ def device_link_is_slow(threshold_ms: float = 20.0) -> bool:
     except (subprocess.TimeoutExpired, OSError, ValueError):
         _cached = True
     return _cached
+
+
+def tunneled_env() -> bool:
+    """Tunnel detection WITHOUT attaching the backend: the axon
+    development tunnel advertises itself in the environment
+    (JAX_PLATFORMS=axon / _AXON_REGISTERED).  Attaching such a backend
+    costs ~10 s of first-contact handshake, so callers that only need
+    to know "is this link slow?" must not trigger it."""
+    env = os.environ
+    return ("axon" in env.get("JAX_PLATFORMS", "").lower()
+            or env.get("_AXON_REGISTERED") == "1")
 
 
 def _tunneled_backend() -> bool:

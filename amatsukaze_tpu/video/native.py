@@ -38,29 +38,42 @@ class _PlanePool:
     pages: the MPEG-2 wrapper goes ~225 -> ~390 fps at 1440x1080.
     """
 
-    def __init__(self, depth: int = 256):
-        # depth must exceed the worst-case planes in flight (the
-        # pipeline prefetches 64 frames = 192 planes) or every take()
-        # degrades to a full scan + fresh allocation.  Slots hold refs
-        # the consumers mostly hold anyway; eviction (maxlen) bounds
-        # what the pool itself can keep alive.
-        self._slots: deque = deque(maxlen=depth)
+    # Per-(shape, dtype) FIFO pairs: `out` holds planes in emission
+    # order, `free` holds planes every consumer has released.  The
+    # pipeline consumes frames in order, so releases surface at the
+    # FRONT of `out` — take() promotes released fronts and reuses one,
+    # O(1) amortized with no reordering (an earlier probe-capped scan
+    # scrambled the deque and collapsed the hit rate).  DEPTH bounds
+    # how many outstanding planes the pool tracks: past it, the oldest
+    # is forgotten (its memory returns to the heap when the consumer
+    # drops it — never reused, just not recycled).
+    DEPTH = 256
+
+    def __init__(self):
+        self._pools: dict = {}
 
     def take(self, shape, dtype) -> np.ndarray:
-        slots = self._slots
-        for _ in range(len(slots)):
-            arr = slots.popleft()
-            # 2 = the `arr` local + getrefcount's argument: nothing
-            # outside this function still references the buffer (views
-            # keep their base alive, so sliced frames never recycle
-            # under a consumer)
-            if (sys.getrefcount(arr) == 2 and arr.shape == shape
-                    and arr.dtype == dtype):
-                slots.append(arr)
-                return arr
-            slots.append(arr)
-        arr = np.empty(shape, dtype)
-        slots.append(arr)
+        key = (shape, np.dtype(dtype).str)
+        pair = self._pools.get(key)
+        if pair is None:
+            pair = self._pools[key] = (deque(), deque())
+        out, free = pair
+        # 2 = the deque slot + getrefcount's argument: nothing outside
+        # the pool references the buffer (views keep their base alive,
+        # so sliced frames never recycle under a consumer)
+        while out and sys.getrefcount(out[0]) == 2:
+            free.append(out.popleft())
+        if not free:
+            # a long-held head (carry frames survive a whole batch)
+            # must not block the planes behind it: peek a few slots in
+            for i in range(1, min(len(out), 5)):
+                if sys.getrefcount(out[i]) == 2:
+                    free.append(out[i])
+                    del out[i]
+                    break
+        arr = free.popleft() if free else np.empty(shape, dtype)
+        if len(out) < self.DEPTH:
+            out.append(arr)
         return arr
 
 
