@@ -373,7 +373,8 @@ def make_fused_filter_field(height: int, width: int,
                             logical_width: int | None = None,
                             logical_height: int | None = None,
                             with_costs: bool = True,
-                            costs_only: bool = False):
+                            costs_only: bool = False,
+                            logo_box: tuple | None = None):
     """Field-plane-layout variant of the fused yadif + field-match kernel.
 
     The frame-layout kernel (make_fused_filter) spends ~20% of its time on
@@ -418,11 +419,60 @@ def make_fused_filter_field(height: int, width: int,
     njf = fh // ftr
     fsrows = ftr + 2 * HALO
 
-    def kernel(fields_ref, maxv_ref, out_ref, *rest):
+    # ---- in-kernel logo-erase overlay (all geometry static) ------------
+    # logo_box=(y0, x0, h, w) in FRAME coords: the erased logo box ships
+    # as a small field-merged window [B, wfh, 2*wa] that the kernel DMAs
+    # over each slab right after its load completes — the full frames
+    # never pay the erase's extra HBM round trip (the XLA
+    # dynamic_update_slice path copies the whole batch, ~1.2 ms per
+    # 64x1080 batch on v5e, ~25% of the fused chain).  The box expands
+    # to DMA alignment (rows to 8 field rows, lanes to 128) plus one
+    # 8-row margin per side so neighbouring tiles' halo copies of box
+    # rows are erased too; the expansion is bit-exact because erase
+    # outside the true logo rect is the identity (a==1, b==0, and
+    # clip(floor(x+0.5)) on integers is x).
+    if logo_box is not None:
+        _y0, _x0, _bh, _bw = logo_box
+        assert 0 <= _y0 < _y0 + _bh <= lh and 0 <= _x0 < _x0 + _bw <= lw
+        x0a = (_x0 // 128) * 128
+        wa = min(-(-(_x0 + _bw - x0a) // 128) * 128, width - x0a)
+        fy0 = (_y0 // 2 // HALO) * HALO
+        fy1 = -(-((_y0 + _bh + 1) // 2) // HALO) * HALO
+        wf0 = max(fy0 - HALO, 0)
+        wf1 = min(fy1 + HALO, lh // 2)
+        wfh = wf1 - wf0
+        overlays = []  # (tile jj, [(slab_row0, window_row0, nrows), ...])
+        for _jj in range(njf):
+            _row0 = _jj * ftr
+            _top = max(_row0 - HALO, 0)
+            _bot = min(_row0 + ftr, fh - HALO)
+            regs = []
+            for _dst0, _lo, _hi in ((0, _top, _top + HALO),
+                                    (HALO, _row0, _row0 + ftr),
+                                    (HALO + ftr, _bot, _bot + HALO)):
+                _a, _b = max(_lo, wf0), min(_hi, wf1)
+                if _a < _b:
+                    regs.append((_dst0 + _a - _lo, _a - wf0, _b - _a))
+            if regs:
+                overlays.append((_jj, regs))
+        n_ovl = max(2 * len(r) for _, r in overlays)
+    else:
+        overlays = []
+        n_ovl = 0
+
+    def kernel(fields_ref, *rest):
+        if logo_box is not None:
+            win_ref, rest = rest[0], rest[1:]
+        else:
+            win_ref = None
+        maxv_ref, out_ref, rest = rest[0], rest[1], rest[2:]
         if with_costs:
-            costs_ref, slab_s, sems = rest
+            costs_ref, rest = rest[0], rest[1:]
         else:
             costs_ref = None
+        if logo_box is not None:
+            slab_s, sems, wsems = rest
+        else:
             slab_s, sems = rest
         j = pl.program_id(0)
         i = pl.program_id(1)
@@ -472,6 +522,33 @@ def make_fused_filter_field(height: int, width: int,
         def wait_q(q):
             for c in slab_copies(q):
                 c.wait()
+            if overlays:
+                overlay_q(q)
+
+        def overlay_q(q):
+            # DMA the erased logo window over the freshly loaded slab —
+            # once per slab, immediately after its load completes (slabs
+            # are waited exactly once; later steps reuse the patched
+            # bytes).  The copies are tiny (<= a few KB each).
+            jq = jax.lax.div(q, nb)
+            fq = jax.lax.rem(q, nb)
+            slot = jax.lax.rem(q, 4)
+            for jj, regs in overlays:
+                @pl.when(jq == jj)
+                def _(regs=regs, fq=fq, slot=slot):
+                    cs = []
+                    for k, (dst0, src0, nr) in enumerate(regs):
+                        for half, lane0 in ((0, x0a), (1, width + x0a)):
+                            cs.append(pltpu.make_async_copy(
+                                win_ref.at[fq, pl.ds(src0, nr),
+                                           pl.ds(half * wa, wa)],
+                                slab_s.at[slot, pl.ds(dst0, nr),
+                                          pl.ds(lane0, wa)],
+                                wsems.at[slot, 2 * k + half]))
+                    for c in cs:
+                        c.start()
+                    for c in cs:
+                        c.wait()
 
         step = j * nb + i
         total = njf * nb
@@ -600,8 +677,7 @@ def make_fused_filter_field(height: int, width: int,
             jnp.zeros((1, 125), jnp.float32),
         ], axis=1)
 
-    @partial(jax.jit, static_argnames=("interpret",))
-    def yadif_costs(erased, maxv, interpret=False):
+    def _call(erased, win, maxv, interpret):
         bsz, h_in, w_in = erased.shape
         assert h_in == height and w_in == width
         assert bsz >= 3, "fused filter needs batches of at least 3 frames"
@@ -624,21 +700,28 @@ def make_fused_filter_field(height: int, width: int,
                              memory_space=pltpu.VMEM))
             out_shape.append(
                 jax.ShapeDtypeStruct((njf, bsz, 1, 128), jnp.float32))
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY)]  # merged fields
+        args = [fields]
+        if logo_box is not None:
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # window
+            args.append(win)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(jnp.reshape(maxv, (1,)))
+        scratch = [
+            pltpu.VMEM((4, fsrows, 2 * width), jnp.uint8),
+            pltpu.SemaphoreType.DMA((4, 3)),
+        ]
+        if logo_box is not None:
+            scratch.append(pltpu.SemaphoreType.DMA((4, n_ovl)))
         res = pl.pallas_call(
             kernel,
             grid=(njf, bsz),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),  # merged fields (HBM)
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-            ],
+            in_specs=tuple(in_specs),
             out_specs=tuple(out_specs),
             out_shape=tuple(out_shape),
-            scratch_shapes=[
-                pltpu.VMEM((4, fsrows, 2 * width), jnp.uint8),
-                pltpu.SemaphoreType.DMA((4, 3)),
-            ],
+            scratch_shapes=scratch,
             interpret=interpret,
-        )(fields, jnp.reshape(maxv, (1,)))
+        )(*args)
         if with_costs:
             out_f, costs = res
         else:
@@ -648,6 +731,37 @@ def make_fused_filter_field(height: int, width: int,
             return out, None
         return out, costs[:, :, 0, :3].sum(axis=0) / ((lh - 2) * lw)
 
+    @partial(jax.jit, static_argnames=("interpret",))
+    def yadif_costs(erased, maxv, interpret=False):
+        assert logo_box is None, "logo_box kernels take (frames, fades)"
+        return _call(erased, None, maxv, interpret)
+
+    @partial(jax.jit, static_argnames=("interpret",))
+    def fused_logo(frames_u8, a_box, b_box, fades, maxv, interpret=False):
+        """Logo erase + yadif + field-match in ONE device pass: the box
+        is erased in XLA at box size ([B, 2*wfh, wa], a few MB), merged
+        into field layout for free, and overlaid in-kernel — the full
+        frames cross HBM exactly twice (slab in, filtered out).
+        a_box/b_box are f32 [2*wfh, wa] slices of the full logo planes
+        at `fused_logo.window` = (frame_y0, x0, frame_h, w)."""
+        bsz = frames_u8.shape[0]
+        box = jax.lax.slice(
+            frames_u8, (0, 2 * wf0, x0a),
+            (bsz, 2 * wf1, x0a + wa)).astype(jnp.float32)
+        fade = fades[:, None, None]
+        bg = a_box * box + b_box * maxv
+        er = jnp.clip(jnp.floor(fade * bg + (1.0 - fade) * box + 0.5),
+                      0.0, maxv).astype(jnp.uint8)
+        win = er.reshape(bsz, wfh, 2 * wa)  # free field merge
+        return _call(frames_u8, win, maxv, interpret)
+
     yadif_costs.yadif_costs = yadif_costs
     yadif_costs.ftr = ftr  # chosen field-tile rows (bench roofline model)
+    if logo_box is not None:
+        # erase+filter single-pass entry + the aligned frame-coord box
+        # whose a/b logo-plane slices fused_logo expects
+        fused_logo.window = (2 * wf0, x0a, 2 * wfh, wa)
+        fused_logo.ftr = ftr
+        yadif_costs.fused_logo = fused_logo
+        return fused_logo
     return yadif_costs

@@ -225,15 +225,18 @@ def kernel_bench() -> dict:
     params = LogoEvalParams.from_ref(ref)
     a_full, b_full = pad_logo_planes(a, b, H, W, 0, 0)
 
-    # field-plane-layout kernel: the [B,H,W]->[B,H/2,2W] lane-merged
-    # field view is free, and the in-kernel slab ring DMAs each frame
-    # tile once (shared across the prv/cur/nxt uses of 3 grid steps)
-    fused_yc = make_fused_filter_field(H, WP, logical_width=W)
+    # field-plane-layout kernel with the in-kernel logo-erase overlay:
+    # the [B,H,W]->[B,H/2,2W] lane-merged field view is free, the slab
+    # ring DMAs each frame tile once (shared across the prv/cur/nxt
+    # uses of 3 grid steps), and the erased logo box ships as a small
+    # window DMA'd over each slab — the full frames never pay the
+    # erase's extra HBM round trip (the dynamic_update_slice path
+    # copied the whole batch, ~1.2 ms per 64-frame batch, ~22% of the
+    # chain)
+    fused_yc = make_fused_filter_field(H, WP, logical_width=W,
+                                       logo_box=(0, 0, LOGO_H, LOGO_W))
 
-    aw = jnp.asarray(a)
-    bw = jnp.asarray(b)
-
-    def one_batch(p, frames_u8, a_p, b_p, fades):
+    def one_batch(p, frames_u8, a_b, b_b, fades):
         # logo presence evaluation on the logo window (feeds fade decisions).
         # params must be ARGUMENTS: closing over them lets XLA constant-fold
         # the tables into multi-MB HLO literals (degrades the device runtime)
@@ -242,16 +245,9 @@ def kernel_bench() -> dict:
         scores = evaluate_logo_pallas(
             p, deint, jnp.float32(255.0), jnp.asarray([0.0, 1.0])
         )
-        # erase only the logo window (outside it a==1, b==0 -> identity;
-        # clip(floor(x+0.5)) on integers is the identity, so this is
-        # bit-identical to the full-frame erase pass at ~1/90 the work)
-        fade = fades[:, None, None]
-        bg = aw * window + bw * 255.0
-        erased_w = jnp.clip(jnp.floor(fade * bg + (1.0 - fade) * window
-                                      + 0.5), 0.0, 255.0).astype(jnp.uint8)
-        erased = jax.lax.dynamic_update_slice(frames_u8, erased_w, (0, 0, 0))
-        # fused yadif/field-match kernel
-        out, costs = fused_yc(erased, jnp.float32(255.0))
+        # erase + yadif + field-match in ONE kernel pass
+        out, costs = fused_yc(frames_u8, a_b, b_b, fades,
+                              jnp.float32(255.0))
         return (jnp.sum(costs) + jnp.sum(scores)
                 + out[0, 0, 0].astype(jnp.float32)
                 + out[-1, -1, -1].astype(jnp.float32))
@@ -269,6 +265,9 @@ def kernel_bench() -> dict:
     fp, ap, bp = pad_width_for_fused(
         jnp.asarray(frames), jnp.asarray(a_full), jnp.asarray(b_full), WP
     )
+    wy0, wx0, wh, ww = fused_yc.window
+    ap = jax.lax.slice(ap, (wy0, wx0), (wy0 + wh, wx0 + ww))
+    bp = jax.lax.slice(bp, (wy0, wx0), (wy0 + wh, wx0 + ww))
     stacked = jnp.stack([fp] + [
         jnp.asarray(rng.integers(16, 236, (BATCH, H, WP), dtype=np.uint8))
         for _ in range(3)
@@ -314,9 +313,11 @@ def _kernel_roofline(H: int, W: int, WP: int, fps: float,
                   fh below)
       kernel out: 2*fh*WP merged write (+ cost rows, negligible); the
                   output un-merge reshape is free.
-    The window-only logo erase (~2*96*256) and the cost outputs are
-    noise; the dynamic_update_slice erase write-back is counted as one
-    extra H*WP read+write.
+    The logo erase no longer costs a frame-sized pass at all: the box
+    is erased at box size in XLA and DMA'd over the slabs in-kernel
+    (ops/fused_filter logo_box), so its traffic (box read + window
+    write + per-slab window reads, ~0.3 MB/frame) is counted as
+    erase_b below.
 
     FLOP model (f32 vector op = 1): yadif ~47 ops per missing-field pixel
     (base pred/score 4, 4 candidate dirs x ~8, temporal clamp 7, weave/
@@ -331,7 +332,9 @@ def _kernel_roofline(H: int, W: int, WP: int, fps: float,
     fh = -(-((H + 1) // 2) // ftr) * ftr
     njf = fh // ftr
     fsrows = ftr + 2 * halo
-    erase_b = 2 * H * WP  # dynamic_update_slice round trip (XLA pass 1)
+    # in-kernel overlay erase: box read + f32 math + window write + one
+    # window DMA per overlapping slab (box 96x256 -> window 64x512)
+    erase_b = 2 * 96 * 256 + 2 * 2 * 64 * 512
     kern_in = njf * fsrows * 2 * WP
     kern_out = 2 * fh * WP
     bytes_per_frame = erase_b + kern_in + kern_out

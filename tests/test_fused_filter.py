@@ -191,3 +191,60 @@ class TestFieldLayoutKernel:
             frames.astype(np.float32), np.ones((32, 128), np.float32),
             np.zeros((32, 128), np.float32), np.zeros(5, np.float32))
         np.testing.assert_array_equal(np.asarray(out), ref_out)
+
+
+class TestLogoOverlayKernel:
+    """logo_box variant: erase + yadif + costs in one kernel pass, the
+    erased box DMA'd over the slabs in-kernel. Must be bit-exact vs the
+    two-pass chain (full-frame XLA erase -> plain kernel) for boxes at
+    any position, including tile-crossing and unaligned origins."""
+
+    @pytest.mark.parametrize("box", [
+        (0, 0, 20, 40),      # top-left corner (broadcast logo position)
+        (10, 30, 17, 33),    # odd origin/size -> alignment expansion
+        (34, 100, 30, 40),   # crosses the 16-row field-tile boundary
+        (3, 5, 8, 8),        # tiny
+    ])
+    def test_bit_exact_vs_two_pass(self, box):
+        import jax.numpy as jnp
+
+        from amatsukaze_tpu.ops.fused_filter import (
+            make_fused_filter_field, pad_width_for_fused)
+
+        h, w, wp = 64, 140, 256
+        y0, x0, bh, bw = box
+        rng = np.random.default_rng(1)
+        frames = rng.integers(0, 256, (5, h, w), dtype=np.uint8)
+        alpha = np.clip(rng.uniform(0, 0.4, (bh, bw)), 0.01,
+                        0.4).astype(np.float32)
+        a_full = np.ones((h, w), np.float32)
+        b_full = np.zeros((h, w), np.float32)
+        a_full[y0:y0 + bh, x0:x0 + bw] = 1.0 / (1.0 - alpha)
+        b_full[y0:y0 + bh, x0:x0 + bw] = (
+            -alpha * 200.0 / (1.0 - alpha) / 255.0)
+        fades = jnp.asarray(rng.uniform(0, 1, (5,)).astype(np.float32))
+        fp, ap, bp = pad_width_for_fused(
+            jnp.asarray(frames), jnp.asarray(a_full),
+            jnp.asarray(b_full), wp)
+        # reference: full-frame erase then plain kernel
+        x = fp.astype(jnp.float32)
+        fd = fades[:, None, None]
+        bg = ap * x + bp * 255.0
+        erased = jnp.clip(jnp.floor(fd * bg + (1.0 - fd) * x + 0.5),
+                          0.0, 255.0).astype(jnp.uint8)
+        plain = make_fused_filter_field(h, wp, field_tile_rows=16,
+                                        logical_width=w)
+        out_ref, costs_ref = plain(erased, jnp.float32(255.0),
+                                   interpret=True)
+        fl = make_fused_filter_field(h, wp, field_tile_rows=16,
+                                     logical_width=w,
+                                     logo_box=(y0, x0, bh, bw))
+        wy0, wx0, wh, ww = fl.window
+        ab = jnp.asarray(np.asarray(ap)[wy0:wy0 + wh, wx0:wx0 + ww])
+        bb = jnp.asarray(np.asarray(bp)[wy0:wy0 + wh, wx0:wx0 + ww])
+        out_new, costs_new = fl(fp, ab, bb, fades, jnp.float32(255.0),
+                                interpret=True)
+        np.testing.assert_array_equal(np.asarray(out_ref),
+                                      np.asarray(out_new))
+        np.testing.assert_array_equal(np.asarray(costs_ref),
+                                      np.asarray(costs_new))
