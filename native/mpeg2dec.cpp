@@ -198,7 +198,24 @@ static Vlc g_addr, g_mbt[4], g_cbp, g_mc, g_dmv, g_dcl, g_dcc, g_b14,
 static RlVlc g_rl14, g_rl15;
 static std::once_flag g_once;
 
+#ifdef __AVX2__
+// int16 pair-interleaved IDCT matrix for the madd_epi16 pass 1:
+// IDCT_A16P[p] lane pair (2m, 2m+1) = (A[2p][m], A[2p+1][m]).  Exact:
+// coefficients saturate to [-2048,2047] and |A| <= 8035, so each i16
+// product is < 2^25 and the pair sum fits int32 with no wrap —
+// madd_epi16 + add_epi32 is arithmetically identical to the int32
+// mullo chain (one instruction instead of two per column pair).
+alignas(32) static int16_t IDCT_A16P[4][16];
+#endif
+
 static void init_tables() {
+#ifdef __AVX2__
+  for (int p = 0; p < 4; p++)
+    for (int m = 0; m < 8; m++) {
+      IDCT_A16P[p][2 * m] = (int16_t)IDCT_A[(2 * p) * 8 + m];
+      IDCT_A16P[p][2 * m + 1] = (int16_t)IDCT_A[(2 * p + 1) * 8 + m];
+    }
+#endif
   g_addr.build(B1_ADDR_INC, B1_ADDR_INC_N);
   g_mbt[1].build(B2_MB_TYPE_I, B2_MB_TYPE_I_N);
   g_mbt[2].build(B3_MB_TYPE_P, B3_MB_TYPE_P_N);
@@ -272,12 +289,14 @@ static void idct8x8(const int32_t f[64], int32_t out[64],
   if (rowmask == 1) {
     auto dot = [&](auto uc) {
       __m256i acc = _mm256_set1_epi32(1024);
-      for (int u = 0; u < decltype(uc)::value; u++)
+      for (int p = 0; p < decltype(uc)::value / 2; p++) {
+        uint32_t fp2 = (uint32_t)(uint16_t)f[2 * p]
+                       | ((uint32_t)(uint16_t)f[2 * p + 1] << 16);
         acc = _mm256_add_epi32(
-            acc,
-            _mm256_mullo_epi32(
-                _mm256_set1_epi32(f[u]),
-                _mm256_loadu_si256((const __m256i*)(IDCT_A + u * 8))));
+            acc, _mm256_madd_epi16(
+                     _mm256_set1_epi32((int)fp2),
+                     _mm256_load_si256((const __m256i*)IDCT_A16P[p])));
+      }
       return acc;
     };
     __m256i acc = (colmask & 0xF0)
@@ -299,18 +318,22 @@ static void idct8x8(const int32_t f[64], int32_t out[64],
   int rows[8];
   int nrows = 0;
 #ifdef __AVX2__
-  // t_row[m] = (1024 + sum_u fr[u]*A[u][m]) >> 11 — one mullo per live
-  // column u, unrolled per live-column-prefix tier
+  // t_row[m] = (1024 + sum_u fr[u]*A[u][m]) >> 11 — one madd_epi16 per
+  // live column PAIR (exact in int32, see IDCT_A16P), unrolled per
+  // live-column-prefix tier
   auto pass1 = [&](auto uc) {
     for (int i = 0; i < 8; i++) {
       if (!(rowmask & (1u << i))) continue;
       rows[nrows++] = i;
       const int32_t* fr = f + i * 8;
       __m256i acc = _mm256_set1_epi32(1024);
-      for (int u = 0; u < decltype(uc)::value; u++) {
-        __m256i a = _mm256_loadu_si256((const __m256i*)(IDCT_A + u * 8));
+      for (int p = 0; p < decltype(uc)::value / 2; p++) {
+        uint32_t fp2 = (uint32_t)(uint16_t)fr[2 * p]
+                       | ((uint32_t)(uint16_t)fr[2 * p + 1] << 16);
         acc = _mm256_add_epi32(
-            acc, _mm256_mullo_epi32(_mm256_set1_epi32(fr[u]), a));
+            acc, _mm256_madd_epi16(
+                     _mm256_set1_epi32((int)fp2),
+                     _mm256_load_si256((const __m256i*)IDCT_A16P[p])));
       }
       _mm256_storeu_si256((__m256i*)(t + i * 8),
                           _mm256_srai_epi32(acc, 11));
