@@ -31,6 +31,23 @@ from .rpc import ClientManager
 # FinishAction / FinishActionRunner: None/Suspend/Shutdown) and the
 # system commands the names map to when the queue drains.
 FINISH_ACTIONS = {"", "suspend", "shutdown"}
+
+# sentinel logo entry meaning "no logo is acceptable for this service"
+# (ref LogoSetting.NO_LOGO, EncodeServerData.cs:525)
+NO_LOGO = "### NO LOGO ###"
+
+
+def _logo_can_use(ls: dict, ts_time: str) -> bool:
+    """LogoSetting.CanUse (EncodeServerData.cs:517-521): the logo must
+    be enabled, and when the recording time is known it must fall in
+    the [from, to] validity period (ISO strings compare correctly)."""
+    if not ls.get("enabled", True):
+        return False
+    if not ts_time:
+        return True
+    frm = ls.get("from") or ""
+    to = ls.get("to") or ""
+    return (not frm or frm <= ts_time) and (not to or ts_time <= to)
 _FINISH_ACTION_COMMANDS = {
     "suspend": "systemctl suspend",
     "shutdown": "shutdown -h now",
@@ -74,6 +91,13 @@ class ProfileSetting:
     ignore_no_drcs_map: bool = False  # ref IgnoreNoDrcsMap
     loose_logo_detection: bool = False
     cm_out_mask: int = 1
+    # JLS rule-script selection (ref JLSCommandFile/EnableJLSOption/
+    # JLSOption, EncodeServerData.cs:244-252): the profile file wins
+    # over the per-service JLSCommand; options come from the profile
+    # when enable_jls_option else from the service setting
+    jls_command_file: str = ""
+    jls_option: str = ""
+    enable_jls_option: bool = False
     disable_hash_check: bool = False  # skip hash-dir source verification
     enable_genre_folder: bool = False  # sort outputs into genre subdirs
     # phase resources: CPU/HDD/device percent per phase (ReqResource)
@@ -163,6 +187,10 @@ class EncodeServer:
         self.setting = ServerSetting()
         self.profiles: dict[str, ProfileSetting] = {"default": ProfileSetting()}
         self.auto_select: dict[str, list] = {}  # name -> [(service_id, profile)]
+        # per-service settings (ref ServiceSettingElement,
+        # EncodeServerData.cs:528-547): CM-check disable, JLS command/
+        # option, and per-logo enable + validity period
+        self.service_settings: dict[int, dict] = {}
         self.entries: dict[int, QueueEntry] = {}
         self.logs: list[dict] = []
         self._next_id = 1
@@ -293,6 +321,9 @@ class EncodeServer:
             json.dump({k: asdict(v) for k, v in self.profiles.items()}, f)
         with open(self._path("autoselect.json"), "w") as f:
             json.dump(self.auto_select, f)
+        with open(self._path("services.json"), "w") as f:
+            json.dump({str(k): v for k, v in self.service_settings.items()},
+                      f)
         with open(self._path("queue.json"), "w") as f:
             json.dump([asdict(e) for e in self.entries.values()], f)
         with open(self._path("logs.json"), "w") as f:
@@ -320,6 +351,14 @@ class EncodeServer:
                     for k, v in json.load(f).items()
                 }
         except (OSError, json.JSONDecodeError, TypeError):
+            pass
+        try:
+            with open(self._path("services.json")) as f:
+                self.service_settings = {
+                    int(k): v for k, v in json.load(f).items()
+                    if isinstance(v, dict)
+                }
+        except (OSError, json.JSONDecodeError, ValueError):
             pass
         try:
             with open(self._path("queue.json")) as f:
@@ -571,10 +610,38 @@ class EncodeServer:
             for lp in self.logos_for_service(entry.service_id):
                 if lp not in logo_paths:
                     logo_paths.append(lp)
+        ignore_no_logo = profile.ignore_no_logo
+        svc = self.service_settings.get(entry.service_id)
+        if svc and svc.get("logo_settings"):
+            # per-service logo management (ref TranscodeWorker.cs:715-732):
+            # a logo listed in the service setting is passed only while
+            # LogoSetting.CanUse(TsTime) holds; unlisted logos keep the
+            # scan default (enabled). An enabled NO_LOGO sentinel makes
+            # the logo optional for this service.
+            listed = {ls.get("file_name", ""): ls
+                      for ls in svc["logo_settings"]}
+            usable = {name for name, ls in listed.items()
+                      if _logo_can_use(ls, getattr(entry, "ts_time", ""))}
+            if NO_LOGO in usable:
+                ignore_no_logo = True
+            logo_paths = [lp for lp in logo_paths
+                          if os.path.basename(lp) not in listed
+                          or os.path.basename(lp) in usable]
         for lp in logo_paths:
             args += ["--logo", lp]
-        if profile.ignore_no_logo:
+        if ignore_no_logo:
             args += ["--ignore-no-logo"]
+        # JLS command selection (ref TranscodeWorker.cs:884-892): the
+        # per-service DisableCMCheck gates the whole JLS rule path; the
+        # profile's command file wins over the service's
+        if svc and not svc.get("disable_cm_check", True):
+            jls_cmd = profile.jls_command_file or svc.get("jls_command", "")
+            if jls_cmd:
+                args += ["--jls-cmd", jls_cmd]
+            jls_opt = (profile.jls_option if profile.enable_jls_option
+                       else svc.get("jls_option", ""))
+            if jls_opt:
+                args += ["--jls-option", jls_opt]
         if profile.loose_logo_detection:
             args += ["--loose-logo-detection"]
         args += ["-om", str(profile.cm_out_mask)]
@@ -1084,8 +1151,36 @@ class EncodeServer:
                     svc["logos"].append(name)
                     if not svc["name"] and logo.header.name != "No Name":
                         svc["name"] = logo.header.name
+            for sid, svc in services.items():
+                svc["setting"] = self.service_settings.get(sid, {})
             return sorted(services.values(),
                           key=lambda s_: s_["service_id"])
+        if method == "SetServiceSetting":
+            # per-service settings update (ref SetServiceSetting RPC,
+            # ClientManager.cs:279-280 -> ServiceSettingElement)
+            sid = int(payload.get("service_id", 0))
+            if sid <= 0:
+                return {"ok": False, "error": "service_id required"}
+            elem = {
+                "service_id": sid,
+                "service_name": str(payload.get("service_name", "")),
+                "disable_cm_check": bool(
+                    payload.get("disable_cm_check", True)),
+                "jls_command": str(payload.get("jls_command", "")),
+                "jls_option": str(payload.get("jls_option", "")),
+                "logo_settings": [
+                    {"file_name": str(ls.get("file_name", "")),
+                     "enabled": bool(ls.get("enabled", True)),
+                     "from": str(ls.get("from", "") or ""),
+                     "to": str(ls.get("to", "") or "")}
+                    for ls in payload.get("logo_settings", [])
+                    if isinstance(ls, dict)
+                ],
+            }
+            self.service_settings[sid] = elem
+            self.save_app_data()
+            await self.clients.broadcast("OnServiceSetting", elem)
+            return {"ok": True}
         if method == "GetAutoSelect":
             return self.auto_select
         if method == "SetAutoSelect":

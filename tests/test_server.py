@@ -1528,6 +1528,101 @@ class TestServicesView:
             e.service_name = "NHK G"
             svcs = await server.handle_request("GetServices", {})
             assert svcs == [{"service_id": 1024, "name": "NHK G",
-                             "logos": ["nhk.lgd"]}]
+                             "logos": ["nhk.lgd"], "setting": {}}]
+
+        run(main())
+
+    def test_service_setting_rpc_and_args(self, ctx, tmp_path):
+        """Per-service settings (ref ServiceSettingElement +
+        TranscodeWorker.cs:715-732/:884-892): logo enable + validity
+        period filter the --logo list by the item's recording time, an
+        enabled NO_LOGO sentinel forces --ignore-no-logo, and disabling
+        DisableCMCheck routes the JLS command/option into the args
+        (profile command file wins over the service's)."""
+
+        def entry_for(server, sid, ts_time=""):
+            e = server.add_queue(str(tmp_path / "a.ts"),
+                                 str(tmp_path / "o"), "default",
+                                 service_id=sid)
+            e.ts_time = ts_time
+            return e
+
+        async def main():
+            from amatsukaze_tpu.server.server import NO_LOGO, EncodeServer
+
+            data = str(tmp_path / "d")
+            server = EncodeServer(ctx, data_dir=data)
+            lgd = TestServiceLogoAutoSelect()._lgd
+            lgd(os.path.join(server.logo_dir(), "old.lgd"), 1024)
+            lgd(os.path.join(server.logo_dir(), "new.lgd"), 1024)
+            prof = server.profiles["default"]
+            prof.ignore_no_logo = False
+
+            r = await server.handle_request("SetServiceSetting", {
+                "service_id": 1024,
+                "disable_cm_check": False,
+                "jls_command": "JL_svc.txt",
+                "jls_option": "-svcopt",
+                "logo_settings": [
+                    {"file_name": "old.lgd", "enabled": True,
+                     "from": "", "to": "2020-04-01T00:00:00"},
+                    {"file_name": "new.lgd", "enabled": True,
+                     "from": "2020-04-01T00:00:00", "to": ""},
+                    {"file_name": NO_LOGO, "enabled": False},
+                ],
+            })
+            assert r["ok"]
+
+            def logos(e):
+                args = server.make_cli_args(e, prof)
+                return ([args[i + 1] for i, a in enumerate(args)
+                         if a == "--logo"], args)
+
+            # recording before the switchover uses the old logo only
+            ls, args = logos(entry_for(server, 1024,
+                                       "2019-12-31T21:00:00"))
+            assert len(ls) == 1 and ls[0].endswith("old.lgd")
+            assert "--ignore-no-logo" not in args
+            # JLS command flows because CM check is enabled
+            assert args[args.index("--jls-cmd") + 1] == "JL_svc.txt"
+            assert args[args.index("--jls-option") + 1] == "-svcopt"
+            # after the switchover: the new logo
+            ls, _ = logos(entry_for(server, 1024, "2021-01-01T21:00:00"))
+            assert len(ls) == 1 and ls[0].endswith("new.lgd")
+            # unknown recording time: every enabled logo qualifies
+            ls, _ = logos(entry_for(server, 1024))
+            assert len(ls) == 2
+
+            # profile JLS command file wins over the service's
+            prof.jls_command_file = "JL_profile.txt"
+            _, args = logos(entry_for(server, 1024))
+            assert args[args.index("--jls-cmd") + 1] == "JL_profile.txt"
+            prof.jls_command_file = ""
+
+            # enabled NO_LOGO sentinel makes the logo optional
+            await server.handle_request("SetServiceSetting", {
+                "service_id": 1024,
+                "logo_settings": [
+                    {"file_name": "old.lgd", "enabled": False},
+                    {"file_name": "new.lgd", "enabled": False},
+                    {"file_name": NO_LOGO, "enabled": True},
+                ],
+            })
+            ls, args = logos(entry_for(server, 1024))
+            assert ls == [] and "--ignore-no-logo" in args
+            # disable_cm_check defaulted back to True: no JLS args
+            assert "--jls-cmd" not in args
+
+            # settings persist across a server restart
+            server.save_app_data()
+            server2 = EncodeServer(ctx, data_dir=data)
+            server2.load_app_data()
+            assert 1024 in server2.service_settings
+            assert (server2.service_settings[1024]["logo_settings"][2]
+                    ["file_name"] == NO_LOGO)
+            # and GetServices reports them
+            svcs = await server2.handle_request("GetServices", {})
+            svc = [s for s in svcs if s["service_id"] == 1024][0]
+            assert svc["setting"]["logo_settings"][2]["enabled"]
 
         run(main())
