@@ -436,6 +436,10 @@ def build_simple_ts(
     caption_groups: list[tuple[int, bytes]] | None = None,  # (frame, group)
     extra_services: list[tuple[int, int]] | None = None,  # (sid, pmt_pid)
     extra_services_first: bool = False,
+    geometry_change: tuple | None = None,  # (at_frame, w2, h2): new seq
+    # one (at_frame, channel_config) or a list of them, applied in order
+    audio_change: tuple | list | None = None,
+    audio_channel_config: int = 2,
 ) -> bytes:
     """A single-program TS with MPEG2 video + N ADTS audio streams.
 
@@ -504,24 +508,46 @@ def build_simple_ts(
         ps, tff, rff = {
             "FRAME": (3, 1, 0), "TFF": (3, 1, 0), "BFF": (3, 0, 0),
             "TFF_RFF": (3, 1, 1), "BFF_RFF": (3, 0, 1),
+            # field-picture pair: two coded pictures (top then bottom /
+            # bottom then top) weave into one frame (ISO 13818-2 6.3.10;
+            # ref sample RffFieldPictureTsFile mixes these with RFF
+            # frame pictures)
+            "FIELDS_TFF": (1, 1, 0), "FIELDS_BFF": (2, 0, 0),
         }[name]
         prog_frame = 1 if name == "FRAME" else 0
+        vw, vh = width, height
+        new_gop = f % gop_len == 0
+        if geometry_change is not None and f >= geometry_change[0]:
+            vw, vh = geometry_change[1], geometry_change[2]
+            if f == geometry_change[0]:
+                new_gop = True  # a format switch starts a new sequence
         if video_es_frames is not None:
             es = bytearray(video_es_frames[f])
         else:
             es = bytearray()
-            if f % gop_len == 0:
-                es += mpeg2_sequence_header(width=width, height=height,
+            if new_gop:
+                es += mpeg2_sequence_header(width=vw, height=vh,
                                             frame_rate_code=4)
-            coding = 1 if f % gop_len == 0 else (2 if f % 3 == 0 else 3)
-            es += mpeg2_picture(coding_type=coding, picture_structure=ps,
-                                tff=tff,
-                                rff=rff, progressive_frame=prog_frame,
-                                temporal_reference=f % gop_len,
-                                slice_bytes=slice_bytes,
-                                real_slices=(width, height,
-                                             row_qs or [8, 12, 20, 30])
-                                if real_slices else None)
+            coding = 1 if new_gop else (2 if f % 3 == 0 else 3)
+            rs = ((vw, vh, row_qs or [8, 12, 20, 30])
+                  if real_slices else None)
+            if name.startswith("FIELDS_"):
+                second = 2 if ps == 1 else 1  # opposite parity field
+                for fps_ in (ps, second):
+                    es += mpeg2_picture(coding_type=coding,
+                                        picture_structure=fps_,
+                                        tff=tff, rff=0,
+                                        progressive_frame=0,
+                                        temporal_reference=f % gop_len,
+                                        slice_bytes=slice_bytes,
+                                        real_slices=rs)
+            else:
+                es += mpeg2_picture(coding_type=coding,
+                                    picture_structure=ps, tff=tff,
+                                    rff=rff, progressive_frame=prog_frame,
+                                    temporal_reference=f % gop_len,
+                                    slice_bytes=slice_bytes,
+                                    real_slices=rs)
         pes = make_pes(0xE0, bytes(es), pts=pts, dts=dts, unbounded=True)
         tz.add_pes(VIDEO_PID, pes, pcr=pcr)
 
@@ -540,7 +566,15 @@ def build_simple_ts(
                     af = audio_es_frames[
                         min(audio_next[a], len(audio_es_frames) - 1)]
                 else:
-                    af = adts_frame(sampling_frequency_index=audio_sfi)
+                    cc = audio_channel_config
+                    if audio_change is not None:
+                        changes = (audio_change if isinstance(
+                            audio_change, list) else [audio_change])
+                        for at, cc2 in changes:
+                            if f >= at:
+                                cc = cc2
+                    af = adts_frame(sampling_frequency_index=audio_sfi,
+                                    channel_config=cc)
                 tz.add_pes(AUDIO_PID + a, make_pes(0xC0, af, pts=apts))
                 audio_next[a] += 1
 
