@@ -287,6 +287,10 @@ class TsSplitter(TsPacketSelectorHandler):
         self._engine_counts = (0, 0)  # (selected_total, selected_scramble)
         self._suppress_stream = False
         self._want_engine = os.environ.get("AMATSUKAZE_NO_NATIVE", "") == ""
+        # packets staged for the engine when init completes MID-chunk
+        # (everything after the PCR-acquisition packet belongs to the
+        # steady-state engine, not the Python batch loop)
+        self._pending_engine_tail: bytearray | None = None
 
     # -- public -----------------------------------------------------------------
     def reset(self) -> None:
@@ -310,12 +314,31 @@ class TsSplitter(TsPacketSelectorHandler):
             self._native_input(data)
         else:
             self.packet_parser.input_ts(data)
+            tail = self._pending_engine_tail
+            if tail is not None:
+                # init completed mid-chunk: hand the already-parsed rest
+                # of this chunk to the engine (ahead of the parser's
+                # partial-packet tail, which _activate_engine inherits)
+                self._pending_engine_tail = None
+                self._activate_engine(pre_parsed=bytes(tail))
+                if self._engine is None:  # no native lib: Python path
+                    self._on_live_batch(
+                        PacketBatch(memoryview(bytes(tail))))
 
     def flush(self) -> None:
         if self._engine is not None:
             self._native_flush()
         else:
             self.packet_parser.flush()
+            tail = self._pending_engine_tail
+            if tail is not None:  # init completed inside the last chunk
+                self._pending_engine_tail = None
+                self._activate_engine(pre_parsed=bytes(tail))
+                if self._engine is not None:
+                    self._native_flush()
+                else:
+                    self._on_live_batch(
+                        PacketBatch(memoryview(bytes(tail))))
 
     # -- native steady-state engine ------------------------------------------------
     #
@@ -324,7 +347,7 @@ class TsSplitter(TsPacketSelectorHandler):
     # event stream: PSI control packets (pause), PCR clock anchors, and
     # fully-assembled PES units going straight to the frame parsers.
 
-    def _activate_engine(self) -> None:
+    def _activate_engine(self, pre_parsed: bytes = b"") -> None:
         try:
             from .native import NativeTsEngine
         except Exception:  # pragma: no cover
@@ -343,8 +366,9 @@ class TsSplitter(TsPacketSelectorHandler):
         self.packet_parser._buf.clear()
         self._engine_counts = (0, 0)
         self._program_engine(seed_from_python=True)
-        if tail:
-            self._native_input(tail)
+        data = pre_parsed + tail
+        if data:
+            self._native_input(data)
 
     def _program_engine(self, seed_from_python: bool = False) -> None:
         eng = self._engine
@@ -478,6 +502,11 @@ class TsSplitter(TsPacketSelectorHandler):
     # store lazily, just before each packet that could trigger a replay.
 
     def _on_live_batch(self, batch: PacketBatch) -> None:
+        if self._pending_engine_tail is not None:
+            # a mid-chunk engine handoff is staged: every later batch of
+            # this chunk belongs to the engine too, in arrival order
+            self._pending_engine_tail += bytes(batch.data)
+            return
         self._live_batch = batch
         self._live_synced = 0
         try:
@@ -487,8 +516,18 @@ class TsSplitter(TsPacketSelectorHandler):
             while i < n:
                 if self.init_phase == PCR_WAITING:
                     i = self._process_pcr_waiting(batch, pids, i, live=True)
-                else:
-                    i = self._process_selected(batch, pids, i, live=True)
+                    continue
+                if (self._engine is None and self._want_engine
+                        and self.init_phase == INIT_FINISHED):
+                    # init just completed mid-batch (PCR acquired, store
+                    # replayed): stage the remaining packets for the
+                    # native engine instead of the Python loop — the
+                    # caller (input_ts_data) activates it once the
+                    # packet parser unwinds
+                    self._pending_engine_tail = bytearray(
+                        batch.data[i * TS_PACKET_LENGTH:])
+                    return
+                i = self._process_selected(batch, pids, i, live=True)
             self._sync_store(n)
         finally:
             self._live_batch = None

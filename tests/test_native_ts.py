@@ -231,7 +231,11 @@ class TestSplitterEngineEquivalence:
         sp.flush()
         return sp
 
-    @pytest.mark.parametrize("chunk", [997, 16384])
+    # 10**9 = the whole file in ONE input_ts_data call: the engine must
+    # still take over MID-chunk right after PCR acquisition (the staged
+    # _pending_engine_tail handoff), not wait for a chunk boundary that
+    # never comes
+    @pytest.mark.parametrize("chunk", [997, 16384, 10**9])
     def test_equivalence(self, sample_ts, chunk, monkeypatch):
         py = self._run(sample_ts, chunk, True, monkeypatch)
         nat = self._run(sample_ts, chunk, False, monkeypatch)
