@@ -522,48 +522,59 @@ def bench_decoders() -> dict:
     # through and are RELEASED as they go (prefetch_iter), so the
     # wrappers' plane pools recycle.  Accumulating every frame in a
     # list measures the allocator (each 3 MB plane page-faults fresh
-    # memory), not the decoder.
-    def stream_annexb(dec, es):
-        t0 = time.perf_counter()
-        cnt = 0
-        for seg in _annexb_segments(es):
-            cnt += len(dec.decode(seg))
-        cnt += len(dec.flush())
-        return round(cnt / (time.perf_counter() - t0), 1)
+    # memory), not the decoder.  Each number is the best of two passes:
+    # this host is a shared VM whose steal time can halve a single run.
+    def best_of(measure, reps=2):
+        return max(measure() for _ in range(reps))
+
+    def stream_annexb(mk_dec, es):
+        def one():
+            dec = mk_dec()
+            t0 = time.perf_counter()
+            cnt = 0
+            for seg in _annexb_segments(es):
+                cnt += len(dec.decode(seg))
+            cnt += len(dec.flush())
+            return round(cnt / (time.perf_counter() - t0), 1)
+
+        return best_of(one)
 
     out = {}
     es = encode(1440, 1080, "mpeg2video", "b=10M:maxrate=14M:bufsize=4M",
                 interlaced=True)
     from amatsukaze_tpu.ts.qp_extract import iter_picture_chunks
 
-    dec = NativeMpeg2Decoder()
-    t0 = time.perf_counter()
-    cnt = 0
-    for chunk in iter_picture_chunks(es):
-        cnt += len(dec.decode_picture(chunk))
-    cnt += len(dec.flush())
-    out["mpeg2_1080i_fps"] = round(cnt / (time.perf_counter() - t0), 1)
+    def one_mpeg2():
+        dec = NativeMpeg2Decoder()
+        t0 = time.perf_counter()
+        cnt = 0
+        for chunk in iter_picture_chunks(es):
+            cnt += len(dec.decode_picture(chunk))
+        cnt += len(dec.flush())
+        return round(cnt / (time.perf_counter() - t0), 1)
+
+    out["mpeg2_1080i_fps"] = best_of(one_mpeg2)
 
     if h264_native_available():
         es = encode(1440, 1080, "libx264",
                     "keyint=30:bframes=2:b-adapt=0:crf=23")
-        out["h264_1080_fps"] = stream_annexb(NativeH264Decoder(), es)
+        out["h264_1080_fps"] = stream_annexb(NativeH264Decoder, es)
 
         # broadcast H.264 is CABAC High profile (ultrafast above is
         # CAVLC); measure the CABAC path explicitly
         es = encode(1440, 1080, "libx264",
                     "cabac=1:keyint=30:bframes=2:b-adapt=0:crf=23")
-        out["h264_1080_cabac_fps"] = stream_annexb(NativeH264Decoder(), es)
+        out["h264_1080_cabac_fps"] = stream_annexb(NativeH264Decoder, es)
 
     if h265_native_available():
         es = encode(1920, 1080, "libx265",
                     "frame-threads=1:keyint=30:bframes=3:b-adapt=0:crf=24")
-        out["hevc_1080p_fps"] = stream_annexb(NativeH265Decoder(), es)
+        out["hevc_1080p_fps"] = stream_annexb(NativeH265Decoder, es)
 
         es = encode(3840, 2160, "libx265",
                     "frame-threads=1:keyint=30:bframes=3:b-adapt=0:crf=26",
                     depth=10)
-        out["hevc_4k_main10_fps"] = stream_annexb(NativeH265Decoder(), es)
+        out["hevc_4k_main10_fps"] = stream_annexb(NativeH265Decoder, es)
     return out
 
 
