@@ -32,9 +32,13 @@ async def serve(args) -> None:
         wport = await web.start(host=args.host, port=args.web_port)
         print(f"Web client on http://{args.host}:{wport}/")
     try:
-        while True:
-            await asyncio.sleep(60)
-            server.save_app_data()
+        # run until interrupted or an EndServer RPC arrives (ref
+        # ServerCLI.cs finishRequested wait)
+        while not server.end_requested.is_set():
+            try:
+                await asyncio.wait_for(server.end_requested.wait(), 60)
+            except asyncio.TimeoutError:
+                server.save_app_data()
     except asyncio.CancelledError:
         pass
     finally:

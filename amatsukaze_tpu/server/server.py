@@ -122,6 +122,9 @@ class ServerSetting:
     max_retries: int = 1  # auto-requeue failed items (ref TranscodeWorker)
     finish_action: str = ""  # command run when the queue drains
                              # (ref FinishActionRunner suspend/shutdown)
+    finish_seconds: int = 0  # countdown before the action fires; the
+                             # client may CancelSleep during it (ref
+                             # FinishSetting.Seconds, Misc.cs:1623-1638)
     move_after_encode: bool = False  # move sources to succeeded/failed
                                      # dirs with EDCB companions (ref
                                      # TranscodeWorker + ServerSupport)
@@ -206,6 +209,18 @@ class EncodeServer:
         self._server: asyncio.AbstractServer | None = None
         self._drcs: object | None = None  # lazy DRCSManager
         self._logo_scan: dict = {"state": "idle", "progress": "", "out": ""}
+        # pending finish-action countdown (ref FinishActionRunner,
+        # Misc.cs:1602-1650 + EncodeServer.CancelSleep :2607)
+        self._finish_runner: asyncio.Task | None = None
+        self._sleep_cancel: dict = {}
+        # in-progress batch directory add (ref QueueManager.AddQueue dir
+        # scan + EncodeServer.CancelAddQueue :2600)
+        self._add_scan_task: asyncio.Task | None = None
+        self._add_scan: dict = {"state": "idle", "dir": "",
+                                "found": 0, "added": 0}
+        # EndServer support (ref ServerInterface.cs:34, finishRequested
+        # at EncodeServer.cs:3087-3091): the host awaits this event
+        self.end_requested = asyncio.Event()
 
     # ------------------------------------------------------------ lifecycle
     async def start(self, host: str = "127.0.0.1", port: int = 32768) -> int:
@@ -293,12 +308,38 @@ class EncodeServer:
                        for e in self.entries.values())
 
     async def _maybe_finish_action(self) -> None:
-        """Run the configured command once when the queue drains (ref
-        FinishActionRunner: suspend/shutdown after the last item)."""
+        """Run the configured command once when the queue drains, after a
+        cancellable countdown (ref FinishActionRunner: suspend/shutdown
+        `Seconds` after the last item, Misc.cs:1602-1650; the client may
+        CancelSleep during the wait, EncodeServer.cs:2607-2619)."""
         if not self.setting.finish_action or not self._queue_drained():
             return
+        if self._finish_runner is not None and not self._finish_runner.done():
+            return  # already counting down (ref :300 "2重に走るのは回避する")
+        seconds = max(0, int(self.setting.finish_seconds or 0))
+        self._sleep_cancel = {"command": self.setting.finish_action,
+                              "seconds": seconds}
+        await self.clients.broadcast("OnSleepCancel", dict(self._sleep_cancel))
+        if seconds <= 0:
+            await self._run_finish_action()
+        else:
+            self._finish_runner = asyncio.create_task(
+                self._finish_countdown(seconds))
+
+    async def _finish_countdown(self, seconds: int) -> None:
+        try:
+            await asyncio.sleep(seconds)
+        except asyncio.CancelledError:
+            return
+        if self._queue_drained():  # new work during the wait re-arms later
+            await self._run_finish_action()
+
+    async def _run_finish_action(self) -> None:
         cmd = self.setting.finish_action
+        if not cmd:
+            return
         self.setting.finish_action = ""  # fire once
+        self._sleep_cancel = {}
         await self.clients.broadcast("OnFinishAction", {"command": cmd})
         # RPC-settable names map to fixed system commands; a raw shell
         # command can only come from the locally-edited settings file.
@@ -308,6 +349,17 @@ class EncodeServer:
             await proc.wait()
         except OSError as e:
             self.ctx.error("finish action failed: %s", e)
+
+    def cancel_sleep(self) -> bool:
+        """Cancel a pending finish-action countdown (ref CancelSleep,
+        EncodeServer.cs:2607-2619). The configured action stays armed and
+        re-runs its countdown the next time the queue drains."""
+        if self._finish_runner is not None and not self._finish_runner.done():
+            self._finish_runner.cancel()
+            self._finish_runner = None
+            self._sleep_cancel = {}
+            return True
+        return False
 
     # ------------------------------------------------------------ persistence
     def _path(self, name: str) -> str:
@@ -522,6 +574,59 @@ class EncodeServer:
         if entry.state == "queue":  # hash-dir lookup may have failed it
             self._enqueue(entry)
         return entry
+
+    def add_queue_dir(self, dir_path: str, out_dir: str = "",
+                      profile: str = "default", priority: int = 3) -> dict:
+        """Batch-add every TS file in a directory (ref AddQueueRequest
+        with DirPath, QueueManager.cs:290-320: ``.ts``/``.m2t`` files,
+        skipping sources already actively queued). Runs as a background
+        task — probing each file hits the disk — cancellable with
+        CancelAddQueue (QueueManager.cs:545-549); progress is polled
+        through GetState's ``add_scan``."""
+        if self._add_scan_task is not None and not self._add_scan_task.done():
+            return {"ok": False, "error": "add scan already running"}
+        try:
+            names = sorted(os.listdir(dir_path))
+        except OSError as e:
+            return {"ok": False, "error": str(e)}
+        active = {e.src_path for e in self.entries.values()
+                  if e.state in ("queue", "encoding")}
+        targets = [os.path.join(dir_path, n) for n in names
+                   if n.lower().endswith((".ts", ".m2t", ".m2ts"))]
+        targets = [p for p in targets
+                   if p not in active and os.path.isfile(p)]
+        self._add_scan = {"state": "scanning", "dir": dir_path,
+                          "found": len(targets), "added": 0}
+        self._add_scan_task = asyncio.create_task(
+            self._run_add_scan(targets, out_dir or dir_path,
+                               profile, priority))
+        return {"ok": True, "found": len(targets)}
+
+    async def _run_add_scan(self, targets: list, out_dir: str,
+                            profile: str, priority: int) -> None:
+        try:
+            for path in targets:
+                base = os.path.splitext(os.path.basename(path))[0]
+                self.add_queue(path, os.path.join(out_dir, base),
+                               profile, priority)
+                self._add_scan["added"] += 1
+                # yield between files so CancelAddQueue lands promptly
+                await asyncio.sleep(0)
+            self._add_scan["state"] = "done"
+        except asyncio.CancelledError:
+            self._add_scan["state"] = "canceled"
+            raise
+
+    def cancel_add_queue(self) -> bool:
+        """Cancel an in-progress directory scan (ref CancelAddQueue,
+        EncodeServer.cs:2600-2604). Items already added stay queued."""
+        if self._add_scan_task is not None and not self._add_scan_task.done():
+            self._add_scan_task.cancel()
+            # mark here too: a task canceled before its first await never
+            # reaches the coroutine's own CancelledError handler
+            self._add_scan["state"] = "canceled"
+            return True
+        return False
 
     def _probe_item(self, entry: QueueEntry) -> None:
         """Fill program info from the source TS (ref QueueManager.AddQueue's
@@ -909,6 +1014,13 @@ class EncodeServer:
     # ------------------------------------------------------------ RPC surface
     async def handle_request(self, method: str, payload):
         if method == "AddQueue":
+            if os.path.isdir(payload["src"]):
+                # a directory: batch-scan it like the reference's
+                # AddQueueRequest.DirPath (QueueManager.cs:290-320)
+                return self.add_queue_dir(
+                    payload["src"], payload.get("out", ""),
+                    payload.get("profile", "default"),
+                    payload.get("priority", 3))
             entry = self.add_queue(
                 payload["src"], payload.get("out", payload["src"] + ".out"),
                 payload.get("profile", "default"),
@@ -1105,6 +1217,25 @@ class EncodeServer:
                         "error": f"finish action must be one of "
                                  f"{sorted(FINISH_ACTIONS)}"}
             self.setting.finish_action = cmd
+            if "seconds" in payload:
+                self.setting.finish_seconds = max(
+                    0, int(payload.get("seconds", 0)))
+            if not cmd:
+                self.cancel_sleep()
+            return {"ok": True}
+        if method == "CancelSleep":
+            # cancel a pending finish-action countdown (ref
+            # ServerInterface.cs:29/71, EncodeServer.cs:2607-2619)
+            return {"ok": True, "canceled": self.cancel_sleep()}
+        if method == "CancelAddQueue":
+            # cancel an in-progress directory scan (ref
+            # ServerInterface.cs:28, EncodeServer.cs:2600-2604)
+            return {"ok": True, "canceled": self.cancel_add_queue()}
+        if method == "EndServer":
+            # graceful shutdown request (ref ServerInterface.cs:34,
+            # EncodeServer.cs:3087-3091 finishRequested) — the host
+            # (server/cli.py) awaits end_requested and tears down
+            self.end_requested.set()
             return {"ok": True}
         # ---- GUI-backing RPCs (the reference exposes these to the WPF
         # client via ServerInterface.cs; the web client uses them) --------
@@ -1195,6 +1326,8 @@ class EncodeServer:
                 "num_parallel": self.setting.num_parallel,
                 "states": states,
                 "logo_scan": dict(self._logo_scan),
+                "add_scan": dict(self._add_scan),
+                "sleep_cancel": dict(self._sleep_cancel),
             }
         if method == "GetDrcsImages":
             mgr = self._drcs_manager()

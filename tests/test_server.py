@@ -856,6 +856,140 @@ class TestServerOps:
 
         run(main())
 
+    def test_finish_countdown_and_cancel_sleep(self, ctx, tmp_path):
+        """Finish action waits `finish_seconds` and CancelSleep aborts the
+        countdown without disarming the action (ref FinishActionRunner
+        Misc.cs:1602-1650, CancelSleep EncodeServer.cs:2607-2619)."""
+        async def main():
+            from amatsukaze_tpu.server.server import EncodeServer
+            from amatsukaze_tpu.server.rpc import RpcClient
+
+            async def ok_run(server, wid, entry, phase):
+                return True
+
+            marker = tmp_path / "fired.marker"
+            server = EncodeServer(ctx, data_dir=str(tmp_path / "d"),
+                                  run_item=ok_run)
+            port = await server.start(port=0)
+            client = await RpcClient.connect("127.0.0.1", port)
+            res = await client.call("SetFinishAction",
+                                    {"command": "suspend", "seconds": 60})
+            assert res["ok"]
+            assert server.setting.finish_seconds == 60
+            server.setting.finish_action = f"touch {marker}"  # local config
+            await client.call("AddQueue", {"src": "a.ts", "out": "a"})
+            st = {}
+            for _ in range(200):
+                await asyncio.sleep(0.02)
+                st = await client.call("GetState")
+                if st.get("sleep_cancel", {}).get("command"):
+                    break
+            # countdown armed, not fired
+            assert st["sleep_cancel"]["seconds"] == 60
+            assert not marker.exists()
+            res = await client.call("CancelSleep")
+            assert res["canceled"] is True
+            st = await client.call("GetState")
+            assert st["sleep_cancel"] == {}
+            # the action stays armed for the next drain
+            assert server.setting.finish_action == f"touch {marker}"
+            # canceling again is a no-op
+            res = await client.call("CancelSleep")
+            assert res["canceled"] is False
+            await asyncio.sleep(0.05)
+            assert not marker.exists()
+            # next drain re-arms; with a zero countdown it fires
+            server.setting.finish_seconds = 0
+            await client.call("AddQueue", {"src": "b.ts", "out": "b"})
+            for _ in range(200):
+                await asyncio.sleep(0.02)
+                if marker.exists():
+                    break
+            assert marker.exists()
+            client.close()
+            await server.stop()
+
+        run(main())
+
+    def test_add_queue_dir_and_cancel(self, ctx, tmp_path):
+        """AddQueue with a directory batch-adds its .ts/.m2t files and
+        CancelAddQueue stops the scan (ref QueueManager.cs:290-320 dir
+        scan + :545-549 cancel)."""
+        async def main():
+            from amatsukaze_tpu.server.server import EncodeServer
+            from amatsukaze_tpu.server.rpc import RpcClient
+
+            async def ok_run(server, wid, entry, phase):
+                return True
+
+            rec = tmp_path / "rec"
+            rec.mkdir()
+            for name in ("a.ts", "b.M2T", "c.m2ts"):
+                (rec / name).write_bytes(b"")
+            (rec / "notes.txt").write_text("not a ts")
+            server = EncodeServer(ctx, data_dir=str(tmp_path / "d"),
+                                  run_item=ok_run)
+            port = await server.start(port=0)
+            client = await RpcClient.connect("127.0.0.1", port)
+            res = await client.call("AddQueue", {"src": str(rec),
+                                                 "out": str(tmp_path / "o")})
+            assert res["ok"] and res["found"] == 3
+            st = {}
+            for _ in range(200):
+                await asyncio.sleep(0.02)
+                st = await client.call("GetState")
+                if st["add_scan"]["state"] == "done":
+                    break
+            assert st["add_scan"]["added"] == 3
+            q = await client.call("GetQueue")
+            srcs = {e["src_path"] for e in q}
+            assert srcs == {str(rec / "a.ts"), str(rec / "b.M2T"),
+                            str(rec / "c.m2ts")}
+            # outputs land in the requested out dir, extension stripped
+            outs = {e["out_path"] for e in q}
+            assert str(tmp_path / "o" / "a") in outs
+            # cancel with nothing running is a no-op
+            res = await client.call("CancelAddQueue")
+            assert res["canceled"] is False
+            # a second scan canceled before it runs adds nothing more
+            # (driven in-process: over TCP the 3-file scan can finish
+            # before a cancel RPC arrives)
+            n_before = len(server.entries)
+            res = server.add_queue_dir(str(rec))
+            assert res["ok"]
+            assert server.cancel_add_queue() is True
+            await asyncio.sleep(0.05)
+            assert server._add_scan["state"] == "canceled"
+            assert len(server.entries) == n_before
+            # only one scan at a time
+            server._add_scan_task = asyncio.create_task(asyncio.sleep(10))
+            res = server.add_queue_dir(str(rec))
+            assert res["ok"] is False
+            server._add_scan_task.cancel()
+            client.close()
+            await server.stop()
+
+        run(main())
+
+    def test_end_server_rpc(self, ctx, tmp_path):
+        """EndServer sets the host shutdown event (ref
+        ServerInterface.cs:34, EncodeServer.cs:3087-3091)."""
+        async def main():
+            from amatsukaze_tpu.server.server import EncodeServer
+            from amatsukaze_tpu.server.rpc import RpcClient
+
+            server = EncodeServer(ctx, data_dir=str(tmp_path / "d"))
+            port = await server.start(port=0)
+            client = await RpcClient.connect("127.0.0.1", port)
+            assert not server.end_requested.is_set()
+            res = await client.call("EndServer")
+            assert res["ok"]
+            assert server.end_requested.is_set()
+            client.close()
+            await server.stop()
+
+        run(main())
+
     def test_single_instance_lock(self, ctx, tmp_path):
         async def main():
             from amatsukaze_tpu.server.server import EncodeServer
