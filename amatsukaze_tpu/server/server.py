@@ -333,6 +333,12 @@ class EncodeServer:
             return
         if self._queue_drained():  # new work during the wait re-arms later
             await self._run_finish_action()
+        else:
+            # countdown expired while new work arrived: clear the armed
+            # banner, else the cancel button becomes a dead control until
+            # the next drain rewrites the state (ADVICE r4)
+            self._sleep_cancel = {}
+            await self.clients.broadcast("OnSleepCancel", {})
 
     async def _run_finish_action(self) -> None:
         cmd = self.setting.finish_action
@@ -534,8 +540,17 @@ class EncodeServer:
 
     def add_queue(self, src_path: str, out_path: str, profile: str = "default",
                   priority: int = 3, service_id: int = -1) -> QueueEntry:
+        entry = self._prepare_entry(src_path, out_path, profile, priority,
+                                    service_id)
+        return self._register_entry(entry)
+
+    def _prepare_entry(self, src_path: str, out_path: str, profile: str,
+                       priority: int, service_id: int) -> QueueEntry:
+        """Probe + naming: the loop-free (and slow — TsInfo reads up to
+        two 16 MB TS windows) half of add_queue, callable from a worker
+        thread (ADVICE r4: batch adds froze the event loop)."""
         entry = QueueEntry(
-            item_id=self._next_id, src_path=src_path, out_path=out_path,
+            item_id=-1, src_path=src_path, out_path=out_path,
             profile_name=profile, priority=priority, service_id=service_id,
             added=time.time(),
         )
@@ -569,6 +584,11 @@ class EncodeServer:
             entry.out_path = os.path.join(
                 os.path.dirname(entry.out_path), folder,
                 os.path.basename(entry.out_path))
+        return entry
+
+    def _register_entry(self, entry: QueueEntry) -> QueueEntry:
+        """Event-loop half of add_queue: assign the id and enqueue."""
+        entry.item_id = self._next_id
         self._next_id += 1
         self.entries[entry.item_id] = entry
         if entry.state == "queue":  # hash-dir lookup may have failed it
@@ -607,15 +627,28 @@ class EncodeServer:
         try:
             for path in targets:
                 base = os.path.splitext(os.path.basename(path))[0]
-                self.add_queue(path, os.path.join(out_dir, base),
-                               profile, priority)
+                # probe off-loop: _prepare_entry reads up to two 16 MB
+                # TS windows in pure Python — on the event loop it froze
+                # the RPC server/web UI for the whole batch and made
+                # CancelAddQueue non-prompt (the reference runs
+                # TsInfo.ReadFile via Task.Run, QueueManager.cs:322);
+                # _register_entry stays on the loop (it spawns worker
+                # tasks)
+                entry = await asyncio.to_thread(
+                    self._prepare_entry, path, os.path.join(out_dir, base),
+                    profile, priority, -1)
+                self._register_entry(entry)
                 self._add_scan["added"] += 1
-                # yield between files so CancelAddQueue lands promptly
-                await asyncio.sleep(0)
             self._add_scan["state"] = "done"
         except asyncio.CancelledError:
             self._add_scan["state"] = "canceled"
             raise
+        except Exception as e:  # noqa: BLE001 - surface terminal state
+            # without this, a rename/genre/hash failure left the scan
+            # stuck at 'scanning' forever (ADVICE r4)
+            self.ctx.error(f"add-scan failed on {path}: {e}")
+            self._add_scan["state"] = "failed"
+            self._add_scan["error"] = str(e)
 
     def cancel_add_queue(self) -> bool:
         """Cancel an in-progress directory scan (ref CancelAddQueue,
@@ -1030,6 +1063,15 @@ class EncodeServer:
             return {"item_id": entry.item_id}
         if method == "GetQueue":
             return [asdict(e) for e in self.entries.values()]
+        if method == "GetGenreTable":
+            # ARIB EIT genre nibble map for client-side genre browsing
+            # (ref GenreData-driven displays, AmatsukazeServer GenreData)
+            from .genre import ARIB_GENRES
+
+            return {str(l1): {"name": name,
+                              "subs": {str(l2): sub
+                                       for l2, sub in subs.items()}}
+                    for l1, (name, subs) in ARIB_GENRES.items()}
         if method == "GetLogs":
             return self.logs
         if method == "GetLogFile":

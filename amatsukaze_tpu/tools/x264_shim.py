@@ -76,13 +76,19 @@ def build_encoder(opts: dict, width: int, height: int, fps_num: int,
     extra = ""
     preset = opts["preset"]
     if opts["codec"] == "libx264":
-        extra = "force-cfr=1"
+        # no force-cfr: this image's libx264 rejects the key ("Key
+        # 'force-cfr' not found" once per encode, which polluted the
+        # round-4 bench tail), and it is redundant here anyway — the
+        # shim's input is fixed-fps y4m and the bridge stamps monotonic
+        # CFR PTS itself, so output timing is CFR by construction
+        parts = []
         if interlaced:
-            extra += ":tff=1" if tff else ":bff=1"
+            parts.append("tff=1" if tff else "bff=1")
         if opts["bitrate"]:
-            extra += f":bitrate={opts['bitrate']}"
+            parts.append(f"bitrate={opts['bitrate']}")
         if threads > 1:
-            extra += f":threads={threads}"
+            parts.append(f"threads={threads}")
+        extra = ":".join(parts)
     elif opts["codec"] == "libx265":
         if threads > 1:
             extra = f"pools={threads}"

@@ -23,70 +23,147 @@ import numpy as np
 
 
 def main() -> None:
-    """Prints ONE JSON line. The device micro-bench runs in a killable
-    subprocess: a dead/hung device link then yields a JSON line with
-    value 0 and a device_error note (plus the host-side e2e numbers)
-    instead of hanging the whole benchmark run."""
+    """Prints ONE JSON line, GUARANTEED, within the wall-clock budget.
+
+    Round-4 lesson (VERDICT r4 item 1): a single overrunning segment (or
+    a contended core) used to forfeit the whole round's numbers because
+    the JSON only printed at the very end.  Structure now:
+
+    - every segment (kernel / e2e / decoders / scheduler) runs in its own
+      KILLABLE subprocess with its own budget; an overrun yields
+      ``{"skipped": "budget"}`` for that section instead of losing the run
+    - completed sections are echoed to stderr immediately (``[bench] ...``)
+      so a timed-out run's tail is still diagnosable
+    - a watchdog thread force-prints whatever has been collected and
+      hard-exits at the global deadline, so stdout ALWAYS ends with the
+      JSON line even if a child wedges unkillably
+    - segments receive their remaining budget via env
+      (AMATSUKAZE_BENCH_SEG_BUDGET) and drop their best-of-N repeats
+      when it is tight
+    """
     import os
     import subprocess
     import sys
+    import threading
 
-    kernel_only = "--kernel-only" in sys.argv
-    if not kernel_only:
-        # build the native libraries BEFORE any timer starts: the first
-        # load after a fresh clone (or source change) runs the whole
-        # `make` (~1 min single-core g++), which is setup, not
-        # transcode/cold-start work
-        try:
-            from amatsukaze_tpu.ops.deint import _load_host_lib
-            from amatsukaze_tpu.ts.native import load_native
-            from amatsukaze_tpu.video.avdec import avdec_available
+    # quiet libav BEFORE the bridge library loads (it reads the env at
+    # load time); round 4's bench tail was thousands of AAC/x264 log
+    # lines that both slowed the run and buried the diagnostics
+    os.environ.setdefault("AMATSUKAZE_AV_LOG", "fatal")
+    # persistent XLA compile cache: the tunneled-chip Mosaic compiles
+    # dominate a cold kernel bench (~10 min); cached they are ~seconds
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/tmp/amatsukaze_jax_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-            load_native()
-            _load_host_lib()
-            avdec_available()
-        except Exception:  # noqa: BLE001 - benches degrade gracefully
-            pass
-    if kernel_only or os.environ.get("AMATSUKAZE_BENCH_INPROCESS"):
-        result = kernel_bench()
-    else:
-        # a full device run on the tunneled dev chip costs ~13 min
-        # (attach + uncached Mosaic compiles); the budget only exists to
-        # catch a WEDGED link, so leave generous headroom over that
-        budget = float(os.environ.get(
-            "AMATSUKAZE_BENCH_DEVICE_TIMEOUT", "2400"))
+    seg = None
+    for a in sys.argv[1:]:
+        if a.startswith("--seg="):
+            seg = a.split("=", 1)[1]
+    if "--kernel-only" in sys.argv:
+        seg = "kernel"
+    if seg is not None or os.environ.get("AMATSUKAZE_BENCH_INPROCESS"):
+        fns = {"kernel": kernel_bench, "e2e": bench_e2e,
+               "decoders": bench_decoders, "scheduler": bench_scheduler}
+        print(json.dumps(fns[seg or "kernel"]()))
+        return
+
+    # build the native libraries BEFORE any timer starts: the first
+    # load after a fresh clone (or source change) runs the whole
+    # `make` (~1 min single-core g++), which is setup, not
+    # transcode/cold-start work
+    try:
+        from amatsukaze_tpu.ops.deint import _load_host_lib
+        from amatsukaze_tpu.ts.native import load_native
+        from amatsukaze_tpu.video.avdec import avdec_available
+
+        load_native()
+        _load_host_lib()
+        avdec_available()
+    except Exception:  # noqa: BLE001 - benches degrade gracefully
+        pass
+
+    total_budget = float(os.environ.get("AMATSUKAZE_BENCH_BUDGET", "1500"))
+    t_start = time.monotonic()
+    result = _kernel_error("kernel segment did not run")
+    lock = threading.Lock()
+    printed = threading.Event()
+
+    def emit():
+        # single JSON line on stdout, exactly once
+        if not printed.is_set():
+            printed.set()
+            with lock:
+                sys.stdout.write(json.dumps(result) + "\n")
+                sys.stdout.flush()
+
+    def watchdog():
+        # +20 s grace over the nominal budget, then force-print + exit;
+        # os._exit runs from this thread even if the main thread is
+        # stuck in an unkillable child wait
+        deadline = t_start + total_budget + 20
+        while not printed.wait(timeout=1.0):
+            if time.monotonic() >= deadline:
+                print("[bench] GLOBAL DEADLINE hit - emitting partial "
+                      "result", file=sys.stderr, flush=True)
+                emit()
+                os._exit(0)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
+    def remaining() -> float:
+        return total_budget - (time.monotonic() - t_start)
+
+    def run_segment(name: str, budget: float, reserve: float):
+        """Run one segment in a killable subprocess; returns a dict."""
+        avail = remaining() - reserve
+        if avail < 30:
+            print(f"[bench] {name}: skipped (budget, {avail:.0f}s left)",
+                  file=sys.stderr, flush=True)
+            return {"skipped": "budget"}
+        budget = min(budget, avail)
+        env = dict(os.environ, AMATSUKAZE_BENCH_SEG_BUDGET=f"{budget:.0f}")
+        t0 = time.monotonic()
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
-                 "--kernel-only"],
-                capture_output=True, text=True, timeout=budget)
+                 f"--seg={name}"],
+                stdout=subprocess.PIPE, stderr=sys.stderr,
+                text=True, timeout=budget, env=env)
             line = (r.stdout.strip().splitlines() or [""])[-1]
-            result = json.loads(line) if r.returncode == 0 else None
-            if result is None:
-                result = _kernel_error(
-                    f"rc={r.returncode}: {r.stderr.strip()[-300:]}")
+            if r.returncode != 0:
+                out = {"error": f"rc={r.returncode}"}
+            else:
+                out = json.loads(line)
         except subprocess.TimeoutExpired:
-            result = _kernel_error(
-                f"device bench exceeded {budget:.0f}s (hung link?)")
+            out = {"skipped": f"budget ({budget:.0f}s segment timeout)"}
         except (OSError, ValueError) as e:
-            result = _kernel_error(f"{type(e).__name__}: {e}")
-    if not kernel_only and not os.environ.get("AMATSUKAZE_BENCH_NO_E2E"):
-        try:
-            result["e2e"] = bench_e2e()
-        except Exception as e:  # noqa: BLE001 - kernel number must survive
-            result["e2e"] = {"error": f"{type(e).__name__}: {e}"}
-    if not kernel_only and not os.environ.get("AMATSUKAZE_BENCH_NO_DECODERS"):
-        try:
-            result["decoders"] = bench_decoders()
-        except Exception as e:  # noqa: BLE001
-            result["decoders"] = {"error": f"{type(e).__name__}: {e}"}
-    if not kernel_only and not os.environ.get(
-            "AMATSUKAZE_BENCH_NO_SCHEDULER"):
-        try:
-            result["scheduler"] = bench_scheduler()
-        except Exception as e:  # noqa: BLE001
-            result["scheduler"] = {"error": f"{type(e).__name__}: {e}"}
-    print(json.dumps(result))
+            out = {"error": f"{type(e).__name__}: {e}"}
+        dt = time.monotonic() - t0
+        print(f"[bench] {name} done in {dt:.0f}s: "
+              f"{json.dumps(out)[:400]}", file=sys.stderr, flush=True)
+        return out
+
+    # priority order; reserve keeps room for the sections after it
+    kr = run_segment("kernel", budget=900, reserve=240)
+    with lock:
+        if "metric" in kr:
+            result = kr
+        else:
+            result = _kernel_error(json.dumps(kr))
+    if not os.environ.get("AMATSUKAZE_BENCH_NO_E2E"):
+        r = run_segment("e2e", budget=480, reserve=120)
+        with lock:
+            result["e2e"] = r
+    if not os.environ.get("AMATSUKAZE_BENCH_NO_DECODERS"):
+        r = run_segment("decoders", budget=360, reserve=45)
+        with lock:
+            result["decoders"] = r
+    if not os.environ.get("AMATSUKAZE_BENCH_NO_SCHEDULER"):
+        r = run_segment("scheduler", budget=90, reserve=5)
+        with lock:
+            result["scheduler"] = r
+    emit()
 
 
 def bench_scheduler() -> dict:
@@ -383,6 +460,11 @@ def bench_e2e() -> dict:
     if not avdec_available():
         return {"error": "libav bridge unavailable"}
     n = int(os.environ.get("AMATSUKAZE_BENCH_E2E_FRAMES", "240"))
+    seg_budget = float(os.environ.get("AMATSUKAZE_BENCH_SEG_BUDGET", "1e9"))
+    t_seg = time.monotonic()
+
+    def seg_left() -> float:
+        return seg_budget - (time.monotonic() - t_seg)
     w, h = 1440, 1080
 
     # broadcast-like 1080i source: smoothed noise + per-frame jitter
@@ -404,11 +486,22 @@ def bench_e2e() -> dict:
     es = b"".join(packets)
     chunks = list(iter_picture_chunks(es))
 
+    # real AAC-LC audio frames (aac_gen builds spec-valid ADTS): the
+    # default filler ADTS payloads are junk that libavformat's probe
+    # rejects with thousands of stderr errors (the round-4 bench tail)
+    import aac_gen
+
+    aac = [aac_gen.make_adts_frame(
+        lambda wtr: aac_gen.make_cpe(wtr, {2: [1, 0, 0, -1]},
+                                     {3: [0, 1, -1, 0]}),
+        channel_config=2)]
+
     tmp = tempfile.mkdtemp(prefix="amt_bench_")
     src = os.path.join(tmp, "bench.ts")
     with open(src, "wb") as f:
         f.write(ts_gen.build_simple_ts(width=w, height=h,
-                                       video_es_frames=chunks))
+                                       video_es_frames=chunks,
+                                       audio_es_frames=aac))
 
     def one_run(run_dir, filter_mode):
         os.makedirs(run_dir, exist_ok=True)
@@ -433,17 +526,34 @@ def bench_e2e() -> dict:
 
     # first run pays every XLA compile (they are in-process caches);
     # the steady-state number is the best of two warm runs — this host
-    # is a shared VM whose steal time can double a single run's wall
+    # is a shared VM whose steal time can double a single run's wall.
+    # Each optional repeat only runs while the segment budget allows
+    # (VERDICT r4: drop best-of-2 when over budget, keep the primary
+    # numbers instead of timing out with nothing).
+    import sys as _sys
+
+    def note(msg):
+        print(f"[bench e2e] {msg} ({seg_left():.0f}s left)",
+              file=_sys.stderr, flush=True)
+
+    note("cold kfm_vfr run")
     cold_wall, _ = one_run(os.path.join(tmp, "r1"), "kfm_vfr")
+    note("warm kfm_vfr run")
     wall, report = one_run(os.path.join(tmp, "r2"), "kfm_vfr")
-    wall2, report2 = one_run(os.path.join(tmp, "r2b"), "kfm_vfr")
-    if wall2 < wall:
-        wall, report = wall2, report2
+    if seg_left() > 3 * wall + 30:
+        note("warm kfm_vfr repeat")
+        wall2, report2 = one_run(os.path.join(tmp, "r2b"), "kfm_vfr")
+        if wall2 < wall:
+            wall, report = wall2, report2
     # BASELINE config 1: plain transcode, no filters (CPU path)
+    note("plain run")
     plain_wall, plain_report = one_run(os.path.join(tmp, "r3"), "none")
-    plain_wall2, plain_report2 = one_run(os.path.join(tmp, "r3b"), "none")
-    if plain_wall2 < plain_wall:
-        plain_wall, plain_report = plain_wall2, plain_report2
+    if seg_left() > 2 * plain_wall + 15:
+        note("plain repeat")
+        plain_wall2, plain_report2 = one_run(os.path.join(tmp, "r3b"),
+                                             "none")
+        if plain_wall2 < plain_wall:
+            plain_wall, plain_report = plain_wall2, plain_report2
     src_sec = report["srcduration"]
     waits = (report.get("encodewaits") or [{}])[0]
     out = {
@@ -492,6 +602,17 @@ def bench_decoders() -> dict:
     if not avdec_available():
         return {"error": "libav bridge unavailable"}
     n = int(os.environ.get("AMATSUKAZE_BENCH_DEC_FRAMES", "60"))
+    seg_budget = float(os.environ.get("AMATSUKAZE_BENCH_SEG_BUDGET", "1e9"))
+    t_seg = time.monotonic()
+
+    def seg_left() -> float:
+        return seg_budget - (time.monotonic() - t_seg)
+
+    def note(msg):
+        import sys
+
+        print(f"[bench decoders] {msg} ({seg_left():.0f}s left)",
+              file=sys.stderr, flush=True)
 
     def frames(w, h, depth=8, seed=7):
         rng = np.random.default_rng(seed)
@@ -525,7 +646,14 @@ def bench_decoders() -> dict:
     # memory), not the decoder.  Each number is the best of two passes:
     # this host is a shared VM whose steal time can halve a single run.
     def best_of(measure, reps=2):
-        return max(measure() for _ in range(reps))
+        # drop the repeat when the segment budget is tight: a first pass
+        # in hand beats a best-of-2 that times the section out
+        best = measure()
+        for _ in range(reps - 1):
+            if seg_left() < 45:
+                break
+            best = max(best, measure())
+        return best
 
     def stream_annexb(mk_dec, es):
         def one():
@@ -540,6 +668,7 @@ def bench_decoders() -> dict:
         return best_of(one)
 
     out = {}
+    note("mpeg2 encode")
     es = encode(1440, 1080, "mpeg2video", "b=10M:maxrate=14M:bufsize=4M",
                 interlaced=True)
     from amatsukaze_tpu.ts.qp_extract import iter_picture_chunks
@@ -553,28 +682,42 @@ def bench_decoders() -> dict:
         cnt += len(dec.flush())
         return round(cnt / (time.perf_counter() - t0), 1)
 
+    note("mpeg2 decode")
     out["mpeg2_1080i_fps"] = best_of(one_mpeg2)
 
-    if h264_native_available():
+    if h264_native_available() and seg_left() > 60:
+        note("h264 cavlc")
         es = encode(1440, 1080, "libx264",
                     "keyint=30:bframes=2:b-adapt=0:crf=23")
         out["h264_1080_fps"] = stream_annexb(NativeH264Decoder, es)
 
         # broadcast H.264 is CABAC High profile (ultrafast above is
         # CAVLC); measure the CABAC path explicitly
+        note("h264 cabac")
         es = encode(1440, 1080, "libx264",
                     "cabac=1:keyint=30:bframes=2:b-adapt=0:crf=23")
         out["h264_1080_cabac_fps"] = stream_annexb(NativeH264Decoder, es)
 
-    if h265_native_available():
+    # libx265 logs straight to stderr regardless of av_log level;
+    # log-level=error keeps the bench tail readable
+    if h265_native_available() and seg_left() > 60:
+        note("hevc 1080p")
         es = encode(1920, 1080, "libx265",
-                    "frame-threads=1:keyint=30:bframes=3:b-adapt=0:crf=24")
+                    "frame-threads=1:keyint=30:bframes=3:b-adapt=0:"
+                    "crf=24:log-level=error")
         out["hevc_1080p_fps"] = stream_annexb(NativeH265Decoder, es)
 
-        es = encode(3840, 2160, "libx265",
-                    "frame-threads=1:keyint=30:bframes=3:b-adapt=0:crf=26",
-                    depth=10)
-        out["hevc_4k_main10_fps"] = stream_annexb(NativeH265Decoder, es)
+        # the 4K Main10 x265 encode alone costs ~45 s on this host
+        if seg_left() > 120:
+            note("hevc 4k main10")
+            es = encode(3840, 2160, "libx265",
+                        "frame-threads=1:keyint=30:bframes=3:b-adapt=0:"
+                        "crf=26:log-level=error",
+                        depth=10)
+            out["hevc_4k_main10_fps"] = stream_annexb(NativeH265Decoder, es)
+        else:
+            out["hevc_4k_main10_fps"] = "skipped: budget"
+    note("done")
     return out
 
 

@@ -1049,6 +1049,41 @@ class TestWebServer:
             headers={"Content-Type": "application/json"})
         return json.loads(urllib.request.urlopen(req, timeout=5).read())
 
+    def test_item_detail_and_genre_browsing(self, ctx, tmp_path):
+        """Round-5 GUI depth (VERDICT r4 item 8): per-item detail pane,
+        colored console classes, and GenreData-driven genre browsing
+        (ref the WPF client's DisplayData panes + GenreData.cs)."""
+        async def main():
+            server, web, port = await self._start(ctx, tmp_path)
+            loop = asyncio.get_running_loop()
+            html = (await loop.run_in_executor(
+                None, self._get, port, "/")).decode()
+            # the new client surfaces ship in the page
+            for needle in ("itemDetail", "showItemDetail", "qGenre",
+                           "consoleHtml", "con-err", "GetGenreTable",
+                           "genreName"):
+                assert needle in html, needle
+            # ARIB genre nibble map over HTTP (drives the genre dropdown)
+            table = await loop.run_in_executor(
+                None, self._api, port, "GetGenreTable")
+            assert table["3"]["name"] == "ドラマ"
+            assert table["1"]["subs"]["1"] == "野球"
+            # queue entries expose the fields the detail pane renders
+            src = tmp_path / "a.ts"
+            src.write_bytes(b"G" + bytes(187))
+            await loop.run_in_executor(
+                None, self._api, port, "AddQueue",
+                {"src": str(src), "out": str(tmp_path / "out")})
+            q = await loop.run_in_executor(None, self._api, port,
+                                           "GetQueue")
+            for k in ("genres", "out_files", "ts_time", "service_name",
+                      "event_name", "console"):
+                assert k in q[0], k
+            await web.stop()
+            await server.stop()
+
+        run(main())
+
     def test_html_and_api(self, ctx, tmp_path):
         async def main():
             server, web, port = await self._start(ctx, tmp_path)

@@ -285,12 +285,24 @@ class TestMultiChipE2E:
         work = tmp_path / f"dev{devices}"
         work.mkdir()
         tests_dir = os.path.dirname(os.path.abspath(__file__))
+        # Explicit CPU-platform env for the child: don't rely on its
+        # conftest import running before something initializes jax, and
+        # share the persistent compile cache so warm runs fit the tight
+        # timeout (VERDICT r4 item 2: 900 s x2 worst case wedged the
+        # bench host for half an hour; 120 s bounds a hang hard).
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=8",
+            JAX_COMPILATION_CACHE_DIR=os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR", "/tmp/amatsukaze_jax_cache"),
+        )
         r = subprocess.run(
             [sys.executable, "-c",
              _E2E_RUNNER.format(tests_dir=tests_dir),
              str(devices), str(work)],
-            capture_output=True, text=True, timeout=900,
-            cwd=os.path.dirname(tests_dir))
+            capture_output=True, text=True, timeout=120,
+            cwd=os.path.dirname(tests_dir), env=env)
         assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
         out = r.stdout.strip().splitlines()[-1]
         return open(out, "rb").read()
