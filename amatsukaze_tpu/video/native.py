@@ -96,12 +96,49 @@ def _bind(lib) -> None:
     lib.M2V_PopFrame.restype = ctypes.c_int
     lib.M2V_Errors.argtypes = [ctypes.c_void_p]
     lib.M2V_Errors.restype = ctypes.c_longlong
+    if hasattr(lib, "M2V_BorrowFrame"):
+        lib.M2V_BorrowFrame.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int)]
+        lib.M2V_BorrowFrame.restype = ctypes.c_int
+        lib.M2V_ReleaseBorrow.argtypes = [ctypes.c_void_p,
+                                          ctypes.c_longlong]
     _sigs_done = True
 
 
 def native_available() -> bool:
     lib = load_native()
     return lib is not None and hasattr(lib, "M2V_Create")
+
+
+class _M2VBorrow:
+    """numpy base object for a zero-copy decoded plane: releasing the
+    last array view returns the FrameBuf to the decoder's pool.  Holds
+    the decoder wrapper so the C handle outlives every borrowed view."""
+
+    __slots__ = ("_dec", "_id")
+
+    def __init__(self, dec, borrow_id):
+        self._dec = dec
+        self._id = borrow_id
+
+    def __del__(self):
+        h = getattr(self._dec, "_h", None)
+        if h:
+            self._dec._lib.M2V_ReleaseBorrow(h, self._id)
+
+
+class _M2VPlane:
+    """__array_interface__ shim: a strided read-only uint8 window over a
+    borrowed decode plane (padded stride, display crop)."""
+
+    __slots__ = ("base", "__array_interface__")
+
+    def __init__(self, base, addr, h, w, stride):
+        self.base = base
+        self.__array_interface__ = {
+            "shape": (h, w), "typestr": "|u1",
+            "data": (addr, True), "strides": (stride, 1), "version": 3}
 
 
 class NativeMpeg2Decoder:
@@ -115,6 +152,7 @@ class NativeMpeg2Decoder:
         self._lib = lib
         self._h = lib.M2V_Create()
         self._pool = _PlanePool()
+        self._borrow = hasattr(lib, "M2V_BorrowFrame")
 
     def __del__(self):
         h = getattr(self, "_h", None)
@@ -132,6 +170,31 @@ class NativeMpeg2Decoder:
         while self._lib.M2V_NextInfo(self._h, info):
             w, h = info[0], info[1]
             ch, cw = info[8], info[9]  # 4:2:2 keeps full chroma height
+            if self._borrow:
+                # zero-copy emit: views straight over the padded decode
+                # planes (~15% of 1080i decode was the copy-out memcpy)
+                bid = ctypes.c_longlong()
+                planes = (ctypes.c_void_p * 3)()
+                strides = (ctypes.c_int * 3)()
+                if not self._lib.M2V_BorrowFrame(self._h, bid, planes,
+                                                 strides):
+                    break
+                base = _M2VBorrow(self, bid.value)
+                y = np.asarray(_M2VPlane(base, planes[0], h, w,
+                                         strides[0]))
+                u = np.asarray(_M2VPlane(base, planes[1], ch, cw,
+                                         strides[1]))
+                v = np.asarray(_M2VPlane(base, planes[2], ch, cw,
+                                         strides[2]))
+                out.append(DecodedFrame(
+                    y=y, u=u, v=v,
+                    coding_type=info[2],
+                    temporal_reference=info[3],
+                    progressive_frame=bool(info[4]),
+                    top_field_first=bool(info[5]),
+                    repeat_first_field=bool(info[6]),
+                ))
+                continue
             y = self._pool.take((h, w), np.uint8)
             u = self._pool.take((ch, cw), np.uint8)
             v = self._pool.take((ch, cw), np.uint8)

@@ -15,6 +15,9 @@
 #include <cstring>
 #include <deque>
 #include <memory>
+#include <unordered_map>
+#include <mutex>
+#include <algorithm>
 #include <mutex>
 #include <thread>
 #include <vector>
@@ -486,6 +489,12 @@ struct FrameBuf {
   int yh() const { return mbh * 16; }
   int cw() const { return mbw * 8; }
   int ch() const { return mbh * crows; }
+
+  void clear() {  // oracle-identical zero state for reuse
+    std::memset(y.data(), 0, y.size());
+    std::memset(u.data(), 0, u.size());
+    std::memset(v.data(), 0, v.size());
+  }
 };
 
 // A "view" of one plane, optionally a single field (stride doubling).
@@ -700,6 +709,40 @@ struct Decoder {
   bool have_i = false;
   std::atomic<int64_t> errors{0};  // slices may decode concurrently
   std::deque<std::unique_ptr<OutFrame>> outq;
+  // FrameBuf pool: a fresh make_shared + zero-assign per picture costs
+  // ~12% of 1080i decode in allocator traffic (brk + page faults +
+  // double zeroing: the kernel zeroes fresh pages AND assign() memsets
+  // them).  Retired frames (only the pool holds them) are reused with
+  // one warm-page memset instead.
+  std::vector<std::shared_ptr<FrameBuf>> fb_pool;
+
+  std::shared_ptr<FrameBuf> alloc_frame(int mbw, int mbh, int cf) {
+    int crows = cf == 1 ? 8 : 16;
+    size_t idle = 0;
+    for (size_t i = 0; i < fb_pool.size(); i++) {
+      auto& f = fb_pool[i];
+      if (f.use_count() != 1) continue;
+      if (f->mbw == mbw && f->mbh == mbh && f->crows == crows) {
+        f->clear();
+        return f;
+      }
+      idle++;
+    }
+    // geometry changed: drop idle buffers of the wrong size
+    if (idle) {
+      fb_pool.erase(
+          std::remove_if(fb_pool.begin(), fb_pool.end(),
+                         [&](const std::shared_ptr<FrameBuf>& f) {
+                           return f.use_count() == 1 &&
+                                  !(f->mbw == mbw && f->mbh == mbh &&
+                                    f->crows == crows);
+                         }),
+          fb_pool.end());
+    }
+    auto f = std::make_shared<FrameBuf>(mbw, mbh, cf);
+    fb_pool.push_back(f);
+    return f;
+  }
 
   Decoder() { std::call_once(g_once, init_tables); }
 
@@ -876,24 +919,33 @@ struct Decoder {
   // ---- block decode (mirrors _SliceState._block) ----
   // Returns false on desync (r.err set). rowmask accumulates which
   // coefficient rows may be nonzero (superset), for the sparse IDCT.
-  bool block(BitReader& r, SliceState& st, bool intra, int cc,
-             int32_t coeffs[64], unsigned& rowmask, unsigned& colmask) {
+  //
+  // Two-phase + template-specialized (the M2V_TIMERS profile put ~50%
+  // of decode in this function): phase 1 is the minimal serial VLC
+  // loop — the bit position -> symbol-length dependency chain that
+  // cannot be parallelized — recording only (pos, level) pairs; phase
+  // 2 dequantizes/saturates/stores off the critical path, where the
+  // compiler can overlap the independent per-coefficient work.  The
+  // INTRA/MPEG1/B15 flags are template constants, so the per-symbol
+  // branches on them vanish; the dispatch runs once per block.
+  // Arithmetic is unchanged: run-level coding writes each position
+  // exactly once, and clamp/oddify/sum commute across coefficients, so
+  // splitting the passes is identical to the oracle's order.  The
+  // whole-block zero (256 B, two cache lines) replaces the lazy
+  // per-row zeroing — rows outside rowmask are zero either way, and
+  // the sparse IDCT still only walks live rows.
+  template <bool INTRA, bool MPEG1, bool B15>
+  bool block_t(BitReader& r, SliceState& st, int cc, int32_t coeffs[64],
+               unsigned& rowmask, unsigned& colmask) {
     M2VT(T_BLOCK);
-    // coefficient rows are zeroed lazily, the first time a row goes
-    // live (saturation/mismatch and the IDCT only ever read live rows).
-    // Saturation and the mismatch sum run AT WRITE TIME: run-level
-    // coding writes each position exactly once and per-coefficient
-    // clamp/oddify/sum commute across coefficients, so this is
-    // arithmetically identical to the oracle's whole-block passes —
-    // without re-walking the live rows at end of block.
     rowmask = 0;
     colmask = 0;
-    const int32_t* wq_intra = st.wq_intra;
-    const int32_t* wq_non = st.wq_non;
+    uint8_t poss[64];
+    int16_t lvls[64];
+    int cnt = 0;
     int n = 0;
-    int32_t sum = 0;  // saturated-coefficient sum (mismatch control)
-    bool first;
-    if (intra) {
+    int32_t dc = 0;
+    if (INTRA) {
       const Vlc& dct = cc == 0 ? g_dcl : g_dcc;
       const VlcEntry* dents = cc == 0 ? B12_DC_LUMA : B13_DC_CHROMA;
       int e = dct.decode(r);
@@ -906,65 +958,58 @@ struct Decoder {
                                           : (int)bits - (1 << size) + 1;
       }
       st.dc_pred[cc] += diff;
-      std::memset(coeffs, 0, 8 * sizeof(int32_t));
-      int32_t dc = st.dc_pred[cc] * st.dc_mult;
+      dc = st.dc_pred[cc] * st.dc_mult;
       if (dc < -2048) dc = -2048;
       else if (dc > 2047) dc = 2047;
+      std::memset(coeffs, 0, 8 * sizeof(int32_t));
       coeffs[0] = dc;
-      sum += dc;
       rowmask |= 1;
       colmask |= 1;
       n = 1;
-      first = false;
-    } else {
-      first = true;
     }
-    const bool b15 = intra && pic.intra_vlc_format;
-    const Vlc& table = b15 ? g_b15 : g_b14;
-    const VlcEntry* ents = b15 ? B15_DCT : B14_DCT;
-    const int esc = b15 ? B15_DCT_N : B14_DCT_N;
-    const uint32_t* rl = (b15 ? g_rl15 : g_rl14).lut.data();
+    const Vlc& table = B15 ? g_b15 : g_b14;
+    const VlcEntry* ents = B15 ? B15_DCT : B14_DCT;
+    const int esc = B15 ? B15_DCT_N : B14_DCT_N;
+    const uint32_t* rl = (B15 ? g_rl15 : g_rl14).lut.data();
+    // exact-table fallback (long codes, near-end reads):
+    // 0 = run/level decoded, 1 = escape, 2 = EOB, 3 = error
+    int run = 0, level = 0;
+    auto exact = [&]() -> int {
+      int e = table.decode(r);
+      if (e < 0) return 3;
+      if (e == esc) return 1;
+      if (ents[e].v0 < 0) return 2;  // EOB
+      run = ents[e].v0;
+      int mag = ents[e].v1;
+      level = r.read(1) ? -mag : mag;
+      return 0;
+    };
+    // first symbol of a non-intra block: "1s" codes level +/-1 (B14's
+    // "10" is EOB everywhere else) — hoisted so the loop is branch-free
+    // on `first`
+    if (!INTRA && r.peek(1) == 1) {
+      if (r.err) return false;
+      r.skip(1);
+      int sign = r.read(1);
+      if (r.err) return false;
+      poss[0] = (uint8_t)st.scan[0];
+      lvls[0] = sign ? -1 : 1;
+      cnt = 1;
+      n = 1;
+    }
     while (true) {
-      int run, level;
-      if (first && r.peek(1) == 1) {
-        if (r.err) return false;
-        r.skip(1);
-        int sign = r.read(1);
-        run = 0;
-        level = sign ? -1 : 1;
-        first = false;
-      } else {
-        if (r.err) return false;
-        first = false;
-        // exact-table fallback (long codes, near-end reads):
-        // 0 = run/level decoded, 1 = escape, 2 = EOB, 3 = error
-        auto exact = [&]() -> int {
-          int e = table.decode(r);
-          if (e < 0) return 3;
-          if (e == esc) return 1;
-          if (ents[e].v0 < 0) return 2;  // EOB
-          run = ents[e].v0;
-          int mag = ents[e].v1;
-          level = r.read(1) ? -mag : mag;
-          return 0;
-        };
-        bool is_esc = false;
-        if (r.left() >= RlVlc::BITS) {
-          uint32_t hit = rl[r.peek_raw(RlVlc::BITS)];
-          if (hit) {
-            uint32_t rn = (hit >> 5) & 63;
-            r.pos += hit & 31;
-            if (rn == 62) break;  // EOB
-            if (rn == 63) is_esc = true;
-            else {
-              run = (int)rn;
-              level = (int)((hit >> 11) & 127) - 64;
-            }
-          } else {
-            int rc = exact();
-            if (rc == 3) return false;
-            if (rc == 2) break;
-            is_esc = rc == 1;
+      if (r.err) return false;
+      bool is_esc = false;
+      if (r.left() >= RlVlc::BITS) {
+        uint32_t hit = rl[r.peek_raw(RlVlc::BITS)];
+        if (hit) {
+          uint32_t rn = (hit >> 5) & 63;
+          r.pos += hit & 31;
+          if (rn == 62) break;  // EOB
+          if (rn == 63) is_esc = true;
+          else {
+            run = (int)rn;
+            level = (int)((hit >> 11) & 127) - 64;
           }
         } else {
           int rc = exact();
@@ -972,43 +1017,59 @@ struct Decoder {
           if (rc == 2) break;
           is_esc = rc == 1;
         }
-        if (is_esc) {
-          run = r.read(6);
-          if (seq.mpeg1) {  // 11172-2: 8-bit level, double byte ext.
-            int b0 = r.read(8);
-            if (b0 == 0) level = r.read(8);
-            else if (b0 == 128) level = (int)r.read(8) - 256;
-            else level = b0 > 128 ? b0 - 256 : b0;
-            if (level == 0) { r.err = true; return false; }
-          } else {
-            int lv = r.read(12);
-            if (lv == 0 || lv == 2048) { r.err = true; return false; }
-            level = lv >= 2048 ? lv - 4096 : lv;
-          }
-        }
+      } else {
+        int rc = exact();
+        if (rc == 3) return false;
+        if (rc == 2) break;
+        is_esc = rc == 1;
       }
-      if (r.err) return false;
+      if (is_esc) {
+        run = r.read(6);
+        if (MPEG1) {  // 11172-2: 8-bit level, double byte ext.
+          int b0 = r.read(8);
+          if (b0 == 0) level = r.read(8);
+          else if (b0 == 128) level = (int)r.read(8) - 256;
+          else level = b0 > 128 ? b0 - 256 : b0;
+          if (level == 0) { r.err = true; return false; }
+        } else {
+          int lv = r.read(12);
+          if (lv == 0 || lv == 2048) { r.err = true; return false; }
+          level = lv >= 2048 ? lv - 4096 : lv;
+        }
+        if (r.err) return false;
+      }
       n += run;
       if (n > 63) { r.err = true; return false; }
-      int pos = st.scan[n];
-      n += 1;
-      unsigned rb = 1u << (pos >> 3);
-      if (!(rowmask & rb)) {  // first write into this row: zero it
-        std::memset(coeffs + (pos & 56), 0, 8 * sizeof(int32_t));
-        rowmask |= rb;
-      }
-      // dequant products fit int32 (|2*level+1| <= 4095, wq <= 28560,
-      // 4095*28560 < 2^27*...: 1.17e8 < 2^31), so the oracle's int64
-      // "/32 toward zero" evaluates identically in int32
+      poss[cnt] = (uint8_t)st.scan[n];
+      lvls[cnt] = (int16_t)level;
+      cnt++;
+      n++;
+    }
+    // phase 2a: zero exactly the live rows (lazy zeroing kept — a
+    // whole-block memset costs ~36k x 256 B per 1080i frame and most
+    // B-frame blocks are sparse)
+    for (int i = 0; i < cnt; i++) rowmask |= 1u << (poss[i] >> 3);
+    unsigned zr = rowmask & ~(INTRA ? 1u : 0u);
+    while (zr) {
+      int row = __builtin_ctz(zr);
+      zr &= zr - 1;
+      std::memset(coeffs + row * 8, 0, 8 * sizeof(int32_t));
+    }
+    // phase 2b: dequant + saturate + mismatch sum, off the VLC chain
+    const int32_t* wq = INTRA ? st.wq_intra : st.wq_non;
+    int32_t sum = dc;
+    for (int i = 0; i < cnt; i++) {
+      int pos = poss[i];
+      int lv = lvls[i];
       int32_t c;
-      if (intra) {
-        c = pos != 0 ? trunc_shr5(2 * level * wq_intra[pos])
-                     : level;  // unreachable guard (scan[n>=1] != 0)
+      if (INTRA) {
+        // scan[n>=1] != 0, so pos != 0 here (DC handled above)
+        c = trunc_shr5(2 * lv * wq[pos]);
       } else {
-        int k = level == 0 ? 0 : (level > 0 ? 1 : -1);
-        c = trunc_shr5((2 * level + k) * wq_non[pos]);
+        int k = lv > 0 ? 1 : -1;
+        c = trunc_shr5((2 * lv + k) * wq[pos]);
       }
-      if (seq.mpeg1 && pos != 0) {
+      if (MPEG1 && pos != 0) {
         // 11172-2: per-coefficient oddification (DC exempt), applied
         // before saturation exactly as in the oracle's pass order
         if (c && (c & 1) == 0) c = c > 0 ? c - 1 : c + 1;
@@ -1019,8 +1080,8 @@ struct Decoder {
       sum += c;
       colmask |= 1u << (pos & 7);
     }
-    // mismatch control (saturation + sum already ran at write time)
-    if (!seq.mpeg1 && (sum & 1) == 0) {  // MPEG-1 oddifies instead
+    // mismatch control (MPEG-1 oddifies instead)
+    if (!MPEG1 && (sum & 1) == 0) {
       if (!(rowmask & 0x80)) {  // row 7 going live via the toggle
         std::memset(coeffs + 56, 0, 8 * sizeof(int32_t));
         rowmask |= 0x80;
@@ -1029,6 +1090,25 @@ struct Decoder {
       colmask |= 0x80;
     }
     return true;
+  }
+
+  bool block(BitReader& r, SliceState& st, bool intra, int cc,
+             int32_t coeffs[64], unsigned& rowmask, unsigned& colmask) {
+    if (seq.mpeg1) {
+      // MPEG-1 has no intra_vlc_format; B14 always
+      return intra
+          ? block_t<true, true, false>(r, st, cc, coeffs, rowmask, colmask)
+          : block_t<false, true, false>(r, st, cc, coeffs, rowmask,
+                                        colmask);
+    }
+    if (intra) {
+      return pic.intra_vlc_format
+          ? block_t<true, false, true>(r, st, cc, coeffs, rowmask, colmask)
+          : block_t<true, false, false>(r, st, cc, coeffs, rowmask,
+                                        colmask);
+    }
+    return block_t<false, false, false>(r, st, cc, coeffs, rowmask,
+                                        colmask);
   }
 
   // ---- reference selection (mirrors _ref_frame / _ref_field) ----
@@ -1568,8 +1648,8 @@ struct Decoder {
     mb_dims(mbw, mbh);
 
     if (frame_pic || !in_second_field) {
-      cur = std::make_shared<FrameBuf>(mbw, frame_pic ? mbh : 2 * mbh,
-                                       seq.chroma_format);
+      cur = alloc_frame(mbw, frame_pic ? mbh : 2 * mbh,
+                        seq.chroma_format);
       cur->coding_type = pic.coding_type;
       cur->temporal_reference = pic.temporal_reference;
       cur->progressive_frame = pic.progressive_frame;
@@ -1717,6 +1797,12 @@ struct Decoder {
 
 struct Handle {
   Decoder dec;
+  // borrow-emit: frames handed to the caller without the copy-out;
+  // kept alive here until M2V_ReleaseBorrow.  Releases may come from a
+  // different thread (consumer GC), hence the mutex.
+  std::mutex borrow_mu;
+  std::unordered_map<long long, std::unique_ptr<OutFrame>> borrows;
+  long long next_borrow = 1;
 };
 
 }  // namespace m2dec
@@ -1794,6 +1880,37 @@ int M2V_PopFrame(void* hp, uint8_t* y, uint8_t* u, uint8_t* v) {
 
 long long M2V_Errors(void* hp) {
   return static_cast<m2dec::Handle*>(hp)->dec.errors;
+}
+
+// Zero-copy emit: pop the front frame and hand out raw plane pointers
+// into the padded decode planes (strides = padded widths).  The planes
+// stay valid — and the FrameBuf may keep serving as a reference frame —
+// until M2V_ReleaseBorrow(id).  The caller must treat them read-only.
+int M2V_BorrowFrame(void* hp, long long* id, unsigned char** planes,
+                    int* strides) {
+  auto* H = static_cast<m2dec::Handle*>(hp);
+  auto& d = H->dec;
+  if (d.outq.empty()) return 0;
+  auto f = std::move(d.outq.front());
+  d.outq.pop_front();
+  m2dec::FrameBuf& b = *f->buf;
+  planes[0] = b.y.data();
+  planes[1] = b.u.data();
+  planes[2] = b.v.data();
+  strides[0] = b.yw();
+  strides[1] = b.cw();
+  strides[2] = b.cw();
+  std::lock_guard<std::mutex> lk(H->borrow_mu);
+  long long bid = H->next_borrow++;
+  H->borrows.emplace(bid, std::move(f));
+  *id = bid;
+  return 1;
+}
+
+void M2V_ReleaseBorrow(void* hp, long long id) {
+  auto* H = static_cast<m2dec::Handle*>(hp);
+  std::lock_guard<std::mutex> lk(H->borrow_mu);
+  H->borrows.erase(id);
 }
 
 }  // extern "C"
