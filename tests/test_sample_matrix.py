@@ -261,3 +261,76 @@ class TestDameMoji:
         assert os.path.basename(report["srcpath"]) == name
         loaded = json.load(open(tmp_path / "result.json"))
         assert os.path.basename(loaded["srcpath"]) == name
+
+
+class TestPartialScramble:
+    """Partially-scrambled recordings (ref the scramble gate in
+    transcodeMain, TranscodeManager.hpp:501-508: >1% of packets logs an
+    error, >30% aborts the transcode).  Real pay-TV recordings with an
+    expired card produce exactly this pathology."""
+
+    @staticmethod
+    def _scramble(ts: bytes, frac: float) -> bytes:
+        """Set transport_scrambling_control + garble the payload on the
+        first `frac` fraction (of ALL packets) worth of ES packets
+        (video + audio, like a real undecryptable program)."""
+        data = bytearray(ts)
+        npkt = len(data) // 188
+        want = int(npkt * frac)
+        done = 0
+        for i in range(npkt):
+            off = i * 188
+            pid = ((data[off + 1] & 0x1F) << 8) | data[off + 2]
+            if pid not in (ts_gen.VIDEO_PID, ts_gen.AUDIO_PID):
+                continue
+            if done >= want:
+                break
+            data[off + 3] |= 0x80  # scrambled (odd key)
+            for k in range(8, 188):
+                data[off + k] ^= 0x5A
+            done += 1
+        assert done == want, (done, want)
+        return bytes(data)
+
+    def test_below_one_percent_ok(self, tmp_path):
+        ts = ts_gen.build_simple_ts(num_frames=90, width=W, height=H)
+        report, _, _ = run_pipeline(tmp_path, self._scramble(ts, 0.005))
+        assert report["outfiles"]
+
+    def test_mid_ratio_completes_with_error_log(self, tmp_path):
+        ts = ts_gen.build_simple_ts(num_frames=90, width=W, height=H)
+        report, _, ctx = run_pipeline(tmp_path, self._scramble(ts, 0.05))
+        assert report["outfiles"]
+
+    def test_above_thirty_percent_aborts(self, tmp_path):
+        from amatsukaze_tpu.utils.context import FormatError
+
+        ts = ts_gen.build_simple_ts(num_frames=90, width=W, height=H)
+        with pytest.raises(FormatError, match="scrambled"):
+            run_pipeline(tmp_path, self._scramble(ts, 0.40))
+
+
+class TestPmtChurnMidGop:
+    """PMT version bump in the middle of a GOP that MOVES the audio
+    elementary stream to a new PID: the selector must follow the updated
+    table mid-stream (ref Mpeg2TsParser PMT update handling) and the
+    audio timeline must continue across the re-wire."""
+
+    def test_audio_pid_moves(self, tmp_path):
+        ts = ts_gen.build_simple_ts(num_frames=90, width=W, height=H,
+                                    pmt_switch=47)  # mid-GOP (gop_len 15)
+        report, settings, _ = run_pipeline(tmp_path, ts)
+        assert report["outfiles"]
+        assert frame_count(report["outfiles"][0]["path"]) >= 85
+        # the audio intermediate spans both PIDs' eras: well over half
+        # the recording's AAC frames survive the re-wire
+        adirs = [p for p in os.listdir(tmp_path)
+                 if p.startswith("amt") and os.path.isdir(tmp_path / p)]
+        total = 0
+        for d in adirs:
+            for f in os.listdir(tmp_path / d):
+                if f.endswith(".aac"):
+                    total += os.path.getsize(tmp_path / d / f)
+        # 90 frames @29.97 = ~3 s = ~140 AAC frames; each synthetic ADTS
+        # frame is ~207 bytes
+        assert total > 100 * 200, total

@@ -474,6 +474,31 @@ class TestAutoSelect:
         s.profiles["news"] = ProfileSetting(name="news")
         return s
 
+    def test_eit_genre_auto_select_e2e(self, ctx, tmp_path):
+        """End-to-end EIT genre chain (VERDICT r4 item 9): a REAL TS
+        carrying an EIT content descriptor (genre anime, 0x7) is added
+        via add_queue -> TsInfo probes the EIT -> the auto-select rule
+        resolves the profile from the probed genre (ref the reference's
+        EIT-driven auto-select, QueueManager TsInfo probing +
+        AutoSelectProfile)."""
+        import sys
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        import ts_gen
+
+        s = self._server(ctx, tmp_path)
+        s.auto_select["default"] = [
+            {"genre": [0x7], "profile": "anime"},
+        ]
+        src = tmp_path / "rec.ts"
+        src.write_bytes(ts_gen.build_simple_ts(
+            num_frames=60, width=96, height=64, si=True,
+            event_name="Anime Hour"))
+        e = s.add_queue(str(src), str(tmp_path / "out"))
+        assert e.genres and e.genres[0][0] == 0x7
+        assert e.event_name == "Anime Hour"
+        assert s.profile_for(e).name == "anime"
+
     def test_genre_rule(self, ctx, tmp_path):
         from amatsukaze_tpu.server.server import QueueEntry
 

@@ -42,7 +42,8 @@ def make_pat(tsid: int, programs: list[tuple[int, int]]) -> bytes:
     return make_section(0x00, tsid, bytes(payload))
 
 
-def make_pmt(program: int, pcr_pid: int, streams: list[tuple[int, int, bytes]]) -> bytes:
+def make_pmt(program: int, pcr_pid: int, streams: list[tuple[int, int, bytes]],
+             version: int = 0) -> bytes:
     """streams: (stream_type, pid, es_descriptors)"""
     payload = bytearray()
     payload += (0xE000 | pcr_pid).to_bytes(2, "big")
@@ -52,7 +53,7 @@ def make_pmt(program: int, pcr_pid: int, streams: list[tuple[int, int, bytes]]) 
         payload += (0xE000 | pid).to_bytes(2, "big")
         payload += (0xF000 | len(desc)).to_bytes(2, "big")
         payload += desc
-    return make_section(0x02, program, bytes(payload))
+    return make_section(0x02, program, bytes(payload), version=version)
 
 
 def component_tag_descriptor(tag: int) -> bytes:
@@ -440,6 +441,10 @@ def build_simple_ts(
     # one (at_frame, channel_config) or a list of them, applied in order
     audio_change: tuple | list | None = None,
     audio_channel_config: int = 2,
+    # PMT churn: at this frame the PMT version bumps and the audio
+    # stream MOVES to a new PID (mid-GOP ES re-wiring; the selector must
+    # follow the updated table, ref Mpeg2TsParser PMT update handling)
+    pmt_switch: int | None = None,
 ) -> bytes:
     """A single-program TS with MPEG2 video + N ADTS audio streams.
 
@@ -469,6 +474,16 @@ def build_simple_ts(
     if caption_groups:
         streams.append((0x06, CAPTION_PID, component_tag_descriptor(0x30)))
     pmt = make_pmt(service_id, VIDEO_PID, streams)
+    AUDIO_PID2 = AUDIO_PID + 8
+    pmt2 = None
+    if pmt_switch is not None:
+        streams2 = [(video_stream_type, VIDEO_PID, b"")]
+        for i in range(num_audio):
+            streams2.append((audio_stream_type, AUDIO_PID2 + i, b""))
+        if caption_groups:
+            streams2.append((0x06, CAPTION_PID,
+                             component_tag_descriptor(0x30)))
+        pmt2 = make_pmt(service_id, VIDEO_PID, streams2, version=1)
     sdt_services = [(service_id, service_name)] + [
         (sid, f"DECOY {sid:04X}") for sid, _ in (extra_services or [])]
     sdt = make_sdt(TSID, sdt_services) if si else None
@@ -491,9 +506,15 @@ def build_simple_ts(
         cap_by_frame.setdefault(cf, []).append(group)
 
     for f in range(num_frames):
+        switched = pmt_switch is not None and f >= pmt_switch
+        if f == pmt_switch:
+            # version bump lands immediately (mid-GOP), not at the next
+            # periodic PSI slot
+            tz.add_section(0x0000, pat)
+            tz.add_section(PMT_PID, pmt2)
         if f % psi_interval == 0:
             tz.add_section(0x0000, pat)
-            tz.add_section(PMT_PID, pmt)
+            tz.add_section(PMT_PID, pmt2 if switched else pmt)
             for ppid, xpmt in extra_pmts:
                 tz.add_section(ppid, xpmt)
             if si:
@@ -575,7 +596,8 @@ def build_simple_ts(
                                 cc = cc2
                     af = adts_frame(sampling_frequency_index=audio_sfi,
                                     channel_config=cc)
-                tz.add_pes(AUDIO_PID + a, make_pes(0xC0, af, pts=apts))
+                apid = (AUDIO_PID2 if switched else AUDIO_PID) + a
+                tz.add_pes(apid, make_pes(0xC0, af, pts=apts))
                 audio_next[a] += 1
 
     # final flush helper: one trailing PCR + PAT so last PES can be flushed
