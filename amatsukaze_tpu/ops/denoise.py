@@ -132,8 +132,22 @@ def deband(
     Randomness is derived per GLOBAL frame index (fold_in(seed, offset+i)),
     so the result is independent of batch boundaries and mesh sharding:
     a shard processing frames [k, k+b) with frame_offset=k produces bit-
-    identical output to the single-device full-sequence call."""
+    identical output to the single-device full-sequence call.
+
+    TPU-native sampling: a fully independent per-pixel (dy, dx) field
+    would be a general 2D gather — XLA lowers that to a scalar gather
+    loop on TPU (~88 ms/frame measured at 1080, a ~1000x cliff vs the
+    vector units).  Instead each sample step draws K candidate offsets
+    from the seed (shared across the batch, like flash3kyuu_deband's
+    static offset tables) and a per-frame random SELECTION field picks
+    one candidate per pixel.  Candidates are realized as dynamic slices
+    of the edge-padded frame (vectorized copies) and combined with
+    per-pixel selects — no gather anywhere.  Spatially the offset field
+    is still i.i.d. per pixel; its alphabet per step is K offsets, and
+    the symmetric +-(dy, dx) pair-average property that removes banding
+    without bias is unchanged."""
     b, h, w = frames.shape
+    candidates = 8
     base = jax.random.PRNGKey(seed)
     fidx = jnp.arange(b) + frame_offset
     keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(fidx)
@@ -141,18 +155,27 @@ def deband(
     cnt = jnp.ones_like(frames)
     pad = range_
     padded = jnp.pad(frames, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
-    yy0 = jnp.arange(h)[None, :, None]
-    xx0 = jnp.arange(w)[None, None, :]
-    bb = jnp.arange(b)[:, None, None]
     for s in range(sample):
-        split = jax.vmap(lambda k: jax.random.split(k, 3))(keys)  # [b, 3, 2]
-        keys, k1, k2 = split[:, 0], split[:, 1], split[:, 2]
-        rnd = jax.vmap(
-            lambda k: jax.random.randint(k, (h, w), -range_, range_ + 1))
-        dy = rnd(k1)
-        dx = rnd(k2)
-        n1 = padded[bb, yy0 + dy + pad, xx0 + dx + pad]
-        n2 = padded[bb, yy0 - dy + pad, xx0 - dx + pad]
+        # K candidate offsets for this step: seed-only (batch/shard
+        # invariant), distinct stream from the per-frame selection keys
+        koff = jax.random.fold_in(jax.random.PRNGKey(seed ^ jnp.uint32(0x9E3779B9)), s)
+        offs = jax.random.randint(koff, (candidates, 2),
+                                  -range_, range_ + 1)
+        split = jax.vmap(jax.random.split)(keys)  # [b, 2, 2]
+        keys, ksel = split[:, 0], split[:, 1]
+        sel = jax.vmap(
+            lambda k: jax.random.randint(k, (h, w), 0, candidates))(ksel)
+        n1 = jnp.zeros_like(frames)
+        n2 = jnp.zeros_like(frames)
+        for j in range(candidates):
+            dy, dx = offs[j, 0], offs[j, 1]
+            c1 = jax.lax.dynamic_slice(
+                padded, (jnp.int32(0), pad + dy, pad + dx), (b, h, w))
+            c2 = jax.lax.dynamic_slice(
+                padded, (jnp.int32(0), pad - dy, pad - dx), (b, h, w))
+            m = sel == j
+            n1 = jnp.where(m, c1, n1)
+            n2 = jnp.where(m, c2, n2)
         ok = (jnp.abs(n1 - frames) < threshold) & (jnp.abs(n2 - frames) < threshold)
         okf = ok.astype(frames.dtype)
         acc = acc + jnp.where(ok, n1 + n2, 0.0)

@@ -1170,11 +1170,17 @@ def _default_encoder_runner(pipeline: TranscodePipeline, reform,
         writer = Y4MWriter(proc.stdin, y4m_fmt)
     # queue deep enough to ride out a full device batch round without
     # starving the encoder (ref Encoder.hpp's pump buffering), capped at
-    # ~256 MB of frames so 4K sources don't blow host memory
+    # ~256 MB of frames so 4K sources don't blow host memory.  The
+    # device-batch depth is only needed when frames arrive in device
+    # bursts (filter graph / logo eraser); on the plain path a deep
+    # queue is actively harmful — frames parked in it pin the decoder's
+    # plane pool, so every decode becomes a fresh page-faulted
+    # allocation (~3x slower decode measured at 1080i).
     frame_bytes = max(1, out_fmt.width * out_fmt.height * 3 // 2
                       * (2 if (passthrough10 or post10) else 1))
-    pump_depth = max(st.conf.num_encode_buffer_frames,
-                     st.conf.device_batch_frames)
+    pump_depth = st.conf.num_encode_buffer_frames
+    if filtered or eraser is not None:
+        pump_depth = max(pump_depth, st.conf.device_batch_frames)
     pump_depth = max(4, min(pump_depth, (256 << 20) // frame_bytes))
     pump = DataPumpThread(lambda planes: writer.write_frame(*planes),
                           max_items=pump_depth)
