@@ -1,19 +1,91 @@
-"""Headless encode-server host (ref AmatsukazeServerCLI/ServerCLI.cs:8-50).
+"""Headless encode-server host (ref AmatsukazeServerCLI/ServerCLI.cs:8-50)
+and the GUI launch-mode analogs (ref AmatsukazeGUI/App.xaml.cs:45-57).
 
-Runs the EncodeServer's TCP RPC endpoint plus the browser client
-(``server/web.py``) until interrupted:
+Launch modes:
 
-    python -m amatsukaze_tpu.server.cli --data ./data --port 32768 --web-port 8080
+- server/standalone (default): EncodeServer RPC endpoint + the browser
+  client in one process (the reference's Standalone mode; Server mode
+  is ``--web-port -1``):
+
+      python -m amatsukaze_tpu.server.cli --data ./data --port 32768 --web-port 8080
+
+- client: only the browser client runs locally; every /api request
+  rides the TCP RPC protocol to a remote EncodeServer (the reference's
+  Client mode):
+
+      python -m amatsukaze_tpu.server.cli --client otherhost:32768 --web-port 8080
 """
 
 from __future__ import annotations
 
 import argparse
 import asyncio
+import os
 
 from ..utils.context import AMTContext
 from .server import EncodeServer
 from .web import WebServer
+
+
+class RemoteServer:
+    """RPC proxy backing the web client in ``--client`` mode.
+
+    Exposes the same ``handle_request`` surface the in-process
+    EncodeServer gives the web host, forwarded over one TCP RPC
+    connection (reconnecting on failure).  File-backed extras (logo /
+    DRCS images, frame scrub) use local paths when they are visible
+    from this machine — the WPF client behaves the same way on shared
+    network mounts — and 404 otherwise."""
+
+    def __init__(self, host: str, port: int, data_dir: str):
+        self.host = host
+        self.port = port
+        self.data_dir = data_dir
+        self._client = None
+        self._lock = asyncio.Lock()
+
+    async def handle_request(self, method: str, payload):
+        from .rpc import RpcClient
+
+        async with self._lock:
+            if self._client is None:
+                self._client = await RpcClient.connect(self.host, self.port)
+            try:
+                return await self._client.call(method, payload)
+            except (ConnectionError, OSError):
+                # drop the broken connection; the next request redials
+                client, self._client = self._client, None
+                try:
+                    client.close()
+                except Exception:  # noqa: BLE001 - already broken
+                    pass
+                raise
+
+    def logo_dir(self) -> str:
+        return os.path.join(self.data_dir, "logo")
+
+    def drcs_dir(self) -> str:
+        return os.path.join(self.data_dir, "drcs")
+
+    def _default_logo_frames(self, src: str):
+        # same standalone opener as the server's wizard (no self state)
+        return EncodeServer._default_logo_frames(self, src)
+
+
+async def serve_client(args) -> None:
+    host, _, port = args.client.rpartition(":")
+    if not host:
+        host, port = args.client, "32768"
+    web = WebServer(RemoteServer(host, int(port), args.data))
+    wport = await web.start(host=args.host, port=max(0, args.web_port))
+    print(f"Web client on http://{args.host}:{wport}/ "
+          f"-> RPC {host}:{port}")
+    try:
+        await asyncio.Event().wait()  # until interrupted
+    except asyncio.CancelledError:
+        pass
+    finally:
+        await web.stop()
 
 
 async def serve(args) -> None:
@@ -54,9 +126,13 @@ def main(argv=None) -> int:
     p.add_argument("--port", type=int, default=32768, help="RPC port")
     p.add_argument("--web-port", type=int, default=8080,
                    help="web client port (-1 disables)")
+    p.add_argument("--client", metavar="HOST[:PORT]", default=None,
+                   help="client launch mode: serve only the web UI "
+                        "locally, RPC to a remote EncodeServer (ref "
+                        "GUI launch type Client)")
     args = p.parse_args(argv)
     try:
-        asyncio.run(serve(args))
+        asyncio.run(serve_client(args) if args.client else serve(args))
     except KeyboardInterrupt:
         pass
     return 0

@@ -87,7 +87,10 @@ class ClientManager:
 
     async def broadcast(self, method: str, payload) -> None:
         dead = []
-        for w in self.clients:
+        # snapshot: write_frame awaits, and a client connecting or
+        # dropping during that await mutates self.clients ("Set changed
+        # size during iteration" killed the encode worker's broadcast)
+        for w in list(self.clients):
             try:
                 await write_frame(w, {"method": method, "payload": payload})
             except (ConnectionResetError, BrokenPipeError):

@@ -133,9 +133,15 @@ class AMTContext:
         return path
 
     def clear_tmp_files(self) -> None:
-        for p in self._tmp_files:
+        # pop-based drain: registrations can race in from pipeline
+        # threads (prefetch/pump); iterating the live set would raise
+        # "Set changed size during iteration"
+        while True:
+            try:
+                p = self._tmp_files.pop()
+            except KeyError:
+                return
             try:
                 os.remove(p)
             except OSError:
                 pass
-        self._tmp_files.clear()

@@ -869,7 +869,9 @@ def bench_decoders() -> dict:
         return round(cnt / (time.perf_counter() - t0), 1)
 
     note("mpeg2 decode")
-    out["mpeg2_1080i_fps"] = best_of(one_mpeg2)
+    # three passes (budget-guarded): the broadcast-codec number is the
+    # headline decoder figure and single runs swing ~8% with VM steal
+    out["mpeg2_1080i_fps"] = best_of(one_mpeg2, reps=3)
 
     if h264_native_available() and seg_left() > 60:
         note("h264 cavlc")

@@ -46,6 +46,44 @@ def pytest_runtest_protocol(item, nextitem):
     faulthandler.cancel_dump_traceback_later()
 
 
+# Whole-session backstop OUTSIDE the process: the round-4/5 wedge class
+# spins in a kernel-level loop that ignores SIGKILL for minutes AND
+# blocks the faulthandler watchdog's _exit (exiting needs the spinning
+# thread reaped), so no in-process fence can end it.  What actually
+# matters is that a wedged suite must not starve the host (it poisons
+# the driver's bench/multichip capture, which is how round 4 lost its
+# numbers).  A detached reaper process survives the suite and, past the
+# wall-clock cap, RENICES the suite to the lowest priority — a spinner
+# at nice 19 yields the core to any real work — then sends SIGKILL
+# (observed to finally deliver once the spinner is descheduled).
+_SUITE_CAP = float(os.environ.get("AMATSUKAZE_SUITE_TIMEOUT", "1200"))
+if _SUITE_CAP > 0:
+    import subprocess as _sp
+    import sys as _sys
+
+    _reaper_script = (
+        "import os,signal,sys,time\n"
+        f"time.sleep({_SUITE_CAP})\n"
+        "try:\n"
+        f"    os.kill({os.getpid()}, 0)\n"
+        "except OSError:\n"
+        "    sys.exit(0)\n"
+        f"os.system('renice -n 19 -p {os.getpid()} >/dev/null 2>&1')\n"
+        "try:\n"
+        f"    os.kill({os.getpid()}, signal.SIGKILL)\n"
+        "except OSError:\n"
+        "    pass\n"
+    )
+    # -I -S: isolated, no site imports — a plain interpreter sleeping,
+    # not a 150+MB site-hook load per reaper
+    _sp.Popen([_sys.executable, "-I", "-S", "-c", _reaper_script],
+              start_new_session=True,
+              stdout=_sp.DEVNULL, stderr=_sp.DEVNULL)
+    # pytest subprocesses spawned BY tests inherit this env: one reaper
+    # per top-level suite, not one per nested run
+    os.environ["AMATSUKAZE_SUITE_TIMEOUT"] = "0"
+
+
 @pytest.fixture
 def ctx():
     from amatsukaze_tpu.utils import AMTContext

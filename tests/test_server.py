@@ -1109,6 +1109,48 @@ class TestWebServer:
 
         run(main())
 
+    def test_client_launch_mode(self, ctx, tmp_path):
+        """Client launch mode (ref GUI launch type Client,
+        AmatsukazeGUI/App.xaml.cs:45-57): the web host runs against an
+        RPC proxy to a remote EncodeServer instead of an in-process
+        one; /api requests ride the TCP RPC protocol end-to-end."""
+        async def main():
+            from amatsukaze_tpu.server.cli import RemoteServer
+            from amatsukaze_tpu.server.server import EncodeServer
+            from amatsukaze_tpu.server.web import WebServer
+
+            server = EncodeServer(ctx, data_dir=str(tmp_path / "data"))
+            rpc_port = await server.start(port=0)
+            web = WebServer(RemoteServer("127.0.0.1", rpc_port,
+                                         str(tmp_path / "cdata")))
+            port = await web.start(port=0)
+            loop = asyncio.get_running_loop()
+            st = await loop.run_in_executor(
+                None, self._api, port, "GetState")
+            assert st["paused"] is False
+            # writes round-trip through the remote server
+            await loop.run_in_executor(
+                None, self._api, port, "SetSetting", {"num_parallel": 3})
+            assert server.setting.num_parallel == 3
+            # queue ops traverse the proxy too
+            src = tmp_path / "c.ts"
+            src.write_bytes(b"G" + bytes(187))
+            await loop.run_in_executor(
+                None, self._api, port, "AddQueue",
+                {"src": str(src), "out": str(tmp_path / "out")})
+            q = await loop.run_in_executor(None, self._api, port,
+                                           "GetQueue")
+            assert len(q) == 1 and q[0]["src_path"] == str(src)
+            # file-backed extras 404 gracefully (no local data dir)
+            import urllib.error
+            with pytest.raises(urllib.error.HTTPError):
+                await loop.run_in_executor(
+                    None, self._get, port, "/drcs/none.bmp")
+            await web.stop()
+            await server.stop()
+
+        run(main())
+
     def test_html_and_api(self, ctx, tmp_path):
         async def main():
             server, web, port = await self._start(ctx, tmp_path)
