@@ -46,16 +46,19 @@ def pytest_runtest_protocol(item, nextitem):
     faulthandler.cancel_dump_traceback_later()
 
 
-# Whole-session backstop OUTSIDE the process: the round-4/5 wedge class
-# spins in a kernel-level loop that ignores SIGKILL for minutes AND
-# blocks the faulthandler watchdog's _exit (exiting needs the spinning
-# thread reaped), so no in-process fence can end it.  What actually
-# matters is that a wedged suite must not starve the host (it poisons
-# the driver's bench/multichip capture, which is how round 4 lost its
-# numbers).  A detached reaper process survives the suite and, past the
-# wall-clock cap, RENICES the suite to the lowest priority — a spinner
-# at nice 19 yields the core to any real work — then sends SIGKILL
-# (observed to finally deliver once the spinner is descheduled).
+# Whole-session backstop OUTSIDE the process.  Root-caused in round 5:
+# the round-4/5 "SIGKILL-immune" wedge is an accelerator-plugin helper
+# thread running at SCHED_FIFO priority 99 that enters a spin — a
+# prio-99 RT thread preempts every CFS task (it holds exactly the 95%
+# RT-throttle budget, the round-4 symptom), never deschedules, so
+# pending SIGKILL/SIGSTOP are never delivered, the freezer reports
+# FREEZING forever, and the in-process faulthandler watchdog's _exit
+# blocks on reaping the spinner.  The antidote is scheduling-class
+# demotion FROM OUTSIDE, per thread (Linux nice/chrt are per-TID):
+# chrt SCHED_IDLE instantly drops the spinner to 0% CPU, the host
+# unpoisons, and the pending SIGKILL lands as soon as the thread
+# blocks.  A detached reaper applies that past a session wall-clock
+# cap, then kills the process.
 _SUITE_CAP = float(os.environ.get("AMATSUKAZE_SUITE_TIMEOUT", "1200"))
 if _SUITE_CAP > 0:
     import subprocess as _sp
@@ -63,14 +66,17 @@ if _SUITE_CAP > 0:
 
     _reaper_script = (
         "import os,signal,sys,time\n"
+        f"pid = {os.getpid()}\n"
         f"time.sleep({_SUITE_CAP})\n"
         "try:\n"
-        f"    os.kill({os.getpid()}, 0)\n"
+        "    os.kill(pid, 0)\n"
         "except OSError:\n"
         "    sys.exit(0)\n"
-        f"os.system('renice -n 19 -p {os.getpid()} >/dev/null 2>&1')\n"
+        "for t in os.listdir(f'/proc/{pid}/task'):\n"
+        "    os.system(f'chrt -i -p 0 {t} >/dev/null 2>&1')\n"
+        "    os.system(f'renice -n 19 -p {t} >/dev/null 2>&1')\n"
         "try:\n"
-        f"    os.kill({os.getpid()}, signal.SIGKILL)\n"
+        "    os.kill(pid, signal.SIGKILL)\n"
         "except OSError:\n"
         "    pass\n"
     )
