@@ -45,21 +45,38 @@ class RemoteServer:
         self._lock = asyncio.Lock()
 
     async def handle_request(self, method: str, payload):
+        import asyncio as _asyncio
+
         from .rpc import RpcClient
 
         async with self._lock:
-            if self._client is None:
-                self._client = await RpcClient.connect(self.host, self.port)
-            try:
-                return await self._client.call(method, payload)
-            except (ConnectionError, OSError):
-                # drop the broken connection; the next request redials
-                client, self._client = self._client, None
+            for attempt in (0, 1):
+                if self._client is None:
+                    self._client = await RpcClient.connect(self.host,
+                                                           self.port)
                 try:
-                    client.close()
-                except Exception:  # noqa: BLE001 - already broken
-                    pass
-                raise
+                    # call() returns None on EOF (clean server restart /
+                    # handler that kills the connection) — that is a
+                    # connection loss, not a reply; and a handler that
+                    # never replies must not hang the UI forever.  A
+                    # TIMEOUT surfaces without retry: the request may
+                    # have been processed and re-issuing a write RPC
+                    # could double-apply it.
+                    reply = await _asyncio.wait_for(
+                        self._client.call(method, payload), timeout=30)
+                    if reply is None:
+                        raise ConnectionError("RPC connection closed")
+                    return reply
+                except (ConnectionError, OSError,
+                        _asyncio.TimeoutError) as e:
+                    client, self._client = self._client, None
+                    if client is not None:
+                        try:
+                            client.close()
+                        except Exception:  # noqa: BLE001 - already broken
+                            pass
+                    if attempt or isinstance(e, _asyncio.TimeoutError):
+                        raise
 
     def logo_dir(self) -> str:
         return os.path.join(self.data_dir, "logo")
@@ -73,11 +90,14 @@ class RemoteServer:
 
 
 async def serve_client(args) -> None:
+    if args.web_port < 0:
+        # client mode IS the web UI; a disabled web port would just idle
+        raise SystemExit("--client requires --web-port >= 0")
     host, _, port = args.client.rpartition(":")
     if not host:
         host, port = args.client, "32768"
     web = WebServer(RemoteServer(host, int(port), args.data))
-    wport = await web.start(host=args.host, port=max(0, args.web_port))
+    wport = await web.start(host=args.host, port=args.web_port)
     print(f"Web client on http://{args.host}:{wport}/ "
           f"-> RPC {host}:{port}")
     try:

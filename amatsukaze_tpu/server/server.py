@@ -624,6 +624,8 @@ class EncodeServer:
 
     async def _run_add_scan(self, targets: list, out_dir: str,
                             profile: str, priority: int) -> None:
+        failed = 0
+        last_err = ""
         try:
             for path in targets:
                 base = os.path.splitext(os.path.basename(path))[0]
@@ -634,21 +636,29 @@ class EncodeServer:
                 # TsInfo.ReadFile via Task.Run, QueueManager.cs:322);
                 # _register_entry stays on the loop (it spawns worker
                 # tasks)
-                entry = await asyncio.to_thread(
-                    self._prepare_entry, path, os.path.join(out_dir, base),
-                    profile, priority, -1)
-                self._register_entry(entry)
-                self._add_scan["added"] += 1
-            self._add_scan["state"] = "done"
+                try:
+                    entry = await asyncio.to_thread(
+                        self._prepare_entry, path,
+                        os.path.join(out_dir, base), profile, priority, -1)
+                    self._register_entry(entry)
+                    self._add_scan["added"] += 1
+                except asyncio.CancelledError:
+                    raise
+                except Exception as e:  # noqa: BLE001 - per-file failure
+                    # one corrupt TS must not block the rest of the
+                    # batch (the reference keeps going per file and
+                    # registers the failure, QueueManager.cs:322+); the
+                    # scan reports the failure count and the last error
+                    failed += 1
+                    last_err = f"{os.path.basename(path)}: {e}"
+                    self.ctx.error(f"add-scan failed on {path}: {e}")
+                    self._add_scan["failed"] = failed
+                    self._add_scan["error"] = last_err
+            self._add_scan["state"] = "failed" if failed and not \
+                self._add_scan["added"] else "done"
         except asyncio.CancelledError:
             self._add_scan["state"] = "canceled"
             raise
-        except Exception as e:  # noqa: BLE001 - surface terminal state
-            # without this, a rename/genre/hash failure left the scan
-            # stuck at 'scanning' forever (ADVICE r4)
-            self.ctx.error(f"add-scan failed on {path}: {e}")
-            self._add_scan["state"] = "failed"
-            self._add_scan["error"] = str(e)
 
     def cancel_add_queue(self) -> bool:
         """Cancel an in-progress directory scan (ref CancelAddQueue,

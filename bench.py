@@ -419,7 +419,10 @@ def kernel_bench() -> dict:
     import json as _json
     import os as _os
     import sys as _sys
-    print(_json.dumps(result), flush=True)
+    if _os.environ.get("AMATSUKAZE_BENCH_SEG_BUDGET"):
+        # salvage line for run_segment's timeout handler; direct
+        # --kernel-only runs keep the one-JSON-line stdout contract
+        print(_json.dumps(result), flush=True)
     seg_budget = float(_os.environ.get("AMATSUKAZE_BENCH_SEG_BUDGET", "1e9"))
     t_seg0 = time.perf_counter()
 
@@ -894,17 +897,18 @@ def bench_decoders() -> dict:
         return round(cnt / (time.perf_counter() - t0), 1)
 
     note("mpeg2 decode")
-    # three passes (budget-guarded), more while below the steady-state
-    # figure: the broadcast codec is the headline decoder number and a
-    # steal window would under-report it by ~30%
-    out["mpeg2_1080i_fps"] = best_of(one_mpeg2, reps=3, target=400.0)
+    # three passes (budget-guarded), more while below target.  Targets
+    # sit ~10% UNDER the steady-state figures: high enough that a steal
+    # window (-30%) triggers retries, low enough that a genuine 10%
+    # regression still reports as one instead of being max-of-N'd away
+    out["mpeg2_1080i_fps"] = best_of(one_mpeg2, reps=3, target=390.0)
 
     if h264_native_available() and seg_left() > 60:
         note("h264 cavlc")
         es = encode(1440, 1080, "libx264",
                     "keyint=30:bframes=2:b-adapt=0:crf=23")
         out["h264_1080_fps"] = stream_annexb(NativeH264Decoder, es,
-                                             target=85.0)
+                                             target=80.0)
 
         # broadcast H.264 is CABAC High profile (ultrafast above is
         # CAVLC); measure the CABAC path explicitly
@@ -912,7 +916,7 @@ def bench_decoders() -> dict:
         es = encode(1440, 1080, "libx264",
                     "cabac=1:keyint=30:bframes=2:b-adapt=0:crf=23")
         out["h264_1080_cabac_fps"] = stream_annexb(
-            NativeH264Decoder, es, target=58.0)
+            NativeH264Decoder, es, target=54.0)
 
     # libx265 logs straight to stderr regardless of av_log level;
     # log-level=error keeps the bench tail readable
@@ -922,7 +926,7 @@ def bench_decoders() -> dict:
                     "frame-threads=1:keyint=30:bframes=3:b-adapt=0:"
                     "crf=24:log-level=error")
         out["hevc_1080p_fps"] = stream_annexb(NativeH265Decoder, es,
-                                              target=55.0)
+                                              target=52.0)
 
         # the 4K Main10 x265 encode alone costs ~45 s on this host
         if seg_left() > 120:

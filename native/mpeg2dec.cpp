@@ -18,7 +18,6 @@
 #include <unordered_map>
 #include <mutex>
 #include <algorithm>
-#include <mutex>
 #include <thread>
 #include <vector>
 

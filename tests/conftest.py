@@ -64,21 +64,36 @@ if _SUITE_CAP > 0:
     import subprocess as _sp
     import sys as _sys
 
+    def _proc_start(pid: int) -> str:
+        # /proc/<pid>/stat field 22 (starttime) — identity guard so a
+        # recycled PID is never demoted/killed by a stale reaper
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                return f.read().rsplit(")", 1)[1].split()[19]
+        except OSError:
+            return ""
+
     _reaper_script = (
         "import os,signal,sys,time\n"
         f"pid = {os.getpid()}\n"
+        f"stamp = {_proc_start(os.getpid())!r}\n"
+        "def start(p):\n"
+        "    try:\n"
+        "        with open(f'/proc/{p}/stat') as f:\n"
+        "            return f.read().rsplit(')', 1)[1].split()[19]\n"
+        "    except OSError:\n"
+        "        return None\n"
         f"time.sleep({_SUITE_CAP})\n"
-        "try:\n"
-        "    os.kill(pid, 0)\n"
-        "except OSError:\n"
-        "    sys.exit(0)\n"
+        "if start(pid) != stamp:\n"
+        "    sys.exit(0)  # suite exited (PID free or recycled)\n"
         "for t in os.listdir(f'/proc/{pid}/task'):\n"
         "    os.system(f'chrt -i -p 0 {t} >/dev/null 2>&1')\n"
         "    os.system(f'renice -n 19 -p {t} >/dev/null 2>&1')\n"
-        "try:\n"
-        "    os.kill(pid, signal.SIGKILL)\n"
-        "except OSError:\n"
-        "    pass\n"
+        "if start(pid) == stamp:\n"
+        "    try:\n"
+        "        os.kill(pid, signal.SIGKILL)\n"
+        "    except OSError:\n"
+        "        pass\n"
     )
     # -I -S: isolated, no site imports — a plain interpreter sleeping,
     # not a 150+MB site-hook load per reaper

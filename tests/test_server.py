@@ -936,6 +936,47 @@ class TestServerOps:
 
         run(main())
 
+    def test_add_scan_continues_past_bad_file(self, ctx, tmp_path):
+        """One corrupt recording must not block the rest of a directory
+        batch: the scan keeps going per file (ref QueueManager.cs per-file
+        adds), reports the failure count, and ends 'done' when anything
+        was added."""
+        async def main():
+            from amatsukaze_tpu.server.server import EncodeServer
+
+            async def ok_run(server, wid, entry, phase):
+                return True
+
+            rec = tmp_path / "rec"
+            rec.mkdir()
+            for name in ("a.ts", "bad.ts", "c.ts"):
+                (rec / name).write_bytes(b"")
+            server = EncodeServer(ctx, data_dir=str(tmp_path / "d"),
+                                  run_item=ok_run)
+            await server.start(port=0)
+            orig = server._prepare_entry
+
+            def prepare(path, out, profile, priority, sid):
+                if "bad.ts" in path:
+                    raise RuntimeError("synthetic probe failure")
+                return orig(path, out, profile, priority, sid)
+
+            server._prepare_entry = prepare
+            server.add_queue_dir(str(rec), out_dir=str(tmp_path / "o"))
+            for _ in range(200):
+                await asyncio.sleep(0.02)
+                if server._add_scan["state"] in ("done", "failed"):
+                    break
+            assert server._add_scan["state"] == "done"
+            assert server._add_scan["added"] == 2
+            assert server._add_scan["failed"] == 1
+            assert "bad.ts" in server._add_scan["error"]
+            srcs = {e.src_path for e in server.entries.values()}
+            assert srcs == {str(rec / "a.ts"), str(rec / "c.ts")}
+            await server.stop()
+
+        run(main())
+
     def test_add_queue_dir_and_cancel(self, ctx, tmp_path):
         """AddQueue with a directory batch-adds its .ts/.m2t files and
         CancelAddQueue stops the scan (ref QueueManager.cs:290-320 dir

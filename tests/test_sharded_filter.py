@@ -289,7 +289,9 @@ class TestMultiChipE2E:
         # conftest import running before something initializes jax, and
         # share the persistent compile cache so warm runs fit the tight
         # timeout (VERDICT r4 item 2: 900 s x2 worst case wedged the
-        # bench host for half an hour; 120 s bounds a hang hard).
+        # bench host for half an hour; 300 s bounds a hang while still
+        # fitting a COLD compile cache — 120 s assumed warm and failed
+        # spuriously on fresh hosts).
         env = dict(
             os.environ,
             JAX_PLATFORMS="cpu",
@@ -301,7 +303,7 @@ class TestMultiChipE2E:
             [sys.executable, "-c",
              _E2E_RUNNER.format(tests_dir=tests_dir),
              str(devices), str(work)],
-            capture_output=True, text=True, timeout=120,
+            capture_output=True, text=True, timeout=300,
             cwd=os.path.dirname(tests_dir), env=env)
         assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
         out = r.stdout.strip().splitlines()[-1]
