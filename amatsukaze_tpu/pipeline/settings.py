@@ -105,6 +105,10 @@ class Config:
     service_id: int = -1
     audio_bitrate_kbps: int = 0
     num_encode_buffer_frames: int = 16
+    # KFM analysis-pass frame spill cap in MB (-1 = auto: RAM/8 in
+    # [256MB, 4GB]; 0 disables): lets the encode pass reuse the
+    # analysis pass's decoded frames instead of a second source decode
+    analysis_cache_mb: int = -1
     logo_path: list = field(default_factory=list)
     erase_logo_path: list = field(default_factory=list)
     ignore_no_logo: bool = False

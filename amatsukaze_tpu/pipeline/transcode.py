@@ -912,10 +912,22 @@ class TranscodePipeline:
             if self._active_eraser is not None:
                 src = self._active_eraser.erase_iter(
                     src, st.conf.device_batch_frames)
-            fg.analyze(
-                (planes[0] for i, planes in enumerate(src) if i in wanted),
-                num_frames,
-            )
+            # retain the analysis pass's decoded frames (post-erase,
+            # selection-filtered) so the encode pass can skip the second
+            # source decode when everything fits the memory cap — the
+            # reference's AMTSource LRU frame cache serves the same
+            # double-pass (AMTSource.hpp:410-426)
+            spill = _FrameSpill(key.key(), _analysis_cache_cap(st))
+
+            def _tee_y():
+                for i, planes in enumerate(src):
+                    if i not in wanted:
+                        continue
+                    spill.offer(planes)
+                    yield planes[0]
+
+            fg.analyze(_tee_y(), num_frames)
+            self._analysis_spill = spill if spill.usable() else None
         spec = fg.output_spec(num_frames, fmt)
         if st.conf.dump_filter:
             # filter-graph debug dump (the reference's --dump-filter /
@@ -1114,9 +1126,33 @@ def _default_encoder_runner(pipeline: TranscodePipeline, reform,
     encoder_args = resolve_encoder_command(encoder_args, st.conf.encoder)
     from ..io.process import prefetch_iter
 
+    # analysis-pass frame spill: when the KFM analysis retained every
+    # selected (post-erase, 8-bit) frame in memory, feed those directly
+    # instead of decoding the source a second time
+    spill = getattr(pipeline, "_analysis_spill", None)
+    pipeline._analysis_spill = None
+    if spill is not None and spill.key != key.key():
+        spill = None
+
     wanted = set(file.video_frames)
-    src = prefetch_iter(pipeline.decoder_factory(pipeline, key.video),
-                        depth=max(8, st.conf.num_encode_buffer_frames))
+    if spill is not None:
+        pipeline.ctx.info(
+            "encode feed: analysis frame cache (%d frames, %.0f MB)",
+            len(spill.frames), spill.nbytes / 1e6)
+        import collections
+
+        spilled = collections.deque(spill.frames)
+        spill.frames = []
+
+        def _drain_spill(q=spilled):
+            while q:
+                yield q.popleft()  # free each frame once encoded
+
+        src = _drain_spill()
+    else:
+        src = prefetch_iter(pipeline.decoder_factory(pipeline, key.video),
+                            depth=max(8,
+                                      st.conf.num_encode_buffer_frames))
     # peek the first decoded frame: Main10 sources arrive as uint16
     import itertools
 
@@ -1184,9 +1220,15 @@ def _default_encoder_runner(pipeline: TranscodePipeline, reform,
     pump_depth = max(4, min(pump_depth, (256 << 20) // frame_bytes))
     pump = DataPumpThread(lambda planes: writer.write_frame(*planes),
                           max_items=pump_depth)
-    if eraser is not None:
-        src = eraser.erase_iter(src, max(3, st.conf.device_batch_frames))
-    frames_iter = (planes for i, planes in enumerate(src) if i in wanted)
+    if spill is not None:
+        # spilled frames are already erased and selection-filtered
+        frames_iter = src
+    else:
+        if eraser is not None:
+            src = eraser.erase_iter(src,
+                                    max(3, st.conf.device_batch_frames))
+        frames_iter = (planes for i, planes in enumerate(src)
+                       if i in wanted)
     t_start = time.time()
     if fg is None or (fg.mode == "none" and fg.post_chain is None):
         for planes in frames_iter:
@@ -1228,6 +1270,58 @@ def _to_depth(plane: np.ndarray, bits: int) -> np.ndarray:
         return plane
     mx = (1 << bits) - 1
     return np.clip(np.floor(plane + 0.5), 0, mx).astype(np.uint16)
+
+
+class _FrameSpill:
+    """Bounded in-memory retention of the KFM analysis pass's decoded
+    frames (post-erase, selection-filtered, decode order) so the encode
+    pass skips the second front-to-back source decode.  The reference
+    pays the same double pass through AMTSource's LRU frame cache
+    (AMTSource.hpp:410-426); here host RAM is the cache and the unit is
+    the whole selection: one cap overflow discards everything, because
+    a partial prefix doesn't help a second full pass without a seek.
+    Only 8-bit planes spill — the 10-bit encode path converts depth at
+    a different pipeline point than the analysis pass."""
+
+    def __init__(self, key, cap_bytes: int):
+        self.key = key
+        self.cap = cap_bytes
+        self.frames: list = []
+        self.nbytes = 0
+        self.complete = True
+
+    def offer(self, planes) -> None:
+        if not self.complete:
+            return
+        if any(p.dtype != np.uint8 for p in planes):
+            self._drop()
+            return
+        sz = sum(p.nbytes for p in planes)
+        if self.nbytes + sz > self.cap:
+            self._drop()
+            return
+        self.frames.append(planes)
+        self.nbytes += sz
+
+    def _drop(self) -> None:
+        self.frames = []
+        self.nbytes = 0
+        self.complete = False
+
+    def usable(self) -> bool:
+        return self.complete and bool(self.frames)
+
+
+def _analysis_cache_cap(st) -> int:
+    """Spill cap: explicit config, else 1/8 of host RAM in [256MB, 4GB]."""
+    mb = getattr(st.conf, "analysis_cache_mb", -1)
+    if mb >= 0:
+        return mb << 20
+    try:
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    except (OSError, ValueError, AttributeError):
+        return 256 << 20
+    return int(min(max(total // 8, 256 << 20), 4 << 30))
 
 
 def _pump_filtered(fg, frames_iter, pump, batch: int) -> None:

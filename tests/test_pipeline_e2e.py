@@ -322,6 +322,48 @@ class TestFilteredEncode:
         assert abs((t1 - t0) - 5 * 1001 / 120) < 0.01
 
 
+class TestAnalysisFrameSpill:
+    """KFM analysis-pass frame spill: the encode pass reuses the
+    analysis pass's decoded frames when they fit the memory cap (the
+    reference pays the same double pass through AMTSource's LRU,
+    AMTSource.hpp:410-426).  Output must be bit-identical to the
+    decode-twice path, and the cap must disable the spill cleanly."""
+
+    def _run(self, ctx, conf, cache_mb):
+        conf.filter_mode = "kfm_vfr"
+        conf.analysis_cache_mb = cache_mb
+        settings = Settings(ctx, conf)
+        pipe = TranscodePipeline(ctx, settings,
+                                 decoder_factory=TelecineDecoderFactory())
+        report = pipe.run()
+        spill_used = getattr(pipe, "_spill_was_used", None)
+        return open(report["outfiles"][0]["path"], "rb").read(), pipe
+
+    def test_bit_identical_and_cap(self, env, tmp_path):
+        import amatsukaze_tpu.pipeline.transcode as tmod
+
+        ctx, conf, tmp = env
+        used = []
+        orig = tmod._FrameSpill.usable
+
+        def spy(self):
+            r = orig(self)
+            used.append(r)
+            return r
+
+        tmod._FrameSpill.usable = spy
+        try:
+            cached, _ = self._run(ctx, conf, cache_mb=-1)  # auto: engages
+            assert used and used[-1] is True
+            conf.out_video_path = str(tmp_path / "nocache")
+            conf.work_dir = str(tmp_path)
+            plain, _ = self._run(ctx, conf, cache_mb=0)  # disabled
+            assert used[-1] is False
+        finally:
+            tmod._FrameSpill.usable = orig
+        assert cached == plain
+
+
 class TestSimpleMode:
     def test_generic_transcode(self, env):
         ctx, conf, tmp = env
