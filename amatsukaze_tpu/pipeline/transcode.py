@@ -1273,15 +1273,23 @@ def _to_depth(plane: np.ndarray, bits: int) -> np.ndarray:
 
 
 class _FrameSpill:
-    """Bounded in-memory retention of the KFM analysis pass's decoded
+    """Bounded in-memory retention of the KFM analysis pass's OUTPUT
     frames (post-erase, selection-filtered, decode order) so the encode
-    pass skips the second front-to-back source decode.  The reference
-    pays the same double pass through AMTSource's LRU frame cache
-    (AMTSource.hpp:410-426); here host RAM is the cache and the unit is
-    the whole selection: one cap overflow discards everything, because
-    a partial prefix doesn't help a second full pass without a seek.
-    Only 8-bit planes spill — the 10-bit encode path converts depth at
-    a different pipeline point than the analysis pass."""
+    pass consumes them directly.  Complements SweepFrameCache (which
+    replays the RAW decode for every sweep, frame_source.py:43): the
+    spill additionally skips the second logo-erase device pass and the
+    per-frame prefetch/enumerate/set-membership replay overhead —
+    measured ~0.4 s on a 240-frame 1080i segment even with the sweep
+    cache hot.  When no eraser is active the spilled tuples alias the
+    sweep cache's arrays, so the two caches share storage.
+
+    The reference pays the same double pass through AMTSource's LRU
+    frame cache (AMTSource.hpp:410-426); here host RAM is the cache and
+    the unit is the whole selection: one cap overflow discards
+    everything, because a partial prefix doesn't help a second full
+    pass without a seek.  Only 8-bit planes spill — the 10-bit encode
+    path converts depth at a different pipeline point than the
+    analysis pass."""
 
     def __init__(self, key, cap_bytes: int):
         self.key = key

@@ -772,6 +772,11 @@ def bench_e2e() -> dict:
         "out_size": report.get("outfilesize"),
         "plain_x_realtime": round(
             plain_report["srcduration"] / plain_wall, 3),
+        # encode-loop share of the plain wall: the remainder is fixed
+        # setup (demux/reform/audio/mux) that an 8 s bench clip
+        # exaggerates — a 30-min recording amortizes it ~200x
+        "plain_encode_total": (plain_report.get("encodewaits")
+                               or [{}])[0].get("total"),
     }
     if floor_wall:
         out["x264_floor_x_realtime"] = round(src_sec / floor_wall, 3)

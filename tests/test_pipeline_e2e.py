@@ -336,7 +336,6 @@ class TestAnalysisFrameSpill:
         pipe = TranscodePipeline(ctx, settings,
                                  decoder_factory=TelecineDecoderFactory())
         report = pipe.run()
-        spill_used = getattr(pipe, "_spill_was_used", None)
         return open(report["outfiles"][0]["path"], "rb").read(), pipe
 
     def test_bit_identical_and_cap(self, env, tmp_path):
