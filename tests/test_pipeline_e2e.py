@@ -362,6 +362,34 @@ class TestAnalysisFrameSpill:
             tmod._FrameSpill.usable = orig
         assert cached == plain
 
+    def test_erase_plus_kfm_spill_bit_identical(self, env, tmp_path):
+        """With a logo eraser active the spill retains POST-erase frames
+        and the encode pass must not erase again: output equals the
+        decode-twice path (which erases in both passes) bit for bit."""
+        ctx, conf, tmp = env
+        lt = TestDelogoWiring()
+        path, alpha = lt._logo(tmp)
+        conf.erase_logo_path = [path]
+        conf.filter_mode = "kfm_vfr"
+
+        def run(cache_mb, out):
+            conf.analysis_cache_mb = cache_mb
+            conf.out_video_path = str(out)
+            settings = Settings(ctx, conf)
+            pipe = TranscodePipeline(ctx, settings,
+                                     decoder_factory=lt._decoder(alpha))
+            report = pipe.run()
+            return open(report["outfiles"][0]["path"], "rb").read()
+
+        cached = run(-1, tmp_path / "c")
+        plain = run(0, tmp_path / "p")
+        assert cached == plain
+        # and the logo is actually gone in the cached-path output
+        off = cached.index(b"FRAME\n") + 6
+        y0 = np.frombuffer(cached[off:off + W * H], np.uint8).reshape(H, W)
+        center = y0[lt.RY + lt.LH // 2, lt.RX + lt.LW // 2]
+        assert abs(int(center) - 128) <= 6, f"logo not erased: {center}"
+
 
 class TestSimpleMode:
     def test_generic_transcode(self, env):
