@@ -55,6 +55,13 @@ class Mpeg2SequenceHeader:
             self.vertical_size_value = r.read(12)
             self.aspect_ratio_info = r.read(4)
             self.frame_rate_code = r.read(4)
+            if self.frame_rate_code not in _FRAME_RATES:
+                # reserved code: a corrupted start-code mimic, not a
+                # sequence header — reject so the parser resyncs instead
+                # of raising out of the demux (stream-soak finding; the
+                # reference's table lookup tolerates the same way,
+                # Mpeg2VideoParser.hpp:202-215)
+                return False
             self.bit_rate_value = r.read(18)
             if not r.read(1):
                 return False  # marker

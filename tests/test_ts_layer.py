@@ -238,3 +238,42 @@ class TestSplitter:
         full = self.run_splitter(ctx, big_ts)
         assert len(sp.video_frames) < len(full.video_frames)
         assert len(sp.video_frames) >= len(full.video_frames) - 3
+
+
+class TestCorruptHeaderResilience:
+    """Corrupted-bit headers that mimic valid sync must resync, not
+    raise out of the demux (randomized stream-soak findings)."""
+
+    def test_adts_reserved_sfi_rejected(self):
+        from amatsukaze_tpu.ts.adts import AdtsHeader
+
+        # byte 2 = 0x74: profile=01, sampling_frequency_index=1101 (13,
+        # reserved) — a plausible one-bit corruption of a real header
+        frame = bytes([0xFF, 0xF1, 0x74, 0x40, 0x02, 0x00, 0x00] + [0] * 9)
+        hdr = AdtsHeader()
+        assert not hdr.parse(frame)
+
+    def test_adts_sfi12_has_rate(self):
+        from amatsukaze_tpu.ts.adts import SAMPLE_RATES, AdtsHeader
+
+        assert SAMPLE_RATES[12] == 7350
+        # SFI 12 (0b1100 at bits 18-21): profile=01, sfi=1100 -> byte2 0x70
+        frame = bytes([0xFF, 0xF1, 0x70, 0x40, 0x02, 0x00, 0x00] + [0] * 9)
+        hdr = AdtsHeader()
+        assert hdr.parse(frame)
+        assert hdr.sample_rate == 7350
+
+    def test_mpeg2_reserved_frame_rate_code_rejected(self):
+        from amatsukaze_tpu.ts.video_mpeg2 import Mpeg2SequenceHeader
+
+        # parse() wants the following start code present (real streams
+        # always have one after the mandatory sequence extension)
+        good = ts_gen.mpeg2_sequence_header() + b"\x00\x00\x01\xb8"
+        sh = Mpeg2SequenceHeader()
+        assert sh.parse(good)  # sanity: the generator's header parses
+        # frame_rate_code is the low nibble of the byte holding
+        # aspect_ratio_info (byte 7 counting the 00 00 01 B3 start code)
+        bad = bytearray(good)
+        bad[7] = (bad[7] & 0xF0) | 0x0F  # reserved code 15
+        sh2 = Mpeg2SequenceHeader()
+        assert not sh2.parse(bytes(bad))
