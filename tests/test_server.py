@@ -1903,3 +1903,65 @@ class TestServicesView:
             assert svc["setting"]["logo_settings"][2]["enabled"]
 
         run(main())
+
+
+class TestRpcFuzz:
+    """Malformed-payload sweep over the whole RPC surface: every method
+    must respond (a result or a clean error) — never crash the server
+    or leave it unable to serve the next request.  The web client and
+    third-party tools (AddTask, ScriptCommand analogs) reach these
+    handlers with arbitrary JSON, so type confusion must be contained
+    at the dispatch boundary."""
+
+    METHODS = [
+        "AddQueue", "GetQueue", "GetGenreTable", "GetLogs", "GetLogFile",
+        "PauseEncode", "SetProfile", "GetProfiles", "PreviewFilter",
+        "RemoveProfile", "SetNumParallel", "CancelItem", "ChangeItem",
+        "AddTag", "SetPriority", "GetOutFiles", "RetryItem",
+        "GetDiskSpace", "GetConsole", "SetFinishAction", "CancelSleep",
+        "CancelAddQueue", "GetSetting", "SetSetting", "GetServices",
+        "SetServiceSetting", "GetAutoSelect", "SetAutoSelect", "GetState",
+        "GetDrcsImages", "AddDrcsMapping", "GetLogoFiles", "RenameLogo",
+        "ScanLogo", "NoSuchMethod",
+    ]
+    # EndServer excluded: it legitimately stops the server
+
+    PAYLOADS = [
+        {},
+        None,
+        {"src": 123, "item_id": "x", "profile": None, "priority": "hi"},
+        {"src": "", "out": "", "name": "", "md5": "", "item_id": -1},
+        {"src": "/nonexistent/x.ts", "item_id": 10**9, "type": "bogus",
+         "priority": 99, "profile": "\x00" * 64, "rect": [1]},
+        {"k" * 512: "v" * 4096, "payload": {"nested": [1, {"a": None}]}},
+    ]
+
+    def test_all_methods_survive_garbage(self, ctx, tmp_path):
+        async def main():
+            from amatsukaze_tpu.server.server import EncodeServer
+
+            async def ok_run(server, wid, entry, phase):
+                return True
+
+            server = EncodeServer(ctx, data_dir=str(tmp_path / "d"),
+                                  run_item=ok_run)
+            await server.start(port=0)
+            crashes = []
+            for m in self.METHODS:
+                for p in self.PAYLOADS:
+                    try:
+                        await server.handle_request(m, p)
+                    except asyncio.CancelledError:
+                        raise
+                    except Exception:  # noqa: BLE001 - clean errors OK
+                        pass
+                    # the server must still answer a well-formed request
+                    try:
+                        st = await server.handle_request("GetState", {})
+                        assert "paused" in st
+                    except Exception as e:  # noqa: BLE001
+                        crashes.append((m, repr(p)[:60], repr(e)[:80]))
+            assert not crashes, crashes
+            await server.stop()
+
+        run(main())
