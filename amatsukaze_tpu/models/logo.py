@@ -18,16 +18,78 @@ interval decisions are host-side and decision-identical to the reference.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
 import jax.numpy as jnp
 
 from ..ops import logo as ops
+from ..ops import logo_host as lh
 from ..ops.logo_ref import LogoEvalRef, med_average
 from .lgd import LogoData, LogoHeader, save_lgd
 
 THRESH = 0.2  # |score| below this = indeterminate (ref LogoScan.hpp:1536)
+
+# ---------------------------------------------------------------------------
+# backend dispatch: on a slow device link (remote/tunneled TPU) every
+# batch round-trip costs seconds — a 300-frame logo scan measured 53
+# result fetches x ~2.5 s of pure link wait.  The scene-metrics and KFM
+# cost paths already fall back to host twins; the logo generation/match
+# math does the same through ops.logo_host.  Forced by
+# AMATSUKAZE_LOGO_BACKEND=host|device (defaults to the shared probe).
+# ---------------------------------------------------------------------------
+
+_HOST_OPS: bool | None = None
+
+
+def _use_host_ops() -> bool:
+    global _HOST_OPS
+    if _HOST_OPS is None:
+        forced = os.environ.get("AMATSUKAZE_LOGO_BACKEND")
+        if forced == "host":
+            _HOST_OPS = True
+        elif forced == "device":
+            _HOST_OPS = False
+        else:
+            from ..utils.device import device_link_is_slow
+
+            _HOST_OPS = device_link_is_slow()
+    return _HOST_OPS
+
+
+def _deint_logo(plane: np.ndarray) -> np.ndarray:
+    if _use_host_ops():
+        return lh.batched_deint_logo_np(plane)
+    return np.asarray(ops.batched_deint_logo(jnp.asarray(plane)))
+
+
+def _make_eval_params(ref):
+    if _use_host_ops():
+        return lh.host_params_from_ref(ref)
+    return ops.LogoEvalParams.from_ref(ref)
+
+
+def _deint_eval(params, chunk: np.ndarray, fades: np.ndarray) -> np.ndarray:
+    """DeintY + EvaluateLogo: frames [B, H, W] x fades [F] -> [B, F].
+    One combined step so the device path keeps the intermediate on
+    device (single upload + single download per batch)."""
+    if _use_host_ops():
+        d = lh.batched_deint_y_np(np.asarray(chunk, np.float32))
+        return lh.batched_evaluate_logo_np(params, d, 255.0, fades)
+    d = ops.batched_deint_y(jnp.asarray(chunk).astype(jnp.float32))
+    return np.asarray(ops.batched_evaluate_logo(
+        params, d, jnp.float32(255.0), jnp.asarray(fades)))
+
+
+def _sums_update(frames: np.ndarray, bgs: np.ndarray) -> np.ndarray:
+    """One batch of per-pixel regression sums -> [5, H, W] float32."""
+    if _use_host_ops():
+        zero = np.zeros((5, 1, 1), np.float32)
+        return lh.logo_sums_update_np(zero, frames, bgs)
+    zero = jnp.zeros((5, 1, 1), jnp.float32)
+    return np.asarray(ops.logo_sums_update(
+        zero, jnp.asarray(frames), jnp.asarray(bgs)))
 
 
 # ---------------------------------------------------------------------------
@@ -101,16 +163,9 @@ class LogoScanAccumulator:
         bg = np.asarray(bgs, np.float32)
         for i in range(0, len(bgs), self.MAX_EXACT_BATCH):
             sl = slice(i, i + self.MAX_EXACT_BATCH)
-            zero = jnp.zeros((5, 1, 1), jnp.float32)
-            self.sums_y += np.asarray(
-                ops.logo_sums_update(zero, jnp.asarray(ys[sl]), jnp.asarray(bg[sl, 0]))
-            )
-            self.sums_u += np.asarray(
-                ops.logo_sums_update(zero, jnp.asarray(us[sl]), jnp.asarray(bg[sl, 1]))
-            )
-            self.sums_v += np.asarray(
-                ops.logo_sums_update(zero, jnp.asarray(vs[sl]), jnp.asarray(bg[sl, 2]))
-            )
+            self.sums_y += _sums_update(ys[sl], bg[sl, 0])
+            self.sums_u += _sums_update(us[sl], bg[sl, 1])
+            self.sums_v += _sums_update(vs[sl], bg[sl, 2])
         self.nframes += len(bgs)
 
     @staticmethod
@@ -255,11 +310,11 @@ class LogoAnalyzer:
         self.progress_cb("refine-final" if final else "refine",
                          len(self.frames_y), len(self.frames_y))
         # deinterlace the current logo estimate + build the eval mask
-        deint_a = np.asarray(ops.batched_deint_logo(jnp.asarray(self.logodata.a_y)))
-        deint_b = np.asarray(ops.batched_deint_logo(jnp.asarray(self.logodata.b_y)))
+        deint_a = _deint_logo(self.logodata.a_y)
+        deint_b = _deint_logo(self.logodata.b_y)
         ref = LogoEvalRef(deint_a, deint_b, maskratio=0.1)
-        params = ops.LogoEvalParams.from_ref(ref)
-        fades = jnp.asarray(np.arange(self.NUM_FADE, dtype=np.float32) * 0.1)
+        params = _make_eval_params(ref)
+        fades = np.arange(self.NUM_FADE, dtype=np.float32) * 0.1
 
         n = len(self.frames_y)
         min_fades = np.empty(n, np.int32)
@@ -267,12 +322,7 @@ class LogoAnalyzer:
             chunk = np.stack(
                 [f.astype(np.float32) for f in self.frames_y[i : i + self.batch]]
             )
-            deint = ops.batched_deint_y(jnp.asarray(chunk))
-            scores = np.abs(
-                np.asarray(
-                    ops.batched_evaluate_logo(params, deint, jnp.float32(255.0), fades)
-                )
-            )
+            scores = np.abs(_deint_eval(params, chunk, fades))
             min_fades[i : i + len(chunk)] = scores.argmin(axis=1)
 
         # re-accumulate with clearly-logo-on frames only (minFade > 8/20)
@@ -325,10 +375,10 @@ class LogoFrameMatcher:
         self.logos = logos
         self.params = []
         for lg in logos:
-            da = np.asarray(ops.batched_deint_logo(jnp.asarray(lg.a_y)))
-            db = np.asarray(ops.batched_deint_logo(jnp.asarray(lg.b_y)))
+            da = _deint_logo(lg.a_y)
+            db = _deint_logo(lg.b_y)
             ref = LogoEvalRef(da, db, maskratio=maskratio)
-            self.params.append(ops.LogoEvalParams.from_ref(ref))
+            self.params.append(_make_eval_params(ref))
         self.eval_results: np.ndarray | None = None  # [N, nlogos, 2]
         self.num_frames = 0
         self.fps = 30
@@ -343,7 +393,7 @@ class LogoFrameMatcher:
         sweep used to derive per-frame erase fades)."""
         self.fps = int(round(fps))
         self.fade_steps = fade_steps
-        fades = jnp.asarray(np.linspace(0.0, 1.0, fade_steps), jnp.float32)
+        fades = np.linspace(0.0, 1.0, fade_steps).astype(np.float32)
         results = []
         pend = []
 
@@ -364,12 +414,7 @@ class LogoFrameMatcher:
                     out[:, li, -1] = -1.0
                     continue
                 window = batch_np[:, h.imgy : h.imgy + h.h, h.imgx : h.imgx + h.w]
-                # transfer at source dtype, widen on device
-                deint = ops.batched_deint_y(
-                    jnp.asarray(window).astype(jnp.float32))
-                out[:, li] = np.asarray(
-                    ops.batched_evaluate_logo(params, deint, jnp.float32(255.0), fades)
-                )[:n_real]
+                out[:, li] = _deint_eval(params, window, fades)[:n_real]
             results.append(out)
             pend.clear()
 

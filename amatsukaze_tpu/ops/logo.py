@@ -61,32 +61,40 @@ class LogoEvalParams:
     @classmethod
     def from_ref(cls, ref) -> "LogoEvalParams":
         """Build dense operands from the host-side LogoEvalRef oracle."""
-        h, w = ref.h, ref.w
-        mask2d = ref.mask.reshape(h, w).astype(bool)
-        interior = np.zeros((h, w), bool)
-        interior[2 : h - 2, 2 : w - 2] = True
-        eff = mask2d & interior
-        kernels = np.zeros((h, w, KLEN), np.float32)
-        scale = np.zeros((h, w, CLEN), np.float32)
-        scale2 = np.zeros((h, w, CLEN), np.float32)
-        # ref.kernels/scales are ordered by the interior row-major walk
-        count = 0
-        for y in range(2, h - 2):
-            for x in range(2, w - 2):
-                if mask2d[y, x]:
-                    kernels[y, x] = ref.kernels[count]
-                    scale[y, x] = ref.scales[count, :, 0]
-                    scale2[y, x] = ref.scales[count, :, 1]
-                    count += 1
-        return cls(
-            a_y=jnp.asarray(ref.a_y),
-            b_y=jnp.asarray(ref.b_y),
-            mask=jnp.asarray(eff.astype(np.float32)),
-            kernels=jnp.asarray(kernels),
-            scale=jnp.asarray(scale),
-            scale2=jnp.asarray(scale2),
-            black_score=jnp.asarray(np.float32(ref.black_score)),
-        )
+        d = dense_operands_from_ref(ref)
+        return cls(**{k: jnp.asarray(v) for k, v in d.items()})
+
+
+def dense_operands_from_ref(ref) -> dict:
+    """Dense numpy evaluation operands from the LogoEvalRef oracle —
+    shared by the device params (LogoEvalParams.from_ref) and the
+    numpy host twins (ops.logo_host)."""
+    h, w = ref.h, ref.w
+    mask2d = ref.mask.reshape(h, w).astype(bool)
+    interior = np.zeros((h, w), bool)
+    interior[2 : h - 2, 2 : w - 2] = True
+    eff = mask2d & interior
+    kernels = np.zeros((h, w, KLEN), np.float32)
+    scale = np.zeros((h, w, CLEN), np.float32)
+    scale2 = np.zeros((h, w, CLEN), np.float32)
+    # ref.kernels/scales are ordered by the interior row-major walk
+    count = 0
+    for y in range(2, h - 2):
+        for x in range(2, w - 2):
+            if mask2d[y, x]:
+                kernels[y, x] = ref.kernels[count]
+                scale[y, x] = ref.scales[count, :, 0]
+                scale2[y, x] = ref.scales[count, :, 1]
+                count += 1
+    return dict(
+        a_y=np.asarray(ref.a_y, np.float32),
+        b_y=np.asarray(ref.b_y, np.float32),
+        mask=eff.astype(np.float32),
+        kernels=kernels,
+        scale=scale,
+        scale2=scale2,
+        black_score=np.float32(ref.black_score),
+    )
 
 
 def _window_patches(img: jnp.ndarray) -> jnp.ndarray:

@@ -262,3 +262,73 @@ class TestLogoRender:
         f1 = ex.get_frame(0.5, approx_total=30)
         assert f0.shape == (8, 16, 3)
         assert f1[0, 0, 0] > f0[0, 0, 0]  # later frame is brighter
+
+
+class TestHostTwins:
+    """The numpy logo twins (ops.logo_host, engaged on slow device
+    links) must match the device ops closely enough that every
+    downstream decision (fade argmin, logo selection, intervals) is
+    identical on this data."""
+
+    def _run_both(self, fn):
+        import amatsukaze_tpu.models.logo as ml
+
+        out = {}
+        for backend in (False, True):
+            ml._HOST_OPS = backend
+            try:
+                out[backend] = fn()
+            finally:
+                ml._HOST_OPS = None
+        return out[False], out[True]
+
+    def test_analyzer_backends_agree(self, ctx):
+        a_true, b_true, alpha = synth_logo_ab()
+
+        def scan():
+            rng = np.random.default_rng(5)
+
+            def frames():
+                for i in range(200):
+                    bg = float(rng.uniform(30, 140))
+                    yield frame_with_logo(bg, alpha, on=rng.random() < 0.8)
+
+            an = LogoAnalyzer(ctx, ScanRegion(8, 8, LW, LH), thy=12,
+                              batch=64)
+            return an.scan(frames(), IMGW, IMGH, name="x", service_id=1)
+
+        dev, host = self._run_both(scan)
+        # refinement picks frames by fade-argmin: float reduce-order
+        # noise can flip borderline frames between backends, so the
+        # recovered planes are equal in QUALITY, not bitwise.  Both
+        # must hit the standard recovery tolerance, and agree closely
+        # on the logo core.
+        a_true, b_true, alpha = synth_logo_ab()
+        core = alpha > 0.15
+        for logo in (dev, host):
+            np.testing.assert_allclose(logo.a_y[core], a_true[core],
+                                       atol=0.08)
+            np.testing.assert_allclose(logo.b_y[core], b_true[core],
+                                       atol=0.04)
+        np.testing.assert_allclose(host.a_y[core], dev.a_y[core],
+                                   atol=0.05)
+
+    def test_matcher_backends_agree(self, ctx):
+        logo = make_logo_data()
+        rng = np.random.default_rng(6)
+        seq = []
+        for i in range(40):
+            y, _, _ = frame_with_logo(float(rng.uniform(40, 120)),
+                                      synth_logo_ab()[2], on=i % 3 != 0)
+            seq.append(y)
+
+        def match():
+            m = LogoFrameMatcher(ctx, [logo])
+            m.scan_frames(iter(seq), IMGW, IMGH, fps=30, batch=16)
+            m.select_logo()
+            return m.best_logo, m.logo_ratio, m.eval_results.copy()
+
+        (bl_d, r_d, ev_d), (bl_h, r_h, ev_h) = self._run_both(match)
+        assert bl_d == bl_h
+        assert abs(r_d - r_h) < 1e-9  # same detected set
+        np.testing.assert_allclose(ev_h, ev_d, atol=1e-4)
