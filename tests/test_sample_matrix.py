@@ -334,3 +334,18 @@ class TestPmtChurnMidGop:
         # 90 frames @29.97 = ~3 s = ~140 AAC frames; each synthetic ADTS
         # frame is ~207 bytes
         assert total > 100 * 200, total
+
+
+class TestSoakSmoke:
+    """A deterministic slice of the randomized stream soak
+    (tests/stream_soak.py — the harness behind round 5's ~10,000-run
+    sweeps): every seed must end in 'ok' or a documented clean
+    failure, never an unexpected exception."""
+
+    def test_soak_seeds(self):
+        import stream_soak
+
+        bad = [(s, r) for s in range(42, 42 + 40)
+               for r in [stream_soak.one(s)]
+               if r.startswith("UNEXPECTED")]
+        assert not bad, bad[:2]
