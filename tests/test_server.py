@@ -1192,6 +1192,34 @@ class TestWebServer:
 
         run(main())
 
+    def test_client_proxy_redials_after_server_restart(self, ctx, tmp_path):
+        """RemoteServer must survive a remote-server restart: call()
+        returns None on EOF (not a reply), the proxy drops the dead
+        connection and transparently redials once."""
+        async def main():
+            import socket
+
+            from amatsukaze_tpu.server.cli import RemoteServer
+            from amatsukaze_tpu.server.server import EncodeServer
+
+            with socket.socket() as s:  # pick a free fixed port
+                s.bind(("127.0.0.1", 0))
+                port = s.getsockname()[1]
+            server = EncodeServer(ctx, data_dir=str(tmp_path / "d1"))
+            await server.start(port=port)
+            rs = RemoteServer("127.0.0.1", port, str(tmp_path / "c"))
+            st = await rs.handle_request("GetState", {})
+            assert st["paused"] is False
+            # restart the remote server (new process-analog: same port)
+            await server.stop()
+            server2 = EncodeServer(ctx, data_dir=str(tmp_path / "d2"))
+            await server2.start(port=port)
+            st = await rs.handle_request("GetState", {})  # redials
+            assert st["paused"] is False
+            await server2.stop()
+
+        run(main())
+
     def test_html_and_api(self, ctx, tmp_path):
         async def main():
             server, web, port = await self._start(ctx, tmp_path)
