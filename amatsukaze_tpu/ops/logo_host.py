@@ -12,7 +12,7 @@ Each function mirrors its ops.logo namesake operation-for-operation
 (f32 math, same clip/floor semantics).  Float reduce order can differ
 from XLA's in the last ulp; the consumers' decisions (fade histograms,
 interval smoothing, best-logo selection) operate far above that noise,
-and tests/test_ops_logo.py::TestHostTwins pins the twins to the device
+and tests/test_models_logo.py::TestHostTwins pins the twins to the device
 results at tight tolerance.
 
 Parity target: LogoScan.hpp (CalcCorrelation5x5 :24, EvaluateLogo
@@ -114,21 +114,6 @@ def batched_deint_logo_np(plane: np.ndarray) -> np.ndarray:
     return np.concatenate([top, mid, bot], axis=-2)
 
 
-def batched_delogo_np(src: np.ndarray, a: np.ndarray, b: np.ndarray,
-                      maxv: float, fades: np.ndarray) -> np.ndarray:
-    src = np.asarray(src, np.float32)
-    a = _np(a)
-    b = _np(b)
-    fades = np.asarray(fades, np.float32)
-    if fades.ndim == 1:
-        fade = fades[:, None, None]
-    else:
-        fade = fades[:, :, None]
-    bg = a * src + b * np.float32(maxv)
-    tmp = fade * bg + (1.0 - fade) * src
-    return np.clip(np.floor(tmp + 0.5), 0.0, np.float32(maxv))
-
-
 def logo_sums_update_np(sums: np.ndarray, frames: np.ndarray,
                         bgs: np.ndarray) -> np.ndarray:
     sums = np.asarray(sums)
@@ -140,20 +125,3 @@ def logo_sums_update_np(sums: np.ndarray, frames: np.ndarray,
     sum_b2 = np.sum(b * b) * np.ones_like(sum_f)
     sum_fb = np.sum(f * b[:, None, None], axis=0)
     return sums + np.stack([sum_f, sum_b, sum_f2, sum_b2, sum_fb])
-
-
-def logo_ab_from_sums_np(sums: np.ndarray, n) -> tuple:
-    sums = np.asarray(sums)
-    n = np.asarray(n, sums.dtype)
-    sum_f, sum_b, sum_f2, sum_b2, sum_fb = sums
-    with np.errstate(divide="ignore", invalid="ignore"):
-        t1 = n * sum_f2 - sum_f * sum_f
-        a1 = (n * sum_fb - sum_f * sum_b) / t1
-        b1 = (sum_f2 * sum_b - sum_f * sum_fb) / t1
-        t2 = n * sum_b2 - sum_b * sum_b
-        a2 = (n * sum_fb - sum_b * sum_f) / t2
-        b2 = (sum_b2 * sum_f - sum_b * sum_fb) / t2
-        a = (a1 + 1.0 / a2) / 2.0
-        b = (b1 + (-b2 / a2)) / 2.0
-    valid = np.isfinite(a) & np.isfinite(b) & (a != 0)
-    return a.astype(np.float32), b.astype(np.float32), valid

@@ -976,6 +976,9 @@ class TranscodePipeline:
             self._active_filter = None
             self._active_spec = None
             self._active_eraser = None
+            # the analysis frame spill can hold GBs: release it with the
+            # rest of the per-file state even when the encode failed
+            self._analysis_spill = None
 
     def _encoder_options(self, res: OutFileResult, zones, num_frames) -> str:
         opts = self.settings.conf.encoder_options
@@ -1128,9 +1131,10 @@ def _default_encoder_runner(pipeline: TranscodePipeline, reform,
 
     # analysis-pass frame spill: when the KFM analysis retained every
     # selected (post-erase, 8-bit) frame in memory, feed those directly
-    # instead of decoding the source a second time
+    # instead of decoding the source a second time.  Left on the
+    # pipeline (not popped) so a two-pass encode serves both passes;
+    # _encode_one's finally releases it with the other per-file state.
     spill = getattr(pipeline, "_analysis_spill", None)
-    pipeline._analysis_spill = None
     if spill is not None and spill.key != key.key():
         spill = None
 
@@ -1139,16 +1143,10 @@ def _default_encoder_runner(pipeline: TranscodePipeline, reform,
         pipeline.ctx.info(
             "encode feed: analysis frame cache (%d frames, %.0f MB)",
             len(spill.frames), spill.nbytes / 1e6)
-        import collections
-
-        spilled = collections.deque(spill.frames)
-        spill.frames = []
-
-        def _drain_spill(q=spilled):
-            while q:
-                yield q.popleft()  # free each frame once encoded
-
-        src = _drain_spill()
+        # non-destructive: two-pass encodes call this runner once per
+        # pass with the same key and both passes ride the cache; the
+        # whole spill is released by _encode_one's finally
+        src = iter(list(spill.frames))
     else:
         src = prefetch_iter(pipeline.decoder_factory(pipeline, key.video),
                             depth=max(8,
@@ -1304,11 +1302,23 @@ class _FrameSpill:
         if any(p.dtype != np.uint8 for p in planes):
             self._drop()
             return
-        sz = sum(p.nbytes for p in planes)
+        # a view pins its WHOLE base: erase_iter yields per-frame views
+        # into [batch, H, W] device-result arrays, so retaining one
+        # frame would silently hold the full batch and blow the cap's
+        # accounting.  Copy such views (a ~2 MB memcpy vs the decode it
+        # saves); decoder borrow views (base ~= plane) are kept as-is.
+        out = []
+        sz = 0
+        for p in planes:
+            base_bytes = getattr(p.base, "nbytes", p.nbytes)
+            if base_bytes > 2 * p.nbytes:
+                p = np.ascontiguousarray(p)
+            out.append(p)
+            sz += p.nbytes
         if self.nbytes + sz > self.cap:
             self._drop()
             return
-        self.frames.append(planes)
+        self.frames.append(tuple(out))
         self.nbytes += sz
 
     def _drop(self) -> None:

@@ -31,7 +31,6 @@ ID_END = 0x7
 SAMPLE_RATES = {
     0: 96000, 1: 88200, 2: 64000, 3: 48000, 4: 44100, 5: 32000,
     6: 24000, 7: 22050, 8: 16000, 9: 12000, 0xA: 11025, 0xB: 8000,
-    0xC: 7350,  # valid per ISO 14496-3 table 1.18 (indices >= 13 reserved)
 }
 
 SAMPLES_PER_BLOCK = 1024  # AAC-LC frame length per channel
@@ -55,10 +54,14 @@ class AdtsHeader:
             self.protection_absent = r.read(1)
             self.profile = r.read(2)
             self.sampling_frequency_index = r.read(4)
-            if self.sampling_frequency_index >= 13:
-                # reserved SFI: not a real header (a corrupted-bit sync
-                # mimic) — resync instead of propagating sample_rate 0
-                # into PTS math (ZeroDivisionError found by stream soak)
+            if self.sampling_frequency_index >= 12:
+                # 13-15 are reserved (a corrupted-bit sync mimic —
+                # propagating sample_rate 0 into PTS math crashed, found
+                # by stream soak); 12 (7350 Hz) is spec-valid but no
+                # decoder in the stack carries its tables (nor does the
+                # reference's libfaad path ever see it: broadcasts don't
+                # use 7350 Hz) — accepting the header would produce a
+                # silently PCM-less audio track, so resync instead.
                 return False
             r.read(1)  # private
             self.channel_configuration = r.read(3)

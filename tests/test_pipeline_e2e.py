@@ -362,6 +362,29 @@ class TestAnalysisFrameSpill:
             tmod._FrameSpill.usable = orig
         assert cached == plain
 
+    def test_two_pass_rides_cache_both_passes(self, env):
+        """passes=[1,2] call the encoder runner twice for the same key:
+        both must consume the spill (it is non-destructive and released
+        only by _encode_one's finally), so the source decodes exactly
+        once for the whole two-pass encode."""
+        ctx, conf, tmp = env
+        conf.filter_mode = "kfm_vfr"
+        conf.two_pass = True
+        calls = []
+        inner = TelecineDecoderFactory()
+
+        def counting(pipeline, video_index):
+            calls.append(video_index)
+            return inner(pipeline, video_index)
+
+        settings = Settings(ctx, conf)
+        pipe = TranscodePipeline(ctx, settings, decoder_factory=counting)
+        report = pipe.run()
+        assert report["outfiles"]
+        # one decode for analysis; both encode passes fed from the spill
+        assert len(calls) == 1, calls
+        assert pipe._analysis_spill is None  # released after the file
+
     def test_erase_plus_kfm_spill_bit_identical(self, env, tmp_path):
         """With a logo eraser active the spill retains POST-erase frames
         and the encode pass must not erase again: output equals the

@@ -253,15 +253,17 @@ class TestCorruptHeaderResilience:
         hdr = AdtsHeader()
         assert not hdr.parse(frame)
 
-    def test_adts_sfi12_has_rate(self):
-        from amatsukaze_tpu.ts.adts import SAMPLE_RATES, AdtsHeader
+    def test_adts_sfi12_rejected_as_unsupported(self):
+        """SFI 12 (7350 Hz) is spec-valid but no decoder in the stack
+        (nor broadcast reality) carries it: accepting the header would
+        yield a silently PCM-less track, so parse rejects it like the
+        reserved codes."""
+        from amatsukaze_tpu.ts.adts import AdtsHeader
 
-        assert SAMPLE_RATES[12] == 7350
-        # SFI 12 (0b1100 at bits 18-21): profile=01, sfi=1100 -> byte2 0x70
+        # byte 2 = 0x70: profile=01, sfi=1100 (12)
         frame = bytes([0xFF, 0xF1, 0x70, 0x40, 0x02, 0x00, 0x00] + [0] * 9)
         hdr = AdtsHeader()
-        assert hdr.parse(frame)
-        assert hdr.sample_rate == 7350
+        assert not hdr.parse(frame)
 
     def test_mpeg2_reserved_frame_rate_code_rejected(self):
         from amatsukaze_tpu.ts.video_mpeg2 import Mpeg2SequenceHeader
