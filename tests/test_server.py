@@ -1993,3 +1993,87 @@ class TestRpcFuzz:
             await server.stop()
 
         run(main())
+
+
+class TestOpsChurn:
+    """Randomized concurrent-operation churn against a live server:
+    add/cancel/retry/pause/priority/parallelism ops interleave with
+    running workers (some of which fail synthetically), and every
+    queue item must still reach a terminal state — no stuck items, no
+    unexpected exceptions.  (A longer sweep of this harness found the
+    ClientManager.broadcast set-mutation crash in round 5.)"""
+
+    async def _churn(self, ctx, seed, tmp_path):
+        import random
+
+        from amatsukaze_tpu.server.server import EncodeServer
+
+        rng = random.Random(seed)
+
+        async def run_item(server, wid, entry, phase):
+            for name in ("TSAnalyze", "CMAnalyze", "Filter",
+                         "Encode", "Mux"):
+                await phase.wait_async(name)
+                await asyncio.sleep(rng.random() * 0.005)
+            if rng.random() < 0.3:
+                raise RuntimeError("synthetic encode failure")
+            return True
+
+        server = EncodeServer(ctx, data_dir=str(tmp_path / f"d{seed}"),
+                              run_item=run_item)
+        server.setting.num_parallel = rng.choice([1, 2, 3])
+        await server.start(port=0)
+        src = tmp_path / "s.ts"
+        src.write_bytes(b"G" + bytes(187))
+        ids = []
+        for i in range(60):
+            op = rng.random()
+            try:
+                if op < 0.3 or not ids:
+                    r = await server.handle_request(
+                        "AddQueue", {"src": str(src),
+                                     "out": str(tmp_path / f"o{seed}_{i}")})
+                    ids.append(r["item_id"])
+                elif op < 0.4:
+                    await server.handle_request(
+                        "CancelItem", {"item_id": rng.choice(ids)})
+                elif op < 0.5:
+                    await server.handle_request(
+                        "RetryItem", {"item_id": rng.choice(ids)})
+                elif op < 0.6:
+                    await server.handle_request(
+                        "PauseEncode", {"pause": rng.random() < 0.5})
+                elif op < 0.7:
+                    await server.handle_request(
+                        "ChangeItem",
+                        {"item_id": rng.choice(ids),
+                         "type": rng.choice(["priority", "movetop",
+                                             "duplicate", "remove"]),
+                         "priority": rng.randrange(1, 6)})
+                elif op < 0.8:
+                    await server.handle_request(
+                        "SetNumParallel", {"n": rng.choice([1, 2, 4])})
+                else:
+                    await server.handle_request("GetState", {})
+                    await server.handle_request("GetQueue", {})
+            except Exception as e:  # noqa: BLE001 - item-gone races OK
+                if "item" not in str(e).lower():
+                    raise
+            await asyncio.sleep(rng.random() * 0.01)
+        await server.handle_request("PauseEncode", {"pause": False})
+        for _ in range(600):
+            states = {e.state for e in server.entries.values()}
+            if states <= {"complete", "failed", "canceled"}:
+                break
+            await asyncio.sleep(0.05)
+        stuck = [(e.item_id, e.state) for e in server.entries.values()
+                 if e.state not in ("complete", "failed", "canceled")]
+        await server.stop()
+        assert not stuck, (seed, stuck)
+
+    def test_churn_seeds(self, ctx, tmp_path):
+        async def main():
+            for seed in (100, 107, 113, 121, 128, 135):
+                await self._churn(ctx, seed, tmp_path)
+
+        run(main())
