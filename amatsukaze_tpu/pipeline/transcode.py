@@ -958,6 +958,18 @@ class TranscodePipeline:
             spec.time_codes, zones, st,
             fmt.frame_rate_num, fmt.frame_rate_denom,
         )
+        if (spec.time_codes and st.conf.auto_bitrate
+                and st.conf.encoder != Encoder.X264
+                and not math.isnan(res.target_bitrate)):
+            # VFR bitrate correction for non-VFR-aware encoders (only
+            # x264 takes --tcfile-in): the encoder budgets bits against
+            # its nominal fps while the real VFR duration is longer, so
+            # the target scales by avg/nominal frame duration (ref
+            # AdjustVFRBitrate FilteredSource.hpp:833-839 applied in
+            # getOptions TranscodeSetting.hpp:1080-1083)
+            res.target_bitrate *= adjust_vfr_bitrate(
+                spec.time_codes, out_fmt.frame_rate_num,
+                out_fmt.frame_rate_denom)
 
         passes = [1, 2] if st.conf.two_pass else [-1]
         try:

@@ -414,6 +414,52 @@ class TestAnalysisFrameSpill:
         assert abs(int(center) - 128) <= 6, f"logo not erased: {center}"
 
 
+class TestVfrAutoBitrateScale:
+    """Auto bitrate under a VFR plan: non-VFR-aware encoders (everything
+    but x264, which takes --tcfile-in) budget bits against their nominal
+    fps while the real VFR duration is longer, so the target scales by
+    avg/nominal frame duration (ref AdjustVFRBitrate
+    FilteredSource.hpp:833-839 via getOptions TranscodeSetting.hpp:
+    1080-1083; x264 must NOT scale)."""
+
+    def _target(self, env, encoder_type):
+        ctx, conf, tmp = env
+        from amatsukaze_tpu.pipeline.settings import Encoder
+
+        conf.filter_mode = "kfm_vfr"
+        conf.auto_bitrate = True
+        conf.bitrate.a = 0.5
+        conf.bitrate.b = 600
+        conf.encoder = Encoder(encoder_type)
+        captured = []
+
+        def runner(pipeline, reform, key, args):
+            captured.append(args)
+
+        settings = Settings(ctx, conf)
+        pipe = TranscodePipeline(ctx, settings,
+                                 decoder_factory=TelecineDecoderFactory(),
+                                 encoder_runner=runner)
+        pipe.run()
+        import re
+
+        m = re.search(r"--(?:bitrate|la|vbrhq|vbr)\s+(\d+)", captured[0])
+        assert m, captured[0]
+        return int(m.group(1))
+
+    def test_non_vfr_aware_encoder_scales(self, env, tmp_path):
+        qsv = self._target(env, "QSVEnc")
+        ctx, conf, tmp = env
+        conf.out_video_path = str(tmp_path / "x264out")
+        conf.work_dir = str(tmp_path)
+        x264 = self._target((ctx, conf, tmp_path), "x264")
+        # telecined 89-frame source decimates to ~24p on a 60p-nominal
+        # clock: the VFR correction is ~2.4x; x264 rides the timecode
+        # file and keeps the unscaled target
+        assert qsv > 1.8 * x264, (qsv, x264)
+        assert qsv < 3.5 * x264, (qsv, x264)
+
+
 class TestSimpleMode:
     def test_generic_transcode(self, env):
         ctx, conf, tmp = env
