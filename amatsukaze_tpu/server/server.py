@@ -128,6 +128,11 @@ class ServerSetting:
     move_after_encode: bool = False  # move sources to succeeded/failed
                                      # dirs with EDCB companions (ref
                                      # TranscodeWorker + ServerSupport)
+    # scheduled pausing: [[start_hour, end_hour], ...] local-time
+    # windows during which the worker pool pauses (ref
+    # Server/PauseScheduler.cs); wrap-around windows (e.g. [23, 6])
+    # are supported. Empty = never scheduled-paused.
+    pause_windows: list = field(default_factory=list)
 
 
 @dataclass
@@ -207,6 +212,7 @@ class EncodeServer:
                                on_error=self._on_error)
         self.clients = ClientManager(self.handle_request)
         self._server: asyncio.AbstractServer | None = None
+        self._pause_sched: PauseScheduler | None = None
         self._drcs: object | None = None  # lazy DRCSManager
         self._logo_scan: dict = {"state": "idle", "progress": "", "out": ""}
         # pending finish-action countdown (ref FinishActionRunner,
@@ -227,12 +233,29 @@ class EncodeServer:
         self._acquire_instance_lock()
         self.load_app_data()
         self.pool.set_num_parallel(self.setting.num_parallel)
+        self._apply_pause_windows()
         self._server = await asyncio.start_server(
             self.clients.handle_client, host, port
         )
         return self._server.sockets[0].getsockname()[1]
 
+    def _apply_pause_windows(self) -> None:
+        """(Re)start the scheduled-pause runner to match the setting."""
+        if self._pause_sched is not None:
+            self._pause_sched.stop()
+            self._pause_sched = None
+        windows = [(int(s), int(e))
+                   for s, e in (self.setting.pause_windows or [])]
+        if windows:
+            self._pause_sched = PauseScheduler(self.pool, windows)
+            self._pause_sched.start()
+        else:
+            self.pool.set_pause(False, scheduled=True)
+
     async def stop(self) -> None:
+        if self._pause_sched is not None:
+            self._pause_sched.stop()
+            self._pause_sched = None
         if self._server:
             self._server.close()
             # wait_closed() (3.12+) waits for client handler tasks too, so
@@ -1305,6 +1328,8 @@ class EncodeServer:
             self.pool.set_num_parallel(self.setting.num_parallel)
             self.queue.resource_manager.set_gpu_resources(
                 self.setting.num_devices, self.setting.device_caps)
+            if "pause_windows" in payload:
+                self._apply_pause_windows()
             return {"ok": True}
         if method == "GetServices":
             # service list aggregated from probed queue items + the logo
@@ -1375,6 +1400,7 @@ class EncodeServer:
                 states[e.state] = states.get(e.state, 0) + 1
             return {
                 "paused": self.pool.is_paused,
+                "scheduled_paused": self.pool.scheduled_paused,
                 "num_parallel": self.setting.num_parallel,
                 "states": states,
                 "logo_scan": dict(self._logo_scan),

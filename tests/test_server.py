@@ -2077,3 +2077,50 @@ class TestOpsChurn:
                 await self._churn(ctx, seed, tmp_path)
 
         run(main())
+
+
+class TestPauseScheduler:
+    """Time-window scheduled pausing (ref Server/PauseScheduler.cs):
+    a pause_windows setting covering the current hour pauses the pool
+    (separately from user pause), clearing it resumes, and a
+    wrap-around window (e.g. [23, 6]) is honored."""
+
+    def test_window_pauses_and_clears(self, ctx, tmp_path):
+        async def main():
+            import time as _time
+
+            from amatsukaze_tpu.server.server import EncodeServer
+
+            async def ok_run(server, wid, entry, phase):
+                return True
+
+            server = EncodeServer(ctx, data_dir=str(tmp_path / "d"),
+                                  run_item=ok_run)
+            await server.start(port=0)
+            hour = _time.localtime().tm_hour
+            await server.handle_request(
+                "SetSetting",
+                {"pause_windows": [[hour, (hour + 1) % 24]]})
+            for _ in range(100):  # scheduler's first tick is immediate
+                if server.pool.scheduled_paused:
+                    break
+                await asyncio.sleep(0.02)
+            st = await server.handle_request("GetState", {})
+            assert st["scheduled_paused"] is True
+            assert st["paused"] is True
+            # user pause state is independent
+            await server.handle_request("PauseEncode", {"pause": False})
+            assert server.pool.scheduled_paused is True
+            # clearing the windows resumes promptly
+            await server.handle_request("SetSetting", {"pause_windows": []})
+            st = await server.handle_request("GetState", {})
+            assert st["scheduled_paused"] is False
+            assert st["paused"] is False
+            # wrap-around window logic
+            from amatsukaze_tpu.server.server import PauseScheduler
+            ps = PauseScheduler(server.pool, [(23, 6)])
+            assert ps._in_window(23) and ps._in_window(2)
+            assert not ps._in_window(12)
+            await server.stop()
+
+        run(main())
