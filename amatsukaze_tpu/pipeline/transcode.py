@@ -1239,6 +1239,23 @@ def _default_encoder_runner(pipeline: TranscodePipeline, reform,
                                     max(3, st.conf.device_batch_frames))
         frames_iter = (planes for i, planes in enumerate(src)
                        if i in wanted)
+    # rolling encode-progress report (ref FpsPrinter
+    # PerformanceUtil.hpp:57-124 feeding the worker console)
+    from ..utils.perf import FpsPrinter
+
+    n_total = len(wanted)
+    done = [0]
+    fpsp = FpsPrinter(interval_s=10.0, report=lambda fps: pipeline.ctx.info(
+        "[encode] %d/%d frames, %.1f fps", done[0], n_total, fps))
+    fpsp.start()
+
+    def _with_progress(it):
+        for planes in it:
+            yield planes
+            done[0] += 1
+            fpsp.update()
+
+    frames_iter = _with_progress(frames_iter)
     t_start = time.time()
     if fg is None or (fg.mode == "none" and fg.post_chain is None):
         for planes in frames_iter:
