@@ -100,6 +100,13 @@ class ProfileSetting:
     enable_jls_option: bool = False
     disable_hash_check: bool = False  # skip hash-dir source verification
     enable_genre_folder: bool = False  # sort outputs into genre subdirs
+    # user scripts around each item (ref PreBatFile/PostBatFile/
+    # AddBatFile, EncodeServerData.cs + UserScriptExecuter.cs): run with
+    # ITEM_* env vars and the RPC callback address used by
+    # tools/script_command (AddTag / SetPriority / GetOutFiles / ...)
+    pre_bat_file: str = ""
+    post_bat_file: str = ""
+    add_bat_file: str = ""
     # phase resources: CPU/HDD/device percent per phase (ReqResource)
     req_resources: dict = field(default_factory=lambda: {
         "TSAnalyze": {"cpu": 20, "hdd": 30, "gpu": 0},
@@ -237,7 +244,9 @@ class EncodeServer:
         self._server = await asyncio.start_server(
             self.clients.handle_client, host, port
         )
-        return self._server.sockets[0].getsockname()[1]
+        self._rpc_host = host
+        self._rpc_port = self._server.sockets[0].getsockname()[1]
+        return self._rpc_port
 
     def _apply_pause_windows(self) -> None:
         """(Re)start the scheduled-pause runner to match the setting."""
@@ -616,6 +625,11 @@ class EncodeServer:
         self.entries[entry.item_id] = entry
         if entry.state == "queue":  # hash-dir lookup may have failed it
             self._enqueue(entry)
+        add_bat = self.profile_for(entry).add_bat_file
+        if add_bat:
+            # fire-and-forget with phase "add" (ref AddBatFile): the
+            # script may re-tag / re-prioritize via the callback RPC
+            asyncio.ensure_future(self._run_bat(add_bat, entry, "add"))
         return entry
 
     def add_queue_dir(self, dir_path: str, out_dir: str = "",
@@ -824,6 +838,27 @@ class EncodeServer:
         return args
 
     # ------------------------------------------------------------ execution
+    async def _run_bat(self, script: str, entry, phase: str,
+                       result: dict | None = None) -> None:
+        """Run a profile user script with the item env (ref
+        UserScriptExecuter.cs; failures are logged, never fatal)."""
+        if not script:
+            return
+        from ..tools.user_script import run_user_script
+
+        try:
+            rc = await run_user_script(
+                self.ctx, script, entry, phase,
+                server_host=getattr(self, "_rpc_host", "127.0.0.1"),
+                server_port=getattr(self, "_rpc_port", 0),
+                result=result)
+            if rc:
+                self.append_console(entry,
+                                    f"{phase} script exited with {rc}")
+        except Exception as e:  # noqa: BLE001 - scripts must not kill items
+            self.ctx.error("user script failed: %s", e)
+            self.append_console(entry, f"{phase} script failed: {e}")
+
     async def _run_item(self, worker_id: int, item: QueueItem,
                         force_start: bool) -> None:
         entry: QueueEntry = item.payload
@@ -835,6 +870,8 @@ class EncodeServer:
             {p: item.req_resources.get(p, ReqResource()) for p in PHASES},
             loop=asyncio.get_running_loop(),
         )
+        profile = self.profile_for(entry)
+        await self._run_bat(profile.pre_bat_file, entry, "pre")
         try:
             ok = await self._run_item_impl(self, worker_id, entry, phase)
             entry.state = "complete" if ok else "failed"
@@ -843,6 +880,12 @@ class EncodeServer:
             self.append_console(entry, str(e))
         finally:
             phase.release()
+        await self._run_bat(
+            profile.post_bat_file, entry, "post",
+            result={"ok": entry.state == "complete",
+                    "error": (entry.console or [""])[-1]
+                    if entry.state == "failed" else "",
+                    "out_files": list(entry.out_files)})
         if (entry.state == "failed"
                 and entry.retry_count < self.setting.max_retries):
             # auto-retry (ref TranscodeWorker retry logic)

@@ -2124,3 +2124,58 @@ class TestPauseScheduler:
             await server.stop()
 
         run(main())
+
+
+class TestUserScriptHooks:
+    """Profile pre/post/add user scripts run around each item with the
+    ITEM_* environment and the result env on post (ref
+    UserScriptExecuter.cs via tools/user_script; wired through
+    ProfileSetting Pre/Post/AddBatFile)."""
+
+    def test_bats_fire_with_env(self, ctx, tmp_path):
+        async def main():
+            import stat as _stat
+
+            from amatsukaze_tpu.server.server import EncodeServer
+
+            log = tmp_path / "hooks.log"
+            for phase in ("pre", "post", "add"):
+                sc = tmp_path / f"{phase}.sh"
+                sc.write_text(
+                    "#!/bin/bash\n"
+                    f'echo "{phase} id=$ITEM_ID mode=$ITEM_MODE '
+                    'succ=${SUCCESS:-} port=$AMT_SERVER_PORT" >> '
+                    f'"{log}"\n')
+                sc.chmod(sc.stat().st_mode | _stat.S_IEXEC)
+
+            async def ok_run(server, wid, entry, phase):
+                return True
+
+            server = EncodeServer(ctx, data_dir=str(tmp_path / "d"),
+                                  run_item=ok_run)
+            await server.start(port=0)
+            await server.handle_request("SetProfile", {
+                "name": "default",
+                "pre_bat_file": str(tmp_path / "pre.sh"),
+                "post_bat_file": str(tmp_path / "post.sh"),
+                "add_bat_file": str(tmp_path / "add.sh")})
+            src = tmp_path / "a.ts"
+            src.write_bytes(b"G" + bytes(187))
+            r = await server.handle_request(
+                "AddQueue", {"src": str(src),
+                             "out": str(tmp_path / "o")})
+            iid = r["item_id"]
+            for _ in range(300):
+                await asyncio.sleep(0.02)
+                e = server.entries[iid]
+                if e.state in ("complete", "failed") \
+                        and log.exists() and "post" in log.read_text():
+                    break
+            text = log.read_text()
+            assert f"add id={iid} mode=add succ=" in text
+            assert f"pre id={iid} mode=pre succ=" in text
+            assert f"post id={iid} mode=post succ=1" in text
+            assert "port=0" not in text  # callback port is the real one
+            await server.stop()
+
+        run(main())
