@@ -112,17 +112,6 @@ class DataPumpThread:
                         return
 
 
-def run_command_sequence(ctx, commands: list[tuple[str, bool]]) -> None:
-    """Run muxer-style command lists (ref AMTMuxder::mux)."""
-    for cmd, show in commands:
-        ctx.info("%s", cmd)
-        proc = SubProcess(cmd)
-        rc = proc.join()
-        if rc != 0:
-            tail = "\n".join(proc.last_lines)
-            raise RuntimeError(f"command failed ({rc}): {cmd}\n{tail}")
-
-
 def prefetch_iter(source_iter, depth: int = 2):
     """Run `source_iter` in a background thread with a bounded queue:
     the consumer (device filtering / encoder feed) overlaps with the
