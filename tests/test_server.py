@@ -2179,3 +2179,43 @@ class TestUserScriptHooks:
             await server.stop()
 
         run(main())
+
+    def test_script_command_callback_tags_item(self, ctx, tmp_path):
+        """A pre script can call back into the live server through the
+        script_command tool (ref ScriptCommand/Program.cs via the env
+        pipe analog): AddTag from inside the script lands on the item."""
+        async def main():
+            import stat as _stat
+            import sys as _sys
+
+            from amatsukaze_tpu.server.server import EncodeServer
+
+            sc = tmp_path / "pre.sh"
+            sc.write_text(
+                "#!/bin/bash\n"
+                f'"{_sys.executable}" -m amatsukaze_tpu.tools.'
+                'script_command AddTag from-script\n')
+            sc.chmod(sc.stat().st_mode | _stat.S_IEXEC)
+
+            async def ok_run(server, wid, entry, phase):
+                return True
+
+            server = EncodeServer(ctx, data_dir=str(tmp_path / "d"),
+                                  run_item=ok_run)
+            await server.start(port=0)
+            await server.handle_request("SetProfile", {
+                "name": "default", "pre_bat_file": str(sc)})
+            src = tmp_path / "a.ts"
+            src.write_bytes(b"G" + bytes(187))
+            r = await server.handle_request(
+                "AddQueue", {"src": str(src),
+                             "out": str(tmp_path / "o")})
+            iid = r["item_id"]
+            for _ in range(400):
+                await asyncio.sleep(0.02)
+                if server.entries[iid].state in ("complete", "failed"):
+                    break
+            assert "from-script" in server.entries[iid].tags
+            await server.stop()
+
+        run(main())
