@@ -349,3 +349,29 @@ class TestSoakSmoke:
                for r in [stream_soak.one(s)]
                if r.startswith("UNEXPECTED")]
         assert not bad, bad[:2]
+
+
+class TestPtsWrapMidStream:
+    """The 33-bit PTS counter wraps mid-recording (~26.5 h of MPEG
+    clock, but any recording straddling the counter hits it): the full
+    pipeline must reform a continuous timeline across the wrap — one
+    output with every frame, a sane duration, and continuous audio —
+    exactly like the reference's makeModifiedPTS unwrap
+    (StreamReform.hpp:1053-1083)."""
+
+    def test_unwraps_to_one_continuous_output(self, tmp_path):
+        n = 90
+        dur = 3003  # 29.97 fps in 90 kHz ticks
+        # wrap lands mid-stream: start so frame n/2 crosses 2^33
+        first = (1 << 33) - (n // 2) * dur
+        ts = ts_gen.build_simple_ts(num_frames=n, first_pts=first)
+        report, settings, ctx = run_pipeline(tmp_path, ts)
+        assert len(report["outfiles"]) == 1
+        out = report["outfiles"][0]
+        assert frame_count(out["path"]) == n - 1  # open-GOP head trim
+        # duration reflects ~3 s of content, not a 26.5-hour glitch
+        assert 1.0 < report["srcduration"] < 10.0
+        # audio stayed attached across the wrap with no mass drop-outs
+        diffs = report.get("audiodiffs") or out.get("audio_diffs") or []
+        if diffs:
+            assert all(d.get("lost", 0) == 0 for d in diffs)

@@ -354,6 +354,7 @@ class TsPacketizer:
         hdr = bytes([0x47, (pid >> 8) & 0x1F, pid & 0xFF, 0x20 | self.cc.get(pid, 0)])
         af = bytearray([183, 0x10])  # af_length, PCR_flag
         base, ext = divmod(pcr, 300)
+        base &= (1 << 33) - 1  # PCR base wraps like PTS
         raw = (base << 15) | (0x3F << 9) | ext
         af += raw.to_bytes(6, "big")
         af += b"\xFF" * (184 - len(af))
@@ -379,6 +380,7 @@ class TsPacketizer:
             if pcr is not None:
                 af.append(0x10)  # PCR flag
                 base, ext = divmod(pcr, 300)
+                base &= (1 << 33) - 1  # PCR base wraps like PTS
                 raw = (base << 15) | (0x3F << 9) | ext
                 af += raw.to_bytes(6, "big")
             else:
