@@ -248,13 +248,37 @@ class EncodeServer:
         self._rpc_port = self._server.sockets[0].getsockname()[1]
         return self._rpc_port
 
+    @staticmethod
+    def _normalize_pause_windows(value) -> list:
+        """Validate [[start_hour, end_hour], ...]; raises ValueError on
+        malformed input so SetSetting can reject it BEFORE it is
+        committed (a bad persisted value must never brick startup)."""
+        out = []
+        for w in (value or []):
+            if isinstance(w, (list, tuple)) and len(w) == 2:
+                s, e = int(w[0]), int(w[1])
+                if 0 <= s < 24 and 0 <= e <= 24:
+                    out.append([s, e % 24])
+                    continue
+            raise ValueError(f"bad pause window: {w!r} "
+                             "(expected [start_hour, end_hour])")
+        return out
+
     def _apply_pause_windows(self) -> None:
         """(Re)start the scheduled-pause runner to match the setting."""
         if self._pause_sched is not None:
             self._pause_sched.stop()
             self._pause_sched = None
-        windows = [(int(s), int(e))
-                   for s, e in (self.setting.pause_windows or [])]
+        try:
+            windows = [(s, e) for s, e in
+                       self._normalize_pause_windows(
+                           self.setting.pause_windows)]
+        except (ValueError, TypeError) as e:
+            # tolerate a malformed persisted value: drop it and keep
+            # the server bootable
+            self.ctx.error("ignoring bad pause_windows: %s", e)
+            self.setting.pause_windows = []
+            windows = []
         if windows:
             self._pause_sched = PauseScheduler(self.pool, windows)
             self._pause_sched.start()
@@ -624,12 +648,20 @@ class EncodeServer:
         self._next_id += 1
         self.entries[entry.item_id] = entry
         if entry.state == "queue":  # hash-dir lookup may have failed it
-            self._enqueue(entry)
-        add_bat = self.profile_for(entry).add_bat_file
-        if add_bat:
-            # fire-and-forget with phase "add" (ref AddBatFile): the
-            # script may re-tag / re-prioritize via the callback RPC
-            asyncio.ensure_future(self._run_bat(add_bat, entry, "add"))
+            add_bat = self.profile_for(entry).add_bat_file
+            if add_bat:
+                # the add script runs BEFORE the item becomes
+                # schedulable (ref AddBatFile): its re-tag /
+                # re-prioritize / cancel callbacks need the item still
+                # in "queue" state, so enqueue after it finishes
+                async def _add_then_enqueue():
+                    await self._run_bat(add_bat, entry, "add")
+                    if entry.state == "queue":  # script may cancel
+                        self._enqueue(entry)
+
+                asyncio.ensure_future(_add_then_enqueue())
+            else:
+                self._enqueue(entry)
         return entry
 
     def add_queue_dir(self, dir_path: str, out_dir: str = "",
@@ -880,12 +912,6 @@ class EncodeServer:
             self.append_console(entry, str(e))
         finally:
             phase.release()
-        await self._run_bat(
-            profile.post_bat_file, entry, "post",
-            result={"ok": entry.state == "complete",
-                    "error": (entry.console or [""])[-1]
-                    if entry.state == "failed" else "",
-                    "out_files": list(entry.out_files)})
         if (entry.state == "failed"
                 and entry.retry_count < self.setting.max_retries):
             # auto-retry (ref TranscodeWorker retry logic)
@@ -895,6 +921,16 @@ class EncodeServer:
                 entry, f"retrying ({entry.retry_count}/"
                        f"{self.setting.max_retries})")
             self._enqueue(entry)
+        if entry.state in ("complete", "failed"):
+            # TERMINAL only (like _move_source below): a failure that is
+            # about to auto-retry must not fire the user's post
+            # automation with SUCCESS=0 and then again with SUCCESS=1
+            await self._run_bat(
+                profile.post_bat_file, entry, "post",
+                result={"ok": entry.state == "complete",
+                        "error": (entry.console or [""])[-1]
+                        if entry.state == "failed" else "",
+                        "out_files": list(entry.out_files)})
         if (entry.state in ("complete", "failed")
                 and self.setting.move_after_encode):
             self._move_source(entry)
@@ -1366,6 +1402,17 @@ class EncodeServer:
             if str(payload.get("finish_action", "")) not in FINISH_ACTIONS:
                 payload = dict(payload)
                 payload.pop("finish_action", None)
+            if "pause_windows" in payload:
+                # validate BEFORE committing: a malformed value must not
+                # reach self.setting (it would persist and then crash
+                # every subsequent startup)
+                try:
+                    payload = dict(payload)
+                    payload["pause_windows"] = \
+                        self._normalize_pause_windows(
+                            payload["pause_windows"])
+                except (ValueError, TypeError) as e:
+                    return {"ok": False, "error": str(e)}
             cur.update({k: v for k, v in payload.items() if k in cur})
             self.setting = ServerSetting(**cur)
             self.pool.set_num_parallel(self.setting.num_parallel)

@@ -42,7 +42,14 @@ async def run_user_script(ctx, script_path: str, entry, phase: str,
                           result: dict | None = None,
                           timeout: float = 600.0) -> int:
     """Run one user script; returns the exit code (ref RunScript)."""
-    if not script_path or not os.path.exists(script_path):
+    if not script_path:
+        return 0
+    if not os.path.exists(script_path):
+        # a CONFIGURED script that is missing must be loud: silently
+        # skipping means the user's automation never runs and nothing
+        # anywhere says why
+        ctx.error("user script not found: %s (%s phase skipped)",
+                  script_path, phase)
         return 0
     env = item_environment(entry, phase, server_host, server_port, result)
     ctx.info("[user script] %s (%s)", script_path, phase)

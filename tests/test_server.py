@@ -2121,7 +2121,29 @@ class TestPauseScheduler:
             ps = PauseScheduler(server.pool, [(23, 6)])
             assert ps._in_window(23) and ps._in_window(2)
             assert not ps._in_window(12)
+            # malformed values are rejected BEFORE committing (a bad
+            # persisted value would otherwise brick every startup)
+            for bad in ([[23]], "23-6", [["a", "b"]], [[25, 3]]):
+                r = await server.handle_request(
+                    "SetSetting", {"pause_windows": bad})
+                assert r["ok"] is False, bad
+            assert server.setting.pause_windows == []
+            # end hour 24 = until midnight, normalized to 0
+            r = await server.handle_request(
+                "SetSetting", {"pause_windows": [[22, 24]]})
+            assert r["ok"] is True
+            assert server.setting.pause_windows == [[22, 0]]
             await server.stop()
+            # a hand-corrupted persisted value must not brick startup
+            import json as _json
+            sj = tmp_path / "d" / "setting.json"
+            data = _json.loads(sj.read_text())
+            data["pause_windows"] = [[99]]
+            sj.write_text(_json.dumps(data))
+            server2 = EncodeServer(ctx, data_dir=str(tmp_path / "d"))
+            await server2.start(port=0)  # boots; bad value dropped
+            assert server2.setting.pause_windows == []
+            await server2.stop()
 
         run(main())
 
